@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** One composable function per operator row of SURVEY.md §2 — the
+  * relational vocabulary the reference exercises, as idiomatic Spark.
+  *
+  * Scale discipline: every helper stays declarative (Catalyst plans it),
+  * no driver-side actions, windows always carry an explicit deterministic
+  * ORDER BY (the reference's `monotonically_increasing_id()` tie-break,
+  * 02_silver_transform.py:50, is partition-layout-dependent and therefore
+  * irreproducible — SURVEY.md §7 determinism rules).
+  */
+object RelationalOps {
+
+  /** W1 dedup-keep-first: one row per key, deterministic tie-break —
+    * reference 02_silver_transform.py:50-56 (orders) / :110-116
+    * (order_products). Window shuffles once on the key; at scale prefer
+    * running this right after ingest so downstream stages reuse the
+    * hash-partitioning. */
+  def dedupFirst(df: DataFrame, keys: Seq[String], tieBreak: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(tieBreak: _*)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** W2 purchase-sequence rank — reference 03_gold_metrics.py:298-305:
+    * row_number per (user, product) ordered by order sequence. */
+  def sequenceRank(df: DataFrame, partitionCols: Seq[String],
+                   orderCols: Seq[Column], as: String = "purchase_seq"): DataFrame =
+    df.withColumn(as,
+      row_number().over(Window.partitionBy(partitionCols.map(col): _*).orderBy(orderCols: _*)))
+
+  /** W3 lag with offset+default — reference 03_gold_metrics.py:303
+    * (`lag(reordered, 1, 0)`). */
+  def lagPrev(df: DataFrame, valueCol: Column, partitionCols: Seq[String],
+              orderCols: Seq[Column], default: Any, as: String): DataFrame =
+    df.withColumn(as,
+      lag(valueCol, 1, default).over(Window.partitionBy(partitionCols.map(col): _*).orderBy(orderCols: _*)))
+
+  /** W4 group-size over unordered window — reference quality.py:74-79
+    * duplicate detection (`count(*) over (partition by key)`). */
+  def groupSize(df: DataFrame, keys: Seq[String], as: String = "group_size"): DataFrame =
+    df.withColumn(as, count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+
+  /** P11 7-arm CASE: day-of-week int → name. The reference's Instacart
+    * encoding has 0 = Saturday (02_silver_transform.py:73-79). */
+  def dayNameInstacart(dow: Column): Column =
+    when(dow === 0, "Saturday")
+      .when(dow === 1, "Sunday")
+      .when(dow === 2, "Monday")
+      .when(dow === 3, "Tuesday")
+      .when(dow === 4, "Wednesday")
+      .when(dow === 5, "Thursday")
+      .otherwise("Friday")
+
+  /** P11 variant for a 0=Sunday..6=Saturday dow (DuckDB `dayofweek`
+    * convention, used by the testdata-backed queries). */
+  def dayNameSunday0(dow: Column): Column =
+    when(dow === 0, "Sunday")
+      .when(dow === 1, "Monday")
+      .when(dow === 2, "Tuesday")
+      .when(dow === 3, "Wednesday")
+      .when(dow === 4, "Thursday")
+      .when(dow === 5, "Friday")
+      .otherwise("Saturday")
+
+  /** P12 BETWEEN range bucketing: hour-of-day → daypart — reference
+    * 02_silver_transform.py:80-83. */
+  def hourBucket(hour: Column): Column =
+    when(hour.between(5, 11), "Morning")
+      .when(hour.between(12, 16), "Afternoon")
+      .when(hour.between(17, 21), "Evening")
+      .otherwise("Night")
+
+  /** P14-P16 surrogate key: md5 over '_'-joined key parts — reference
+    * 03_gold_metrics.py:85-88. */
+  def surrogateKey(parts: Column*): Column =
+    md5(concat_ws("_", parts.map(_.cast("string")): _*))
+
+  /** P18 nullif divide-by-zero guard — reference 03_gold_metrics.py:118-121. */
+  def safeDiv(num: Column, den: Column): Column = num / nullif(den, lit(0))
+
+  /** P23 conditional share: fraction of rows satisfying `cond` —
+    * reference 03_gold_metrics.py:256-261 (`avg(CASE WHEN … THEN 1 ELSE 0)`). */
+  def share(cond: Column): Column = avg(when(cond, 1.0).otherwise(0.0))
+
+  /** A8/J4 percent-of-grand-total without a driver action: 1-row total agg
+    * cross-joined (broadcast NL join of one row) — the serverless form
+    * (03_gold_metrics_serverless.py:271-302), preferred over the DF
+    * notebook's driver-side `count()` + `lit` (03:242) because it keeps the
+    * whole computation in one distributed plan. */
+  def withPctOfTotal(df: DataFrame, valueCol: String, totalOver: DataFrame,
+                     totalExpr: Column, as: String, scale: Int): DataFrame = {
+    val totals = totalOver.agg(totalExpr.as("_grand_total"))
+    df.crossJoin(broadcast(totals))
+      .withColumn(as, rnd(col(valueCol) * 100.0 / col("_grand_total"), scale))
+      .drop("_grand_total")
+  }
+
+  /** O3 top-k: Catalyst plans sort+limit as TakeOrderedAndProject (no full
+    * sort at scale). Always pass a total order for determinism. */
+  def topK(df: DataFrame, k: Int, order: Column*): DataFrame =
+    df.orderBy(order: _*).limit(k)
+
+  /** P17 cross-engine-deterministic rounding: floor(x·10ⁿ + 0.5)/10ⁿ.
+    * Spark's `round` (BigDecimal HALF_UP over the shortest decimal
+    * representation) and DuckDB's `round` (binary nearbyint-style) disagree
+    * on decimal ties like 1222.745. This formulation uses only IEEE-754
+    * double ops (multiply, add, floor, divide) that both engines execute
+    * identically, so results are bit-identical given bit-identical inputs.
+    * The oracle SQL uses the same `floor(x*10^n + 0.5)/10^n` expression.
+    * Non-negative inputs assumed (half always rounds up). */
+  def rnd(c: Column, scale: Int): Column = {
+    val f = math.pow(10, scale)
+    floor(c * lit(f) + lit(0.5)) / lit(f)
+  }
+}

@@ -1,0 +1,481 @@
+package graft.queries
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables.t
+import graft.ops.RelationalOps._
+import graft.marts.GoldMarts
+
+/** SURVEY.md §2 relational operator inventory, registered as verifiable
+  * queries over the testdata star schema (role mapping FIXTURES.md §B.1).
+  * Every query is deterministic (rounded doubles, dates as strings, total
+  * ORDER BY) and has a DuckDB oracle with IDENTICAL output column names.
+  */
+object RelationalQueries {
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // S2 scan + projection pushdown: only 5 of 11 lineitem columns read.
+    "q_scan_table" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_quantity"), col("l_returnflag"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_quantity"), col("l_returnflag"))),
+
+    // S1 CSV scan with header + enforced schema (FAILFAST), via a local
+    // roundtrip of the smallest table. Exercises the bronze ingest path.
+    "q_scan_csv" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val out = tmpDir("graft_csv")
+      t(s, dir, "region").write.mode("overwrite").option("header", "true").csv(out)
+      val schema = StructType(Seq(
+        StructField("r_regionkey", IntegerType, nullable = false),
+        StructField("r_name", StringType, nullable = false)))
+      graft.sources.Tables.readCsv(s, out, schema).orderBy(col("r_regionkey"))
+    }),
+
+    // S4 partitioned sink + read-back with partition pruning layout.
+    "q_sink_partitioned" -> ((s, dir) => {
+      val out = tmpDir("graft_part")
+      graft.sources.Tables.overwritePartitioned(t(s, dir, "orders"), out, "o_orderstatus")
+      s.read.parquet(out)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          rnd(sum(col("o_totalprice")), 2).as("total_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // U1 positional union of two same-schema branches (bronze prior+train).
+    "q_union" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.filter(col("l_linestatus") === "O")
+        .union(li.filter(col("l_linestatus") === "F"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // P1/P2 projection + rename.
+    "q_project_rename" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .select(col("c_custkey").as("customer_id"),
+          col("c_name").as("customer_name"),
+          col("c_mktsegment").as("segment"))
+        .orderBy(col("customer_id"))),
+
+    // P3/P4/P10-P16/P22 enrichment expression battery (silver enrich).
+    "q_enrich_orders" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .withColumns(Map(
+          "day_name" -> dayNameSunday0(dayofweek(col("o_orderdate")) - 1),
+          "quarter_bucket" ->
+            when(month(col("o_orderdate")).between(1, 3), "Q1")
+              .when(month(col("o_orderdate")).between(4, 6), "Q2")
+              .when(month(col("o_orderdate")).between(7, 9), "Q3")
+              .otherwise("Q4"),
+          "is_urgent" -> (col("o_orderpriority") === "1-URGENT"),
+          "order_key_hash" -> surrogateKey(col("o_orderkey"), col("o_custkey")),
+          "price_k" -> (col("o_totalprice") / 1000.0)))
+        .select(col("o_orderkey"), col("day_name"), col("quarter_bucket"),
+          col("is_urgent"), col("order_key_hash"), col("price_k"))
+        .orderBy(col("o_orderkey"))),
+
+    // W1 dedup-keep-first with deterministic tie-break: first order per customer.
+    "q_dedup_orders" -> ((s, dir) =>
+      dedupFirst(t(s, dir, "orders"), Seq("o_custkey"),
+        Seq(col("o_orderdate"), col("o_orderkey")))
+        .select(col("o_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("first_order_date"),
+          col("o_totalprice").as("first_order_price"))
+        .orderBy(col("o_custkey"))),
+
+    // W1 composite-key dedup (order_products analogue: lineitem has real
+    // duplicate (l_orderkey, l_partkey) pairs in the testdata).
+    "q_dedup_lineitem" -> ((s, dir) =>
+      dedupFirst(t(s, dir, "lineitem"), Seq("l_orderkey", "l_partkey"),
+        Seq(col("l_linenumber"), col("l_suppkey")))
+        .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"), col("l_suppkey"))
+        .orderBy(col("l_orderkey"), col("l_partkey"))),
+
+    // W3 lag with offset + default over a per-customer sequence.
+    "q_window_lag" -> ((s, dir) =>
+      lagPrev(t(s, dir, "orders"), col("o_totalprice"),
+        Seq("o_custkey"), Seq(col("o_orderdate"), col("o_orderkey")), 0.0, "prev_price_raw")
+        .select(col("o_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          col("o_totalprice").as("price"),
+          col("prev_price_raw").as("prev_price"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))),
+
+    // W4 count-over-partition duplicate detection (quality.py:74-79 form).
+    "q_window_count_over" -> ((s, dir) =>
+      groupSize(t(s, dir, "lineitem"), Seq("l_orderkey", "l_partkey"))
+        .filter(col("group_size") > 1)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"), col("group_size"))
+        .orderBy(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))),
+
+    // J1+A1-A6 star join rolled up to region grain (dims broadcast).
+    "q_enriched_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer"); val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name").as("region_name"))
+        .agg(count(lit(1)).as("n_items"),
+          countDistinct(col("o_orderkey")).as("n_orders"),
+          rnd(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("region_name"))
+    }),
+
+    // Gold mart: fct at line-item grain with md5 surrogate key.
+    "q_fct_orders" -> ((s, dir) =>
+      GoldMarts.fctOrderItems(t(s, dir, "lineitem"), t(s, dir, "orders"),
+        t(s, dir, "part"), t(s, dir, "customer"), t(s, dir, "nation"), t(s, dir, "region"))
+        .orderBy(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))),
+
+    // Gold mart: customer dim with segments.
+    "q_dim_users" -> ((s, dir) =>
+      GoldMarts.dimUsers(t(s, dir, "customer"), t(s, dir, "orders"), t(s, dir, "lineitem"))),
+
+    // Gold mart: product dim with popularity tier.
+    "q_dim_products" -> ((s, dir) =>
+      GoldMarts.dimProducts(t(s, dir, "part"), t(s, dir, "lineitem"), t(s, dir, "orders"))),
+
+    // Gold mart: nation performance (dept analogue) with shares + pct-of-total.
+    "q_mart_dept" -> ((s, dir) =>
+      GoldMarts.martNationPerformance(t(s, dir, "lineitem"), t(s, dir, "orders"),
+        t(s, dir, "customer"), t(s, dir, "nation"))),
+
+    // Gold mart: repeat-purchase velocity (row_number + lag + HAVING).
+    "q_mart_velocity" -> ((s, dir) =>
+      GoldMarts.martRepeatVelocity(t(s, dir, "lineitem"), t(s, dir, "orders"))),
+
+    // O3 top-k: TakeOrderedAndProject, deterministic tie-break.
+    "q_topk" -> ((s, dir) =>
+      topK(t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(rnd(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items")),
+        10, col("revenue").desc, col("l_partkey"))),
+
+    // S5/S6/A9 temp view + SQL text with GROUP BY ordinal.
+    "q_sql_ctas" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""CREATE OR REPLACE TEMP VIEW ctas_demo AS
+               SELECT o_orderstatus, o_orderpriority,
+                      count(*) AS n, floor(sum(o_totalprice) * 1e2 + 0.5) / 1e2 AS total
+               FROM orders_v GROUP BY 1, 2""")
+      s.sql("SELECT * FROM ctas_demo ORDER BY o_orderstatus, o_orderpriority")
+    }),
+
+    // G1 null-rate gate as a single-pass aggregate (nullif provides a
+    // genuinely nullable column in the all-NOT-NULL testdata).
+    "q_gate_null_rate" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .agg(rnd(avg(when(nullif(col("l_discount"), lit(0.0)).isNull, 1.0).otherwise(0.0)), 6)
+          .as("null_rate"))
+        .select(lit("l_discount_zero_as_null").as("column_name"), col("null_rate"),
+          when(col("null_rate") <= 0.5, "PASS").otherwise("FAIL").as("status"))),
+
+    // G2 duplicate-rate gate via groupBy-count (no window shuffle of raw rows).
+    "q_gate_dup_rate" -> ((s, dir) => {
+      val perKey = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"), col("l_partkey")).agg(count(lit(1)).as("n"))
+      perKey.agg(
+        sum(when(col("n") > 1, col("n")).otherwise(0L)).as("dup_rows"),
+        sum(col("n")).as("total_rows"))
+        .select(col("dup_rows"), col("total_rows"),
+          rnd(col("dup_rows") / col("total_rows"), 6).as("dup_rate"))
+    }),
+
+    // G3 referential-integrity gate as one declarative aggregate (left join
+    // + null-parent count; no driver-side actions).
+    "q_gate_ref_integrity" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"))
+      val o = t(s, dir, "orders").select(col("o_orderkey"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"), "left")
+        .agg(count(lit(1)).as("total_fk"),
+          sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("orphans"))
+        .select(lit("lineitem.l_orderkey->orders").as("relation"),
+          col("total_fk"), col("orphans"),
+          rnd(col("orphans") / col("total_fk"), 6).as("orphan_rate"))
+    }),
+
+    // G4 reconciliation drift, fully declarative (two 1-row aggs cross-joined).
+    "q_gate_recon" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val src = li.agg(count(lit(1)).as("source_rows"))
+      val tgt = li.select(col("l_orderkey"), col("l_partkey")).distinct()
+        .agg(count(lit(1)).as("target_rows"))
+      src.crossJoin(tgt)
+        .withColumn("drift",
+          rnd(abs(col("target_rows") - col("source_rows")).cast("double") / col("source_rows"), 6))
+        .withColumn("status", when(col("drift") <= 0.01, "PASS").otherwise("FAIL"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+
+    "q_scan_table" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_returnflag
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity, l_returnflag""".stripMargin,
+
+    "q_scan_csv" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+
+    "q_sink_partitioned" ->
+      """SELECT o_orderstatus, count(*) AS n_orders, floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS total_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_union" ->
+      """SELECT l_returnflag, count(*) AS n FROM (
+        |  SELECT * FROM lineitem WHERE l_linestatus = 'O'
+        |  UNION ALL
+        |  SELECT * FROM lineitem WHERE l_linestatus = 'F')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_project_rename" ->
+      """SELECT c_custkey AS customer_id, c_name AS customer_name, c_mktsegment AS segment
+        |FROM customer ORDER BY customer_id""".stripMargin,
+
+    "q_enrich_orders" ->
+      """SELECT o_orderkey,
+        |  CASE dayofweek(o_orderdate) WHEN 0 THEN 'Sunday' WHEN 1 THEN 'Monday'
+        |    WHEN 2 THEN 'Tuesday' WHEN 3 THEN 'Wednesday' WHEN 4 THEN 'Thursday'
+        |    WHEN 5 THEN 'Friday' ELSE 'Saturday' END AS day_name,
+        |  CASE WHEN month(o_orderdate) BETWEEN 1 AND 3 THEN 'Q1'
+        |    WHEN month(o_orderdate) BETWEEN 4 AND 6 THEN 'Q2'
+        |    WHEN month(o_orderdate) BETWEEN 7 AND 9 THEN 'Q3'
+        |    ELSE 'Q4' END AS quarter_bucket,
+        |  o_orderpriority = '1-URGENT' AS is_urgent,
+        |  md5(concat_ws('_', o_orderkey::VARCHAR, o_custkey::VARCHAR)) AS order_key_hash,
+        |  o_totalprice / 1000.0 AS price_k
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_dedup_orders" ->
+      """SELECT o_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS first_order_date,
+        |  o_totalprice AS first_order_price
+        |FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) = 1
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_dedup_lineitem" ->
+      """SELECT l_orderkey, l_partkey, l_linenumber, l_suppkey
+        |FROM lineitem
+        |QUALIFY row_number() OVER (PARTITION BY l_orderkey, l_partkey
+        |  ORDER BY l_linenumber, l_suppkey) = 1
+        |ORDER BY l_orderkey, l_partkey""".stripMargin,
+
+    "q_window_lag" ->
+      """SELECT o_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |  o_totalprice AS price,
+        |  lag(o_totalprice, 1, 0) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_window_count_over" ->
+      """SELECT l_orderkey, l_partkey, l_linenumber, group_size FROM (
+        |  SELECT l_orderkey, l_partkey, l_linenumber,
+        |    count(*) OVER (PARTITION BY l_orderkey, l_partkey) AS group_size
+        |  FROM lineitem)
+        |WHERE group_size > 1
+        |ORDER BY l_orderkey, l_partkey, l_linenumber""".stripMargin,
+
+    "q_enriched_join" ->
+      """SELECT r_name AS region_name, count(*) AS n_items,
+        |  count(DISTINCT o_orderkey) AS n_orders,
+        |  floor(sum(l_extendedprice * (1.0 - l_discount)) * 100.0 + 0.5) / 100.0 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY region_name""".stripMargin,
+
+    "q_fct_orders" ->
+      """SELECT
+        |  md5(concat_ws('_', l_orderkey::VARCHAR, l_partkey::VARCHAR, l_linenumber::VARCHAR))
+        |    AS order_item_key,
+        |  l_orderkey, l_partkey, l_linenumber, o_custkey, l_quantity,
+        |  l_extendedprice * (1.0 - l_discount) AS revenue,
+        |  l_returnflag, o_orderstatus, p_brand,
+        |  n_name AS nation_name, r_name AS region_name
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY l_orderkey, l_partkey, l_linenumber""".stripMargin,
+
+    "q_dim_users" ->
+      """WITH order_stats AS (
+        |  SELECT l_orderkey, count(*) AS basket_size,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS returned_items
+        |  FROM lineitem GROUP BY l_orderkey),
+        |per_order AS (
+        |  SELECT o.o_custkey, o.o_orderkey, o.o_totalprice, s.basket_size,
+        |    floor(s.returned_items * 1e2 / nullif(s.basket_size, 0) + 0.5) AS order_return_rate
+        |  FROM orders o LEFT JOIN order_stats s ON o.o_orderkey = s.l_orderkey),
+        |user_stats AS (
+        |  SELECT o_custkey,
+        |    count(DISTINCT o_orderkey) AS total_orders,
+        |    coalesce(CAST(sum(basket_size) AS BIGINT), 0) AS lifetime_items,
+        |    floor(avg(basket_size) * 100.0 + 0.5) / 100.0 AS avg_basket_size,
+        |    floor(avg(order_return_rate) * 10000.0 + 0.5) / 10000.0 AS avg_return_rate,
+        |    max(o_totalprice) AS max_order_price
+        |  FROM per_order GROUP BY o_custkey)
+        |SELECT c_custkey AS customer_id, c_name AS customer_name, c_mktsegment AS segment,
+        |  coalesce(total_orders, 0) AS total_orders,
+        |  coalesce(lifetime_items, 0) AS lifetime_items,
+        |  coalesce(avg_basket_size, 0.0) AS avg_basket_size,
+        |  coalesce(avg_return_rate, 0.0) AS avg_return_rate,
+        |  coalesce(max_order_price, 0.0) AS max_order_price,
+        |  CASE WHEN coalesce(total_orders, 0) >= 15 THEN 'power'
+        |    WHEN coalesce(total_orders, 0) >= 8 THEN 'regular'
+        |    WHEN coalesce(total_orders, 0) >= 1 THEN 'occasional'
+        |    ELSE 'inactive' END AS frequency_segment,
+        |  CASE WHEN coalesce(avg_basket_size, 0.0) >= 6.0 THEN 'large'
+        |    WHEN coalesce(avg_basket_size, 0.0) >= 3.0 THEN 'medium'
+        |    ELSE 'small' END AS basket_segment
+        |FROM customer LEFT JOIN user_stats ON c_custkey = o_custkey
+        |ORDER BY customer_id""".stripMargin,
+
+    "q_dim_products" ->
+      """WITH stats AS (
+        |  SELECT l_partkey,
+        |    count(DISTINCT l_orderkey) AS times_ordered,
+        |    count(DISTINCT o_custkey) AS unique_users,
+        |    sum(l_quantity) AS total_quantity,
+        |    floor(avg(l_linenumber) * 10000.0 + 0.5) / 10000.0 AS avg_cart_position,
+        |    floor(avg(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS return_rate
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY l_partkey)
+        |SELECT p_partkey AS product_id, p_name AS product_name, p_brand AS brand,
+        |  p_type AS product_type,
+        |  coalesce(times_ordered, 0) AS times_ordered,
+        |  coalesce(unique_users, 0) AS unique_users,
+        |  coalesce(total_quantity, 0.0) AS total_quantity,
+        |  coalesce(avg_cart_position, 0.0) AS avg_cart_position,
+        |  coalesce(return_rate, 0.0) AS return_rate,
+        |  CASE WHEN coalesce(times_ordered, 0) >= 40 THEN 'top'
+        |    WHEN coalesce(times_ordered, 0) >= 20 THEN 'high'
+        |    WHEN coalesce(times_ordered, 0) >= 5 THEN 'medium'
+        |    ELSE 'low' END AS popularity_tier
+        |FROM part LEFT JOIN stats ON p_partkey = l_partkey
+        |ORDER BY product_id""".stripMargin,
+
+    "q_mart_dept" ->
+      """WITH base AS (
+        |  SELECT l_quantity, l_extendedprice, l_discount, l_returnflag,
+        |    o_orderkey, o_custkey, o_orderpriority,
+        |    n_nationkey, n_name,
+        |    CASE dayofweek(o_orderdate) WHEN 0 THEN 'Sunday' WHEN 1 THEN 'Monday'
+        |      WHEN 2 THEN 'Tuesday' WHEN 3 THEN 'Wednesday' WHEN 4 THEN 'Thursday'
+        |      WHEN 5 THEN 'Friday' ELSE 'Saturday' END AS day_name
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE o_orderstatus = 'F'),
+        |agg0 AS (
+        |  SELECT n_nationkey AS nation_id, n_name AS nation_name,
+        |    count(*) AS total_line_items,
+        |    count(DISTINCT o_orderkey) AS unique_orders,
+        |    count(DISTINCT o_custkey) AS unique_users,
+        |    floor(sum(l_extendedprice * (1.0 - l_discount)) * 100.0 + 0.5) / 100.0 AS total_revenue,
+        |    floor(avg(l_quantity) * 10000.0 + 0.5) / 10000.0 AS avg_quantity,
+        |    floor(avg(CASE WHEN o_orderpriority = '1-URGENT' THEN 1.0 ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS pct_urgent,
+        |    floor(avg(CASE WHEN o_orderpriority = '5-LOW' THEN 1.0 ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS pct_low_priority,
+        |    floor(avg(CASE WHEN day_name = 'Saturday' OR day_name = 'Sunday' THEN 1.0 ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS pct_weekend,
+        |    floor(avg(CASE WHEN day_name = 'Monday' THEN 1.0 ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS pct_monday,
+        |    floor(avg(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS pct_returned,
+        |    floor(avg(CASE WHEN l_quantity >= 25.0 THEN 1.0 ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS pct_bulk
+        |  FROM base GROUP BY 1, 2),
+        |totals AS (SELECT CAST(count(*) AS DOUBLE) AS grand_total FROM base)
+        |SELECT nation_id, nation_name, total_line_items, unique_orders, unique_users,
+        |  total_revenue, avg_quantity, pct_urgent, pct_low_priority, pct_weekend,
+        |  pct_monday, pct_returned, pct_bulk,
+        |  floor(total_line_items * 100.0 / grand_total * 10000.0 + 0.5) / 10000.0 AS pct_of_total_items
+        |FROM agg0 CROSS JOIN totals
+        |ORDER BY total_line_items DESC, nation_id""".stripMargin,
+
+    "q_mart_velocity" ->
+      """WITH ranked AS (
+        |  SELECT o_custkey, l_partkey, l_quantity,
+        |    row_number() OVER (PARTITION BY o_custkey, l_partkey
+        |      ORDER BY o_orderdate, o_orderkey, l_linenumber) AS purchase_seq,
+        |    lag(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END, 1, 0) OVER (
+        |      PARTITION BY o_custkey, l_partkey
+        |      ORDER BY o_orderdate, o_orderkey, l_linenumber) AS prev_was_return
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus <> 'P'),
+        |bucketed AS (
+        |  SELECT l_partkey AS product_id, l_quantity, prev_was_return,
+        |    CASE WHEN purchase_seq = 1 THEN 'first'
+        |      WHEN purchase_seq BETWEEN 2 AND 3 THEN 'early'
+        |      WHEN purchase_seq BETWEEN 4 AND 5 THEN 'mid'
+        |      ELSE 'late' END AS position_bucket
+        |  FROM ranked)
+        |SELECT product_id, position_bucket,
+        |  count(*) AS purchase_count,
+        |  floor(avg(l_quantity) * 10000.0 + 0.5) / 10000.0 AS avg_quantity,
+        |  floor(avg(prev_was_return) * 10000.0 + 0.5) / 10000.0 AS prev_return_rate
+        |FROM bucketed
+        |GROUP BY product_id, position_bucket
+        |HAVING count(*) >= 3
+        |ORDER BY product_id, position_bucket""".stripMargin,
+
+    "q_topk" ->
+      """SELECT l_partkey,
+        |  floor(sum(l_extendedprice * (1.0 - l_discount)) * 100.0 + 0.5) / 100.0 AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem GROUP BY l_partkey
+        |ORDER BY revenue DESC, l_partkey LIMIT 10""".stripMargin,
+
+    "q_sql_ctas" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  floor(sum(o_totalprice) * 1e2 + 0.5) / 1e2 AS total
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_gate_null_rate" ->
+      """SELECT 'l_discount_zero_as_null' AS column_name,
+        |  floor(avg(CASE WHEN nullif(l_discount, 0.0) IS NULL THEN 1.0 ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS null_rate,
+        |  CASE WHEN floor(avg(CASE WHEN nullif(l_discount, 0.0) IS NULL THEN 1.0 ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 <= 0.5
+        |    THEN 'PASS' ELSE 'FAIL' END AS status
+        |FROM lineitem""".stripMargin,
+
+    "q_gate_dup_rate" ->
+      """WITH k AS (
+        |  SELECT count(*) AS n FROM lineitem GROUP BY l_orderkey, l_partkey)
+        |SELECT CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS dup_rows,
+        |  CAST(sum(n) AS BIGINT) AS total_rows,
+        |  floor(sum(CASE WHEN n > 1 THEN n ELSE 0 END) / sum(n) * 1000000.0 + 0.5) / 1000000.0 AS dup_rate
+        |FROM k""".stripMargin,
+
+    "q_gate_ref_integrity" ->
+      """SELECT 'lineitem.l_orderkey->orders' AS relation,
+        |  count(*) AS total_fk,
+        |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphans,
+        |  floor(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) / count(*) * 1000000.0 + 0.5) / 1000000.0 AS orphan_rate
+        |FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
+
+    "q_gate_recon" ->
+      """WITH s AS (SELECT count(*) AS source_rows FROM lineitem),
+        |t AS (SELECT count(*) AS target_rows FROM
+        |  (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem))
+        |SELECT source_rows, target_rows,
+        |  floor(abs(target_rows - source_rows) / source_rows * 1000000.0 + 0.5) / 1000000.0 AS drift,
+        |  CASE WHEN floor(abs(target_rows - source_rows) / source_rows * 1000000.0 + 0.5) / 1000000.0 <= 0.01
+        |    THEN 'PASS' ELSE 'FAIL' END AS status
+        |FROM s CROSS JOIN t""".stripMargin)
+}

@@ -1,0 +1,94 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source/sink surface of the engine (SURVEY.md §2.1, S1-S6).
+  *
+  * The reference ingests raw CSV with explicit, enforced `StructType`s
+  * (fail-fast on type mismatch — reference 01_bronze_ingest.py:36-86) and
+  * persists every layer as columnar tables written with idempotent
+  * overwrite, optionally partitioned for downstream partition pruning
+  * (reference 03_gold_metrics.py:93-98). Delta Lake jars are not available
+  * offline, so layer tables are Parquet directories with identical
+  * overwrite/partitionBy semantics (SURVEY.md §1).
+  *
+  * Scale notes (100 TB): all reads are plain `spark.read` so Catalyst
+  * handles predicate pushdown / column pruning / partition pruning; writes
+  * partitionBy low-cardinality columns only (partition explosion kills the
+  * driver at scale); no `.collect()` anywhere in the IO layer.
+  */
+object Tables {
+
+  /** Load one driver-generated testdata table (TESTDATA.md). */
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** CSV scan with header + enforced schema, failing fast on malformed
+    * rows — reference 01_bronze_ingest.py:81-86 uses mode default
+    * PERMISSIVE on Databricks but README.md:69 documents "invalid types
+    * fail fast"; FAILFAST realizes the documented contract. */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("mode", "FAILFAST")
+      .schema(schema)
+      .csv(path)
+
+  /** Idempotent full-refresh overwrite — reference 01_bronze_ingest.py:96-102. */
+  def overwrite(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  /** Partitioned sink for downstream partition pruning — reference
+    * 03_gold_metrics.py:93-98 (`partitionBy("eval_set")`). Keep partition
+    * columns low-cardinality: at 100 TB a high-cardinality partitionBy
+    * creates millions of files and breaks the scan planner. */
+  def overwritePartitioned(df: DataFrame, path: String, cols: String*): Unit =
+    df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
+
+  /** Bronze-layer metadata columns — reference 01_bronze_ingest.py:89-93. */
+  def withBronzeMeta(df: DataFrame, sourceFile: String, version: String): DataFrame =
+    df.withColumns(Map(
+      "_ingested_at" -> current_timestamp(),
+      "_source_file" -> lit(sourceFile),
+      "_bronze_version" -> lit(version)))
+
+  /** Strip bronze metadata on entry to Silver — reference 02_silver_transform.py:55. */
+  def dropBronzeMeta(df: DataFrame): DataFrame =
+    df.drop("_ingested_at", "_source_file", "_bronze_version")
+}
+
+/** Enforced schemas for the reference's five raw sources
+  * (reference 01_bronze_ingest.py:36-68; FIXTURES.md §A.1). */
+object InstacartSchemas {
+  val orders: StructType = StructType(Seq(
+    StructField("order_id", IntegerType, nullable = false),
+    StructField("user_id", IntegerType, nullable = false),
+    StructField("eval_set", StringType, nullable = false),
+    StructField("order_number", IntegerType, nullable = false),
+    StructField("order_dow", IntegerType, nullable = false),
+    StructField("order_hour_of_day", IntegerType, nullable = false),
+    // null = first order for the user (reference 01:43, README.md:77)
+    StructField("days_since_prior_order", FloatType, nullable = true)))
+
+  val orderProducts: StructType = StructType(Seq(
+    StructField("order_id", IntegerType, nullable = false),
+    StructField("product_id", IntegerType, nullable = false),
+    StructField("add_to_cart_order", IntegerType, nullable = false),
+    StructField("reordered", IntegerType, nullable = false)))
+
+  val products: StructType = StructType(Seq(
+    StructField("product_id", IntegerType, nullable = false),
+    StructField("product_name", StringType, nullable = false),
+    StructField("aisle_id", IntegerType, nullable = false),
+    StructField("department_id", IntegerType, nullable = false)))
+
+  val aisles: StructType = StructType(Seq(
+    StructField("aisle_id", IntegerType, nullable = false),
+    StructField("aisle", StringType, nullable = false)))
+
+  val departments: StructType = StructType(Seq(
+    StructField("department_id", IntegerType, nullable = false),
+    StructField("department", StringType, nullable = false)))
+}
