@@ -1,0 +1,59 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media as opaque `binary` columns with typed
+  * metadata, processed per-partition in batches.
+  *
+  * The Spark-side shape is the real deliverable — schema (binary payload +
+  * struct metadata), partition-friendly batch processing via mapPartitions
+  * (the Scala analogue of mapInPandas: per-partition init amortizes codec
+  * setup, rows stream through without materializing the partition), and a
+  * typed feature output. The actual image/audio decode is STUBBED with a
+  * deterministic fake (no codec libraries in this container) — swap
+  * [[decodeStub]] for a real decoder (e.g. javax.imageio / ffmpeg bindings)
+  * without touching the pipeline shape.
+  */
+object MultimodalOps {
+
+  case class MediaRecord(id: Long, media: Array[Byte], mimeType: String)
+  case class MediaFeatures(id: Long, byteLen: Int, width: Int, height: Int,
+                           histogram: Array[Long])
+
+  /** STUB — deterministic fake "decode": derives fake dimensions from the
+    * payload bytes and a 16-bin byte histogram as the "feature vector".
+    * Real implementation: decode `bytes` with an image codec, resize,
+    * extract features. The signature and batch shape stay the same. */
+  private def decodeStub(bytes: Array[Byte]): (Int, Int, Array[Long]) = {
+    val h = java.util.Arrays.hashCode(bytes)
+    val width = 64 + (math.abs(h) % 512)        // fake: would be real pixel dims
+    val height = 64 + (math.abs(h / 7) % 512)
+    val hist = new Array[Long](16)
+    var i = 0
+    while (i < bytes.length) { hist((bytes(i) & 0xff) >> 4) += 1; i += 1 }
+    (width, height, hist)
+  }
+
+  /** Batch feature extraction: one decoder context per partition, rows
+    * streamed — the mapInPandas-equivalent execution shape. */
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition init site (codec/model handles would be created here)
+      it.map { r =>
+        val (w, h, hist) = decodeStub(r.media)
+        MediaFeatures(r.id, r.media.length, w, h, hist)
+      }
+    }
+  }
+
+  /** Wrap a text table as a binary media table (UTF-8 payload) — used by
+    * tests and the verified plumbing query; in production the binary column
+    * comes from the source (image/audio files, web corpus WARCs). */
+  def asMediaTable(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id").as("id"),
+      col("text").cast("binary").as("media"),
+      lit("text/plain").as("mimeType"))
+}

@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables.t
+import graft.ops.RelationalOps.rnd
+
+/** Time-series operators over the `events` table — the batch-verifiable
+  * counterparts of the Structured Streaming jobs in graft.streaming
+  * (tumbling-window aggregation, gap-based sessionization). Window starts
+  * are emitted as strings so timestamp precision/unit differences between
+  * engines can't affect the hash.
+  */
+object EventQueries {
+
+  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark 4 rejects
+    * ([PARQUET_TYPE_ILLEGAL]). Read nanos as long (legacy conf, dynamic
+    * SQLConf) and rebuild a microsecond TimestampType with exact integer
+    * division — ns values ~1.7e18 exceed 2^53, so a double division would
+    * corrupt them. */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Gap-based sessionization: a new session starts after `gapSec` of
+    * user inactivity. Classic lag → flag → running-sum session id. */
+  def sessionize(events: DataFrame, gapSec: Long): DataFrame = {
+    val order = Seq(col("ts"), col("event_id"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(order: _*)
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          (col("ts").cast("long") - col("prev_ts").cast("long")) > gapSec, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Tumbling 1-hour window aggregation (batch form of the streaming job).
+    "q_events_window" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          rnd(sum(col("value")), 2).as("total_value"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+        .orderBy(col("window_start"), col("event_type"))),
+
+    // Gap-based sessions (30 min), aggregated to session grain.
+    "q_events_sessionize" -> ((s, dir) =>
+      sessionize(events(s, dir), 1800L)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          rnd(sum(col("value")), 2).as("total_value"),
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"))
+        .orderBy(col("user_id"), col("session_id"))))
+
+  val oracle: Map[String, String] = Map(
+
+    "q_events_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, count(*) AS n_events,
+        |  floor(sum(value) * 1e2 + 0.5) / 1e2 AS total_value,
+        |  min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "q_events_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR CAST(floor(epoch(ts)) AS BIGINT) -
+        |         CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  floor(sum(value) * 1e2 + 0.5) / 1e2 AS total_value,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+        |FROM sessions GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin)
+}

@@ -1,0 +1,347 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables.t
+import graft.ops.RelationalOps.rnd
+import graft.llm.{TextOps, SimilarityOps, MultimodalOps}
+
+/** LLM-training-data pipeline operators registered as verifiable queries
+  * over `documents` / `embeddings` (builder-prompt extension scope):
+  * dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding
+  * cosine), similarity search (brute-force + LSH-bucketed ANN), text
+  * analysis (lang-ID, quality, token counts, fingerprints), multimodal
+  * binary-column plumbing.
+  */
+object LlmQueries {
+  import TextOps._
+  import SimilarityOps._
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to"),
+    "de" -> Seq("der", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les"),
+    "es" -> Seq("el", "de", "que", "los"))
+
+  /** doc_id + 8 minhash signatures (ONE explode→agg pass) + 2 LSH bands. */
+  private def minhashSignatures(docs: DataFrame): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      explode(shingles(tokens(col("text")), 3)).as("sh"))
+    val aggs = (0 until 8).map(k => minhashAgg(col("sh"), k).as(s"sig$k"))
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .withColumn("band0", bandKey((0 to 3).map(k => col(s"sig$k"))))
+      .withColumn("band1", bandKey((4 to 7).map(k => col(s"sig$k"))))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- text analysis -----------------------------------------------------
+    "q_text_tokens" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
+        tokenCountBpeIsh(col("text")).as("n_bpeish_tokens"))
+        .orderBy(col("doc_id"))),
+
+    "q_text_quality" -> ((s, dir) => {
+      val f = qualityFeatures(col("text"), stopwords)
+      t(s, dir, "documents").select(
+        col("doc_id"), f("n_chars").as("n_chars"), f("n_tokens").as("n_tokens"),
+        f("avg_token_len").as("avg_token_len"),
+        f("stopword_ratio").as("stopword_ratio"),
+        f("distinct_ratio").as("distinct_ratio"))
+        .withColumn("quality_tier",
+          when(col("n_tokens") < 5, "too_short")
+            .when(col("distinct_ratio") < 0.3, "repetitive")
+            .when(col("stopword_ratio") > 0.5, "boilerplate")
+            .otherwise("ok"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_lang_id" -> ((s, dir) => {
+      val scores = langScores(col("text"), langMarkers)
+      t(s, dir, "documents").select(
+        (col("doc_id") +: scores.map { case (l, c) => c.as(s"score_$l") } :+
+          langPredict(scores).as("predicted") :+
+          col("lang").as("actual")): _*)
+        .withColumn("is_correct", col("predicted") === col("actual"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_doc_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        exactKey(col("text")).as("exact_key"),
+        bagFingerprint(tokens(col("text"))).as("bag_fp"))
+        .withColumn("fp_bucket", substring(col("bag_fp"), 1, 4))
+        .orderBy(col("doc_id"))),
+
+    // --- deduplication -----------------------------------------------------
+    "q_dedup_exact" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(exactKey(col("text")).as("exact_key"))
+        .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("exact_key"))),
+
+    "q_minhash_sig" -> ((s, dir) =>
+      minhashSignatures(t(s, dir, "documents")).orderBy(col("doc_id"))),
+
+    // LSH bucket-join candidate pairs (empty on this corpus — no shared
+    // trigram sketches in random text; the pair-generation shape is what
+    // is verified; DedupSpec exercises real near-dups).
+    "q_dedup_minhash" -> ((s, dir) => {
+      val sig = minhashSignatures(t(s, dir, "documents"))
+      val bands = sig.select(col("doc_id"), lit(0).as("band_id"), col("band0").as("bkey"))
+        .union(sig.select(col("doc_id"), lit(1).as("band_id"), col("band1").as("bkey")))
+      val a = bands.as("a"); val b = bands.as("b")
+      a.join(b, col("a.band_id") === col("b.band_id") && col("a.bkey") === col("b.bkey") &&
+        col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    "q_dedup_simhash" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val aggs = (1 to 16).map(j => simhashBitAgg(col("tok"), j).as(s"b$j"))
+      toks.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+        .select(col("doc_id"),
+          simhashBits((1 to 16).map(j => col(s"b$j"))).as("simhash"))
+        .withColumn("sim_bucket", substring(col("simhash"), 1, 8))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), array_distinct(tokens(col("text"))).as("ts"))
+      val a = d.as("a"); val b = d.as("b")
+      a.join(b, col("b.doc_id") === col("a.doc_id") + 1)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          size(array_intersect(col("a.ts"), col("b.ts"))).cast("long").as("n_common"),
+          size(array_union(col("a.ts"), col("b.ts"))).cast("long").as("n_union"),
+          jaccard(col("a.ts"), col("b.ts")).as("jaccard_sim"))
+        .orderBy(col("doc_a"))
+    }),
+
+    // --- similarity search -------------------------------------------------
+    "q_embed_pairs" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val a = e.as("a"); val b = e.as("b")
+      a.join(b, col("b.vec_id") === col("a.vec_id") + 1)
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          cosine(col("a.embedding"), col("b.embedding")).as("cos_sim"))
+        .orderBy(col("vec_a"))
+    }),
+
+    "q_ann_bruteforce" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      SimilarityOps.bruteForceTopK(
+        e.filter(col("vec_id") =!= 0L), e.filter(col("vec_id") === 0L),
+        "vec_id", "embedding", 10)
+        .select(col("vec_id"), col("label"), col("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
+    }),
+
+    "q_ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").withColumn("bucket", srpBucket(col("embedding"), 8))
+      val q = e.filter(col("vec_id") === 0L)
+        .select(col("bucket").as("qbucket"), col("embedding").as("qvec"))
+      e.filter(col("vec_id") =!= 0L)
+        .join(broadcast(q), col("bucket") === col("qbucket"))
+        .select(col("vec_id"), col("bucket"),
+          cosine(col("embedding"), col("qvec")).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(5)
+    }),
+
+    // --- multimodal plumbing -----------------------------------------------
+    "q_multimodal_meta" -> ((s, dir) =>
+      MultimodalOps.asMediaTable(t(s, dir, "documents"))
+        .select(col("id"), col("mimeType").as("mime_type"),
+          octet_length(col("media")).cast("long").as("byte_len"),
+          md5(col("media")).as("payload_md5"))
+        .orderBy(col("id"))))
+
+  private val W = raw"regexp_split_to_array(lower(trim(text)), '\s+')"
+  private val SHINGLES =
+    s"""CASE WHEN len(w) >= 3 THEN list_transform(generate_series(1, len(w) - 2),
+       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE [] END""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+
+    "q_text_tokens" ->
+      s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len(w) AS BIGINT) AS n_ws_tokens,
+         |  CAST(len(w) + coalesce(list_sum(list_transform(w,
+         |    x -> greatest(CAST(ceil(length(x) / 4.0) AS BIGINT) - 1, 0))), 0) AS BIGINT)
+         |    AS n_bpeish_tokens
+         |FROM (SELECT doc_id, text, $W AS w FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_text_quality" ->
+      s"""SELECT doc_id, n_chars, n_tokens, avg_token_len, stopword_ratio, distinct_ratio,
+         |  CASE WHEN n_tokens < 5 THEN 'too_short'
+         |    WHEN distinct_ratio < 0.3 THEN 'repetitive'
+         |    WHEN stopword_ratio > 0.5 THEN 'boilerplate'
+         |    ELSE 'ok' END AS quality_tier
+         |FROM (
+         |  SELECT doc_id,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(len(w) AS BIGINT) AS n_tokens,
+         |    length(regexp_replace(text, '\\s+', '', 'g')) / CAST(len(w) AS DOUBLE) AS avg_token_len,
+         |    len(list_filter(w, x -> x IN ('the','a','of','and','to','in')))
+         |      / CAST(len(w) AS DOUBLE) AS stopword_ratio,
+         |    len(list_distinct(w)) / CAST(len(w) AS DOUBLE) AS distinct_ratio
+         |  FROM (SELECT doc_id, text, $W AS w FROM documents))
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    (CASE WHEN p LIKE '% the %' THEN 1 ELSE 0 END) +
+        |    (CASE WHEN p LIKE '% and %' THEN 1 ELSE 0 END) +
+        |    (CASE WHEN p LIKE '% of %' THEN 1 ELSE 0 END) +
+        |    (CASE WHEN p LIKE '% to %' THEN 1 ELSE 0 END) AS score_en,
+        |    (CASE WHEN p LIKE '% der %' THEN 1 ELSE 0 END) +
+        |    (CASE WHEN p LIKE '% und %' THEN 1 ELSE 0 END) +
+        |    (CASE WHEN p LIKE '% das %' THEN 1 ELSE 0 END) +
+        |    (CASE WHEN p LIKE '% ist %' THEN 1 ELSE 0 END) AS score_de,
+        |    (CASE WHEN p LIKE '% le %' THEN 1 ELSE 0 END) +
+        |    (CASE WHEN p LIKE '% la %' THEN 1 ELSE 0 END) +
+        |    (CASE WHEN p LIKE '% et %' THEN 1 ELSE 0 END) +
+        |    (CASE WHEN p LIKE '% les %' THEN 1 ELSE 0 END) AS score_fr,
+        |    (CASE WHEN p LIKE '% el %' THEN 1 ELSE 0 END) +
+        |    (CASE WHEN p LIKE '% de %' THEN 1 ELSE 0 END) +
+        |    (CASE WHEN p LIKE '% que %' THEN 1 ELSE 0 END) +
+        |    (CASE WHEN p LIKE '% los %' THEN 1 ELSE 0 END) AS score_es
+        |  FROM (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS p FROM documents))
+        |SELECT doc_id, score_en, score_de, score_fr, score_es,
+        |  CASE WHEN score_en = greatest(score_en, score_de, score_fr, score_es) THEN 'en'
+        |    WHEN score_de = greatest(score_en, score_de, score_fr, score_es) THEN 'de'
+        |    WHEN score_fr = greatest(score_en, score_de, score_fr, score_es) THEN 'fr'
+        |    WHEN score_es = greatest(score_en, score_de, score_fr, score_es) THEN 'es'
+        |    ELSE 'und' END AS predicted,
+        |  lang AS actual,
+        |  (CASE WHEN score_en = greatest(score_en, score_de, score_fr, score_es) THEN 'en'
+        |    WHEN score_de = greatest(score_en, score_de, score_fr, score_es) THEN 'de'
+        |    WHEN score_fr = greatest(score_en, score_de, score_fr, score_es) THEN 'fr'
+        |    WHEN score_es = greatest(score_en, score_de, score_fr, score_es) THEN 'es'
+        |    ELSE 'und' END) = lang AS is_correct
+        |FROM scored ORDER BY doc_id""".stripMargin,
+
+    "q_doc_fingerprint" ->
+      s"""SELECT doc_id, md5(text) AS exact_key,
+         |  md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS bag_fp,
+         |  substr(md5(array_to_string(list_sort(list_distinct(w)), ' ')), 1, 4) AS fp_bucket
+         |FROM (SELECT doc_id, text, $W AS w FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS exact_key, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY exact_key""".stripMargin,
+
+    "q_minhash_sig" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest($SHINGLES) AS sh
+         |  FROM (SELECT doc_id, $W AS w FROM documents)),
+         |sig AS (
+         |  SELECT doc_id,
+         |    min(md5('0_' || sh)) AS sig0, min(md5('1_' || sh)) AS sig1,
+         |    min(md5('2_' || sh)) AS sig2, min(md5('3_' || sh)) AS sig3,
+         |    min(md5('4_' || sh)) AS sig4, min(md5('5_' || sh)) AS sig5,
+         |    min(md5('6_' || sh)) AS sig6, min(md5('7_' || sh)) AS sig7
+         |  FROM sh GROUP BY doc_id)
+         |SELECT doc_id, sig0, sig1, sig2, sig3, sig4, sig5, sig6, sig7,
+         |  md5(concat_ws('|', sig0, sig1, sig2, sig3)) AS band0,
+         |  md5(concat_ws('|', sig4, sig5, sig6, sig7)) AS band1
+         |FROM sig ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_minhash" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest($SHINGLES) AS sh
+         |  FROM (SELECT doc_id, $W AS w FROM documents)),
+         |sig AS (
+         |  SELECT doc_id,
+         |    min(md5('0_' || sh)) AS sig0, min(md5('1_' || sh)) AS sig1,
+         |    min(md5('2_' || sh)) AS sig2, min(md5('3_' || sh)) AS sig3,
+         |    min(md5('4_' || sh)) AS sig4, min(md5('5_' || sh)) AS sig5,
+         |    min(md5('6_' || sh)) AS sig6, min(md5('7_' || sh)) AS sig7
+         |  FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_id, md5(concat_ws('|', sig0, sig1, sig2, sig3)) AS bkey FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS band_id, md5(concat_ws('|', sig4, sig5, sig6, sig7)) AS bkey FROM sig)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b
+         |  ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dedup_simhash" -> {
+      val sums = (1 to 16).map(j =>
+        s"sum(CASE WHEN substr(md5(tok), $j, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b$j")
+        .mkString(",\n    ")
+      val bits = (1 to 16).map(j => s"(CASE WHEN b$j > 0 THEN '1' ELSE '0' END)")
+        .mkString(" || ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($W) AS tok FROM documents),
+         |agg AS (
+         |  SELECT doc_id,
+         |    $sums
+         |  FROM toks GROUP BY doc_id)
+         |SELECT doc_id, $bits AS simhash,
+         |  substr($bits, 1, 8) AS sim_bucket
+         |FROM agg ORDER BY doc_id""".stripMargin
+    },
+
+    "q_ngram_jaccard" ->
+      s"""WITH d AS (SELECT doc_id, list_distinct($W) AS ts FROM documents)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS n_common,
+         |  CAST(len(list_distinct(list_cat(a.ts, b.ts))) AS BIGINT) AS n_union,
+         |  len(list_intersect(a.ts, b.ts)) /
+         |    CAST(len(list_distinct(list_cat(a.ts, b.ts))) AS DOUBLE) AS jaccard_sim
+         |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+         |ORDER BY doc_a""".stripMargin,
+
+    "q_embed_pairs" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cos_sim
+        |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        |ORDER BY vec_a""".stripMargin,
+
+    "q_ann_bruteforce" ->
+      """SELECT e.vec_id, e.label,
+        |  list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) /
+        |    (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+        |     sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))) AS cos_sim
+        |FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |WHERE e.vec_id <> 0
+        |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin,
+
+    "q_ann_lsh" -> {
+      def bucket(tbl: String) = (1 to 8).map(i =>
+        s"(CASE WHEN $tbl.embedding[$i] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+      s"""SELECT e.vec_id, ${bucket("e")} AS bucket,
+         |  list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) /
+         |    (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+         |     sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))) AS cos_sim
+         |FROM embeddings e
+         |JOIN (SELECT embedding, ${bucket("embeddings")} AS qb
+         |      FROM embeddings WHERE vec_id = 0) q
+         |  ON ${bucket("e")} = q.qb
+         |WHERE e.vec_id <> 0
+         |ORDER BY cos_sim DESC, e.vec_id LIMIT 5""".stripMargin
+    },
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id AS id, 'text/plain' AS mime_type,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  md5(text) AS payload_md5
+        |FROM documents ORDER BY id""".stripMargin)
+}
