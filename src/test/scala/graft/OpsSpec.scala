@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalactic.Tolerance._
+import org.apache.spark.sql.functions._
+import graft.ops.RelationalOps._
+
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("dedupFirst keeps exactly the tie-break-first row per key") {
+    val df = Seq((1, "b", 20), (1, "a", 10), (2, "c", 30), (1, "a", 5))
+      .toDF("k", "s", "v")
+    val out = dedupFirst(df, Seq("k"), Seq(col("s"), col("v")))
+      .orderBy("k").collect()
+    assert(out.map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSeq ==
+      Seq((1, "a", 5), (2, "c", 30)))
+  }
+
+  test("sequenceRank + lagPrev produce per-key ordered sequence and previous value") {
+    val df = Seq((1, 10, "x"), (1, 20, "y"), (2, 5, "z")).toDF("k", "t", "v")
+    val out = lagPrev(
+      sequenceRank(df, Seq("k"), Seq(col("t"))),
+      col("v"), Seq("k"), Seq(col("t")), "none", "prev")
+      .orderBy("k", "t").collect()
+    assert(out.map(r => (r.getInt(0), r.getInt(3), r.getString(4))).toSeq ==
+      Seq((1, 1, "none"), (1, 2, "x"), (2, 1, "none")))
+  }
+
+  test("dayNameInstacart maps 0 to Saturday (reference 02:73-79)") {
+    val out = Seq(0, 1, 6).toDF("d")
+      .select(dayNameInstacart(col("d"))).as[String].collect()
+    assert(out.toSeq == Seq("Saturday", "Sunday", "Friday"))
+  }
+
+  test("hourBucket boundaries (reference 02:80-83)") {
+    val out = Seq(4, 5, 11, 12, 16, 17, 21, 22).toDF("h")
+      .select(hourBucket(col("h"))).as[String].collect()
+    assert(out.toSeq == Seq("Night", "Morning", "Morning", "Afternoon",
+      "Afternoon", "Evening", "Evening", "Night"))
+  }
+
+  test("surrogateKey equals md5 of underscore-joined parts (reference 03:85-88)") {
+    val out = Seq((12, 34)).toDF("a", "b")
+      .select(surrogateKey(col("a"), col("b"))).as[String].head()
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("12_34".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out == expected)
+  }
+
+  test("safeDiv yields null on zero denominator, not an error") {
+    val out = Seq((10, 0), (10, 2)).toDF("a", "b")
+      .select(safeDiv(col("a"), col("b"))).collect()
+    assert(out(0).isNullAt(0) && out(1).getDouble(0) == 5.0)
+  }
+
+  test("rnd rounds to nearest; ties resolved by the binary value (engine-portable)") {
+    // 1222.745 is stored as 1222.74499... -> down; 0.125 is exact binary -> up
+    val out = Seq(1222.745, 0.125, 2.0, 1.004, 1.006).toDF("x")
+      .select(rnd(col("x"), 2)).as[Double].collect()
+    assert(out.toSeq == Seq(1222.74, 0.13, 2.0, 1.0, 1.01))
+  }
+
+  test("withPctOfTotal sums to 100") {
+    val df = Seq(("a", 25L), ("b", 75L)).toDF("k", "n")
+    val out = withPctOfTotal(df, "n", df, sum(col("n")).cast("double"), "pct", 4)
+    assert(out.agg(sum(col("pct"))).as[Double].head() === 100.0 +- 1e-9)
+  }
+
+  test("topK returns k rows in order") {
+    val df = (1 to 100).toDF("v")
+    val out = topK(df, 3, col("v").desc).as[Int].collect()
+    assert(out.toSeq == Seq(100, 99, 98))
+  }
+}

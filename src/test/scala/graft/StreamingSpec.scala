@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.EventsStream
+import graft.queries.EventQueries
+
+/** Streaming jobs must agree with their batch-verified twins on the same
+  * input (the batch versions are DuckDB-oracle-checked, so equivalence
+  * transitively verifies the streaming path). */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** events re-encoded at µs precision (streaming file source can't read
+    * the nanos parquet either) in a tmp dir. */
+  private lazy val eventsDir: String = {
+    val dir = Files.createTempDirectory("graft_events").toString
+    EventQueries.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("streaming hourly window == batch hourly aggregation") {
+    val q = EventsStream.hourlyWindow(EventsStream.readEventStream(spark, eventsDir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hourly_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("hourly_out")
+      .select(col("window_start"), col("event_type"), col("n_events"),
+        graft.ops.RelationalOps.rnd(col("total_value"), 2).as("tv"))
+      .as[(String, String, Long, Double)].collect().toSet
+    val batch = EventQueries.queries("q_events_window")(spark, "/root/testdata/sf0.001")
+      .select(col("window_start"), col("event_type"), col("n_events"), col("total_value"))
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
+  test("streaming sessionization == batch sessions (excluding open tails)") {
+    val stream = EventsStream.readEventStream(spark, eventsDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventsStream.Event]
+    val q = EventsStream.sessionize(stream, 1800L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("sessions_out")
+      .select(col("user_id"), col("session_id"), col("n_events"))
+      .as[(Long, Long, Long)].collect().toSet
+
+    val batchAll = EventQueries.sessionize(
+      EventQueries.events(spark, "/root/testdata/sf0.001"), 1800L)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_id").cast("long"), col("n_events"))
+      .as[(Long, Long, Long)].collect()
+    // drop each user's last (still-open) session — the stream keeps it in state
+    val openTails = batchAll.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val batchClosed = batchAll.filterNot { case (u, s, _) => openTails(u) == s }.toSet
+    assert(streamed == batchClosed && streamed.nonEmpty)
+  }
+}
