@@ -28,27 +28,49 @@ object TextOps {
         i => concat_ws(" ", (1 to n).map(k => element_at(words, i + k)): _*)))
       .otherwise(array().cast("array<string>"))
 
-  /** One MinHash signature: min over shingles of md5(seed || '_' || shingle).
-    * Lexicographic min over hex strings is a valid uniform min-hash and is
-    * engine-portable (md5 hex identical everywhere). Use as an aggregate
-    * after exploding shingles — k seeds become k agg columns in ONE pass. */
-  def minhashAgg(shingle: Column, seed: Int): Column =
-    min(md5(concat(lit(s"${seed}_"), shingle)))
+  /** MinHash family: hash each shingle ONCE (md5 → 60-bit int → mod p),
+    * then derive the k-th hash function as the linear congruence
+    * (a_k·h + b_k) mod p — the standard universal-hash trick, so one
+    * expensive digest serves all k signatures. p = 2^31−1 keeps a_k·h
+    * < 2^62 (no BIGINT overflow in either engine). Everything is a PURE
+    * PROJECTION (array_min ∘ transform): no explode, no shuffle — at
+    * 100 TB the signature stage is embarrassingly parallel map work. */
+  val MinhashP = 2147483647L
+  val MinhashCoeffs: Seq[(Long, Long)] = Seq(
+    (1103515245L, 12345L), (1100000017L, 98765L), (1048576013L, 54321L),
+    (1000000007L, 13579L), (999999937L, 24680L), (899999963L, 11111L),
+    (799999999L, 77777L), (699999953L, 31415L))
+
+  /** Per-shingle base hashes: md5 hex → int → mod p, computed once. */
+  def shingleHashes(shingleArr: Column): Column =
+    transform(shingleArr, sh =>
+      conv(substring(md5(sh), 1, 15), 16, 10).cast("long") % MinhashP)
+
+  /** k-th MinHash signature over the precomputed base-hash array. */
+  def minhashSig(hashArr: Column, k: Int): Column = {
+    val (a, b) = MinhashCoeffs(k)
+    array_min(transform(hashArr, h => (h * a + b) % MinhashP))
+  }
 
   /** LSH band key: hash of a contiguous slice of the signature columns.
     * Documents sharing any band key are near-duplicate candidates. */
   def bandKey(sigs: Seq[Column]): Column = md5(concat_ws("|", sigs: _*))
 
-  /** SimHash bit-sum for hex position `j` (1-based, 1..16): +1 when the
-    * j-th md5 nibble of the token has its high bit set, else -1. Summed per
-    * document; the sign of the sum is bit j of the 16-bit SimHash. */
-  def simhashBitAgg(token: Column, j: Int): Column =
-    sum(when(substring(md5(token), j, 1)
-      .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1))
+  /** Per-token md5 array — hash each token ONCE, then derive all 16 SimHash
+    * bits from the cached hex (16× fewer md5 calls than hashing per bit). */
+  def tokenHashes(words: Column): Column = transform(words, t => md5(t))
 
-  /** Collapse the 16 bit-sums into the SimHash bit string. */
-  def simhashBits(bitSums: Seq[Column]): Column =
-    concat(bitSums.map(s => when(s > 0, "1").otherwise("0")): _*)
+  /** 16-bit SimHash as a pure projection over the precomputed hash array:
+    * bit j = sign of Σ(±1 per token, + when the j-th hex nibble has its
+    * high bit set). Same values as the explode→sum formulation (integer
+    * addition is order-insensitive), but no Generate and no shuffle. */
+  def simhashFromHashes(hashArr: Column, bits: Int = 16): Column =
+    concat((1 to bits).map { j =>
+      val s = aggregate(hashArr, lit(0), (acc, h) =>
+        acc + when(substring(h, j, 1)
+          .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1))
+      when(s > 0, "1").otherwise("0")
+    }: _*)
 
   /** Exact-duplicate cluster key: md5 of the raw text. */
   def exactKey(text: Column): Column = md5(text)

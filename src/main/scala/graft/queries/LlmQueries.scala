@@ -24,14 +24,28 @@ object LlmQueries {
     "fr" -> Seq("le", "la", "et", "les"),
     "es" -> Seq("el", "de", "que", "los"))
 
-  /** doc_id + 8 minhash signatures (ONE explode→agg pass) + 2 LSH bands. */
+  /** doc_id + 8 minhash signatures + 2 LSH bands, as a PURE MAP (no
+    * explode, no shuffle — see TextOps.minhashSig). Docs with <1 shingle
+    * (under 3 words) are excluded, matching the explode→groupBy semantics. */
   private def minhashSignatures(docs: DataFrame): DataFrame = {
-    val sh = docs.select(col("doc_id"),
-      explode(shingles(tokens(col("text")), 3)).as("sh"))
-    val aggs = (0 until 8).map(k => minhashAgg(col("sh"), k).as(s"sig$k"))
-    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val withHs = spreadSmallInput(docs)
+      .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
+      .filter(size(col("sh")) >= 1)
+      .select(col("doc_id"), shingleHashes(col("sh")).as("hs"))
+    val sigs = (0 until 8).map(k => minhashSig(col("hs"), k).as(s"sig$k"))
+    withHs.select(col("doc_id") +: sigs: _*)
       .withColumn("band0", bandKey((0 to 3).map(k => col(s"sig$k"))))
       .withColumn("band1", bandKey((4 to 7).map(k => col(s"sig$k"))))
+  }
+
+  /** Local single-file parquet inputs arrive as ONE split, serializing
+    * hash-heavy map stages on one core. If (and only if) the scan has
+    * fewer splits than the cluster has slots, redistribute first — the
+    * shuffled payload (docs) is tiny next to the md5 work it unlocks. At
+    * scale, inputs have thousands of natural splits and this is a no-op. */
+  private def spreadSmallInput(df: DataFrame): DataFrame = {
+    val slots = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < slots) df.repartition(slots) else df
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -92,9 +106,17 @@ object LlmQueries {
     // trigram sketches in random text; the pair-generation shape is what
     // is verified; DedupSpec exercises real near-dups).
     "q_dedup_minhash" -> ((s, dir) => {
-      val sig = minhashSignatures(t(s, dir, "documents"))
-      val bands = sig.select(col("doc_id"), lit(0).as("band_id"), col("band0").as("bkey"))
-        .union(sig.select(col("doc_id"), lit(1).as("band_id"), col("band1").as("bkey")))
+      // persist the narrow signature table: the self-join needs it twice,
+      // and caching it keeps the hash-heavy projection out of BOTH join
+      // branches (compute once, join from cache — the production dedup
+      // pattern; also keeps the codegen unit per branch small)
+      val sig = minhashSignatures(t(s, dir, "documents")).persist()
+      // single-pass unpivot via explode (a union of two projections would
+      // recompute the whole shingle->signature subplan per branch)
+      val bands = sig.select(col("doc_id"), explode(array(
+        struct(lit(0).as("band_id"), col("band0").as("bkey")),
+        struct(lit(1).as("band_id"), col("band1").as("bkey")))).as("b"))
+        .select(col("doc_id"), col("b.band_id").as("band_id"), col("b.bkey").as("bkey"))
       val a = bands.as("a"); val b = bands.as("b")
       a.join(b, col("a.band_id") === col("b.band_id") && col("a.bkey") === col("b.bkey") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -103,16 +125,12 @@ object LlmQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
-    "q_dedup_simhash" -> ((s, dir) => {
-      val toks = t(s, dir, "documents")
-        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      val aggs = (1 to 16).map(j => simhashBitAgg(col("tok"), j).as(s"b$j"))
-      toks.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    "q_dedup_simhash" -> ((s, dir) =>
+      spreadSmallInput(t(s, dir, "documents"))
         .select(col("doc_id"),
-          simhashBits((1 to 16).map(j => col(s"b$j"))).as("simhash"))
+          simhashFromHashes(tokenHashes(tokens(col("text")))).as("simhash"))
         .withColumn("sim_bucket", substring(col("simhash"), 1, 8))
-        .orderBy(col("doc_id"))
-    }),
+        .orderBy(col("doc_id"))),
 
     "q_ngram_jaccard" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -158,6 +176,22 @@ object LlmQueries {
         .limit(5)
     }),
 
+    // Embedding-cosine near-dup: SRP-bucketed candidate generation (the
+    // scale path — candidates only within a bucket, an equi-join), then
+    // exact cosine filter. Threshold 0.25 exercises the path on this
+    // random corpus (real near-dups would sit near 1.0).
+    "q_dedup_embedding" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), srpBucket(col("embedding"), 8).as("bucket"))
+        .persist()
+      val a = e.as("a"); val b = e.as("b")
+      a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          cosine(col("a.embedding"), col("b.embedding")).as("cos_sim"))
+        .filter(col("cos_sim") > 0.25)
+        .orderBy(col("vec_a"), col("vec_b"))
+    }),
+
     // --- multimodal plumbing -----------------------------------------------
     "q_multimodal_meta" -> ((s, dir) =>
       MultimodalOps.asMediaTable(t(s, dir, "documents"))
@@ -167,6 +201,27 @@ object LlmQueries {
         .orderBy(col("id"))))
 
   private val W = raw"regexp_split_to_array(lower(trim(text)), '\s+')"
+  /** Shared minhash CTE: same base-hash + linear-congruence family as
+    * TextOps (constants interpolated from MinhashCoeffs, single source of
+    * truth). */
+  private val SIG_LINES = graft.llm.TextOps.MinhashCoeffs.zipWithIndex.map {
+    case ((a, b), k) =>
+      s"list_min(list_transform(hs, h -> (h * $a + $b) % ${graft.llm.TextOps.MinhashP})) AS sig$k"
+  }.mkString(",\n         |    ")
+
+  // lazy: references SHINGLES/W declared later in the object
+  private lazy val SIG_CTE: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, $SHINGLES AS sh
+       |  FROM (SELECT doc_id, $W AS w FROM documents)),
+       |hashed AS (
+       |  SELECT doc_id, list_transform(sh,
+       |    s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % ${graft.llm.TextOps.MinhashP}) AS hs
+       |  FROM base WHERE len(sh) >= 1),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $SIG_LINES
+       |  FROM hashed)""".stripMargin
   private val SHINGLES =
     s"""CASE WHEN len(w) >= 3 THEN list_transform(generate_series(1, len(w) - 2),
        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE [] END""".stripMargin
@@ -245,32 +300,14 @@ object LlmQueries {
         |FROM documents GROUP BY 1 ORDER BY exact_key""".stripMargin,
 
     "q_minhash_sig" ->
-      s"""WITH sh AS (
-         |  SELECT doc_id, unnest($SHINGLES) AS sh
-         |  FROM (SELECT doc_id, $W AS w FROM documents)),
-         |sig AS (
-         |  SELECT doc_id,
-         |    min(md5('0_' || sh)) AS sig0, min(md5('1_' || sh)) AS sig1,
-         |    min(md5('2_' || sh)) AS sig2, min(md5('3_' || sh)) AS sig3,
-         |    min(md5('4_' || sh)) AS sig4, min(md5('5_' || sh)) AS sig5,
-         |    min(md5('6_' || sh)) AS sig6, min(md5('7_' || sh)) AS sig7
-         |  FROM sh GROUP BY doc_id)
+      s"""$SIG_CTE
          |SELECT doc_id, sig0, sig1, sig2, sig3, sig4, sig5, sig6, sig7,
          |  md5(concat_ws('|', sig0, sig1, sig2, sig3)) AS band0,
          |  md5(concat_ws('|', sig4, sig5, sig6, sig7)) AS band1
          |FROM sig ORDER BY doc_id""".stripMargin,
 
     "q_dedup_minhash" ->
-      s"""WITH sh AS (
-         |  SELECT doc_id, unnest($SHINGLES) AS sh
-         |  FROM (SELECT doc_id, $W AS w FROM documents)),
-         |sig AS (
-         |  SELECT doc_id,
-         |    min(md5('0_' || sh)) AS sig0, min(md5('1_' || sh)) AS sig1,
-         |    min(md5('2_' || sh)) AS sig2, min(md5('3_' || sh)) AS sig3,
-         |    min(md5('4_' || sh)) AS sig4, min(md5('5_' || sh)) AS sig5,
-         |    min(md5('6_' || sh)) AS sig6, min(md5('7_' || sh)) AS sig7
-         |  FROM sh GROUP BY doc_id),
+      s"""$SIG_CTE,
          |bands AS (
          |  SELECT doc_id, 0 AS band_id, md5(concat_ws('|', sig0, sig1, sig2, sig3)) AS bkey FROM sig
          |  UNION ALL
@@ -338,6 +375,20 @@ object LlmQueries {
          |WHERE e.vec_id <> 0
          |ORDER BY cos_sim DESC, e.vec_id LIMIT 5""".stripMargin
     },
+
+    "q_dedup_embedding" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cos_sim
+        |FROM embeddings a JOIN embeddings b
+        |  ON (CASE WHEN a.embedding[1] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN a.embedding[2] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN a.embedding[3] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN a.embedding[4] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN a.embedding[5] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN a.embedding[6] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN a.embedding[7] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN a.embedding[8] >= 0 THEN '1' ELSE '0' END) =
+        |     (CASE WHEN b.embedding[1] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN b.embedding[2] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN b.embedding[3] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN b.embedding[4] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN b.embedding[5] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN b.embedding[6] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN b.embedding[7] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN b.embedding[8] >= 0 THEN '1' ELSE '0' END)
+        |  AND a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) > 0.25
+        |ORDER BY vec_a, vec_b""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id AS id, 'text/plain' AS mime_type,

@@ -208,6 +208,17 @@ object RelationalQueries {
           rnd(col("orphans") / col("total_fk"), 6).as("orphan_rate"))
     }),
 
+    // J3 semi/anti join pair: orders with and without line items, one
+    // declarative row (left_semi = EXISTS, left_anti = NOT EXISTS).
+    "q_semi_anti_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val li = t(s, dir, "lineitem").select(col("l_orderkey"))
+      val withItems = o.join(li, o("o_orderkey") === li("l_orderkey"), "left_semi")
+        .agg(count(lit(1)).as("n_with_items"))
+      val withoutItems = o.join(li, o("o_orderkey") === li("l_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_without_items"))
+      withItems.crossJoin(withoutItems)
+    }),
+
     // G4 reconciliation drift, fully declarative (two 1-row aggs cross-joined).
     "q_gate_recon" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -468,6 +479,13 @@ object RelationalQueries {
         |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphans,
         |  floor(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) / count(*) * 1000000.0 + 0.5) / 1000000.0 AS orphan_rate
         |FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
+
+    "q_semi_anti_join" ->
+      """SELECT a.n_with_items, b.n_without_items
+        |FROM (SELECT count(*) AS n_with_items FROM orders
+        |      WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)) a
+        |CROSS JOIN (SELECT count(*) AS n_without_items FROM orders
+        |      WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)) b""".stripMargin,
 
     "q_gate_recon" ->
       """WITH s AS (SELECT count(*) AS source_rows FROM lineitem),

@@ -44,11 +44,13 @@ class LlmSpec extends AnyFunSuite {
   }
 
   test("minhash: signature agreement estimates Jaccard; 2-row bands catch near-dups") {
-    val sh = docs.select(col("doc_id"), explode(shingles(tokens(col("text")), 3)).as("sh"))
-    val aggs = (0 until 8).map(k => minhashAgg(col("sh"), k).as(s"sig$k"))
-    val sig = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val withHs = docs.select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
+      .filter(size(col("sh")) >= 1)
+      .select(col("doc_id"), shingleHashes(col("sh")).as("hs"))
+    val sigs = (0 until 8).map(k => minhashSig(col("hs"), k).as(s"sig$k"))
+    val sig = withHs.select(col("doc_id") +: sigs: _*)
     val rows = sig.collect().map(r => r.getLong(0) ->
-      (1 to 8).map(r.getString)).toMap
+      (1 to 8).map(r.getLong)).toMap
     def agree(a: Long, b: Long) = rows(a).zip(rows(b)).count { case (x, y) => x == y }
     assert(agree(0L, 1L) == 8)            // exact dup: all signatures equal
     // near-dup (shingle Jaccard 12/13 ≈ 0.92): most signatures agree —
@@ -66,11 +68,9 @@ class LlmSpec extends AnyFunSuite {
   }
 
   test("simhash: identical docs equal; near-dups within small hamming distance; distinct far") {
-    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-    val aggs = (1 to 16).map(j => simhashBitAgg(col("tok"), j).as(s"b$j"))
-    val hashes = toks.groupBy(col("doc_id"))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"), simhashBits((1 to 16).map(j => col(s"b$j"))).as("h"))
+    val hashes = docs
+      .select(col("doc_id"),
+        simhashFromHashes(tokenHashes(tokens(col("text")))).as("h"))
       .as[(Long, String)].collect().toMap
     def hamming(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
     assert(hashes(0L) == hashes(1L))
