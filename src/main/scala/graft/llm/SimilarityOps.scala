@@ -38,12 +38,16 @@ object SimilarityOps {
       when(element_at(v, i) >= 0.0f, "1").otherwise("0")): _*)
 
   /** Brute-force cosine top-k against a 1-row query DataFrame (broadcast
-    * nested-loop of one row — one scan of the corpus, no shuffle). */
+    * nested-loop of one row — one scan of the corpus, no shuffle). Scoring
+    * uses the native codegen'd CosineSimilarity expression (bit-identical
+    * to [[cosine]], one fused loop instead of three interpreted passes). */
   def bruteForceTopK(corpus: DataFrame, query: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
+    graft.functions.NativeFunctions.register(corpus.sparkSession)
     val q = query.select(col(vecCol).as("_qvec"))
     corpus.crossJoin(broadcast(q))
-      .withColumn("cos_sim", cosine(col(vecCol), col("_qvec")))
+      .withColumn("cos_sim",
+        graft.functions.NativeFunctions.cosineSim(col(vecCol), col("_qvec")))
       .drop("_qvec")
   }
 }

@@ -146,11 +146,13 @@ object LlmQueries {
 
     // --- similarity search -------------------------------------------------
     "q_embed_pairs" -> ((s, dir) => {
+      graft.functions.NativeFunctions.register(s)
       val e = t(s, dir, "embeddings")
       val a = e.as("a"); val b = e.as("b")
       a.join(b, col("b.vec_id") === col("a.vec_id") + 1)
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          cosine(col("a.embedding"), col("b.embedding")).as("cos_sim"))
+          graft.functions.NativeFunctions.cosineSim(
+            col("a.embedding"), col("b.embedding")).as("cos_sim"))
         .orderBy(col("vec_a"))
     }),
 
@@ -168,10 +170,12 @@ object LlmQueries {
       val e = t(s, dir, "embeddings").withColumn("bucket", srpBucket(col("embedding"), 8))
       val q = e.filter(col("vec_id") === 0L)
         .select(col("bucket").as("qbucket"), col("embedding").as("qvec"))
+      graft.functions.NativeFunctions.register(s)
       e.filter(col("vec_id") =!= 0L)
         .join(broadcast(q), col("bucket") === col("qbucket"))
         .select(col("vec_id"), col("bucket"),
-          cosine(col("embedding"), col("qvec")).as("cos_sim"))
+          graft.functions.NativeFunctions.cosineSim(
+            col("embedding"), col("qvec")).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id"))
         .limit(5)
     }),
@@ -184,10 +188,12 @@ object LlmQueries {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"), srpBucket(col("embedding"), 8).as("bucket"))
         .persist()
+      graft.functions.NativeFunctions.register(s)
       val a = e.as("a"); val b = e.as("b")
       a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          cosine(col("a.embedding"), col("b.embedding")).as("cos_sim"))
+          graft.functions.NativeFunctions.cosineSim(
+            col("a.embedding"), col("b.embedding")).as("cos_sim"))
         .filter(col("cos_sim") > 0.25)
         .orderBy(col("vec_a"), col("vec_b"))
     }),

@@ -104,6 +104,25 @@ class LlmSpec extends AnyFunSuite {
     assert(out(0) === 1.0 +- 1e-12 && out(1) === 0.0 +- 1e-12 && out(2) === 1.0 +- 1e-12)
   }
 
+  test("native CosineSimilarity expression is bit-identical to the HOF composition") {
+    graft.functions.NativeFunctions.register(spark)
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = e.as("a"); val b = e.as("b")
+    val both = a.join(b, col("b.vec_id") === col("a.vec_id") + 1)
+      .select(
+        graft.functions.NativeFunctions.cosineSim(
+          col("a.embedding"), col("b.embedding")).as("native"),
+        SimilarityOps.cosine(col("a.embedding"), col("b.embedding")).as("hof"))
+      .collect()
+    assert(both.nonEmpty && both.forall(r => r.getDouble(0) == r.getDouble(1)))
+    // SQL surface: registered function callable from spark.sql
+    e.createOrReplaceTempView("emb_v")
+    val viaSql = spark.sql(
+      "SELECT cosine_sim(embedding, embedding) AS c FROM emb_v LIMIT 5")
+      .collect().map(_.getDouble(0))
+    assert(viaSql.forall(c => math.abs(c - 1.0) < 1e-9))
+  }
+
   test("srpBucket: sign pattern of leading dims") {
     val d = Seq(Tuple1(Array(0.5f, -0.25f, 1.0f, -2.0f))).toDF("v")
     assert(d.select(SimilarityOps.srpBucket(col("v"), 4)).as[String].head() == "1010")
