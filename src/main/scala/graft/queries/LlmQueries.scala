@@ -198,6 +198,38 @@ object LlmQueries {
         .orderBy(col("vec_a"), col("vec_b"))
     }),
 
+    // IVF-style ANN: coarse quantizer (16 sampled centroid vectors), each
+    // vector assigned to its nearest centroid (inverted lists), query
+    // probes its nprobe=2 best lists only. At scale: centroids broadcast,
+    // lists written partitioned by cent_id -> a query reads 2 partitions
+    // instead of the whole corpus.
+    "q_ann_ivf" -> ((s, dir) => {
+      graft.functions.NativeFunctions.register(s)
+      import org.apache.spark.sql.expressions.Window
+      val cos = graft.functions.NativeFunctions.cosineSim _
+      val e = t(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+      val scored = e.crossJoin(broadcast(cents))
+        .withColumn("cos_c", cos(col("embedding"), col("cvec")))
+        .persist()
+      val ivf = scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cent_id"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cent_id"))
+      val probes = scored.filter(col("vec_id") === 0L)
+        .orderBy(col("cos_c").desc, col("cent_id")).limit(2)
+        .select(col("cent_id"))
+      val q = e.filter(col("vec_id") === 0L).select(col("embedding").as("qvec"))
+      ivf.join(broadcast(probes), Seq("cent_id"))
+        .filter(col("vec_id") =!= 0L)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("cent_id"), cos(col("embedding"), col("qvec")).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(5)
+    }),
+
     // --- multimodal plumbing -----------------------------------------------
     "q_multimodal_meta" -> ((s, dir) =>
       MultimodalOps.asMediaTable(t(s, dir, "documents"))
@@ -395,6 +427,30 @@ object LlmQueries {
         |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
         |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) > 0.25
         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "q_ann_ivf" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+        |scored AS (
+        |  SELECT e.vec_id, e.embedding, c.cent_id,
+        |    list_dot_product(e.embedding::DOUBLE[], c.cvec::DOUBLE[]) /
+        |    (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+        |     sqrt(list_dot_product(c.cvec::DOUBLE[], c.cvec::DOUBLE[]))) AS cos_c
+        |  FROM embeddings e CROSS JOIN cents c),
+        |ivf AS (
+        |  SELECT vec_id, embedding, cent_id FROM scored
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cent_id) = 1),
+        |probes AS (
+        |  SELECT cent_id FROM scored WHERE vec_id = 0
+        |  ORDER BY cos_c DESC, cent_id LIMIT 2),
+        |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+        |SELECT i.vec_id, i.cent_id,
+        |  list_dot_product(i.embedding::DOUBLE[], qvec::DOUBLE[]) /
+        |    (sqrt(list_dot_product(i.embedding::DOUBLE[], i.embedding::DOUBLE[])) *
+        |     sqrt(list_dot_product(qvec::DOUBLE[], qvec::DOUBLE[]))) AS cos_sim
+        |FROM ivf i JOIN probes p ON i.cent_id = p.cent_id CROSS JOIN q
+        |WHERE i.vec_id <> 0
+        |ORDER BY cos_sim DESC, i.vec_id LIMIT 5""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id AS id, 'text/plain' AS mime_type,
