@@ -21,12 +21,22 @@ object TextOps {
   def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
 
   /** n-word shingles: ["a","b","c","d"], n=3 → ["a b c","b c d"].
-    * Empty array when the document is shorter than n words. */
-  def shingles(words: Column, n: Int): Column =
-    when(size(words) >= n,
-      transform(sequence(lit(0), size(words) - n),
-        i => concat_ws(" ", (1 to n).map(k => element_at(words, i + k)): _*)))
-      .otherwise(array().cast("array<string>"))
+    * Empty array when the document is shorter than n words.
+    *
+    * Built from n shifted slices zipped element-wise — NOT from a
+    * transform over indices with `element_at(words, i+k)`: a lambda that
+    * CAPTURES `words` re-evaluates the captured expression once per
+    * element, so with words = split(text) the full regex tokenization
+    * would re-run n times per shingle (measured: ~20s at sf0.1 vs <1s for
+    * this form). zip_with/slice evaluate their array children once per
+    * row. */
+  def shingles(words: Column, n: Int): Column = {
+    val m = size(words) - lit(n - 1) // shingle count when positive
+    val slices = (0 until n).map(k => slice(words, lit(k + 1), greatest(m, lit(0))))
+    val zipped = slices.reduce((acc, next) =>
+      zip_with(acc, next, (a, b) => concat(a, lit(" "), b)))
+    when(size(words) >= n, zipped).otherwise(array().cast("array<string>"))
+  }
 
   /** MinHash family: hash each shingle ONCE (md5 → 60-bit int → mod p),
     * then derive the k-th hash function as the linear congruence

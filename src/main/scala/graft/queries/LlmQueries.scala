@@ -28,10 +28,19 @@ object LlmQueries {
     * explode, no shuffle — see TextOps.minhashSig). Docs with <1 shingle
     * (under 3 words) are excluded, matching the explode→groupBy semantics. */
   private def minhashSignatures(docs: DataFrame): DataFrame = {
+    // Materialize the per-shingle base hashes BEFORE deriving signatures:
+    // CollapseProject would otherwise inline the md5-transform tree into
+    // all 8 signature expressions and again into both band keys (~12
+    // copies, recomputed at execution AND re-walked by the single-threaded
+    // optimizer — measured 8s/call at sf0.1). After the barrier the
+    // signatures are cheap integer folds over the cached hash arrays. At
+    // 100 TB this barrier is "write the signature table to storage" — the
+    // standard break in a production dedup pipeline.
     val withHs = spreadSmallInput(docs)
       .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
       .filter(size(col("sh")) >= 1)
       .select(col("doc_id"), shingleHashes(col("sh")).as("hs"))
+      .localCheckpoint()
     val sigs = (0 until 8).map(k => minhashSig(col("hs"), k).as(s"sig$k"))
     withHs.select(col("doc_id") +: sigs: _*)
       .withColumn("band0", bandKey((0 to 3).map(k => col(s"sig$k"))))
@@ -106,11 +115,14 @@ object LlmQueries {
     // trigram sketches in random text; the pair-generation shape is what
     // is verified; DedupSpec exercises real near-dups).
     "q_dedup_minhash" -> ((s, dir) => {
-      // persist the narrow signature table: the self-join needs it twice,
-      // and caching it keeps the hash-heavy projection out of BOTH join
-      // branches (compute once, join from cache — the production dedup
-      // pattern; also keeps the codegen unit per branch small)
-      val sig = minhashSignatures(t(s, dir, "documents")).persist()
+      // localCheckpoint truncates the logical lineage: the self-join would
+      // otherwise duplicate the whole lambda-heavy signature subtree into
+      // both join branches and the single-threaded optimizer/codegen pass
+      // dominates wall time (measured: ~20s plan work for <1s of
+      // execution). Checkpointing materializes the narrow signature table
+      // once and both branches reference the materialized RDD — the
+      // production dedup pattern (compute signatures once, join twice).
+      val sig = minhashSignatures(t(s, dir, "documents")).localCheckpoint()
       // single-pass unpivot via explode (a union of two projections would
       // recompute the whole shingle->signature subplan per branch)
       val bands = sig.select(col("doc_id"), explode(array(
