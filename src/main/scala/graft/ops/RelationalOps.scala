@@ -106,6 +106,25 @@ object RelationalOps {
   def topK(df: DataFrame, k: Int, order: Column*): DataFrame =
     df.orderBy(order: _*).limit(k)
 
+  /** Skew-safe two-stage aggregation: partial-aggregate on (keys ⊕ salt),
+    * then final-aggregate on keys. A hot key's rows spread across
+    * `saltBuckets` reducers in stage 1 instead of hammering one; stage 2
+    * combines the per-salt partials (sums/counts re-aggregate losslessly).
+    * The salt is derived from stable columns (hash mod buckets), NOT
+    * rand(), so results stay deterministic. Use when a groupBy key is
+    * skewed enough that AQE's skew handling (which only splits join
+    * partitions) doesn't apply. */
+  def saltedSumCount(df: DataFrame, keys: Seq[String], saltFrom: Seq[Column],
+                     saltBuckets: Int, sums: Map[String, Column]): DataFrame = {
+    val salted = df.withColumn("_salt", pmod(hash(saltFrom: _*), lit(saltBuckets)))
+    val partial = salted.groupBy((keys.map(col) :+ col("_salt")): _*)
+      .agg(count(lit(1)).as("_cnt"),
+        sums.map { case (n, c) => sum(c).as(s"_sum_$n") }.toSeq: _*)
+    partial.groupBy(keys.map(col): _*)
+      .agg(sum(col("_cnt")).as("n_rows"),
+        sums.keys.map(n => sum(col(s"_sum_$n")).as(n)).toSeq: _*)
+  }
+
   /** P17 cross-engine-deterministic rounding: floor(x·10ⁿ + 0.5)/10ⁿ.
     * Spark's `round` (BigDecimal HALF_UP over the shortest decimal
     * representation) and DuckDB's `round` (binary nearbyint-style) disagree

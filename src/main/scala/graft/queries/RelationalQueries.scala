@@ -208,6 +208,18 @@ object RelationalQueries {
           rnd(col("orphans") / col("total_fk"), 6).as("orphan_rate"))
     }),
 
+    // Skew-safe salted aggregation: two-stage (keys+salt partial, keys
+    // final) with deterministic hash-derived salt — results identical to a
+    // plain groupBy, which is exactly what the oracle checks.
+    "q_salted_agg" -> ((s, dir) =>
+      saltedSumCount(t(s, dir, "lineitem"), Seq("l_returnflag"),
+        Seq(col("l_orderkey"), col("l_partkey")), 16,
+        Map("sum_qty" -> col("l_quantity"),
+          "sum_revenue_raw" -> (col("l_extendedprice") * (lit(1.0) - col("l_discount")))))
+        .select(col("l_returnflag"), col("n_rows"), col("sum_qty"),
+          rnd(col("sum_revenue_raw"), 2).as("sum_revenue"))
+        .orderBy(col("l_returnflag"))),
+
     // J3 semi/anti join pair: orders with and without line items, one
     // declarative row (left_semi = EXISTS, left_anti = NOT EXISTS).
     "q_semi_anti_join" -> ((s, dir) => {
@@ -479,6 +491,11 @@ object RelationalQueries {
         |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphans,
         |  floor(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) / count(*) * 1000000.0 + 0.5) / 1000000.0 AS orphan_rate
         |FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
+
+    "q_salted_agg" ->
+      """SELECT l_returnflag, count(*) AS n_rows, sum(l_quantity) AS sum_qty,
+        |  floor(sum(l_extendedprice * (1.0 - l_discount)) * 1e2 + 0.5) / 1e2 AS sum_revenue
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_semi_anti_join" ->
       """SELECT a.n_with_items, b.n_without_items

@@ -74,4 +74,13 @@ object EventsStream {
   /** File-source streaming read of an events parquet directory. */
   def readEventStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventSchema).parquet(dir)
+
+  /** Streaming exact deduplication on `idCols` with bounded state: the
+    * watermark lets Spark evict seen-keys older than the lateness bound,
+    * so state stays proportional to the dedup window, not the stream
+    * history — the streaming twin of the batch exact-dedup operator and a
+    * core ingestion guard for a training-data pipeline. */
+  def dedupStream(events: DataFrame, idCols: Seq[String]): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .dropDuplicates(idCols :+ "ts")
 }

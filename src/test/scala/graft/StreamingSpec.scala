@@ -41,6 +41,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming dedup with watermark removes exact duplicates") {
+    // duplicate every event by writing the input twice
+    val dupDir = Files.createTempDirectory("graft_events_dup").toString
+    val base = spark.read.parquet(eventsDir)
+    base.write.mode("overwrite").parquet(dupDir)
+    base.write.mode("append").parquet(dupDir)
+    val q = EventsStream.dedupStream(
+      EventsStream.readEventStream(spark, dupDir), Seq("event_id"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val n = spark.table("dedup_out").count()
+    assert(n == base.count(), "each duplicated event must appear exactly once")
+  }
+
   test("streaming sessionization == batch sessions (excluding open tails)") {
     val stream = EventsStream.readEventStream(spark, eventsDir)
       .select("event_id", "ts", "user_id", "event_type", "value")
