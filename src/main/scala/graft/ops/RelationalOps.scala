@@ -106,6 +106,14 @@ object RelationalOps {
   def topK(df: DataFrame, k: Int, order: Column*): DataFrame =
     df.orderBy(order: _*).limit(k)
 
+  /** Per-group top-k via the custom GroupedTopK operator (bounded heaps,
+    * partial pass before the shuffle — see graft.plans.GroupedTopK). The
+    * window-function formulation (`row_number().over(...)  <= k`) is the
+    * semantic reference; this plan shuffles at most k rows per key per
+    * input partition instead of every row. */
+  def topKPerKey(df: DataFrame, keys: Seq[Column], order: Seq[Column], k: Int): DataFrame =
+    org.apache.spark.sql.graft.GroupedTopKApi.groupedTopK(df, keys, order, k)
+
   /** Skew-safe two-stage aggregation: partial-aggregate on (keys ⊕ salt),
     * then final-aggregate on keys. A hot key's rows spread across
     * `saltBuckets` reducers in stage 1 instead of hammering one; stage 2

@@ -208,6 +208,18 @@ object RelationalQueries {
           rnd(col("orphans") / col("total_fk"), 6).as("orphan_rate"))
     }),
 
+    // Custom operator: per-group top-k (LogicalPlan + Strategy + Exec with
+    // partial bounded-heap pass). Oracle = the window row_number form.
+    "q_topk_per_key" -> ((s, dir) =>
+      topKPerKey(t(s, dir, "lineitem"),
+        Seq(col("l_returnflag")),
+        Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_partkey"), col("l_linenumber")),
+        3)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_partkey"),
+          col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_returnflag"), col("l_extendedprice").desc,
+          col("l_orderkey"), col("l_partkey"), col("l_linenumber"))),
+
     // Skew-safe salted aggregation: two-stage (keys+salt partial, keys
     // final) with deterministic hash-derived salt — results identical to a
     // plain groupBy, which is exactly what the oracle checks.
@@ -491,6 +503,13 @@ object RelationalQueries {
         |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphans,
         |  floor(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) / count(*) * 1000000.0 + 0.5) / 1000000.0 AS orphan_rate
         |FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
+
+    "q_topk_per_key" ->
+      """SELECT l_returnflag, l_orderkey, l_partkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |QUALIFY row_number() OVER (PARTITION BY l_returnflag
+        |  ORDER BY l_extendedprice DESC, l_orderkey, l_partkey, l_linenumber) <= 3
+        |ORDER BY l_returnflag, l_extendedprice DESC, l_orderkey, l_partkey, l_linenumber""".stripMargin,
 
     "q_salted_agg" ->
       """SELECT l_returnflag, count(*) AS n_rows, sum(l_quantity) AS sum_qty,
