@@ -208,6 +208,22 @@ object RelationalQueries {
           rnd(col("orphans") / col("total_fk"), 6).as("orphan_rate"))
     }),
 
+    // Typed Dataset + custom Aggregator[IN,BUF,OUT] (revenue + qty stats
+    // per flag) — results identical to the untyped SQL aggregation.
+    "q_typed_agg" -> ((s, dir) =>
+      graft.typed.TypedOps.revenueByFlag(graft.typed.TypedOps.lineitems(s, dir))
+        .select(col("l_returnflag"), rnd(col("revenue_raw"), 2).as("revenue"),
+          col("n_rows"), col("sum_qty"), col("max_qty"))
+        .orderBy(col("l_returnflag"))),
+
+    // JSON source roundtrip (schema-enforced read of a JSON-lines dump).
+    "q_scan_json" -> ((s, dir) => {
+      val out = tmpDir("graft_json")
+      t(s, dir, "nation").write.mode("overwrite").json(out)
+      s.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT").json(out)
+        .orderBy(col("n_nationkey"))
+    }),
+
     // Custom operator: per-group top-k (LogicalPlan + Strategy + Exec with
     // partial bounded-heap pass). Oracle = the window row_number form.
     "q_topk_per_key" -> ((s, dir) =>
@@ -503,6 +519,15 @@ object RelationalQueries {
         |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphans,
         |  floor(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) / count(*) * 1000000.0 + 0.5) / 1000000.0 AS orphan_rate
         |FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
+
+    "q_typed_agg" ->
+      """SELECT l_returnflag,
+        |  floor(sum(l_extendedprice * (1.0 - l_discount)) * 1e2 + 0.5) / 1e2 AS revenue,
+        |  count(*) AS n_rows, sum(l_quantity) AS sum_qty, max(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_scan_json" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey""",
 
     "q_topk_per_key" ->
       """SELECT l_returnflag, l_orderkey, l_partkey, l_linenumber, l_extendedprice
