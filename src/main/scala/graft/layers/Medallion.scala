@@ -130,7 +130,10 @@ object Medallion {
       .withColumn("aisle_name", col("aisle"))
       .withColumn("department_name", col("department"))
       .withColumn("_gold_computed_at", current_timestamp())
-    Tables.overwritePartitioned(fct, s"${cfg.goldDir}/fct_orders", "eval_set")
+    // gold snapshots are versioned (time travel + schema gate) — the
+    // Delta-table semantics of the reference, on plain Parquet
+    graft.sources.VersionedTable.write(fct, s"${cfg.goldDir}/fct_orders",
+      allowEvolution = true, partitionBy = Seq("eval_set"))
 
     // dim_users (03_serverless:124-189)
     val orderStats = op.groupBy(col("order_id")).agg(
@@ -156,11 +159,12 @@ object Medallion {
           when(col("avg_basket_size") >= 15, "large")
             .when(col("avg_basket_size") >= 8, "medium").otherwise("small"),
         "_gold_computed_at" -> current_timestamp()))
-    Tables.overwrite(dimUsers, s"${cfg.goldDir}/dim_users")
+    graft.sources.VersionedTable.write(dimUsers, s"${cfg.goldDir}/dim_users",
+      allowEvolution = true)
 
     Map(
-      "fct_orders" -> spark.read.parquet(s"${cfg.goldDir}/fct_orders").count(),
-      "dim_users" -> spark.read.parquet(s"${cfg.goldDir}/dim_users").count())
+      "fct_orders" -> graft.sources.VersionedTable.readLatest(spark, s"${cfg.goldDir}/fct_orders").count(),
+      "dim_users" -> graft.sources.VersionedTable.readLatest(spark, s"${cfg.goldDir}/dim_users").count())
   }
 
   /** Full pipeline: bronze → silver → gold with gates between layers. */

@@ -1,0 +1,98 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{StructField, StructType}
+
+/** Snapshot-versioned Parquet tables: the Delta-Lake semantics the
+  * reference leans on (atomic full-refresh overwrite, `overwriteSchema`
+  * gating, time travel) re-created on plain Parquet for the offline
+  * environment (SURVEY.md §1: Delta jars unavailable).
+  *
+  * Layout: `<root>/v=<N>/…parquet` per snapshot + `<root>/_LATEST`
+  * containing the current version number. Writes go to a NEW version
+  * directory and the pointer flips last (atomic move of a one-line file)
+  * — readers never observe a half-written snapshot, and old versions stay
+  * readable (`readVersion`). This is a single-writer design like the
+  * reference's full-refresh jobs; it does not attempt Delta's
+  * multi-writer log.
+  */
+object VersionedTable {
+
+  private def latestFile(root: String) = Paths.get(root, "_LATEST")
+
+  def versions(root: String): Seq[Long] = {
+    val d = new java.io.File(root)
+    if (!d.exists()) Seq.empty
+    else d.listFiles().toSeq.map(_.getName)
+      .filter(_.startsWith("v=")).map(_.drop(2).toLong).sorted
+  }
+
+  def latestVersion(root: String): Option[Long] = {
+    val f = latestFile(root)
+    if (Files.exists(f)) Some(new String(Files.readAllBytes(f)).trim.toLong) else None
+  }
+
+  /** Schema gate (the reference's enforced-StructType contract,
+    * 01_bronze_ingest.py:36-68 / README.md:69): an existing table only
+    * accepts a write whose schema matches, unless `allowEvolution` — the
+    * `overwriteSchema=true` analogue (01:100) — permits adding nullable
+    * columns. Field order is not significant; types are. */
+  private def checkSchema(existing: StructType, incoming: StructType,
+                          allowEvolution: Boolean): Unit = {
+    val old = existing.fields.map(f => f.name -> f.dataType).toMap
+    val nu = incoming.fields.map(f => f.name -> f.dataType).toMap
+    val typeChanged = old.keySet.intersect(nu.keySet)
+      .filter(k => old(k) != nu(k))
+    val dropped = old.keySet.diff(nu.keySet)
+    val added = nu.keySet.diff(old.keySet)
+    if (typeChanged.nonEmpty)
+      throw new IllegalArgumentException(
+        s"schema enforcement: type change on ${typeChanged.mkString(",")} (old=$existing new=$incoming)")
+    if ((dropped.nonEmpty || added.nonEmpty) && !allowEvolution)
+      throw new IllegalArgumentException(
+        s"schema enforcement: evolution not allowed (added=${added.mkString(",")} dropped=${dropped.mkString(",")}); pass allowEvolution=true")
+  }
+
+  /** Write a new snapshot; returns the new version number. */
+  def write(df: DataFrame, root: String, allowEvolution: Boolean = false,
+            partitionBy: Seq[String] = Seq.empty): Long = {
+    latestVersion(root).foreach { v =>
+      val existing = df.sparkSession.read.parquet(s"$root/v=$v").schema
+      checkSchema(existing, df.schema, allowEvolution)
+    }
+    val next = versions(root).lastOption.getOrElse(0L) + 1L
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(s"$root/v=$next")
+    // flip the pointer last, atomically
+    val tmp = Paths.get(root, s"_LATEST.tmp$next")
+    Files.write(tmp, next.toString.getBytes)
+    Files.move(tmp, latestFile(root), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    next
+  }
+
+  def readLatest(spark: SparkSession, root: String): DataFrame =
+    readVersion(spark, root, latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $root")))
+
+  /** Time travel: read any retained snapshot. */
+  def readVersion(spark: SparkSession, root: String, version: Long): DataFrame =
+    spark.read.parquet(s"$root/v=$version")
+
+  /** Retention: drop all but the newest `keep` snapshots (VACUUM analogue). */
+  def vacuum(root: String, keep: Int): Seq[Long] = {
+    val all = versions(root)
+    val drop = all.dropRight(keep)
+      .filterNot(latestVersion(root).contains) // never drop the live pointer
+    drop.foreach { v =>
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(s"$root/v=$v"))
+    }
+    drop
+  }
+}

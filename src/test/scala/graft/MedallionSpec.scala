@@ -56,7 +56,7 @@ class MedallionSpec extends AnyFunSuite {
     assert(counts("fct_orders") == 9)       // star join preserves silver grain
     assert(counts("dim_users") == 3)
     // partitionBy(eval_set) layout → partition pruning for eval_set filters
-    val parts = new java.io.File(s"$root/gold/fct_orders").listFiles()
+    val parts = new java.io.File(s"$root/gold/fct_orders/v=1").listFiles()
       .map(_.getName).filter(_.startsWith("eval_set="))
     assert(parts.toSet == Set("eval_set=prior", "eval_set=train"))
     // silver enrichment columns present with reference semantics

@@ -1,0 +1,47 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.VersionedTable
+
+class VersionedTableSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("versioned overwrite keeps snapshots readable (time travel) and flips latest atomically") {
+    val root = Files.createTempDirectory("graft_vt").toString
+    val v1 = VersionedTable.write(Seq((1, "a"), (2, "b")).toDF("id", "s"), root)
+    val v2 = VersionedTable.write(Seq((3, "c")).toDF("id", "s"), root)
+    assert(v1 == 1 && v2 == 2)
+    assert(VersionedTable.readLatest(spark, root).count() == 1)
+    assert(VersionedTable.readVersion(spark, root, 1).count() == 2) // time travel
+    assert(VersionedTable.versions(root) == Seq(1L, 2L))
+  }
+
+  test("schema enforcement: type change always rejected; add column gated by allowEvolution") {
+    val root = Files.createTempDirectory("graft_vt2").toString
+    VersionedTable.write(Seq((1, "a")).toDF("id", "s"), root)
+    // type change id: int -> string
+    intercept[IllegalArgumentException] {
+      VersionedTable.write(Seq(("x", "a")).toDF("id", "s"), root)
+    }
+    // added column rejected by default (like overwriteSchema=false)...
+    intercept[IllegalArgumentException] {
+      VersionedTable.write(Seq((1, "a", 0.5)).toDF("id", "s", "score"), root)
+    }
+    // ...but accepted with allowEvolution (overwriteSchema=true analogue)
+    val v = VersionedTable.write(Seq((1, "a", 0.5)).toDF("id", "s", "score"),
+      root, allowEvolution = true)
+    assert(v == 2 && VersionedTable.readLatest(spark, root).columns.contains("score"))
+  }
+
+  test("vacuum retains the newest snapshots and never the live pointer") {
+    val root = Files.createTempDirectory("graft_vt3").toString
+    (1 to 4).foreach(i => VersionedTable.write(Seq(i).toDF("v"), root))
+    val dropped = VersionedTable.vacuum(root, keep = 2)
+    assert(dropped == Seq(1L, 2L))
+    assert(VersionedTable.versions(root) == Seq(3L, 4L))
+    assert(VersionedTable.readLatest(spark, root).as[Int].head() == 4)
+  }
+}
