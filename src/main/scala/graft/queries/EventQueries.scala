@@ -53,6 +53,17 @@ object EventQueries {
           max(col("value")).as("max_value"))
         .orderBy(col("window_start"), col("event_type"))),
 
+    // Sliding 1-hour window, 30-minute slide: each event lands in exactly
+    // two windows (Spark's window() generator; the oracle enumerates the
+    // same epoch-aligned starts explicitly).
+    "q_events_sliding" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n_events"))
+        .orderBy(col("window_start"), col("event_type"))),
+
     // Gap-based sessions (30 min), aggregated to session grain.
     "q_events_sessionize" -> ((s, dir) =>
       sessionize(events(s, dir), 1800L)
@@ -71,6 +82,16 @@ object EventQueries {
         |  floor(sum(value) * 1e2 + 0.5) / 1e2 AS total_value,
         |  min(value) AS min_value, max(value) AS max_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "q_events_sliding" ->
+      """WITH w AS (
+        |  SELECT event_type,
+        |    unnest([CAST(floor(epoch(ts)/1800) AS BIGINT)*1800 - 1800,
+        |            CAST(floor(epoch(ts)/1800) AS BIGINT)*1800]) AS wstart
+        |  FROM events)
+        |SELECT strftime(make_timestamp(wstart*1000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, count(*) AS n_events
+        |FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
 
     "q_events_sessionize" ->
       """WITH flagged AS (

@@ -50,6 +50,16 @@ object RelationalQueries {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // S1-variant: ORC source roundtrip (columnar format beyond parquet).
+    "q_scan_orc" -> ((s, dir) => {
+      val out = tmpDir("graft_orc")
+      t(s, dir, "supplier").write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+          col("s_acctbal"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // U1 positional union of two same-schema branches (bronze prior+train).
     "q_union" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -284,6 +294,10 @@ object RelationalQueries {
     "q_sink_partitioned" ->
       """SELECT o_orderstatus, count(*) AS n_orders, floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS total_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_scan_orc" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
 
     "q_union" ->
       """SELECT l_returnflag, count(*) AS n FROM (

@@ -75,6 +75,28 @@ object EventsStream {
   def readEventStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventSchema).parquet(dir)
 
+  /** Stream-stream inner join with event-time range: pair each 'purchase'
+    * with 'click' events by the same user within the preceding hour. Both
+    * sides carry watermarks so join state is evicted once the time range
+    * can no longer match — the bounded-state pattern for correlating two
+    * live streams (e.g. impressions ⋈ conversions) at scale. */
+  def purchaseAttribution(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", "2 hours")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
+        col("value"))
+  }
+
   /** Streaming exact deduplication on `idCols` with bounded state: the
     * watermark lets Spark evict seen-keys older than the lateness bound,
     * so state stays proportional to the dedup window, not the stream

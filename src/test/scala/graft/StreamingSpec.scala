@@ -57,6 +57,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(n == base.count(), "each duplicated event must appear exactly once")
   }
 
+  test("stream-stream time-range join == equivalent batch join") {
+    val stream = EventsStream.readEventStream(spark, eventsDir)
+    val q = EventsStream.purchaseAttribution(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attr_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("attr_out")
+      .select("purchase_id", "click_id")
+      .as[(Long, Long)].collect().toSet
+
+    val batch = EventsStream.purchaseAttribution(
+      spark.read.parquet(eventsDir)) // same plan, batch source
+      .select("purchase_id", "click_id")
+      .as[(Long, Long)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("streaming sessionization == batch sessions (excluding open tails)") {
     val stream = EventsStream.readEventStream(spark, eventsDir)
       .select("event_id", "ts", "user_id", "event_type", "value")
