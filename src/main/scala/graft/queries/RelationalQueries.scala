@@ -218,6 +218,17 @@ object RelationalQueries {
           rnd(col("orphans") / col("total_fk"), 6).as("orphan_rate"))
     }),
 
+    // Sort-based aggregates: exact interpolated percentiles (median/p90)
+    // per group — Spark percentile() and DuckDB quantile_cont share the
+    // linear-interpolation definition.
+    "q_percentile" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+          rnd(expr("percentile(l_extendedprice, 0.5)"), 2).as("median_price"))
+        .orderBy(col("l_returnflag"))),
+
     // Typed Dataset + custom Aggregator[IN,BUF,OUT] (revenue + qty stats
     // per flag) — results identical to the untyped SQL aggregation.
     "q_typed_agg" -> ((s, dir) =>
@@ -533,6 +544,13 @@ object RelationalQueries {
         |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphans,
         |  floor(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) / count(*) * 1000000.0 + 0.5) / 1000000.0 AS orphan_rate
         |FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS median_qty,
+        |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+        |  floor(quantile_cont(l_extendedprice, 0.5) * 1e2 + 0.5) / 1e2 AS median_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_typed_agg" ->
       """SELECT l_returnflag,
