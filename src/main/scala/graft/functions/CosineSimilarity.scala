@@ -77,10 +77,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
 /** Session registration for the engine's native functions (SQL + Column). */
 object NativeFunctions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hamming", exprs => HammingDistance(exprs(0), exprs(1)), "built-in")
+  }
 
-  /** Column-API entry point (requires register(spark) in the session). */
+  /** Column-API entry points (require register(spark) in the session). */
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+  def hamming(a: Column, b: Column): Column = call_function("hamming", a, b)
 }

@@ -144,6 +144,26 @@ object LlmQueries {
         .withColumn("sim_bucket", substring(col("simhash"), 1, 8))
         .orderBy(col("doc_id"))),
 
+    // SimHash near-dup pairs: candidates from the 8-bit bucket prefix,
+    // exact filter by the native codegen'd hamming expression. The bucket
+    // equi-join prunes the pair space the same way the minhash bands do.
+    "q_simhash_pairs" -> ((s, dir) => {
+      graft.functions.NativeFunctions.register(s)
+      val h = spreadSmallInput(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          simhashFromHashes(tokenHashes(tokens(col("text")))).as("simhash"))
+        .withColumn("sim_bucket", substring(col("simhash"), 1, 8))
+        .localCheckpoint()
+      val a = h.as("a"); val b = h.as("b")
+      a.join(b, col("a.sim_bucket") === col("b.sim_bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          graft.functions.NativeFunctions.hamming(
+            col("a.simhash"), col("b.simhash")).as("hamming_dist"))
+        .filter(col("hamming_dist") <= 3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     "q_ngram_jaccard" -> ((s, dir) => {
       val d = t(s, dir, "documents")
         .select(col("doc_id"), array_distinct(tokens(col("text"))).as("ts"))
@@ -382,6 +402,29 @@ object LlmQueries {
          |SELECT doc_id, $bits AS simhash,
          |  substr($bits, 1, 8) AS sim_bucket
          |FROM agg ORDER BY doc_id""".stripMargin
+    },
+
+    "q_simhash_pairs" -> {
+      val sums = (1 to 16).map(j =>
+        s"sum(CASE WHEN substr(md5(tok), $j, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b$j")
+        .mkString(",\n    ")
+      val bits = (1 to 16).map(j => s"(CASE WHEN b$j > 0 THEN '1' ELSE '0' END)")
+        .mkString(" || ")
+      val hamming = "(CASE WHEN substr(a.simhash, 1, 1) <> substr(b.simhash, 1, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(a.simhash, 2, 1) <> substr(b.simhash, 2, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(a.simhash, 3, 1) <> substr(b.simhash, 3, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(a.simhash, 4, 1) <> substr(b.simhash, 4, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(a.simhash, 5, 1) <> substr(b.simhash, 5, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(a.simhash, 6, 1) <> substr(b.simhash, 6, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(a.simhash, 7, 1) <> substr(b.simhash, 7, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(a.simhash, 8, 1) <> substr(b.simhash, 8, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(a.simhash, 9, 1) <> substr(b.simhash, 9, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(a.simhash, 10, 1) <> substr(b.simhash, 10, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(a.simhash, 11, 1) <> substr(b.simhash, 11, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(a.simhash, 12, 1) <> substr(b.simhash, 12, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(a.simhash, 13, 1) <> substr(b.simhash, 13, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(a.simhash, 14, 1) <> substr(b.simhash, 14, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(a.simhash, 15, 1) <> substr(b.simhash, 15, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(a.simhash, 16, 1) <> substr(b.simhash, 16, 1) THEN 1 ELSE 0 END)"
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($W) AS tok FROM documents),
+         |agg AS (
+         |  SELECT doc_id,
+         |    $sums
+         |  FROM toks GROUP BY doc_id),
+         |h AS (
+         |  SELECT doc_id, $bits AS simhash, substr($bits, 1, 8) AS sim_bucket
+         |  FROM agg)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  $hamming AS hamming_dist
+         |FROM h a JOIN h b ON a.sim_bucket = b.sim_bucket AND a.doc_id < b.doc_id
+         |WHERE $hamming <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin
     },
 
     "q_ngram_jaccard" ->

@@ -123,6 +123,19 @@ class LlmSpec extends AnyFunSuite {
     assert(viaSql.forall(c => math.abs(c - 1.0) < 1e-9))
   }
 
+  test("native hamming expression matches a reference implementation") {
+    graft.functions.NativeFunctions.register(spark)
+    val d = Seq(("1010", "1010"), ("1010", "0110"), ("1111", "0000"), ("10", "1011"))
+      .toDF("a", "b")
+    val got = d.select(graft.functions.NativeFunctions.hamming(col("a"), col("b")))
+      .as[Int].collect().toSeq
+    assert(got == Seq(0, 2, 4, 2))
+    // SQL surface
+    d.createOrReplaceTempView("ham_v")
+    assert(spark.sql("SELECT hamming(a, b) FROM ham_v").as[Int].collect().toSeq ==
+      Seq(0, 2, 4, 2))
+  }
+
   test("srpBucket: sign pattern of leading dims") {
     val d = Seq(Tuple1(Array(0.5f, -0.25f, 1.0f, -2.0f))).toDF("v")
     assert(d.select(SimilarityOps.srpBucket(col("v"), 4)).as[String].head() == "1010")
