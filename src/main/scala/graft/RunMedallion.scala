@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.layers.Medallion
+
+/** CLI: run the full bronze→silver→gold medallion pipeline over an
+  * Instacart-shaped raw CSV directory (orders.csv, order_products_prior.csv,
+  * order_products_train.csv, products.csv, aisles.csv, departments.csv). */
+object RunMedallion {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 2, "usage: RunMedallion <rawCsvDir> <outDir>")
+    val Array(rawDir, outDir) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val counts = Medallion.runAll(spark, Medallion.Config(
+      rawDir = rawDir, bronzeDir = s"$outDir/bronze",
+      silverDir = s"$outDir/silver", goldDir = s"$outDir/gold"))
+    counts.toSeq.sortBy(_._1).foreach { case (t, n) => println(s"TABLE $t rows=$n") }
+    spark.stop()
+  }
+}
