@@ -218,6 +218,70 @@ object RelationalQueries {
           rnd(col("orphans") / col("total_fk"), 6).as("orphan_rate"))
     }),
 
+    // ROLLUP hierarchy totals (subtotal + grand-total rows); null group
+    // markers replaced via coalesce so null-ordering differences between
+    // engines cannot affect the sort.
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("(all)")).as("return_flag"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("line_status"),
+          col("n"), col("sum_qty"))
+        .orderBy(col("return_flag"), col("line_status"))),
+
+    // PIVOT: order counts by priority x status (explicit pivot values ->
+    // deterministic output columns).
+    "q_pivot" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("F"),
+          coalesce(col("O"), lit(0L)).as("O"),
+          coalesce(col("P"), lit(0L)).as("P"))
+        .orderBy(col("o_orderpriority"))),
+
+    // INTERSECT / EXCEPT (distinct set semantics in both engines).
+    "q_setops" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      val op = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      val both = f.intersect(op).agg(count(lit(1)).as("n_both"))
+      val onlyF = f.except(op).agg(count(lit(1)).as("n_only_f"))
+      both.crossJoin(onlyF)
+    }),
+
+    // lead / ntile / first_value / last_value with explicit frames.
+    "q_window_extras" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        col("o_totalprice").as("price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        first_value(col("o_totalprice")).over(w).as("first_price"),
+        last_value(col("o_totalprice")).over(
+          w.rowsBetween(Window.currentRow, Window.unboundedFollowing)).as("last_price"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // Date arithmetic battery (the reference pre-encodes dates as ints;
+    // the engine still owns the date function surface).
+    "q_date_funcs" -> ((s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        datediff(col("o_orderdate"), lit("1995-01-01")).as("days_since_95"),
+        date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd").as("due_date"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"))
+        .orderBy(col("o_orderkey"))),
+
     // Sort-based aggregates: exact interpolated percentiles (median/p90)
     // per group — Spark percentile() and DuckDB quantile_cont share the
     // linear-interpolation definition.
@@ -544,6 +608,54 @@ object RelationalQueries {
         |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphans,
         |  floor(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) / count(*) * 1000000.0 + 0.5) / 1000000.0 AS orphan_rate
         |FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS return_flag,
+        |  coalesce(l_linestatus, '(all)') AS line_status,
+        |  count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY return_flag, line_status""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_setops" ->
+      """SELECT a.n_both, b.n_only_f FROM
+        |  (SELECT count(*) AS n_both FROM (
+        |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |    INTERSECT
+        |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')) a
+        |CROSS JOIN
+        |  (SELECT count(*) AS n_only_f FROM (
+        |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |    EXCEPT
+        |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')) b""".stripMargin,
+
+    "q_window_extras" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice AS price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  ntile(4) OVER w AS quartile,
+        |  first_value(o_totalprice) OVER w AS first_price,
+        |  last_value(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS last_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS y,
+        |  CAST(month(o_orderdate) AS INT) AS m,
+        |  CAST(day(o_orderdate) AS INT) AS d,
+        |  CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS INT) AS days_since_95,
+        |  strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+        |  strftime(last_day(o_orderdate::DATE), '%Y-%m-%d') AS month_end
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_percentile" ->
       """SELECT l_returnflag,
