@@ -64,6 +64,36 @@ object EventQueries {
           col("event_type"), col("n_events"))
         .orderBy(col("window_start"), col("event_type"))),
 
+    // As-of join (operator named in the build brief): for each event, the
+    // latest order of the same user at-or-before the event time. Realized
+    // Spark-first as union + last_value(ignore nulls) over a (key, time)
+    // window — ONE shuffle on the key, no range-join row explosion; ties
+    // on order date resolve to the max order key (tag sorts build rows
+    // before probe rows at equal timestamps -> inclusive as-of).
+    "q_asof_join" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val b = t(s, dir, "orders").select(
+        col("o_custkey").as("k"), col("o_orderdate").as("t"),
+        col("o_orderkey"), col("o_totalprice"),
+        lit(0).as("tag"), lit(null).cast("long").as("event_id"),
+        lit(null).cast("string").as("event_type"))
+      val p = events(s, dir).select(
+        col("user_id").as("k"), col("ts").as("t"),
+        lit(null).cast("long").as("o_orderkey"),
+        lit(null).cast("double").as("o_totalprice"),
+        lit(1).as("tag"), col("event_id"), col("event_type"))
+      val w = Window.partitionBy(col("k"))
+        .orderBy(col("t"), col("tag"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      b.unionByName(p)
+        .withColumn("last_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(w))
+        .withColumn("last_price", last(col("o_totalprice"), ignoreNulls = true).over(w))
+        .filter(col("tag") === 1)
+        .select(col("event_id"), col("event_type"), col("k").as("user_id"),
+          col("last_orderkey"), col("last_price"))
+        .orderBy(col("event_id"))
+    }),
+
     // Gap-based sessions (30 min), aggregated to session grain.
     "q_events_sessionize" -> ((s, dir) =>
       sessionize(events(s, dir), 1800L)
@@ -92,6 +122,40 @@ object EventQueries {
         |SELECT strftime(make_timestamp(wstart*1000000), '%Y-%m-%d %H:%M:%S') AS window_start,
         |  event_type, count(*) AS n_events
         |FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH u AS (
+        |  SELECT o_custkey AS k, o_orderdate AS t, o_orderkey, o_totalprice,
+        |    0 AS tag, NULL::BIGINT AS event_id, NULL::VARCHAR AS event_type
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT user_id, ts, NULL, NULL, 1, event_id, event_type FROM events),
+        |w AS (
+        |  SELECT *,
+        |    last_value(o_orderkey IGNORE NULLS) OVER win AS last_orderkey,
+        |    last_value(o_totalprice IGNORE NULLS) OVER win AS last_price
+        |  FROM u
+        |  WINDOW win AS (PARTITION BY k ORDER BY t, tag, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, event_type, k AS user_id, last_orderkey, last_price
+        |FROM w WHERE tag = 1 ORDER BY event_id""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH u AS (
+        |  SELECT o_custkey AS k, o_orderdate AS t, o_orderkey, o_totalprice,
+        |    0 AS tag, NULL::BIGINT AS event_id, NULL::VARCHAR AS event_type
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT user_id, ts, NULL, NULL, 1, event_id, event_type FROM events),
+        |w AS (
+        |  SELECT *,
+        |    last_value(o_orderkey IGNORE NULLS) OVER win AS last_orderkey,
+        |    last_value(o_totalprice IGNORE NULLS) OVER win AS last_price
+        |  FROM u
+        |  WINDOW win AS (PARTITION BY k ORDER BY t, tag, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, event_type, k AS user_id, last_orderkey, last_price
+        |FROM w WHERE tag = 1 ORDER BY event_id""".stripMargin,
 
     "q_events_sessionize" ->
       """WITH flagged AS (
