@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 50+ benchmarked queries generate enough whole-stage-codegen classes to
+  // exhaust the default 240MB code cache, after which JIT compilation
+  // thrashes and random queries stall 50-100x (observed single-core
+  // compile stalls). Size it generously and allow flushing.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
 )
