@@ -82,6 +82,13 @@ object TextOps {
       when(s > 0, "1").otherwise("0")
     }: _*)
 
+  /** Deterministic [0,1000) bucket from a key — md5-based so the split is
+    * stable across runs, engines, partitionings, and cluster sizes (the
+    * property a train/val/test split MUST have; rand()-based sampling has
+    * none of them). Portable: DuckDB computes the identical bucket. */
+  def hashBucket1000(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long") % 1000L
+
   /** Exact-duplicate cluster key: md5 of the raw text. */
   def exactKey(text: Column): Column = md5(text)
 

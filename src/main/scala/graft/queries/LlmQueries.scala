@@ -176,6 +176,43 @@ object LlmQueries {
         .orderBy(col("doc_a"))
     }),
 
+    // Deterministic train/val/test split (80/10/10) by stable hash bucket
+    // — reproducible across runs/engines/cluster sizes, unlike rand().
+    "q_split_assign" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("bucket", hashBucket1000(col("doc_id")))
+        .withColumn("split",
+          when(col("bucket") < 800, "train")
+            .when(col("bucket") < 900, "val")
+            .otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy(col("split"))),
+
+    // Stratified deterministic sample: first n docs per language by hash
+    // order (window over strata; the hash makes "first" stable).
+    "q_sample_stratified" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(hashBucket1000(col("doc_id")), col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select(col("lang"), col("doc_id"), col("rn"))
+        .orderBy(col("lang"), col("rn"))
+    }),
+
+    // Corpus vocabulary: top-20 tokens by frequency (explode -> count ->
+    // ordered limit with tie-break).
+    "q_top_terms" -> ((s, dir) =>
+      spreadSmallInput(t(s, dir, "documents"))
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token"))
+        .limit(20)),
+
     // --- similarity search -------------------------------------------------
     "q_embed_pairs" -> ((s, dir) => {
       graft.functions.NativeFunctions.register(s)
@@ -436,6 +473,29 @@ object LlmQueries {
          |    CAST(len(list_distinct(list_cat(a.ts, b.ts))) AS DOUBLE) AS jaccard_sim
          |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
          |ORDER BY doc_a""".stripMargin,
+
+    "q_split_assign" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000 AS bucket
+        |  FROM documents)
+        |SELECT CASE WHEN bucket < 800 THEN 'train'
+        |  WHEN bucket < 900 THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
+
+    "q_sample_stratified" ->
+      """SELECT lang, doc_id, CAST(rn AS INT) AS rn FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang ORDER BY
+        |      ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 10 ORDER BY lang, rn""".stripMargin,
+
+    "q_top_terms" ->
+      s"""SELECT token, count(*) AS freq
+         |FROM (SELECT unnest($W) AS token FROM documents)
+         |GROUP BY token ORDER BY freq DESC, token LIMIT 20""".stripMargin,
 
     "q_embed_pairs" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
