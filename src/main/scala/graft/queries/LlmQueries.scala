@@ -213,6 +213,30 @@ object LlmQueries {
         .orderBy(col("freq").desc, col("token"))
         .limit(20)),
 
+    // TF-IDF: term frequency per (doc, token), document frequency per
+    // token, idf = ln(N/df); emits each doc's top-scoring term. The df
+    // table broadcasts here (small vocab); at 100 TB vocabulary scale it
+    // becomes a shuffled join on token instead — same plan shape.
+    // ln() may differ in the last ulp across engines -> score rounded.
+    "q_tfidf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = spreadSmallInput(t(s, dir, "documents"))
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val n = t(s, dir, "documents").agg(count(lit(1)).cast("double").as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score_raw").desc, col("token"))
+      tf.join(broadcast(dfreq), Seq("token"))
+        .crossJoin(broadcast(n))
+        .withColumn("score_raw", col("tf") * log(col("n_docs") / col("df")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("token").as("top_term"), col("tf"), col("df"),
+          rnd(col("score_raw"), 4).as("tfidf"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- similarity search -------------------------------------------------
     "q_embed_pairs" -> ((s, dir) => {
       graft.functions.NativeFunctions.register(s)
@@ -473,6 +497,25 @@ object LlmQueries {
          |    CAST(len(list_distinct(list_cat(a.ts, b.ts))) AS DOUBLE) AS jaccard_sim
          |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
          |ORDER BY doc_a""".stripMargin,
+
+    "q_tfidf" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($W) AS token FROM documents),
+         |tf AS (
+         |  SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |dfreq AS (
+         |  SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+         |    tf.tf * ln(n.n_docs / dfreq.df) AS score_raw
+         |  FROM tf JOIN dfreq USING (token) CROSS JOIN n)
+         |SELECT doc_id, token AS top_term, tf, df,
+         |  floor(score_raw * 1e4 + 0.5) / 1e4 AS tfidf
+         |FROM scored
+         |QUALIFY row_number() OVER (PARTITION BY doc_id
+         |  ORDER BY score_raw DESC, token) = 1
+         |ORDER BY doc_id""".stripMargin,
 
     "q_split_assign" ->
       """WITH b AS (
