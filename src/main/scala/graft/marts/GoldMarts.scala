@@ -149,9 +149,11 @@ object GoldMarts {
         rnd(share(col("day_name") === "Monday"), 4).as("pct_monday"),
         rnd(share(col("l_returnflag") === "R"), 4).as("pct_returned"),
         rnd(share(col("l_quantity") >= 25.0), 4).as("pct_bulk"))
-    withPctOfTotal(agg0, "total_line_items",
-      base.select(col("l_orderkey")), count(lit(1)).cast("double"),
-      "pct_of_total_items", 4)
+    // Grand total derived from agg0 itself (Σ per-nation line counts ≡
+    // COUNT(*) of base): the 4-way star join executes ONCE. The previous
+    // form re-aggregated `base` for the total, putting the join subtree in
+    // the plan twice — at 100 TB that doubles the dominant scan+join cost.
+    withPctOfTotalFromAgg(agg0, "total_line_items", "pct_of_total_items", 4)
       .orderBy(col("total_line_items").desc, col("nation_id"))
   }
 

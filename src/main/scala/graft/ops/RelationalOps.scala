@@ -69,11 +69,12 @@ object RelationalOps {
       .otherwise("Saturday")
 
   /** P12 BETWEEN range bucketing: hour-of-day → daypart — reference
-    * 02_silver_transform.py:80-83. */
+    * 02_silver_transform.py:80-83. Evening is 17-20 inclusive (hour 21 is
+    * Night, matching the reference's `between(17, 20)`). */
   def hourBucket(hour: Column): Column =
     when(hour.between(5, 11), "Morning")
       .when(hour.between(12, 16), "Afternoon")
-      .when(hour.between(17, 21), "Evening")
+      .when(hour.between(17, 20), "Evening")
       .otherwise("Night")
 
   /** P14-P16 surrogate key: md5 over '_'-joined key parts — reference
@@ -99,6 +100,21 @@ object RelationalOps {
     df.crossJoin(broadcast(totals))
       .withColumn(as, rnd(col(valueCol) * 100.0 / col("_grand_total"), scale))
       .drop("_grand_total")
+  }
+
+  /** A8/J4 percent-of-grand-total derived FROM the aggregated frame itself:
+    * an empty-partition window summing `valueCol` over all groups. Use when
+    * the grand total is recoverable from the group aggregates (grand total
+    * of row counts = Σ per-group counts) — then the expensive pre-agg
+    * subtree (e.g. a multi-way star join) appears in the plan exactly ONCE,
+    * vs. [[withPctOfTotal]] over the raw input which re-executes it.
+    * The window shuffles the post-agg frame to a single partition — fine at
+    * any data scale because group cardinality (departments, nations) is
+    * small by construction; the 100 TB input was already reduced by the agg. */
+  def withPctOfTotalFromAgg(df: DataFrame, valueCol: String, as: String, scale: Int): DataFrame = {
+    val w = Window.partitionBy()
+    df.withColumn(as,
+      rnd(col(valueCol) * 100.0 / sum(col(valueCol)).over(w), scale))
   }
 
   /** O3 top-k: Catalyst plans sort+limit as TakeOrderedAndProject (no full

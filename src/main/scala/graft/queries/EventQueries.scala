@@ -140,23 +140,6 @@ object EventQueries {
         |SELECT event_id, event_type, k AS user_id, last_orderkey, last_price
         |FROM w WHERE tag = 1 ORDER BY event_id""".stripMargin,
 
-    "q_asof_join" ->
-      """WITH u AS (
-        |  SELECT o_custkey AS k, o_orderdate AS t, o_orderkey, o_totalprice,
-        |    0 AS tag, NULL::BIGINT AS event_id, NULL::VARCHAR AS event_type
-        |  FROM orders
-        |  UNION ALL
-        |  SELECT user_id, ts, NULL, NULL, 1, event_id, event_type FROM events),
-        |w AS (
-        |  SELECT *,
-        |    last_value(o_orderkey IGNORE NULLS) OVER win AS last_orderkey,
-        |    last_value(o_totalprice IGNORE NULLS) OVER win AS last_price
-        |  FROM u
-        |  WINDOW win AS (PARTITION BY k ORDER BY t, tag, o_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-        |SELECT event_id, event_type, k AS user_id, last_orderkey, last_price
-        |FROM w WHERE tag = 1 ORDER BY event_id""".stripMargin,
-
     "q_events_sessionize" ->
       """WITH flagged AS (
         |  SELECT user_id, event_id, ts, value,

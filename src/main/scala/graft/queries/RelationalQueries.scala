@@ -296,7 +296,7 @@ object RelationalQueries {
     // Typed Dataset + custom Aggregator[IN,BUF,OUT] (revenue + qty stats
     // per flag) — results identical to the untyped SQL aggregation.
     "q_typed_agg" -> ((s, dir) =>
-      graft.typed.TypedOps.revenueByFlag(graft.typed.TypedOps.lineitems(s, dir))
+      graft.typed.TypedOps.revenueByFlag(graft.typed.TypedOps.lineitemsSlim(s, dir))
         .select(col("l_returnflag"), rnd(col("revenue_raw"), 2).as("revenue"),
           col("n_rows"), col("sum_qty"), col("max_qty"))
         .orderBy(col("l_returnflag"))),

@@ -34,11 +34,15 @@ class OpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq("Saturday", "Sunday", "Friday"))
   }
 
-  test("hourBucket boundaries (reference 02:80-83)") {
-    val out = Seq(4, 5, 11, 12, 16, 17, 21, 22).toDF("h")
-      .select(hourBucket(col("h"))).as[String].collect()
-    assert(out.toSeq == Seq("Night", "Morning", "Morning", "Afternoon",
-      "Afternoon", "Evening", "Evening", "Night"))
+  test("hourBucket: all 24 hours pinned (reference 02:80-83)") {
+    // Morning 5-11, Afternoon 12-16, Evening 17-20, Night otherwise —
+    // the reference's exact BETWEEN boundaries; hour 21 is Night.
+    val out = (0 to 23).toDF("h")
+      .orderBy("h").select(hourBucket(col("h"))).as[String].collect()
+    val expected =
+      Seq.fill(5)("Night") ++ Seq.fill(7)("Morning") ++
+        Seq.fill(5)("Afternoon") ++ Seq.fill(4)("Evening") ++ Seq.fill(3)("Night")
+    assert(out.toSeq == expected)
   }
 
   test("surrogateKey equals md5 of underscore-joined parts (reference 03:85-88)") {
