@@ -28,7 +28,8 @@ object Medallion {
     nullRateDefault: Double = 0.001,     // pipeline_config.yml:14
     nullRateDaysSincePrior: Double = 0.07, // pipeline_config.yml:15
     duplicateRate: Double = 0.0,          // pipeline_config.yml:18-19
-    reconDrift: Double = 0.001)           // pipeline_config.yml:23
+    reconDrift: Double = 0.001,           // pipeline_config.yml:23
+    velocityMinPurchases: Long = 50L)     // HAVING COUNT(*) >= 50 (03_serverless:369)
 
   /** 01_bronze_ingest: CSV → enforced schema → metadata cols → write;
     * prior+train order_products unioned (01:120-140). */
@@ -111,18 +112,26 @@ object Medallion {
     Map("orders" -> nOrders, "order_products" -> spark.read.parquet(s"${cfg.silverDir}/order_products").count())
   }
 
-  /** 03_gold_metrics (serverless semantics): fct_orders star join with md5
-    * surrogate key, partitioned by eval_set; dim_users with segments. */
+  /** 03_gold_metrics (serverless semantics): all FIVE gold tables —
+    * fct_orders (star join + md5 surrogate key, partitioned by eval_set),
+    * dim_users, dim_products, mart_dept_performance, mart_reorder_velocity
+    * (03_gold_metrics_serverless.py:72-371). */
   def runGold(spark: SparkSession, cfg: Config): Map[String, Long] = {
+    // Silver hot tables cached ONCE and shared by all five mart builds
+    // (reference 03_gold_metrics.py:42-44, 73 — S9); without this each
+    // mart re-scans order_products from parquet: 5 full re-reads at 33M+
+    // rows (and 100 TB at scale). Lookups stay uncached: they broadcast.
     val orders = spark.read.parquet(s"${cfg.silverDir}/orders")
+      .drop("_silver_processed_at").cache()
     val op = spark.read.parquet(s"${cfg.silverDir}/order_products")
+      .drop("_silver_processed_at").cache()
     val products = spark.read.parquet(s"${cfg.silverDir}/products")
     val aisles = spark.read.parquet(s"${cfg.silverDir}/aisles")
     val departments = spark.read.parquet(s"${cfg.silverDir}/departments")
 
     // fct_orders (03_serverless:72-121): 4-way star join, broadcast dims
     val fct = op
-      .join(orders.drop("_silver_processed_at"), Seq("order_id"))
+      .join(orders, Seq("order_id"))
       .join(broadcast(products.drop("_silver_processed_at")), Seq("product_id"))
       .join(broadcast(aisles.drop("_silver_processed_at")), Seq("aisle_id"))
       .join(broadcast(departments.drop("_silver_processed_at")), Seq("department_id"))
@@ -162,9 +171,111 @@ object Medallion {
     graft.sources.VersionedTable.write(dimUsers, s"${cfg.goldDir}/dim_users",
       allowEvolution = true)
 
-    Map(
+    // dim_products (03_serverless:192-242): per-product stats from the
+    // op⋈orders join, LEFT JOINs to the aisle/department hierarchy,
+    // COALESCE defaults for never-ordered products, popularity tier
+    val productStats = op.join(orders.select("order_id", "user_id"), Seq("order_id"))
+      .groupBy(col("product_id")).agg(
+        count(col("order_id")).as("times_ordered"),
+        countDistinct(col("user_id")).as("unique_users"),
+        sum(col("reordered")).as("reorder_count"),
+        rnd(avg(col("reordered").cast("double")), 4).as("reorder_rate"),
+        rnd(avg(col("add_to_cart_order")), 2).as("avg_cart_position"))
+    val dimProducts = products.drop("_silver_processed_at")
+      .join(broadcast(aisles.drop("_silver_processed_at")), Seq("aisle_id"), "left")
+      .join(broadcast(departments.drop("_silver_processed_at")), Seq("department_id"), "left")
+      .join(productStats, Seq("product_id"), "left")
+      .select(
+        col("product_id"), col("product_name"),
+        col("aisle_id"), col("aisle").as("aisle_name"),
+        col("department_id"), col("department").as("department_name"),
+        coalesce(col("times_ordered"), lit(0L)).as("times_ordered"),
+        coalesce(col("unique_users"), lit(0L)).as("unique_users"),
+        coalesce(col("reorder_count"), lit(0L)).as("reorder_count"),
+        coalesce(col("reorder_rate"), lit(0.0)).as("reorder_rate"),
+        col("avg_cart_position"))
+      .withColumn("popularity_tier",
+        when(col("times_ordered") >= 10000, "Top Seller")
+          .when(col("times_ordered") >= 1000, "Mid Tier")
+          .otherwise("Long Tail"))
+      .withColumn("_gold_computed_at", current_timestamp())
+    graft.sources.VersionedTable.write(dimProducts, s"${cfg.goldDir}/dim_products",
+      allowEvolution = true)
+
+    // mart_dept_performance (03_serverless:245-308): prior-scope base,
+    // department KPIs + day/time-bucket shares + pct-of-grand-total.
+    // The grand total is derived from the aggregated frame itself (window
+    // over the ~21-row result) so the base join executes once.
+    val deptBase = op
+      .join(orders.filter(col("eval_set") === "prior")
+        .select("order_id", "user_id", "order_day_name", "order_time_bucket"), Seq("order_id"))
+      .join(broadcast(products.select("product_id", "department_id")), Seq("product_id"))
+      .join(broadcast(departments.drop("_silver_processed_at")), Seq("department_id"))
+    val deptAgg = deptBase
+      .groupBy(col("department_id"), col("department").as("department_name"))
+      .agg(
+        countDistinct(col("order_id")).as("total_orders"),
+        count(lit(1)).as("total_line_items"),
+        countDistinct(col("user_id")).as("unique_users"),
+        countDistinct(col("product_id")).as("unique_products"),
+        sum(col("reordered")).as("reorder_line_items"),
+        rnd(avg(col("reordered").cast("double")), 4).as("reorder_rate"),
+        rnd(avg(col("add_to_cart_order")), 2).as("avg_cart_position"),
+        rnd(share(col("order_day_name") === "Saturday"), 4).as("pct_saturday"),
+        rnd(share(col("order_day_name") === "Sunday"), 4).as("pct_sunday"),
+        rnd(share(col("order_time_bucket") === "Morning"), 4).as("pct_morning"),
+        rnd(share(col("order_time_bucket") === "Afternoon"), 4).as("pct_afternoon"),
+        rnd(share(col("order_time_bucket") === "Evening"), 4).as("pct_evening"),
+        rnd(share(col("order_time_bucket") === "Night"), 4).as("pct_night"))
+    val martDept = deptAgg
+      .withColumn("pct_of_total_items",
+        rnd(col("total_line_items") /
+          sum(col("total_line_items")).over(org.apache.spark.sql.expressions.Window.partitionBy()), 6))
+      .withColumn("_gold_computed_at", current_timestamp())
+      .orderBy(col("total_line_items").desc)
+    graft.sources.VersionedTable.write(martDept, s"${cfg.goldDir}/mart_dept_performance",
+      allowEvolution = true)
+
+    // mart_reorder_velocity (03_serverless:311-371): purchase-sequence rank
+    // + previous-purchase reorder flag per (user, product), position
+    // buckets, HAVING-gated agg. order_number is the per-user order
+    // sequence (unique within a user), so the window order is deterministic.
+    val seqBase = op
+      .join(orders.filter(col("eval_set") =!= "test")
+        .select("order_id", "user_id", "order_number"), Seq("order_id"))
+      .join(broadcast(products.select("product_id", "product_name", "department_id")), Seq("product_id"))
+      .join(broadcast(departments.drop("_silver_processed_at")), Seq("department_id"))
+    val ranked = lagPrev(
+      sequenceRank(seqBase, Seq("user_id", "product_id"),
+        Seq(col("order_number")), as = "order_rank"),
+      col("reordered"), Seq("user_id", "product_id"), Seq(col("order_number")),
+      0, "prev_reordered")
+      .withColumn("order_position_bucket",
+        when(col("order_rank") === 1, "1st_purchase")
+          .when(col("order_rank") === 2, "2nd_purchase")
+          .when(col("order_rank") === 3, "3rd_purchase")
+          .when(col("order_rank") <= 5, "4th_5th_purchase")
+          .otherwise("6th_plus_purchase"))
+    val martVelocity = ranked
+      .groupBy(col("product_id"), col("product_name"),
+        col("department"), col("order_position_bucket"))
+      .agg(
+        count(lit(1)).as("purchase_count"),
+        rnd(avg(col("reordered").cast("double")), 4).as("reorder_rate_at_position"))
+      .filter(col("purchase_count") >= cfg.velocityMinPurchases)
+      .withColumn("_gold_computed_at", current_timestamp())
+      .orderBy(col("product_id"), col("order_position_bucket"))
+    graft.sources.VersionedTable.write(martVelocity, s"${cfg.goldDir}/mart_reorder_velocity",
+      allowEvolution = true)
+
+    val out = Map(
       "fct_orders" -> graft.sources.VersionedTable.readLatest(spark, s"${cfg.goldDir}/fct_orders").count(),
-      "dim_users" -> graft.sources.VersionedTable.readLatest(spark, s"${cfg.goldDir}/dim_users").count())
+      "dim_users" -> graft.sources.VersionedTable.readLatest(spark, s"${cfg.goldDir}/dim_users").count(),
+      "dim_products" -> graft.sources.VersionedTable.readLatest(spark, s"${cfg.goldDir}/dim_products").count(),
+      "mart_dept_performance" -> graft.sources.VersionedTable.readLatest(spark, s"${cfg.goldDir}/mart_dept_performance").count(),
+      "mart_reorder_velocity" -> graft.sources.VersionedTable.readLatest(spark, s"${cfg.goldDir}/mart_reorder_velocity").count())
+    orders.unpersist(); op.unpersist()
+    out
   }
 
   /** Full pipeline: bronze → silver → gold with gates between layers. */

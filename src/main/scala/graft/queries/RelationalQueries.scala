@@ -354,9 +354,51 @@ object RelationalQueries {
         .withColumn("drift",
           rnd(abs(col("target_rows") - col("source_rows")).cast("double") / col("source_rows"), 6))
         .withColumn("status", when(col("drift") <= 0.01, "PASS").otherwise("FAIL"))
-    }))
+    }),
 
-  val oracle: Map[String, String] = Map(
+    // ── BI verification queries (03_gold_metrics_serverless.py:396-436) ──
+    // The reference's four eyeball queries over the gold tables, as
+    // first-class registry entries over the mart analogues.
+
+    // BI-1: top departments (nations) by return rate (03_serverless:399-403).
+    "q_bi_top_dept" -> ((s, dir) =>
+      topK(GoldMarts.martNationPerformance(t(s, dir, "lineitem"), t(s, dir, "orders"),
+        t(s, dir, "customer"), t(s, dir, "nation"))
+        .select(col("nation_name"), col("pct_returned"),
+          col("total_line_items"), col("pct_of_total_items")),
+        10, col("pct_returned").desc, col("nation_name"))),
+
+    // BI-2: user segment breakdown with GROUP BY ordinal semantics
+    // (03_serverless:407-413).
+    "q_bi_segments" -> ((s, dir) =>
+      GoldMarts.dimUsers(t(s, dir, "customer"), t(s, dir, "orders"), t(s, dir, "lineitem"))
+        .groupBy(col("frequency_segment"), col("basket_segment"))
+        .agg(count(lit(1)).as("user_count"))
+        .orderBy(col("user_count").desc, col("frequency_segment"), col("basket_segment"))),
+
+    // BI-3: top-10 most-returned products among frequently ordered ones
+    // (03_serverless:417-424: reorder_rate DESC with a times_ordered floor).
+    "q_bi_top_products" -> ((s, dir) =>
+      topK(GoldMarts.dimProducts(t(s, dir, "part"), t(s, dir, "lineitem"), t(s, dir, "orders"))
+        .filter(col("times_ordered") >= 20)
+        .select(col("product_id"), col("product_name"), col("brand"),
+          col("return_rate"), col("times_ordered"), col("avg_cart_position")),
+        10, col("return_rate").desc, col("product_id"))),
+
+    // BI-4: fastest habit-forming products — highest early-position repeat
+    // signal with a volume floor (03_serverless:428-436). The mart runs
+    // un-HAVING'd (minPurchases=1) because repeat purchases of the same
+    // part are rare in the testdata; the BI floor (>= 2) plays the
+    // reference's `purchase_count >= 500` role.
+    "q_bi_habit" -> ((s, dir) =>
+      topK(GoldMarts.martRepeatVelocity(t(s, dir, "lineitem"), t(s, dir, "orders"),
+        minPurchases = 1L)
+        .filter(col("position_bucket") === "early" && col("purchase_count") >= 2)
+        .select(col("product_id"), col("position_bucket"),
+          col("purchase_count"), col("prev_return_rate")),
+        10, col("prev_return_rate").desc, col("product_id"))))
+
+  private val oracleBase: Map[String, String] = Map(
 
     "q_scan_table" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_returnflag
@@ -701,4 +743,31 @@ object RelationalQueries {
         |  CASE WHEN floor(abs(target_rows - source_rows) / source_rows * 1000000.0 + 0.5) / 1000000.0 <= 0.01
         |    THEN 'PASS' ELSE 'FAIL' END AS status
         |FROM s CROSS JOIN t""".stripMargin)
+
+  /** BI verification oracles derive from the mart oracles (single source of
+    * truth: any change to a mart's SQL flows into its BI query's oracle). */
+  val oracle: Map[String, String] = oracleBase ++ Map(
+
+    "q_bi_top_dept" ->
+      s"""SELECT nation_name, pct_returned, total_line_items, pct_of_total_items
+         |FROM (${oracleBase("q_mart_dept")})
+         |ORDER BY pct_returned DESC, nation_name LIMIT 10""".stripMargin,
+
+    "q_bi_segments" ->
+      s"""SELECT frequency_segment, basket_segment, count(*) AS user_count
+         |FROM (${oracleBase("q_dim_users")})
+         |GROUP BY 1, 2
+         |ORDER BY user_count DESC, 1, 2""".stripMargin,
+
+    "q_bi_top_products" ->
+      s"""SELECT product_id, product_name, brand, return_rate, times_ordered, avg_cart_position
+         |FROM (${oracleBase("q_dim_products")})
+         |WHERE times_ordered >= 20
+         |ORDER BY return_rate DESC, product_id LIMIT 10""".stripMargin,
+
+    "q_bi_habit" ->
+      s"""SELECT product_id, position_bucket, purchase_count, prev_return_rate
+         |FROM (${oracleBase("q_mart_velocity").replace("HAVING count(*) >= 3", "HAVING count(*) >= 1")})
+         |WHERE position_bucket = 'early' AND purchase_count >= 2
+         |ORDER BY prev_return_rate DESC, product_id LIMIT 10""".stripMargin)
 }

@@ -44,7 +44,8 @@ class MedallionSpec extends AnyFunSuite {
   private def cfg(root: String) = Medallion.Config(
     rawDir = s"$root/raw", bronzeDir = s"$root/bronze",
     silverDir = s"$root/silver", goldDir = s"$root/gold",
-    nullRateDaysSincePrior = 0.6, reconDrift = 0.2)
+    nullRateDaysSincePrior = 0.6, reconDrift = 0.2,
+    velocityMinPurchases = 1L) // reference HAVING >= 50; fixture has 9 line items
 
   test("full pipeline: bronze counts, silver dedup, gold marts, partitioned fct") {
     val root = Files.createTempDirectory("graft_medallion").toString
@@ -55,6 +56,22 @@ class MedallionSpec extends AnyFunSuite {
     assert(counts("orders") == 6)           // 7 bronze - 1 dup
     assert(counts("fct_orders") == 9)       // star join preserves silver grain
     assert(counts("dim_users") == 3)
+    assert(counts("dim_products") == 3)     // one row per product
+    // prior-scope base: orders 1,2,4,5 → 7 line items over 2 departments
+    assert(counts("mart_dept_performance") == 2)
+    // velocity buckets (eval_set != test): product 100 → 1st/2nd/3rd,
+    // 101 → 1st/2nd, 102 → 1st/2nd = 7 (product, bucket) groups
+    assert(counts("mart_reorder_velocity") == 7)
+    // spot-check mart semantics on the fixture
+    import spark.implicits._
+    val dept = spark.read.parquet(s"$root/gold/mart_dept_performance/v=1")
+    val pctSum = dept.agg(org.apache.spark.sql.functions.sum($"pct_of_total_items"))
+      .as[Double].head()
+    assert(math.abs(pctSum - 1.0) < 1e-4, s"dept pcts sum to $pctSum")
+    val vel = spark.read.parquet(s"$root/gold/mart_reorder_velocity/v=1")
+      .filter($"product_id" === 100 && $"order_position_bucket" === "2nd_purchase")
+      .select($"reorder_rate_at_position").as[Double].head()
+    assert(vel == 1.0) // the single 2nd purchase of product 100 was a reorder
     // partitionBy(eval_set) layout → partition pruning for eval_set filters
     val parts = new java.io.File(s"$root/gold/fct_orders/v=1").listFiles()
       .map(_.getName).filter(_.startsWith("eval_set="))
