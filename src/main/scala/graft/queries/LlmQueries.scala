@@ -214,23 +214,27 @@ object LlmQueries {
         .limit(20)),
 
     // TF-IDF: term frequency per (doc, token), document frequency per
-    // token, idf = ln(N/df); emits each doc's top-scoring term. The df
-    // table broadcasts here (small vocab); at 100 TB vocabulary scale it
-    // becomes a shuffled join on token instead — same plan shape.
+    // token, idf = ln(N/df); emits each doc's top-scoring term. df comes
+    // from a count-over-token window on the tf frame — ONE pipeline
+    // (tokens → (doc,token) agg → token window → doc window). The earlier
+    // broadcast(dfreq) formulation recomputed the whole explode+agg
+    // subtree on the broadcast thread (derived-frame broadcast = duplicate
+    // execution) and was bimodal in the bench; the window form also scales:
+    // no assumption that the vocabulary fits in the driver.
     // ln() may differ in the last ulp across engines -> score rounded.
     "q_tfidf" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val toks = spreadSmallInput(t(s, dir, "documents"))
         .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
       val n = t(s, dir, "documents").agg(count(lit(1)).cast("double").as("n_docs"))
-      val w = Window.partitionBy(col("doc_id"))
+      val wTok = Window.partitionBy(col("token"))
+      val wDoc = Window.partitionBy(col("doc_id"))
         .orderBy(col("score_raw").desc, col("token"))
-      tf.join(broadcast(dfreq), Seq("token"))
+      tf.withColumn("df", count(lit(1)).over(wTok))
         .crossJoin(broadcast(n))
         .withColumn("score_raw", col("tf") * log(col("n_docs") / col("df")))
-        .withColumn("rn", row_number().over(w))
+        .withColumn("rn", row_number().over(wDoc))
         .filter(col("rn") === 1)
         .select(col("doc_id"), col("token").as("top_term"), col("tf"), col("df"),
           rnd(col("score_raw"), 4).as("tfidf"))
