@@ -33,8 +33,15 @@ object SimilarityOps {
     * directions: bit i = sign(vᵢ). Axis-aligned hyperplanes keep the hash
     * engine-portable (no RNG); for production, rotate with a fixed seed
     * matrix — the bucketing/join shape is identical. */
-  def srpBucket(v: Column, bits: Int): Column =
-    concat((1 to bits).map(i =>
+  def srpBucket(v: Column, bits: Int): Column = srpBucketAt(v, 1, bits)
+
+  /** SRP bucket over axis directions [start, start+bits) — the building
+    * block of multi-table (OR-amplified) LSH: table t hashes dims
+    * [t·bits+1, (t+1)·bits], vectors colliding in ANY table become
+    * candidates. Wider buckets cut the per-bucket pair count (2^bits
+    * buckets/table); more tables restore recall. */
+  def srpBucketAt(v: Column, start: Int, bits: Int): Column =
+    concat((start until start + bits).map(i =>
       when(element_at(v, i) >= 0.0f, "1").otherwise("0")): _*)
 
   /** Brute-force cosine top-k against a 1-row query DataFrame (broadcast

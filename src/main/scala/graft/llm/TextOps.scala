@@ -82,6 +82,32 @@ object TextOps {
       when(s > 0, "1").otherwise("0")
     }: _*)
 
+  private val HexHighBit = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+  private val HexSecondBit = Seq("4", "5", "6", "7", "c", "d", "e", "f")
+
+  /** 64-bit SimHash — the corpus-scale fingerprint (the 16-bit variant
+    * above caps the LSH space at 256 buckets, so candidate pairs grow
+    * O(n²/256); 64 bits with 4×16-bit bands keeps each band's bucket
+    * space at 2^16 and the hamming test at full precision — the standard
+    * Manku/Jain/Sarma web-dedup configuration).
+    *
+    * Two bits per md5 hex char (high bit + second bit of each nibble), so
+    * one digest per token serves all 64 bit positions. Computed as ONE
+    * fold over the token-hash array with a 64-counter accumulator —
+    * constant generated-code size per bit position, versus 64 separate
+    * `aggregate` folds which would re-walk the array 64× and quadruple
+    * the Janino compile volume the bench notes flag. */
+  def simhash64FromHashes(hashArr: Column): Column =
+    aggregate(
+      hashArr,
+      array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc, array((1 to 64).map { j =>
+        val nib = substring(h, (j + 1) / 2, 1)
+        val ones = if (j % 2 == 1) HexHighBit else HexSecondBit
+        when(nib.isin(ones: _*), 1).otherwise(-1)
+      }: _*), (a, c) => a + c),
+      acc => array_join(transform(acc, s => when(s > 0, "1").otherwise("0")), ""))
+
   /** Deterministic [0,1000) bucket from a key — md5-based so the split is
     * stable across runs, engines, partitionings, and cluster sizes (the
     * property a train/val/test split MUST have; rand()-based sampling has

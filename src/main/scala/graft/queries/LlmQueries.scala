@@ -164,6 +164,45 @@ object LlmQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // 64-bit SimHash signatures + 4×16-bit LSH band keys — the
+    // corpus-scale configuration (the 16-bit demo above has only 256
+    // buckets, so candidates grow O(n²/256); here each band has 2^16
+    // buckets and the hamming test runs at full 64-bit precision).
+    "q_simhash64" -> ((s, dir) => {
+      val cols = Seq(col("doc_id"), col("simhash64")) ++
+        (0 until 4).map(bd => substring(col("simhash64"), bd * 16 + 1, 16).as(s"band$bd"))
+      spreadSmallInput(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          simhash64FromHashes(tokenHashes(tokens(col("text")))).as("simhash64"))
+        .select(cols: _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Near-dup pairs from the 64-bit fingerprint: candidates share at
+    // least one 16-bit band (equi-join per band, unpivoted in one
+    // explode pass), exact filter by codegen'd hamming over all 64 bits.
+    // DISTINCT collapses pairs that collide in several bands.
+    "q_simhash64_pairs" -> ((s, dir) => {
+      graft.functions.NativeFunctions.register(s)
+      val h = spreadSmallInput(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          simhash64FromHashes(tokenHashes(tokens(col("text")))).as("sh"))
+        .localCheckpoint()
+      val bands = h.select(col("doc_id"), col("sh"), explode(array(
+        (0 until 4).map(bd => struct(lit(bd).as("band_id"),
+          substring(col("sh"), bd * 16 + 1, 16).as("bkey"))): _*)).as("b"))
+        .select(col("doc_id"), col("sh"), col("b.band_id"), col("b.bkey"))
+      val a = bands.as("a"); val b = bands.as("b")
+      a.join(b, col("a.band_id") === col("b.band_id") && col("a.bkey") === col("b.bkey") &&
+        col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          graft.functions.NativeFunctions.hamming(
+            col("a.sh"), col("b.sh")).as("hamming_dist"))
+        .distinct()
+        .filter(col("hamming_dist") <= 8)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     "q_ngram_jaccard" -> ((s, dir) => {
       val d = t(s, dir, "documents")
         .select(col("doc_id"), array_distinct(tokens(col("text"))).as("ts"))
@@ -295,6 +334,30 @@ object LlmQueries {
         .orderBy(col("vec_a"), col("vec_b"))
     }),
 
+    // Multi-table SRP near-dup — the corpus-scale embedding dedup: 4
+    // independent 16-bit hash tables (dims 1-16, 17-32, 33-48, 49-64);
+    // a pair is a candidate if it collides in ANY table
+    // (OR-amplification). Versus the single 8-bit table above: 2^16
+    // buckets per table caps the per-bucket pair blowup, while 4 tables
+    // recover the recall a single wide hash loses.
+    "q_dedup_embedding_mt" -> ((s, dir) => {
+      graft.functions.NativeFunctions.register(s)
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), explode(array(
+          (0 until 4).map(tb => struct(lit(tb).as("tbl"),
+            srpBucketAt(col("embedding"), tb * 16 + 1, 16).as("bucket"))): _*)).as("h"))
+        .select(col("vec_id"), col("embedding"), col("h.tbl"), col("h.bucket"))
+      val a = e.as("a"); val b = e.as("b")
+      a.join(b, col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          graft.functions.NativeFunctions.cosineSim(
+            col("a.embedding"), col("b.embedding")).as("cos_sim"))
+        .distinct()
+        .filter(col("cos_sim") > 0.0)
+        .orderBy(col("vec_a"), col("vec_b"))
+    }),
+
     // IVF-style ANN: coarse quantizer (16 sampled centroid vectors), each
     // vector assigned to its nearest centroid (inverted lists), query
     // probes its nprobe=2 best lists only. At scale: centroids broadcast,
@@ -360,6 +423,26 @@ object LlmQueries {
   private val SHINGLES =
     s"""CASE WHEN len(w) >= 3 THEN list_transform(generate_series(1, len(w) - 2),
        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE [] END""".stripMargin
+
+  /** 64-bit simhash oracle fragments: two bits per md5 hex char (high +
+    * second nibble bit), mirroring TextOps.simhash64FromHashes. */
+  private val SIM64_SUMS = (1 to 64).map { j =>
+    val ones = if (j % 2 == 1) "('8','9','a','b','c','d','e','f')"
+               else "('4','5','6','7','c','d','e','f')"
+    s"sum(CASE WHEN substr(md5(tok), ${(j + 1) / 2}, 1) IN $ones THEN 1 ELSE -1 END) AS b$j"
+  }.mkString(",\n    ")
+  private val SIM64_BITS = (1 to 64).map(j => s"(CASE WHEN b$j > 0 THEN '1' ELSE '0' END)")
+    .mkString(" || ")
+
+  /** SRP bucket over dims [start, start+16) for the multi-table oracle. */
+  private def srpBucketSql(tbl: String, start: Int): String =
+    (start until start + 16).map(k =>
+      s"(CASE WHEN $tbl.embedding[$k] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+
+  private val CosSql =
+    """list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+      |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+      |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))""".stripMargin
 
   val oracle: Map[String, String] = Map(
 
@@ -492,6 +575,40 @@ object LlmQueries {
          |ORDER BY doc_a, doc_b""".stripMargin
     },
 
+    "q_simhash64" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($W) AS tok FROM documents),
+         |agg AS (
+         |  SELECT doc_id,
+         |    $SIM64_SUMS
+         |  FROM toks GROUP BY doc_id)
+         |SELECT doc_id, $SIM64_BITS AS simhash64,
+         |  substr($SIM64_BITS, 1, 16) AS band0,
+         |  substr($SIM64_BITS, 17, 16) AS band1,
+         |  substr($SIM64_BITS, 33, 16) AS band2,
+         |  substr($SIM64_BITS, 49, 16) AS band3
+         |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "q_simhash64_pairs" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($W) AS tok FROM documents),
+         |agg AS (
+         |  SELECT doc_id,
+         |    $SIM64_SUMS
+         |  FROM toks GROUP BY doc_id),
+         |h AS (SELECT doc_id, $SIM64_BITS AS sh FROM agg),
+         |bands AS (
+         |  SELECT doc_id, sh, 0 AS band_id, substr(sh, 1, 16) AS bkey FROM h UNION ALL
+         |  SELECT doc_id, sh, 1, substr(sh, 17, 16) FROM h UNION ALL
+         |  SELECT doc_id, sh, 2, substr(sh, 33, 16) FROM h UNION ALL
+         |  SELECT doc_id, sh, 3, substr(sh, 49, 16) FROM h)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(hamming(a.sh, b.sh) AS INTEGER) AS hamming_dist
+         |FROM bands a JOIN bands b
+         |  ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |WHERE hamming(a.sh, b.sh) <= 8
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
     "q_ngram_jaccard" ->
       s"""WITH d AS (SELECT doc_id, list_distinct($W) AS ts FROM documents)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -589,6 +706,21 @@ object LlmQueries {
         |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
         |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) > 0.25
         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "q_dedup_embedding_mt" -> {
+      val unions = (0 until 4).map(t =>
+        s"""SELECT vec_id, embedding, $t AS tbl,
+           |    ${srpBucketSql("embeddings", t * 16 + 1)} AS bucket FROM embeddings""".stripMargin)
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH bk AS (
+         |  $unions)
+         |SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  $CosSql AS cos_sim
+         |FROM bk a JOIN bk b
+         |  ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE $CosSql > 0.0
+         |ORDER BY vec_a, vec_b""".stripMargin
+    },
 
     "q_ann_ivf" ->
       """WITH cents AS (

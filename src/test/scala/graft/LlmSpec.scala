@@ -78,6 +78,23 @@ class LlmSpec extends AnyFunSuite {
     assert(hamming(hashes(0L), hashes(3L)) > 4)
   }
 
+  test("simhash64: near-dups collide on a 16-bit band and stay within small hamming") {
+    val hashes = docs
+      .select(col("doc_id"),
+        simhash64FromHashes(tokenHashes(tokens(col("text")))).as("h"))
+      .as[(Long, String)].collect().toMap
+    def hamming(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    def bands(h: String) = (0 until 4).map(b => h.substring(b * 16, b * 16 + 16))
+    assert(hashes.values.forall(h => h.length == 64 && h.forall(c => c == '0' || c == '1')))
+    assert(hashes(0L) == hashes(1L))                      // exact dup: identical fingerprint
+    assert(hamming(hashes(0L), hashes(2L)) <= 8)          // near-dup: close in 64-bit space
+    assert(hamming(hashes(0L), hashes(3L)) > 16)          // unrelated: far
+    // the LSH recall property: the near-dup pair shares at least one band,
+    // the unrelated pair shares none
+    assert(bands(hashes(0L)).zip(bands(hashes(2L))).exists { case (x, y) => x == y })
+    assert(!bands(hashes(0L)).zip(bands(hashes(3L))).exists { case (x, y) => x == y })
+  }
+
   test("jaccard: permutation = 1.0; disjoint = 0.0") {
     val d = Seq((0L, "a b c"), (1L, "c b a"), (2L, "x y z")).toDF("doc_id", "text")
       .select(col("doc_id"), array_distinct(tokens(col("text"))).as("ts"))
@@ -139,6 +156,12 @@ class LlmSpec extends AnyFunSuite {
   test("srpBucket: sign pattern of leading dims") {
     val d = Seq(Tuple1(Array(0.5f, -0.25f, 1.0f, -2.0f))).toDF("v")
     assert(d.select(SimilarityOps.srpBucket(col("v"), 4)).as[String].head() == "1010")
+  }
+
+  test("srpBucketAt: table t reads its own dim range; identical vectors collide in all tables") {
+    val d = Seq(Tuple1(Array(0.5f, -0.25f, 1.0f, -2.0f, 0.1f, 0.2f, -0.3f, 0.4f))).toDF("v")
+    assert(d.select(SimilarityOps.srpBucketAt(col("v"), 1, 4)).as[String].head() == "1010")
+    assert(d.select(SimilarityOps.srpBucketAt(col("v"), 5, 4)).as[String].head() == "1101")
   }
 
   test("multimodal: feature extraction is deterministic and histogram covers all bytes") {
