@@ -8,8 +8,14 @@ import graft.layers.Medallion
   * order_products_train.csv, products.csv, aisles.csv, departments.csv). */
 object RunMedallion {
   def main(args: Array[String]): Unit = {
-    require(args.length == 2, "usage: RunMedallion <rawCsvDir> <outDir>")
-    val Array(rawDir, outDir) = args
+    val cfg = args match {
+      case Array("--config", yml) => Medallion.configFromYaml(yml)
+      case Array(rawDir, outDir) => Medallion.Config(
+        rawDir = rawDir, bronzeDir = s"$outDir/bronze",
+        silverDir = s"$outDir/silver", goldDir = s"$outDir/gold")
+      case _ => sys.error(
+        "usage: RunMedallion <rawCsvDir> <outDir> | RunMedallion --config <pipeline_config.yml>")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -18,9 +24,7 @@ object RunMedallion {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val counts = Medallion.runAll(spark, Medallion.Config(
-      rawDir = rawDir, bronzeDir = s"$outDir/bronze",
-      silverDir = s"$outDir/silver", goldDir = s"$outDir/gold"))
+    val counts = Medallion.runAll(spark, cfg)
     counts.toSeq.sortBy(_._1).foreach { case (t, n) => println(s"TABLE $t rows=$n") }
     spark.stop()
   }

@@ -25,15 +25,38 @@ object Medallion {
 
   final case class Config(
     rawDir: String, bronzeDir: String, silverDir: String, goldDir: String,
+    nullRateRequired: Double = 0.0,      // required cols: 02_silver_transform.py:59-63
     nullRateDefault: Double = 0.001,     // pipeline_config.yml:14
     nullRateDaysSincePrior: Double = 0.07, // pipeline_config.yml:15
     duplicateRate: Double = 0.0,          // pipeline_config.yml:18-19
     reconDrift: Double = 0.001,           // pipeline_config.yml:23
     velocityMinPurchases: Long = 50L)     // HAVING COUNT(*) >= 50 (03_serverless:369)
 
+  /** Load a [[Config]] from a pipeline_config.yml — the reference drives
+    * paths/thresholds from configs/pipeline_config.yml; this reads the same
+    * file shape via [[graft.util.PipelineConfig]]. Thresholds missing from
+    * the file keep the reference defaults. */
+  def configFromYaml(path: String): Config = {
+    val c = graft.util.PipelineConfig.load(path)
+    Config(
+      rawDir = c.str("paths.data"),
+      bronzeDir = c.str("paths.bronze"),
+      silverDir = c.str("paths.silver"),
+      goldDir = c.str("paths.gold"),
+      nullRateRequired = c.double("quality_thresholds.null_rate_required", 0.0),
+      nullRateDefault = c.double("quality_thresholds.null_rate_default", 0.001),
+      nullRateDaysSincePrior = c.double("quality_thresholds.null_rate_days_since_prior", 0.07),
+      duplicateRate = c.double("quality_thresholds.duplicate_rate_pk", 0.0),
+      reconDrift = c.double("quality_thresholds.reconciliation_threshold", 0.001),
+      velocityMinPurchases = c.int("gold.velocity_min_purchases", 50).toLong)
+  }
+
+  private val log = graft.util.Log("medallion")
+
   /** 01_bronze_ingest: CSV → enforced schema → metadata cols → write;
     * prior+train order_products unioned (01:120-140). */
   def runBronze(spark: SparkSession, cfg: Config): Map[String, Long] = {
+    log.info(s"bronze ingest: ${cfg.rawDir} -> ${cfg.bronzeDir}")
     val tables = Seq(
       ("orders", InstacartSchemas.orders, "orders.csv"),
       ("products", InstacartSchemas.products, "products.csv"),
@@ -63,21 +86,26 @@ object Medallion {
 
   /** 02_silver_transform: dedup → gates → enrich → reconcile → write. */
   def runSilver(spark: SparkSession, cfg: Config): Map[String, Long] = {
+    log.info(s"silver transform: ${cfg.bronzeDir} -> ${cfg.silverDir}")
     // --- orders (02:44-98) ---
     val bronzeOrders = Tables.dropBronzeMeta(
       spark.read.parquet(s"${cfg.bronzeDir}/orders"))
     val sourceOrders = bronzeOrders.count()
     val ordersDedup = dedupFirst(bronzeOrders, Seq("order_id"),
       Seq(col("user_id"), col("order_number")))
-    // single-scan gate profile (reference runs 4 null gates + dup gate)
+    // single-scan gate profile — the reference runs 6 null gates as 6
+    // separate count-job pairs (02:59-65); here ONE aggregation computes
+    // every rate, then each is gated at its reference threshold: required
+    // columns at 0.0 (zero tolerance, 02:59-63), days_since_prior_order at
+    // 0.07 (valid nulls for first orders, 02:64-65).
+    val requiredCols = Seq("order_id", "user_id", "order_number",
+      "order_dow", "order_hour_of_day")
     val (nOrders, nullRates) = Gates.profile(ordersDedup,
-      Seq("order_id", "user_id", "eval_set", "days_since_prior_order"))
-    require(nullRates("order_id") <= cfg.nullRateDefault &&
-      nullRates("user_id") <= cfg.nullRateDefault &&
-      nullRates("eval_set") <= cfg.nullRateDefault,
-      s"null-rate gate breach on orders: $nullRates")
-    Gates.checkNullRate(ordersDedup, "days_since_prior_order",
-      cfg.nullRateDaysSincePrior, "silver") // valid nulls, loose threshold (02:64-65)
+      requiredCols :+ "days_since_prior_order")
+    requiredCols.foreach(c =>
+      Gates.gateNullRate(nullRates(c), c, cfg.nullRateRequired, "silver"))
+    Gates.gateNullRate(nullRates("days_since_prior_order"),
+      "days_since_prior_order", cfg.nullRateDaysSincePrior, "silver")
     Gates.checkDuplicateRate(ordersDedup, Seq("order_id"), cfg.duplicateRate)
     val ordersEnriched = ordersDedup.withColumns(Map(
       "is_first_order" -> (col("order_number") === 1),           // 02:72
@@ -86,6 +114,7 @@ object Medallion {
       "_silver_processed_at" -> current_timestamp()))            // 02:84
     Gates.reconcileRowCounts(sourceOrders, nOrders, cfg.reconDrift, "orders")
     Tables.overwrite(ordersEnriched, s"${cfg.silverDir}/orders")
+    Gates.logLayerStats("silver", "orders", nOrders)
 
     // --- order_products (02:104-142) ---
     val bronzeOp = Tables.dropBronzeMeta(
@@ -109,7 +138,9 @@ object Medallion {
         .withColumn("_silver_processed_at", current_timestamp())
       Tables.overwrite(df, s"${cfg.silverDir}/$name")
     }
-    Map("orders" -> nOrders, "order_products" -> spark.read.parquet(s"${cfg.silverDir}/order_products").count())
+    val nOp = spark.read.parquet(s"${cfg.silverDir}/order_products").count()
+    Gates.logLayerStats("silver", "order_products", nOp)
+    Map("orders" -> nOrders, "order_products" -> nOp)
   }
 
   /** 03_gold_metrics (serverless semantics): all FIVE gold tables —
@@ -117,6 +148,7 @@ object Medallion {
     * dim_users, dim_products, mart_dept_performance, mart_reorder_velocity
     * (03_gold_metrics_serverless.py:72-371). */
   def runGold(spark: SparkSession, cfg: Config): Map[String, Long] = {
+    log.info(s"gold metrics: ${cfg.silverDir} -> ${cfg.goldDir}")
     // Silver hot tables cached ONCE and shared by all five mart builds
     // (reference 03_gold_metrics.py:42-44, 73 — S9); without this each
     // mart re-scans order_products from parquet: 5 full re-reads at 33M+
@@ -274,6 +306,7 @@ object Medallion {
       "dim_products" -> graft.sources.VersionedTable.readLatest(spark, s"${cfg.goldDir}/dim_products").count(),
       "mart_dept_performance" -> graft.sources.VersionedTable.readLatest(spark, s"${cfg.goldDir}/mart_dept_performance").count(),
       "mart_reorder_velocity" -> graft.sources.VersionedTable.readLatest(spark, s"${cfg.goldDir}/mart_reorder_velocity").count())
+    out.foreach { case (table, n) => Gates.logLayerStats("gold", table, n) }
     orders.unpersist(); op.unpersist()
     out
   }

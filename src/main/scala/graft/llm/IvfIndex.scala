@@ -1,0 +1,60 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF (inverted-file) ANN index: the scale path for repeated
+  * similarity queries. Building scans the corpus once and writes the
+  * inverted lists PARTITIONED BY cent_id; a probe then reads only its
+  * nprobe best partitions — a static partition-pruned scan, so query cost
+  * is O(corpus/n_centroids · nprobe) instead of a full scan. At 100 TB
+  * with 4096 centroids and nprobe=8, a probe touches ~0.2% of the data.
+  *
+  * The centroid ranking collects nprobe ids to the driver: that is query
+  * ROUTING over the (small, broadcastable) centroid table — metadata, not
+  * data — and is what makes the partition filter a literal `isin` the
+  * planner prunes statically (visible as PartitionFilters / "partitions
+  * read" in the scan node).
+  */
+object IvfIndex {
+
+  /** Assign every vector to its nearest centroid (broadcast centroids —
+    * one corpus scan, no shuffle except the per-vector top-1 window) and
+    * write the inverted lists partitioned by cent_id.
+    * Centroid schema: (cent_id, cvec). */
+  def build(embeddings: DataFrame, centroids: DataFrame, path: String): Unit = {
+    val spark = embeddings.sparkSession
+    graft.functions.NativeFunctions.register(spark)
+    val cos = graft.functions.NativeFunctions.cosineSim _
+    embeddings.crossJoin(broadcast(centroids))
+      .withColumn("cos_c", cos(col("embedding"), col("cvec")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cent_id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id"))
+      .write.mode("overwrite").partitionBy("cent_id").parquet(path)
+  }
+
+  /** Rank centroids against the query, then scan ONLY the nprobe best
+    * partitions of the persisted index and score their vectors. Returns
+    * (vec_id, cent_id, cos_sim) unranked — callers order/limit.
+    * cent_id is cast back to long: partition-directory values read back
+    * with inferred integer type. */
+  def probe(spark: SparkSession, path: String, centroids: DataFrame,
+            query: DataFrame, nprobe: Int): DataFrame = {
+    graft.functions.NativeFunctions.register(spark)
+    val cos = graft.functions.NativeFunctions.cosineSim _
+    val q = query.select(col("embedding").as("qvec"))
+    val probeIds = centroids.crossJoin(broadcast(q))
+      .select(col("cent_id"), cos(col("cvec"), col("qvec")).as("cos_c"))
+      .orderBy(col("cos_c").desc, col("cent_id"))
+      .limit(nprobe)
+      .collect().map(_.getLong(0))
+    spark.read.parquet(path)
+      .filter(col("cent_id").isin(probeIds: _*))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("cent_id").cast("long").as("cent_id"),
+        cos(col("embedding"), col("qvec")).as("cos_sim"))
+  }
+}

@@ -97,13 +97,30 @@ object Gates {
     drift
   }
 
-  /** G5 `assert_row_count_nonzero` — reference quality.py:163-170. */
-  def assertRowCountNonzero(count: Long, tableName: String): Unit =
-    gate(count > 0L, s"[ingest] $tableName has 0 rows — empty ingestion")
+  private val log = graft.util.Log("quality")
 
-  /** G6 `log_layer_stats` — reference quality.py:173-178. */
+  /** G5 `assert_row_count_nonzero` — reference quality.py:163-170. */
+  def assertRowCountNonzero(count: Long, tableName: String): Unit = {
+    gate(count > 0L, s"[ingest] $tableName has 0 rows — empty ingestion")
+    log.info(s"assert_nonzero | PASS | $tableName | $count rows")
+  }
+
+  /** G6 `log_layer_stats` — reference quality.py:173-178; emitted through
+    * the structured logger (utils/logger.py format) so the
+    * `LAYER_COMPLETE | ...` lines stay a grep-able stdout contract. */
   def logLayerStats(layer: String, table: String, rowCount: Long): Unit =
-    println(s"""LAYER_COMPLETE layer=$layer table=$table row_count=$rowCount""")
+    log.info(s"LAYER_COMPLETE | layer=$layer | table=$table | rows=$rowCount" +
+      s" | timestamp=${java.time.Instant.now()}")
+
+  /** Gate a null rate already computed elsewhere (e.g. by [[profile]]'s
+    * fused scan) — same failure contract as [[checkNullRate]] without
+    * re-scanning the table. */
+  def gateNullRate(rate: Double, column: String, threshold: Double,
+                   layer: String = "silver"): Double = {
+    gate(rate <= threshold,
+      f"[$layer] null_rate($column)=$rate%.6f exceeds threshold $threshold%.6f")
+    rate
+  }
 
   private def gate(ok: Boolean, msg: String): Unit =
     if (!ok) throw new DataQualityError(msg)

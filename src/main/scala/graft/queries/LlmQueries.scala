@@ -390,6 +390,25 @@ object LlmQueries {
         .limit(5)
     }),
 
+    // Persisted IVF: same semantics as q_ann_ivf but through the
+    // production layout — inverted lists written partitioned by cent_id,
+    // probe reads ONLY its nprobe=2 partitions (static partition pruning;
+    // IvfSpec asserts the scan's partition count). Same oracle as the
+    // inline variant: the layout must not change the answer.
+    "q_ann_ivf_persisted" -> ((s, dir) => {
+      // deterministic per-SF location: repeated calls (bench warm + timed
+      // runs) overwrite one index instead of leaking temp copies
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_${math.abs(dir.hashCode)}"
+      val e = t(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+      graft.llm.IvfIndex.build(e, cents, out)
+      graft.llm.IvfIndex.probe(s, out, cents, e.filter(col("vec_id") === 0L), 2)
+        .filter(col("vec_id") =!= 0L)
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(5)
+    }),
+
     // --- multimodal plumbing -----------------------------------------------
     "q_multimodal_meta" -> ((s, dir) =>
       MultimodalOps.asMediaTable(t(s, dir, "documents"))
@@ -722,7 +741,19 @@ object LlmQueries {
          |ORDER BY vec_a, vec_b""".stripMargin
     },
 
-    "q_ann_ivf" ->
+    "q_ann_ivf" -> IvfSql,
+
+    // identical SQL: the persisted partitioned layout must return exactly
+    // what the inline IVF computation returns
+    "q_ann_ivf_persisted" -> IvfSql,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id AS id, 'text/plain' AS mime_type,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  md5(text) AS payload_md5
+        |FROM documents ORDER BY id""".stripMargin)
+
+  private lazy val IvfSql =
       """WITH cents AS (
         |  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings WHERE vec_id < 16),
         |scored AS (
@@ -744,11 +775,5 @@ object LlmQueries {
         |     sqrt(list_dot_product(qvec::DOUBLE[], qvec::DOUBLE[]))) AS cos_sim
         |FROM ivf i JOIN probes p ON i.cent_id = p.cent_id CROSS JOIN q
         |WHERE i.vec_id <> 0
-        |ORDER BY cos_sim DESC, i.vec_id LIMIT 5""".stripMargin,
-
-    "q_multimodal_meta" ->
-      """SELECT doc_id AS id, 'text/plain' AS mime_type,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-        |  md5(text) AS payload_md5
-        |FROM documents ORDER BY id""".stripMargin)
+        |ORDER BY cos_sim DESC, i.vec_id LIMIT 5""".stripMargin
 }

@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.FileSourceScanExec
+import graft.llm.IvfIndex
+
+/** Persisted IVF index: the probe must be a statically partition-pruned
+  * scan — only the nprobe inverted lists are read, never the full index.
+  * That property IS the operator (query cost O(corpus/n_centroids·nprobe)),
+  * so it's asserted on the physical plan, not just the result. */
+class IvfSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("probe prunes to exactly nprobe partitions and matches brute force over them") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_spec").toString
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    IvfIndex.build(e, cents, path)
+
+    // the index covers the whole corpus, spread over 16 inverted lists
+    val index = spark.read.parquet(path)
+    assert(index.count() == e.count(), "every vector lands in exactly one list")
+    val listDirs = new java.io.File(path).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("cent_id=")).length
+    assert(listDirs > 2, s"need >2 lists for pruning to be observable, got $listDirs")
+
+    val probe = IvfIndex.probe(spark, path, cents, e.filter(col("vec_id") === 0L), 2)
+    val rows = probe.collect()
+
+    // 1) semantics: only vectors from 2 inverted lists are scored
+    assert(rows.map(_.getLong(1)).distinct.length == 2)
+
+    // 2) plan: the scan carries a partition filter on cent_id and its
+    //    "partitions read" metric shows 2 of the 16 list directories
+    // AQE wraps each materialized stage in a leaf QueryStageExec — descend
+    // into stages to reach the actual scans
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p.collect {
+        case s: FileSourceScanExec => Seq(s)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scansOf(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scansOf(q.plan)
+      }.flatten
+    val finalPlan = probe.queryExecution.executedPlan
+    val scans = scansOf(finalPlan).filter(_.relation.location.rootPaths
+      .exists(_.toString.contains(path.stripPrefix("/"))))
+    assert(scans.nonEmpty,
+      s"expected a file scan over the persisted index in:\n$finalPlan")
+    val scan = scans.head
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "cent_id")),
+      s"expected a static partition filter on cent_id, got ${scan.partitionFilters}")
+    scan.metrics.get("numPartitions").foreach { m =>
+      assert(m.value == 2, s"expected 2 partitions read, got ${m.value}")
+    }
+
+    // 3) correctness: identical to brute-force cosine over the probed lists
+    graft.functions.NativeFunctions.register(spark)
+    val cos = graft.functions.NativeFunctions.cosineSim _
+    val probedCents = rows.map(_.getLong(1)).distinct
+    val q = e.filter(col("vec_id") === 0L).select(col("embedding").as("qvec"))
+    val expect = index.filter(col("cent_id").isin(probedCents: _*))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), cos(col("embedding"), col("qvec")).as("cos_sim"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      assert(math.abs(expect(r.getLong(0)) - r.getDouble(2)) < 1e-12)
+    }
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.util.PipelineConfig
+import graft.layers.Medallion
+
+/** Config-file loading: the YAML-subset parser over the repo's own
+  * configs/pipeline_config.yml, and the Medallion.Config it produces. */
+class PipelineConfigSpec extends AnyFunSuite {
+
+  test("parses the repo pipeline_config.yml: scalars, lists, comments, quotes") {
+    val c = PipelineConfig.load("configs/pipeline_config.yml")
+    assert(c.str("paths.bronze") == "/tmp/graft_lakehouse/bronze")
+    assert(c.double("quality_thresholds.null_rate_required", -1) == 0.0)
+    assert(c.double("quality_thresholds.null_rate_default", -1) == 0.001)
+    assert(c.double("quality_thresholds.null_rate_days_since_prior", -1) == 0.07)
+    assert(c.int("spark.shuffle_partitions", -1) == 32)
+    assert(c.list("tables.gold") == Seq("fct_orders", "dim_users", "dim_products",
+      "mart_dept_performance", "mart_reorder_velocity"))
+    assert(c.list("tables.bronze").contains("order_products"))
+  }
+
+  test("Medallion.configFromYaml maps paths and thresholds onto Config") {
+    val cfg = Medallion.configFromYaml("configs/pipeline_config.yml")
+    assert(cfg.rawDir == "/tmp/graft_lakehouse/raw")
+    assert(cfg.goldDir == "/tmp/graft_lakehouse/gold")
+    assert(cfg.nullRateRequired == 0.0)
+    assert(cfg.nullRateDaysSincePrior == 0.07)
+    assert(cfg.reconDrift == 0.001)
+    assert(cfg.velocityMinPurchases == 50L)
+  }
+
+  test("missing keys fall back to reference defaults; quoted values unquote") {
+    val c = PipelineConfig.parse(Seq(
+      "paths:",
+      "  data: \"/a/b\"  # trailing comment",
+      "  bronze: /raw#no-space-hash-kept-out",
+      "nested:",
+      "  deep:",
+      "    k: 7"))
+    assert(c.str("paths.data") == "/a/b")
+    assert(c.str("paths.bronze") == "/raw#no-space-hash-kept-out")
+    assert(c.str("nested.deep.k") == "7")
+    assert(c.double("quality_thresholds.null_rate_default", 0.001) == 0.001)
+  }
+}
