@@ -48,6 +48,38 @@ object MultimodalOps {
     }
   }
 
+  import org.apache.spark.sql.Column
+
+  /** Uniform frame sampling over a binary payload: treat `media` as
+    * consecutive `frameBytes`-sized frames (video/audio chunking shape) and
+    * keep every stride-th full frame so at most `maxFrames` survive —
+    * `stride = ceil(nFrames/maxFrames)`. Pure codegen'd Columns
+    * (sequence → transform → substr), no UDF: the sampling plan stays
+    * inside whole-stage codegen and the binary column is never copied
+    * whole into an intermediate row. Payloads shorter than one frame
+    * yield an empty array (no partial frames). */
+  def sampleFrames(media: Column, frameBytes: Int, maxFrames: Int): Column = {
+    val nFrames = floor(length(media) / frameBytes).cast("int")
+    val stride = greatest(lit(1),
+      floor((nFrames + lit(maxFrames - 1)) / maxFrames).cast("int"))
+    val idx = when(nFrames > 0, sequence(lit(0), nFrames - 1, stride))
+      .otherwise(lit(Array.empty[Int]))
+    transform(idx, i => media.substr(i * frameBytes + 1, lit(frameBytes)))
+  }
+
+  /** Aspect-preserving resize metadata: scale (w,h) into a (maxW,maxH) box
+    * without upscaling; returns struct(out_w, out_h, scale). The metadata
+    * half of a resize operator — the pixel half plugs into [[extractFeatures]]'s
+    * per-partition decode site. */
+  def resizeDims(width: Column, height: Column, maxW: Int, maxH: Int): Column = {
+    val scale = least(lit(1.0),
+      lit(maxW) / width.cast("double"), lit(maxH) / height.cast("double"))
+    struct(
+      greatest(lit(1), floor(width * scale).cast("int")).as("out_w"),
+      greatest(lit(1), floor(height * scale).cast("int")).as("out_h"),
+      scale.as("scale"))
+  }
+
   /** Wrap a text table as a binary media table (UTF-8 payload) — used by
     * tests and the verified plumbing query; in production the binary column
     * comes from the source (image/audio files, web corpus WARCs). */

@@ -409,6 +409,22 @@ object LlmQueries {
         .limit(5)
     }),
 
+    // Frame sampling (video/audio chunk shape) over the text corpus as
+    // binary payloads: 32-byte frames, ≤8 sampled per doc, md5 per frame.
+    // Oracle note: DuckDB lacks BLOB substring, so its side slices the
+    // VARCHAR — byte==char only because the corpus is pure ASCII (verified
+    // for sf0.01/sf0.1); the Spark side is genuinely byte-based.
+    "q_frame_sample" -> ((s, dir) => {
+      val media = col("text").cast("binary")
+      val nf = floor(length(media) / 32).cast("int")
+      t(s, dir, "documents")
+        .select(col("doc_id"), nf.as("n_frames"),
+          posexplode(MultimodalOps.sampleFrames(media, 32, 8)))
+        .select(col("doc_id"), col("n_frames"),
+          col("pos").cast("int").as("frame_idx"), md5(col("col")).as("frame_md5"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
     // --- multimodal plumbing -----------------------------------------------
     "q_multimodal_meta" -> ((s, dir) =>
       MultimodalOps.asMediaTable(t(s, dir, "documents"))
@@ -746,6 +762,20 @@ object LlmQueries {
     // identical SQL: the persisted partitioned layout must return exactly
     // what the inline IVF computation returns
     "q_ann_ivf_persisted" -> IvfSql,
+
+    "q_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id, text AS media,
+        |         CAST(length(text) // 32 AS INTEGER) AS n_frames
+        |  FROM documents),
+        |s AS (
+        |  SELECT *, GREATEST(1, CAST((n_frames + 7) // 8 AS INTEGER)) AS stride
+        |  FROM f WHERE n_frames > 0)
+        |SELECT doc_id, n_frames,
+        |  CAST(i // stride AS INTEGER) AS frame_idx,
+        |  md5(substring(media, CAST(i*32+1 AS BIGINT), 32)) AS frame_md5
+        |FROM s, generate_series(0, CAST(n_frames-1 AS BIGINT), CAST(stride AS BIGINT)) AS t(i)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id AS id, 'text/plain' AS mime_type,

@@ -71,6 +71,51 @@ object EventsStream {
       }
   }
 
+  /** [[sessionize]] with event-time timeout: open sessions are EMITTED
+    * (not just held) once the watermark passes their last event + gap —
+    * the production semantics where every session eventually leaves the
+    * pipeline. State per user is one SessionState, registered for timeout
+    * at `lastSec + gapSec`; the timeout branch emits the session and
+    * removes the state, so memory is bounded by *active* users only.
+    * Requires a watermark upstream (set here) for EventTimeTimeout. */
+  def sessionizeWithTimeout(events: Dataset[Event], gapSec: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(Session(userId, st.sessionId, st.nEvents, st.total))
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0.0))
+            val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+            for (e <- sorted) {
+              val sec = e.ts.getTime / 1000L
+              if (st.nEvents > 0L && sec - st.lastSec > gapSec) {
+                closed += Session(userId, st.sessionId, st.nEvents, st.total)
+                st = SessionState(st.sessionId + 1, sec, 1L, e.value)
+              } else if (st.nEvents == 0L) {
+                st = SessionState(st.sessionId + 1, sec, 1L, e.value)
+              } else {
+                st = st.copy(lastSec = sec, nEvents = st.nEvents + 1, total = st.total + e.value)
+              }
+            }
+            state.update(st)
+            // fire once no on-time event can extend this session; clamped
+            // above the current watermark (setTimeoutTimestamp rejects
+            // timestamps the watermark has already passed)
+            state.setTimeoutTimestamp(math.max(
+              (st.lastSec + gapSec) * 1000L + 1000L,
+              state.getCurrentWatermarkMs() + 1000L))
+            closed.iterator
+          }
+      }
+  }
+
   /** File-source streaming read of an events parquet directory. */
   def readEventStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventSchema).parquet(dir)

@@ -75,6 +75,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("sessionize with event-time timeout flushes open tails == ALL batch sessions") {
+    // sentinel event far past the data advances the watermark beyond every
+    // real session's (last event + gap), so each open tail times out and
+    // is emitted; only the sentinel user's own session stays in state
+    val flushDir = Files.createTempDirectory("graft_events_flush").toString
+    val base = spark.read.parquet(eventsDir)
+    base.write.mode("overwrite").parquet(flushDir)
+    val maxTs = base.agg(max(col("ts"))).head.getTimestamp(0)
+    Seq((-1L, new java.sql.Timestamp(maxTs.getTime + 30L * 24 * 3600 * 1000), -1L, "flush", 0.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(flushDir)
+
+    val stream = EventsStream.readEventStream(spark, flushDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventsStream.Event]
+    val q = EventsStream.sessionizeWithTimeout(stream, 1800L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_flush_out")
+      .start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("sessions_flush_out")
+      .filter(col("user_id") >= 0L)
+      .select(col("user_id"), col("session_id"), col("n_events"))
+      .as[(Long, Long, Long)].collect().toSet
+
+    val batchAll = EventQueries.sessionize(
+      EventQueries.events(spark, "/root/testdata/sf0.001"), 1800L)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_id").cast("long"), col("n_events"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == batchAll && streamed.nonEmpty)
+  }
+
   test("streaming sessionization == batch sessions (excluding open tails)") {
     val stream = EventsStream.readEventStream(spark, eventsDir)
       .select("event_id", "ts", "user_id", "event_type", "value")
