@@ -28,8 +28,8 @@ object Bench {
     // warm the session machinery (codegen, shuffle service, parquet reader)
     spark.range(1000000L).selectExpr("sum(id % 7)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    def timedMin(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-                 runs: Int): Double =
+    def timedRuns(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                  runs: Int): Seq[Double] =
       (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -38,7 +38,7 @@ object Bench {
         // pressure from earlier queries can't distort later timings
         spark.catalog.clearCache()
         d
-      }.min
+      }
     // two timed runs, report the min: this host has hypervisor-steal
     // windows (accumulated steal visible in /proc/stat) that inject
     // multi-second stalls onto whatever runs during them; the min of
@@ -46,22 +46,39 @@ object Bench {
     var results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
       spark.catalog.clearCache()
-      name -> timedMin(fn, 2)
+      name -> timedRuns(fn, 2)
     }
     // retry pass: a steal window lasts tens of seconds and sweeps the
     // queries that happen to execute inside it (both min-of-2 runs). By
     // the end of the sweep the window has usually passed — re-time any
-    // query that still looks stalled and keep the best observed run.
-    for (_ <- 1 to 2 if results.exists(_._2 > 3.0)) {
-      results = results.map { case (name, dt) =>
-        if (dt > 3.0) name -> math.min(dt, timedMin(SparkEntry.queries(name), 2))
-        else name -> dt
+    // query that still looks stalled. ALL observations are kept: the
+    // reported value is the min (steady state), but min/median/run-count
+    // per query go to bench_detail.json so a genuine regression is
+    // distinguishable from steal-window mitigation (a real slowdown shows
+    // in the median even when retries rescue the min).
+    for (_ <- 1 to 2 if results.exists(_._2.min > 3.0)) {
+      results = results.map { case (name, obs) =>
+        if (obs.min > 3.0) name -> (obs ++ timedRuns(SparkEntry.queries(name), 2))
+        else name -> obs
       }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    // stdout contract: ONE json line, kept compact (3-decimal seconds) so
+    // the full line fits in the driver's bounded output-tail window.
+    val qs = results.map { case (k, obs) => s"\"" + k + "\":" + f3(obs.min) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2.min).sum
+    val detail = results.map { case (k, obs) =>
+      s"""\"$k\":{"min":${f3(obs.min)},"med":${f3(median(obs))},"runs":${obs.length}}"""
+    }.mkString("{", ",", "}")
+    val detailPath = java.nio.file.Paths.get("bench_detail.json")
+    java.nio.file.Files.write(detailPath,
+      s"""{"sf":"$sfDir","total_min":${f3(total)},"queries":$detail}\n""".getBytes("UTF-8"))
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

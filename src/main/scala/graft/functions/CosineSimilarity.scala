@@ -82,6 +82,13 @@ object NativeFunctions {
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hamming", exprs => HammingDistance(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash_bits", exprs => SimHashBits(exprs(0), exprs(1).eval() match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"simhash_bits(arr, bits): bits must be an integer literal, got $other")
+      }), "built-in")
   }
 
   /** Column-API entry points (require register(spark) in the session). */

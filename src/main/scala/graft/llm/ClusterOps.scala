@@ -1,0 +1,62 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate cluster assignment: the step that turns a pair list
+  * (from any of the LSH candidate generators) into "keep one document per
+  * cluster" — the final operation of a production dedup pipeline.
+  *
+  * Connected components by iterative min-label propagation: every vertex
+  * starts labeled with its own id; each round, every vertex adopts the
+  * minimum label among itself and its neighbors; fixpoint = each component
+  * labeled by its minimum member id. Rounds needed = graph diameter
+  * (near-dup clusters are dense and shallow, so this is small in
+  * practice). Each round is one shuffle-join plus one aggregation — the
+  * classic Spark formulation (Kiveris et al., "Connected Components in
+  * MapReduce and Beyond", SoCC'14; their star-contraction variants are
+  * the upgrade path if 100 TB corpora produce deep chain components).
+  * `localCheckpoint` per round truncates the growing lineage — without it
+  * the plan doubles every iteration.
+  */
+object ClusterOps {
+
+  /** Component label per vertex of the undirected edge list `edges`
+    * (columns `doc_a`, `doc_b`): returns (doc_id, cluster_id) for every
+    * vertex that appears in an edge; cluster_id = min doc_id reachable. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val und = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = und.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      // neighbor labels flow along edges; min over (self ∪ neighbors)
+      val msgs = und.join(labels, col("src") === col("id"))
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.union(msgs)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
+        .filter(col("label") =!= col("prev")).count()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Cluster assignment for EVERY document: vertices not touched by any
+    * edge are their own singleton cluster. `is_rep` marks the one row per
+    * cluster a dedup would keep (the minimum doc_id). */
+  def assignClusters(docs: DataFrame, edges: DataFrame): DataFrame = {
+    val comp = connectedComponents(edges)
+    docs.select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_rep", col("cluster_id") === col("doc_id"))
+  }
+}

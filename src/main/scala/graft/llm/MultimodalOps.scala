@@ -74,10 +74,14 @@ object MultimodalOps {
   def resizeDims(width: Column, height: Column, maxW: Int, maxH: Int): Column = {
     val scale = least(lit(1.0),
       lit(maxW) / width.cast("double"), lit(maxH) / height.cast("double"))
-    struct(
-      greatest(lit(1), floor(width * scale).cast("int")).as("out_w"),
-      greatest(lit(1), floor(height * scale).cast("int")).as("out_h"),
-      scale.as("scale"))
+    // Non-positive dims are invalid metadata → NULL struct, not a silent
+    // fallback: w=0 makes maxW/w NULL (non-ANSI division), least() skips
+    // NULLs, and the survivors would yield a misleading out_w/out_h=1.
+    when(width > 0 && height > 0,
+      struct(
+        greatest(lit(1), floor(width * scale).cast("int")).as("out_w"),
+        greatest(lit(1), floor(height * scale).cast("int")).as("out_h"),
+        scale.as("scale")))
   }
 
   /** Wrap a text table as a binary media table (UTF-8 payload) — used by

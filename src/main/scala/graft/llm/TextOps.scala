@@ -70,11 +70,18 @@ object TextOps {
     * bits from the cached hex (16× fewer md5 calls than hashing per bit). */
   def tokenHashes(words: Column): Column = transform(words, t => md5(t))
 
-  /** 16-bit SimHash as a pure projection over the precomputed hash array:
-    * bit j = sign of Σ(±1 per token, + when the j-th hex nibble has its
-    * high bit set). Same values as the explode→sum formulation (integer
-    * addition is order-insensitive), but no Generate and no shuffle. */
+  /** 16-bit SimHash: bit j = sign of Σ(±1 per token, + when the j-th hex
+    * nibble of the token's md5 has its high bit set). Native codegen'd
+    * kernel ([[graft.functions.SimHashBits]]); bit-identical to
+    * [[simhashFromHashesHof]] (parity asserted in LlmSpec). */
   def simhashFromHashes(hashArr: Column, bits: Int = 16): Column =
+    org.apache.spark.sql.graft.NativeColumns.simhashBits(hashArr, bits)
+
+  /** HOF reference formulation of the 16-bit SimHash (pure built-ins:
+    * aggregate over the hash array per bit). Kept as the executable spec
+    * the native kernel is tested against; the native form exists because
+    * per-bit expression trees generate code too large to JIT well. */
+  def simhashFromHashesHof(hashArr: Column, bits: Int = 16): Column =
     concat((1 to bits).map { j =>
       val s = aggregate(hashArr, lit(0), (acc, h) =>
         acc + when(substring(h, j, 1)
@@ -92,12 +99,17 @@ object TextOps {
     * Manku/Jain/Sarma web-dedup configuration).
     *
     * Two bits per md5 hex char (high bit + second bit of each nibble), so
-    * one digest per token serves all 64 bit positions. Computed as ONE
-    * fold over the token-hash array with a 64-counter accumulator —
-    * constant generated-code size per bit position, versus 64 separate
-    * `aggregate` folds which would re-walk the array 64× and quadruple
-    * the Janino compile volume the bench notes flag. */
+    * one digest per token serves all 64 bit positions. Native codegen'd
+    * kernel ([[graft.functions.SimHashBits]]): the HOF fold below
+    * ([[simhash64FromHashesHof]]) generates a 64-wide zip_with whose
+    * bytecode is too large for HotSpot to promote past C1 — measured ~10s
+    * cold vs ~1s native at sf0.1. Parity asserted in LlmSpec. */
   def simhash64FromHashes(hashArr: Column): Column =
+    org.apache.spark.sql.graft.NativeColumns.simhashBits(hashArr, 64)
+
+  /** HOF reference formulation (executable spec for the native kernel):
+    * ONE fold over the token-hash array with a 64-counter accumulator. */
+  def simhash64FromHashesHof(hashArr: Column): Column =
     aggregate(
       hashArr,
       array_repeat(lit(0), 64),

@@ -149,6 +149,17 @@ object RelationalOps {
         sums.keys.map(n => sum(col(s"_sum_$n")).as(n)).toSeq: _*)
   }
 
+  /** MERGE/upsert semantics (Delta's `MERGE WHEN MATCHED THEN UPDATE WHEN
+    * NOT MATCHED THEN INSERT` for the full-row case) on plain DataFrames:
+    * rows from `updates` win on key collision; unmatched target rows pass
+    * through; update-only keys become inserts. One anti-join + union — at
+    * scale the anti-join broadcasts when `updates` is a small changeset
+    * (the common incremental-refresh shape) and shuffles on the key
+    * otherwise; either way the target is scanned exactly once. */
+  def mergeUpsert(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
+    updates.unionByName(
+      target.join(updates.select(keys.map(col): _*), keys, "left_anti"))
+
   /** P17 cross-engine-deterministic rounding: floor(x·10ⁿ + 0.5)/10ⁿ.
     * Spark's `round` (BigDecimal HALF_UP over the shortest decimal
     * representation) and DuckDB's `round` (binary nearbyint-style) disagree

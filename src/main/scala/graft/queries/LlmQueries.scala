@@ -47,6 +47,30 @@ object LlmQueries {
       .withColumn("band1", bandKey((4 to 7).map(k => col(s"sig$k"))))
   }
 
+  /** Minhash-LSH candidate pairs (unordered output; callers sort).
+    *
+    * localCheckpoint truncates the logical lineage: the self-join would
+    * otherwise duplicate the whole lambda-heavy signature subtree into
+    * both join branches and the single-threaded optimizer/codegen pass
+    * dominates wall time (measured: ~20s plan work for <1s of execution).
+    * Checkpointing materializes the narrow signature table once and both
+    * branches reference the materialized RDD — the production dedup
+    * pattern (compute signatures once, join twice). */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSignatures(t(s, dir, "documents")).localCheckpoint()
+    // single-pass unpivot via explode (a union of two projections would
+    // recompute the whole shingle->signature subplan per branch)
+    val bands = sig.select(col("doc_id"), explode(array(
+      struct(lit(0).as("band_id"), col("band0").as("bkey")),
+      struct(lit(1).as("band_id"), col("band1").as("bkey")))).as("b"))
+      .select(col("doc_id"), col("b.band_id").as("band_id"), col("b.bkey").as("bkey"))
+    val a = bands.as("a"); val b = bands.as("b")
+    a.join(b, col("a.band_id") === col("b.band_id") && col("a.bkey") === col("b.bkey") &&
+      col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
   /** Local single-file parquet inputs arrive as ONE split, serializing
     * hash-heavy map stages on one core. If (and only if) the scan has
     * fewer splits than the cluster has slots, redistribute first — the
@@ -114,28 +138,15 @@ object LlmQueries {
     // LSH bucket-join candidate pairs (empty on this corpus — no shared
     // trigram sketches in random text; the pair-generation shape is what
     // is verified; DedupSpec exercises real near-dups).
-    "q_dedup_minhash" -> ((s, dir) => {
-      // localCheckpoint truncates the logical lineage: the self-join would
-      // otherwise duplicate the whole lambda-heavy signature subtree into
-      // both join branches and the single-threaded optimizer/codegen pass
-      // dominates wall time (measured: ~20s plan work for <1s of
-      // execution). Checkpointing materializes the narrow signature table
-      // once and both branches reference the materialized RDD — the
-      // production dedup pattern (compute signatures once, join twice).
-      val sig = minhashSignatures(t(s, dir, "documents")).localCheckpoint()
-      // single-pass unpivot via explode (a union of two projections would
-      // recompute the whole shingle->signature subplan per branch)
-      val bands = sig.select(col("doc_id"), explode(array(
-        struct(lit(0).as("band_id"), col("band0").as("bkey")),
-        struct(lit(1).as("band_id"), col("band1").as("bkey")))).as("b"))
-        .select(col("doc_id"), col("b.band_id").as("band_id"), col("b.bkey").as("bkey"))
-      val a = bands.as("a"); val b = bands.as("b")
-      a.join(b, col("a.band_id") === col("b.band_id") && col("a.bkey") === col("b.bkey") &&
-        col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-        .orderBy(col("doc_a"), col("doc_b"))
-    }),
+    "q_dedup_minhash" -> ((s, dir) =>
+      minhashPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))),
+
+    // Pair list → cluster assignment (connected components) → the "keep
+    // one doc per cluster" table every production dedup ends with. The
+    // edge set is the minhash-LSH candidate pairs above.
+    "q_dedup_clusters" -> ((s, dir) =>
+      graft.llm.ClusterOps.assignClusters(t(s, dir, "documents"), minhashPairs(s, dir))
+        .orderBy(col("doc_id"))),
 
     "q_dedup_simhash" -> ((s, dir) =>
       spreadSmallInput(t(s, dir, "documents"))
@@ -179,26 +190,35 @@ object LlmQueries {
     }),
 
     // Near-dup pairs from the 64-bit fingerprint: candidates share at
-    // least one 16-bit band (equi-join per band, unpivoted in one
-    // explode pass), exact filter by codegen'd hamming over all 64 bits.
-    // DISTINCT collapses pairs that collide in several bands.
+    // least one 16-bit band, exact filter by codegen'd hamming over all
+    // 64 bits. Each pair is generated by its FIRST matching band only —
+    // band k's join carries the residual predicate "bands 0..k-1 differ"
+    // — so no post-join DISTINCT is needed. On this corpus (dense
+    // near-dup collisions: ~1M band matches for 150K unique pairs at
+    // sf0.1) that residual predicate replaces a shuffle of every
+    // candidate pair with a free row-level compare; at 100 TB the
+    // distinct-over-candidates shuffle would be the dominant stage.
+    // The checkpointed `h` is the materialized fingerprint table a
+    // production pipeline would persist before the per-band joins.
     "q_simhash64_pairs" -> ((s, dir) => {
       graft.functions.NativeFunctions.register(s)
+      val bandCols = (0 until 4).map(bd =>
+        substring(col("sh"), bd * 16 + 1, 16).as(s"b$bd"))
       val h = spreadSmallInput(t(s, dir, "documents"))
         .select(col("doc_id"),
           simhash64FromHashes(tokenHashes(tokens(col("text")))).as("sh"))
+        .select(col("doc_id") +: col("sh") +: bandCols: _*)
         .localCheckpoint()
-      val bands = h.select(col("doc_id"), col("sh"), explode(array(
-        (0 until 4).map(bd => struct(lit(bd).as("band_id"),
-          substring(col("sh"), bd * 16 + 1, 16).as("bkey"))): _*)).as("b"))
-        .select(col("doc_id"), col("sh"), col("b.band_id"), col("b.bkey"))
-      val a = bands.as("a"); val b = bands.as("b")
-      a.join(b, col("a.band_id") === col("b.band_id") && col("a.bkey") === col("b.bkey") &&
-        col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          graft.functions.NativeFunctions.hamming(
-            col("a.sh"), col("b.sh")).as("hamming_dist"))
-        .distinct()
+      val perBand = (0 until 4).map { bd =>
+        val a = h.as("a"); val b = h.as("b")
+        val firstMatch = (0 until bd).map(e => col(s"a.b$e") =!= col(s"b.b$e"))
+          .foldLeft(col(s"a.b$bd") === col(s"b.b$bd"))(_ && _)
+        a.join(b, firstMatch && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            graft.functions.NativeFunctions.hamming(
+              col("a.sh"), col("b.sh")).as("hamming_dist"))
+      }
+      perBand.reduce(_.union(_))
         .filter(col("hamming_dist") <= 8)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
@@ -316,6 +336,36 @@ object LlmQueries {
         .limit(5)
     }),
 
+    // Scalar-quantized (int8) ANN: per-vector symmetric quantization
+    // (scale = max|x|/127, code = round(x/scale)), approximate score =
+    // int-dot(codes) · scaleA · scaleB. The 100 TB path: codes are 4×
+    // smaller than float32 and the integer dot is SIMD-friendly; the
+    // quantized table is what a production index stores (here
+    // localCheckpoint stands in for the persisted code table, and also
+    // stops CollapseProject from inlining the max|x| fold into the
+    // per-element quantize lambda). All arithmetic stays exact-integer
+    // inside the dot product, so the oracle matches bit-for-bit.
+    "q_ann_sq8" -> ((s, dir) => {
+      val maxabs = aggregate(col("embedding"), lit(0.0d),
+        (acc, x) => greatest(acc, abs(x.cast("double"))))
+      val sq = t(s, dir, "embeddings")
+        .select(col("vec_id"), (maxabs / 127.0).as("scale"), col("embedding"))
+        .select(col("vec_id"), col("scale"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") / col("scale") + 0.5).cast("double")).as("code"))
+        .localCheckpoint()
+      val q = sq.filter(col("vec_id") === 0L)
+        .select(col("scale").as("q_scale"), col("code").as("q_code"))
+      sq.filter(col("vec_id") =!= 0L)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          (aggregate(zip_with(col("code"), col("q_code"), (a, b) => a * b),
+            lit(0.0d), (acc, x) => acc + x) * col("scale") * col("q_scale"))
+            .as("approx_dot"))
+        .orderBy(col("approx_dot").desc, col("vec_id"))
+        .limit(10)
+    }),
+
     // Embedding-cosine near-dup: SRP-bucketed candidate generation (the
     // scale path — candidates only within a bucket, an equi-join), then
     // exact cosine filter. Threshold 0.25 exercises the path on this
@@ -398,7 +448,12 @@ object LlmQueries {
     "q_ann_ivf_persisted" -> ((s, dir) => {
       // deterministic per-SF location: repeated calls (bench warm + timed
       // runs) overwrite one index instead of leaking temp copies
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_${math.abs(dir.hashCode)}"
+      // PID-scoped path: two concurrent harness runs must not share an
+      // index dir (one process's overwrite would delete parquet files the
+      // other is probing); toHexString instead of math.abs (abs(MinValue)
+      // is negative). Re-runs within one process reuse one dir — no leak.
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_" +
+        s"p${ProcessHandle.current().pid()}_${Integer.toHexString(dir.hashCode)}"
       val e = t(s, dir, "embeddings")
       val cents = e.filter(col("vec_id") < 16)
         .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
@@ -569,6 +624,48 @@ object LlmQueries {
          |FROM bands a JOIN bands b
          |  ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Connected components over the minhash-LSH pair set, as a recursive
+    // transitive closure (min reachable doc_id = component label); docs
+    // with no near-dup edge are their own singleton cluster.
+    "q_dedup_clusters" ->
+      s"""${SIG_CTE.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_id, md5(concat_ws('|', sig0, sig1, sig2, sig3)) AS bkey FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS band_id, md5(concat_ws('|', sig4, sig5, sig6, sig7)) AS bkey FROM sig),
+         |edges AS (
+         |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |und AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+         |reach(src, dst) AS (
+         |  SELECT a, b FROM und
+         |  UNION
+         |  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a),
+         |comp AS (SELECT src AS doc_id, min(dst) AS min_reach FROM reach GROUP BY src)
+         |SELECT d.doc_id,
+         |  coalesce(least(c.min_reach, d.doc_id), d.doc_id) AS cluster_id,
+         |  coalesce(least(c.min_reach, d.doc_id), d.doc_id) = d.doc_id AS is_rep
+         |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_ann_sq8" ->
+      """WITH sc AS (
+        |  SELECT vec_id,
+        |    list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS scale,
+        |    embedding
+        |  FROM embeddings),
+        |codes AS (
+        |  SELECT vec_id, scale,
+        |    list_transform(embedding::DOUBLE[], x -> floor(x / scale + 0.5)) AS code
+        |  FROM sc)
+        |SELECT a.vec_id,
+        |  list_dot_product(a.code, q.code) * a.scale * q.scale AS approx_dot
+        |FROM codes a, (SELECT scale, code FROM codes WHERE vec_id = 0) q
+        |WHERE a.vec_id != 0
+        |ORDER BY approx_dot DESC, a.vec_id
+        |LIMIT 10""".stripMargin,
 
     "q_dedup_simhash" -> {
       val sums = (1 to 16).map(j =>
@@ -763,6 +860,10 @@ object LlmQueries {
     // what the inline IVF computation returns
     "q_ann_ivf_persisted" -> IvfSql,
 
+    // unnest(range(...)) instead of a lateral generate_series table call:
+    // DuckDB's table-function form rejects column parameters ("does not
+    // support lateral join column parameters"); the scalar list form allows
+    // them and range's exclusive stop == generate_series' stop-1 here.
     "q_frame_sample" ->
       """WITH f AS (
         |  SELECT doc_id, text AS media,
@@ -770,11 +871,15 @@ object LlmQueries {
         |  FROM documents),
         |s AS (
         |  SELECT *, GREATEST(1, CAST((n_frames + 7) // 8 AS INTEGER)) AS stride
-        |  FROM f WHERE n_frames > 0)
+        |  FROM f WHERE n_frames > 0),
+        |u AS (
+        |  SELECT doc_id, n_frames, stride, media,
+        |         unnest(range(0, CAST(n_frames AS BIGINT), CAST(stride AS BIGINT))) AS i
+        |  FROM s)
         |SELECT doc_id, n_frames,
         |  CAST(i // stride AS INTEGER) AS frame_idx,
         |  md5(substring(media, CAST(i*32+1 AS BIGINT), 32)) AS frame_md5
-        |FROM s, generate_series(0, CAST(n_frames-1 AS BIGINT), CAST(stride AS BIGINT)) AS t(i)
+        |FROM u
         |ORDER BY doc_id, frame_idx""".stripMargin,
 
     "q_multimodal_meta" ->

@@ -70,6 +70,22 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // MERGE/upsert (Delta MERGE semantics on plain DataFrames): a derived
+    // changeset — price corrections on every 100th order plus brand-new
+    // keys — merged into orders; updates win, unmatched rows pass through.
+    "q_merge_upsert" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      val changes = base.filter(col("o_orderkey") % 100 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        .withColumn("o_orderstatus", lit("U"))
+        .unionByName(base.filter(col("o_orderkey") % 1000 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 100000000L))
+      mergeUpsert(base, changes, Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // P1/P2 projection + rename.
     "q_project_rename" -> ((s, dir) =>
       t(s, dir, "customer")
@@ -399,6 +415,22 @@ object RelationalQueries {
         10, col("prev_return_rate").desc, col("product_id"))))
 
   private val oracleBase: Map[String, String] = Map(
+
+    "q_merge_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+        |changes AS (
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+        |         o_totalprice + 1000.0 AS o_totalprice
+        |  FROM base WHERE o_orderkey % 100 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, o_orderstatus, o_totalprice
+        |  FROM base WHERE o_orderkey % 1000 = 0)
+        |SELECT * FROM changes
+        |UNION ALL
+        |SELECT b.* FROM base b
+        |WHERE NOT EXISTS (SELECT 1 FROM changes c WHERE c.o_orderkey = b.o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_scan_table" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_returnflag

@@ -73,6 +73,15 @@ object VersionedTable {
     next
   }
 
+  /** Incremental MERGE (Delta `MERGE` analogue): upsert `updates` into the
+    * latest snapshot by `keys` and write the result as a new version —
+    * update rows replace matching target rows, new keys insert. Readers
+    * keep seeing the old snapshot until the pointer flips. */
+  def merge(spark: SparkSession, root: String, updates: DataFrame,
+            keys: Seq[String]): Long =
+    write(graft.ops.RelationalOps.mergeUpsert(readLatest(spark, root), updates, keys),
+      root)
+
   def readLatest(spark: SparkSession, root: String): DataFrame =
     readVersion(spark, root, latestVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no versions at $root")))

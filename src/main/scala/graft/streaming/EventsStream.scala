@@ -101,7 +101,14 @@ object EventsStream {
               } else if (st.nEvents == 0L) {
                 st = SessionState(st.sessionId + 1, sec, 1L, e.value)
               } else {
-                st = st.copy(lastSec = sec, nEvents = st.nEvents + 1, total = st.total + e.value)
+                // max(): a late (out-of-order across micro-batches) event
+                // still counts toward the session but must never move
+                // lastSec BACKWARDS — that would shrink the timeout
+                // horizon and diverge from the batch sessionize ordering
+                // (flatMapGroupsWithState does not drop below-watermark
+                // rows for us).
+                st = st.copy(lastSec = math.max(st.lastSec, sec),
+                  nEvents = st.nEvents + 1, total = st.total + e.value)
               }
             }
             state.update(st)

@@ -40,6 +40,11 @@ object PipelineConfig {
     for (raw <- lines) {
       val noComment = stripComment(raw)
       if (noComment.trim.nonEmpty) {
+        // YAML forbids tabs in indentation; without this check a
+        // tab-indented file would silently parse every key at indent 0,
+        // flattening the nesting into wrong dotted keys.
+        if (noComment.takeWhile(c => c == ' ' || c == '\t').contains('\t'))
+          sys.error(s"tab in indentation (YAML requires spaces): $raw")
         val indent = noComment.takeWhile(_ == ' ').length
         val line = noComment.trim
         stack = stack.dropWhile(_._1 >= indent)

@@ -1,0 +1,19 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.{ColumnNodeToExpressionConverter, ExpressionUtils}
+
+/** Expression ⇄ Column bridge for the engine's native Catalyst expressions
+  * (lives in org.apache.spark.sql.* for access to the private[sql]
+  * converters, like [[GroupedTopKApi]]). Direct construction — no session
+  * function-registry dependency, so pure Column-builder code (graft.llm.*)
+  * can emit native expressions without a SparkSession in scope. */
+object NativeColumns {
+  def toExpr(c: Column): Expression = ColumnNodeToExpressionConverter.apply(c.node)
+  def ofExpr(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Native SimHash over an array of md5 hex digests ([[graft.functions.SimHashBits]]). */
+  def simhashBits(arr: Column, bits: Int): Column =
+    ofExpr(graft.functions.SimHashBits(toExpr(arr), bits))
+}

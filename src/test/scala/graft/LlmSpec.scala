@@ -95,6 +95,25 @@ class LlmSpec extends AnyFunSuite {
     assert(!bands(hashes(0L)).zip(bands(hashes(3L))).exists { case (x, y) => x == y })
   }
 
+  test("native SimHashBits kernel is bit-identical to the HOF formulation (16 and 64)") {
+    graft.functions.NativeFunctions.register(spark)
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val both = corpus.select(
+      simhashFromHashes(tokenHashes(tokens(col("text")))).as("n16"),
+      simhashFromHashesHof(tokenHashes(tokens(col("text")))).as("h16"),
+      simhash64FromHashes(tokenHashes(tokens(col("text")))).as("n64"),
+      simhash64FromHashesHof(tokenHashes(tokens(col("text")))).as("h64"))
+      .collect()
+    assert(both.nonEmpty && both.forall(r =>
+      r.getString(0) == r.getString(1) && r.getString(2) == r.getString(3)))
+    // SQL surface: registered function callable from spark.sql
+    corpus.createOrReplaceTempView("sim_docs_v")
+    val viaSql = spark.sql(
+      """SELECT simhash_bits(transform(split(lower(trim(text)), '\\s+'), t -> md5(t)), 64)
+        |  AS h FROM sim_docs_v LIMIT 5""".stripMargin).collect().map(_.getString(0))
+    assert(viaSql.forall(h => h.length == 64 && h.forall(c => c == '0' || c == '1')))
+  }
+
   test("jaccard: permutation = 1.0; disjoint = 0.0") {
     val d = Seq((0L, "a b c"), (1L, "c b a"), (2L, "x y z")).toDF("doc_id", "text")
       .select(col("doc_id"), array_distinct(tokens(col("text"))).as("ts"))
@@ -175,5 +194,15 @@ class LlmSpec extends AnyFunSuite {
     val again = MultimodalOps.extractFeatures(media).collect().sortBy(_.id).head
     assert(again.width == f0.width && again.height == f0.height &&
       again.histogram.toSeq == f0.histogram.toSeq)
+  }
+
+  test("resizeDims: aspect-preserving, no upscale; non-positive dims give NULL struct") {
+    val d = Seq((2000, 1000), (100, 50), (0, 100), (100, -1)).toDF("w", "h")
+    val out = d.select(MultimodalOps.resizeDims(col("w"), col("h"), 512, 512).as("r"))
+      .selectExpr("r.out_w", "r.out_h", "r.scale", "r IS NULL AS is_null").collect()
+    assert(out(0).getInt(0) == 512 && out(0).getInt(1) == 256)   // downscale 2:1 box fit
+    assert(out(1).getInt(0) == 100 && out(1).getInt(1) == 50 &&
+      out(1).getDouble(2) == 1.0)                                // no upscale
+    assert(out(2).getBoolean(3) && out(3).getBoolean(3))         // invalid dims → NULL
   }
 }

@@ -43,4 +43,11 @@ class PipelineConfigSpec extends AnyFunSuite {
     assert(c.str("nested.deep.k") == "7")
     assert(c.double("quality_thresholds.null_rate_default", 0.001) == 0.001)
   }
+
+  test("tab-indented lines are rejected (YAML rule), not silently flattened") {
+    val ex = intercept[RuntimeException] {
+      PipelineConfig.parse(Seq("paths:", "\tdata: /a/b"))
+    }
+    assert(ex.getMessage.contains("tab in indentation"))
+  }
 }

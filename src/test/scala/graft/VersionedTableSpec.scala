@@ -36,6 +36,18 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(v == 2 && VersionedTable.readLatest(spark, root).columns.contains("score"))
   }
 
+  test("merge upserts by key into a new version; old snapshot still readable") {
+    val root = Files.createTempDirectory("graft_vt_merge").toString
+    VersionedTable.write(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "s"), root)
+    val v2 = VersionedTable.merge(spark, root,
+      Seq((2, "B"), (4, "d")).toDF("id", "s"), Seq("id"))
+    assert(v2 == 2)
+    val latest = VersionedTable.readLatest(spark, root)
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(latest == Map(1 -> "a", 2 -> "B", 3 -> "c", 4 -> "d")) // update + insert + passthrough
+    assert(VersionedTable.readVersion(spark, root, 1).count() == 3) // time travel unchanged
+  }
+
   test("vacuum retains the newest snapshots and never the live pointer") {
     val root = Files.createTempDirectory("graft_vt3").toString
     (1 to 4).foreach(i => VersionedTable.write(Seq(i).toDF("v"), root))
