@@ -31,17 +31,27 @@ object ClusterOps {
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
-    var changed = 1L
+    // convergence check: labels only ever DECREASE under min-propagation,
+    // so the label sum strictly decreases until fixpoint — one cheap
+    // aggregate per round instead of a join-and-count against the
+    // previous labels (halves the jobs per iteration). decimal(38,0)
+    // keeps the sum exact at any corpus size.
+    def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO) // empty vertex set (no edges)
+    var prevSum = labelSum(labels)
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
+    var converged = false
+    while (!converged && iter < maxIter) {
       // neighbor labels flow along edges; min over (self ∪ neighbors)
       val msgs = und.join(labels, col("src") === col("id"))
         .select(col("dst").as("id"), col("label"))
       val next = labels.union(msgs)
         .groupBy("id").agg(min("label").as("label"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
-        .filter(col("label") =!= col("prev")).count()
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels = next
       iter += 1
     }

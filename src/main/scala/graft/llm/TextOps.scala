@@ -120,6 +120,23 @@ object TextOps {
       }: _*), (a, c) => a + c),
       acc => array_join(transform(acc, s => when(s > 0, "1").otherwise("0")), ""))
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+    * MOSS local-similarity sketch): slide a window of `w` consecutive
+    * k-gram hashes and keep each window's minimum; the distinct minima are
+    * the document's fingerprints. Guarantees any shared run of ≥ w+k-1
+    * tokens produces a shared fingerprint — position-sensitive, unlike
+    * MinHash's whole-document resemblance. Built from w shifted slices
+    * zipped with least() (same no-capture construction as [[shingles]]:
+    * the hash-array child evaluates once per row, not once per element).
+    * Sorted distinct output for deterministic downstream joins. */
+  def winnowFingerprints(hashArr: Column, w: Int): Column = {
+    val m = size(hashArr) - lit(w - 1) // window count when positive
+    val slices = (0 until w).map(k => slice(hashArr, lit(k + 1), greatest(m, lit(0))))
+    val mins = slices.reduce((a, b) => zip_with(a, b, (x, y) => least(x, y)))
+    array_sort(array_distinct(
+      when(size(hashArr) >= w, mins).otherwise(array().cast("array<long>"))))
+  }
+
   /** Deterministic [0,1000) bucket from a key — md5-based so the split is
     * stable across runs, engines, partitionings, and cluster sizes (the
     * property a train/val/test split MUST have; rand()-based sampling has

@@ -148,6 +148,22 @@ object LlmQueries {
       graft.llm.ClusterOps.assignClusters(t(s, dir, "documents"), minhashPairs(s, dir))
         .orderBy(col("doc_id"))),
 
+    // Winnowing fingerprints (MOSS): window-minima over the 3-gram hash
+    // sequence, w=4 — shared fingerprints localize copied passages (vs
+    // MinHash's whole-doc resemblance). hs is checkpointed first so the w
+    // shifted slices read a materialized array instead of re-hashing the
+    // shingles w times (CollapseProject would inline the md5 transform).
+    "q_winnow" -> ((s, dir) => {
+      val withHs = spreadSmallInput(t(s, dir, "documents"))
+        .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
+        .filter(size(col("sh")) >= 1)
+        .select(col("doc_id"), shingleHashes(col("sh")).as("hs"))
+        .localCheckpoint()
+      withHs.select(col("doc_id"),
+        explode(winnowFingerprints(col("hs"), 4)).as("fp"))
+        .orderBy(col("doc_id"), col("fp"))
+    }),
+
     "q_dedup_simhash" -> ((s, dir) =>
       spreadSmallInput(t(s, dir, "documents"))
         .select(col("doc_id"),
@@ -624,6 +640,22 @@ object LlmQueries {
          |FROM bands a JOIN bands b
          |  ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Window-minima via list_slice over an index range; same base-hash
+    // chain as the minhash CTE (md5 → 60-bit int → mod p).
+    "q_winnow" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, $SHINGLES AS sh
+         |  FROM (SELECT doc_id, $W AS w FROM documents)),
+         |hashed AS (
+         |  SELECT doc_id, list_transform(sh,
+         |    s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % ${graft.llm.TextOps.MinhashP}) AS hs
+         |  FROM base WHERE len(sh) >= 1)
+         |SELECT doc_id, unnest(list_sort(list_distinct(
+         |    list_transform(range(1, len(hs) - 4 + 2),
+         |      i -> list_min(list_slice(hs, i, i + 3)))))) AS fp
+         |FROM hashed
+         |ORDER BY doc_id, fp""".stripMargin,
 
     // Connected components over the minhash-LSH pair set, as a recursive
     // transitive closure (min reachable doc_id = component label); docs

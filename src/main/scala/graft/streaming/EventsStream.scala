@@ -127,6 +127,31 @@ object EventsStream {
   def readEventStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventSchema).parquet(dir)
 
+  /** Streaming MERGE sink: every micro-batch is upserted by `keys` into a
+    * snapshot-versioned table via foreachBatch — the CDC / incremental-
+    * refresh pattern (streaming counterpart of the reference's batch
+    * full-refresh overwrite). Each batch yields one new atomic snapshot,
+    * so readers flip between consistent versions and never observe a
+    * half-applied batch; the stream checkpoint makes delivery
+    * effectively-once at the table level (a replayed batch re-merges the
+    * same rows idempotently). Caller contract: rows within a batch are
+    * unique per key (pre-aggregate the changelog if not). */
+  def upsertSink(updates: DataFrame, root: String, keys: Seq[String],
+                 checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val applyBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit = (batch, _) => {
+      if (batch.isEmpty) ()
+      else if (graft.sources.VersionedTable.latestVersion(root).isEmpty)
+        graft.sources.VersionedTable.write(batch.toDF(), root)
+      else
+        graft.sources.VersionedTable.merge(batch.sparkSession, root, batch.toDF(), keys)
+      ()
+    }
+    updates.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(applyBatch)
+      .start()
+  }
+
   /** Stream-stream inner join with event-time range: pair each 'purchase'
     * with 'click' events by the same user within the preceding hour. Both
     * sides carry watermarks so join state is evicted once the time range

@@ -114,6 +114,22 @@ class LlmSpec extends AnyFunSuite {
     assert(viaSql.forall(h => h.length == 64 && h.forall(c => c == '0' || c == '1')))
   }
 
+  test("winnowing: shared token run guarantees a shared fingerprint; disjoint docs share none") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val d = Seq(
+      (0L, s"one two $shared three"),
+      (1L, s"$shared nine ten eleven"),
+      (2L, "completely different words entirely here now")).toDF("doc_id", "text")
+    val fps = d.select(col("doc_id"),
+      winnowFingerprints(shingleHashes(shingles(tokens(col("text")), 3)), 4).as("fps"))
+      .as[(Long, Seq[Long])].collect().toMap
+    // guarantee: any shared run of >= w+k-1 = 6 tokens yields a common fingerprint
+    assert(fps(0L).toSet.intersect(fps(1L).toSet).nonEmpty)
+    assert(fps(0L).toSet.intersect(fps(2L).toSet).isEmpty)
+    // fingerprints are sorted distinct
+    assert(fps.values.forall(f => f == f.distinct.sorted))
+  }
+
   test("jaccard: permutation = 1.0; disjoint = 0.0") {
     val d = Seq((0L, "a b c"), (1L, "c b a"), (2L, "x y z")).toDF("doc_id", "text")
       .select(col("doc_id"), array_distinct(tokens(col("text"))).as("ts"))

@@ -57,6 +57,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(n == base.count(), "each duplicated event must appear exactly once")
   }
 
+  test("streaming upsert sink merges each micro-batch into a new table version") {
+    import org.apache.spark.sql.types._
+    import graft.sources.VersionedTable
+    val srcDir = Files.createTempDirectory("graft_upsert_src").toString
+    val ckpt = Files.createTempDirectory("graft_upsert_ckpt").toString
+    val root = Files.createTempDirectory("graft_upsert_tbl").toString
+    val schema = StructType(Seq(StructField("id", LongType), StructField("s", StringType)))
+    def drain(): Unit = {
+      val q = EventsStream.upsertSink(
+        spark.readStream.schema(schema).parquet(srcDir), root, Seq("id"), ckpt)
+      q.processAllAvailable(); q.stop()
+    }
+    def latest: Map[Long, String] = VersionedTable.readLatest(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s").write.mode("append").parquet(srcDir)
+    drain()
+    assert(latest == Map(1L -> "a", 2L -> "b"))
+    // second CDC batch: update key 2, insert key 3; checkpoint resume
+    // processes only the new files
+    Seq((2L, "B"), (3L, "c")).toDF("id", "s").write.mode("append").parquet(srcDir)
+    drain()
+    assert(latest == Map(1L -> "a", 2L -> "B", 3L -> "c"))
+    assert(VersionedTable.versions(root) == Seq(1L, 2L)) // one snapshot per batch
+    assert(VersionedTable.readVersion(spark, root, 1L).count() == 2) // time travel intact
+  }
+
   test("stream-stream time-range join == equivalent batch join") {
     val stream = EventsStream.readEventStream(spark, eventsDir)
     val q = EventsStream.purchaseAttribution(stream)
