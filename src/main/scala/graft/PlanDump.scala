@@ -7,7 +7,9 @@ object PlanDump {
       .config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    for (n <- Seq("q_scan_table","q_mart_dept","q_fct_orders","q_dim_users","q_mart_velocity","q_topk_per_key")) {
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("q_scan_table","q_mart_dept","q_fct_orders","q_dim_users","q_mart_velocity","q_topk_per_key")
+    for (n <- names) {
       println(s"===== $n =====")
       SparkEntry.queries(n)(spark, dir).explain("formatted")
     }

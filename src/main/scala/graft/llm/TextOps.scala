@@ -51,8 +51,16 @@ object TextOps {
     (1000000007L, 13579L), (999999937L, 24680L), (899999963L, 11111L),
     (799999999L, 77777L), (699999953L, 31415L))
 
-  /** Per-shingle base hashes: md5 hex → int → mod p, computed once. */
+  /** Per-shingle base hashes: md5 → top 60 bits → mod p, computed once.
+    * Native kernel ([[graft.functions.MinhashBaseHashes]]) — no hex
+    * string materialization/re-parse per shingle; bit-identical to
+    * [[shingleHashesHof]] (parity asserted in LlmSpec). */
   def shingleHashes(shingleArr: Column): Column =
+    org.apache.spark.sql.graft.NativeColumns.minhashBaseHashes(shingleArr, MinhashP)
+
+  /** HOF reference formulation of the base hash (executable spec for the
+    * native kernel; mirrors the DuckDB oracle expression verbatim). */
+  def shingleHashesHof(shingleArr: Column): Column =
     transform(shingleArr, sh =>
       conv(substring(md5(sh), 1, 15), 16, 10).cast("long") % MinhashP)
 

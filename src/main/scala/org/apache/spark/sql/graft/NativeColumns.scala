@@ -16,4 +16,8 @@ object NativeColumns {
   /** Native SimHash over an array of md5 hex digests ([[graft.functions.SimHashBits]]). */
   def simhashBits(arr: Column, bits: Int): Column =
     ofExpr(graft.functions.SimHashBits(toExpr(arr), bits))
+
+  /** Native per-shingle md5→60-bit→mod-p hash ([[graft.functions.MinhashBaseHashes]]). */
+  def minhashBaseHashes(arr: Column, p: Long): Column =
+    ofExpr(graft.functions.MinhashBaseHashes(toExpr(arr), p))
 }

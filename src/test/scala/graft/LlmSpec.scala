@@ -114,6 +114,15 @@ class LlmSpec extends AnyFunSuite {
     assert(viaSql.forall(h => h.length == 64 && h.forall(c => c == '0' || c == '1')))
   }
 
+  test("native MinhashBaseHashes kernel is bit-identical to the HOF md5/conv chain") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val both = corpus.select(
+      shingleHashes(shingles(tokens(col("text")), 3)).as("native"),
+      shingleHashesHof(shingles(tokens(col("text")), 3)).as("hof"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    assert(both.nonEmpty && both.forall { case (n, h) => n == h })
+  }
+
   test("winnowing: shared token run guarantees a shared fingerprint; disjoint docs share none") {
     val shared = "alpha beta gamma delta epsilon zeta eta theta"
     val d = Seq(
