@@ -462,8 +462,6 @@ object LlmQueries {
     // IvfSpec asserts the scan's partition count). Same oracle as the
     // inline variant: the layout must not change the answer.
     "q_ann_ivf_persisted" -> ((s, dir) => {
-      // deterministic per-SF location: repeated calls (bench warm + timed
-      // runs) overwrite one index instead of leaking temp copies
       // PID-scoped path: two concurrent harness runs must not share an
       // index dir (one process's overwrite would delete parquet files the
       // other is probing); toHexString instead of math.abs (abs(MinValue)

@@ -309,6 +309,22 @@ object RelationalQueries {
           rnd(expr("percentile(l_extendedprice, 0.5)"), 2).as("median_price"))
         .orderBy(col("l_returnflag"))),
 
+    // Approximate sketch aggregates — the 100 TB substitutes for exact
+    // countDistinct/percentile (HyperLogLog++ / KLL-style, constant
+    // memory, single pass, mergeable across partitions — no giant
+    // distinct shuffle). No DuckDB oracle: sketch estimates are
+    // algorithm-specific, so the driver records the rows-only check and
+    // ApproxSpec pins the error bounds against the exact operators.
+    "q_approx_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          expr("approx_percentile(l_quantity, 0.5, 1000)").as("approx_median_qty"),
+          expr("percentile(l_quantity, 0.5)").as("exact_median_qty"))
+        .orderBy(col("l_returnflag"))),
+
     // Typed Dataset + custom Aggregator[IN,BUF,OUT] (revenue + qty stats
     // per flag) — results identical to the untyped SQL aggregation.
     "q_typed_agg" -> ((s, dir) =>
