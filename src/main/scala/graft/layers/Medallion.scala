@@ -84,6 +84,15 @@ object Medallion {
     counts + ("order_products" -> n)
   }
 
+  /** Silver orders enrichment (02:71-84), shared by the full-refresh and
+    * incremental paths. */
+  def enrichOrders(ordersDedup: DataFrame): DataFrame =
+    ordersDedup.withColumns(Map(
+      "is_first_order" -> (col("order_number") === 1),           // 02:72
+      "order_day_name" -> dayNameInstacart(col("order_dow")),    // 02:73-79
+      "order_time_bucket" -> hourBucket(col("order_hour_of_day")), // 02:80-83
+      "_silver_processed_at" -> current_timestamp()))            // 02:84
+
   /** 02_silver_transform: dedup → gates → enrich → reconcile → write. */
   def runSilver(spark: SparkSession, cfg: Config): Map[String, Long] = {
     log.info(s"silver transform: ${cfg.bronzeDir} -> ${cfg.silverDir}")
@@ -107,11 +116,7 @@ object Medallion {
     Gates.gateNullRate(nullRates("days_since_prior_order"),
       "days_since_prior_order", cfg.nullRateDaysSincePrior, "silver")
     Gates.checkDuplicateRate(ordersDedup, Seq("order_id"), cfg.duplicateRate)
-    val ordersEnriched = ordersDedup.withColumns(Map(
-      "is_first_order" -> (col("order_number") === 1),           // 02:72
-      "order_day_name" -> dayNameInstacart(col("order_dow")),    // 02:73-79
-      "order_time_bucket" -> hourBucket(col("order_hour_of_day")), // 02:80-83
-      "_silver_processed_at" -> current_timestamp()))            // 02:84
+    val ordersEnriched = enrichOrders(ordersDedup)
     Gates.reconcileRowCounts(sourceOrders, nOrders, cfg.reconDrift, "orders")
     Tables.overwrite(ordersEnriched, s"${cfg.silverDir}/orders")
     Gates.logLayerStats("silver", "orders", nOrders)

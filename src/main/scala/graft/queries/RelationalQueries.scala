@@ -5,6 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables.t
 import graft.ops.RelationalOps._
+import graft.ops.ZOrder
 import graft.marts.GoldMarts
 
 /** SURVEY.md §2 relational operator inventory, registered as verifiable
@@ -309,6 +310,31 @@ object RelationalQueries {
           rnd(expr("percentile(l_extendedprice, 0.5)"), 2).as("median_price"))
         .orderBy(col("l_returnflag"))),
 
+    // Z-order (Morton) clustering key — the multi-dimensional sort layout
+    // (Delta OPTIMIZE ZORDER BY analogue): writing lineitem sorted by
+    // this key lets parquet min/max stats prune scans filtered on EITHER
+    // l_orderkey or l_partkey. Keys are range-normalized to 16-bit
+    // buckets before interleaving (raw-key interleave is WORSE than a
+    // single-key sort when ranges differ — ZOrderSpec); bucket + spread
+    // are pure codegen'd arithmetic, hash-verified against DuckDB.
+    "q_zorder" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val mm = li.agg(
+        min(col("l_orderkey")).as("amin"), max(col("l_orderkey")).as("amax"),
+        min(col("l_partkey")).as("bmin"), max(col("l_partkey")).as("bmax"))
+      // buckets projected first: the 5-step spread references its input
+      // twice per step (2^5 inlinings after projection collapse), so the
+      // interleave must see a cheap column ref, not the bucket arithmetic
+      li.crossJoin(broadcast(mm))
+        .select(col("l_orderkey"), col("l_partkey"),
+          ZOrder.rangeBucket(col("l_orderkey"), col("amin"), col("amax"), 16).as("ba"),
+          ZOrder.rangeBucket(col("l_partkey"), col("bmin"), col("bmax"), 16).as("bb"))
+        .localCheckpoint()
+        .select(col("l_orderkey"), col("l_partkey"),
+          ZOrder.zorder2(col("ba"), col("bb")).as("zkey"))
+        .orderBy(col("zkey"), col("l_orderkey"), col("l_partkey"))
+    }),
+
     // Approximate sketch aggregates — the 100 TB substitutes for exact
     // countDistinct/percentile (HyperLogLog++ / KLL-style, constant
     // memory, single pass, mergeable across partitions — no giant
@@ -431,6 +457,21 @@ object RelationalQueries {
         10, col("prev_return_rate").desc, col("product_id"))))
 
   private val oracleBase: Map[String, String] = Map(
+
+    "q_zorder" ->
+      s"""WITH mm AS (
+         |  SELECT min(l_orderkey) AS amin, max(l_orderkey) AS amax,
+         |         min(l_partkey) AS bmin, max(l_partkey) AS bmax
+         |  FROM lineitem),
+         |bk AS (
+         |  SELECT l_orderkey, l_partkey,
+         |    ${ZOrder.rangeBucketSql("l_orderkey", "amin", "amax", 16)} AS ba,
+         |    ${ZOrder.rangeBucketSql("l_partkey", "bmin", "bmax", 16)} AS bb
+         |  FROM lineitem CROSS JOIN mm)
+         |SELECT l_orderkey, l_partkey,
+         |  ${ZOrder.zorder2Sql("ba", "bb")} AS zkey
+         |FROM bk
+         |ORDER BY zkey, l_orderkey, l_partkey""".stripMargin,
 
     "q_merge_upsert" ->
       """WITH base AS (
