@@ -89,6 +89,13 @@ object NativeFunctions {
         case other => throw new IllegalArgumentException(
           s"simhash_bits(arr, bits): bits must be an integer literal, got $other")
       }), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_base", exprs => MinhashBaseHashes(exprs(0), exprs(1).eval() match {
+        case i: Int => i.toLong
+        case l: Long => l
+        case other => throw new IllegalArgumentException(
+          s"minhash_base(arr, p): p must be an integer literal, got $other")
+      }), "built-in")
   }
 
   /** Column-API entry points (require register(spark) in the session). */

@@ -95,6 +95,39 @@ object EventQueries {
     }),
 
     // Gap-based sessions (30 min), aggregated to session grain.
+    // Semi-structured column handling: the JSON `props` payload parsed
+    // both ways — schema-on-read struct (from_json, the scale path: one
+    // parse per row into a typed column) and path extraction
+    // (get_json_object); both must agree.
+    "q_events_json" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val propsSchema = StructType(Seq(StructField("k", LongType)))
+      events(s, dir)
+        .select(col("event_type"),
+          from_json(col("props"), propsSchema).getField("k").as("k"),
+          get_json_object(col("props"), "$.k").cast("long").as("k2"))
+        .filter(col("k") === col("k2")) // both parses agree on every row
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    }),
+
+    // The built-in session operator (Spark 3.2+): session_window merges
+    // overlapping [ts, ts+gap) intervals per key inside one hash
+    // aggregation — no window-function shuffle-sort pass like the
+    // gaps-and-islands formulation below. Session end = last event + gap
+    // (the operator's contract, vs max(ts) in q_events_sessionize).
+    "q_events_session_window" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"), rnd(sum(col("value")), 2).as("total_value"))
+        .select(col("user_id"),
+          date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          col("n_events"), col("total_value"))
+        .orderBy(col("user_id"), col("session_start"))),
+
     "q_events_sessionize" -> ((s, dir) =>
       sessionize(events(s, dir), 1800L)
         .groupBy(col("user_id"), col("session_id"))
@@ -139,6 +172,36 @@ object EventQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |SELECT event_id, event_type, k AS user_id, last_orderkey, last_price
         |FROM w WHERE tag = 1 ORDER BY event_id""".stripMargin,
+
+    "q_events_json" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  min(CAST(props->>'k' AS BIGINT)) AS min_k,
+        |  max(CAST(props->>'k' AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // session_window semantics: a session breaks when ts >= prev + gap
+    // (timestamp-interval comparison, exact at this data's granularity);
+    // session_end = last event + gap.
+    "q_events_session_window" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR ts >= lag(ts) OVER w + INTERVAL '30 minutes'
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts) + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  count(*) AS n_events,
+        |  floor(sum(value) * 1e2 + 0.5) / 1e2 AS total_value
+        |FROM sessions GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
 
     "q_events_sessionize" ->
       """WITH flagged AS (

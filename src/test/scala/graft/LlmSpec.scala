@@ -121,6 +121,14 @@ class LlmSpec extends AnyFunSuite {
       shingleHashesHof(shingles(tokens(col("text")), 3)).as("hof"))
       .as[(Seq[Long], Seq[Long])].collect()
     assert(both.nonEmpty && both.forall { case (n, h) => n == h })
+    // SQL surface
+    graft.functions.NativeFunctions.register(spark)
+    corpus.createOrReplaceTempView("mh_docs_v")
+    val viaSql = spark.sql(
+      s"""SELECT minhash_base(array(text), ${graft.llm.TextOps.MinhashP}) AS h
+         |FROM mh_docs_v LIMIT 3""".stripMargin)
+      .collect().map(_.getSeq[Long](0))
+    assert(viaSql.forall(h => h.length == 1 && h.head >= 0))
   }
 
   test("winnowing: shared token run guarantees a shared fingerprint; disjoint docs share none") {
