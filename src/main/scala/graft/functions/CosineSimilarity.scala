@@ -82,20 +82,23 @@ object NativeFunctions {
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hamming", exprs => HammingDistance(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash_bits", exprs => SimHashBits(exprs(0), exprs(1).eval() match {
-        case i: Int => i
-        case l: Long => l.toInt
-        case other => throw new IllegalArgumentException(
-          s"simhash_bits(arr, bits): bits must be an integer literal, got $other")
-      }), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_base", exprs => MinhashBaseHashes(exprs(0), exprs(1).eval() match {
+    // the parameter arg must be checked foldable BEFORE eval(): calling
+    // eval() on a non-literal (e.g. a column reference) throws an opaque
+    // unbound-attribute error instead of this usage message
+    def intLiteral(e: Expression, usage: String): Long = {
+      if (!e.foldable) throw new IllegalArgumentException(usage)
+      e.eval() match {
         case i: Int => i.toLong
         case l: Long => l
-        case other => throw new IllegalArgumentException(
-          s"minhash_base(arr, p): p must be an integer literal, got $other")
-      }), "built-in")
+        case _ => throw new IllegalArgumentException(usage)
+      }
+    }
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash_bits", exprs => SimHashBits(exprs(0), intLiteral(exprs(1),
+        "simhash_bits(arr, bits): bits must be an integer literal").toInt), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_base", exprs => MinhashBaseHashes(exprs(0), intLiteral(exprs(1),
+        "minhash_base(arr, p): p must be an integer literal")), "built-in")
   }
 
   /** Column-API entry points (require register(spark) in the session). */

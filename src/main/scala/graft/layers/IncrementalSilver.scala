@@ -3,7 +3,6 @@ package graft.layers
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.RelationalOps._
-import graft.quality.Gates
 import graft.sources.VersionedTable
 
 /** Incremental silver refresh — the capability the reference's
@@ -26,32 +25,19 @@ object IncrementalSilver {
                 cfg: Medallion.Config): Long = {
     val deduped = dedupFirst(bronzeOrders, Seq("order_id"),
       Seq(col("user_id"), col("order_number")))
-    gateOrders(deduped, cfg)
+    Medallion.gateSilverOrders(deduped, cfg, "silver-inc")
     VersionedTable.write(Medallion.enrichOrders(deduped), root)
   }
 
-  /** Apply one bronze orders changeset: dedup within the batch, gate it,
+  /** Apply one bronze orders changeset: dedup within the batch, gate it
+    * (the SAME battery as the full refresh — Medallion.gateSilverOrders),
     * enrich it, MERGE by order_id into a new snapshot. Returns the new
     * version number. */
   def applyIncrement(spark: SparkSession, root: String, increment: DataFrame,
                      cfg: Medallion.Config): Long = {
     val deduped = dedupFirst(increment, Seq("order_id"),
       Seq(col("user_id"), col("order_number")))
-    gateOrders(deduped, cfg)
+    Medallion.gateSilverOrders(deduped, cfg, "silver-inc")
     VersionedTable.merge(spark, root, Medallion.enrichOrders(deduped), Seq("order_id"))
-  }
-
-  /** The silver orders gate battery (02_silver_transform.py:59-65), on
-    * whatever frame it is given — full table or increment. */
-  private def gateOrders(deduped: DataFrame, cfg: Medallion.Config): Unit = {
-    val requiredCols = Seq("order_id", "user_id", "order_number",
-      "order_dow", "order_hour_of_day")
-    val (_, nullRates) = Gates.profile(deduped,
-      requiredCols :+ "days_since_prior_order")
-    requiredCols.foreach(c =>
-      Gates.gateNullRate(nullRates(c), c, cfg.nullRateRequired, "silver-inc"))
-    Gates.gateNullRate(nullRates("days_since_prior_order"),
-      "days_since_prior_order", cfg.nullRateDaysSincePrior, "silver-inc")
-    Gates.checkDuplicateRate(deduped, Seq("order_id"), cfg.duplicateRate)
   }
 }

@@ -84,6 +84,27 @@ object Medallion {
     counts + ("order_products" -> n)
   }
 
+  /** Silver orders gate battery, shared by the full-refresh and
+    * incremental paths (one definition so a threshold change cannot gate
+    * the two paths differently). Single-scan profile — the reference runs
+    * 6 null gates as 6 separate count-job pairs (02:59-65); here ONE
+    * aggregation computes every rate, then each is gated at its reference
+    * threshold: required columns at 0.0 (zero tolerance, 02:59-63),
+    * days_since_prior_order at cfg's rate (valid nulls for first orders,
+    * 02:64-65). Returns the profiled row count. */
+  def gateSilverOrders(ordersDedup: DataFrame, cfg: Config, layer: String): Long = {
+    val requiredCols = Seq("order_id", "user_id", "order_number",
+      "order_dow", "order_hour_of_day")
+    val (n, nullRates) = Gates.profile(ordersDedup,
+      requiredCols :+ "days_since_prior_order")
+    requiredCols.foreach(c =>
+      Gates.gateNullRate(nullRates(c), c, cfg.nullRateRequired, layer))
+    Gates.gateNullRate(nullRates("days_since_prior_order"),
+      "days_since_prior_order", cfg.nullRateDaysSincePrior, layer)
+    Gates.checkDuplicateRate(ordersDedup, Seq("order_id"), cfg.duplicateRate)
+    n
+  }
+
   /** Silver orders enrichment (02:71-84), shared by the full-refresh and
     * incremental paths. */
   def enrichOrders(ordersDedup: DataFrame): DataFrame =
@@ -102,20 +123,7 @@ object Medallion {
     val sourceOrders = bronzeOrders.count()
     val ordersDedup = dedupFirst(bronzeOrders, Seq("order_id"),
       Seq(col("user_id"), col("order_number")))
-    // single-scan gate profile — the reference runs 6 null gates as 6
-    // separate count-job pairs (02:59-65); here ONE aggregation computes
-    // every rate, then each is gated at its reference threshold: required
-    // columns at 0.0 (zero tolerance, 02:59-63), days_since_prior_order at
-    // 0.07 (valid nulls for first orders, 02:64-65).
-    val requiredCols = Seq("order_id", "user_id", "order_number",
-      "order_dow", "order_hour_of_day")
-    val (nOrders, nullRates) = Gates.profile(ordersDedup,
-      requiredCols :+ "days_since_prior_order")
-    requiredCols.foreach(c =>
-      Gates.gateNullRate(nullRates(c), c, cfg.nullRateRequired, "silver"))
-    Gates.gateNullRate(nullRates("days_since_prior_order"),
-      "days_since_prior_order", cfg.nullRateDaysSincePrior, "silver")
-    Gates.checkDuplicateRate(ordersDedup, Seq("order_id"), cfg.duplicateRate)
+    val nOrders = gateSilverOrders(ordersDedup, cfg, "silver")
     val ordersEnriched = enrichOrders(ordersDedup)
     Gates.reconcileRowCounts(sourceOrders, nOrders, cfg.reconDrift, "orders")
     Tables.overwrite(ordersEnriched, s"${cfg.silverDir}/orders")

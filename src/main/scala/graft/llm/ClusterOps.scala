@@ -55,6 +55,12 @@ object ClusterOps {
       labels = next
       iter += 1
     }
+    // partially-propagated labels would silently split one true component
+    // into several "clusters" (a dedup keeps duplicates) — fail loudly
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds " +
+        "(component diameter exceeds maxIter — raise it, or switch to " +
+        "star-contraction for chain-shaped graphs)")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 

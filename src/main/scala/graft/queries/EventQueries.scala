@@ -106,7 +106,7 @@ object EventQueries {
         .select(col("event_type"),
           from_json(col("props"), propsSchema).getField("k").as("k"),
           get_json_object(col("props"), "$.k").cast("long").as("k2"))
-        .filter(col("k") === col("k2")) // both parses agree on every row
+        .filter(col("k") <=> col("k2")) // null-safe: '{}' rows agree on NULL
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"),
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
@@ -185,7 +185,7 @@ object EventQueries {
     // session_end = last event + gap.
     "q_events_session_window" ->
       """WITH flagged AS (
-        |  SELECT user_id, ts, value,
+        |  SELECT user_id, event_id, ts, value,
         |    CASE WHEN lag(ts) OVER w IS NULL
         |      OR ts >= lag(ts) OVER w + INTERVAL '30 minutes'
         |      THEN 1 ELSE 0 END AS new_session
@@ -193,7 +193,7 @@ object EventQueries {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |sessions AS (
         |  SELECT user_id, ts, value,
-        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         |  FROM flagged)
         |SELECT user_id,

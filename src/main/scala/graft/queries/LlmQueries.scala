@@ -71,6 +71,21 @@ object LlmQueries {
       .distinct()
   }
 
+  /** Register a tmp directory for deletion when this JVM exits (the
+    * persisted-IVF index dirs are PID-scoped, so nothing else can be
+    * reading them by then). Idempotent per path. */
+  private val exitCleanupPaths = scala.collection.concurrent.TrieMap.empty[String, Unit]
+  private def cleanupAtExit(path: String): Unit =
+    if (exitCleanupPaths.putIfAbsent(path, ()).isEmpty) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(new java.io.File(path))
+      }))
+    }
+
   /** Local single-file parquet inputs arrive as ONE split, serializing
     * hash-heavy map stages on one core. If (and only if) the scan has
     * fewer splits than the cluster has slots, redistribute first — the
@@ -465,9 +480,12 @@ object LlmQueries {
       // PID-scoped path: two concurrent harness runs must not share an
       // index dir (one process's overwrite would delete parquet files the
       // other is probing); toHexString instead of math.abs (abs(MinValue)
-      // is negative). Re-runs within one process reuse one dir — no leak.
+      // is negative). Re-runs within one process reuse one dir, and a
+      // shutdown hook removes it so repeated harness processes don't
+      // accrete index copies in tmpdir.
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_" +
         s"p${ProcessHandle.current().pid()}_${Integer.toHexString(dir.hashCode)}"
+      cleanupAtExit(out)
       val e = t(s, dir, "embeddings")
       val cents = e.filter(col("vec_id") < 16)
         .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))

@@ -90,6 +90,39 @@ object VersionedTable {
   def readVersion(spark: SparkSession, root: String, version: Long): DataFrame =
     spark.read.parquet(s"$root/v=$version")
 
+  /** Small-file compaction (OPTIMIZE analogue): rewrite the latest
+    * snapshot into ⌈bytes / targetFileBytes⌉ files per partition as a new
+    * version. Streaming/incremental MERGEs accrete a file per batch; at
+    * 100 TB the small-file problem dominates scan planning (one task +
+    * one footer read per file), so periodic compaction is what keeps a
+    * frequently-merged table scannable. Readers flip atomically, old
+    * versions stay time-travelable, vacuum reclaims them. Returns the new
+    * version number.
+    *
+    * Partitioned snapshots: the `name=value` directory layout is
+    * auto-detected and preserved — a plain rewrite would silently flatten
+    * it. (The schema gate stays consistent because both the compacted
+    * frame and the gate's read of the existing snapshot infer partition
+    * column types from the same directory values.) */
+  def compact(spark: SparkSession, root: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    val v = latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $root"))
+    val dir = new java.io.File(s"$root/v=$v")
+    def sizeOf(f: java.io.File): Long =
+      if (f.isDirectory) f.listFiles().map(sizeOf).sum else f.length()
+    // partition columns from the first chain of name=value subdirectories
+    def partCols(d: java.io.File): Seq[String] =
+      d.listFiles().filter(_.isDirectory).map(_.getName).filter(_.contains("="))
+        .headOption match {
+        case Some(nv) => nv.takeWhile(_ != '=') +: partCols(new java.io.File(d, nv))
+        case None => Seq.empty
+      }
+    val parts = partCols(dir)
+    val nFiles = math.max(1, math.ceil(sizeOf(dir).toDouble / targetFileBytes).toInt)
+    write(readVersion(spark, root, v).coalesce(nFiles), root, partitionBy = parts)
+  }
+
   /** Retention: drop all but the newest `keep` snapshots (VACUUM analogue). */
   def vacuum(root: String, keep: Int): Seq[Long] = {
     val all = versions(root)

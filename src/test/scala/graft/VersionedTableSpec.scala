@@ -48,6 +48,32 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.readVersion(spark, root, 1).count() == 3) // time travel unchanged
   }
 
+  test("compact rewrites a fragmented snapshot into few files with identical content") {
+    val root = Files.createTempDirectory("graft_vt_compact").toString
+    // fragment: 16-partition write → 16 small files
+    VersionedTable.write(spark.range(1000L).repartition(16).toDF(), root)
+    def parquetFiles(v: Long) =
+      new java.io.File(s"$root/v=$v").listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(1) == 16)
+    val v2 = VersionedTable.compact(spark, root, targetFileBytes = 1L << 30)
+    assert(v2 == 2 && parquetFiles(2) == 1) // well under one target file
+    assert(VersionedTable.readLatest(spark, root).agg(sum(col("id"))).head.getLong(0)
+      == 499500L) // content identical
+  }
+
+  test("compact preserves a partitioned snapshot's directory layout") {
+    val root = Files.createTempDirectory("graft_vt_compact_p").toString
+    val df = spark.range(100L)
+      .select(col("id"), (col("id") % 2).cast("int").as("part"))
+      .repartition(8)
+    VersionedTable.write(df.toDF(), root, partitionBy = Seq("part"))
+    val v2 = VersionedTable.compact(spark, root, targetFileBytes = 1L << 30)
+    val dirs = new java.io.File(s"$root/v=$v2").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(dirs == Seq("part=0", "part=1"), s"layout flattened: $dirs")
+    assert(VersionedTable.readLatest(spark, root).count() == 100L)
+  }
+
   test("vacuum retains the newest snapshots and never the live pointer") {
     val root = Files.createTempDirectory("graft_vt3").toString
     (1 to 4).foreach(i => VersionedTable.write(Seq(i).toDF("v"), root))
