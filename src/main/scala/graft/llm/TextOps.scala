@@ -155,6 +155,14 @@ object TextOps {
   /** Exact-duplicate cluster key: md5 of the raw text. */
   def exactKey(text: Column): Column = md5(text)
 
+  /** Canonical text normalization for dedup (the C4/RefinedWeb-style
+    * preprocessing step): lowercase, strip non-alphanumerics, collapse
+    * whitespace, trim. Exact-dedup on the normalized form catches
+    * case/punctuation/spacing variants that byte-exact keys miss. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", ""), "\\s+", " "))
+
   /** Order-insensitive bag fingerprint: md5 over the sorted distinct token
     * set — catches word-order permutations that exactKey misses. */
   def bagFingerprint(words: Column): Column =

@@ -141,6 +141,16 @@ object LlmQueries {
         .orderBy(col("doc_id"))),
 
     // --- deduplication -----------------------------------------------------
+    // Normalized exact-dedup: canonicalize (lowercase / strip punctuation /
+    // collapse whitespace) then hash-groupBy — catches the case-and-
+    // spacing variants a byte-exact key misses. Same scale shape as
+    // q_dedup_exact: one map pass + one hash aggregation.
+    "q_dedup_normalized" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(md5(normalize(col("text"))).as("norm_key"))
+        .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_variants"))
+        .orderBy(col("norm_key"))),
+
     "q_dedup_exact" -> ((s, dir) =>
       t(s, dir, "documents")
         .groupBy(exactKey(col("text")).as("exact_key"))
@@ -638,6 +648,14 @@ object LlmQueries {
     "q_dedup_exact" ->
       """SELECT md5(text) AS exact_key, min(doc_id) AS keep_doc_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY exact_key""".stripMargin,
+
+    // DuckDB regexp_replace needs the 'g' flag (single-replace default);
+    // Spark replaces globally by default — same RE2-safe character classes.
+    "q_dedup_normalized" ->
+      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS norm_key,
+        |  min(doc_id) AS keep_doc_id, count(*) AS n_variants
+        |FROM documents GROUP BY 1 ORDER BY norm_key""".stripMargin,
 
     "q_minhash_sig" ->
       s"""$SIG_CTE
