@@ -156,12 +156,25 @@ object TextOps {
   def exactKey(text: Column): Column = md5(text)
 
   /** Canonical text normalization for dedup (the C4/RefinedWeb-style
-    * preprocessing step): lowercase, strip non-alphanumerics, collapse
+    * preprocessing step): lowercase, strip punctuation/symbols, collapse
     * whitespace, trim. Exact-dedup on the normalized form catches
-    * case/punctuation/spacing variants that byte-exact keys miss. */
+    * case/punctuation/spacing variants that byte-exact keys miss.
+    *
+    * Character classes are chosen for EXACT cross-engine agreement:
+    * `\p{L}\p{N}` (Unicode letters/digits — identical in Java regex and
+    * RE2, and non-ASCII text is KEPT, not deleted: two unrelated CJK
+    * docs must not collapse to md5('')), and an explicit whitespace
+    * class `[\t\n\f\r ]` instead of `\s` (Java's `\s` includes vertical
+    * tab \x0B, RE2's does not — with the explicit class both engines
+    * delete \x0B via the punctuation rule). Parity verified against
+    * DuckDB on case/punctuation/CJK/control fixtures (LlmSpec). */
   def normalize(text: Column): Column =
     trim(regexp_replace(
-      regexp_replace(lower(text), "[^a-z0-9\\s]", ""), "\\s+", " "))
+      regexp_replace(lower(text), "[^\\p{L}\\p{N}\\t\\n\\f\\r ]", ""),
+      "[\\t\\n\\f\\r ]+", " "))
+
+  /** Exact-dup key over the normalized form. */
+  def normalizedKey(text: Column): Column = exactKey(normalize(text))
 
   /** Order-insensitive bag fingerprint: md5 over the sorted distinct token
     * set — catches word-order permutations that exactKey misses. */

@@ -147,7 +147,7 @@ object LlmQueries {
     // q_dedup_exact: one map pass + one hash aggregation.
     "q_dedup_normalized" -> ((s, dir) =>
       t(s, dir, "documents")
-        .groupBy(md5(normalize(col("text"))).as("norm_key"))
+        .groupBy(normalizedKey(col("text")).as("norm_key"))
         .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_variants"))
         .orderBy(col("norm_key"))),
 
@@ -647,15 +647,17 @@ object LlmQueries {
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS exact_key, min(doc_id) AS keep_doc_id, count(*) AS n_copies
-        |FROM documents GROUP BY 1 ORDER BY exact_key""".stripMargin,
+        |FROM documents GROUP BY 1 ORDER BY exact_key NULLS FIRST""".stripMargin,
 
     // DuckDB regexp_replace needs the 'g' flag (single-replace default);
-    // Spark replaces globally by default — same RE2-safe character classes.
+    // \p{L}\p{N} + explicit whitespace class agree exactly between Java
+    // regex and RE2 (Java's \s includes \x0B, RE2's does not — avoided).
+    // NULLS FIRST matches Spark's ascending default for a NULL text row.
     "q_dedup_normalized" ->
       """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
-        |    '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS norm_key,
+        |    '[^\p{L}\p{N}\t\n\f\r ]', '', 'g'), '[\t\n\f\r ]+', ' ', 'g'))) AS norm_key,
         |  min(doc_id) AS keep_doc_id, count(*) AS n_variants
-        |FROM documents GROUP BY 1 ORDER BY norm_key""".stripMargin,
+        |FROM documents GROUP BY 1 ORDER BY norm_key NULLS FIRST""".stripMargin,
 
     "q_minhash_sig" ->
       s"""$SIG_CTE

@@ -131,6 +131,24 @@ class LlmSpec extends AnyFunSuite {
     assert(viaSql.forall(h => h.length == 1 && h.head >= 0))
   }
 
+  test("normalize: case/punct/space variants merge; distinct non-ASCII docs do NOT collapse") {
+    // expected values cross-checked against DuckDB's RE2 evaluation of the
+    // oracle pattern (identical output for every fixture below)
+    val d = Seq("Maße xy", "a\u000Bb", "Héllo, Wörld!  a", "日本語 текст", "A\tB\nC")
+      .toDF("text")
+    val got = d.select(normalize(col("text"))).as[String].collect().toSeq
+    assert(got == Seq("maße xy", "ab", "héllo wörld a", "日本語 текст", "a b c"))
+    // dedup semantics: variants of one doc share a key...
+    val k = Seq("Hello,  World!", "hello world", "HELLO WORLD.")
+      .toDF("text").select(normalizedKey(col("text"))).as[String].collect().toSet
+    assert(k.size == 1)
+    // ...but distinct non-Latin documents keep DISTINCT keys (letters are
+    // kept, not deleted — they must not all collapse to md5(''))
+    val cjk = Seq("日本語", "中文文本", "ελληνικά")
+      .toDF("text").select(normalizedKey(col("text"))).as[String].collect().toSet
+    assert(cjk.size == 3)
+  }
+
   test("winnowing: shared token run guarantees a shared fingerprint; disjoint docs share none") {
     val shared = "alpha beta gamma delta epsilon zeta eta theta"
     val d = Seq(
