@@ -7,16 +7,21 @@ import org.apache.spark.sql.SparkSession
   * back; cold timings conflate single-threaded Janino/JIT compilation of
   * each query's generated code with actual execution (observed 10-100×
   * inflation on a RANDOM query per run — NOTES.md). Each query is
-  * therefore warmed once on the smallest SF (sf0.001): Spark's codegen
-  * cache keys on the generated source, which is identical across SFs, so
-  * the warm pass compiles the exact code the timed run executes while
-  * touching ~1% of the data. The timed pass then measures execution. */
+  * therefore warmed twice on sf0.01 before timing: Spark's codegen cache
+  * keys on the generated source, which is identical across SFs, so the
+  * warm pass compiles the exact code the timed run executes while
+  * touching ~10% of the data. Two runs at sf0.01 (60K+ rows) — not one at
+  * sf0.001 (6K rows) — because HotSpot's C2 tier compiles generated loops
+  * only after ~15K backedges; a 6K-row warm leaves the loop in C1 and the
+  * first timed runs pay JIT (measured on q_mart_velocity: sf0.001 warm →
+  * 2.89/1.64/1.43/1.22/1.12s decay; 2× sf0.01 warm → 1.54/1.09/1.10s —
+  * the r3 "4× regression" was exactly this decay sampled at runs 1-2). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val warmDir = {
-      val d = sfDir.replaceAll("sf[0-9.]+/?$", "sf0.001")
+      val d = sfDir.replaceAll("sf[0-9.]+/?$", "sf0.01")
       if (new java.io.File(d).isDirectory) d else sfDir
     }
     val spark = SparkSession.builder()
@@ -44,8 +49,10 @@ object Bench {
     // multi-second stalls onto whatever runs during them; the min of
     // full-execution runs is the steady-state number a cluster would see.
     var results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
-      spark.catalog.clearCache()
+      for (_ <- 1 to 2) { // 2×: first compiles codegen, second crosses C2 JIT thresholds
+        try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+        spark.catalog.clearCache()
+      }
       name -> timedRuns(fn, 2)
     }
     // retry pass: a steal window lasts tens of seconds and sweeps the

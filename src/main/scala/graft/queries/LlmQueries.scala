@@ -93,7 +93,13 @@ object LlmQueries {
     * scale, inputs have thousands of natural splits and this is a no-op. */
   private def spreadSmallInput(df: DataFrame): DataFrame = {
     val slots = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < slots) df.repartition(slots) else df
+    // inputFiles reads the relation's file index (no RDD physical-planning
+    // pass, unlike df.rdd.getNumPartitions). Undercounts splits when one
+    // file exceeds maxPartitionBytes — fine: the repartition is a no-op
+    // guard for the single-file local-test case; real corpora have more
+    // files than slots and skip it.
+    val files = df.inputFiles.length
+    if (files > 0 && files < slots) df.repartition(slots) else df
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -430,21 +436,30 @@ object LlmQueries {
     // a pair is a candidate if it collides in ANY table
     // (OR-amplification). Versus the single 8-bit table above: 2^16
     // buckets per table caps the per-bucket pair blowup, while 4 tables
-    // recover the recall a single wide hash loses.
+    // recover the recall a single wide hash loses. Each pair is emitted
+    // by its FIRST colliding table only — table k's join carries the
+    // residual "tables 0..k-1 differ" — so no DISTINCT-over-candidates
+    // shuffle exists (same trick as q_simhash64_pairs); at 100 TB that
+    // distinct would re-shuffle every candidate pair. The checkpointed
+    // bucket table is the persisted hash-table layout a production
+    // pipeline would write before the per-table self-joins.
     "q_dedup_embedding_mt" -> ((s, dir) => {
       graft.functions.NativeFunctions.register(s)
+      val bucketCols = (0 until 4).map(tb =>
+        srpBucketAt(col("embedding"), tb * 16 + 1, 16).as(s"t$tb"))
       val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"), explode(array(
-          (0 until 4).map(tb => struct(lit(tb).as("tbl"),
-            srpBucketAt(col("embedding"), tb * 16 + 1, 16).as("bucket"))): _*)).as("h"))
-        .select(col("vec_id"), col("embedding"), col("h.tbl"), col("h.bucket"))
-      val a = e.as("a"); val b = e.as("b")
-      a.join(b, col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
-        col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          graft.functions.NativeFunctions.cosineSim(
-            col("a.embedding"), col("b.embedding")).as("cos_sim"))
-        .distinct()
+        .select(col("vec_id") +: col("embedding") +: bucketCols: _*)
+        .localCheckpoint()
+      val perTable = (0 until 4).map { tb =>
+        val a = e.as("a"); val b = e.as("b")
+        val firstMatch = (0 until tb).map(x => col(s"a.t$x") =!= col(s"b.t$x"))
+          .foldLeft(col(s"a.t$tb") === col(s"b.t$tb"))(_ && _)
+        a.join(b, firstMatch && col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+            graft.functions.NativeFunctions.cosineSim(
+              col("a.embedding"), col("b.embedding")).as("cos_sim"))
+      }
+      perTable.reduce(_.union(_))
         .filter(col("cos_sim") > 0.0)
         .orderBy(col("vec_a"), col("vec_b"))
     }),
