@@ -464,18 +464,18 @@ object LlmQueries {
         .orderBy(col("vec_a"), col("vec_b"))
     }),
 
-    // IVF-style ANN: coarse quantizer (16 sampled centroid vectors), each
-    // vector assigned to its nearest centroid (inverted lists), query
-    // probes its nprobe=2 best lists only. At scale: centroids broadcast,
-    // lists written partitioned by cent_id -> a query reads 2 partitions
-    // instead of the whole corpus.
+    // IVF-style ANN: coarse quantizer TRAINED by spherical k-means (2
+    // deterministic Lloyd rounds, init = first 16 vectors — KMeans.scala),
+    // each vector assigned to its nearest centroid (inverted lists),
+    // query probes its nprobe=2 best lists only. At scale: centroids
+    // broadcast, lists written partitioned by cent_id -> a query reads 2
+    // partitions instead of the whole corpus.
     "q_ann_ivf" -> ((s, dir) => {
       graft.functions.NativeFunctions.register(s)
       import org.apache.spark.sql.expressions.Window
       val cos = graft.functions.NativeFunctions.cosineSim _
       val e = t(s, dir, "embeddings")
-      val cents = e.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+      val cents = graft.llm.KMeans.train(e, 16, 2)
       val scored = e.crossJoin(broadcast(cents))
         .withColumn("cos_c", cos(col("embedding"), col("cvec")))
         .persist()
@@ -512,8 +512,7 @@ object LlmQueries {
         s"p${ProcessHandle.current().pid()}_${Integer.toHexString(dir.hashCode)}"
       cleanupAtExit(out)
       val e = t(s, dir, "embeddings")
-      val cents = e.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+      val cents = graft.llm.KMeans.train(e, 16, 2)
       graft.llm.IvfIndex.build(e, cents, out)
       graft.llm.IvfIndex.probe(s, out, cents, e.filter(col("vec_id") === 0L), 2)
         .filter(col("vec_id") =!= 0L)
@@ -971,15 +970,40 @@ object LlmQueries {
         |  md5(text) AS payload_md5
         |FROM documents ORDER BY id""".stripMargin)
 
+  /** cos(a, b) over arbitrary SQL vector expressions. */
+  private def cosOf(a: String, b: String): String =
+    s"""list_dot_product($a::DOUBLE[], $b::DOUBLE[]) /
+       |    (sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) *
+       |     sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[])))""".stripMargin
+
+  /** One Lloyd round as CTEs: assign every vector to its nearest centroid
+    * from `prevCents`, then rebuild centroids as per-dimension
+    * DECIMAL(38,18) member sums (exact and order-insensitive — matches
+    * KMeans.train bit-for-bit; cosine is scale-invariant so the sum is
+    * the mean's direction). */
+  private def lloydRoundSql(i: Int, prevCents: String): String =
+    s"""assign$i AS (
+       |  SELECT e.vec_id, e.embedding, c.cent_id
+       |  FROM embeddings e CROSS JOIN $prevCents c
+       |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY ${cosOf("e.embedding", "c.cvec")} DESC, c.cent_id) = 1),
+       |cents$i AS (
+       |  SELECT cent_id, list(sval ORDER BY dim) AS cvec FROM (
+       |    SELECT a.cent_id, d.dim,
+       |      CAST(SUM(CAST(a.embedding[d.dim] AS DECIMAL(38,18))) AS DOUBLE) AS sval
+       |    FROM assign$i a CROSS JOIN (SELECT unnest(range(1, 65)) AS dim) d
+       |    GROUP BY a.cent_id, d.dim)
+       |  GROUP BY cent_id)""".stripMargin
+
   private lazy val IvfSql =
-      """WITH cents AS (
+      s"""WITH cents_init AS (
         |  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+        |${lloydRoundSql(1, "cents_init")},
+        |${lloydRoundSql(2, "cents1")},
         |scored AS (
         |  SELECT e.vec_id, e.embedding, c.cent_id,
-        |    list_dot_product(e.embedding::DOUBLE[], c.cvec::DOUBLE[]) /
-        |    (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
-        |     sqrt(list_dot_product(c.cvec::DOUBLE[], c.cvec::DOUBLE[]))) AS cos_c
-        |  FROM embeddings e CROSS JOIN cents c),
+        |    ${cosOf("e.embedding", "c.cvec")} AS cos_c
+        |  FROM embeddings e CROSS JOIN cents2 c),
         |ivf AS (
         |  SELECT vec_id, embedding, cent_id FROM scored
         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cent_id) = 1),
@@ -988,9 +1012,7 @@ object LlmQueries {
         |  ORDER BY cos_c DESC, cent_id LIMIT 2),
         |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
         |SELECT i.vec_id, i.cent_id,
-        |  list_dot_product(i.embedding::DOUBLE[], qvec::DOUBLE[]) /
-        |    (sqrt(list_dot_product(i.embedding::DOUBLE[], i.embedding::DOUBLE[])) *
-        |     sqrt(list_dot_product(qvec::DOUBLE[], qvec::DOUBLE[]))) AS cos_sim
+        |  ${cosOf("i.embedding", "qvec")} AS cos_sim
         |FROM ivf i JOIN probes p ON i.cent_id = p.cent_id CROSS JOIN q
         |WHERE i.vec_id <> 0
         |ORDER BY cos_sim DESC, i.vec_id LIMIT 5""".stripMargin

@@ -34,4 +34,63 @@ class ClusterOpsSpec extends AnyFunSuite {
     val out = ClusterOps.assignClusters(docs, edges).collect()
     assert(out.forall(r => r.getLong(0) == r.getLong(1) && r.getBoolean(2)))
   }
+
+  test("star contraction matches min-label on mixed components") {
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val docs = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L, 21L, 30L).toDF("doc_id")
+    val a = ClusterOps.assignClusters(docs, edges, useStarContraction = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val b = ClusterOps.assignClusters(docs, edges, useStarContraction = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(a == b)
+  }
+
+  test("star contraction resolves a deep chain in O(log d) rounds") {
+    // a 256-vertex path: diameter 255, min-label would need 255 rounds
+    // (it caps at maxIter=50 and aborts); two-phase star contraction
+    // must label all vertices with the minimum in logarithmically few.
+    val n = 256
+    val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = ClusterOps.connectedComponentsStarWithRounds(edges)
+    val out = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == n && out.values.forall(_ == 1L))
+    assert(rounds <= 12, s"expected O(log d) rounds for diameter ${n - 1}, got $rounds")
+  }
+
+  test("min-label round join reuses the persisted edge partitioning: no exchange") {
+    // One propagation round, exactly as connectedComponents builds it:
+    // edges hash-partitioned on src and persisted, labels arriving
+    // partitioned on id (the previous round's groupBy output). Both sides
+    // satisfy the join's required distribution, so the round plan has NO
+    // shuffle at all on the (dominant) edge side — that is the property
+    // that makes d rounds affordable on a 10⁹-edge graph.
+    val spark2 = TestSpark.spark
+    val prevBroadcast = spark2.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // no broadcast shortcut
+    try {
+      val parts = spark2.conf.get("spark.sql.shuffle.partitions").toInt
+      val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (20L, 21L)).toDF("doc_a", "doc_b")
+      val und = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .repartition(parts, col("src")).persist()
+      und.count()
+      val labels = und.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id"))
+      val round = und.join(labels, col("src") === col("id"))
+        .select(col("dst").as("id"), col("label"))
+      val plan = round.queryExecution.executedPlan.toString
+      // the cached relation's own build plan (inside InMemoryRelation)
+      // legitimately shows its one-time REPARTITION_BY_NUM exchange; a
+      // per-round shuffle would surface as an EnsureRequirements-inserted
+      // exchange on the join inputs.
+      assert(!plan.contains("ENSURE_REQUIREMENTS"),
+        s"round join should reuse the persisted src-partitioning, got:\n$plan")
+      assert(plan.contains("InMemoryTableScan"),
+        "round join must read the persisted edge table")
+      und.unpersist()
+    } finally {
+      spark2.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+    }
+  }
 }
