@@ -92,6 +92,8 @@ object NativeFunctions {
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hamming", exprs => HammingDistance(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     // the parameter arg must be checked foldable BEFORE eval(): calling
     // eval() on a non-literal (e.g. a column reference) throws an opaque
     // unbound-attribute error instead of this usage message
@@ -114,4 +116,5 @@ object NativeFunctions {
   /** Column-API entry points (require register(spark) in the session). */
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
   def hamming(a: Column, b: Column): Column = call_function("hamming", a, b)
+  def dotProduct(a: Column, b: Column): Column = call_function("dot_product", a, b)
 }

@@ -413,6 +413,22 @@ object LlmQueries {
         .limit(10)
     }),
 
+    // Product-quantized ANN (PqOps): 4×16-dim subspace codebooks trained
+    // by 2 deterministic Lloyd rounds, corpus encoded to 4 codes/vector,
+    // query scored by ADC lookup-table parts summed in subspace order.
+    // Completes the ANN family: brute force (exact) / LSH + IVF
+    // (candidate pruning) / SQ8 (bandwidth) / PQ (memory).
+    "q_ann_pq" -> ((s, dir) => {
+      graft.functions.NativeFunctions.register(s)
+      val e = t(s, dir, "embeddings")
+      val books = graft.llm.PqOps.trainCodebooks(e, 4, 16, 16, 2)
+      val codes = graft.llm.PqOps.encode(e, books, 4, 16)
+      graft.llm.PqOps.adcScores(codes, books, e.filter(col("vec_id") === 0L), 4, 16)
+        .filter(col("vec_id") =!= 0L)
+        .orderBy(col("approx_dot").desc, col("vec_id"))
+        .limit(10)
+    }),
+
     // Embedding-cosine near-dup: SRP-bucketed candidate generation (the
     // scale path — candidates only within a bucket, an equi-join), then
     // exact cosine filter. Threshold 0.25 exercises the path on this
@@ -938,6 +954,8 @@ object LlmQueries {
 
     "q_ann_ivf" -> IvfSql,
 
+    "q_ann_pq" -> PqSql,
+
     // identical SQL: the persisted partitioned layout must return exactly
     // what the inline IVF computation returns
     "q_ann_ivf_persisted" -> IvfSql,
@@ -1016,4 +1034,60 @@ object LlmQueries {
         |FROM ivf i JOIN probes p ON i.cent_id = p.cent_id CROSS JOIN q
         |WHERE i.vec_id <> 0
         |ORDER BY cos_sim DESC, i.vec_id LIMIT 5""".stripMargin
+
+  /** One PQ Lloyd round over the fixed-point sub-vectors: L2 assignment
+    * via argmax(2·dot − ‖c‖²) — exact integers held in doubles — then
+    * mean update re-gridded with floor(s/n + 0.5) (one IEEE division of
+    * exact integers; identical in any engine). */
+  private def pqRoundSql(i: Int, prevCb: String): String =
+    s"""pqassign$i AS (
+       |  SELECT s.vec_id, s.m, s.sub, c.cent_id
+       |  FROM pqsubs s JOIN $prevCb c ON s.m = c.m
+       |  QUALIFY row_number() OVER (PARTITION BY s.vec_id, s.m
+       |    ORDER BY (2.0 * list_dot_product(s.sub, c.cvec)
+       |      - list_dot_product(c.cvec, c.cvec)) DESC, c.cent_id) = 1),
+       |cb$i AS (
+       |  SELECT m, cent_id, list(mv ORDER BY dim) AS cvec FROM (
+       |    SELECT a.m, a.cent_id, d.dim,
+       |      FLOOR(SUM(a.sub[d.dim]) / COUNT(*) + 0.5) AS mv
+       |    FROM pqassign$i a CROSS JOIN (SELECT unnest(range(1, 17)) AS dim) d
+       |    GROUP BY a.m, a.cent_id, d.dim)
+       |  GROUP BY m, cent_id)""".stripMargin
+
+  private lazy val PqSql = {
+    val subSelects = (0 until 4).map(m =>
+      s"""SELECT vec_id, $m AS m,
+         |    list_transform(embedding[${m * 16 + 1}:${(m + 1) * 16}],
+         |      x -> FLOOR(CAST(x AS DOUBLE) * 1048576.0 + 0.5)) AS sub
+         |  FROM embeddings""".stripMargin)
+      .mkString("\n  UNION ALL\n  ")
+    val codeCols = (0 until 4).map(i => s"MAX(CASE WHEN e.m = $i THEN e.code END) AS code$i")
+    val partCols = (0 until 4).map(i => s"MAX(CASE WHEN e.m = $i THEN l.part END) AS part$i")
+    s"""WITH pqsubs AS (
+       |  $subSelects),
+       |cb0 AS (SELECT m, vec_id AS cent_id, sub AS cvec FROM pqsubs WHERE vec_id < 16),
+       |${pqRoundSql(1, "cb0")},
+       |${pqRoundSql(2, "cb1")},
+       |enc AS (
+       |  SELECT s.vec_id, s.m, c.cent_id AS code
+       |  FROM pqsubs s JOIN cb2 c ON s.m = c.m
+       |  QUALIFY row_number() OVER (PARTITION BY s.vec_id, s.m
+       |    ORDER BY (2.0 * list_dot_product(s.sub, c.cvec)
+       |      - list_dot_product(c.cvec, c.cvec)) DESC, c.cent_id) = 1),
+       |qsub AS (SELECT m, sub AS qsub FROM pqsubs WHERE vec_id = 0),
+       |lut AS (
+       |  SELECT c.m, c.cent_id AS code,
+       |    list_dot_product(q.qsub, c.cvec) AS part
+       |  FROM cb2 c JOIN qsub q ON c.m = q.m),
+       |agg AS (
+       |  SELECT e.vec_id,
+       |    ${codeCols.mkString(",\n    ")},
+       |    ${partCols.mkString(",\n    ")}
+       |  FROM enc e JOIN lut l ON e.m = l.m AND e.code = l.code
+       |  GROUP BY e.vec_id)
+       |SELECT vec_id, code0, code1, code2, code3,
+       |  (((part0 + part1) + part2) + part3) / 1099511627776.0 AS approx_dot
+       |FROM agg WHERE vec_id <> 0
+       |ORDER BY approx_dot DESC, vec_id LIMIT 10""".stripMargin
+  }
 }
