@@ -71,6 +71,89 @@ object LlmQueries {
       .distinct()
   }
 
+  /** Banded 64-bit simhash near-dup pairs — the corpus-scale text dedup.
+    * Candidates share at least one `bandBits`-bit band of `nBands`; the
+    * exact filter is the codegen'd 64-bit hamming. Each pair is generated
+    * by its FIRST matching band only — band k's join carries the residual
+    * predicate "bands 0..k-1 differ" — so no post-join DISTINCT-over-
+    * candidates shuffle exists; at 100 TB that distinct would re-shuffle
+    * every candidate pair. The checkpointed `h` is the materialized
+    * fingerprint table a production pipeline persists before the joins.
+    *
+    * Geometry is the scale knob (dedup.simhash_band_bits /
+    * dedup.simhash_bands in pipeline config): bits ≈ log2(n)+slack keeps
+    * expected bucket occupancy O(slack) — 16-bit bands for the test
+    * corpus, 32-bit at n = 10⁹ (NOTES.md candidate-pair budget table). */
+  def simhash64Pairs(s: SparkSession, dir: String,
+                     bandBits: Int, nBands: Int, maxHamming: Int = 8): DataFrame = {
+    require(bandBits > 0 && nBands > 0 && bandBits * nBands <= 64,
+      s"band geometry must tile ≤64 fingerprint bits, got $nBands×$bandBits")
+    graft.functions.NativeFunctions.register(s)
+    val bandCols = (0 until nBands).map(bd =>
+      substring(col("sh"), bd * bandBits + 1, bandBits).as(s"b$bd"))
+    val h = spreadSmallInput(t(s, dir, "documents"))
+      .select(col("doc_id"),
+        simhash64FromHashes(tokenHashes(tokens(col("text")))).as("sh"))
+      .select(col("doc_id") +: col("sh") +: bandCols: _*)
+      .localCheckpoint()
+    val perBand = (0 until nBands).map { bd =>
+      val a = h.as("a"); val b = h.as("b")
+      val firstMatch = (0 until bd).map(e => col(s"a.b$e") =!= col(s"b.b$e"))
+        .foldLeft(col(s"a.b$bd") === col(s"b.b$bd"))(_ && _)
+      a.join(b, firstMatch && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          graft.functions.NativeFunctions.hamming(
+            col("a.sh"), col("b.sh")).as("hamming_dist"))
+    }
+    perBand.reduce(_.union(_))
+      .filter(col("hamming_dist") <= maxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Multi-table SRP embedding near-dup — the corpus-scale embedding
+    * dedup: `nTables` independent `tableBits`-bit hash tables over
+    * consecutive dimension ranges; a pair is a candidate if it collides
+    * in ANY table (OR-amplification: tables recover the recall one wide
+    * hash loses, while 2^bits buckets cap the per-bucket pair blowup).
+    * First-colliding-table residuals replace the DISTINCT shuffle, as in
+    * [[simhash64Pairs]]. Geometry knobs: dedup.srp_table_bits /
+    * dedup.srp_tables. */
+  def mtSrpPairs(s: SparkSession, dir: String,
+                 tableBits: Int, nTables: Int, minCos: Double = 0.0): DataFrame = {
+    require(tableBits > 0 && nTables > 0 && tableBits * nTables <= 64,
+      s"table geometry must tile ≤64 dims, got $nTables×$tableBits")
+    graft.functions.NativeFunctions.register(s)
+    val bucketCols = (0 until nTables).map(tb =>
+      srpBucketAt(col("embedding"), tb * tableBits + 1, tableBits).as(s"t$tb"))
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id") +: col("embedding") +: bucketCols: _*)
+      .localCheckpoint()
+    val perTable = (0 until nTables).map { tb =>
+      val a = e.as("a"); val b = e.as("b")
+      val firstMatch = (0 until tb).map(x => col(s"a.t$x") =!= col(s"b.t$x"))
+        .foldLeft(col(s"a.t$tb") === col(s"b.t$tb"))(_ && _)
+      a.join(b, firstMatch && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          graft.functions.NativeFunctions.cosineSim(
+            col("a.embedding"), col("b.embedding")).as("cos_sim"))
+    }
+    perTable.reduce(_.union(_))
+      .filter(col("cos_sim") > minCos)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** Config-driven geometry (configs/pipeline_config.yml `dedup:`
+    * section; defaults = the oracle-pinned 16-bit/4-table demo). */
+  def simhash64PairsFromConfig(s: SparkSession, dir: String,
+                               cfg: graft.util.PipelineConfig): DataFrame =
+    simhash64Pairs(s, dir,
+      cfg.int("dedup.simhash_band_bits", 16), cfg.int("dedup.simhash_bands", 4))
+
+  def mtSrpPairsFromConfig(s: SparkSession, dir: String,
+                           cfg: graft.util.PipelineConfig): DataFrame =
+    mtSrpPairs(s, dir,
+      cfg.int("dedup.srp_table_bits", 16), cfg.int("dedup.srp_tables", 4))
+
   /** Register a tmp directory for deletion when this JVM exits (the
     * persisted-IVF index dirs are PID-scoped, so nothing else can be
     * reading them by then). Idempotent per path. */
@@ -236,50 +319,29 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // Near-dup pairs from the 64-bit fingerprint: candidates share at
-    // least one 16-bit band, exact filter by codegen'd hamming over all
-    // 64 bits. Each pair is generated by its FIRST matching band only —
-    // band k's join carries the residual predicate "bands 0..k-1 differ"
-    // — so no post-join DISTINCT is needed. On this corpus (dense
-    // near-dup collisions: ~1M band matches for 150K unique pairs at
-    // sf0.1) that residual predicate replaces a shuffle of every
-    // candidate pair with a free row-level compare; at 100 TB the
-    // distinct-over-candidates shuffle would be the dominant stage.
-    // The checkpointed `h` is the materialized fingerprint table a
-    // production pipeline would persist before the per-band joins.
-    "q_simhash64_pairs" -> ((s, dir) => {
-      graft.functions.NativeFunctions.register(s)
-      val bandCols = (0 until 4).map(bd =>
-        substring(col("sh"), bd * 16 + 1, 16).as(s"b$bd"))
-      val h = spreadSmallInput(t(s, dir, "documents"))
-        .select(col("doc_id"),
-          simhash64FromHashes(tokenHashes(tokens(col("text")))).as("sh"))
-        .select(col("doc_id") +: col("sh") +: bandCols: _*)
-        .localCheckpoint()
-      val perBand = (0 until 4).map { bd =>
-        val a = h.as("a"); val b = h.as("b")
-        val firstMatch = (0 until bd).map(e => col(s"a.b$e") =!= col(s"b.b$e"))
-          .foldLeft(col(s"a.b$bd") === col(s"b.b$bd"))(_ && _)
-        a.join(b, firstMatch && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-            graft.functions.NativeFunctions.hamming(
-              col("a.sh"), col("b.sh")).as("hamming_dist"))
-      }
-      perBand.reduce(_.union(_))
-        .filter(col("hamming_dist") <= 8)
-        .orderBy(col("doc_a"), col("doc_b"))
-    }),
+    // Near-dup pairs from the 64-bit fingerprint (see simhash64Pairs:
+    // first-matching-band residuals instead of a DISTINCT shuffle;
+    // geometry from pipeline config at corpus scale, 4×16-bit pinned
+    // here for the oracle corpus).
+    "q_simhash64_pairs" -> ((s, dir) => simhash64Pairs(s, dir, 16, 4)),
 
+    // Exact Jaccard verification over the minhash-LSH candidate pairs —
+    // the production dedup shape: bands generate candidates, the exact
+    // token-set similarity confirms them. The token-set table joins in
+    // twice (by doc_a, by doc_b); at scale both joins shuffle on doc_id
+    // against the (small) candidate list.
     "q_ngram_jaccard" -> ((s, dir) => {
+      val cand = minhashPairs(s, dir)
       val d = t(s, dir, "documents")
         .select(col("doc_id"), array_distinct(tokens(col("text"))).as("ts"))
-      val a = d.as("a"); val b = d.as("b")
-      a.join(b, col("b.doc_id") === col("a.doc_id") + 1)
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        .localCheckpoint() // materialize once for both join branches
+      cand.join(d.as("a"), col("doc_a") === col("a.doc_id"))
+        .join(d.as("b"), col("doc_b") === col("b.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
           size(array_intersect(col("a.ts"), col("b.ts"))).cast("long").as("n_common"),
           size(array_union(col("a.ts"), col("b.ts"))).cast("long").as("n_union"),
           jaccard(col("a.ts"), col("b.ts")).as("jaccard_sim"))
-        .orderBy(col("doc_a"))
+        .orderBy(col("doc_a"), col("doc_b"))
     }),
 
     // Deterministic train/val/test split (80/10/10) by stable hash bucket
@@ -447,38 +509,10 @@ object LlmQueries {
         .orderBy(col("vec_a"), col("vec_b"))
     }),
 
-    // Multi-table SRP near-dup — the corpus-scale embedding dedup: 4
-    // independent 16-bit hash tables (dims 1-16, 17-32, 33-48, 49-64);
-    // a pair is a candidate if it collides in ANY table
-    // (OR-amplification). Versus the single 8-bit table above: 2^16
-    // buckets per table caps the per-bucket pair blowup, while 4 tables
-    // recover the recall a single wide hash loses. Each pair is emitted
-    // by its FIRST colliding table only — table k's join carries the
-    // residual "tables 0..k-1 differ" — so no DISTINCT-over-candidates
-    // shuffle exists (same trick as q_simhash64_pairs); at 100 TB that
-    // distinct would re-shuffle every candidate pair. The checkpointed
-    // bucket table is the persisted hash-table layout a production
-    // pipeline would write before the per-table self-joins.
-    "q_dedup_embedding_mt" -> ((s, dir) => {
-      graft.functions.NativeFunctions.register(s)
-      val bucketCols = (0 until 4).map(tb =>
-        srpBucketAt(col("embedding"), tb * 16 + 1, 16).as(s"t$tb"))
-      val e = t(s, dir, "embeddings")
-        .select(col("vec_id") +: col("embedding") +: bucketCols: _*)
-        .localCheckpoint()
-      val perTable = (0 until 4).map { tb =>
-        val a = e.as("a"); val b = e.as("b")
-        val firstMatch = (0 until tb).map(x => col(s"a.t$x") =!= col(s"b.t$x"))
-          .foldLeft(col(s"a.t$tb") === col(s"b.t$tb"))(_ && _)
-        a.join(b, firstMatch && col("a.vec_id") < col("b.vec_id"))
-          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-            graft.functions.NativeFunctions.cosineSim(
-              col("a.embedding"), col("b.embedding")).as("cos_sim"))
-      }
-      perTable.reduce(_.union(_))
-        .filter(col("cos_sim") > 0.0)
-        .orderBy(col("vec_a"), col("vec_b"))
-    }),
+    // Multi-table SRP near-dup (see mtSrpPairs: OR-amplified tables,
+    // first-colliding-table residuals instead of a DISTINCT shuffle;
+    // geometry from pipeline config at corpus scale).
+    "q_dedup_embedding_mt" -> ((s, dir) => mtSrpPairs(s, dir, 16, 4)),
 
     // IVF-style ANN: coarse quantizer TRAINED by spherical k-means (2
     // deterministic Lloyd rounds, init = first 16 vectors — KMeans.scala),
@@ -840,14 +874,23 @@ object LlmQueries {
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_ngram_jaccard" ->
-      s"""WITH d AS (SELECT doc_id, list_distinct($W) AS ts FROM documents)
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      s"""$SIG_CTE,
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_id, md5(concat_ws('|', sig0, sig1, sig2, sig3)) AS bkey FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS band_id, md5(concat_ws('|', sig4, sig5, sig6, sig7)) AS bkey FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band_id = y.band_id AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |d AS (SELECT doc_id, list_distinct($W) AS ts FROM documents)
+         |SELECT c.doc_a, c.doc_b,
          |  CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS n_common,
          |  CAST(len(list_distinct(list_cat(a.ts, b.ts))) AS BIGINT) AS n_union,
          |  len(list_intersect(a.ts, b.ts)) /
          |    CAST(len(list_distinct(list_cat(a.ts, b.ts))) AS DOUBLE) AS jaccard_sim
-         |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
-         |ORDER BY doc_a""".stripMargin,
+         |FROM cand c JOIN d a ON a.doc_id = c.doc_a JOIN d b ON b.doc_id = c.doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_tfidf" ->
       s"""WITH toks AS (

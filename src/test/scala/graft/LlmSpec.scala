@@ -256,4 +256,27 @@ class LlmSpec extends AnyFunSuite {
       out(1).getDouble(2) == 1.0)                                // no upscale
     assert(out(2).getBoolean(3) && out(3).getBoolean(3))         // invalid dims → NULL
   }
+
+  test("LSH geometry knobs: fewer bands/tables give a candidate subset; invalid tiling rejected") {
+    import graft.queries.LlmQueries
+    val dir = "/root/testdata/sf0.001"
+    def pairs(df: org.apache.spark.sql.DataFrame, a: String, b: String) =
+      df.select(a, b).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // recall is monotone in band count: every first-band-matched pair of
+    // the narrow config also collides in the wide one
+    val sim2 = pairs(LlmQueries.simhash64Pairs(spark, dir, 16, 2), "doc_a", "doc_b")
+    val sim4 = pairs(LlmQueries.simhash64Pairs(spark, dir, 16, 4), "doc_a", "doc_b")
+    assert(sim2.subsetOf(sim4) && sim4.nonEmpty)
+    val srp2 = pairs(LlmQueries.mtSrpPairs(spark, dir, 16, 2), "vec_a", "vec_b")
+    val srp4 = pairs(LlmQueries.mtSrpPairs(spark, dir, 16, 4), "vec_a", "vec_b")
+    assert(srp2.subsetOf(srp4))
+    // config plumbing: dedup.* keys reach the operators
+    val cfg = graft.util.PipelineConfig.parse(Seq(
+      "dedup:", "  simhash_band_bits: 32", "  simhash_bands: 2"))
+    assert(pairs(LlmQueries.simhash64PairsFromConfig(spark, dir, cfg), "doc_a", "doc_b")
+      .subsetOf(sim4)) // 2×32-bit bands are strictly finer than 4×16
+    intercept[IllegalArgumentException] {
+      LlmQueries.simhash64Pairs(spark, dir, 32, 4) // 128 bits > 64
+    }
+  }
 }

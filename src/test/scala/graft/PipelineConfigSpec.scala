@@ -18,6 +18,11 @@ class PipelineConfigSpec extends AnyFunSuite {
     assert(c.list("tables.gold") == Seq("fct_orders", "dim_users", "dim_products",
       "mart_dept_performance", "mart_reorder_velocity"))
     assert(c.list("tables.bronze").contains("order_products"))
+    // LSH geometry knobs for the corpus-scale dedup operators
+    assert(c.int("dedup.simhash_band_bits", -1) == 16)
+    assert(c.int("dedup.simhash_bands", -1) == 4)
+    assert(c.int("dedup.srp_table_bits", -1) == 16)
+    assert(c.int("dedup.srp_tables", -1) == 4)
   }
 
   test("Medallion.configFromYaml maps paths and thresholds onto Config") {
