@@ -55,20 +55,22 @@ object LlmQueries {
     * dominates wall time (measured: ~20s plan work for <1s of execution).
     * Checkpointing materializes the narrow signature table once and both
     * branches reference the materialized RDD — the production dedup
-    * pattern (compute signatures once, join twice). */
+    * pattern (compute signatures once, join twice).
+    *
+    * Each pair is emitted by its FIRST matching band (band 1's join
+    * requires band 0 to differ), so the union needs no
+    * DISTINCT-over-candidates shuffle — the same residual-predicate
+    * pattern as simhash64Pairs/mtSrpPairs; at corpus scale the distinct
+    * would re-shuffle every candidate pair. */
   private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     val sig = minhashSignatures(t(s, dir, "documents")).localCheckpoint()
-    // single-pass unpivot via explode (a union of two projections would
-    // recompute the whole shingle->signature subplan per branch)
-    val bands = sig.select(col("doc_id"), explode(array(
-      struct(lit(0).as("band_id"), col("band0").as("bkey")),
-      struct(lit(1).as("band_id"), col("band1").as("bkey")))).as("b"))
-      .select(col("doc_id"), col("b.band_id").as("band_id"), col("b.bkey").as("bkey"))
-    val a = bands.as("a"); val b = bands.as("b")
-    a.join(b, col("a.band_id") === col("b.band_id") && col("a.bkey") === col("b.bkey") &&
-      col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    val a = sig.as("a"); val b = sig.as("b")
+    val perBand = Seq(
+      col("a.band0") === col("b.band0"),
+      col("a.band1") === col("b.band1") && col("a.band0") =!= col("b.band0"))
+      .map(cond => a.join(b, cond && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")))
+    perBand.reduce(_.union(_))
   }
 
   /** Banded 64-bit simhash near-dup pairs — the corpus-scale text dedup.
@@ -208,6 +210,41 @@ object LlmQueries {
             .when(col("distinct_ratio") < 0.3, "repetitive")
             .when(col("stopword_ratio") > 0.5, "boilerplate")
             .otherwise("ok"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Intra-document repetition metrics (the Gopher/C4 duplicate-n-gram
+    // rules): explode 2-grams and aggregate per doc — the distributed
+    // shape; a per-doc n-gram map never materializes in one place, so a
+    // 1 GB pathological document costs shuffle rows, not executor heap.
+    "q_repetition" -> ((s, dir) => {
+      val grams = spreadSmallInput(t(s, dir, "documents"))
+        .select(col("doc_id"), explode(shingles(tokens(col("text")), 2)).as("gram"))
+      grams.groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).cast("long").as("n_grams"),
+          count(lit(1)).cast("long").as("n_distinct"),
+          max(col("c")).cast("long").as("max_gram_count"))
+        .withColumn("dup_ratio",
+          rnd(lit(1.0) - col("n_distinct") / col("n_grams").cast("double"), 4))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Composite keep/drop filter with reasons — the materialized decision
+    // table a cleanup pipeline writes before dropping documents (first
+    // failing rule wins: length → repetition → boilerplate → lang
+    // agreement). Reuses the quality-feature and lang-ID expressions.
+    "q_doc_filter" -> ((s, dir) => {
+      val f = qualityFeatures(col("text"), stopwords)
+      val scores = langScores(col("text"), langMarkers)
+      val reason = when(f("n_tokens") < 5, "too_short")
+        .when(f("distinct_ratio") < 0.3, "repetitive")
+        .when(f("stopword_ratio") > 0.5, "boilerplate")
+        .when(langPredict(scores) =!= col("lang"), "lang_mismatch")
+        .otherwise("keep")
+      t(s, dir, "documents")
+        .select(col("doc_id"), reason.as("reason"))
+        .withColumn("keep", col("reason") === "keep")
         .orderBy(col("doc_id"))
     }),
 
@@ -701,6 +738,51 @@ object LlmQueries {
         |    WHEN score_es = greatest(score_en, score_de, score_fr, score_es) THEN 'es'
         |    ELSE 'und' END) = lang AS is_correct
         |FROM scored ORDER BY doc_id""".stripMargin,
+
+    "q_repetition" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(w) >= 2 THEN list_transform(
+         |      generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])
+         |    ELSE [] END) AS gram
+         |  FROM (SELECT doc_id, $W AS w FROM documents)),
+         |pc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2)
+         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+         |  CAST(count(*) AS BIGINT) AS n_distinct,
+         |  CAST(max(c) AS BIGINT) AS max_gram_count,
+         |  floor((1.0 - count(*) / CAST(sum(c) AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS dup_ratio
+         |FROM pc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_doc_filter" -> {
+      val scoreExprs = langMarkers.map { case (lang, words) =>
+        words.map(w => s"(CASE WHEN p LIKE '% $w %' THEN 1 ELSE 0 END)")
+          .mkString(" + ") + s" AS score_$lang"
+      }.mkString(",\n         |    ")
+      val all = langMarkers.map { case (l, _) => s"score_$l" }.mkString(", ")
+      val predCase = "CASE " + langMarkers.map { case (l, _) =>
+        s"WHEN score_$l = greatest($all) THEN '$l'"
+      }.mkString(" ") + " ELSE 'und' END"
+      s"""WITH q AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(w) AS BIGINT) AS n_tokens,
+         |    len(list_filter(w, x -> x IN ('the','a','of','and','to','in')))
+         |      / CAST(len(w) AS DOUBLE) AS stopword_ratio,
+         |    len(list_distinct(w)) / CAST(len(w) AS DOUBLE) AS distinct_ratio,
+         |    ' ' || lower(text) || ' ' AS p
+         |  FROM (SELECT doc_id, lang, text, $W AS w FROM documents)),
+         |sc AS (
+         |  SELECT doc_id, lang, n_tokens, stopword_ratio, distinct_ratio,
+         |    $scoreExprs
+         |  FROM q),
+         |r AS (
+         |  SELECT doc_id,
+         |    CASE WHEN n_tokens < 5 THEN 'too_short'
+         |      WHEN distinct_ratio < 0.3 THEN 'repetitive'
+         |      WHEN stopword_ratio > 0.5 THEN 'boilerplate'
+         |      WHEN ($predCase) <> lang THEN 'lang_mismatch'
+         |      ELSE 'keep' END AS reason
+         |  FROM sc)
+         |SELECT doc_id, reason, reason = 'keep' AS keep FROM r ORDER BY doc_id""".stripMargin
+    },
 
     "q_doc_fingerprint" ->
       s"""SELECT doc_id, md5(text) AS exact_key,
