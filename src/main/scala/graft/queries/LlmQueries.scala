@@ -156,6 +156,72 @@ object LlmQueries {
     mtSrpPairs(s, dir,
       cfg.int("dedup.srp_table_bits", 16), cfg.int("dedup.srp_tables", 4))
 
+  /** IVF-style ANN: coarse quantizer TRAINED by spherical k-means (fixed
+    * deterministic Lloyd rounds, init = first k vectors — KMeans.scala),
+    * each vector assigned to its nearest centroid (inverted lists), the
+    * query probes its nprobe best lists only. At scale: centroids
+    * broadcast, lists written partitioned by cent_id (IvfIndex) → a probe
+    * reads nprobe partitions instead of the whole corpus. Knobs via the
+    * `ann:` config section; k grows ~√corpus, nprobe sets the
+    * recall/latency trade. */
+  def annIvf(s: SparkSession, dir: String,
+             k: Int, lloydRounds: Int, nprobe: Int): DataFrame = {
+    graft.functions.NativeFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val cos = graft.functions.NativeFunctions.cosineSim _
+    val e = t(s, dir, "embeddings")
+    val cents = graft.llm.KMeans.train(e, k, lloydRounds)
+    val scored = e.crossJoin(broadcast(cents))
+      .withColumn("cos_c", cos(col("embedding"), col("cvec")))
+      .persist()
+    val ivf = scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cent_id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id"))
+    val probes = scored.filter(col("vec_id") === 0L)
+      .orderBy(col("cos_c").desc, col("cent_id")).limit(nprobe)
+      .select(col("cent_id"))
+    val q = e.filter(col("vec_id") === 0L).select(col("embedding").as("qvec"))
+    ivf.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("vec_id") =!= 0L)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("cent_id"), cos(col("embedding"), col("qvec")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(5)
+  }
+
+  /** Product-quantized ANN (PqOps): `m` subspace codebooks of `k`
+    * codewords trained by fixed-point Lloyd rounds, corpus encoded to m
+    * codes/vector, query scored by ADC lookup-table parts summed in
+    * subspace order. Completes the ANN family: brute force (exact) /
+    * LSH + IVF (candidate pruning) / SQ8 (bandwidth) / PQ (memory). */
+  def annPq(s: SparkSession, dir: String,
+            m: Int, k: Int, lloydRounds: Int): DataFrame = {
+    graft.functions.NativeFunctions.register(s)
+    require(64 % m == 0, s"subspace count must tile 64 dims, got $m")
+    val subDim = 64 / m
+    val e = t(s, dir, "embeddings")
+    val books = graft.llm.PqOps.trainCodebooks(e, m, subDim, k, lloydRounds)
+    val codes = graft.llm.PqOps.encode(e, books, m, subDim)
+    graft.llm.PqOps.adcScores(codes, books, e.filter(col("vec_id") === 0L), m, subDim)
+      .filter(col("vec_id") =!= 0L)
+      .orderBy(col("approx_dot").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** Config-driven ANN variants (`ann:` section; defaults = the
+    * oracle-pinned demo geometry). */
+  def annIvfFromConfig(s: SparkSession, dir: String,
+                       cfg: graft.util.PipelineConfig): DataFrame =
+    annIvf(s, dir, cfg.int("ann.ivf_centroids", 16),
+      cfg.int("ann.lloyd_rounds", 2), cfg.int("ann.ivf_nprobe", 2))
+
+  def annPqFromConfig(s: SparkSession, dir: String,
+                      cfg: graft.util.PipelineConfig): DataFrame =
+    annPq(s, dir, cfg.int("ann.pq_subspaces", 4),
+      cfg.int("ann.pq_codebook", 16), cfg.int("ann.lloyd_rounds", 2))
+
   /** Register a tmp directory for deletion when this JVM exits (the
     * persisted-IVF index dirs are PID-scoped, so nothing else can be
     * reading them by then). Idempotent per path. */
@@ -512,22 +578,6 @@ object LlmQueries {
         .limit(10)
     }),
 
-    // Product-quantized ANN (PqOps): 4×16-dim subspace codebooks trained
-    // by 2 deterministic Lloyd rounds, corpus encoded to 4 codes/vector,
-    // query scored by ADC lookup-table parts summed in subspace order.
-    // Completes the ANN family: brute force (exact) / LSH + IVF
-    // (candidate pruning) / SQ8 (bandwidth) / PQ (memory).
-    "q_ann_pq" -> ((s, dir) => {
-      graft.functions.NativeFunctions.register(s)
-      val e = t(s, dir, "embeddings")
-      val books = graft.llm.PqOps.trainCodebooks(e, 4, 16, 16, 2)
-      val codes = graft.llm.PqOps.encode(e, books, 4, 16)
-      graft.llm.PqOps.adcScores(codes, books, e.filter(col("vec_id") === 0L), 4, 16)
-        .filter(col("vec_id") =!= 0L)
-        .orderBy(col("approx_dot").desc, col("vec_id"))
-        .limit(10)
-    }),
-
     // Embedding-cosine near-dup: SRP-bucketed candidate generation (the
     // scale path — candidates only within a bucket, an equi-join), then
     // exact cosine filter. Threshold 0.25 exercises the path on this
@@ -551,37 +601,10 @@ object LlmQueries {
     // geometry from pipeline config at corpus scale).
     "q_dedup_embedding_mt" -> ((s, dir) => mtSrpPairs(s, dir, 16, 4)),
 
-    // IVF-style ANN: coarse quantizer TRAINED by spherical k-means (2
-    // deterministic Lloyd rounds, init = first 16 vectors — KMeans.scala),
-    // each vector assigned to its nearest centroid (inverted lists),
-    // query probes its nprobe=2 best lists only. At scale: centroids
-    // broadcast, lists written partitioned by cent_id -> a query reads 2
-    // partitions instead of the whole corpus.
-    "q_ann_ivf" -> ((s, dir) => {
-      graft.functions.NativeFunctions.register(s)
-      import org.apache.spark.sql.expressions.Window
-      val cos = graft.functions.NativeFunctions.cosineSim _
-      val e = t(s, dir, "embeddings")
-      val cents = graft.llm.KMeans.train(e, 16, 2)
-      val scored = e.crossJoin(broadcast(cents))
-        .withColumn("cos_c", cos(col("embedding"), col("cvec")))
-        .persist()
-      val ivf = scored
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cent_id"))))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("cent_id"))
-      val probes = scored.filter(col("vec_id") === 0L)
-        .orderBy(col("cos_c").desc, col("cent_id")).limit(2)
-        .select(col("cent_id"))
-      val q = e.filter(col("vec_id") === 0L).select(col("embedding").as("qvec"))
-      ivf.join(broadcast(probes), Seq("cent_id"))
-        .filter(col("vec_id") =!= 0L)
-        .crossJoin(broadcast(q))
-        .select(col("vec_id"), col("cent_id"), cos(col("embedding"), col("qvec")).as("cos_sim"))
-        .orderBy(col("cos_sim").desc, col("vec_id"))
-        .limit(5)
-    }),
+    // IVF ANN with the k-means-trained quantizer (see annIvf; geometry
+    // from pipeline config at scale, 16 centroids / nprobe=2 pinned here
+    // for the oracle corpus).
+    "q_ann_ivf" -> ((s, dir) => annIvf(s, dir, 16, 2, 2)),
 
     // Persisted IVF: same semantics as q_ann_ivf but through the
     // production layout — inverted lists written partitioned by cent_id,
@@ -606,6 +629,10 @@ object LlmQueries {
         .orderBy(col("cos_sim").desc, col("vec_id"))
         .limit(5)
     }),
+
+    // Product-quantized ANN (see annPq / PqOps: fixed-point training,
+    // ADC lookup-table scoring; geometry from pipeline config at scale).
+    "q_ann_pq" -> ((s, dir) => annPq(s, dir, 4, 16, 2)),
 
     // Frame sampling (video/audio chunk shape) over the text corpus as
     // binary payloads: 32-byte frames, ≤8 sampled per doc, md5 per frame.

@@ -100,4 +100,12 @@ class IvfSpec extends AnyFunSuite {
     // k-means to exploit, so no trained-vs-untrained assertion).
     assert(recallTrained >= 7, s"recall@10 with trained centroids = $recallTrained/10")
   }
+
+  test("config-driven ANN geometry: non-default knobs produce a valid probed top-k") {
+    val cfg = graft.util.PipelineConfig.parse(Seq(
+      "ann:", "  ivf_centroids: 8", "  ivf_nprobe: 3", "  lloyd_rounds: 1"))
+    val out = graft.queries.LlmQueries.annIvfFromConfig(spark, dir, cfg).collect()
+    assert(out.length == 5)
+    assert(out.map(_.getLong(1)).distinct.length <= 3, "results come from ≤ nprobe lists")
+  }
 }

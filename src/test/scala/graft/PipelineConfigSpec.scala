@@ -23,6 +23,12 @@ class PipelineConfigSpec extends AnyFunSuite {
     assert(c.int("dedup.simhash_bands", -1) == 4)
     assert(c.int("dedup.srp_table_bits", -1) == 16)
     assert(c.int("dedup.srp_tables", -1) == 4)
+    // ANN geometry knobs
+    assert(c.int("ann.ivf_centroids", -1) == 16)
+    assert(c.int("ann.ivf_nprobe", -1) == 2)
+    assert(c.int("ann.lloyd_rounds", -1) == 2)
+    assert(c.int("ann.pq_subspaces", -1) == 4)
+    assert(c.int("ann.pq_codebook", -1) == 16)
   }
 
   test("Medallion.configFromYaml maps paths and thresholds onto Config") {
