@@ -210,6 +210,44 @@ object LlmQueries {
       .limit(10)
   }
 
+  /** IVF-PQ composition (the FAISS IVFPQ layout, minus residual
+    * encoding): probe the coarse-quantizer lists, then ADC-score ONLY
+    * the probed lists' PQ code rows. At 100 TB the code table is
+    * written partitioned by cent_id like the IVF index, so a query
+    * reads nprobe partitions of a 16×-compressed table — probe cost is
+    * corpus · nprobe/centroids ÷ 16 versus brute force; the raw vectors
+    * are touched only by the final exact re-rank (not shown here). */
+  def annIvfPq(s: SparkSession, dir: String, k: Int, lloydRounds: Int,
+               nprobe: Int, m: Int, pqK: Int): DataFrame = {
+    graft.functions.NativeFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val cos = graft.functions.NativeFunctions.cosineSim _
+    require(64 % m == 0, s"subspace count must tile 64 dims, got $m")
+    val subDim = 64 / m
+    val e = t(s, dir, "embeddings")
+    val cents = graft.llm.KMeans.train(e, k, lloydRounds)
+    val scored = e.crossJoin(broadcast(cents))
+      .withColumn("cos_c", cos(col("embedding"), col("cvec")))
+      .persist()
+    val ivf = scored.withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cent_id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id"))
+    val probes = scored.filter(col("vec_id") === 0L)
+      .orderBy(col("cos_c").desc, col("cent_id")).limit(nprobe)
+      .select(col("cent_id"))
+    val pv = ivf.join(broadcast(probes), Seq("cent_id"))
+    val books = graft.llm.PqOps.trainCodebooks(e, m, subDim, pqK, lloydRounds)
+    val codes = graft.llm.PqOps.encode(e, books, m, subDim)
+    val probedCodes = codes.join(pv.select("vec_id"), Seq("vec_id"))
+    graft.llm.PqOps.adcScores(probedCodes, books, e.filter(col("vec_id") === 0L), m, subDim)
+      .join(pv, Seq("vec_id"))
+      .filter(col("vec_id") =!= 0L)
+      .select(col("vec_id"), col("cent_id"), col("approx_dot"))
+      .orderBy(col("approx_dot").desc, col("vec_id"))
+      .limit(10)
+  }
+
   /** Config-driven ANN variants (`ann:` section; defaults = the
     * oracle-pinned demo geometry). */
   def annIvfFromConfig(s: SparkSession, dir: String,
@@ -633,6 +671,10 @@ object LlmQueries {
     // Product-quantized ANN (see annPq / PqOps: fixed-point training,
     // ADC lookup-table scoring; geometry from pipeline config at scale).
     "q_ann_pq" -> ((s, dir) => annPq(s, dir, 4, 16, 2)),
+
+    // IVF-PQ composition (see annIvfPq: probe the coarse lists, ADC-score
+    // only their 16x-compressed code rows — the FAISS IVFPQ shape).
+    "q_ann_ivfpq" -> ((s, dir) => annIvfPq(s, dir, 16, 2, 2, 4, 16)),
 
     // Frame sampling (video/audio chunk shape) over the text corpus as
     // binary payloads: 32-byte frames, ≤8 sampled per doc, md5 per frame.
@@ -1108,6 +1150,8 @@ object LlmQueries {
 
     "q_ann_pq" -> PqSql,
 
+    "q_ann_ivfpq" -> IvfPqSql,
+
     // identical SQL: the persisted partitioned layout must return exactly
     // what the inline IVF computation returns
     "q_ann_ivf_persisted" -> IvfSql,
@@ -1165,8 +1209,10 @@ object LlmQueries {
        |    GROUP BY a.cent_id, d.dim)
        |  GROUP BY cent_id)""".stripMargin
 
-  private lazy val IvfSql =
-      s"""WITH cents_init AS (
+  /** The IVF CTE block (trained centroids → inverted lists → probes);
+    * shared by the IVF oracle and the IVF-PQ composition. */
+  private lazy val IvfCtes =
+      s"""cents_init AS (
         |  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings WHERE vec_id < 16),
         |${lloydRoundSql(1, "cents_init")},
         |${lloydRoundSql(2, "cents1")},
@@ -1180,7 +1226,10 @@ object LlmQueries {
         |probes AS (
         |  SELECT cent_id FROM scored WHERE vec_id = 0
         |  ORDER BY cos_c DESC, cent_id LIMIT 2),
-        |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+        |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)""".stripMargin
+
+  private lazy val IvfSql =
+      s"""WITH $IvfCtes
         |SELECT i.vec_id, i.cent_id,
         |  ${cosOf("i.embedding", "qvec")} AS cos_sim
         |FROM ivf i JOIN probes p ON i.cent_id = p.cent_id CROSS JOIN q
@@ -1206,16 +1255,17 @@ object LlmQueries {
        |    GROUP BY a.m, a.cent_id, d.dim)
        |  GROUP BY m, cent_id)""".stripMargin
 
-  private lazy val PqSql = {
+  /** The PQ CTE block (fixed-point sub-vectors → trained codebooks →
+    * code table → ADC lookup table); shared by the PQ oracle and the
+    * IVF-PQ composition. */
+  private lazy val PqCtes = {
     val subSelects = (0 until 4).map(m =>
       s"""SELECT vec_id, $m AS m,
          |    list_transform(embedding[${m * 16 + 1}:${(m + 1) * 16}],
          |      x -> FLOOR(CAST(x AS DOUBLE) * 1048576.0 + 0.5)) AS sub
          |  FROM embeddings""".stripMargin)
       .mkString("\n  UNION ALL\n  ")
-    val codeCols = (0 until 4).map(i => s"MAX(CASE WHEN e.m = $i THEN e.code END) AS code$i")
-    val partCols = (0 until 4).map(i => s"MAX(CASE WHEN e.m = $i THEN l.part END) AS part$i")
-    s"""WITH pqsubs AS (
+    s"""pqsubs AS (
        |  $subSelects),
        |cb0 AS (SELECT m, vec_id AS cent_id, sub AS cvec FROM pqsubs WHERE vec_id < 16),
        |${pqRoundSql(1, "cb0")},
@@ -1230,16 +1280,49 @@ object LlmQueries {
        |lut AS (
        |  SELECT c.m, c.cent_id AS code,
        |    list_dot_product(q.qsub, c.cvec) AS part
-       |  FROM cb2 c JOIN qsub q ON c.m = q.m),
+       |  FROM cb2 c JOIN qsub q ON c.m = q.m)""".stripMargin
+  }
+
+  // lazy: referenced from lazy SQL vals that the eager `oracle` map
+  // forces during object init, before plain vals below it would be set
+  private lazy val PqCodeCols =
+    (0 until 4).map(i => s"MAX(CASE WHEN e.m = $i THEN e.code END) AS code$i")
+  private lazy val PqPartCols =
+    (0 until 4).map(i => s"MAX(CASE WHEN e.m = $i THEN l.part END) AS part$i")
+
+  private lazy val PqSql =
+    s"""WITH $PqCtes,
        |agg AS (
        |  SELECT e.vec_id,
-       |    ${codeCols.mkString(",\n    ")},
-       |    ${partCols.mkString(",\n    ")}
+       |    ${PqCodeCols.mkString(",\n    ")},
+       |    ${PqPartCols.mkString(",\n    ")}
        |  FROM enc e JOIN lut l ON e.m = l.m AND e.code = l.code
        |  GROUP BY e.vec_id)
        |SELECT vec_id, code0, code1, code2, code3,
        |  (((part0 + part1) + part2) + part3) / 1099511627776.0 AS approx_dot
        |FROM agg WHERE vec_id <> 0
        |ORDER BY approx_dot DESC, vec_id LIMIT 10""".stripMargin
-  }
+
+  /** IVF-PQ composition (the FAISS IVFPQ layout, minus residual
+    * encoding): probe the IVF lists, ADC-score ONLY the probed lists'
+    * code rows. At 100 TB the code table is written partitioned by
+    * cent_id like the IVF index, so a query reads nprobe partitions of a
+    * 16×-compressed table — the probe cost is
+    * corpus · nprobe/centroids ÷ 16 versus brute force. */
+  private lazy val IvfPqSql =
+    s"""WITH $IvfCtes,
+       |$PqCtes,
+       |pv AS (
+       |  SELECT i.vec_id, i.cent_id FROM ivf i JOIN probes p ON i.cent_id = p.cent_id),
+       |agg AS (
+       |  SELECT e.vec_id,
+       |    ${PqPartCols.mkString(",\n    ")}
+       |  FROM enc e JOIN lut l ON e.m = l.m AND e.code = l.code
+       |  JOIN pv ON e.vec_id = pv.vec_id
+       |  GROUP BY e.vec_id)
+       |SELECT a.vec_id, pv.cent_id,
+       |  (((part0 + part1) + part2) + part3) / 1099511627776.0 AS approx_dot
+       |FROM agg a JOIN pv ON a.vec_id = pv.vec_id
+       |WHERE a.vec_id <> 0
+       |ORDER BY approx_dot DESC, a.vec_id LIMIT 10""".stripMargin
 }
