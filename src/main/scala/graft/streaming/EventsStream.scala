@@ -182,4 +182,18 @@ object EventsStream {
   def dedupStream(events: DataFrame, idCols: Seq[String]): DataFrame =
     events.withWatermark("ts", "2 hours")
       .dropDuplicates(idCols :+ "ts")
+
+  /** Streaming CONTENT dedup for document ingestion: the dedup key is
+    * md5 of the payload (the batch exact-dedup key, TextOps.exactKey),
+    * via `dropDuplicatesWithinWatermark` — unlike dropDuplicates(key, ts)
+    * the key set excludes the event-time column, so a re-ingested
+    * duplicate with a DIFFERENT timestamp still collapses, while state
+    * evicts keys older than the delay regardless. This is the ingestion
+    * guard in front of a training corpus: exact re-crawls die here, the
+    * batch MinHash/SimHash pass handles near-dups downstream. */
+  def dedupContentStream(docs: DataFrame, tsCol: String, payloadCol: String,
+                         delay: String = "2 hours"): DataFrame =
+    docs.withWatermark(tsCol, delay)
+      .withColumn("content_key", md5(col(payloadCol).cast("binary")))
+      .dropDuplicatesWithinWatermark("content_key")
 }

@@ -57,6 +57,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(n == base.count(), "each duplicated event must appear exactly once")
   }
 
+  test("streaming content dedup collapses re-ingested payloads with different timestamps") {
+    // the same payload re-arrives later (a re-crawl): dropDuplicates on
+    // (key, ts) would KEEP both rows; dropDuplicatesWithinWatermark on
+    // the content key alone must collapse them
+    val docsDir = Files.createTempDirectory("graft_docs_stream").toString
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    def at(sec: Int) = new java.sql.Timestamp(t0.getTime + sec * 1000L)
+    Seq(
+      (at(0), "alpha body"), (at(10), "beta body"),
+      (at(20), "alpha body"),                       // re-crawl, new ts
+      (at(30), "gamma body"), (at(40), "beta body") // re-crawl, new ts
+    ).toDF("ts", "text").write.mode("overwrite").parquet(docsDir)
+    val in = spark.readStream
+      .schema("ts timestamp, text string").parquet(docsDir)
+    val q = EventsStream.dedupContentStream(in, "ts", "text", "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("content_dedup_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val kept = spark.table("content_dedup_out")
+      .select("text").as[String].collect().sorted
+    assert(kept.toSeq == Seq("alpha body", "beta body", "gamma body"))
+  }
+
   test("streaming upsert sink merges each micro-batch into a new table version") {
     import org.apache.spark.sql.types._
     import graft.sources.VersionedTable
