@@ -94,6 +94,8 @@ object NativeFunctions {
       "hamming", exprs => HammingDistance(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jaccard_counts", exprs => JaccardCounts(exprs(0), exprs(1)), "built-in")
     // the parameter arg must be checked foldable BEFORE eval(): calling
     // eval() on a non-literal (e.g. a column reference) throws an opaque
     // unbound-attribute error instead of this usage message
@@ -117,4 +119,5 @@ object NativeFunctions {
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
   def hamming(a: Column, b: Column): Column = call_function("hamming", a, b)
   def dotProduct(a: Column, b: Column): Column = call_function("dot_product", a, b)
+  def jaccardCounts(a: Column, b: Column): Column = call_function("jaccard_counts", a, b)
 }

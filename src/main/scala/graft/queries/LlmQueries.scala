@@ -470,8 +470,11 @@ object LlmQueries {
     // the production dedup shape: bands generate candidates, the exact
     // token-set similarity confirms them. The token-set table joins in
     // twice (by doc_a, by doc_b); at scale both joins shuffle on doc_id
-    // against the (small) candidate list.
+    // against the (small) candidate list. Counts come from the fused
+    // native JaccardCounts kernel: one pass per side, no intermediate
+    // intersect/union arrays — the per-candidate hot loop.
     "q_ngram_jaccard" -> ((s, dir) => {
+      graft.functions.NativeFunctions.register(s)
       val cand = minhashPairs(s, dir)
       val d = t(s, dir, "documents")
         .select(col("doc_id"), array_distinct(tokens(col("text"))).as("ts"))
@@ -479,9 +482,11 @@ object LlmQueries {
       cand.join(d.as("a"), col("doc_a") === col("a.doc_id"))
         .join(d.as("b"), col("doc_b") === col("b.doc_id"))
         .select(col("doc_a"), col("doc_b"),
-          size(array_intersect(col("a.ts"), col("b.ts"))).cast("long").as("n_common"),
-          size(array_union(col("a.ts"), col("b.ts"))).cast("long").as("n_union"),
-          jaccard(col("a.ts"), col("b.ts")).as("jaccard_sim"))
+          graft.functions.NativeFunctions.jaccardCounts(
+            col("a.ts"), col("b.ts")).as("jc"))
+        .select(col("doc_a"), col("doc_b"),
+          col("jc.n_common").as("n_common"), col("jc.n_union").as("n_union"),
+          (col("jc.n_common").cast("double") / col("jc.n_union")).as("jaccard_sim"))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 

@@ -257,6 +257,25 @@ class LlmSpec extends AnyFunSuite {
     assert(out(2).getBoolean(3) && out(3).getBoolean(3))         // invalid dims → NULL
   }
 
+  test("native JaccardCounts kernel matches the array_intersect/array_union built-ins") {
+    graft.functions.NativeFunctions.register(spark)
+    val d = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),
+      (Seq("a", "a", "b"), Seq("b", "b", "a")),   // duplicates collapse
+      (Seq("x"), Seq("y")),                       // disjoint
+      (Seq.empty[String], Seq("a")),              // empty side
+      (Seq.empty[String], Seq.empty[String]))     // both empty → union 0
+      .toDF("a", "b")
+    val out = d.select(
+      graft.functions.NativeFunctions.jaccardCounts(col("a"), col("b")).as("jc"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("ec"),
+      size(array_union(col("a"), col("b"))).cast("long").as("eu"))
+      .selectExpr("jc.n_common", "jc.n_union", "ec", "eu").collect()
+    out.foreach { r =>
+      assert(r.getLong(0) == r.getLong(2) && r.getLong(1) == r.getLong(3), r.toString)
+    }
+  }
+
   test("LSH geometry knobs: fewer bands/tables give a candidate subset; invalid tiling rejected") {
     import graft.queries.LlmQueries
     val dir = "/root/testdata/sf0.001"
