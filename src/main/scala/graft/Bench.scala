@@ -74,9 +74,12 @@ object Bench {
       val s = xs.sorted; val n = s.length
       if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
     }
-    // stdout contract: ONE json line, kept compact (3-decimal seconds) so
-    // the full line fits in the driver's bounded output-tail window.
-    val qs = results.map { case (k, obs) => s"\"" + k + "\":" + f3(obs.min) }
+    // stdout contract: ONE json line, kept compact (2-decimal per-query
+    // seconds; bench_detail.json keeps 3) so the full line stays well
+    // inside the driver's ~2000-char output-tail window as the registry
+    // grows (80 queries at 3 decimals measured 1869 chars — too close).
+    def f2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val qs = results.map { case (k, obs) => s"\"" + k + "\":" + f2(obs.min) }
       .mkString("{", ",", "}")
     val total = results.map(_._2.min).sum
     val detail = results.map { case (k, obs) =>

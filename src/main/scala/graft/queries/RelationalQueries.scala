@@ -247,6 +247,46 @@ object RelationalQueries {
           col("n"), col("sum_qty"))
         .orderBy(col("return_flag"), col("line_status"))),
 
+    // CUBE: every grouping-set combination in one pass (partial aggs are
+    // expanded map-side, one exchange total); grouping() bits
+    // disambiguate data rows from supertotals, coalesce labels keep
+    // null-ordering out of the cross-engine compare.
+    "q_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"),
+          (grouping(col("l_returnflag")) * 2 +
+            grouping(col("l_linestatus"))).cast("long").as("gid"))
+        .select(coalesce(col("l_returnflag"), lit("(all)")).as("return_flag"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("line_status"),
+          col("gid"), col("n"), col("sum_qty"))
+        .orderBy(col("gid"), col("return_flag"), col("line_status"))),
+
+    // UNPIVOT via stack(): wide per-flag measures to long (measure, value)
+    // rows — the melt step in front of generic metric sinks.
+    "q_unpivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(rnd(sum(col("l_quantity")), 2).as("quantity"),
+          count(lit(1)).cast("double").as("items"))
+        .select(col("l_returnflag"),
+          expr("stack(2, 'quantity', quantity, 'items', items) AS (measure, value)"))
+        .orderBy(col("l_returnflag"), col("measure"))),
+
+    // Correlated EXISTS / NOT EXISTS subqueries: Catalyst rewrites them
+    // to one semi and one anti join against the same orders scan.
+    "q_exists" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_x")
+      t(s, dir, "customer").createOrReplaceTempView("customer_x")
+      s.sql("""SELECT c_mktsegment, count(*) AS n_custs
+               FROM customer_x c
+               WHERE EXISTS (SELECT 1 FROM orders_x o
+                             WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+                 AND NOT EXISTS (SELECT 1 FROM orders_x o
+                                 WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+               GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+    }),
+
     // PIVOT: order counts by priority x status (explicit pivot values ->
     // deterministic output columns).
     "q_pivot" -> ((s, dir) =>
@@ -746,6 +786,35 @@ object RelationalQueries {
         |  count(*) AS n, sum(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY return_flag, line_status""".stripMargin,
+
+    "q_cube" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS return_flag,
+        |  coalesce(l_linestatus, '(all)') AS line_status,
+        |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+        |  count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY gid, return_flag, line_status""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH w AS (
+        |  SELECT l_returnflag,
+        |    floor(sum(l_quantity) * 1e2 + 0.5) / 1e2 AS quantity,
+        |    CAST(count(*) AS DOUBLE) AS items
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, measure, value FROM (
+        |  SELECT l_returnflag, 'quantity' AS measure, quantity AS value FROM w
+        |  UNION ALL
+        |  SELECT l_returnflag, 'items' AS measure, items AS value FROM w)
+        |ORDER BY l_returnflag, measure""".stripMargin,
+
+    "q_exists" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_custs
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q_pivot" ->
       """SELECT o_orderpriority,
