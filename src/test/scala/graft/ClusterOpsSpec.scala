@@ -58,6 +58,19 @@ class ClusterOpsSpec extends AnyFunSuite {
     assert(rounds <= 12, s"expected O(log d) rounds for diameter ${n - 1}, got $rounds")
   }
 
+  test("star contraction == min-label on the real minhash-LSH pair graph") {
+    // toy graphs above pin the algebra; this pins the two algorithms on
+    // an actual near-dup candidate graph (dense multi-band collisions)
+    val dir = "/root/testdata/sf0.001"
+    val edges = graft.queries.LlmQueries.queries("q_dedup_minhash")(spark, dir)
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id")
+    val a = ClusterOps.assignClusters(docs, edges, useStarContraction = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val b = ClusterOps.assignClusters(docs, edges, useStarContraction = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(a.nonEmpty && a == b)
+  }
+
   test("min-label round join reuses the persisted edge partitioning: no exchange") {
     // One propagation round, exactly as connectedComponents builds it:
     // edges hash-partitioned on src and persisted, labels arriving
