@@ -681,6 +681,26 @@ object LlmQueries {
     // only their 16x-compressed code rows — the FAISS IVFPQ shape).
     "q_ann_ivfpq" -> ((s, dir) => annIvfPq(s, dir, 16, 2, 2, 4, 16)),
 
+    // Persisted IVF-PQ: identical semantics through the production
+    // layout — the code table written partitioned by coarse cent_id, the
+    // probe a statically partition-pruned scan of the compressed rows.
+    // Same oracle as the inline composition: the layout must not change
+    // the answer.
+    "q_ann_ivfpq_persisted" -> ((s, dir) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_" +
+        s"p${ProcessHandle.current().pid()}_${Integer.toHexString(dir.hashCode)}"
+      cleanupAtExit(out)
+      val e = t(s, dir, "embeddings")
+      val cents = graft.llm.KMeans.train(e, 16, 2)
+      val books = graft.llm.PqOps.trainCodebooks(e, 4, 16, 16, 2)
+      graft.llm.IvfPqIndex.build(e, cents, books, 4, 16, out)
+      graft.llm.IvfPqIndex.probe(s, out, cents, books,
+        e.filter(col("vec_id") === 0L), 2, 4, 16)
+        .filter(col("vec_id") =!= 0L)
+        .orderBy(col("approx_dot").desc, col("vec_id"))
+        .limit(10)
+    }),
+
     // Frame sampling (video/audio chunk shape) over the text corpus as
     // binary payloads: 32-byte frames, ≤8 sampled per doc, md5 per frame.
     // Oracle note: DuckDB lacks BLOB substring, so its side slices the
@@ -1156,6 +1176,10 @@ object LlmQueries {
     "q_ann_pq" -> PqSql,
 
     "q_ann_ivfpq" -> IvfPqSql,
+
+    // identical SQL: the persisted partitioned code layout must return
+    // exactly what the inline composition returns
+    "q_ann_ivfpq_persisted" -> IvfPqSql,
 
     // identical SQL: the persisted partitioned layout must return exactly
     // what the inline IVF computation returns
