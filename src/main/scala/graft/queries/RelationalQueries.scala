@@ -442,6 +442,30 @@ object RelationalQueries {
       withItems.crossJoin(withoutItems)
     }),
 
+    // Range join (point-in-interval, no equi-key): each order date
+    // matched into lineitem fulfillment windows [shipdate,
+    // shipdate + quantity days] (short spans kept: quantity ≤ 5).
+    // Spark-first realization is graft.ops.RangeJoin — bucket the time
+    // axis (32-day cells ≈ the span scale), explode intervals into their
+    // O(1) overlapping buckets, equi-join on bucket, residual BETWEEN —
+    // versus the BroadcastNestedLoopJoin a raw BETWEEN join plans to.
+    "q_range_join" -> ((s, dir) => {
+      val pts = t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          unix_date(to_date(col("o_orderdate"))).as("p"))
+      val ivs = t(s, dir, "lineitem")
+        .filter(col("l_quantity") <= 5.0)
+        .select(col("l_returnflag"),
+          unix_date(to_date(col("l_shipdate"))).as("lo"),
+          (unix_date(to_date(col("l_shipdate"))) +
+            col("l_quantity").cast("long")).as("hi"))
+      graft.ops.RangeJoin.rangeJoin(pts, ivs, "p", "lo", "hi", 32L)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("pairs"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // G4 reconciliation drift, fully declarative (two 1-row aggs cross-joined).
     "q_gate_recon" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -891,6 +915,22 @@ object RelationalQueries {
         |      WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)) a
         |CROSS JOIN (SELECT count(*) AS n_without_items FROM orders
         |      WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)) b""".stripMargin,
+
+    // semantic form only — DuckDB plans this as an IEJoin; the Spark side
+    // must produce the identical aggregate through the bucketed equi-join
+    "q_range_join" ->
+      """SELECT l_returnflag, count(*) AS pairs,
+        |  count(DISTINCT o_orderkey) AS n_orders
+        |FROM (SELECT l_returnflag,
+        |        datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS lo,
+        |        datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+        |          + CAST(l_quantity AS BIGINT) AS hi
+        |      FROM lineitem WHERE l_quantity <= 5) i
+        |JOIN (SELECT o_orderkey,
+        |        datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS p
+        |      FROM orders) o
+        |  ON o.p BETWEEN i.lo AND i.hi
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_gate_recon" ->
       """WITH s AS (SELECT count(*) AS source_rows FROM lineitem),
