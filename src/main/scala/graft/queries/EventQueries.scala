@@ -94,6 +94,39 @@ object EventQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Funnel (view → click → purchase): per user, the first view, the
+    // first click STRICTLY AFTER it, and the first purchase strictly
+    // after that click. Realized in ONE shuffle: running conditional
+    // minima over the (user, time) window qualify each row, and the
+    // per-user aggregate reuses the window's hash partitioning (no second
+    // exchange). The naive form — one self-join per stage — re-scans and
+    // re-shuffles events three times; this scans it once. At equal
+    // timestamps (ts, event_id) ordering makes the running minima
+    // deterministic, and strict > keeps same-instant stages un-counted
+    // in both engines.
+    "q_funnel" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val isV = col("event_type") === "view"
+      val isC = col("event_type") === "click"
+      val isP = col("event_type") === "purchase"
+      events(s, dir)
+        .withColumn("t1r", min(when(isV, col("ts"))).over(w))
+        .withColumn("t2r", min(when(isC && col("ts") > col("t1r"), col("ts"))).over(w))
+        .groupBy(col("user_id"))
+        .agg(min(when(isV, col("ts"))).as("t1"),
+          min(when(isC && col("ts") > col("t1r"), col("ts"))).as("t2"),
+          min(when(isP && col("ts") > col("t2r"), col("ts"))).as("t3"))
+        .select(col("user_id"),
+          date_format(col("t1"), "yyyy-MM-dd HH:mm:ss").as("first_view"),
+          date_format(col("t2"), "yyyy-MM-dd HH:mm:ss").as("first_click"),
+          date_format(col("t3"), "yyyy-MM-dd HH:mm:ss").as("first_purchase"),
+          when(col("t3").isNotNull, 3).when(col("t2").isNotNull, 2)
+            .when(col("t1").isNotNull, 1).otherwise(0).as("stage"))
+        .orderBy(col("user_id"))
+    }),
+
     // Gap-based sessions (30 min), aggregated to session grain.
     // Semi-structured column handling: the JSON `props` payload parsed
     // both ways — schema-on-read struct (from_json, the scale path: one
@@ -172,6 +205,28 @@ object EventQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |SELECT event_id, event_type, k AS user_id, last_orderkey, last_price
         |FROM w WHERE tag = 1 ORDER BY event_id""".stripMargin,
+
+    // staged-join form: first-stage minima feed the next stage's strict
+    // time predicate — semantically the window formulation above
+    "q_funnel" ->
+      """WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |       JOIN t1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |       JOIN t2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY e.user_id),
+        |u AS (SELECT DISTINCT user_id FROM events)
+        |SELECT u.user_id,
+        |  strftime(t1.t1, '%Y-%m-%d %H:%M:%S') AS first_view,
+        |  strftime(t2.t2, '%Y-%m-%d %H:%M:%S') AS first_click,
+        |  strftime(t3.t3, '%Y-%m-%d %H:%M:%S') AS first_purchase,
+        |  CASE WHEN t3.t3 IS NOT NULL THEN 3 WHEN t2.t2 IS NOT NULL THEN 2
+        |       WHEN t1.t1 IS NOT NULL THEN 1 ELSE 0 END AS stage
+        |FROM u LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
+        |  LEFT JOIN t3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
 
     "q_events_json" ->
       """SELECT event_type, count(*) AS n_events,

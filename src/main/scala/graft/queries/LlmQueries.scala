@@ -334,6 +334,31 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Eval-set decontamination (the PaLM/GPT-3 n-gram overlap rule): flag
+    // training documents sharing 3-grams with a held-out benchmark set
+    // (fixture role: every 50th doc). The benchmark's distinct grams are
+    // BROADCAST — eval suites are tiny next to a training corpus, so the
+    // corpus never shuffles for the membership test; the only exchanges
+    // are the per-(doc, gram) distinct and the per-doc rollup it feeds
+    // (same key prefix — one partitioning serves both).
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = spreadSmallInput(t(s, dir, "documents"))
+      val grams = (d: org.apache.spark.sql.DataFrame) => d
+        .select(col("doc_id"), explode(shingles(tokens(col("text")), 3)).as("gram"))
+      val bench = grams(docs.filter(col("doc_id") % 50 === 0))
+        .select(col("gram")).distinct().withColumn("hit", lit(1))
+      grams(docs.filter(col("doc_id") % 50 =!= 0)).distinct()
+        .join(broadcast(bench), Seq("gram"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_grams"),
+          sum(coalesce(col("hit"), lit(0))).cast("long").as("n_overlap"))
+        .withColumn("contamination",
+          rnd(col("n_overlap") / col("n_grams").cast("double"), 4))
+        .withColumn("status",
+          when(col("contamination") >= 0.2, "CONTAMINATED").otherwise("CLEAN"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Composite keep/drop filter with reasons — the materialized decision
     // table a cleanup pipeline writes before dropping documents (first
     // failing rule wins: length → repetition → boilerplate → lang
@@ -832,6 +857,27 @@ object LlmQueries {
         |    WHEN score_es = greatest(score_en, score_de, score_fr, score_es) THEN 'es'
         |    ELSE 'und' END) = lang AS is_correct
         |FROM scored ORDER BY doc_id""".stripMargin,
+
+    "q_decontaminate" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(w) >= 3 THEN list_transform(
+         |      generate_series(1, len(w) - 2),
+         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+         |    ELSE [] END) AS gram
+         |  FROM (SELECT doc_id, $W AS w FROM documents)),
+         |bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+         |cg AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 50 <> 0),
+         |agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |    CAST(sum(CASE WHEN bg.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_overlap
+         |  FROM cg LEFT JOIN bg USING (gram) GROUP BY doc_id)
+         |SELECT doc_id, n_grams, n_overlap,
+         |  floor(n_overlap / CAST(n_grams AS DOUBLE) * 1e4 + 0.5) / 1e4
+         |    AS contamination,
+         |  CASE WHEN floor(n_overlap / CAST(n_grams AS DOUBLE) * 1e4 + 0.5) / 1e4
+         |    >= 0.2 THEN 'CONTAMINATED' ELSE 'CLEAN' END AS status
+         |FROM agg ORDER BY doc_id""".stripMargin,
 
     "q_repetition" ->
       s"""WITH g AS (
