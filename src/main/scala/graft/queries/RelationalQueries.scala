@@ -446,9 +446,13 @@ object RelationalQueries {
     // matched into lineitem fulfillment windows [shipdate,
     // shipdate + quantity days] (short spans kept: quantity ≤ 5).
     // Spark-first realization is graft.ops.RangeJoin — bucket the time
-    // axis (32-day cells ≈ the span scale), explode intervals into their
-    // O(1) overlapping buckets, equi-join on bucket, residual BETWEEN —
-    // versus the BroadcastNestedLoopJoin a raw BETWEEN join plans to.
+    // axis, explode intervals into their O(1) overlapping buckets,
+    // equi-join on bucket, residual BETWEEN — versus the
+    // BroadcastNestedLoopJoin a raw BETWEEN join plans to. Bucket width
+    // 4 days ≈ the median span: candidate rows ∝ (width + span)/range,
+    // so a 32-day cell generated ~9× the candidates the matches need
+    // (measured 6.3s → 3.2s at sf0.1 going 32 → 4; the floor is the
+    // ~14.5M genuine matches feeding the distinct-count aggregate).
     "q_range_join" -> ((s, dir) => {
       val pts = t(s, dir, "orders")
         .select(col("o_orderkey"),
@@ -459,7 +463,7 @@ object RelationalQueries {
           unix_date(to_date(col("l_shipdate"))).as("lo"),
           (unix_date(to_date(col("l_shipdate"))) +
             col("l_quantity").cast("long")).as("hi"))
-      graft.ops.RangeJoin.rangeJoin(pts, ivs, "p", "lo", "hi", 32L)
+      graft.ops.RangeJoin.rangeJoin(pts, ivs, "p", "lo", "hi", 4L)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("pairs"),
           countDistinct(col("o_orderkey")).as("n_orders"))
