@@ -78,7 +78,13 @@ object Bench {
     // seconds; bench_detail.json keeps 3) so the full line stays well
     // inside the driver's ~2000-char output-tail window as the registry
     // grows (80 queries at 3 decimals measured 1869 chars — too close).
-    def f2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    // 2-decimal, trailing zeros stripped ("0.50"→"0.5", "3.00"→"3") —
+    // same precision, ~40 fewer chars across the line; bench_detail.json
+    // keeps full 3-decimal min/med per query
+    def f2(v: Double): String = {
+      val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
+    }
     val qs = results.map { case (k, obs) => s"\"" + k + "\":" + f2(obs.min) }
       .mkString("{", ",", "}")
     val total = results.map(_._2.min).sum

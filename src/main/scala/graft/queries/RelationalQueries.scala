@@ -51,6 +51,26 @@ object RelationalQueries {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // File-level data skipping (zone maps): orders snapshotted into 8
+    // files range-partitioned on o_custkey with per-file min/max stats;
+    // the pruned read hands the planner only files intersecting the
+    // predicate (~1-2 of 8 here) BEFORE any scan. The pruning must be
+    // result-invisible — the oracle is the same filter over the raw
+    // table. DataSkippingSpec asserts the inputFiles reduction and the
+    // z-order pairing.
+    "q_data_skipping" -> ((s, dir) => {
+      val out = tmpDir("graft_skip")
+      graft.sources.VersionedTable.write(
+        t(s, dir, "orders").repartitionByRange(8, col("o_custkey")),
+        s"$out/t", statsCols = Seq("o_custkey"))
+      graft.sources.VersionedTable.readPruned(s, s"$out/t", "o_custkey", 100.0, 200.0)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_custs"),
+          rnd(sum(col("o_totalprice")), 2).as("total_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // S1-variant: ORC source roundtrip (columnar format beyond parquet).
     "q_scan_orc" -> ((s, dir) => {
       val out = tmpDir("graft_orc")
@@ -572,6 +592,14 @@ object RelationalQueries {
     "q_scan_orc" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+
+    // pruning is result-invisible: the oracle ignores the file layout
+    "q_data_skipping" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  count(DISTINCT o_custkey) AS n_custs,
+        |  floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS total_price
+        |FROM orders WHERE o_custkey >= 100 AND o_custkey <= 200
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_union" ->
       """SELECT l_returnflag, count(*) AS n FROM (

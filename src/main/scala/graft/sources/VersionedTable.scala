@@ -54,9 +54,13 @@ object VersionedTable {
         s"schema enforcement: evolution not allowed (added=${added.mkString(",")} dropped=${dropped.mkString(",")}); pass allowEvolution=true")
   }
 
-  /** Write a new snapshot; returns the new version number. */
+  /** Write a new snapshot; returns the new version number. When
+    * `statsCols` is non-empty, per-file zone maps for those (numeric)
+    * columns are collected into the snapshot BEFORE the pointer flips —
+    * readers never observe a stats-less live snapshot. */
   def write(df: DataFrame, root: String, allowEvolution: Boolean = false,
-            partitionBy: Seq[String] = Seq.empty): Long = {
+            partitionBy: Seq[String] = Seq.empty,
+            statsCols: Seq[String] = Seq.empty): Long = {
     latestVersion(root).foreach { v =>
       val existing = df.sparkSession.read.parquet(s"$root/v=$v").schema
       checkSchema(existing, df.schema, allowEvolution)
@@ -65,12 +69,69 @@ object VersionedTable {
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(s"$root/v=$next")
+    if (statsCols.nonEmpty) collectStats(df.sparkSession, root, next, statsCols)
     // flip the pointer last, atomically
     val tmp = Paths.get(root, s"_LATEST.tmp$next")
     Files.write(tmp, next.toString.getBytes)
     Files.move(tmp, latestFile(root), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
     next
+  }
+
+  // ── Data skipping (Delta stats / zone-map analogue) ──────────────────
+  //
+  // Per-FILE min/max of chosen numeric columns, stored as parquet under
+  // `v=N/_stats` (underscore-prefixed → invisible to snapshot readers,
+  // like _SUCCESS). A pruned read intersects the predicate range with
+  // each file's [min,max] and hands the planner ONLY the surviving
+  // files: at 100 TB the win is scan-planning and IO proportional to the
+  // selectivity of the CLUSTERED dimension, before row-group stats even
+  // apply. Pairs with ops/ZOrder: a z-ordered layout keeps per-file
+  // ranges tight on ALL interleaved keys, so skipping works on any of
+  // them (a linear sort only serves its leading key).
+  //
+  // Stats values are cast to double: exact for integral values < 2^53
+  // (every key column here); collection costs one extra scan of the
+  // written snapshot, the Delta trade made explicit.
+
+  /** Collect per-file zone maps for `cols` into `v=N/_stats`. */
+  def collectStats(spark: SparkSession, root: String, version: Long,
+                   cols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.{col, min, max, count, lit}
+    val snap = readVersion(spark, root, version)
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c)).cast("double").as(s"min_$c"),
+      max(col(c)).cast("double").as(s"max_$c"))) :+ count(lit(1)).as("n_rows")
+    snap.select(col("_metadata.file_path").as("file") +: cols.map(col): _*)
+      .groupBy(col("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1) // one row per data file — metadata-sized
+      .write.mode("overwrite").parquet(s"$root/v=$version/_stats")
+  }
+
+  /** Range-pruned read of the latest snapshot: only files whose
+    * [min,max] zone intersects [lo,hi] reach the scan; the residual
+    * filter is applied regardless, so results are identical to a full
+    * scan + filter with or without stats (files of all-NULL values have
+    * NULL stats and are skipped — NULL never satisfies a range). Falls
+    * back to the full filtered scan when no stats were collected. */
+  def readPruned(spark: SparkSession, root: String, column: String,
+                 lo: Double, hi: Double): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val v = latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $root"))
+    val base = s"$root/v=$v"
+    val residual = (d: DataFrame) =>
+      d.filter(col(column) >= lo && col(column) <= hi)
+    if (!new java.io.File(s"$base/_stats").exists())
+      return residual(readVersion(spark, root, v))
+    val files = spark.read.parquet(s"$base/_stats")
+      .filter(col(s"max_$column") >= lo && col(s"min_$column") <= hi)
+      .select("file").collect().map(_.getString(0))
+    if (files.isEmpty)
+      return residual(readVersion(spark, root, v)).limit(0)
+    // basePath keeps name=value partition columns when listing files
+    residual(spark.read.option("basePath", base).parquet(files: _*))
   }
 
   /** Incremental MERGE (Delta `MERGE` analogue): upsert `updates` into the

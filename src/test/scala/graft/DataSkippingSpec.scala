@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.ZOrder
+import graft.sources.VersionedTable
+
+/** File-level data skipping (zone maps): per-file min/max stats collected
+  * at write time prune the file list BEFORE the scan. Asserted directly
+  * on `inputFiles` — the planner never sees skipped files — plus result
+  * equivalence with the unpruned scan, and the pairing that justifies
+  * ops/ZOrder: a z-ordered layout keeps per-file ranges tight on BOTH
+  * interleaved keys, so skipping works on the non-leading dimension
+  * where a linear sort reads everything. */
+class DataSkippingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def freshRoot() =
+    java.nio.file.Files.createTempDirectory("graft_skip").toString + "/t"
+
+  test("pruned read scans only intersecting files; results identical") {
+    val root = freshRoot()
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    // range-partition into 8 files with disjoint o_orderkey ranges
+    VersionedTable.write(
+      orders.repartitionByRange(8, col("o_orderkey")),
+      root, statsCols = Seq("o_orderkey", "o_custkey"))
+
+    val keys = orders.agg(min("o_orderkey"), max("o_orderkey")).head
+    val (kLo, kHi) = (keys.getLong(0), keys.getLong(1))
+    val lo = kLo + (kHi - kLo) / 3.0
+    val hi = kLo + (kHi - kLo) / 2.5
+    val pruned = VersionedTable.readPruned(spark, root, "o_orderkey", lo, hi)
+    val full = VersionedTable.readLatest(spark, root)
+      .filter(col("o_orderkey") >= lo && col("o_orderkey") <= hi)
+
+    assert(VersionedTable.readLatest(spark, root).inputFiles.length == 8)
+    val scanned = pruned.inputFiles.length
+    assert(scanned < 8 && scanned >= 1,
+      s"narrow range over disjoint file ranges must skip files, scanned $scanned/8")
+    assert(pruned.collect().map(_.getLong(0)).sorted.toSeq ==
+      full.collect().map(_.getLong(0)).sorted.toSeq)
+    assert(pruned.count() > 0)
+  }
+
+  test("no stats -> full filtered scan; disjoint range -> empty with schema") {
+    val root = freshRoot()
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    VersionedTable.write(orders.repartition(4), root) // no statsCols
+    val noStats = VersionedTable.readPruned(spark, root, "o_orderkey", 0, 1e12)
+    assert(noStats.count() == orders.count())
+
+    val root2 = freshRoot()
+    VersionedTable.write(orders.repartition(4), root2, statsCols = Seq("o_orderkey"))
+    val none = VersionedTable.readPruned(spark, root2, "o_orderkey", -100, -1)
+    assert(none.count() == 0)
+    assert(none.columns.toSeq == orders.columns.toSeq)
+  }
+
+  test("z-order enables skipping on the second key where linear sort cannot") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val bounds = li.agg(min("l_orderkey").as("amin"), max("l_orderkey").as("amax"),
+      min("l_partkey").as("bmin"), max("l_partkey").as("bmax")).head
+    val (amin, amax, bmin, bmax) =
+      (bounds.getLong(0), bounds.getLong(1), bounds.getLong(2), bounds.getLong(3))
+    val z = ZOrder.zorder2(
+      ZOrder.rangeBucket(col("l_orderkey"), lit(amin), lit(amax), 16),
+      ZOrder.rangeBucket(col("l_partkey"), lit(bmin), lit(bmax), 16))
+
+    val zRoot = freshRoot()
+    VersionedTable.write(
+      li.withColumn("zk", z).repartitionByRange(16, col("zk")).drop("zk"),
+      zRoot, statsCols = Seq("l_orderkey", "l_partkey"))
+    val linRoot = freshRoot()
+    VersionedTable.write(
+      li.repartitionByRange(16, col("l_orderkey")),
+      linRoot, statsCols = Seq("l_orderkey", "l_partkey"))
+
+    // narrow predicate on l_partkey — the NON-leading key of the linear sort
+    val lo = bmin + (bmax - bmin) / 2.0
+    val hi = lo + (bmax - bmin) / 16.0
+    val zScan = VersionedTable.readPruned(spark, zRoot, "l_partkey", lo, hi)
+    val linScan = VersionedTable.readPruned(spark, linRoot, "l_partkey", lo, hi)
+
+    // same answer either way
+    assert(zScan.count() == linScan.count())
+    // linear-by-orderkey files all span the full partkey range: no skipping;
+    // z-ordered files are clustered in both dims: must skip a real fraction
+    assert(linScan.inputFiles.length == 16,
+      s"linear sort should read all 16 files, read ${linScan.inputFiles.length}")
+    assert(zScan.inputFiles.length <= 12,
+      s"z-order should skip >=4 of 16 files, read ${zScan.inputFiles.length}")
+  }
+}
