@@ -282,6 +282,25 @@ object RelationalQueries {
           col("gid"), col("n"), col("sum_qty"))
         .orderBy(col("gid"), col("return_flag"), col("line_status"))),
 
+    // Explicit GROUPING SETS (the general form CUBE/ROLLUP specialize):
+    // an arbitrary mix of grouping shapes — here both margins plus the
+    // full cross, WITHOUT the grand total — in one pass. Same Expand →
+    // partial agg → one exchange plan as CUBE; supertotals cost map-side
+    // row expansion, never extra shuffles. SQL surface by nature (the
+    // Dataset API exposes only cube/rollup).
+    "q_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+      s.sql("""SELECT coalesce(l_returnflag, '(all)') AS return_flag,
+                      coalesce(l_linestatus, '(all)') AS line_status,
+                      CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+                        AS BIGINT) AS gid,
+                      count(*) AS n, sum(l_quantity) AS sum_qty
+               FROM lineitem_gs
+               GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                       (l_returnflag), (l_linestatus))
+               ORDER BY gid, return_flag, line_status""")
+    }),
+
     // UNPIVOT via stack(): wide per-flag measures to long (measure, value)
     // rows — the melt step in front of generic metric sinks.
     "q_unpivot" -> ((s, dir) =>
@@ -849,6 +868,16 @@ object RelationalQueries {
         |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
         |  count(*) AS n, sum(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY gid, return_flag, line_status""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS return_flag,
+        |  coalesce(l_linestatus, '(all)') AS line_status,
+        |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+        |  count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |                        (l_returnflag), (l_linestatus))
         |ORDER BY gid, return_flag, line_status""".stripMargin,
 
     "q_unpivot" ->
