@@ -759,6 +759,150 @@ object LlmQueries {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
+    // --- chunking & packing ------------------------------------------------
+    // RAG-style overlapping token chunks (40-token windows, stride 30).
+    // Chunk boundaries are pure integer arithmetic on the token count and
+    // each chunk a slice of the token array — one map + explode, no
+    // shuffle. The explode multiplies rows ~len/stride×, so at corpus
+    // scale it runs AFTER doc-level filters, never before them.
+    "q_chunk" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .withColumn("n", size(col("tk")).cast("long"))
+      d.select(col("doc_id"), col("tk"),
+          explode(sequence(lit(0L),
+            when(col("n") <= 40, lit(0L))
+              .otherwise(floor((col("n") - lit(11L)) / lit(30L)).cast("long"))))
+            .as("chunk_id"))
+        .select(col("doc_id"), col("chunk_id"),
+          slice(col("tk"), (col("chunk_id") * 30 + 1).cast("int"), lit(40)).as("ck"))
+        .select(col("doc_id"), col("chunk_id"),
+          size(col("ck")).cast("long").as("n_chunk_tokens"),
+          md5(concat_ws(" ", col("ck"))).as("chunk_key"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    // Training-sequence packing: assign docs (in doc_id order) to fixed
+    // 512-token sequences by prefix-sum of token counts — the contiguous
+    // greedy packer (docs straddling a boundary spill into the next
+    // sequence; the spill is reported per sequence). The prefix sum is
+    // DISTRIBUTED: per-bucket window cumsums run in parallel, then each
+    // bucket adds a running offset computed from the tiny bucket-totals
+    // table (the textbook two-pass parallel scan). A single global-order
+    // window would serialize the whole corpus through one partition; this
+    // shape keeps one row per BUCKET in the serial step — pick the bucket
+    // width so that table stays driver-small (10⁶ docs/bucket → 10⁵
+    // offset rows at 10¹¹ docs). Integer addition is associative, so the
+    // bucketed sum is bit-identical to the oracle's global scan.
+    "q_pack" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cap = 512L
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"),
+          floor(col("doc_id") / lit(100L)).cast("long").as("bkt"))
+      val wLocal = Window.partitionBy("bkt").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val local = d.withColumn("local_cum", sum(col("n_tokens")).over(wLocal))
+      val wOff = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = d.groupBy(col("bkt")).agg(sum(col("n_tokens")).as("btot"))
+        .withColumn("off", coalesce(sum(col("btot")).over(wOff), lit(0L)))
+        .select(col("bkt"), col("off"))
+      local.join(broadcast(offsets), Seq("bkt"))
+        .withColumn("cum", col("local_cum") + col("off"))
+        .withColumn("seq_id",
+          floor((col("cum") - col("n_tokens")) / lit(cap)).cast("long"))
+        .groupBy(col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("seq_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"),
+          max(col("cum")).as("cum_end"))
+        .withColumn("spill",
+          greatest(col("cum_end") - (col("seq_id") + 1) * cap, lit(0L)))
+        .drop("cum_end")
+        .orderBy(col("seq_id"))
+    }),
+
+    // Segment-level global dedup (the C4 "repeated spans" rule / Lee et
+    // al. 2022 exact-substring dedup, on fixed 10-token segments): every
+    // occurrence of a segment after its first (by doc_id, seg_id) is
+    // removed, and documents are rebuilt from their surviving segments.
+    // Scale shape: the winner election shuffles only (md5, doc_id,
+    // seg_id) — never segment text; the drop list joins back on
+    // (doc_id, seg_id) against a re-derived segment table, so the corpus
+    // text re-scans (cheap, pruned columns) instead of shuffling.
+    "q_dedup_segments" -> ((s, dir) => {
+      val segW = 10
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+      val segs = base
+        .select(col("doc_id"), col("tk"),
+          explode(sequence(lit(0L),
+            floor((size(col("tk")) - 1) / lit(segW)).cast("long"))).as("seg_id"))
+        .select(col("doc_id"), col("seg_id"),
+          concat_ws(" ",
+            slice(col("tk"), (col("seg_id") * segW + 1).cast("int"), lit(segW))).as("seg"))
+      val keyed = segs.select(md5(col("seg")).as("seg_key"),
+        (col("doc_id") * 100000L + col("seg_id")).as("code"),
+        col("doc_id"), col("seg_id"))
+      val winners = keyed.groupBy(col("seg_key")).agg(min(col("code")).as("wcode"))
+      val losers = keyed.join(winners, Seq("seg_key"))
+        .filter(col("code") =!= col("wcode"))
+        .select(col("doc_id"), col("seg_id"))
+      val rebuilt = segs.join(losers, Seq("doc_id", "seg_id"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("seg_id"), col("seg")))),
+            x => x.getField("seg")), " ").as("kept_text"))
+      base
+        .select(col("doc_id"),
+          (floor((size(col("tk")) - 1) / lit(segW)) + 1).cast("long").as("n_segs"))
+        .join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_segs"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          md5(coalesce(col("kept_text"), lit(""))).as("kept_key"),
+          length(coalesce(col("kept_text"), lit(""))).cast("long").as("kept_len"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- retrieval & quality scoring ---------------------------------------
+    // Inverted index construction (the search side of the corpus): term →
+    // document frequency, collection frequency, head of the sorted
+    // posting list. A production index shards postings by (term,
+    // doc-range) so no single reducer materializes a stopword's full
+    // posting list; the head-slice here keeps the verified output bounded
+    // while exercising the same explode→aggregate shape.
+    "q_inverted_index" -> ((s, dir) => {
+      val occ = spreadSmallInput(t(s, dir, "documents"))
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      occ.groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("df"),
+          count(lit(1)).as("cf"),
+          array_join(transform(
+            slice(array_sort(collect_set(col("doc_id"))), 1, 20),
+            x => x.cast("string")), ",").as("postings_head"))
+        .orderBy(col("term"))
+    }),
+
+    // Unigram-LM quality proxy: per-doc mean corpus frequency of its
+    // tokens and the share of rare tokens (corpus count < 100) — the
+    // cheap stand-in for perplexity filtering when no LM is at hand
+    // (frequency-based first-pass quality, as in C4/Gopher pipelines).
+    // The vocabulary table is tiny relative to the corpus (Heaps' law)
+    // and is BROADCAST — the corpus never shuffles for the lookup; the
+    // only exchange is the per-doc rollup.
+    "q_unigram_quality" -> ((s, dir) => {
+      val occ = spreadSmallInput(t(s, dir, "documents"))
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      val vocab = occ.groupBy(col("term")).agg(count(lit(1)).as("cf"))
+      occ.join(broadcast(vocab), Seq("term"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_tokens"),
+          sum(when(col("cf") < 100, 1L).otherwise(0L)).cast("long").as("n_rare"),
+          rnd(sum(col("cf")) / count(lit(1)).cast("double"), 2).as("mean_cf"))
+        .withColumn("rare_ratio", rnd(col("n_rare") / col("n_tokens").cast("double"), 4))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- multimodal plumbing -----------------------------------------------
     "q_multimodal_meta" -> ((s, dir) =>
       MultimodalOps.asMediaTable(t(s, dir, "documents"))
@@ -814,6 +958,70 @@ object LlmQueries {
       |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+
+    "q_chunk" ->
+      s"""WITH d AS (SELECT doc_id, $W AS tk FROM documents),
+         |n AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n FROM d),
+         |k AS (SELECT doc_id, tk,
+         |  unnest(range(0, CASE WHEN n <= 40 THEN 1 ELSE (n - 11) // 30 + 1 END))
+         |    AS chunk_id FROM n)
+         |SELECT doc_id, chunk_id,
+         |  CAST(len(list_slice(tk, chunk_id*30+1, chunk_id*30+40)) AS BIGINT)
+         |    AS n_chunk_tokens,
+         |  md5(array_to_string(list_slice(tk, chunk_id*30+1, chunk_id*30+40), ' '))
+         |    AS chunk_key
+         |FROM k ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_pack" ->
+      s"""WITH d AS (SELECT doc_id, CAST(len($W) AS BIGINT) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |  CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |    AS cum FROM d),
+         |b AS (SELECT doc_id, n_tokens, cum, (cum - n_tokens) // 512 AS seq_id FROM c)
+         |SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+         |  greatest(max(cum) - (seq_id + 1) * 512, 0) AS spill
+         |FROM b GROUP BY seq_id ORDER BY seq_id""".stripMargin,
+
+    "q_dedup_segments" ->
+      s"""WITH d AS (SELECT doc_id, $W AS tk FROM documents),
+         |sg AS (SELECT doc_id, tk,
+         |  unnest(range(0, (len(tk) - 1) // 10 + 1)) AS seg_id FROM d),
+         |s2 AS (SELECT doc_id, seg_id,
+         |  array_to_string(list_slice(tk, seg_id*10+1, seg_id*10+10), ' ') AS seg
+         |  FROM sg),
+         |k AS (SELECT doc_id, seg_id, seg, md5(seg) AS seg_key,
+         |  doc_id*100000 + seg_id AS code FROM s2),
+         |w AS (SELECT seg_key, min(code) AS wcode FROM k GROUP BY seg_key),
+         |kept AS (SELECT k.* FROM k JOIN w USING (seg_key) WHERE code = wcode),
+         |reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |    string_agg(seg, ' ' ORDER BY seg_id) AS kept_text
+         |  FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id, CAST((len(tk) - 1) // 10 + 1 AS BIGINT) AS n_segs,
+         |  coalesce(n_kept, 0) AS n_kept,
+         |  md5(coalesce(kept_text, '')) AS kept_key,
+         |  CAST(length(coalesce(kept_text, '')) AS BIGINT) AS kept_len
+         |FROM d LEFT JOIN reb USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q_inverted_index" ->
+      s"""WITH o AS (SELECT doc_id, unnest($W) AS term FROM documents)
+         |SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+         |  CAST(count(*) AS BIGINT) AS cf,
+         |  array_to_string(list_slice(list_sort(list(DISTINCT doc_id)), 1, 20), ',')
+         |    AS postings_head
+         |FROM o GROUP BY term ORDER BY term""".stripMargin,
+
+    "q_unigram_quality" ->
+      s"""WITH o AS (SELECT doc_id, unnest($W) AS term FROM documents),
+         |v AS (SELECT term, count(*) AS cf FROM o GROUP BY term),
+         |j AS (SELECT doc_id, cf FROM o JOIN v USING (term))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN cf < 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+         |  floor(sum(cf) / CAST(count(*) AS DOUBLE) * 1e2 + 0.5) / 1e2 AS mean_cf,
+         |  floor(sum(CASE WHEN cf < 100 THEN 1 ELSE 0 END)
+         |    / CAST(count(*) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS rare_ratio
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_text_tokens" ->
       s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,

@@ -470,6 +470,36 @@ object RelationalQueries {
           rnd(col("sum_revenue_raw"), 2).as("sum_revenue"))
         .orderBy(col("l_returnflag"))),
 
+    // Skew-safe salted JOIN: the derived fact key concentrates ~70% of
+    // lineitem on one value, so a plain shuffle join sends all of it to
+    // ONE reducer. Salting joins on (key, salt): the fact side takes a
+    // stable per-row salt, the dim side is replicated once per salt
+    // value, and the hot key fans out over S reducers. The salt never
+    // reaches the output — result is identical to the plain join (the
+    // oracle). This dim is small enough to broadcast (which needs no
+    // salting); .hint("merge") forces the sort-merge path to exercise
+    // the salted exchange — at corpus scale the same construction
+    // handles dims too big to broadcast. AQE's skew-join splitter covers
+    // sort-merge skew it can observe at runtime; explicit salting
+    // remains the tool when it can't (skew into a window/grouping).
+    "q_salted_join" -> ((s, dir) => {
+      val salts = 8
+      val fact = t(s, dir, "lineitem")
+        .withColumn("skew_key",
+          when(col("l_orderkey") % 10 < 7, lit(0L))
+            .otherwise(pmod(col("l_orderkey"), lit(97L))))
+        .withColumn("_salt",
+          pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(salts)))
+      val dim = s.range(97)
+        .select(col("id").as("skew_key"),
+          concat(lit("grp_"), lpad(col("id").cast("string"), 2, "0")).as("grp"))
+        .withColumn("_salt", explode(sequence(lit(0), lit(salts - 1))))
+      fact.hint("merge").join(dim, Seq("skew_key", "_salt"))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("grp"))
+    }),
+
     // J3 semi/anti join pair: orders with and without line items, one
     // declarative row (left_semi = EXISTS, left_anti = NOT EXISTS).
     "q_semi_anti_join" -> ((s, dir) => {
@@ -969,6 +999,17 @@ object RelationalQueries {
       """SELECT l_returnflag, count(*) AS n_rows, sum(l_quantity) AS sum_qty,
         |  floor(sum(l_extendedprice * (1.0 - l_discount)) * 1e2 + 0.5) / 1e2 AS sum_revenue
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_salted_join" ->
+      """WITH dim AS (SELECT skew_key,
+        |    'grp_' || lpad(CAST(skew_key AS VARCHAR), 2, '0') AS grp
+        |  FROM range(0, 97) t(skew_key)),
+        |f AS (SELECT CASE WHEN l_orderkey % 10 < 7 THEN 0
+        |    ELSE l_orderkey % 97 END AS skew_key, l_quantity FROM lineitem)
+        |SELECT grp, CAST(count(*) AS BIGINT) AS n_rows,
+        |  sum(l_quantity) AS sum_qty
+        |FROM f JOIN dim USING (skew_key)
+        |GROUP BY grp ORDER BY grp""".stripMargin,
 
     "q_semi_anti_join" ->
       """SELECT a.n_with_items, b.n_without_items

@@ -1,0 +1,117 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Property tests for the round-4 corpus operators (chunking, sequence
+  * packing, segment-level dedup, salted join). The DuckDB oracle verifies
+  * these end-to-end at sf0.01; the tests here pin the SEMANTIC invariants
+  * on hand-built fixtures where the expected answer is derivable by hand,
+  * plus the plan property that makes each shape scale.
+  */
+class CorpusOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docsOf(texts: (Long, String)*) =
+    texts.toDF("doc_id", "text")
+
+  private def tmpDocs(texts: (Long, String)*): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus").toString
+    docsOf(texts: _*).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def words(n: Int, prefix: String = "w"): String =
+    (1 to n).map(i => s"$prefix$i").mkString(" ")
+
+  test("chunking: count formula, boundary cases, full token coverage") {
+    // sizes straddling the 40-token window / 30-token stride boundaries:
+    // n<=40 -> 1 chunk; n=41 -> 2; n=70 -> 2 (31..70 covers the tail); n=71 -> 3
+    val dir = tmpDocs(
+      1L -> words(10), 2L -> words(40), 3L -> words(41),
+      4L -> words(70), 5L -> words(71), 6L -> words(99))
+    val out = graft.queries.LlmQueries.queries("q_chunk")(spark, dir)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"), sum("n_chunk_tokens").as("tok_sum"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L)._1 == 1 && out(2L)._1 == 1)
+    assert(out(3L)._1 == 2 && out(4L)._1 == 2)
+    assert(out(5L)._1 == 3 && out(6L)._1 == 3)
+    // stride 30 / window 40 => every token of doc 6 (99 tokens) is covered
+    // and overlap tokens are double-counted: 99 + 2 overlaps of 10... the
+    // 3 chunks cover [1,40],[31,70],[61,99] -> 40+40+39 tokens
+    assert(out(6L)._2 == 40 + 40 + 39)
+    // n=41: [1,40],[31,41] -> 40+11
+    assert(out(3L)._2 == 40 + 11)
+  }
+
+  test("packing: bucketed prefix sum == global prefix sum, mass conserved") {
+    import org.apache.spark.sql.expressions.Window
+    // 350 docs spanning several 100-doc buckets, irregular sizes
+    val fixture = (0L until 350L).map(i => i -> words((i % 97 + 3).toInt))
+    val dir = tmpDocs(fixture: _*)
+    val packed = graft.queries.LlmQueries.queries("q_pack")(spark, dir)
+    val rows = packed.collect()
+    // mass conservation: every token lands in exactly one sequence
+    val totalTokens = fixture.map(_._2.split(" ").length.toLong).sum
+    assert(rows.map(_.getAs[Long]("seq_tokens")).sum == totalTokens)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == 350L)
+    // equivalence with the naive single-partition global window
+    val naive = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(
+        Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("seq_id", floor((col("cum") - col("n_tokens")) / lit(512L)).cast("long"))
+      .groupBy("seq_id").agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("seq_tokens"))
+    val naiveMap = naive.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.foreach { r =>
+      val k = r.getAs[Long]("seq_id")
+      assert(naiveMap(k) == (r.getAs[Long]("n_docs"), r.getAs[Long]("seq_tokens")),
+        s"seq $k diverges from global-window packing")
+    }
+    // the scale property: no window runs over an unpartitioned full table —
+    // every window spec in the plan either partitions by bkt or consumes
+    // the tiny per-bucket aggregate (bounded by n_docs / bucket_width)
+    val plan = packed.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("windowspecdefinition(doc_id"),
+      s"global-order window over the corpus found:\n$plan")
+  }
+
+  test("segment dedup: later copies of a segment are removed, first kept") {
+    val segA = words(10, "a") // one full 10-token segment
+    val segB = words(10, "b")
+    val segC = words(10, "c")
+    val dir = tmpDocs(
+      1L -> s"$segA $segB", // doc 1: owns both segments
+      2L -> s"$segB $segC", // doc 2: loses segB (doc 1 saw it first), keeps segC
+      3L -> s"$segC $segC") // doc 3: loses both copies (doc 2 owns segC)
+    val out = graft.queries.LlmQueries.queries("q_dedup_segments")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_segs"), r.getAs[Long]("n_kept"), r.getAs[Long]("kept_len")))).toMap
+    assert(out(1L) == ((2L, 2L, (segA + " " + segB).length.toLong)))
+    assert(out(2L) == ((2L, 1L, segC.length.toLong)))
+    assert(out(3L) == ((2L, 0L, 0L)))
+  }
+
+  test("salted join: salt never changes the result, join key carries the salt") {
+    val dir = "/root/testdata/sf0.001"
+    val salted = graft.queries.RelationalQueries.queries("q_salted_join")(spark, dir)
+    val plain = spark.read.parquet(s"$dir/lineitem.parquet")
+      .withColumn("skew_key",
+        when(col("l_orderkey") % 10 < 7, lit(0L)).otherwise(pmod(col("l_orderkey"), lit(97L))))
+      .join(spark.range(97).select(col("id").as("skew_key"),
+        concat(lit("grp_"), lpad(col("id").cast("string"), 2, "0")).as("grp")), Seq("skew_key"))
+      .groupBy("grp").agg(count(lit(1)).as("n_rows"), sum("l_quantity").as("sum_qty"))
+      .orderBy("grp")
+    val a = salted.collect().map(_.toSeq)
+    val b = plain.collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq, "salted join must be result-identical to the plain join")
+    // the exchange feeding the join must partition on (skew_key, _salt):
+    // that composite key is what spreads the hot key over reducers
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("_salt"), s"salted key missing from physical plan:\n$plan")
+  }
+}
