@@ -168,9 +168,100 @@ object EventQueries {
           rnd(sum(col("value")), 2).as("total_value"),
           date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
           date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"))
-        .orderBy(col("user_id"), col("session_id"))))
+        .orderBy(col("user_id"), col("session_id"))),
+
+    // Calendar-spine gap filling — the resampling step before any
+    // time-series model: hourly per-type rollups, with the ~5% of empty
+    // hours restored by exploding each type's min..max hour range and
+    // left-joining the facts back. Money sums use integer CENTS
+    // (floor(v·100+0.5) per row, then a long sum) — exact and
+    // associative where a double sum is order-sensitive across engines.
+    // The spine is O(types × hours) — vanishingly small next to the
+    // event scan, so the join back broadcasts; the only corpus-sized
+    // exchange is the hourly rollup itself.
+    "q_gap_fill" -> ((s, dir) => {
+      val hourly = events(s, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("cents"))
+      val spine = hourly.groupBy(col("event_type"))
+        .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+        .select(col("event_type"),
+          explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hr"))
+      spine.join(hourly, Seq("event_type", "hr"), "left")
+        .select(col("event_type"),
+          date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("hr"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          coalesce(col("cents"), lit(0L)).as("cents"),
+          col("n_events").isNull.as("is_gap"))
+        .orderBy(col("event_type"), col("hr"))
+    }),
+
+    // SCD Type-2 dimension build (Kimball): per user, the day's LAST
+    // event type is the day's state ((ts, event_id) max_by — exact
+    // tiebreak); consecutive same-state days compress into validity
+    // intervals [valid_from, valid_to), open-ended ('9999-12-31') for
+    // the current row. After the per-(user, day) aggregate, the lag /
+    // row_number / lead windows all share ONE user_id partitioning —
+    // the filter between them doesn't re-exchange.
+    "q_scd2" -> ((s, dir) => {
+      val byUserDay = events(s, dir)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(max_by(col("event_type"),
+          struct(col("ts"), col("event_id"))).as("state"))
+      val wU = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      byUserDay
+        .withColumn("prev_state", lag(col("state"), 1).over(wU))
+        .filter(col("prev_state").isNull || col("state") =!= col("prev_state"))
+        .withColumn("version", row_number().over(wU).cast("long"))
+        .withColumn("valid_to_d", lead(col("day"), 1).over(wU))
+        .select(col("user_id"), col("version"), col("state"),
+          date_format(col("day"), "yyyy-MM-dd").as("valid_from"),
+          coalesce(date_format(col("valid_to_d"), "yyyy-MM-dd"),
+            lit("9999-12-31")).as("valid_to"))
+        .orderBy(col("user_id"), col("version"))
+    }))
 
   val oracle: Map[String, String] = Map(
+
+    "q_gap_fill" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hr,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(CAST(floor(value * 1e2 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT event_type, min(hr) AS h0, max(hr) AS h1
+        |  FROM hourly GROUP BY 1),
+        |spine AS (SELECT event_type,
+        |    unnest(range(h0, h1 + INTERVAL 1 HOUR, INTERVAL 1 HOUR)) AS hr
+        |  FROM bounds)
+        |SELECT s.event_type, strftime(s.hr, '%Y-%m-%d %H:%M:%S') AS hr,
+        |  coalesce(d.n_events, 0) AS n_events, coalesce(d.cents, 0) AS cents,
+        |  d.hr IS NULL AS is_gap
+        |FROM spine s LEFT JOIN hourly d
+        |  ON s.event_type = d.event_type AND s.hr = d.hr
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q_scd2" ->
+      """WITH r AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+        |    row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |s AS (SELECT user_id, day, event_type AS state FROM r WHERE rn = 1),
+        |c AS (SELECT user_id, day, state,
+        |    lag(state) OVER (PARTITION BY user_id ORDER BY day) AS prev_state
+        |  FROM s),
+        |f AS (SELECT user_id, day, state FROM c
+        |  WHERE prev_state IS NULL OR state <> prev_state),
+        |v AS (SELECT user_id, day, state,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS BIGINT)
+        |      AS version,
+        |    lead(day) OVER (PARTITION BY user_id ORDER BY day) AS valid_to_d
+        |  FROM f)
+        |SELECT user_id, version, state, strftime(day, '%Y-%m-%d') AS valid_from,
+        |  coalesce(strftime(valid_to_d, '%Y-%m-%d'), '9999-12-31') AS valid_to
+        |FROM v ORDER BY user_id, version""".stripMargin,
 
     "q_events_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

@@ -500,6 +500,48 @@ object RelationalQueries {
         .orderBy(col("grp"))
     }),
 
+    // Iterative graph analytics: weighted PageRank (damping 0.85, 5
+    // fixed iterations) over the supplier-nation → customer-nation trade
+    // graph. Ranks live in integer MICRO-UNITS with floor-division
+    // updates — every step is exact long arithmetic, so the result is
+    // bit-identical across engines (a float PageRank would drift with
+    // summation order). Per iteration: broadcast the rank vector into
+    // the stationary edge table, integer-split rank along weighted
+    // out-edges, hash-aggregate inflow by dst — edges never re-shuffle
+    // (at 10⁹+ nodes, where ranks outgrow a broadcast, bucket BOTH
+    // edges and ranks by src for exchange-free iterations, as in
+    // ClusterOps). localCheckpoint truncates the 5× growing lineage.
+    "q_pagerank" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val ord = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey").as("dst"))
+      val supp = t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey").as("src"))
+      val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+        .localCheckpoint()
+      val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+      val nodes = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst"))).distinct()
+      var ranks = nodes.withColumn("rank", lit(1000000L))
+      for (_ <- 1 to 5) {
+        val contrib = edges.join(outW, "src")
+          .join(broadcast(ranks), col("src") === col("node"))
+          .select(col("dst").as("node"), expr("rank * w div wout").as("c"))
+          .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
+        ranks = nodes.join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            (lit(150000L) + expr("85 * coalesce(inflow, 0) div 100")).as("rank"))
+          .localCheckpoint()
+      }
+      ranks.join(broadcast(t(s, dir, "nation")), col("node") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), col("rank"))
+        .orderBy(col("rank").desc, col("nation"))
+    }),
+
     // J3 semi/anti join pair: orders with and without line items, one
     // declarative row (left_semi = EXISTS, left_anti = NOT EXISTS).
     "q_semi_anti_join" -> ((s, dir) => {
@@ -999,6 +1041,35 @@ object RelationalQueries {
       """SELECT l_returnflag, count(*) AS n_rows, sum(l_quantity) AS sum_qty,
         |  floor(sum(l_extendedprice * (1.0 - l_discount)) * 1e2 + 0.5) / 1e2 AS sum_revenue
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_pagerank" -> {
+      val iters = (1 to 5).map { i =>
+        val p = i - 1
+        s"""c$i AS (SELECT e.dst AS node,
+           |    CAST(sum(r.rank * e.w // o.wout) AS BIGINT) AS inflow
+           |  FROM edges e JOIN outw o ON e.src = o.src
+           |    JOIN r$p r ON r.node = e.src
+           |  GROUP BY e.dst),
+           |r$i AS (SELECT n.node,
+           |    CAST(150000 + 85 * coalesce(c.inflow, 0) // 100 AS BIGINT) AS rank
+           |  FROM nodes n LEFT JOIN c$i c ON c.node = n.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH edges AS (
+         |  SELECT s_nationkey AS src, c_nationkey AS dst,
+         |    CAST(count(*) AS BIGINT) AS w
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |    JOIN supplier ON l_suppkey = s_suppkey
+         |    JOIN customer ON o_custkey = c_custkey
+         |  GROUP BY 1, 2),
+         |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM edges GROUP BY 1),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges
+         |  UNION SELECT DISTINCT dst FROM edges),
+         |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+         |$iters
+         |SELECT n_name AS nation, r5.rank
+         |FROM r5 JOIN nation ON node = n_nationkey
+         |ORDER BY r5.rank DESC, nation""".stripMargin
+    },
 
     "q_salted_join" ->
       """WITH dim AS (SELECT skew_key,
