@@ -197,6 +197,37 @@ object EventQueries {
         .orderBy(col("event_type"), col("hr"))
     }),
 
+    // RANGE-frame window (vs the ROWS frames elsewhere): trailing-24h
+    // rolling count and spend per user, framed by the ORDER-BY VALUE —
+    // same-instant peers aggregate together regardless of row order, so
+    // the result is deterministic where a ROWS frame would depend on
+    // tie order. Seconds come from an explicit floor (both engines), and
+    // money is integer cents. One (user, sec) shuffle serves the frame.
+    "q_window_range" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+        .rangeBetween(-86399L, 0L)
+      events(s, dir)
+        .withColumn("sec", col("ts").cast("long"))
+        .withColumn("cents", floor(col("value") * 100 + lit(0.5)).cast("long"))
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_24h"),
+          sum(col("cents")).over(w).as("cents_24h"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Regex surface over semi-structured text: group extraction,
+    // global masking, and predicate matching. Patterns stay in the
+    // RE2-compatible subset (character classes, quantifiers, one
+    // capture group) so Java regex and DuckDB/RE2 agree byte-for-byte.
+    "q_regex" -> ((s, dir) =>
+      events(s, dir).select(
+        col("event_id"),
+        regexp_extract(col("props"), "\"k\": ([0-9]+)", 1)
+          .cast("long").as("k_extracted"),
+        regexp_replace(col("props"), "[0-9]", "#").as("masked"),
+        col("props").rlike("[0-9]{2,}").as("has_2digits"))
+        .orderBy(col("event_id"))),
+
     // SCD Type-2 dimension build (Kimball): per user, the day's LAST
     // event type is the day's state ((ts, event_id) max_by — exact
     // tiebreak); consecutive same-state days compress into validity
@@ -241,6 +272,28 @@ object EventQueries {
         |FROM spine s LEFT JOIN hourly d
         |  ON s.event_type = d.event_type AND s.hr = d.hr
         |ORDER BY 1, 2""".stripMargin,
+
+    "q_window_range" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |    CAST(floor(value * 1e2 + 0.5) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_24h,
+        |  CAST(sum(cents) OVER w AS BIGINT) AS cents_24h
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY sec
+        |  RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_regex" ->
+      """SELECT event_id,
+        |  CAST(nullif(regexp_extract(props, '"k": ([0-9]+)', 1), '') AS BIGINT)
+        |    AS k_extracted,
+        |  regexp_replace(props, '[0-9]', '#', 'g') AS masked,
+        |  regexp_matches(props, '[0-9]{2,}') AS has_2digits
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q_scd2" ->
       """WITH r AS (

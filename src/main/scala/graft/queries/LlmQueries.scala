@@ -17,6 +17,11 @@ object LlmQueries {
   import TextOps._
   import SimilarityOps._
 
+  /** functions.size under a non-shadowable name — chunkTokens takes a
+    * `size` parameter. */
+  private def size_(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.size(c)
+
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to"),
@@ -155,6 +160,121 @@ object LlmQueries {
                            cfg: graft.util.PipelineConfig): DataFrame =
     mtSrpPairs(s, dir,
       cfg.int("dedup.srp_table_bits", 16), cfg.int("dedup.srp_tables", 4))
+
+  /** Overlapping token chunks of `size` tokens every `stride` tokens
+    * (RAG ingestion shape). Pure map + explode — chunk count is integer
+    * arithmetic on the token count, chunks are array slices; no shuffle
+    * beyond the output sort. */
+  def chunkTokens(s: SparkSession, dir: String, size: Int, stride: Int): DataFrame = {
+    require(stride > 0 && size >= stride,
+      s"chunk geometry must satisfy 0 < stride <= size, got size=$size stride=$stride")
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .withColumn("n", size_(col("tk")).cast("long"))
+    d.select(col("doc_id"), col("tk"),
+        explode(sequence(lit(0L),
+          when(col("n") <= size, lit(0L))
+            .otherwise(floor((col("n") - lit((size - stride + 1).toLong))
+              / lit(stride.toLong)).cast("long"))))
+          .as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        slice(col("tk"), (col("chunk_id") * stride + 1).cast("int"), lit(size)).as("ck"))
+      .select(col("doc_id"), col("chunk_id"),
+        size_(col("ck")).cast("long").as("n_chunk_tokens"),
+        md5(concat_ws(" ", col("ck"))).as("chunk_key"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  def chunkFromConfig(s: SparkSession, dir: String,
+                      cfg: graft.util.PipelineConfig): DataFrame =
+    chunkTokens(s, dir,
+      cfg.int("chunk.size_tokens", 40), cfg.int("chunk.stride_tokens", 30))
+
+  /** Training-sequence packing via a DISTRIBUTED prefix sum: per-bucket
+    * window cumsums run in parallel, then each bucket adds a running
+    * offset computed from the tiny bucket-totals table (the textbook
+    * two-pass parallel scan). A single global-order window would
+    * serialize the whole corpus through one partition; this shape keeps
+    * one row per BUCKET in the serial step — pick `bucketW` so that
+    * table stays driver-small (10⁶ docs/bucket → 10⁵ offset rows at
+    * 10¹¹ docs). Integer addition is associative, so the bucketed sum is
+    * bit-identical to the oracle's global scan. */
+  def packSequences(s: SparkSession, dir: String, cap: Long, bucketW: Long): DataFrame = {
+    require(cap > 0 && bucketW > 0,
+      s"pack geometry must be positive, got cap=$cap bucketW=$bucketW")
+    import org.apache.spark.sql.expressions.Window
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), size_(tokens(col("text"))).cast("long").as("n_tokens"),
+        floor(col("doc_id") / lit(bucketW)).cast("long").as("bkt"))
+    val wLocal = Window.partitionBy("bkt").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = d.withColumn("local_cum", sum(col("n_tokens")).over(wLocal))
+    val wOff = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = d.groupBy(col("bkt")).agg(sum(col("n_tokens")).as("btot"))
+      .withColumn("off", coalesce(sum(col("btot")).over(wOff), lit(0L)))
+      .select(col("bkt"), col("off"))
+    local.join(broadcast(offsets), Seq("bkt"))
+      .withColumn("cum", col("local_cum") + col("off"))
+      .withColumn("seq_id",
+        floor((col("cum") - col("n_tokens")) / lit(cap)).cast("long"))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("seq_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"),
+        max(col("cum")).as("cum_end"))
+      .withColumn("spill",
+        greatest(col("cum_end") - (col("seq_id") + 1) * cap, lit(0L)))
+      .drop("cum_end")
+      .orderBy(col("seq_id"))
+  }
+
+  def packFromConfig(s: SparkSession, dir: String,
+                     cfg: graft.util.PipelineConfig): DataFrame =
+    packSequences(s, dir,
+      cfg.int("pack.seq_tokens", 512).toLong, cfg.int("pack.bucket_docs", 100).toLong)
+
+  /** Segment-level global dedup on fixed `segW`-token spans. Scale
+    * shape: the winner election shuffles only (md5, doc_id, seg_id) —
+    * never segment text; the drop list anti-joins back on
+    * (doc_id, seg_id) against a re-derived segment table, so the corpus
+    * text re-scans (cheap, pruned columns) instead of shuffling. */
+  def dedupSegments(s: SparkSession, dir: String, segW: Int): DataFrame = {
+    require(segW > 0, s"segment width must be positive, got $segW")
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+    val segs = base
+      .select(col("doc_id"), col("tk"),
+        explode(sequence(lit(0L),
+          floor((size_(col("tk")) - 1) / lit(segW)).cast("long"))).as("seg_id"))
+      .select(col("doc_id"), col("seg_id"),
+        concat_ws(" ",
+          slice(col("tk"), (col("seg_id") * segW + 1).cast("int"), lit(segW))).as("seg"))
+    val keyed = segs.select(md5(col("seg")).as("seg_key"),
+      (col("doc_id") * 100000L + col("seg_id")).as("code"),
+      col("doc_id"), col("seg_id"))
+    val winners = keyed.groupBy(col("seg_key")).agg(min(col("code")).as("wcode"))
+    val losers = keyed.join(winners, Seq("seg_key"))
+      .filter(col("code") =!= col("wcode"))
+      .select(col("doc_id"), col("seg_id"))
+    val rebuilt = segs.join(losers, Seq("doc_id", "seg_id"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("seg_id"), col("seg")))),
+          x => x.getField("seg")), " ").as("kept_text"))
+    base
+      .select(col("doc_id"),
+        (floor((size_(col("tk")) - 1) / lit(segW)) + 1).cast("long").as("n_segs"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        md5(coalesce(col("kept_text"), lit(""))).as("kept_key"),
+        length(coalesce(col("kept_text"), lit(""))).cast("long").as("kept_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  def dedupSegmentsFromConfig(s: SparkSession, dir: String,
+                              cfg: graft.util.PipelineConfig): DataFrame =
+    dedupSegments(s, dir, cfg.int("segdedup.segment_tokens", 10))
 
   /** IVF-style ANN: coarse quantizer TRAINED by spherical k-means (fixed
     * deterministic Lloyd rounds, init = first k vectors — KMeans.scala),
@@ -760,109 +880,29 @@ object LlmQueries {
     }),
 
     // --- chunking & packing ------------------------------------------------
-    // RAG-style overlapping token chunks (40-token windows, stride 30).
-    // Chunk boundaries are pure integer arithmetic on the token count and
-    // each chunk a slice of the token array — one map + explode, no
-    // shuffle. The explode multiplies rows ~len/stride×, so at corpus
-    // scale it runs AFTER doc-level filters, never before them.
-    "q_chunk" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-        .select(col("doc_id"), tokens(col("text")).as("tk"))
-        .withColumn("n", size(col("tk")).cast("long"))
-      d.select(col("doc_id"), col("tk"),
-          explode(sequence(lit(0L),
-            when(col("n") <= 40, lit(0L))
-              .otherwise(floor((col("n") - lit(11L)) / lit(30L)).cast("long"))))
-            .as("chunk_id"))
-        .select(col("doc_id"), col("chunk_id"),
-          slice(col("tk"), (col("chunk_id") * 30 + 1).cast("int"), lit(40)).as("ck"))
-        .select(col("doc_id"), col("chunk_id"),
-          size(col("ck")).cast("long").as("n_chunk_tokens"),
-          md5(concat_ws(" ", col("ck"))).as("chunk_key"))
-        .orderBy(col("doc_id"), col("chunk_id"))
-    }),
+    // RAG-style overlapping token chunks (40-token windows, stride 30
+    // by default; `chunk:` config section scales both). Chunk boundaries
+    // are pure integer arithmetic on the token count and each chunk a
+    // slice of the token array — one map + explode, no shuffle. The
+    // explode multiplies rows ~len/stride×, so at corpus scale it runs
+    // AFTER doc-level filters, never before them.
+    "q_chunk" -> ((s, dir) => chunkTokens(s, dir, 40, 30)),
 
     // Training-sequence packing: assign docs (in doc_id order) to fixed
     // 512-token sequences by prefix-sum of token counts — the contiguous
     // greedy packer (docs straddling a boundary spill into the next
-    // sequence; the spill is reported per sequence). The prefix sum is
-    // DISTRIBUTED: per-bucket window cumsums run in parallel, then each
-    // bucket adds a running offset computed from the tiny bucket-totals
-    // table (the textbook two-pass parallel scan). A single global-order
-    // window would serialize the whole corpus through one partition; this
-    // shape keeps one row per BUCKET in the serial step — pick the bucket
-    // width so that table stays driver-small (10⁶ docs/bucket → 10⁵
-    // offset rows at 10¹¹ docs). Integer addition is associative, so the
-    // bucketed sum is bit-identical to the oracle's global scan.
-    "q_pack" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val cap = 512L
-      val d = t(s, dir, "documents")
-        .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"),
-          floor(col("doc_id") / lit(100L)).cast("long").as("bkt"))
-      val wLocal = Window.partitionBy("bkt").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val local = d.withColumn("local_cum", sum(col("n_tokens")).over(wLocal))
-      val wOff = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = d.groupBy(col("bkt")).agg(sum(col("n_tokens")).as("btot"))
-        .withColumn("off", coalesce(sum(col("btot")).over(wOff), lit(0L)))
-        .select(col("bkt"), col("off"))
-      local.join(broadcast(offsets), Seq("bkt"))
-        .withColumn("cum", col("local_cum") + col("off"))
-        .withColumn("seq_id",
-          floor((col("cum") - col("n_tokens")) / lit(cap)).cast("long"))
-        .groupBy(col("seq_id"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("seq_tokens"),
-          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"),
-          max(col("cum")).as("cum_end"))
-        .withColumn("spill",
-          greatest(col("cum_end") - (col("seq_id") + 1) * cap, lit(0L)))
-        .drop("cum_end")
-        .orderBy(col("seq_id"))
-    }),
+    // sequence; the spill is reported per sequence). The `pack:` config
+    // section scales capacity and bucket width; see [[packSequences]]
+    // for the distributed-prefix-sum shape.
+    "q_pack" -> ((s, dir) => packSequences(s, dir, 512L, 100L)),
 
     // Segment-level global dedup (the C4 "repeated spans" rule / Lee et
-    // al. 2022 exact-substring dedup, on fixed 10-token segments): every
-    // occurrence of a segment after its first (by doc_id, seg_id) is
-    // removed, and documents are rebuilt from their surviving segments.
-    // Scale shape: the winner election shuffles only (md5, doc_id,
-    // seg_id) — never segment text; the drop list joins back on
-    // (doc_id, seg_id) against a re-derived segment table, so the corpus
-    // text re-scans (cheap, pruned columns) instead of shuffling.
-    "q_dedup_segments" -> ((s, dir) => {
-      val segW = 10
-      val base = t(s, dir, "documents")
-        .select(col("doc_id"), tokens(col("text")).as("tk"))
-      val segs = base
-        .select(col("doc_id"), col("tk"),
-          explode(sequence(lit(0L),
-            floor((size(col("tk")) - 1) / lit(segW)).cast("long"))).as("seg_id"))
-        .select(col("doc_id"), col("seg_id"),
-          concat_ws(" ",
-            slice(col("tk"), (col("seg_id") * segW + 1).cast("int"), lit(segW))).as("seg"))
-      val keyed = segs.select(md5(col("seg")).as("seg_key"),
-        (col("doc_id") * 100000L + col("seg_id")).as("code"),
-        col("doc_id"), col("seg_id"))
-      val winners = keyed.groupBy(col("seg_key")).agg(min(col("code")).as("wcode"))
-      val losers = keyed.join(winners, Seq("seg_key"))
-        .filter(col("code") =!= col("wcode"))
-        .select(col("doc_id"), col("seg_id"))
-      val rebuilt = segs.join(losers, Seq("doc_id", "seg_id"), "left_anti")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_kept"),
-          array_join(transform(
-            array_sort(collect_list(struct(col("seg_id"), col("seg")))),
-            x => x.getField("seg")), " ").as("kept_text"))
-      base
-        .select(col("doc_id"),
-          (floor((size(col("tk")) - 1) / lit(segW)) + 1).cast("long").as("n_segs"))
-        .join(rebuilt, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_segs"),
-          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-          md5(coalesce(col("kept_text"), lit(""))).as("kept_key"),
-          length(coalesce(col("kept_text"), lit(""))).cast("long").as("kept_len"))
-        .orderBy(col("doc_id"))
-    }),
+    // al. 2022 exact-substring dedup, on fixed 10-token segments; the
+    // `segdedup:` config section sets the width): every occurrence of a
+    // segment after its first (by doc_id, seg_id) is removed, and
+    // documents are rebuilt from their surviving segments. See
+    // [[dedupSegments]] for the hashes-only shuffle shape.
+    "q_dedup_segments" -> ((s, dir) => dedupSegments(s, dir, 10)),
 
     // --- retrieval & quality scoring ---------------------------------------
     // Inverted index construction (the search side of the corpus): term →

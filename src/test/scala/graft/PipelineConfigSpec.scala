@@ -23,6 +23,12 @@ class PipelineConfigSpec extends AnyFunSuite {
     assert(c.int("dedup.simhash_bands", -1) == 4)
     assert(c.int("dedup.srp_table_bits", -1) == 16)
     assert(c.int("dedup.srp_tables", -1) == 4)
+    // chunk / pack / segment-dedup knobs
+    assert(c.int("chunk.size_tokens", -1) == 40)
+    assert(c.int("chunk.stride_tokens", -1) == 30)
+    assert(c.int("pack.seq_tokens", -1) == 512)
+    assert(c.int("pack.bucket_docs", -1) == 100)
+    assert(c.int("segdedup.segment_tokens", -1) == 10)
     // ANN geometry knobs
     assert(c.int("ann.ivf_centroids", -1) == 16)
     assert(c.int("ann.ivf_nprobe", -1) == 2)
