@@ -22,8 +22,8 @@ object LlmQueries {
   private def size_(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.size(c)
 
-  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
-  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+  val stopwords = Seq("the", "a", "of", "and", "to", "in")
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to"),
     "de" -> Seq("der", "und", "das", "ist"),
     "fr" -> Seq("le", "la", "et", "les"),
@@ -199,11 +199,16 @@ object LlmQueries {
     * table stays driver-small (10⁶ docs/bucket → 10⁵ offset rows at
     * 10¹¹ docs). Integer addition is associative, so the bucketed sum is
     * bit-identical to the oracle's global scan. */
-  def packSequences(s: SparkSession, dir: String, cap: Long, bucketW: Long): DataFrame = {
+  def packSequences(s: SparkSession, dir: String, cap: Long, bucketW: Long): DataFrame =
+    packSequencesOf(t(s, dir, "documents"), cap, bucketW)
+
+  /** [[packSequences]] over an arbitrary (doc_id, text) frame — the gold
+    * layer of [[graft.layers.TextMedallion]] packs the SILVER corpus. */
+  def packSequencesOf(docs: DataFrame, cap: Long, bucketW: Long): DataFrame = {
     require(cap > 0 && bucketW > 0,
       s"pack geometry must be positive, got cap=$cap bucketW=$bucketW")
     import org.apache.spark.sql.expressions.Window
-    val d = t(s, dir, "documents")
+    val d = docs
       .select(col("doc_id"), size_(tokens(col("text"))).cast("long").as("n_tokens"),
         floor(col("doc_id") / lit(bucketW)).cast("long").as("bkt"))
     val wLocal = Window.partitionBy("bkt").orderBy("doc_id")
@@ -275,6 +280,32 @@ object LlmQueries {
   def dedupSegmentsFromConfig(s: SparkSession, dir: String,
                               cfg: graft.util.PipelineConfig): DataFrame =
     dedupSegments(s, dir, cfg.int("segdedup.segment_tokens", 10))
+
+  /** Per-document pipeline decision — exact-dup election first, then the
+    * quality/lang filter (first failing rule wins): the single source of
+    * truth for [[graft.layers.TextMedallion]]'s silver layer and the
+    * verified q_text_pipeline registry query. The dup election is a
+    * groupBy+join on the md5 key (hashes shuffle, text never), same
+    * shape as q_dedup_exact. */
+  def docDecisions(docs: DataFrame): DataFrame = {
+    val keyed = docs.withColumn("_k", exactKey(col("text")))
+    val winners = keyed.groupBy(col("_k")).agg(min(col("doc_id")).as("_keep"))
+    val f = qualityFeatures(col("text"), stopwords)
+    val reason = when(f("n_tokens") < 5, "too_short")
+      .when(f("distinct_ratio") < 0.3, "repetitive")
+      .when(f("stopword_ratio") > 0.5, "boilerplate")
+      .when(langPredict(langScores(col("text"), langMarkers)) =!= col("lang"),
+        "lang_mismatch")
+      .otherwise("keep")
+    keyed.join(winners, Seq("_k"))
+      .withColumn("status",
+        when(col("doc_id") =!= col("_keep"), "dup")
+          .when(reason =!= "keep", reason)
+          .otherwise("silver"))
+      .withColumn("in_silver", col("status") === "silver")
+      .withColumn("n_tokens", f("n_tokens"))
+      .drop("_k", "_keep")
+  }
 
   /** IVF-style ANN: coarse quantizer TRAINED by spherical k-means (fixed
     * deterministic Lloyd rounds, init = first k vectors — KMeans.scala),
@@ -923,6 +954,15 @@ object LlmQueries {
         .orderBy(col("term"))
     }),
 
+    // End-to-end corpus-pipeline decision table — the TextMedallion
+    // silver election (exact-dup winners ∩ quality keeps), verified as
+    // one query so the composed pipeline has an oracle, not just its
+    // parts.
+    "q_text_pipeline" -> ((s, dir) =>
+      docDecisions(t(s, dir, "documents"))
+        .select(col("doc_id"), col("status"), col("in_silver"))
+        .orderBy(col("doc_id"))),
+
     // Unigram-LM quality proxy: per-doc mean corpus frequency of its
     // tokens and the share of rare tokens (corpus count < 100) — the
     // cheap stand-in for perplexity filtering when no LM is at hand
@@ -952,6 +992,40 @@ object LlmQueries {
         .orderBy(col("id"))))
 
   private val W = raw"regexp_split_to_array(lower(trim(text)), '\s+')"
+
+  /** Shared doc-filter CTE chain (q → sc → r): quality features, lang
+    * scores and the first-failing-rule reason per document. Used by the
+    * q_doc_filter oracle and composed into q_text_pipeline's. */
+  private lazy val REASON_CTES: String = {
+    val scoreExprs = langMarkers.map { case (lang, words) =>
+      words.map(w => s"(CASE WHEN p LIKE '% $w %' THEN 1 ELSE 0 END)")
+        .mkString(" + ") + s" AS score_$lang"
+    }.mkString(",\n    ")
+    val all = langMarkers.map { case (l, _) => s"score_$l" }.mkString(", ")
+    val predCase = "CASE " + langMarkers.map { case (l, _) =>
+      s"WHEN score_$l = greatest($all) THEN '$l'"
+    }.mkString(" ") + " ELSE 'und' END"
+    s"""q AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(w) AS BIGINT) AS n_tokens,
+       |    len(list_filter(w, x -> x IN ('the','a','of','and','to','in')))
+       |      / CAST(len(w) AS DOUBLE) AS stopword_ratio,
+       |    len(list_distinct(w)) / CAST(len(w) AS DOUBLE) AS distinct_ratio,
+       |    ' ' || lower(text) || ' ' AS p
+       |  FROM (SELECT doc_id, lang, text, $W AS w FROM documents)),
+       |sc AS (
+       |  SELECT doc_id, lang, n_tokens, stopword_ratio, distinct_ratio,
+       |    $scoreExprs
+       |  FROM q),
+       |r AS (
+       |  SELECT doc_id,
+       |    CASE WHEN n_tokens < 5 THEN 'too_short'
+       |      WHEN distinct_ratio < 0.3 THEN 'repetitive'
+       |      WHEN stopword_ratio > 0.5 THEN 'boilerplate'
+       |      WHEN ($predCase) <> lang THEN 'lang_mismatch'
+       |      ELSE 'keep' END AS reason
+       |  FROM sc)""".stripMargin
+  }
   /** Shared minhash CTE: same base-hash + linear-congruence family as
     * TextOps (constants interpolated from MinhashCoeffs, single source of
     * truth). */
@@ -1157,37 +1231,24 @@ object LlmQueries {
          |  floor((1.0 - count(*) / CAST(sum(c) AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS dup_ratio
          |FROM pc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    "q_doc_filter" -> {
-      val scoreExprs = langMarkers.map { case (lang, words) =>
-        words.map(w => s"(CASE WHEN p LIKE '% $w %' THEN 1 ELSE 0 END)")
-          .mkString(" + ") + s" AS score_$lang"
-      }.mkString(",\n         |    ")
-      val all = langMarkers.map { case (l, _) => s"score_$l" }.mkString(", ")
-      val predCase = "CASE " + langMarkers.map { case (l, _) =>
-        s"WHEN score_$l = greatest($all) THEN '$l'"
-      }.mkString(" ") + " ELSE 'und' END"
-      s"""WITH q AS (
-         |  SELECT doc_id, lang,
-         |    CAST(len(w) AS BIGINT) AS n_tokens,
-         |    len(list_filter(w, x -> x IN ('the','a','of','and','to','in')))
-         |      / CAST(len(w) AS DOUBLE) AS stopword_ratio,
-         |    len(list_distinct(w)) / CAST(len(w) AS DOUBLE) AS distinct_ratio,
-         |    ' ' || lower(text) || ' ' AS p
-         |  FROM (SELECT doc_id, lang, text, $W AS w FROM documents)),
-         |sc AS (
-         |  SELECT doc_id, lang, n_tokens, stopword_ratio, distinct_ratio,
-         |    $scoreExprs
-         |  FROM q),
-         |r AS (
-         |  SELECT doc_id,
-         |    CASE WHEN n_tokens < 5 THEN 'too_short'
-         |      WHEN distinct_ratio < 0.3 THEN 'repetitive'
-         |      WHEN stopword_ratio > 0.5 THEN 'boilerplate'
-         |      WHEN ($predCase) <> lang THEN 'lang_mismatch'
-         |      ELSE 'keep' END AS reason
-         |  FROM sc)
-         |SELECT doc_id, reason, reason = 'keep' AS keep FROM r ORDER BY doc_id""".stripMargin
-    },
+    "q_doc_filter" ->
+      s"""WITH $REASON_CTES
+         |SELECT doc_id, reason, reason = 'keep' AS keep FROM r ORDER BY doc_id""".stripMargin,
+
+    "q_text_pipeline" ->
+      s"""WITH $REASON_CTES,
+         |w AS (SELECT md5(text) AS k, min(doc_id) AS keep
+         |  FROM documents GROUP BY 1),
+         |st AS (
+         |  SELECT d.doc_id,
+         |    CASE WHEN d.doc_id <> w.keep THEN 'dup'
+         |      WHEN r.reason <> 'keep' THEN r.reason
+         |      ELSE 'silver' END AS status
+         |  FROM documents d
+         |    JOIN w ON md5(d.text) = w.k
+         |    JOIN r ON r.doc_id = d.doc_id)
+         |SELECT doc_id, status, status = 'silver' AS in_silver
+         |FROM st ORDER BY doc_id""".stripMargin,
 
     "q_doc_fingerprint" ->
       s"""SELECT doc_id, md5(text) AS exact_key,
