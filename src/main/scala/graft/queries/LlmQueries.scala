@@ -204,9 +204,11 @@ object LlmQueries {
 
   /** [[packSequences]] over an arbitrary (doc_id, text) frame — the gold
     * layer of [[graft.layers.TextMedallion]] packs the SILVER corpus. */
-  def packSequencesOf(docs: DataFrame, cap: Long, bucketW: Long): DataFrame = {
-    require(cap > 0 && bucketW > 0,
-      s"pack geometry must be positive, got cap=$cap bucketW=$bucketW")
+  /** doc_id, n_tokens and the cumulative token count via the DISTRIBUTED
+    * two-pass prefix sum (see [[packSequencesOf]] scaladoc): per-bucket
+    * window cumsums in parallel + a tiny serial offset scan over bucket
+    * totals. Shared by whole-doc packing and boundary-split packing. */
+  private def cumTokens(docs: DataFrame, bucketW: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = docs
       .select(col("doc_id"), size_(tokens(col("text"))).cast("long").as("n_tokens"),
@@ -220,6 +222,13 @@ object LlmQueries {
       .select(col("bkt"), col("off"))
     local.join(broadcast(offsets), Seq("bkt"))
       .withColumn("cum", col("local_cum") + col("off"))
+      .select(col("doc_id"), col("n_tokens"), col("cum"))
+  }
+
+  def packSequencesOf(docs: DataFrame, cap: Long, bucketW: Long): DataFrame = {
+    require(cap > 0 && bucketW > 0,
+      s"pack geometry must be positive, got cap=$cap bucketW=$bucketW")
+    cumTokens(docs, bucketW)
       .withColumn("seq_id",
         floor((col("cum") - col("n_tokens")) / lit(cap)).cast("long"))
       .groupBy(col("seq_id"))
@@ -230,6 +239,32 @@ object LlmQueries {
         greatest(col("cum_end") - (col("seq_id") + 1) * cap, lit(0L)))
       .drop("cum_end")
       .orderBy(col("seq_id"))
+  }
+
+  /** Boundary-SPLIT packing — the production trainer layout: documents
+    * split exactly at sequence boundaries, so every sequence holds
+    * exactly `cap` tokens (except the last). Each doc's fragment set is
+    * CLOSED-FORM from its prefix-sum interval [cum−n, cum): it overlaps
+    * bins first=⌊(cum−n)/cap⌋ .. last=⌊(cum−1)/cap⌋, and the overlap
+    * with bin k is [max(0, k·cap−(cum−n)), min(n, (k+1)·cap−(cum−n))) —
+    * one explode over that bin range, no shuffle beyond the prefix sum
+    * already paid. */
+  def packFragmentsOf(docs: DataFrame, cap: Long, bucketW: Long): DataFrame = {
+    require(cap > 0 && bucketW > 0,
+      s"pack geometry must be positive, got cap=$cap bucketW=$bucketW")
+    cumTokens(docs, bucketW)
+      .filter(col("n_tokens") > 0)
+      .withColumn("start0", col("cum") - col("n_tokens"))
+      .withColumn("seq_id", explode(sequence(
+        floor(col("start0") / lit(cap)).cast("long"),
+        floor((col("cum") - 1) / lit(cap)).cast("long"))))
+      .withColumn("tok_start",
+        greatest(lit(0L), col("seq_id") * cap - col("start0")))
+      .withColumn("tok_end",
+        least(col("n_tokens"), (col("seq_id") + 1) * cap - col("start0")))
+      .select(col("seq_id"), col("doc_id"), col("tok_start"),
+        (col("tok_end") - col("tok_start")).as("frag_tokens"))
+      .orderBy(col("seq_id"), col("doc_id"))
   }
 
   def packFromConfig(s: SparkSession, dir: String,
@@ -927,6 +962,12 @@ object LlmQueries {
     // for the distributed-prefix-sum shape.
     "q_pack" -> ((s, dir) => packSequences(s, dir, 512L, 100L)),
 
+    // Boundary-split packing (see [[packFragmentsOf]]): the fragment
+    // table a production trainer actually loads — every sequence exactly
+    // 512 tokens except the last.
+    "q_pack_split" -> ((s, dir) =>
+      packFragmentsOf(t(s, dir, "documents"), 512L, 100L)),
+
     // Segment-level global dedup (the C4 "repeated spans" rule / Lee et
     // al. 2022 exact-substring dedup, on fixed 10-token segments; the
     // `segdedup:` config section sets the width): every occurrence of a
@@ -952,6 +993,29 @@ object LlmQueries {
             slice(array_sort(collect_set(col("doc_id"))), 1, 20),
             x => x.cast("string")), ",").as("postings_head"))
         .orderBy(col("term"))
+    }),
+
+    // Fuzzy string matching surface: Levenshtein distance + normalized
+    // similarity over candidate pairs (adjacent doc ids as the fixture
+    // pair source, like q_ngram_jaccard's demo shape — in production the
+    // pairs come from the LSH candidate generators, never all-pairs:
+    // edit distance is O(len²) per pair and must stay OFF the full
+    // cross product). Distances on the 80-char prefix bound the cost.
+    "q_fuzzy_pairs" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 80).as("head"))
+      val a = d.select(col("doc_id").as("id_a"), col("head").as("head_a"))
+      val b = d.select((col("doc_id") - 1).as("id_a"),
+        col("doc_id").as("id_b"), col("head").as("head_b"))
+      a.join(b, Seq("id_a"))
+        .withColumn("edit_dist",
+          levenshtein(col("head_a"), col("head_b")).cast("long"))
+        .withColumn("sim",
+          rnd(lit(1.0) - col("edit_dist") /
+            greatest(length(col("head_a")), length(col("head_b")))
+              .cast("double"), 4))
+        .select(col("id_a"), col("id_b"), col("edit_dist"), col("sim"))
+        .orderBy(col("id_a"))
     }),
 
     // End-to-end corpus-pipeline decision table — the TextMedallion
@@ -1098,6 +1162,20 @@ object LlmQueries {
          |  greatest(max(cum) - (seq_id + 1) * 512, 0) AS spill
          |FROM b GROUP BY seq_id ORDER BY seq_id""".stripMargin,
 
+    "q_pack_split" ->
+      s"""WITH d AS (SELECT doc_id, CAST(len($W) AS BIGINT) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |  CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |    AS cum FROM d),
+         |s AS (SELECT doc_id, n_tokens, cum, cum - n_tokens AS start0,
+         |  unnest(range((cum - n_tokens) // 512, (cum - 1) // 512 + 1)) AS seq_id
+         |  FROM c WHERE n_tokens > 0)
+         |SELECT seq_id, doc_id,
+         |  greatest(0, seq_id * 512 - start0) AS tok_start,
+         |  least(n_tokens, (seq_id + 1) * 512 - start0)
+         |    - greatest(0, seq_id * 512 - start0) AS frag_tokens
+         |FROM s ORDER BY seq_id, doc_id""".stripMargin,
+
     "q_dedup_segments" ->
       s"""WITH d AS (SELECT doc_id, $W AS tk FROM documents),
          |sg AS (SELECT doc_id, tk,
@@ -1234,6 +1312,18 @@ object LlmQueries {
     "q_doc_filter" ->
       s"""WITH $REASON_CTES
          |SELECT doc_id, reason, reason = 'keep' AS keep FROM r ORDER BY doc_id""".stripMargin,
+
+    "q_fuzzy_pairs" ->
+      """WITH d AS (SELECT doc_id, substr(text, 1, 80) AS head FROM documents),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    a.head AS head_a, b.head AS head_b
+        |  FROM d a JOIN d b ON b.doc_id = a.doc_id + 1)
+        |SELECT id_a, id_b,
+        |  CAST(levenshtein(head_a, head_b) AS BIGINT) AS edit_dist,
+        |  floor((1.0 - levenshtein(head_a, head_b)
+        |    / CAST(greatest(length(head_a), length(head_b)) AS DOUBLE))
+        |    * 1e4 + 0.5) / 1e4 AS sim
+        |FROM p ORDER BY id_a""".stripMargin,
 
     "q_text_pipeline" ->
       s"""WITH $REASON_CTES,

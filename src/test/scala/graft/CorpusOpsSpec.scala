@@ -80,6 +80,35 @@ class CorpusOpsSpec extends AnyFunSuite {
       s"global-order window over the corpus found:\n$plan")
   }
 
+  test("split packing: sequences are exactly cap tokens, fragments tile each doc") {
+    val fixture = (0L until 350L).map(i => i -> words((i % 97 + 3).toInt))
+    val dir = tmpDocs(fixture: _*)
+    val rows = graft.queries.LlmQueries.queries("q_pack_split")(spark, dir).collect()
+    val total = fixture.map(_._2.split(" ").length.toLong).sum
+    assert(rows.map(_.getAs[Long]("frag_tokens")).sum == total)
+    // every sequence holds exactly 512 tokens except the last
+    val bySeq = rows.groupBy(_.getAs[Long]("seq_id"))
+      .view.mapValues(_.map(_.getAs[Long]("frag_tokens")).sum).toMap
+    val lastSeq = bySeq.keys.max
+    bySeq.foreach { case (k, s) =>
+      if (k != lastSeq) assert(s == 512L, s"seq $k holds $s tokens")
+      else assert(s <= 512L)
+    }
+    // fragments tile each doc: start at 0, contiguous, cover n_tokens
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (d, fr) =>
+      val sorted = fr.sortBy(_.getAs[Long]("tok_start"))
+      assert(sorted.head.getAs[Long]("tok_start") == 0L)
+      assert(sorted.map(_.getAs[Long]("frag_tokens")).sum ==
+        fixture(d.toInt)._2.split(" ").length.toLong)
+      sorted.sliding(2).foreach {
+        case Array(x, y) =>
+          assert(x.getAs[Long]("tok_start") + x.getAs[Long]("frag_tokens") ==
+            y.getAs[Long]("tok_start"), s"doc $d fragments not contiguous")
+        case _ => ()
+      }
+    }
+  }
+
   test("segment dedup: later copies of a segment are removed, first kept") {
     val segA = words(10, "a") // one full 10-token segment
     val segB = words(10, "b")
