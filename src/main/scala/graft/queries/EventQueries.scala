@@ -197,6 +197,34 @@ object EventQueries {
         .orderBy(col("event_type"), col("hr"))
     }),
 
+    // Forward-fill over the calendar spine (last observation carried
+    // forward — the other resampling convention): gaps inherit the most
+    // recent observed hour's values via last_value(ignore nulls) over
+    // the per-type time ordering, the same window trick as q_asof_join.
+    // One (type, hr) ordering serves both fill columns.
+    "q_gap_fill_ffill" -> ((s, dir) => {
+      val hourly = events(s, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("cents"))
+      val spine = hourly.groupBy(col("event_type"))
+        .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+        .select(col("event_type"),
+          explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hr"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(hourly, Seq("event_type", "hr"), "left")
+        .withColumn("is_gap", col("n_events").isNull)
+        .withColumn("n_events_ffill",
+          last(col("n_events"), ignoreNulls = true).over(w))
+        .withColumn("cents_ffill",
+          last(col("cents"), ignoreNulls = true).over(w))
+        .select(col("event_type"),
+          date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("hr"),
+          col("n_events_ffill"), col("cents_ffill"), col("is_gap"))
+        .orderBy(col("event_type"), col("hr"))
+    }),
+
     // RANGE-frame window (vs the ROWS frames elsewhere): trailing-24h
     // rolling count and spend per user, framed by the ORDER-BY VALUE —
     // same-instant peers aggregate together regardless of row order, so
@@ -271,6 +299,30 @@ object EventQueries {
         |  d.hr IS NULL AS is_gap
         |FROM spine s LEFT JOIN hourly d
         |  ON s.event_type = d.event_type AND s.hr = d.hr
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q_gap_fill_ffill" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hr,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(CAST(floor(value * 1e2 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT event_type, min(hr) AS h0, max(hr) AS h1
+        |  FROM hourly GROUP BY 1),
+        |spine AS (SELECT event_type,
+        |    unnest(range(h0, h1 + INTERVAL 1 HOUR, INTERVAL 1 HOUR)) AS hr
+        |  FROM bounds),
+        |j AS (SELECT s.event_type, s.hr, d.n_events, d.cents,
+        |    d.hr IS NULL AS is_gap
+        |  FROM spine s LEFT JOIN hourly d
+        |    ON s.event_type = d.event_type AND s.hr = d.hr)
+        |SELECT event_type, strftime(hr, '%Y-%m-%d %H:%M:%S') AS hr,
+        |  last_value(n_events IGNORE NULLS) OVER w AS n_events_ffill,
+        |  last_value(cents IGNORE NULLS) OVER w AS cents_ffill,
+        |  is_gap
+        |FROM j
+        |WINDOW w AS (PARTITION BY event_type ORDER BY hr
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY 1, 2""".stripMargin,
 
     "q_window_range" ->

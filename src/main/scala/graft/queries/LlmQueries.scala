@@ -322,23 +322,32 @@ object LlmQueries {
     * verified q_text_pipeline registry query. The dup election is a
     * groupBy+join on the md5 key (hashes shuffle, text never), same
     * shape as q_dedup_exact. */
-  def docDecisions(docs: DataFrame): DataFrame = {
-    val keyed = docs.withColumn("_k", exactKey(col("text")))
-    val winners = keyed.groupBy(col("_k")).agg(min(col("doc_id")).as("_keep"))
+  /** First-failing-rule quality/lang reason over (text, lang) — shared
+    * by the batch [[docDecisions]] election, the q_doc_filter query and
+    * the streaming silver ingestion (pure row expression: usable in
+    * append-mode streams where the dup election becomes dedup STATE). */
+  def filterReason: org.apache.spark.sql.Column = {
     val f = qualityFeatures(col("text"), stopwords)
-    val reason = when(f("n_tokens") < 5, "too_short")
+    when(f("n_tokens") < 5, "too_short")
       .when(f("distinct_ratio") < 0.3, "repetitive")
       .when(f("stopword_ratio") > 0.5, "boilerplate")
       .when(langPredict(langScores(col("text"), langMarkers)) =!= col("lang"),
         "lang_mismatch")
       .otherwise("keep")
+  }
+
+  def docDecisions(docs: DataFrame): DataFrame = {
+    val keyed = docs.withColumn("_k", exactKey(col("text")))
+    val winners = keyed.groupBy(col("_k")).agg(min(col("doc_id")).as("_keep"))
+    val reason = filterReason
     keyed.join(winners, Seq("_k"))
       .withColumn("status",
         when(col("doc_id") =!= col("_keep"), "dup")
           .when(reason =!= "keep", reason)
           .otherwise("silver"))
       .withColumn("in_silver", col("status") === "silver")
-      .withColumn("n_tokens", f("n_tokens"))
+      .withColumn("n_tokens",
+        qualityFeatures(col("text"), stopwords)("n_tokens"))
       .drop("_k", "_keep")
   }
 

@@ -196,4 +196,22 @@ object EventsStream {
     docs.withWatermark(tsCol, delay)
       .withColumn("content_key", md5(col(payloadCol).cast("binary")))
       .dropDuplicatesWithinWatermark("content_key")
+
+  /** Streaming TextMedallion silver ingestion — the streaming twin of
+    * [[graft.layers.TextMedallion.runSilver]], composed from verified
+    * parts: the content-dedup guard (dedup STATE replaces the batch
+    * corpus-global winner election), the [[graft.queries.LlmQueries
+    * .filterReason]] quality/lang rules as a pure row filter, and the
+    * exactly-once versioned MERGE per micro-batch ([[upsertSink]]).
+    * Input schema: (doc_id, ts, text, lang). */
+  def textSilverSink(docs: DataFrame, root: String, checkpoint: String,
+                     delay: String = "2 hours")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    upsertSink(
+      dedupContentStream(docs, "ts", "text", delay)
+        .withColumn("reason", graft.queries.LlmQueries.filterReason)
+        .filter(col("reason") === "keep")
+        .select(col("doc_id"), col("text"), col("lang"),
+          size(graft.llm.TextOps.tokens(col("text"))).cast("long").as("n_tokens")),
+      root, Seq("doc_id"), checkpoint)
 }

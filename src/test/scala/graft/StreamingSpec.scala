@@ -81,6 +81,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq("alpha body", "beta body", "gamma body"))
   }
 
+  test("streaming text silver: dedup guard + quality filter + versioned merge") {
+    import graft.sources.VersionedTable
+    val src = Files.createTempDirectory("graft_textsilver_src").toString
+    val ckpt = Files.createTempDirectory("graft_textsilver_ckpt").toString
+    val root = Files.createTempDirectory("graft_textsilver_tbl").toString
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    def at(sec: Int) = new java.sql.Timestamp(t0.getTime + sec * 1000L)
+    Seq(
+      (1L, at(0), "alpha beta gamma delta epsilon zeta", "en"), // keep
+      (2L, at(5), "tiny doc", "en"),                            // too_short
+      (3L, at(10), "alpha beta gamma delta epsilon zeta", "en"), // exact dup → state
+      (4L, at(15), "uno dos tres cuatro cinco seis", "de"),     // lang_mismatch
+      (5L, at(20), "red orange yellow green blue indigo", "en") // keep
+    ).toDF("doc_id", "ts", "text", "lang")
+      .write.mode("overwrite").parquet(src)
+    val in = spark.readStream
+      .schema("doc_id long, ts timestamp, text string, lang string").parquet(src)
+    val q = EventsStream.textSilverSink(in, root, ckpt, "1 hour")
+    q.processAllAvailable(); q.stop()
+    val out = VersionedTable.readLatest(spark, root)
+      .select("doc_id").as[Long].collect().toSet
+    // quality drops (2, 4) die; the dup pair (1, 3) collapses to ONE
+    // survivor (whichever arrived first in partition order)
+    assert(out.contains(5L) && !out.contains(2L) && !out.contains(4L))
+    assert((out & Set(1L, 3L)).size == 1, s"dup pair must collapse, got $out")
+    assert(out.size == 2)
+  }
+
   test("streaming upsert sink merges each micro-batch into a new table version") {
     import org.apache.spark.sql.types._
     import graft.sources.VersionedTable
