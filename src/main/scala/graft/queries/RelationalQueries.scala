@@ -470,6 +470,28 @@ object RelationalQueries {
           rnd(col("sum_revenue_raw"), 2).as("sum_revenue"))
         .orderBy(col("l_returnflag"))),
 
+    // FULL OUTER completes the join-type surface (inner/left/semi/anti/
+    // cross covered elsewhere): per-nation customer vs supplier rollups
+    // with deliberately asymmetric coverage (fixture filters), unmatched
+    // sides surfacing as NULLs coalesced to 0. Both inputs pre-aggregate
+    // BEFORE the join — the outer join runs on ≤25-row sides, not raw
+    // tables (at scale: aggregate-then-join beats join-then-aggregate
+    // whenever the join key is the grouping key).
+    "q_outer_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_nationkey") < 15)
+        .groupBy(col("c_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_cust"))
+      val p = t(s, dir, "supplier").filter(col("s_nationkey") >= 10)
+        .groupBy(col("s_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(p, Seq("nationkey"), "full_outer")
+        .select(col("nationkey"),
+          (col("n_cust").isNull || col("n_supp").isNull).as("one_sided"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy(col("nationkey"))
+    }),
+
     // Skew-safe salted JOIN: the derived fact key concentrates ~70% of
     // lineitem on one value, so a plain shuffle join sends all of it to
     // ONE reducer. Salting joins on (key, salt): the fact side takes a
@@ -1041,6 +1063,18 @@ object RelationalQueries {
       """SELECT l_returnflag, count(*) AS n_rows, sum(l_quantity) AS sum_qty,
         |  floor(sum(l_extendedprice * (1.0 - l_discount)) * 1e2 + 0.5) / 1e2 AS sum_revenue
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_outer_join" ->
+      """WITH c AS (SELECT c_nationkey AS nationkey, CAST(count(*) AS BIGINT) AS n_cust
+        |  FROM customer WHERE c_nationkey < 15 GROUP BY 1),
+        |p AS (SELECT s_nationkey AS nationkey, CAST(count(*) AS BIGINT) AS n_supp
+        |  FROM supplier WHERE s_nationkey >= 10 GROUP BY 1)
+        |SELECT nationkey,
+        |  (c.n_cust IS NULL OR p.n_supp IS NULL) AS one_sided,
+        |  coalesce(c.n_cust, 0) AS n_cust,
+        |  coalesce(p.n_supp, 0) AS n_supp
+        |FROM c FULL JOIN p USING (nationkey)
+        |ORDER BY nationkey""".stripMargin,
 
     "q_pagerank" -> {
       val iters = (1 to 5).map { i =>
