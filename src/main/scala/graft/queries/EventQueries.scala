@@ -39,6 +39,20 @@ object EventQueries {
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** Hourly per-type rollup (integer cents) + its min..max hour spine —
+    * shared by the zero-fill and forward-fill resampling queries. */
+  private def hourlyAndSpine(ev: DataFrame): (DataFrame, DataFrame) = {
+    val hourly = ev
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("cents"))
+    val spine = hourly.groupBy(col("event_type"))
+      .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hr"))
+    (hourly, spine)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Tumbling 1-hour window aggregation (batch form of the streaming job).
@@ -180,14 +194,7 @@ object EventQueries {
     // event scan, so the join back broadcasts; the only corpus-sized
     // exchange is the hourly rollup itself.
     "q_gap_fill" -> ((s, dir) => {
-      val hourly = events(s, dir)
-        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
-        .agg(count(lit(1)).as("n_events"),
-          sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("cents"))
-      val spine = hourly.groupBy(col("event_type"))
-        .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
-        .select(col("event_type"),
-          explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hr"))
+      val (hourly, spine) = hourlyAndSpine(events(s, dir))
       spine.join(hourly, Seq("event_type", "hr"), "left")
         .select(col("event_type"),
           date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("hr"),
@@ -203,14 +210,7 @@ object EventQueries {
     // the per-type time ordering, the same window trick as q_asof_join.
     // One (type, hr) ordering serves both fill columns.
     "q_gap_fill_ffill" -> ((s, dir) => {
-      val hourly = events(s, dir)
-        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
-        .agg(count(lit(1)).as("n_events"),
-          sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("cents"))
-      val spine = hourly.groupBy(col("event_type"))
-        .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
-        .select(col("event_type"),
-          explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hr"))
+      val (hourly, spine) = hourlyAndSpine(events(s, dir))
       val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       spine.join(hourly, Seq("event_type", "hr"), "left")

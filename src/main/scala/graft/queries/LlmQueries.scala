@@ -1004,6 +1004,30 @@ object LlmQueries {
         .orderBy(col("term"))
     }),
 
+    // n-gram language-model table — the classic MapReduce LM workload:
+    // bigram conditional probabilities P(w2|w1) = c(w1 w2) / c(w1 ·)
+    // from exact integer counts (the ratio is the only float, rnd'd).
+    // Two hash aggregations sharing the w1 key prefix; the head count
+    // derives from the bigram table itself (no second corpus pass). The
+    // top-20 continuations per head word bound the verified output —
+    // ranked (count desc, w2 asc), fully deterministic.
+    "q_bigram_lm" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val bi = spreadSmallInput(t(s, dir, "documents"))
+        .select(explode(shingles(tokens(col("text")), 2)).as("bigram"))
+        .withColumn("w1", split(col("bigram"), " ").getItem(0))
+        .withColumn("w2", split(col("bigram"), " ").getItem(1))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      val heads = bi.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+      val rk = Window.partitionBy(col("w1")).orderBy(col("c12").desc, col("w2"))
+      bi.join(heads, Seq("w1"))
+        .withColumn("rnk", row_number().over(rk).cast("long"))
+        .filter(col("rnk") <= 20)
+        .select(col("w1"), col("w2"), col("c12"), col("c1"), col("rnk"),
+          rnd(col("c12") / col("c1").cast("double"), 4).as("p"))
+        .orderBy(col("w1"), col("rnk"))
+    }),
+
     // Fuzzy string matching surface: Levenshtein distance + normalized
     // similarity over candidate pairs (adjacent doc ids as the fixture
     // pair source, like q_ngram_jaccard's demo shape — in production the
@@ -1321,6 +1345,23 @@ object LlmQueries {
     "q_doc_filter" ->
       s"""WITH $REASON_CTES
          |SELECT doc_id, reason, reason = 'keep' AS keep FROM r ORDER BY doc_id""".stripMargin,
+
+    "q_bigram_lm" ->
+      s"""WITH tk AS (SELECT doc_id, $W AS w FROM documents),
+         |bg AS (SELECT unnest(CASE WHEN len(w) >= 2 THEN list_transform(
+         |    generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])
+         |  ELSE [] END) AS bigram FROM tk),
+         |bi AS (SELECT string_split(bigram, ' ')[1] AS w1,
+         |    string_split(bigram, ' ')[2] AS w2,
+         |    CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2),
+         |uni AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bi GROUP BY 1),
+         |r AS (SELECT bi.w1, w2, c12, c1,
+         |    CAST(row_number() OVER (PARTITION BY bi.w1 ORDER BY c12 DESC, w2)
+         |      AS BIGINT) AS rnk
+         |  FROM bi JOIN uni ON bi.w1 = uni.w1)
+         |SELECT w1, w2, c12, c1, rnk,
+         |  floor(c12 / CAST(c1 AS DOUBLE) * 1e4 + 0.5) / 1e4 AS p
+         |FROM r WHERE rnk <= 20 ORDER BY w1, rnk""".stripMargin,
 
     "q_fuzzy_pairs" ->
       """WITH d AS (SELECT doc_id, substr(text, 1, 80) AS head FROM documents),
