@@ -272,36 +272,59 @@ object LlmQueries {
     packSequences(s, dir,
       cfg.int("pack.seq_tokens", 512).toLong, cfg.int("pack.bucket_docs", 100).toLong)
 
-  /** Segment-level global dedup on fixed `segW`-token spans. Scale
-    * shape: the winner election shuffles only (md5, doc_id, seg_id) —
-    * never segment text; the drop list anti-joins back on
-    * (doc_id, seg_id) against a re-derived segment table, so the corpus
-    * text re-scans (cheap, pruned columns) instead of shuffling. */
-  def dedupSegments(s: SparkSession, dir: String, segW: Int): DataFrame = {
-    require(segW > 0, s"segment width must be positive, got $segW")
-    val base = t(s, dir, "documents")
+  /** (doc_id, seg_id, seg): every document cut into fixed `segW`-token
+    * spans — derived narrowly from the scan (tokenize, explode, slice),
+    * no shuffle. Consumers re-derive it per pass: a re-scan is map work;
+    * shipping segment text through an exchange is what doesn't survive
+    * 100 TB. */
+  private def segmentTable(s: SparkSession, dir: String, segW: Int): DataFrame =
+    t(s, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("tk"))
-    val segs = base
       .select(col("doc_id"), col("tk"),
         explode(sequence(lit(0L),
           floor((size_(col("tk")) - 1) / lit(segW)).cast("long"))).as("seg_id"))
       .select(col("doc_id"), col("seg_id"),
         concat_ws(" ",
           slice(col("tk"), (col("seg_id") * segW + 1).cast("int"), lit(segW))).as("seg"))
-    val keyed = segs.select(md5(col("seg")).as("seg_key"),
-      (col("doc_id") * 100000L + col("seg_id")).as("code"),
-      col("doc_id"), col("seg_id"))
-    val winners = keyed.groupBy(col("seg_key")).agg(min(col("code")).as("wcode"))
-    val losers = keyed.join(winners, Seq("seg_key"))
-      .filter(col("code") =!= col("wcode"))
+
+  /** Segment-level global dedup on fixed `segW`-token spans (Lee et al.
+    * 2022 §4, the bounded-memory segment-grid form): PRODUCTION output —
+    * the text-free (doc_id, seg_id) drop list a writer anti-joins when
+    * materializing the cleaned corpus. The first occurrence of each
+    * distinct segment wins, elected by min(struct(doc_id, seg_id)) —
+    * a genuine lexicographic arg-min, not a packed-integer key, so any
+    * per-document segment count and any doc_id range are safe. The only
+    * corpus-derived exchange carries (md5, doc_id, seg_id) — segment
+    * text NEVER shuffles (CorpusOpsSpec asserts no text attribute on any
+    * exchange in the optimized plan). */
+  def segmentDropList(s: SparkSession, dir: String, segW: Int): DataFrame = {
+    require(segW > 0, s"segment width must be positive, got $segW")
+    val keyed = segmentTable(s, dir, segW)
+      .select(md5(col("seg")).as("seg_key"), col("doc_id"), col("seg_id"))
+    val winners = keyed.groupBy(col("seg_key"))
+      .agg(min(struct(col("doc_id"), col("seg_id"))).as("win"))
+    keyed.join(winners, Seq("seg_key"))
+      .filter(struct(col("doc_id"), col("seg_id")) =!= col("win"))
       .select(col("doc_id"), col("seg_id"))
-    val rebuilt = segs.join(losers, Seq("doc_id", "seg_id"), "left_anti")
+  }
+
+  /** Fixture/verification path over [[segmentDropList]]: rebuild each
+    * document's kept text and summarize (count, md5, length) per doc.
+    * The rebuild's collect_list ships kept segment text through one
+    * linear exchange — acceptable for verifying the drop-list semantics
+    * on fixtures, but production writers consume [[segmentDropList]]
+    * directly. */
+  def dedupSegments(s: SparkSession, dir: String, segW: Int): DataFrame = {
+    val segs = segmentTable(s, dir, segW)
+    val rebuilt = segs
+      .join(segmentDropList(s, dir, segW), Seq("doc_id", "seg_id"), "left_anti")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_kept"),
         array_join(transform(
           array_sort(collect_list(struct(col("seg_id"), col("seg")))),
           x => x.getField("seg")), " ").as("kept_text"))
-    base
+    t(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
       .select(col("doc_id"),
         (floor((size_(col("tk")) - 1) / lit(segW)) + 1).cast("long").as("n_segs"))
       .join(rebuilt, Seq("doc_id"), "left")
@@ -314,7 +337,7 @@ object LlmQueries {
 
   def dedupSegmentsFromConfig(s: SparkSession, dir: String,
                               cfg: graft.util.PipelineConfig): DataFrame =
-    dedupSegments(s, dir, cfg.int("segdedup.segment_tokens", 10))
+    segmentDropList(s, dir, cfg.int("segdedup.segment_tokens", 10))
 
   /** Per-document pipeline decision — exact-dup election first, then the
     * quality/lang filter (first failing rule wins): the single source of
@@ -980,10 +1003,13 @@ object LlmQueries {
     // Segment-level global dedup (the C4 "repeated spans" rule / Lee et
     // al. 2022 exact-substring dedup, on fixed 10-token segments; the
     // `segdedup:` config section sets the width): every occurrence of a
-    // segment after its first (by doc_id, seg_id) is removed, and
-    // documents are rebuilt from their surviving segments. See
-    // [[dedupSegments]] for the hashes-only shuffle shape.
-    "q_dedup_segments" -> ((s, dir) => dedupSegments(s, dir, 10)),
+    // segment after its first (by doc_id, seg_id) is removed. The
+    // operator result is the production artifact — the text-free
+    // (doc_id, seg_id) drop list; see [[segmentDropList]] for the
+    // hashes-only shuffle shape, and [[dedupSegments]] (fixture path,
+    // CorpusOpsSpec) for the rebuilt-text verification.
+    "q_dedup_segments" -> ((s, dir) =>
+      segmentDropList(s, dir, 10).orderBy(col("doc_id"), col("seg_id"))),
 
     // --- retrieval & quality scoring ---------------------------------------
     // Inverted index construction (the search side of the corpus): term →
@@ -1216,18 +1242,10 @@ object LlmQueries {
          |s2 AS (SELECT doc_id, seg_id,
          |  array_to_string(list_slice(tk, seg_id*10+1, seg_id*10+10), ' ') AS seg
          |  FROM sg),
-         |k AS (SELECT doc_id, seg_id, seg, md5(seg) AS seg_key,
-         |  doc_id*100000 + seg_id AS code FROM s2),
-         |w AS (SELECT seg_key, min(code) AS wcode FROM k GROUP BY seg_key),
-         |kept AS (SELECT k.* FROM k JOIN w USING (seg_key) WHERE code = wcode),
-         |reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
-         |    string_agg(seg, ' ' ORDER BY seg_id) AS kept_text
-         |  FROM kept GROUP BY doc_id)
-         |SELECT d.doc_id, CAST((len(tk) - 1) // 10 + 1 AS BIGINT) AS n_segs,
-         |  coalesce(n_kept, 0) AS n_kept,
-         |  md5(coalesce(kept_text, '')) AS kept_key,
-         |  CAST(length(coalesce(kept_text, '')) AS BIGINT) AS kept_len
-         |FROM d LEFT JOIN reb USING (doc_id) ORDER BY doc_id""".stripMargin,
+         |r AS (SELECT doc_id, seg_id, row_number() OVER (
+         |    PARTITION BY md5(seg) ORDER BY doc_id, seg_id) AS rn FROM s2)
+         |SELECT doc_id, seg_id FROM r WHERE rn > 1
+         |ORDER BY doc_id, seg_id""".stripMargin,
 
     "q_inverted_index" ->
       s"""WITH o AS (SELECT doc_id, unnest($W) AS term FROM documents)

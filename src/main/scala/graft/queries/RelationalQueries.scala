@@ -524,15 +524,13 @@ object RelationalQueries {
 
     // Iterative graph analytics: weighted PageRank (damping 0.85, 5
     // fixed iterations) over the supplier-nation → customer-nation trade
-    // graph. Ranks live in integer MICRO-UNITS with floor-division
-    // updates — every step is exact long arithmetic, so the result is
-    // bit-identical across engines (a float PageRank would drift with
-    // summation order). Per iteration: broadcast the rank vector into
-    // the stationary edge table, integer-split rank along weighted
-    // out-edges, hash-aggregate inflow by dst — edges never re-shuffle
-    // (at 10⁹+ nodes, where ranks outgrow a broadcast, bucket BOTH
-    // edges and ranks by src for exchange-free iterations, as in
-    // ClusterOps). localCheckpoint truncates the 5× growing lineage.
+    // graph, via graft.ops.PageRank — the bucketed-rank shape where
+    // edges AND ranks stay hash-partitioned on the join key, each round
+    // shuffles only the inflow regroup, and the rank vector is never
+    // broadcast (so executor memory stays O(nodes/partitions) at 10⁹
+    // nodes). Integer micro-unit ranks keep every step exact long
+    // arithmetic — bit-identical across engines. PageRankSpec asserts
+    // the one-exchange / no-broadcast round plan.
     "q_pagerank" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
       val ord = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
@@ -544,21 +542,7 @@ object RelationalQueries {
         .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
-        .localCheckpoint()
-      val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
-      val nodes = edges.select(col("src").as("node"))
-        .union(edges.select(col("dst"))).distinct()
-      var ranks = nodes.withColumn("rank", lit(1000000L))
-      for (_ <- 1 to 5) {
-        val contrib = edges.join(outW, "src")
-          .join(broadcast(ranks), col("src") === col("node"))
-          .select(col("dst").as("node"), expr("rank * w div wout").as("c"))
-          .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
-        ranks = nodes.join(contrib, Seq("node"), "left")
-          .select(col("node"),
-            (lit(150000L) + expr("85 * coalesce(inflow, 0) div 100")).as("rank"))
-          .localCheckpoint()
-      }
+      val ranks = graft.ops.PageRank.run(edges, iterations = 5)
       ranks.join(broadcast(t(s, dir, "nation")), col("node") === col("n_nationkey"))
         .select(col("n_name").as("nation"), col("rank"))
         .orderBy(col("rank").desc, col("nation"))

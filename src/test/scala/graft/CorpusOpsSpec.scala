@@ -117,12 +117,40 @@ class CorpusOpsSpec extends AnyFunSuite {
       1L -> s"$segA $segB", // doc 1: owns both segments
       2L -> s"$segB $segC", // doc 2: loses segB (doc 1 saw it first), keeps segC
       3L -> s"$segC $segC") // doc 3: loses both copies (doc 2 owns segC)
-    val out = graft.queries.LlmQueries.queries("q_dedup_segments")(spark, dir)
+    // production artifact: the text-free drop list
+    val dropped = graft.queries.LlmQueries.queries("q_dedup_segments")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("seg_id"))).toSet
+    assert(dropped == Set((2L, 0L), (3L, 0L), (3L, 1L)))
+    // fixture path: rebuilt kept text agrees with the drop list
+    val out = graft.queries.LlmQueries.dedupSegments(spark, dir, 10)
       .collect().map(r => r.getAs[Long]("doc_id") ->
         ((r.getAs[Long]("n_segs"), r.getAs[Long]("n_kept"), r.getAs[Long]("kept_len")))).toMap
     assert(out(1L) == ((2L, 2L, (segA + " " + segB).length.toLong)))
     assert(out(2L) == ((2L, 1L, segC.length.toLong)))
     assert(out(3L) == ((2L, 0L, 0L)))
+  }
+
+  test("segment dedup drop list: no exchange carries segment or document text") {
+    // The scale property (PLANS.md q_dedup_segments): winner election and
+    // drop-list join move only (md5, doc_id, seg_id); text stays map-side.
+    // AQE off so the physical tree is traversable; the property is
+    // plan-shape, not runtime-adaptive.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = graft.queries.LlmQueries
+        .segmentDropList(spark, "/root/testdata/sf0.001", 10)
+      val textish = Set("seg", "text", "tk", "kept_text")
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.nonEmpty, "winner election must regroup on seg_key")
+      exchanges.foreach { e =>
+        val carried = e.output.map(_.name).filter(textish)
+        assert(carried.isEmpty,
+          s"exchange ships text column(s) $carried:\n${e.treeString}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
   test("salted join: salt never changes the result, join key carries the salt") {
@@ -139,8 +167,11 @@ class CorpusOpsSpec extends AnyFunSuite {
     val b = plain.collect().map(_.toSeq)
     assert(a.toSeq == b.toSeq, "salted join must be result-identical to the plain join")
     // the exchange feeding the join must partition on (skew_key, _salt):
-    // that composite key is what spreads the hot key over reducers
+    // that composite key is what spreads the hot key over reducers — a
+    // bare "_salt" projection would pass even if the join degraded to a
+    // broadcast or single-key shuffle, so match the partitioning expr.
     val plan = salted.queryExecution.executedPlan.toString
-    assert(plan.contains("_salt"), s"salted key missing from physical plan:\n$plan")
+    assert("hashpartitioning\\(skew_key[^)]*_salt".r.findFirstIn(plan).isDefined,
+      s"join exchange must partition on (skew_key, _salt):\n$plan")
   }
 }

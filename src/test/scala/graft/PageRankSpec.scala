@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.PageRank
+
+/** Bucketed-rank PageRank: exactness on a hand-checkable graph and the
+  * scale property the shape exists for — per-round plans with exactly one
+  * exchange (the inflow regroup) and NO broadcast of the rank vector. */
+class PageRankSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("two-node cycle reaches the uniform fixpoint exactly") {
+    // A ⇄ B with equal weights: ranks stay at 1.0 (micro-units) every
+    // round — 150000 + 85 * 1000000 div 100 == 1000000 exactly.
+    val edges = Seq((1L, 2L, 1L), (2L, 1L, 1L)).toDF("src", "dst", "w")
+    val out = PageRank.run(edges, iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> PageRank.Micro, 2L -> PageRank.Micro))
+  }
+
+  test("weighted star splits rank along out-weights with floor division") {
+    // 1 → 2 (w=3), 1 → 3 (w=1): after round 1,
+    //   node 1 inflow 0              → 150000
+    //   node 2 inflow 10⁶*3 div 4    → 150000 + 85*750000 div 100 = 787500
+    //   node 3 inflow 10⁶*1 div 4    → 150000 + 85*250000 div 100 = 362500
+    // (nodes 2 and 3 are sinks: they emit nothing in later rounds, so
+    // one round of a 1-iteration run pins the arithmetic.)
+    val edges = Seq((1L, 2L, 3L), (1L, 3L, 1L)).toDF("src", "dst", "w")
+    val out = PageRank.run(edges, iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 150000L, 2L -> 787500L, 3L -> 362500L))
+  }
+
+  /** The executedPlan string embeds each InMemoryRelation's one-time
+    * build plan (whose REPARTITION/broadcast exchanges are paid once at
+    * prepare, not per round); keep only live plan lines so the per-round
+    * assertions do not trip on build-time nodes. A subtree is dropped by
+    * indentation: lines strictly deeper than their InMemoryRelation. */
+  private def livePlan(plan: String): String = {
+    def depth(l: String): Int = {
+      val i = l.indexOf("+-"); val j = l.indexOf(":-")
+      if (i < 0) j else if (j < 0) i else math.min(i, j)
+    }
+    var skipBelow = -1
+    plan.linesIterator.filter { l =>
+      val d = depth(l)
+      if (skipBelow >= 0 && (d > skipBelow || d < 0)) false
+      else if (l.contains("InMemoryRelation")) { skipBelow = d; false }
+      else { skipBelow = -1; true }
+    }.mkString("\n")
+  }
+
+  test("round plan: edge side exchange-free, rank vector never broadcast") {
+    // The properties that distinguish this shape from the broadcast-rank
+    // variant, with the default (permissive) autoBroadcastJoinThreshold
+    // in force: (a) the persisted edge table feeds its join with NO
+    // exchange — per-round shuffled bytes are rank-sized, not edge-sized;
+    // (b) no BroadcastExchange anywhere — at 10⁹ nodes the rank table
+    // cannot broadcast, so the plan must not rely on it at any scale.
+    val edgesIn = Seq((1L, 2L, 1L), (2L, 3L, 2L), (3L, 1L, 1L), (1L, 3L, 4L))
+      .toDF("src", "dst", "w")
+    val (edges, nodes) = PageRank.prepare(edgesIn)
+    try {
+      val ranks0 = nodes.withColumn("rank", lit(PageRank.Micro)).localCheckpoint()
+      val round = PageRank.round(edges, nodes, ranks0)
+      val live = livePlan(round.queryExecution.executedPlan.toString)
+      assert(!live.contains("InMemoryRelation"), s"subtree strip failed:\n$live")
+      assert(!live.contains("BroadcastExchange"),
+        s"rank vector must never broadcast, got:\n$live")
+      assert(!live.contains("Exchange hashpartitioning(src"),
+        s"edge table must reuse its persisted src-partitioning, got:\n$live")
+      // what DOES move per round: the rank table into its join, and the
+      // inflow regroup — both keyed on node, both rank-sized.
+      val exchanges = "Exchange hashpartitioning\\(node".r.findAllIn(live).length
+      assert(exchanges == 2,
+        s"expected the two rank-sized node exchanges only, got:\n$live")
+      assert("ShuffledHashJoin".r.findAllIn(live).length == 2 &&
+        "InMemoryTableScan".r.findAllIn(live).length == 2,
+        s"both joins must read the persisted tables hash-to-hash:\n$live")
+    } finally { edges.unpersist(); nodes.unpersist() }
+  }
+}
