@@ -339,6 +339,52 @@ object LlmQueries {
                               cfg: graft.util.PipelineConfig): DataFrame =
     segmentDropList(s, dir, cfg.int("segdedup.segment_tokens", 10))
 
+  /** Exact-substring dedup over SLIDING `L`-token windows — the
+    * full-recall form of [[segmentDropList]]'s aligned grid. A duplicated
+    * run of ≥ L tokens at ANY alignment is, at every offset, an L-window
+    * seen elsewhere, so every such run is caught and its maximal extent
+    * recovered exactly (the grid needs an aligned cell inside the run:
+    * recall (s−W+1)/W for a run of s tokens, 1 only from s ≥ 2W−1 —
+    * NOTES.md "exact-substring recall"). This is the detection guarantee
+    * of Lee et al. 2022's suffix array, bought with n windows (O(n·L)
+    * hashing — a rolling Rabin–Karp kernel would make it O(n)) instead
+    * of O(n log n) global sorts; md5 keys make hash-collision false
+    * drops cryptographically improbable where a 64-bit roll would not.
+    *
+    * Output: merged maximal drop spans (doc_id, span_start, span_end
+    * token-exclusive, n_windows), first occurrence (min struct(doc_id,
+    * pos)) kept corpus-wide. Shuffle shape: election moves (md5, doc_id,
+    * pos) — never window text; the span merge regroups loser positions
+    * only, partitioned by doc_id. */
+  def dupSpanDropList(s: SparkSession, dir: String, L: Int): DataFrame = {
+    require(L > 0, s"window width must be positive, got $L")
+    import org.apache.spark.sql.expressions.Window
+    val wins = t(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(TextOps.shingles(tokens(col("text")), L)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        md5(col("col")).as("wkey"))
+    val winners = wins.groupBy(col("wkey"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("win"))
+    val losers = wins.join(winners, Seq("wkey"))
+      .filter(struct(col("doc_id"), col("pos")) =!= col("win"))
+      .select(col("doc_id"), col("pos"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    losers
+      .withColumn("prev_end", max(col("pos") + L)
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_span",
+        when(col("prev_end").isNull || col("pos") > col("prev_end"), 1L)
+          .otherwise(0L))
+      .withColumn("span", sum(col("new_span")).over(byDoc))
+      .groupBy(col("doc_id"), col("span"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + L).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("n_windows"))
+  }
+
   /** Per-document pipeline decision — exact-dup election first, then the
     * quality/lang filter (first failing rule wins): the single source of
     * truth for [[graft.layers.TextMedallion]]'s silver layer and the
@@ -1011,6 +1057,14 @@ object LlmQueries {
     "q_dedup_segments" -> ((s, dir) =>
       segmentDropList(s, dir, 10).orderBy(col("doc_id"), col("seg_id"))),
 
+    // Sliding-window exact-substring dedup: FULL recall for duplicated
+    // runs of ≥ 10 tokens at any alignment (the grid above misses runs
+    // shorter than two aligned cells — CorpusOpsSpec pins a straddling
+    // fixture, NOTES.md quantifies the recall gap). Output is the merged
+    // maximal drop-span list; see [[dupSpanDropList]].
+    "q_dedup_spans" -> ((s, dir) =>
+      dupSpanDropList(s, dir, 10).orderBy(col("doc_id"), col("span_start"))),
+
     // --- retrieval & quality scoring ---------------------------------------
     // Inverted index construction (the search side of the corpus): term →
     // document frequency, collection frequency, head of the sorted
@@ -1246,6 +1300,28 @@ object LlmQueries {
          |    PARTITION BY md5(seg) ORDER BY doc_id, seg_id) AS rn FROM s2)
          |SELECT doc_id, seg_id FROM r WHERE rn > 1
          |ORDER BY doc_id, seg_id""".stripMargin,
+
+    "q_dedup_spans" ->
+      s"""WITH d AS (SELECT doc_id, $W AS tk FROM documents),
+         |w AS (SELECT doc_id, unnest(range(0, len(tk) - 10 + 1)) AS pos, tk
+         |  FROM d WHERE len(tk) >= 10),
+         |k AS (SELECT doc_id, pos,
+         |  md5(array_to_string(list_slice(tk, pos + 1, pos + 10), ' ')) AS wkey
+         |  FROM w),
+         |r AS (SELECT doc_id, pos, row_number() OVER (
+         |    PARTITION BY wkey ORDER BY doc_id, pos) AS rn FROM k),
+         |l AS (SELECT doc_id, pos FROM r WHERE rn > 1),
+         |m AS (SELECT doc_id, pos, max(pos + 10) OVER (PARTITION BY doc_id
+         |    ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |    AS prev_end FROM l),
+         |i AS (SELECT doc_id, pos, sum(CASE WHEN prev_end IS NULL
+         |      OR pos > prev_end THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY doc_id ORDER BY pos) AS span FROM m)
+         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+         |  CAST(max(pos) + 10 AS BIGINT) AS span_end,
+         |  CAST(count(*) AS BIGINT) AS n_windows
+         |FROM i GROUP BY doc_id, span
+         |ORDER BY doc_id, span_start""".stripMargin,
 
     "q_inverted_index" ->
       s"""WITH o AS (SELECT doc_id, unnest($W) AS term FROM documents)

@@ -130,6 +130,35 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out(3L) == ((2L, 0L, 0L)))
   }
 
+  test("sliding-window span dedup catches offset-straddling duplicates the grid misses") {
+    // doc 1: tokens a1..a25. doc 2 embeds a3..a17 — a 15-token duplicated
+    // run — at offset 5, so NO aligned 10-token grid cell of doc 2 equals
+    // one of doc 1 (recall gap quantified in NOTES.md): the segment grid
+    // finds nothing. The sliding windows must recover the run's exact
+    // maximal extent: doc 2 positions 5..10 start duplicated windows,
+    // merged to the span [5, 20) with 6 member windows.
+    val a = (1 to 25).map(i => s"a$i")
+    val doc2 = (words(5, "u").split(" ") ++ a.slice(2, 17) ++ words(5, "v").split(" "))
+      .mkString(" ")
+    val dir = tmpDocs(1L -> a.mkString(" "), 2L -> doc2)
+    val grid = graft.queries.LlmQueries.queries("q_dedup_segments")(spark, dir).collect()
+    assert(grid.isEmpty, "aligned grid should miss the straddling duplicate run")
+    val spans = graft.queries.LlmQueries.queries("q_dedup_spans")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.toSeq == Seq((2L, 5L, 20L, 6L)))
+  }
+
+  test("span dedup: in-document repetition keeps only the first occurrence") {
+    // one doc repeating a 10-token block three times back-to-back: the
+    // 2nd and 3rd copies (and every straddling window between them) are
+    // one merged drop span [10, 30); the first copy survives.
+    val block = words(10, "r")
+    val dir = tmpDocs(7L -> s"$block $block $block")
+    val spans = graft.queries.LlmQueries.queries("q_dedup_spans")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(spans.toSeq == Seq((7L, 10L, 30L)))
+  }
+
   test("segment dedup drop list: no exchange carries segment or document text") {
     // The scale property (PLANS.md q_dedup_segments): winner election and
     // drop-list join move only (md5, doc_id, seg_id); text stays map-side.
