@@ -455,6 +455,38 @@ object LlmQueries {
       .limit(5)
   }
 
+  /** IVF ANN through the PRODUCTION init path: kmeans|| oversampling
+    * (KMeans.trainParallel — deterministic md5 coins, driver-side only
+    * the O(k log n) candidate reduction) instead of the oracle-replayable
+    * first-k init. The trained quantizer is not expressible as one SQL
+    * text, so the registry query probes ALL `k` lists: the inverted
+    * lists partition the corpus exactly once, so a full probe must
+    * equal brute-force top-5 REGARDLESS of where training converged —
+    * an invariant DuckDB can check (and a real index-correctness
+    * property: any list dropped, duplicated or mis-scored breaks it).
+    * The recall/pruning behavior of a partial probe through this init is
+    * spec-asserted instead (IvfSpec "kmeans|| quantizer"). */
+  def annIvfKmpp(s: SparkSession, dir: String,
+                 k: Int, lloydRounds: Int, l: Int, rounds: Int): DataFrame = {
+    graft.functions.NativeFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val cos = graft.functions.NativeFunctions.cosineSim _
+    val e = t(s, dir, "embeddings")
+    val cents = graft.llm.KMeans.trainParallel(e, k, lloydRounds, l, rounds)
+    val ivf = e.crossJoin(broadcast(cents))
+      .withColumn("cos_c", cos(col("embedding"), col("cvec")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cent_id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") === 0L).select(col("embedding").as("qvec"))
+    ivf.filter(col("vec_id") =!= 0L)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), cos(col("embedding"), col("qvec")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(5)
+  }
+
   /** Product-quantized ANN (PqOps): `m` subspace codebooks of `k`
     * codewords trained by fixed-point Lloyd rounds, corpus encoded to m
     * codes/vector, query scored by ADC lookup-table parts summed in
@@ -948,6 +980,11 @@ object LlmQueries {
     // from pipeline config at scale, 16 centroids / nprobe=2 pinned here
     // for the oracle corpus).
     "q_ann_ivf" -> ((s, dir) => annIvf(s, dir, 16, 2, 2)),
+
+    // IVF through the kmeans|| production init (see annIvfKmpp: full
+    // probe ⇒ must equal brute force — the partition-of-corpus
+    // invariant; partial-probe recall through this init is IvfSpec's).
+    "q_ann_ivf_kmpp" -> ((s, dir) => annIvfKmpp(s, dir, 16, 2, 8, 3)),
 
     // Persisted IVF: same semantics as q_ann_ivf but through the
     // production layout — inverted lists written partitioned by cent_id,
@@ -1723,6 +1760,17 @@ object LlmQueries {
         |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cos_sim
         |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
         |ORDER BY vec_a""".stripMargin,
+
+    // full-probe IVF == brute force (the lists partition the corpus):
+    // same CTE-free shape as q_ann_bruteforce, top-5, no label column
+    "q_ann_ivf_kmpp" ->
+      """SELECT e.vec_id,
+        |  list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) /
+        |    (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+        |     sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))) AS cos_sim
+        |FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |WHERE e.vec_id <> 0
+        |ORDER BY cos_sim DESC, e.vec_id LIMIT 5""".stripMargin,
 
     "q_ann_bruteforce" ->
       """SELECT e.vec_id, e.label,
