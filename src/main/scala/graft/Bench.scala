@@ -86,7 +86,20 @@ object Bench {
       val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
     }
-    val (slow, fast) = results.partition(_._2.min >= 0.25)
+    // key-set hysteresis: a query near the 0.25s threshold would flap in
+    // and out of the stdout map between rounds, so consumers diffing the
+    // JSON line would silently lose its timing. Any query listed as slow
+    // in the PREVIOUS round's bench_detail.json stays listed this round
+    // (bench_detail itself always has full coverage).
+    val prevSlow: Set[String] = {
+      val p = java.nio.file.Paths.get("bench_detail.json")
+      if (!java.nio.file.Files.exists(p)) Set.empty
+      else """"([^"]+)":\{"min":([0-9.]+)""".r
+        .findAllMatchIn(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+        .collect { case m if m.group(2).toDouble >= 0.25 => m.group(1) }.toSet
+    }
+    val (slow, fast) = results.partition { case (k, obs) =>
+      obs.min >= 0.25 || prevSlow(k) }
     val qs = slow.map { case (k, obs) => s"\"" + k + "\":" + f2(obs.min) }
       .mkString("{", ",", "}")
     val fastN = fast.length

@@ -53,28 +53,33 @@ object TextMedallion {
   def runSilver(spark: SparkSession, cfg: Config): Long = {
     log.info(s"text silver: ${cfg.bronzeDir} -> ${cfg.silverDir}")
     val bronze = spark.read.parquet(s"${cfg.bronzeDir}/documents")
-    val decided = LlmQueries.docDecisions(bronze.drop("_bronze_ingested_at"))
-    val counts = decided.groupBy(col("in_silver")).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
-    val kept = counts.getOrElse(true, 0L)
-    val dropped = counts.getOrElse(false, 0L)
-    val total = kept + dropped
-    val dropRate = if (total == 0) 1.0 else dropped.toDouble / total
-    // gate-halt: a pipeline that throws away most of its corpus is
-    // mis-configured (bad filter thresholds, wrong language markers) —
-    // stop before the write, like the Instacart null-rate gates
-    if (total == 0 || dropRate > cfg.maxDropRate)
-      throw new DataQualityError(
-        f"silver drop rate $dropRate%.3f exceeds ${cfg.maxDropRate}%.3f " +
-          s"($dropped of $total docs dropped)")
-    val silver = decided.filter(col("in_silver"))
-      .select(col("doc_id"), col("text"), col("lang"), col("source"),
-        col("n_tokens"), col("status"))
-      .withColumn("_silver_processed_at", current_timestamp())
-    VersionedTable.write(silver, s"${cfg.silverDir}/documents",
-      allowEvolution = true)
-    Gates.logLayerStats("silver", "documents", kept)
-    kept
+    // cached: the decided frame feeds BOTH the drop-rate gate and the
+    // silver write — without the cache the md5 dup-election groupBy+join
+    // would run twice per build (the S9 cached-silver discipline)
+    val decided = LlmQueries.docDecisions(bronze.drop("_bronze_ingested_at")).cache()
+    try {
+      val counts = decided.groupBy(col("in_silver")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+      val kept = counts.getOrElse(true, 0L)
+      val dropped = counts.getOrElse(false, 0L)
+      val total = kept + dropped
+      val dropRate = if (total == 0) 1.0 else dropped.toDouble / total
+      // gate-halt: a pipeline that throws away most of its corpus is
+      // mis-configured (bad filter thresholds, wrong language markers) —
+      // stop before the write, like the Instacart null-rate gates
+      if (total == 0 || dropRate > cfg.maxDropRate)
+        throw new DataQualityError(
+          f"silver drop rate $dropRate%.3f exceeds ${cfg.maxDropRate}%.3f " +
+            s"($dropped of $total docs dropped)")
+      val silver = decided.filter(col("in_silver"))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_tokens"), col("status"))
+        .withColumn("_silver_processed_at", current_timestamp())
+      VersionedTable.write(silver, s"${cfg.silverDir}/documents",
+        allowEvolution = true)
+      Gates.logLayerStats("silver", "documents", kept)
+      kept
+    } finally decided.unpersist()
   }
 
   def runGold(spark: SparkSession, cfg: Config): Map[String, Long] = {

@@ -41,4 +41,28 @@ object RangeJoin {
       .filter(col(point).between(col(lo), col(hi)))
       .drop("__bucket")
   }
+
+  /** Bucket width derived from the interval-span distribution: the
+    * median span. With uniform point density dP, candidate pairs ≈
+    * |I|·dP·(W + s̄) — shrinking W below the span scale s̄ buys almost
+    * nothing (the floor |I|·dP·s̄ IS the match count) while interval
+    * replication |I|·(1 + s̄/W) blows up; growing W past s̄ scans points
+    * that can't match. W = median(s) caps both overhangs at ~2× their
+    * floor, which is where the r4 hand-tuning landed (32→4 on spans of
+    * 1..5 days, measured 2×). One approx-quantile aggregate over the
+    * interval table (distributed, no collect beyond the scalar); the
+    * width only shapes the plan — any positive value is correct. */
+  def autoBucketWidth(intervals: DataFrame, lo: String, hi: String): Long = {
+    val med = intervals.filter(col(lo) <= col(hi))
+      .agg(percentile_approx((col(hi) - col(lo)).cast("double"),
+        lit(0.5), lit(10000)).as("m"))
+      .head.get(0)
+    math.max(1L, Option(med).map(_.asInstanceOf[Double]).map(math.round).getOrElse(1L))
+  }
+
+  /** [[rangeJoin]] with the width self-tuned by [[autoBucketWidth]]. */
+  def rangeJoinAuto(points: DataFrame, intervals: DataFrame,
+                    point: String, lo: String, hi: String): DataFrame =
+    rangeJoin(points, intervals, point, lo, hi,
+      autoBucketWidth(intervals, lo, hi))
 }

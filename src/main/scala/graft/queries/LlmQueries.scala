@@ -202,8 +202,6 @@ object LlmQueries {
   def packSequences(s: SparkSession, dir: String, cap: Long, bucketW: Long): DataFrame =
     packSequencesOf(t(s, dir, "documents"), cap, bucketW)
 
-  /** [[packSequences]] over an arbitrary (doc_id, text) frame — the gold
-    * layer of [[graft.layers.TextMedallion]] packs the SILVER corpus. */
   /** doc_id, n_tokens and the cumulative token count via the DISTRIBUTED
     * two-pass prefix sum (see [[packSequencesOf]] scaladoc): per-bucket
     * window cumsums in parallel + a tiny serial offset scan over bucket
@@ -225,6 +223,8 @@ object LlmQueries {
       .select(col("doc_id"), col("n_tokens"), col("cum"))
   }
 
+  /** [[packSequences]] over an arbitrary (doc_id, text) frame — the gold
+    * layer of [[graft.layers.TextMedallion]] packs the SILVER corpus. */
   def packSequencesOf(docs: DataFrame, cap: Long, bucketW: Long): DataFrame = {
     require(cap > 0 && bucketW > 0,
       s"pack geometry must be positive, got cap=$cap bucketW=$bucketW")

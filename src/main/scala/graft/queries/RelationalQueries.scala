@@ -565,11 +565,12 @@ object RelationalQueries {
     // Spark-first realization is graft.ops.RangeJoin — bucket the time
     // axis, explode intervals into their O(1) overlapping buckets,
     // equi-join on bucket, residual BETWEEN — versus the
-    // BroadcastNestedLoopJoin a raw BETWEEN join plans to. Bucket width
-    // 4 days ≈ the median span: candidate rows ∝ (width + span)/range,
-    // so a 32-day cell generated ~9× the candidates the matches need
-    // (measured 6.3s → 3.2s at sf0.1 going 32 → 4; the floor is the
-    // ~14.5M genuine matches feeding the distinct-count aggregate).
+    // BroadcastNestedLoopJoin a raw BETWEEN join plans to. The width
+    // self-tunes to the MEDIAN INTERVAL SPAN (one approx-quantile pass;
+    // RangeJoin.autoBucketWidth): candidate rows ∝ (width + span), so
+    // the r4 hand-tuned 32→4 (measured 6.3s → 3.2s at sf0.1) is now the
+    // derived default — RangeJoinSpec holds auto within 2× of it; the
+    // floor is the ~14.5M genuine matches feeding the distinct-count.
     "q_range_join" -> ((s, dir) => {
       val pts = t(s, dir, "orders")
         .select(col("o_orderkey"),
@@ -580,7 +581,7 @@ object RelationalQueries {
           unix_date(to_date(col("l_shipdate"))).as("lo"),
           (unix_date(to_date(col("l_shipdate"))) +
             col("l_quantity").cast("long")).as("hi"))
-      graft.ops.RangeJoin.rangeJoin(pts, ivs, "p", "lo", "hi", 4L)
+      graft.ops.RangeJoin.rangeJoinAuto(pts, ivs, "p", "lo", "hi")
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("pairs"),
           countDistinct(col("o_orderkey")).as("n_orders"))

@@ -58,6 +58,33 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(key(got).nonEmpty)
   }
 
+  test("auto width lands at the span scale; candidates within 2x of hand-tuned") {
+    val (pts, ivs) = pointsAndIntervals()
+    val auto = RangeJoin.autoBucketWidth(ivs, "lo", "hi")
+    // spans here are 1..5 days; the median must land in that range (the
+    // r4 hand-tuning landed on 4 after measuring 32 vs 4 at 2×)
+    assert(auto >= 1L && auto <= 5L, s"auto width $auto outside the span scale")
+    // the cost the width controls: equi-join candidate pairs BEFORE the
+    // residual BETWEEN — auto must be within 2× of the hand-tuned width
+    def candidates(w: Long): Long = {
+      val pb = pts.withColumn("__bucket", floor(col("p") / w).cast("long"))
+      val ib = ivs.filter(col("lo") <= col("hi"))
+        .withColumn("__bucket", explode(sequence(
+          floor(col("lo") / w).cast("long"), floor(col("hi") / w).cast("long"))))
+      pb.join(ib, Seq("__bucket")).count()
+    }
+    val cAuto = candidates(auto)
+    val cHand = candidates(4L)
+    assert(cAuto <= 2L * cHand,
+      s"auto width $auto produced $cAuto candidates vs hand-tuned $cHand")
+    // and the result is width-invariant
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("o_orderkey", "l_orderkey", "l_linenumber")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(key(RangeJoin.rangeJoinAuto(pts, ivs, "p", "lo", "hi")) ==
+      key(RangeJoin.rangeJoin(pts, ivs, "p", "lo", "hi", 4L)))
+  }
+
   test("interval spanning multiple buckets still matches every inner point") {
     import spark.implicits._
     val pts = Seq((1L, 5L), (2L, 64L), (3L, 99L), (4L, 100L)).toDF("pid", "p")

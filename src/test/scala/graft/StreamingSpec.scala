@@ -109,6 +109,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.size == 2)
   }
 
+  test("late watermark-crossing replay: versioned silver converges to the batch election") {
+    // A source partition is re-ingested AFTER the dedup guard's state for
+    // its content keys has been evicted (the watermark crossed key-time +
+    // delay): the replayed rows pass the guard, and the doc_id-keyed
+    // MERGE is the second line of defense — re-upserting identical rows —
+    // so the versioned table still converges to exactly the batch
+    // election over the full (original + replayed) source.
+    import graft.sources.VersionedTable
+    val src = Files.createTempDirectory("graft_late_src").toString
+    val ckpt = Files.createTempDirectory("graft_late_ckpt").toString
+    val root = Files.createTempDirectory("graft_late_tbl").toString
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    def at(sec: Int) = new java.sql.Timestamp(t0.getTime + sec * 1000L)
+    val keepA = "alpha beta gamma delta epsilon zeta"
+    val keepB = "red orange yellow green blue indigo"
+    def drain(): Unit = {
+      val in = spark.readStream
+        .schema("doc_id long, ts timestamp, text string, lang string").parquet(src)
+      val q = graft.streaming.EventsStream.textSilverSink(in, root, ckpt, "1 hour")
+      q.processAllAvailable(); q.stop()
+    }
+    // batch 1: two keeps + one quality drop
+    Seq((1L, at(0), keepA, "en"), (2L, at(5), "tiny doc", "en"),
+      (5L, at(10), keepB, "en"))
+      .toDF("doc_id", "ts", "text", "lang").write.mode("append").parquet(src)
+    drain()
+    // batch 2: a fresh doc 4h later — after this batch the watermark
+    // (max event time − 1h) is PAST batch 1's key expiry (ts + 1h), so
+    // the guard's state for keepA/keepB is evicted
+    Seq((7L, at(4 * 3600), "one two three four five six", "en"))
+      .toDF("doc_id", "ts", "text", "lang").write.mode("append").parquet(src)
+    drain()
+    // batch 3: the late replay of docs 1 and 5 (same content, new ts,
+    // above the current watermark) — the guard no longer remembers them
+    Seq((1L, at(5 * 3600), keepA, "en"), (5L, at(5 * 3600 + 5), keepB, "en"))
+      .toDF("doc_id", "ts", "text", "lang").write.mode("append").parquet(src)
+    drain()
+    val streamed = VersionedTable.readLatest(spark, root)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_tokens"))
+      .as[(Long, String, String, Long)].collect().toSet
+    // batch twin: the corpus-global election over everything ingested
+    val batch = graft.queries.LlmQueries.docDecisions(
+      spark.read.parquet(src).select("doc_id", "text", "lang"))
+      .filter(col("in_silver"))
+      .select(col("doc_id"), col("text"), col("lang"), col("n_tokens"))
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    assert(streamed.map(_._1) == Set(1L, 5L, 7L))
+    // the replay really did reach the table (merge ran), it just
+    // converged: one version per non-empty micro-batch
+    assert(VersionedTable.versions(root).size == 3)
+  }
+
   test("streaming upsert sink merges each micro-batch into a new table version") {
     import org.apache.spark.sql.types._
     import graft.sources.VersionedTable
