@@ -278,7 +278,7 @@ object LlmQueries {
     * shipping segment text through an exchange is what doesn't survive
     * 100 TB. */
   private def segmentTable(s: SparkSession, dir: String, segW: Int): DataFrame =
-    t(s, dir, "documents")
+    spreadSmallInput(t(s, dir, "documents"))
       .select(col("doc_id"), tokens(col("text")).as("tk"))
       .select(col("doc_id"), col("tk"),
         explode(sequence(lit(0L),
@@ -359,7 +359,9 @@ object LlmQueries {
   def dupSpanDropList(s: SparkSession, dir: String, L: Int): DataFrame = {
     require(L > 0, s"window width must be positive, got $L")
     import org.apache.spark.sql.expressions.Window
-    val wins = t(s, dir, "documents")
+    // the per-window md5 is the dominant cost and embarrassingly
+    // parallel — spread a single-file local input over all slots first
+    val wins = spreadSmallInput(t(s, dir, "documents"))
       .select(col("doc_id"),
         posexplode(TextOps.shingles(tokens(col("text")), L)))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),

