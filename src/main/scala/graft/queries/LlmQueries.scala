@@ -737,6 +737,31 @@ object LlmQueries {
       graft.llm.ClusterOps.assignClusters(t(s, dir, "documents"), minhashPairs(s, dir))
         .orderBy(col("doc_id"))),
 
+    // Quality-aware cluster election (the RefinedWeb/FineWeb keep rule):
+    // keep each near-dup cluster's highest-QUALITY member, not its
+    // lowest id — duplicates differ by truncation/boilerplate, and a
+    // dedup that keeps the worst copy loses tokens. Quality here is the
+    // integer token count (engine-exact; any integer score plugs in),
+    // tie-broken by lowest doc_id: max(struct(quality, -doc_id)) per
+    // cluster — one narrow aggregate + join over (cluster_id, quality)
+    // keys on top of the exchange-free CC labels; text never shuffles.
+    "q_dedup_keep_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = docs.select(col("doc_id"),
+        size_(tokens(col("text"))).cast("long").as("quality"))
+      val labeled = graft.llm.ClusterOps
+        .assignClusters(docs, minhashPairs(s, dir))
+        .select(col("doc_id"), col("cluster_id"))
+        .join(scored, Seq("doc_id"))
+      val best = labeled.groupBy(col("cluster_id"))
+        .agg(max(struct(col("quality"), (-col("doc_id")).as("nd"))).as("w"))
+        .select(col("cluster_id"), (-col("w.nd")).as("keep_doc"))
+      labeled.join(best, Seq("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"), col("quality"),
+          (col("doc_id") === col("keep_doc")).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Winnowing fingerprints (MOSS): window-minima over the 3-gram hash
     // sequence, w=4 — shared fingerprints localize copied passages (vs
     // MinHash's whole-doc resemblance). hs is checkpointed first so the w
@@ -1179,6 +1204,21 @@ object LlmQueries {
         .select(col("doc_id"), col("status"), col("in_silver"))
         .orderBy(col("doc_id"))),
 
+    // The corpus-quality mart over the SAME election, as a verified
+    // registry query (TextMedallion's gold mart is spec-only — this is
+    // its oracle-checked registry shape): per (source, lang, status)
+    // doc and token inventory — what a curation dashboard reads to see
+    // WHERE the corpus is losing documents. One hash aggregation over
+    // the election output; token counts stay integers.
+    "q_corpus_mart" -> ((s, dir) =>
+      docDecisions(t(s, dir, "documents"))
+        .groupBy(col("source"), col("lang"), col("status"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          min(col("n_tokens")).as("min_tokens"),
+          max(col("n_tokens")).as("max_tokens"))
+        .orderBy(col("source"), col("lang"), col("status"))),
+
     // Unigram-LM quality proxy: per-doc mean corpus frequency of its
     // tokens and the share of rare tokens (corpus count < 100) — the
     // cheap stand-in for perplexity filtering when no LM is at hand
@@ -1523,6 +1563,24 @@ object LlmQueries {
          |SELECT doc_id, status, status = 'silver' AS in_silver
          |FROM st ORDER BY doc_id""".stripMargin,
 
+    "q_corpus_mart" ->
+      s"""WITH $REASON_CTES,
+         |w AS (SELECT md5(text) AS k, min(doc_id) AS keep
+         |  FROM documents GROUP BY 1),
+         |st AS (
+         |  SELECT d.source, d.lang, CAST(len($W) AS BIGINT) AS n_tokens,
+         |    CASE WHEN d.doc_id <> w.keep THEN 'dup'
+         |      WHEN r.reason <> 'keep' THEN r.reason
+         |      ELSE 'silver' END AS status
+         |  FROM documents d
+         |    JOIN w ON md5(d.text) = w.k
+         |    JOIN r ON r.doc_id = d.doc_id)
+         |SELECT source, lang, status, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+         |  CAST(max(n_tokens) AS BIGINT) AS max_tokens
+         |FROM st GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
     "q_doc_fingerprint" ->
       s"""SELECT doc_id, md5(text) AS exact_key,
          |  md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS bag_fp,
@@ -1602,6 +1660,34 @@ object LlmQueries {
          |  coalesce(least(c.min_reach, d.doc_id), d.doc_id) = d.doc_id AS is_rep
          |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    // same transitive-closure labels, then the highest-quality member
+    // (token count, ties to lowest doc_id) per cluster is kept
+    "q_dedup_keep_best" ->
+      s"""${SIG_CTE.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_id, md5(concat_ws('|', sig0, sig1, sig2, sig3)) AS bkey FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS band_id, md5(concat_ws('|', sig4, sig5, sig6, sig7)) AS bkey FROM sig),
+         |edges AS (
+         |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |und AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+         |reach(src, dst) AS (
+         |  SELECT a, b FROM und
+         |  UNION
+         |  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a),
+         |comp AS (SELECT src AS doc_id, min(dst) AS min_reach FROM reach GROUP BY src),
+         |labeled AS (SELECT d.doc_id,
+         |    coalesce(least(c.min_reach, d.doc_id), d.doc_id) AS cluster_id,
+         |    CAST(len($W) AS BIGINT) AS quality
+         |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+         |r AS (SELECT doc_id, cluster_id, quality, row_number() OVER (
+         |    PARTITION BY cluster_id ORDER BY quality DESC, doc_id) AS rn
+         |  FROM labeled)
+         |SELECT doc_id, cluster_id, quality, rn = 1 AS keep
+         |FROM r ORDER BY doc_id""".stripMargin,
 
     "q_ann_sq8" ->
       """WITH sc AS (

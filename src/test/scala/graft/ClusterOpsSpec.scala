@@ -71,6 +71,23 @@ class ClusterOpsSpec extends AnyFunSuite {
     assert(a.nonEmpty && a == b)
   }
 
+  test("keep-best election: one keep per cluster, maximal quality, lowest-id tiebreak") {
+    val rows = graft.queries.LlmQueries
+      .queries("q_dedup_keep_best")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    val byCluster = rows.groupBy(_._2)
+    assert(byCluster.exists(_._2.length > 1), "need at least one real cluster")
+    byCluster.foreach { case (c, members) =>
+      val keeps = members.filter(_._4)
+      assert(keeps.length == 1, s"cluster $c must keep exactly one doc")
+      val best = members.minBy(m => (-m._3, m._1)) // max quality, then min id
+      assert(keeps.head._1 == best._1,
+        s"cluster $c kept ${keeps.head._1}, expected ${best._1}")
+    }
+  }
+
   test("min-label round join reuses the persisted edge partitioning: no exchange") {
     // One propagation round, exactly as connectedComponents builds it:
     // edges hash-partitioned on src and persisted, labels arriving

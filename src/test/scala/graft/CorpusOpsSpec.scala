@@ -170,19 +170,24 @@ class CorpusOpsSpec extends AnyFunSuite {
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val df = graft.queries.LlmQueries
-        .segmentDropList(spark, "/root/testdata/sf0.001", 10)
-      val textish = Set("seg", "text", "tk", "kept_text")
-      val exchanges = df.queryExecution.executedPlan.collect {
-        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-          if e.outputPartitioning
-            .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
-      }
-      assert(exchanges.nonEmpty, "winner election must regroup on seg_key")
-      exchanges.foreach { e =>
-        val carried = e.output.map(_.name).filter(textish)
-        assert(carried.isEmpty,
-          s"hash exchange ships text column(s) $carried:\n${e.treeString}")
+      val dfs = Seq(
+        "grid" -> graft.queries.LlmQueries
+          .segmentDropList(spark, "/root/testdata/sf0.001", 10),
+        "sliding" -> graft.queries.LlmQueries
+          .dupSpanDropList(spark, "/root/testdata/sf0.001", 10))
+      val textish = Set("seg", "text", "tk", "kept_text", "col")
+      for ((name, df) <- dfs) {
+        val exchanges = df.queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.outputPartitioning
+              .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+        }
+        assert(exchanges.nonEmpty, s"$name: winner election must regroup on the key")
+        exchanges.foreach { e =>
+          val carried = e.output.map(_.name).filter(textish)
+          assert(carried.isEmpty,
+            s"$name: hash exchange ships text column(s) $carried:\n${e.treeString}")
+        }
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
