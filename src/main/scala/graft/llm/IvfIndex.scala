@@ -19,11 +19,9 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
-  /** Assign every vector to its nearest centroid (broadcast centroids —
-    * one corpus scan, no shuffle except the per-vector top-1 window) and
-    * write the inverted lists partitioned by cent_id.
-    * Centroid schema: (cent_id, cvec). */
-  def build(embeddings: DataFrame, centroids: DataFrame, path: String): Unit = {
+  /** Nearest-centroid assignment (broadcast centroids — one corpus scan,
+    * no shuffle except the per-vector top-1 window). */
+  private def assign(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
     val spark = embeddings.sparkSession
     graft.functions.NativeFunctions.register(spark)
     val cos = graft.functions.NativeFunctions.cosineSim _
@@ -33,8 +31,25 @@ object IvfIndex {
         Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cent_id"))))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("cent_id"))
-      .write.mode("overwrite").partitionBy("cent_id").parquet(path)
   }
+
+  /** Assign every vector to its nearest centroid and write the inverted
+    * lists partitioned by cent_id. Centroid schema: (cent_id, cvec). */
+  def build(embeddings: DataFrame, centroids: DataFrame, path: String): Unit =
+    assign(embeddings, centroids)
+      .write.mode("overwrite").partitionBy("cent_id").parquet(path)
+
+  /** Incremental index maintenance: assign a NEW batch against the SAME
+    * centroids and append into the partitioned layout — files land
+    * inside their cent_id= directories, so probes (and their static
+    * partition pruning) see them with no rebuild and no rewrite of
+    * existing lists. Centroids stay fixed, the FAISS ingestion
+    * convention: appends only assign; re-training is an offline
+    * [[build]] when drift or list skew warrants it. The streaming twin
+    * is foreachBatch over this call. */
+  def append(newVectors: DataFrame, centroids: DataFrame, path: String): Unit =
+    assign(newVectors, centroids)
+      .write.mode("append").partitionBy("cent_id").parquet(path)
 
   /** Rank centroids against the query, then scan ONLY the nprobe best
     * partitions of the persisted index and score their vectors. Returns

@@ -356,23 +356,25 @@ object LlmQueries {
     * pos)) kept corpus-wide. Shuffle shape: election moves (md5, doc_id,
     * pos) — never window text; the span merge regroups loser positions
     * only, partitioned by doc_id. */
-  def dupSpanDropList(s: SparkSession, dir: String, L: Int): DataFrame = {
-    require(L > 0, s"window width must be positive, got $L")
-    import org.apache.spark.sql.expressions.Window
-    // the per-window md5 is the dominant cost and embarrassingly
-    // parallel — spread a single-file local input over all slots first
-    val wins = spreadSmallInput(t(s, dir, "documents"))
+  /** (doc_id, pos, wkey): every sliding `L`-token window of `docs`,
+    * md5-keyed. The per-window md5 is the dominant cost and
+    * embarrassingly parallel — a single-file local input is spread over
+    * all slots first. */
+  private def windowKeys(docs: DataFrame, L: Int): DataFrame =
+    spreadSmallInput(docs)
       .select(col("doc_id"),
         posexplode(TextOps.shingles(tokens(col("text")), L)))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         md5(col("col")).as("wkey"))
-    val winners = wins.groupBy(col("wkey"))
-      .agg(min(struct(col("doc_id"), col("pos"))).as("win"))
-    val losers = wins.join(winners, Seq("wkey"))
-      .filter(struct(col("doc_id"), col("pos")) =!= col("win"))
-      .select(col("doc_id"), col("pos"))
+
+  /** Merge flagged window start positions into maximal [start, end)
+    * token spans per document (touching windows coalesce) — one
+    * doc_id-partitioned gaps-and-islands window over the (small) flagged
+    * set; output (doc_id, span_start, span_end, n_windows). */
+  private def mergeSpans(flagged: DataFrame, L: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    losers
+    flagged
       .withColumn("prev_end", max(col("pos") + L)
         .over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("new_span",
@@ -385,6 +387,37 @@ object LlmQueries {
         count(lit(1)).as("n_windows"))
       .select(col("doc_id"), col("span_start"), col("span_end"),
         col("n_windows"))
+  }
+
+  def dupSpanDropList(s: SparkSession, dir: String, L: Int): DataFrame = {
+    require(L > 0, s"window width must be positive, got $L")
+    val wins = windowKeys(t(s, dir, "documents"), L)
+    val winners = wins.groupBy(col("wkey"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("win"))
+    val losers = wins.join(winners, Seq("wkey"))
+      .filter(struct(col("doc_id"), col("pos")) =!= col("win"))
+      .select(col("doc_id"), col("pos"))
+    mergeSpans(losers, L)
+  }
+
+  /** SPAN-LEVEL eval-set decontamination: where [[queries]]'
+    * q_decontaminate flags whole documents by n-gram overlap rate, this
+    * reports the exact [start, end) token spans that match the held-out
+    * benchmark (every 50th doc, the fixture role) — the artifact for
+    * SURGICAL removal, which keeps the rest of a long document instead
+    * of dropping it (the PaLM/C4 contamination treatment). Benchmark
+    * window keys are tiny next to the corpus and BROADCAST into a
+    * left-semi join — the corpus never shuffles for the membership
+    * test; only matched positions regroup for the span merge. */
+  def decontaminateSpans(s: SparkSession, dir: String, L: Int): DataFrame = {
+    require(L > 0, s"window width must be positive, got $L")
+    val docs = t(s, dir, "documents")
+    val bench = windowKeys(docs.filter(col("doc_id") % 50 === 0), L)
+      .select(col("wkey")).distinct()
+    val hits = windowKeys(docs.filter(col("doc_id") % 50 =!= 0), L)
+      .join(broadcast(bench), Seq("wkey"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    mergeSpans(hits, L)
   }
 
   /** Per-document pipeline decision — exact-dup election first, then the
@@ -1129,6 +1162,12 @@ object LlmQueries {
     "q_dedup_spans" -> ((s, dir) =>
       dupSpanDropList(s, dir, 10).orderBy(col("doc_id"), col("span_start"))),
 
+    // Span-level decontamination: the exact benchmark-matching token
+    // spans (5-token windows) for surgical removal — see
+    // [[decontaminateSpans]]; q_decontaminate stays the doc-level rate.
+    "q_decontaminate_spans" -> ((s, dir) =>
+      decontaminateSpans(s, dir, 5).orderBy(col("doc_id"), col("span_start"))),
+
     // --- retrieval & quality scoring ---------------------------------------
     // Inverted index construction (the search side of the corpus): term →
     // document frequency, collection frequency, head of the sorted
@@ -1379,6 +1418,28 @@ object LlmQueries {
          |    PARTITION BY md5(seg) ORDER BY doc_id, seg_id) AS rn FROM s2)
          |SELECT doc_id, seg_id FROM r WHERE rn > 1
          |ORDER BY doc_id, seg_id""".stripMargin,
+
+    "q_decontaminate_spans" ->
+      s"""WITH d AS (SELECT doc_id, $W AS tk FROM documents),
+         |w AS (SELECT doc_id, unnest(range(0, len(tk) - 5 + 1)) AS pos, tk
+         |  FROM d WHERE len(tk) >= 5),
+         |k AS (SELECT doc_id, pos,
+         |  md5(array_to_string(list_slice(tk, pos + 1, pos + 5), ' ')) AS wkey
+         |  FROM w),
+         |b AS (SELECT DISTINCT wkey FROM k WHERE doc_id % 50 = 0),
+         |l AS (SELECT doc_id, pos FROM k JOIN b USING (wkey)
+         |  WHERE doc_id % 50 <> 0),
+         |m AS (SELECT doc_id, pos, max(pos + 5) OVER (PARTITION BY doc_id
+         |    ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |    AS prev_end FROM l),
+         |i AS (SELECT doc_id, pos, sum(CASE WHEN prev_end IS NULL
+         |      OR pos > prev_end THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY doc_id ORDER BY pos) AS span FROM m)
+         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+         |  CAST(max(pos) + 5 AS BIGINT) AS span_end,
+         |  CAST(count(*) AS BIGINT) AS n_windows
+         |FROM i GROUP BY doc_id, span
+         |ORDER BY doc_id, span_start""".stripMargin,
 
     "q_dedup_spans" ->
       s"""WITH d AS (SELECT doc_id, $W AS tk FROM documents),

@@ -152,6 +152,23 @@ object EventsStream {
       .start()
   }
 
+  /** Streaming ANN ingestion: each micro-batch of (vec_id, embedding)
+    * rows is assigned against the FIXED coarse quantizer and appended
+    * into the partitioned IVF layout ([[graft.llm.IvfIndex.append]]) —
+    * new files land inside their cent_id= directories, so probes (and
+    * their static partition pruning) see each batch as soon as it
+    * commits, with no rebuild. Centroids stay fixed across batches (the
+    * FAISS ingestion convention); re-training is an offline rebuild. */
+  def ivfAppendSink(vectors: DataFrame, centroids: DataFrame, path: String,
+                    checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val applyBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit = (batch, _) =>
+      if (!batch.isEmpty) graft.llm.IvfIndex.append(batch.toDF(), centroids, path)
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(applyBatch)
+      .start()
+  }
+
   /** Stream-stream inner join with event-time range: pair each 'purchase'
     * with 'click' events by the same user within the preceding hour. Both
     * sides carry watermarks so join state is evicted once the time range

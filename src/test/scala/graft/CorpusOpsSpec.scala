@@ -148,6 +148,19 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(spans.toSeq == Seq((2L, 5L, 20L, 6L)))
   }
 
+  test("span decontamination reports the exact benchmark-matching extent") {
+    // doc 0 plays the benchmark (doc_id % 50 == 0); doc 1 embeds 7 of
+    // its tokens (b5..b11) at offset 4 — the 5-token windows starting at
+    // positions 4, 5, 6 match, merging to the span [4, 11).
+    val b = (1 to 20).map(i => s"b$i")
+    val doc1 = (Seq("x1", "x2", "x3", "x4") ++ b.slice(4, 11) ++
+      Seq("y1", "y2", "y3", "y4")).mkString(" ")
+    val dir = tmpDocs(0L -> b.mkString(" "), 1L -> doc1)
+    val spans = graft.queries.LlmQueries.queries("q_decontaminate_spans")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.toSeq == Seq((1L, 4L, 11L, 3L)))
+  }
+
   test("span dedup: in-document repetition keeps only the first occurrence") {
     // one doc repeating a 10-token block three times back-to-back: the
     // 2nd and 3rd copies (and every straddling window between them) are

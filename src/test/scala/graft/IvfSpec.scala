@@ -132,6 +132,29 @@ class IvfSpec extends AnyFunSuite {
     assert(got.map(_.getLong(1)).distinct.length <= 6, "results come from ≤ nprobe lists")
   }
 
+  test("incremental append: probes see new vectors, index equals a full rebuild") {
+    graft.functions.NativeFunctions.register(spark)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    val incr = java.nio.file.Files.createTempDirectory("graft_ivf_incr").toString
+    val full = java.nio.file.Files.createTempDirectory("graft_ivf_full").toString
+    // day 1: even vectors; day 2: the odd batch appends in place
+    IvfIndex.build(e.filter(col("vec_id") % 2 === 0), cents, incr)
+    val before = IvfIndex.probe(spark, incr, cents, e.filter(col("vec_id") === 0L), 3)
+      .count()
+    IvfIndex.append(e.filter(col("vec_id") % 2 =!= 0), cents, incr)
+    IvfIndex.build(e, cents, full)
+    def probed(path: String) =
+      IvfIndex.probe(spark, path, cents, e.filter(col("vec_id") === 0L), 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val a = probed(incr); val b = probed(full)
+    assert(a == b, "appended index must probe identically to a full rebuild")
+    assert(a.size > before, "the probe must see the appended vectors")
+    // append touched no existing list files, only added new ones
+    assert(spark.read.parquet(incr).count() == e.count())
+  }
+
   test("config-driven ANN geometry: non-default knobs produce a valid probed top-k") {
     val cfg = graft.util.PipelineConfig.parse(Seq(
       "ann:", "  ivf_centroids: 8", "  ivf_nprobe: 3", "  lloyd_rounds: 1"))

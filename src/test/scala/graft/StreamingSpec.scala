@@ -189,6 +189,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(VersionedTable.readVersion(spark, root, 1L).count() == 2) // time travel intact
   }
 
+  test("streaming IVF ingestion: appended batches probe like a batch-built index") {
+    import graft.llm.IvfIndex
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    val src = Files.createTempDirectory("graft_ivfstream_src").toString
+    val ckpt = Files.createTempDirectory("graft_ivfstream_ckpt").toString
+    val idx = Files.createTempDirectory("graft_ivfstream_idx").toString + "/ivf"
+    def drain(): Unit = {
+      val in = spark.readStream.schema(e.schema).parquet(src)
+      val q = EventsStream.ivfAppendSink(in, cents, idx, ckpt)
+      q.processAllAvailable(); q.stop()
+    }
+    // two ingestion waves land as two micro-batch appends
+    e.filter(col("vec_id") % 2 === 0).write.mode("append").parquet(src)
+    drain()
+    e.filter(col("vec_id") % 2 =!= 0).write.mode("append").parquet(src)
+    drain()
+    val full = Files.createTempDirectory("graft_ivfstream_full").toString
+    IvfIndex.build(e, cents, full)
+    def probed(path: String) =
+      IvfIndex.probe(spark, path, cents, e.filter(col("vec_id") === 0L), 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(probed(idx) == probed(full))
+    assert(spark.read.parquet(idx).count() == e.count())
+  }
+
   test("stream-stream time-range join == equivalent batch join") {
     val stream = EventsStream.readEventStream(spark, eventsDir)
     val q = EventsStream.purchaseAttribution(stream)
