@@ -1278,6 +1278,38 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Bigram-LM fit scoring — the perplexity-proxy one step up from
+    // q_unigram_quality: how well each document's bigrams fit the
+    // corpus-wide bigram LM (q_bigram_lm's table). Emitted as INTEGER
+    // sums (Σ c(w1,w2), Σ c(w1·)) with ONE final division — a float
+    // mean of per-bigram ratios would be summation-order-dependent and
+    // never hash-match. Plan shape: the bigram vocabulary grows toward
+    // O(corpus tokens) — too big for the broadcast the unigram path
+    // uses — so doc bigrams SHUFFLE-join the count tables on the gram
+    // hash key (narrow rows: ids + counts, never document text); the
+    // head table derives from the bigram table without a second corpus
+    // pass.
+    "q_lm_fit" -> ((s, dir) => {
+      val occ = spreadSmallInput(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          explode(shingles(tokens(col("text")), 2)).as("gram"))
+        .withColumn("gkey", md5(col("gram")))
+        .withColumn("w1", substring_index(col("gram"), " ", 1))
+      val lm = occ.groupBy(col("gkey"), col("w1"))
+        .agg(count(lit(1)).as("c2"))
+      val heads = lm.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+      occ.select(col("doc_id"), col("gkey"), col("w1"))
+        .join(lm.select(col("gkey"), col("c2")), Seq("gkey"))
+        .join(heads, Seq("w1"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_bigrams"),
+          sum(col("c2")).cast("long").as("sum_bigram_count"),
+          sum(col("c1")).cast("long").as("sum_head_count"))
+        .withColumn("lm_fit",
+          rnd(col("sum_bigram_count") / col("sum_head_count").cast("double"), 6))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- multimodal plumbing -----------------------------------------------
     "q_multimodal_meta" -> ((s, dir) =>
       MultimodalOps.asMediaTable(t(s, dir, "documents"))
@@ -1596,6 +1628,21 @@ object LlmQueries {
          |SELECT w1, w2, c12, c1, rnk,
          |  floor(c12 / CAST(c1 AS DOUBLE) * 1e4 + 0.5) / 1e4 AS p
          |FROM r WHERE rnk <= 20 ORDER BY w1, rnk""".stripMargin,
+
+    "q_lm_fit" ->
+      s"""WITH tk AS (SELECT doc_id, $W AS w FROM documents),
+         |o AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 2 THEN list_transform(
+         |    generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])
+         |  ELSE [] END) AS gram FROM tk),
+         |lm AS (SELECT gram, string_split(gram, ' ')[1] AS w1,
+         |    CAST(count(*) AS BIGINT) AS c2 FROM o GROUP BY 1, 2),
+         |heads AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM lm GROUP BY 1)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(c2) AS BIGINT) AS sum_bigram_count,
+         |  CAST(sum(c1) AS BIGINT) AS sum_head_count,
+         |  floor(sum(c2) / CAST(sum(c1) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS lm_fit
+         |FROM o JOIN lm USING (gram) JOIN heads USING (w1)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_fuzzy_pairs" ->
       """WITH d AS (SELECT doc_id, substr(text, 1, 80) AS head FROM documents),

@@ -522,6 +522,30 @@ object RelationalQueries {
         .orderBy(col("grp"))
     }),
 
+    // Skew DIAGNOSIS — the report you run before reaching for the
+    // salting/AQE tools above: per-key row counts (the same 70%-hot
+    // synthetic key as q_salted_join) reduced to the decision numbers —
+    // hot-key share, p50/p99 key size, max/median skew ratio. Two hash
+    // aggregations, the second over key-count rows only; the hot key
+    // skews the FIRST aggregate's reducers, which map-side partial
+    // aggregation absorbs (each mapper emits one row per key).
+    "q_skew_report" -> ((s, dir) => {
+      val counts = t(s, dir, "lineitem")
+        .withColumn("skew_key",
+          when(col("l_orderkey") % 10 < 7, lit(0L))
+            .otherwise(pmod(col("l_orderkey"), lit(97L))))
+        .groupBy(col("skew_key")).agg(count(lit(1)).as("n"))
+      counts.agg(
+        count(lit(1)).cast("long").as("n_keys"),
+        sum(col("n")).cast("long").as("total_rows"),
+        max(col("n")).cast("long").as("max_rows"),
+        expr("percentile(n, 0.5)").as("p50_rows"),
+        expr("percentile(n, 0.99)").as("p99_rows"))
+        .withColumn("hot_share",
+          rnd(col("max_rows") / col("total_rows").cast("double"), 4))
+        .withColumn("skew_ratio", rnd(col("max_rows") / col("p50_rows"), 2))
+    }),
+
     // Iterative graph analytics: weighted PageRank (damping 0.85, 5
     // fixed iterations) over the supplier-nation → customer-nation trade
     // graph, via graft.ops.PageRank — the bucketed-rank shape where
@@ -1089,6 +1113,20 @@ object RelationalQueries {
          |FROM r5 JOIN nation ON node = n_nationkey
          |ORDER BY r5.rank DESC, nation""".stripMargin
     },
+
+    "q_skew_report" ->
+      """WITH f AS (SELECT CASE WHEN l_orderkey % 10 < 7 THEN 0
+        |    ELSE l_orderkey % 97 END AS skew_key FROM lineitem),
+        |c AS (SELECT skew_key, CAST(count(*) AS BIGINT) AS n
+        |  FROM f GROUP BY skew_key)
+        |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(n) AS BIGINT) AS total_rows,
+        |  CAST(max(n) AS BIGINT) AS max_rows,
+        |  quantile_cont(n, 0.5) AS p50_rows,
+        |  quantile_cont(n, 0.99) AS p99_rows,
+        |  floor(max(n) / CAST(sum(n) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS hot_share,
+        |  floor(max(n) / quantile_cont(n, 0.5) * 1e2 + 0.5) / 1e2 AS skew_ratio
+        |FROM c""".stripMargin,
 
     "q_salted_join" ->
       """WITH dim AS (SELECT skew_key,
