@@ -770,6 +770,27 @@ object LlmQueries {
       graft.llm.ClusterOps.assignClusters(t(s, dir, "documents"), minhashPairs(s, dir))
         .orderBy(col("doc_id"))),
 
+    // Cross-source duplication matrix: which sources share near-dup
+    // content — the curation view that catches mirror sites and
+    // re-crawled feeds (a pair of sources with heavy overlap should be
+    // deduped against each other FIRST, or one dropped). Near-dup pairs
+    // come from the verified minhash-LSH generator; the per-doc source
+    // table is dimension-small and broadcasts onto both endpoints, so
+    // the only shuffle is the final (source_a, source_b) rollup.
+    "q_source_overlap" -> ((s, dir) => {
+      val src = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      minhashPairs(s, dir)
+        .join(broadcast(src.select(col("doc_id").as("doc_a"), col("source").as("sa"))),
+          Seq("doc_a"))
+        .join(broadcast(src.select(col("doc_id").as("doc_b"), col("source").as("sb"))),
+          Seq("doc_b"))
+        .select(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
     // Quality-aware cluster election (the RefinedWeb/FineWeb keep rule):
     // keep each near-dup cluster's highest-QUALITY member, not its
     // lowest id — duplicates differ by truncation/boilerplate, and a
@@ -1278,6 +1299,32 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-label embedding centroids — the class-prototype table
+    // (nearest-centroid classifiers, few-shot seed selection, per-class
+    // drift monitoring). One explode → hash aggregate keyed (label,
+    // dim): k·dims output rows, trivially small at any corpus size.
+    // Exactness across engines: floats snap to a 2⁻²⁰ fixed-point grid
+    // BEFORE summing (integer-valued doubles — exact and
+    // order-insensitive in both engines; a raw float/double sum would
+    // depend on partition order, and DuckDB's float→DECIMAL cast goes
+    // through the shortest string — NOTES.md), then ONE division per
+    // (label, dim) for the mean. Long rows (label, dim, mean), not an
+    // array column, so the oracle compares scalars.
+    "q_label_centroids" -> ((s, dir) => {
+      val fp = t(s, dir, "embeddings")
+        .select(col("label").cast("long").as("label"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("label"), col("dim").cast("long").as("dim"),
+          floor(col("v").cast("double") * 1048576.0 + 0.5).cast("long").as("vfp"))
+      fp.groupBy(col("label"), col("dim"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("vfp")).as("sum_fp"))
+        .withColumn("mean_v",
+          rnd(col("sum_fp").cast("double") /
+            (col("n_vecs").cast("double") * 1048576.0), 6))
+        .select(col("label"), col("dim"), col("n_vecs"), col("mean_v"))
+        .orderBy(col("label"), col("dim"))
+    }),
+
     // Bigram-LM fit scoring — the perplexity-proxy one step up from
     // q_unigram_quality: how well each document's bigrams fit the
     // corpus-wide bigram LM (q_bigram_lm's table). Emitted as INTEGER
@@ -1629,6 +1676,18 @@ object LlmQueries {
          |  floor(c12 / CAST(c1 AS DOUBLE) * 1e4 + 0.5) / 1e4 AS p
          |FROM r WHERE rnk <= 20 ORDER BY w1, rnk""".stripMargin,
 
+    "q_label_centroids" ->
+      """WITH fp AS (
+        |  SELECT CAST(label AS BIGINT) AS label, d.dim - 1 AS dim,
+        |    CAST(floor(CAST(embedding[d.dim] AS DOUBLE) * 1048576.0 + 0.5)
+        |      AS BIGINT) AS vfp
+        |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS dim) d)
+        |SELECT label, CAST(dim AS BIGINT) AS dim,
+        |  CAST(count(*) AS BIGINT) AS n_vecs,
+        |  floor(sum(vfp) / (CAST(count(*) AS DOUBLE) * 1048576.0) * 1e6 + 0.5) / 1e6
+        |    AS mean_v
+        |FROM fp GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+
     "q_lm_fit" ->
       s"""WITH tk AS (SELECT doc_id, $W AS w FROM documents),
          |o AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 2 THEN list_transform(
@@ -1768,6 +1827,25 @@ object LlmQueries {
          |  coalesce(least(c.min_reach, d.doc_id), d.doc_id) = d.doc_id AS is_rep
          |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    // same banded edges, endpoints joined to their sources
+    "q_source_overlap" ->
+      s"""$SIG_CTE,
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_id, md5(concat_ws('|', sig0, sig1, sig2, sig3)) AS bkey FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS band_id, md5(concat_ws('|', sig4, sig5, sig6, sig7)) AS bkey FROM sig),
+         |edges AS (
+         |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+         |SELECT least(da.source, db.source) AS source_a,
+         |  greatest(da.source, db.source) AS source_b,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM edges
+         |  JOIN documents da ON da.doc_id = a
+         |  JOIN documents db ON db.doc_id = b
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // same transitive-closure labels, then the highest-quality member
     // (token count, ties to lowest doc_id) per cluster is kept
