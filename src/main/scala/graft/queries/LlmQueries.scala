@@ -370,8 +370,9 @@ object LlmQueries {
   /** Merge flagged window start positions into maximal [start, end)
     * token spans per document (touching windows coalesce) — one
     * doc_id-partitioned gaps-and-islands window over the (small) flagged
-    * set; output (doc_id, span_start, span_end, n_windows). */
-  private def mergeSpans(flagged: DataFrame, L: Int): DataFrame = {
+    * set; output (doc_id, span_start, span_end, n_windows).
+    * private[graft]: property-tested directly (CorpusOpsSpec). */
+  private[graft] def mergeSpans(flagged: DataFrame, L: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     flagged

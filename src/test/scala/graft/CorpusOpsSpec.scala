@@ -205,6 +205,43 @@ class CorpusOpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("span merge invariants on random flagged-position sets") {
+    // mergeSpans feeds both q_dedup_spans and q_decontaminate_spans; pin
+    // its algebra on random inputs: spans are disjoint with real gaps
+    // (> L between starts of adjacent islands), every flagged window is
+    // covered by exactly one span, window counts sum, and each span's
+    // boundaries are its member extremes.
+    val L = 5
+    val rng = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val flagged = (1 to 3).flatMap { doc =>
+        val n = 1 + rng.nextInt(12)
+        Seq.fill(n)(rng.nextInt(60).toLong).distinct.map(p => (doc.toLong, p))
+      }
+      val out = graft.queries.LlmQueries
+        .mergeSpans(flagged.toDF("doc_id", "pos"), L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(out.map(_._4).sum == flagged.length, s"trial $trial: window counts must sum")
+      flagged.groupBy(_._1).foreach { case (doc, ps) =>
+        val spans = out.filter(_._1 == doc).sortBy(_._2)
+        // disjoint with genuine gaps: next span starts past this end
+        spans.sliding(2).foreach {
+          case Array(a, b) => assert(b._2 > a._3, s"trial $trial doc $doc: spans touch")
+          case _ => ()
+        }
+        ps.map(_._2).foreach { p =>
+          val covering = spans.filter(s => p >= s._2 && p + L <= s._3)
+          assert(covering.length == 1, s"trial $trial doc $doc pos $p coverage")
+        }
+        spans.foreach { s =>
+          val members = ps.map(_._2).filter(p => p >= s._2 && p < s._3)
+          assert(members.min == s._2 && members.max + L == s._3,
+            s"trial $trial doc $doc: span boundaries not member extremes")
+        }
+      }
+    }
+  }
+
   test("salted join: salt never changes the result, join key carries the salt") {
     val dir = "/root/testdata/sf0.001"
     val salted = graft.queries.RelationalQueries.queries("q_salted_join")(spark, dir)

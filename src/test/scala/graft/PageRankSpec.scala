@@ -52,6 +52,42 @@ class PageRankSpec extends AnyFunSuite {
     }.mkString("\n")
   }
 
+  test("random graphs match a serial integer reference exactly") {
+    // The distributed loop vs a 20-line serial re-derivation of the
+    // same integer recurrence: exact long arithmetic on both sides, so
+    // equality is bit-exact — any divergence in join/agg plumbing
+    // (dropped edges, double-counted inflow, wrong damping order)
+    // surfaces as inequality, on graphs with dangling nodes, cycles,
+    // multi-edges collapsed to weights, and isolated pairs.
+    def serial(edges: Seq[(Long, Long, Long)], iters: Int): Map[Long, Long] = {
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+      val wout = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+      var rank = nodes.map(_ -> PageRank.Micro).toMap
+      for (_ <- 1 to iters) {
+        val inflow = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+        for ((s, d, w) <- edges)
+          inflow(d) += Math.floorDiv(rank(s) * w, wout(s))
+        rank = nodes.map(n => n -> (150000L + Math.floorDiv(85L * inflow(n), 100L))).toMap
+      }
+      rank
+    }
+    val rng = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 8 + trial * 4
+      val edges = (1 to n * 2).map { _ =>
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong, 1L + rng.nextInt(3).toLong)
+      }.filter(e => e._1 != e._2)
+        // collapse parallel edges into summed weights (the registry
+        // query's groupBy(src, dst) does the same upstream)
+        .groupBy(e => (e._1, e._2))
+        .map { case ((s, d), es) => (s, d, es.map(_._3).sum) }.toSeq
+      val df = edges.toDF("src", "dst", "w")
+      val got = PageRank.run(df, iterations = 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == serial(edges, 4), s"trial $trial diverged from the serial reference")
+    }
+  }
+
   test("round plan: edge side exchange-free, rank vector never broadcast") {
     // The properties that distinguish this shape from the broadcast-rank
     // variant, with the default (permissive) autoBroadcastJoinThreshold
