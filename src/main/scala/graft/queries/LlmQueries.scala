@@ -775,15 +775,18 @@ object LlmQueries {
     // content — the curation view that catches mirror sites and
     // re-crawled feeds (a pair of sources with heavy overlap should be
     // deduped against each other FIRST, or one dropped). Near-dup pairs
-    // come from the verified minhash-LSH generator; the per-doc source
-    // table is dimension-small and broadcasts onto both endpoints, so
-    // the only shuffle is the final (source_a, source_b) rollup.
+    // come from the verified minhash-LSH generator; the (doc_id,
+    // source) lookup is PER-DOC — corpus-sized, NOT a broadcastable
+    // dimension at 10⁹ docs — so the endpoint joins stay unhinted:
+    // narrow (id, source) rows equi-join on doc ids (the planner
+    // broadcasts at test scale by size, degrades to shuffled joins at
+    // corpus scale), and the final rollup keys on (source_a, source_b).
     "q_source_overlap" -> ((s, dir) => {
       val src = t(s, dir, "documents").select(col("doc_id"), col("source"))
       minhashPairs(s, dir)
-        .join(broadcast(src.select(col("doc_id").as("doc_a"), col("source").as("sa"))),
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
           Seq("doc_a"))
-        .join(broadcast(src.select(col("doc_id").as("doc_b"), col("source").as("sb"))),
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
           Seq("doc_b"))
         .select(least(col("sa"), col("sb")).as("source_a"),
           greatest(col("sa"), col("sb")).as("source_b"))
