@@ -1346,8 +1346,12 @@ object LlmQueries {
           explode(shingles(tokens(col("text")), 2)).as("gram"))
         .withColumn("gkey", md5(col("gram")))
         .withColumn("w1", substring_index(col("gram"), " ", 1))
+      // the LM table is VOCABULARY-sized (bounded, not corpus-sized) —
+      // persisting it keeps the head rollup and the probe join reading
+      // one materialization instead of re-exploding the corpus per use
       val lm = occ.groupBy(col("gkey"), col("w1"))
         .agg(count(lit(1)).as("c2"))
+        .persist()
       val heads = lm.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
       occ.select(col("doc_id"), col("gkey"), col("w1"))
         .join(lm.select(col("gkey"), col("c2")), Seq("gkey"))
