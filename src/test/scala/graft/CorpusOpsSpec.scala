@@ -187,7 +187,9 @@ class CorpusOpsSpec extends AnyFunSuite {
         "grid" -> graft.queries.LlmQueries
           .segmentDropList(spark, "/root/testdata/sf0.001", 10),
         "sliding" -> graft.queries.LlmQueries
-          .dupSpanDropList(spark, "/root/testdata/sf0.001", 10))
+          .dupSpanDropList(spark, "/root/testdata/sf0.001", 10),
+        "decontaminate" -> graft.queries.LlmQueries
+          .decontaminateSpans(spark, "/root/testdata/sf0.001", 5))
       val textish = Set("seg", "text", "tk", "kept_text", "col")
       for ((name, df) <- dfs) {
         val exchanges = df.queryExecution.executedPlan.collect {
@@ -203,6 +205,34 @@ class CorpusOpsSpec extends AnyFunSuite {
         }
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("lm-fit plan: cached LM table, corpus exploded exactly twice") {
+    // The shape claim (PLANS.md q_lm_fit): the vocabulary-sized count
+    // table is persisted, so the head rollup and the probe join read
+    // one InMemoryRelation — two corpus explodes total (probe + LM
+    // build), not one per consumer.
+    val df = graft.queries.LlmQueries
+      .queries("q_lm_fit")(spark, "/root/testdata/sf0.001")
+    try {
+      // drop the cache-build subtrees (the one-time LM materialization
+      // legitimately scans the corpus once; it must not count per-use)
+      def depth(l: String): Int = {
+        val i = l.indexOf("+-"); val j = l.indexOf(":-")
+        if (i < 0) j else if (j < 0) i else math.min(i, j)
+      }
+      var skipBelow = -1
+      val live = df.queryExecution.executedPlan.toString.linesIterator.filter { l =>
+        val d = depth(l)
+        if (skipBelow >= 0 && (d > skipBelow || d < 0)) false
+        else if (l.contains("InMemoryRelation")) { skipBelow = d; false }
+        else { skipBelow = -1; true }
+      }.mkString("\n")
+      val scans = "Scan parquet".r.findAllIn(live).length
+      assert(scans == 1, s"expected 1 live corpus scan (the probe side), got $scans:\n$live")
+      assert("InMemoryTableScan".r.findAllIn(live).length == 2,
+        s"LM table must be read from cache by both consumers:\n$live")
+    } finally spark.catalog.clearCache()
   }
 
   test("span merge invariants on random flagged-position sets") {
