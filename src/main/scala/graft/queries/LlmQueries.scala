@@ -771,6 +771,44 @@ object LlmQueries {
       graft.llm.ClusterOps.assignClusters(t(s, dir, "documents"), minhashPairs(s, dir))
         .orderBy(col("doc_id"))),
 
+    // Corpus MIXING to target source proportions — the domain-weighting
+    // step of training-data assembly (Pile/DoReMi-style): given integer
+    // weights per source (here a deterministic 1..3 derived from the
+    // source id; production plugs config), keep the maximum corpus
+    // consistent with the target ratios — the scarcest source relative
+    // to its weight keeps 100%, every other source downsamples by a
+    // deterministic md5 bucket (stable across runs, engines, cluster
+    // sizes — the property a reproducible data recipe needs; rand()
+    // has none of them). Integer arithmetic throughout: targets and
+    // thresholds are exact divisions of counts. Per-source stats are
+    // dimension-small (distinct sources) and broadcast; the corpus is
+    // touched by one count pass and one filtered count pass.
+    "q_corpus_mix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      val avail = docs.groupBy(col("source")).agg(count(lit(1)).as("n_avail"))
+        .withColumn("w",
+          (expr("CAST(substring(source, 4, 10) AS INT)") % 3 + 1).cast("long"))
+      // the limiting source pins the global scale S = min(n_i / w_i):
+      // everything is integer after this one ordering
+      val lim = avail
+        .orderBy((col("n_avail").cast("double") / col("w").cast("double")).asc,
+          col("source"))
+        .limit(1)
+        .select(col("n_avail").as("n_lim"), col("w").as("w_lim"))
+      val targets = avail.crossJoin(broadcast(lim))
+        .withColumn("n_target", expr("(w * n_lim) div w_lim"))
+        .withColumn("thresh", expr("(1000 * n_target) div n_avail"))
+      val kept = docs
+        .join(broadcast(targets.select(col("source"), col("thresh"))), Seq("source"))
+        .filter(hashBucket1000(col("doc_id")) < col("thresh"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+      targets.select(col("source"), col("n_avail"), col("w"), col("n_target"))
+        .join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_avail"), col("w"), col("n_target"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy(col("source"))
+    }),
+
     // Cross-source duplication matrix: which sources share near-dup
     // content — the curation view that catches mirror sites and
     // re-crawled feeds (a pair of sources with heavy overlap should be
@@ -1835,6 +1873,25 @@ object LlmQueries {
          |  coalesce(least(c.min_reach, d.doc_id), d.doc_id) = d.doc_id AS is_rep
          |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    "q_corpus_mix" ->
+      """WITH a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_avail,
+        |    CAST(CAST(substr(source, 4) AS INT) % 3 + 1 AS BIGINT) AS w
+        |  FROM documents GROUP BY source),
+        |lim AS (SELECT n_avail AS n_lim, w AS w_lim FROM a
+        |  ORDER BY CAST(n_avail AS DOUBLE) / w, source LIMIT 1),
+        |t AS (SELECT source, n_avail, w,
+        |    (w * n_lim) // w_lim AS n_target,
+        |    (1000 * ((w * n_lim) // w_lim)) // n_avail AS thresh
+        |  FROM a CROSS JOIN lim),
+        |k AS (SELECT source, CAST(count(*) AS BIGINT) AS n_kept
+        |  FROM documents d JOIN t USING (source)
+        |  WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 1000
+        |    < thresh
+        |  GROUP BY source)
+        |SELECT source, n_avail, w, n_target,
+        |  coalesce(n_kept, CAST(0 AS BIGINT)) AS n_kept
+        |FROM t LEFT JOIN k USING (source) ORDER BY source""".stripMargin,
 
     // same banded edges, endpoints joined to their sources
     "q_source_overlap" ->
