@@ -1,0 +1,442 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables.t
+import graft.ops.RelationalOps.rnd
+import graft.llm.TextOps.{tokens, shingles}
+import graft.llm.SimilarityOps
+import graft.queries.LlmQueries.{W, spreadSmallInput}
+
+/** Round-5 curation/analytics wave: dataset profiling, graph triangle
+  * counting, BPE tokenizer training, DSIR-style importance reweighting,
+  * and a blocked kNN self-join. Like the other registries, every query
+  * here has a same-column-named DuckDB oracle; the operators extend the
+  * training-data-pipeline scope (builder prompt) beyond the reference's
+  * own surface (reference: dheerajunni/instacart-medallion-lakehouse has
+  * no tokenizer/selection/graph stage — this is extension scope).
+  */
+object CurationQueries {
+
+  /** Deterministic [0, m) bucket from a string key — the md5 pattern of
+    * [[graft.llm.TextOps.hashBucket1000]] with a caller-chosen modulus
+    * (feature hashing needs a power-of-two bucket count, not 1000). */
+  private def hashMod(key: Column, m: Int): Column =
+    conv(substring(md5(key), 1, 8), 16, 10).cast("long") % m
+
+  // ---------------------------------------------------------------------
+  // BPE tokenizer training
+  // ---------------------------------------------------------------------
+
+  /** One greedy left-to-right merge pass of pair (a, b) over a
+    * space-joined symbol string, as a fold: acc ends with symbol `a` and
+    * the next symbol is `b` → replace the trailing `a` with `ab`.
+    * Left-to-right greediness resolves overlaps exactly like reference
+    * BPE implementations ("aaa" with merge (a,a) → [aa, a]) — and, unlike
+    * a string replace() of " a b ", handles back-to-back occurrences
+    * ("abab" → [ab, ab]; replace() misses the second because the shared
+    * separator space is consumed by the first match).
+    *
+    * Cross-engine: DuckDB's list_reduce seeds the accumulator with the
+    * first element; `aggregate(slice(syms, 2, …), element_at(syms, 1), f)`
+    * matches that seeding exactly, and the CASE/substr body is the same
+    * text in both engines (bpeOracleSql). Only literals are captured by
+    * the lambda (hard-won perf rule: no expensive captured expressions —
+    * they re-evaluate per element). */
+  private[graft] def mergeFold(syms: Column, a: String, b: String): Column = {
+    val la = a.length
+    val endsWithA = (acc: Column) =>
+      acc === lit(a) ||
+        (length(acc) > la &&
+          substr(acc, length(acc) - la, lit(la + 1)) === lit(" " + a))
+    aggregate(
+      slice(syms, lit(2), size(syms) - 1),
+      element_at(syms, 1),
+      (acc, x) =>
+        when(x === lit(b) && endsWithA(acc),
+          when(acc === lit(a), lit(a + b))
+            .otherwise(concat(
+              substr(acc, lit(1), length(acc) - lit(la + 1)),
+              lit(" " + a + b))))
+          .otherwise(concat(acc, lit(" "), x)))
+  }
+
+  /** Byte-pair-encoding merge learning, the Sennrich et al. 2016 loop,
+    * Spark-shaped: the corpus is tokenized ONCE into a word-frequency
+    * vocabulary (Heaps' law: ~millions of rows at 100 TB — a small table),
+    * and every merge round runs over the vocabulary only, never the
+    * corpus. Each round is (1) a pair-count aggregation weighted by word
+    * frequency, (2) a 1-row argmax collect (the same O(1) driver-side
+    * step MLlib takes per k-means|| round — see KMeans.scala), (3) a
+    * codegen'd fold applying the merge to each word's symbol string.
+    * localCheckpoint() after each round severs the lineage so the plan
+    * stays flat across rounds (hard-won perf rule #2: projection
+    * collapsing would otherwise clone the fold into every consumer).
+    *
+    * The result — the ordered merge table — IS the trained tokenizer
+    * artifact; k rows, driver-materialized like any trained model. */
+  private[graft] def bpeTrain(s: SparkSession, dir: String, k: Int): DataFrame = {
+    var vocab = spreadSmallInput(t(s, dir, "documents"))
+      .select(explode(tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"), expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))").as("syms"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    for (step <- 1 to k) {
+      val top = vocab.filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(syms) - 1)," +
+            " i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1)))")).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("weight"))
+        .orderBy(col("weight").desc, col("pair"))
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val pair = top(0).getString(0)
+        val Array(a, b) = pair.split(" ", 2)
+        merges += ((step.toLong, a, b, a + b, top(0).getLong(1)))
+        vocab = vocab
+          .withColumn("syms", split(mergeFold(col("syms"), a, b), " "))
+          .localCheckpoint()
+      }
+    }
+    import s.implicits._
+    merges.toSeq.toDF("step", "left_sym", "right_sym", "merged", "weight")
+  }
+
+  /** Triangle/wedge statistics of an undirected graph given as raw
+    * (possibly directed, possibly duplicated) node pairs. Normalizes to
+    * canonical undirected edges, then orients each edge from the
+    * (degree, id)-smaller endpoint to the larger before the wedge join —
+    * the Schank-Wagner orientation that bounds total wedge-join output by
+    * O(m^1.5) instead of Σ deg² (fatal on power-law hubs), and counts
+    * each triangle exactly once (the closing edge exists in exactly one
+    * orientation, so no /3 or /2 correction). One row out. */
+  private[graft] def triangleStats(pairs: DataFrame): DataFrame = {
+    val und = pairs.toDF("x", "y")
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("node")).union(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val aLow = col("deg_a") < col("deg_b") ||
+      (col("deg_a") === col("deg_b") && col("a") < col("b"))
+    val e = und
+      .join(deg.select(col("node").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("deg_b")), "b")
+      .select(when(aLow, col("a")).otherwise(col("b")).as("u"),
+        when(aLow, col("b")).otherwise(col("a")).as("v"))
+    val tri = e.select(col("u"), col("v").as("v1"))
+      .join(e.select(col("u"), col("v").as("v2")), "u")
+      .filter(col("v1") =!= col("v2"))
+      .join(e.select(col("u").as("v1"), col("v").as("v2")), Seq("v1", "v2"))
+      .agg(count(lit(1)).as("n_triangles"))
+    und.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(deg.agg(count(lit(1)).as("n_nodes"),
+        expr("sum(deg * (deg - 1)) div 2").as("n_wedges")))
+      .crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        rnd(lit(3) * col("n_triangles") / col("n_wedges").cast("double"), 4)
+          .as("global_cc"))
+  }
+
+  /** The DuckDB replay of [[bpeTrain]]: k unrolled rounds, each a
+    * pair-count + argmax + list_reduce merge (same CASE/substr text as
+    * mergeFold). The merge pair reaches the lambda as captured columns of
+    * a CROSS JOIN with the 1-row argmax CTE. */
+  private def bpeOracleSql(k: Int): String = {
+    val rounds = (1 to k).map { i =>
+      val p = i - 1
+      s"""p$i AS (SELECT unnest(list_transform(generate_series(1, len(l) - 1),
+         |      i -> l[i] || ' ' || l[i + 1])) AS pair, freq
+         |  FROM (SELECT string_split(syms, ' ') AS l, freq FROM v$p)
+         |  WHERE len(l) >= 2),
+         |m$i AS (SELECT $i AS step, string_split(pair, ' ')[1] AS la,
+         |    string_split(pair, ' ')[2] AS lb, CAST(sum(freq) AS BIGINT) AS weight
+         |  FROM p$i GROUP BY pair ORDER BY weight DESC, pair LIMIT 1),
+         |v$i AS (SELECT freq, list_reduce(string_split(v$p.syms, ' '), (acc, x) ->
+         |    CASE WHEN x = m$i.lb AND (acc = m$i.la OR (len(acc) > len(m$i.la)
+         |        AND substr(acc, len(acc) - len(m$i.la), len(m$i.la) + 1) = ' ' || m$i.la))
+         |      THEN CASE WHEN acc = m$i.la THEN m$i.la || m$i.lb
+         |        ELSE substr(acc, 1, len(acc) - len(m$i.la) - 1) || ' ' || m$i.la || m$i.lb END
+         |      ELSE acc || ' ' || x END) AS syms
+         |  FROM v$p CROSS JOIN m$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v0 AS (SELECT CAST(count(*) AS BIGINT) AS freq,
+       |    array_to_string(list_transform(generate_series(1, len(word)),
+       |      i -> substr(word, i, 1)), ' ') AS syms
+       |  FROM (SELECT unnest($W) AS word FROM documents)
+       |  WHERE word <> '' GROUP BY word),
+       |$rounds
+       |SELECT CAST(step AS BIGINT) AS step, la AS left_sym, lb AS right_sym,
+       |  la || lb AS merged, weight
+       |FROM (${(1 to k).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")})
+       |ORDER BY step""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // Registry
+  // ---------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Dataset profiler — the pre-curation survey step (what null rates /
+    // cardinalities / ranges am I working with?). ONE corpus pass: a
+    // single aggregation computes count/nulls/exact-distinct/min/max for
+    // every column (Catalyst plans the multi-countDistinct via one Expand
+    // — input ×6, one shuffle — instead of 6 scans), then the 1-row
+    // result unpivots to a row per column. Representations are
+    // canonicalized so both engines render identically: integers/strings
+    // verbatim, doubles as fixed-point cents (Java's Double.toString and
+    // DuckDB's shortest-round-trip differ, e.g. at the 1e7 E-notation
+    // switch), timestamps as yyyy-MM-dd. At 100 TB swap countDistinct
+    // for approx_count_distinct (HLL++, no Expand) — the q_approx_agg
+    // trade documented there.
+    "q_profile" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val cents = floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+      val agg = o.agg(
+        count(lit(1)).as("n"),
+        count(col("o_orderkey")).as("nn1"), countDistinct(col("o_orderkey")).as("nd1"),
+        min(col("o_orderkey")).cast("string").as("mn1"),
+        max(col("o_orderkey")).cast("string").as("mx1"),
+        count(col("o_custkey")).as("nn2"), countDistinct(col("o_custkey")).as("nd2"),
+        min(col("o_custkey")).cast("string").as("mn2"),
+        max(col("o_custkey")).cast("string").as("mx2"),
+        count(col("o_orderstatus")).as("nn3"), countDistinct(col("o_orderstatus")).as("nd3"),
+        min(col("o_orderstatus")).as("mn3"), max(col("o_orderstatus")).as("mx3"),
+        count(col("o_totalprice")).as("nn4"), countDistinct(col("o_totalprice")).as("nd4"),
+        min(cents).cast("string").as("mn4"), max(cents).cast("string").as("mx4"),
+        count(col("o_orderdate")).as("nn5"), countDistinct(col("o_orderdate")).as("nd5"),
+        date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("mn5"),
+        date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("mx5"),
+        count(col("o_orderpriority")).as("nn6"), countDistinct(col("o_orderpriority")).as("nd6"),
+        min(col("o_orderpriority")).as("mn6"), max(col("o_orderpriority")).as("mx6"))
+      def p(name: String, i: Int) = struct(
+        lit(name).as("column_name"), col(s"nn$i").as("nn"), col(s"nd$i").as("nd"),
+        col(s"mn$i").as("mn"), col(s"mx$i").as("mx"))
+      agg.select(col("n"), explode(array(
+          p("o_orderkey", 1), p("o_custkey", 2), p("o_orderstatus", 3),
+          p("o_totalprice", 4), p("o_orderdate", 5), p("o_orderpriority", 6))).as("c"))
+        .select(col("c.column_name"), col("n").as("n_rows"),
+          (col("n") - col("c.nn")).as("n_nulls"), col("c.nd").as("n_distinct"),
+          col("c.mn").as("min_repr"), col("c.mx").as("max_repr"))
+        .orderBy(col("column_name"))
+    }),
+
+    // Triangle counting with degree orientation — the graph-analytics
+    // staple (cohesion metrics, spam/community detection on link graphs).
+    // Edges orient from the (degree, id)-smaller endpoint to the larger,
+    // so every wedge enumeration fans out from the LOW-degree apex: the
+    // wedge join cost drops from Σ deg² (quadratic in the max hub degree
+    // — fatal on power-law graphs) to O(m^1.5) total (Schank-Wagner /
+    // Suri-Vassilvitskii MR orientation bound), and each triangle is
+    // counted exactly once (its closing edge exists in exactly one
+    // orientation). Demo graph: the supplier→customer nation flow from
+    // q_pagerank, undirected. All counts exact integers; the clustering
+    // coefficient is the only float, rnd'd.
+    "q_triangles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val ord = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey").as("dst"))
+      val supp = t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey").as("src"))
+      triangleStats(li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .select(col("src"), col("dst")))
+    }),
+
+    // BPE pair statistics — round 0 of tokenizer training as a standalone
+    // verified kernel: adjacent-character-pair weights over the
+    // word-frequency vocabulary. The corpus contributes one tokenize +
+    // word count; pair explosion runs over DISTINCT words only (Heaps'
+    // law — the vocabulary is orders of magnitude smaller than the
+    // corpus), weighted by freq.
+    "q_bpe_pairs" -> ((s, dir) => {
+      val vocab = spreadSmallInput(t(s, dir, "documents"))
+        .select(explode(tokens(col("text"))).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      vocab.filter(length(col("word")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("weight"))
+        .select(substring(col("pair"), 1, 1).as("left_sym"),
+          substring(col("pair"), 2, 1).as("right_sym"), col("pair"), col("weight"))
+        .orderBy(col("weight").desc, col("pair")).limit(20)
+    }),
+
+    // Full BPE merge learning (6 rounds) — see bpeTrain.
+    "q_bpe_train" -> ((s, dir) => bpeTrain(s, dir, 6)),
+
+    // DSIR-style importance reweighting (Xie et al. 2023, log-free
+    // fixed-point variant): score every document by how much its hashed
+    // bigram features look like a TARGET domain (here: the English subset)
+    // relative to the raw corpus. Shape: corpus tokenizes ONCE down to a
+    // (doc, lang, bucket) count table (128 hashed-feature buckets);
+    // target and raw bucket distributions come from THAT table with one
+    // conditional aggregation (no second corpus pass); the per-bucket
+    // score vector s_b is 128 rows — broadcast back onto the count table
+    // (at 10^4 DSIR buckets: still broadcast; the corpus never shuffles
+    // for scoring). Fixed-point: s_b = ⌊c_t·2²⁴/tot_t⌋ − ⌊c_r·2²⁴/tot_r⌋
+    // (exact integer division in both engines; ln() differs in the last
+    // ulp across libm implementations and would break the hash match —
+    // the probability-difference score preserves the ranking semantics of
+    // the log-ratio for selection).
+    "q_dsir" -> ((s, dir) => {
+      val db = spreadSmallInput(t(s, dir, "documents"))
+        .select(col("doc_id"), col("lang"),
+          explode(shingles(tokens(col("text")), 2)).as("g"))
+        .withColumn("bucket", hashMod(col("g"), 128))
+        .groupBy(col("doc_id"), col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint() // tiny (docs × ≤128); read 3× below
+      val wt = db.groupBy(col("bucket")).agg(
+        sum(col("c")).as("c_raw"),
+        sum(when(col("lang") === "en", col("c")).otherwise(lit(0L))).as("c_tgt"))
+      val tot = wt.agg(sum(col("c_raw")).as("tot_raw"), sum(col("c_tgt")).as("tot_tgt"))
+      val sb = wt.crossJoin(broadcast(tot))
+        .select(col("bucket"), expr(
+          "(c_tgt * 16777216 div tot_tgt) - (c_raw * 16777216 div tot_raw)").as("s_b"))
+      db.join(broadcast(sb), "bucket")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sum(col("c") * col("s_b")).as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(25)
+        .select(col("doc_id"), col("lang"), col("score"))
+    }),
+
+    // Blocked kNN self-join — every vector's top-3 neighbors, the
+    // all-pairs companion of the single-query ANN surface (q_ann_*):
+    // dedup clustering seeds, semantic nearest-neighbor graphs,
+    // kNN-classification feature joins. SRP buckets (6 axis bits here)
+    // turn the quadratic all-pairs cosine into a bucket-equi-join
+    // (shuffle on bucket, per-bucket pair count ≈ n²/2^bits — the NOTES
+    // width-scaling rule: 32-bit buckets + multi-table OR at n = 10⁹),
+    // then one codegen'd cosine per candidate and a per-key top-k window
+    // over candidates only. Same recall/geometry trade as
+    // q_dedup_embedding_mt; exact within-bucket.
+    "q_knn_join" -> ((s, dir) => {
+      graft.functions.NativeFunctions.register(s)
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
+        SimilarityOps.srpBucket(col("embedding"), 6).as("bucket"))
+      val w = Window.partitionBy(col("vec_a")).orderBy(col("cos_sim").desc, col("vec_b"))
+      e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("bucket"))
+        .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
+          col("bucket")), Seq("bucket"))
+        .filter(col("vec_a") =!= col("vec_b"))
+        .withColumn("cos_sim",
+          graft.functions.NativeFunctions.cosineSim(col("emb_a"), col("emb_b")))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("vec_a"), col("vec_b"), col("rnk"), col("cos_sim"))
+        .orderBy(col("vec_a"), col("rnk"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+
+    "q_profile" -> {
+      def c(name: String, nn: String, nd: String, mn: String, mx: String) =
+        s"""SELECT '$name' AS column_name, CAST(count($nn) AS BIGINT) AS nn,
+           |  CAST(count(DISTINCT $nd) AS BIGINT) AS nd, $mn AS mn, $mx AS mx
+           |FROM orders""".stripMargin
+      val cols = Seq(
+        c("o_orderkey", "o_orderkey", "o_orderkey",
+          "CAST(min(o_orderkey) AS VARCHAR)", "CAST(max(o_orderkey) AS VARCHAR)"),
+        c("o_custkey", "o_custkey", "o_custkey",
+          "CAST(min(o_custkey) AS VARCHAR)", "CAST(max(o_custkey) AS VARCHAR)"),
+        c("o_orderstatus", "o_orderstatus", "o_orderstatus",
+          "min(o_orderstatus)", "max(o_orderstatus)"),
+        c("o_totalprice", "o_totalprice", "o_totalprice",
+          "CAST(CAST(min(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS VARCHAR)",
+          "CAST(CAST(max(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS VARCHAR)"),
+        c("o_orderdate", "o_orderdate", "o_orderdate",
+          "strftime(min(o_orderdate), '%Y-%m-%d')", "strftime(max(o_orderdate), '%Y-%m-%d')"),
+        c("o_orderpriority", "o_orderpriority", "o_orderpriority",
+          "min(o_orderpriority)", "max(o_orderpriority)"))
+      s"""WITH s AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders),
+         |u AS (${cols.mkString("\nUNION ALL\n")})
+         |SELECT column_name, n AS n_rows, n - nn AS n_nulls, nd AS n_distinct,
+         |  mn AS min_repr, mx AS max_repr
+         |FROM s CROSS JOIN u ORDER BY column_name""".stripMargin
+    },
+
+    "q_triangles" ->
+      """WITH und AS (
+        |  SELECT DISTINCT least(s_nationkey, c_nationkey) AS a,
+        |    greatest(s_nationkey, c_nationkey) AS b
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |    JOIN supplier ON l_suppkey = s_suppkey
+        |    JOIN customer ON o_custkey = c_custkey
+        |  WHERE s_nationkey <> c_nationkey),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        |    SELECT a AS node FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+        |e AS (SELECT
+        |    CASE WHEN (da.deg, u.a) < (db.deg, u.b) THEN u.a ELSE u.b END AS u,
+        |    CASE WHEN (da.deg, u.a) < (db.deg, u.b) THEN u.b ELSE u.a END AS v
+        |  FROM und u JOIN deg da ON u.a = da.node JOIN deg db ON u.b = db.node),
+        |tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        |  FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v <> e2.v
+        |    JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+        |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM und),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |    CAST(sum(deg * (deg - 1)) AS BIGINT) // 2 AS n_wedges FROM deg)
+        |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+        |  floor(3 * n_triangles / CAST(n_wedges AS DOUBLE) * 1e4 + 0.5) / 1e4 AS global_cc
+        |FROM cnt CROSS JOIN nd CROSS JOIN tri""".stripMargin,
+
+    "q_bpe_pairs" ->
+      s"""WITH v AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest($W) AS word FROM documents)
+         |  WHERE word <> '' GROUP BY 1),
+         |p AS (SELECT unnest(list_transform(generate_series(1, len(word) - 1),
+         |    i -> substr(word, i, 2))) AS pair, freq
+         |  FROM v WHERE len(word) >= 2),
+         |a AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS weight FROM p GROUP BY 1)
+         |SELECT substr(pair, 1, 1) AS left_sym, substr(pair, 2, 1) AS right_sym,
+         |  pair, weight
+         |FROM a ORDER BY weight DESC, pair LIMIT 20""".stripMargin,
+
+    "q_bpe_train" -> bpeOracleSql(6),
+
+    "q_dsir" ->
+      s"""WITH tk AS (SELECT doc_id, lang, unnest(CASE WHEN len(w) >= 2
+         |    THEN list_transform(generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i + 1])
+         |    ELSE [] END) AS g
+         |  FROM (SELECT doc_id, lang, $W AS w FROM documents)),
+         |f AS (SELECT doc_id, lang,
+         |    ('0x' || substr(md5(g), 1, 8))::BIGINT % 128 AS bucket,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM tk GROUP BY 1, 2, 3),
+         |wt AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS c_raw,
+         |    CAST(sum(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS BIGINT) AS c_tgt
+         |  FROM f GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c_raw) AS BIGINT) AS tot_raw,
+         |    CAST(sum(c_tgt) AS BIGINT) AS tot_tgt FROM wt),
+         |sb AS (SELECT bucket,
+         |    (c_tgt * 16777216 // tot_tgt) - (c_raw * 16777216 // tot_raw) AS s_b
+         |  FROM wt CROSS JOIN tot),
+         |sc AS (SELECT doc_id, lang, CAST(sum(c * s_b) AS BIGINT) AS score
+         |  FROM f JOIN sb USING (bucket) GROUP BY 1, 2)
+         |SELECT doc_id, lang, score FROM sc
+         |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
+
+    "q_knn_join" -> {
+      val srp6 = (1 to 6).map(k =>
+        s"(CASE WHEN embedding[$k] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+      s"""WITH e AS (SELECT vec_id, embedding, $srp6 AS bucket FROM embeddings),
+         |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+         |      (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+         |       sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cos_sim
+         |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         |r AS (SELECT vec_a, vec_b, cos_sim, CAST(row_number() OVER (
+         |    PARTITION BY vec_a ORDER BY cos_sim DESC, vec_b) AS BIGINT) AS rnk
+         |  FROM p)
+         |SELECT vec_a, vec_b, rnk, cos_sim FROM r WHERE rnk <= 3
+         |ORDER BY vec_a, rnk""".stripMargin
+    })
+}

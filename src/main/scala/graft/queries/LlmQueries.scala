@@ -623,7 +623,7 @@ object LlmQueries {
     * fewer splits than the cluster has slots, redistribute first — the
     * shuffled payload (docs) is tiny next to the md5 work it unlocks. At
     * scale, inputs have thousands of natural splits and this is a no-op. */
-  private def spreadSmallInput(df: DataFrame): DataFrame = {
+  private[graft] def spreadSmallInput(df: DataFrame): DataFrame = {
     val slots = df.sparkSession.sparkContext.defaultParallelism
     // inputFiles reads the relation's file index (no RDD physical-planning
     // pass, unlike df.rdd.getNumPartitions). Undercounts splits when one
@@ -1411,7 +1411,7 @@ object LlmQueries {
           md5(col("media")).as("payload_md5"))
         .orderBy(col("id"))))
 
-  private val W = raw"regexp_split_to_array(lower(trim(text)), '\s+')"
+  private[graft] val W = raw"regexp_split_to_array(lower(trim(text)), '\s+')"
 
   /** Shared doc-filter CTE chain (q → sc → r): quality features, lang
     * scores and the first-failing-rule reason per document. Used by the
