@@ -76,7 +76,16 @@ object CurationQueries {
     *
     * The result — the ordered merge table — IS the trained tokenizer
     * artifact; k rows, driver-materialized like any trained model. */
-  private[graft] def bpeTrain(s: SparkSession, dir: String, k: Int): DataFrame = {
+  private[graft] def bpeTrain(s: SparkSession, dir: String, k: Int): DataFrame =
+    bpeTrainState(s, dir, k)._1
+
+  /** [[bpeTrain]] plus the post-training vocabulary state (freq, syms):
+    * each distinct word segmented into the learned pieces — the trained
+    * tokenizer APPLIED. Encoding a corpus is a broadcast join of this
+    * table onto the token stream (vocabulary ≪ corpus by Heaps' law); the
+    * piece statistics queries read it directly. */
+  private[graft] def bpeTrainState(
+      s: SparkSession, dir: String, k: Int): (DataFrame, DataFrame) = {
     var vocab = spreadSmallInput(t(s, dir, "documents"))
       .select(explode(tokens(col("text"))).as("word"))
       .filter(col("word") =!= "")
@@ -103,7 +112,7 @@ object CurationQueries {
       }
     }
     import s.implicits._
-    merges.toSeq.toDF("step", "left_sym", "right_sym", "merged", "weight")
+    (merges.toSeq.toDF("step", "left_sym", "right_sym", "merged", "weight"), vocab)
   }
 
   /** Triangle/wedge statistics of an undirected graph given as raw
@@ -146,7 +155,7 @@ object CurationQueries {
     * pair-count + argmax + list_reduce merge (same CASE/substr text as
     * mergeFold). The merge pair reaches the lambda as captured columns of
     * a CROSS JOIN with the 1-row argmax CTE. */
-  private def bpeOracleSql(k: Int): String = {
+  private def bpeRoundsSql(k: Int): String = {
     val rounds = (1 to k).map { i =>
       val p = i - 1
       s"""p$i AS (SELECT unnest(list_transform(generate_series(1, len(l) - 1),
@@ -169,12 +178,22 @@ object CurationQueries {
        |      i -> substr(word, i, 1)), ' ') AS syms
        |  FROM (SELECT unnest($W) AS word FROM documents)
        |  WHERE word <> '' GROUP BY word),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def bpeOracleSql(k: Int): String =
+    s"""${bpeRoundsSql(k)}
        |SELECT CAST(step AS BIGINT) AS step, la AS left_sym, lb AS right_sym,
        |  la || lb AS merged, weight
        |FROM (${(1 to k).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")})
        |ORDER BY step""".stripMargin
-  }
+
+  private def bpeEncodeOracleSql(k: Int): String =
+    s"""${bpeRoundsSql(k)}
+       |SELECT piece, CAST(len(piece) AS BIGINT) AS piece_len,
+       |  CAST(sum(freq) AS BIGINT) AS n_occurrences
+       |FROM (SELECT unnest(string_split(syms, ' ')) AS piece, freq FROM v$k)
+       |GROUP BY piece ORDER BY n_occurrences DESC, piece LIMIT 30""".stripMargin
 
   // ---------------------------------------------------------------------
   // Registry
@@ -272,6 +291,47 @@ object CurationQueries {
 
     // Full BPE merge learning (6 rounds) — see bpeTrain.
     "q_bpe_train" -> ((s, dir) => bpeTrain(s, dir, 6)),
+
+    // The trained tokenizer APPLIED: piece statistics of the corpus under
+    // the 6-merge BPE model — what vocabulary-size/compression dashboards
+    // read after a tokenizer train run. Pieces come from the post-train
+    // vocabulary state (word → learned segmentation, weighted by word
+    // frequency); encoding a full corpus is a broadcast join of that
+    // vocabulary onto the token stream — the corpus itself is never
+    // re-scanned here (Heaps' law: the vocab is the small table).
+    "q_bpe_encode" -> ((s, dir) => {
+      val vocab = bpeTrainState(s, dir, 6)._2
+      vocab.select(col("freq"), explode(col("syms")).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("freq")).as("n_occurrences"))
+        .select(col("piece"), length(col("piece")).cast("long").as("piece_len"),
+          col("n_occurrences"))
+        .orderBy(col("n_occurrences").desc, col("piece")).limit(30)
+    }),
+
+    // Per-source lexical diversity — the corpus-mix health check (is a
+    // source template spam with a tiny vocabulary, or genuinely diverse?).
+    // Type-token ratio + Gini impurity (1 − Σ pᵢ²) of the unigram
+    // distribution: Gini is the log-free diversity index — Σ c² stays an
+    // exact integer, so unlike Shannon entropy (whose ln() differs in the
+    // last ulp across libm implementations) it survives the cross-engine
+    // hash check. One shuffle to (source, token) counts — vocabulary-
+    // sized — then a per-source rollup.
+    "q_diversity" -> ((s, dir) => {
+      val tc = spreadSmallInput(t(s, dir, "documents"))
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+      tc.groupBy(col("source")).agg(
+          sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(col("c") * col("c")).as("sum_c2"))
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          rnd(col("n_types") / col("n_tokens").cast("double"), 4).as("ttr"),
+          rnd(lit(1.0) - col("sum_c2") /
+            (col("n_tokens").cast("double") * col("n_tokens").cast("double")), 6)
+            .as("gini"))
+        .orderBy(col("source"))
+    }),
 
     // DSIR-style importance reweighting (Xie et al. 2023, log-free
     // fixed-point variant): score every document by how much its hashed
@@ -401,6 +461,22 @@ object CurationQueries {
          |FROM a ORDER BY weight DESC, pair LIMIT 20""".stripMargin,
 
     "q_bpe_train" -> bpeOracleSql(6),
+
+    "q_bpe_encode" -> bpeEncodeOracleSql(6),
+
+    "q_diversity" ->
+      s"""WITH tc AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT source, unnest($W) AS tok FROM documents)
+         |  WHERE tok <> '' GROUP BY 1, 2),
+         |r AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    CAST(count(*) AS BIGINT) AS n_types,
+         |    CAST(sum(c * c) AS BIGINT) AS sum_c2
+         |  FROM tc GROUP BY 1)
+         |SELECT source, n_tokens, n_types,
+         |  floor(n_types / CAST(n_tokens AS DOUBLE) * 1e4 + 0.5) / 1e4 AS ttr,
+         |  floor((1.0 - sum_c2 / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)))
+         |    * 1e6 + 0.5) / 1e6 AS gini
+         |FROM r ORDER BY source""".stripMargin,
 
     "q_dsir" ->
       s"""WITH tk AS (SELECT doc_id, lang, unnest(CASE WHEN len(w) >= 2

@@ -113,6 +113,32 @@ class CurationSpec extends AnyFunSuite {
     assert(merges.count() == n) // no lazy parquet dependency in the result
   }
 
+  test("bpeTrainState segmentation is lossless: pieces rebuild each word") {
+    val corpus = Seq.fill(4)("banana") ++ Seq.fill(3)("bandana") ++ Seq.fill(2)("ban")
+    val dir = tmpDir()
+    tmpTable(dir, "documents", Seq((1L, corpus.mkString(" "))).toDF("doc_id", "text"))
+    val (merges, vocab) = CurationQueries.bpeTrainState(spark, dir, 5)
+    val words = vocab.select(concat_ws("", col("syms"))).collect().map(_.getString(0)).toSet
+    assert(words == Set("banana", "bandana", "ban"))
+    // merged pieces longer than 1 char exist after 5 rounds
+    val pieces = vocab.select(explode(col("syms"))).collect().map(_.getString(0)).toSet
+    assert(pieces.exists(_.length > 1))
+    assert(merges.count() == 5)
+  }
+
+  test("q_diversity: uniform vs template-spam sources") {
+    val dir = tmpDir()
+    tmpTable(dir, "documents", Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" "), "uniform"),
+      (2L, Seq.fill(10)("spam").mkString(" "), "spam"))
+      .toDF("doc_id", "text", "source"))
+    val got = CurationQueries.queries("q_diversity")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(got("uniform") == ((10L, 10L, 1.0, 0.9))) // gini = 1 - 10/100
+    assert(got("spam") == ((10L, 1L, 0.1, 0.0)))
+  }
+
   // ----- triangles --------------------------------------------------------
 
   test("triangleStats: K4 + pendant, star, path") {
