@@ -369,6 +369,46 @@ object CurationQueries {
         .select(col("doc_id"), col("lang"), col("score"))
     }),
 
+    // SemDeDup (Abbas et al. 2023): semantic deduplication via k-means
+    // clustering — the embedding-space answer to "these documents say the
+    // same thing in different words", which no lexical dedup catches.
+    // Shape: train the quantizer (same 16-centroid / 2-Lloyd geometry as
+    // q_ann_ivf, so the oracle replays it with the shared CTE block);
+    // assign every vector to its cluster; pairwise cosine WITHIN clusters
+    // only (the paper's point: k-means blocks the quadratic all-pairs —
+    // per-cluster cost (n/k)², with k ~ √n at scale; production caps
+    // cluster size and persists the index like q_ann_ivf_persisted);
+    // connect pairs ≥ τ into duplicate groups (the exchange-free CC);
+    // keep each group's member with LOWEST similarity to its centroid —
+    // the paper keeps the least-redundant example, not an arbitrary one.
+    "q_semdedup" -> ((s, dir) => {
+      graft.functions.NativeFunctions.register(s)
+      val cos = graft.functions.NativeFunctions.cosineSim _
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val cents = graft.llm.KMeans.train(e, 16, 2)
+      val aw = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cent_id"))
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("cos_c", cos(col("embedding"), col("cvec")))
+        .withColumn("rn", row_number().over(aw)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cent_id"), col("cos_c"))
+        .localCheckpoint() // reused: both pair sides + the election
+      val pairs = assigned
+        .select(col("cent_id"), col("vec_id").as("doc_a"), col("embedding").as("ea"))
+        .join(assigned.select(col("cent_id"), col("vec_id").as("doc_b"),
+          col("embedding").as("eb")), Seq("cent_id"))
+        .filter(col("doc_a") < col("doc_b") && cos(col("ea"), col("eb")) >= 0.35)
+        .select(col("doc_a"), col("doc_b"))
+      val comp = graft.llm.ClusterOps.connectedComponents(pairs)
+      val kw = Window.partitionBy(col("grp")).orderBy(col("cos_c").asc, col("vec_id"))
+      assigned
+        .join(comp.select(col("doc_id").as("vec_id"), col("cluster_id").as("g")),
+          Seq("vec_id"), "left")
+        .withColumn("grp", coalesce(col("g"), col("vec_id")))
+        .withColumn("krn", row_number().over(kw))
+        .select(col("vec_id"), col("cent_id"), col("grp"), (col("krn") === 1).as("keep"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Blocked kNN self-join — every vector's top-3 neighbors, the
     // all-pairs companion of the single-query ANN surface (q_ann_*):
     // dedup clustering seeds, semantic nearest-neighbor graphs,
@@ -499,6 +539,30 @@ object CurationQueries {
          |  FROM f JOIN sb USING (bucket) GROUP BY 1, 2)
          |SELECT doc_id, lang, score FROM sc
          |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
+
+    "q_semdedup" -> {
+      import graft.queries.LlmQueries.{IvfCtes, cosOf}
+      s"""WITH RECURSIVE $IvfCtes,
+         |asg AS (SELECT vec_id, embedding, cent_id, cos_c FROM scored
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY cos_c DESC, cent_id) = 1),
+         |prs AS (SELECT a.vec_id AS da, b.vec_id AS db
+         |  FROM asg a JOIN asg b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+         |  WHERE ${cosOf("a.embedding", "b.embedding")} >= 0.35),
+         |und AS (SELECT da, db FROM prs UNION SELECT db, da FROM prs),
+         |reach(src, dst) AS (
+         |  SELECT da, db FROM und
+         |  UNION
+         |  SELECT r.src, u.db FROM reach r JOIN und u ON r.dst = u.da),
+         |cmp AS (SELECT src AS vec_id, min(dst) AS min_reach FROM reach GROUP BY src),
+         |lab AS (SELECT a.vec_id, a.cent_id, a.cos_c,
+         |    coalesce(least(c.min_reach, a.vec_id), a.vec_id) AS grp
+         |  FROM asg a LEFT JOIN cmp c USING (vec_id)),
+         |el AS (SELECT vec_id, cent_id, grp, row_number() OVER (
+         |    PARTITION BY grp ORDER BY cos_c ASC, vec_id) AS krn FROM lab)
+         |SELECT vec_id, cent_id, grp, krn = 1 AS keep
+         |FROM el ORDER BY vec_id""".stripMargin
+    },
 
     "q_knn_join" -> {
       val srp6 = (1 to 6).map(k =>

@@ -2207,7 +2207,7 @@ object LlmQueries {
         |FROM documents ORDER BY id""".stripMargin)
 
   /** cos(a, b) over arbitrary SQL vector expressions. */
-  private def cosOf(a: String, b: String): String =
+  private[graft] def cosOf(a: String, b: String): String =
     s"""list_dot_product($a::DOUBLE[], $b::DOUBLE[]) /
        |    (sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) *
        |     sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[])))""".stripMargin
@@ -2233,7 +2233,7 @@ object LlmQueries {
 
   /** The IVF CTE block (trained centroids → inverted lists → probes);
     * shared by the IVF oracle and the IVF-PQ composition. */
-  private lazy val IvfCtes =
+  private[graft] lazy val IvfCtes =
       s"""cents_init AS (
         |  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings WHERE vec_id < 16),
         |${lloydRoundSql(1, "cents_init")},

@@ -248,6 +248,22 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("q_semdedup: one keep per group, groups stay within clusters") {
+    val rows = CurationQueries.queries("q_semdedup")(spark, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.length == 500)
+    val byGrp = rows.groupBy(_._3)
+    // exactly one kept representative per duplicate group
+    byGrp.foreach { case (g, m) => assert(m.count(_._4) == 1, s"group $g") }
+    // a dropped vector implies a non-singleton group; members share a cluster
+    byGrp.filter(_._2.exists(!_._4)).foreach { case (g, m) =>
+      assert(m.length >= 2, s"group $g")
+      assert(m.map(_._2).toSet.size == 1, s"group $g spans centroids")
+    }
+    // the synthetic corpus does contain semantic near-dups at τ=0.35
+    assert(rows.count(!_._4) > 0)
+  }
+
   // ----- profiler ---------------------------------------------------------
 
   test("q_profile counts nulls/distincts and canonicalizes min/max") {
