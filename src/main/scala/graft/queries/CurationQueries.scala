@@ -115,6 +115,31 @@ object CurationQueries {
     (merges.toSeq.toDF("step", "left_sym", "right_sym", "merged", "weight"), vocab)
   }
 
+  /** The demo graph shared by the graph-analytics queries (same build as
+    * q_pagerank): supplier-nation → customer-nation flow, weighted by
+    * line-item count. Dims broadcast; one aggregation to the 25-node
+    * weighted edge list. */
+  private def nationFlow(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val ord = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey").as("dst"))
+    val supp = t(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey").as("src"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+  }
+
+  private val NATION_FLOW_SQL =
+    """SELECT s_nationkey AS src, c_nationkey AS dst,
+      |    CAST(count(*) AS BIGINT) AS w
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |    JOIN supplier ON l_suppkey = s_suppkey
+      |    JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2""".stripMargin
+
   /** Triangle/wedge statistics of an undirected graph given as raw
     * (possibly directed, possibly duplicated) node pairs. Normalizes to
     * canonical undirected edges, then orients each edge from the
@@ -256,17 +281,45 @@ object CurationQueries {
     // orientation). Demo graph: the supplier→customer nation flow from
     // q_pagerank, undirected. All counts exact integers; the clustering
     // coefficient is the only float, rnd'd.
-    "q_triangles" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-      val ord = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-      val cust = t(s, dir, "customer")
-        .select(col("c_custkey"), col("c_nationkey").as("dst"))
-      val supp = t(s, dir, "supplier")
-        .select(col("s_suppkey"), col("s_nationkey").as("src"))
-      triangleStats(li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-        .select(col("src"), col("dst")))
+    "q_triangles" -> ((s, dir) =>
+      triangleStats(nationFlow(s, dir).select(col("src"), col("dst")))),
+
+    // Community detection: synchronous weighted label propagation, 4
+    // deterministic rounds (smallest-label tie-break — classic LPA's
+    // random ties would never hash-match) in the bucketed PageRank shape:
+    // the symmetrized edge list partitions on src ONCE, each round moves
+    // only label-sized rows, and the weighted arg-max is a hash
+    // aggregation (max(struct(w, -label))), not a per-node window. The
+    // DuckDB oracle replays all 4 rounds unrolled.
+    "q_lpa" -> ((s, dir) =>
+      graft.ops.LabelProp.run(nationFlow(s, dir), 4)
+        .join(broadcast(t(s, dir, "nation")), col("node") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), col("label"))
+        .orderBy(col("nation"))),
+
+    // PII scrubbing — the redaction pass every published training corpus
+    // needs. The synthetic corpus carries no PII, so the contact line is
+    // CONSTRUCTED deterministically per customer (documented fixture);
+    // the operator under test is the scrub itself: multi-pattern
+    // regexp_replace chain + per-row audit counts, patterns restricted to
+    // the Java∩RE2-portable subset (no lookarounds, explicit classes —
+    // the q_regex ground rules) so both engines see identical matches.
+    // Pure map-side work: no shuffle, no UDF — codegen'd regexes.
+    "q_redact" -> ((s, dir) => {
+      val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phoneRe = "\\+[0-9][0-9-]{6,}[0-9]"
+      t(s, dir, "customer")
+        .select(col("c_custkey"), concat(lit("reach "), col("c_name"),
+          lit(" at user"), col("c_custkey"), lit("@mail.example.com or +1-555-000"),
+          col("c_custkey"), lit(" ok")).as("raw"))
+        .select(col("c_custkey"),
+          size(regexp_extract_all(col("raw"), lit(emailRe), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(col("raw"), lit(phoneRe), lit(0)))
+            .cast("long").as("n_phones"),
+          regexp_replace(regexp_replace(col("raw"), emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>").as("redacted"))
+        .orderBy(col("c_custkey"))
     }),
 
     // BPE pair statistics — round 0 of tokenizer training as a standalone
@@ -464,14 +517,49 @@ object CurationQueries {
          |FROM s CROSS JOIN u ORDER BY column_name""".stripMargin
     },
 
+    "q_lpa" -> {
+      val rounds = (1 to 4).map { i =>
+        val p = i - 1
+        s"""v$i AS (SELECT e.dst AS node, l.label AS nlabel,
+           |    CAST(sum(e.w) AS BIGINT) AS wv
+           |  FROM und e JOIN l$p l ON e.src = l.node GROUP BY 1, 2),
+           |l$i AS (SELECT node, nlabel AS label FROM v$i
+           |  QUALIFY row_number() OVER (PARTITION BY node
+           |    ORDER BY wv DESC, nlabel) = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ed AS ($NATION_FLOW_SQL),
+         |ein AS (SELECT * FROM ed WHERE src <> dst),
+         |und AS (SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM (
+         |    SELECT src, dst, w FROM ein
+         |    UNION ALL SELECT dst AS src, src AS dst, w FROM ein)
+         |  GROUP BY 1, 2),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM und),
+         |$rounds
+         |SELECT n.n_name AS nation, l.label
+         |FROM l4 l JOIN nation n ON l.node = n.n_nationkey
+         |ORDER BY nation""".stripMargin
+    },
+
+    "q_redact" ->
+      """WITH r AS (SELECT c_custkey,
+        |    'reach ' || c_name || ' at user' || c_custkey ||
+        |    '@mail.example.com or +1-555-000' || c_custkey || ' ok' AS raw
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  CAST(len(regexp_extract_all(raw,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(raw,
+        |    '\+[0-9][0-9-]{6,}[0-9]')) AS BIGINT) AS n_phones,
+        |  regexp_replace(regexp_replace(raw,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+[0-9][0-9-]{6,}[0-9]', '<PHONE>', 'g') AS redacted
+        |FROM r ORDER BY c_custkey""".stripMargin,
+
     "q_triangles" ->
-      """WITH und AS (
-        |  SELECT DISTINCT least(s_nationkey, c_nationkey) AS a,
-        |    greatest(s_nationkey, c_nationkey) AS b
-        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |    JOIN supplier ON l_suppkey = s_suppkey
-        |    JOIN customer ON o_custkey = c_custkey
-        |  WHERE s_nationkey <> c_nationkey),
+      s"""WITH ed AS ($NATION_FLOW_SQL),
+        |und AS (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM ed WHERE src <> dst),
         |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
         |    SELECT a AS node FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
         |e AS (SELECT

@@ -264,6 +264,18 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.count(!_._4) > 0)
   }
 
+  test("q_redact scrubs constructed and embedded PII, counts matches") {
+    val dir = tmpDir()
+    tmpTable(dir, "customer", Seq(
+      (5L, "Customer#X"),
+      (7L, "bob bob.smith@corp.io")) // PII embedded in the name too
+      .toDF("c_custkey", "c_name"))
+    val got = CurationQueries.queries("q_redact")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got(0) == ((5L, 1L, 1L, "reach Customer#X at <EMAIL> or <PHONE> ok")))
+    assert(got(1) == ((7L, 2L, 1L, "reach bob <EMAIL> at <EMAIL> or <PHONE> ok")))
+  }
+
   // ----- profiler ---------------------------------------------------------
 
   test("q_profile counts nulls/distincts and canonicalizes min/max") {

@@ -33,24 +33,7 @@ class PageRankSpec extends AnyFunSuite {
     assert(out == Map(1L -> 150000L, 2L -> 787500L, 3L -> 362500L))
   }
 
-  /** The executedPlan string embeds each InMemoryRelation's one-time
-    * build plan (whose REPARTITION/broadcast exchanges are paid once at
-    * prepare, not per round); keep only live plan lines so the per-round
-    * assertions do not trip on build-time nodes. A subtree is dropped by
-    * indentation: lines strictly deeper than their InMemoryRelation. */
-  private def livePlan(plan: String): String = {
-    def depth(l: String): Int = {
-      val i = l.indexOf("+-"); val j = l.indexOf(":-")
-      if (i < 0) j else if (j < 0) i else math.min(i, j)
-    }
-    var skipBelow = -1
-    plan.linesIterator.filter { l =>
-      val d = depth(l)
-      if (skipBelow >= 0 && (d > skipBelow || d < 0)) false
-      else if (l.contains("InMemoryRelation")) { skipBelow = d; false }
-      else { skipBelow = -1; true }
-    }.mkString("\n")
-  }
+  private def livePlan(plan: String): String = TestSpark.livePlan(plan)
 
   test("random graphs match a serial integer reference exactly") {
     // The distributed loop vs a 20-line serial re-derivation of the
