@@ -90,7 +90,7 @@ object CurationQueries {
       .select(explode(tokens(col("text"))).as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      .select(col("freq"), expr(
+      .select(col("word"), col("freq"), expr(
         "transform(sequence(1, length(word)), i -> substring(word, i, 1))").as("syms"))
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
@@ -190,7 +190,7 @@ object CurationQueries {
          |m$i AS (SELECT $i AS step, string_split(pair, ' ')[1] AS la,
          |    string_split(pair, ' ')[2] AS lb, CAST(sum(freq) AS BIGINT) AS weight
          |  FROM p$i GROUP BY pair ORDER BY weight DESC, pair LIMIT 1),
-         |v$i AS (SELECT freq, list_reduce(string_split(v$p.syms, ' '), (acc, x) ->
+         |v$i AS (SELECT word, freq, list_reduce(string_split(v$p.syms, ' '), (acc, x) ->
          |    CASE WHEN x = m$i.lb AND (acc = m$i.la OR (len(acc) > len(m$i.la)
          |        AND substr(acc, len(acc) - len(m$i.la), len(m$i.la) + 1) = ' ' || m$i.la))
          |      THEN CASE WHEN acc = m$i.la THEN m$i.la || m$i.lb
@@ -198,7 +198,7 @@ object CurationQueries {
          |      ELSE acc || ' ' || x END) AS syms
          |  FROM v$p CROSS JOIN m$i)""".stripMargin
     }.mkString(",\n")
-    s"""WITH v0 AS (SELECT CAST(count(*) AS BIGINT) AS freq,
+    s"""WITH v0 AS (SELECT word, CAST(count(*) AS BIGINT) AS freq,
        |    array_to_string(list_transform(generate_series(1, len(word)),
        |      i -> substr(word, i, 1)), ' ') AS syms
        |  FROM (SELECT unnest($W) AS word FROM documents)
@@ -359,6 +359,30 @@ object CurationQueries {
         .select(col("piece"), length(col("piece")).cast("long").as("piece_len"),
           col("n_occurrences"))
         .orderBy(col("n_occurrences").desc, col("piece")).limit(30)
+    }),
+
+    // The corpus ENCODED under the trained tokenizer: per-document piece
+    // counts and compression — the number a training-data pipeline
+    // actually budgets by (sequences packed, context windows filled).
+    // This is the at-scale encode shape: the corpus token stream joins
+    // the BROADCAST piece-count vocabulary (Heaps' law — millions of
+    // rows against trillions of tokens; the corpus never shuffles), one
+    // per-doc rollup. chars_per_piece is the compression diagnostic.
+    "q_bpe_doc_tokens" -> ((s, dir) => {
+      val vocab = bpeTrainState(s, dir, 6)._2
+        .select(col("word"), size(col("syms")).cast("long").as("n_pieces_w"))
+      spreadSmallInput(t(s, dir, "documents"))
+        .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+        .filter(col("word") =!= "")
+        .join(broadcast(vocab), Seq("word"))
+        .groupBy(col("doc_id")).agg(
+          count(lit(1)).as("n_words"),
+          sum(col("n_pieces_w")).as("n_pieces"),
+          sum(length(col("word")).cast("long")).as("n_chars"))
+        .select(col("doc_id"), col("n_words"), col("n_pieces"),
+          rnd(col("n_chars") / col("n_pieces").cast("double"), 4)
+            .as("chars_per_piece"))
+        .orderBy(col("doc_id")).limit(50)
     }),
 
     // Per-source lexical diversity — the corpus-mix health check (is a
@@ -591,6 +615,19 @@ object CurationQueries {
     "q_bpe_train" -> bpeOracleSql(6),
 
     "q_bpe_encode" -> bpeEncodeOracleSql(6),
+
+    "q_bpe_doc_tokens" ->
+      s"""${bpeRoundsSql(6)},
+         |voc AS (SELECT word, CAST(len(string_split(syms, ' ')) AS BIGINT)
+         |    AS n_pieces_w FROM v6),
+         |tk AS (SELECT doc_id, unnest($W) AS word FROM documents),
+         |j AS (SELECT doc_id, tk.word, n_pieces_w FROM tk
+         |  JOIN voc ON tk.word = voc.word WHERE tk.word <> '')
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(n_pieces_w) AS BIGINT) AS n_pieces,
+         |  floor(sum(len(word)) / CAST(sum(n_pieces_w) AS DOUBLE) * 1e4 + 0.5) / 1e4
+         |    AS chars_per_piece
+         |FROM j GROUP BY doc_id ORDER BY doc_id LIMIT 50""".stripMargin,
 
     "q_diversity" ->
       s"""WITH tc AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
