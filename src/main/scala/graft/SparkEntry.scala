@@ -29,7 +29,8 @@ object SparkEntry {
     graft.queries.RelationalQueries.queries ++
       graft.queries.LlmQueries.queries ++
       graft.queries.EventQueries.queries ++
-      graft.queries.CurationQueries.queries
+      graft.queries.CurationQueries.queries ++
+      graft.queries.SketchQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -37,5 +38,6 @@ object SparkEntry {
     graft.queries.RelationalQueries.oracle ++
       graft.queries.LlmQueries.oracle ++
       graft.queries.EventQueries.oracle ++
-      graft.queries.CurationQueries.oracle
+      graft.queries.CurationQueries.oracle ++
+      graft.queries.SketchQueries.oracle
 }

@@ -297,6 +297,24 @@ object CurationQueries {
         .select(col("n_name").as("nation"), col("label"))
         .orderBy(col("nation"))),
 
+    // Single-source shortest paths (graft.ops.ShortestPaths): 5
+    // synchronized Bellman-Ford rounds, integer edge costs
+    // ceil(100000 / w) — high-traffic routes are CHEAP, so multi-hop
+    // routing genuinely beats direct edges (6 of 24 destinations at
+    // sf0.01) and the relaxation is non-trivial. Same bucketed shape as
+    // q_pagerank (edges hash-partitioned on src once, frontier-sized
+    // rows per round, no broadcast); the DuckDB oracle unrolls the same
+    // 5 rounds. ShortestPathsSpec pins convergence + the round plan.
+    "q_sssp" -> ((s, dir) => {
+      val e = nationFlow(s, dir)
+        .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"),
+          expr("(100000 + w - 1) div w").as("c"))
+      graft.ops.ShortestPaths.run(e, source = 0L, rounds = 5)
+        .join(broadcast(t(s, dir, "nation")), col("node") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), col("d").as("dist_cost"))
+        .orderBy(col("nation"))
+    }),
+
     // PII scrubbing — the redaction pass every published training corpus
     // needs. The synthetic corpus carries no PII, so the contact line is
     // CONSTRUCTED deterministically per customer (documented fixture);
@@ -561,6 +579,25 @@ object CurationQueries {
          |$rounds
          |SELECT n.n_name AS nation, l.label
          |FROM l4 l JOIN nation n ON l.node = n.n_nationkey
+         |ORDER BY nation""".stripMargin
+    },
+
+    "q_sssp" -> {
+      val rounds = (1 to 5).map { i =>
+        val p = i - 1
+        s"""d$i AS (SELECT node, min(d) AS d FROM (
+           |    SELECT node, d FROM d$p
+           |    UNION ALL
+           |    SELECT e.dst, d$p.d + e.c FROM d$p JOIN e ON e.src = d$p.node)
+           |  GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ed AS ($NATION_FLOW_SQL),
+         |e AS (SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
+         |    (100000 + w - 1) // w AS c FROM ed),
+         |d0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS d),
+         |$rounds
+         |SELECT n.n_name AS nation, d.d AS dist_cost
+         |FROM d5 d JOIN nation n ON d.node = n.n_nationkey
          |ORDER BY nation""".stripMargin
     },
 

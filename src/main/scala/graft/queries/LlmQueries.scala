@@ -1467,7 +1467,7 @@ object LlmQueries {
        |  SELECT doc_id,
        |    $SIG_LINES
        |  FROM hashed)""".stripMargin
-  private val SHINGLES =
+  private[graft] val SHINGLES =
     s"""CASE WHEN len(w) >= 3 THEN list_transform(generate_series(1, len(w) - 2),
        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE [] END""".stripMargin
 

@@ -1,0 +1,251 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables.t
+import graft.ops.RelationalOps.rnd
+import graft.llm.TextOps.{tokens, shingles}
+import graft.queries.LlmQueries.{W, SHINGLES, spreadSmallInput}
+
+/** Round-5 sketch + exact-similarity wave.
+  *
+  * Three operator families a corpus pipeline leans on at 100 TB:
+  *
+  *  - '''q_setsim_join''' — EXACT all-pairs Jaccard self-join at a
+  *    threshold, via prefix filtering (Chaudhuri et al. SSJoin / Bayardo
+  *    et al. WWW'07 AllPairs). The oracle is the naive O(n²) definition —
+  *    the point of the query is that the scalable plan (rarest-token
+  *    prefixes + length filter + candidate verify) returns EXACTLY the
+  *    brute-force answer, unlike the MinHash/SimHash family which trades
+  *    recall for speed. This is the dedup verifier you run when the
+  *    near-dup policy must be auditable.
+  *  - '''q_cms_topk''' — count-min sketch (Cormode-Muthukrishnan '05):
+  *    fixed d×w integer counter grid, mergeable across partitions by the
+  *    same hash-aggregate that builds it. All-integer → the estimates
+  *    (and their one-sided overestimation error) hash-match cross-engine.
+  *  - '''q_hll_est''' — HyperLogLog (Flajolet et al. '07) with the
+  *    register sum kept in scaled LONG form so the estimate is
+  *    cross-engine DETERMINISTIC — unlike engine-private sketches
+  *    (q_approx_agg is rows-only for exactly that reason), this one is
+  *    oracle-verified: Σ 2^(−M_j) is computed as Σ 2^(53−M_j) in exact
+  *    long arithmetic (max 256·2^52 < 2^63), and the few scalar double
+  *    steps after it are IEEE-754 correctly-rounded operations evaluated
+  *    in the same order by both engines.
+  *
+  * Reference scope note: dheerajunni/instacart-medallion-lakehouse has no
+  * sketch/similarity stage — this is extension scope per the builder
+  * prompt (training-data pipeline operators as first-class components).
+  */
+object SketchQueries {
+
+  /** Jaccard threshold as an exact rational (n_common · D ≥ n_union · N
+    * keeps the similarity filter in integers). τ = N/D = 1/2. */
+  private val TauN = 1L
+  private val TauD = 2L
+
+  /** Exact set-similarity self-join over trigram-shingle sets.
+    *
+    * Scale shape (AllPairs): a pair can only reach Jaccard ≥ τ if the two
+    * sets share a token among each set's (|X| − ⌈τ|X|⌉ + 1) RAREST tokens
+    * under one global order — so candidates come from an equi-join on
+    * prefix tokens (rare ⇒ tiny buckets), not a cross product. Sizes
+    * also bound each other (|B| ≥ ⌈τ|A|⌉), pruning further. The exact
+    * verify then runs the fused JaccardCounts kernel per candidate.
+    *
+    * Shuffles: token-df window (by tok), prefix-rank window (by doc),
+    * candidate equi-join (by tok), pair dedup (by pair), two verify joins
+    * (by doc_id vs the small candidate table). Each is keyed fine-grained
+    * — nothing is quadratic except genuinely-similar output pairs, and
+    * the global order (df asc, tok) makes prefix buckets the RAREST
+    * tokens, so join fan-out concentrates where matches actually are. */
+  private[graft] def setSimJoin(docs: DataFrame): DataFrame = {
+    graft.functions.NativeFunctions.register(docs.sparkSession)
+    val d = docs
+      .select(col("doc_id"), array_distinct(shingles(tokens(col("text")), 3)).as("ts"))
+      .filter(size(col("ts")) > 0)
+      .localCheckpoint() // reused by the prefix build and both verify joins
+    val tau = TauN.toDouble / TauD // 0.5 exactly representable
+    val minLen = (sz: org.apache.spark.sql.Column) => ceil(sz * lit(tau))
+    val ex = d.select(col("doc_id"), size(col("ts")).as("sz"), explode(col("ts")).as("tok"))
+    // document frequency without a self-join: ts is distinct per doc, so
+    // a count-over-token window IS df (the q_tfidf pattern — a broadcast
+    // of the derived df frame would recompute the explode subtree).
+    val pref = ex
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("tok"))))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))))
+      .filter(col("rk") <= col("sz") - minLen(col("sz")) + 1)
+      .select(col("doc_id"), col("sz"), col("tok"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
+          col("b.sz") >= minLen(col("a.sz")) && col("a.sz") >= minLen(col("b.sz")))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("_np")).drop("_np") // pairs sharing k prefix toks appear k times
+    cand.join(d.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(d.as("y"), col("doc_b") === col("y.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.NativeFunctions.jaccardCounts(col("x.ts"), col("y.ts")).as("jc"))
+      .select(col("doc_a"), col("doc_b"),
+        col("jc.n_common").as("n_common"), col("jc.n_union").as("n_union"),
+        (col("jc.n_common").cast("double") / col("jc.n_union")).as("jaccard_sim"))
+      .filter(col("n_common") * TauD >= col("n_union") * TauN) // J ≥ τ in integers
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Count-min sketch geometry: d independent md5 rows × w buckets.
+    * ε ≈ e/w, δ ≈ e^−d; at corpus scale w grows with the heavy-hitter
+    * resolution wanted — the sketch stays d·w counters regardless of
+    * token count, and the build is ONE explode + hash-aggregate whose
+    * map-side partial sums ARE the sketch merge operation. */
+  private val CmsD = 4
+  private val CmsW = 1024
+
+  /** The d bucket ids of a token, as one array column (posexplode gives
+    * (row_id, bucket) pairs without d separate passes). Row-salted md5
+    * keeps the d hash functions independent; 8 hex chars = 32 bits ≥ 0,
+    * so % is a true mod. */
+  private def cmsBuckets(tok: org.apache.spark.sql.Column) =
+    array((0 until CmsD).map(i =>
+      conv(substring(md5(concat_ws(":", lit(i.toString), tok)), 1, 8), 16, 10)
+        .cast("long") % CmsW): _*)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_setsim_join" -> ((s, dir) =>
+      setSimJoin(spreadSmallInput(t(s, dir, "documents")))),
+
+    // Count-min sketch over corpus token frequencies, probed at the
+    // exact top-10 tokens: per probe, the estimate is min over the d
+    // rows of its bucket counters — ≥ exact by construction (one-sided
+    // error), and the overestimate column is the collision error
+    // realized at this geometry. The sketch (≤ d·w rows) and the probe
+    // set (10 rows) are both tiny: the only corpus-sized pass is the
+    // shared explode feeding two hash aggregations.
+    "q_cms_topk" -> ((s, dir) => {
+      val toks = spreadSmallInput(t(s, dir, "documents"))
+        .select(explode(tokens(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+        .localCheckpoint() // one tokenize pass feeds sketch + exact counts
+      val sketch = toks
+        .select(posexplode(cmsBuckets(col("tok"))).as(Seq("row_id", "bucket")))
+        .groupBy(col("row_id"), col("bucket")).agg(count(lit(1)).as("c"))
+      val probes = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("tok")).limit(10)
+      probes
+        .select(col("tok"), col("freq"),
+          posexplode(cmsBuckets(col("tok"))).as(Seq("row_id", "bucket")))
+        .join(sketch, Seq("row_id", "bucket"))
+        .groupBy(col("tok"), col("freq"))
+        .agg(min(col("c")).as("cms_est"))
+        .select(col("tok"), col("freq").as("exact_freq"), col("cms_est"),
+          (col("cms_est") - col("freq")).as("overestimate"))
+        .orderBy(col("exact_freq").desc, col("tok"))
+    }),
+
+    // HyperLogLog distinct-count over orders.o_custkey (m = 256
+    // registers from the first md5 byte; rank from the next 52 bits via
+    // bin() string length — identical minimal-binary semantics in both
+    // engines). The raw estimate is reported against the exact count;
+    // no small/large-range correction is applied (the corpus keeps n
+    // in HLL's uncorrected band — documented, and irrelevant to the
+    // cross-engine contract since both engines compute the same raw
+    // formula). Scale: the only corpus-sized op is one hash-aggregate
+    // to ≤m rows; registers merge by max, the distributive aggregate.
+    "q_hll_est" -> ((s, dir) => {
+      val h = md5(col("o_custkey").cast("string"))
+      val regs = t(s, dir, "orders")
+        .select(conv(substring(h, 1, 2), 16, 10).cast("long").as("bucket"),
+          conv(substring(h, 3, 13), 16, 10).cast("long").as("v"))
+        .select(col("bucket"),
+          when(col("v") === 0, lit(53L))
+            .otherwise(lit(53L) - length(bin(col("v")))).as("rho"))
+        .groupBy(col("bucket")).agg(max(col("rho")).as("mj"))
+      // Σ 2^(−M_j) scaled by 2^53 into exact long arithmetic: terms are
+      // 2^(53−M_j) ∈ [1, 2^52], sum ≤ 256·2^52 < 2^63. The later double
+      // steps (cast, /2^53, +v0, the α·m² division) are single
+      // correctly-rounded IEEE ops in one fixed order — deterministic.
+      val srg = regs.agg(
+        count(lit(1)).as("n_regs"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - mj AS INT))")).as("s"))
+      val ex = t(s, dir, "orders").agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("o_custkey")).as("n_exact"))
+      ex.crossJoin(srg)
+        .withColumn("raw",
+          (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))) * lit(65536.0) /
+            ((lit(256L) - col("n_regs")).cast("double") +
+              col("s").cast("double") / lit(9007199254740992.0)))
+        .select(col("n_rows"), col("n_exact"), col("n_regs"),
+          rnd(col("raw"), 2).as("hll_est"),
+          rnd((col("raw") - col("n_exact")) / col("n_exact") * lit(100.0), 2)
+            .as("err_pct"))
+    }))
+
+  /** DuckDB oracles. q_setsim_join's is deliberately the BRUTE-FORCE
+    * definition (no prefix filter): the scalable plan must reproduce the
+    * naive answer exactly. The sketch oracles replay the same md5
+    * geometry. */
+  val oracle: Map[String, String] = Map(
+
+    "q_setsim_join" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, $SHINGLES AS sh
+         |  FROM (SELECT doc_id, $W AS w FROM documents)),
+         |d AS (SELECT doc_id, list_distinct(sh) AS ts FROM base WHERE len(sh) >= 1),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS n_common,
+         |    CAST(len(list_distinct(list_cat(a.ts, b.ts))) AS BIGINT) AS n_union
+         |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, n_common, n_union,
+         |  n_common / CAST(n_union AS DOUBLE) AS jaccard_sim
+         |FROM p WHERE n_common * $TauD >= n_union * $TauN
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_cms_topk" -> {
+      val dIdx = (0 until CmsD).map(_.toString).mkString(", ")
+      s"""WITH tk AS (SELECT unnest($W) AS tok FROM documents),
+         |tks AS (SELECT tok FROM tk WHERE tok <> ''),
+         |rows_ AS (SELECT unnest([$dIdx]) AS row_id),
+         |sk AS (SELECT row_id,
+         |    ('0x' || substr(md5(row_id::VARCHAR || ':' || tok), 1, 8))::BIGINT
+         |      % $CmsW AS bucket,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM tks CROSS JOIN rows_ GROUP BY 1, 2),
+         |probes AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq
+         |  FROM tks GROUP BY 1 ORDER BY freq DESC, tok LIMIT 10),
+         |pb AS (SELECT tok, freq, row_id,
+         |    ('0x' || substr(md5(row_id::VARCHAR || ':' || tok), 1, 8))::BIGINT
+         |      % $CmsW AS bucket
+         |  FROM probes CROSS JOIN rows_)
+         |SELECT pb.tok, pb.freq AS exact_freq,
+         |  CAST(min(sk.c) AS BIGINT) AS cms_est,
+         |  CAST(min(sk.c) - pb.freq AS BIGINT) AS overestimate
+         |FROM pb JOIN sk USING (row_id, bucket)
+         |GROUP BY pb.tok, pb.freq
+         |ORDER BY exact_freq DESC, tok""".stripMargin
+    },
+
+    "q_hll_est" ->
+      s"""WITH b AS (SELECT
+         |    ('0x' || substr(md5(o_custkey::VARCHAR), 1, 2))::BIGINT AS bucket,
+         |    ('0x' || substr(md5(o_custkey::VARCHAR), 3, 13))::BIGINT AS v
+         |  FROM orders),
+         |r AS (SELECT bucket,
+         |    max(CASE WHEN v = 0 THEN 53 ELSE 53 - length(bin(v)) END) AS mj
+         |  FROM b GROUP BY 1),
+         |srg AS (SELECT CAST(count(*) AS BIGINT) AS n_regs,
+         |    CAST(sum(CAST(1 AS BIGINT) << CAST(53 - mj AS INTEGER)) AS BIGINT) AS s
+         |  FROM r),
+         |ex AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |    CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact FROM orders),
+         |est AS (SELECT n_rows, n_exact, n_regs,
+         |    (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 /
+         |      (CAST(256 - n_regs AS DOUBLE) + CAST(s AS DOUBLE) / 9007199254740992.0)
+         |      AS raw
+         |  FROM ex CROSS JOIN srg)
+         |SELECT n_rows, n_exact, n_regs,
+         |  floor(raw * 1e2 + 0.5) / 1e2 AS hll_est,
+         |  floor((raw - n_exact) / n_exact * 100.0 * 1e2 + 0.5) / 1e2 AS err_pct
+         |FROM est""".stripMargin)
+}

@@ -1,0 +1,151 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.queries.SketchQueries
+
+/** Round-5 sketch + exact-similarity wave: the prefix-filtered set-
+  * similarity join against a brute-force reference (crafted boundary
+  * cases + fuzz), and serial md5 re-derivations of the count-min and
+  * HyperLogLog estimates (both are deterministic by construction, so the
+  * serial reference must match EXACTLY — not approximately). */
+class SketchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmpTable(dir: String, name: String, df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.mode("overwrite").parquet(s"$dir/$name.parquet")
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_sketch").toString
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  // ----- set-similarity join ---------------------------------------------
+
+  /** Naive reference: trigram-shingle sets, all pairs, J ≥ 1/2 kept. */
+  private def serialSetSim(docs: Seq[(Long, String)]): Set[(Long, Long, Int, Int)] = {
+    val sets = docs.map { case (id, text) =>
+      val w = text.trim.toLowerCase.split("\\s+").toSeq
+      id -> (if (w.size >= 3) w.sliding(3).map(_.mkString(" ")).toSet else Set.empty[String])
+    }.filter(_._2.nonEmpty)
+    (for {
+      (a, ta) <- sets; (b, tb) <- sets if a < b
+      common = (ta & tb).size; union = (ta | tb).size
+      if common * 2 >= union
+    } yield (a, b, common, union)).toSet
+  }
+
+  private def runSetSim(docs: Seq[(Long, String)]): Set[(Long, Long, Int, Int)] =
+    SketchQueries.setSimJoin(docs.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2).toInt, r.getLong(3).toInt)).toSet
+
+  test("setsim join equals brute force on boundary fixtures") {
+    val docs = Seq(
+      1L -> "a b c d e f",   // {abc,bcd,cde,def}
+      2L -> "a b c d e f",   // identical → J = 1 with doc 1
+      3L -> "a b c d x y",   // J(1,3) = 2/6 = 1/3 < 1/2 → excluded
+      4L -> "a b c d e z",   // J(1,4) = 3/5 → included
+      5L -> "a b c d e",     // {abc,bcd,cde}: J(1,5) = 3/4; J(4,5)=2/4 boundary
+      6L -> "z a b c d",     // {zab,abc,bcd}: J(5,6) = 2/4 = exactly τ → included
+      7L -> "p q r s t",     // disjoint from everything
+      8L -> "hi there")      // < 3 tokens → no shingles, dropped entirely
+    val got = runSetSim(docs)
+    val want = serialSetSim(docs)
+    assert(got == want, s"got $got\nwant $want")
+    assert(want.contains((5L, 6L, 2, 4)), "the exact-τ boundary pair must be kept")
+    assert(!want.exists(p => p._1 == 3L || p._2 == 3L && p._1 == 1L) ||
+      !want.contains((1L, 3L, 2, 6)), "below-τ pair must be dropped")
+  }
+
+  test("setsim join equals brute force on random corpora with seeded near-dups") {
+    val rng = new scala.util.Random(23)
+    val vocab = Vector("red", "blue", "fox", "jumps", "over", "lazy", "dog", "runs")
+    val base = (1L to 15L).map { id =>
+      id -> Vector.fill(5 + rng.nextInt(8))(vocab(rng.nextInt(vocab.size)))
+    }
+    // mutate one token of each base doc → a guaranteed population of
+    // above- and near-threshold pairs (plus the random background)
+    val docs = base.map { case (id, w) => id -> w.mkString(" ") } ++
+      base.map { case (id, w) =>
+        val i = rng.nextInt(w.size)
+        (id + 100L) -> w.updated(i, vocab(rng.nextInt(vocab.size))).mkString(" ")
+      }
+    val want = serialSetSim(docs)
+    assert(want.nonEmpty, "fixture must actually produce qualifying pairs")
+    assert(runSetSim(docs) == want)
+  }
+
+  test("setsim plan has no cross product — candidates come from the prefix equi-join") {
+    val docs = (1L to 8L).map(i => i -> s"w$i x$i y$i z$i a b c").toDF("doc_id", "text")
+    val plan = SketchQueries.setSimJoin(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair generation must be the prefix-token equi-join, got:\n$plan")
+  }
+
+  // ----- count-min sketch -------------------------------------------------
+
+  test("count-min estimates match a serial md5 re-derivation exactly") {
+    val dir = tmpDir()
+    // skewed corpus: token frequency spans 3 orders of magnitude
+    val rng = new scala.util.Random(5)
+    val vocab = (1 to 60).map(i => s"tok$i")
+    val text = (1 to 4000).map { _ =>
+      val r = rng.nextInt(100)
+      if (r < 40) "hot" else if (r < 60) "warm" else vocab(rng.nextInt(vocab.size))
+    }.mkString(" ")
+    tmpTable(dir, "documents", Seq((1L, text)).toDF("doc_id", "text"))
+
+    val toks = text.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+    val freq = toks.groupBy(identity).map { case (t, g) => t -> g.size.toLong }
+    val sketch = scala.collection.mutable.Map.empty[(Int, Long), Long].withDefaultValue(0L)
+    for (t <- toks; i <- 0 until 4)
+      sketch((i, java.lang.Long.parseLong(md5hex(s"$i:$t").substring(0, 8), 16) % 1024)) += 1L
+    def est(t: String): Long = (0 until 4).map(i =>
+      sketch((i, java.lang.Long.parseLong(md5hex(s"$i:$t").substring(0, 8), 16) % 1024))).min
+    val top = freq.toSeq.sortBy { case (t, f) => (-f, t) }.take(10)
+
+    val got = SketchQueries.queries("q_cms_topk")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == top.map { case (t, f) => (t, f, est(t), est(t) - f) },
+      "sketch estimates must be bit-identical to the serial reference")
+    // the CMS contract: one-sided error
+    assert(got.forall(r => r._3 >= r._2), "estimate must never undercount")
+  }
+
+  // ----- HyperLogLog ------------------------------------------------------
+
+  test("HLL registers and estimate match a serial md5 re-derivation exactly") {
+    val dir = tmpDir()
+    val rng = new scala.util.Random(17)
+    // 5000 rows over ~1400 distinct keys (mid-range for m=256 — the
+    // band the raw estimate is designed for)
+    val keys = (1 to 5000).map(_ => 1 + rng.nextInt(1500))
+    tmpTable(dir, "orders", keys.map(k => (k.toLong, k.toLong)).toDF("o_orderkey", "o_custkey"))
+
+    val regs = scala.collection.mutable.Map.empty[Long, Long]
+    for (k <- keys) {
+      val h = md5hex(k.toString)
+      val bucket = java.lang.Long.parseLong(h.substring(0, 2), 16)
+      val v = java.lang.Long.parseLong(h.substring(2, 15), 16)
+      val rho = if (v == 0) 53L else 53L - java.lang.Long.toBinaryString(v).length
+      regs(bucket) = math.max(regs.getOrElse(bucket, 0L), rho)
+    }
+    val s = regs.values.map(mj => 1L << (53 - mj).toInt).sum
+    val raw = (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 /
+      ((256L - regs.size).toDouble + s.toDouble / 9007199254740992.0)
+    def rnd2(x: Double) = math.floor(x * 100.0 + 0.5) / 100.0
+    val exact = keys.distinct.size.toLong
+
+    val row = SketchQueries.queries("q_hll_est")(spark, dir).head()
+    assert(row.getLong(0) == keys.size.toLong)
+    assert(row.getLong(1) == exact)
+    assert(row.getLong(2) == regs.size.toLong, "occupied register count")
+    assert(row.getDouble(3) == rnd2(raw), "estimate must be bit-identical")
+    assert(row.getDouble(4) == rnd2((raw - exact) / exact * 100.0))
+    // sanity: the estimate is actually close (±10% at n≈1400, m=256)
+    assert(math.abs(raw - exact) / exact < 0.10,
+      s"HLL estimate $raw too far from exact $exact")
+  }
+}
