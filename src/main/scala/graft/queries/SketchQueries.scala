@@ -40,9 +40,12 @@ import graft.queries.LlmQueries.{W, SHINGLES, spreadSmallInput}
 object SketchQueries {
 
   /** Jaccard threshold as an exact rational (n_common · D ≥ n_union · N
-    * keeps the similarity filter in integers). τ = N/D = 1/2. */
-  private val TauN = 1L
-  private val TauD = 2L
+    * keeps the similarity filter in integers). τ = N/D = 4/5 — the
+    * dedup-verification regime where prefix filtering prunes hardest
+    * (prefix length ≈ (1−τ)|X|); the NOTES.md cost note covers why
+    * lower thresholds belong to the LSH family instead. */
+  private val TauN = 4L
+  private val TauD = 5L
 
   /** Exact set-similarity self-join over trigram-shingle sets.
     *
@@ -59,37 +62,53 @@ object SketchQueries {
     * — nothing is quadratic except genuinely-similar output pairs, and
     * the global order (df asc, tok) makes prefix buckets the RAREST
     * tokens, so join fan-out concentrates where matches actually are. */
-  private[graft] def setSimJoin(docs: DataFrame): DataFrame = {
+  private[graft] def setSimJoin(docs: DataFrame,
+                                tauN: Long = TauN, tauD: Long = TauD): DataFrame = {
     graft.functions.NativeFunctions.register(docs.sparkSession)
     val d = docs
       .select(col("doc_id"), array_distinct(shingles(tokens(col("text")), 3)).as("ts"))
       .filter(size(col("ts")) > 0)
       .localCheckpoint() // reused by the prefix build and both verify joins
-    val tau = TauN.toDouble / TauD // 0.5 exactly representable
-    val minLen = (sz: org.apache.spark.sql.Column) => ceil(sz * lit(tau))
+    // ⌈τ·sz⌉ in exact integer arithmetic: a float ceil(sz * 0.8) rounds
+    // UP at sz≡0 (mod 5) (0.8₂ > 4/5), and an over-tight length bound
+    // wrongly prunes exact-boundary pairs like |B|/|A| = 36/45 = τ.
+    val minLen = (szSql: String) => expr(s"($szSql * $tauN + ${tauD - 1}) div $tauD")
     val ex = d.select(col("doc_id"), size(col("ts")).as("sz"), explode(col("ts")).as("tok"))
     // document frequency without a self-join: ts is distinct per doc, so
     // a count-over-token window IS df (the q_tfidf pattern — a broadcast
     // of the derived df frame would recompute the explode subtree).
+    // Materialize the prefix index ONCE: it feeds BOTH sides of the
+    // candidate self-join — without the checkpoint each side re-runs the
+    // explode + both windows (and one copy rebuilds on the broadcast
+    // thread — the derived-frame-broadcast anti-pattern q_tfidf hit).
+    // At cluster scale this is the prefix-index table you'd write out
+    // bucketed by tok.
     val pref = ex
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("tok"))))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))))
-      .filter(col("rk") <= col("sz") - minLen(col("sz")) + 1)
+      .filter(col("rk") <= col("sz") - minLen("sz") + 1)
       .select(col("doc_id"), col("sz"), col("tok"))
+      .localCheckpoint()
     val cand = pref.as("a").join(pref.as("b"),
         col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
-          col("b.sz") >= minLen(col("a.sz")) && col("a.sz") >= minLen(col("b.sz")))
+          col("b.sz") >= minLen("a.sz") && col("a.sz") >= minLen("b.sz"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("_np")).drop("_np") // pairs sharing k prefix toks appear k times
-    cand.join(d.as("x"), col("doc_a") === col("x.doc_id"))
+    // Materialize the fused-kernel counts BEFORE the threshold filter:
+    // otherwise CollapseProject inlines the jaccardCounts call into the
+    // join's residual condition AND each output column — up to 5
+    // evaluations of the per-candidate hot loop instead of 1.
+    val scored = cand.join(d.as("x"), col("doc_a") === col("x.doc_id"))
       .join(d.as("y"), col("doc_b") === col("y.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         graft.functions.NativeFunctions.jaccardCounts(col("x.ts"), col("y.ts")).as("jc"))
+      .localCheckpoint()
+    scored
       .select(col("doc_a"), col("doc_b"),
         col("jc.n_common").as("n_common"), col("jc.n_union").as("n_union"),
         (col("jc.n_common").cast("double") / col("jc.n_union")).as("jaccard_sim"))
-      .filter(col("n_common") * TauD >= col("n_union") * TauN) // J ≥ τ in integers
+      .filter(col("n_common") * tauD >= col("n_union") * tauN) // J ≥ τ in integers
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

@@ -24,8 +24,9 @@ class SketchSpec extends AnyFunSuite {
 
   // ----- set-similarity join ---------------------------------------------
 
-  /** Naive reference: trigram-shingle sets, all pairs, J ≥ 1/2 kept. */
-  private def serialSetSim(docs: Seq[(Long, String)]): Set[(Long, Long, Int, Int)] = {
+  /** Naive reference: trigram-shingle sets, all pairs, J ≥ τN/τD kept. */
+  private def serialSetSim(docs: Seq[(Long, String)],
+                           tauN: Long, tauD: Long): Set[(Long, Long, Int, Int)] = {
     val sets = docs.map { case (id, text) =>
       val w = text.trim.toLowerCase.split("\\s+").toSeq
       id -> (if (w.size >= 3) w.sliding(3).map(_.mkString(" ")).toSet else Set.empty[String])
@@ -33,12 +34,13 @@ class SketchSpec extends AnyFunSuite {
     (for {
       (a, ta) <- sets; (b, tb) <- sets if a < b
       common = (ta & tb).size; union = (ta | tb).size
-      if common * 2 >= union
+      if common * tauD >= union * tauN
     } yield (a, b, common, union)).toSet
   }
 
-  private def runSetSim(docs: Seq[(Long, String)]): Set[(Long, Long, Int, Int)] =
-    SketchQueries.setSimJoin(docs.toDF("doc_id", "text"))
+  private def runSetSim(docs: Seq[(Long, String)],
+                        tauN: Long, tauD: Long): Set[(Long, Long, Int, Int)] =
+    SketchQueries.setSimJoin(docs.toDF("doc_id", "text"), tauN, tauD)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2).toInt, r.getLong(3).toInt)).toSet
 
   test("setsim join equals brute force on boundary fixtures") {
@@ -51,12 +53,21 @@ class SketchSpec extends AnyFunSuite {
       6L -> "z a b c d",     // {zab,abc,bcd}: J(5,6) = 2/4 = exactly τ → included
       7L -> "p q r s t",     // disjoint from everything
       8L -> "hi there")      // < 3 tokens → no shingles, dropped entirely
-    val got = runSetSim(docs)
-    val want = serialSetSim(docs)
+    val got = runSetSim(docs, 1L, 2L)
+    val want = serialSetSim(docs, 1L, 2L)
     assert(got == want, s"got $got\nwant $want")
     assert(want.contains((5L, 6L, 2, 4)), "the exact-τ boundary pair must be kept")
-    assert(!want.exists(p => p._1 == 3L || p._2 == 3L && p._1 == 1L) ||
-      !want.contains((1L, 3L, 2, 6)), "below-τ pair must be dropped")
+    assert(!want.contains((1L, 3L, 2, 6)), "below-τ pair must be dropped")
+  }
+
+  test("setsim τ=4/5: exact-boundary pair kept under integer length bounds") {
+    // B's 4 shingles ⊂ A's 5 → J = 4/5 = τ exactly. |B| = ⌈τ|A|⌉ = 4 sits
+    // ON the length-filter boundary: a float ceil(5 · 0.8) = 5 (0.8₂ > 4/5)
+    // would prune it; the integer bound keeps it.
+    val docs = Seq(1L -> "a b c d e f g", 2L -> "a b c d e f", 3L -> "p q r s t u")
+    val got = runSetSim(docs, 4L, 5L)
+    assert(got == serialSetSim(docs, 4L, 5L))
+    assert(got.contains((1L, 2L, 4, 5)), "the exact-0.8 subset pair must survive")
   }
 
   test("setsim join equals brute force on random corpora with seeded near-dups") {
@@ -71,10 +82,14 @@ class SketchSpec extends AnyFunSuite {
       base.map { case (id, w) =>
         val i = rng.nextInt(w.size)
         (id + 100L) -> w.updated(i, vocab(rng.nextInt(vocab.size))).mkString(" ")
-      }
-    val want = serialSetSim(docs)
-    assert(want.nonEmpty, "fixture must actually produce qualifying pairs")
-    assert(runSetSim(docs) == want)
+      } ++
+      // two exact copies guarantee a J = 1 pair at every τ
+      Seq(200L -> base.head._2.mkString(" "))
+    for ((tn, td) <- Seq((1L, 2L), (4L, 5L))) {
+      val want = serialSetSim(docs, tn, td)
+      assert(want.nonEmpty, s"fixture must produce qualifying pairs at tau=$tn/$td")
+      assert(runSetSim(docs, tn, td) == want, s"tau=$tn/$td")
+    }
   }
 
   test("setsim plan has no cross product — candidates come from the prefix equi-join") {
