@@ -162,6 +162,43 @@ object SketchQueries {
         .orderBy(col("exact_freq").desc, col("tok"))
     }),
 
+    // Mergeable histogram quantiles — the third of the sketch trio
+    // (frequency = CMS, distinct = HLL, quantile = this). Fixed $1000
+    // bins over exact integer cents: the histogram build is ONE
+    // hash-aggregate to ~105 rows whose map-side partial sums ARE the
+    // sketch merge (same property as CMS); the cumulative window and
+    // the p50/p90/p99 bracket extraction run on the SKETCH, not the
+    // data, so the single-task global-order window is ~105 rows by
+    // construction at any corpus size. Deterministic everywhere:
+    // ⌈p·n⌉ targets via integer div, bin ids via integer div on cents.
+    // (A t-digest adapts bin placement but its centroid arithmetic is
+    // float-order-dependent — unverifiable cross-engine; fixed bins
+    // trade adaptivity for an oracle-checkable contract.)
+    "q_hist_quantile" -> ((s, dir) => {
+      import s.implicits._
+      val binW = 100000L // $1000 in integer cents
+      val hist = t(s, dir, "lineitem")
+        .withColumn("cents",
+          floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long"))
+        .groupBy(expr(s"cents div $binW").as("bin"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy(col("bin"))
+      val cum = hist
+        .withColumn("cum", sum(col("cnt")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum(col("cnt")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      val probs = Seq(("p50", 1L, 2L), ("p90", 9L, 10L), ("p99", 99L, 100L))
+        .toDF("p", "pn", "pd")
+      cum.crossJoin(broadcast(probs))
+        .filter(col("cum") >= expr("(n * pn + pd - 1) div pd"))
+        .groupBy(col("p"))
+        .agg(min(col("bin")).as("qbin"), max(col("n")).as("n_rows"))
+        .select(col("p"), (col("qbin") * binW).as("q_lo_cents"),
+          ((col("qbin") + 1) * binW - 1).as("q_hi_cents"), col("n_rows"))
+        .orderBy(col("p"))
+    }),
+
     // HyperLogLog distinct-count over orders.o_custkey (m = 256
     // registers from the first md5 byte; rank from the next 52 bits via
     // bin() string length — identical minimal-binary semantics in both
@@ -244,6 +281,22 @@ object SketchQueries {
          |GROUP BY pb.tok, pb.freq
          |ORDER BY exact_freq DESC, tok""".stripMargin
     },
+
+    "q_hist_quantile" ->
+      s"""WITH c AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+         |    AS cents FROM lineitem),
+         |h AS (SELECT cents // 100000 AS bin, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM c GROUP BY 1),
+         |cw AS (SELECT bin, cnt,
+         |    CAST(sum(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum,
+         |    CAST(sum(cnt) OVER () AS BIGINT) AS n FROM h),
+         |probs(p, pn, pd) AS (VALUES ('p50', 1, 2), ('p90', 9, 10), ('p99', 99, 100)),
+         |sel AS (SELECT p, min(bin) AS qbin, CAST(max(n) AS BIGINT) AS n_rows
+         |  FROM cw CROSS JOIN probs
+         |  WHERE cum >= (n * pn + pd - 1) // pd GROUP BY p)
+         |SELECT p, qbin * 100000 AS q_lo_cents,
+         |  (qbin + 1) * 100000 - 1 AS q_hi_cents, n_rows
+         |FROM sel ORDER BY p""".stripMargin,
 
     "q_hll_est" ->
       s"""WITH b AS (SELECT

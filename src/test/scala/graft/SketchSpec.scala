@@ -129,6 +129,38 @@ class SketchSpec extends AnyFunSuite {
     assert(got.forall(r => r._3 >= r._2), "estimate must never undercount")
   }
 
+  // ----- histogram quantiles ----------------------------------------------
+
+  test("histogram quantile brackets contain the exact disc quantile") {
+    val dir = tmpDir()
+    val rng = new scala.util.Random(31)
+    // long-tailed prices with cent precision over ~60 bins
+    val prices = (1 to 3000).map(_ =>
+      math.floor(math.pow(10.0, 3.0 + rng.nextDouble() * 1.8) * 100) / 100.0)
+    tmpTable(dir, "lineitem", prices.zipWithIndex.map { case (p, i) =>
+      (i.toLong, p) }.toDF("l_orderkey", "l_extendedprice"))
+
+    val cents = prices.map(p => math.floor(p * 100 + 0.5).toLong).sorted
+    val n = cents.size.toLong
+    def bracket(pn: Long, pd: Long): (Long, Long) = {
+      val target = ((n * pn + pd - 1) / pd).toInt
+      val exact = cents(target - 1) // disc quantile: element at ⌈p·n⌉ (1-based)
+      val bin = exact / 100000L
+      (bin * 100000L, (bin + 1) * 100000L - 1)
+    }
+    val rows = SketchQueries.queries("q_hist_quantile")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    for ((p, (pn, pd)) <- Seq("p50" -> (1L, 2L), "p90" -> (9L, 10L), "p99" -> (99L, 100L))) {
+      val (lo, hi, got_n) = rows(p)
+      assert(got_n == n)
+      val target = ((n * pn + pd - 1) / pd).toInt
+      val exact = cents(target - 1)
+      assert(lo <= exact && exact <= hi,
+        s"$p: exact disc quantile $exact outside reported bracket [$lo, $hi]")
+      assert((lo, hi) == bracket(pn, pd), s"$p bracket must be the exact quantile's bin")
+    }
+  }
+
   // ----- HyperLogLog ------------------------------------------------------
 
   test("HLL registers and estimate match a serial md5 re-derivation exactly") {
