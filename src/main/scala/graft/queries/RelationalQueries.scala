@@ -420,6 +420,9 @@ object RelationalQueries {
     // distinct shuffle). No DuckDB oracle: sketch estimates are
     // algorithm-specific, so the driver records the rows-only check and
     // ApproxSpec pins the error bounds against the exact operators.
+    // SketchQueries carries the oracle-VERIFIABLE counterparts —
+    // q_hll_est / q_cms_topk / q_hist_quantile hash-match DuckDB
+    // because their sketch arithmetic is pinned to md5 + exact longs.
     "q_approx_agg" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
