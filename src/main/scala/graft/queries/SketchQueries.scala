@@ -209,18 +209,10 @@ object SketchQueries {
     // formula). Scale: the only corpus-sized op is one hash-aggregate
     // to ≤m rows; registers merge by max, the distributive aggregate.
     "q_hll_est" -> ((s, dir) => {
-      val h = md5(col("o_custkey").cast("string"))
       val regs = t(s, dir, "orders")
-        .select(conv(substring(h, 1, 2), 16, 10).cast("long").as("bucket"),
-          conv(substring(h, 3, 13), 16, 10).cast("long").as("v"))
-        .select(col("bucket"),
-          when(col("v") === 0, lit(53L))
-            .otherwise(lit(53L) - length(bin(col("v")))).as("rho"))
+        .select(hllBucket(col("o_custkey")).as("bucket"),
+          hllRho(col("o_custkey")).as("rho"))
         .groupBy(col("bucket")).agg(max(col("rho")).as("mj"))
-      // Σ 2^(−M_j) scaled by 2^53 into exact long arithmetic: terms are
-      // 2^(53−M_j) ∈ [1, 2^52], sum ≤ 256·2^52 < 2^63. The later double
-      // steps (cast, /2^53, +v0, the α·m² division) are single
-      // correctly-rounded IEEE ops in one fixed order — deterministic.
       val srg = regs.agg(
         count(lit(1)).as("n_regs"),
         sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - mj AS INT))")).as("s"))
@@ -228,15 +220,59 @@ object SketchQueries {
         count(lit(1)).as("n_rows"),
         countDistinct(col("o_custkey")).as("n_exact"))
       ex.crossJoin(srg)
-        .withColumn("raw",
-          (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))) * lit(65536.0) /
-            ((lit(256L) - col("n_regs")).cast("double") +
-              col("s").cast("double") / lit(9007199254740992.0)))
+        .withColumn("raw", hllRaw(col("n_regs"), col("s")))
         .select(col("n_rows"), col("n_exact"), col("n_regs"),
           rnd(col("raw"), 2).as("hll_est"),
           rnd((col("raw") - col("n_exact")) / col("n_exact") * lit(100.0), 2)
             .as("err_pct"))
+    }),
+
+    // The per-group form — verifiable approx_count_distinct semantics:
+    // registers keyed by (group, bucket) in ONE corpus pass (the shape
+    // a GROUP BY approx-distinct aggregate compiles to: ≤ m rows per
+    // group out of the map-side combine), rolled up per group with the
+    // same exact-long harmonic sum. The exact countDistinct rides along
+    // per group for the realized-error column.
+    "q_hll_groups" -> ((s, dir) => {
+      val regs = t(s, dir, "orders")
+        .select(col("o_orderpriority").as("grp"),
+          hllBucket(col("o_custkey")).as("bucket"),
+          hllRho(col("o_custkey")).as("rho"))
+        .groupBy(col("grp"), col("bucket")).agg(max(col("rho")).as("mj"))
+        .groupBy(col("grp")).agg(
+          count(lit(1)).as("n_regs"),
+          sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - mj AS INT))")).as("s"))
+      val ex = t(s, dir, "orders").groupBy(col("o_orderpriority").as("grp"))
+        .agg(countDistinct(col("o_custkey")).as("n_exact"))
+      ex.join(regs, Seq("grp"))
+        .withColumn("raw", hllRaw(col("n_regs"), col("s")))
+        .select(col("grp"), col("n_exact"), col("n_regs"),
+          rnd(col("raw"), 2).as("hll_est"),
+          rnd((col("raw") - col("n_exact")) / col("n_exact") * lit(100.0), 2)
+            .as("err_pct"))
+        .orderBy(col("grp"))
     }))
+
+  /** HLL register coordinates of a key: bucket = first md5 byte (m=256),
+    * rho = leading-zero rank of the next 52 bits via bin() length —
+    * both cross-engine-identical md5/bin semantics. */
+  private def hllBucket(key: org.apache.spark.sql.Column) =
+    conv(substring(md5(key.cast("string")), 1, 2), 16, 10).cast("long")
+  private def hllRho(key: org.apache.spark.sql.Column) = {
+    val v = conv(substring(md5(key.cast("string")), 3, 13), 16, 10).cast("long")
+    when(v === 0, lit(53L)).otherwise(lit(53L) - length(bin(v)))
+  }
+
+  /** Raw HLL estimate α·m²/(V₀ + Σ2^(−Mⱼ)) from the occupied-register
+    * count and the exact-long scaled harmonic sum S = Σ 2^(53−Mⱼ)
+    * (terms ∈ [1, 2^52], sum ≤ 256·2^52 < 2^63 — exact; the remaining
+    * double steps are single correctly-rounded IEEE ops in one fixed
+    * order, so the value hash-matches the DuckDB replay). */
+  private def hllRaw(nRegs: org.apache.spark.sql.Column,
+                     s: org.apache.spark.sql.Column) =
+    (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))) * lit(65536.0) /
+      ((lit(256L) - nRegs).cast("double") +
+        s.cast("double") / lit(9007199254740992.0))
 
   /** DuckDB oracles. q_setsim_join's is deliberately the BRUTE-FORCE
     * definition (no prefix filter): the scalable plan must reproduce the
@@ -319,5 +355,29 @@ object SketchQueries {
          |SELECT n_rows, n_exact, n_regs,
          |  floor(raw * 1e2 + 0.5) / 1e2 AS hll_est,
          |  floor((raw - n_exact) / n_exact * 100.0 * 1e2 + 0.5) / 1e2 AS err_pct
-         |FROM est""".stripMargin)
+         |FROM est""".stripMargin,
+
+    "q_hll_groups" ->
+      s"""WITH b AS (SELECT o_orderpriority AS grp,
+         |    ('0x' || substr(md5(o_custkey::VARCHAR), 1, 2))::BIGINT AS bucket,
+         |    ('0x' || substr(md5(o_custkey::VARCHAR), 3, 13))::BIGINT AS v
+         |  FROM orders),
+         |r AS (SELECT grp, bucket,
+         |    max(CASE WHEN v = 0 THEN 53 ELSE 53 - length(bin(v)) END) AS mj
+         |  FROM b GROUP BY 1, 2),
+         |srg AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_regs,
+         |    CAST(sum(CAST(1 AS BIGINT) << CAST(53 - mj AS INTEGER)) AS BIGINT) AS s
+         |  FROM r GROUP BY 1),
+         |ex AS (SELECT o_orderpriority AS grp,
+         |    CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact
+         |  FROM orders GROUP BY 1),
+         |est AS (SELECT ex.grp, n_exact, n_regs,
+         |    (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 /
+         |      (CAST(256 - n_regs AS DOUBLE) + CAST(s AS DOUBLE) / 9007199254740992.0)
+         |      AS raw
+         |  FROM ex JOIN srg ON ex.grp = srg.grp)
+         |SELECT grp, n_exact, n_regs,
+         |  floor(raw * 1e2 + 0.5) / 1e2 AS hll_est,
+         |  floor((raw - n_exact) / n_exact * 100.0 * 1e2 + 0.5) / 1e2 AS err_pct
+         |FROM est ORDER BY grp""".stripMargin)
 }

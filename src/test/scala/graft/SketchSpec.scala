@@ -169,7 +169,8 @@ class SketchSpec extends AnyFunSuite {
     // 5000 rows over ~1400 distinct keys (mid-range for m=256 — the
     // band the raw estimate is designed for)
     val keys = (1 to 5000).map(_ => 1 + rng.nextInt(1500))
-    tmpTable(dir, "orders", keys.map(k => (k.toLong, k.toLong)).toDF("o_orderkey", "o_custkey"))
+    tmpTable(dir, "orders", keys.zipWithIndex.map { case (k, i) =>
+      (i.toLong, k.toLong, s"G${k % 3}") }.toDF("o_orderkey", "o_custkey", "o_orderpriority"))
 
     val regs = scala.collection.mutable.Map.empty[Long, Long]
     for (k <- keys) {
@@ -194,5 +195,27 @@ class SketchSpec extends AnyFunSuite {
     // sanity: the estimate is actually close (±10% at n≈1400, m=256)
     assert(math.abs(raw - exact) / exact < 0.10,
       s"HLL estimate $raw too far from exact $exact")
+
+    // per-group form: same register math per group, serial re-derivation
+    val byGrp = keys.groupBy(k => s"G${k % 3}")
+    val grpRows = SketchQueries.queries("q_hll_groups")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(grpRows.keySet == byGrp.keySet)
+    for ((g, ks) <- byGrp) {
+      val regs = scala.collection.mutable.Map.empty[Long, Long]
+      for (k <- ks) {
+        val h = md5hex(k.toString)
+        val bucket = java.lang.Long.parseLong(h.substring(0, 2), 16)
+        val v = java.lang.Long.parseLong(h.substring(2, 15), 16)
+        val rho = if (v == 0) 53L else 53L - java.lang.Long.toBinaryString(v).length
+        regs(bucket) = math.max(regs.getOrElse(bucket, 0L), rho)
+      }
+      val sg = regs.values.map(mj => 1L << (53 - mj).toInt).sum
+      val rawG = (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 /
+        ((256L - regs.size).toDouble + sg.toDouble / 9007199254740992.0)
+      val (nEx, nRegs, est) = grpRows(g)
+      assert(nEx == ks.distinct.size.toLong && nRegs == regs.size.toLong)
+      assert(est == rnd2(rawG), s"group $g estimate must be bit-identical")
+    }
   }
 }
