@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Production registration of the engine's Catalyst extensions — the
+  * mechanism a cluster deployment uses:
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * }}}
+  *
+  * Injects the [[org.apache.spark.sql.graft.GroupedTopKStrategy]] planner
+  * strategy (so [[graft.plans.GroupedTopK]] plans without any per-session
+  * `experimental.extraStrategies` mutation) and every native function from
+  * [[graft.functions.NativeFunctions]] as a built-in (available in SQL text
+  * and `call_function` from session start, no register() call needed).
+  *
+  * The imperative paths (`NativeFunctions.register`, the self-registering
+  * `GroupedTopKApi.groupedTopK`) remain for ad-hoc sessions the caller did
+  * not configure; both consume the same builder/strategy objects, so the
+  * two mechanisms cannot drift. ExtensionsSpec proves a session configured
+  * ONLY via this class plans GroupedTopK and resolves the SQL functions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.GroupedTopKStrategy)
+    for ((name, builder) <- graft.functions.NativeFunctions.builders)
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        builder))
+  }
+}

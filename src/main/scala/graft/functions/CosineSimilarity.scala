@@ -87,33 +87,37 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
 /** Session registration for the engine's native functions (SQL + Column). */
 object NativeFunctions {
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "hamming", exprs => HammingDistance(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "jaccard_counts", exprs => JaccardCounts(exprs(0), exprs(1)), "built-in")
-    // the parameter arg must be checked foldable BEFORE eval(): calling
-    // eval() on a non-literal (e.g. a column reference) throws an opaque
-    // unbound-attribute error instead of this usage message
-    def intLiteral(e: Expression, usage: String): Long = {
-      if (!e.foldable) throw new IllegalArgumentException(usage)
-      e.eval() match {
-        case i: Int => i.toLong
-        case l: Long => l
-        case _ => throw new IllegalArgumentException(usage)
-      }
+
+  // the parameter arg must be checked foldable BEFORE eval(): calling
+  // eval() on a non-literal (e.g. a column reference) throws an opaque
+  // unbound-attribute error instead of this usage message
+  private def intLiteral(e: Expression, usage: String): Long = {
+    if (!e.foldable) throw new IllegalArgumentException(usage)
+    e.eval() match {
+      case i: Int => i.toLong
+      case l: Long => l
+      case _ => throw new IllegalArgumentException(usage)
     }
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash_bits", exprs => SimHashBits(exprs(0), intLiteral(exprs(1),
-        "simhash_bits(arr, bits): bits must be an integer literal").toInt), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_base", exprs => MinhashBaseHashes(exprs(0), intLiteral(exprs(1),
-        "minhash_base(arr, p): p must be an integer literal")), "built-in")
   }
+
+  /** Name → expression builder for every native function; the single
+    * source both registration paths consume ([[register]] for an
+    * existing session, [[graft.GraftExtensions]] for
+    * `spark.sql.extensions`-configured sessions). */
+  private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_sim" -> (exprs => CosineSimilarity(exprs(0), exprs(1))),
+    "hamming" -> (exprs => HammingDistance(exprs(0), exprs(1))),
+    "dot_product" -> (exprs => DotProduct(exprs(0), exprs(1))),
+    "jaccard_counts" -> (exprs => JaccardCounts(exprs(0), exprs(1))),
+    "simhash_bits" -> (exprs => SimHashBits(exprs(0), intLiteral(exprs(1),
+      "simhash_bits(arr, bits): bits must be an integer literal").toInt)),
+    "minhash_base" -> (exprs => MinhashBaseHashes(exprs(0), intLiteral(exprs(1),
+      "minhash_base(arr, p): p must be an integer literal"))))
+
+  def register(spark: SparkSession): Unit =
+    for ((name, builder) <- builders)
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
 
   /** Column-API entry points (require register(spark) in the session). */
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)

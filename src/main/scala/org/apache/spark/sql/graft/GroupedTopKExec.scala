@@ -81,6 +81,16 @@ object GroupedTopKApi {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ GroupedTopKStrategy
     }
+    build(df, keys, order, k)
+  }
+
+  /** Plan construction WITHOUT the experimental-registry fallback — the
+    * path for sessions carrying `spark.sql.extensions=graft.GraftExtensions`,
+    * where the strategy is already injected at session build. Planning
+    * fails (no strategy for GroupedTopK) on an unconfigured session, which
+    * is exactly what ExtensionsSpec exploits to prove the injection. */
+  def build(df: DataFrame, keys: Seq[Column], order: Seq[Column], k: Int): DataFrame = {
+    val spark = df.sparkSession
     // eager ColumnNode -> catalyst conversion (ExpressionUtils.expression
     // returns a lazy, non-serializable bridge that breaks task shipping)
     def toExpr(c: Column): Expression =

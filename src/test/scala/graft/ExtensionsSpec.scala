@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The production registration path: a session configured ONLY with
+  * `spark.sql.extensions=graft.GraftExtensions` (no register() calls, no
+  * experimental-registry mutation) must resolve the native SQL functions
+  * and plan the custom GroupedTopK operator. */
+class ExtensionsSpec extends AnyFunSuite {
+
+  /** Build a sibling session on the shared SparkContext carrying
+    * GraftExtensions, run `f`, restore the suite session. spark.sql.
+    * extensions is a STATIC conf (applies only at SparkContext build),
+    * so over the shared test context the injection goes through
+    * Builder.withExtensions — the same SparkSessionExtensions => Unit
+    * instance the config names, exercising the identical inject path.
+    * The shared TestSpark session must be cleared from the active/
+    * default slots first or getOrCreate would just return it. */
+  private def withExtensionsSession[A](f: SparkSession => A): A = {
+    val base = TestSpark.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val sess = SparkSession.builder()
+        .withExtensions(new GraftExtensions())
+        .getOrCreate()
+      try f(sess)
+      finally {
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+      }
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
+  test("injected functions resolve in SQL with no register() call") {
+    withExtensionsSession { sess =>
+      val row = sess.sql(
+        """SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+          |                  array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c,
+          |       hamming('af', '0f') AS h""".stripMargin).head()
+      assert(math.abs(row.getDouble(0) - 1.0) < 1e-9)
+      assert(row.getInt(1) == 1) // character-level (DuckDB semantics): one differing position
+    }
+  }
+
+  test("GroupedTopK plans through the injected strategy alone") {
+    import org.apache.spark.sql.graft.GroupedTopKApi
+    withExtensionsSession { sess =>
+      val df = sess.range(100)
+        .select((col("id") % 5).as("g"), col("id").as("v"))
+      val out = GroupedTopKApi.build(df, Seq(col("g")), Seq(col("v").desc), 2)
+      assert(out.queryExecution.executedPlan.toString.contains("GroupedTopK"))
+      val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (0L to 4L).flatMap(g => Seq((g, 95L + g), (g, 90L + g))).toSet
+      assert(got == want)
+    }
+  }
+
+  test("the build-only path fails without the extension (proves injection is load-bearing)") {
+    import org.apache.spark.sql.graft.{GroupedTopKApi, GroupedTopKStrategy}
+    val base = TestSpark.spark
+    // strip any strategy left by earlier suites, then plan WITHOUT registration
+    base.experimental.extraStrategies =
+      base.experimental.extraStrategies.filterNot(_ == GroupedTopKStrategy)
+    val df = base.range(10).select((col("id") % 2).as("g"), col("id").as("v"))
+    val out = GroupedTopKApi.build(df, Seq(col("g")), Seq(col("v")), 1)
+    intercept[Exception] { out.collect() }
+  }
+}
