@@ -13,9 +13,12 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   *
   * Injects the [[org.apache.spark.sql.graft.GroupedTopKStrategy]] planner
   * strategy (so [[graft.plans.GroupedTopK]] plans without any per-session
-  * `experimental.extraStrategies` mutation) and every native function from
-  * [[graft.functions.NativeFunctions]] as a built-in (available in SQL text
-  * and `call_function` from session start, no register() call needed).
+  * `experimental.extraStrategies` mutation), the [[graft.plans.TopKRewrite]]
+  * optimizer rule (declarative `row_number + filter + drop` top-k idioms
+  * compile into the bounded-heap operator automatically), and every native
+  * function from [[graft.functions.NativeFunctions]] as a built-in
+  * (available in SQL text and `call_function` from session start, no
+  * register() call needed).
   *
   * The imperative paths (`NativeFunctions.register`, the self-registering
   * `GroupedTopKApi.groupedTopK`) remain for ad-hoc sessions the caller did
@@ -26,6 +29,7 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.GroupedTopKStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
     for ((name, builder) <- graft.functions.NativeFunctions.builders)
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name),
