@@ -107,6 +107,40 @@ object RelationalQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Incremental aggregate maintenance — the materialized-view delta
+    // pattern a lakehouse gold layer needs at 100 TB: the refreshed
+    // aggregate comes from MERGING the existing gold rows with a
+    // partial aggregate of the changeset (inserts op=+1, deletes
+    // op=−1), never rescanning the base facts. count/sum are the
+    // mergeable state (new = old + Σop, old_sum + Σop·cents); exact
+    // integer cents keep the retraction arithmetic bit-exact. The
+    // oracle aggregates the final row set directly — the merged result
+    // must equal the from-scratch rebuild. Groups whose count reaches 0
+    // drop out (the view deletes the row). Cost: one pass over the
+    // DELTA + a gold-sized join; the base table is never read.
+    "q_incremental_agg" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderpriority").as("prio"),
+        col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      val base = o.filter(col("k") % 10 =!= 0)         // yesterday's facts
+      val inserts = o.filter(col("k") % 10 === 0)      // new arrivals
+      val deletes = base.filter(col("k") % 7 === 0)    // retracted rows
+      val gold = base.groupBy(col("prio")).agg(
+        count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+      val delta = inserts.withColumn("op", lit(1L))
+        .unionByName(deletes.withColumn("op", lit(-1L)))
+        .groupBy(col("prio")).agg(
+          sum(col("op")).as("dn"), sum(col("op") * col("cents")).as("ds"))
+      gold.join(delta, Seq("prio"), "full_outer")
+        .select(col("prio"),
+          (coalesce(col("n_orders"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+            .as("n_orders"),
+          (coalesce(col("sum_cents"), lit(0L)) + coalesce(col("ds"), lit(0L)))
+            .as("sum_cents"))
+        .filter(col("n_orders") > 0)
+        .orderBy(col("prio"))
+    }),
+
     // P1/P2 projection + rename.
     "q_project_rename" -> ((s, dir) =>
       t(s, dir, "customer")
@@ -685,6 +719,19 @@ object RelationalQueries {
          |  ${ZOrder.zorder2Sql("ba", "bb")} AS zkey
          |FROM bk
          |ORDER BY zkey, l_orderkey, l_partkey""".stripMargin,
+
+    // The from-scratch rebuild over the final row set: (base \ deletes)
+    // ∪ inserts = keys where k%10==0 OR (k%10<>0 AND k%7<>0). The
+    // incremental merge must reproduce it exactly.
+    "q_incremental_agg" ->
+      """WITH o AS (SELECT o_orderpriority AS prio, o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |fin AS (SELECT * FROM o
+        |  WHERE k % 10 = 0 OR (k % 10 <> 0 AND k % 7 <> 0))
+        |SELECT prio, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM fin GROUP BY prio HAVING count(*) > 0
+        |ORDER BY prio""".stripMargin,
 
     "q_merge_upsert" ->
       """WITH base AS (

@@ -77,4 +77,22 @@ class OpsSpec extends AnyFunSuite {
     val out = topK(df, 3, col("v").desc).as[Int].collect()
     assert(out.toSeq == Seq(100, 99, 98))
   }
+
+  test("incremental aggregate maintenance: merge == rebuild, zero-count groups drop") {
+    // base (k%10!=0): A{1,2,3,13}, B{7,21}; deletes (k%7==0): A{21?no->B}, ...
+    // crafted so group B's rows are ALL deleted and no insert refills it:
+    // the merged view must not contain a (B, 0, 0) row.
+    val dir = java.nio.file.Files.createTempDirectory("graft_incagg").toString
+    val rows = Seq(
+      ("A", 1L, 10.00), ("A", 2L, 20.00), ("A", 3L, 30.00), ("A", 13L, 40.00),
+      ("B", 7L, 50.00), ("B", 21L, 60.00),       // both deleted (k%7==0)
+      ("C", 10L, 70.00), ("A", 20L, 80.00))      // inserts (k%10==0)
+    rows.toDF("o_orderpriority", "o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = graft.queries.RelationalQueries.queries("q_incremental_agg")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // final set: inserts {C10, A20} + base minus deletes {A1, A2, A3, A13}
+    assert(got == Seq(("A", 5L, 18000L), ("C", 1L, 7000L)))
+    assert(!got.exists(_._1 == "B"), "fully-retracted group must drop out")
+  }
 }
