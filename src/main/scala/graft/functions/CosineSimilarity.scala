@@ -112,7 +112,9 @@ object NativeFunctions {
     "simhash_bits" -> (exprs => SimHashBits(exprs(0), intLiteral(exprs(1),
       "simhash_bits(arr, bits): bits must be an integer literal").toInt)),
     "minhash_base" -> (exprs => MinhashBaseHashes(exprs(0), intLiteral(exprs(1),
-      "minhash_base(arr, p): p must be an integer literal"))))
+      "minhash_base(arr, p): p must be an integer literal"))),
+    "rolling_hash" -> (exprs => RollingHashWindows(exprs(0), intLiteral(exprs(1),
+      "rolling_hash(arr, w): w must be an integer literal").toInt)))
 
   def register(spark: SparkSession): Unit =
     for ((name, builder) <- builders)

@@ -53,6 +53,73 @@ object ShortestPaths {
     edges
   }
 
+  /** One multi-source relaxation round: [[round]] with distances keyed
+    * (lm, node) — one BFS/Bellman-Ford frontier per landmark `lm`, all
+    * sharing the single src-partitioned edge table. The landmark id is
+    * carried as a key column through the same two-shuffle plan, so k
+    * landmarks cost k× the frontier ROWS, never k passes over the
+    * edges. */
+  def roundMulti(edges: DataFrame, dist: DataFrame): DataFrame = {
+    val relaxed = edges.join(dist.hint("shuffle_hash"), col("src") === col("node"))
+      .select(col("lm"), col("dst").as("node"), (col("d") + col("c")).as("d"))
+    dist.select(col("lm"), col("node"), col("d")).union(relaxed)
+      .groupBy(col("lm"), col("node")).agg(min(col("d")).as("d"))
+  }
+
+  /** `rounds` synchronized rounds from EVERY row of `sources(lm, node)` —
+    * the landmark-sampled distance table centrality estimators consume
+    * (exact when sources = all nodes, as the 25-node demo graph affords;
+    * at 10⁹ nodes the caller samples k landmarks and the cost model is
+    * unchanged). Returns (lm, node, d): cheapest ≤`rounds`-hop cost from
+    * each landmark's start vertex. */
+  def runMulti(edgesIn: DataFrame, sources: DataFrame, rounds: Int): DataFrame = {
+    val edges = prepare(edgesIn)
+    var dist = sources.select(col("lm"), col("node"), lit(0L).as("d"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds)
+      dist = roundMulti(edges, dist).localCheckpoint()
+    edges.unpersist()
+    dist
+  }
+
+  /** One level of multi-source UNIT-cost BFS carrying shortest-path
+    * COUNTS (σ): `dist` holds finalized rows (lm, node, d, sigma) for
+    * every node within k−1 hops; the round expands the d = k−1 frontier
+    * one hop, drops nodes already finalized (a closer path exists —
+    * left_anti on the key), and SUMS predecessor σ per new node: with
+    * unit costs a node's level never improves after first touch, so σ
+    * finalizes with d and no double counting can occur (the Brandes
+    * forward pass, level-synchronous). All-integer, so a fixed round
+    * count is bit-exact cross-engine. Frontier/dist stay key-sized
+    * rows; the edge side reuses [[prepare]]'s partitioning. */
+  def bfsSigmaRound(edges: DataFrame, dist: DataFrame, k: Int): DataFrame = {
+    val frontier = dist.filter(col("d") === (k - 1).toLong)
+    val relaxed = edges.join(frontier.hint("shuffle_hash"), col("src") === col("node"))
+      .select(col("lm"), col("dst").as("node"), col("sigma"))
+    val fresh = relaxed
+      .join(dist.select(col("lm"), col("node")).hint("shuffle_hash"),
+        Seq("lm", "node"), "left_anti")
+      .groupBy(col("lm"), col("node")).agg(sum(col("sigma")).as("sigma"))
+      .select(col("lm"), col("node"), lit(k.toLong).as("d"), col("sigma"))
+    dist.select(col("lm"), col("node"), col("d"), col("sigma")).union(fresh)
+  }
+
+  /** `rounds` levels of σ-carrying BFS from every `sources(lm, node)`
+    * row over UNIT-cost `edgesIn(src, dst)`; returns (lm, node, d,
+    * sigma) — hop distance and the exact number of distinct shortest
+    * paths, for every node within `rounds` hops of its landmark. The
+    * geodesic-counting table centrality estimators consume: stress /
+    * betweenness numerators are σ products joined on this table. */
+  def runSigma(edgesIn: DataFrame, sources: DataFrame, rounds: Int): DataFrame = {
+    val edges = prepare(edgesIn.select(col("src"), col("dst"), lit(1L).as("c")))
+    var dist = sources.select(col("lm"), col("node"), lit(0L).as("d"),
+      lit(1L).as("sigma")).localCheckpoint()
+    for (k <- 1 to rounds)
+      dist = bfsSigmaRound(edges, dist, k).localCheckpoint()
+    edges.unpersist()
+    dist
+  }
+
   /** `rounds` synchronized Bellman-Ford rounds over `edgesIn(src, dst, c)`
     * from `source`; returns (node, d) for every node reached within
     * `rounds` hops, d = exact cheapest cost over ≤rounds-hop paths. */

@@ -162,6 +162,37 @@ object CurationQueries {
       |    JOIN customer ON o_custkey = c_custkey
       |  GROUP BY 1, 2""".stripMargin
 
+  /** The symmetrized unit-cost MAJOR-ROUTE graph shared by the
+    * centrality queries: each nation keeps its top-3 trade flows by
+    * weight (deterministic tie-break: w desc, dst asc), undirected
+    * pairs emitted in both directions with c = 1 (hop metric). The
+    * top-k sparsification matters: the FULL flow graph is a clique
+    * from sf0.01 up — every node at distance 1 from every other, so
+    * closeness is uniform and stress identically zero; the route
+    * graph has real multi-hop geodesics. */
+  private def undirectedUnitEdges(s: SparkSession, dir: String): DataFrame = {
+    val routes = nationFlowShared(s, dir)
+      .filter(col("src") =!= col("dst"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("w").desc, col("dst"))))
+      .filter(col("rn") <= 3)
+    val und = routes
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    und.select(col("a").as("src"), col("b").as("dst"))
+      .union(und.select(col("b").as("src"), col("a").as("dst")))
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"), lit(1L).as("c"))
+  }
+
+  /** Every node as its own landmark — exact centrality on the demo
+    * graph; at 10⁹ nodes the caller samples k rows here instead and
+    * every downstream plan is unchanged. */
+  private def allNodeLandmarks(e: DataFrame): DataFrame =
+    e.select(col("src").as("node")).distinct()
+      .select(col("node").as("lm"), col("node"))
+
   /** Triangle/wedge statistics of an undirected graph given as raw
     * (possibly directed, possibly duplicated) node pairs. Normalizes to
     * canonical undirected edges, then orients each edge from the
@@ -334,6 +365,62 @@ object CurationQueries {
       graft.ops.ShortestPaths.run(e, source = 0L, rounds = 5)
         .join(broadcast(t(s, dir, "nation")), col("node") === col("n_nationkey"))
         .select(col("n_name").as("nation"), col("d").as("dist_cost"))
+        .orderBy(col("nation"))
+    }),
+
+    // Harmonic closeness centrality (ShortestPaths.runMulti): hop-count
+    // BFS from every node of the symmetrized flow graph — the landmark
+    // key rides the same bucketed two-shuffle round as q_sssp, so
+    // all-sources here and k-sampled-landmarks at 10⁹ nodes are the SAME
+    // plan, only the frontier row count differs. Harmonic form (Σ 1/d,
+    // unreached = 0) because it is well-defined on disconnected graphs
+    // where classic closeness is not; integer micro-units (1e6 div d)
+    // keep the sum exact across engines. 4 rounds = hop bound, part of
+    // the operator contract; the oracle unrolls the same 4.
+    "q_closeness" -> ((s, dir) => {
+      val e = undirectedUnitEdges(s, dir)
+      val sources = allNodeLandmarks(e)
+      val dist = graft.ops.ShortestPaths.runMulti(e, sources, rounds = 4)
+      dist.filter(col("d") > 0)
+        .groupBy(col("lm"))
+        .agg(count(lit(1)).as("n_reached"),
+          sum(expr("1000000 div d")).as("harmonic_micro"))
+        .join(broadcast(t(s, dir, "nation")), col("lm") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), col("n_reached"),
+          col("harmonic_micro"))
+        .orderBy(col("nation"))
+    }),
+
+    // Stress centrality (Shimbel) — the ALL-INTEGER betweenness variant:
+    // stress(v) = Σ_{s≠v≠t} σ(s,t|v), the count of shortest s→t paths
+    // routed through v, where σ(s,t|v) = σ(s,v)·σ(v,t) iff d(s,v) +
+    // d(v,t) = d(s,t). Classic betweenness divides by σ(s,t) — a
+    // rational no cross-engine float sum reproduces; the path COUNT
+    // ranks nodes by the same broker-of-shortest-routes signal and
+    // hash-matches exactly. Forward pass: ShortestPaths.runSigma —
+    // level-synchronous BFS carrying σ (Brandes' forward phase) in the
+    // bucketed q_sssp round. Numerator: a 3-way self-join of the (lm,
+    // node, d, σ) geodesic table on (s,v)+(v,t)+(s,t) — O((kn)·deg)
+    // with k sampled landmarks at scale, all-pairs-exact here. Ordered
+    // (s,t) pairs, both directions counted (documented; oracle
+    // identical).
+    "q_stress" -> ((s, dir) => {
+      val e = undirectedUnitEdges(s, dir)
+      val g = graft.ops.ShortestPaths.runSigma(e, allNodeLandmarks(e), rounds = 4)
+        .localCheckpoint() // consumed three times by the triple join
+      val sv = g.select(col("lm").as("s"), col("node").as("v"),
+        col("d").as("d1"), col("sigma").as("s1")).filter(col("d1") > 0)
+      val vt = g.select(col("lm").as("v"), col("node").as("t"),
+        col("d").as("d2"), col("sigma").as("s2")).filter(col("d2") > 0)
+      val st = g.select(col("lm").as("s"), col("node").as("t"),
+        col("d").as("d3")).filter(col("d3") > 0)
+      sv.join(vt, Seq("v")).join(st, Seq("s", "t"))
+        .filter(col("d1") + col("d2") === col("d3"))
+        .groupBy(col("v"))
+        .agg(count(lit(1)).as("n_routed_pairs"),
+          sum(col("s1") * col("s2")).as("stress"))
+        .join(broadcast(t(s, dir, "nation")), col("v") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), col("n_routed_pairs"), col("stress"))
         .orderBy(col("nation"))
     }),
 
@@ -627,6 +714,69 @@ object CurationQueries {
          |SELECT n.n_name AS nation, d.d AS dist_cost
          |FROM d5 d JOIN nation n ON d.node = n.n_nationkey
          |ORDER BY nation""".stripMargin
+    },
+
+    "q_closeness" -> {
+      val rounds = (1 to 4).map { i =>
+        val p = i - 1
+        s"""d$i AS (SELECT lm, node, min(d) AS d FROM (
+           |    SELECT lm, node, d FROM d$p
+           |    UNION ALL
+           |    SELECT d$p.lm, e.dst, d$p.d + 1 FROM d$p JOIN e ON e.src = d$p.node)
+           |  GROUP BY 1, 2)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ed AS ($NATION_FLOW_SQL),
+         |r AS (SELECT src, dst, row_number() OVER (
+         |    PARTITION BY src ORDER BY w DESC, dst) AS rn
+         |  FROM ed WHERE src <> dst),
+         |und AS (
+         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM r WHERE rn <= 3),
+         |e AS (SELECT CAST(a AS BIGINT) AS src, CAST(b AS BIGINT) AS dst FROM und
+         |  UNION ALL SELECT CAST(b AS BIGINT), CAST(a AS BIGINT) FROM und),
+         |d0 AS (SELECT DISTINCT src AS lm, src AS node, CAST(0 AS BIGINT) AS d FROM e),
+         |$rounds
+         |SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS n_reached,
+         |  CAST(sum(1000000 // d) AS BIGINT) AS harmonic_micro
+         |FROM d4 d JOIN nation n ON d.lm = n.n_nationkey
+         |WHERE d.d > 0
+         |GROUP BY 1 ORDER BY nation""".stripMargin
+    },
+
+    "q_stress" -> {
+      // level-synchronous σ-BFS unrolled: round k finalizes nodes at hop
+      // k with σ = Σ predecessor σ; LEFT JOIN ... IS NULL is the
+      // already-finalized anti filter (f rows are unique per (lm, node))
+      val rounds = (1 to 4).map { k =>
+        val p = k - 1
+        s"""n$k AS (SELECT fr.lm AS lm, e.dst AS node, CAST($k AS BIGINT) AS d,
+           |    CAST(sum(fr.sigma) AS BIGINT) AS sigma
+           |  FROM f$p fr JOIN e ON e.src = fr.node
+           |  LEFT JOIN f$p x ON x.lm = fr.lm AND x.node = e.dst
+           |  WHERE fr.d = $p AND x.node IS NULL
+           |  GROUP BY 1, 2),
+           |f$k AS (SELECT lm, node, d, sigma FROM f$p
+           |  UNION ALL SELECT lm, node, d, sigma FROM n$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ed AS ($NATION_FLOW_SQL),
+         |r AS (SELECT src, dst, row_number() OVER (
+         |    PARTITION BY src ORDER BY w DESC, dst) AS rn
+         |  FROM ed WHERE src <> dst),
+         |und AS (
+         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM r WHERE rn <= 3),
+         |e AS (SELECT CAST(a AS BIGINT) AS src, CAST(b AS BIGINT) AS dst FROM und
+         |  UNION ALL SELECT CAST(b AS BIGINT), CAST(a AS BIGINT) FROM und),
+         |f0 AS (SELECT DISTINCT src AS lm, src AS node, CAST(0 AS BIGINT) AS d,
+         |    CAST(1 AS BIGINT) AS sigma FROM e),
+         |$rounds
+         |SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS n_routed_pairs,
+         |  CAST(sum(sv.sigma * vt.sigma) AS BIGINT) AS stress
+         |FROM f4 sv JOIN f4 vt ON vt.lm = sv.node
+         |  JOIN f4 st ON st.lm = sv.lm AND st.node = vt.node
+         |  JOIN nation n ON sv.node = n.n_nationkey
+         |WHERE sv.d > 0 AND vt.d > 0 AND st.d > 0 AND sv.d + vt.d = st.d
+         |GROUP BY 1 ORDER BY nation""".stripMargin
     },
 
     "q_redact" ->

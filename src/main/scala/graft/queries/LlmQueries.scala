@@ -339,23 +339,6 @@ object LlmQueries {
                               cfg: graft.util.PipelineConfig): DataFrame =
     segmentDropList(s, dir, cfg.int("segdedup.segment_tokens", 10))
 
-  /** Exact-substring dedup over SLIDING `L`-token windows — the
-    * full-recall form of [[segmentDropList]]'s aligned grid. A duplicated
-    * run of ≥ L tokens at ANY alignment is, at every offset, an L-window
-    * seen elsewhere, so every such run is caught and its maximal extent
-    * recovered exactly (the grid needs an aligned cell inside the run:
-    * recall (s−W+1)/W for a run of s tokens, 1 only from s ≥ 2W−1 —
-    * NOTES.md "exact-substring recall"). This is the detection guarantee
-    * of Lee et al. 2022's suffix array, bought with n windows (O(n·L)
-    * hashing — a rolling Rabin–Karp kernel would make it O(n)) instead
-    * of O(n log n) global sorts; md5 keys make hash-collision false
-    * drops cryptographically improbable where a 64-bit roll would not.
-    *
-    * Output: merged maximal drop spans (doc_id, span_start, span_end
-    * token-exclusive, n_windows), first occurrence (min struct(doc_id,
-    * pos)) kept corpus-wide. Shuffle shape: election moves (md5, doc_id,
-    * pos) — never window text; the span merge regroups loser positions
-    * only, partitioned by doc_id. */
   /** (doc_id, pos, wkey): every sliding `L`-token window of `docs`,
     * md5-keyed. The per-window md5 is the dominant cost and
     * embarrassingly parallel — a single-file local input is spread over
@@ -390,12 +373,51 @@ object LlmQueries {
         col("n_windows"))
   }
 
+  /** Exact-substring dedup over SLIDING `L`-token windows — the
+    * full-recall form of [[segmentDropList]]'s aligned grid. A duplicated
+    * run of ≥ L tokens at ANY alignment is, at every offset, an L-window
+    * seen elsewhere, so every such run is caught and its maximal extent
+    * recovered exactly (the grid needs an aligned cell inside the run:
+    * recall (s−W+1)/W for a run of s tokens, 1 only from s ≥ 2W−1 —
+    * NOTES.md "exact-substring recall"). This is the detection guarantee
+    * of Lee et al. 2022's suffix array, bought with n windows instead of
+    * O(n log n) global sorts. Output: merged maximal drop spans (doc_id,
+    * span_start, span_end token-exclusive, n_windows), first occurrence
+    * (min struct(doc_id, pos)) kept corpus-wide.
+    *
+    * Two-phase window keying: phase 1 keys ALL windows with the codegen'd rolling
+    * Rabin–Karp kernel ([[graft.functions.RollingHashWindows]] — each
+    * token hashed once, O(1) roll per window, an 8-byte key on the wire
+    * instead of a 32-char hex md5); phase 2 re-derives md5 keys ONLY for
+    * windows whose rolling hash repeats (equal windows always collide, so
+    * recall is exact) and elects winners on those, so a structured 64-bit
+    * collision can never false-drop a span — the O(n·L) digest cost
+    * shrinks to the corpus's duplicated fraction. The candidate position
+    * list rides a broadcast back onto the token arrays (positions only —
+    * no text shuffles; at corpus scale the same join runs exchange-free
+    * against doc_id-bucketed storage). */
   def dupSpanDropList(s: SparkSession, dir: String, L: Int): DataFrame = {
     require(L > 0, s"window width must be positive, got $L")
-    val wins = windowKeys(t(s, dir, "documents"), L)
-    val winners = wins.groupBy(col("wkey"))
+    import org.apache.spark.sql.graft.NativeColumns
+    val docs = spreadSmallInput(t(s, dir, "documents"))
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+    val wins = docs
+      .select(col("doc_id"), posexplode(NativeColumns.rollingHash(col("tk"), L)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("rh"))
+    // map-side partial agg beats a count-over-window here: a stopword-run
+    // window repeated millions of times would pile onto one reducer
+    val dupKeys = wins.groupBy(col("rh"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).select(col("rh"))
+    val candByDoc = wins.join(dupKeys, Seq("rh"))
+      .groupBy(col("doc_id")).agg(collect_list(col("pos")).as("cand_pos"))
+    val verify = docs.join(broadcast(candByDoc), Seq("doc_id"))
+      .select(col("doc_id"), explode(col("cand_pos")).as("pos"), col("tk"))
+      .select(col("doc_id"), col("pos"),
+        md5(concat_ws(" ",
+          slice(col("tk"), (col("pos") + 1).cast("int"), lit(L)))).as("wkey"))
+    val winners = verify.groupBy(col("wkey"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("win"))
-    val losers = wins.join(winners, Seq("wkey"))
+    val losers = verify.join(winners, Seq("wkey"))
       .filter(struct(col("doc_id"), col("pos")) =!= col("win"))
       .select(col("doc_id"), col("pos"))
     mergeSpans(losers, L)

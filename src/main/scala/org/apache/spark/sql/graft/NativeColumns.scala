@@ -20,4 +20,9 @@ object NativeColumns {
   /** Native per-shingle md5→60-bit→mod-p hash ([[graft.functions.MinhashBaseHashes]]). */
   def minhashBaseHashes(arr: Column, p: Long): Column =
     ofExpr(graft.functions.MinhashBaseHashes(toExpr(arr), p))
+
+  /** Rolling Rabin–Karp hashes of every sliding w-token window
+    * ([[graft.functions.RollingHashWindows]]). */
+  def rollingHash(arr: Column, w: Int): Column =
+    ofExpr(graft.functions.RollingHashWindows(toExpr(arr), w))
 }

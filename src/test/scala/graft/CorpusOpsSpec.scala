@@ -293,4 +293,34 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert("hashpartitioning\\(skew_key[^)]*_salt".r.findFirstIn(plan).isDefined,
       s"join exchange must partition on (skew_key, _salt):\n$plan")
   }
+
+  test("rolling-hash windows: grouping-equivalent to exact window keys, shape contracts") {
+    import org.apache.spark.sql.graft.NativeColumns
+    // 60 tokens from a 7-word vocabulary: plenty of genuinely repeated
+    // 3-token windows. The 64-bit roll must induce EXACTLY the window-text
+    // partition (no false negatives by construction; a false positive
+    // here would be a found 2^-64 collision).
+    val vocab = Array("a", "b", "c", "d", "e", "f", "g")
+    val toks = (0 until 60).map(i => vocab((i * i + i / 3) % 7))
+    val df = Seq((toks.mkString(" "))).toDF("text")
+      .select(split(col("text"), " ").as("tk"))
+    val hs = df.select(NativeColumns.rollingHash(col("tk"), 3)).as[Seq[Long]].head
+    assert(hs.length == 58, "n - w + 1 windows")
+    val byText = (0 until 58).groupBy(i => toks.slice(i, i + 3).mkString(" "))
+    val byHash = (0 until 58).groupBy(hs)
+    assert(byText.values.map(_.toSet).toSet == byHash.values.map(_.toSet).toSet,
+      "rolling hash must partition window positions exactly like window text")
+    assert(byText.size < 58, "fixture must actually contain repeated windows")
+    // short-array + exact-length boundary: n < w -> empty, n == w -> 1
+    val edge = Seq(Seq("x", "y"), Seq("x", "y", "z")).toDF("tk")
+      .select(NativeColumns.rollingHash(col("tk"), 3)).as[Seq[Long]].collect()
+    assert(edge(0).isEmpty && edge(1).length == 1)
+    // SQL surface via the registered function
+    graft.functions.NativeFunctions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT rolling_hash(array('p', 'q', 'r', 'p', 'q', 'r'), 3) AS h")
+      .as[Seq[Long]].head
+    assert(viaSql.length == 4 && viaSql(0) == viaSql(3),
+      "identical windows must share a rolling key")
+  }
 }

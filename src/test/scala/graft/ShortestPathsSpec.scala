@@ -52,6 +52,84 @@ class ShortestPathsSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-source rounds: per-landmark BFS matches per-source serial runs") {
+    // every landmark's distance slice must equal an independent
+    // single-source run — the lm key must never leak between frontiers
+    val rng = new scala.util.Random(23)
+    val n = 9
+    val edges = (1 to n * 3).map { _ =>
+      (rng.nextInt(n).toLong, rng.nextInt(n).toLong, 1L)
+    }.filter(e => e._1 != e._2).distinct
+    val df = edges.toDF("src", "dst", "c")
+    val srcs = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val sources = srcs.map(s => (s, s)).toDF("lm", "node")
+    val multi = ShortestPaths.runMulti(df, sources, rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for (s <- srcs) {
+      val single = dists(ShortestPaths.run(df, s, rounds = 4))
+      assert(multi.collect { case ((lm, v), d) if lm == s => v -> d }.toMap == single,
+        s"landmark $s slice diverged from its single-source run")
+    }
+  }
+
+  test("multi-source round plan: same bucketed shape, landmark key is free") {
+    val edges = ShortestPaths.prepare(
+      Seq((0L, 1L, 1L), (1L, 2L, 1L), (2L, 0L, 1L)).toDF("src", "dst", "c"))
+    try {
+      val d0 = Seq((0L, 0L, 0L), (1L, 1L, 0L)).toDF("lm", "node", "d")
+        .localCheckpoint()
+      val round = ShortestPaths.roundMulti(edges, d0)
+      val live = TestSpark.livePlan(round.queryExecution.executedPlan.toString)
+      assert(!live.contains("BroadcastExchange"),
+        s"distance table must never broadcast:\n$live")
+      assert(!live.contains("Exchange hashpartitioning(src"),
+        s"edge table must reuse its persisted src-partitioning:\n$live")
+    } finally { edges.unpersist(); () }
+  }
+
+  test("sigma BFS: shortest-path counts match a serial reference on random graphs") {
+    def serial(edges: Seq[(Long, Long)], src: Long,
+               rounds: Int): Map[Long, (Long, Long)] = {
+      var done = Map(src -> (0L, 1L)) // node -> (d, sigma)
+      var frontier = Map(src -> 1L)
+      for (k <- 1 to rounds) {
+        val nxt = edges.flatMap { case (a, b) => frontier.get(a).map(s => b -> s) }
+          .filterNot { case (n, _) => done.contains(n) }
+          .groupBy(_._1).map { case (n, vs) => n -> vs.map(_._2).sum }
+        done = done ++ nxt.map { case (n, s) => n -> (k.toLong, s) }
+        frontier = nxt
+      }
+      done
+    }
+    val rng = new scala.util.Random(37)
+    for (trial <- 1 to 3) {
+      val n = 7 + trial * 2
+      val edges = (1 to n * 3).map { _ =>
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong)
+      }.filter(e => e._1 != e._2).distinct
+      val sources = Seq((0L, 0L), (1L, 1L)).toDF("lm", "node")
+      val got = ShortestPaths.runSigma(edges.toDF("src", "dst"), sources, rounds = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      for (s <- Seq(0L, 1L)) {
+        val exp = serial(edges, s, 4)
+        val slice = got.collect { case ((lm, v), ds) if lm == s => v -> ds }.toMap
+        assert(slice == exp, s"trial $trial lm=$s: sigma BFS diverged from serial")
+      }
+    }
+  }
+
+  test("sigma BFS: diamond graph counts both shortest paths") {
+    // 0→{1,2}→3: two 2-hop shortest paths to 3, σ(3) = 2; the direct
+    // 3-hop edge chain 0→4→5→3 must NOT contribute (longer)
+    val g = Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L),
+      (0L, 4L), (4L, 5L), (5L, 3L)).toDF("src", "dst")
+    val got = ShortestPaths.runSigma(g, Seq((0L, 0L)).toDF("lm", "node"), rounds = 4)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got(3L) == (2L, 2L), s"node 3 must finalize at d=2 with sigma=2, got $got")
+    assert(got(5L) == (2L, 1L) && got(4L) == (1L, 1L))
+  }
+
   test("round plan: edge side exchange-free, distance table never broadcast") {
     val edgesIn = Seq((0L, 1L, 3L), (1L, 2L, 1L), (0L, 2L, 9L), (2L, 3L, 2L))
       .toDF("src", "dst", "c")
