@@ -15,7 +15,10 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * strategy (so [[graft.plans.GroupedTopK]] plans without any per-session
   * `experimental.extraStrategies` mutation), the [[graft.plans.TopKRewrite]]
   * optimizer rule (declarative `row_number + filter + drop` top-k idioms
-  * compile into the bounded-heap operator automatically), and every native
+  * compile into the bounded-heap operator automatically), the
+  * [[graft.plans.RangeJoinRewrite]] rule (bare `p BETWEEN lo AND hi` joins
+  * compile into the bucketed equi-join when
+  * `spark.graft.rangeJoin.width` is set), and every native
   * function from [[graft.functions.NativeFunctions]] as a built-in
   * (available in SQL text and `call_function` from session start, no
   * register() call needed).
@@ -30,6 +33,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.GroupedTopKStrategy)
     ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
     for ((name, builder) <- graft.functions.NativeFunctions.builders)
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name),

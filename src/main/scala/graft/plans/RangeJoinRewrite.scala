@@ -1,0 +1,129 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
+
+/** Optimizer rule: rewrite a bare interval join
+  *
+  * {{{ points JOIN intervals ON p BETWEEN lo AND hi }}}
+  *
+  * into the bucketed equi-join of [[graft.ops.RangeJoin]]. The raw form
+  * has no equi-key, so Spark plans BroadcastNestedLoopJoin —
+  * O(|points|·|intervals|) comparisons and undistributable once neither
+  * side fits a broadcast. The rewrite cuts the value axis into
+  * fixed-width buckets (points project their bucket, intervals explode
+  * the buckets they overlap), making the match an equi-join on the
+  * bucket id plus the original BETWEEN as residual — correct for ANY
+  * positive width (bucket agreement is implied by containment, the
+  * residual removes bucket-mate false positives), distributed and
+  * AQE-skew-splittable like every other equi-join.
+  *
+  * Enabled per session by `spark.graft.rangeJoin.width` (bucket width in
+  * the value axis' units, 0/unset = off) — the bin size is a semantic
+  * hint the optimizer cannot derive at rewrite time (deriving it from
+  * the interval-span distribution takes an aggregate over the data;
+  * [[graft.ops.RangeJoin.autoBucketWidth]] does exactly that for the
+  * API path). The conf-gated hint mirrors the public range-join binning
+  * pattern of commercial Spark runtimes.
+  *
+  * Conservative guards, in the TopKRewrite discipline:
+  *  - inner join whose condition is EXACTLY the two range conjuncts
+  *    (any conjunct order, any comparison orientation); extra conjuncts
+  *    — including an equi-key that would already avoid the BNLJ — leave
+  *    the join untouched;
+  *  - point and both bounds are bare numeric ATTRIBUTES, the point from
+  *    one side and both bounds from the other (expressions would need
+  *    provably-deterministic duplication into the bucket columns);
+  *  - strict bounds are not matched (BETWEEN is inclusive; rewriting
+  *    `<` would change semantics).
+  * Idempotent: the rewritten join's condition carries the added bucket
+  * equality, so the exactly-two-conjuncts guard cannot re-fire on it.
+  */
+object RangeJoinRewrite extends Rule[LogicalPlan] {
+
+  val WidthKey = "spark.graft.rangeJoin.width"
+
+  private def width: Long =
+    try conf.getConfString(WidthKey, "0").toLong catch { case _: NumberFormatException => 0L }
+
+  /** One reading of a comparison as "point vs bound". `a <= b` is
+    * ambiguous in isolation — it reads as point `a` under upper bound
+    * `b` OR bound `a` under point `b` — so every comparison yields BOTH
+    * interpretations and [[matchRange]] searches for the consistent
+    * pair. */
+  private case class Bound(point: Attribute, bound: Attribute, isLower: Boolean)
+
+  private def interps(e: Expression): Seq[Bound] = e match {
+    case GreaterThanOrEqual(a: Attribute, b: Attribute) =>
+      Seq(Bound(a, b, isLower = true), Bound(b, a, isLower = false))
+    case LessThanOrEqual(a: Attribute, b: Attribute) =>
+      Seq(Bound(a, b, isLower = false), Bound(b, a, isLower = true))
+    case _ => Seq.empty
+  }
+
+  /** The matched shape: point attr, lo, hi, and whether points are the
+    * left side. Both orderings of the conjuncts and both orientations of
+    * each comparison are accepted; the SAME attribute must be the point
+    * of both conjuncts, and sides must split point-vs-bounds. */
+  private def matchRange(cond: Expression, left: LogicalPlan,
+                         right: LogicalPlan): Option[(Attribute, Attribute, Attribute, Boolean)] =
+    cond match {
+      case And(c1, c2) =>
+        (for {
+          b1 <- interps(c1)
+          b2 <- interps(c2)
+          if b1.point.semanticEquals(b2.point) && b1.isLower != b2.isLower
+          lo = if (b1.isLower) b1.bound else b2.bound
+          hi = if (b1.isLower) b2.bound else b1.bound
+          if Seq(b1.point, lo, hi).forall(_.dataType.isInstanceOf[NumericType])
+          pointsLeft <-
+            if (left.outputSet.contains(b1.point) &&
+              right.outputSet.contains(lo) && right.outputSet.contains(hi)) Seq(true)
+            else if (right.outputSet.contains(b1.point) &&
+              left.outputSet.contains(lo) && left.outputSet.contains(hi)) Seq(false)
+            else Seq.empty
+        } yield (b1.point, lo, hi, pointsLeft)).headOption
+      case _ => None
+    }
+
+  /** floor(e / width) as a long — double division then floor, the same
+    * arithmetic as RangeJoin.rangeJoin; IEEE division is monotone, so
+    * containment still implies bucket-range membership and no match can
+    * be lost to rounding. */
+  private def bucketOf(e: Expression, w: Long): Expression =
+    Cast(Floor(Divide(Cast(e, DoubleType), Literal(w.toDouble))), LongType)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val w = width
+    if (w <= 0) plan
+    else plan.transformUp {
+      case j @ Join(left, right, Inner, Some(cond), hint) =>
+        matchRange(cond, left, right) match {
+          case Some((p, lo, hi, pointsLeft)) =>
+            val points = if (pointsLeft) left else right
+            val intervals = if (pointsLeft) right else left
+            val pAlias = Alias(bucketOf(p, w), "__bucket_p")()
+            val pSide = Project(points.output :+ pAlias, points)
+            val bAttr = AttributeReference("__bucket_i", LongType)()
+            // Sequence is TimeZoneAwareExpression: the analyzer's
+            // ResolveTimeZone pass already ran, so the id must be set
+            // here or the node stays unresolved
+            val iSide = Generate(
+              Explode(Sequence(bucketOf(lo, w), bucketOf(hi, w), None,
+                Some(conf.sessionLocalTimeZone))),
+              unrequiredChildIndex = Nil, outer = false, qualifier = None,
+              generatorOutput = Seq(bAttr),
+              child = Filter(LessThanOrEqual(lo, hi), intervals))
+            val newCond = And(EqualTo(pAlias.toAttribute, bAttr), cond)
+            val rewritten =
+              if (pointsLeft) Join(pSide, iSide, Inner, Some(newCond), hint)
+              else Join(iSide, pSide, Inner, Some(newCond), hint)
+            Project(j.output, rewritten)
+          case None => j
+        }
+    }
+  }
+}

@@ -1,0 +1,107 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** RangeJoinRewrite: a bare `p BETWEEN lo AND hi` inner join compiles
+  * into the bucketed equi-join when the session sets the bin-width conf
+  * — and every conservatism guard declines exactly when it should. */
+class RangeJoinRewriteSpec extends AnyFunSuite {
+
+  private val WidthKey = graft.plans.RangeJoinRewrite.WidthKey
+
+  private def withExtensionsSession[A](f: SparkSession => A): A = {
+    val base = TestSpark.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val sess = SparkSession.builder()
+        .withExtensions(new GraftExtensions()).getOrCreate()
+      try f(sess)
+      finally {
+        sess.conf.unset(WidthKey)
+        SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      }
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
+  private def points(s: SparkSession): DataFrame =
+    s.range(500).select(col("id").as("p"), (col("id") % 13).as("tag"))
+
+  // 60 intervals of span 0..18, some inverted (lo > hi: must match nothing)
+  private def intervals(s: SparkSession): DataFrame =
+    s.range(60).select((col("id") * 9).as("lo"),
+      (col("id") * 9 + (col("id") % 4) * 6 - 3).as("hi"), col("id").as("iid"))
+
+  private def planOf(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  private def joined(s: SparkSession): DataFrame =
+    points(s).join(intervals(s),
+      col("p") >= col("lo") && col("p") <= col("hi"))
+
+  test("between join rewrites to a bucketed equi-join, results identical") {
+    withExtensionsSession { sess =>
+      sess.conf.set(WidthKey, "8")
+      val df = joined(sess)
+      val plan = planOf(df)
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"the nested-loop join must be gone:\n$plan")
+      assert(plan.contains("__bucket"), s"expected the bucket equi-key:\n$plan")
+      val got = df.collect().map(_.toSeq).toSet
+      val base = joined(TestSpark.spark).collect().map(_.toSeq).toSet
+      assert(got == base, "rewritten results must equal the nested-loop results")
+      assert(got.nonEmpty, "fixture must genuinely match rows")
+    }
+  }
+
+  test("intervals-on-the-left and reversed comparison orientations also rewrite") {
+    withExtensionsSession { sess =>
+      sess.conf.set(WidthKey, "8")
+      val df = intervals(sess).join(points(sess),
+        col("lo") <= col("p") && col("hi") >= col("p"))
+      val plan = planOf(df)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"got:\n$plan")
+      val base = intervals(TestSpark.spark).join(points(TestSpark.spark),
+        col("lo") <= col("p") && col("hi") >= col("p"))
+      assert(df.collect().map(_.toSeq).toSet == base.collect().map(_.toSeq).toSet)
+    }
+  }
+
+  test("guards: no conf, extra conjunct, strict bound, equi-key present — all decline") {
+    withExtensionsSession { sess =>
+      // width unset -> rule off
+      assert(planOf(joined(sess)).contains("BroadcastNestedLoopJoin"))
+      sess.conf.set(WidthKey, "8")
+      // extra conjunct: rule must not fire (it cannot prove it)
+      val extra = points(sess).join(intervals(sess),
+        col("p") >= col("lo") && col("p") <= col("hi") && col("tag") =!= col("iid"))
+      assert(planOf(extra).contains("BroadcastNestedLoopJoin"))
+      // strict bound changes semantics: decline
+      val strict = points(sess).join(intervals(sess),
+        col("p") > col("lo") && col("p") <= col("hi"))
+      assert(planOf(strict).contains("BroadcastNestedLoopJoin"))
+      // an equi-key already avoids the BNLJ: leave it to the normal planner
+      val equi = points(sess).join(intervals(sess),
+        col("tag") === col("iid") && col("p") >= col("lo") && col("p") <= col("hi"))
+      val equiPlan = planOf(equi)
+      assert(!equiPlan.contains("__bucket"), s"must not touch equi joins:\n$equiPlan")
+    }
+  }
+
+  test("inverted intervals (lo > hi) match nothing, exactly like the nested loop") {
+    withExtensionsSession { sess =>
+      sess.conf.set(WidthKey, "5")
+      // bounds must be data-dependent: literal columns constant-fold into
+      // a pushed filter and the join condition vanishes before the rule
+      val inv = sess.range(10).select((col("id") + 50L).as("lo"),
+        (col("id") + 40L).as("hi"))
+      val df = points(sess).join(inv, col("p") >= col("lo") && col("p") <= col("hi"))
+      assert(!planOf(df).contains("BroadcastNestedLoopJoin"))
+      assert(df.count() == 0)
+    }
+  }
+}
