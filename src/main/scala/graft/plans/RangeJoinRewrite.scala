@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
+import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, NumericType, ShortType}
 
 /** Optimizer rule: rewrite a bare interval join
   *
@@ -56,11 +56,40 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
     * pair. */
   private case class Bound(point: Attribute, bound: Attribute, isLower: Boolean)
 
+  /** Unwrap an operand to its attribute, looking through WIDENING
+    * numeric casts only — type coercion wraps the narrower side of a
+    * mixed-width comparison in a cast (e.g. `cast(p as bigint) <= hi`
+    * for an int point against long bounds), and integral widening /
+    * float→double are exact and strictly monotone, so comparing in the
+    * widened space orders identically to the raw values and bucketing
+    * the RAW attribute preserves containment. A narrowing cast (user-
+    * written) can wrap on overflow — not monotone — so it declines. */
+  private def operand(e: Expression): Option[Attribute] = e match {
+    case a: Attribute => Some(a)
+    case Cast(a: Attribute, t, _, _) if widens(a.dataType, t) => Some(a)
+    case _ => None
+  }
+
+  private val intWidths = Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+  private def widens(f: DataType, t: DataType): Boolean = {
+    val (i, j) = (intWidths.indexOf(f), intWidths.indexOf(t))
+    if (i >= 0 && j >= 0) i <= j
+    else (f == FloatType && t == DoubleType) || f == t
+  }
+
   private def interps(e: Expression): Seq[Bound] = e match {
-    case GreaterThanOrEqual(a: Attribute, b: Attribute) =>
-      Seq(Bound(a, b, isLower = true), Bound(b, a, isLower = false))
-    case LessThanOrEqual(a: Attribute, b: Attribute) =>
-      Seq(Bound(a, b, isLower = false), Bound(b, a, isLower = true))
+    case GreaterThanOrEqual(l, r) =>
+      (operand(l), operand(r)) match {
+        case (Some(a), Some(b)) =>
+          Seq(Bound(a, b, isLower = true), Bound(b, a, isLower = false))
+        case _ => Seq.empty
+      }
+    case LessThanOrEqual(l, r) =>
+      (operand(l), operand(r)) match {
+        case (Some(a), Some(b)) =>
+          Seq(Bound(a, b, isLower = false), Bound(b, a, isLower = true))
+        case _ => Seq.empty
+      }
     case _ => Seq.empty
   }
 
@@ -89,6 +118,15 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  /** lo ≤ hi with the coercion cast the analyzer would have inserted —
+    * this plan is built AFTER analysis, so mixed-width operands must be
+    * widened explicitly or the node re-validates as unresolved. */
+  private def mkLE(a: Expression, b: Expression): Expression =
+    if (a.dataType == b.dataType) LessThanOrEqual(a, b)
+    else if (widens(a.dataType, b.dataType)) LessThanOrEqual(Cast(a, b.dataType), b)
+    else if (widens(b.dataType, a.dataType)) LessThanOrEqual(a, Cast(b, a.dataType))
+    else LessThanOrEqual(Cast(a, DoubleType), Cast(b, DoubleType))
+
   /** floor(e / width) as a long — double division then floor, the same
     * arithmetic as RangeJoin.rangeJoin; IEEE division is monotone, so
     * containment still implies bucket-range membership and no match can
@@ -116,7 +154,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
                 Some(conf.sessionLocalTimeZone))),
               unrequiredChildIndex = Nil, outer = false, qualifier = None,
               generatorOutput = Seq(bAttr),
-              child = Filter(LessThanOrEqual(lo, hi), intervals))
+              child = Filter(mkLE(lo, hi), intervals))
             val newCond = And(EqualTo(pAlias.toAttribute, bAttr), cond)
             val rewritten =
               if (pointsLeft) Join(pSide, iSide, Inner, Some(newCond), hint)

@@ -649,6 +649,35 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // The SAME range join written the way a user would write it — a raw
+    // BETWEEN join — compiled into the bucketed equi-join by the
+    // RangeJoinRewrite optimizer rule (installed imperatively here, the
+    // extraOptimizations twin of the GraftExtensions injection; width 4
+    // = the span-derived default q_range_join measures). One registry
+    // query per mechanism: q_range_join times the explicit API,
+    // q_range_join_rewrite proves the DECLARATIVE form reaches the same
+    // plan and the same oracle-checked answer.
+    "q_range_join_rewrite" -> ((s, dir) => {
+      if (!s.experimental.extraOptimizations.contains(graft.plans.RangeJoinRewrite))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.plans.RangeJoinRewrite
+      s.conf.set(graft.plans.RangeJoinRewrite.WidthKey, "4")
+      val pts = t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          unix_date(to_date(col("o_orderdate"))).as("p"))
+      val ivs = t(s, dir, "lineitem")
+        .filter(col("l_quantity") <= 5.0)
+        .select(col("l_returnflag"),
+          unix_date(to_date(col("l_shipdate"))).as("lo"),
+          (unix_date(to_date(col("l_shipdate"))) +
+            col("l_quantity").cast("long")).as("hi"))
+      pts.join(ivs, col("p") >= col("lo") && col("p") <= col("hi"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("pairs"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // G4 reconciliation drift, fully declarative (two 1-row aggs cross-joined).
     "q_gate_recon" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -1199,6 +1228,20 @@ object RelationalQueries {
     // semantic form only — DuckDB plans this as an IEJoin; the Spark side
     // must produce the identical aggregate through the bucketed equi-join
     "q_range_join" ->
+      """SELECT l_returnflag, count(*) AS pairs,
+        |  count(DISTINCT o_orderkey) AS n_orders
+        |FROM (SELECT l_returnflag,
+        |        datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS lo,
+        |        datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+        |          + CAST(l_quantity AS BIGINT) AS hi
+        |      FROM lineitem WHERE l_quantity <= 5) i
+        |JOIN (SELECT o_orderkey,
+        |        datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS p
+        |      FROM orders) o
+        |  ON o.p BETWEEN i.lo AND i.hi
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_range_join_rewrite" ->
       """SELECT l_returnflag, count(*) AS pairs,
         |  count(DISTINCT o_orderkey) AS n_orders
         |FROM (SELECT l_returnflag,

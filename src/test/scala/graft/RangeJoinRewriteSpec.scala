@@ -92,6 +92,28 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("registry q_range_join_rewrite: bucketed plan, result equals the API path") {
+    val dir = "/root/testdata/sf0.001"
+    val sess = TestSpark.spark
+    // the registry fn installs the rule + width on the session; restore
+    // both after execution so other suites see a pristine shared session
+    val prevRules = sess.experimental.extraOptimizations
+    try {
+      val df = graft.queries.RelationalQueries
+        .queries("q_range_join_rewrite")(sess, dir)
+      val plan = planOf(df)
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"the declarative BETWEEN join must compile to the bucketed join:\n$plan")
+      val api = graft.queries.RelationalQueries
+        .queries("q_range_join")(sess, dir)
+      assert(df.collect().map(_.toSeq).toSeq == api.collect().map(_.toSeq).toSeq,
+        "rewrite path and API path must agree")
+    } finally {
+      sess.experimental.extraOptimizations = prevRules
+      sess.conf.unset(WidthKey)
+    }
+  }
+
   test("inverted intervals (lo > hi) match nothing, exactly like the nested loop") {
     withExtensionsSession { sess =>
       sess.conf.set(WidthKey, "5")
