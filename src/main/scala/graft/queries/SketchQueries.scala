@@ -209,18 +209,12 @@ object SketchQueries {
     // formula). Scale: the only corpus-sized op is one hash-aggregate
     // to ≤m rows; registers merge by max, the distributive aggregate.
     "q_hll_est" -> ((s, dir) => {
-      val regs = t(s, dir, "orders")
-        .select(hllBucket(col("o_custkey")).as("bucket"),
-          hllRho(col("o_custkey")).as("rho"))
-        .groupBy(col("bucket")).agg(max(col("rho")).as("mj"))
-      val srg = regs.agg(
-        count(lit(1)).as("n_regs"),
-        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - mj AS INT))")).as("s"))
+      val srg = graft.ops.Hll.registerState(t(s, dir, "orders"), col("o_custkey"))
       val ex = t(s, dir, "orders").agg(
         count(lit(1)).as("n_rows"),
         countDistinct(col("o_custkey")).as("n_exact"))
       ex.crossJoin(srg)
-        .withColumn("raw", hllRaw(col("n_regs"), col("s")))
+        .withColumn("raw", graft.ops.Hll.rawEstimate(col("n_regs"), col("s")))
         .select(col("n_rows"), col("n_exact"), col("n_regs"),
           rnd(col("raw"), 2).as("hll_est"),
           rnd((col("raw") - col("n_exact")) / col("n_exact") * lit(100.0), 2)
@@ -234,18 +228,14 @@ object SketchQueries {
     // same exact-long harmonic sum. The exact countDistinct rides along
     // per group for the realized-error column.
     "q_hll_groups" -> ((s, dir) => {
-      val regs = t(s, dir, "orders")
-        .select(col("o_orderpriority").as("grp"),
-          hllBucket(col("o_custkey")).as("bucket"),
-          hllRho(col("o_custkey")).as("rho"))
-        .groupBy(col("grp"), col("bucket")).agg(max(col("rho")).as("mj"))
-        .groupBy(col("grp")).agg(
-          count(lit(1)).as("n_regs"),
-          sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - mj AS INT))")).as("s"))
+      val regs = graft.ops.Hll.registerState(
+        t(s, dir, "orders").select(col("o_orderpriority").as("grp"),
+          col("o_custkey")),
+        col("o_custkey"), "grp")
       val ex = t(s, dir, "orders").groupBy(col("o_orderpriority").as("grp"))
         .agg(countDistinct(col("o_custkey")).as("n_exact"))
       ex.join(regs, Seq("grp"))
-        .withColumn("raw", hllRaw(col("n_regs"), col("s")))
+        .withColumn("raw", graft.ops.Hll.rawEstimate(col("n_regs"), col("s")))
         .select(col("grp"), col("n_exact"), col("n_regs"),
           rnd(col("raw"), 2).as("hll_est"),
           rnd((col("raw") - col("n_exact")) / col("n_exact") * lit(100.0), 2)
@@ -253,26 +243,9 @@ object SketchQueries {
         .orderBy(col("grp"))
     }))
 
-  /** HLL register coordinates of a key: bucket = first md5 byte (m=256),
-    * rho = leading-zero rank of the next 52 bits via bin() length —
-    * both cross-engine-identical md5/bin semantics. */
-  private def hllBucket(key: org.apache.spark.sql.Column) =
-    conv(substring(md5(key.cast("string")), 1, 2), 16, 10).cast("long")
-  private def hllRho(key: org.apache.spark.sql.Column) = {
-    val v = conv(substring(md5(key.cast("string")), 3, 13), 16, 10).cast("long")
-    when(v === 0, lit(53L)).otherwise(lit(53L) - length(bin(v)))
-  }
-
-  /** Raw HLL estimate α·m²/(V₀ + Σ2^(−Mⱼ)) from the occupied-register
-    * count and the exact-long scaled harmonic sum S = Σ 2^(53−Mⱼ)
-    * (terms ∈ [1, 2^52], sum ≤ 256·2^52 < 2^63 — exact; the remaining
-    * double steps are single correctly-rounded IEEE ops in one fixed
-    * order, so the value hash-matches the DuckDB replay). */
-  private def hllRaw(nRegs: org.apache.spark.sql.Column,
-                     s: org.apache.spark.sql.Column) =
-    (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))) * lit(65536.0) /
-      ((lit(256L) - nRegs).cast("double") +
-        s.cast("double") / lit(9007199254740992.0))
+  // HLL register geometry and estimate live in graft.ops.Hll — the
+  // reusable per-group approx-distinct operator; these queries are its
+  // oracle-verified exercisers.
 
   /** DuckDB oracles. q_setsim_join's is deliberately the BRUTE-FORCE
     * definition (no prefix filter): the scalable plan must reproduce the

@@ -218,4 +218,27 @@ class SketchSpec extends AnyFunSuite {
       assert(est == rnd2(rawG), s"group $g estimate must be bit-identical")
     }
   }
+
+  test("Hll helper: multi-column groups and the global (no-group) form") {
+    import graft.ops.Hll
+    val df = (1 to 2000).map(i => (s"a${i % 2}", s"b${i % 3}", (i % 700).toLong))
+      .toDF("ga", "gb", "k")
+    val acd = Hll.approxCountDistinct(df, col("k"), "ga", "gb")
+    val estIdx = acd.columns.indexOf("est")
+    val got = acd.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(estIdx)).toMap
+    assert(got.size == 6, "2x3 group combinations")
+    // every group's estimate within 12% of its exact distinct count
+    val exact = (1 to 2000).groupBy(i => (s"a${i % 2}", s"b${i % 3}"))
+      .view.mapValues(_.map(_ % 700).distinct.size).toMap
+    for ((g, est) <- got)
+      assert(math.abs(est - exact(g)) / exact(g) < 0.20,
+        s"group $g: est $est vs exact ${exact(g)}")
+    // no-group call gives a single global sketch row whose state merges
+    // from the same registers
+    val glob = Hll.approxCountDistinct(df, col("k"))
+    assert(glob.count() == 1)
+    val gEst = glob.head.getDouble(glob.columns.indexOf("est"))
+    assert(math.abs(gEst - 700.0) / 700.0 < 0.20, s"global est $gEst vs 700")
+  }
 }
