@@ -57,10 +57,16 @@ object VersionedTable {
   /** Write a new snapshot; returns the new version number. When
     * `statsCols` is non-empty, per-file zone maps for those (numeric)
     * columns are collected into the snapshot BEFORE the pointer flips —
-    * readers never observe a stats-less live snapshot. */
+    * readers never observe a stats-less live snapshot. `metaFiles`
+    * (name → content; underscore-prefix the names so parquet readers
+    * ignore them) are likewise written into the version directory
+    * BEFORE the flip, so metadata commits atomically WITH the data —
+    * the hook non-idempotent writers (additive streaming merges) use to
+    * persist their applied-batch watermark transactionally. */
   def write(df: DataFrame, root: String, allowEvolution: Boolean = false,
             partitionBy: Seq[String] = Seq.empty,
-            statsCols: Seq[String] = Seq.empty): Long = {
+            statsCols: Seq[String] = Seq.empty,
+            metaFiles: Map[String, String] = Map.empty): Long = {
     latestVersion(root).foreach { v =>
       val existing = df.sparkSession.read.parquet(s"$root/v=$v").schema
       checkSchema(existing, df.schema, allowEvolution)
@@ -70,6 +76,9 @@ object VersionedTable {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(s"$root/v=$next")
     if (statsCols.nonEmpty) collectStats(df.sparkSession, root, next, statsCols)
+    metaFiles.foreach { case (name, content) =>
+      Files.write(Paths.get(s"$root/v=$next", name), content.getBytes)
+    }
     // flip the pointer last, atomically
     val tmp = Paths.get(root, s"_LATEST.tmp$next")
     Files.write(tmp, next.toString.getBytes)

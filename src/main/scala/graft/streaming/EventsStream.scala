@@ -214,6 +214,67 @@ object EventsStream {
       .withColumn("content_key", md5(col(payloadCol).cast("binary")))
       .dropDuplicatesWithinWatermark("content_key")
 
+  /** Apply ONE changelog micro-batch to a versioned AGGREGATE view —
+    * the streaming twin of q_incremental_agg's materialized-view delta
+    * maintenance. `batch` rows are (grp, op, measure) with op = +1
+    * insert / −1 retraction and an integer measure; the batch partially
+    * aggregates to per-group (Σop, Σop·measure) and MERGES into the
+    * current aggregate by ADDITION (n += Σop, sum += Σop·measure);
+    * groups whose count reaches 0 drop out of the view. The base facts
+    * are never read — the working set is the (group-cardinality-sized)
+    * view plus the delta, at any base size.
+    *
+    * Additive merges are NOT idempotent, so replay safety cannot come
+    * from the merge itself (unlike [[upsertSink]]'s replace-by-key):
+    * the applied batch id is committed INSIDE the snapshot via
+    * [[graft.sources.VersionedTable.write]]'s metaFiles (written before
+    * the atomic pointer flip), and a batch with id ≤ the live
+    * snapshot's recorded id is a no-op. Crash between data write and
+    * pointer flip leaves an orphan version directory the next write
+    * skips past — the replayed batch then re-applies against the OLD
+    * live snapshot, exactly once either way. */
+  def applyAggDelta(root: String, batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val appliedFile = (v: Long) => java.nio.file.Paths.get(s"$root/v=$v/_batch")
+    val applied = graft.sources.VersionedTable.latestVersion(root).flatMap { v =>
+      if (java.nio.file.Files.exists(appliedFile(v)))
+        Some(new String(java.nio.file.Files.readAllBytes(appliedFile(v))).trim.toLong)
+      else None
+    }
+    if (applied.exists(_ >= batchId)) return
+    val delta = batch.groupBy(col("grp")).agg(
+      sum(col("op")).as("dn"),
+      sum(col("op") * col("measure")).as("ds"))
+    val cur =
+      if (graft.sources.VersionedTable.latestVersion(root).isEmpty)
+        delta.select(col("grp"), lit(0L).as("n"), lit(0L).as("sum_measure"))
+          .limit(0)
+      else graft.sources.VersionedTable.readLatest(spark, root)
+    val merged = cur.join(delta, Seq("grp"), "full_outer")
+      .select(col("grp"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+        (coalesce(col("sum_measure"), lit(0L)) + coalesce(col("ds"), lit(0L)))
+          .as("sum_measure"))
+      .filter(col("n") > 0)
+    graft.sources.VersionedTable.write(merged, root,
+      metaFiles = Map("_batch" -> batchId.toString))
+    ()
+  }
+
+  /** Streaming aggregate-maintenance sink: every micro-batch of
+    * changelog rows flows through [[applyAggDelta]] — each batch one
+    * atomic snapshot of the maintained view, exactly-once under
+    * checkpoint replay via the committed batch id. */
+  def aggMaintSink(changes: DataFrame, root: String,
+                   checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val applyBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, id) => if (!batch.isEmpty) applyAggDelta(root, batch.toDF(), id)
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(applyBatch)
+      .start()
+  }
+
   /** Streaming TextMedallion silver ingestion — the streaming twin of
     * [[graft.layers.TextMedallion.runSilver]], composed from verified
     * parts: the content-dedup guard (dedup STATE replaces the batch

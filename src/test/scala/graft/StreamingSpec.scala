@@ -189,6 +189,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(VersionedTable.readVersion(spark, root, 1L).count() == 2) // time travel intact
   }
 
+  test("streaming aggregate maintenance: additive merge, exactly-once replay, zero-count drop") {
+    import graft.sources.VersionedTable
+    val root = Files.createTempDirectory("graft_aggview").toString
+    def view: Map[String, (Long, Long)] = VersionedTable.readLatest(spark, root)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val b0 = Seq(("A", 1L, 10L), ("A", 1L, 20L), ("B", 1L, 5L))
+      .toDF("grp", "op", "measure")
+    EventsStream.applyAggDelta(root, b0, 0L)
+    assert(view == Map("A" -> (2L, 30L), "B" -> (1L, 5L)))
+    // batch 1: insert C, retract B's only row -> B must drop out of the view
+    val b1 = Seq(("C", 1L, 7L), ("B", -1L, 5L)).toDF("grp", "op", "measure")
+    EventsStream.applyAggDelta(root, b1, 1L)
+    assert(view == Map("A" -> (2L, 30L), "C" -> (1L, 7L)))
+    // checkpoint replay re-delivers the same batch id: additive state
+    // would double-apply, so the committed id must make it a no-op
+    EventsStream.applyAggDelta(root, b1, 1L)
+    assert(view == Map("A" -> (2L, 30L), "C" -> (1L, 7L)))
+    assert(VersionedTable.versions(root).size == 2, "replay must not write a snapshot")
+  }
+
+  test("streaming aggregate-maintenance sink: per-batch snapshots through a real stream") {
+    import org.apache.spark.sql.types._
+    import graft.sources.VersionedTable
+    val srcDir = Files.createTempDirectory("graft_aggm_src").toString
+    val ckpt = Files.createTempDirectory("graft_aggm_ckpt").toString
+    val root = Files.createTempDirectory("graft_aggm_tbl").toString
+    val schema = StructType(Seq(StructField("grp", StringType),
+      StructField("op", LongType), StructField("measure", LongType)))
+    def drain(): Unit = {
+      val q = EventsStream.aggMaintSink(
+        spark.readStream.schema(schema).parquet(srcDir), root, ckpt)
+      q.processAllAvailable(); q.stop()
+    }
+    def view: Map[String, (Long, Long)] = VersionedTable.readLatest(spark, root)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    Seq(("A", 1L, 10L), ("B", 1L, 4L), ("A", 1L, 30L))
+      .toDF("grp", "op", "measure").write.mode("append").parquet(srcDir)
+    drain()
+    assert(view == Map("A" -> (2L, 40L), "B" -> (1L, 4L)))
+    // second changelog batch after checkpoint resume: retraction + insert
+    Seq(("A", -1L, 10L), ("D", 1L, 3L))
+      .toDF("grp", "op", "measure").write.mode("append").parquet(srcDir)
+    drain()
+    assert(view == Map("A" -> (1L, 30L), "B" -> (1L, 4L), "D" -> (1L, 3L)))
+    assert(VersionedTable.versions(root) == Seq(1L, 2L)) // one snapshot per batch
+  }
+
   test("streaming IVF ingestion: appended batches probe like a batch-built index") {
     import graft.llm.IvfIndex
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
