@@ -339,17 +339,6 @@ object LlmQueries {
                               cfg: graft.util.PipelineConfig): DataFrame =
     segmentDropList(s, dir, cfg.int("segdedup.segment_tokens", 10))
 
-  /** (doc_id, pos, wkey): every sliding `L`-token window of `docs`,
-    * md5-keyed. The per-window md5 is the dominant cost and
-    * embarrassingly parallel — a single-file local input is spread over
-    * all slots first. */
-  private def windowKeys(docs: DataFrame, L: Int): DataFrame =
-    spreadSmallInput(docs)
-      .select(col("doc_id"),
-        posexplode(TextOps.shingles(tokens(col("text")), L)))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        md5(col("col")).as("wkey"))
-
   /** Merge flagged window start positions into maximal [start, end)
     * token spans per document (touching windows coalesce) — one
     * doc_id-partitioned gaps-and-islands window over the (small) flagged
@@ -428,17 +417,42 @@ object LlmQueries {
     * reports the exact [start, end) token spans that match the held-out
     * benchmark (every 50th doc, the fixture role) — the artifact for
     * SURGICAL removal, which keeps the rest of a long document instead
-    * of dropping it (the PaLM/C4 contamination treatment). Benchmark
-    * window keys are tiny next to the corpus and BROADCAST into a
-    * left-semi join — the corpus never shuffles for the membership
-    * test; only matched positions regroup for the span merge. */
+    * of dropping it (the PaLM/C4 contamination treatment).
+    *
+    * Same two-phase keying as [[dupSpanDropList]]: the corpus side keys
+    * ALL its windows with the O(n) rolling kernel and semi-joins the
+    * BROADCAST benchmark rolling-key set (no false negatives — equal
+    * windows share a key), then re-derives md5 keys for the HIT
+    * positions only and exact-verifies them against the benchmark's md5
+    * window set, so a 64-bit collision can never flag a clean span. The
+    * corpus never builds window strings except for candidates and never
+    * shuffles for the membership test; both benchmark key sets are tiny
+    * (broadcast); only matched positions regroup for the span merge. */
   def decontaminateSpans(s: SparkSession, dir: String, L: Int): DataFrame = {
     require(L > 0, s"window width must be positive, got $L")
+    import org.apache.spark.sql.graft.NativeColumns
     val docs = t(s, dir, "documents")
-    val bench = windowKeys(docs.filter(col("doc_id") % 50 === 0), L)
-      .select(col("wkey")).distinct()
-    val hits = windowKeys(docs.filter(col("doc_id") % 50 =!= 0), L)
-      .join(broadcast(bench), Seq("wkey"), "left_semi")
+    val bench = spreadSmallInput(docs.filter(col("doc_id") % 50 === 0))
+      .select(tokens(col("text")).as("tk"))
+    val benchRh = bench
+      .select(explode(NativeColumns.rollingHash(col("tk"), L)).as("rh")).distinct()
+    val benchKeys = bench
+      .select(explode(TextOps.shingles(col("tk"), L)).as("w"))
+      .select(md5(col("w")).as("wkey")).distinct()
+    val corpus = spreadSmallInput(docs.filter(col("doc_id") % 50 =!= 0))
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+    val cand = corpus
+      .select(col("doc_id"), posexplode(NativeColumns.rollingHash(col("tk"), L)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("rh"))
+      .join(broadcast(benchRh), Seq("rh"), "left_semi")
+    val candByDoc = cand.groupBy(col("doc_id"))
+      .agg(collect_list(col("pos")).as("cand_pos"))
+    val hits = corpus.join(broadcast(candByDoc), Seq("doc_id"))
+      .select(col("doc_id"), explode(col("cand_pos")).as("pos"), col("tk"))
+      .select(col("doc_id"), col("pos"),
+        md5(concat_ws(" ",
+          slice(col("tk"), (col("pos") + 1).cast("int"), lit(L)))).as("wkey"))
+      .join(broadcast(benchKeys), Seq("wkey"), "left_semi")
       .select(col("doc_id"), col("pos"))
     mergeSpans(hits, L)
   }
