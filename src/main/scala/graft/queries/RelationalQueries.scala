@@ -661,7 +661,6 @@ object RelationalQueries {
       if (!s.experimental.extraOptimizations.contains(graft.plans.RangeJoinRewrite))
         s.experimental.extraOptimizations =
           s.experimental.extraOptimizations :+ graft.plans.RangeJoinRewrite
-      s.conf.set(graft.plans.RangeJoinRewrite.WidthKey, "4")
       val pts = t(s, dir, "orders")
         .select(col("o_orderkey"),
           unix_date(to_date(col("o_orderdate"))).as("p"))
@@ -671,6 +670,11 @@ object RelationalQueries {
           unix_date(to_date(col("l_shipdate"))).as("lo"),
           (unix_date(to_date(col("l_shipdate"))) +
             col("l_quantity").cast("long")).as("hi"))
+      // the conf hint carries the same span-derived width the API path
+      // self-tunes to — the one data-dependent step a rewrite-time rule
+      // cannot do itself
+      s.conf.set(graft.plans.RangeJoinRewrite.WidthKey,
+        graft.ops.RangeJoin.autoBucketWidth(ivs, "lo", "hi").toString)
       pts.join(ivs, col("p") >= col("lo") && col("p") <= col("hi"))
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("pairs"),
