@@ -193,6 +193,30 @@ object CurationQueries {
     e.select(col("src").as("node")).distinct()
       .select(col("node").as("lm"), col("node"))
 
+  /** `rounds` synchronized k-core pruning rounds over a symmetrized
+    * edge list (both directions present): each round recomputes
+    * out-degrees (= undirected degrees on a symmetrized list), keeps
+    * nodes with degree ≥ k, and drops every edge touching a removed
+    * node. Monotone — the surviving edge set only shrinks, and `rounds`
+    * ≥ the peel depth is a fixpoint (the k-core). All counts integer,
+    * so a fixed round count is bit-exact cross-engine and the oracle
+    * unrolls the same rounds. Scale note: the alive set is node-sized
+    * (not broadcast here — the semi-joins shuffle alive-side hashes
+    * only); the dst-side filter re-shuffles the shrinking edge list,
+    * the price of edge deletion that stationary-edge iterations
+    * (PageRank/SSSP) don't pay. */
+  private[graft] def kcoreEdges(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var e = edges.select(col("src"), col("dst")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val alive = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("node"))
+      e = e.join(alive.hint("shuffle_hash"), col("src") === col("node"), "left_semi")
+        .join(alive.hint("shuffle_hash"), col("dst") === col("node"), "left_semi")
+        .localCheckpoint()
+    }
+    e
+  }
+
   /** Triangle/wedge statistics of an undirected graph given as raw
     * (possibly directed, possibly duplicated) node pairs. Normalizes to
     * canonical undirected edges, then orients each edge from the
@@ -388,6 +412,21 @@ object CurationQueries {
         .join(broadcast(t(s, dir, "nation")), col("lm") === col("n_nationkey"))
         .select(col("n_name").as("nation"), col("n_reached"),
           col("harmonic_micro"))
+        .orderBy(col("nation"))
+    }),
+
+    // k-core decomposition (4 pruning rounds, k = 4) over the sparse
+    // route graph: the densely-interconnected trading core that
+    // survives peeling — community-detection's preprocessing step and
+    // the standard "dense subgraph" primitive. Fixed rounds = the
+    // contract (monotone: a fixpoint once the peel depth is passed);
+    // the oracle unrolls the identical rounds. Output: surviving
+    // nations with their in-core degree.
+    "q_kcore" -> ((s, dir) => {
+      val core = kcoreEdges(undirectedUnitEdges(s, dir), k = 4, rounds = 4)
+      core.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .join(broadcast(t(s, dir, "nation")), col("src") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), col("deg"))
         .orderBy(col("nation"))
     }),
 
@@ -740,6 +779,29 @@ object CurationQueries {
          |  CAST(sum(1000000 // d) AS BIGINT) AS harmonic_micro
          |FROM d4 d JOIN nation n ON d.lm = n.n_nationkey
          |WHERE d.d > 0
+         |GROUP BY 1 ORDER BY nation""".stripMargin
+    },
+
+    "q_kcore" -> {
+      val rounds = (1 to 4).map { i =>
+        val p = i - 1
+        s"""a$i AS (SELECT src AS node FROM e$p GROUP BY src
+           |  HAVING count(*) >= 4),
+           |e$i AS (SELECT e.src, e.dst FROM e$p e
+           |  JOIN a$i x ON e.src = x.node JOIN a$i y ON e.dst = y.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ed AS ($NATION_FLOW_SQL),
+         |r AS (SELECT src, dst, row_number() OVER (
+         |    PARTITION BY src ORDER BY w DESC, dst) AS rn
+         |  FROM ed WHERE src <> dst),
+         |und AS (
+         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM r WHERE rn <= 3),
+         |e0 AS (SELECT CAST(a AS BIGINT) AS src, CAST(b AS BIGINT) AS dst FROM und
+         |  UNION ALL SELECT CAST(b AS BIGINT), CAST(a AS BIGINT) FROM und),
+         |$rounds
+         |SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS deg
+         |FROM e4 e JOIN nation n ON e.src = n.n_nationkey
          |GROUP BY 1 ORDER BY nation""".stripMargin
     },
 

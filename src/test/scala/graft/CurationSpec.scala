@@ -298,4 +298,44 @@ class CurationSpec extends AnyFunSuite {
     assert(got("o_orderdate") == ((4L, 1L, 3L, "1994-02-01", "1996-06-15")))
     assert(got("o_orderpriority") == ((4L, 1L, 2L, "1-URGENT", "3-MEDIUM")))
   }
+
+  test("kcoreEdges: cascade peel on a chained fixture, fixpoint stability") {
+    // K4 core {0,1,2,3} with a pendant chain 3-4-5: at k=2 the chain
+    // peels one node per round (5 first, then 4), so 2 rounds reach the
+    // fixpoint and a 3rd changes nothing
+    val k4 = for (a <- 0L to 3L; b <- 0L to 3L if a != b) yield (a, b)
+    val chain = Seq((3L, 4L), (4L, 3L), (4L, 5L), (5L, 4L))
+    val e = (k4 ++ chain).toDF("src", "dst")
+    def core(rounds: Int): Set[(Long, Long)] =
+      graft.queries.CurationQueries.kcoreEdges(e, k = 2, rounds = rounds)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(core(1).exists(_._1 == 4L), "one round only peels the chain tail")
+    assert(core(2) == k4.toSet, "two rounds peel the whole chain")
+    assert(core(3) == k4.toSet, "fixpoint: further rounds are no-ops")
+  }
+
+  test("kcoreEdges matches a serial peel on random graphs") {
+    def serial(edges: Set[(Long, Long)], k: Int, rounds: Int): Set[(Long, Long)] = {
+      var e = edges
+      for (_ <- 1 to rounds) {
+        val deg = e.groupBy(_._1).map { case (n, es) => n -> es.size }
+        val alive = deg.filter(_._2 >= k).keySet
+        e = e.filter { case (a, b) => alive(a) && alive(b) }
+      }
+      e
+    }
+    val rng = new scala.util.Random(41)
+    for (trial <- 1 to 3) {
+      val n = 10 + trial * 2
+      val und = (1 to n * 2).map { _ =>
+        val (a, b) = (rng.nextInt(n).toLong, rng.nextInt(n).toLong)
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+      val sym = (und ++ und.map(e => (e._2, e._1))).toSet
+      val got = graft.queries.CurationQueries
+        .kcoreEdges(sym.toSeq.toDF("src", "dst"), k = 3, rounds = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == serial(sym, 3, 4), s"trial $trial diverged from serial peel")
+    }
+  }
 }
