@@ -112,8 +112,12 @@ object ShortestPaths {
     * betweenness numerators are σ products joined on this table. */
   def runSigma(edgesIn: DataFrame, sources: DataFrame, rounds: Int): DataFrame = {
     val edges = prepare(edgesIn.select(col("src"), col("dst"), lit(1L).as("c")))
-    var dist = sources.select(col("lm"), col("node"), lit(0L).as("d"),
-      lit(1L).as("sigma")).localCheckpoint()
+    // distinct: a duplicated (lm, node) source row would seed sigma = 2
+    // and silently double every descendant's path count (runMulti's
+    // groupBy-min absorbs duplicates; the sigma union must not)
+    var dist = sources.select(col("lm"), col("node")).distinct()
+      .select(col("lm"), col("node"), lit(0L).as("d"),
+        lit(1L).as("sigma")).localCheckpoint()
     for (k <- 1 to rounds)
       dist = bfsSigmaRound(edges, dist, k).localCheckpoint()
     edges.unpersist()

@@ -27,7 +27,13 @@ import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType, In
   * the interval-span distribution takes an aggregate over the data;
   * [[graft.ops.RangeJoin.autoBucketWidth]] does exactly that for the
   * API path). The conf-gated hint mirrors the public range-join binning
-  * pattern of commercial Spark runtimes.
+  * pattern of commercial Spark runtimes. Operational note: the width is
+  * PER-JOIN tuning — each interval explodes into (span/width + 1)
+  * bucket rows, so a width tuned for one join and left set can flood
+  * (or, past Spark's sequence-length cap, fail) a different BETWEEN
+  * join whose value scale is wildly larger. Set it around the target
+  * query and restore, the way q_range_join_rewrite does (force
+  * `queryExecution.optimizedPlan` to bake the rewrite, then restore).
   *
   * Conservative guards, in the TopKRewrite discipline:
   *  - inner join whose condition is EXACTLY the two range conjuncts

@@ -658,9 +658,12 @@ object RelationalQueries {
     // q_range_join_rewrite proves the DECLARATIVE form reaches the same
     // plan and the same oracle-checked answer.
     "q_range_join_rewrite" -> ((s, dir) => {
-      if (!s.experimental.extraOptimizations.contains(graft.plans.RangeJoinRewrite))
+      val hadRule = s.experimental.extraOptimizations
+        .contains(graft.plans.RangeJoinRewrite)
+      if (!hadRule)
         s.experimental.extraOptimizations =
           s.experimental.extraOptimizations :+ graft.plans.RangeJoinRewrite
+      val prevWidth = s.conf.getOption(graft.plans.RangeJoinRewrite.WidthKey)
       val pts = t(s, dir, "orders")
         .select(col("o_orderkey"),
           unix_date(to_date(col("o_orderdate"))).as("p"))
@@ -675,11 +678,29 @@ object RelationalQueries {
       // cannot do itself
       s.conf.set(graft.plans.RangeJoinRewrite.WidthKey,
         graft.ops.RangeJoin.autoBucketWidth(ivs, "lo", "hi").toString)
-      pts.join(ivs, col("p") >= col("lo") && col("p") <= col("hi"))
-        .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("pairs"),
-          countDistinct(col("o_orderkey")).as("n_orders"))
-        .orderBy(col("l_returnflag"))
+      try {
+        val df = pts.join(ivs, col("p") >= col("lo") && col("p") <= col("hi"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("pairs"),
+            countDistinct(col("o_orderkey")).as("n_orders"))
+          .orderBy(col("l_returnflag"))
+        // force optimization NOW (QueryExecution caches the optimized
+        // plan), then restore the session: the width is per-join tuning
+        // — left set, it would silently rewrite every later bare
+        // BETWEEN join in the session with a lineitem-scaled width
+        // (wrong widths can explode interval bucket sequences)
+        df.queryExecution.optimizedPlan
+        df
+      } finally {
+        prevWidth match {
+          case Some(w) => s.conf.set(graft.plans.RangeJoinRewrite.WidthKey, w)
+          case None => s.conf.unset(graft.plans.RangeJoinRewrite.WidthKey)
+        }
+        if (!hadRule)
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations
+              .filterNot(_ == graft.plans.RangeJoinRewrite)
+      }
     }),
 
     // G4 reconciliation drift, fully declarative (two 1-row aggs cross-joined).

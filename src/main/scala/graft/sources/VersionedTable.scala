@@ -179,6 +179,14 @@ object VersionedTable {
     val v = latestVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no versions at $root"))
     val dir = new java.io.File(s"$root/v=$v")
+    // carry the live snapshot's meta files (e.g. the applied-batch
+    // watermark of an additive streaming writer) into the compacted
+    // version — compaction must not erase transactional metadata, or a
+    // post-compaction checkpoint replay would re-apply a batch
+    val carriedMeta: Map[String, String] = dir.listFiles().toSeq
+      .filter(f => f.isFile && f.getName.startsWith("_") && f.getName != "_SUCCESS")
+      .map(f => f.getName -> new String(Files.readAllBytes(f.toPath)))
+      .toMap
     def sizeOf(f: java.io.File): Long =
       if (f.isDirectory) f.listFiles().map(sizeOf).sum else f.length()
     // partition columns from the first chain of name=value subdirectories
@@ -190,7 +198,8 @@ object VersionedTable {
       }
     val parts = partCols(dir)
     val nFiles = math.max(1, math.ceil(sizeOf(dir).toDouble / targetFileBytes).toInt)
-    write(readVersion(spark, root, v).coalesce(nFiles), root, partitionBy = parts)
+    write(readVersion(spark, root, v).coalesce(nFiles), root, partitionBy = parts,
+      metaFiles = carriedMeta)
   }
 
   /** Retention: drop all but the newest `keep` snapshots (VACUUM analogue). */

@@ -220,7 +220,10 @@ object EventsStream {
     * insert / −1 retraction and an integer measure; the batch partially
     * aggregates to per-group (Σop, Σop·measure) and MERGES into the
     * current aggregate by ADDITION (n += Σop, sum += Σop·measure);
-    * groups whose count reaches 0 drop out of the view. The base facts
+    * groups whose count nets to exactly 0 drop out of the view, while
+    * NEGATIVE counts (an out-of-order retraction ahead of its insert)
+    * are kept as visible retraction debt so the view converges once
+    * the insert lands. The base facts
     * are never read — the working set is the (group-cardinality-sized)
     * view plus the delta, at any base size.
     *
@@ -250,12 +253,17 @@ object EventsStream {
         delta.select(col("grp"), lit(0L).as("n"), lit(0L).as("sum_measure"))
           .limit(0)
       else graft.sources.VersionedTable.readLatest(spark, root)
+    // n =!= 0, not n > 0: an out-of-order retraction that arrives before
+    // its insert leaves n = −1 — dropping that row would lose the
+    // retraction and make the later insert double-visible; keeping the
+    // negative state means the stream converges to the true net once
+    // the matching insert lands (net-zero groups still vanish)
     val merged = cur.join(delta, Seq("grp"), "full_outer")
       .select(col("grp"),
         (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
         (coalesce(col("sum_measure"), lit(0L)) + coalesce(col("ds"), lit(0L)))
           .as("sum_measure"))
-      .filter(col("n") > 0)
+      .filter(col("n") =!= 0)
     graft.sources.VersionedTable.write(merged, root,
       metaFiles = Map("_batch" -> batchId.toString))
     ()

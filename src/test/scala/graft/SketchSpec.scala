@@ -228,7 +228,8 @@ class SketchSpec extends AnyFunSuite {
     val got = acd.collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(estIdx)).toMap
     assert(got.size == 6, "2x3 group combinations")
-    // every group's estimate within 12% of its exact distinct count
+    // wiring check, not an accuracy pin (the serial re-derivation test
+    // covers bit-exactness): 20% tolerance ≈ 3σ at m = 256
     val exact = (1 to 2000).groupBy(i => (s"a${i % 2}", s"b${i % 3}"))
       .view.mapValues(_.map(_ % 700).distinct.size).toMap
     for ((g, est) <- got)

@@ -207,6 +207,19 @@ class StreamingSpec extends AnyFunSuite {
     EventsStream.applyAggDelta(root, b1, 1L)
     assert(view == Map("A" -> (2L, 30L), "C" -> (1L, 7L)))
     assert(VersionedTable.versions(root).size == 2, "replay must not write a snapshot")
+    // compaction must carry the applied-batch watermark into the new
+    // live version — otherwise a post-compaction replay double-applies
+    VersionedTable.compact(spark, root)
+    EventsStream.applyAggDelta(root, b1, 1L)
+    assert(view == Map("A" -> (2L, 30L), "C" -> (1L, 7L)),
+      "replay after compaction must still be a no-op")
+    // out-of-order retraction (no matching insert yet): the negative
+    // count stays visible as retraction debt...
+    EventsStream.applyAggDelta(root, Seq(("E", -1L, 9L)).toDF("grp", "op", "measure"), 2L)
+    assert(view("E") == (-1L, -9L), "early retraction must not be dropped")
+    // ...and the view converges to net zero once the insert lands
+    EventsStream.applyAggDelta(root, Seq(("E", 1L, 9L)).toDF("grp", "op", "measure"), 3L)
+    assert(!view.contains("E"), "insert + earlier retraction must net out")
   }
 
   test("streaming aggregate-maintenance sink: per-batch snapshots through a real stream") {
