@@ -86,21 +86,28 @@ object Bench {
       val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
     }
-    // key-set hysteresis: a query near the 0.25s threshold would flap in
-    // and out of the stdout map between rounds, so consumers diffing the
-    // JSON line would silently lose its timing. Any query listed as slow
-    // in the PREVIOUS round's bench_detail.json stays listed this round
-    // (bench_detail itself always has full coverage).
-    val prevSlow: Set[String] = {
-      val p = java.nio.file.Paths.get("bench_detail.json")
-      if (!java.nio.file.Files.exists(p)) Set.empty
-      else """"([^"]+)":\{"min":([0-9.]+)""".r
-        .findAllMatchIn(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
-        .collect { case m if m.group(2).toDouble >= 0.25 => m.group(1) }.toSet
+    // the stdout line must fit the driver's ~2000-char output tail at
+    // ANY registry size and on a slow machine day (a noisy host pushes
+    // more queries over any fixed threshold — a 140-query registry
+    // measured 2221 chars under the old >=0.25s rule, which would cut
+    // the line's head and break the driver's JSON parse). So the listed
+    // map is BUDGET-capped: slowest first until ~1600 chars of entries,
+    // the rest summarized in fast_n/fast_total. bench_detail.json keeps
+    // full 3-decimal coverage and is the round-over-round contract.
+    val budget = 1600
+    val bySlowest = results.sortBy { case (k, obs) => (-obs.min, k) }
+    val listed = scala.collection.mutable.ListBuffer.empty[(String, Seq[Double])]
+    var used = 0
+    for ((k, obs) <- bySlowest) {
+      val entLen = k.length + f2(obs.min).length + 4
+      if (used + entLen <= budget && obs.min >= 0.25) {
+        listed += ((k, obs)); used += entLen
+      }
     }
-    val (slow, fast) = results.partition { case (k, obs) =>
-      obs.min >= 0.25 || prevSlow(k) }
-    val qs = slow.map { case (k, obs) => s"\"" + k + "\":" + f2(obs.min) }
+    val listedKeys = listed.map(_._1).toSet
+    val fast = results.filterNot { case (k, _) => listedKeys(k) }
+    val qs = listed.sortBy(_._1)
+      .map { case (k, obs) => s"\"" + k + "\":" + f2(obs.min) }
       .mkString("{", ",", "}")
     val fastN = fast.length
     val fastTotal = fast.map(_._2.min).sum

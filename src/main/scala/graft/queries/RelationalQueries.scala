@@ -658,12 +658,6 @@ object RelationalQueries {
     // q_range_join_rewrite proves the DECLARATIVE form reaches the same
     // plan and the same oracle-checked answer.
     "q_range_join_rewrite" -> ((s, dir) => {
-      val hadRule = s.experimental.extraOptimizations
-        .contains(graft.plans.RangeJoinRewrite)
-      if (!hadRule)
-        s.experimental.extraOptimizations =
-          s.experimental.extraOptimizations :+ graft.plans.RangeJoinRewrite
-      val prevWidth = s.conf.getOption(graft.plans.RangeJoinRewrite.WidthKey)
       val pts = t(s, dir, "orders")
         .select(col("o_orderkey"),
           unix_date(to_date(col("o_orderdate"))).as("p"))
@@ -673,33 +667,34 @@ object RelationalQueries {
           unix_date(to_date(col("l_shipdate"))).as("lo"),
           (unix_date(to_date(col("l_shipdate"))) +
             col("l_quantity").cast("long")).as("hi"))
-      // the conf hint carries the same span-derived width the API path
-      // self-tunes to — the one data-dependent step a rewrite-time rule
-      // cannot do itself
-      s.conf.set(graft.plans.RangeJoinRewrite.WidthKey,
+      val declarative = pts
+        .join(ivs, col("p") >= col("lo") && col("p") <= col("hi"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("pairs"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("l_returnflag"))
+      // Apply the rule to the analyzed plan EAGERLY and return a frame
+      // over the rewritten plan: every downstream QueryExecution
+      // (count(), write) inherits the bucket join, and no session state
+      // (rule list, width conf) mutates — a session-installed conf left
+      // set would silently rewrite every later BETWEEN join with a
+      // lineitem-scaled width, and restoring it before execution loses
+      // the rewrite because count()/write build NEW QueryExecutions.
+      // The width conf is set only around the rule application (it is
+      // the rule's input channel) and restored; the value is the same
+      // span-derived width the API path self-tunes to.
+      val key = graft.plans.RangeJoinRewrite.WidthKey
+      val prevWidth = s.conf.getOption(key)
+      s.conf.set(key,
         graft.ops.RangeJoin.autoBucketWidth(ivs, "lo", "hi").toString)
       try {
-        val df = pts.join(ivs, col("p") >= col("lo") && col("p") <= col("hi"))
-          .groupBy(col("l_returnflag"))
-          .agg(count(lit(1)).as("pairs"),
-            countDistinct(col("o_orderkey")).as("n_orders"))
-          .orderBy(col("l_returnflag"))
-        // force optimization NOW (QueryExecution caches the optimized
-        // plan), then restore the session: the width is per-join tuning
-        // — left set, it would silently rewrite every later bare
-        // BETWEEN join in the session with a lineitem-scaled width
-        // (wrong widths can explode interval bucket sequences)
-        df.queryExecution.optimizedPlan
-        df
+        org.apache.spark.sql.graft.NativeColumns.ofPlan(s,
+          graft.plans.RangeJoinRewrite(declarative.queryExecution.analyzed))
       } finally {
         prevWidth match {
-          case Some(w) => s.conf.set(graft.plans.RangeJoinRewrite.WidthKey, w)
-          case None => s.conf.unset(graft.plans.RangeJoinRewrite.WidthKey)
+          case Some(w) => s.conf.set(key, w)
+          case None => s.conf.unset(key)
         }
-        if (!hadRule)
-          s.experimental.extraOptimizations =
-            s.experimental.extraOptimizations
-              .filterNot(_ == graft.plans.RangeJoinRewrite)
       }
     }),
 

@@ -25,4 +25,14 @@ object NativeColumns {
     * ([[graft.functions.RollingHashWindows]]). */
   def rollingHash(arr: Column, w: Int): Column =
     ofExpr(graft.functions.RollingHashWindows(toExpr(arr), w))
+
+  /** DataFrame over an already-resolved logical plan (Dataset.ofRows is
+    * private[sql]) — lets caller-side code bake a manually-applied
+    * optimizer rewrite into the plan every downstream QueryExecution
+    * (count(), write) inherits, with no session-state mutation. */
+  def ofPlan(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }
