@@ -33,11 +33,19 @@ object Bench {
     // warm the session machinery (codegen, shuffle service, parquet reader)
     spark.range(1000000L).selectExpr("sum(id % 7)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    def timedRuns(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+    // Queries that threw during a timed run: name → error. A failed query
+    // fail-fasts in ~0.05s, which silently DEFLATES the total (r6: 12 broken
+    // queries "improved" the bench); surface them loudly instead so a red
+    // registry can't masquerade as a perf win.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def timedRuns(name: String,
+                  fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                   runs: Int): Seq[Double] =
       (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+          errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+        }
         val d = (System.nanoTime() - t0) / 1e9
         // release per-query cached tables (persist() registrations) so heap
         // pressure from earlier queries can't distort later timings
@@ -53,7 +61,7 @@ object Bench {
         try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
         spark.catalog.clearCache()
       }
-      name -> timedRuns(fn, 2)
+      name -> timedRuns(name, fn, 2)
     }
     // retry pass: a steal window lasts tens of seconds and sweeps the
     // queries that happen to execute inside it (both min-of-2 runs). By
@@ -65,7 +73,7 @@ object Bench {
     // in the median even when retries rescue the min).
     for (_ <- 1 to 2 if results.exists(_._2.min > 3.0)) {
       results = results.map { case (name, obs) =>
-        if (obs.min > 3.0) name -> (obs ++ timedRuns(SparkEntry.queries(name), 2))
+        if (obs.min > 3.0) name -> (obs ++ timedRuns(name, SparkEntry.queries(name), 2))
         else name -> obs
       }
     }
@@ -115,10 +123,16 @@ object Bench {
     val detail = results.map { case (k, obs) =>
       s"""\"$k\":{"min":${f3(obs.min)},"med":${f3(median(obs))},"runs":${obs.length}}"""
     }.mkString("{", ",", "}")
+    def jesc(s: String): String = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    }
+    val errJson = errors.map { case (k, v) => s""""${jesc(k)}":"${jesc(v)}"""" }
+      .mkString("{", ",", "}")
     val detailPath = java.nio.file.Paths.get("bench_detail.json")
     java.nio.file.Files.write(detailPath,
-      s"""{"sf":"$sfDir","total_min":${f3(total)},"queries":$detail}\n""".getBytes("UTF-8"))
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"fast_n":$fastN,"fast_total":${f2(fastTotal)},"detail":"bench_detail.json","sf":"$sfDir"}""")
+      s"""{"sf":"$sfDir","total_min":${f3(total)},"errors":$errJson,"queries":$detail}\n""".getBytes("UTF-8"))
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","errors":${errors.size},"queries":$qs,"fast_n":$fastN,"fast_total":${f2(fastTotal)},"detail":"bench_detail.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

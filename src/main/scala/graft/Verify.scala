@@ -25,6 +25,19 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // Leave a loud sentinel: an output dir with an _error file and no
+        // parquet, so the driver's compare records a red row for this query
+        // instead of silently dropping it from the correctness report
+        // (r6: 12 broken queries vanished from the report unnoticed).
+        val dir = Paths.get(outDir, name)
+        try {
+          if (Files.exists(dir)) // clear any partial parquet output
+            Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => Files.deleteIfExists(p))
+          Files.createDirectories(dir)
+          Files.writeString(dir.resolve("_error"),
+            s"${e.getClass.getName}: ${e.getMessage}\n")
+        } catch { case _: Throwable => () }
       }
       finally spark.catalog.clearCache() // release per-query persist() caches
     }
