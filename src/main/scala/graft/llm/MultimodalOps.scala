@@ -6,44 +6,77 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: media as opaque `binary` columns with typed
   * metadata, processed per-partition in batches.
   *
-  * The Spark-side shape is the real deliverable — schema (binary payload +
-  * struct metadata), partition-friendly batch processing via mapPartitions
-  * (the Scala analogue of mapInPandas: per-partition init amortizes codec
-  * setup, rows stream through without materializing the partition), and a
-  * typed feature output. The actual image/audio decode is STUBBED with a
-  * deterministic fake (no codec libraries in this container) — swap
-  * [[decodeStub]] for a real decoder (e.g. javax.imageio / ffmpeg bindings)
-  * without touching the pipeline shape.
+  * Schema (binary payload + struct metadata), partition-friendly batch
+  * processing via mapPartitions (the Scala analogue of mapInPandas:
+  * per-partition init amortizes codec setup, rows stream through without
+  * materializing the partition), and a typed feature output. Image-typed
+  * payloads are decoded for real with `javax.imageio` (PNG/JPEG/GIF/BMP
+  * ship with the JDK); other modalities fall back to deterministic
+  * byte-level features. Audio/video codecs aren't in the JDK — they would
+  * plug into the same per-partition decode site.
   */
 object MultimodalOps {
 
   case class MediaRecord(id: Long, media: Array[Byte], mimeType: String)
+  /** `decoded` = a codec actually parsed the payload (real pixel dims +
+    * luminance histogram); false = byte-level fallback features. */
   case class MediaFeatures(id: Long, byteLen: Int, width: Int, height: Int,
-                           histogram: Array[Long])
+                           histogram: Array[Long], decoded: Boolean)
 
-  /** STUB — deterministic fake "decode": derives fake dimensions from the
-    * payload bytes and a 16-bin byte histogram as the "feature vector".
-    * Real implementation: decode `bytes` with an image codec, resize,
-    * extract features. The signature and batch shape stay the same. */
-  private def decodeStub(bytes: Array[Byte]): (Int, Int, Array[Long]) = {
-    val h = java.util.Arrays.hashCode(bytes)
-    val width = 64 + (math.abs(h) % 512)        // fake: would be real pixel dims
-    val height = 64 + (math.abs(h / 7) % 512)
+  /** Real image decode via the JDK's ImageIO: true pixel dimensions and a
+    * 16-bin luminance histogram (Rec. 601 integer weights — deterministic
+    * across JVMs). None when no installed codec recognizes the payload
+    * (corrupt or unsupported format) — surfaced as decoded=false rather
+    * than fake dimensions, so a curation filter can quarantine bad media. */
+  private[llm] def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Long])] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
+    Option(img).map { im =>
+      val w = im.getWidth; val h = im.getHeight
+      val hist = new Array[Long](16)
+      // Row-batched getRGB (one int[] per row, not per pixel): avoids the
+      // per-pixel ColorModel dispatch without assuming a raster layout.
+      val row = new Array[Int](w)
+      var y = 0
+      while (y < h) {
+        im.getRGB(0, y, w, 1, row, 0, w)
+        var x = 0
+        while (x < w) {
+          val rgb = row(x)
+          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          hist(lum >> 4) += 1
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, hist)
+    }
+  }
+
+  /** Deterministic byte-level fallback features for non-image payloads:
+    * no intrinsic dimensions (-1) and a 16-bin high-nibble byte histogram
+    * (sums to byteLen — a cheap content fingerprint for text/audio blobs). */
+  private[llm] def byteFeatures(bytes: Array[Byte]): (Int, Int, Array[Long]) = {
     val hist = new Array[Long](16)
     var i = 0
     while (i < bytes.length) { hist((bytes(i) & 0xff) >> 4) += 1; i += 1 }
-    (width, height, hist)
+    (-1, -1, hist)
   }
 
   /** Batch feature extraction: one decoder context per partition, rows
-    * streamed — the mapInPandas-equivalent execution shape. */
+    * streamed — the mapInPandas-equivalent execution shape. Dispatches on
+    * mimeType: image-typed payloads → ImageIO decode (falling back to byte features
+    * when undecodable), everything else → byte features. */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // per-partition init site (codec/model handles would be created here)
       it.map { r =>
-        val (w, h, hist) = decodeStub(r.media)
-        MediaFeatures(r.id, r.media.length, w, h, hist)
+        val image = if (r.mimeType.startsWith("image/")) decodeImage(r.media) else None
+        val (w, h, hist) = image.getOrElse(byteFeatures(r.media))
+        MediaFeatures(r.id, r.media.length, w, h, hist, image.isDefined)
       }
     }
   }

@@ -245,6 +245,27 @@ class LlmSpec extends AnyFunSuite {
     val again = MultimodalOps.extractFeatures(media).collect().sortBy(_.id).head
     assert(again.width == f0.width && again.height == f0.height &&
       again.histogram.toSeq == f0.histogram.toSeq)
+    // text payloads are byte-level fallback features, flagged undecoded
+    assert(!f0.decoded && f0.width == -1 && f0.height == -1)
+  }
+
+  test("multimodal: ImageIO decodes a real PNG's true dimensions and pixel histogram") {
+    // half-black / half-white 20×10 PNG generated in-process
+    val img = new java.awt.image.BufferedImage(
+      20, 10, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 20; y <- 0 until 10)
+      img.setRGB(x, y, if (x < 10) 0x000000 else 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val media = Seq(MultimodalOps.MediaRecord(1L, bos.toByteArray, "image/png")).toDS()
+    val f = MultimodalOps.extractFeatures(media).collect().head
+    assert(f.decoded && f.width == 20 && f.height == 10)
+    // luminance histogram: 100 black pixels in bin 0, 100 white in bin 15
+    assert(f.histogram.sum == 200 && f.histogram(0) == 100 && f.histogram(15) == 100)
+    // corrupt image payload → byte-feature fallback, flagged undecoded
+    val bad = Seq(MultimodalOps.MediaRecord(2L, Array[Byte](1, 2, 3), "image/png")).toDS()
+    val fb = MultimodalOps.extractFeatures(bad).collect().head
+    assert(!fb.decoded && fb.width == -1 && fb.histogram.sum == 3)
   }
 
   test("resizeDims: aspect-preserving, no upscale; non-positive dims give NULL struct") {
