@@ -32,12 +32,15 @@ object IncrementalSilver {
   /** Apply one bronze orders changeset: dedup within the batch, gate it
     * (the SAME battery as the full refresh — Medallion.gateSilverOrders),
     * enrich it, MERGE by order_id into a new snapshot. Returns the new
-    * version number. */
+    * version number. `allowEvolution` lets a changeset introduce new
+    * nullable columns into the silver schema (`mergeSchema` analogue) —
+    * existing rows read NULL for them; type changes are always rejected. */
   def applyIncrement(spark: SparkSession, root: String, increment: DataFrame,
-                     cfg: Medallion.Config): Long = {
+                     cfg: Medallion.Config, allowEvolution: Boolean = false): Long = {
     val deduped = dedupFirst(increment, Seq("order_id"),
       Seq(col("user_id"), col("order_number")))
     Medallion.gateSilverOrders(deduped, cfg, "silver-inc")
-    VersionedTable.merge(spark, root, Medallion.enrichOrders(deduped), Seq("order_id"))
+    VersionedTable.merge(spark, root, Medallion.enrichOrders(deduped),
+      Seq("order_id"), allowEvolution = allowEvolution)
   }
 }

@@ -156,9 +156,11 @@ object RelationalOps {
     * scale the anti-join broadcasts when `updates` is a small changeset
     * (the common incremental-refresh shape) and shuffles on the key
     * otherwise; either way the target is scanned exactly once. */
-  def mergeUpsert(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
+  def mergeUpsert(target: DataFrame, updates: DataFrame, keys: Seq[String],
+                  allowMissingColumns: Boolean = false): DataFrame =
     updates.unionByName(
-      target.join(updates.select(keys.map(col): _*), keys, "left_anti"))
+      target.join(updates.select(keys.map(col): _*), keys, "left_anti"),
+      allowMissingColumns = allowMissingColumns)
 
   /** P17 cross-engine-deterministic rounding: floor(x·10ⁿ + 0.5)/10ⁿ.
     * Spark's `round` (BigDecimal HALF_UP over the shortest decimal

@@ -13,13 +13,51 @@ import org.apache.spark.sql.types.{StructField, StructType}
   * containing the current version number. Writes go to a NEW version
   * directory and the pointer flips last (atomic move of a one-line file)
   * — readers never observe a half-written snapshot, and old versions stay
-  * readable (`readVersion`). This is a single-writer design like the
-  * reference's full-refresh jobs; it does not attempt Delta's
-  * multi-writer log.
+  * readable (`readVersion`).
+  *
+  * Concurrency (Delta optimistic-transaction analogue): version numbers
+  * are claimed with an atomic create of `_claim_v=N` (put-if-absent, so
+  * two writers can never target the same directory even across
+  * processes), and the pointer flip validates that the committed version
+  * is still the one the writer based its data on — a concurrent commit
+  * in the window raises [[ConcurrentWriteException]] and the loser's
+  * orphaned snapshot directory is removed. `merge` resolves conflicts by
+  * re-reading the new latest snapshot and re-applying its updates
+  * (bounded retries), like Delta's MERGE conflict retry. The
+  * check-then-flip pair is serialized by a per-root JVM lock — atomic for
+  * every writer in one driver (this deployment); cross-driver writers
+  * would need the flip to be a put-if-absent commit log entry as well.
   */
 object VersionedTable {
 
+  /** A concurrent writer committed between this writer's base snapshot
+    * and its pointer flip; the write was NOT committed. */
+  class ConcurrentWriteException(msg: String) extends RuntimeException(msg)
+
   private def latestFile(root: String) = Paths.get(root, "_LATEST")
+
+  /** Per-root commit lock (JVM-wide): serializes the validate-then-flip
+    * critical section for all writers in this driver. */
+  private val commitLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def lockFor(root: String): Object =
+    commitLocks.computeIfAbsent(
+      Paths.get(root).toAbsolutePath.normalize.toString, _ => new Object)
+
+  /** Claim the next free version number: atomic create of `_claim_v=N`
+    * fails (FileAlreadyExistsException) if another writer — any process —
+    * holds N, and the claimer moves on to N+1. A crashed writer's stale
+    * claim just skips a number; `versions()` only lists committed-or-
+    * in-flight `v=` directories, so gaps are harmless. */
+  private def claimNextVersion(root: String): Long = {
+    Files.createDirectories(Paths.get(root))
+    var n = versions(root).lastOption.getOrElse(0L) + 1L
+    while ({
+      try { Files.createFile(Paths.get(root, s"_claim_v=$n")); false }
+      catch { case _: java.nio.file.FileAlreadyExistsException => n += 1; true }
+    }) ()
+    n
+  }
 
   def versions(root: String): Seq[Long] = {
     val d = new java.io.File(root)
@@ -62,29 +100,56 @@ object VersionedTable {
     * ignore them) are likewise written into the version directory
     * BEFORE the flip, so metadata commits atomically WITH the data —
     * the hook non-idempotent writers (additive streaming merges) use to
-    * persist their applied-batch watermark transactionally. */
+    * persist their applied-batch watermark transactionally.
+    *
+    * `baseVersion`: the snapshot this write's data derives from. Default
+    * None captures the live version at entry — right for self-contained
+    * overwrites. A caller that READ the table earlier and computed `df`
+    * from it (merge) must pass the version it read, so a commit that
+    * landed in between is detected as a conflict, not silently clobbered. */
   def write(df: DataFrame, root: String, allowEvolution: Boolean = false,
             partitionBy: Seq[String] = Seq.empty,
             statsCols: Seq[String] = Seq.empty,
-            metaFiles: Map[String, String] = Map.empty): Long = {
+            metaFiles: Map[String, String] = Map.empty,
+            baseVersion: Option[Long] = None): Long = {
+    val base = baseVersion.orElse(latestVersion(root))
     latestVersion(root).foreach { v =>
       val existing = df.sparkSession.read.parquet(s"$root/v=$v").schema
       checkSchema(existing, df.schema, allowEvolution)
     }
-    val next = versions(root).lastOption.getOrElse(0L) + 1L
-    val w = df.write.mode("overwrite")
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-      .parquet(s"$root/v=$next")
-    if (statsCols.nonEmpty) collectStats(df.sparkSession, root, next, statsCols)
-    metaFiles.foreach { case (name, content) =>
-      Files.write(Paths.get(s"$root/v=$next", name), content.getBytes)
-    }
-    // flip the pointer last, atomically
-    val tmp = Paths.get(root, s"_LATEST.tmp$next")
-    Files.write(tmp, next.toString.getBytes)
-    Files.move(tmp, latestFile(root), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-    next
+    val next = claimNextVersion(root)
+    try {
+      val w = df.write.mode("overwrite")
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+        .parquet(s"$root/v=$next")
+      if (statsCols.nonEmpty) collectStats(df.sparkSession, root, next, statsCols)
+      metaFiles.foreach { case (name, content) =>
+        Files.write(Paths.get(s"$root/v=$next", name), content.getBytes)
+      }
+      // validate-then-flip: atomic for all writers in this driver
+      lockFor(root).synchronized {
+        val current = latestVersion(root)
+        if (current != base)
+          throw new ConcurrentWriteException(
+            s"$root: concurrent commit detected (base=$base, now=$current); " +
+              "re-read the table and retry")
+        val tmp = Paths.get(root, s"_LATEST.tmp$next")
+        Files.write(tmp, next.toString.getBytes)
+        Files.move(tmp, latestFile(root), StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+      next
+    } catch {
+      case e: Throwable =>
+        // never-committed snapshot: remove so it can't inflate versions()
+        // or survive as an unreachable time-travel target
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(s"$root/v=$next"))
+        throw e
+    } finally Files.deleteIfExists(Paths.get(root, s"_claim_v=$next"))
   }
 
   // ── Data skipping (Delta stats / zone-map analogue) ──────────────────
@@ -146,11 +211,42 @@ object VersionedTable {
   /** Incremental MERGE (Delta `MERGE` analogue): upsert `updates` into the
     * latest snapshot by `keys` and write the result as a new version —
     * update rows replace matching target rows, new keys insert. Readers
-    * keep seeing the old snapshot until the pointer flips. */
+    * keep seeing the old snapshot until the pointer flips.
+    *
+    * Conflict resolution (Delta's MERGE retry): the commit is conditional
+    * on the snapshot the upsert read; if a concurrent writer commits in
+    * between, the merge re-reads the NEW latest snapshot, re-applies its
+    * updates and retries — upserts commute with other writers' rows, so
+    * a retried merge is correct where a blind re-commit would lose them.
+    *
+    * Schema evolution (Delta `mergeSchema=true` analogue): with
+    * `allowEvolution`, updates may carry NEW columns — pre-existing rows
+    * get NULLs for them — and may omit target columns (update rows get
+    * NULLs). Type changes are rejected in every mode by the write-side
+    * schema gate. */
   def merge(spark: SparkSession, root: String, updates: DataFrame,
-            keys: Seq[String]): Long =
-    write(graft.ops.RelationalOps.mergeUpsert(readLatest(spark, root), updates, keys),
-      root)
+            keys: Seq[String], maxRetries: Int = 3,
+            allowEvolution: Boolean = false): Long = {
+    var attempt = 0
+    while (true) {
+      val base = latestVersion(root).getOrElse(
+        throw new IllegalArgumentException(s"no versions at $root"))
+      val target = readVersion(spark, root, base)
+      // gate the CHANGESET schema up front (clear schema-enforcement error
+      // instead of a unionByName analysis failure downstream)
+      checkSchema(target.schema, updates.schema, allowEvolution)
+      val merged = graft.ops.RelationalOps.mergeUpsert(
+        target, updates, keys, allowMissingColumns = allowEvolution)
+      try return write(merged, root, allowEvolution = allowEvolution,
+        baseVersion = Some(base))
+      catch {
+        case e: ConcurrentWriteException =>
+          if (attempt >= maxRetries) throw e
+          attempt += 1
+      }
+    }
+    -1L // unreachable
+  }
 
   def readLatest(spark: SparkSession, root: String): DataFrame =
     readVersion(spark, root, latestVersion(root).getOrElse(
@@ -198,8 +294,10 @@ object VersionedTable {
       }
     val parts = partCols(dir)
     val nFiles = math.max(1, math.ceil(sizeOf(dir).toDouble / targetFileBytes).toInt)
+    // conditional on the snapshot being compacted: a merge that lands
+    // mid-compaction must win over the rewrite, not be clobbered by it
     write(readVersion(spark, root, v).coalesce(nFiles), root, partitionBy = parts,
-      metaFiles = carriedMeta)
+      metaFiles = carriedMeta, baseVersion = Some(v))
   }
 
   /** Retention: drop all but the newest `keep` snapshots (VACUUM analogue). */

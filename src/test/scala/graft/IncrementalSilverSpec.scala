@@ -47,6 +47,34 @@ class IncrementalSilverSpec extends AnyFunSuite {
     assert(VersionedTable.readVersion(spark, root, 1L).count() == 3) // time travel
   }
 
+  test("changeset with a new column: rejected by default, merges as nullable with allowEvolution") {
+    val root = Files.createTempDirectory("graft_inc_evolve").toString
+    IncrementalSilver.bootstrap(spark, root,
+      orders((1, 10, "prior", 1, 0, 8, None), (2, 10, "prior", 2, 3, 14, Some(7.0f))), cfg)
+    // the changeset schema evolved upstream: a new `channel` column
+    val evolved = orders((2, 10, "prior", 2, 3, 20, Some(7.0f)),
+      (3, 20, "prior", 1, 1, 9, None))
+      .withColumn("channel", lit("app"))
+    intercept[IllegalArgumentException] { // overwriteSchema=false analogue
+      IncrementalSilver.applyIncrement(spark, root, evolved, cfg)
+    }
+    assert(VersionedTable.latestVersion(root).contains(1L)) // reject left v1 live
+    val v2 = IncrementalSilver.applyIncrement(spark, root, evolved, cfg,
+      allowEvolution = true)
+    assert(v2 == 2L)
+    val latest = VersionedTable.readLatest(spark, root)
+      .select(col("order_id"), col("channel"))
+      .as[(Int, Option[String])].collect().toMap
+    // updated/inserted rows carry the new column; pre-existing rows read NULL
+    assert(latest == Map(1 -> None, 2 -> Some("app"), 3 -> Some("app")))
+    // type change on an existing column is rejected even with evolution on
+    val badType = orders((4, 30, "prior", 1, 1, 9, None))
+      .withColumn("order_dow", col("order_dow").cast("string"))
+    intercept[IllegalArgumentException] {
+      IncrementalSilver.applyIncrement(spark, root, badType, cfg, allowEvolution = true)
+    }
+  }
+
   test("a gate breach on the increment halts before writing; snapshot untouched") {
     val root = Files.createTempDirectory("graft_inc_gate").toString
     IncrementalSilver.bootstrap(spark, root,

@@ -48,6 +48,47 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.readVersion(spark, root, 1).count() == 3) // time travel unchanged
   }
 
+  test("two interleaved writers: first commit wins, loser raises ConcurrentWriteException") {
+    val root = Files.createTempDirectory("graft_vt_occ").toString
+    VersionedTable.write(Seq((1, "a")).toDF("id", "s"), root) // v1
+    // both writers base their data on v1; A commits first
+    val base = VersionedTable.latestVersion(root)
+    VersionedTable.write(Seq((2, "by-A")).toDF("id", "s"), root, baseVersion = base)
+    val e = intercept[VersionedTable.ConcurrentWriteException] {
+      VersionedTable.write(Seq((3, "by-B")).toDF("id", "s"), root, baseVersion = base)
+    }
+    assert(e.getMessage.contains("concurrent commit"))
+    // winner's snapshot is live; loser's orphan directory was removed
+    assert(VersionedTable.readLatest(spark, root)
+      .collect().map(_.getString(1)).toSeq == Seq("by-A"))
+    assert(VersionedTable.versions(root) == Seq(1L, 2L))
+    assert(!new java.io.File(s"$root/_claim_v=3").exists())
+  }
+
+  test("merge retries past a concurrent commit and keeps both writers' rows") {
+    val root = Files.createTempDirectory("graft_vt_occ_merge").toString
+    VersionedTable.write(Seq((1, "a"), (2, "b")).toDF("id", "s"), root) // v1
+    // two merges race on the same table: whichever loses the commit must
+    // detect the conflict, re-read the winner's snapshot and re-apply —
+    // a blind re-commit would lose the winner's row
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = Seq(
+      Seq((2, "B2")).toDF("id", "s") -> Seq("id"),
+      Seq((3, "c")).toDF("id", "s") -> Seq("id")
+    ).map { case (updates, keys) =>
+      new Thread(() => {
+        try VersionedTable.merge(spark, root, updates, keys)
+        catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(errs.isEmpty, s"merge threads failed: $errs")
+    val latest = VersionedTable.readLatest(spark, root)
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(latest == Map(1 -> "a", 2 -> "B2", 3 -> "c"))
+    assert(VersionedTable.versions(root).size == 3) // v1 + one per merge
+  }
+
   test("compact rewrites a fragmented snapshot into few files with identical content") {
     val root = Files.createTempDirectory("graft_vt_compact").toString
     // fragment: 16-partition write → 16 small files
