@@ -34,6 +34,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.GroupedTopKStrategy)
     ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+    ext.injectHintResolutionRule(_ => graft.plans.RangeJoinHintResolution)
     for ((name, builder) <- graft.functions.NativeFunctions.builders)
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name),

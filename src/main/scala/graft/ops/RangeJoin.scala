@@ -26,6 +26,19 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Per-join width marker for the DECLARATIVE path
+    * ([[graft.plans.RangeJoinRewrite]]): `.filter(widthHint(w))` on a
+    * join input plants the [[graft.functions.RangeJoinWidthHint]]
+    * predicate the rewrite reads — equivalent to
+    * `.hint("range_join", w)` in a [[graft.GraftExtensions]] session,
+    * but usable from any session (no hint-resolution rule required).
+    * Evaluates to TRUE if left unconsumed, so it never changes results. */
+  def widthHint(w: Long): org.apache.spark.sql.Column = {
+    require(w > 0, s"width must be positive, got $w")
+    org.apache.spark.sql.graft.NativeColumns.ofExpr(
+      graft.functions.RangeJoinWidthHint(w))
+  }
+
   def rangeJoin(points: DataFrame, intervals: DataFrame,
                 point: String, lo: String, hi: String,
                 bucketWidth: Long): DataFrame = {

@@ -21,19 +21,25 @@ import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType, In
   * residual removes bucket-mate false positives), distributed and
   * AQE-skew-splittable like every other equi-join.
   *
-  * Enabled per session by `spark.graft.rangeJoin.width` (bucket width in
-  * the value axis' units, 0/unset = off) — the bin size is a semantic
-  * hint the optimizer cannot derive at rewrite time (deriving it from
-  * the interval-span distribution takes an aggregate over the data;
-  * [[graft.ops.RangeJoin.autoBucketWidth]] does exactly that for the
-  * API path). The conf-gated hint mirrors the public range-join binning
-  * pattern of commercial Spark runtimes. Operational note: the width is
-  * PER-JOIN tuning — each interval explodes into (span/width + 1)
-  * bucket rows, so a width tuned for one join and left set can flood
-  * (or, past Spark's sequence-length cap, fail) a different BETWEEN
-  * join whose value scale is wildly larger. Set it around the target
-  * query and restore, the way q_range_join_rewrite does (force
-  * `queryExecution.optimizedPlan` to bake the rewrite, then restore).
+  * The bucket width is a semantic hint the optimizer cannot derive at
+  * rewrite time (deriving it from the interval-span distribution takes
+  * an aggregate over the data; [[graft.ops.RangeJoin.autoBucketWidth]]
+  * does exactly that for the API path). Two ways to supply it:
+  *
+  *  - **Per-join (preferred)**: `df.hint("range_join", w)` on either
+  *    join input — [[RangeJoinHintResolution]] resolves it to a
+  *    [[graft.functions.RangeJoinWidthHint]] marker predicate inside
+  *    that join's subtree, which this rule reads (and strips) when it
+  *    fires. Because the marker rides the join's own subtree, two range
+  *    joins in one plan can carry two different widths, and concurrent
+  *    queries can't cross-contaminate.
+  *  - Session conf `spark.graft.rangeJoin.width` (0/unset = off):
+  *    the legacy knob, kept as the fallback when no hint is present.
+  *    Width is per-join tuning — each interval explodes into
+  *    (span/width + 1) bucket rows, so a conf width tuned for one join
+  *    can flood (or, past Spark's sequence-length cap, fail) a
+  *    different BETWEEN join whose value scale is wildly larger; set it
+  *    around the target query and restore, or use the hint.
   *
   * Conservative guards, in the TopKRewrite discipline:
   *  - inner join whose condition is EXACTLY the two range conjuncts
@@ -140,15 +146,39 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
   private def bucketOf(e: Expression, w: Long): Expression =
     Cast(Floor(Divide(Cast(e, DoubleType), Literal(w.toDouble))), LongType)
 
+  /** First hint-marker width in a join input's subtree. Filters never
+    * migrate ABOVE their join, so a marker found below a join side was
+    * hinted for (an input of) this join. */
+  private def hintWidth(side: LogicalPlan): Option[Long] =
+    side.collect { case f: Filter =>
+      f.condition.collect { case graft.functions.RangeJoinWidthHint(w) => w }
+    }.flatten.headOption
+
+  /** Remove marker predicates from a subtree (the hint is consumed by
+    * the rewrite; a leftover marker would cost nothing but clutter the
+    * plan). A Filter reduced to nothing disappears entirely. */
+  private def stripHints(side: LogicalPlan): LogicalPlan = side.transformUp {
+    case f: Filter =>
+      val kept = splitConjunctivePredicates(f.condition)
+        .filterNot(_.isInstanceOf[graft.functions.RangeJoinWidthHint])
+      if (kept.isEmpty) f.child else Filter(kept.reduce(And), f.child)
+  }
+
+  private def splitConjunctivePredicates(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => splitConjunctivePredicates(a) ++ splitConjunctivePredicates(b)
+    case other => Seq(other)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val w = width
-    if (w <= 0) plan
-    else plan.transformUp {
-      case j @ Join(left, right, Inner, Some(cond), hint) =>
+    val confW = width
+    plan.transformUp {
+      case j @ Join(left, right, Inner, Some(cond), hint)
+          if hintWidth(left).orElse(hintWidth(right)).getOrElse(confW) > 0 =>
+        val w = hintWidth(left).orElse(hintWidth(right)).getOrElse(confW)
         matchRange(cond, left, right) match {
           case Some((p, lo, hi, pointsLeft)) =>
-            val points = if (pointsLeft) left else right
-            val intervals = if (pointsLeft) right else left
+            val points = stripHints(if (pointsLeft) left else right)
+            val intervals = stripHints(if (pointsLeft) right else left)
             val pAlias = Alias(bucketOf(p, w), "__bucket_p")()
             val pSide = Project(points.output :+ pAlias, points)
             val bAttr = AttributeReference("__bucket_i", LongType)()

@@ -667,35 +667,24 @@ object RelationalQueries {
           unix_date(to_date(col("l_shipdate"))).as("lo"),
           (unix_date(to_date(col("l_shipdate"))) +
             col("l_quantity").cast("long")).as("hi"))
+      // Per-join width via the marker predicate (widthHint) — the same
+      // span-derived width the API path self-tunes to, carried INSIDE
+      // this join's subtree: no session conf is touched, so a
+      // concurrent query's BETWEEN join can't inherit a lineitem-scaled
+      // width. The rule is applied to the analyzed plan EAGERLY and the
+      // returned frame wraps the rewritten plan: every downstream
+      // QueryExecution (count(), write) inherits the bucket join with
+      // no session-state mutation at all.
       val declarative = pts
-        .join(ivs, col("p") >= col("lo") && col("p") <= col("hi"))
+        .join(ivs.filter(graft.ops.RangeJoin.widthHint(
+          graft.ops.RangeJoin.autoBucketWidth(ivs, "lo", "hi"))),
+          col("p") >= col("lo") && col("p") <= col("hi"))
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("pairs"),
           countDistinct(col("o_orderkey")).as("n_orders"))
         .orderBy(col("l_returnflag"))
-      // Apply the rule to the analyzed plan EAGERLY and return a frame
-      // over the rewritten plan: every downstream QueryExecution
-      // (count(), write) inherits the bucket join, and no session state
-      // (rule list, width conf) mutates — a session-installed conf left
-      // set would silently rewrite every later BETWEEN join with a
-      // lineitem-scaled width, and restoring it before execution loses
-      // the rewrite because count()/write build NEW QueryExecutions.
-      // The width conf is set only around the rule application (it is
-      // the rule's input channel) and restored; the value is the same
-      // span-derived width the API path self-tunes to.
-      val key = graft.plans.RangeJoinRewrite.WidthKey
-      val prevWidth = s.conf.getOption(key)
-      s.conf.set(key,
-        graft.ops.RangeJoin.autoBucketWidth(ivs, "lo", "hi").toString)
-      try {
-        org.apache.spark.sql.graft.NativeColumns.ofPlan(s,
-          graft.plans.RangeJoinRewrite(declarative.queryExecution.analyzed))
-      } finally {
-        prevWidth match {
-          case Some(w) => s.conf.set(key, w)
-          case None => s.conf.unset(key)
-        }
-      }
+      org.apache.spark.sql.graft.NativeColumns.ofPlan(s,
+        graft.plans.RangeJoinRewrite(declarative.queryExecution.analyzed))
     }),
 
     // G4 reconciliation drift, fully declarative (two 1-row aggs cross-joined).

@@ -92,6 +92,48 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("hint('range_join', w): per-join width, no session conf involved") {
+    withExtensionsSession { sess =>
+      // NO WidthKey conf set anywhere in this test
+      val df = points(sess).join(intervals(sess).hint("range_join", 8),
+        col("p") >= col("lo") && col("p") <= col("hi"))
+      val plan = planOf(df)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"got:\n$plan")
+      assert(plan.contains("__bucket"), s"expected the bucket equi-key:\n$plan")
+      assert(!plan.contains("range_join_width"),
+        s"consumed hint must be stripped from the plan:\n$plan")
+      val base = joined(TestSpark.spark).collect().map(_.toSeq).toSet
+      assert(df.collect().map(_.toSeq).toSet == base)
+    }
+  }
+
+  test("two range joins in ONE plan carry two different hinted widths") {
+    withExtensionsSession { sess =>
+      val a = points(sess).join(intervals(sess).hint("range_join", 4),
+        col("p") >= col("lo") && col("p") <= col("hi"))
+        .select(col("p"), col("iid"))
+      val pts2 = sess.range(500).select((col("id") * 100).as("q"))
+      val ivs2 = sess.range(60).select((col("id") * 900).as("qlo"),
+        (col("id") * 900 + 500).as("qhi"))
+      // 100× larger value scale: a width tuned for join A (4) would
+      // explode each of these intervals into ~126 bucket rows — the
+      // session-conf cross-contamination this mechanism eliminates
+      val b = pts2.join(ivs2.hint("range_join", 512),
+        col("q") >= col("qlo") && col("q") <= col("qhi"))
+        .select(col("q"), col("qlo"))
+      // the deliberate 1-row crossJoin glue is a legitimate BNLJ; the
+      // assertions target the two BETWEEN joins via their bucket divisors
+      val both = a.crossJoin(b.limit(1))
+      val optimized = both.queryExecution.optimizedPlan.toString
+      assert(planOf(both).contains("__bucket"))
+      // both widths appear as their respective bucket divisors
+      assert(optimized.contains("4.0") && optimized.contains("512.0"),
+        s"expected per-join divisors 4.0 and 512.0:\n$optimized")
+      val baseA = joined(TestSpark.spark).select(col("p"), col("iid"))
+      assert(a.collect().map(_.toSeq).toSet == baseA.collect().map(_.toSeq).toSet)
+    }
+  }
+
   test("registry q_range_join_rewrite: bucketed plan, result equals the API path") {
     val dir = "/root/testdata/sf0.001"
     val sess = TestSpark.spark
