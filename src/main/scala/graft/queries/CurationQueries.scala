@@ -193,6 +193,20 @@ object CurationQueries {
     e.select(col("src").as("node")).distinct()
       .select(col("node").as("lm"), col("node"))
 
+  /** The 10⁹-node posture, executable: k md5-deterministic landmark
+    * nodes (smallest (md5(node), node) — a seedless hash order both
+    * engines reproduce bit-exactly, unlike rand()-based sampling).
+    * Top-k is TakeOrderedAndProject: per-partition heaps of k, a
+    * k·P-row driver merge — no global sort of the node set. Swapping
+    * this for [[allNodeLandmarks]] changes NOTHING downstream: the
+    * landmark key rides the same bucketed BFS rounds, only the frontier
+    * row count scales down from n·n to k·n. */
+  private def sampledLandmarks(e: DataFrame, k: Int): DataFrame =
+    e.select(col("src").as("node")).distinct()
+      .orderBy(md5(col("node").cast("string").cast("binary")), col("node"))
+      .limit(k)
+      .select(col("node").as("lm"), col("node"))
+
   /** `rounds` synchronized k-core pruning rounds over a symmetrized
     * edge list (both directions present): each round recomputes
     * out-degrees (= undirected degrees on a symmetrized list), keeps
@@ -411,6 +425,29 @@ object CurationQueries {
           sum(expr("1000000 div d")).as("harmonic_micro"))
         .join(broadcast(t(s, dir, "nation")), col("lm") === col("n_nationkey"))
         .select(col("n_name").as("nation"), col("n_reached"),
+          col("harmonic_micro"))
+        .orderBy(col("nation"))
+    }),
+
+    // q_closeness's 10⁹-node posture as a first-class registry entry:
+    // harmonic closeness from k=8 md5-sampled landmarks instead of all
+    // nodes — IDENTICAL plan (the BFS rounds are landmark-key-agnostic),
+    // k·n frontier rows instead of n². Output keyed by the REACHED node:
+    // closeness from sampled sources estimates every node's centrality
+    // (Σ 1/d over the sampled sources that reach it), which is the
+    // quantity landmark sampling exists to deliver; per-landmark output
+    // would just be 8 exact rows. The oracle replays the same sample
+    // selection + unrolled rounds.
+    "q_closeness_sampled" -> ((s, dir) => {
+      val e = undirectedUnitEdges(s, dir)
+      val sources = sampledLandmarks(e, 8)
+      val dist = graft.ops.ShortestPaths.runMulti(e, sources, rounds = 4)
+      dist.filter(col("d") > 0)
+        .groupBy(col("node"))
+        .agg(count(lit(1)).as("n_sources"),
+          sum(expr("1000000 div d")).as("harmonic_micro"))
+        .join(broadcast(t(s, dir, "nation")), col("node") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), col("n_sources"),
           col("harmonic_micro"))
         .orderBy(col("nation"))
     }),
@@ -778,6 +815,35 @@ object CurationQueries {
          |SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS n_reached,
          |  CAST(sum(1000000 // d) AS BIGINT) AS harmonic_micro
          |FROM d4 d JOIN nation n ON d.lm = n.n_nationkey
+         |WHERE d.d > 0
+         |GROUP BY 1 ORDER BY nation""".stripMargin
+    },
+
+    "q_closeness_sampled" -> {
+      val rounds = (1 to 4).map { i =>
+        val p = i - 1
+        s"""d$i AS (SELECT lm, node, min(d) AS d FROM (
+           |    SELECT lm, node, d FROM d$p
+           |    UNION ALL
+           |    SELECT d$p.lm, e.dst, d$p.d + 1 FROM d$p JOIN e ON e.src = d$p.node)
+           |  GROUP BY 1, 2)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ed AS ($NATION_FLOW_SQL),
+         |r AS (SELECT src, dst, row_number() OVER (
+         |    PARTITION BY src ORDER BY w DESC, dst) AS rn
+         |  FROM ed WHERE src <> dst),
+         |und AS (
+         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM r WHERE rn <= 3),
+         |e AS (SELECT CAST(a AS BIGINT) AS src, CAST(b AS BIGINT) AS dst FROM und
+         |  UNION ALL SELECT CAST(b AS BIGINT), CAST(a AS BIGINT) FROM und),
+         |lmk AS (SELECT node FROM (SELECT DISTINCT src AS node FROM e)
+         |  ORDER BY md5(CAST(node AS VARCHAR)), node LIMIT 8),
+         |d0 AS (SELECT node AS lm, node, CAST(0 AS BIGINT) AS d FROM lmk),
+         |$rounds
+         |SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS n_sources,
+         |  CAST(sum(1000000 // d) AS BIGINT) AS harmonic_micro
+         |FROM d4 d JOIN nation n ON d.node = n.n_nationkey
          |WHERE d.d > 0
          |GROUP BY 1 ORDER BY nation""".stripMargin
     },
