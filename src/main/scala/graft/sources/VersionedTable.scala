@@ -1,6 +1,7 @@
 package graft.sources
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.EnumSet
+import org.apache.hadoop.fs.{CreateFlag, FileContext, Options, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.{StructField, StructType}
 
@@ -27,6 +28,15 @@ import org.apache.spark.sql.types.{StructField, StructType}
   * check-then-flip pair is serialized by a per-root JVM lock — atomic for
   * every writer in one driver (this deployment); cross-driver writers
   * would need the flip to be a put-if-absent commit log entry as well.
+  *
+  * Storage access: all metadata IO (pointer, claims, meta files,
+  * listings, deletes) goes through the Hadoop FileContext API, so a
+  * table root can be any Hadoop-supported filesystem URI — `file:`,
+  * `hdfs:`, or an object store with a Hadoop connector. Atomicity
+  * caveats are the usual Hadoop ones: create-no-overwrite and rename
+  * are atomic on file:/HDFS; an S3-style store without atomic rename
+  * needs a commit-log service for the flip (as Delta does) — the same
+  * boundary Delta draws.
   */
 object VersionedTable {
 
@@ -34,42 +44,90 @@ object VersionedTable {
     * and its pointer flip; the write was NOT committed. */
   class ConcurrentWriteException(msg: String) extends RuntimeException(msg)
 
-  private def latestFile(root: String) = Paths.get(root, "_LATEST")
+  // ── Hadoop-FS metadata IO ────────────────────────────────────────────
+  // FileContext, not FileSystem: the local AbstractFileSystem is raw (no
+  // .crc sidecar files to corrupt on overwrite-rename), create flags
+  // give atomic create-no-overwrite, and rename supports OVERWRITE.
+
+  private def fcOf(p: HPath): FileContext = {
+    val conf = SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    if (p.toUri.getScheme == null) FileContext.getFileContext(conf)
+    else FileContext.getFileContext(p.toUri, conf)
+  }
+
+  private def readString(p: HPath): Option[String] = {
+    val fc = fcOf(p)
+    if (!fc.util.exists(p)) None
+    else {
+      val in = fc.open(p)
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        Some(new String(out.toByteArray, "UTF-8"))
+      } finally in.close()
+    }
+  }
+
+  private def writeString(p: HPath, s: String,
+                          overwrite: Boolean): Unit = {
+    val flags = if (overwrite) EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE)
+      else EnumSet.of(CreateFlag.CREATE) // atomic put-if-absent
+    val out = fcOf(p).create(p, flags, Options.CreateOpts.createParent())
+    try out.write(s.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def delete(p: HPath, recursive: Boolean): Boolean = {
+    val fc = fcOf(p)
+    fc.util.exists(p) && fc.delete(p, recursive)
+  }
+
+  private def listNames(p: HPath): Seq[String] = {
+    val fc = fcOf(p)
+    if (!fc.util.exists(p)) Seq.empty
+    else fc.util.listStatus(p).toSeq.map(_.getPath.getName)
+  }
+
+  private def latestFile(root: String) = new HPath(root, "_LATEST")
 
   /** Per-root commit lock (JVM-wide): serializes the validate-then-flip
     * critical section for all writers in this driver. */
   private val commitLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
-  private def lockFor(root: String): Object =
-    commitLocks.computeIfAbsent(
-      Paths.get(root).toAbsolutePath.normalize.toString, _ => new Object)
+  private def lockFor(root: String): Object = {
+    val p = new HPath(root)
+    val key = fcOf(p).makeQualified(p).toUri.toString
+    commitLocks.computeIfAbsent(key, _ => new Object)
+  }
 
-  /** Claim the next free version number: atomic create of `_claim_v=N`
-    * fails (FileAlreadyExistsException) if another writer — any process —
-    * holds N, and the claimer moves on to N+1. A crashed writer's stale
-    * claim just skips a number; `versions()` only lists committed-or-
-    * in-flight `v=` directories, so gaps are harmless. */
+  /** Claim the next free version number: atomic create-no-overwrite of
+    * `_claim_v=N` fails (FileAlreadyExistsException) if another writer —
+    * any process — holds N, and the claimer moves on to N+1. A crashed
+    * writer's stale claim just skips a number; `versions()` only lists
+    * committed-or-in-flight `v=` directories, so gaps are harmless. */
   private def claimNextVersion(root: String): Long = {
-    Files.createDirectories(Paths.get(root))
     var n = versions(root).lastOption.getOrElse(0L) + 1L
     while ({
-      try { Files.createFile(Paths.get(root, s"_claim_v=$n")); false }
-      catch { case _: java.nio.file.FileAlreadyExistsException => n += 1; true }
+      try { writeString(new HPath(root, s"_claim_v=$n"), "", overwrite = false); false }
+      catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => n += 1; true }
     }) ()
     n
   }
 
-  def versions(root: String): Seq[Long] = {
-    val d = new java.io.File(root)
-    if (!d.exists()) Seq.empty
-    else d.listFiles().toSeq.map(_.getName)
+  def versions(root: String): Seq[Long] =
+    listNames(new HPath(root))
       .filter(_.startsWith("v=")).map(_.drop(2).toLong).sorted
-  }
 
-  def latestVersion(root: String): Option[Long] = {
-    val f = latestFile(root)
-    if (Files.exists(f)) Some(new String(Files.readAllBytes(f)).trim.toLong) else None
-  }
+  def latestVersion(root: String): Option[Long] =
+    readString(latestFile(root)).map(_.trim.toLong)
+
+  /** Read a meta file committed into snapshot `v` via `write(metaFiles)`
+    * (e.g. a streaming writer's applied-batch watermark). */
+  def readMeta(root: String, version: Long, name: String): Option[String] =
+    readString(new HPath(s"$root/v=$version", name))
 
   /** Schema gate (the reference's enforced-StructType contract,
     * 01_bronze_ingest.py:36-68 / README.md:69): an existing table only
@@ -124,7 +182,7 @@ object VersionedTable {
         .parquet(s"$root/v=$next")
       if (statsCols.nonEmpty) collectStats(df.sparkSession, root, next, statsCols)
       metaFiles.foreach { case (name, content) =>
-        Files.write(Paths.get(s"$root/v=$next", name), content.getBytes)
+        writeString(new HPath(s"$root/v=$next", name), content, overwrite = true)
       }
       // validate-then-flip: atomic for all writers in this driver
       lockFor(root).synchronized {
@@ -133,23 +191,18 @@ object VersionedTable {
           throw new ConcurrentWriteException(
             s"$root: concurrent commit detected (base=$base, now=$current); " +
               "re-read the table and retry")
-        val tmp = Paths.get(root, s"_LATEST.tmp$next")
-        Files.write(tmp, next.toString.getBytes)
-        Files.move(tmp, latestFile(root), StandardCopyOption.ATOMIC_MOVE,
-          StandardCopyOption.REPLACE_EXISTING)
+        val tmp = new HPath(root, s"_LATEST.tmp$next")
+        writeString(tmp, next.toString, overwrite = true)
+        fcOf(tmp).rename(tmp, latestFile(root), Options.Rename.OVERWRITE)
       }
       next
     } catch {
       case e: Throwable =>
         // never-committed snapshot: remove so it can't inflate versions()
         // or survive as an unreachable time-travel target
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
-        rm(new java.io.File(s"$root/v=$next"))
+        delete(new HPath(s"$root/v=$next"), recursive = true)
         throw e
-    } finally Files.deleteIfExists(Paths.get(root, s"_claim_v=$next"))
+    } finally delete(new HPath(root, s"_claim_v=$next"), recursive = false)
   }
 
   // ── Data skipping (Delta stats / zone-map analogue) ──────────────────
@@ -197,7 +250,8 @@ object VersionedTable {
     val base = s"$root/v=$v"
     val residual = (d: DataFrame) =>
       d.filter(col(column) >= lo && col(column) <= hi)
-    if (!new java.io.File(s"$base/_stats").exists())
+    val statsPath = new HPath(s"$base/_stats")
+    if (!fcOf(statsPath).util.exists(statsPath))
       return residual(readVersion(spark, root, v))
     val files = spark.read.parquet(s"$base/_stats")
       .filter(col(s"max_$column") >= lo && col(s"min_$column") <= hi)
@@ -274,22 +328,25 @@ object VersionedTable {
               targetFileBytes: Long = 128L * 1024 * 1024): Long = {
     val v = latestVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no versions at $root"))
-    val dir = new java.io.File(s"$root/v=$v")
+    val dir = new HPath(s"$root/v=$v")
+    val fc = fcOf(dir)
     // carry the live snapshot's meta files (e.g. the applied-batch
     // watermark of an additive streaming writer) into the compacted
     // version — compaction must not erase transactional metadata, or a
     // post-compaction checkpoint replay would re-apply a batch
-    val carriedMeta: Map[String, String] = dir.listFiles().toSeq
-      .filter(f => f.isFile && f.getName.startsWith("_") && f.getName != "_SUCCESS")
-      .map(f => f.getName -> new String(Files.readAllBytes(f.toPath)))
+    val carriedMeta: Map[String, String] = fc.util.listStatus(dir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith("_") &&
+        st.getPath.getName != "_SUCCESS")
+      .flatMap(st => readString(st.getPath).map(st.getPath.getName -> _))
       .toMap
-    def sizeOf(f: java.io.File): Long =
-      if (f.isDirectory) f.listFiles().map(sizeOf).sum else f.length()
+    def sizeOf(p: HPath): Long = fc.util.listStatus(p).map { st =>
+      if (st.isDirectory) sizeOf(st.getPath) else st.getLen
+    }.sum
     // partition columns from the first chain of name=value subdirectories
-    def partCols(d: java.io.File): Seq[String] =
-      d.listFiles().filter(_.isDirectory).map(_.getName).filter(_.contains("="))
-        .headOption match {
-        case Some(nv) => nv.takeWhile(_ != '=') +: partCols(new java.io.File(d, nv))
+    def partCols(d: HPath): Seq[String] =
+      fc.util.listStatus(d).filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.contains("=")).headOption match {
+        case Some(nv) => nv.takeWhile(_ != '=') +: partCols(new HPath(d, nv))
         case None => Seq.empty
       }
     val parts = partCols(dir)
@@ -305,13 +362,7 @@ object VersionedTable {
     val all = versions(root)
     val drop = all.dropRight(keep)
       .filterNot(latestVersion(root).contains) // never drop the live pointer
-    drop.foreach { v =>
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(new java.io.File(s"$root/v=$v"))
-    }
+    drop.foreach(v => delete(new HPath(s"$root/v=$v"), recursive = true))
     drop
   }
 }

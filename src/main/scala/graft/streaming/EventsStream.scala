@@ -238,12 +238,11 @@ object EventsStream {
     * live snapshot, exactly once either way. */
   def applyAggDelta(root: String, batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val appliedFile = (v: Long) => java.nio.file.Paths.get(s"$root/v=$v/_batch")
-    val applied = graft.sources.VersionedTable.latestVersion(root).flatMap { v =>
-      if (java.nio.file.Files.exists(appliedFile(v)))
-        Some(new String(java.nio.file.Files.readAllBytes(appliedFile(v))).trim.toLong)
-      else None
-    }
+    // Hadoop-FS read (VersionedTable.readMeta), so the maintained view's
+    // root can live on any Hadoop-supported filesystem, not just file:
+    val applied = graft.sources.VersionedTable.latestVersion(root)
+      .flatMap(v => graft.sources.VersionedTable.readMeta(root, v, "_batch"))
+      .map(_.trim.toLong)
     if (applied.exists(_ >= batchId)) return
     val delta = batch.groupBy(col("grp")).agg(
       sum(col("op")).as("dn"),

@@ -48,6 +48,16 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.readVersion(spark, root, 1).count() == 3) // time travel unchanged
   }
 
+  test("explicit file: URI root works end-to-end through the Hadoop FS API") {
+    val root = "file:" + Files.createTempDirectory("graft_vt_uri").toString
+    val v1 = VersionedTable.write(Seq((1, "a")).toDF("id", "s"), root)
+    val v2 = VersionedTable.merge(spark, root, Seq((2, "b")).toDF("id", "s"), Seq("id"))
+    assert(v1 == 1 && v2 == 2)
+    assert(VersionedTable.latestVersion(root).contains(2L))
+    assert(VersionedTable.readLatest(spark, root).count() == 2)
+    assert(VersionedTable.versions(root) == Seq(1L, 2L))
+  }
+
   test("two interleaved writers: first commit wins, loser raises ConcurrentWriteException") {
     val root = Files.createTempDirectory("graft_vt_occ").toString
     VersionedTable.write(Seq((1, "a")).toDF("id", "s"), root) // v1
