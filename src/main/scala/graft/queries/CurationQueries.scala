@@ -664,7 +664,7 @@ object CurationQueries {
     "q_semdedup" -> ((s, dir) => {
       graft.functions.NativeFunctions.register(s)
       val cos = graft.functions.NativeFunctions.cosineSim _
-      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val e = graft.sources.Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
       // trained once per dir per JVM (deterministic, so results are
       // identical): the quantizer is a persisted artifact in production
       // (q_ann_ivf_persisted ships the same centroids); q_ann_ivf keeps
@@ -707,7 +707,7 @@ object CurationQueries {
     // q_dedup_embedding_mt; exact within-bucket.
     "q_knn_join" -> ((s, dir) => {
       graft.functions.NativeFunctions.register(s)
-      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
+      val e = graft.sources.Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"),
         SimilarityOps.srpBucket(col("embedding"), 6).as("bucket"))
       val w = Window.partitionBy(col("vec_a")).orderBy(col("cos_sim").desc, col("vec_b"))
       e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("bucket"))

@@ -132,7 +132,7 @@ object LlmQueries {
     graft.functions.NativeFunctions.register(s)
     val bucketCols = (0 until nTables).map(tb =>
       srpBucketAt(col("embedding"), tb * tableBits + 1, tableBits).as(s"t$tb"))
-    val e = t(s, dir, "embeddings")
+    val e = graft.sources.Tables.embeddings(s, dir)
       .select(col("vec_id") +: col("embedding") +: bucketCols: _*)
       .localCheckpoint()
     val perTable = (0 until nTables).map { tb =>
@@ -505,7 +505,7 @@ object LlmQueries {
     graft.functions.NativeFunctions.register(s)
     import org.apache.spark.sql.expressions.Window
     val cos = graft.functions.NativeFunctions.cosineSim _
-    val e = t(s, dir, "embeddings")
+    val e = graft.sources.Tables.embeddings(s, dir)
     val cents = graft.llm.KMeans.train(e, k, lloydRounds)
     val scored = e.crossJoin(broadcast(cents))
       .withColumn("cos_c", cos(col("embedding"), col("cvec")))
@@ -543,7 +543,7 @@ object LlmQueries {
     graft.functions.NativeFunctions.register(s)
     import org.apache.spark.sql.expressions.Window
     val cos = graft.functions.NativeFunctions.cosineSim _
-    val e = t(s, dir, "embeddings")
+    val e = graft.sources.Tables.embeddings(s, dir)
     val cents = graft.llm.KMeans.trainParallel(e, k, lloydRounds, l, rounds)
     val ivf = e.crossJoin(broadcast(cents))
       .withColumn("cos_c", cos(col("embedding"), col("cvec")))
@@ -569,7 +569,7 @@ object LlmQueries {
     graft.functions.NativeFunctions.register(s)
     require(64 % m == 0, s"subspace count must tile 64 dims, got $m")
     val subDim = 64 / m
-    val e = t(s, dir, "embeddings")
+    val e = graft.sources.Tables.embeddings(s, dir)
     val books = graft.llm.PqOps.trainCodebooks(e, m, subDim, k, lloydRounds)
     val codes = graft.llm.PqOps.encode(e, books, m, subDim)
     graft.llm.PqOps.adcScores(codes, books, e.filter(col("vec_id") === 0L), m, subDim)
@@ -592,7 +592,7 @@ object LlmQueries {
     val cos = graft.functions.NativeFunctions.cosineSim _
     require(64 % m == 0, s"subspace count must tile 64 dims, got $m")
     val subDim = 64 / m
-    val e = t(s, dir, "embeddings")
+    val e = graft.sources.Tables.embeddings(s, dir)
     val cents = graft.llm.KMeans.train(e, k, lloydRounds)
     val scored = e.crossJoin(broadcast(cents))
       .withColumn("cos_c", cos(col("embedding"), col("cvec")))
@@ -1049,7 +1049,7 @@ object LlmQueries {
     // --- similarity search -------------------------------------------------
     "q_embed_pairs" -> ((s, dir) => {
       graft.functions.NativeFunctions.register(s)
-      val e = t(s, dir, "embeddings")
+      val e = graft.sources.Tables.embeddings(s, dir)
       val a = e.as("a"); val b = e.as("b")
       a.join(b, col("b.vec_id") === col("a.vec_id") + 1)
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
@@ -1059,7 +1059,7 @@ object LlmQueries {
     }),
 
     "q_ann_bruteforce" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
+      val e = graft.sources.Tables.embeddings(s, dir)
       SimilarityOps.bruteForceTopK(
         e.filter(col("vec_id") =!= 0L), e.filter(col("vec_id") === 0L),
         "vec_id", "embedding", 10)
@@ -1069,7 +1069,7 @@ object LlmQueries {
     }),
 
     "q_ann_lsh" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings").withColumn("bucket", srpBucket(col("embedding"), 8))
+      val e = graft.sources.Tables.embeddings(s, dir).withColumn("bucket", srpBucket(col("embedding"), 8))
       val q = e.filter(col("vec_id") === 0L)
         .select(col("bucket").as("qbucket"), col("embedding").as("qvec"))
       graft.functions.NativeFunctions.register(s)
@@ -1094,7 +1094,7 @@ object LlmQueries {
     "q_ann_sq8" -> ((s, dir) => {
       val maxabs = aggregate(col("embedding"), lit(0.0d),
         (acc, x) => greatest(acc, abs(x.cast("double"))))
-      val sq = t(s, dir, "embeddings")
+      val sq = graft.sources.Tables.embeddings(s, dir)
         .select(col("vec_id"), (maxabs / 127.0).as("scale"), col("embedding"))
         .select(col("vec_id"), col("scale"),
           transform(col("embedding"),
@@ -1117,7 +1117,7 @@ object LlmQueries {
     // exact cosine filter. Threshold 0.25 exercises the path on this
     // random corpus (real near-dups would sit near 1.0).
     "q_dedup_embedding" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
+      val e = graft.sources.Tables.embeddings(s, dir)
         .select(col("vec_id"), col("embedding"), srpBucket(col("embedding"), 8).as("bucket"))
         .persist()
       graft.functions.NativeFunctions.register(s)
@@ -1160,7 +1160,7 @@ object LlmQueries {
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_" +
         s"p${ProcessHandle.current().pid()}_${Integer.toHexString(dir.hashCode)}"
       cleanupAtExit(out)
-      val e = t(s, dir, "embeddings")
+      val e = graft.sources.Tables.embeddings(s, dir)
       val Seq(cents) = indexMemo.getOrElseUpdate(out, {
         val c = graft.llm.KMeans.train(e, 16, 2)
         graft.llm.IvfIndex.build(e, c, out)
@@ -1189,7 +1189,7 @@ object LlmQueries {
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_" +
         s"p${ProcessHandle.current().pid()}_${Integer.toHexString(dir.hashCode)}"
       cleanupAtExit(out)
-      val e = t(s, dir, "embeddings")
+      val e = graft.sources.Tables.embeddings(s, dir)
       val Seq(cents, books) = indexMemo.getOrElseUpdate(out, {
         val c = graft.llm.KMeans.train(e, 16, 2)
         val b = graft.llm.PqOps.trainCodebooks(e, 4, 16, 16, 2)
@@ -1389,7 +1389,7 @@ object LlmQueries {
     // (label, dim) for the mean. Long rows (label, dim, mean), not an
     // array column, so the oracle compares scalars.
     "q_label_centroids" -> ((s, dir) => {
-      val fp = t(s, dir, "embeddings")
+      val fp = graft.sources.Tables.embeddings(s, dir)
         .select(col("label").cast("long").as("label"),
           posexplode(col("embedding")).as(Seq("dim", "v")))
         .select(col("label"), col("dim").cast("long").as("dim"),

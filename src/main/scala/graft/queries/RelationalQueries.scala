@@ -107,6 +107,30 @@ object RelationalQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // CHANGE DATA FEED (Delta CDF analogue): the row-level diff between
+    // two committed snapshots — v1 = orders, v2 = deletes (every 97th
+    // key) + updates (every 100th repriced) + inserts (every 1000th
+    // cloned to a new key) — classified insert/delete/update with
+    // Delta's preimage/postimage pair per update. One co-partitioned
+    // full-outer join of the snapshots; the base is never rescanned.
+    "q_table_changes" -> ((s, dir) => {
+      val out = tmpDir("graft_cdf")
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      val updates = base.filter(col("o_orderkey") % 100 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        .withColumn("o_orderstatus", lit("U"))
+        .unionByName(base.filter(col("o_orderkey") % 1000 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 100000000L))
+      graft.sources.VersionedTable.write(base, s"$out/t")
+      graft.sources.VersionedTable.write(
+        mergeUpsert(base.filter(col("o_orderkey") % 97 =!= 0), updates,
+          Seq("o_orderkey")), s"$out/t")
+      graft.sources.VersionedTable.changes(s, s"$out/t", 1L, 2L, Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"), col("_change_type"))
+    }),
+
     // Incremental aggregate maintenance — the materialized-view delta
     // pattern a lakehouse gold layer needs at 100 TB: the refreshed
     // aggregate comes from MERGING the existing gold rows with a
@@ -786,6 +810,42 @@ object RelationalQueries {
         |SELECT b.* FROM base b
         |WHERE NOT EXISTS (SELECT 1 FROM changes c WHERE c.o_orderkey = b.o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_table_changes" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+        |changes AS (
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+        |         o_totalprice + 1000.0 AS o_totalprice
+        |  FROM base WHERE o_orderkey % 100 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, o_orderstatus, o_totalprice
+        |  FROM base WHERE o_orderkey % 1000 = 0),
+        |v2 AS (
+        |  SELECT * FROM changes
+        |  UNION ALL
+        |  SELECT b.* FROM base b
+        |  WHERE b.o_orderkey % 97 <> 0
+        |    AND NOT EXISTS (SELECT 1 FROM changes c WHERE c.o_orderkey = b.o_orderkey))
+        |SELECT n.o_orderkey, n.o_custkey, n.o_orderstatus, n.o_totalprice,
+        |       'insert' AS _change_type
+        |FROM v2 n WHERE NOT EXISTS (SELECT 1 FROM base o WHERE o.o_orderkey = n.o_orderkey)
+        |UNION ALL
+        |SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice, 'delete'
+        |FROM base o WHERE NOT EXISTS (SELECT 1 FROM v2 n WHERE n.o_orderkey = o.o_orderkey)
+        |UNION ALL
+        |SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice, 'update_preimage'
+        |FROM base o JOIN v2 n USING (o_orderkey)
+        |WHERE o.o_custkey IS DISTINCT FROM n.o_custkey
+        |   OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+        |   OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+        |UNION ALL
+        |SELECT n.o_orderkey, n.o_custkey, n.o_orderstatus, n.o_totalprice, 'update_postimage'
+        |FROM base o JOIN v2 n USING (o_orderkey)
+        |WHERE o.o_custkey IS DISTINCT FROM n.o_custkey
+        |   OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+        |   OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+        |ORDER BY o_orderkey, _change_type""".stripMargin,
 
     "q_scan_table" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_returnflag

@@ -25,6 +25,25 @@ object Tables {
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Embeddings table with the vector column normalized to
+    * `array<float>` whatever the file's element type — schema-adaptive
+    * like [[graft.queries.EventQueries.events]], so a regenerated
+    * testdata drop that switches the embedding encoding (float↔double)
+    * cannot break the ANN/dedup family the way the r6 events timestamp
+    * drift broke the time-series family. Float is the normalized form
+    * because every similarity kernel and persisted index stores float
+    * (half the bytes on the wire at equal recall). */
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = t(spark, sfDir, "embeddings")
+    df.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) => df
+      case ArrayType(_: NumericType, _) =>
+        df.withColumn("embedding", col("embedding").cast("array<float>"))
+      case other =>
+        throw new IllegalStateException(s"unexpected embedding dtype: $other")
+    }
+  }
+
   /** CSV scan with header + enforced schema, failing fast on malformed
     * rows — reference 01_bronze_ingest.py:81-86 uses mode default
     * PERMISSIVE on Databricks but README.md:69 documents "invalid types

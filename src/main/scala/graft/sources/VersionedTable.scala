@@ -302,6 +302,50 @@ object VersionedTable {
     -1L // unreachable
   }
 
+  /** Row-level CHANGE DATA FEED between two snapshots (Delta CDF
+    * analogue): every key classified insert / delete / update, updates
+    * emitted as Delta's update_preimage + update_postimage pair. No
+    * change log is stored — the retained snapshots ARE the log, so the
+    * feed is one key-partitioned full-outer join of the two versions
+    * (storage-free CDF, read-side diff cost; Delta stores per-commit
+    * change files to trade write-side space for read-side work — at a
+    * 100 TB base either way the work is ONE co-partitioned join, not a
+    * base rescan). Unchanged rows are dropped via a null-safe full-row
+    * struct compare. Schema evolution between the versions is handled:
+    * columns absent on one side read as NULL there (so a column added
+    * in `toV` makes every surviving row differ — correctly an update).
+    *
+    * Output: key columns + the union of both versions' non-key columns
+    * + `_change_type`. */
+  def changes(spark: SparkSession, root: String, fromV: Long, toV: Long,
+              keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{array, col, explode, lit, not, struct}
+    val from = readVersion(spark, root, fromV)
+    val to = readVersion(spark, root, toV)
+    val keySet = keys.toSet
+    val dataCols = (from.columns ++ to.columns.filterNot(from.columns.contains))
+      .filterNot(keySet).toSeq
+    val typeOf = (to.schema.fields ++ from.schema.fields)
+      .map(f => f.name -> f.dataType).toMap
+    def packed(df: DataFrame, as: String) = {
+      val have = df.columns.toSet
+      df.select(keys.map(col) :+ struct(dataCols.map(c =>
+        (if (have(c)) col(c) else lit(null).cast(typeOf(c))).as(c)): _*).as(as): _*)
+    }
+    val img = (side: String, tpe: String) =>
+      struct(col(side).as("img"), lit(tpe).as("t"))
+    packed(from, "o").join(packed(to, "n"), keys, "full_outer")
+      .filter(col("o").isNull || col("n").isNull || not(col("o") <=> col("n")))
+      .select(keys.map(col) :+ explode(
+        org.apache.spark.sql.functions.when(col("o").isNull, array(img("n", "insert")))
+          .when(col("n").isNull, array(img("o", "delete")))
+          .otherwise(array(img("o", "update_preimage"),
+            img("n", "update_postimage")))).as("c"): _*)
+      .select(keys.map(col) ++
+        dataCols.map(c => col(s"c.img.$c").as(c)) :+
+        col("c.t").as("_change_type"): _*)
+  }
+
   def readLatest(spark: SparkSession, root: String): DataFrame =
     readVersion(spark, root, latestVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no versions at $root")))

@@ -99,6 +99,32 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.versions(root).size == 3) // v1 + one per merge
   }
 
+  test("changes(): insert/delete/update classification, unchanged rows dropped") {
+    val root = Files.createTempDirectory("graft_vt_cdf").toString
+    VersionedTable.write(
+      Seq((1, "a", 10), (2, "b", 20), (3, "c", 30)).toDF("id", "s", "x"), root)
+    VersionedTable.write( // 1 unchanged, 2 updated, 3 deleted, 4 inserted
+      Seq((1, "a", 10), (2, "B", 21), (4, "d", 40)).toDF("id", "s", "x"), root)
+    val ch = VersionedTable.changes(spark, root, 1L, 2L, Seq("id"))
+      .orderBy(col("id"), col("_change_type"))
+      .as[(Int, String, Int, String)].collect().toSeq
+    assert(ch == Seq(
+      (2, "B", 21, "update_postimage"), (2, "b", 20, "update_preimage"),
+      (3, "c", 30, "delete"), (4, "d", 40, "insert")))
+  }
+
+  test("changes() across schema evolution: the added column reads NULL in v1 rows") {
+    val root = Files.createTempDirectory("graft_vt_cdf_evo").toString
+    VersionedTable.write(Seq((1, "a")).toDF("id", "s"), root)
+    VersionedTable.write(Seq((1, "a", 0.5)).toDF("id", "s", "score"), root,
+      allowEvolution = true)
+    val ch = VersionedTable.changes(spark, root, 1L, 2L, Seq("id"))
+      .orderBy(col("_change_type"))
+      .as[(Int, String, Option[Double], String)].collect().toSeq
+    assert(ch == Seq((1, "a", Some(0.5), "update_postimage"),
+      (1, "a", None, "update_preimage")))
+  }
+
   test("compact rewrites a fragmented snapshot into few files with identical content") {
     val root = Files.createTempDirectory("graft_vt_compact").toString
     // fragment: 16-partition write → 16 small files
