@@ -81,6 +81,70 @@ object MultimodalOps {
     }
   }
 
+  /** `decoded` = a codec parsed the payload; zeros + decoded=false for
+    * non-audio or corrupt payloads (quarantinable, like images). */
+  case class AudioFeatures(id: Long, byteLen: Int, sampleRate: Int,
+                           channels: Int, nFrames: Long,
+                           amplitudeHist: Array[Long], decoded: Boolean)
+
+  /** Real audio decode for WAV/AIFF/AU payloads via the JDK's
+    * javax.sound.sampled: true sample rate / channel count / frame count
+    * and a 16-bin absolute-amplitude histogram over the 16-bit PCM
+    * samples (integer arithmetic — deterministic across JVMs). Only
+    * 16-bit PCM is histogrammed (the dominant uncompressed encoding);
+    * other PCM widths still report true format metadata with an empty
+    * histogram. Compressed codecs (mp3/ogg) have no JDK provider and
+    * come back None — they'd plug in via SPI at the same decode site. */
+  private[llm] def decodeAudio(bytes: Array[Byte]): Option[(Int, Int, Long, Array[Long])] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val f = in.getFormat
+        val hist = new Array[Long](16)
+        if (f.getSampleSizeInBits == 16 &&
+          f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) {
+          val buf = new Array[Byte](4096)
+          var carry = -1 // odd-byte boundary between read()s
+          var n = in.read(buf)
+          while (n > 0) {
+            var i = 0
+            if (carry >= 0 && n > 0) {
+              val s = if (f.isBigEndian) (carry << 8) | (buf(0) & 0xff)
+                else ((buf(0) & 0xff) << 8) | carry
+              hist(math.min(15, math.abs(s.toShort.toInt) >> 11)) += 1
+              i = 1; carry = -1
+            }
+            while (i + 1 < n) {
+              val s = if (f.isBigEndian) ((buf(i) & 0xff) << 8) | (buf(i + 1) & 0xff)
+                else ((buf(i + 1) & 0xff) << 8) | (buf(i) & 0xff)
+              hist(math.min(15, math.abs(s.toShort.toInt) >> 11)) += 1
+              i += 2
+            }
+            if (i < n) carry = buf(i) & 0xff
+            n = in.read(buf)
+          }
+        }
+        Some((f.getSampleRate.toInt, f.getChannels, in.getFrameLength, hist))
+      } finally in.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
+  /** Batch audio feature extraction — the audio twin of
+    * [[extractFeatures]], same per-partition decode shape. */
+  def extractAudioFeatures(media: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val audio = if (r.mimeType.startsWith("audio/")) decodeAudio(r.media) else None
+        val (rate, ch, frames, hist) = audio.getOrElse((0, 0, 0L, new Array[Long](16)))
+        AudioFeatures(r.id, r.media.length, rate, ch, frames, hist, audio.isDefined)
+      }
+    }
+  }
+
   import org.apache.spark.sql.Column
 
   /** Uniform frame sampling over a binary payload: treat `media` as

@@ -184,6 +184,11 @@ object VersionedTable {
       metaFiles.foreach { case (name, content) =>
         writeString(new HPath(s"$root/v=$next", name), content, overwrite = true)
       }
+      // commit wall-clock (epoch millis) for timestamp time travel —
+      // written AFTER user metaFiles so compaction's carried copy of an
+      // older snapshot's timestamp cannot shadow this commit's own
+      writeString(new HPath(s"$root/v=$next", "_commit_ts"),
+        System.currentTimeMillis.toString, overwrite = true)
       // validate-then-flip: atomic for all writers in this driver
       lockFor(root).synchronized {
         val current = latestVersion(root)
@@ -353,6 +358,28 @@ object VersionedTable {
   /** Time travel: read any retained snapshot. */
   def readVersion(spark: SparkSession, root: String, version: Long): DataFrame =
     spark.read.parquet(s"$root/v=$version")
+
+  /** Timestamp time travel (Delta `timestampAsOf` analogue): the newest
+    * retained snapshot whose commit wall-clock is ≤ `tsMillis`. Versions
+    * predating the commit-timestamp metadata are treated as arbitrarily
+    * old (eligible), matching Delta's last-commit-at-or-before rule. */
+  def readAsOf(spark: SparkSession, root: String, tsMillis: Long): DataFrame = {
+    val v = versions(root)
+      .filter(v => readMeta(root, v, "_commit_ts")
+        .map(_.trim.toLong).forall(_ <= tsMillis))
+      .lastOption.getOrElse(throw new IllegalArgumentException(
+        s"no snapshot at or before $tsMillis at $root"))
+    readVersion(spark, root, v)
+  }
+
+  /** RESTORE (Delta RESTORE analogue): re-commit snapshot `version`'s
+    * content as a NEW version on top — history is preserved (the bad
+    * snapshots stay time-travelable until vacuumed), readers flip
+    * atomically, and a concurrent writer conflicts instead of being
+    * silently rolled back. Evolution is implied: restoring to before a
+    * column was added legitimately drops that column. */
+  def restore(spark: SparkSession, root: String, version: Long): Long =
+    write(readVersion(spark, root, version), root, allowEvolution = true)
 
   /** Small-file compaction (OPTIMIZE analogue): rewrite the latest
     * snapshot into ⌈bytes / targetFileBytes⌉ files per partition as a new

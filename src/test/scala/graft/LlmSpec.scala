@@ -284,6 +284,31 @@ class LlmSpec extends AnyFunSuite {
     assert(!fb.decoded && fb.width == -1 && fb.histogram.sum == 3)
   }
 
+  test("multimodal: javax.sound decodes a real WAV's format and amplitude histogram") {
+    // 16-bit PCM mono square wave at 8 kHz, 800 frames of ±16384
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val samples = Array.tabulate(800)(i => if (i % 2 == 0) 16384 else -16384)
+    val pcm = new Array[Byte](samples.length * 2)
+    for (i <- samples.indices) {
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val media = Seq(MultimodalOps.MediaRecord(1L, bos.toByteArray, "audio/wav")).toDS()
+    val f = MultimodalOps.extractAudioFeatures(media).collect().head
+    assert(f.decoded && f.sampleRate == 8000 && f.channels == 1 && f.nFrames == 800)
+    // |±16384| >> 11 = 8: every sample lands in amplitude bin 8
+    assert(f.amplitudeHist(8) == 800 && f.amplitudeHist.sum == 800)
+    // corrupt payload → zeros, flagged undecoded
+    val bad = Seq(MultimodalOps.MediaRecord(2L, Array[Byte](9, 9), "audio/wav")).toDS()
+    val fb = MultimodalOps.extractAudioFeatures(bad).collect().head
+    assert(!fb.decoded && fb.sampleRate == 0 && fb.amplitudeHist.sum == 0)
+  }
+
   test("resizeDims: aspect-preserving, no upscale; non-positive dims give NULL struct") {
     val d = Seq((2000, 1000), (100, 50), (0, 100), (100, -1)).toDF("w", "h")
     val out = d.select(MultimodalOps.resizeDims(col("w"), col("h"), 512, 512).as("r"))

@@ -99,6 +99,31 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.versions(root).size == 3) // v1 + one per merge
   }
 
+  test("restore re-commits an old snapshot as a new version; timestamp travel finds it") {
+    val root = Files.createTempDirectory("graft_vt_restore").toString
+    VersionedTable.write(Seq((1, "good")).toDF("id", "s"), root)   // v1
+    val afterV1 = System.currentTimeMillis
+    Thread.sleep(5)
+    VersionedTable.write(Seq((2, "bad"), (3, "bad")).toDF("id", "s"), root) // v2
+    val v3 = VersionedTable.restore(spark, root, 1L)
+    assert(v3 == 3L)
+    assert(VersionedTable.readLatest(spark, root)
+      .as[(Int, String)].collect().toSeq == Seq((1, "good")))
+    assert(VersionedTable.readVersion(spark, root, 2L).count() == 2) // history kept
+    // timestamp travel: as-of a moment after v1 committed → v1's content
+    assert(VersionedTable.readAsOf(spark, root, afterV1)
+      .as[(Int, String)].collect().toSeq == Seq((1, "good")))
+    intercept[IllegalArgumentException] { // before any commit
+      VersionedTable.readAsOf(spark, root, 0L)
+    }
+    // restore across schema evolution drops the later column
+    VersionedTable.write(Seq((1, "good", 0.5)).toDF("id", "s", "score"),
+      root, allowEvolution = true)
+    val v5 = VersionedTable.restore(spark, root, 1L)
+    assert(v5 == 5L &&
+      !VersionedTable.readLatest(spark, root).columns.contains("score"))
+  }
+
   test("changes(): insert/delete/update classification, unchanged rows dropped") {
     val root = Files.createTempDirectory("graft_vt_cdf").toString
     VersionedTable.write(
