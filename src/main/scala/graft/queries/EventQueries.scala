@@ -153,6 +153,30 @@ object EventQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Retention cohorts — the product-analytics staple over an event
+    // stream: users grouped by their first-seen hour; for each cohort ×
+    // hour offset, how many of its users were active that many hours
+    // later. Two aggregates + one user_id-co-partitioned join — the
+    // cohort table is one row per user and the activity table one row
+    // per (user, hour), so at 100 TB the join never touches raw events
+    // twice and nothing user-count-sized is broadcast.
+    "q_retention" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val firsts = ev.groupBy(col("user_id"))
+        .agg(date_trunc("hour", min(col("ts"))).as("cohort_hr"))
+      val active = ev.select(col("user_id"),
+        date_trunc("hour", col("ts")).as("act_hr")).distinct()
+      firsts.join(active, Seq("user_id"))
+        .withColumn("offset_hours",
+          expr("(cast(act_hr as long) - cast(cohort_hr as long)) div 3600"))
+        .filter(col("offset_hours") <= 6)
+        .groupBy(
+          date_format(col("cohort_hr"), "yyyy-MM-dd HH:mm:ss").as("cohort_hour"),
+          col("offset_hours"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy(col("cohort_hour"), col("offset_hours"))
+    }),
+
     // Gap-based sessions (30 min), aggregated to session grain.
     // Semi-structured column handling: the JSON `props` payload parsed
     // both ways — schema-on-read struct (from_json, the scale path: one
@@ -413,6 +437,20 @@ object EventQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |SELECT event_id, event_type, k AS user_id, last_orderkey, last_price
         |FROM w WHERE tag = 1 ORDER BY event_id""".stripMargin,
+
+    "q_retention" ->
+      """WITH f AS (SELECT user_id, date_trunc('hour', min(ts)) AS cohort_hr
+        |           FROM events GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, date_trunc('hour', ts) AS act_hr FROM events),
+        |j AS (SELECT f.user_id, f.cohort_hr,
+        |        CAST((CAST(epoch(a.act_hr) AS BIGINT)
+        |              - CAST(epoch(f.cohort_hr) AS BIGINT)) // 3600 AS BIGINT)
+        |          AS offset_hours
+        |      FROM f JOIN a USING (user_id))
+        |SELECT strftime(cohort_hr, '%Y-%m-%d %H:%M:%S') AS cohort_hour,
+        |       offset_hours, CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+        |FROM j WHERE offset_hours <= 6
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // staged-join form: first-stage minima feed the next stage's strict
     // time predicate — semantically the window formulation above
