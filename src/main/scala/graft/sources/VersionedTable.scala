@@ -169,7 +169,8 @@ object VersionedTable {
             partitionBy: Seq[String] = Seq.empty,
             statsCols: Seq[String] = Seq.empty,
             metaFiles: Map[String, String] = Map.empty,
-            baseVersion: Option[Long] = None): Long = {
+            baseVersion: Option[Long] = None,
+            operation: String = "WRITE"): Long = {
     val base = baseVersion.orElse(latestVersion(root))
     latestVersion(root).foreach { v =>
       val existing = df.sparkSession.read.parquet(s"$root/v=$v").schema
@@ -184,11 +185,14 @@ object VersionedTable {
       metaFiles.foreach { case (name, content) =>
         writeString(new HPath(s"$root/v=$next", name), content, overwrite = true)
       }
-      // commit wall-clock (epoch millis) for timestamp time travel —
-      // written AFTER user metaFiles so compaction's carried copy of an
-      // older snapshot's timestamp cannot shadow this commit's own
+      // commit wall-clock (epoch millis, for timestamp time travel) and
+      // operation name (for history()) — written AFTER user metaFiles so
+      // compaction's carried copies of an older snapshot's values cannot
+      // shadow this commit's own
       writeString(new HPath(s"$root/v=$next", "_commit_ts"),
         System.currentTimeMillis.toString, overwrite = true)
+      writeString(new HPath(s"$root/v=$next", "_operation"),
+        operation, overwrite = true)
       // validate-then-flip: atomic for all writers in this driver
       lockFor(root).synchronized {
         val current = latestVersion(root)
@@ -297,7 +301,7 @@ object VersionedTable {
       val merged = graft.ops.RelationalOps.mergeUpsert(
         target, updates, keys, allowMissingColumns = allowEvolution)
       try return write(merged, root, allowEvolution = allowEvolution,
-        baseVersion = Some(base))
+        baseVersion = Some(base), operation = "MERGE")
       catch {
         case e: ConcurrentWriteException =>
           if (attempt >= maxRetries) throw e
@@ -372,6 +376,19 @@ object VersionedTable {
     readVersion(spark, root, v)
   }
 
+  /** Commit history (Delta `DESCRIBE HISTORY` analogue), newest first:
+    * (version, commit_ts_millis, operation) per retained snapshot.
+    * Orphaned never-committed directories don't appear in time travel
+    * reads but DO list here with whatever metadata they carry —
+    * metadata-sized driver work (one small read per version). */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    versions(root).reverse.map { v =>
+      (v, readMeta(root, v, "_commit_ts").map(_.trim.toLong),
+        readMeta(root, v, "_operation").getOrElse("WRITE"))
+    }.toDF("version", "commit_ts_millis", "operation")
+  }
+
   /** RESTORE (Delta RESTORE analogue): re-commit snapshot `version`'s
     * content as a NEW version on top — history is preserved (the bad
     * snapshots stay time-travelable until vacuumed), readers flip
@@ -379,7 +396,8 @@ object VersionedTable {
     * silently rolled back. Evolution is implied: restoring to before a
     * column was added legitimately drops that column. */
   def restore(spark: SparkSession, root: String, version: Long): Long =
-    write(readVersion(spark, root, version), root, allowEvolution = true)
+    write(readVersion(spark, root, version), root, allowEvolution = true,
+      operation = s"RESTORE(v=$version)")
 
   /** Small-file compaction (OPTIMIZE analogue): rewrite the latest
     * snapshot into ⌈bytes / targetFileBytes⌉ files per partition as a new
@@ -425,7 +443,7 @@ object VersionedTable {
     // conditional on the snapshot being compacted: a merge that lands
     // mid-compaction must win over the rewrite, not be clobbered by it
     write(readVersion(spark, root, v).coalesce(nFiles), root, partitionBy = parts,
-      metaFiles = carriedMeta, baseVersion = Some(v))
+      metaFiles = carriedMeta, baseVersion = Some(v), operation = "COMPACT")
   }
 
   /** Retention: drop all but the newest `keep` snapshots (VACUUM analogue). */

@@ -124,6 +124,48 @@ class VersionedTableSpec extends AnyFunSuite {
       !VersionedTable.readLatest(spark, root).columns.contains("score"))
   }
 
+  test("history lists versions newest-first with their operations and timestamps") {
+    val root = Files.createTempDirectory("graft_vt_hist").toString
+    VersionedTable.write(Seq((1, "a")).toDF("id", "s"), root)
+    VersionedTable.merge(spark, root, Seq((2, "b")).toDF("id", "s"), Seq("id"))
+    VersionedTable.compact(spark, root)
+    VersionedTable.restore(spark, root, 1L)
+    val h = VersionedTable.history(spark, root)
+      .as[(Long, Option[Long], String)].collect().toSeq
+    assert(h.map(_._1) == Seq(4L, 3L, 2L, 1L))
+    assert(h.map(_._3) == Seq("RESTORE(v=1)", "COMPACT", "MERGE", "WRITE"))
+    assert(h.forall(_._2.exists(_ > 0)))
+    // timestamps are monotone non-decreasing along the commit order
+    val ts = h.reverse.map(_._2.get)
+    assert(ts == ts.sorted)
+  }
+
+  test("changes() roundtrip: applying the feed to v1 reconstructs v2 (random tables)") {
+    val rng = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val root = Files.createTempDirectory(s"graft_vt_cdf_prop$trial").toString
+      def randTable() = (0 to 30).flatMap { k =>
+        if (rng.nextBoolean()) Some((k, rng.nextInt(3).toString, rng.nextInt(5))) else None
+      }
+      val v1rows = randTable(); val v2rows = randTable()
+      VersionedTable.write(v1rows.toDF("id", "s", "x"), root)
+      VersionedTable.write(v2rows.toDF("id", "s", "x"), root)
+      val ch = VersionedTable.changes(spark, root, 1L, 2L, Seq("id"))
+        .as[(Int, String, Int, String)].collect().toSeq
+      val removedKeys = ch.collect {
+        case (k, _, _, "delete") => k
+        case (k, _, _, "update_preimage") => k
+      }.toSet
+      val addedRows = ch.collect {
+        case (k, s, x, "insert") => (k, s, x)
+        case (k, s, x, "update_postimage") => (k, s, x)
+      }
+      val reconstructed =
+        (v1rows.filterNot(r => removedKeys(r._1)) ++ addedRows).sorted
+      assert(reconstructed == v2rows.sorted, s"trial $trial")
+    }
+  }
+
   test("changes(): insert/delete/update classification, unchanged rows dropped") {
     val root = Files.createTempDirectory("graft_vt_cdf").toString
     VersionedTable.write(
