@@ -124,6 +124,51 @@ object ShortestPaths {
     dist
   }
 
+  /** Backward path-count accumulation over a [[runSigma]] geodesic table
+    * — the Brandes BACKWARD phase in its integer path-COUNT (stress)
+    * form. For each (lm, node): h = the number of shortest paths from
+    * `node` to all of its strict descendants in lm's BFS DAG,
+    * level-synchronous from the deepest level up:
+    *
+    *   h(v) = Σ over edges (v,w) with d(w) = d(v)+1 of (1 + h(w))
+    *
+    * σ(s,v)·h(s,v) = Σ_t σ(s,t|v) — the shortest s→t paths routed
+    * through v — so summing it over SAMPLED landmarks estimates stress
+    * centrality for EVERY node with only k sources: the scale posture
+    * the exact triple-join form (q_stress) cannot sample, because its
+    * σ(v,t) lookup needs every v as a landmark. With sources = all
+    * nodes the estimate is exact and equals the triple join
+    * (ShortestPathsSpec pins this). Unit-cost BFS bounds |d(u)−d(v)| ≤ 1
+    * across any edge, so each level's contributions come only from the
+    * level below and a fixed unroll is bit-exact cross-engine. The edge
+    * table is re-partitioned ONCE on dst (the backward join key) and
+    * each round moves only frontier-level rows — the [[runSigma]] cost
+    * model, reversed. */
+  def backwardPathCounts(edgesIn: DataFrame, g: DataFrame, maxLevel: Int): DataFrame = {
+    val parts = g.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val edges = edgesIn.select(col("src"), col("dst"))
+      .repartition(parts, col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    edges.count() // materialize: unmaterialized AQE cache loses partitioning
+    var h = g.select(col("lm"), col("node"), col("d"), col("sigma"),
+      lit(0L).as("h")).localCheckpoint()
+    for (l <- maxLevel - 1 to 0 by -1) {
+      val contrib = h.filter(col("d") === (l + 1).toLong)
+        .select(col("lm"), col("node"), col("h"))
+        .join(edges.hint("shuffle_hash"), col("dst") === col("node"))
+        .select(col("lm"), col("src").as("cnode"), (col("h") + lit(1L)).as("hw"))
+        .groupBy(col("lm"), col("cnode")).agg(sum(col("hw")).as("hv"))
+        .withColumnRenamed("cnode", "node")
+      h = h.join(contrib, Seq("lm", "node"), "left")
+        .select(col("lm"), col("node"), col("d"), col("sigma"),
+          when(col("d") === l.toLong && col("hv").isNotNull, col("hv"))
+            .otherwise(col("h")).as("h"))
+        .localCheckpoint()
+    }
+    edges.unpersist()
+    h
+  }
+
   /** `rounds` synchronized Bellman-Ford rounds over `edgesIn(src, dst, c)`
     * from `source`; returns (node, d) for every node reached within
     * `rounds` hops, d = exact cheapest cost over ≤rounds-hop paths. */

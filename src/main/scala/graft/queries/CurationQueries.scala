@@ -500,6 +500,28 @@ object CurationQueries {
         .orderBy(col("nation"))
     }),
 
+    // q_stress's 10⁹-node posture: stress centrality estimated from k=8
+    // md5-sampled sources via the Brandes BACKWARD pass
+    // (ShortestPaths.backwardPathCounts) — σ(s,v)·h(s,v) sums the
+    // shortest s→t paths through v using only the sampled landmarks'
+    // forward DAGs, where the exact triple-join form needs EVERY node
+    // as a landmark (its σ(v,t) lookup). With all nodes sampled the two
+    // agree exactly (ShortestPathsSpec); here the sample is the
+    // deterministic md5 order so the oracle replays it. Integer
+    // arithmetic throughout.
+    "q_stress_sampled" -> ((s, dir) => {
+      val e = undirectedUnitEdges(s, dir)
+      val g = graft.ops.ShortestPaths.runSigma(e, sampledLandmarks(e, 8), rounds = 4)
+      graft.ops.ShortestPaths.backwardPathCounts(e, g, 4)
+        .filter(col("d") > 0)
+        .groupBy(col("node"))
+        .agg(sum(col("sigma") * col("h")).as("stress_sampled"))
+        .filter(col("stress_sampled") > 0)
+        .join(broadcast(t(s, dir, "nation")), col("node") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), col("stress_sampled"))
+        .orderBy(col("nation"))
+    }),
+
     // PII scrubbing — the redaction pass every published training corpus
     // needs. The synthetic corpus carries no PII, so the contact line is
     // CONSTRUCTED deterministically per customer (documented fixture);
@@ -905,6 +927,57 @@ object CurationQueries {
          |  JOIN nation n ON sv.node = n.n_nationkey
          |WHERE sv.d > 0 AND vt.d > 0 AND st.d > 0 AND sv.d + vt.d = st.d
          |GROUP BY 1 ORDER BY nation""".stripMargin
+    },
+
+    "q_stress_sampled" -> {
+      // forward σ-BFS from the sampled sources (same unrolled rounds as
+      // q_stress), then the backward path-count slices level 4 → 0:
+      // h(v) = Σ over edges (v,w), d(w)=d(v)+1 of (1 + h(w))
+      val fRounds = (1 to 4).map { k =>
+        val p = k - 1
+        s"""n$k AS (SELECT fr.lm AS lm, e.dst AS node, CAST($k AS BIGINT) AS d,
+           |    CAST(sum(fr.sigma) AS BIGINT) AS sigma
+           |  FROM f$p fr JOIN e ON e.src = fr.node
+           |  LEFT JOIN f$p x ON x.lm = fr.lm AND x.node = e.dst
+           |  WHERE fr.d = $p AND x.node IS NULL
+           |  GROUP BY 1, 2),
+           |f$k AS (SELECT lm, node, d, sigma FROM f$p
+           |  UNION ALL SELECT lm, node, d, sigma FROM n$k)""".stripMargin
+      }.mkString(",\n")
+      val bSlices = (3 to 0 by -1).map { l =>
+        val nxt = l + 1
+        s"""s$l AS (SELECT f.lm, f.node, f.d, f.sigma, coalesce(c.hv, 0) AS h
+           |  FROM (SELECT * FROM f4 WHERE d = $l) f
+           |  LEFT JOIN (SELECT s$nxt.lm, e.src AS node,
+           |      CAST(sum(1 + s$nxt.h) AS BIGINT) AS hv
+           |    FROM s$nxt JOIN e ON e.dst = s$nxt.node GROUP BY 1, 2) c
+           |    ON c.lm = f.lm AND c.node = f.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ed AS ($NATION_FLOW_SQL),
+         |r AS (SELECT src, dst, row_number() OVER (
+         |    PARTITION BY src ORDER BY w DESC, dst) AS rn
+         |  FROM ed WHERE src <> dst),
+         |und AS (
+         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM r WHERE rn <= 3),
+         |e AS (SELECT CAST(a AS BIGINT) AS src, CAST(b AS BIGINT) AS dst FROM und
+         |  UNION ALL SELECT CAST(b AS BIGINT), CAST(a AS BIGINT) FROM und),
+         |lmk AS (SELECT node FROM (SELECT DISTINCT src AS node FROM e)
+         |  ORDER BY md5(CAST(node AS VARCHAR)), node LIMIT 8),
+         |f0 AS (SELECT node AS lm, node, CAST(0 AS BIGINT) AS d,
+         |    CAST(1 AS BIGINT) AS sigma FROM lmk),
+         |$fRounds,
+         |s4 AS (SELECT lm, node, d, sigma, CAST(0 AS BIGINT) AS h
+         |  FROM f4 WHERE d = 4),
+         |$bSlices,
+         |H AS (SELECT * FROM s4 UNION ALL SELECT * FROM s3
+         |  UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s1
+         |  UNION ALL SELECT * FROM s0)
+         |SELECT n.n_name AS nation, CAST(sum(sigma * h) AS BIGINT) AS stress_sampled
+         |FROM H JOIN nation n ON H.node = n.n_nationkey
+         |WHERE H.d > 0
+         |GROUP BY 1 HAVING sum(sigma * h) > 0
+         |ORDER BY nation""".stripMargin
     },
 
     "q_redact" ->

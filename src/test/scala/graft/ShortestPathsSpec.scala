@@ -130,6 +130,35 @@ class ShortestPathsSpec extends AnyFunSuite {
     assert(got(5L) == (2L, 1L) && got(4L) == (1L, 1L))
   }
 
+  test("backwardPathCounts with all-node landmarks reproduces the triple-join stress") {
+    // branched path graph (symmetrized): 0-1-2-3 with a 1-4-5 spur —
+    // diameter 4, non-trivial brokered routes through 1, 2, 4
+    val und = Seq((0L, 1L), (1L, 2L), (2L, 3L), (1L, 4L), (4L, 5L))
+    val e = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val all = e.select(col("src").as("node")).distinct()
+      .select(col("node").as("lm"), col("node"))
+    val g = ShortestPaths.runSigma(e, all, rounds = 4).localCheckpoint()
+    val backward = ShortestPaths.backwardPathCounts(e, g, 4)
+      .filter(col("d") > 0)
+      .groupBy(col("node")).agg(sum(col("sigma") * col("h")).as("stress"))
+      .filter(col("stress") > 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // exact form: the 3-way σ-product join of q_stress
+    val sv = g.select(col("lm").as("s"), col("node").as("v"),
+      col("d").as("d1"), col("sigma").as("s1")).filter(col("d1") > 0)
+    val vt = g.select(col("lm").as("v"), col("node").as("t"),
+      col("d").as("d2"), col("sigma").as("s2")).filter(col("d2") > 0)
+    val st = g.select(col("lm").as("s"), col("node").as("t"),
+      col("d").as("d3")).filter(col("d3") > 0)
+    val exact = sv.join(vt, Seq("v")).join(st, Seq("s", "t"))
+      .filter(col("d1") + col("d2") === col("d3"))
+      .groupBy(col("v")).agg(sum(col("s1") * col("s2")).as("stress"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(backward == exact, s"backward=$backward exact=$exact")
+    assert(backward.nonEmpty && backward(1L) > backward.getOrElse(3L, 0L),
+      "the articulation node must broker more routes than a leaf-adjacent one")
+  }
+
   test("round plan: edge side exchange-free, distance table never broadcast") {
     val edgesIn = Seq((0L, 1L, 3L), (1L, 2L, 1L), (0L, 2L, 9L), (2L, 3L, 2L))
       .toDF("src", "dst", "c")
