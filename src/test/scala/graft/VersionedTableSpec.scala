@@ -58,6 +58,19 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.versions(root) == Seq(1L, 2L))
   }
 
+  test("a stale claim from a crashed writer skips its number, write still commits") {
+    val root = Files.createTempDirectory("graft_vt_claim").toString
+    VersionedTable.write(Seq((1, "a")).toDF("id", "s"), root) // v1
+    // simulate a crashed writer holding the claim for v2 (claim file
+    // present, no data directory, no commit)
+    Files.createFile(java.nio.file.Paths.get(root, "_claim_v=2"))
+    val v = VersionedTable.write(Seq((2, "b")).toDF("id", "s"), root)
+    assert(v == 3L) // skipped the held slot
+    assert(VersionedTable.latestVersion(root).contains(3L))
+    assert(VersionedTable.versions(root) == Seq(1L, 3L)) // gap is harmless
+    assert(VersionedTable.readLatest(spark, root).count() == 1)
+  }
+
   test("two interleaved writers: first commit wins, loser raises ConcurrentWriteException") {
     val root = Files.createTempDirectory("graft_vt_occ").toString
     VersionedTable.write(Seq((1, "a")).toDF("id", "s"), root) // v1
