@@ -153,9 +153,13 @@ object ShortestPaths {
     var h = g.select(col("lm"), col("node"), col("d"), col("sigma"),
       lit(0L).as("h")).localCheckpoint()
     for (l <- maxLevel - 1 to 0 by -1) {
-      val contrib = h.filter(col("d") === (l + 1).toLong)
-        .select(col("lm"), col("node"), col("h"))
-        .join(edges.hint("shuffle_hash"), col("dst") === col("node"))
+      // hint on the FRONTIER slice (the build side must be the
+      // level-sized table, never an edge partition), edges exchange-free
+      // on their persisted dst-partitioning — runSigma's round, reversed
+      val contrib = edges
+        .join(h.filter(col("d") === (l + 1).toLong)
+          .select(col("lm"), col("node"), col("h")).hint("shuffle_hash"),
+          col("dst") === col("node"))
         .select(col("lm"), col("src").as("cnode"), (col("h") + lit(1L)).as("hw"))
         .groupBy(col("lm"), col("cnode")).agg(sum(col("hw")).as("hv"))
         .withColumnRenamed("cnode", "node")
