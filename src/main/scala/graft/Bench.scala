@@ -38,20 +38,31 @@ object Bench {
     // queries "improved" the bench); surface them loudly instead so a red
     // registry can't masquerade as a perf win.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // A failed run's ~0.05s fail-fast duration must NOT count as a timing
+    // observation: one transient failure + one 5s success would report
+    // min=0.05s — a phantom speedup that also ducks the >3s retry pass.
+    // Successful durations only; a query with NO successful run keeps its
+    // fail-fast durations (so totals stay finite) and is flagged in
+    // `errors`, which is the loud signal either way.
     def timedRuns(name: String,
                   fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-                  runs: Int): Seq[Double] =
-      (1 to runs).map { _ =>
+                  runs: Int): Seq[Double] = {
+      val obs = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case e: Throwable =>
-          errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
-        }
+        val ok =
+          try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
+            errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+            false
+          }
         val d = (System.nanoTime() - t0) / 1e9
         // release per-query cached tables (persist() registrations) so heap
         // pressure from earlier queries can't distort later timings
         spark.catalog.clearCache()
-        d
+        (d, ok)
       }
+      val good = obs.collect { case (d, true) => d }
+      if (good.nonEmpty) good else obs.map(_._1)
+    }
     // two timed runs, report the min: this host has hypervisor-steal
     // windows (accumulated steal visible in /proc/stat) that inject
     // multi-second stalls onto whatever runs during them; the min of

@@ -31,9 +31,12 @@ object Verify {
         // (r6: 12 broken queries vanished from the report unnoticed).
         val dir = Paths.get(outDir, name)
         try {
-          if (Files.exists(dir)) // clear any partial parquet output
-            Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+          if (Files.exists(dir)) { // clear any partial parquet output
+            val walk = Files.walk(dir)
+            try walk.sorted(java.util.Comparator.reverseOrder())
               .forEach(p => Files.deleteIfExists(p))
+            finally walk.close()
+          }
           Files.createDirectories(dir)
           Files.writeString(dir.resolve("_error"),
             s"${e.getClass.getName}: ${e.getMessage}\n")

@@ -11,9 +11,10 @@ import org.apache.spark.sql.functions._
   * per-partition init amortizes codec setup, rows stream through without
   * materializing the partition), and a typed feature output. Image-typed
   * payloads are decoded for real with `javax.imageio` (PNG/JPEG/GIF/BMP
-  * ship with the JDK); other modalities fall back to deterministic
-  * byte-level features. Audio/video codecs aren't in the JDK — they would
-  * plug into the same per-partition decode site.
+  * ship with the JDK) and audio with `javax.sound.sampled` (WAV/AIFF/AU);
+  * other modalities fall back to deterministic byte-level features.
+  * Compressed audio (mp3/ogg) and video have no JDK codec — they would
+  * plug into the same per-partition decode sites via SPI.
   */
 object MultimodalOps {
 
@@ -29,9 +30,13 @@ object MultimodalOps {
     * (corrupt or unsupported format) — surfaced as decoded=false rather
     * than fake dimensions, so a curation filter can quarantine bad media. */
   private[llm] def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Long])] = {
+    // NonFatal, not just IOException: ImageIO readers throw unchecked
+    // exceptions (ArrayIndexOutOfBounds, NegativeArraySize, ...) on many
+    // malformed payloads — one corrupt blob must quarantine, not abort
+    // the whole job's mapPartitions task
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     Option(img).map { im =>
       val w = im.getWidth; val h = im.getHeight
       val hist = new Array[Long](16)
@@ -127,10 +132,7 @@ object MultimodalOps {
         }
         Some((f.getSampleRate.toInt, f.getChannels, in.getFrameLength, hist))
       } finally in.close()
-    } catch {
-      case _: javax.sound.sampled.UnsupportedAudioFileException => None
-      case _: java.io.IOException => None
-    }
+    } catch { case scala.util.control.NonFatal(_) => None } // incl. parser unchecked throws
 
   /** Batch audio feature extraction — the audio twin of
     * [[extractFeatures]], same per-partition decode shape. */

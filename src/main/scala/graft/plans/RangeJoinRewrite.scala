@@ -146,22 +146,33 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
   private def bucketOf(e: Expression, w: Long): Expression =
     Cast(Floor(Divide(Cast(e, DoubleType), Literal(w.toDouble))), LongType)
 
-  /** First hint-marker width in a join input's subtree. Filters never
-    * migrate ABOVE their join, so a marker found below a join side was
-    * hinted for (an input of) this join. */
-  private def hintWidth(side: LogicalPlan): Option[Long] =
-    side.collect { case f: Filter =>
-      f.condition.collect { case graft.functions.RangeJoinWidthHint(w) => w }
-    }.flatten.headOption
+  /** First hint-marker width in a join input's subtree, searching only
+    * DOWN TO the nearest nested Join: filters never migrate ABOVE their
+    * join, so a marker below this side but above any nested join was
+    * hinted for THIS join — while a marker inside a nested join's own
+    * subtree belongs to that join (consumed there if its shape matched;
+    * deliberately ignored here if it didn't, so an unmatched hint can
+    * never leak a width tuned for one value axis onto another join). */
+  private def hintWidth(side: LogicalPlan): Option[Long] = side match {
+    case _: Join => None
+    case f: Filter =>
+      f.condition.collectFirst { case graft.functions.RangeJoinWidthHint(w) => w }
+        .orElse(hintWidth(f.child))
+    case other => other.children.view.flatMap(hintWidth).headOption
+  }
 
-  /** Remove marker predicates from a subtree (the hint is consumed by
-    * the rewrite; a leftover marker would cost nothing but clutter the
+  /** Remove marker predicates from a subtree, to the same nested-Join
+    * boundary [[hintWidth]] searches (the hint is consumed by the
+    * rewrite; a leftover marker would cost nothing but clutter the
     * plan). A Filter reduced to nothing disappears entirely. */
-  private def stripHints(side: LogicalPlan): LogicalPlan = side.transformUp {
+  private def stripHints(side: LogicalPlan): LogicalPlan = side match {
+    case j: Join => j
     case f: Filter =>
       val kept = splitConjunctivePredicates(f.condition)
         .filterNot(_.isInstanceOf[graft.functions.RangeJoinWidthHint])
-      if (kept.isEmpty) f.child else Filter(kept.reduce(And), f.child)
+      val child = stripHints(f.child)
+      if (kept.isEmpty) child else Filter(kept.reduce(And), child)
+    case other => other.mapChildren(stripHints)
   }
 
   private def splitConjunctivePredicates(e: Expression): Seq[Expression] = e match {
@@ -171,6 +182,14 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val confW = width
+    // cheap no-op path: with the conf off and no marker anywhere in the
+    // plan, skip entirely — this rule sits in a fixed-point batch and
+    // must cost ~nothing for the (overwhelmingly common) unhinted query
+    if (confW <= 0 && !plan.exists {
+      case f: Filter =>
+        f.condition.exists(_.isInstanceOf[graft.functions.RangeJoinWidthHint])
+      case _ => false
+    }) return plan
     plan.transformUp {
       case j @ Join(left, right, Inner, Some(cond), hint)
           if hintWidth(left).orElse(hintWidth(right)).getOrElse(confW) > 0 =>

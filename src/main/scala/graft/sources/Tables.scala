@@ -25,18 +25,21 @@ object Tables {
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** Embeddings table with the vector column normalized to
-    * `array<float>` whatever the file's element type — schema-adaptive
-    * like [[graft.queries.EventQueries.events]], so a regenerated
-    * testdata drop that switches the embedding encoding (float↔double)
-    * cannot break the ANN/dedup family the way the r6 events timestamp
-    * drift broke the time-series family. Float is the normalized form
-    * because every similarity kernel and persisted index stores float
-    * (half the bytes on the wire at equal recall). */
+  /** Embeddings table with the vector column normalized to a dtype the
+    * similarity kernels accept — schema-adaptive like
+    * [[graft.queries.EventQueries.events]], so a regenerated testdata
+    * drop that switches the embedding encoding cannot break the
+    * ANN/dedup family the way the r6 events timestamp drift broke the
+    * time-series family. float and double pass through UNCHANGED (the
+    * kernels dispatch on both): truncating a double file to float here
+    * would diverge from the DuckDB oracle, which reads the same parquet
+    * at full precision — the drift this helper exists to prevent. Only
+    * an integral-element file (never shipped; defensive) widens, to
+    * float. */
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = {
     val df = t(spark, sfDir, "embeddings")
     df.schema("embedding").dataType match {
-      case ArrayType(FloatType, _) => df
+      case ArrayType(FloatType | DoubleType, _) => df
       case ArrayType(_: NumericType, _) =>
         df.withColumn("embedding", col("embedding").cast("array<float>"))
       case other =>

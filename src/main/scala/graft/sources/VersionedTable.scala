@@ -49,12 +49,23 @@ object VersionedTable {
   // .crc sidecar files to corrupt on overwrite-rename), create flags
   // give atomic create-no-overwrite, and rename supports OVERWRITE.
 
+  /** FileContext cache, keyed by URI scheme+authority: metadata ops are
+    * called many times per table operation (pointer reads, claims, chain
+    * walks) and `sessionState.newHadoopConf()` CLONES the full Hadoop
+    * configuration — per-op construction is pure driver-side waste. */
+  private val fileContexts =
+    new java.util.concurrent.ConcurrentHashMap[String, FileContext]()
+
   private def fcOf(p: HPath): FileContext = {
-    val conf = SparkSession.getActiveSession
-      .map(_.sessionState.newHadoopConf())
-      .getOrElse(new org.apache.hadoop.conf.Configuration())
-    if (p.toUri.getScheme == null) FileContext.getFileContext(conf)
-    else FileContext.getFileContext(p.toUri, conf)
+    val uri = p.toUri
+    val key = s"${uri.getScheme}://${uri.getAuthority}"
+    fileContexts.computeIfAbsent(key, _ => {
+      val conf = SparkSession.getActiveSession
+        .map(_.sessionState.newHadoopConf())
+        .getOrElse(new org.apache.hadoop.conf.Configuration())
+      if (uri.getScheme == null) FileContext.getFileContext(conf)
+      else FileContext.getFileContext(uri, conf)
+    })
   }
 
   private def readString(p: HPath): Option[String] = {
@@ -129,6 +140,27 @@ object VersionedTable {
   def readMeta(root: String, version: Long, name: String): Option[String] =
     readString(new HPath(s"$root/v=$version", name))
 
+  /** The COMMITTED version chain, ascending: walk `_prev` links back
+    * from the live pointer (each commit records its predecessor inside
+    * the lock, just before the flip). A directory NOT on the chain —
+    * an in-flight writer's, or an orphan from a writer that crashed
+    * after its data write but before its flip — is unreachable here,
+    * so time travel and history can never surface a never-committed
+    * snapshot that `versions()`'s raw listing would. The walk stops at
+    * a vacuumed (missing) predecessor; pre-`_prev` snapshots end the
+    * walk conservatively by including themselves. */
+  def committedVersions(root: String): Seq[Long] = {
+    var chain = List.empty[Long]
+    var cur = latestVersion(root)
+    while (cur.isDefined) {
+      val v = cur.get
+      chain = v :: chain
+      cur = readMeta(root, v, "_prev").filter(_ != "none").map(_.trim.toLong)
+        .filter(p => fcOf(new HPath(s"$root/v=$p")).util.exists(new HPath(s"$root/v=$p")))
+    }
+    chain
+  }
+
   /** Schema gate (the reference's enforced-StructType contract,
     * 01_bronze_ingest.py:36-68 / README.md:69): an existing table only
     * accepts a write whose schema matches, unless `allowEvolution` — the
@@ -200,6 +232,12 @@ object VersionedTable {
           throw new ConcurrentWriteException(
             s"$root: concurrent commit detected (base=$base, now=$current); " +
               "re-read the table and retry")
+        // predecessor link — the committed-chain record committedVersions
+        // walks; written inside the lock so the link is the TRUE
+        // predecessor, and before the flip so a crash here just orphans
+        // this version (unreachable from the pointer)
+        writeString(new HPath(s"$root/v=$next", "_prev"),
+          current.map(_.toString).getOrElse("none"), overwrite = true)
         val tmp = new HPath(root, s"_LATEST.tmp$next")
         writeString(tmp, next.toString, overwrite = true)
         fcOf(tmp).rename(tmp, latestFile(root), Options.Rename.OVERWRITE)
@@ -364,11 +402,14 @@ object VersionedTable {
     spark.read.parquet(s"$root/v=$version")
 
   /** Timestamp time travel (Delta `timestampAsOf` analogue): the newest
-    * retained snapshot whose commit wall-clock is ≤ `tsMillis`. Versions
-    * predating the commit-timestamp metadata are treated as arbitrarily
-    * old (eligible), matching Delta's last-commit-at-or-before rule. */
+    * COMMITTED snapshot whose commit wall-clock is ≤ `tsMillis` —
+    * candidates come from [[committedVersions]], never the raw directory
+    * listing, so an in-flight or crash-orphaned version directory can't
+    * be served. Versions predating the commit-timestamp metadata are
+    * treated as arbitrarily old (eligible), matching Delta's
+    * last-commit-at-or-before rule. */
   def readAsOf(spark: SparkSession, root: String, tsMillis: Long): DataFrame = {
-    val v = versions(root)
+    val v = committedVersions(root)
       .filter(v => readMeta(root, v, "_commit_ts")
         .map(_.trim.toLong).forall(_ <= tsMillis))
       .lastOption.getOrElse(throw new IllegalArgumentException(
@@ -377,13 +418,13 @@ object VersionedTable {
   }
 
   /** Commit history (Delta `DESCRIBE HISTORY` analogue), newest first:
-    * (version, commit_ts_millis, operation) per retained snapshot.
-    * Orphaned never-committed directories don't appear in time travel
-    * reads but DO list here with whatever metadata they carry —
-    * metadata-sized driver work (one small read per version). */
+    * (version, commit_ts_millis, operation) per COMMITTED snapshot
+    * ([[committedVersions]] — never-committed orphan directories are
+    * excluded). Metadata-sized driver work (one small read per
+    * version). */
   def history(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
-    versions(root).reverse.map { v =>
+    committedVersions(root).reverse.map { v =>
       (v, readMeta(root, v, "_commit_ts").map(_.trim.toLong),
         readMeta(root, v, "_operation").getOrElse("WRITE"))
     }.toDF("version", "commit_ts_millis", "operation")

@@ -23,20 +23,26 @@ class LlmSpec extends AnyFunSuite {
     (4L, "short doc")
   ).toDF("doc_id", "text")
 
-  test("embeddings reader normalizes a double-element vector column to array<float>") {
+  test("embeddings reader: float/double pass through untruncated, integral widens") {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
     val dir = java.nio.file.Files.createTempDirectory("graft_emb_norm").toString
-    Seq((1L, Array(0.5d, -1.25d), 0), (2L, Array(2.0d, 4.0d), 1))
-      .toDF("vec_id", "embedding", "label")
+    // double file: must NOT truncate to float — the DuckDB oracle reads
+    // the same parquet at full precision and would diverge
+    Seq((1L, Array(0.1d, -1.25d), 0)).toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    val e = graft.sources.Tables.embeddings(spark, dir)
-    assert(e.schema("embedding").dataType ==
-      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))
-    val v = e.orderBy(col("vec_id")).as[(Long, Array[Float], Int)].collect()
-    assert(v(0)._2.toSeq == Seq(0.5f, -1.25f) && v(1)._2.toSeq == Seq(2.0f, 4.0f))
-    // float files pass through without a cast in the plan
+    val d = graft.sources.Tables.embeddings(spark, dir)
+    assert(d.schema("embedding").dataType == ArrayType(DoubleType))
+    assert(d.select(col("embedding")).as[Array[Double]].head().toSeq ==
+      Seq(0.1d, -1.25d))
+    // integral file (defensive): widens to float
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_emb_int").toString
+    Seq((1L, Array(1L, 2L), 0)).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir2/embeddings.parquet")
+    assert(graft.sources.Tables.embeddings(spark, dir2)
+      .schema("embedding").dataType == ArrayType(FloatType))
+    // the shipped float file passes through unchanged
     val native = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
-    assert(native.schema("embedding").dataType ==
-      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))
+    assert(native.schema("embedding").dataType == ArrayType(FloatType))
   }
 
   test("exact dedup: identical texts share exactKey, others do not") {

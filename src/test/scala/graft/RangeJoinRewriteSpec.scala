@@ -134,6 +134,25 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("a hint on an unmatched join never leaks to an enclosing BETWEEN join") {
+    withExtensionsSession { sess =>
+      // hinted join declines the rewrite (extra equi conjunct); its
+      // surviving marker sits inside ITS join subtree
+      val innerRes = points(sess).join(intervals(sess).hint("range_join", 8),
+        col("p") >= col("lo") && col("p") <= col("hi") && col("tag") === col("iid"))
+        .select(col("lo").as("lo2"), col("hi").as("hi2"))
+      // an enclosing BETWEEN join over that result must NOT adopt width 8
+      // (a width tuned for one axis can flood a different one) — with no
+      // conf and no hint of its own it stays the nested loop
+      val pts2 = sess.range(100).select(col("id").as("q"))
+      val outer = pts2.join(innerRes,
+        col("q") >= col("lo2") && col("q") <= col("hi2"))
+      val plan = planOf(outer)
+      assert(!plan.contains("__bucket"), s"leaked width must not rewrite:\n$plan")
+      assert(plan.contains("BroadcastNestedLoopJoin"))
+    }
+  }
+
   test("registry q_range_join_rewrite: bucketed plan, result equals the API path") {
     val dir = "/root/testdata/sf0.001"
     val sess = TestSpark.spark

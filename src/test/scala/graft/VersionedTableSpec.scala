@@ -137,6 +137,29 @@ class VersionedTableSpec extends AnyFunSuite {
       !VersionedTable.readLatest(spark, root).columns.contains("score"))
   }
 
+  test("crash-orphaned version directories never surface in time travel or history") {
+    val root = Files.createTempDirectory("graft_vt_orphan").toString
+    VersionedTable.write(Seq((1, "a")).toDF("id", "s"), root) // v1
+    VersionedTable.write(Seq((2, "b")).toDF("id", "s"), root) // v2
+    // simulate a writer that crashed after its data write but BEFORE its
+    // pointer flip (the JVM cleanup never ran): data + pre-flip meta
+    // present, never committed
+    Seq((9, "poison")).toDF("id", "s").write.parquet(s"$root/v=3")
+    Files.writeString(java.nio.file.Paths.get(s"$root/v=3/_commit_ts"),
+      System.currentTimeMillis.toString)
+    assert(VersionedTable.latestVersion(root).contains(2L))
+    assert(VersionedTable.committedVersions(root) == Seq(1L, 2L))
+    // timestamp travel "now" must serve v2, never the orphan
+    assert(VersionedTable.readAsOf(spark, root, System.currentTimeMillis + 1000)
+      .as[(Int, String)].collect().toSeq == Seq((2, "b")))
+    assert(VersionedTable.history(spark, root)
+      .select(col("version")).as[Long].collect().toSeq == Seq(2L, 1L))
+    // the next writer skips the orphan's number; the chain stays clean
+    val v4 = VersionedTable.write(Seq((4, "d")).toDF("id", "s"), root)
+    assert(v4 == 4L)
+    assert(VersionedTable.committedVersions(root) == Seq(1L, 2L, 4L))
+  }
+
   test("history lists versions newest-first with their operations and timestamps") {
     val root = Files.createTempDirectory("graft_vt_hist").toString
     VersionedTable.write(Seq((1, "a")).toDF("id", "s"), root)
