@@ -165,6 +165,32 @@ object RelationalQueries {
         .orderBy(col("prio"))
     }),
 
+    // Incremental JOIN-view maintenance — the join-side twin of
+    // q_incremental_agg (insert-only deltas): with V = A ⋈ B maintained
+    // as a gold table, a refresh computes ONLY
+    //   ΔV = (ΔA ⋈ B_new) ∪ (A_old ⋈ ΔB)
+    // (ΔA⋈ΔB lands once, inside the first term) and unions it onto the
+    // stored view — A_old ⋈ B_old, the term that dominates at 100 TB,
+    // is NEVER recomputed. The oracle is the from-scratch rebuild over
+    // the final row sets, which the maintained view must equal exactly.
+    "q_incremental_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey").as("ck"), col("o_orderstatus").as("status"))
+      val c = t(s, dir, "customer").select(col("c_custkey").as("ck"),
+        col("c_mktsegment").as("segment"))
+      val oOld = o.filter(col("k") % 10 =!= 0)   // yesterday's facts
+      val dO = o.filter(col("k") % 10 === 0)     // today's fact arrivals
+      val cOld = c.filter(col("ck") % 5 =!= 0)   // yesterday's dim rows
+      val dC = c.filter(col("ck") % 5 === 0)     // today's dim arrivals
+      val viewOld = oOld.join(cOld, Seq("ck"))   // the STORED view (read, not rebuilt)
+      val cNew = cOld.unionByName(dC)
+      val deltaV = dO.join(cNew, Seq("ck"))
+        .unionByName(oOld.join(dC, Seq("ck")))
+      viewOld.unionByName(deltaV)
+        .select(col("k"), col("ck"), col("status"), col("segment"))
+        .orderBy(col("k"), col("ck"))
+    }),
+
     // P1/P2 projection + rename.
     "q_project_rename" -> ((s, dir) =>
       t(s, dir, "customer")
@@ -794,6 +820,12 @@ object RelationalQueries {
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM fin GROUP BY prio HAVING count(*) > 0
         |ORDER BY prio""".stripMargin,
+
+    "q_incremental_join" ->
+      """SELECT o.o_orderkey AS k, o.o_custkey AS ck, o.o_orderstatus AS status,
+        |       c.c_mktsegment AS segment
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY k, ck""".stripMargin,
 
     "q_merge_upsert" ->
       """WITH base AS (
