@@ -845,6 +845,38 @@ object LlmQueries {
         .orderBy(col("source"))
     }),
 
+    // Temperature-scaled mixing (multilingual-LM style): sampling
+    // weights w_i = n_i^(1/T) with T = 2 — upweights scarce sources
+    // relative to proportional sampling, the knob multilingual and
+    // multi-domain recipes tune. Deterministic cross-engine because
+    // floor(sqrt(n)) is exact for integers < 2^53 (IEEE sqrt is
+    // correctly rounded in both engines; perfect squares are exact),
+    // and everything after the sqrt is integer arithmetic. Budget =
+    // half the corpus; per-source allocation (budget·w_i) div Σw capped
+    // at availability; the kept set is the same stable md5-bucket
+    // downsample as q_corpus_mix. Same scale shape: per-source stats
+    // broadcast, corpus touched by two scans.
+    "q_corpus_mix_temp" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      val avail = docs.groupBy(col("source")).agg(count(lit(1)).as("n_avail"))
+        .withColumn("w", floor(sqrt(col("n_avail").cast("double"))).cast("long"))
+      val tot = avail.agg(sum(col("w")).as("sum_w"),
+        expr("sum(n_avail) div 2").as("budget"))
+      val targets = avail.crossJoin(broadcast(tot))
+        .withColumn("n_target",
+          least(col("n_avail"), expr("(budget * w) div sum_w")))
+        .withColumn("thresh", expr("(1000 * n_target) div n_avail"))
+      val kept = docs
+        .join(broadcast(targets.select(col("source"), col("thresh"))), Seq("source"))
+        .filter(hashBucket1000(col("doc_id")) < col("thresh"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+      targets.select(col("source"), col("n_avail"), col("w"), col("n_target"))
+        .join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_avail"), col("w"), col("n_target"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy(col("source"))
+    }),
+
     // Cross-source duplication matrix: which sources share near-dup
     // content — the curation view that catches mirror sites and
     // re-crawled feeds (a pair of sources with heavy overlap should be
@@ -1920,6 +1952,25 @@ object LlmQueries {
         |    (w * n_lim) // w_lim AS n_target,
         |    (1000 * ((w * n_lim) // w_lim)) // n_avail AS thresh
         |  FROM a CROSS JOIN lim),
+        |k AS (SELECT source, CAST(count(*) AS BIGINT) AS n_kept
+        |  FROM documents d JOIN t USING (source)
+        |  WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 1000
+        |    < thresh
+        |  GROUP BY source)
+        |SELECT source, n_avail, w, n_target,
+        |  coalesce(n_kept, CAST(0 AS BIGINT)) AS n_kept
+        |FROM t LEFT JOIN k USING (source) ORDER BY source""".stripMargin,
+
+    "q_corpus_mix_temp" ->
+      """WITH a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_avail,
+        |    CAST(floor(sqrt(count(*))) AS BIGINT) AS w
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(w) AS BIGINT) AS sum_w,
+        |    CAST(sum(n_avail) AS BIGINT) // 2 AS budget FROM a),
+        |t AS (SELECT source, n_avail, w,
+        |    least(n_avail, (budget * w) // sum_w) AS n_target,
+        |    (1000 * least(n_avail, (budget * w) // sum_w)) // n_avail AS thresh
+        |  FROM a CROSS JOIN tot),
         |k AS (SELECT source, CAST(count(*) AS BIGINT) AS n_kept
         |  FROM documents d JOIN t USING (source)
         |  WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 1000
