@@ -44,6 +44,7 @@ object Bench {
     // Successful durations only; a query with NO successful run keeps its
     // fail-fast durations (so totals stay finite) and is flagged in
     // `errors`, which is the loud signal either way.
+    val goodRuns = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
     def timedRuns(name: String,
                   fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                   runs: Int): Seq[Double] = {
@@ -58,6 +59,7 @@ object Bench {
         // release per-query cached tables (persist() registrations) so heap
         // pressure from earlier queries can't distort later timings
         spark.catalog.clearCache()
+        if (ok) goodRuns(name) += 1
         (d, ok)
       }
       val good = obs.collect { case (d, true) => d }
@@ -113,8 +115,15 @@ object Bench {
     // map is BUDGET-capped: slowest first until ~1600 chars of entries,
     // the rest summarized in fast_n/fast_total. bench_detail.json keeps
     // full 3-decimal coverage and is the round-over-round contract.
+    // A query with NO successful run keeps only ~0.05s fail-fast
+    // durations; including those in total_min would let a red registry
+    // DEFLATE the headline number (r6 failure mode). All-failed queries
+    // are excluded from the total and every stdout aggregate, counted in
+    // "failed_n", and flagged per-entry in bench_detail.json.
+    val failed = results.collect { case (k, _) if goodRuns(k) == 0 => k }.toSet
+    val timedResults = results.filterNot { case (k, _) => failed(k) }
     val budget = 1600
-    val bySlowest = results.sortBy { case (k, obs) => (-obs.min, k) }
+    val bySlowest = timedResults.sortBy { case (k, obs) => (-obs.min, k) }
     val listed = scala.collection.mutable.ListBuffer.empty[(String, Seq[Double])]
     var used = 0
     for ((k, obs) <- bySlowest) {
@@ -124,15 +133,16 @@ object Bench {
       }
     }
     val listedKeys = listed.map(_._1).toSet
-    val fast = results.filterNot { case (k, _) => listedKeys(k) }
+    val fast = timedResults.filterNot { case (k, _) => listedKeys(k) }
     val qs = listed.sortBy(_._1)
       .map { case (k, obs) => s"\"" + k + "\":" + f2(obs.min) }
       .mkString("{", ",", "}")
     val fastN = fast.length
     val fastTotal = fast.map(_._2.min).sum
-    val total = results.map(_._2.min).sum
+    val total = timedResults.map(_._2.min).sum
     val detail = results.map { case (k, obs) =>
-      s"""\"$k\":{"min":${f3(obs.min)},"med":${f3(median(obs))},"runs":${obs.length}}"""
+      val failFlag = if (failed(k)) ""","failed":true""" else ""
+      s"""\"$k\":{"min":${f3(obs.min)},"med":${f3(median(obs))},"runs":${obs.length}$failFlag}"""
     }.mkString("{", ",", "}")
     def jesc(s: String): String = s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"
@@ -143,7 +153,7 @@ object Bench {
     val detailPath = java.nio.file.Paths.get("bench_detail.json")
     java.nio.file.Files.write(detailPath,
       s"""{"sf":"$sfDir","total_min":${f3(total)},"errors":$errJson,"queries":$detail}\n""".getBytes("UTF-8"))
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","errors":${errors.size},"queries":$qs,"fast_n":$fastN,"fast_total":${f2(fastTotal)},"detail":"bench_detail.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","errors":${errors.size},"failed_n":${failed.size},"queries":$qs,"fast_n":$fastN,"fast_total":${f2(fastTotal)},"detail":"bench_detail.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

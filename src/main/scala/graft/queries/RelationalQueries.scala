@@ -15,8 +15,20 @@ import graft.marts.GoldMarts
   */
 object RelationalQueries {
 
-  private def tmpDir(prefix: String): String =
-    Files.createTempDirectory(prefix).toString
+  /** Per-invocation scratch dir, deleted at JVM exit: bench runs each
+    * sink/CDF query several times and a long-lived driver would
+    * otherwise accrete orders-sized snapshots in /tmp unboundedly. */
+  private def tmpDir(prefix: String): String = {
+    val d = Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(d.toFile)
+    }))
+    d.toString
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -16,18 +16,25 @@ import org.apache.spark.sql.types.{StructField, StructType}
   * — readers never observe a half-written snapshot, and old versions stay
   * readable (`readVersion`).
   *
-  * Concurrency (Delta optimistic-transaction analogue): version numbers
-  * are claimed with an atomic create of `_claim_v=N` (put-if-absent, so
-  * two writers can never target the same directory even across
-  * processes), and the pointer flip validates that the committed version
-  * is still the one the writer based its data on — a concurrent commit
-  * in the window raises [[ConcurrentWriteException]] and the loser's
-  * orphaned snapshot directory is removed. `merge` resolves conflicts by
-  * re-reading the new latest snapshot and re-applying its updates
-  * (bounded retries), like Delta's MERGE conflict retry. The
-  * check-then-flip pair is serialized by a per-root JVM lock — atomic for
-  * every writer in one driver (this deployment); cross-driver writers
-  * would need the flip to be a put-if-absent commit log entry as well.
+  * Concurrency (Delta optimistic-transaction analogue), arbitrated by
+  * the FILESYSTEM, not a JVM lock — safe across separate driver
+  * processes:
+  *  1. version numbers are claimed with an atomic create of
+  *     `_claim_v=N` (put-if-absent), so two writers never target the
+  *     same directory;
+  *  2. the COMMIT itself is an atomic create-no-overwrite of
+  *     `_commits/after=<base>` (content = the new version number) —
+  *     the exact analogue of Delta's `_delta_log/N.json` put-if-absent.
+  *     At most one marker can exist per predecessor version, so the
+  *     committed chain is linear by construction; the loser's create
+  *     fails with FileAlreadyExistsException → [[ConcurrentWriteException]]
+  *     and its orphaned snapshot directory is removed. No lock anywhere.
+  *  3. `_LATEST` is a CACHE of the chain head, flipped after the marker
+  *     wins; readers heal a stale hint by following `_commits/after=*`
+  *     markers forward, so a writer that crashes between marker and flip
+  *     has still durably committed.
+  * `merge` resolves conflicts by re-reading the new latest snapshot and
+  * re-applying its updates (bounded retries), like Delta's MERGE retry.
   *
   * Storage access: all metadata IO (pointer, claims, meta files,
   * listings, deletes) goes through the Hadoop FileContext API, so a
@@ -68,8 +75,19 @@ object VersionedTable {
     })
   }
 
+  /** Drop every cached FileContext: call after changing the active
+    * session's Hadoop conf (credentials, fs settings) so the next
+    * metadata op rebuilds contexts from the NEW conf — the cache is
+    * otherwise first-touch-wins per scheme+authority. */
+  def invalidateFileContextCache(): Unit = fileContexts.clear()
+
+  /** Metadata-read instrumentation (tests): number of small-file reads
+    * issued. The checkpoint exists to BOUND this per table operation. */
+  private[graft] val metaReads = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def readString(p: HPath): Option[String] = {
     val fc = fcOf(p)
+    metaReads.incrementAndGet()
     if (!fc.util.exists(p)) None
     else {
       val in = fc.open(p)
@@ -104,14 +122,30 @@ object VersionedTable {
 
   private def latestFile(root: String) = new HPath(root, "_LATEST")
 
-  /** Per-root commit lock (JVM-wide): serializes the validate-then-flip
-    * critical section for all writers in this driver. */
-  private val commitLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  /** Commit-marker path for "the commit whose predecessor is `base`"
+    * (`None` = the table's first commit). Created with the atomic
+    * create-no-overwrite flag, this file IS the commit: the filesystem
+    * admits at most one successor per predecessor, which is exactly the
+    * linearity the old JVM lock only guaranteed within one driver. */
+  private def commitMarker(root: String, base: Option[Long]): HPath =
+    new HPath(s"$root/_commits", s"after=${base.map(_.toString).getOrElse("none")}")
 
-  private def lockFor(root: String): Object = {
-    val p = new HPath(root)
-    val key = fcOf(p).makeQualified(p).toUri.toString
-    commitLocks.computeIfAbsent(key, _ => new Object)
+  /** Resolve the committed successor of `base`, if any. The marker file
+    * becomes VISIBLE at its atomic create but its content (the successor
+    * version number) lands a moment later, so an empty read means a
+    * commit in flight: bounded spin (≤100ms, normally zero) until the
+    * content appears. Still empty after the bound — a writer crashed
+    * between create and write — resolves to None (chain ends at `base`);
+    * vacuum() GCs such husk markers past the grace period so the base
+    * isn't blocked forever. */
+  private def readMarker(root: String, base: Option[Long]): Option[Long] = {
+    var s = readString(commitMarker(root, base))
+    var tries = 0
+    while (s.exists(_.trim.isEmpty) && tries < 50) {
+      Thread.sleep(2L); tries += 1
+      s = readString(commitMarker(root, base))
+    }
+    s.map(_.trim).filter(_.nonEmpty).map(_.toLong)
   }
 
   /** Claim the next free version number: atomic create-no-overwrite of
@@ -132,34 +166,109 @@ object VersionedTable {
     listNames(new HPath(root))
       .filter(_.startsWith("v=")).map(_.drop(2).toLong).sorted
 
-  def latestVersion(root: String): Option[Long] =
-    readString(latestFile(root)).map(_.trim.toLong)
+  /** The live version: the `_LATEST` hint healed FORWARD through commit
+    * markers. A commit is durable the instant its `after=<base>` marker
+    * lands, so a writer that crashed before refreshing `_LATEST` (or a
+    * concurrent writer mid-flip) leaves the hint one-or-more commits
+    * behind; each forward hop is one marker read, and an up-to-date hint
+    * costs exactly one miss. */
+  def latestVersion(root: String): Option[Long] = {
+    var cur = readString(latestFile(root)).map(_.trim.toLong)
+    var next = readMarker(root, cur)
+    while (next.isDefined) {
+      cur = next
+      next = readMarker(root, cur)
+    }
+    cur
+  }
 
   /** Read a meta file committed into snapshot `v` via `write(metaFiles)`
     * (e.g. a streaming writer's applied-batch watermark). */
   def readMeta(root: String, version: Long, name: String): Option[String] =
     readString(new HPath(s"$root/v=$version", name))
 
-  /** The COMMITTED version chain, ascending: walk `_prev` links back
-    * from the live pointer (each commit records its predecessor inside
-    * the lock, just before the flip). A directory NOT on the chain —
-    * an in-flight writer's, or an orphan from a writer that crashed
-    * after its data write but before its flip — is unreachable here,
-    * so time travel and history can never surface a never-committed
-    * snapshot that `versions()`'s raw listing would. The walk stops at
-    * a vacuumed (missing) predecessor; pre-`_prev` snapshots end the
-    * walk conservatively by including themselves. */
-  def committedVersions(root: String): Seq[Long] = {
-    var chain = List.empty[Long]
+  /** One committed snapshot's chain record. */
+  private[graft] case class CommitInfo(version: Long, prev: Option[Long],
+                                       tsMillis: Option[Long], operation: String)
+
+  private def commitInfoOf(root: String, v: Long): CommitInfo = CommitInfo(
+    v,
+    readMeta(root, v, "_prev").filter(_ != "none").map(_.trim.toLong),
+    readMeta(root, v, "_commit_ts").map(_.trim.toLong),
+    readMeta(root, v, "_operation").getOrElse("WRITE"))
+
+  // ── Committed-chain checkpoint (Delta `_last_checkpoint` analogue) ──
+  //
+  // The chain walk pays 3 metadata reads PER VERSION; a long-lived table
+  // (thousands of commits) would turn every history()/readAsOf() into a
+  // linear metadata scan. Every `checkpointInterval` commits the full
+  // chain is materialized as ONE file (`_checkpoint`, tab-separated
+  // ascending), so a chain read costs 1 checkpoint read + the tail
+  // since the last checkpoint. vacuum() rewrites the checkpoint after
+  // dropping snapshots (and deletes it if the rewrite fails), so
+  // checkpoint entries always name live directories.
+
+  private[graft] val checkpointInterval = 10
+
+  private def checkpointFile(root: String) = new HPath(root, "_checkpoint")
+
+  private def readCheckpoint(root: String): Seq[CommitInfo] =
+    readString(checkpointFile(root)).toSeq.flatMap(_.linesIterator).flatMap { ln =>
+      ln.split('\t') match {
+        case Array(v, p, t, op) => Some(CommitInfo(v.toLong,
+          Some(p).filter(_ != "none").map(_.toLong),
+          Some(t).filter(_ != "none").map(_.toLong), op))
+        case _ => None
+      }
+    }.toSeq
+
+  /** Materialize the committed chain (computed by pure walk, never from
+    * a possibly-stale prior checkpoint) into `_checkpoint`, atomically. */
+  def checkpoint(root: String): Unit = {
+    val chain = committedChain(root, useCheckpoint = false)
+    val body = chain.map(c => Seq(c.version.toString,
+      c.prev.map(_.toString).getOrElse("none"),
+      c.tsMillis.map(_.toString).getOrElse("none"),
+      c.operation).mkString("\t")).mkString("\n")
+    val tmp = new HPath(root, "_checkpoint.tmp")
+    writeString(tmp, body, overwrite = true)
+    fcOf(tmp).rename(tmp, checkpointFile(root), Options.Rename.OVERWRITE)
+  }
+
+  /** The COMMITTED version chain, ascending, with per-commit metadata:
+    * walk `_prev` links back from the live pointer, splicing in the
+    * checkpointed prefix as soon as the walk reaches a checkpointed
+    * version. A directory NOT on the chain — an in-flight writer's, or
+    * an orphan from a writer that crashed after its data write but
+    * before its commit marker — is unreachable here, so time travel and
+    * history can never surface a never-committed snapshot that
+    * `versions()`'s raw listing would. The walk stops at a vacuumed
+    * (missing) predecessor; pre-`_prev` snapshots end the walk
+    * conservatively by including themselves. */
+  private[graft] def committedChain(root: String,
+                                    useCheckpoint: Boolean = true): Seq[CommitInfo] = {
+    val cp = if (useCheckpoint) readCheckpoint(root) else Seq.empty
+    val cpIdx = cp.iterator.zipWithIndex.map { case (c, i) => c.version -> i }.toMap
+    var chain = List.empty[CommitInfo]
     var cur = latestVersion(root)
     while (cur.isDefined) {
       val v = cur.get
-      chain = v :: chain
-      cur = readMeta(root, v, "_prev").filter(_ != "none").map(_.trim.toLong)
-        .filter(p => fcOf(new HPath(s"$root/v=$p")).util.exists(new HPath(s"$root/v=$p")))
+      cpIdx.get(v) match {
+        case Some(i) => // checkpointed prefix covers v and everything before
+          chain = cp.take(i + 1).toList ::: chain
+          cur = None
+        case None =>
+          val info = commitInfoOf(root, v)
+          chain = info :: chain
+          cur = info.prev.filter(p =>
+            fcOf(new HPath(s"$root/v=$p")).util.exists(new HPath(s"$root/v=$p")))
+      }
     }
     chain
   }
+
+  def committedVersions(root: String): Seq[Long] =
+    committedChain(root).map(_.version)
 
   /** Schema gate (the reference's enforced-StructType contract,
     * 01_bronze_ingest.py:36-68 / README.md:69): an existing table only
@@ -209,6 +318,7 @@ object VersionedTable {
       checkSchema(existing, df.schema, allowEvolution)
     }
     val next = claimNextVersion(root)
+    var committed = false
     try {
       val w = df.write.mode("overwrite")
       (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
@@ -225,26 +335,43 @@ object VersionedTable {
         System.currentTimeMillis.toString, overwrite = true)
       writeString(new HPath(s"$root/v=$next", "_operation"),
         operation, overwrite = true)
-      // validate-then-flip: atomic for all writers in this driver
-      lockFor(root).synchronized {
-        val current = latestVersion(root)
-        if (current != base)
+      // fast-fail validation (best-effort — the marker create below is
+      // the real arbiter): if someone already committed past our base,
+      // fail before paying the marker round-trip
+      val current = latestVersion(root)
+      if (current != base)
+        throw new ConcurrentWriteException(
+          s"$root: concurrent commit detected (base=$base, now=$current); " +
+            "re-read the table and retry")
+      // predecessor link — the committed-chain record committedVersions
+      // walks; written before the marker so the chain is complete the
+      // instant the commit becomes visible
+      writeString(new HPath(s"$root/v=$next", "_prev"),
+        base.map(_.toString).getOrElse("none"), overwrite = true)
+      // THE COMMIT: put-if-absent successor-of-`base` marker. The
+      // filesystem admits exactly one winner per predecessor — atomic
+      // across driver processes, no lock. Losing the create IS the
+      // concurrent-commit signal.
+      try writeString(commitMarker(root, base), next.toString, overwrite = false)
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          val winner = readString(commitMarker(root, base)).map(_.trim).getOrElse("?")
           throw new ConcurrentWriteException(
-            s"$root: concurrent commit detected (base=$base, now=$current); " +
-              "re-read the table and retry")
-        // predecessor link — the committed-chain record committedVersions
-        // walks; written inside the lock so the link is the TRUE
-        // predecessor, and before the flip so a crash here just orphans
-        // this version (unreachable from the pointer)
-        writeString(new HPath(s"$root/v=$next", "_prev"),
-          current.map(_.toString).getOrElse("none"), overwrite = true)
+            s"$root: concurrent commit detected (base=$base already has " +
+              s"successor v=$winner); re-read the table and retry")
+      }
+      committed = true
+      // refresh the hint + periodic checkpoint — both best-effort: the
+      // commit is already durable, and readers heal a stale hint forward
+      try {
         val tmp = new HPath(root, s"_LATEST.tmp$next")
         writeString(tmp, next.toString, overwrite = true)
         fcOf(tmp).rename(tmp, latestFile(root), Options.Rename.OVERWRITE)
-      }
+        if (next % checkpointInterval == 0) checkpoint(root)
+      } catch { case scala.util.control.NonFatal(_) => () }
       next
     } catch {
-      case e: Throwable =>
+      case e: Throwable if !committed =>
         // never-committed snapshot: remove so it can't inflate versions()
         // or survive as an unreachable time-travel target
         delete(new HPath(s"$root/v=$next"), recursive = true)
@@ -409,10 +536,9 @@ object VersionedTable {
     * treated as arbitrarily old (eligible), matching Delta's
     * last-commit-at-or-before rule. */
   def readAsOf(spark: SparkSession, root: String, tsMillis: Long): DataFrame = {
-    val v = committedVersions(root)
-      .filter(v => readMeta(root, v, "_commit_ts")
-        .map(_.trim.toLong).forall(_ <= tsMillis))
-      .lastOption.getOrElse(throw new IllegalArgumentException(
+    val v = committedChain(root)
+      .filter(_.tsMillis.forall(_ <= tsMillis))
+      .lastOption.map(_.version).getOrElse(throw new IllegalArgumentException(
         s"no snapshot at or before $tsMillis at $root"))
     readVersion(spark, root, v)
   }
@@ -424,10 +550,8 @@ object VersionedTable {
     * version). */
   def history(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
-    committedVersions(root).reverse.map { v =>
-      (v, readMeta(root, v, "_commit_ts").map(_.trim.toLong),
-        readMeta(root, v, "_operation").getOrElse("WRITE"))
-    }.toDF("version", "commit_ts_millis", "operation")
+    committedChain(root).reverse.map(c => (c.version, c.tsMillis, c.operation))
+      .toDF("version", "commit_ts_millis", "operation")
   }
 
   /** RESTORE (Delta RESTORE analogue): re-commit snapshot `version`'s
@@ -487,12 +611,53 @@ object VersionedTable {
       metaFiles = carriedMeta, baseVersion = Some(v), operation = "COMPACT")
   }
 
-  /** Retention: drop all but the newest `keep` snapshots (VACUUM analogue). */
-  def vacuum(root: String, keep: Int): Seq[Long] = {
-    val all = versions(root)
-    val drop = all.dropRight(keep)
-      .filterNot(latestVersion(root).contains) // never drop the live pointer
+  /** Retention (VACUUM analogue): keep the newest `keep` COMMITTED
+    * snapshots — retention counts only the committed chain, so
+    * crash-orphaned never-committed directories can't occupy keep slots
+    * — and garbage-collect orphan directories older than
+    * `orphanGraceMs` (the grace period protects an IN-FLIGHT writer
+    * whose data landed but whose commit marker hasn't yet; age = the
+    * directory's filesystem modification time). Commit markers and the
+    * checkpoint are rewritten to match the surviving chain; if the
+    * checkpoint rewrite fails it is deleted so readers fall back to the
+    * pure chain walk rather than trusting stale entries. Returns the
+    * dropped version numbers, ascending. */
+  def vacuum(root: String, keep: Int,
+             orphanGraceMs: Long = 24L * 3600 * 1000): Seq[Long] = {
+    val committed = committedVersions(root)
+    val keepSet = committed.takeRight(keep).toSet ++ latestVersion(root)
+    val dropCommitted = committed.filterNot(keepSet)
+    val now = System.currentTimeMillis
+    val fc = fcOf(new HPath(root))
+    val orphans = versions(root)
+      .filterNot(committed.contains).filterNot(keepSet)
+      .filter { v =>
+        val st = fc.getFileStatus(new HPath(s"$root/v=$v"))
+        st.getModificationTime <= now - orphanGraceMs
+      }
+    val drop = (dropCommitted ++ orphans).sorted
     drop.foreach(v => delete(new HPath(s"$root/v=$v"), recursive = true))
+    // GC commit markers that reference a dropped version on either side,
+    // plus empty "husk" markers (a writer that crashed between the
+    // marker create and its content write) past the grace period — they
+    // would otherwise block their base version forever
+    val droppedSet = drop.toSet
+    listNames(new HPath(s"$root/_commits")).foreach { name =>
+      val mp = new HPath(s"$root/_commits", name)
+      val key = name.stripPrefix("after=")
+      val content = readString(mp).map(_.trim)
+      val keyDropped = key != "none" &&
+        scala.util.Try(key.toLong).toOption.exists(droppedSet)
+      val targetDropped = content.flatMap(c =>
+        scala.util.Try(c.toLong).toOption).exists(droppedSet)
+      val agedHusk = content.exists(_.isEmpty) &&
+        fc.getFileStatus(mp).getModificationTime <= now - orphanGraceMs
+      if (keyDropped || targetDropped || agedHusk)
+        delete(mp, recursive = false)
+    }
+    try checkpoint(root)
+    catch { case scala.util.control.NonFatal(_) =>
+      delete(checkpointFile(root), recursive = false) }
     drop
   }
 }

@@ -262,4 +262,115 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.versions(root) == Seq(3L, 4L))
     assert(VersionedTable.readLatest(spark, root).as[Int].head() == 4)
   }
+
+  // ── Cross-driver commit arbitration (filesystem put-if-absent) ──────
+
+  test("two racing writers on the same base: filesystem marker arbitrates, no lock") {
+    val root = Files.createTempDirectory("graft_vt_race").toString
+    VersionedTable.write(Seq((1, "a")).toDF("id", "s"), root) // v1
+    val base = VersionedTable.latestVersion(root)
+    // both writers base on v1 and race the commit concurrently — nothing
+    // JVM-scoped serializes them anymore (the old per-root lock is gone),
+    // so this is exactly the two-driver interleaving, arbitrated solely
+    // by the create-no-overwrite commit marker
+    val results = new java.util.concurrent.ConcurrentHashMap[String, Either[Throwable, Long]]()
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val ts = Seq("A", "B").map { who =>
+      new Thread(() => {
+        start.await()
+        try results.put(who, Right(VersionedTable.write(
+          Seq((2, s"by-$who")).toDF("id", "s"), root, baseVersion = base)))
+        catch { case e: Throwable => results.put(who, Left(e)) }
+      })
+    }
+    ts.foreach(_.start()); start.countDown(); ts.foreach(_.join())
+    val (winners, losers) = results.values().toArray.toSeq
+      .map(_.asInstanceOf[Either[Throwable, Long]]).partition(_.isRight)
+    assert(winners.size == 1, s"expected exactly one winner: $results")
+    assert(losers.forall {
+      case Left(e) => e.isInstanceOf[VersionedTable.ConcurrentWriteException]
+      case _ => false
+    }, s"loser must raise ConcurrentWriteException: $results")
+    val winV = winners.head.toOption.get
+    assert(VersionedTable.committedVersions(root) == Seq(1L, winV)) // linear, no lost commit
+    assert(VersionedTable.readLatest(spark, root).count() == 1)
+    // the loser's orphan directory was removed
+    assert(VersionedTable.versions(root) == Seq(1L, winV))
+  }
+
+  test("a second driver's commit is durable at marker creation: stale _LATEST heals forward") {
+    val root = Files.createTempDirectory("graft_vt_xdrv").toString
+    VersionedTable.write(Seq((1, "a")).toDF("id", "s"), root) // v1
+    VersionedTable.write(Seq((2, "b")).toDF("id", "s"), root) // v2
+    // simulate a SEPARATE driver process that claimed v3, wrote its data
+    // and chain metadata, won the commit marker — and crashed before
+    // refreshing the _LATEST hint. All files written with raw java.nio,
+    // not the library's FileContext client.
+    Seq((3, "by-driver-2")).toDF("id", "s").write.parquet(s"$root/v=3")
+    val p = (n: String) => java.nio.file.Paths.get(root, n)
+    Files.writeString(p("v=3/_prev"), "2")
+    Files.writeString(p("v=3/_commit_ts"), System.currentTimeMillis.toString)
+    Files.writeString(p("v=3/_operation"), "WRITE")
+    Files.createDirectories(p("_commits"))
+    Files.writeString(p("_commits/after=2"), "3")
+    // _LATEST still says 2 — readers must heal forward through the marker
+    assert(Files.readString(p("_LATEST")).trim == "2")
+    assert(VersionedTable.latestVersion(root).contains(3L))
+    assert(VersionedTable.committedVersions(root) == Seq(1L, 2L, 3L))
+    assert(VersionedTable.readLatest(spark, root)
+      .collect().map(_.getString(1)).toSeq == Seq("by-driver-2"))
+    // a local writer that read the stale hint and based on v2 must LOSE
+    val e = intercept[VersionedTable.ConcurrentWriteException] {
+      VersionedTable.write(Seq((9, "stale")).toDF("id", "s"), root,
+        baseVersion = Some(2L))
+    }
+    assert(e.getMessage.contains("concurrent commit"))
+    // and a fresh writer bases on the healed latest and extends the chain
+    val v4 = VersionedTable.write(Seq((4, "d")).toDF("id", "s"), root)
+    assert(v4 == 4L)
+    assert(VersionedTable.committedVersions(root) == Seq(1L, 2L, 3L, 4L))
+  }
+
+  // ── Committed-chain checkpoint ──────────────────────────────────────
+
+  test("checkpoint bounds metadata reads; chain identical with and without it") {
+    val root = Files.createTempDirectory("graft_vt_ckpt").toString
+    (1 to 25).foreach(i => VersionedTable.write(Seq(i).toDF("v"), root))
+    // periodic checkpoint landed (interval 10) → _checkpoint covers v<=20
+    assert(new java.io.File(s"$root/_checkpoint").exists())
+    val withCp = VersionedTable.committedChain(root)
+    val pureWalk = VersionedTable.committedChain(root, useCheckpoint = false)
+    assert(withCp == pureWalk)
+    assert(withCp.map(_.version) == (1L to 25L))
+    assert(VersionedTable.history(spark, root)
+      .select(col("version")).as[Long].collect().toSeq == (1L to 25L).reverse)
+    // bounded reads: checkpoint (1) + tail 21..25 (3 reads each) + hint
+    // resolution — far under the 77 reads of the full walk
+    VersionedTable.metaReads.set(0L)
+    VersionedTable.committedVersions(root)
+    val bounded = VersionedTable.metaReads.get()
+    VersionedTable.metaReads.set(0L)
+    VersionedTable.committedChain(root, useCheckpoint = false)
+    val full = VersionedTable.metaReads.get()
+    assert(bounded <= 30, s"checkpointed chain read cost $bounded metadata reads")
+    assert(bounded < full, s"checkpoint ($bounded reads) must beat the walk ($full)")
+  }
+
+  test("vacuum retains committed snapshots only and GCs aged orphans") {
+    val root = Files.createTempDirectory("graft_vt_vac2").toString
+    (1 to 4).foreach(i => VersionedTable.write(Seq(i).toDF("v"), root)) // v1..v4
+    // crash-orphaned directory with the NEWEST number — must not occupy
+    // a keep slot, and must be GC'd once older than the grace period
+    Seq(99).toDF("v").write.parquet(s"$root/v=9")
+    val dropped = VersionedTable.vacuum(root, keep = 2, orphanGraceMs = 0L)
+    assert(dropped == Seq(1L, 2L, 9L)) // committed beyond keep + aged orphan
+    assert(VersionedTable.versions(root) == Seq(3L, 4L)) // two COMMITTED kept
+    assert(VersionedTable.committedVersions(root) == Seq(3L, 4L))
+    assert(VersionedTable.readLatest(spark, root).as[Int].head() == 4)
+    // an orphan younger than the grace period survives (in-flight writer)
+    Seq(100).toDF("v").write.parquet(s"$root/v=10")
+    val dropped2 = VersionedTable.vacuum(root, keep = 2)
+    assert(dropped2.isEmpty)
+    assert(VersionedTable.versions(root) == Seq(3L, 4L, 10L))
+  }
 }
