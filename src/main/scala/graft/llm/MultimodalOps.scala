@@ -13,8 +13,11 @@ import org.apache.spark.sql.functions._
   * payloads are decoded for real with `javax.imageio` (PNG/JPEG/GIF/BMP
   * ship with the JDK) and audio with `javax.sound.sampled` (WAV/AIFF/AU);
   * other modalities fall back to deterministic byte-level features.
-  * Compressed audio (mp3/ogg) and video have no JDK codec — they would
-  * plug into the same per-partition decode sites via SPI.
+  * Video has no JDK pixel codec, but MP4/MOV container METADATA
+  * (dims/duration/track count) is parsed for real via a pure-JVM ISO
+  * BMFF box walk ([[decodeVideoMeta]]); compressed audio (mp3/ogg) and
+  * video PIXELS would plug into the same per-partition decode sites
+  * via SPI.
   */
 object MultimodalOps {
 
@@ -143,6 +146,95 @@ object MultimodalOps {
         val audio = if (r.mimeType.startsWith("audio/")) decodeAudio(r.media) else None
         val (rate, ch, frames, hist) = audio.getOrElse((0, 0, 0L, new Array[Long](16)))
         AudioFeatures(r.id, r.media.length, rate, ch, frames, hist, audio.isDefined)
+      }
+    }
+  }
+
+  /** `decoded` = the container METADATA parsed (true dims/duration from
+    * the moov box); `metadataOnly` distinguishes this from a pixel
+    * decode — the JDK has no video codec, so pixels never decode here
+    * and `metadataOnly` is true whenever `decoded` is. A pixel-decoding
+    * SPI plugin would flip `metadataOnly` to false at the same site. */
+  case class VideoFeatures(id: Long, byteLen: Int, width: Int, height: Int,
+                           durationMs: Long, nTracks: Int,
+                           decoded: Boolean, metadataOnly: Boolean)
+
+  /** MP4/MOV container-metadata parse — a pure-JVM ISO BMFF box walk, no
+    * codec: width/height from each `trak/tkhd` (16.16 fixed-point; the
+    * video track is the one with nonzero dims) and duration from
+    * `moov/mvhd` (duration/timescale, emitted in integer milliseconds —
+    * deterministic). Returns (width, height, durationMs, nTracks); None
+    * when the payload has no parseable `moov` (corrupt, truncated, or a
+    * non-BMFF format such as MKV) — quarantinable like image/audio.
+    *
+    * Box grammar: [u32 size][4cc type][payload]; size==1 → u64 largesize
+    * follows; size==0 → box runs to end of enclosure. mvhd/tkhd v0 use
+    * 32-bit times, v1 64-bit — both handled. All reads bounds-checked;
+    * any structural surprise aborts to None rather than fake values. */
+  private[llm] def decodeVideoMeta(bytes: Array[Byte]): Option[(Int, Int, Long, Int)] =
+    try {
+      def u32(o: Int): Long =
+        ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+          ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+      def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
+      def fourcc(o: Int): String =
+        new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      // walk one enclosure [lo, hi); returns (type, payloadLo, payloadHi) per box
+      def boxes(lo: Int, hi: Int): Iterator[(String, Int, Int)] =
+        new Iterator[(String, Int, Int)] {
+          private var o = lo
+          def hasNext: Boolean = o + 8 <= hi
+          def next(): (String, Int, Int) = {
+            val sz = u32(o)
+            val tpe = fourcc(o + 4)
+            val (payLo, end) =
+              if (sz == 1L && o + 16 <= hi) (o + 16, o + u64(o + 8))
+              else if (sz == 0L) (o + 8, hi.toLong)
+              else (o + 8, o + sz)
+            if (end < payLo || end > hi) { o = hi; ("", 0, 0) } // malformed → stop
+            else { o = end.toInt; (tpe, payLo, end.toInt) }
+          }
+        }
+      val moov = boxes(0, bytes.length).collectFirst { case ("moov", l, h) => (l, h) }
+      moov.flatMap { case (ml, mh) =>
+        var durationMs = 0L
+        var w = 0; var h = 0; var nTracks = 0
+        boxes(ml, mh).foreach {
+          case ("mvhd", l, _) =>
+            val v = bytes(l) & 0xff
+            val (ts, dur) =
+              if (v == 1) (u32(l + 20), u64(l + 24)) else (u32(l + 12), u32(l + 16))
+            if (ts > 0) durationMs = dur * 1000L / ts
+          case ("trak", l, hh) =>
+            nTracks += 1
+            boxes(l, hh).foreach {
+              case ("tkhd", tl, _) =>
+                val v = bytes(tl) & 0xff
+                val dimsOff = tl + (if (v == 1) 88 else 76) // through the matrix
+                val tw = (u32(dimsOff) >> 16).toInt // 16.16 fixed → integer part
+                val th = (u32(dimsOff + 4) >> 16).toInt
+                if (tw > 0 && th > 0) { w = tw; h = th } // the video track
+              case _ => ()
+            }
+          case _ => ()
+        }
+        if (nTracks == 0 && durationMs == 0L) None
+        else Some((w, h, durationMs, nTracks))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Batch video container-metadata extraction — same per-partition
+    * shape as [[extractFeatures]]; only video-mime-typed payloads are
+    * parsed. decoded=false (zero dims) quarantines unparseable blobs. */
+  def extractVideoFeatures(media: Dataset[MediaRecord]): Dataset[VideoFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val meta =
+          if (r.mimeType.startsWith("video/")) decodeVideoMeta(r.media) else None
+        val (w, h, durMs, nTracks) = meta.getOrElse((0, 0, 0L, 0))
+        VideoFeatures(r.id, r.media.length, w, h, durMs, nTracks,
+          decoded = meta.isDefined, metadataOnly = meta.isDefined)
       }
     }
   }

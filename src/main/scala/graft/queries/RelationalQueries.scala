@@ -203,6 +203,51 @@ object RelationalQueries {
         .orderBy(col("k"), col("ck"))
     }),
 
+    // CDF-FED incremental maintenance — the end-to-end Delta pattern
+    // (change feed → downstream materialized-view refresh) closing the
+    // loop between q_table_changes and q_incremental_agg: here the
+    // changeset is NOT synthesized by filters but read from the ACTUAL
+    // change feed of a versioned table. v1 = yesterday's facts
+    // (k%10≠0); v2 = v1 minus deletes (k%97=0) with repricings
+    // (k%7=0, +1000.00) plus the day's arrivals (k%10=0). The gold
+    // aggregate built on v1 is merged with a partial aggregate of
+    // changes(v1→v2) — insert/update_postimage op=+1,
+    // delete/update_preimage op=−1 — and must equal the from-scratch
+    // rebuild over snapshot v2 (the oracle). The refresh reads only
+    // the feed (one co-partitioned diff join of the snapshots) and the
+    // gold-sized view; at 100 TB the base facts are never rescanned.
+    "q_cdf_refresh" -> ((s, dir) => {
+      val out = tmpDir("graft_cdfr")
+      val o = t(s, dir, "orders").select(col("o_orderpriority").as("prio"),
+        col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      val v1 = o.filter(col("k") % 10 =!= 0)
+      val v2 = o.filter(col("k") % 10 === 0 ||
+          (col("k") % 10 =!= 0 && col("k") % 97 =!= 0))
+        .withColumn("cents", when(col("k") % 10 =!= 0 && col("k") % 7 === 0,
+          col("cents") + 100000L).otherwise(col("cents")))
+      val root = s"$out/t"
+      graft.sources.VersionedTable.write(v1, root)
+      graft.sources.VersionedTable.write(v2, root)
+      val gold = graft.sources.VersionedTable.readVersion(s, root, 1L)
+        .groupBy(col("prio")).agg(
+          count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+      val feed = graft.sources.VersionedTable.changes(s, root, 1L, 2L, Seq("k"))
+      val delta = feed.withColumn("op",
+          when(col("_change_type").isin("insert", "update_postimage"), lit(1L))
+            .otherwise(lit(-1L)))
+        .groupBy(col("prio")).agg(
+          sum(col("op")).as("dn"), sum(col("op") * col("cents")).as("ds"))
+      gold.join(delta, Seq("prio"), "full_outer")
+        .select(col("prio"),
+          (coalesce(col("n_orders"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+            .as("n_orders"),
+          (coalesce(col("sum_cents"), lit(0L)) + coalesce(col("ds"), lit(0L)))
+            .as("sum_cents"))
+        .filter(col("n_orders") > 0)
+        .orderBy(col("prio"))
+    }),
+
     // P1/P2 projection + rename.
     "q_project_rename" -> ((s, dir) =>
       t(s, dir, "customer")
@@ -828,6 +873,20 @@ object RelationalQueries {
         |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
         |fin AS (SELECT * FROM o
         |  WHERE k % 10 = 0 OR (k % 10 <> 0 AND k % 7 <> 0))
+        |SELECT prio, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM fin GROUP BY prio HAVING count(*) > 0
+        |ORDER BY prio""".stripMargin,
+
+    // The from-scratch rebuild over snapshot v2's row set: survivors of
+    // the delete (k%97), repriced where k%7=0, plus the arrivals
+    // (k%10=0). The CDF-fed merge must reproduce it exactly.
+    "q_cdf_refresh" ->
+      """WITH o AS (SELECT o_orderpriority AS prio, o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |fin AS (SELECT prio,
+        |    CASE WHEN k % 10 <> 0 AND k % 7 = 0 THEN cents + 100000 ELSE cents END AS cents
+        |  FROM o WHERE k % 10 = 0 OR (k % 10 <> 0 AND k % 97 <> 0))
         |SELECT prio, CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM fin GROUP BY prio HAVING count(*) > 0

@@ -315,6 +315,35 @@ class LlmSpec extends AnyFunSuite {
     assert(!fb.decoded && fb.sampleRate == 0 && fb.amplitudeHist.sum == 0)
   }
 
+  test("multimodal: MP4 box walk parses container dims/duration without a codec") {
+    // minimal ISO BMFF file generated in-process:
+    // ftyp + moov( mvhd[timescale=600,duration=3000] + trak(tkhd[640×360]) )
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + payload.length)
+      b.putInt(8 + payload.length).put(tpe.getBytes("US-ASCII")).put(payload)
+      b.array()
+    }
+    def u32(v: Long): Array[Byte] =
+      java.nio.ByteBuffer.allocate(4).putInt(v.toInt).array()
+    val mvhd = box("mvhd", new Array[Byte](12) ++ // v0+flags, creation, modification
+      u32(600L) ++ u32(3000L) ++                  // timescale, duration → 5000 ms
+      new Array[Byte](80))                        // rate..next_track_ID
+    val tkhd = box("tkhd", new Array[Byte](76) ++ // v0 header through the matrix
+      u32(640L << 16) ++ u32(360L << 16))         // 16.16 fixed width/height
+    val mp4 = box("ftyp", "isom".getBytes("US-ASCII") ++ new Array[Byte](4)) ++
+      box("moov", mvhd ++ box("trak", tkhd))
+    val media = Seq(MultimodalOps.MediaRecord(1L, mp4, "video/mp4")).toDS()
+    val f = MultimodalOps.extractVideoFeatures(media).collect().head
+    assert(f.decoded && f.metadataOnly, "container metadata must parse, pixels must not claim to")
+    assert(f.width == 640 && f.height == 360 && f.durationMs == 5000L && f.nTracks == 1)
+    // corrupt payload and a non-video mime both quarantine, not fake dims
+    val bad = Seq(
+      MultimodalOps.MediaRecord(2L, Array[Byte](0, 0, 0, 9, 'j', 'u', 'n', 'k', 1), "video/mp4"),
+      MultimodalOps.MediaRecord(3L, mp4, "text/plain")).toDS()
+    val fb = MultimodalOps.extractVideoFeatures(bad).collect().sortBy(_.id)
+    assert(fb.forall(x => !x.decoded && x.width == 0 && x.durationMs == 0L))
+  }
+
   test("resizeDims: aspect-preserving, no upscale; non-positive dims give NULL struct") {
     val d = Seq((2000, 1000), (100, 50), (0, 100), (100, -1)).toDF("w", "h")
     val out = d.select(MultimodalOps.resizeDims(col("w"), col("h"), 512, 512).as("r"))

@@ -356,4 +356,75 @@ class StreamingSpec extends AnyFunSuite {
     val batchClosed = batchAll.filterNot { case (u, s, _) => openTails(u) == s }.toSet
     assert(streamed == batchClosed && streamed.nonEmpty)
   }
+
+  /** The maintained view's current (grp, n, sum_measure) rows. */
+  private def viewRows(view: String): Set[(String, Long, Long)] =
+    graft.sources.VersionedTable.readLatest(spark, view)
+      .select(col("grp"), col("n"), col("sum_measure"))
+      .as[(String, Long, Long)].collect().toSet
+
+  /** The from-scratch rebuild of the source's LATEST snapshot aggregate. */
+  private def rebuiltAgg(src: String): Set[(String, Long, Long)] =
+    graft.sources.VersionedTable.readLatest(spark, src)
+      .groupBy(col("prio"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+      .as[(String, Long, Long)].collect().toSet
+
+  private def ordersKGC(): org.apache.spark.sql.DataFrame =
+    graft.sources.Tables.t(spark, "/root/testdata/sf0.001", "orders")
+      .select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+
+  test("change-feed drain maintains an aggregate view == batch rebuild across commits") {
+    import graft.sources.VersionedTable
+    import graft.streaming.ChangeFeed
+    val dir = Files.createTempDirectory("graft_cdf_stream").toString
+    val src = s"$dir/src"; val view = s"$dir/view"
+    val o = ordersKGC()
+    val v1 = o.filter(col("k") % 10 =!= 0)
+    VersionedTable.write(v1, src)
+    // first commit = all-inserts micro-batch
+    assert(ChangeFeed.drainAggChanges(spark, src, Seq("k"), "prio", "cents", view) == 1)
+    assert(viewRows(view) == rebuiltAgg(src))
+
+    // two MORE commits land before the next poll: deletes + updates +
+    // inserts, then further deletes — the drain must apply both, in order
+    val v2 = o.filter(col("k") % 10 === 0 ||
+        (col("k") % 10 =!= 0 && col("k") % 97 =!= 0))
+      .withColumn("cents", when(col("k") % 10 =!= 0 && col("k") % 7 === 0,
+        col("cents") + 100000L).otherwise(col("cents")))
+    VersionedTable.write(v2, src)
+    VersionedTable.write(v2.filter(col("k") % 13 =!= 0), src)
+    assert(ChangeFeed.drainAggChanges(spark, src, Seq("k"), "prio", "cents", view) == 2)
+    assert(viewRows(view) == rebuiltAgg(src))
+
+    // caught up: a re-poll (or a crashed-and-restarted consumer — the
+    // cursor lives in the view snapshot itself) applies nothing
+    assert(ChangeFeed.drainAggChanges(spark, src, Seq("k"), "prio", "cents", view) == 0)
+    assert(viewRows(view) == rebuiltAgg(src))
+  }
+
+  test("changeFeedMaintSink converges to the batch rebuild while a writer commits") {
+    import graft.sources.VersionedTable
+    val dir = Files.createTempDirectory("graft_cdf_sink").toString
+    val src = s"$dir/src"; val view = s"$dir/view"
+    val o = ordersKGC()
+    VersionedTable.write(o.filter(col("k") % 10 =!= 0), src)
+    val q = graft.streaming.ChangeFeed.changeFeedMaintSink(
+      spark, src, Seq("k"), "prio", "cents", view, intervalMs = 200L)
+    try {
+      // commit while the ticker runs; the view must converge within a
+      // few trigger intervals
+      VersionedTable.write(o.filter(col("k") % 97 =!= 0), src)
+      val want = rebuiltAgg(src)
+      val deadline = System.currentTimeMillis + 60000L
+      var ok = false
+      while (!ok && System.currentTimeMillis < deadline) {
+        ok = VersionedTable.latestVersion(view).isDefined &&
+          viewRows(view) == want
+        if (!ok) Thread.sleep(200L)
+      }
+      assert(ok, "streaming consumer's view did not converge to the batch rebuild")
+    } finally q.stop()
+  }
 }
