@@ -84,17 +84,25 @@ object Bench {
     // per query go to bench_detail.json so a genuine regression is
     // distinguishable from steal-window mitigation (a real slowdown shows
     // in the median even when retries rescue the min).
-    for (_ <- 1 to 2 if results.exists(_._2.min > 3.0)) {
-      results = results.map { case (name, obs) =>
-        if (obs.min > 3.0) name -> (obs ++ timedRuns(name, SparkEntry.queries(name), 2))
-        else name -> obs
-      }
-    }
-    def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted; val n = s.length
       if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
     }
+    // re-time on absolute stall (min > 3s) OR on med/min spread > 1.5 at
+    // ≥0.5s: a steal window that inflates only SOME of a query's runs
+    // shows as spread, not a stalled min — extra observations let a later
+    // reader separate genuine train-cost variance from a swept window
+    // (r7: q_ann_ivfpq med 4.02 vs min 2.88 needed a manual round-8
+    // attribution precisely because only 2 early runs existed).
+    def needsRetime(obs: Seq[Double]): Boolean =
+      obs.min > 3.0 || (obs.min >= 0.5 && median(obs) > 1.5 * obs.min)
+    for (_ <- 1 to 2 if results.exists(r => needsRetime(r._2))) {
+      results = results.map { case (name, obs) =>
+        if (needsRetime(obs)) name -> (obs ++ timedRuns(name, SparkEntry.queries(name), 2))
+        else name -> obs
+      }
+    }
+    def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // stdout contract: ONE json line that must fit the driver's
     // ~2000-char output-tail window. Query NAMES dominate the line (89
     // queries at 1 decimal still measured ~1880 chars), so decimals can't

@@ -14,27 +14,13 @@ import graft.ops.RelationalOps.rnd
   */
 object EventQueries {
 
-  /** Schema-adaptive read of the `events` table: the harness has shipped
-    * `ts` as TIMESTAMP(NANOS) (which Spark 4 rejects — [PARQUET_TYPE_ILLEGAL]
-    * — unless read as long via the legacy conf) and, in newer drops, as
-    * TIMESTAMP_MICROS with isAdjustedToUTC=false (arriving as TIMESTAMP_NTZ).
-    * Inspect the dtype actually read and normalize either encoding to a
-    * session-TZ TimestampType so every downstream query sees one shape.
-    * For the nanos path, exact integer division is required — ns values
-    * ~1.7e18 exceed 2^53, so a double division would corrupt them. */
-  def events(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = t(s, dir, "events")
-    raw.schema("ts").dataType match {
-      case LongType => // legacy NANOS read as long → rebuild micros timestamp
-        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      case TimestampNTZType | TimestampType =>
-        raw.withColumn("ts", col("ts").cast(TimestampType))
-      case other =>
-        throw new IllegalStateException(s"unexpected events.ts dtype: $other")
-    }
-  }
+  /** Schema-adaptive read of the `events` table: `ts` (and `props`)
+    * normalization is the generalized dtype dispatch in
+    * [[graft.sources.Tables.t]] — the r6 TIMESTAMP(NANOS) breakage is
+    * documented there along with every other physical encoding the
+    * normalization absorbs. */
+  def events(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events") // dtype dispatch now centralized in Tables.t
 
   /** Gap-based sessionization: a new session starts after `gapSec` of
     * user inactivity. Classic lag → flag → running-sum session id. */

@@ -21,9 +21,57 @@ import org.apache.spark.sql.types._
   */
 object Tables {
 
-  /** Load one driver-generated testdata table (TESTDATA.md). */
-  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Event-time columns per testdata table. The harness regenerates the
+    * parquet drops between rounds and has already drifted the PHYSICAL
+    * timestamp encoding once (events.ts: TIMESTAMP(NANOS) → NTZ micros,
+    * which broke 12 queries in r6) — every temporal column, not just
+    * events.ts, gets the same inspect-don't-assume normalization. */
+  private val temporalCols = Map(
+    "orders" -> Seq("o_orderdate"),
+    "lineitem" -> Seq("l_shipdate"),
+    "events" -> Seq("ts"))
+
+  /** Load one driver-generated testdata table (TESTDATA.md),
+    * schema-adaptively normalized so every downstream query sees ONE
+    * logical shape regardless of the physical encoding the current
+    * testdata drop shipped:
+    *  - temporal columns → session-TZ TimestampType, whatever the file
+    *    held: NANOS (read as long via the legacy conf — exact integer
+    *    `DIV 1000`, since ns epochs ~1.7e18 exceed a double's 2^53),
+    *    NTZ/UTC micros, DATE (midnight, matching DuckDB's date→ts
+    *    promotion), or an ISO string;
+    *  - `documents.text` shipped as binary → UTF-8 string (the text
+    *    kernels and the DuckDB oracle both treat it as text);
+    *  - `events.props` shipped pre-parsed (struct/map) → canonical JSON
+    *    string, which is what the JSON-extraction queries parse.
+    * With the current drop every branch is a no-op passthrough — the
+    * cost is one schema inspection per read, no plan change. */
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // a NANOS column would otherwise fail the whole read ([PARQUET_TYPE_ILLEGAL])
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    var df = spark.read.parquet(s"$sfDir/$name.parquet")
+    for (c <- temporalCols.getOrElse(name, Nil) if df.columns.contains(c)) {
+      df.schema(c).dataType match {
+        case TimestampType => ()
+        case TimestampNTZType | DateType | StringType =>
+          df = df.withColumn(c, col(c).cast(TimestampType))
+        case LongType => // legacy NANOS read as long → rebuild micros
+          df = df.withColumn(c, timestamp_micros(expr(s"$c DIV 1000")))
+        case other =>
+          throw new IllegalStateException(s"unexpected $name.$c dtype: $other")
+      }
+    }
+    if (name == "documents" && df.schema("text").dataType == BinaryType)
+      df = df.withColumn("text", col("text").cast(StringType))
+    if (name == "events") df.schema("props").dataType match {
+      case StringType => ()
+      case _: StructType | _: MapType =>
+        df = df.withColumn("props", to_json(col("props")))
+      case other =>
+        throw new IllegalStateException(s"unexpected events.props dtype: $other")
+    }
+    df
+  }
 
   /** Embeddings table with the vector column normalized to a dtype the
     * similarity kernels accept — schema-adaptive like
