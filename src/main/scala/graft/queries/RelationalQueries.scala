@@ -248,6 +248,61 @@ object RelationalQueries {
         .orderBy(col("prio"))
     }),
 
+    // CDF-FED incremental JOIN-view maintenance — the counting-algorithm
+    // generalization of q_incremental_join (which is insert-only with
+    // synthesized deltas): BOTH sides of V = A ⋈ B are versioned tables
+    // whose commits carry deletes and updates, the changesets are read
+    // from the ACTUAL change feeds, and the signed delta algebra
+    //   ΔV = ΔA ⋈ B_new  ∪  A_old ⋈ ΔB
+    // (op = +1 insert/postimage, −1 delete/preimage; ΔA⋈ΔB lands once,
+    // inside the first term) is applied to the stored view by a
+    // full-row signed count — rows netting to 0 vanish, exactly the
+    // DBToaster/counting IVM update. A_old ⋈ B_old is NEVER recomputed;
+    // the refresh cost is two feed-diff joins + two delta-sized joins +
+    // one view-sized aggregate, at any base size. Oracle: the
+    // from-scratch rebuild A_new ⋈ B_new, which the maintained view
+    // must equal exactly.
+    "q_cdf_join_refresh" -> ((s, dir) => {
+      val out = tmpDir("graft_cdfj")
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey").as("ck"), col("o_orderstatus").as("status"))
+      val c = t(s, dir, "customer").select(col("c_custkey").as("ck"),
+        col("c_mktsegment").as("segment"))
+      val a1 = o.filter(col("k") % 10 =!= 0)                 // yesterday's facts
+      val a2 = o.filter(col("k") % 10 === 0 || col("k") % 97 =!= 0)
+        .withColumn("status",                                 // deletes + updates + inserts
+          when(col("k") % 7 === 0, lit("U")).otherwise(col("status")))
+      val b1 = c.filter(col("ck") % 5 =!= 0)                 // yesterday's dims
+      val b2 = c.filter(col("ck") % 13 =!= 0)
+        .withColumn("segment",
+          when(col("ck") % 11 === 0, lit("U")).otherwise(col("segment")))
+      val (ra, rb) = (s"$out/a", s"$out/b")
+      graft.sources.VersionedTable.write(a1, ra)
+      graft.sources.VersionedTable.write(a2, ra)
+      graft.sources.VersionedTable.write(b1, rb)
+      graft.sources.VersionedTable.write(b2, rb)
+      val op = graft.streaming.ChangeFeed.changeOp
+      val feedA = graft.sources.VersionedTable.changes(s, ra, 1L, 2L, Seq("k"))
+        .select(col("k"), col("ck"), col("status"), op.as("op"))
+      val feedB = graft.sources.VersionedTable.changes(s, rb, 1L, 2L, Seq("ck"))
+        .select(col("ck"), col("segment"), op.as("op"))
+      val aOld = graft.sources.VersionedTable.readVersion(s, ra, 1L)
+      val bOld = graft.sources.VersionedTable.readVersion(s, rb, 1L)
+      val bNew = graft.sources.VersionedTable.readVersion(s, rb, 2L)
+      val vOld = aOld.join(bOld, Seq("ck")).withColumn("op", lit(1L)) // the STORED view
+      val dVA = feedA.join(bNew, Seq("ck"))
+      val dVB = aOld.join(feedB, Seq("ck"))
+      val cols = Seq("k", "ck", "status", "segment", "op")
+      vOld.select(cols.map(col): _*)
+        .unionByName(dVA.select(cols.map(col): _*))
+        .unionByName(dVB.select(cols.map(col): _*))
+        .groupBy(col("k"), col("ck"), col("status"), col("segment"))
+        .agg(sum(col("op")).as("net"))
+        .filter(col("net") > 0)
+        .select(col("k"), col("ck"), col("status"), col("segment"))
+        .orderBy(col("k"), col("ck"))
+    }),
+
     // P1/P2 projection + rename.
     "q_project_rename" -> ((s, dir) =>
       t(s, dir, "customer")
@@ -891,6 +946,22 @@ object RelationalQueries {
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM fin GROUP BY prio HAVING count(*) > 0
         |ORDER BY prio""".stripMargin,
+
+    // The from-scratch rebuild A_new ⋈ B_new over the final row sets of
+    // both versioned sides; the counting-IVM maintained view must
+    // reproduce it exactly.
+    "q_cdf_join_refresh" ->
+      """WITH a2 AS (
+        |  SELECT o_orderkey AS k, o_custkey AS ck,
+        |         CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE o_orderstatus END AS status
+        |  FROM orders WHERE o_orderkey % 10 = 0 OR o_orderkey % 97 <> 0),
+        |b2 AS (
+        |  SELECT c_custkey AS ck,
+        |         CASE WHEN c_custkey % 11 = 0 THEN 'U' ELSE c_mktsegment END AS segment
+        |  FROM customer WHERE c_custkey % 13 <> 0)
+        |SELECT a2.k, a2.ck, a2.status, b2.segment
+        |FROM a2 JOIN b2 USING (ck)
+        |ORDER BY k, ck""".stripMargin,
 
     "q_incremental_join" ->
       """SELECT o.o_orderkey AS k, o.o_custkey AS ck, o.o_orderstatus AS status,

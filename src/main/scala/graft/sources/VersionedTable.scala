@@ -291,6 +291,73 @@ object VersionedTable {
         s"schema enforcement: evolution not allowed (added=${added.mkString(",")} dropped=${dropped.mkString(",")}); pass allowEvolution=true")
   }
 
+  // ── CHECK constraints (Delta `ALTER TABLE ADD CONSTRAINT` analogue) ──
+  //
+  // Table-level row predicates enforced on EVERY write path (write /
+  // merge / compact / restore all funnel through write()). SQL CHECK
+  // semantics: a row passes unless the expression is definitively FALSE
+  // (NULL passes). Constraints live in one `_constraints` metadata file
+  // at the root (name → SQL expression, updated by atomic rename);
+  // adding a constraint validates the EXISTING live snapshot first,
+  // exactly as Delta does. Enforcement costs one validating pass over
+  // the incoming frame per constrained write (early-exit limit(1) scan)
+  // — callers writing an expensive derived frame should persist it
+  // first, the same trade collectStats documents.
+
+  /** Incoming data (or the live snapshot, on add) failed a CHECK
+    * constraint; nothing was committed. */
+  class CheckConstraintViolation(msg: String) extends RuntimeException(msg)
+
+  private def constraintsFile(root: String) = new HPath(root, "_constraints")
+
+  /** Registered CHECK constraints: name → SQL boolean expression. */
+  def constraints(root: String): Map[String, String] =
+    readString(constraintsFile(root)).toSeq.flatMap(_.linesIterator).flatMap { ln =>
+      ln.split('\t') match {
+        case Array(n, e) => Some(n -> e)
+        case _ => None
+      }
+    }.toMap
+
+  private def writeConstraints(root: String, cs: Map[String, String]): Unit =
+    if (cs.isEmpty) delete(constraintsFile(root), recursive = false)
+    else {
+      val tmp = new HPath(root, "_constraints.tmp")
+      writeString(tmp, cs.toSeq.sorted.map { case (n, e) => s"$n\t$e" }
+        .mkString("\n"), overwrite = true)
+      fcOf(tmp).rename(tmp, constraintsFile(root), Options.Rename.OVERWRITE)
+    }
+
+  /** First constraint `df` violates, if any — one early-exit job per
+    * constraint (typical constraint counts are single-digit). */
+  private def firstViolated(df: DataFrame,
+                            cs: Map[String, String]): Option[String] = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    cs.toSeq.sorted.collectFirst {
+      case (n, e) if !df.filter(not(coalesce(expr(e), lit(true)))).isEmpty =>
+        s"$n CHECK($e)"
+    }
+  }
+
+  /** Register a CHECK constraint. The LIVE snapshot must already satisfy
+    * it (Delta's add-constraint contract) — otherwise
+    * [[CheckConstraintViolation]] and no metadata change. */
+  def addCheckConstraint(spark: SparkSession, root: String,
+                         name: String, exprSql: String): Unit = {
+    require(!name.exists(c => c == '\t' || c == '\n') &&
+      !exprSql.exists(c => c == '\t' || c == '\n'),
+      "constraint name/expression must not contain tabs or newlines")
+    latestVersion(root).foreach { v =>
+      firstViolated(readVersion(spark, root, v), Map(name -> exprSql)).foreach(c =>
+        throw new CheckConstraintViolation(
+          s"$root: existing snapshot v=$v violates new constraint $c"))
+    }
+    writeConstraints(root, constraints(root) + (name -> exprSql))
+  }
+
+  def dropCheckConstraint(root: String, name: String): Unit =
+    writeConstraints(root, constraints(root) - name)
+
   /** Write a new snapshot; returns the new version number. When
     * `statsCols` is non-empty, per-file zone maps for those (numeric)
     * columns are collected into the snapshot BEFORE the pointer flips —
@@ -317,6 +384,12 @@ object VersionedTable {
       val existing = df.sparkSession.read.parquet(s"$root/v=$v").schema
       checkSchema(existing, df.schema, allowEvolution)
     }
+    // CHECK constraints gate every write path (merge/compact/restore
+    // funnel through here) BEFORE a version is claimed
+    val cs = constraints(root)
+    if (cs.nonEmpty) firstViolated(df, cs).foreach(c =>
+      throw new CheckConstraintViolation(
+        s"$root: incoming data violates constraint $c; nothing committed"))
     val next = claimNextVersion(root)
     var committed = false
     try {
@@ -573,13 +646,23 @@ object VersionedTable {
     * versions stay time-travelable, vacuum reclaims them. Returns the new
     * version number.
     *
+    * `zorderBy` (OPTIMIZE ZORDER BY analogue): exactly two numeric
+    * columns — the rewrite range-partitions and sorts on their Morton
+    * interleave ([[graft.ops.ZOrder]]) and collects per-file zone maps
+    * for BOTH, so [[readPruned]] (and parquet row-group stats) skip on
+    * either key afterwards — the layout half of data skipping, applied
+    * where Delta applies it: at compaction time, not on the write path.
+    * Not supported inside a hive-partitioned layout (z-order before
+    * partitioning, as Delta z-orders within partitions).
+    *
     * Partitioned snapshots: the `name=value` directory layout is
     * auto-detected and preserved — a plain rewrite would silently flatten
     * it. (The schema gate stays consistent because both the compacted
     * frame and the gate's read of the existing snapshot infer partition
     * column types from the same directory values.) */
   def compact(spark: SparkSession, root: String,
-              targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+              targetFileBytes: Long = 128L * 1024 * 1024,
+              zorderBy: Seq[String] = Seq.empty): Long = {
     val v = latestVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no versions at $root"))
     val dir = new HPath(s"$root/v=$v")
@@ -605,10 +688,33 @@ object VersionedTable {
       }
     val parts = partCols(dir)
     val nFiles = math.max(1, math.ceil(sizeOf(dir).toDouble / targetFileBytes).toInt)
+    val snap = readVersion(spark, root, v)
+    val (rewritten, op) =
+      if (zorderBy.isEmpty) (snap.coalesce(nFiles), "COMPACT")
+      else {
+        require(zorderBy.size == 2,
+          s"zorderBy takes exactly 2 columns (Morton interleave), got $zorderBy")
+        require(parts.isEmpty,
+          "zorderBy inside a hive-partitioned snapshot is not supported")
+        import org.apache.spark.sql.functions.{col, lit, min, max}
+        val Seq(a, b) = zorderBy
+        // O(1)-row driver agg: per-column bounds for the range bucketing
+        val r = snap.agg(min(col(a)).cast("double"), max(col(a)).cast("double"),
+          min(col(b)).cast("double"), max(col(b)).cast("double")).head
+        val zk = graft.ops.ZOrder.zorder2(
+          graft.ops.ZOrder.rangeBucket(col(a), lit(r.getDouble(0)), lit(r.getDouble(1)), 16),
+          graft.ops.ZOrder.rangeBucket(col(b), lit(r.getDouble(2)), lit(r.getDouble(3)), 16))
+        (snap.withColumn("_zk", zk)
+          .repartitionByRange(nFiles, col("_zk"))
+          .sortWithinPartitions(col("_zk"))
+          .drop("_zk"),
+          s"COMPACT(zorder=${zorderBy.mkString(",")})")
+      }
     // conditional on the snapshot being compacted: a merge that lands
     // mid-compaction must win over the rewrite, not be clobbered by it
-    write(readVersion(spark, root, v).coalesce(nFiles), root, partitionBy = parts,
-      metaFiles = carriedMeta, baseVersion = Some(v), operation = "COMPACT")
+    write(rewritten, root, partitionBy = parts,
+      statsCols = if (zorderBy.nonEmpty) zorderBy else Seq.empty,
+      metaFiles = carriedMeta, baseVersion = Some(v), operation = op)
   }
 
   /** Retention (VACUUM analogue): keep the newest `keep` COMMITTED

@@ -373,4 +373,64 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(dropped2.isEmpty)
     assert(VersionedTable.versions(root) == Seq(3L, 4L, 10L))
   }
+
+  test("CHECK constraints gate every write path; NULL passes; add validates live data") {
+    val root = Files.createTempDirectory("graft_vt_check").toString
+    VersionedTable.write(Seq((1, Some(10.0)), (2, None)).toDF("id", "price"), root)
+    // adding a constraint the live snapshot violates is rejected
+    intercept[VersionedTable.CheckConstraintViolation] {
+      VersionedTable.addCheckConstraint(spark, root, "big", "price > 100")
+    }
+    assert(VersionedTable.constraints(root).isEmpty)
+    // NULL passes (SQL CHECK semantics): row (2, None) is fine
+    VersionedTable.addCheckConstraint(spark, root, "pos", "price > 0")
+    assert(VersionedTable.constraints(root) == Map("pos" -> "price > 0"))
+    // violating write rejected, no version claimed or committed
+    intercept[VersionedTable.CheckConstraintViolation] {
+      VersionedTable.write(Seq((3, Some(-1.0))).toDF("id", "price"), root)
+    }
+    assert(VersionedTable.committedVersions(root) == Seq(1L))
+    // violating MERGE rejected through the same gate
+    intercept[VersionedTable.CheckConstraintViolation] {
+      VersionedTable.merge(spark, root,
+        Seq((1, Some(-5.0))).toDF("id", "price"), Seq("id"))
+    }
+    // valid write (with a NULL) passes; constraint persists across commits
+    val v2 = VersionedTable.write(
+      Seq((3, Some(2.0)), (4, None)).toDF("id", "price"), root)
+    assert(v2 == 2L)
+    intercept[VersionedTable.CheckConstraintViolation] {
+      VersionedTable.write(Seq((5, Some(0.0))).toDF("id", "price"), root)
+    }
+    // dropped constraint stops gating
+    VersionedTable.dropCheckConstraint(root, "pos")
+    assert(VersionedTable.write(Seq((5, Some(0.0))).toDF("id", "price"), root) == 3L)
+  }
+
+  test("compact(zorderBy) z-orders the rewrite: skipping works on both keys, rows unchanged") {
+    val root = Files.createTempDirectory("graft_vt_zc").toString
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+    // accrete 16 single-file commits (the small-file problem OPTIMIZE fixes)
+    VersionedTable.write(li.repartition(16), root)
+    val v = VersionedTable.compact(spark, root,
+      targetFileBytes = 8L * 1024, zorderBy = Seq("l_orderkey", "l_partkey"))
+    assert(VersionedTable.readVersion(spark, root, v).count() == li.count())
+    assert(VersionedTable.history(spark, root).select("operation")
+      .as[String].collect().exists(_.startsWith("COMPACT(zorder=")))
+    val files = VersionedTable.readVersion(spark, root, v).inputFiles.length
+    assert(files > 4, s"need a multi-file layout to demonstrate skipping, got $files")
+    // zone maps collected during compaction prune on EITHER key
+    val bounds = li.agg(min("l_partkey"), max("l_partkey")).head
+    val (bmin, bmax) = (bounds.getLong(0), bounds.getLong(1))
+    val lo = bmin + (bmax - bmin) / 2.0
+    val hi = lo + (bmax - bmin) / 16.0
+    val pruned = VersionedTable.readPruned(spark, root, "l_partkey", lo, hi)
+    assert(pruned.inputFiles.length < files,
+      s"z-ordered compaction must skip files on the second key: " +
+        s"${pruned.inputFiles.length} of $files read")
+    // pruning is result-invisible
+    assert(pruned.count() ==
+      li.filter(col("l_partkey") >= lo && col("l_partkey") <= hi).count())
+  }
 }
