@@ -79,6 +79,75 @@ object ChangeFeed {
     pending.size
   }
 
+  /** Drain every unapplied commit of TWO versioned sources into a
+    * maintained JOIN view V = A ⋈ B at `viewRoot` — the streaming twin
+    * of q_cdf_join_refresh's counting IVM. Serialization: all pending B
+    * commits apply first, each ΔB joined against A at ITS cursor (A did
+    * not move during B's chain), then all pending A commits, each ΔA
+    * joined against B's NEW head — exactly the signed algebra
+    * ΔV = A_old ⋈ ΔB ∪ ΔA ⋈ B_new, whose sum telescopes to
+    * A_new ⋈ B_new − A_old ⋈ B_old. The view stores net row
+    * multiplicities in `_cnt` (the general counting representation — a
+    * non-key-unique join is still exact), merged by one full-row signed
+    * aggregate per poll; rows netting to 0 vanish.
+    *
+    * Exactly-once: BOTH cursors (`_batch_a`, `_batch_b`) commit inside
+    * the single view snapshot a poll writes — crash anywhere re-derives
+    * the same poll from the same cursors (pure recompute, nothing
+    * half-applied). Returns commits applied (0 = caught up, no view
+    * write). */
+  def drainJoinChanges(spark: SparkSession,
+                       srcA: String, keysA: Seq[String],
+                       srcB: String, keysB: Seq[String],
+                       joinCols: Seq[String], viewRoot: String): Int = {
+    def cursor(name: String): Long = VersionedTable.latestVersion(viewRoot)
+      .flatMap(v => VersionedTable.readMeta(viewRoot, v, name))
+      .map(_.trim.toLong).getOrElse(0L)
+    val (curA, curB) = (cursor("_batch_a"), cursor("_batch_b"))
+    val feedsA = commitFeeds(spark, srcA, keysA, curA)
+    val feedsB = commitFeeds(spark, srcB, keysB, curB)
+    if (feedsA.isEmpty && feedsB.isEmpty) return 0
+    val aOld = if (curA > 0) Some(VersionedTable.readVersion(spark, srcA, curA)) else None
+    // pinned to the last DRAINED B version, not latestVersion(srcB): a B
+    // commit landing mid-poll would otherwise ride into ΔA ⋈ B_new now
+    // and again when its own feed drains next poll (double count)
+    val bHead = feedsB.lastOption.map(_._1)
+      .orElse(Some(curB).filter(_ > 0))
+      .map(v => VersionedTable.readVersion(spark, srcB, v))
+    // view columns: join key once, then each side's data columns
+    val aCols = (feedsA.headOption.map(_._2).orElse(aOld))
+      .map(_.columns.filterNot(c => c == "_change_type" || joinCols.contains(c)).toSeq)
+      .getOrElse(Seq.empty)
+    val bCols = (feedsB.headOption.map(_._2).orElse(bHead))
+      .map(_.columns.filterNot(c => c == "_change_type" || joinCols.contains(c)).toSeq)
+      .getOrElse(Seq.empty)
+    val dataCols = joinCols ++ aCols ++ bCols
+    val terms =
+      feedsB.flatMap { case (_, feed) =>
+        aOld.map(_.join(feed.withColumn("op", changeOp), joinCols))
+      } ++
+      feedsA.flatMap { case (_, feed) =>
+        bHead.map(feed.withColumn("op", changeOp).join(_, joinCols))
+      }
+    val sel = (dataCols.map(col) :+ col("op")).toSeq
+    val oldRows = VersionedTable.latestVersion(viewRoot) match {
+      case Some(v) => VersionedTable.readVersion(spark, viewRoot, v)
+        .select(dataCols.map(col) :+ col("_cnt").as("op"): _*)
+      case None => terms.head.select(sel: _*).limit(0)
+    }
+    val merged = terms.map(_.select(sel: _*))
+      .foldLeft(oldRows)(_ unionByName _)
+      .groupBy(dataCols.map(col): _*)
+      .agg(sum(col("op")).as("_cnt"))
+      .filter(col("_cnt") =!= 0)
+    VersionedTable.write(merged, viewRoot, allowEvolution = true,
+      metaFiles = Map(
+        "_batch_a" -> feedsA.lastOption.map(_._1).getOrElse(curA).toString,
+        "_batch_b" -> feedsB.lastOption.map(_._1).getOrElse(curB).toString),
+      operation = "CDF_JOIN_REFRESH")
+    feedsA.size + feedsB.size
+  }
+
   /** The fully-streaming CDF→MV pipeline: a processing-time ticker
     * (rate source — no data rides it, it only schedules polls) drives
     * [[drainAggChanges]], so every commit a writer lands on `srcRoot`

@@ -404,6 +404,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(viewRows(view) == rebuiltAgg(src))
   }
 
+  test("change-feed JOIN-view drain: counting IVM across commits on both sides == rebuild") {
+    import graft.sources.VersionedTable
+    import graft.streaming.ChangeFeed
+    val dir = Files.createTempDirectory("graft_cdfj_stream").toString
+    val (ra, rb, view) = (s"$dir/a", s"$dir/b", s"$dir/view")
+    val o = graft.sources.Tables.t(spark, "/root/testdata/sf0.001", "orders")
+      .select(col("o_orderkey").as("k"), col("o_custkey").as("ck"),
+        col("o_orderstatus").as("status"))
+    val c = graft.sources.Tables.t(spark, "/root/testdata/sf0.001", "customer")
+      .select(col("c_custkey").as("ck"), col("c_mktsegment").as("segment"))
+    def drain(): Int = ChangeFeed.drainJoinChanges(
+      spark, ra, Seq("k"), rb, Seq("ck"), Seq("ck"), view)
+    def viewRows(): Set[(Long, Long, String, String, Long)] =
+      VersionedTable.readLatest(spark, view)
+        .select(col("k"), col("ck"), col("status"), col("segment"), col("_cnt"))
+        .as[(Long, Long, String, String, Long)].collect().toSet
+    def rebuild(): Set[(Long, Long, String, String, Long)] =
+      VersionedTable.readLatest(spark, ra)
+        .join(VersionedTable.readLatest(spark, rb), Seq("ck"))
+        .select(col("k"), col("ck"), col("status"), col("segment"),
+          lit(1L).as("_cnt"))
+        .as[(Long, Long, String, String, Long)].collect().toSet
+
+    // bootstrap: first commits on both sides arrive before the first poll
+    VersionedTable.write(o.filter(col("k") % 10 =!= 0), ra)
+    VersionedTable.write(c.filter(col("ck") % 5 =!= 0), rb)
+    assert(drain() == 2)
+    assert(viewRows() == rebuild() && viewRows().nonEmpty)
+    // deletes + updates + inserts on BOTH sides before one poll
+    VersionedTable.write(o.filter(col("k") % 97 =!= 0)
+      .withColumn("status",
+        when(col("k") % 7 === 0, lit("U")).otherwise(col("status"))), ra)
+    VersionedTable.write(c.filter(col("ck") % 13 =!= 0)
+      .withColumn("segment",
+        when(col("ck") % 11 === 0, lit("U")).otherwise(col("segment"))), rb)
+    assert(drain() == 2)
+    assert(viewRows() == rebuild())
+    // one-sided commit; then a caught-up poll applies nothing
+    VersionedTable.write(c.filter(col("ck") % 13 =!= 0 && col("ck") % 3 =!= 0), rb)
+    assert(drain() == 1)
+    assert(viewRows() == rebuild())
+    assert(drain() == 0)
+  }
+
   test("changeFeedMaintSink converges to the batch rebuild while a writer commits") {
     import graft.sources.VersionedTable
     val dir = Files.createTempDirectory("graft_cdf_sink").toString
