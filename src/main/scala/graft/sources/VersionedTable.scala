@@ -593,13 +593,60 @@ object VersionedTable {
         col("c.t").as("_change_type"): _*)
   }
 
+  // ── Append commits (Delta add-file-only transaction analogue) ────────
+  //
+  // A full-refresh write costs O(table) per commit — fine for the
+  // reference's daily overwrite marts, catastrophic for the dominant
+  // 100 TB pattern (streaming/batch ingestion appending to a fact
+  // table). An APPEND commit writes ONLY the new batch into its version
+  // directory plus a `_parent` link to the base snapshot; a logical
+  // snapshot is the union of its `_parent` chain, resolved at read
+  // planning (metadata-sized walk, bounded by compaction — compact()
+  // folds the chain back into one full snapshot, exactly Delta's
+  // OPTIMIZE after many small commits). Commit cost: O(batch) data + one
+  // marker, at any table size. Concurrency, time travel, CDF, CHECK
+  // constraints, and history all compose unchanged because append rides
+  // the same write() path: the delta rows pass the constraint gate (the
+  // parent's rows passed at their own commits), the marker arbitrates
+  // racing appends, and readVersion/changes() see the logical union.
+
+  /** Append `df` to the live snapshot as an O(batch) commit. The table
+    * must exist (the first write creates it) and the schema must match
+    * exactly — appends never evolve the schema (an evolved append would
+    * silently NULL-pad every parent row at read time). */
+  def append(df: DataFrame, root: String,
+             metaFiles: Map[String, String] = Map.empty): Long = {
+    val base = latestVersion(root).getOrElse(throw new IllegalArgumentException(
+      s"append requires an existing table at $root (first write creates it)"))
+    write(df, root, metaFiles = metaFiles + ("_parent" -> base.toString),
+      baseVersion = Some(base), operation = "APPEND")
+  }
+
+  /** The data directories composing logical snapshot `version`,
+    * base-first: the `_parent` chain of append commits down to the
+    * nearest full snapshot. One metadata read per hop — compaction
+    * bounds the chain length. */
+  private def dataDirsOf(root: String, version: Long): Seq[String] = {
+    var dirs = List(s"$root/v=$version")
+    var parent = readMeta(root, version, "_parent").map(_.trim.toLong)
+    while (parent.isDefined) {
+      val p = parent.get
+      dirs = s"$root/v=$p" :: dirs
+      parent = readMeta(root, p, "_parent").map(_.trim.toLong)
+    }
+    dirs
+  }
+
   def readLatest(spark: SparkSession, root: String): DataFrame =
     readVersion(spark, root, latestVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no versions at $root")))
 
-  /** Time travel: read any retained snapshot. */
-  def readVersion(spark: SparkSession, root: String, version: Long): DataFrame =
-    spark.read.parquet(s"$root/v=$version")
+  /** Time travel: read any retained snapshot (for an append commit, the
+    * union of its `_parent` chain). */
+  def readVersion(spark: SparkSession, root: String, version: Long): DataFrame = {
+    val dirs = dataDirsOf(root, version)
+    spark.read.parquet(dirs: _*)
+  }
 
   /** Timestamp time travel (Delta `timestampAsOf` analogue): the newest
     * COMMITTED snapshot whose commit wall-clock is ≤ `tsMillis` —
@@ -671,9 +718,12 @@ object VersionedTable {
     // watermark of an additive streaming writer) into the compacted
     // version — compaction must not erase transactional metadata, or a
     // post-compaction checkpoint replay would re-apply a batch
+    // ("_parent" must NOT carry: the compacted snapshot is FULL — a
+    // carried parent link would make readers union the folded chain's
+    // rows in twice)
     val carriedMeta: Map[String, String] = fc.util.listStatus(dir).toSeq
       .filter(st => st.isFile && st.getPath.getName.startsWith("_") &&
-        st.getPath.getName != "_SUCCESS")
+        st.getPath.getName != "_SUCCESS" && st.getPath.getName != "_parent")
       .flatMap(st => readString(st.getPath).map(st.getPath.getName -> _))
       .toMap
     def sizeOf(p: HPath): Long = fc.util.listStatus(p).map { st =>
@@ -687,7 +737,10 @@ object VersionedTable {
         case None => Seq.empty
       }
     val parts = partCols(dir)
-    val nFiles = math.max(1, math.ceil(sizeOf(dir).toDouble / targetFileBytes).toInt)
+    // size the rewrite over the LOGICAL snapshot: an append chain's rows
+    // live across every chain directory, not just the tip
+    val totalBytes = dataDirsOf(root, v).map(d => sizeOf(new HPath(d))).sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val snap = readVersion(spark, root, v)
     val (rewritten, op) =
       if (zorderBy.isEmpty) (snap.coalesce(nFiles), "COMPACT")
@@ -731,7 +784,18 @@ object VersionedTable {
   def vacuum(root: String, keep: Int,
              orphanGraceMs: Long = 24L * 3600 * 1000): Seq[Long] = {
     val committed = committedVersions(root)
-    val keepSet = committed.takeRight(keep).toSet ++ latestVersion(root)
+    // a retained APPEND version's rows live partly in its `_parent`
+    // chain — every ancestor of a kept version must survive, whatever
+    // its own retention rank (compaction folds chains so this set stays
+    // bounded in practice)
+    val keepBase = committed.takeRight(keep).toSet ++ latestVersion(root)
+    val keepSet = keepBase.flatMap { v =>
+      var chain = List(v)
+      var parent = readMeta(root, v, "_parent").map(_.trim.toLong)
+      while (parent.isDefined) { chain = parent.get :: chain
+        parent = readMeta(root, parent.get, "_parent").map(_.trim.toLong) }
+      chain
+    }
     val dropCommitted = committed.filterNot(keepSet)
     val now = System.currentTimeMillis
     val fc = fcOf(new HPath(root))

@@ -152,6 +152,38 @@ object EventsStream {
       .start()
   }
 
+  /** Insert-only streaming ingestion sink: each micro-batch lands as ONE
+    * O(batch) APPEND commit ([[graft.sources.VersionedTable.append]]) —
+    * at 100 TB this is the streaming fact-table path: commit cost scales
+    * with the batch, not the table, unlike [[upsertSink]]'s merge
+    * (whose rewrite is the price of updates; route insert-only streams
+    * here). Appends are NOT idempotent, so replay safety follows the
+    * [[applyAggDelta]] contract: the applied batch id commits atomically
+    * INSIDE each snapshot's metadata, and a replayed batch id ≤ the live
+    * snapshot's is a no-op. compact() folds the accreted chain. */
+  def appendSink(rows: DataFrame, root: String,
+                 checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val applyBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit = (batch, id) => {
+      if (!batch.isEmpty) {
+        val live = graft.sources.VersionedTable.latestVersion(root)
+        val applied = live.flatMap(v =>
+          graft.sources.VersionedTable.readMeta(root, v, "_batch")).map(_.trim.toLong)
+        if (applied.exists(_ >= id)) ()
+        else if (live.isEmpty)
+          graft.sources.VersionedTable.write(batch.toDF(), root,
+            metaFiles = Map("_batch" -> id.toString))
+        else
+          graft.sources.VersionedTable.append(batch.toDF(), root,
+            metaFiles = Map("_batch" -> id.toString))
+      }
+      ()
+    }
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(applyBatch)
+      .start()
+  }
+
   /** Streaming ANN ingestion: each micro-batch of (vec_id, embedding)
     * rows is assigned against the FIXED coarse quantizer and appended
     * into the partitioned IVF layout ([[graft.llm.IvfIndex.append]]) —

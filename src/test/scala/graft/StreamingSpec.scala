@@ -404,6 +404,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(viewRows(view) == rebuiltAgg(src))
   }
 
+  test("appendSink lands each micro-batch as one O(batch) append commit") {
+    import graft.sources.VersionedTable
+    val root = Files.createTempDirectory("graft_append_sink").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_append_ckpt").toString
+    // multi-file input so maxFilesPerTrigger=1 yields several micro-batches
+    val srcDir = Files.createTempDirectory("graft_append_src").toString
+    spark.read.parquet(eventsDir).repartition(4)
+      .write.mode("overwrite").parquet(srcDir)
+    val src = spark.readStream.schema(EventsStream.eventSchema)
+      .option("maxFilesPerTrigger", "1") // one input file per micro-batch
+      .parquet(srcDir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val q = EventsStream.appendSink(src, root, ckpt)
+    q.processAllAvailable(); q.stop()
+    val total = spark.read.parquet(eventsDir).count()
+    assert(VersionedTable.readLatest(spark, root).count() == total)
+    val ops = VersionedTable.history(spark, root)
+      .select("operation").as[String].collect()
+    assert(ops.count(_ == "APPEND") >= 1,
+      s"multi-batch ingestion must use APPEND commits, got ${ops.toSeq}")
+    // every event ingested exactly once
+    assert(VersionedTable.readLatest(spark, root)
+      .select("event_id").distinct().count() == total)
+    // the chain folds into one full snapshot on compaction
+    VersionedTable.compact(spark, root, targetFileBytes = 1L << 30)
+    assert(VersionedTable.readLatest(spark, root).count() == total)
+  }
+
   test("change-feed JOIN-view drain: counting IVM across commits on both sides == rebuild") {
     import graft.sources.VersionedTable
     import graft.streaming.ChangeFeed

@@ -374,6 +374,49 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.versions(root) == Seq(3L, 4L, 10L))
   }
 
+  test("append commits are O(batch): tip dir holds only the delta, readers union the chain") {
+    val root = Files.createTempDirectory("graft_vt_app").toString
+    VersionedTable.write((1 to 100).toDF("id"), root)              // v1 full
+    VersionedTable.append((101 to 110).toDF("id"), root)           // v2 = +10 rows
+    VersionedTable.append((111 to 115).toDF("id"), root)           // v3 = +5 rows
+    // physical: the tip version directory holds ONLY its batch
+    assert(spark.read.parquet(s"$root/v=3").count() == 5)
+    // logical: snapshots are the chain unions; time travel still works
+    assert(VersionedTable.readLatest(spark, root).as[Int].collect().toSet ==
+      (1 to 115).toSet)
+    assert(VersionedTable.readVersion(spark, root, 2).count() == 110)
+    assert(VersionedTable.readVersion(spark, root, 1).count() == 100)
+    // CDF sees appends as inserts
+    val feed = VersionedTable.changes(spark, root, 2, 3, Seq("id"))
+    assert(feed.count() == 5 &&
+      feed.select("_change_type").distinct().as[String].head() == "insert")
+    // appends never evolve the schema
+    intercept[IllegalArgumentException] {
+      VersionedTable.append(Seq((1, "x")).toDF("id", "s"), root)
+    }
+    // history records the operation
+    assert(VersionedTable.history(spark, root).select("operation")
+      .as[String].collect().count(_ == "APPEND") == 2)
+  }
+
+  test("vacuum keeps append ancestors; compact folds the chain so they can drop") {
+    val root = Files.createTempDirectory("graft_vt_app2").toString
+    VersionedTable.write((1 to 50).toDF("id"), root)                // v1 full
+    VersionedTable.append((51 to 60).toDF("id"), root)              // v2
+    VersionedTable.append((61 to 70).toDF("id"), root)              // v3
+    // keep=1 retains v3 — but v3's rows live in v1/v2: they must survive
+    assert(VersionedTable.vacuum(root, keep = 1, orphanGraceMs = 0L).isEmpty)
+    assert(VersionedTable.readLatest(spark, root).count() == 70)
+    // compaction folds the chain into one full snapshot (no _parent)...
+    val v4 = VersionedTable.compact(spark, root, targetFileBytes = 1L << 30)
+    assert(spark.read.parquet(s"$root/v=$v4").count() == 70)
+    assert(VersionedTable.readMeta(root, v4, "_parent").isEmpty)
+    // ...after which retention can reclaim the whole chain
+    assert(VersionedTable.vacuum(root, keep = 1, orphanGraceMs = 0L) ==
+      Seq(1L, 2L, 3L))
+    assert(VersionedTable.readLatest(spark, root).count() == 70)
+  }
+
   test("CHECK constraints gate every write path; NULL passes; add validates live data") {
     val root = Files.createTempDirectory("graft_vt_check").toString
     VersionedTable.write(Seq((1, Some(10.0)), (2, None)).toDF("id", "price"), root)
