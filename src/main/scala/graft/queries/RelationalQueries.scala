@@ -248,6 +248,47 @@ object RelationalQueries {
         .orderBy(col("prio"))
     }),
 
+    // APPEND-commit chain: orders lands in three insert-only commits
+    // (one full write + two O(batch) appends — the streaming-ingestion
+    // commit shape); the logical snapshot is the parent-chain union,
+    // resolved at read planning. The aggregate over readLatest must
+    // equal the same aggregate over the raw table (nothing lost or
+    // duplicated across the chain).
+    "q_append_chain" -> ((s, dir) => {
+      val out = tmpDir("graft_appendq")
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      val root = s"$out/t"
+      graft.sources.VersionedTable.write(o.filter(col("k") % 3 === 0), root)
+      graft.sources.VersionedTable.append(o.filter(col("k") % 3 === 1), root)
+      graft.sources.VersionedTable.append(o.filter(col("k") % 3 === 2), root)
+      graft.sources.VersionedTable.readLatest(s, root)
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+        .orderBy(col("status"))
+    }),
+
+    // Row-level DELETE + UPDATE commits (Delta DML analogue) composed
+    // with the change feed: delete every 13th order, reprice every 7th
+    // survivor, then classify the v1→v3 net feed — the per-change-type
+    // counts are fully predictable from the predicates, which is what
+    // the oracle checks.
+    "q_delete_update" -> ((s, dir) => {
+      val out = tmpDir("graft_delupd")
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      val root = s"$out/t"
+      graft.sources.VersionedTable.write(o, root)
+      graft.sources.VersionedTable.deleteWhere(s, root, col("k") % 13 === 0)
+      graft.sources.VersionedTable.updateWhere(s, root, col("k") % 7 === 0,
+        Map("cents" -> (col("cents") + 100000L)))
+      graft.sources.VersionedTable.changes(s, root, 1L, 3L, Seq("k"))
+        .groupBy(col("_change_type")).agg(count(lit(1)).as("n"))
+        .orderBy(col("_change_type"))
+    }),
+
     // CDF-FED incremental JOIN-view maintenance — the counting-algorithm
     // generalization of q_incremental_join (which is insert-only with
     // synthesized deltas): BOTH sides of V = A ⋈ B are versioned tables
@@ -946,6 +987,24 @@ object RelationalQueries {
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM fin GROUP BY prio HAVING count(*) > 0
         |ORDER BY prio""".stripMargin,
+
+    // The chain union must equal the raw table: same aggregate directly.
+    "q_append_chain" ->
+      """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin,
+
+    // Change-type counts follow directly from the DML predicates:
+    // deletes = every 13th key; update pairs = every 7th surviving key.
+    "q_delete_update" ->
+      """WITH o AS (SELECT o_orderkey AS k FROM orders)
+        |SELECT _change_type, CAST(n AS BIGINT) AS n FROM (
+        |  SELECT 'delete' AS _change_type, count(*) AS n FROM o WHERE k % 13 = 0
+        |  UNION ALL
+        |  SELECT 'update_preimage', count(*) FROM o WHERE k % 7 = 0 AND k % 13 <> 0
+        |  UNION ALL
+        |  SELECT 'update_postimage', count(*) FROM o WHERE k % 7 = 0 AND k % 13 <> 0)
+        |ORDER BY _change_type""".stripMargin,
 
     // The from-scratch rebuild A_new ⋈ B_new over the final row sets of
     // both versioned sides; the counting-IVM maintained view must

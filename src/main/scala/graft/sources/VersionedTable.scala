@@ -549,6 +549,38 @@ object VersionedTable {
     -1L // unreachable
   }
 
+  /** Row-level DELETE (Delta `DELETE FROM t WHERE p` analogue): commit a
+    * new snapshot without the matching rows. Full-rewrite cost model
+    * (this table keeps whole-snapshot versions); conditional on the
+    * snapshot it read, so a concurrent writer conflicts rather than
+    * resurrecting deleted rows. The removed rows surface as `delete`
+    * rows in [[changes]] and stay time-travelable until vacuumed —
+    * exactly Delta's semantics. Returns the new version. */
+  def deleteWhere(spark: SparkSession, root: String,
+                  predicate: org.apache.spark.sql.Column): Long = {
+    val v = latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $root"))
+    write(readVersion(spark, root, v).filter(!predicate), root,
+      baseVersion = Some(v), operation = "DELETE")
+  }
+
+  /** Row-level UPDATE (Delta `UPDATE t SET c = e WHERE p` analogue):
+    * commit a new snapshot with `assignments` applied to matching rows;
+    * non-matching rows pass through untouched. Updated rows surface as
+    * preimage/postimage pairs in [[changes]]. Returns the new version. */
+  def updateWhere(spark: SparkSession, root: String,
+                  predicate: org.apache.spark.sql.Column,
+                  assignments: Map[String, org.apache.spark.sql.Column]): Long = {
+    import org.apache.spark.sql.functions.when
+    val v = latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $root"))
+    val snap = readVersion(spark, root, v)
+    val updated = assignments.foldLeft(snap) { case (df, (c, e)) =>
+      df.withColumn(c, when(predicate, e).otherwise(df(c)))
+    }
+    write(updated, root, baseVersion = Some(v), operation = "UPDATE")
+  }
+
   /** Row-level CHANGE DATA FEED between two snapshots (Delta CDF
     * analogue): every key classified insert / delete / update, updates
     * emitted as Delta's update_preimage + update_postimage pair. No
