@@ -358,6 +358,66 @@ object VersionedTable {
   def dropCheckConstraint(root: String, name: String): Unit =
     writeConstraints(root, constraints(root) - name)
 
+  // ── Generated columns (Delta generated-column analogue) ─────────────
+  //
+  // A column DEFINED AS an expression over the other columns, registered
+  // in `_generated` table metadata. On every write path: a frame that
+  // omits the column gets it computed; a frame that supplies it is
+  // VALIDATED (null-safe equality against the expression, early-exit
+  // scan) so a writer can never commit a value that disagrees with the
+  // definition. The canonical use is a derived partition key (e.g.
+  // month(ts)) that must stay consistent with its source column for
+  // partition pruning to be trustworthy at 100 TB.
+
+  private def generatedFile(root: String) = new HPath(root, "_generated")
+
+  /** Registered generated columns: name → SQL expression. */
+  def generatedColumns(root: String): Map[String, String] =
+    readString(generatedFile(root)).toSeq.flatMap(_.linesIterator).flatMap { ln =>
+      ln.split('\t') match {
+        case Array(n, e) => Some(n -> e)
+        case _ => None
+      }
+    }.toMap
+
+  /** Register a generated column. If the live snapshot already has the
+    * column, its values must agree with the expression
+    * ([[CheckConstraintViolation]] otherwise); a missing column is fine
+    * — it materializes on the next write. */
+  def addGeneratedColumn(spark: SparkSession, root: String,
+                         name: String, exprSql: String): Unit = {
+    require(!name.exists(c => c == '\t' || c == '\n') &&
+      !exprSql.exists(c => c == '\t' || c == '\n'),
+      "generated-column name/expression must not contain tabs or newlines")
+    import org.apache.spark.sql.functions.{col, expr, not}
+    latestVersion(root).foreach { v =>
+      val snap = readVersion(spark, root, v)
+      if (snap.columns.contains(name) &&
+        !snap.filter(not(col(name) <=> expr(exprSql))).isEmpty)
+        throw new CheckConstraintViolation(
+          s"$root: existing snapshot v=$v disagrees with generated column " +
+            s"$name AS $exprSql")
+    }
+    val tmp = new HPath(root, "_generated.tmp")
+    writeString(tmp, (generatedColumns(root) + (name -> exprSql)).toSeq.sorted
+      .map { case (n, e) => s"$n\t$e" }.mkString("\n"), overwrite = true)
+    fcOf(tmp).rename(tmp, generatedFile(root), Options.Rename.OVERWRITE)
+  }
+
+  /** Materialize absent generated columns; validate supplied ones. */
+  private def applyGenerated(df: DataFrame,
+                             gens: Map[String, String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, not}
+    gens.toSeq.sorted.foldLeft(df) { case (d, (n, e)) =>
+      if (!d.columns.contains(n)) d.withColumn(n, expr(e))
+      else if (!d.filter(not(col(n) <=> expr(e))).isEmpty)
+        throw new CheckConstraintViolation(
+          s"incoming data disagrees with generated column $n AS $e; " +
+            "omit the column to have it computed")
+      else d
+    }
+  }
+
   /** Write a new snapshot; returns the new version number. When
     * `statsCols` is non-empty, per-file zone maps for those (numeric)
     * columns are collected into the snapshot BEFORE the pointer flips —
@@ -373,13 +433,16 @@ object VersionedTable {
     * overwrites. A caller that READ the table earlier and computed `df`
     * from it (merge) must pass the version it read, so a commit that
     * landed in between is detected as a conflict, not silently clobbered. */
-  def write(df: DataFrame, root: String, allowEvolution: Boolean = false,
+  def write(df0: DataFrame, root: String, allowEvolution: Boolean = false,
             partitionBy: Seq[String] = Seq.empty,
             statsCols: Seq[String] = Seq.empty,
             metaFiles: Map[String, String] = Map.empty,
             baseVersion: Option[Long] = None,
             operation: String = "WRITE"): Long = {
     val base = baseVersion.orElse(latestVersion(root))
+    // generated columns materialize/validate FIRST so the schema gate
+    // and constraint gate see the completed frame
+    val df = applyGenerated(df0, generatedColumns(root))
     latestVersion(root).foreach { v =>
       val existing = df.sparkSession.read.parquet(s"$root/v=$v").schema
       checkSchema(existing, df.schema, allowEvolution)

@@ -450,6 +450,29 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.write(Seq((5, Some(0.0))).toDF("id", "price"), root) == 3L)
   }
 
+  test("generated columns: computed when absent, validated when supplied") {
+    val root = Files.createTempDirectory("graft_vt_gen").toString
+    VersionedTable.write(Seq((1, 10.0), (2, 20.0)).toDF("id", "price"), root)
+    VersionedTable.addGeneratedColumn(spark, root, "price_band", "floor(price / 10)")
+    // absent column materializes on the next write (schema evolves)
+    VersionedTable.write(Seq((1, 10.0), (2, 25.0)).toDF("id", "price"), root,
+      allowEvolution = true)
+    assert(VersionedTable.readLatest(spark, root)
+      .select("id", "price_band").as[(Int, Long)].collect().toSet ==
+      Set((1, 1L), (2, 2L)))
+    // supplied-and-consistent passes; supplied-and-wrong is rejected
+    VersionedTable.write(
+      Seq((1, 10.0, 1L), (3, 33.0, 3L)).toDF("id", "price", "price_band"), root)
+    intercept[VersionedTable.CheckConstraintViolation] {
+      VersionedTable.write(
+        Seq((1, 10.0, 7L)).toDF("id", "price", "price_band"), root)
+    }
+    // registering a definition the live data disagrees with is rejected
+    intercept[VersionedTable.CheckConstraintViolation] {
+      VersionedTable.addGeneratedColumn(spark, root, "price_band", "floor(price)")
+    }
+  }
+
   test("compact(zorderBy) z-orders the rewrite: skipping works on both keys, rows unchanged") {
     val root = Files.createTempDirectory("graft_vt_zc").toString
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
