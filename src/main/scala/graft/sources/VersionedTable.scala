@@ -592,15 +592,19 @@ object VersionedTable {
             keys: Seq[String], maxRetries: Int = 3,
             allowEvolution: Boolean = false): Long = {
     var attempt = 0
+    // a changeset may omit generated columns — compute them up front so
+    // the schema gate below sees the completed frame (same contract as
+    // the write path)
+    val updates2 = applyGenerated(updates, generatedColumns(root))
     while (true) {
       val base = latestVersion(root).getOrElse(
         throw new IllegalArgumentException(s"no versions at $root"))
       val target = readVersion(spark, root, base)
       // gate the CHANGESET schema up front (clear schema-enforcement error
       // instead of a unionByName analysis failure downstream)
-      checkSchema(target.schema, updates.schema, allowEvolution)
+      checkSchema(target.schema, updates2.schema, allowEvolution)
       val merged = graft.ops.RelationalOps.mergeUpsert(
-        target, updates, keys, allowMissingColumns = allowEvolution)
+        target, updates2, keys, allowMissingColumns = allowEvolution)
       try return write(merged, root, allowEvolution = allowEvolution,
         baseVersion = Some(base), operation = "MERGE")
       catch {

@@ -37,6 +37,7 @@ object ChangeFeed {
   def commitFeeds(spark: SparkSession, srcRoot: String, keys: Seq[String],
                   fromV: Long): Seq[(Long, DataFrame)] = {
     val chain = VersionedTable.committedVersions(srcRoot)
+    if (chain.isEmpty) return Seq.empty // table not yet created
     chain.zip(None +: chain.init.map(Some(_)))
       .filter { case (v, _) => v > fromV }
       .map {
@@ -129,6 +130,12 @@ object ChangeFeed {
       feedsA.flatMap { case (_, feed) =>
         bHead.map(feed.withColumn("op", changeOp).join(_, joinCols))
       }
+    // commits on one source while the OTHER side has never been written
+    // produce no delta terms (an empty join side): correct result is an
+    // unchanged view, and the cursors must NOT advance — when the missing
+    // side's first commit arrives, ΔA ⋈ B_head replays the skipped B
+    // commits' effect in full
+    if (terms.isEmpty) return 0
     val sel = (dataCols.map(col) :+ col("op")).toSeq
     val oldRows = VersionedTable.latestVersion(viewRoot) match {
       case Some(v) => VersionedTable.readVersion(spark, viewRoot, v)

@@ -476,6 +476,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(drain() == 0)
   }
 
+  test("JOIN-view drain before the other side exists: no-op poll, full catch-up later") {
+    import graft.sources.VersionedTable
+    import graft.streaming.ChangeFeed
+    val dir = Files.createTempDirectory("graft_cdfj_onesided").toString
+    val (ra, rb, view) = (s"$dir/a", s"$dir/b", s"$dir/view")
+    val o = ordersKGC().select(col("k"),
+      (col("k") % 100).as("ck"), col("prio").as("status"))
+    val c = o.select(col("ck")).distinct().withColumn("segment", lit("S"))
+    def drain(): Int = ChangeFeed.drainJoinChanges(
+      spark, ra, Seq("k"), rb, Seq("ck"), Seq("ck"), view)
+    // two B commits land while A has never been written: the poll must
+    // not crash, must write nothing, and must NOT advance cursors
+    VersionedTable.write(c.filter(col("ck") % 2 === 0), rb)
+    VersionedTable.write(c, rb)
+    assert(drain() == 0)
+    assert(VersionedTable.latestVersion(view).isEmpty)
+    // A's first commit arrives: one poll catches the view fully up
+    VersionedTable.write(o, ra)
+    assert(drain() >= 1)
+    val got = VersionedTable.readLatest(spark, view)
+      .select(col("k"), col("ck"), col("status"), col("segment"))
+      .as[(Long, Long, String, String)].collect().toSet
+    val want = VersionedTable.readLatest(spark, ra)
+      .join(VersionedTable.readLatest(spark, rb), Seq("ck"))
+      .select(col("k"), col("ck"), col("status"), col("segment"))
+      .as[(Long, Long, String, String)].collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("changeFeedMaintSink converges to the batch rebuild while a writer commits") {
     import graft.sources.VersionedTable
     val dir = Files.createTempDirectory("graft_cdf_sink").toString

@@ -471,6 +471,12 @@ class VersionedTableSpec extends AnyFunSuite {
     intercept[VersionedTable.CheckConstraintViolation] {
       VersionedTable.addGeneratedColumn(spark, root, "price_band", "floor(price)")
     }
+    // a MERGE changeset may omit the generated column — computed up front
+    VersionedTable.merge(spark, root,
+      Seq((1, 44.0), (9, 99.0)).toDF("id", "price"), Seq("id"))
+    assert(VersionedTable.readLatest(spark, root)
+      .filter($"id".isin(1, 9)).select("id", "price_band")
+      .as[(Int, Long)].collect().toSet == Set((1, 4L), (9, 9L)))
   }
 
   test("compact(zorderBy) z-orders the rewrite: skipping works on both keys, rows unchanged") {
