@@ -531,11 +531,14 @@ object VersionedTable {
   // (every key column here); collection costs one extra scan of the
   // written snapshot, the Delta trade made explicit.
 
-  /** Collect per-file zone maps for `cols` into `v=N/_stats`. */
+  /** Collect per-file zone maps for `cols` into `v=N/_stats` — over the
+    * version's OWN files only (an append commit stats just its batch,
+    * keeping the commit O(batch); full snapshots are their own files).
+    * [[readPruned]] unions the chain's stats at read time. */
   def collectStats(spark: SparkSession, root: String, version: Long,
                    cols: Seq[String]): Unit = {
     import org.apache.spark.sql.functions.{col, min, max, count, lit}
-    val snap = readVersion(spark, root, version)
+    val snap = spark.read.parquet(s"$root/v=$version")
     val aggs = cols.flatMap(c => Seq(
       min(col(c)).cast("double").as(s"min_$c"),
       max(col(c)).cast("double").as(s"max_$c"))) :+ count(lit(1)).as("n_rows")
@@ -550,26 +553,37 @@ object VersionedTable {
     * [min,max] zone intersects [lo,hi] reach the scan; the residual
     * filter is applied regardless, so results are identical to a full
     * scan + filter with or without stats (files of all-NULL values have
-    * NULL stats and are skipped — NULL never satisfies a range). Falls
-    * back to the full filtered scan when no stats were collected. */
+    * NULL stats and are skipped — NULL never satisfies a range).
+    *
+    * Append chains prune too — each commit statted its own batch, and
+    * the read unions the chain's zone maps (Delta's add-file stats
+    * shape). Falls back to the full filtered scan when ANY chain member
+    * lacks stats (a partially-statted chain cannot prune soundly). */
   def readPruned(spark: SparkSession, root: String, column: String,
                  lo: Double, hi: Double): DataFrame = {
     import org.apache.spark.sql.functions.col
     val v = latestVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no versions at $root"))
-    val base = s"$root/v=$v"
+    val dirs = dataDirsOf(root, v)
     val residual = (d: DataFrame) =>
       d.filter(col(column) >= lo && col(column) <= hi)
-    val statsPath = new HPath(s"$base/_stats")
-    if (!fcOf(statsPath).util.exists(statsPath))
+    val statted = dirs.forall { d =>
+      val p = new HPath(s"$d/_stats")
+      fcOf(p).util.exists(p)
+    }
+    if (!statted)
       return residual(readVersion(spark, root, v))
-    val files = spark.read.parquet(s"$base/_stats")
+    val files = spark.read.parquet(dirs.map(d => s"$d/_stats"): _*)
       .filter(col(s"max_$column") >= lo && col(s"min_$column") <= hi)
       .select("file").collect().map(_.getString(0))
     if (files.isEmpty)
       return residual(readVersion(spark, root, v)).limit(0)
-    // basePath keeps name=value partition columns when listing files
-    residual(spark.read.option("basePath", base).parquet(files: _*))
+    if (dirs.size == 1)
+      // basePath keeps name=value partition columns when listing files
+      residual(spark.read.option("basePath", dirs.head).parquet(files: _*))
+    else
+      // chain files span version dirs (append layout is unpartitioned)
+      residual(spark.read.parquet(files: _*))
   }
 
   /** Incremental MERGE (Delta `MERGE` analogue): upsert `updates` into the
@@ -714,11 +728,12 @@ object VersionedTable {
     * exactly — appends never evolve the schema (an evolved append would
     * silently NULL-pad every parent row at read time). */
   def append(df: DataFrame, root: String,
-             metaFiles: Map[String, String] = Map.empty): Long = {
+             metaFiles: Map[String, String] = Map.empty,
+             statsCols: Seq[String] = Seq.empty): Long = {
     val base = latestVersion(root).getOrElse(throw new IllegalArgumentException(
       s"append requires an existing table at $root (first write creates it)"))
     write(df, root, metaFiles = metaFiles + ("_parent" -> base.toString),
-      baseVersion = Some(base), operation = "APPEND")
+      statsCols = statsCols, baseVersion = Some(base), operation = "APPEND")
   }
 
   /** The data directories composing logical snapshot `version`,

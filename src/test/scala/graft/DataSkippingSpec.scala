@@ -57,6 +57,42 @@ class DataSkippingSpec extends AnyFunSuite {
     assert(none.columns.toSeq == orders.columns.toSeq)
   }
 
+  test("append-chain skipping: per-batch stats prune across version directories") {
+    val root = freshRoot()
+    val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val r = o.agg(min("o_custkey"), max("o_custkey")).head
+    val (cLo, cHi) = (r.getLong(0), r.getLong(1))
+    val (t1, t2) = (cLo + (cHi - cLo) / 3, cLo + 2 * (cHi - cLo) / 3)
+    // day-1 load + two appended batches, each statting only ITS files
+    VersionedTable.write(
+      o.filter(col("o_custkey") < t1).repartitionByRange(4, col("o_custkey")),
+      root, statsCols = Seq("o_custkey"))
+    VersionedTable.append(
+      o.filter(col("o_custkey") >= t1 && col("o_custkey") < t2)
+        .repartitionByRange(4, col("o_custkey")),
+      root, statsCols = Seq("o_custkey"))
+    VersionedTable.append(
+      o.filter(col("o_custkey") >= t2).repartitionByRange(4, col("o_custkey")),
+      root, statsCols = Seq("o_custkey"))
+    val total = VersionedTable.readLatest(spark, root).inputFiles.length
+    assert(total >= 9, s"expected ~12 files across the chain, got $total")
+    // a range inside the middle batch: day-1 and day-3 files must skip
+    val lo = t1 + (t2 - t1) / 4.0
+    val hi = t1 + (t2 - t1) / 2.0
+    val pruned = VersionedTable.readPruned(spark, root, "o_custkey", lo, hi)
+    assert(pruned.inputFiles.length <= total / 2,
+      s"chain pruning must skip other batches' files: ${pruned.inputFiles.length}/$total")
+    assert(pruned.count() ==
+      o.filter(col("o_custkey") >= lo && col("o_custkey") <= hi).count())
+    // a chain member WITHOUT stats disables pruning but not correctness
+    VersionedTable.append(o.limit(5), root) // no statsCols
+    val unpruned = VersionedTable.readPruned(spark, root, "o_custkey", lo, hi)
+    assert(unpruned.count() ==
+      o.filter(col("o_custkey") >= lo && col("o_custkey") <= hi).count() +
+        o.limit(5).filter(col("o_custkey") >= lo && col("o_custkey") <= hi).count())
+  }
+
   test("z-order enables skipping on the second key where linear sort cannot") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .select(col("l_orderkey"), col("l_partkey"))
