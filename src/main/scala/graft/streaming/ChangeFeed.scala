@@ -155,23 +155,41 @@ object ChangeFeed {
     feedsA.size + feedsB.size
   }
 
-  /** The fully-streaming CDF→MV pipeline: a processing-time ticker
-    * (rate source — no data rides it, it only schedules polls) drives
-    * [[drainAggChanges]], so every commit a writer lands on `srcRoot`
-    * flows into the maintained view within one trigger interval.
-    * Stopping and restarting the query is safe at any point — the
-    * cursor lives in the view's own snapshots, not in the stream
+  /** A processing-time ticker (rate source — no data rides it, it only
+    * schedules polls) driving an arbitrary poll body. Stopping and
+    * restarting is safe at any point for both maintained-view drains —
+    * their cursors live in the view's own snapshots, not in the stream
     * checkpoint. */
+  private def tickerSink(spark: SparkSession, intervalMs: Long)
+                        (poll: () => Unit): StreamingQuery =
+    spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+      .writeStream
+      .trigger(Trigger.ProcessingTime(intervalMs))
+      .foreachBatch { (_: DataFrame, _: Long) => poll() }
+      .start()
+
+  /** The fully-streaming CDF→aggregate-MV pipeline: every commit a
+    * writer lands on `srcRoot` flows into the maintained view within
+    * one trigger interval via [[drainAggChanges]]. */
   def changeFeedMaintSink(spark: SparkSession, srcRoot: String,
                           keys: Seq[String], grpCol: String,
                           measureCol: String, viewRoot: String,
                           intervalMs: Long = 1000L): StreamingQuery =
-    spark.readStream.format("rate").option("rowsPerSecond", "1").load()
-      .writeStream
-      .trigger(Trigger.ProcessingTime(intervalMs))
-      .foreachBatch { (_: DataFrame, _: Long) =>
-        drainAggChanges(spark, srcRoot, keys, grpCol, measureCol, viewRoot)
-        ()
-      }
-      .start()
+    tickerSink(spark, intervalMs) { () =>
+      drainAggChanges(spark, srcRoot, keys, grpCol, measureCol, viewRoot)
+      ()
+    }
+
+  /** The fully-streaming CDF→join-MV pipeline: commits on EITHER side
+    * flow into the maintained join view within one trigger interval via
+    * [[drainJoinChanges]]. */
+  def joinMaintSink(spark: SparkSession,
+                    srcA: String, keysA: Seq[String],
+                    srcB: String, keysB: Seq[String],
+                    joinCols: Seq[String], viewRoot: String,
+                    intervalMs: Long = 1000L): StreamingQuery =
+    tickerSink(spark, intervalMs) { () =>
+      drainJoinChanges(spark, srcA, keysA, srcB, keysB, joinCols, viewRoot)
+      ()
+    }
 }

@@ -505,6 +505,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("joinMaintSink converges to the join rebuild while both sides commit") {
+    import graft.sources.VersionedTable
+    val dir = Files.createTempDirectory("graft_cdfj_sink").toString
+    val (ra, rb, view) = (s"$dir/a", s"$dir/b", s"$dir/view")
+    val o = ordersKGC().select(col("k"),
+      (col("k") % 50).as("ck"), col("prio").as("status"))
+    val c = o.select(col("ck")).distinct().withColumn("segment", lit("S"))
+    VersionedTable.write(o.filter(col("k") % 10 =!= 0), ra)
+    VersionedTable.write(c.filter(col("ck") % 2 === 0), rb)
+    val q = graft.streaming.ChangeFeed.joinMaintSink(
+      spark, ra, Seq("k"), rb, Seq("ck"), Seq("ck"), view, intervalMs = 200L)
+    try {
+      // both sides move while the ticker runs
+      VersionedTable.write(o.filter(col("k") % 97 =!= 0), ra)
+      VersionedTable.write(c, rb)
+      val want = VersionedTable.readLatest(spark, ra)
+        .join(VersionedTable.readLatest(spark, rb), Seq("ck"))
+        .select(col("k"), col("ck")).as[(Long, Long)].collect().toSet
+      val deadline = System.currentTimeMillis + 60000L
+      var ok = false
+      while (!ok && System.currentTimeMillis < deadline) {
+        ok = VersionedTable.latestVersion(view).isDefined &&
+          VersionedTable.readLatest(spark, view)
+            .select(col("k"), col("ck")).as[(Long, Long)].collect().toSet == want
+        if (!ok) Thread.sleep(200L)
+      }
+      assert(ok, "streaming join view did not converge to the rebuild")
+    } finally q.stop()
+  }
+
   test("changeFeedMaintSink converges to the batch rebuild while a writer commits") {
     import graft.sources.VersionedTable
     val dir = Files.createTempDirectory("graft_cdf_sink").toString
