@@ -166,6 +166,33 @@ object VersionedTable {
     listNames(new HPath(root))
       .filter(_.startsWith("v=")).map(_.drop(2).toLong).sorted
 
+  /** Hive-style partition columns of a snapshot data directory: the
+    * first chain of `name=value` subdirectories (empty = unpartitioned).
+    * One listing per nesting level — metadata-sized. */
+  private[graft] def partColsOf(dir: HPath): Seq[String] = {
+    val fc = fcOf(dir)
+    if (!fc.util.exists(dir)) Seq.empty
+    else fc.util.listStatus(dir).filter(_.isDirectory).map(_.getPath.getName)
+      .find(n => n.contains("=") && !n.startsWith("_")) match {
+      case Some(nv) => nv.takeWhile(_ != '=') +: partColsOf(new HPath(dir, nv))
+      case None => Seq.empty
+    }
+  }
+
+  /** Read a set of snapshot data directories as ONE DataFrame. A
+    * hive-partitioned layout (probed on the chain base — appends follow
+    * the base's layout by construction) is read per-dir with that dir as
+    * its own basePath so `name=value` partition columns survive, then
+    * unioned — predicate pushdown and partition pruning push through
+    * union children, so the plan quality matches a single scan. An
+    * unpartitioned multi-dir chain stays one multi-path scan (a single
+    * FileSourceScan — the cheaper plan, kept for the dominant case). */
+  private def readDirs(spark: SparkSession, dirs: Seq[String]): DataFrame =
+    if (dirs.size == 1) spark.read.parquet(dirs.head)
+    else if (partColsOf(new HPath(dirs.head)).isEmpty) spark.read.parquet(dirs: _*)
+    else dirs.map(d => spark.read.option("basePath", d).parquet(d))
+      .reduce(_ unionByName _)
+
   /** The live version: the `_LATEST` hint healed FORWARD through commit
     * markers. A commit is durable the instant its `after=<base>` marker
     * lands, so a writer that crashed before refreshing `_LATEST` (or a
@@ -186,6 +213,17 @@ object VersionedTable {
     * (e.g. a streaming writer's applied-batch watermark). */
   def readMeta(root: String, version: Long, name: String): Option[String] =
     readString(new HPath(s"$root/v=$version", name))
+
+  /** The newest committed version's value for meta file `name`, walking
+    * the chain TIP-BACKWARD — not just the tip: a non-sink commit
+    * (merge / deleteWhere / a write without metaFiles) interleaved
+    * between a sink's batches carries no watermark, and a tip-only read
+    * would resolve to None and let a crash-replayed micro-batch
+    * double-apply. The walk is checkpoint-bounded metadata work and
+    * stops at the first chain entry carrying the file. */
+  def readMetaLatest(root: String, name: String): Option[String] =
+    committedChain(root).reverseIterator
+      .flatMap(c => readMeta(root, c.version, name)).nextOption()
 
   /** One committed snapshot's chain record. */
   private[graft] case class CommitInfo(version: Long, prev: Option[Long],
@@ -341,18 +379,49 @@ object VersionedTable {
 
   /** Register a CHECK constraint. The LIVE snapshot must already satisfy
     * it (Delta's add-constraint contract) — otherwise
-    * [[CheckConstraintViolation]] and no metadata change. */
+    * [[CheckConstraintViolation]] and no metadata change.
+    *
+    * Concurrency: a writer that read `_constraints` BEFORE this
+    * registration's rename landed may commit unvalidated rows
+    * concurrently. After the rename, any head that moved during
+    * registration is RE-validated; on violation the constraint is
+    * rolled back and the violation thrown — the table never silently
+    * holds data an active constraint forbids. Residual window: a
+    * writer that read-before AND commits after the final re-check
+    * (closing it fully needs a transactional commit log — the same
+    * boundary the Scaladoc at the top of this file draws for
+    * rename-less object stores). */
   def addCheckConstraint(spark: SparkSession, root: String,
                          name: String, exprSql: String): Unit = {
     require(!name.exists(c => c == '\t' || c == '\n') &&
       !exprSql.exists(c => c == '\t' || c == '\n'),
       "constraint name/expression must not contain tabs or newlines")
-    latestVersion(root).foreach { v =>
+    def validate(v: Long): Unit =
       firstViolated(readVersion(spark, root, v), Map(name -> exprSql)).foreach(c =>
         throw new CheckConstraintViolation(
           s"$root: existing snapshot v=$v violates new constraint $c"))
-    }
+    val before = latestVersion(root)
+    before.foreach(validate)
     writeConstraints(root, constraints(root) + (name -> exprSql))
+    revalidateMovedHead(root, before) { v =>
+      try validate(v)
+      catch { case e: CheckConstraintViolation =>
+        writeConstraints(root, constraints(root) - name); throw e }
+    }
+  }
+
+  /** Re-validate any commit that landed while a metadata registration
+    * was in flight: bounded loop until the head is stable (each new
+    * head validated once). */
+  private def revalidateMovedHead(root: String, seen0: Option[Long])
+                                 (validate: Long => Unit): Unit = {
+    var seen = seen0
+    var cur = latestVersion(root)
+    var spins = 0
+    while (cur != seen && spins < 5) {
+      cur.foreach(validate)
+      seen = cur; cur = latestVersion(root); spins += 1
+    }
   }
 
   def dropCheckConstraint(root: String, name: String): Unit =
@@ -390,7 +459,7 @@ object VersionedTable {
       !exprSql.exists(c => c == '\t' || c == '\n'),
       "generated-column name/expression must not contain tabs or newlines")
     import org.apache.spark.sql.functions.{col, expr, not}
-    latestVersion(root).foreach { v =>
+    def validate(v: Long): Unit = {
       val snap = readVersion(spark, root, v)
       if (snap.columns.contains(name) &&
         !snap.filter(not(col(name) <=> expr(exprSql))).isEmpty)
@@ -398,10 +467,21 @@ object VersionedTable {
           s"$root: existing snapshot v=$v disagrees with generated column " +
             s"$name AS $exprSql")
     }
-    val tmp = new HPath(root, "_generated.tmp")
-    writeString(tmp, (generatedColumns(root) + (name -> exprSql)).toSeq.sorted
-      .map { case (n, e) => s"$n\t$e" }.mkString("\n"), overwrite = true)
-    fcOf(tmp).rename(tmp, generatedFile(root), Options.Rename.OVERWRITE)
+    def writeGens(gens: Map[String, String]): Unit = {
+      val tmp = new HPath(root, "_generated.tmp")
+      writeString(tmp, gens.toSeq.sorted
+        .map { case (n, e) => s"$n\t$e" }.mkString("\n"), overwrite = true)
+      fcOf(tmp).rename(tmp, generatedFile(root), Options.Rename.OVERWRITE)
+    }
+    val before = latestVersion(root)
+    before.foreach(validate)
+    writeGens(generatedColumns(root) + (name -> exprSql))
+    // same moved-head re-validation contract as addCheckConstraint
+    revalidateMovedHead(root, before) { v =>
+      try validate(v)
+      catch { case e: CheckConstraintViolation =>
+        writeGens(generatedColumns(root) - name); throw e }
+    }
   }
 
   /** Materialize absent generated columns; validate supplied ones. */
@@ -560,30 +640,99 @@ object VersionedTable {
     * shape). Falls back to the full filtered scan when ANY chain member
     * lacks stats (a partially-statted chain cannot prune soundly). */
   def readPruned(spark: SparkSession, root: String, column: String,
-                 lo: Double, hi: Double): DataFrame = {
+                 lo: Double, hi: Double): DataFrame =
+    readPruned(spark, root, Seq((column, lo, hi)))
+
+  /** Multi-column pruned read: a CONJUNCTION of range predicates, every
+    * one zone-map-checked — a file survives only if each predicate's
+    * [lo,hi] intersects that file's [min,max] for the column. This is
+    * the read-side payoff of z-ordered layouts ([[compact]] zorderBy):
+    * per-file ranges stay tight on ALL interleaved keys, so a 2-key
+    * predicate prunes multiplicatively where a linear sort serves only
+    * its leading key. Falls back to the full filtered scan when any
+    * chain member lacks stats for any predicate column (a partially
+    * statted chain cannot prune soundly). */
+  def readPruned(spark: SparkSession, root: String,
+                 ranges: Seq[(String, Double, Double)]): DataFrame = {
     import org.apache.spark.sql.functions.col
+    require(ranges.nonEmpty, "readPruned needs at least one (column, lo, hi)")
     val v = latestVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no versions at $root"))
     val dirs = dataDirsOf(root, v)
-    val residual = (d: DataFrame) =>
-      d.filter(col(column) >= lo && col(column) <= hi)
+    val residual = (d: DataFrame) => ranges.foldLeft(d) {
+      case (df, (c, lo, hi)) => df.filter(col(c) >= lo && col(c) <= hi)
+    }
+    // sound only when EVERY chain member stats EVERY predicate column
+    // (a multi-dir stats read would silently NULL-fill a member's
+    // missing column and mis-skip its files)
     val statted = dirs.forall { d =>
       val p = new HPath(s"$d/_stats")
-      fcOf(p).util.exists(p)
+      fcOf(p).util.exists(p) && {
+        val have = spark.read.parquet(s"$d/_stats").schema.fieldNames.toSet
+        ranges.forall { case (c, _, _) => have(s"min_$c") && have(s"max_$c") }
+      }
     }
     if (!statted)
       return residual(readVersion(spark, root, v))
+    // NULL stats = a file with no non-null values for the column: no
+    // range predicate can match there, so the file is skipped (sound —
+    // the residual filter would drop every row anyway)
+    val pred = ranges.map { case (c, lo, hi) =>
+      col(s"max_$c") >= lo && col(s"min_$c") <= hi
+    }.reduce(_ && _)
     val files = spark.read.parquet(dirs.map(d => s"$d/_stats"): _*)
-      .filter(col(s"max_$column") >= lo && col(s"min_$column") <= hi)
-      .select("file").collect().map(_.getString(0))
+      .filter(pred).select("file").collect().map(_.getString(0))
     if (files.isEmpty)
       return residual(readVersion(spark, root, v)).limit(0)
-    if (dirs.size == 1)
-      // basePath keeps name=value partition columns when listing files
-      residual(spark.read.option("basePath", dirs.head).parquet(files: _*))
-    else
-      // chain files span version dirs (append layout is unpartitioned)
-      residual(spark.read.parquet(files: _*))
+    if (partColsOf(new HPath(dirs.head)).isEmpty) {
+      if (dirs.size == 1)
+        residual(spark.read.option("basePath", dirs.head).parquet(files.toSeq: _*))
+      else
+        residual(spark.read.parquet(files.toSeq: _*))
+    } else {
+      // partitioned layout: group surviving files by their version dir
+      // and read each group under ITS basePath so name=value partition
+      // columns survive the file-list read
+      val vdir = "^(.*/v=\\d+)/".r
+      val byDir = files.toSeq.groupBy(f =>
+        vdir.findFirstMatchIn(f).map(_.group(1)).getOrElse(dirs.head))
+      residual(byDir.toSeq.sortBy(_._1).map { case (d, fs) =>
+        spark.read.option("basePath", d).parquet(fs: _*)
+      }.reduce(_ unionByName _))
+    }
+  }
+
+  /** Per-file zone maps of logical snapshot `version`, for planner-side
+    * pruning (the `gvt` DataSource's FileIndex): scheme-stripped file
+    * path → statted column → (min, max). A column with no non-null
+    * values in a file maps to (NaN, NaN) — "skip on any range". A file
+    * whose version dir lacks stats for a column simply omits that
+    * column (consumers must KEEP such files — absence of stats is not
+    * absence of data). None when NO chain member has stats. Stats are
+    * read per-dir so chain members statting different column sets can't
+    * NULL-bleed into each other. Metadata-sized: one small parquet read
+    * + one O(files) collect per dir. */
+  private[graft] def fileStats(spark: SparkSession, root: String, version: Long)
+      : Option[Map[String, Map[String, (Double, Double)]]] = {
+    val dirs = dataDirsOf(root, version).filter { d =>
+      val p = new HPath(s"$d/_stats")
+      fcOf(p).util.exists(p)
+    }
+    if (dirs.isEmpty) return None
+    Some(dirs.flatMap { d =>
+      val df = spark.read.parquet(s"$d/_stats")
+      val cols = df.schema.fieldNames.filter(_.startsWith("min_"))
+        .map(_.stripPrefix("min_"))
+        .filter(c => df.schema.fieldNames.contains(s"max_$c")).toSeq
+      df.collect().map { r =>
+        val file = new HPath(r.getAs[String]("file")).toUri.getPath
+        file -> cols.map { c =>
+          val (mi, ma) = (r.getAs[Any](s"min_$c"), r.getAs[Any](s"max_$c"))
+          if (mi == null || ma == null) c -> (Double.NaN, Double.NaN)
+          else c -> (mi.asInstanceOf[Double], ma.asInstanceOf[Double])
+        }.toMap
+      }
+    }.toMap)
   }
 
   /** Incremental MERGE (Delta `MERGE` analogue): upsert `updates` into the
@@ -675,11 +824,26 @@ object VersionedTable {
     * columns absent on one side read as NULL there (so a column added
     * in `toV` makes every surviving row differ — correctly an update).
     *
+    * APPEND fast path: when `toV`'s `_parent` chain reaches `fromV` —
+    * every commit in between was an append off the same chain — the
+    * delta is EXACTLY the appended version directories: all `insert`
+    * rows, read with a single scan of the batch dirs and NO join, so a
+    * change-feed consumer drains streaming ingestion at O(batch) per
+    * commit instead of O(table). Any non-append commit in the range
+    * (full write, DELETE/UPDATE, compaction) breaks the chain and falls
+    * back to the snapshot diff.
+    *
     * Output: key columns + the union of both versions' non-key columns
     * + `_change_type`. */
   def changes(spark: SparkSession, root: String, fromV: Long, toV: Long,
               keys: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.{array, col, explode, lit, not, struct}
+    appendDeltaDirs(root, fromV, toV).foreach { dirs =>
+      val delta = readDirs(spark, dirs)
+      val dataCols = delta.columns.filterNot(keys.contains).toSeq
+      return delta.select(keys.map(col) ++ dataCols.map(col) :+
+        lit("insert").as("_change_type"): _*)
+    }
     val from = readVersion(spark, root, fromV)
     val to = readVersion(spark, root, toV)
     val keySet = keys.toSet
@@ -726,21 +890,47 @@ object VersionedTable {
   /** Append `df` to the live snapshot as an O(batch) commit. The table
     * must exist (the first write creates it) and the schema must match
     * exactly — appends never evolve the schema (an evolved append would
-    * silently NULL-pad every parent row at read time). */
+    * silently NULL-pad every parent row at read time).
+    *
+    * A hive-partitioned table's batches are written in the SAME
+    * `name=value` layout (probed from the chain base, as compact()
+    * does) — partition pruning keeps working across the whole chain,
+    * and a flat batch can never corrupt a partitioned chain's
+    * directory structure. */
   def append(df: DataFrame, root: String,
              metaFiles: Map[String, String] = Map.empty,
              statsCols: Seq[String] = Seq.empty): Long = {
     val base = latestVersion(root).getOrElse(throw new IllegalArgumentException(
       s"append requires an existing table at $root (first write creates it)"))
-    write(df, root, metaFiles = metaFiles + ("_parent" -> base.toString),
+    val parts = partColsOf(new HPath(dataDirsOf(root, base).head))
+    write(df, root, partitionBy = parts,
+      metaFiles = metaFiles + ("_parent" -> base.toString),
       statsCols = statsCols, baseVersion = Some(base), operation = "APPEND")
+  }
+
+  /** The appended version directories in `(fromV, toV]` when `toV`'s
+    * `_parent` chain reaches `fromV` — i.e. every commit in the range
+    * was an APPEND off the same chain. None when any link is missing
+    * (a full write / DELETE / UPDATE / compaction broke the chain) —
+    * callers fall back to the two-snapshot diff. */
+  private def appendDeltaDirs(root: String, fromV: Long,
+                              toV: Long): Option[Seq[String]] = {
+    var dirs = List.empty[String]
+    var cur = toV
+    while (cur != fromV) {
+      readMeta(root, cur, "_parent").map(_.trim.toLong) match {
+        case Some(p) if p < cur => dirs = s"$root/v=$cur" :: dirs; cur = p
+        case _ => return None
+      }
+    }
+    Some(dirs)
   }
 
   /** The data directories composing logical snapshot `version`,
     * base-first: the `_parent` chain of append commits down to the
     * nearest full snapshot. One metadata read per hop — compaction
     * bounds the chain length. */
-  private def dataDirsOf(root: String, version: Long): Seq[String] = {
+  private[graft] def dataDirsOf(root: String, version: Long): Seq[String] = {
     var dirs = List(s"$root/v=$version")
     var parent = readMeta(root, version, "_parent").map(_.trim.toLong)
     while (parent.isDefined) {
@@ -756,11 +946,10 @@ object VersionedTable {
       throw new IllegalArgumentException(s"no versions at $root")))
 
   /** Time travel: read any retained snapshot (for an append commit, the
-    * union of its `_parent` chain). */
-  def readVersion(spark: SparkSession, root: String, version: Long): DataFrame = {
-    val dirs = dataDirsOf(root, version)
-    spark.read.parquet(dirs: _*)
-  }
+    * union of its `_parent` chain; hive-partitioned chains are read
+    * per-dir with basePath so partition columns survive). */
+  def readVersion(spark: SparkSession, root: String, version: Long): DataFrame =
+    readDirs(spark, dataDirsOf(root, version))
 
   /** Timestamp time travel (Delta `timestampAsOf` analogue): the newest
     * COMMITTED snapshot whose commit wall-clock is ≤ `tsMillis` —
@@ -769,13 +958,17 @@ object VersionedTable {
     * be served. Versions predating the commit-timestamp metadata are
     * treated as arbitrarily old (eligible), matching Delta's
     * last-commit-at-or-before rule. */
-  def readAsOf(spark: SparkSession, root: String, tsMillis: Long): DataFrame = {
-    val v = committedChain(root)
+  def readAsOf(spark: SparkSession, root: String, tsMillis: Long): DataFrame =
+    readVersion(spark, root, versionAsOf(root, tsMillis))
+
+  /** The newest COMMITTED version at or before `tsMillis` (the version
+    * [[readAsOf]] resolves to; also the `timestampAsOf` resolution of
+    * the `gvt` DataSource). */
+  def versionAsOf(root: String, tsMillis: Long): Long =
+    committedChain(root)
       .filter(_.tsMillis.forall(_ <= tsMillis))
       .lastOption.map(_.version).getOrElse(throw new IllegalArgumentException(
         s"no snapshot at or before $tsMillis at $root"))
-    readVersion(spark, root, v)
-  }
 
   /** Commit history (Delta `DESCRIBE HISTORY` analogue), newest first:
     * (version, commit_ts_millis, operation) per COMMITTED snapshot
@@ -843,14 +1036,9 @@ object VersionedTable {
     def sizeOf(p: HPath): Long = fc.util.listStatus(p).map { st =>
       if (st.isDirectory) sizeOf(st.getPath) else st.getLen
     }.sum
-    // partition columns from the first chain of name=value subdirectories
-    def partCols(d: HPath): Seq[String] =
-      fc.util.listStatus(d).filter(_.isDirectory).map(_.getPath.getName)
-        .filter(_.contains("=")).headOption match {
-        case Some(nv) => nv.takeWhile(_ != '=') +: partCols(new HPath(d, nv))
-        case None => Seq.empty
-      }
-    val parts = partCols(dir)
+    // probe the CHAIN BASE: an append tip always follows the base's
+    // partition layout, and the compacted full snapshot must keep it
+    val parts = partColsOf(new HPath(dataDirsOf(root, v).head))
     // size the rewrite over the LOGICAL snapshot: an append chain's rows
     // live across every chain directory, not just the tip
     val totalBytes = dataDirsOf(root, v).map(d => sizeOf(new HPath(d))).sum
@@ -868,14 +1056,20 @@ object VersionedTable {
         // O(1)-row driver agg: per-column bounds for the range bucketing
         val r = snap.agg(min(col(a)).cast("double"), max(col(a)).cast("double"),
           min(col(b)).cast("double"), max(col(b)).cast("double")).head
-        val zk = graft.ops.ZOrder.zorder2(
-          graft.ops.ZOrder.rangeBucket(col(a), lit(r.getDouble(0)), lit(r.getDouble(1)), 16),
-          graft.ops.ZOrder.rangeBucket(col(b), lit(r.getDouble(2)), lit(r.getDouble(3)), 16))
-        (snap.withColumn("_zk", zk)
-          .repartitionByRange(nFiles, col("_zk"))
-          .sortWithinPartitions(col("_zk"))
-          .drop("_zk"),
-          s"COMPACT(zorder=${zorderBy.mkString(",")})")
+        if (r.isNullAt(0) || r.isNullAt(2))
+          // empty snapshot / all-NULL z-order keys: nothing to cluster —
+          // plain coalesce rewrite instead of an NPE on the bounds
+          (snap.coalesce(nFiles), "COMPACT")
+        else {
+          val zk = graft.ops.ZOrder.zorder2(
+            graft.ops.ZOrder.rangeBucket(col(a), lit(r.getDouble(0)), lit(r.getDouble(1)), 16),
+            graft.ops.ZOrder.rangeBucket(col(b), lit(r.getDouble(2)), lit(r.getDouble(3)), 16))
+          (snap.withColumn("_zk", zk)
+            .repartitionByRange(nFiles, col("_zk"))
+            .sortWithinPartitions(col("_zk"))
+            .drop("_zk"),
+            s"COMPACT(zorder=${zorderBy.mkString(",")})")
+        }
       }
     // conditional on the snapshot being compacted: a merge that lands
     // mid-compaction must win over the rewrite, not be clobbered by it
@@ -894,15 +1088,37 @@ object VersionedTable {
     * checkpoint are rewritten to match the surviving chain; if the
     * checkpoint rewrite fails it is deleted so readers fall back to the
     * pure chain walk rather than trusting stale entries. Returns the
-    * dropped version numbers, ascending. */
+    * dropped version numbers, ascending.
+    *
+    * `retainMinMs` (Delta retention-window analogue, default 24h): a
+    * snapshot committed within the last `retainMinMs` is NEVER dropped,
+    * whatever its retention rank — a concurrent reader's in-flight plan
+    * (or a change-feed consumer's cursor) may still reference it, and
+    * there is no cluster-wide reader registry to consult. The contract:
+    * readers and CDF consumers lagging more than `retainMinMs` behind
+    * the vacuum are not protected (exactly Delta's
+    * `deletedFileRetentionDuration` boundary); pass 0 only when no
+    * concurrent readers exist (tests, single-process batch). Age comes
+    * from the commit timestamp, falling back to directory mtime for
+    * pre-timestamp snapshots. */
   def vacuum(root: String, keep: Int,
-             orphanGraceMs: Long = 24L * 3600 * 1000): Seq[Long] = {
-    val committed = committedVersions(root)
+             orphanGraceMs: Long = 24L * 3600 * 1000,
+             retainMinMs: Long = 24L * 3600 * 1000): Seq[Long] = {
+    val chain = committedChain(root)
+    val committed = chain.map(_.version)
+    val nowMs = System.currentTimeMillis
+    val young = chain.filter { c =>
+      val age = c.tsMillis.getOrElse {
+        val p = new HPath(s"$root/v=${c.version}")
+        fcOf(p).getFileStatus(p).getModificationTime
+      }
+      age > nowMs - retainMinMs
+    }.map(_.version).toSet
     // a retained APPEND version's rows live partly in its `_parent`
     // chain — every ancestor of a kept version must survive, whatever
     // its own retention rank (compaction folds chains so this set stays
     // bounded in practice)
-    val keepBase = committed.takeRight(keep).toSet ++ latestVersion(root)
+    val keepBase = committed.takeRight(keep).toSet ++ latestVersion(root) ++ young
     val keepSet = keepBase.flatMap { v =>
       var chain = List(v)
       var parent = readMeta(root, v, "_parent").map(_.trim.toLong)

@@ -13,10 +13,12 @@ import graft.sources.VersionedTable
   *
   * Model: each COMMITTED version of the source table is one micro-batch.
   * A consumer holds a cursor = the last source version it applied; a
-  * poll diffs each newer committed version against its chain
-  * predecessor ([[VersionedTable.changes]] — one co-partitioned join
-  * per commit, the base never rescanned) and feeds the per-commit
-  * changelog downstream in chain order.
+  * poll feeds each newer committed version's changelog downstream in
+  * chain order ([[VersionedTable.changes]]). An APPEND commit — the
+  * dominant streaming-ingestion shape — drains at O(batch): its
+  * changelog is the batch directory itself, all-insert, no join (the
+  * changes() fast path). A rewrite commit (merge/DELETE/UPDATE) costs
+  * one co-partitioned diff join of the two snapshots.
   *
   * Exactly-once without a side channel: when the downstream is a
   * maintained aggregate view ([[EventsStream.applyAggDelta]]), the
@@ -32,8 +34,16 @@ object ChangeFeed {
     * in chain order: (version, changelog) pairs, where the changelog is
     * [[VersionedTable.changes]] of that commit against its predecessor.
     * The table's FIRST commit (no predecessor) is emitted as
-    * all-`insert` rows of the snapshot itself. Lazy: each DataFrame is
-    * a plan, nothing is executed here. */
+    * all-`insert` rows of the snapshot itself — a valid bootstrap ONLY
+    * for a fresh consumer (`fromV == 0`). A consumer whose cursor has
+    * fallen behind the vacuum horizon (the earliest RETAINED version
+    * has no predecessor but the cursor is > 0 and older than it) gets
+    * [[CursorBehindRetention]] instead: emitting the earliest snapshot
+    * as synthetic inserts on top of a view that already absorbed the
+    * vacuumed commits would silently double-count every surviving row
+    * (Delta likewise errors when CDF is requested before the earliest
+    * available version). Lazy: each DataFrame is a plan, nothing is
+    * executed here. */
   def commitFeeds(spark: SparkSession, srcRoot: String, keys: Seq[String],
                   fromV: Long): Seq[(Long, DataFrame)] = {
     val chain = VersionedTable.committedVersions(srcRoot)
@@ -43,11 +53,21 @@ object ChangeFeed {
       .map {
         case (v, Some(p)) =>
           v -> VersionedTable.changes(spark, srcRoot, p, v, keys)
+        case (v, None) if fromV > 0 =>
+          throw new CursorBehindRetention(
+            s"$srcRoot: earliest retained version v=$v exceeds consumer " +
+              s"cursor $fromV (vacuumed past the cursor) — full refresh required")
         case (v, None) =>
           v -> VersionedTable.readVersion(spark, srcRoot, v)
             .withColumn("_change_type", lit("insert"))
       }
   }
+
+  /** The change-feed consumer's cursor predates the earliest retained
+    * source version: the feed cannot be reconstructed — rebuild the
+    * downstream view from scratch (and vacuum the source with a
+    * `retainMinMs` covering the consumer's poll interval). */
+  class CursorBehindRetention(msg: String) extends IllegalStateException(msg)
 
   /** CDF row → changelog op: inserts and update postimages add, deletes
     * and update preimages retract. */
@@ -68,8 +88,9 @@ object ChangeFeed {
   def drainAggChanges(spark: SparkSession, srcRoot: String, keys: Seq[String],
                       grpCol: String, measureCol: String,
                       viewRoot: String): Int = {
-    val cursor = VersionedTable.latestVersion(viewRoot)
-      .flatMap(v => VersionedTable.readMeta(viewRoot, v, "_batch"))
+    // chain-walking read: an interleaved non-sink commit on the view
+    // (e.g. a compact without carried meta) must not hide the cursor
+    val cursor = VersionedTable.readMetaLatest(viewRoot, "_batch")
       .map(_.trim.toLong).getOrElse(0L)
     val pending = commitFeeds(spark, srcRoot, keys, cursor)
     pending.foreach { case (v, feed) =>
@@ -101,8 +122,7 @@ object ChangeFeed {
                        srcA: String, keysA: Seq[String],
                        srcB: String, keysB: Seq[String],
                        joinCols: Seq[String], viewRoot: String): Int = {
-    def cursor(name: String): Long = VersionedTable.latestVersion(viewRoot)
-      .flatMap(v => VersionedTable.readMeta(viewRoot, v, name))
+    def cursor(name: String): Long = VersionedTable.readMetaLatest(viewRoot, name)
       .map(_.trim.toLong).getOrElse(0L)
     val (curA, curB) = (cursor("_batch_a"), cursor("_batch_b"))
     val feedsA = commitFeeds(spark, srcA, keysA, curA)

@@ -166,8 +166,11 @@ object EventsStream {
     val applyBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit = (batch, id) => {
       if (!batch.isEmpty) {
         val live = graft.sources.VersionedTable.latestVersion(root)
-        val applied = live.flatMap(v =>
-          graft.sources.VersionedTable.readMeta(root, v, "_batch")).map(_.trim.toLong)
+        // chain-walking watermark: a non-sink commit (merge/deleteWhere)
+        // interleaved between appends carries no _batch — a tip-only
+        // read would resolve None and double-append on crash replay
+        val applied = graft.sources.VersionedTable.readMetaLatest(root, "_batch")
+          .map(_.trim.toLong)
         if (applied.exists(_ >= id)) ()
         else if (live.isEmpty)
           graft.sources.VersionedTable.write(batch.toDF(), root,
@@ -270,10 +273,11 @@ object EventsStream {
     * live snapshot, exactly once either way. */
   def applyAggDelta(root: String, batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    // Hadoop-FS read (VersionedTable.readMeta), so the maintained view's
-    // root can live on any Hadoop-supported filesystem, not just file:
-    val applied = graft.sources.VersionedTable.latestVersion(root)
-      .flatMap(v => graft.sources.VersionedTable.readMeta(root, v, "_batch"))
+    // Hadoop-FS chain-walking read (VersionedTable.readMetaLatest), so
+    // the maintained view's root can live on any Hadoop-supported
+    // filesystem AND an interleaved non-sink commit can't hide the
+    // applied watermark
+    val applied = graft.sources.VersionedTable.readMetaLatest(root, "_batch")
       .map(_.trim.toLong)
     if (applied.exists(_ >= batchId)) return
     val delta = batch.groupBy(col("grp")).agg(

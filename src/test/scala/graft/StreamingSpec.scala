@@ -558,4 +558,105 @@ class StreamingSpec extends AnyFunSuite {
       assert(ok, "streaming consumer's view did not converge to the batch rebuild")
     } finally q.stop()
   }
+
+  // ── Round 9: append fast path, retention guard, crash-restart e2e ──
+
+  test("commit feed drains APPEND commits at O(batch): no snapshot join in the plan") {
+    import graft.sources.VersionedTable
+    import graft.streaming.ChangeFeed
+    val dir = Files.createTempDirectory("graft_cdf_fast").toString
+    val src = s"$dir/src"; val view = s"$dir/view"
+    val o = ordersKGC()
+    VersionedTable.write(o.filter(col("k") % 3 === 0), src)
+    VersionedTable.append(o.filter(col("k") % 3 === 1), src)
+    VersionedTable.append(o.filter(col("k") % 3 === 2), src)
+    // drain the bootstrap commit so the cursor sits at v1
+    VersionedTable.write(
+      VersionedTable.readVersion(spark, src, 1L)
+        .groupBy(col("prio").as("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_measure")),
+      view, metaFiles = Map("_batch" -> "1"))
+    val feeds = ChangeFeed.commitFeeds(spark, src, Seq("k"), fromV = 1L)
+    assert(feeds.map(_._1) == Seq(2L, 3L))
+    feeds.foreach { case (v, feed) =>
+      val plan = feed.queryExecution.executedPlan.toString
+      assert(!plan.toLowerCase.contains("join"),
+        s"append commit v=$v must drain without a snapshot diff join:\n$plan")
+      assert(feed.inputFiles.forall(_.contains(s"/v=$v/")),
+        s"append commit v=$v must scan only its batch dir")
+    }
+    // and the drained view still equals the batch rebuild
+    assert(ChangeFeed.drainAggChanges(spark, src, Seq("k"), "prio", "cents", view) == 2)
+    assert(viewRows(view) == rebuiltAgg(src))
+  }
+
+  test("vacuum past a consumer's cursor fails the drain loudly, never double-counts") {
+    import graft.sources.VersionedTable
+    import graft.streaming.ChangeFeed
+    val dir = Files.createTempDirectory("graft_cdf_horizon").toString
+    val src = s"$dir/src"; val view = s"$dir/view"
+    val o = ordersKGC()
+    VersionedTable.write(o.filter(col("k") % 10 =!= 0), src)
+    assert(ChangeFeed.drainAggChanges(spark, src, Seq("k"), "prio", "cents", view) == 1)
+    val before = viewRows(view)
+    // two more commits land, then retention reclaims EVERYTHING below
+    // the new head — the consumer's cursor (v1) is now unreachable
+    VersionedTable.write(o.filter(col("k") % 97 =!= 0), src)
+    VersionedTable.write(o.filter(col("k") % 97 =!= 0 && col("k") % 13 =!= 0), src)
+    VersionedTable.vacuum(src, keep = 1, orphanGraceMs = 0L, retainMinMs = 0L)
+    intercept[ChangeFeed.CursorBehindRetention] {
+      ChangeFeed.drainAggChanges(spark, src, Seq("k"), "prio", "cents", view)
+    }
+    // the view was NOT corrupted by synthetic re-inserts
+    assert(viewRows(view) == before)
+    // a FRESH consumer (cursor 0) may still bootstrap from the earliest
+    // retained snapshot — that is a valid full refresh, not a replay
+    val view2 = s"$dir/view2"
+    assert(ChangeFeed.drainAggChanges(spark, src, Seq("k"), "prio", "cents", view2) == 1)
+    assert(viewRows(view2) == rebuiltAgg(src))
+  }
+
+  test("joinMaintSink kill + restart mid-stream: re-derives cursors, converges, no double-apply") {
+    import graft.sources.VersionedTable
+    val dir = Files.createTempDirectory("graft_cdfj_crash").toString
+    val (ra, rb, view) = (s"$dir/a", s"$dir/b", s"$dir/view")
+    val o = ordersKGC().select(col("k"),
+      (col("k") % 50).as("ck"), col("prio").as("status"))
+    val c = o.select(col("ck")).distinct().withColumn("segment", lit("S"))
+    def rebuild(): Set[(Long, Long)] =
+      VersionedTable.readLatest(spark, ra)
+        .join(VersionedTable.readLatest(spark, rb), Seq("ck"))
+        .select(col("k"), col("ck")).as[(Long, Long)].collect().toSet
+    def converged(want: Set[(Long, Long)]): Boolean = {
+      val deadline = System.currentTimeMillis + 60000L
+      var ok = false
+      while (!ok && System.currentTimeMillis < deadline) {
+        ok = VersionedTable.latestVersion(view).isDefined &&
+          VersionedTable.readLatest(spark, view)
+            .select(col("k"), col("ck")).as[(Long, Long)].collect().toSet == want
+        if (!ok) Thread.sleep(200L)
+      }
+      ok
+    }
+    VersionedTable.write(o.filter(col("k") % 10 =!= 0), ra)
+    VersionedTable.write(c.filter(col("ck") % 2 === 0), rb)
+    val q1 = graft.streaming.ChangeFeed.joinMaintSink(
+      spark, ra, Seq("k"), rb, Seq("ck"), Seq("ck"), view, intervalMs = 200L)
+    try assert(converged(rebuild()), "pre-kill convergence")
+    finally q1.stop() // KILL: the ticker dies with cursors inside the view snapshot
+    // commits land while no sink is running (the crash window)
+    VersionedTable.write(o.filter(col("k") % 97 =!= 0), ra)
+    VersionedTable.write(c, rb)
+    // restart from nothing but the view itself — no external checkpoint
+    val q2 = graft.streaming.ChangeFeed.joinMaintSink(
+      spark, ra, Seq("k"), rb, Seq("ck"), Seq("ck"), view, intervalMs = 200L)
+    try assert(converged(rebuild()), "post-restart convergence")
+    finally q2.stop()
+    // a replayed poll after the restart applies nothing (exactly-once)
+    assert(graft.streaming.ChangeFeed.drainJoinChanges(
+      spark, ra, Seq("k"), rb, Seq("ck"), Seq("ck"), view) == 0)
+    // multiplicities are all-positive and the view matches the rebuild
+    assert(VersionedTable.readLatest(spark, view)
+      .filter(col("_cnt") <= 0).count() == 0)
+  }
 }

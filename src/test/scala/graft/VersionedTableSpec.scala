@@ -257,7 +257,7 @@ class VersionedTableSpec extends AnyFunSuite {
   test("vacuum retains the newest snapshots and never the live pointer") {
     val root = Files.createTempDirectory("graft_vt3").toString
     (1 to 4).foreach(i => VersionedTable.write(Seq(i).toDF("v"), root))
-    val dropped = VersionedTable.vacuum(root, keep = 2)
+    val dropped = VersionedTable.vacuum(root, keep = 2, retainMinMs = 0L)
     assert(dropped == Seq(1L, 2L))
     assert(VersionedTable.versions(root) == Seq(3L, 4L))
     assert(VersionedTable.readLatest(spark, root).as[Int].head() == 4)
@@ -362,14 +362,14 @@ class VersionedTableSpec extends AnyFunSuite {
     // crash-orphaned directory with the NEWEST number — must not occupy
     // a keep slot, and must be GC'd once older than the grace period
     Seq(99).toDF("v").write.parquet(s"$root/v=9")
-    val dropped = VersionedTable.vacuum(root, keep = 2, orphanGraceMs = 0L)
+    val dropped = VersionedTable.vacuum(root, keep = 2, orphanGraceMs = 0L, retainMinMs = 0L)
     assert(dropped == Seq(1L, 2L, 9L)) // committed beyond keep + aged orphan
     assert(VersionedTable.versions(root) == Seq(3L, 4L)) // two COMMITTED kept
     assert(VersionedTable.committedVersions(root) == Seq(3L, 4L))
     assert(VersionedTable.readLatest(spark, root).as[Int].head() == 4)
     // an orphan younger than the grace period survives (in-flight writer)
     Seq(100).toDF("v").write.parquet(s"$root/v=10")
-    val dropped2 = VersionedTable.vacuum(root, keep = 2)
+    val dropped2 = VersionedTable.vacuum(root, keep = 2, retainMinMs = 0L)
     assert(dropped2.isEmpty)
     assert(VersionedTable.versions(root) == Seq(3L, 4L, 10L))
   }
@@ -405,14 +405,14 @@ class VersionedTableSpec extends AnyFunSuite {
     VersionedTable.append((51 to 60).toDF("id"), root)              // v2
     VersionedTable.append((61 to 70).toDF("id"), root)              // v3
     // keep=1 retains v3 — but v3's rows live in v1/v2: they must survive
-    assert(VersionedTable.vacuum(root, keep = 1, orphanGraceMs = 0L).isEmpty)
+    assert(VersionedTable.vacuum(root, keep = 1, orphanGraceMs = 0L, retainMinMs = 0L).isEmpty)
     assert(VersionedTable.readLatest(spark, root).count() == 70)
     // compaction folds the chain into one full snapshot (no _parent)...
     val v4 = VersionedTable.compact(spark, root, targetFileBytes = 1L << 30)
     assert(spark.read.parquet(s"$root/v=$v4").count() == 70)
     assert(VersionedTable.readMeta(root, v4, "_parent").isEmpty)
     // ...after which retention can reclaim the whole chain
-    assert(VersionedTable.vacuum(root, keep = 1, orphanGraceMs = 0L) ==
+    assert(VersionedTable.vacuum(root, keep = 1, orphanGraceMs = 0L, retainMinMs = 0L) ==
       Seq(1L, 2L, 3L))
     assert(VersionedTable.readLatest(spark, root).count() == 70)
   }
@@ -504,5 +504,135 @@ class VersionedTableSpec extends AnyFunSuite {
     // pruning is result-invisible
     assert(pruned.count() ==
       li.filter(col("l_partkey") >= lo && col("l_partkey") <= hi).count())
+  }
+
+  // ── Round 9: append-aware CDF, partitioned chains, retention guard ──
+
+  test("changes() APPEND fast path: single scan of the batch dirs, no snapshot join") {
+    val root = Files.createTempDirectory("graft_vt_cdffast").toString
+    VersionedTable.write((1 to 100).toDF("id"), root)     // v1 full
+    VersionedTable.append((101 to 110).toDF("id"), root)  // v2
+    VersionedTable.append((111 to 115).toDF("id"), root)  // v3
+    val feed = VersionedTable.changes(spark, root, 1L, 3L, Seq("id"))
+    // plan contract: the delta is the two batch dirs — NO join anywhere
+    val plan = feed.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"),
+      s"append fast path must not diff snapshots:\n$plan")
+    // content: exactly the appended rows, all inserts
+    assert(feed.filter(col("_change_type") === "insert").count() == 15)
+    assert(feed.select("id").as[Int].collect().toSet == (101 to 115).toSet)
+    // the fast-path scan must read ONLY the batch dirs, never the base
+    assert(feed.inputFiles.forall(f => f.contains("/v=2/") || f.contains("/v=3/")),
+      s"fast path scanned base files: ${feed.inputFiles.mkString(",")}")
+    // a rewrite commit breaks the chain: falls back to the diff join
+    VersionedTable.deleteWhere(spark, root, col("id") === 1) // v4 full rewrite
+    val slow = VersionedTable.changes(spark, root, 3L, 4L, Seq("id"))
+    assert(slow.queryExecution.executedPlan.toString.toLowerCase.contains("join"))
+    assert(slow.select("_change_type").as[String].collect().toSeq == Seq("delete"))
+  }
+
+  test("partitioned append chain: batches follow the base layout, pruning works") {
+    val root = Files.createTempDirectory("graft_vt_partapp").toString
+    val mk = (r: Range) => r.toDF("id")
+      .withColumn("part", (col("id") % 2).cast("int"))
+    VersionedTable.write(mk(1 to 40), root, partitionBy = Seq("part")) // v1
+    VersionedTable.append(mk(41 to 60), root)                          // v2
+    VersionedTable.append(mk(61 to 70), root)                          // v3
+    // batch dirs carry the name=value layout (no flat/partitioned mixing)
+    val v2dirs = new java.io.File(s"$root/v=2").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(v2dirs == Seq("part=0", "part=1"), s"append flattened layout: $v2dirs")
+    // logical union is exact and the partition column survives
+    val latest = VersionedTable.readLatest(spark, root)
+    assert(latest.columns.contains("part"))
+    assert(latest.select("id").as[Int].collect().toSet == (1 to 70).toSet)
+    assert(latest.filter(col("part") === 0).count() == 35)
+    // partition pruning reaches every chain member's scan (inputFiles is
+    // pre-pruning, so assert on the executed scans directly)
+    val q = latest.filter(col("part") === 0)
+    q.collect()
+    val scans = q.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty),
+      s"every chain scan must carry the partition filter: $scans")
+    val scanned = scans.map(_.metrics("numFiles").value).sum
+    assert(scanned < latest.inputFiles.length,
+      s"partition pruning must cut the scanned file count: $scanned of ${latest.inputFiles.length}")
+    // compact preserves the layout across the fold
+    val v4 = VersionedTable.compact(spark, root, targetFileBytes = 1L << 30)
+    val v4dirs = new java.io.File(s"$root/v=$v4").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(v4dirs == Seq("part=0", "part=1"))
+    assert(VersionedTable.readLatest(spark, root).count() == 70)
+    // CDF fast path on the partitioned chain still yields the batch rows
+    val feed = VersionedTable.changes(spark, root, 1L, 3L, Seq("id"))
+    assert(feed.select("id").as[Int].collect().toSet == (41 to 70).toSet)
+  }
+
+  test("multi-column readPruned intersects zone maps on every predicate column") {
+    val root = Files.createTempDirectory("graft_vt_multiskip").toString + "/t"
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val b = li.agg(min("l_orderkey"), max("l_orderkey"),
+      min("l_partkey"), max("l_partkey")).head
+    val (amin, amax, bmin, bmax) =
+      (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    val zk = graft.ops.ZOrder.zorder2(
+      graft.ops.ZOrder.rangeBucket(col("l_orderkey"), lit(amin), lit(amax), 16),
+      graft.ops.ZOrder.rangeBucket(col("l_partkey"), lit(bmin), lit(bmax), 16))
+    VersionedTable.write(
+      li.withColumn("zk", zk).repartitionByRange(16, col("zk")).drop("zk"),
+      root, statsCols = Seq("l_orderkey", "l_partkey"))
+    val (aLo, aHi) = (amin + (amax - amin) / 2.0, amin + (amax - amin) / 2.0 + (amax - amin) / 8.0)
+    val (bLo, bHi) = (bmin + (bmax - bmin) / 2.0, bmin + (bmax - bmin) / 2.0 + (bmax - bmin) / 8.0)
+    val one = VersionedTable.readPruned(spark, root, "l_orderkey", aLo, aHi)
+    val both = VersionedTable.readPruned(spark, root,
+      Seq(("l_orderkey", aLo, aHi), ("l_partkey", bLo, bHi)))
+    // conjunction prunes at least as hard as either column alone, and
+    // on a z-ordered layout strictly harder than the single-column read
+    assert(both.inputFiles.length <= one.inputFiles.length,
+      s"2-col pruning (${both.inputFiles.length}) must not exceed 1-col (${one.inputFiles.length})")
+    assert(both.inputFiles.length < 16)
+    // result-invisible vs the raw filter
+    assert(both.count() == li.filter(
+      col("l_orderkey") >= aLo && col("l_orderkey") <= aHi &&
+        col("l_partkey") >= bLo && col("l_partkey") <= bHi).count())
+  }
+
+  test("vacuum retention guard: young snapshots survive whatever their rank") {
+    val root = Files.createTempDirectory("graft_vt_retain").toString
+    (1 to 4).foreach(i => VersionedTable.write(Seq(i).toDF("v"), root))
+    // all four snapshots are seconds old: the default retention window
+    // (24h) must protect them even at keep=1
+    assert(VersionedTable.vacuum(root, keep = 1).isEmpty)
+    assert(VersionedTable.versions(root) == Seq(1L, 2L, 3L, 4L))
+    // with the window waived, retention rank applies again
+    assert(VersionedTable.vacuum(root, keep = 1, retainMinMs = 0L) ==
+      Seq(1L, 2L, 3L))
+  }
+
+  test("compact(zorderBy) on an empty snapshot falls back instead of NPE") {
+    val root = Files.createTempDirectory("graft_vt_zempty").toString
+    VersionedTable.write((1 to 10).toDF("a").withColumn("b", col("a") * 2), root)
+    VersionedTable.write(
+      (1 to 10).toDF("a").withColumn("b", col("a") * 2).limit(0), root) // empty v2
+    val v = VersionedTable.compact(spark, root, zorderBy = Seq("a", "b"))
+    assert(VersionedTable.readVersion(spark, root, v).count() == 0)
+    assert(VersionedTable.readMeta(root, v, "_operation").exists(_.startsWith("COMPACT")))
+  }
+
+  test("readMetaLatest walks past non-sink commits to the newest watermark") {
+    val root = Files.createTempDirectory("graft_vt_metawalk").toString
+    VersionedTable.write((1 to 10).toDF("id"), root,
+      metaFiles = Map("_batch" -> "0"))
+    VersionedTable.append((11 to 20).toDF("id"), root,
+      metaFiles = Map("_batch" -> "1"))
+    // a non-sink commit lands on the same root: no _batch on the tip
+    VersionedTable.deleteWhere(spark, root, col("id") === 1)
+    assert(VersionedTable.readMeta(root,
+      VersionedTable.latestVersion(root).get, "_batch").isEmpty)
+    // the chain walk still resolves the applied watermark
+    assert(VersionedTable.readMetaLatest(root, "_batch").map(_.trim) == Some("1"))
   }
 }
