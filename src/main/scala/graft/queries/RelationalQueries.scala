@@ -63,24 +63,81 @@ object RelationalQueries {
         .orderBy(col("o_orderstatus"))
     }),
 
-    // File-level data skipping (zone maps): orders snapshotted into 8
-    // files range-partitioned on o_custkey with per-file min/max stats;
-    // the pruned read hands the planner only files intersecting the
-    // predicate (~1-2 of 8 here) BEFORE any scan. The pruning must be
-    // result-invisible — the oracle is the same filter over the raw
-    // table. DataSkippingSpec asserts the inputFiles reduction and the
-    // z-order pairing.
+    // File-level data skipping (zone maps) through the `gvt` DataSource:
+    // orders snapshotted into 8 files range-partitioned on o_custkey
+    // with per-file min/max stats; the PUSHED filter prunes the file
+    // list inside the FileIndex at planning (~1-2 of 8 files reach the
+    // scan) — no side API, any WHERE clause skips automatically. The
+    // pruning must be result-invisible — the oracle is the same filter
+    // over the raw table. GvtSpec asserts the executed-scan numFiles
+    // reduction; DataSkippingSpec covers the readPruned twin + z-order.
     "q_data_skipping" -> ((s, dir) => {
       val out = tmpDir("graft_skip")
       graft.sources.VersionedTable.write(
         t(s, dir, "orders").repartitionByRange(8, col("o_custkey")),
         s"$out/t", statsCols = Seq("o_custkey"))
-      graft.sources.VersionedTable.readPruned(s, s"$out/t", "o_custkey", 100.0, 200.0)
+      s.read.format("gvt").load(s"$out/t")
+        .filter(col("o_custkey") >= 100 && col("o_custkey") <= 200)
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_orders"),
           countDistinct(col("o_custkey")).as("n_custs"),
           rnd(sum(col("o_totalprice")), 2).as("total_price"))
         .orderBy(col("o_orderstatus"))
+    }),
+
+    // Multi-column data skipping over a z-ordered layout, through gvt:
+    // the 2-key range conjunction intersects BOTH columns' zone maps —
+    // the read-side payoff of Morton clustering (a linear sort would
+    // prune only its leading key). Bounds derive from the table's own
+    // min/max with integer arithmetic so the oracle reproduces them
+    // exactly.
+    "q_data_skipping_multi" -> ((s, dir) => {
+      val out = tmpDir("graft_skipm")
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val b = li.agg(min("l_orderkey"), max("l_orderkey"),
+        min("l_partkey"), max("l_partkey")).head
+      val (amin, amax, bmin, bmax) =
+        (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+      val zk = graft.ops.ZOrder.zorder2(
+        graft.ops.ZOrder.rangeBucket(col("l_orderkey"), lit(amin), lit(amax), 16),
+        graft.ops.ZOrder.rangeBucket(col("l_partkey"), lit(bmin), lit(bmax), 16))
+      val root = s"$out/t"
+      graft.sources.VersionedTable.write(
+        li.withColumn("_zk", zk).repartitionByRange(16, col("_zk")).drop("_zk"),
+        root, statsCols = Seq("l_orderkey", "l_partkey"))
+      val (aLo, aHi) = (amin + (amax - amin) / 2,
+        amin + (amax - amin) / 2 + (amax - amin) / 8)
+      val (bLo, bHi) = (bmin + (bmax - bmin) / 2,
+        bmin + (bmax - bmin) / 2 + (bmax - bmin) / 8)
+      s.read.format("gvt").load(root)
+        .filter(col("l_orderkey") >= aLo && col("l_orderkey") <= aHi &&
+          col("l_partkey") >= bLo && col("l_partkey") <= bHi)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_orderkey")).as("sum_key"))
+    }),
+
+    // SQL time travel through registered gvt relations (the reference's
+    // consumption surface: spark.sql over Delta tables with versionAsOf,
+    // 03_gold_metrics_serverless.py:57-64): v1 = all orders, v2 =
+    // row-level DELETE of every 13th key; both snapshots queried side by
+    // side from ONE table root via temp views pinned at different
+    // versions.
+    "q_gvt_time_travel" -> ((s, dir) => {
+      val out = tmpDir("graft_gvttt")
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"))
+      val root = s"$out/t"
+      graft.sources.VersionedTable.write(o, root)
+      graft.sources.VersionedTable.deleteWhere(s, root, col("k") % 13 === 0)
+      s.sql(s"CREATE OR REPLACE TEMPORARY VIEW gvt_tt_v1 USING gvt " +
+        s"OPTIONS (path '$root', versionAsOf '1')")
+      s.sql(s"CREATE OR REPLACE TEMPORARY VIEW gvt_tt_live USING gvt " +
+        s"OPTIONS (path '$root')")
+      s.sql("""SELECT status, v1.n AS n_v1, live.n AS n_live
+        FROM (SELECT status, count(*) AS n FROM gvt_tt_v1 GROUP BY status) v1
+        JOIN (SELECT status, count(*) AS n FROM gvt_tt_live GROUP BY status) live
+        USING (status) ORDER BY status""")
     }),
 
     // S1-variant: ORC source roundtrip (columnar format beyond parquet).
@@ -261,6 +318,29 @@ object RelationalQueries {
         floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
       val root = s"$out/t"
       graft.sources.VersionedTable.write(o.filter(col("k") % 3 === 0), root)
+      graft.sources.VersionedTable.append(o.filter(col("k") % 3 === 1), root)
+      graft.sources.VersionedTable.append(o.filter(col("k") % 3 === 2), root)
+      graft.sources.VersionedTable.readLatest(s, root)
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+        .orderBy(col("status"))
+    }),
+
+    // APPEND chain over a HIVE-PARTITIONED table — the 100 TB standard
+    // combination (a partitioned fact table ingested by O(batch)
+    // appends; reference partitions its fact by eval_set,
+    // 03_gold_metrics.py:96): each appended batch lands in the base's
+    // name=value layout, chain reads keep the partition column, and
+    // partition pruning reaches every chain member's scan
+    // (VersionedTableSpec asserts the per-scan partition filters).
+    "q_append_chain_part" -> ((s, dir) => {
+      val out = tmpDir("graft_appendp")
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      val root = s"$out/t"
+      graft.sources.VersionedTable.write(o.filter(col("k") % 3 === 0), root,
+        partitionBy = Seq("status"))
       graft.sources.VersionedTable.append(o.filter(col("k") % 3 === 1), root)
       graft.sources.VersionedTable.append(o.filter(col("k") % 3 === 2), root)
       graft.sources.VersionedTable.readLatest(s, root)
@@ -993,6 +1073,37 @@ object RelationalQueries {
       """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin,
+
+    // Partitioned chains must union to the same logical table — the
+    // layout is invisible to the aggregate.
+    "q_append_chain_part" ->
+      """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin,
+
+    // Both pinned snapshots from one table root: v1 = all orders,
+    // live = minus every 13th key.
+    "q_gvt_time_travel" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS status FROM orders)
+        |SELECT status, v1.n AS n_v1, live.n AS n_live
+        |FROM (SELECT status, CAST(count(*) AS BIGINT) AS n FROM o GROUP BY status) v1
+        |JOIN (SELECT status, CAST(count(*) AS BIGINT) AS n FROM o
+        |      WHERE k % 13 <> 0 GROUP BY status) live
+        |USING (status) ORDER BY status""".stripMargin,
+
+    // File pruning is result-invisible: the oracle reproduces the
+    // data-derived bounds with the same integer arithmetic and filters
+    // the raw table.
+    "q_data_skipping_multi" ->
+      """WITH bnd AS (SELECT min(l_orderkey) AS amin, max(l_orderkey) AS amax,
+        |    min(l_partkey) AS bmin, max(l_partkey) AS bmax FROM lineitem)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS sum_key
+        |FROM lineitem, bnd
+        |WHERE l_orderkey >= amin + (amax - amin) // 2
+        |  AND l_orderkey <= amin + (amax - amin) // 2 + (amax - amin) // 8
+        |  AND l_partkey >= bmin + (bmax - bmin) // 2
+        |  AND l_partkey <= bmin + (bmax - bmin) // 2 + (bmax - bmin) // 8""".stripMargin,
 
     // Change-type counts follow directly from the DML predicates:
     // deletes = every 13th key; update pairs = every 7th surviving key.

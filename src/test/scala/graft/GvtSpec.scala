@@ -1,0 +1,151 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import graft.sources.VersionedTable
+
+/** The `gvt` DataSource: `spark.read.format("gvt")` + SQL over
+  * registered relations, planning through a custom FileIndex whose
+  * `listFiles` applies zone-map file skipping — pruned files never
+  * reach the scan (asserted on the executed FileSourceScanExec's
+  * numFiles metric, the post-pruning truth). */
+class GvtSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshRoot() =
+    Files.createTempDirectory("graft_gvt").toString + "/t"
+
+  /** Executed-scan file count: run the query, then read numFiles off
+    * every FileSourceScanExec in the executed plan. */
+  private def scannedFiles(df: DataFrame): Long = {
+    df.collect()
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, s"no file scan in:\n${df.queryExecution.executedPlan}")
+    scans.map(_.metrics("numFiles").value).sum
+  }
+
+  test("format(gvt) reads latest, versionAsOf and timestampAsOf snapshots") {
+    val root = freshRoot()
+    VersionedTable.write((1 to 100).toDF("id"), root)
+    val ts1 = System.currentTimeMillis
+    Thread.sleep(5L)
+    VersionedTable.write((1 to 40).toDF("id"), root)
+    assert(spark.read.format("gvt").load(root).count() == 40)
+    assert(spark.read.format("gvt").option("versionAsOf", "1")
+      .load(root).count() == 100)
+    assert(spark.read.format("gvt").option("timestampAsOf", ts1.toString)
+      .load(root).count() == 100)
+  }
+
+  test("pushed range predicates prune files at planning via zone maps") {
+    val root = freshRoot()
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    VersionedTable.write(orders.repartitionByRange(8, col("o_orderkey")),
+      root, statsCols = Seq("o_orderkey"))
+    val keys = orders.agg(min("o_orderkey"), max("o_orderkey")).head
+    val (kLo, kHi) = (keys.getLong(0), keys.getLong(1))
+    val lo = kLo + (kHi - kLo) / 3
+    val hi = kLo + (kHi - kLo) / 2
+    val t = spark.read.format("gvt").load(root)
+    // unfiltered: all 8 files reach the scan
+    assert(scannedFiles(t) == 8)
+    // a pushed range filter prunes in listFiles — BEFORE the scan
+    val q = t.filter(col("o_orderkey") >= lo && col("o_orderkey") <= hi)
+    val n = scannedFiles(q)
+    assert(n < 8 && n >= 1, s"zone maps must prune the file list, scanned $n/8")
+    // pruning is result-invisible
+    assert(q.count() ==
+      orders.filter(col("o_orderkey") >= lo && col("o_orderkey") <= hi).count())
+    // an unstatted column's filter scans everything (no unsound skip)
+    assert(scannedFiles(t.filter(col("o_custkey") === 1)) == 8)
+  }
+
+  test("multi-column conjunction prunes at least as hard as either column") {
+    val root = freshRoot()
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val b = li.agg(min("l_orderkey"), max("l_orderkey"),
+      min("l_partkey"), max("l_partkey")).head
+    val (amin, amax, bmin, bmax) =
+      (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    val zk = graft.ops.ZOrder.zorder2(
+      graft.ops.ZOrder.rangeBucket(col("l_orderkey"), lit(amin), lit(amax), 16),
+      graft.ops.ZOrder.rangeBucket(col("l_partkey"), lit(bmin), lit(bmax), 16))
+    VersionedTable.write(
+      li.withColumn("zk", zk).repartitionByRange(16, col("zk")).drop("zk"),
+      root, statsCols = Seq("l_orderkey", "l_partkey"))
+    val t = spark.read.format("gvt").load(root)
+    val aPred = col("l_orderkey") >= (amin + (amax - amin) / 2) &&
+      col("l_orderkey") <= (amin + (amax - amin) / 2 + (amax - amin) / 8)
+    val bPred = col("l_partkey") >= (bmin + (bmax - bmin) / 2) &&
+      col("l_partkey") <= (bmin + (bmax - bmin) / 2 + (bmax - bmin) / 8)
+    val one = scannedFiles(t.filter(aPred))
+    val both = scannedFiles(t.filter(aPred && bPred))
+    assert(both <= one && both < 16,
+      s"2-col pruning ($both files) must not exceed 1-col ($one files)")
+    assert(t.filter(aPred && bPred).count() == li.filter(aPred && bPred).count())
+  }
+
+  test("append chains read through gvt; per-batch stats prune across version dirs") {
+    val root = freshRoot()
+    val mk = (r: Range) => r.toDF("id")
+    VersionedTable.write(mk(1 to 1000).repartition(3), root,
+      statsCols = Seq("id"))
+    VersionedTable.append(mk(1001 to 2000).repartition(3), root,
+      statsCols = Seq("id"))
+    VersionedTable.append(mk(2001 to 3000).repartition(3), root,
+      statsCols = Seq("id"))
+    val t = spark.read.format("gvt").load(root)
+    assert(t.count() == 3000)
+    val total = scannedFiles(t)
+    assert(total >= 9)
+    // a range inside the middle batch: the other batches' files skip
+    val q = t.filter(col("id") >= 1200 && col("id") <= 1400)
+    assert(scannedFiles(q) <= total / 2,
+      s"chain zone maps must prune: ${scannedFiles(q)}/$total")
+    assert(q.count() == 201)
+  }
+
+  test("SQL surface: temp view USING gvt, time travel, partition pruning") {
+    val root = freshRoot()
+    val mk = (r: Range) => r.toDF("id").withColumn("part", (col("id") % 2).cast("int"))
+    VersionedTable.write(mk(1 to 40), root, partitionBy = Seq("part"))
+    VersionedTable.append(mk(41 to 60), root)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW gvt_t USING gvt OPTIONS (path '$root')")
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW gvt_t_v1 USING gvt
+      OPTIONS (path '$root', versionAsOf '1')""")
+    assert(spark.sql("SELECT count(*) AS n FROM gvt_t").as[Long].head() == 60)
+    assert(spark.sql("SELECT count(*) AS n FROM gvt_t_v1").as[Long].head() == 40)
+    // hive partition pruning flows through the SQL relation
+    val q = spark.sql("SELECT id FROM gvt_t WHERE part = 0")
+    q.collect()
+    val scans = q.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty),
+      "partition filter must reach the gvt scan")
+    assert(q.count() == 30)
+  }
+
+  test("write path: Overwrite = new snapshot, Append = O(batch) append commit") {
+    val root = freshRoot()
+    (1 to 100).toDF("id").write.format("gvt")
+      .option("statsCols", "id").mode("overwrite").save(root)
+    (101 to 120).toDF("id").write.format("gvt")
+      .option("statsCols", "id").mode("append").save(root)
+    assert(VersionedTable.history(spark, root).select("operation")
+      .as[String].collect().toSet == Set("WRITE", "APPEND"))
+    // the append landed O(batch): its dir holds only the delta
+    assert(spark.read.parquet(s"$root/v=2").count() == 20)
+    assert(spark.read.format("gvt").load(root).count() == 120)
+    (1 to 50).toDF("id").write.format("gvt").mode("overwrite").save(root)
+    assert(spark.read.format("gvt").load(root).count() == 50)
+    assert(spark.read.format("gvt").option("versionAsOf", "2").load(root).count() == 120)
+  }
+}
