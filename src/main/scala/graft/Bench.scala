@@ -74,7 +74,12 @@ object Bench {
         try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
         spark.catalog.clearCache()
       }
-      name -> timedRuns(name, fn, 2)
+      // persisted-index probes are sub-second steady state but their
+      // FIRST sf0.1 run pays the index build: with only 2 timed runs a
+      // steal window on run 2 leaves med/min unbounded (r8:
+      // q_ann_ivfpq_persisted med/min 3.85) — a third run pins the
+      // steady state
+      name -> timedRuns(name, fn, if (name.endsWith("_persisted")) 3 else 2)
     }
     // retry pass: a steal window lasts tens of seconds and sweeps the
     // queries that happen to execute inside it (both min-of-2 runs). By

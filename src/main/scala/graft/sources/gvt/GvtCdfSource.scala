@@ -1,0 +1,145 @@
+package graft.sources.gvt
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.graft.StreamingBridge
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import graft.sources.VersionedTable
+import graft.streaming.ChangeFeed
+
+/** `spark.readStream.format("gvt-cdf")` — the change feed of a
+  * [[VersionedTable]] as a REAL Structured Streaming source (the Delta
+  * `readStream.option("readChangeFeed", true)` surface the ticker-based
+  * [[ChangeFeed]] drains approximate): committed versions are the
+  * offsets, each micro-batch is the changelog of the commits in
+  * `(startOffset, endOffset]`, and the stream checkpoint gives
+  * exactly-once delivery into any Structured Streaming sink — restart
+  * resumes from the checkpointed version, nothing re-emitted.
+  *
+  * Output schema: the table's columns + `_change_type`
+  * (insert / delete / update_preimage / update_postimage) +
+  * `_commit_version` (the Delta CDF audit column), fixed at stream
+  * start (schema evolution mid-stream requires a restart, as in Delta).
+  *
+  * Per-commit cost follows [[VersionedTable.changes]]: an APPEND commit
+  * is its batch directory read straight through (O(batch), no join —
+  * the streaming-ingestion path); a rewrite commit diffs two snapshots
+  * with one co-partitioned join and needs the `keys` option. Without
+  * `keys`, rewrite commits either fail loudly (default) or are skipped
+  * with `skipChangeCommits=true` (Delta's option of the same name).
+  *
+  * Options:
+  *  - `path` (required): table root (must already have ≥1 commit —
+  *    the schema is read from the live snapshot).
+  *  - `keys`: comma-separated key columns for rewrite-commit diffs.
+  *  - `startingVersion` (default 0): emit commits AFTER this version;
+  *    0 bootstraps from the earliest retained snapshot (all-insert).
+  *    A non-zero cursor below the vacuum horizon fails with
+  *    [[ChangeFeed.CursorBehindRetention]] rather than double-emitting.
+  *  - `skipChangeCommits`: skip rewrite commits instead of failing
+  *    when no `keys` are given.
+  */
+class GvtCdfSourceProvider extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "gvt-cdf"
+
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): (String, StructType) =
+    (shortName(), GvtCdfSource.feedSchema(sqlContext, parameters))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source =
+    new GvtCdfSource(sqlContext, parameters)
+}
+
+private[gvt] object GvtCdfSource {
+  def rootOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "gvt-cdf: 'path' option (the table root) is required"))
+
+  def feedSchema(sqlContext: SQLContext,
+                 parameters: Map[String, String]): StructType = {
+    val root = rootOf(parameters)
+    val v = VersionedTable.latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(
+        s"gvt-cdf: no versions at $root (the stream reads the schema " +
+          "from the live snapshot — create the table first)"))
+    StructType(
+      VersionedTable.readVersion(sqlContext.sparkSession, root, v).schema.fields
+        :+ StructField("_change_type", StringType, nullable = false)
+        :+ StructField("_commit_version", LongType, nullable = false))
+  }
+}
+
+private[gvt] class GvtCdfSource(sqlContext: SQLContext,
+                                parameters: Map[String, String]) extends Source {
+
+  private val root = GvtCdfSource.rootOf(parameters)
+  private val keys = parameters.get("keys").toSeq
+    .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+  private val startingVersion =
+    parameters.get("startingVersion").map(_.trim.toLong).getOrElse(0L)
+  private val skipChangeCommits =
+    parameters.get("skipChangeCommits").exists(_.trim.toBoolean)
+
+  override val schema: StructType =
+    GvtCdfSource.feedSchema(sqlContext, parameters)
+
+  private def spark = sqlContext.sparkSession
+
+  override def getOffset: Option[Offset] =
+    VersionedTable.committedVersions(root).lastOption
+      .filter(_ > startingVersion).map(LongOffset(_))
+
+  /** `LongOffset.json` is the bare version number, so parsing `json`
+    * handles both live LongOffsets and checkpoint-restored
+    * SerializedOffsets. */
+  private def versionOf(o: Offset): Long = o.json.trim.toLong
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val fromV = start.map(versionOf).getOrElse(startingVersion)
+    val endV = versionOf(end)
+    val chain = VersionedTable.committedVersions(root)
+    val pairs = chain.zip(None +: chain.init.map(Option(_)))
+      .filter { case (v, _) => v > fromV && v <= endV }
+    val outCols = schema.fieldNames.dropRight(1).toSeq // + _commit_version below
+    val feeds = pairs.flatMap { case (v, pred) =>
+      val isAppend = pred.exists(p =>
+        VersionedTable.readMeta(root, v, "_parent").map(_.trim.toLong).contains(p))
+      val feedOpt: Option[DataFrame] =
+        if (pred.isEmpty && fromV > 0)
+          throw new ChangeFeed.CursorBehindRetention(
+            s"$root: earliest retained version v=$v exceeds stream offset " +
+              s"$fromV (vacuumed past the checkpoint) — restart the stream " +
+              "with a fresh sink (full refresh)")
+        else if (pred.isEmpty)
+          Some(VersionedTable.readVersion(spark, root, v)
+            .withColumn("_change_type", lit("insert")))
+        else if (isAppend || keys.nonEmpty)
+          // changes() takes the append fast path on its own when the
+          // _parent chain connects; keys are then only column order
+          Some(VersionedTable.changes(spark, root, pred.get, v, keys))
+        else if (skipChangeCommits) None
+        else throw new IllegalStateException(
+          s"$root: commit v=$v rewrites the snapshot and no 'keys' option " +
+            "was given — pass keys=<cols> for diff feeds or " +
+            "skipChangeCommits=true to ignore rewrite commits")
+      feedOpt.map(f =>
+        f.select(outCols.map(col) :+ lit(v).as("_commit_version"): _*))
+    }
+    val batch =
+      if (feeds.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else feeds.reduce(_ unionByName _)
+    StreamingBridge.asStreaming(batch)
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}

@@ -1,0 +1,119 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryException
+import graft.sources.VersionedTable
+
+/** `spark.readStream.format("gvt-cdf")`: committed versions as streaming
+  * offsets — per-commit changelog micro-batches, checkpointed resume,
+  * append fast path, rewrite-commit key diffs, skipChangeCommits. */
+class GvtCdfSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshDir() = Files.createTempDirectory("graft_gvtcdf").toString
+
+  test("commits stream as changelog micro-batches with _commit_version") {
+    val dir = freshDir()
+    val root = s"$dir/t"
+    VersionedTable.write((1 to 50).toDF("k").withColumn("status", lit("A")), root)
+    VersionedTable.append((51 to 60).toDF("k").withColumn("status", lit("B")), root)
+    val q = spark.readStream.format("gvt-cdf").option("keys", "k").load(root)
+      .writeStream.format("memory").queryName("gvt_cdf_mem")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("gvt_cdf_mem")
+      // bootstrap commit: all-insert snapshot tagged v1; append tagged v2
+      assert(got.filter(col("_commit_version") === 1).count() == 50)
+      assert(got.filter(col("_commit_version") === 2).count() == 10)
+      assert(got.select("_change_type").distinct().as[String].collect().toSeq ==
+        Seq("insert"))
+      // commits landing while the stream runs arrive incrementally —
+      // an append (fast path) and a keyed DELETE (diff path)
+      VersionedTable.append((61 to 65).toDF("k").withColumn("status", lit("C")), root)
+      VersionedTable.deleteWhere(spark, root, col("k") === 1)
+      q.processAllAvailable()
+      val all = spark.table("gvt_cdf_mem")
+      assert(all.filter(col("_commit_version") === 3).count() == 5)
+      val del = all.filter(col("_commit_version") === 4).collect()
+      assert(del.length == 1 &&
+        del.head.getAs[String]("_change_type") == "delete" &&
+        del.head.getAs[Int]("k") == 1)
+    } finally q.stop()
+  }
+
+  test("checkpointed restart resumes at the committed offset — exactly-once to a file sink") {
+    val dir = freshDir()
+    val root = s"$dir/t"
+    val out = s"$dir/out"
+    val ckpt = s"$dir/ckpt"
+    VersionedTable.write((1 to 30).toDF("k").withColumn("status", lit("A")), root)
+    VersionedTable.append((31 to 40).toDF("k").withColumn("status", lit("B")), root)
+    def startStream() = spark.readStream.format("gvt-cdf").load(root)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+    val q1 = startStream()
+    try q1.processAllAvailable() finally q1.stop()
+    // commits land while NO stream is running
+    VersionedTable.append((41 to 45).toDF("k").withColumn("status", lit("C")), root)
+    val q2 = startStream()
+    try q2.processAllAvailable() finally q2.stop()
+    val rows = spark.read.parquet(out)
+    // every row delivered exactly once: 45 inserts, no replays
+    assert(rows.count() == 45)
+    assert(rows.select("k").distinct().count() == 45)
+    assert(rows.groupBy("_commit_version").count()
+      .as[(Long, Long)].collect().toMap == Map(1L -> 30L, 2L -> 10L, 3L -> 5L))
+  }
+
+  test("rewrite commits: fail loudly without keys, skipped with skipChangeCommits") {
+    val dir = freshDir()
+    val root = s"$dir/t"
+    VersionedTable.write((1 to 20).toDF("k").withColumn("status", lit("A")), root)
+    VersionedTable.deleteWhere(spark, root, col("k") === 5) // rewrite commit
+    // no keys, no skip: the stream must fail rather than mis-emit
+    val q = spark.readStream.format("gvt-cdf").load(root)
+      .writeStream.format("memory").queryName("gvt_cdf_fail")
+      .option("checkpointLocation", s"$dir/ckpt1").start()
+    try {
+      intercept[StreamingQueryException] { q.processAllAvailable() }
+    } finally q.stop()
+    // skipChangeCommits: the rewrite is ignored, bootstrap still flows
+    val q2 = spark.readStream.format("gvt-cdf")
+      .option("skipChangeCommits", "true").load(root)
+      .writeStream.format("memory").queryName("gvt_cdf_skip")
+      .option("checkpointLocation", s"$dir/ckpt2").start()
+    try {
+      q2.processAllAvailable()
+      // offset 0 bootstraps at the earliest retained commit (v1: all 20)
+      // and v2 (the rewrite) is skipped
+      val got = spark.table("gvt_cdf_skip")
+      assert(got.filter(col("_commit_version") === 1).count() == 20)
+      assert(got.filter(col("_commit_version") === 2).count() == 0)
+    } finally q2.stop()
+  }
+
+  test("vacuum past the stream checkpoint fails the source instead of re-emitting") {
+    val dir = freshDir()
+    val root = s"$dir/t"
+    VersionedTable.write((1 to 10).toDF("k"), root)
+    def startStream(name: String) = spark.readStream.format("gvt-cdf")
+      .option("keys", "k").load(root)
+      .writeStream.format("parquet").option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    val q1 = startStream("gvt_cdf_vac1")
+    try q1.processAllAvailable() finally q1.stop()
+    // two commits + vacuum drop everything below the new head: the
+    // checkpointed offset (v1) is now behind the horizon
+    VersionedTable.write((1 to 20).toDF("k"), root)
+    VersionedTable.write((1 to 25).toDF("k"), root)
+    VersionedTable.vacuum(root, keep = 1, orphanGraceMs = 0L, retainMinMs = 0L)
+    val q2 = startStream("gvt_cdf_vac2")
+    try {
+      intercept[StreamingQueryException] { q2.processAllAvailable() }
+    } finally q2.stop()
+  }
+}
