@@ -162,6 +162,48 @@ object RelationalOps {
       target.join(updates.select(keys.map(col): _*), keys, "left_anti"),
       allowMissingColumns = allowMissingColumns)
 
+  /** Clause-level MERGE (the full Delta `MERGE INTO` surface beyond
+    * [[mergeUpsert]]'s whole-row upsert):
+    *
+    *   WHEN MATCHED [AND matchedDelete] THEN DELETE
+    *   WHEN MATCHED THEN UPDATE SET matchedUpdate   (unlisted cols keep target values)
+    *   WHEN NOT MATCHED THEN INSERT *               (iff insertNotMatched)
+    *
+    * Conditions and assignments are Column expressions over the packed
+    * sides: `col("t.x")` = target value, `col("s.x")` = source value
+    * (Delta's `target.x` / `source.x` qualification). Evaluation order
+    * follows Delta: a matched row is deleted if the delete condition
+    * holds, else updated. Plan: ONE key-partitioned full-outer join —
+    * the target is scanned once, the changeset broadcasts when small.
+    * Caller contract (as in Delta): `source` has at most one row per
+    * key, and carries every target column that inserts need. Output
+    * columns = target columns. */
+  def mergeClauses(target: DataFrame, source: DataFrame, keys: Seq[String],
+                   matchedDelete: Option[Column] = None,
+                   matchedUpdate: Map[String, Column] = Map.empty,
+                   insertNotMatched: Boolean = true): DataFrame = {
+    val tCols = target.columns.filterNot(keys.contains).toSeq
+    val sCols = source.columns.filterNot(keys.contains).toSeq
+    val tp = target.select(keys.map(col) :+ struct(tCols.map(col): _*).as("t"): _*)
+    val sp = source.select(keys.map(col) :+ struct(sCols.map(col): _*).as("s"): _*)
+    val j = tp.join(sp, keys, "full_outer")
+    val tOnly = col("s").isNull
+    val sOnly = col("t").isNull
+    val matched = col("t").isNotNull && col("s").isNotNull
+    val deleteHit = matchedDelete
+      .map(c => matched && coalesce(c, lit(false)))
+      .getOrElse(lit(false))
+    val kept = j.filter(tOnly ||
+      (sOnly && lit(insertNotMatched)) ||
+      (matched && !deleteHit))
+    kept.select(keys.map(col) ++ tCols.map { c =>
+      when(tOnly, col(s"t.$c"))
+        .when(sOnly, col(s"s.$c"))
+        .otherwise(matchedUpdate.getOrElse(c, col(s"t.$c")))
+        .as(c)
+    }: _*)
+  }
+
   /** P17 cross-engine-deterministic rounding: floor(x·10ⁿ + 0.5)/10ⁿ.
     * Spark's `round` (BigDecimal HALF_UP over the shortest decimal
     * representation) and DuckDB's `round` (binary nearbyint-style) disagree

@@ -369,6 +369,48 @@ object RelationalQueries {
         .orderBy(col("_change_type"))
     }),
 
+    // Clause-level MERGE (the full Delta MERGE INTO surface): matched
+    // rows whose TARGET status is 'F' are deleted, other matched rows
+    // get an UPDATE assignment mixing both sides (t.cents + s.cents),
+    // source-only keys insert — one key-partitioned full-outer join,
+    // target scanned once. Oracle: the three disjoint row classes
+    // unioned.
+    "q_merge_clauses" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      mergeClauses(
+        o.filter(col("k") % 10 =!= 0),          // target
+        o.filter(col("k") % 5 === 0),           // source changeset
+        Seq("k"),
+        matchedDelete = Some(col("t.status") === "F"),
+        matchedUpdate = Map("cents" -> (col("t.cents") + col("s.cents"))),
+        insertNotMatched = true)
+        .orderBy(col("k"))
+    }),
+
+    // DELETION-VECTOR deletes (Delta deletion-vector analogue): two
+    // stacked O(delete) DELETE commits — each version dir holds only
+    // the (file, row-position) vector of its deleted rows, never a
+    // rewritten table — then a readLatest aggregate over the DV-applied
+    // snapshot, which must equal the oracle's plain filtered aggregate.
+    // The second delete's predicate is evaluated on the ALREADY-DV'd
+    // live view (stacked vectors compose); compact() folds them away.
+    "q_delete_dv" -> ((s, dir) => {
+      val out = tmpDir("graft_dv")
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      val root = s"$out/t"
+      graft.sources.VersionedTable.write(o, root)
+      graft.sources.VersionedTable.deleteWhereVector(s, root, col("k") % 13 === 0)
+      graft.sources.VersionedTable.deleteWhereVector(s, root, col("k") % 7 === 0)
+      graft.sources.VersionedTable.readLatest(s, root)
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+        .orderBy(col("status"))
+    }),
+
     // CDF-FED incremental JOIN-view maintenance — the counting-algorithm
     // generalization of q_incremental_join (which is insert-only with
     // synthesized deltas): BOTH sides of V = A ⋈ B are versioned tables
@@ -1104,6 +1146,34 @@ object RelationalQueries {
         |  AND l_orderkey <= amin + (amax - amin) // 2 + (amax - amin) // 8
         |  AND l_partkey >= bmin + (bmax - bmin) // 2
         |  AND l_partkey <= bmin + (bmax - bmin) // 2 + (bmax - bmin) // 8""".stripMargin,
+
+    // The three disjoint MERGE row classes: target-only pass-through,
+    // matched-not-deleted updated, source-only inserted.
+    "q_merge_clauses" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |tgt AS (SELECT * FROM o WHERE k % 10 <> 0),
+        |src AS (SELECT * FROM o WHERE k % 5 = 0)
+        |SELECT k, status, cents FROM (
+        |  SELECT t.k AS k, t.status AS status, t.cents AS cents
+        |  FROM tgt t LEFT JOIN src s ON t.k = s.k WHERE s.k IS NULL
+        |  UNION ALL
+        |  SELECT t.k, t.status, t.cents + s.cents
+        |  FROM tgt t JOIN src s ON t.k = s.k WHERE t.status <> 'F'
+        |  UNION ALL
+        |  SELECT s.k, s.status, s.cents
+        |  FROM src s LEFT JOIN tgt t ON s.k = t.k WHERE t.k IS NULL
+        |) ORDER BY k""".stripMargin,
+
+    // Vectors are storage, not semantics: the DV-applied snapshot must
+    // equal the plain filtered row set.
+    "q_delete_dv" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM o WHERE k % 13 <> 0 AND k % 7 <> 0
+        |GROUP BY status ORDER BY status""".stripMargin,
 
     // Change-type counts follow directly from the DML predicates:
     // deletes = every 13th key; update pairs = every 7th surviving key.

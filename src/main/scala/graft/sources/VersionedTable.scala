@@ -518,13 +518,16 @@ object VersionedTable {
             statsCols: Seq[String] = Seq.empty,
             metaFiles: Map[String, String] = Map.empty,
             baseVersion: Option[Long] = None,
-            operation: String = "WRITE"): Long = {
+            operation: String = "WRITE",
+            subdirWrites: Map[String, DataFrame] = Map.empty): Long = {
     val base = baseVersion.orElse(latestVersion(root))
     // generated columns materialize/validate FIRST so the schema gate
     // and constraint gate see the completed frame
     val df = applyGenerated(df0, generatedColumns(root))
     latestVersion(root).foreach { v =>
-      val existing = df.sparkSession.read.parquet(s"$root/v=$v").schema
+      // logical-snapshot schema (NOT the raw tip directory: a
+      // deletion-vector commit's dir holds only an empty slice + _dv)
+      val existing = readVersion(df.sparkSession, root, v).schema
       checkSchema(existing, df.schema, allowEvolution)
     }
     // CHECK constraints gate every write path (merge/compact/restore
@@ -540,6 +543,12 @@ object VersionedTable {
       (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
         .parquet(s"$root/v=$next")
       if (statsCols.nonEmpty) collectStats(df.sparkSession, root, next, statsCols)
+      // auxiliary parquet payloads (underscore-prefix the names so
+      // snapshot readers ignore them — e.g. a DELETE commit's deletion
+      // vector), committed atomically WITH the data like metaFiles
+      subdirWrites.foreach { case (name, sdf) =>
+        sdf.write.mode("overwrite").parquet(s"$root/v=$next/$name")
+      }
       metaFiles.foreach { case (name, content) =>
         writeString(new HPath(s"$root/v=$next", name), content, overwrite = true)
       }
@@ -662,6 +671,12 @@ object VersionedTable {
     val residual = (d: DataFrame) => ranges.foldLeft(d) {
       case (df, (c, lo, hi)) => df.filter(col(c) >= lo && col(c) <= hi)
     }
+    // un-materialized deletion vectors: pruning by file list would need
+    // the DV anti-join re-composed per surviving group — correct but not
+    // worth the complexity before compact() folds the vectors; fall back
+    // to the (DV-applied) full filtered scan
+    if (chainDvDirs(root, v).nonEmpty)
+      return residual(readVersion(spark, root, v))
     // sound only when EVERY chain member stats EVERY predicate column
     // (a multi-dir stats read would silently NULL-fill a member's
     // missing column and mis-skip its files)
@@ -770,6 +785,36 @@ object VersionedTable {
         target, updates2, keys, allowMissingColumns = allowEvolution)
       try return write(merged, root, allowEvolution = allowEvolution,
         baseVersion = Some(base), operation = "MERGE")
+      catch {
+        case e: ConcurrentWriteException =>
+          if (attempt >= maxRetries) throw e
+          attempt += 1
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Clause-level MERGE into the live snapshot — the full Delta
+    * `MERGE INTO` surface (WHEN MATCHED [AND c] DELETE / UPDATE SET,
+    * WHEN NOT MATCHED INSERT) via
+    * [[graft.ops.RelationalOps.mergeClauses]], with [[merge]]'s
+    * conditional-commit retry: a concurrent writer re-reads the new
+    * snapshot and re-applies the clauses. Conditions/assignments
+    * reference `col("t.x")` / `col("s.x")`. */
+  def mergeInto(spark: SparkSession, root: String, source: DataFrame,
+                keys: Seq[String],
+                matchedDelete: Option[org.apache.spark.sql.Column] = None,
+                matchedUpdate: Map[String, org.apache.spark.sql.Column] = Map.empty,
+                insertNotMatched: Boolean = true,
+                maxRetries: Int = 3): Long = {
+    var attempt = 0
+    while (true) {
+      val base = latestVersion(root).getOrElse(
+        throw new IllegalArgumentException(s"no versions at $root"))
+      val merged = graft.ops.RelationalOps.mergeClauses(
+        readVersion(spark, root, base), source, keys,
+        matchedDelete, matchedUpdate, insertNotMatched)
+      try return write(merged, root, baseVersion = Some(base), operation = "MERGE")
       catch {
         case e: ConcurrentWriteException =>
           if (attempt >= maxRetries) throw e
@@ -926,19 +971,41 @@ object VersionedTable {
     Some(dirs)
   }
 
+  /** A version's data-chain predecessor: `_parent` (APPEND commit) or
+    * `_dv_parent` (deletion-vector DELETE commit). */
+  private def chainLink(root: String, v: Long): Option[Long] =
+    readMeta(root, v, "_parent").orElse(readMeta(root, v, "_dv_parent"))
+      .map(_.trim.toLong)
+
   /** The data directories composing logical snapshot `version`,
-    * base-first: the `_parent` chain of append commits down to the
-    * nearest full snapshot. One metadata read per hop — compaction
-    * bounds the chain length. */
+    * base-first: the `_parent`/`_dv_parent` chain down to the nearest
+    * full snapshot. A deletion-vector commit's dir contributes only an
+    * empty schema slice — its `_dv` payload is applied by
+    * [[readVersion]]. One metadata read per hop — compaction bounds the
+    * chain length. */
   private[graft] def dataDirsOf(root: String, version: Long): Seq[String] = {
     var dirs = List(s"$root/v=$version")
-    var parent = readMeta(root, version, "_parent").map(_.trim.toLong)
+    var parent = chainLink(root, version)
     while (parent.isDefined) {
       val p = parent.get
       dirs = s"$root/v=$p" :: dirs
-      parent = readMeta(root, p, "_parent").map(_.trim.toLong)
+      parent = chainLink(root, p)
     }
     dirs
+  }
+
+  /** The deletion-vector payload dirs in `version`'s chain (empty =
+    * no un-materialized deletes; compact() clears them). */
+  private[graft] def chainDvDirs(root: String, version: Long): Seq[String] = {
+    var dvs = List.empty[String]
+    var cur: Option[Long] = Some(version)
+    while (cur.isDefined) {
+      val v = cur.get
+      if (readMeta(root, v, "_dv_parent").isDefined)
+        dvs = s"$root/v=$v/_dv" :: dvs
+      cur = chainLink(root, v)
+    }
+    dvs
   }
 
   def readLatest(spark: SparkSession, root: String): DataFrame =
@@ -947,9 +1014,75 @@ object VersionedTable {
 
   /** Time travel: read any retained snapshot (for an append commit, the
     * union of its `_parent` chain; hive-partitioned chains are read
-    * per-dir with basePath so partition columns survive). */
-  def readVersion(spark: SparkSession, root: String, version: Long): DataFrame =
-    readDirs(spark, dataDirsOf(root, version))
+    * per-dir with basePath so partition columns survive; a chain with
+    * deletion-vector commits anti-joins the vectors on parquet row
+    * positions). */
+  def readVersion(spark: SparkSession, root: String, version: Long): DataFrame = {
+    val dvs = chainDvDirs(root, version)
+    if (dvs.isEmpty) readDirs(spark, dataDirsOf(root, version))
+    else applyDv(spark, readDirsMeta(spark, dataDirsOf(root, version)), dvs)
+  }
+
+  /** [[readDirs]] with per-leaf `(__gvt_file, __gvt_pos)` provenance
+    * columns — the `_metadata` struct resolves only directly against a
+    * file relation, so it must attach BEFORE any union. */
+  private def readDirsMeta(spark: SparkSession, dirs: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    def tag(df: DataFrame) = df.select(col("*"),
+      col("_metadata.file_path").as("__gvt_file"),
+      col("_metadata.row_index").as("__gvt_pos"))
+    if (dirs.size == 1) tag(spark.read.parquet(dirs.head))
+    else if (partColsOf(new HPath(dirs.head)).isEmpty)
+      tag(spark.read.parquet(dirs: _*))
+    else dirs.map(d => tag(spark.read.option("basePath", d).parquet(d)))
+      .reduce(_ unionByName _)
+  }
+
+  /** Drop the rows named by the chain's deletion vectors: one anti-join
+    * on (file, row-position). The vector side is deleted-rows-sized —
+    * Spark broadcasts it below the threshold, exactly the read-cost
+    * shape Delta's deletion vectors have. */
+  private def applyDv(spark: SparkSession, tagged: DataFrame,
+                      dvDirs: Seq[String],
+                      keepMeta: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val dv = spark.read.parquet(dvDirs: _*)
+    val joined = tagged.join(dv,
+      tagged("__gvt_file") === dv("_dv_file") &&
+        tagged("__gvt_pos") === dv("_dv_pos"), "left_anti")
+    if (keepMeta) joined else joined.drop("__gvt_file", "__gvt_pos")
+  }
+
+  /** Row-level DELETE as a DELETION-VECTOR commit (Delta
+    * deletion-vector analogue): O(delete) commit cost at ANY table size
+    * — the new version stores only the (file, row-position) pairs of
+    * the deleted rows (`_dv` parquet payload) plus an empty schema
+    * slice; the parent snapshot's files are never rewritten (the
+    * [[deleteWhere]] full-rewrite alternative costs O(table)). Readers
+    * anti-join the chain's vectors on parquet row positions
+    * (`_metadata.file_path` / `row_index`); stacked DV commits compose;
+    * [[compact]] materializes the vectors away (the OPTIMIZE pairing
+    * Delta prescribes) and the change feed classifies the removed rows
+    * as deletes via the snapshot diff. [[readPruned]] and the gvt
+    * DataSource require a vector-free snapshot (compact first — see
+    * their docs). Returns the new version. */
+  def deleteWhereVector(spark: SparkSession, root: String,
+                        predicate: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.col
+    val v = latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $root"))
+    val tagged = readDirsMeta(spark, dataDirsOf(root, v))
+    val live = chainDvDirs(root, v) match {
+      case Seq() => tagged
+      case dvs => applyDv(spark, tagged, dvs, keepMeta = true)
+    }
+    val dv = live.filter(predicate)
+      .select(col("__gvt_file").as("_dv_file"), col("__gvt_pos").as("_dv_pos"))
+    write(readVersion(spark, root, v).limit(0), root,
+      metaFiles = Map("_dv_parent" -> v.toString),
+      subdirWrites = Map("_dv" -> dv),
+      baseVersion = Some(v), operation = "DELETE_DV")
+  }
 
   /** Timestamp time travel (Delta `timestampAsOf` analogue): the newest
     * COMMITTED snapshot whose commit wall-clock is ≤ `tsMillis` —
@@ -1025,12 +1158,13 @@ object VersionedTable {
     // watermark of an additive streaming writer) into the compacted
     // version — compaction must not erase transactional metadata, or a
     // post-compaction checkpoint replay would re-apply a batch
-    // ("_parent" must NOT carry: the compacted snapshot is FULL — a
-    // carried parent link would make readers union the folded chain's
-    // rows in twice)
+    // ("_parent"/"_dv_parent" must NOT carry: the compacted snapshot is
+    // FULL — a carried chain link would make readers union the folded
+    // chain's rows in twice / re-apply materialized deletion vectors)
     val carriedMeta: Map[String, String] = fc.util.listStatus(dir).toSeq
       .filter(st => st.isFile && st.getPath.getName.startsWith("_") &&
-        st.getPath.getName != "_SUCCESS" && st.getPath.getName != "_parent")
+        st.getPath.getName != "_SUCCESS" && st.getPath.getName != "_parent" &&
+        st.getPath.getName != "_dv_parent")
       .flatMap(st => readString(st.getPath).map(st.getPath.getName -> _))
       .toMap
     def sizeOf(p: HPath): Long = fc.util.listStatus(p).map { st =>
@@ -1119,11 +1253,13 @@ object VersionedTable {
     // its own retention rank (compaction folds chains so this set stays
     // bounded in practice)
     val keepBase = committed.takeRight(keep).toSet ++ latestVersion(root) ++ young
+    // walk BOTH link kinds: a kept deletion-vector commit's rows live
+    // entirely in its _dv_parent chain
     val keepSet = keepBase.flatMap { v =>
       var chain = List(v)
-      var parent = readMeta(root, v, "_parent").map(_.trim.toLong)
+      var parent = chainLink(root, v)
       while (parent.isDefined) { chain = parent.get :: chain
-        parent = readMeta(root, parent.get, "_parent").map(_.trim.toLong) }
+        parent = chainLink(root, parent.get) }
       chain
     }
     val dropCommitted = committed.filterNot(keepSet)

@@ -60,6 +60,11 @@ class DefaultSource extends RelationProvider
         VersionedTable.versionAsOf(root, parseTs(ts))))
       .getOrElse(VersionedTable.latestVersion(root).getOrElse(
         throw new IllegalArgumentException(s"gvt: no versions at $root")))
+    if (VersionedTable.chainDvDirs(root, version).nonEmpty)
+      throw new IllegalStateException(
+        s"gvt: snapshot v=$version at $root carries un-materialized deletion " +
+          "vectors — run VersionedTable.compact() to fold them before " +
+          "DataSource reads (readVersion/readLatest apply them directly)")
     val dirs = VersionedTable.dataDirsOf(root, version)
     val index = new GvtFileIndex(spark, dirs.map(new Path(_)),
       VersionedTable.fileStats(spark, root, version))

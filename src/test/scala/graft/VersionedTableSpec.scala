@@ -622,6 +622,76 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.readMeta(root, v, "_operation").exists(_.startsWith("COMPACT")))
   }
 
+  test("deletion vectors: O(delete) commits, stacked composition, compact materializes") {
+    val root = Files.createTempDirectory("graft_vt_dv").toString
+    VersionedTable.write((1 to 1000).toDF("id").repartition(4), root) // v1
+    VersionedTable.deleteWhereVector(spark, root, col("id") % 10 === 0) // v2
+    // O(delete): the DELETE commit's dir holds NO table data (empty
+    // slice) — the parent files were not rewritten
+    assert(spark.read.parquet(s"$root/v=2").count() == 0)
+    assert(new java.io.File(s"$root/v=2/_dv").isDirectory)
+    assert(spark.read.parquet(s"$root/v=2/_dv").count() == 100)
+    // semantics: deleted rows gone, everything else intact
+    assert(VersionedTable.readLatest(spark, root).count() == 900)
+    assert(VersionedTable.readLatest(spark, root)
+      .filter(col("id") % 10 === 0).count() == 0)
+    // stacked vectors compose (the second predicate sees the DV'd view)
+    VersionedTable.deleteWhereVector(spark, root, col("id") % 7 === 0) // v3
+    assert(VersionedTable.readLatest(spark, root).count() ==
+      (1 to 1000).count(i => i % 10 != 0 && i % 7 != 0))
+    // time travel: pre-delete snapshots unchanged
+    assert(VersionedTable.readVersion(spark, root, 1).count() == 1000)
+    assert(VersionedTable.readVersion(spark, root, 2).count() == 900)
+    // the change feed classifies DV-deleted rows as deletes
+    val feed = VersionedTable.changes(spark, root, 1L, 3L, Seq("id"))
+    assert(feed.filter(col("_change_type") === "delete").count() ==
+      1000 - (1 to 1000).count(i => i % 10 != 0 && i % 7 != 0))
+    // appends on top of a DV commit: new rows are not affected by
+    // the parent's vectors
+    VersionedTable.append((2001 to 2010).toDF("id"), root) // v4
+    assert(VersionedTable.readLatest(spark, root).count() ==
+      (1 to 1000).count(i => i % 10 != 0 && i % 7 != 0) + 10)
+    // vacuum never drops a kept DV commit's parent chain
+    assert(VersionedTable.vacuum(root, keep = 1,
+      orphanGraceMs = 0L, retainMinMs = 0L).isEmpty)
+    assert(VersionedTable.readLatest(spark, root).count() ==
+      (1 to 1000).count(i => i % 10 != 0 && i % 7 != 0) + 10)
+    // compact folds the vectors into a full snapshot; after it, the
+    // whole old chain can drop and results are unchanged
+    val vC = VersionedTable.compact(spark, root, targetFileBytes = 1L << 30)
+    assert(VersionedTable.readMeta(root, vC, "_dv_parent").isEmpty)
+    assert(VersionedTable.vacuum(root, keep = 1,
+      orphanGraceMs = 0L, retainMinMs = 0L) == Seq(1L, 2L, 3L, 4L))
+    assert(VersionedTable.readLatest(spark, root).count() ==
+      (1 to 1000).count(i => i % 10 != 0 && i % 7 != 0) + 10)
+    // operation history records the DV deletes
+    assert(VersionedTable.history(spark, root).select("operation")
+      .as[String].collect().count(_ == "DELETE_DV") == 0) // vacuumed away
+  }
+
+  test("mergeInto applies clause-level MERGE: delete, conditional update, insert") {
+    val root = Files.createTempDirectory("graft_vt_mc").toString
+    VersionedTable.write(Seq((1, "F", 10L), (2, "O", 20L), (3, "F", 30L))
+      .toDF("k", "status", "cents"), root)
+    // source: matches 1 (F → delete), 2 (O → update), new key 4 (insert)
+    VersionedTable.mergeInto(spark, root,
+      Seq((1, "X", 1L), (2, "X", 5L), (4, "N", 40L)).toDF("k", "status", "cents"),
+      Seq("k"),
+      matchedDelete = Some(col("t.status") === "F"),
+      matchedUpdate = Map("cents" -> (col("t.cents") + col("s.cents"))))
+    val got = VersionedTable.readLatest(spark, root)
+      .as[(Int, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (2, "O", 25L),   // updated: cents summed, status keeps target value
+      (3, "F", 30L),   // target-only: untouched (delete needs a MATCH)
+      (4, "N", 40L)))  // inserted
+    // insertNotMatched=false: source-only keys are ignored
+    VersionedTable.mergeInto(spark, root,
+      Seq((9, "Z", 9L)).toDF("k", "status", "cents"), Seq("k"),
+      insertNotMatched = false)
+    assert(VersionedTable.readLatest(spark, root).count() == 3)
+  }
+
   test("readMetaLatest walks past non-sink commits to the newest watermark") {
     val root = Files.createTempDirectory("graft_vt_metawalk").toString
     VersionedTable.write((1 to 10).toDF("id"), root,
