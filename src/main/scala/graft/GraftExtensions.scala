@@ -35,6 +35,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
     ext.injectHintResolutionRule(_ => graft.plans.RangeJoinHintResolution)
+    ext.injectResolutionRule(_ => graft.plans.GvtInsertGuard)
     for ((name, builder) <- graft.functions.NativeFunctions.builders)
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name),

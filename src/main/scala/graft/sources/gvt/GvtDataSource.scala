@@ -5,7 +5,10 @@ import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, InMemoryFileIndex, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.graft.StreamingBridge
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{Decimal, StructType}
 import graft.sources.VersionedTable
 
@@ -45,9 +48,20 @@ import graft.sources.VersionedTable
   * to a new full snapshot, Append to an O(batch) append commit (first
   * write creates the table), honoring options `partitionBy` and
   * `statsCols` (comma-separated).
+  *
+  * Streaming sink: `df.writeStream.format("gvt").option("path", …)` —
+  * one atomic versioned commit per micro-batch, with the applied batch
+  * id committed INSIDE the snapshot (chain-walking replay guard, the
+  * same exactly-once contract as
+  * [[graft.streaming.EventsStream.appendSink]]). Output modes: Append →
+  * O(batch) append commits (the streaming fact-table path); Complete →
+  * full-snapshot overwrite per batch (the aggregate-MV path); Update →
+  * key-merge per batch (requires the `keys` option; rows within a
+  * batch must be key-unique).
   */
 class DefaultSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSinkProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "gvt"
 
@@ -105,6 +119,59 @@ class DefaultSource extends RelationProvider
     createRelation(sqlContext, parameters)
   }
 
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: OutputMode): Sink = {
+    val root = pathOf(parameters)
+    val keys = parameters.get("keys").toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    val statsCols = parameters.get("statsCols").toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    if (outputMode == OutputMode.Update() && keys.isEmpty)
+      throw new IllegalArgumentException(
+        "gvt sink: Update mode merges by key — pass option keys=<cols>")
+    new Sink {
+      override def addBatch(batchId: Long, data: DataFrame): Unit = {
+        val batch = StreamingBridge.asBatch(data)
+        if (batch.isEmpty) return
+        // replay guard: the applied batch id lives INSIDE the snapshot
+        // (resolved by chain walk — interleaved non-sink commits can't
+        // hide it); a replayed id ≤ the watermark no-ops. Complete/
+        // Update replays are also idempotent by construction, but the
+        // guard saves their write cost either way.
+        val applied = VersionedTable.readMetaLatest(root, "_batch")
+          .map(_.trim.toLong)
+        if (applied.exists(_ >= batchId)) return
+        val meta = Map("_batch" -> batchId.toString)
+        val exists = VersionedTable.latestVersion(root).isDefined
+        outputMode match {
+          case m if m == OutputMode.Complete() =>
+            VersionedTable.write(batch, root, allowEvolution = true,
+              partitionBy = partitionColumns, statsCols = statsCols,
+              metaFiles = meta)
+          case m if m == OutputMode.Update() && exists =>
+            // merge() retries its own conflicts; the batch watermark
+            // rides the committed snapshot via a follow-up metaFiles
+            // write is NOT atomic — so commit it with the merge itself
+            VersionedTable.write(
+              graft.ops.RelationalOps.mergeUpsert(
+                VersionedTable.readLatest(batch.sparkSession, root), batch, keys),
+              root, metaFiles = meta, operation = "MERGE")
+          case _ if !exists =>
+            VersionedTable.write(batch, root,
+              partitionBy = partitionColumns, statsCols = statsCols,
+              metaFiles = meta)
+          case _ =>
+            VersionedTable.append(batch, root, metaFiles = meta,
+              statsCols = statsCols)
+        }
+        ()
+      }
+      override def toString: String = s"GvtSink[$root, $outputMode]"
+    }
+  }
+
   private def pathOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "gvt: 'path' option (the table root) is required"))
@@ -123,7 +190,7 @@ class DefaultSource extends RelationProvider
   * [min,max] cannot intersect the conjunction of pushed range
   * predicates. Pruning is result-invisible: the scan still evaluates
   * the full residual filter on surviving files. */
-private[gvt] class GvtFileIndex(
+class GvtFileIndex(
     spark: SparkSession, roots: Seq[Path],
     stats: Option[Map[String, Map[String, (Double, Double)]]])
   extends FileIndex {

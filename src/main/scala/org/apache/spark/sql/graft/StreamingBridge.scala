@@ -19,5 +19,15 @@ object StreamingBridge {
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
 
+  /** The inverse direction, for V1 `Sink.addBatch`: the micro-batch
+    * DataFrame arrives backed by the incremental execution — re-plan it
+    * as a plain batch frame over its own materialized RDD so ordinary
+    * batch writers (VersionedTable.write/append/merge) can consume it. */
+  def asBatch(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    spark.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
+
   def active(): SparkSession = SparkSession.active
 }

@@ -71,4 +71,21 @@ class ExtensionsSpec extends AnyFunSuite {
     val out = GroupedTopKApi.build(df, Seq(col("g")), Seq(col("v")), 1)
     intercept[Exception] { out.collect() }
   }
+
+  test("INSERT INTO a gvt relation is refused (would bypass the commit protocol)") {
+    withExtensionsSession { sess =>
+      import sess.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft_gvtguard").toString + "/t"
+      graft.sources.VersionedTable.write((1 to 5).toDF("id"), root)
+      sess.sql(s"CREATE OR REPLACE TEMPORARY VIEW gvt_guard USING gvt OPTIONS (path '$root')")
+      val e = intercept[Exception] {
+        sess.sql("INSERT INTO gvt_guard VALUES (99)")
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty else String.valueOf(t.getMessage) +: msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("versioned commit protocol")), e.toString)
+      // the table is untouched and still reads cleanly
+      assert(sess.sql("SELECT count(*) AS n FROM gvt_guard").as[Long].head() == 5)
+    }
+  }
 }

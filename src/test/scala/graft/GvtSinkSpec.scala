@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.sources.VersionedTable
+
+/** `df.writeStream.format("gvt")`: one atomic versioned commit per
+  * micro-batch — Append → O(batch) append commits, Complete →
+  * full-snapshot overwrite, Update → key merge; the applied batch id
+  * commits inside each snapshot (replay guard). */
+class GvtSinkSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("append mode lands each micro-batch as one append commit with a batch watermark") {
+    val dir = Files.createTempDirectory("graft_gvtsink").toString
+    val root = s"$dir/t"
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Int]
+    val q = in.toDF().select(col("value").as("id"))
+      .writeStream.format("gvt").option("path", root)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      in.addData(1 to 10: _*); q.processAllAvailable()
+      in.addData(11 to 15: _*); q.processAllAvailable()
+      assert(VersionedTable.readLatest(spark, root)
+        .as[Int].collect().toSet == (1 to 15).toSet)
+      val ops = VersionedTable.history(spark, root)
+        .select("operation").as[String].collect().toSeq
+      assert(ops.count(_ == "APPEND") == 1 && ops.count(_ == "WRITE") == 1)
+      // the batch dir holds only its delta (O(batch) commit)
+      assert(spark.read.parquet(s"$root/v=2").count() == 5)
+      // the applied watermark rides the snapshot
+      assert(VersionedTable.readMetaLatest(root, "_batch").isDefined)
+    } finally q.stop()
+  }
+
+  test("complete mode overwrites the maintained aggregate snapshot per batch") {
+    val dir = Files.createTempDirectory("graft_gvtsink_c").toString
+    val root = s"$dir/t"
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Int]
+    val agg = in.toDF().select((col("value") % 3).as("grp"))
+      .groupBy("grp").agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("gvt").option("path", root)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      in.addData(1 to 9: _*); q.processAllAvailable()
+      assert(VersionedTable.readLatest(spark, root)
+        .as[(Long, Long)].collect().toMap == Map(0L -> 3L, 1L -> 3L, 2L -> 3L))
+      in.addData(12, 15) // two more grp=0
+      q.processAllAvailable()
+      assert(VersionedTable.readLatest(spark, root)
+        .as[(Long, Long)].collect().toMap == Map(0L -> 5L, 1L -> 3L, 2L -> 3L))
+      // each batch = one atomic full snapshot; the previous stays
+      // time-travelable
+      assert(VersionedTable.committedVersions(root).size >= 2)
+    } finally q.stop()
+  }
+
+  test("update mode merges micro-batches by key; missing keys option is rejected") {
+    val dir = Files.createTempDirectory("graft_gvtsink_u").toString
+    val root = s"$dir/t"
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Int, String)]
+    val q = in.toDF().select(col("_1").as("k"), col("_2").as("v"))
+      .writeStream.outputMode("update")
+      .format("gvt").option("path", root).option("keys", "k")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      in.addData((1, "a"), (2, "b")); q.processAllAvailable()
+      in.addData((2, "B"), (3, "c")); q.processAllAvailable()
+      assert(VersionedTable.readLatest(spark, root)
+        .as[(Int, String)].collect().toMap == Map(1 -> "a", 2 -> "B", 3 -> "c"))
+    } finally q.stop()
+    intercept[IllegalArgumentException] {
+      in.toDF().writeStream.outputMode("update")
+        .format("gvt").option("path", s"$dir/t2")
+        .option("checkpointLocation", s"$dir/ckpt2").start()
+    }
+  }
+}
