@@ -411,6 +411,26 @@ object RelationalQueries {
         .orderBy(col("status"))
     }),
 
+    // DELETION-VECTOR UPDATE: O(changed) commits — each version holds
+    // only the updated copies + the old positions' vector. A DV delete
+    // then a DV update stack; readLatest must equal the oracle's plain
+    // row-set arithmetic.
+    "q_update_dv" -> ((s, dir) => {
+      val out = tmpDir("graft_dvu")
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      val root = s"$out/t"
+      graft.sources.VersionedTable.write(o, root)
+      graft.sources.VersionedTable.deleteWhereVector(s, root, col("k") % 13 === 0)
+      graft.sources.VersionedTable.updateWhereVector(s, root, col("k") % 7 === 0,
+        Map("cents" -> (col("cents") + 100000L), "status" -> lit("U")))
+      graft.sources.VersionedTable.readLatest(s, root)
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+        .orderBy(col("status"))
+    }),
+
     // CDF-FED incremental JOIN-view maintenance — the counting-algorithm
     // generalization of q_incremental_join (which is insert-only with
     // synthesized deltas): BOTH sides of V = A ⋈ B are versioned tables
@@ -1174,6 +1194,18 @@ object RelationalQueries {
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM o WHERE k % 13 <> 0 AND k % 7 <> 0
         |GROUP BY status ORDER BY status""".stripMargin,
+
+    // DV storage is invisible to semantics: survivors of the delete,
+    // repriced/restatused where k%7=0.
+    "q_update_dv" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE o_orderstatus END AS status,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |      + CASE WHEN o_orderkey % 7 = 0 THEN 100000 ELSE 0 END AS cents
+        |  FROM orders WHERE o_orderkey % 13 <> 0)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM o GROUP BY status ORDER BY status""".stripMargin,
 
     // Change-type counts follow directly from the DML predicates:
     // deletes = every 13th key; update pairs = every 7th surviving key.

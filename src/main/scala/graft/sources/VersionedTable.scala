@@ -824,6 +824,51 @@ object VersionedTable {
     -1L // unreachable
   }
 
+  /** Row-level UPDATE as a deletion-vector commit: O(changed rows) at
+    * any table size — the commit's version dir holds the UPDATED copies
+    * of the matching rows as data, plus the deletion vector of their
+    * OLD positions; the parent's files are never rewritten. A reader of
+    * the chain unions the new copies in and anti-joins the old
+    * positions out — the same resolution [[deleteWhereVector]] uses, so
+    * stacking, compaction, time travel, vacuum, and the change feed all
+    * compose unchanged ([[updateWhere]] remains the O(table) full-
+    * rewrite alternative). Returns the new version. */
+  def updateWhereVector(spark: SparkSession, root: String,
+                        predicate: org.apache.spark.sql.Column,
+                        assignments: Map[String, org.apache.spark.sql.Column]): Long = {
+    import org.apache.spark.sql.functions.col
+    val v = latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $root"))
+    val tagged = readDirsMeta(spark, dataDirsOf(root, v))
+    val live = chainDvDirs(root, v) match {
+      case Seq() => tagged
+      case dvs => applyDv(spark, tagged, dvs, keepMeta = true)
+    }
+    val hit = live.filter(predicate)
+    val dv = hit.select(col("__gvt_file").as("_dv_file"),
+      col("__gvt_pos").as("_dv_pos"))
+    val updated = assignments.foldLeft(
+      hit.drop("__gvt_file", "__gvt_pos")) { case (df, (c, e)) =>
+      df.withColumn(c, e)
+    }
+    write(updated, root,
+      metaFiles = Map("_dv_parent" -> v.toString),
+      subdirWrites = Map("_dv" -> dv),
+      baseVersion = Some(v), operation = "UPDATE_DV")
+  }
+
+  /** Per-application transaction watermark (Delta `txnAppId`/`txnVersion`
+    * analogue): multiple independent idempotent writers each commit
+    * their own monotonically-increasing version inside the snapshots
+    * they write (`metaFiles = Map(txnKey(appId) -> n)`), and replay
+    * guards read it back chain-walking — the multi-writer
+    * generalization of the single `_batch` watermark the streaming
+    * sinks use. */
+  def txnKey(appId: String): String = s"_txn_$appId"
+
+  def txnVersion(root: String, appId: String): Option[Long] =
+    readMetaLatest(root, txnKey(appId)).map(_.trim.toLong)
+
   /** Row-level DELETE (Delta `DELETE FROM t WHERE p` analogue): commit a
     * new snapshot without the matching rows. Full-rewrite cost model
     * (this table keeps whole-snapshot versions); conditional on the

@@ -21,8 +21,9 @@ import graft.streaming.ChangeFeed
   *
   * Output schema: the table's columns + `_change_type`
   * (insert / delete / update_preimage / update_postimage) +
-  * `_commit_version` (the Delta CDF audit column), fixed at stream
-  * start (schema evolution mid-stream requires a restart, as in Delta).
+  * `_commit_version` + `_commit_timestamp` epoch-millis (the Delta CDF
+  * audit columns), fixed at stream start (schema evolution mid-stream
+  * requires a restart, as in Delta).
   *
   * Per-commit cost follows [[VersionedTable.changes]]: an APPEND commit
   * is its batch directory read straight through (O(batch), no join —
@@ -72,7 +73,8 @@ private[gvt] object GvtCdfSource {
     StructType(
       VersionedTable.readVersion(sqlContext.sparkSession, root, v).schema.fields
         :+ StructField("_change_type", StringType, nullable = false)
-        :+ StructField("_commit_version", LongType, nullable = false))
+        :+ StructField("_commit_version", LongType, nullable = false)
+        :+ StructField("_commit_timestamp", LongType, nullable = true))
   }
 }
 
@@ -107,7 +109,7 @@ private[gvt] class GvtCdfSource(sqlContext: SQLContext,
     val chain = VersionedTable.committedVersions(root)
     val pairs = chain.zip(None +: chain.init.map(Option(_)))
       .filter { case (v, _) => v > fromV && v <= endV }
-    val outCols = schema.fieldNames.dropRight(1).toSeq // + _commit_version below
+    val outCols = schema.fieldNames.dropRight(2).toSeq // + audit cols below
     val feeds = pairs.flatMap { case (v, pred) =>
       val isAppend = pred.exists(p =>
         VersionedTable.readMeta(root, v, "_parent").map(_.trim.toLong).contains(p))
@@ -129,8 +131,10 @@ private[gvt] class GvtCdfSource(sqlContext: SQLContext,
           s"$root: commit v=$v rewrites the snapshot and no 'keys' option " +
             "was given — pass keys=<cols> for diff feeds or " +
             "skipChangeCommits=true to ignore rewrite commits")
+      val ts = VersionedTable.readMeta(root, v, "_commit_ts").map(_.trim.toLong)
       feedOpt.map(f =>
-        f.select(outCols.map(col) :+ lit(v).as("_commit_version"): _*))
+        f.select(outCols.map(col) :+ lit(v).as("_commit_version") :+
+          lit(ts.orNull).cast("long").as("_commit_timestamp"): _*))
     }
     val batch =
       if (feeds.isEmpty)

@@ -131,6 +131,12 @@ class DefaultSource extends RelationProvider
     if (outputMode == OutputMode.Update() && keys.isEmpty)
       throw new IllegalArgumentException(
         "gvt sink: Update mode merges by key — pass option keys=<cols>")
+    // Delta auto-compaction analogue: once the append chain reaches
+    // this many version dirs, fold it into one full snapshot (bounds
+    // both the small-file count and per-read chain resolution; the
+    // compacted commit carries the _batch watermark, so replay safety
+    // is unaffected)
+    val autoCompactEvery = parameters.get("autoCompactEvery").map(_.trim.toInt)
     new Sink {
       override def addBatch(batchId: Long, data: DataFrame): Unit = {
         val batch = StreamingBridge.asBatch(data)
@@ -165,6 +171,11 @@ class DefaultSource extends RelationProvider
           case _ =>
             VersionedTable.append(batch, root, metaFiles = meta,
               statsCols = statsCols)
+            for (n <- autoCompactEvery) {
+              val tip = VersionedTable.latestVersion(root).get
+              if (VersionedTable.dataDirsOf(root, tip).size >= n)
+                VersionedTable.compact(batch.sparkSession, root)
+            }
         }
         ()
       }

@@ -29,6 +29,9 @@ class GvtCdfSpec extends AnyFunSuite {
       // bootstrap commit: all-insert snapshot tagged v1; append tagged v2
       assert(got.filter(col("_commit_version") === 1).count() == 50)
       assert(got.filter(col("_commit_version") === 2).count() == 10)
+      // the _commit_timestamp audit column carries each commit's wall clock
+      assert(got.filter(col("_commit_timestamp").isNull).count() == 0)
+      assert(got.select("_commit_version", "_commit_timestamp").distinct().count() == 2)
       assert(got.select("_change_type").distinct().as[String].collect().toSeq ==
         Seq("insert"))
       // commits landing while the stream runs arrive incrementally —

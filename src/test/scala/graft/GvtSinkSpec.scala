@@ -37,6 +37,27 @@ class GvtSinkSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("autoCompactEvery folds the append chain once it reaches the threshold") {
+    val dir = Files.createTempDirectory("graft_gvtsink_ac").toString
+    val root = s"$dir/t"
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Int]
+    val q = in.toDF().select(col("value").as("id"))
+      .writeStream.format("gvt").option("path", root)
+      .option("autoCompactEvery", "3")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      for (b <- 0 until 4) { in.addData(b * 10 + 1 to b * 10 + 10: _*); q.processAllAvailable() }
+      // batches 1-2 append; batch 3 reaches chain length 3 → compact
+      val ops = VersionedTable.history(spark, root)
+        .select("operation").as[String].collect().toSeq
+      assert(ops.contains("COMPACT"), s"expected auto-compaction, got $ops")
+      assert(VersionedTable.readLatest(spark, root).count() == 40)
+      // the watermark survived the fold — a replayed batch still no-ops
+      assert(VersionedTable.readMetaLatest(root, "_batch").isDefined)
+    } finally q.stop()
+  }
+
   test("complete mode overwrites the maintained aggregate snapshot per batch") {
     val dir = Files.createTempDirectory("graft_gvtsink_c").toString
     val root = s"$dir/t"

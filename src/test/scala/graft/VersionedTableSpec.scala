@@ -669,6 +669,36 @@ class VersionedTableSpec extends AnyFunSuite {
       .as[String].collect().count(_ == "DELETE_DV") == 0) // vacuumed away
   }
 
+  test("updateWhereVector: O(changed) commit — updated copies + old-position vector") {
+    val root = Files.createTempDirectory("graft_vt_dvu").toString
+    VersionedTable.write((1 to 1000).toDF("id")
+      .withColumn("v", col("id") * 10L).repartition(4), root) // v1
+    VersionedTable.updateWhereVector(spark, root, col("id") % 100 === 0,
+      Map("v" -> (col("v") + 1L))) // v2
+    // O(changed): the commit dir holds exactly the 10 updated copies
+    assert(spark.read.parquet(s"$root/v=2").count() == 10)
+    assert(spark.read.parquet(s"$root/v=2/_dv").count() == 10)
+    // semantics: updated rows changed, everything else intact, no dups
+    val live = VersionedTable.readLatest(spark, root)
+    assert(live.count() == 1000)
+    assert(live.filter(col("id") % 100 === 0)
+      .select("v").as[Long].collect().toSet ==
+      (1 to 10).map(i => i * 100L * 10L + 1L).toSet)
+    assert(live.filter(col("id") === 50).select("v").as[Long].head() == 500L)
+    // stacked on a DV delete, and CDF classifies the update pairs
+    VersionedTable.deleteWhereVector(spark, root, col("id") === 100) // v3
+    assert(VersionedTable.readLatest(spark, root).count() == 999)
+    val feed = VersionedTable.changes(spark, root, 1L, 2L, Seq("id"))
+    assert(feed.filter(col("_change_type") === "update_postimage").count() == 10)
+    // txn watermark helper: per-app versions resolve chain-walking
+    VersionedTable.append((1001 to 1002).toDF("id")
+      .withColumn("v", col("id") * 10L), root,
+      metaFiles = Map(VersionedTable.txnKey("loaderA") -> "7"))
+    VersionedTable.deleteWhereVector(spark, root, col("id") === 1001)
+    assert(VersionedTable.txnVersion(root, "loaderA") == Some(7L))
+    assert(VersionedTable.txnVersion(root, "loaderB").isEmpty)
+  }
+
   test("mergeInto applies clause-level MERGE: delete, conditional update, insert") {
     val root = Files.createTempDirectory("graft_vt_mc").toString
     VersionedTable.write(Seq((1, "F", 10L), (2, "O", 20L), (3, "F", 30L))
