@@ -42,6 +42,12 @@ import graft.streaming.ChangeFeed
   *    [[ChangeFeed.CursorBehindRetention]] rather than double-emitting.
   *  - `skipChangeCommits`: skip rewrite commits instead of failing
   *    when no `keys` are given.
+  *  - `maxVersionsPerTrigger`: cap how many source commits one
+  *    micro-batch may cover (the Delta `maxFilesPerTrigger` trade: a
+  *    backlogged stream catches up in bounded batches instead of one
+  *    giant one). The cap window tracks the last served/committed
+  *    offset — including the checkpointed one on restart
+  *    (deserializeOffset) — so recovery can never stall below it.
   */
 class GvtCdfSourceProvider extends StreamSourceProvider with DataSourceRegister {
 
@@ -88,24 +94,51 @@ private[gvt] class GvtCdfSource(sqlContext: SQLContext,
     parameters.get("startingVersion").map(_.trim.toLong).getOrElse(0L)
   private val skipChangeCommits =
     parameters.get("skipChangeCommits").exists(_.trim.toBoolean)
+  private val maxVersionsPerTrigger =
+    parameters.get("maxVersionsPerTrigger").map(_.trim.toInt)
 
   override val schema: StructType =
     GvtCdfSource.feedSchema(sqlContext, parameters)
 
   private def spark = sqlContext.sparkSession
 
-  override def getOffset: Option[Offset] =
-    VersionedTable.committedVersions(root).lastOption
-      .filter(_ > startingVersion).map(LongOffset(_))
+  /** High-water mark of offsets this source has served or seen
+    * committed (checkpoint restores included) — the base the
+    * rate-limit window advances from. */
+  private val servedV =
+    new java.util.concurrent.atomic.AtomicLong(startingVersion)
+
+  private def bump(v: Long): Unit =
+    servedV.updateAndGet(cur => math.max(cur, v))
+
+  override def getOffset: Option[Offset] = {
+    val chain = VersionedTable.committedVersions(root)
+    val capped = maxVersionsPerTrigger match {
+      case Some(n) =>
+        // serve at most n COMMITS past the high-water mark (version
+        // numbers may have gaps, so count chain entries, not ids)
+        chain.filter(_ > servedV.get).take(n).lastOption
+          .orElse(chain.lastOption)
+      case None => chain.lastOption
+    }
+    capped.filter(_ > startingVersion).map(LongOffset(_))
+  }
 
   /** `LongOffset.json` is the bare version number, so parsing `json`
     * handles both live LongOffsets and checkpoint-restored
     * SerializedOffsets. */
   private def versionOf(o: Offset): Long = o.json.trim.toLong
 
+  override def deserializeOffset(json: String)
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    bump(json.trim.toLong) // checkpointed progress — never stall below it
+    LongOffset(json.trim.toLong)
+  }
+
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val fromV = start.map(versionOf).getOrElse(startingVersion)
     val endV = versionOf(end)
+    bump(endV)
     val chain = VersionedTable.committedVersions(root)
     val pairs = chain.zip(None +: chain.init.map(Option(_)))
       .filter { case (v, _) => v > fromV && v <= endV }
@@ -144,6 +177,6 @@ private[gvt] class GvtCdfSource(sqlContext: SQLContext,
     StreamingBridge.asStreaming(batch)
   }
 
-  override def commit(end: Offset): Unit = ()
+  override def commit(end: Offset): Unit = bump(versionOf(end))
   override def stop(): Unit = ()
 }

@@ -99,6 +99,29 @@ class GvtCdfSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("maxVersionsPerTrigger bounds the commits per micro-batch on a backlog") {
+    val dir = freshDir()
+    val root = s"$dir/t"
+    VersionedTable.write((1 to 10).toDF("k"), root)
+    VersionedTable.append((11 to 20).toDF("k"), root)
+    VersionedTable.append((21 to 30).toDF("k"), root)
+    val batches = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = spark.readStream.format("gvt-cdf")
+      .option("maxVersionsPerTrigger", "1").load(root)
+      .writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        batches.synchronized { batches += ((id, df.count())) }; ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      val counts = batches.synchronized(batches.toSeq).map(_._2)
+      // three pending commits, cap 1 → three separate micro-batches
+      assert(counts == Seq(10L, 10L, 10L),
+        s"backlog must drain one commit per trigger, got $counts")
+    } finally q.stop()
+  }
+
   test("vacuum past the stream checkpoint fails the source instead of re-emitting") {
     val dir = freshDir()
     val root = s"$dir/t"
