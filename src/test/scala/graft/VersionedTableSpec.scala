@@ -699,6 +699,37 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.txnVersion(root, "loaderB").isEmpty)
   }
 
+  test("racing DV delete vs append: the commit marker arbitrates, state stays consistent") {
+    val root = Files.createTempDirectory("graft_vt_dvrace").toString
+    VersionedTable.write((1 to 100).toDF("id"), root) // v1
+    val errors = new java.util.concurrent.atomic.AtomicInteger(0)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val ts = Seq(
+      () => VersionedTable.deleteWhereVector(spark, root, col("id") <= 10),
+      () => VersionedTable.append((101 to 110).toDF("id"), root)
+    ).map { op =>
+      new Thread(() => {
+        start.await()
+        try { op(); () }
+        catch { case _: VersionedTable.ConcurrentWriteException =>
+          errors.incrementAndGet(); () }
+      })
+    }
+    ts.foreach(_.start()); start.countDown(); ts.foreach(_.join())
+    val n = VersionedTable.readLatest(spark, root).count()
+    if (errors.get == 1)
+      // exactly one commit landed: either the delete (90) or the append (110)
+      assert(n == 90 || n == 110, s"inconsistent post-race state: $n rows")
+    else {
+      // both landed (serialized by timing): order-independent result
+      assert(errors.get == 0 && n == 100, s"errors=${errors.get}, rows=$n")
+    }
+    // the chain stays linear and readable either way
+    assert(VersionedTable.committedVersions(root).nonEmpty)
+    assert(VersionedTable.history(spark, root).count() ==
+      VersionedTable.committedVersions(root).size)
+  }
+
   test("mergeInto applies clause-level MERGE: delete, conditional update, insert") {
     val root = Files.createTempDirectory("graft_vt_mc").toString
     VersionedTable.write(Seq((1, "F", 10L), (2, "O", 20L), (3, "F", 30L))
