@@ -753,6 +753,29 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.readLatest(spark, root).count() == 3)
   }
 
+  test("generated partition key: computed on every append, pruning trustworthy") {
+    val root = Files.createTempDirectory("graft_vt_genpart").toString
+    // the canonical Delta use: a derived partition key that writers can
+    // never set inconsistently with its source column
+    VersionedTable.addGeneratedColumn(spark, root, "bucket", "id % 3")
+    val mk = (r: Range) => r.toDF("id") // writers OMIT the generated column
+    VersionedTable.write(mk(1 to 30), root, partitionBy = Seq("bucket"))
+    VersionedTable.append(mk(31 to 45), root)
+    // both commits materialized the column and followed the layout
+    val v2dirs = new java.io.File(s"$root/v=2").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(v2dirs == Seq("bucket=0", "bucket=1", "bucket=2"))
+    val live = VersionedTable.readLatest(spark, root)
+    assert(live.count() == 45)
+    assert(live.filter(col("bucket") =!= col("id") % 3).count() == 0)
+    // a writer supplying a DISAGREEING value is rejected (pruning would
+    // silently return wrong results if this committed)
+    intercept[VersionedTable.CheckConstraintViolation] {
+      VersionedTable.append(
+        mk(46 to 50).withColumn("bucket", lit(99)), root)
+    }
+  }
+
   test("readMetaLatest walks past non-sink commits to the newest watermark") {
     val root = Files.createTempDirectory("graft_vt_metawalk").toString
     VersionedTable.write((1 to 10).toDF("id"), root,
