@@ -326,6 +326,27 @@ object RelationalQueries {
         .orderBy(col("status"))
     }),
 
+    // Chain-folding compaction (Delta OPTIMIZE's bin-packing shape):
+    // three O(batch) commits, then compactChain folds ONLY the two
+    // batch dirs into one consolidated append off the untouched base —
+    // O(appended) maintenance at any table size. The post-fold
+    // aggregate must equal the raw table's.
+    "q_compact_chain" -> ((s, dir) => {
+      val out = tmpDir("graft_cchainq")
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      val root = s"$out/t"
+      graft.sources.VersionedTable.write(o.filter(col("k") % 3 === 0), root)
+      graft.sources.VersionedTable.append(o.filter(col("k") % 3 === 1), root)
+      graft.sources.VersionedTable.append(o.filter(col("k") % 3 === 2), root)
+      graft.sources.VersionedTable.compactChain(s, root)
+      graft.sources.VersionedTable.readLatest(s, root)
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+        .orderBy(col("status"))
+    }),
+
     // APPEND chain over a HIVE-PARTITIONED table — the 100 TB standard
     // combination (a partitioned fact table ingested by O(batch)
     // appends; reference partitions its fact by eval_set,
@@ -1132,6 +1153,12 @@ object RelationalQueries {
 
     // The chain union must equal the raw table: same aggregate directly.
     "q_append_chain" ->
+      """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin,
+
+    // Folding the batches is invisible to the aggregate.
+    "q_compact_chain" ->
       """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin,

@@ -1169,6 +1169,75 @@ object VersionedTable {
     write(readVersion(spark, root, version), root, allowEvolution = true,
       operation = s"RESTORE(v=$version)")
 
+  /** The live snapshot dir's carry-able meta files (watermarks, txn
+    * versions) — everything but the chain links, which describe THIS
+    * version's storage, not the table state. */
+  private def carriedMetaOf(root: String, v: Long): Map[String, String] = {
+    val dir = new HPath(s"$root/v=$v")
+    val fc = fcOf(dir)
+    fc.util.listStatus(dir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith("_") &&
+        st.getPath.getName != "_SUCCESS" && st.getPath.getName != "_parent" &&
+        st.getPath.getName != "_dv_parent")
+      .flatMap(st => readString(st.getPath).map(st.getPath.getName -> _))
+      .toMap
+  }
+
+  /** Chain-folding compaction — Delta OPTIMIZE's bin-packing shape: fold
+    * ONLY the append chain's batch directories into one consolidated
+    * APPEND commit off the chain base. The base snapshot's files are
+    * NEVER rewritten, so cost is O(appended data) at any table size —
+    * the right periodic maintenance for a 100 TB fact table ingested by
+    * O(batch) commits, where [[compact]]'s full-snapshot rewrite is
+    * reserved for deletion-vector materialization and layout changes
+    * (z-order, re-partitioning). The tip's meta files (sink watermarks,
+    * txn versions) carry into the folded commit, so replay guards
+    * survive retention reclaiming the folded-away tips. Partitioned
+    * chains fold in the base's layout. No-op (returns the live version)
+    * on chains of ≤ 1 batch dir; chains carrying deletion vectors must
+    * use [[compact]] (the vectors have to materialize). When
+    * `statsCols` is empty and EVERY batch dir carries stats, the folded
+    * commit re-collects stats for the same columns, so chain-union data
+    * skipping keeps working after the fold. */
+  def compactChain(spark: SparkSession, root: String,
+                   targetFileBytes: Long = 128L * 1024 * 1024,
+                   statsCols: Seq[String] = Seq.empty): Long = {
+    val v = latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $root"))
+    require(chainDvDirs(root, v).isEmpty,
+      s"$root: chain carries deletion vectors — use compact() to materialize them")
+    val dirs = dataDirsOf(root, v)
+    if (dirs.size <= 2) return v // base + at most one batch: nothing to fold
+    val baseDir = dirs.head
+    val baseV = baseDir.substring(baseDir.lastIndexOf("v=") + 2).toLong
+    val batchDirs = dirs.tail
+    val fc = fcOf(new HPath(root))
+    def sizeOf(p: HPath): Long = fc.util.listStatus(p).map { st =>
+      if (st.isDirectory) sizeOf(st.getPath) else st.getLen
+    }.sum
+    val bytes = batchDirs.map(d => sizeOf(new HPath(d))).sum
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val parts = partColsOf(new HPath(baseDir))
+    // re-stat the folded batch if every folded dir was statted
+    val stats =
+      if (statsCols.nonEmpty) statsCols
+      else {
+        val perDir = batchDirs.map { d =>
+          val p = new HPath(s"$d/_stats")
+          if (!fcOf(p).util.exists(p)) Set.empty[String]
+          else spark.read.parquet(s"$d/_stats").schema.fieldNames
+            .filter(_.startsWith("min_")).map(_.stripPrefix("min_")).toSet
+        }
+        if (perDir.nonEmpty && perDir.forall(_.nonEmpty))
+          perDir.reduce(_ intersect _).toSeq.sorted
+        else Seq.empty
+      }
+    write(readDirs(spark, batchDirs).coalesce(nFiles), root,
+      partitionBy = parts, statsCols = stats,
+      metaFiles = carriedMetaOf(root, v) + ("_parent" -> baseV.toString),
+      baseVersion = Some(v), operation = "COMPACT_CHAIN")
+  }
+
   /** Small-file compaction (OPTIMIZE analogue): rewrite the latest
     * snapshot into ⌈bytes / targetFileBytes⌉ files per partition as a new
     * version. Streaming/incremental MERGEs accrete a file per batch; at
@@ -1203,15 +1272,8 @@ object VersionedTable {
     // watermark of an additive streaming writer) into the compacted
     // version — compaction must not erase transactional metadata, or a
     // post-compaction checkpoint replay would re-apply a batch
-    // ("_parent"/"_dv_parent" must NOT carry: the compacted snapshot is
-    // FULL — a carried chain link would make readers union the folded
-    // chain's rows in twice / re-apply materialized deletion vectors)
-    val carriedMeta: Map[String, String] = fc.util.listStatus(dir).toSeq
-      .filter(st => st.isFile && st.getPath.getName.startsWith("_") &&
-        st.getPath.getName != "_SUCCESS" && st.getPath.getName != "_parent" &&
-        st.getPath.getName != "_dv_parent")
-      .flatMap(st => readString(st.getPath).map(st.getPath.getName -> _))
-      .toMap
+    // (chain links must NOT carry: the compacted snapshot is FULL)
+    val carriedMeta = carriedMetaOf(root, v)
     def sizeOf(p: HPath): Long = fc.util.listStatus(p).map { st =>
       if (st.isDirectory) sizeOf(st.getPath) else st.getLen
     }.sum

@@ -132,10 +132,10 @@ class DefaultSource extends RelationProvider
       throw new IllegalArgumentException(
         "gvt sink: Update mode merges by key — pass option keys=<cols>")
     // Delta auto-compaction analogue: once the append chain reaches
-    // this many version dirs, fold it into one full snapshot (bounds
-    // both the small-file count and per-read chain resolution; the
-    // compacted commit carries the _batch watermark, so replay safety
-    // is unaffected)
+    // this many version dirs, FOLD THE BATCHES (compactChain — the base
+    // snapshot's files are never rewritten, so the fold costs
+    // O(appended data) however large the table). The folded commit
+    // carries the _batch watermark, so replay safety is unaffected.
     val autoCompactEvery = parameters.get("autoCompactEvery").map(_.trim.toInt)
     new Sink {
       override def addBatch(batchId: Long, data: DataFrame): Unit = {
@@ -174,7 +174,8 @@ class DefaultSource extends RelationProvider
             for (n <- autoCompactEvery) {
               val tip = VersionedTable.latestVersion(root).get
               if (VersionedTable.dataDirsOf(root, tip).size >= n)
-                VersionedTable.compact(batch.sparkSession, root)
+                VersionedTable.compactChain(batch.sparkSession, root,
+                  statsCols = statsCols)
             }
         }
         ()

@@ -48,10 +48,11 @@ class GvtSinkSpec extends AnyFunSuite {
       .option("checkpointLocation", s"$dir/ckpt").start()
     try {
       for (b <- 0 until 4) { in.addData(b * 10 + 1 to b * 10 + 10: _*); q.processAllAvailable() }
-      // batches 1-2 append; batch 3 reaches chain length 3 → compact
+      // batches 1-2 append; batch 3 reaches chain length 3 → the sink
+      // FOLDS the batch dirs (base files never rewritten)
       val ops = VersionedTable.history(spark, root)
         .select("operation").as[String].collect().toSeq
-      assert(ops.contains("COMPACT"), s"expected auto-compaction, got $ops")
+      assert(ops.contains("COMPACT_CHAIN"), s"expected auto-compaction, got $ops")
       assert(VersionedTable.readLatest(spark, root).count() == 40)
       // the watermark survived the fold — a replayed batch still no-ops
       assert(VersionedTable.readMetaLatest(root, "_batch").isDefined)

@@ -753,6 +753,37 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.readLatest(spark, root).count() == 3)
   }
 
+  test("compactChain folds ONLY the batch dirs: base never rewritten, O(appended) cost") {
+    val root = Files.createTempDirectory("graft_vt_cchain").toString
+    VersionedTable.write((1 to 1000).toDF("id").repartition(4), root,
+      statsCols = Seq("id"), metaFiles = Map("_batch" -> "0"))     // v1 base
+    VersionedTable.append((1001 to 1100).toDF("id"), root,
+      statsCols = Seq("id"), metaFiles = Map("_batch" -> "1"))     // v2
+    VersionedTable.append((1101 to 1200).toDF("id"), root,
+      statsCols = Seq("id"), metaFiles = Map("_batch" -> "2"))     // v3
+    val baseFiles = spark.read.parquet(s"$root/v=1").inputFiles.sorted.toSeq
+    val vF = VersionedTable.compactChain(spark, root)
+    // the base snapshot's files are EXACTLY the ones from before
+    assert(spark.read.parquet(s"$root/v=1").inputFiles.sorted.toSeq == baseFiles)
+    // the folded commit is an append off the base holding both batches
+    assert(VersionedTable.readMeta(root, vF, "_parent").map(_.trim) == Some("1"))
+    assert(spark.read.parquet(s"$root/v=$vF").count() == 200)
+    assert(VersionedTable.readLatest(spark, root).count() == 1200)
+    // batch stats were re-collected: chain pruning keeps working
+    val pruned = VersionedTable.readPruned(spark, root, "id", 1050, 1060)
+    assert(pruned.count() == 11)
+    assert(pruned.inputFiles.forall(!_.contains("/v=1/")),
+      "a batch-range predicate must skip every base file")
+    // the watermark carried into the fold: retention can reclaim the
+    // folded-away tips without losing replay safety
+    VersionedTable.vacuum(root, keep = 1, orphanGraceMs = 0L, retainMinMs = 0L)
+    assert(VersionedTable.versions(root).toSet == Set(1L, vF))
+    assert(VersionedTable.readLatest(spark, root).count() == 1200)
+    assert(VersionedTable.readMetaLatest(root, "_batch").map(_.trim) == Some("2"))
+    // ≤1 batch in the chain: folding is a no-op
+    assert(VersionedTable.compactChain(spark, root) == vF)
+  }
+
   test("generated partition key: computed on every append, pruning trustworthy") {
     val root = Files.createTempDirectory("graft_vt_genpart").toString
     // the canonical Delta use: a derived partition key that writers can
