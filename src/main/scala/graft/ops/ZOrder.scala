@@ -48,6 +48,33 @@ object ZOrder {
   def zorder2Sql(a: String, b: String): String =
     s"(${spreadSql(a)} | (${spreadSql(b)} << 1))"
 
+  /** N-column Morton code (Delta `ZORDER BY (c1, …, ck)` for arbitrary
+    * k): bit i of column j lands at position i·k + j. Generic
+    * bit-by-bit build — k·bits shift/mask terms, all codegen'd integer
+    * ops (the 2-column case keeps the 5-step magic-mask [[zorder2]]).
+    * Inputs must already be `bits`-wide bucket values
+    * ([[rangeBucket]]); k·bits ≤ 63. */
+  def zorderN(cols: Seq[Column], bits: Int): Column = {
+    val k = cols.size
+    require(k >= 2 && k * bits <= 63,
+      s"zorderN needs ≥2 columns with k*bits ≤ 63, got k=$k bits=$bits")
+    cols.zipWithIndex.map { case (c, j) =>
+      (0 until bits).map { i =>
+        shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * k + j)
+      }.reduce(_ bitwiseOR _)
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** [[zorderN]] as SQL text from the same bit placement — single
+    * source of truth for the DuckDB oracle. */
+  def zorderNSql(cols: Seq[String], bits: Int): String = {
+    val k = cols.size
+    cols.zipWithIndex.map { case (c, j) =>
+      (0 until bits).map(i =>
+        s"((((${c}) >> $i) & 1) << ${i * k + j})").mkString("(", " | ", ")")
+    }.mkString("(", " | ", ")")
+  }
+
   /** Range-normalized bucket in [0, 2^bits): interleaving RAW keys of
     * unequal ranges destroys locality (the wide key's high bits dominate
     * every other bit position — measured WORSE than a single-key sort on

@@ -814,6 +814,27 @@ object RelationalQueries {
         .orderBy(col("zkey"), col("l_orderkey"), col("l_partkey"))
     }),
 
+    // N-column Morton key (ZORDER BY over MORE than two columns): bit i
+    // of bucket j lands at position i·k + j — the oracle rebuilds the
+    // exact placement from the shared zorderNSql, so the key itself is
+    // hash-verified cross-engine at k=3.
+    "q_zorder3" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val mm = li.agg(
+        min(col("l_orderkey")).as("amin"), max(col("l_orderkey")).as("amax"),
+        min(col("l_partkey")).as("bmin"), max(col("l_partkey")).as("bmax"),
+        min(col("l_suppkey")).as("cmin"), max(col("l_suppkey")).as("cmax"))
+      li.crossJoin(broadcast(mm))
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          ZOrder.rangeBucket(col("l_orderkey"), col("amin"), col("amax"), 8).as("ba"),
+          ZOrder.rangeBucket(col("l_partkey"), col("bmin"), col("bmax"), 8).as("bb"),
+          ZOrder.rangeBucket(col("l_suppkey"), col("cmin"), col("cmax"), 8).as("bc"))
+        .localCheckpoint()
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          ZOrder.zorderN(Seq(col("ba"), col("bb"), col("bc")), 8).as("zkey"))
+        .orderBy(col("zkey"), col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    }),
+
     // Approximate sketch aggregates — the 100 TB substitutes for exact
     // countDistinct/percentile (HyperLogLog++ / KLL-style, constant
     // memory, single pass, mergeable across partitions — no giant
@@ -1123,6 +1144,23 @@ object RelationalQueries {
          |  ${ZOrder.zorder2Sql("ba", "bb")} AS zkey
          |FROM bk
          |ORDER BY zkey, l_orderkey, l_partkey""".stripMargin,
+
+    "q_zorder3" ->
+      s"""WITH mm AS (
+         |  SELECT min(l_orderkey) AS amin, max(l_orderkey) AS amax,
+         |         min(l_partkey) AS bmin, max(l_partkey) AS bmax,
+         |         min(l_suppkey) AS cmin, max(l_suppkey) AS cmax
+         |  FROM lineitem),
+         |bk AS (
+         |  SELECT l_orderkey, l_partkey, l_suppkey,
+         |    ${ZOrder.rangeBucketSql("l_orderkey", "amin", "amax", 8)} AS ba,
+         |    ${ZOrder.rangeBucketSql("l_partkey", "bmin", "bmax", 8)} AS bb,
+         |    ${ZOrder.rangeBucketSql("l_suppkey", "cmin", "cmax", 8)} AS bc
+         |  FROM lineitem CROSS JOIN mm)
+         |SELECT l_orderkey, l_partkey, l_suppkey,
+         |  ${ZOrder.zorderNSql(Seq("ba", "bb", "bc"), 8)} AS zkey
+         |FROM bk
+         |ORDER BY zkey, l_orderkey, l_partkey, l_suppkey""".stripMargin,
 
     // The from-scratch rebuild over the final row set: (base \ deletes)
     // ∪ inserts = keys where k%10==0 OR (k%10<>0 AND k%7<>0). The

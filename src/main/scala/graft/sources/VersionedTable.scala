@@ -1288,23 +1288,30 @@ object VersionedTable {
     val (rewritten, op) =
       if (zorderBy.isEmpty) (snap.coalesce(nFiles), "COMPACT")
       else {
-        require(zorderBy.size == 2,
-          s"zorderBy takes exactly 2 columns (Morton interleave), got $zorderBy")
+        require(zorderBy.size >= 2 && zorderBy.size <= 4,
+          s"zorderBy takes 2-4 columns (Morton interleave), got $zorderBy")
         require(parts.isEmpty,
           "zorderBy inside a hive-partitioned snapshot is not supported")
         import org.apache.spark.sql.functions.{col, lit, min, max}
-        val Seq(a, b) = zorderBy
         // O(1)-row driver agg: per-column bounds for the range bucketing
-        val r = snap.agg(min(col(a)).cast("double"), max(col(a)).cast("double"),
-          min(col(b)).cast("double"), max(col(b)).cast("double")).head
-        if (r.isNullAt(0) || r.isNullAt(2))
+        val aggs = zorderBy.flatMap(c =>
+          Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+        val r = snap.agg(aggs.head, aggs.tail: _*).head
+        if ((0 until zorderBy.size).exists(j => r.isNullAt(2 * j)))
           // empty snapshot / all-NULL z-order keys: nothing to cluster —
           // plain coalesce rewrite instead of an NPE on the bounds
           (snap.coalesce(nFiles), "COMPACT")
         else {
-          val zk = graft.ops.ZOrder.zorder2(
-            graft.ops.ZOrder.rangeBucket(col(a), lit(r.getDouble(0)), lit(r.getDouble(1)), 16),
-            graft.ops.ZOrder.rangeBucket(col(b), lit(r.getDouble(2)), lit(r.getDouble(3)), 16))
+          // 2 columns: 16-bit buckets + the 5-step magic-mask spread;
+          // k>2: generic bit placement at 63/k-capped width
+          val bits = math.min(16, 63 / zorderBy.size)
+          val buckets = zorderBy.zipWithIndex.map { case (c, j) =>
+            graft.ops.ZOrder.rangeBucket(col(c),
+              lit(r.getDouble(2 * j)), lit(r.getDouble(2 * j + 1)), bits)
+          }
+          val zk =
+            if (zorderBy.size == 2) graft.ops.ZOrder.zorder2(buckets(0), buckets(1))
+            else graft.ops.ZOrder.zorderN(buckets, bits)
           (snap.withColumn("_zk", zk)
             .repartitionByRange(nFiles, col("_zk"))
             .sortWithinPartitions(col("_zk"))

@@ -69,23 +69,34 @@ private[gvt] object GvtCdfSource {
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "gvt-cdf: 'path' option (the table root) is required"))
 
-  def feedSchema(sqlContext: SQLContext,
-                 parameters: Map[String, String]): StructType = {
+  def tableSchema(sqlContext: SQLContext,
+                  parameters: Map[String, String]): StructType = {
     val root = rootOf(parameters)
     val v = VersionedTable.latestVersion(root).getOrElse(
       throw new IllegalArgumentException(
-        s"gvt-cdf: no versions at $root (the stream reads the schema " +
+        s"gvt streaming: no versions at $root (the stream reads the schema " +
           "from the live snapshot — create the table first)"))
-    StructType(
-      VersionedTable.readVersion(sqlContext.sparkSession, root, v).schema.fields
-        :+ StructField("_change_type", StringType, nullable = false)
-        :+ StructField("_commit_version", LongType, nullable = false)
-        :+ StructField("_commit_timestamp", LongType, nullable = true))
+    VersionedTable.readVersion(sqlContext.sparkSession, root, v).schema
   }
+
+  def feedSchema(sqlContext: SQLContext,
+                 parameters: Map[String, String]): StructType =
+    StructType(tableSchema(sqlContext, parameters).fields
+      :+ StructField("_change_type", StringType, nullable = false)
+      :+ StructField("_commit_version", LongType, nullable = false)
+      :+ StructField("_commit_timestamp", LongType, nullable = true))
 }
 
+/** `rowsOnly = true` is the `spark.readStream.format("gvt")` mode —
+  * Delta's stream-FROM-a-table surface: append commits stream their
+  * batch ROWS (no audit columns), rewrite commits fail loudly unless
+  * `skipChangeCommits` (Delta's option of the same name; its
+  * `ignoreChanges`/`ignoreDeletes` map here too). The offsets, rate
+  * limiting, vacuum-horizon guard and exactly-once checkpointing are
+  * identical to the CDF mode. */
 private[gvt] class GvtCdfSource(sqlContext: SQLContext,
-                                parameters: Map[String, String]) extends Source {
+                                parameters: Map[String, String],
+                                rowsOnly: Boolean = false) extends Source {
 
   private val root = GvtCdfSource.rootOf(parameters)
   private val keys = parameters.get("keys").toSeq
@@ -93,12 +104,14 @@ private[gvt] class GvtCdfSource(sqlContext: SQLContext,
   private val startingVersion =
     parameters.get("startingVersion").map(_.trim.toLong).getOrElse(0L)
   private val skipChangeCommits =
-    parameters.get("skipChangeCommits").exists(_.trim.toBoolean)
+    Seq("skipChangeCommits", "ignoreChanges", "ignoreDeletes")
+      .exists(o => parameters.get(o).exists(_.trim.toBoolean))
   private val maxVersionsPerTrigger =
     parameters.get("maxVersionsPerTrigger").map(_.trim.toInt)
 
   override val schema: StructType =
-    GvtCdfSource.feedSchema(sqlContext, parameters)
+    if (rowsOnly) GvtCdfSource.tableSchema(sqlContext, parameters)
+    else GvtCdfSource.feedSchema(sqlContext, parameters)
 
   private def spark = sqlContext.sparkSession
 
@@ -142,7 +155,9 @@ private[gvt] class GvtCdfSource(sqlContext: SQLContext,
     val chain = VersionedTable.committedVersions(root)
     val pairs = chain.zip(None +: chain.init.map(Option(_)))
       .filter { case (v, _) => v > fromV && v <= endV }
-    val outCols = schema.fieldNames.dropRight(2).toSeq // + audit cols below
+    val outCols =
+      if (rowsOnly) schema.fieldNames.toSeq
+      else schema.fieldNames.dropRight(2).toSeq // + audit cols below
     val feeds = pairs.flatMap { case (v, pred) =>
       val isAppend = pred.exists(p =>
         VersionedTable.readMeta(root, v, "_parent").map(_.trim.toLong).contains(p))
@@ -155,18 +170,24 @@ private[gvt] class GvtCdfSource(sqlContext: SQLContext,
         else if (pred.isEmpty)
           Some(VersionedTable.readVersion(spark, root, v)
             .withColumn("_change_type", lit("insert")))
-        else if (isAppend || keys.nonEmpty)
+        else if (isAppend || (!rowsOnly && keys.nonEmpty))
           // changes() takes the append fast path on its own when the
           // _parent chain connects; keys are then only column order
           Some(VersionedTable.changes(spark, root, pred.get, v, keys))
         else if (skipChangeCommits) None
+        else if (rowsOnly) throw new IllegalStateException(
+          s"$root: commit v=$v rewrites the snapshot — a rows-mode stream " +
+            "cannot represent updates/deletes; set skipChangeCommits=true " +
+            "(or ignoreChanges=true) to stream appends only, or use " +
+            "format(\"gvt-cdf\") for the row-level change feed")
         else throw new IllegalStateException(
           s"$root: commit v=$v rewrites the snapshot and no 'keys' option " +
             "was given — pass keys=<cols> for diff feeds or " +
             "skipChangeCommits=true to ignore rewrite commits")
       val ts = VersionedTable.readMeta(root, v, "_commit_ts").map(_.trim.toLong)
       feedOpt.map(f =>
-        f.select(outCols.map(col) :+ lit(v).as("_commit_version") :+
+        if (rowsOnly) f.select(outCols.map(col): _*)
+        else f.select(outCols.map(col) :+ lit(v).as("_commit_version") :+
           lit(ts.orNull).cast("long").as("_commit_timestamp"): _*))
     }
     val batch =

@@ -122,6 +122,43 @@ class GvtCdfSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("readStream.format(gvt): appended ROWS stream (Delta stream-from-table)") {
+    val dir = freshDir()
+    val root = s"$dir/t"
+    VersionedTable.write((1 to 20).toDF("k"), root)
+    VersionedTable.append((21 to 30).toDF("k"), root)
+    val q = spark.readStream.format("gvt").load(root)
+      .writeStream.format("memory").queryName("gvt_rows_mem")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("gvt_rows_mem")
+      // plain table schema — no audit columns, just the rows
+      assert(got.columns.toSeq == Seq("k"))
+      assert(got.as[Int].collect().toSet == (1 to 30).toSet)
+      // appends while running arrive; a rewrite commit fails the stream
+      VersionedTable.append((31 to 35).toDF("k"), root)
+      q.processAllAvailable()
+      assert(spark.table("gvt_rows_mem").count() == 35)
+      VersionedTable.deleteWhere(spark, root, col("k") === 1)
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // with ignoreChanges the rewrite is skipped and appends keep flowing
+    val q2 = spark.readStream.format("gvt")
+      .option("ignoreChanges", "true").load(root)
+      .writeStream.format("memory").queryName("gvt_rows_mem2")
+      .option("checkpointLocation", s"$dir/ckpt2").start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("gvt_rows_mem2").count() == 35) // bootstrap + skip
+      VersionedTable.append((36 to 40).toDF("k"), root)
+      q2.processAllAvailable()
+      assert(spark.table("gvt_rows_mem2").count() == 40)
+    } finally q2.stop()
+  }
+
   test("vacuum past the stream checkpoint fails the source instead of re-emitting") {
     val dir = freshDir()
     val root = s"$dir/t"

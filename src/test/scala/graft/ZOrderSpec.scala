@@ -66,4 +66,31 @@ class ZOrderSpec extends AnyFunSuite {
     assert(aZ < aRange / 2, s"z-order must keep partial a locality: aZ=$aZ range=$aRange")
     assert(aKey < aZ, "single-key sort is still the best for its own key")
   }
+
+  test("3-column compact(zorderBy) enables skipping on the THIRD key") {
+    import graft.sources.VersionedTable
+    val root = java.nio.file.Files.createTempDirectory("graft_z3").toString + "/t"
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    VersionedTable.write(li.repartitionByRange(16, col("l_orderkey")), root)
+    val v = VersionedTable.compact(spark, root,
+      targetFileBytes = 6L * 1024, zorderBy = Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    assert(VersionedTable.readMeta(root, v, "_operation")
+      .exists(_.contains("zorder=l_orderkey,l_partkey,l_suppkey")))
+    // per-file zone maps were collected for all three interleaved keys
+    val stats = spark.read.parquet(s"$root/v=$v/_stats")
+    assert(Seq("min_l_orderkey", "min_l_partkey", "min_l_suppkey")
+      .forall(stats.columns.contains))
+    val b = li.agg(min("l_suppkey"), max("l_suppkey")).head
+    val (cmin, cmax) = (b.getLong(0), b.getLong(1))
+    val lo = cmin + (cmax - cmin) / 2.0
+    val hi = lo + (cmax - cmin) / 8.0
+    val total = VersionedTable.readLatest(spark, root).inputFiles.length
+    val pruned = VersionedTable.readPruned(spark, root, "l_suppkey", lo, hi)
+    assert(total >= 8, s"compact should have produced many files, got $total")
+    assert(pruned.inputFiles.length < total,
+      s"3-key z-order must skip on the third key: ${pruned.inputFiles.length}/$total")
+    assert(pruned.count() ==
+      li.filter(col("l_suppkey") >= lo && col("l_suppkey") <= hi).count())
+  }
 }
