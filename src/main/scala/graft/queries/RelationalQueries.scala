@@ -326,6 +326,27 @@ object RelationalQueries {
         .orderBy(col("status"))
     }),
 
+    // SHALLOW CLONE + DML on the clone (Delta CREATE TABLE CLONE): the
+    // clone commit stores NO data (O(1)); reads resolve through the
+    // source chain; a deletion-vector DELETE stacks on the clone
+    // without touching the source. Aggregate over the clone == oracle
+    // row arithmetic; the untouched source is implicitly verified by
+    // every other orders-based query in this run.
+    "q_clone" -> ((s, dir) => {
+      val out = tmpDir("graft_cloneq")
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      val (src, dst) = (s"$out/src", s"$out/clone")
+      graft.sources.VersionedTable.write(o, src)
+      graft.sources.VersionedTable.cloneTable(s, src, dst, shallow = true)
+      graft.sources.VersionedTable.deleteWhereVector(s, dst, col("k") % 17 === 0)
+      graft.sources.VersionedTable.readLatest(s, dst)
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+        .orderBy(col("status"))
+    }),
+
     // Chain-folding compaction (Delta OPTIMIZE's bin-packing shape):
     // three O(batch) commits, then compactChain folds ONLY the two
     // batch dirs into one consolidated append off the untouched base —
@@ -1194,6 +1215,15 @@ object RelationalQueries {
       """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin,
+
+    // The clone sees the source rows minus its own DV delete.
+    "q_clone" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM o WHERE k % 17 <> 0
+        |GROUP BY status ORDER BY status""".stripMargin,
 
     // Folding the batches is invisible to the aggregate.
     "q_compact_chain" ->

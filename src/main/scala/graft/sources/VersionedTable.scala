@@ -1022,35 +1022,78 @@ object VersionedTable {
     readMeta(root, v, "_parent").orElse(readMeta(root, v, "_dv_parent"))
       .map(_.trim.toLong)
 
+  /** A SHALLOW clone commit's source pointer: (sourceRoot, version). */
+  private def cloneSrcOf(root: String, v: Long): Option[(String, Long)] =
+    readMeta(root, v, "_clone_src").map(_.split('\t')).collect {
+      case Array(sr, sv) => (sr, sv.trim.toLong)
+    }
+
+  /** The next hop of the DATA chain, across roots: `_parent` /
+    * `_dv_parent` within the table, or a shallow clone's `_clone_src`
+    * jump into its source table's chain. */
+  private def dataLink(root: String, v: Long): Option[(String, Long)] =
+    chainLink(root, v).map(p => (root, p)).orElse(cloneSrcOf(root, v))
+
   /** The data directories composing logical snapshot `version`,
     * base-first: the `_parent`/`_dv_parent` chain down to the nearest
-    * full snapshot. A deletion-vector commit's dir contributes only an
-    * empty schema slice — its `_dv` payload is applied by
+    * full snapshot, following a shallow clone's `_clone_src` into the
+    * source table. A deletion-vector or clone commit's dir contributes
+    * only an empty schema slice — DV payloads are applied by
     * [[readVersion]]. One metadata read per hop — compaction bounds the
     * chain length. */
   private[graft] def dataDirsOf(root: String, version: Long): Seq[String] = {
-    var dirs = List(s"$root/v=$version")
-    var parent = chainLink(root, version)
-    while (parent.isDefined) {
-      val p = parent.get
-      dirs = s"$root/v=$p" :: dirs
-      parent = chainLink(root, p)
+    var dirs = List.empty[String]
+    var cur: Option[(String, Long)] = Some((root, version))
+    while (cur.isDefined) {
+      val (r, v) = cur.get
+      dirs = s"$r/v=$v" :: dirs
+      cur = dataLink(r, v)
     }
     dirs
   }
 
   /** The deletion-vector payload dirs in `version`'s chain (empty =
-    * no un-materialized deletes; compact() clears them). */
+    * no un-materialized deletes; compact() clears them). Shallow-clone
+    * jumps are followed — a clone of a DV-bearing snapshot reads the
+    * source's vectors. */
   private[graft] def chainDvDirs(root: String, version: Long): Seq[String] = {
     var dvs = List.empty[String]
-    var cur: Option[Long] = Some(version)
+    var cur: Option[(String, Long)] = Some((root, version))
     while (cur.isDefined) {
-      val v = cur.get
-      if (readMeta(root, v, "_dv_parent").isDefined)
-        dvs = s"$root/v=$v/_dv" :: dvs
-      cur = chainLink(root, v)
+      val (r, v) = cur.get
+      if (readMeta(r, v, "_dv_parent").isDefined)
+        dvs = s"$r/v=$v/_dv" :: dvs
+      cur = dataLink(r, v)
     }
     dvs
+  }
+
+  /** CLONE (Delta `CREATE TABLE … CLONE` analogue). `shallow = false`
+    * (deep): copy snapshot `version`'s rows into `dstRoot` as an
+    * independent v1 — O(data), fully decoupled. `shallow = true`:
+    * METADATA-ONLY commit pointing at the source snapshot (`_clone_src`)
+    * — O(1) data cost; reads resolve through the source's chain, and
+    * commits on the clone (appends, DML, compaction) stack on top
+    * without ever touching the source. The clone pins the source
+    * VERSION, so later source commits are invisible to it. Delta's
+    * caveat applies verbatim: vacuuming the SOURCE below the cloned
+    * version breaks shallow clones — retain accordingly (the same
+    * contract as [[vacuum]]'s `retainMinMs` reader window). */
+  def cloneTable(spark: SparkSession, srcRoot: String, dstRoot: String,
+                 version: Option[Long] = None,
+                 shallow: Boolean = false): Long = {
+    val v = version.getOrElse(latestVersion(srcRoot).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $srcRoot")))
+    require(latestVersion(dstRoot).isEmpty,
+      s"clone target $dstRoot already has versions")
+    require(!srcRoot.contains("\t"), "source root must not contain tabs")
+    if (shallow)
+      write(readVersion(spark, srcRoot, v).limit(0), dstRoot,
+        metaFiles = Map("_clone_src" -> s"$srcRoot\t$v"),
+        operation = s"CLONE(shallow,$srcRoot@v$v)")
+    else
+      write(readVersion(spark, srcRoot, v), dstRoot,
+        operation = s"CLONE(deep,$srcRoot@v$v)")
   }
 
   def readLatest(spark: SparkSession, root: String): DataFrame =
@@ -1178,7 +1221,8 @@ object VersionedTable {
     fc.util.listStatus(dir).toSeq
       .filter(st => st.isFile && st.getPath.getName.startsWith("_") &&
         st.getPath.getName != "_SUCCESS" && st.getPath.getName != "_parent" &&
-        st.getPath.getName != "_dv_parent")
+        st.getPath.getName != "_dv_parent" &&
+        st.getPath.getName != "_clone_src")
       .flatMap(st => readString(st.getPath).map(st.getPath.getName -> _))
       .toMap
   }
@@ -1207,6 +1251,9 @@ object VersionedTable {
     require(chainDvDirs(root, v).isEmpty,
       s"$root: chain carries deletion vectors — use compact() to materialize them")
     val dirs = dataDirsOf(root, v)
+    require(dirs.forall(_.startsWith(s"$root/")),
+      s"$root: chain crosses a shallow clone — use compact() (full rewrite) " +
+        "to materialize the clone before chain folding")
     if (dirs.size <= 2) return v // base + at most one batch: nothing to fold
     val baseDir = dirs.head
     val baseV = baseDir.substring(baseDir.lastIndexOf("v=") + 2).toLong

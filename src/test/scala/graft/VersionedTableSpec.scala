@@ -784,6 +784,42 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.compactChain(spark, root) == vF)
   }
 
+  test("cloneTable: shallow = metadata-only pinned view, deep = independent copy") {
+    val dir = Files.createTempDirectory("graft_vt_clone").toString
+    val (src, sh, dp) = (s"$dir/src", s"$dir/shallow", s"$dir/deep")
+    VersionedTable.write((1 to 100).toDF("id"), src)      // v1
+    VersionedTable.write((1 to 50).toDF("id"), src)       // v2
+    // shallow clone PINNED at v1: O(1) data cost — the clone dir holds
+    // no table rows, reads resolve through the source chain
+    VersionedTable.cloneTable(spark, src, sh, version = Some(1L), shallow = true)
+    assert(spark.read.parquet(s"$sh/v=1").count() == 0)
+    assert(VersionedTable.readLatest(spark, sh).count() == 100)
+    // later source commits are invisible to the pinned clone
+    VersionedTable.write((1 to 10).toDF("id"), src)       // v3
+    assert(VersionedTable.readLatest(spark, sh).count() == 100)
+    // commits on the clone stack locally and never touch the source
+    VersionedTable.append((101 to 110).toDF("id"), sh)
+    assert(VersionedTable.readLatest(spark, sh).count() == 110)
+    assert(VersionedTable.readLatest(spark, src).count() == 10)
+    // compaction materializes the clone into a self-contained snapshot:
+    // the source can then be reclaimed entirely
+    VersionedTable.compact(spark, sh, targetFileBytes = 1L << 30)
+    VersionedTable.vacuum(sh, keep = 1, orphanGraceMs = 0L, retainMinMs = 0L)
+    VersionedTable.vacuum(src, keep = 1, orphanGraceMs = 0L, retainMinMs = 0L)
+    assert(VersionedTable.readLatest(spark, sh).count() == 110)
+    // deep clone: rows copied, fully decoupled from day one
+    VersionedTable.cloneTable(spark, src, dp)
+    assert(spark.read.parquet(s"$dp/v=1").count() == 10)
+    VersionedTable.deleteWhere(spark, src, col("id") <= 5)
+    assert(VersionedTable.readLatest(spark, dp).count() == 10)
+    assert(VersionedTable.history(spark, dp).select("operation")
+      .as[String].head().startsWith("CLONE(deep"))
+    // clone targets must be empty
+    intercept[IllegalArgumentException] {
+      VersionedTable.cloneTable(spark, src, sh)
+    }
+  }
+
   test("generated partition key: computed on every append, pruning trustworthy") {
     val root = Files.createTempDirectory("graft_vt_genpart").toString
     // the canonical Delta use: a derived partition key that writers can
