@@ -784,6 +784,35 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.compactChain(spark, root) == vF)
   }
 
+  test("deletion vectors over a hive-partitioned append chain") {
+    val root = Files.createTempDirectory("graft_vt_dvpart").toString
+    val mk = (r: Range) => r.toDF("id")
+      .withColumn("part", (col("id") % 2).cast("int"))
+    VersionedTable.write(mk(1 to 40), root, partitionBy = Seq("part")) // v1
+    VersionedTable.append(mk(41 to 60), root)                          // v2
+    VersionedTable.deleteWhereVector(spark, root, col("id") % 5 === 0) // v3
+    val live = VersionedTable.readLatest(spark, root)
+    // partition column survives the DV anti-join and values are right
+    assert(live.columns.contains("part"))
+    assert(live.count() == (1 to 60).count(_ % 5 != 0))
+    assert(live.filter(col("part") === 0).count() ==
+      (1 to 60).count(i => i % 2 == 0 && i % 5 != 0))
+    // the DV commit stored only the vector, nothing partition-shaped
+    assert(spark.read.parquet(s"$root/v=3/_dv").count() == 12)
+    // updates stack on the partitioned DV chain too
+    VersionedTable.updateWhereVector(spark, root, col("id") === 1,
+      Map("id" -> lit(1001)))
+    val after = VersionedTable.readLatest(spark, root)
+    assert(after.filter(col("id") === 1001).count() == 1)
+    assert(after.filter(col("id") === 1).count() == 0)
+    // compact folds vectors and keeps the layout
+    val vC = VersionedTable.compact(spark, root, targetFileBytes = 1L << 30)
+    val dirs = new java.io.File(s"$root/v=$vC").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(dirs == Seq("part=0", "part=1"))
+    assert(VersionedTable.readLatest(spark, root).count() == after.count())
+  }
+
   test("cloneTable: shallow = metadata-only pinned view, deep = independent copy") {
     val dir = Files.createTempDirectory("graft_vt_clone").toString
     val (src, sh, dp) = (s"$dir/src", s"$dir/shallow", s"$dir/deep")
