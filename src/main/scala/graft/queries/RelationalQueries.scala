@@ -326,6 +326,27 @@ object RelationalQueries {
         .orderBy(col("status"))
     }),
 
+    // replaceWhere (Delta predicate-scoped overwrite): one commit swaps
+    // exactly the 'F'-status rows for repriced copies — old positions
+    // become a deletion vector, the replacements land as the version's
+    // data, every other row's file untouched. Oracle: conditional
+    // arithmetic over the raw table.
+    "q_replace_where" -> ((s, dir) => {
+      val out = tmpDir("graft_replw")
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      val root = s"$out/t"
+      graft.sources.VersionedTable.write(o, root)
+      graft.sources.VersionedTable.replaceWhere(s, root, col("status") === "F",
+        o.filter(col("status") === "F")
+          .withColumn("cents", col("cents") + 100000L))
+      graft.sources.VersionedTable.readLatest(s, root)
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+        .orderBy(col("status"))
+    }),
+
     // SHALLOW CLONE + DML on the clone (Delta CREATE TABLE CLONE): the
     // clone commit stores NO data (O(1)); reads resolve through the
     // source chain; a deletion-vector DELETE stacks on the clone
@@ -1215,6 +1236,16 @@ object RelationalQueries {
       """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin,
+
+    // The replaced scope is repriced; everything else untouched.
+    "q_replace_where" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |      + CASE WHEN o_orderstatus = 'F' THEN 100000 ELSE 0 END AS cents
+        |  FROM orders)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM o GROUP BY status ORDER BY status""".stripMargin,
 
     // The clone sees the source rows minus its own DV delete.
     "q_clone" ->

@@ -857,6 +857,41 @@ object VersionedTable {
       baseVersion = Some(v), operation = "UPDATE_DV")
   }
 
+  /** Predicate-scoped overwrite (Delta `replaceWhere` analogue):
+    * atomically replace exactly the rows matching `predicate` with
+    * `df`'s rows, in ONE commit — the partition-refresh pattern
+    * (`INSERT OVERWRITE … WHERE part = 'x'`) without touching any other
+    * partition's files. Delta's validation applies: every incoming row
+    * must itself satisfy the predicate ([[CheckConstraintViolation]]
+    * otherwise — a silent out-of-scope row would corrupt the
+    * non-replaced remainder). Storage shape = the deletion-vector
+    * commit: the old matching rows' positions become the `_dv` payload
+    * and `df` lands as the version's data — O(replaced + new) commit
+    * cost at any table size; compact() materializes as usual. Returns
+    * the new version. */
+  def replaceWhere(spark: SparkSession, root: String,
+                   predicate: org.apache.spark.sql.Column,
+                   df: DataFrame): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    val v = latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $root"))
+    if (!df.filter(not(coalesce(predicate, lit(false)))).isEmpty)
+      throw new CheckConstraintViolation(
+        s"$root: replaceWhere data contains rows NOT matching the " +
+          "predicate — they would silently escape the replaced scope")
+    val tagged = readDirsMeta(spark, dataDirsOf(root, v))
+    val live = chainDvDirs(root, v) match {
+      case Seq() => tagged
+      case dvs => applyDv(spark, tagged, dvs, keepMeta = true)
+    }
+    val dv = live.filter(predicate)
+      .select(col("__gvt_file").as("_dv_file"), col("__gvt_pos").as("_dv_pos"))
+    write(df, root,
+      metaFiles = Map("_dv_parent" -> v.toString),
+      subdirWrites = Map("_dv" -> dv),
+      baseVersion = Some(v), operation = "REPLACE_WHERE")
+  }
+
   /** Per-application transaction watermark (Delta `txnAppId`/`txnVersion`
     * analogue): multiple independent idempotent writers each commit
     * their own monotonically-increasing version inside the snapshots

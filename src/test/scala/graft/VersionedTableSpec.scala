@@ -813,6 +813,31 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.readLatest(spark, root).count() == after.count())
   }
 
+  test("replaceWhere swaps exactly the predicate scope in one O(changed) commit") {
+    val root = Files.createTempDirectory("graft_vt_replw").toString
+    VersionedTable.write((1 to 100).toDF("id")
+      .withColumn("grp", (col("id") % 4).cast("int"))
+      .withColumn("v", col("id") * 10L).repartition(4), root)
+    // replace grp=1's 25 rows with 5 fresh ones
+    VersionedTable.replaceWhere(spark, root, col("grp") === 1,
+      (201 to 205).toDF("id").withColumn("grp", lit(1).cast("int"))
+        .withColumn("v", lit(0L)))
+    val live = VersionedTable.readLatest(spark, root)
+    assert(live.count() == 80)
+    assert(live.filter(col("grp") === 1).select("id").as[Int].collect().toSet ==
+      (201 to 205).toSet)
+    // other groups bit-identical; commit stored only the delta
+    assert(live.filter(col("grp") =!= 1).count() == 75)
+    assert(spark.read.parquet(s"$root/v=2").count() == 5)
+    assert(spark.read.parquet(s"$root/v=2/_dv").count() == 25)
+    // out-of-scope rows are rejected before anything commits
+    intercept[VersionedTable.CheckConstraintViolation] {
+      VersionedTable.replaceWhere(spark, root, col("grp") === 2,
+        Seq((999, 3, 0L)).toDF("id", "grp", "v"))
+    }
+    assert(VersionedTable.readLatest(spark, root).count() == 80)
+  }
+
   test("cloneTable: shallow = metadata-only pinned view, deep = independent copy") {
     val dir = Files.createTempDirectory("graft_vt_clone").toString
     val (src, sh, dp) = (s"$dir/src", s"$dir/shallow", s"$dir/deep")
