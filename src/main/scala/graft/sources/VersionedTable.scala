@@ -658,9 +658,15 @@ object VersionedTable {
     * the read-side payoff of z-ordered layouts ([[compact]] zorderBy):
     * per-file ranges stay tight on ALL interleaved keys, so a 2-key
     * predicate prunes multiplicatively where a linear sort serves only
-    * its leading key. Falls back to the full filtered scan when any
-    * chain member lacks stats for any predicate column (a partially
-    * statted chain cannot prune soundly). */
+    * its leading key.
+    *
+    * PARTIAL pruning: each chain member prunes independently — a dir
+    * that stats every predicate column contributes only its surviving
+    * files, a dir without (an unstatted batch, a deletion-vector
+    * commit's update rows) is read WHOLE (sound: keeping a file never
+    * loses rows, and the residual filter always applies). Deletion
+    * vectors compose: the pruned union anti-joins the chain's vectors
+    * exactly as [[readVersion]] does. */
   def readPruned(spark: SparkSession, root: String,
                  ranges: Seq[(String, Double, Double)]): DataFrame = {
     import org.apache.spark.sql.functions.col
@@ -668,26 +674,21 @@ object VersionedTable {
     val v = latestVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no versions at $root"))
     val dirs = dataDirsOf(root, v)
+    val dvDirs = chainDvDirs(root, v)
     val residual = (d: DataFrame) => ranges.foldLeft(d) {
       case (df, (c, lo, hi)) => df.filter(col(c) >= lo && col(c) <= hi)
     }
-    // un-materialized deletion vectors: pruning by file list would need
-    // the DV anti-join re-composed per surviving group — correct but not
-    // worth the complexity before compact() folds the vectors; fall back
-    // to the (DV-applied) full filtered scan
-    if (chainDvDirs(root, v).nonEmpty)
-      return residual(readVersion(spark, root, v))
-    // sound only when EVERY chain member stats EVERY predicate column
-    // (a multi-dir stats read would silently NULL-fill a member's
-    // missing column and mis-skip its files)
-    val statted = dirs.forall { d =>
+    // per-dir stats coverage (a multi-dir stats read would silently
+    // NULL-fill a member's missing column and mis-skip its files — so
+    // coverage is judged per dir and stats are read per dir)
+    val (statted, pass) = dirs.partition { d =>
       val p = new HPath(s"$d/_stats")
       fcOf(p).util.exists(p) && {
         val have = spark.read.parquet(s"$d/_stats").schema.fieldNames.toSet
         ranges.forall { case (c, _, _) => have(s"min_$c") && have(s"max_$c") }
       }
     }
-    if (!statted)
+    if (statted.isEmpty)
       return residual(readVersion(spark, root, v))
     // NULL stats = a file with no non-null values for the column: no
     // range predicate can match there, so the file is skipped (sound —
@@ -695,26 +696,37 @@ object VersionedTable {
     val pred = ranges.map { case (c, lo, hi) =>
       col(s"max_$c") >= lo && col(s"min_$c") <= hi
     }.reduce(_ && _)
-    val files = spark.read.parquet(dirs.map(d => s"$d/_stats"): _*)
-      .filter(pred).select("file").collect().map(_.getString(0))
-    if (files.isEmpty)
-      return residual(readVersion(spark, root, v)).limit(0)
-    if (partColsOf(new HPath(dirs.head)).isEmpty) {
-      if (dirs.size == 1)
-        residual(spark.read.option("basePath", dirs.head).parquet(files.toSeq: _*))
-      else
-        residual(spark.read.parquet(files.toSeq: _*))
-    } else {
-      // partitioned layout: group surviving files by their version dir
-      // and read each group under ITS basePath so name=value partition
-      // columns survive the file-list read
-      val vdir = "^(.*/v=\\d+)/".r
-      val byDir = files.toSeq.groupBy(f =>
-        vdir.findFirstMatchIn(f).map(_.group(1)).getOrElse(dirs.head))
-      residual(byDir.toSeq.sortBy(_._1).map { case (d, fs) =>
-        spark.read.option("basePath", d).parquet(fs: _*)
-      }.reduce(_ unionByName _))
+    val files = spark.read.parquet(statted.map(d => s"$d/_stats"): _*)
+      .filter(pred).select("file").collect().map(_.getString(0)).toSeq
+    val partitioned = partColsOf(new HPath(dirs.head)).nonEmpty
+    val needMeta = dvDirs.nonEmpty
+    def tag(df: DataFrame): DataFrame =
+      if (!needMeta) df
+      else df.select(col("*"), col("_metadata.file_path").as("__gvt_file"),
+        col("_metadata.row_index").as("__gvt_pos"))
+    val fileReads: Seq[DataFrame] =
+      if (files.isEmpty) Seq.empty
+      else if (!partitioned) Seq(tag(spark.read.parquet(files: _*)))
+      else {
+        // partitioned layout: group surviving files by their version
+        // dir and read each group under ITS basePath so name=value
+        // partition columns survive the file-list read
+        val vdir = "^(.*/v=\\d+)/".r
+        files.groupBy(f =>
+          vdir.findFirstMatchIn(f).map(_.group(1)).getOrElse(dirs.head))
+          .toSeq.sortBy(_._1).map { case (d, fs) =>
+            tag(spark.read.option("basePath", d).parquet(fs: _*))
+          }
+      }
+    val passReads = pass.map { d =>
+      tag(if (partitioned) spark.read.option("basePath", d).parquet(d)
+          else spark.read.parquet(d))
     }
+    val reads = fileReads ++ passReads
+    if (reads.isEmpty)
+      return residual(readVersion(spark, root, v)).limit(0)
+    val unioned = reads.reduce(_ unionByName _)
+    residual(if (needMeta) applyDv(spark, unioned, dvDirs) else unioned)
   }
 
   /** Per-file zone maps of logical snapshot `version`, for planner-side

@@ -85,12 +85,38 @@ class DataSkippingSpec extends AnyFunSuite {
       s"chain pruning must skip other batches' files: ${pruned.inputFiles.length}/$total")
     assert(pruned.count() ==
       o.filter(col("o_custkey") >= lo && col("o_custkey") <= hi).count())
-    // a chain member WITHOUT stats disables pruning but not correctness
+    // a chain member WITHOUT stats is read whole, but the STATTED
+    // members keep pruning (partial pruning) — and counts stay right
     VersionedTable.append(o.limit(5), root) // no statsCols
-    val unpruned = VersionedTable.readPruned(spark, root, "o_custkey", lo, hi)
-    assert(unpruned.count() ==
+    val partial = VersionedTable.readPruned(spark, root, "o_custkey", lo, hi)
+    assert(partial.count() ==
       o.filter(col("o_custkey") >= lo && col("o_custkey") <= hi).count() +
         o.limit(5).filter(col("o_custkey") >= lo && col("o_custkey") <= hi).count())
+    val stattedScanned = partial.inputFiles.count(f =>
+      Seq("/v=1/", "/v=2/", "/v=3/").exists(f.contains))
+    assert(stattedScanned <= total / 2,
+      s"statted chain members must still prune: $stattedScanned/$total")
+  }
+
+  test("pruning composes with deletion vectors: files skip AND deleted rows drop") {
+    val root = freshRoot()
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    VersionedTable.write(orders.repartitionByRange(8, col("o_orderkey")),
+      root, statsCols = Seq("o_orderkey"))
+    VersionedTable.deleteWhereVector(spark, root, col("o_orderkey") % 2 === 0)
+    val keys = orders.agg(min("o_orderkey"), max("o_orderkey")).head
+    val (kLo, kHi) = (keys.getLong(0), keys.getLong(1))
+    val lo = kLo + (kHi - kLo) / 3.0
+    val hi = kLo + (kHi - kLo) / 2.5
+    val pruned = VersionedTable.readPruned(spark, root, "o_orderkey", lo, hi)
+    // zone maps still prune the statted base files under the DV chain
+    val baseScanned = pruned.inputFiles.count(_.contains("/v=1/"))
+    assert(baseScanned < 8 && baseScanned >= 1,
+      s"DV chain must still prune the base: $baseScanned/8")
+    // and the vectors still apply to the surviving files
+    assert(pruned.count() == orders.filter(
+      col("o_orderkey") >= lo && col("o_orderkey") <= hi &&
+        col("o_orderkey") % 2 =!= 0).count())
   }
 
   test("z-order enables skipping on the second key where linear sort cannot") {
