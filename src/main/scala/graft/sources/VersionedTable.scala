@@ -1238,6 +1238,16 @@ object VersionedTable {
       .lastOption.map(_.version).getOrElse(throw new IllegalArgumentException(
         s"no snapshot at or before $tsMillis at $root"))
 
+  /** The newest committed version STRICTLY before `tsMillis` (0 = none)
+    * — the cursor a change-feed consumer starts from so that every
+    * commit at-or-after the timestamp is emitted (the `startingTimestamp`
+    * resolution of the gvt streaming sources). Pre-timestamp-metadata
+    * commits count as arbitrarily old. */
+  def versionBefore(root: String, tsMillis: Long): Long =
+    committedChain(root)
+      .filter(_.tsMillis.forall(_ < tsMillis))
+      .lastOption.map(_.version).getOrElse(0L)
+
   /** Commit history (Delta `DESCRIBE HISTORY` analogue), newest first:
     * (version, commit_ts_millis, operation) per COMMITTED snapshot
     * ([[committedVersions]] — never-committed orphan directories are

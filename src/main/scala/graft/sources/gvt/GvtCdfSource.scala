@@ -40,6 +40,8 @@ import graft.streaming.ChangeFeed
   *    0 bootstraps from the earliest retained snapshot (all-insert).
   *    A non-zero cursor below the vacuum horizon fails with
   *    [[ChangeFeed.CursorBehindRetention]] rather than double-emitting.
+  *  - `startingTimestamp`: epoch millis or `yyyy-MM-dd HH:mm:ss` —
+  *    emit every commit at or after it (Delta's option name/semantics).
   *  - `skipChangeCommits`: skip rewrite commits instead of failing
   *    when no `keys` are given.
   *  - `maxVersionsPerTrigger`: cap how many source commits one
@@ -102,7 +104,15 @@ private[gvt] class GvtCdfSource(sqlContext: SQLContext,
   private val keys = parameters.get("keys").toSeq
     .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
   private val startingVersion =
-    parameters.get("startingVersion").map(_.trim.toLong).getOrElse(0L)
+    parameters.get("startingVersion").map(_.trim.toLong)
+      .orElse(parameters.get("startingTimestamp").map { ts =>
+        // Delta semantics: emit every commit AT or AFTER the timestamp —
+        // the cursor is the newest commit strictly before it
+        val millis = scala.util.Try(ts.trim.toLong).getOrElse(
+          java.sql.Timestamp.valueOf(ts.trim).getTime)
+        VersionedTable.versionBefore(root, millis)
+      })
+      .getOrElse(0L)
   private val skipChangeCommits =
     Seq("skipChangeCommits", "ignoreChanges", "ignoreDeletes")
       .exists(o => parameters.get(o).exists(_.trim.toBoolean))

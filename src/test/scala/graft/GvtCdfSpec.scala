@@ -99,6 +99,26 @@ class GvtCdfSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("startingTimestamp: only commits at or after the timestamp are emitted") {
+    val dir = freshDir()
+    val root = s"$dir/t"
+    VersionedTable.write((1 to 20).toDF("k"), root)
+    Thread.sleep(10L)
+    val ts = System.currentTimeMillis
+    Thread.sleep(10L)
+    VersionedTable.append((21 to 30).toDF("k"), root)
+    val q = spark.readStream.format("gvt-cdf")
+      .option("startingTimestamp", ts.toString).load(root)
+      .writeStream.format("memory").queryName("gvt_cdf_ts")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("gvt_cdf_ts")
+      assert(got.count() == 10, s"only the post-timestamp commit should emit")
+      assert(got.select("k").as[Int].collect().toSet == (21 to 30).toSet)
+    } finally q.stop()
+  }
+
   test("maxVersionsPerTrigger bounds the commits per micro-batch on a backlog") {
     val dir = freshDir()
     val root = s"$dir/t"
