@@ -176,8 +176,11 @@ object RelationalOps {
     * holds, else updated. Plan: ONE key-partitioned full-outer join —
     * the target is scanned once, the changeset broadcasts when small.
     * Caller contract (as in Delta): `source` has at most one row per
-    * key, and carries every target column that inserts need. Output
-    * columns = target columns. */
+    * key. A PARTIAL source — carrying only the keys plus the columns
+    * the update assignments read — is fine (Delta supports update/
+    * delete-only merges over partial sources): a target column absent
+    * from the source inserts as NULL, exactly Delta's unlisted-column
+    * INSERT semantics. Output columns = target columns. */
   def mergeClauses(target: DataFrame, source: DataFrame, keys: Seq[String],
                    matchedDelete: Option[Column] = None,
                    matchedUpdate: Map[String, Column] = Map.empty,
@@ -196,9 +199,13 @@ object RelationalOps {
     val kept = j.filter(tOnly ||
       (sOnly && lit(insertNotMatched)) ||
       (matched && !deleteHit))
+    val sHas = sCols.toSet
     kept.select(keys.map(col) ++ tCols.map { c =>
+      // a target column the partial source omits inserts as NULL
+      // (and with insertNotMatched=false the branch is unreachable —
+      // either way, never reference a non-existent s.<c>)
       when(tOnly, col(s"t.$c"))
-        .when(sOnly, col(s"s.$c"))
+        .when(sOnly, if (sHas(c)) col(s"s.$c") else lit(null))
         .otherwise(matchedUpdate.getOrElse(c, col(s"t.$c")))
         .as(c)
     }: _*)

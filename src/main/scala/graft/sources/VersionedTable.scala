@@ -628,6 +628,17 @@ object VersionedTable {
                    cols: Seq[String]): Unit = {
     import org.apache.spark.sql.functions.{col, min, max, count, lit}
     val snap = spark.read.parquet(s"$root/v=$version")
+    // zone maps are double-typed: a non-numeric statted column would
+    // cast to NULL min/max for files FULL of data, which readers
+    // interpret as "all-null file, skip on any range" — silently wrong
+    // results. Fail loudly at collection instead (ADVICE r9).
+    cols.foreach { c =>
+      val dt = snap.schema(c).dataType // throws on a missing column
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"statsCols: $c is $dt — zone maps support numeric columns only " +
+          "(min/max are stored as double; a non-numeric column would " +
+          "yield NULL stats and mis-prune)")
+    }
     val aggs = cols.flatMap(c => Seq(
       min(col(c)).cast("double").as(s"min_$c"),
       max(col(c)).cast("double").as(s"max_$c"))) :+ count(lit(1)).as("n_rows")
@@ -673,11 +684,40 @@ object VersionedTable {
     require(ranges.nonEmpty, "readPruned needs at least one (column, lo, hi)")
     val v = latestVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no versions at $root"))
-    val dirs = dataDirsOf(root, v)
-    val dvDirs = chainDvDirs(root, v)
-    val residual = (d: DataFrame) => ranges.foldLeft(d) {
+    ranges.foldLeft(prunedVersionRead(spark, root, v, ranges)) {
       case (df, (c, lo, hi)) => df.filter(col(c) >= lo && col(c) <= hi)
     }
+  }
+
+  /** Zone-map-pruned read of logical snapshot `version` — the shared
+    * core of [[readPruned]], the DV-bearing gvt relation's scan, and
+    * the DML locate scans. Only files whose per-file [min,max] can
+    * intersect EVERY range survive; the caller applies its own
+    * residual predicate on top (pruning alone keeps whole files, so it
+    * never loses a matching row — soundness does not depend on the
+    * residual). Deletion vectors are anti-joined exactly as
+    * [[readVersion]] does. `keepMeta` returns the `(__gvt_file,
+    * __gvt_pos)` provenance columns (the DML locate scans need them to
+    * build their `_dv` payload). Empty `ranges` = no pruning (the
+    * plain chain read). PARTIAL pruning per chain member: a dir
+    * without stats for every range column is read WHOLE. */
+  private[graft] def prunedVersionRead(spark: SparkSession, root: String,
+                                       version: Long,
+                                       ranges: Seq[(String, Double, Double)],
+                                       keepMeta: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val dirs = dataDirsOf(root, version)
+    val dvDirs = chainDvDirs(root, version)
+    val needMeta = dvDirs.nonEmpty || keepMeta
+    def finish(tagged: DataFrame): DataFrame = {
+      val dv = if (dvDirs.nonEmpty) applyDv(spark, tagged, dvDirs, keepMeta = true)
+        else tagged
+      if (keepMeta) dv else dv.drop("__gvt_file", "__gvt_pos")
+    }
+    def full(): DataFrame =
+      if (!needMeta) readDirs(spark, dirs)
+      else finish(readDirsMeta(spark, dirs))
+    if (ranges.isEmpty) return full()
     // per-dir stats coverage (a multi-dir stats read would silently
     // NULL-fill a member's missing column and mis-skip its files — so
     // coverage is judged per dir and stats are read per dir)
@@ -688,18 +728,16 @@ object VersionedTable {
         ranges.forall { case (c, _, _) => have(s"min_$c") && have(s"max_$c") }
       }
     }
-    if (statted.isEmpty)
-      return residual(readVersion(spark, root, v))
+    if (statted.isEmpty) return full()
     // NULL stats = a file with no non-null values for the column: no
     // range predicate can match there, so the file is skipped (sound —
-    // the residual filter would drop every row anyway)
+    // a row must satisfy the range to matter, and NULL never does)
     val pred = ranges.map { case (c, lo, hi) =>
       col(s"max_$c") >= lo && col(s"min_$c") <= hi
     }.reduce(_ && _)
     val files = spark.read.parquet(statted.map(d => s"$d/_stats"): _*)
       .filter(pred).select("file").collect().map(_.getString(0)).toSeq
     val partitioned = partColsOf(new HPath(dirs.head)).nonEmpty
-    val needMeta = dvDirs.nonEmpty
     def tag(df: DataFrame): DataFrame =
       if (!needMeta) df
       else df.select(col("*"), col("_metadata.file_path").as("__gvt_file"),
@@ -723,10 +761,61 @@ object VersionedTable {
           else spark.read.parquet(d))
     }
     val reads = fileReads ++ passReads
-    if (reads.isEmpty)
-      return residual(readVersion(spark, root, v)).limit(0)
+    if (reads.isEmpty) return full().limit(0)
     val unioned = reads.reduce(_ unionByName _)
-    residual(if (needMeta) applyDv(spark, unioned, dvDirs) else unioned)
+    if (!needMeta) unioned else finish(unioned)
+  }
+
+  /** Conservative per-column [lo,hi] bounds IMPLIED by a predicate
+    * Column: conjuncts comparing a bare attribute to a numeric literal
+    * contribute; everything else (OR branches, casts, expressions over
+    * the column) contributes nothing — pruning with an implied bound
+    * only drops files no matching row can live in. Used to zone-map-
+    * prune the DML locate scans ([[deleteWhereVector]] /
+    * [[updateWhereVector]] / [[replaceWhere]]): an O(changed) commit
+    * then also pays only O(pruned) read. */
+  private[graft] def predicateRanges(pred: org.apache.spark.sql.Column)
+      : Seq[(String, Double, Double)] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions._
+    val bounds =
+      scala.collection.mutable.Map.empty[String, (Double, Double)]
+    def narrow(c: String, lo: Double, hi: Double): Unit = {
+      val (l0, h0) = bounds.getOrElse(c,
+        (Double.NegativeInfinity, Double.PositiveInfinity))
+      bounds(c) = (math.max(l0, lo), math.min(h0, hi))
+    }
+    object A {
+      def unapply(e: Expression): Option[String] = e match {
+        case u: UnresolvedAttribute if u.nameParts.size == 1 =>
+          Some(u.nameParts.head)
+        case a: Attribute => Some(a.name)
+        case _ => None
+      }
+    }
+    object L {
+      def unapply(e: Expression): Option[Double] = e match {
+        case Literal(n: java.lang.Number, _) => Some(n.doubleValue())
+        case Literal(d: org.apache.spark.sql.types.Decimal, _) => Some(d.toDouble)
+        case _ => None
+      }
+    }
+    def visit(e: Expression): Unit = e match {
+      case And(l, r) => visit(l); visit(r)
+      case EqualTo(A(c), L(v)) => narrow(c, v, v)
+      case EqualTo(L(v), A(c)) => narrow(c, v, v)
+      case GreaterThan(A(c), L(v)) => narrow(c, v, Double.PositiveInfinity)
+      case GreaterThanOrEqual(A(c), L(v)) => narrow(c, v, Double.PositiveInfinity)
+      case LessThan(A(c), L(v)) => narrow(c, Double.NegativeInfinity, v)
+      case LessThanOrEqual(A(c), L(v)) => narrow(c, Double.NegativeInfinity, v)
+      case GreaterThan(L(v), A(c)) => narrow(c, Double.NegativeInfinity, v)
+      case GreaterThanOrEqual(L(v), A(c)) => narrow(c, Double.NegativeInfinity, v)
+      case LessThan(L(v), A(c)) => narrow(c, v, Double.PositiveInfinity)
+      case LessThanOrEqual(L(v), A(c)) => narrow(c, v, Double.PositiveInfinity)
+      case _ => ()
+    }
+    visit(org.apache.spark.sql.graft.NativeColumns.toExpr(pred))
+    bounds.toSeq.sortBy(_._1).map { case (c, (lo, hi)) => (c, lo, hi) }
   }
 
   /** Per-file zone maps of logical snapshot `version`, for planner-side
@@ -780,7 +869,8 @@ object VersionedTable {
     * schema gate. */
   def merge(spark: SparkSession, root: String, updates: DataFrame,
             keys: Seq[String], maxRetries: Int = 3,
-            allowEvolution: Boolean = false): Long = {
+            allowEvolution: Boolean = false,
+            metaFiles: Map[String, String] = Map.empty): Long = {
     var attempt = 0
     // a changeset may omit generated columns — compute them up front so
     // the schema gate below sees the completed frame (same contract as
@@ -796,7 +886,7 @@ object VersionedTable {
       val merged = graft.ops.RelationalOps.mergeUpsert(
         target, updates2, keys, allowMissingColumns = allowEvolution)
       try return write(merged, root, allowEvolution = allowEvolution,
-        baseVersion = Some(base), operation = "MERGE")
+        baseVersion = Some(base), operation = "MERGE", metaFiles = metaFiles)
       catch {
         case e: ConcurrentWriteException =>
           if (attempt >= maxRetries) throw e
@@ -883,25 +973,33 @@ object VersionedTable {
     * the new version. */
   def replaceWhere(spark: SparkSession, root: String,
                    predicate: org.apache.spark.sql.Column,
-                   df: DataFrame): Long = {
+                   df0: DataFrame): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, not}
     val v = latestVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no versions at $root"))
-    if (!df.filter(not(coalesce(predicate, lit(false)))).isEmpty)
-      throw new CheckConstraintViolation(
-        s"$root: replaceWhere data contains rows NOT matching the " +
-          "predicate — they would silently escape the replaced scope")
-    val tagged = readDirsMeta(spark, dataDirsOf(root, v))
-    val live = chainDvDirs(root, v) match {
-      case Seq() => tagged
-      case dvs => applyDv(spark, tagged, dvs, keepMeta = true)
-    }
-    val dv = live.filter(predicate)
-      .select(col("__gvt_file").as("_dv_file"), col("__gvt_pos").as("_dv_pos"))
-    write(df, root,
-      metaFiles = Map("_dv_parent" -> v.toString),
-      subdirWrites = Map("_dv" -> dv),
-      baseVersion = Some(v), operation = "REPLACE_WHERE")
+    // the validation scan below plus the write would compute an
+    // expensive upstream `df0` TWICE — persist for the operation's span
+    // (skipped if the caller already cached it)
+    val precached = df0.storageLevel.useMemory || df0.storageLevel.useDisk
+    val df = if (precached) df0
+      else df0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (!df.filter(not(coalesce(predicate, lit(false)))).isEmpty)
+        throw new CheckConstraintViolation(
+          s"$root: replaceWhere data contains rows NOT matching the " +
+            "predicate — they would silently escape the replaced scope")
+      val tagged = readDirsMeta(spark, dataDirsOf(root, v))
+      val live = chainDvDirs(root, v) match {
+        case Seq() => tagged
+        case dvs => applyDv(spark, tagged, dvs, keepMeta = true)
+      }
+      val dv = live.filter(predicate)
+        .select(col("__gvt_file").as("_dv_file"), col("__gvt_pos").as("_dv_pos"))
+      write(df, root,
+        metaFiles = Map("_dv_parent" -> v.toString),
+        subdirWrites = Map("_dv" -> dv),
+        baseVersion = Some(v), operation = "REPLACE_WHERE")
+    } finally if (!precached) df.unpersist()
   }
 
   /** Per-application transaction watermark (Delta `txnAppId`/`txnVersion`
@@ -1269,11 +1367,10 @@ object VersionedTable {
     write(readVersion(spark, root, version), root, allowEvolution = true,
       operation = s"RESTORE(v=$version)")
 
-  /** The live snapshot dir's carry-able meta files (watermarks, txn
+  /** One snapshot dir's carry-able meta files (watermarks, txn
     * versions) — everything but the chain links, which describe THIS
     * version's storage, not the table state. */
-  private def carriedMetaOf(root: String, v: Long): Map[String, String] = {
-    val dir = new HPath(s"$root/v=$v")
+  private def carriedMetaOfDir(dir: HPath): Map[String, String] = {
     val fc = fcOf(dir)
     fc.util.listStatus(dir).toSeq
       .filter(st => st.isFile && st.getPath.getName.startsWith("_") &&
@@ -1283,6 +1380,22 @@ object VersionedTable {
       .flatMap(st => readString(st.getPath).map(st.getPath.getName -> _))
       .toMap
   }
+
+  /** Carry-able meta UNION across a chain's root-local dirs, newest
+    * version's value winning per key. A compaction that read only the
+    * TIP dir would drop a watermark committed in an EARLIER batch dir
+    * (e.g. app A's `_txn_A` landed at v5, app B's `_batch` at v7):
+    * once vacuum reclaims the folded-away dirs, the lost watermark
+    * lets a crash-replayed idempotent writer double-apply its batch.
+    * Cross-root dirs (a shallow clone's source) are excluded — the
+    * source table's watermarks are not this table's state. The write()
+    * path re-stamps `_commit_ts`/`_operation`/`_prev` AFTER metaFiles,
+    * so carried copies of those can never shadow the new commit's own. */
+  private def carriedMetaOfChain(root: String, v: Long): Map[String, String] =
+    dataDirsOf(root, v).filter(_.startsWith(s"$root/"))
+      .foldLeft(Map.empty[String, String]) { (m, d) =>
+        m ++ carriedMetaOfDir(new HPath(d))
+      }
 
   /** Chain-folding compaction — Delta OPTIMIZE's bin-packing shape: fold
     * ONLY the append chain's batch directories into one consolidated
@@ -1338,7 +1451,7 @@ object VersionedTable {
       }
     write(readDirs(spark, batchDirs).coalesce(nFiles), root,
       partitionBy = parts, statsCols = stats,
-      metaFiles = carriedMetaOf(root, v) + ("_parent" -> baseV.toString),
+      metaFiles = carriedMetaOfChain(root, v) + ("_parent" -> baseV.toString),
       baseVersion = Some(v), operation = "COMPACT_CHAIN")
   }
 
@@ -1372,12 +1485,13 @@ object VersionedTable {
       throw new IllegalArgumentException(s"no versions at $root"))
     val dir = new HPath(s"$root/v=$v")
     val fc = fcOf(dir)
-    // carry the live snapshot's meta files (e.g. the applied-batch
-    // watermark of an additive streaming writer) into the compacted
-    // version — compaction must not erase transactional metadata, or a
-    // post-compaction checkpoint replay would re-apply a batch
+    // carry the CHAIN's meta files (e.g. the applied-batch watermark of
+    // an additive streaming writer — possibly committed in an earlier
+    // batch dir than the tip) into the compacted version — compaction
+    // must not erase transactional metadata, or a post-compaction
+    // checkpoint replay would re-apply a batch
     // (chain links must NOT carry: the compacted snapshot is FULL)
-    val carriedMeta = carriedMetaOf(root, v)
+    val carriedMeta = carriedMetaOfChain(root, v)
     def sizeOf(p: HPath): Long = fc.util.listStatus(p).map { st =>
       if (st.isDirectory) sizeOf(st.getPath) else st.getLen
     }.sum

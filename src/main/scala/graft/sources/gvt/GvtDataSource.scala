@@ -173,13 +173,13 @@ class DefaultSource extends RelationProvider
               partitionBy = partitionColumns, statsCols = statsCols,
               metaFiles = meta)
           case m if m == OutputMode.Update() && exists =>
-            // merge() retries its own conflicts; the batch watermark
-            // rides the committed snapshot via a follow-up metaFiles
-            // write is NOT atomic — so commit it with the merge itself
-            VersionedTable.write(
-              graft.ops.RelationalOps.mergeUpsert(
-                VersionedTable.readLatest(batch.sparkSession, root), batch, keys),
-              root, metaFiles = meta, operation = "MERGE")
+            // conditional-commit merge with bounded retry: a concurrent
+            // writer landing between the snapshot read and the commit
+            // CONFLICTS and the merge re-reads + re-applies (never
+            // silently clobbered); the batch watermark commits
+            // atomically WITH the merged snapshot via metaFiles
+            VersionedTable.merge(batch.sparkSession, root, batch, keys,
+              metaFiles = meta)
           case _ if !exists =>
             VersionedTable.write(batch, root,
               partitionBy = partitionColumns, statsCols = statsCols,
@@ -306,22 +306,49 @@ private[gvt] object GvtFilters {
     bounds.toMap
   }
 
+  /** Attribute side, looking through VALUE-PRESERVING numeric casts
+    * only (the coercion casts Catalyst wraps mixed-width comparisons
+    * in). A cast qualifies when the cast value, viewed as a double,
+    * equals the raw value's double image — then a bound in cast space
+    * IS a bound in the (double-typed) stats space. That holds for
+    * `canUpCast` numeric widening (int→long, int→decimal, float→double)
+    * and for any numeric→double cast (the stats map itself — monotone
+    * and identical to how `collectStats` computed min/max). A
+    * NARROWING cast (`cast(doubleCol AS int) = 5`) is NOT
+    * value-preserving — 5.3 satisfies it but lies outside [5,5] — so it
+    * contributes no bound (same guard as
+    * [[graft.plans.RangeJoinRewrite]]'s widening-only operand unwrap). */
   private object AttrOf {
+    import org.apache.spark.sql.types.{DataType, DoubleType, NumericType}
+    private def valuePreserving(from: DataType, to: DataType): Boolean =
+      (from, to) match {
+        case (_: NumericType, DoubleType) => true
+        case (f: NumericType, t: NumericType) => Cast.canUpCast(f, t)
+        case _ => false
+      }
     def unapply(e: Expression): Option[String] = e match {
       case a: Attribute => Some(a.name)
-      case c: Cast => unapply(c.child)
+      case c: Cast if valuePreserving(c.child.dataType, c.dataType) =>
+        unapply(c.child)
       case _ => None
     }
   }
 
+  /** Literal side: a bare numeric literal, or a FOLDABLE numeric cast
+    * of one — evaluated, so the extracted double is exactly the value
+    * the comparison runs against (no unwrap-and-hope; a narrowing cast
+    * of a literal folds to its real post-cast value). */
   private object LitOf {
+    import org.apache.spark.sql.types.NumericType
+    private def num(v: Any): Option[Double] = v match {
+      case n: java.lang.Number => Some(n.doubleValue())
+      case d: Decimal => Some(d.toDouble)
+      case _ => None
+    }
     def unapply(e: Expression): Option[Double] = e match {
-      case Literal(v, _) => v match {
-        case n: java.lang.Number => Some(n.doubleValue())
-        case d: Decimal => Some(d.toDouble)
-        case _ => None
-      }
-      case c: Cast => unapply(c.child)
+      case Literal(v, _) => num(v)
+      case c: Cast if c.foldable && c.dataType.isInstanceOf[NumericType] =>
+        Option(c.eval(null)).flatMap(num)
       case _ => None
     }
   }

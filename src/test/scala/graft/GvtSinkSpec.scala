@@ -104,4 +104,54 @@ class GvtSinkSpec extends AnyFunSuite {
         .option("checkpointLocation", s"$dir/ckpt2").start()
     }
   }
+
+  test("update mode commits conditionally: an external commit between batches survives") {
+    val dir = Files.createTempDirectory("graft_gvtsink_cc").toString
+    val root = s"$dir/t"
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Int, String)]
+    val q = in.toDF().select(col("_1").as("k"), col("_2").as("v"))
+      .writeStream.outputMode("update")
+      .format("gvt").option("path", root).option("keys", "k")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      in.addData((1, "a"), (2, "b")); q.processAllAvailable()
+      // an EXTERNAL writer commits between two micro-batches
+      VersionedTable.merge(spark, root, Seq((100, "ext")).toDF("k", "v"), Seq("k"))
+      in.addData((2, "B")); q.processAllAvailable()
+      // both the external row and the update survive
+      assert(VersionedTable.readLatest(spark, root)
+        .as[(Int, String)].collect().toMap ==
+        Map(1 -> "a", 2 -> "B", 100 -> "ext"))
+      // the update batches committed through merge() — conditional on
+      // the snapshot they read (MERGE ops in history), with the batch
+      // watermark riding the merged snapshot atomically
+      val ops = VersionedTable.history(spark, root)
+        .select("operation").as[String].collect().toSeq
+      assert(ops.count(_ == "MERGE") >= 2, s"update batches must merge: $ops")
+      assert(VersionedTable.readMeta(root,
+        VersionedTable.latestVersion(root).get, "_batch").map(_.trim) == Some("1"))
+    } finally q.stop()
+  }
+
+  test("racing merges each land their own metaFiles watermark through the retry") {
+    val root = Files.createTempDirectory("graft_gvtsink_race").toString + "/t"
+    VersionedTable.write(Seq((1, "a")).toDF("k", "v"), root)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = Seq("A" -> Seq((2, "b")), "B" -> Seq((3, "c"))).map { case (app, rows) =>
+      new Thread(() => {
+        try VersionedTable.merge(spark, root, rows.toDF("k", "v"), Seq("k"),
+          metaFiles = Map(VersionedTable.txnKey(app) -> "1"))
+        catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(errs.isEmpty, s"merge threads failed: $errs")
+    // whichever merge lost the race retried — BOTH rows and BOTH
+    // watermarks are resolvable afterwards (the loser's watermark
+    // committed atomically with its retried merge)
+    assert(VersionedTable.readLatest(spark, root).count() == 3)
+    assert(VersionedTable.txnVersion(root, "A") == Some(1L))
+    assert(VersionedTable.txnVersion(root, "B") == Some(1L))
+  }
 }

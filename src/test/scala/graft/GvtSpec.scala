@@ -133,6 +133,29 @@ class GvtSpec extends AnyFunSuite {
     assert(q.count() == 30)
   }
 
+  test("narrowing casts on the filter column never mis-prune; widening casts still prune") {
+    val root = freshRoot()
+    // two files with disjoint double ranges: [1.0,2.0] and [5.2,5.7] —
+    // NO file contains the exact value 5.0, but file 2's rows DO
+    // satisfy cast(d AS int) = 5 (5.2..5.7 truncate to 5)
+    val df = Seq(1.0, 1.5, 2.0, 5.2, 5.4, 5.7).toDF("d")
+      .withColumn("i", (col("d") * 10).cast("long"))
+    VersionedTable.write(df.repartitionByRange(2, col("d")), root,
+      statsCols = Seq("d", "i"))
+    val t = spark.read.format("gvt").load(root)
+    assert(scannedFiles(t) == 2)
+    // a narrowing cast must contribute NO zone-map bound: pruning on
+    // [5,5] would skip the [5.2,5.7] file whose rows genuinely match
+    val q = t.filter(col("d").cast("int") === 5)
+    assert(q.count() == 3, "rows truncating to 5 must survive")
+    assert(scannedFiles(q) == 2, "a narrowing cast must not prune")
+    // a VALUE-PRESERVING cast (long → double is the stats map itself)
+    // keeps pruning: i in [52,57] lives in one file
+    val w = t.filter(col("i").cast("double") === 54.0)
+    assert(w.count() == 1)
+    assert(scannedFiles(w) == 1, "value-preserving casts should still prune")
+  }
+
   test("write path: Overwrite = new snapshot, Append = O(batch) append commit") {
     val root = freshRoot()
     (1 to 100).toDF("id").write.format("gvt")

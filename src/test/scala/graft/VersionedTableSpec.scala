@@ -910,4 +910,68 @@ class VersionedTableSpec extends AnyFunSuite {
     // the chain walk still resolves the applied watermark
     assert(VersionedTable.readMetaLatest(root, "_batch").map(_.trim) == Some("1"))
   }
+
+  test("compactChain carries EVERY folded dir's watermarks, not just the tip's") {
+    val root = Files.createTempDirectory("graft_vt_carry").toString
+    VersionedTable.write((1 to 100).toDF("id"), root)                    // v1 base
+    // app A's txn watermark lands in an EARLY batch dir…
+    VersionedTable.append((101 to 110).toDF("id"), root,
+      metaFiles = Map(VersionedTable.txnKey("appA") -> "5"))             // v2
+    // …and a second sink's _batch in a LATER one (the tip)
+    VersionedTable.append((111 to 120).toDF("id"), root,
+      metaFiles = Map("_batch" -> "7"))                                  // v3
+    val vF = VersionedTable.compactChain(spark, root)
+    // newest-per-key union must carry BOTH into the folded commit
+    assert(VersionedTable.readMeta(root, vF, VersionedTable.txnKey("appA"))
+      .map(_.trim) == Some("5"))
+    assert(VersionedTable.readMeta(root, vF, "_batch").map(_.trim) == Some("7"))
+    // retention reclaims the folded-away dirs; replay guards still hold
+    VersionedTable.vacuum(root, keep = 1, orphanGraceMs = 0L, retainMinMs = 0L)
+    assert(VersionedTable.txnVersion(root, "appA") == Some(5L))
+    assert(VersionedTable.readMetaLatest(root, "_batch").map(_.trim) == Some("7"))
+    // a newer value for the SAME key wins over an older dir's copy
+    VersionedTable.append((121 to 125).toDF("id"), root,
+      metaFiles = Map(VersionedTable.txnKey("appA") -> "9"))
+    VersionedTable.append((126 to 130).toDF("id"), root)
+    val vF2 = VersionedTable.compactChain(spark, root)
+    assert(VersionedTable.readMeta(root, vF2, VersionedTable.txnKey("appA"))
+      .map(_.trim) == Some("9"))
+  }
+
+  test("statsCols reject non-numeric columns loudly (no NULL-stats mis-prune)") {
+    val root = Files.createTempDirectory("graft_vt_statstype").toString
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.write(Seq((1, "a"), (2, "b")).toDF("id", "s"), root,
+        statsCols = Seq("s"))
+    }
+    assert(e.getMessage.contains("numeric"))
+    // the failed write never committed
+    assert(VersionedTable.latestVersion(root).isEmpty)
+    // numeric stats still work
+    VersionedTable.write(Seq((1, "a"), (2, "b")).toDF("id", "s"), root,
+      statsCols = Seq("id"))
+    assert(VersionedTable.readPruned(spark, root, "id", 2, 2).count() == 1)
+  }
+
+  test("mergeInto accepts a PARTIAL source: keys + updated columns only") {
+    val root = Files.createTempDirectory("graft_vt_partialsrc").toString
+    VersionedTable.write(
+      Seq((1, "ann", 10), (2, "bob", 20), (3, "cat", 30))
+        .toDF("id", "name", "score"), root)
+    // update-only merge: source carries just (id, score) — Delta
+    // supports this; referencing the missing s.name must not be needed
+    VersionedTable.mergeInto(spark, root,
+      Seq((2, 99)).toDF("id", "score"), Seq("id"),
+      matchedUpdate = Map("score" -> col("s.score")),
+      insertNotMatched = false)
+    val got = VersionedTable.readLatest(spark, root)
+      .orderBy("id").collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2)))
+    assert(got.toSeq == Seq((1, "ann", 10), (2, "bob", 99), (3, "cat", 30)))
+    // with inserts ON, a target column the source omits inserts as NULL
+    VersionedTable.mergeInto(spark, root,
+      Seq((4, 40)).toDF("id", "score"), Seq("id"),
+      matchedUpdate = Map("score" -> col("s.score")))
+    val r4 = VersionedTable.readLatest(spark, root).filter(col("id") === 4).head()
+    assert(r4.isNullAt(1) && r4.getInt(2) == 40)
+  }
 }
