@@ -494,6 +494,30 @@ object RelationalQueries {
         .orderBy(col("status"))
     }),
 
+    // DV-AWARE DataSource/SQL reads: a DV DELETE and a DV UPDATE land
+    // (no compact), then plain `spark.sql` over a gvt view — the
+    // reference's consumption shape (03_gold_metrics_serverless.py:
+    // 57-64) — reads THROUGH the chain's vectors: the relation
+    // anti-joins the broadcast-sized `_dv` union inside a zone-map-
+    // pruned scan (the WHERE k-range predicate prunes files at scan
+    // build). Must equal the oracle's plain row-set arithmetic.
+    "q_gvt_dv_read" -> ((s, dir) => {
+      val out = tmpDir("graft_gvtdvr")
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      val root = s"$out/t"
+      graft.sources.VersionedTable.write(o.repartitionByRange(8, col("k")),
+        root, statsCols = Seq("k"))
+      graft.sources.VersionedTable.deleteWhereVector(s, root, col("k") % 13 === 0)
+      graft.sources.VersionedTable.updateWhereVector(s, root, col("k") % 7 === 0,
+        Map("cents" -> (col("cents") + 100000L), "status" -> lit("U")))
+      s.sql(s"CREATE OR REPLACE TEMPORARY VIEW gvt_dv_t USING gvt " +
+        s"OPTIONS (path '$root')")
+      s.sql("""SELECT status, count(*) AS n_orders, sum(cents) AS sum_cents
+        FROM gvt_dv_t WHERE k >= 300 GROUP BY status ORDER BY status""")
+    }),
+
     // CDF-FED incremental JOIN-view maintenance — the counting-algorithm
     // generalization of q_incremental_join (which is insert-only with
     // synthesized deltas): BOTH sides of V = A ⋈ B are versioned tables
@@ -1332,6 +1356,18 @@ object RelationalQueries {
         |SELECT status, CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM o GROUP BY status ORDER BY status""".stripMargin,
+
+    // The SQL-over-DV read must equal the plain row-set arithmetic of
+    // the two DML ops plus the residual WHERE.
+    "q_gvt_dv_read" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE o_orderstatus END AS status,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |      + CASE WHEN o_orderkey % 7 = 0 THEN 100000 ELSE 0 END AS cents
+        |  FROM orders WHERE o_orderkey % 13 <> 0)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM o WHERE k >= 300 GROUP BY status ORDER BY status""".stripMargin,
 
     // Change-type counts follow directly from the DML predicates:
     // deletes = every 13th key; update pairs = every 7th surviving key.

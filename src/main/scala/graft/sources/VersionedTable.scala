@@ -800,18 +800,37 @@ object VersionedTable {
         case _ => None
       }
     }
+    // strict < / > widen to inclusive bounds — only ever KEEPS more files
+    def cmp(op: String, l: Expression, r: Expression): Unit = (op, l, r) match {
+      case ("=", A(c), L(v)) => narrow(c, v, v)
+      case ("=", L(v), A(c)) => narrow(c, v, v)
+      case (">" | ">=", A(c), L(v)) => narrow(c, v, Double.PositiveInfinity)
+      case (">" | ">=", L(v), A(c)) => narrow(c, Double.NegativeInfinity, v)
+      case ("<" | "<=", A(c), L(v)) => narrow(c, Double.NegativeInfinity, v)
+      case ("<" | "<=", L(v), A(c)) => narrow(c, v, Double.PositiveInfinity)
+      case _ => ()
+    }
     def visit(e: Expression): Unit = e match {
+      // the Column DSL converts to UnresolvedFunction calls…
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.nameParts.size == 1 && f.arguments.size == 2 =>
+        val Seq(l, r) = f.arguments
+        f.nameParts.head match {
+          case "and" => visit(l); visit(r)
+          case "=" | "==" => cmp("=", l, r)
+          case ">" => cmp(">", l, r)
+          case ">=" => cmp(">=", l, r)
+          case "<" => cmp("<", l, r)
+          case "<=" => cmp("<=", l, r)
+          case _ => ()
+        }
+      // …and a caller-built (or resolved) expression tree uses these
       case And(l, r) => visit(l); visit(r)
-      case EqualTo(A(c), L(v)) => narrow(c, v, v)
-      case EqualTo(L(v), A(c)) => narrow(c, v, v)
-      case GreaterThan(A(c), L(v)) => narrow(c, v, Double.PositiveInfinity)
-      case GreaterThanOrEqual(A(c), L(v)) => narrow(c, v, Double.PositiveInfinity)
-      case LessThan(A(c), L(v)) => narrow(c, Double.NegativeInfinity, v)
-      case LessThanOrEqual(A(c), L(v)) => narrow(c, Double.NegativeInfinity, v)
-      case GreaterThan(L(v), A(c)) => narrow(c, Double.NegativeInfinity, v)
-      case GreaterThanOrEqual(L(v), A(c)) => narrow(c, Double.NegativeInfinity, v)
-      case LessThan(L(v), A(c)) => narrow(c, v, Double.PositiveInfinity)
-      case LessThanOrEqual(L(v), A(c)) => narrow(c, v, Double.PositiveInfinity)
+      case EqualTo(l, r) => cmp("=", l, r)
+      case GreaterThan(l, r) => cmp(">", l, r)
+      case GreaterThanOrEqual(l, r) => cmp(">=", l, r)
+      case LessThan(l, r) => cmp("<", l, r)
+      case LessThanOrEqual(l, r) => cmp("<=", l, r)
       case _ => ()
     }
     visit(org.apache.spark.sql.graft.NativeColumns.toExpr(pred))
@@ -941,11 +960,10 @@ object VersionedTable {
     import org.apache.spark.sql.functions.col
     val v = latestVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no versions at $root"))
-    val tagged = readDirsMeta(spark, dataDirsOf(root, v))
-    val live = chainDvDirs(root, v) match {
-      case Seq() => tagged
-      case dvs => applyDv(spark, tagged, dvs, keepMeta = true)
-    }
+    // locate scan zone-map-pruned by the bounds the predicate implies:
+    // an O(changed) commit pays only O(pruned) read, not O(table)
+    val live = prunedVersionRead(spark, root, v,
+      predicateRanges(predicate), keepMeta = true)
     val hit = live.filter(predicate)
     val dv = hit.select(col("__gvt_file").as("_dv_file"),
       col("__gvt_pos").as("_dv_pos"))
@@ -988,11 +1006,9 @@ object VersionedTable {
         throw new CheckConstraintViolation(
           s"$root: replaceWhere data contains rows NOT matching the " +
             "predicate — they would silently escape the replaced scope")
-      val tagged = readDirsMeta(spark, dataDirsOf(root, v))
-      val live = chainDvDirs(root, v) match {
-        case Seq() => tagged
-        case dvs => applyDv(spark, tagged, dvs, keepMeta = true)
-      }
+      // locate scan zone-map-pruned by the predicate's implied bounds
+      val live = prunedVersionRead(spark, root, v,
+        predicateRanges(predicate), keepMeta = true)
       val dv = live.filter(predicate)
         .select(col("__gvt_file").as("_dv_file"), col("__gvt_pos").as("_dv_pos"))
       write(df, root,
@@ -1296,19 +1312,19 @@ object VersionedTable {
     * (`_metadata.file_path` / `row_index`); stacked DV commits compose;
     * [[compact]] materializes the vectors away (the OPTIMIZE pairing
     * Delta prescribes) and the change feed classifies the removed rows
-    * as deletes via the snapshot diff. [[readPruned]] and the gvt
-    * DataSource require a vector-free snapshot (compact first — see
-    * their docs). Returns the new version. */
+    * as deletes via the snapshot diff. [[readPruned]] composes the
+    * vectors into its pruned union, and the gvt DataSource serves a
+    * DV-bearing snapshot through its DV-applying relation — SQL reads
+    * keep working without waiting for compact(). Returns the new
+    * version. */
   def deleteWhereVector(spark: SparkSession, root: String,
                         predicate: org.apache.spark.sql.Column): Long = {
     import org.apache.spark.sql.functions.col
     val v = latestVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no versions at $root"))
-    val tagged = readDirsMeta(spark, dataDirsOf(root, v))
-    val live = chainDvDirs(root, v) match {
-      case Seq() => tagged
-      case dvs => applyDv(spark, tagged, dvs, keepMeta = true)
-    }
+    // locate scan zone-map-pruned by the predicate's implied bounds
+    val live = prunedVersionRead(spark, root, v,
+      predicateRanges(predicate), keepMeta = true)
     val dv = live.filter(predicate)
       .select(col("__gvt_file").as("_dv_file"), col("__gvt_pos").as("_dv_pos"))
     write(readVersion(spark, root, v).limit(0), root,

@@ -1,13 +1,14 @@
 package graft.sources.gvt
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode, SparkSession}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, InMemoryFileIndex, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.streaming.{Sink, Source}
 import org.apache.spark.sql.graft.StreamingBridge
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, Filter, PrunedFilteredScan, RelationProvider, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{Decimal, StructType}
 import graft.sources.VersionedTable
@@ -91,10 +92,11 @@ class DefaultSource extends RelationProvider
       .getOrElse(VersionedTable.latestVersion(root).getOrElse(
         throw new IllegalArgumentException(s"gvt: no versions at $root")))
     if (VersionedTable.chainDvDirs(root, version).nonEmpty)
-      throw new IllegalStateException(
-        s"gvt: snapshot v=$version at $root carries un-materialized deletion " +
-          "vectors — run VersionedTable.compact() to fold them before " +
-          "DataSource reads (readVersion/readLatest apply them directly)")
+      // a snapshot carrying un-materialized deletion vectors cannot be
+      // served as a plain file relation (the vectors must anti-join
+      // out); it plans through the DV-applying relation instead —
+      // zone-map pruning and filter/column pushdown preserved inside
+      return new GvtDvRelation(spark, sqlContext, root, version)
     val dirs = VersionedTable.dataDirsOf(root, version)
     val index = new GvtFileIndex(spark, dirs.map(new Path(_)),
       VersionedTable.fileStats(spark, root, version))
@@ -207,6 +209,128 @@ class DefaultSource extends RelationProvider
   private def parseTs(ts: String): Long =
     scala.util.Try(ts.trim.toLong).getOrElse(
       java.sql.Timestamp.valueOf(ts.trim).getTime)
+}
+
+/** The gvt relation for a snapshot whose chain carries un-materialized
+  * DELETION VECTORS (a `deleteWhereVector` / `updateWhereVector` /
+  * `replaceWhere` commit not yet compacted): a [[PrunedFilteredScan]]
+  * whose scan is the DV-applied read — the chain's files, zone-map
+  * pruned against the pushed filters
+  * ([[VersionedTable.prunedVersionRead]]), anti-joined with the
+  * broadcast-sized `_dv` union on parquet row positions, exactly the
+  * [[VersionedTable.readVersion]] shape. SQL over a gvt view keeps
+  * working the moment a DV commit lands (the reference consumes its
+  * tables through SQL — 03_gold_metrics_serverless.py:57-64), instead
+  * of failing until compact().
+  *
+  * Scan quality: the pushed filters and the column projection are
+  * applied INSIDE the inner DataFrame, so parquet column pruning,
+  * predicate pushdown, and whole-stage codegen all happen in the inner
+  * plan; `needConversion = false` hands its InternalRows through
+  * without per-row conversion. Spark re-evaluates every pushed filter
+  * above the scan (default `unhandledFilters`), so partial translation
+  * is always sound. The vector-free path stays on [[HadoopFsRelation]]
+  * (planning-time pruning in the FileIndex) — this relation exists
+  * only while vectors are pending materialization. */
+class GvtDvRelation(
+    spark: SparkSession, override val sqlContext: SQLContext,
+    val root: String, val version: Long)
+  extends BaseRelation with PrunedFilteredScan {
+
+  override val schema: StructType =
+    VersionedTable.readVersion(spark, root, version).schema
+
+  override def needConversion: Boolean = false
+
+  override def buildScan(requiredColumns: Array[String],
+                         filters: Array[Filter]): RDD[Row] = {
+    import org.apache.spark.sql.functions.col
+    val ranges = GvtV1Filters.ranges(filters)
+    val base = VersionedTable.prunedVersionRead(spark, root, version, ranges)
+    val filtered = filters.flatMap(GvtV1Filters.toColumn)
+      .foldLeft(base)(_ filter _)
+    val projected = filtered.select(requiredColumns.map(col).toSeq: _*)
+    GvtDvRelation.lastScanFiles = projected.inputFiles.length
+    projected.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+  }
+
+  override def toString: String = s"GvtDvRelation($root, v=$version)"
+}
+
+private[graft] object GvtDvRelation {
+  /** Test instrumentation: data-file count of the most recent DV-path
+    * scan (post zone-map pruning) — the numFiles analogue the
+    * FileSourceScanExec metric provides on the vector-free path. */
+  @volatile private[graft] var lastScanFiles: Int = -1
+}
+
+/** V1 `sources.Filter` helpers for the DV relation: conservative
+  * numeric range extraction (same soundness contract as [[GvtFilters]]
+  * — unrecognized shapes contribute nothing) and best-effort
+  * Filter→Column translation so pushed predicates evaluate INSIDE the
+  * inner plan (reaching the parquet reader); untranslatable filters
+  * are skipped — Spark re-applies all of them above the scan. */
+private[gvt] object GvtV1Filters {
+  import org.apache.spark.sql.{sources => sf}
+  import org.apache.spark.sql.functions.{col, lit}
+  import org.apache.spark.sql.Column
+
+  private def num(v: Any): Option[Double] = v match {
+    case n: java.lang.Number => Some(n.doubleValue())
+    case d: java.math.BigDecimal => Some(d.doubleValue())
+    case _ => None
+  }
+
+  def ranges(filters: Array[Filter]): Seq[(String, Double, Double)] = {
+    val bounds = scala.collection.mutable.Map.empty[String, (Double, Double)]
+    def narrow(c: String, lo: Double, hi: Double): Unit = {
+      val (l0, h0) = bounds.getOrElse(c,
+        (Double.NegativeInfinity, Double.PositiveInfinity))
+      bounds(c) = (math.max(l0, lo), math.min(h0, hi))
+    }
+    def visit(f: Filter): Unit = f match {
+      case sf.And(l, r) => visit(l); visit(r)
+      case sf.EqualTo(a, v) => num(v).foreach(d => narrow(a, d, d))
+      case sf.GreaterThan(a, v) =>
+        num(v).foreach(d => narrow(a, d, Double.PositiveInfinity))
+      case sf.GreaterThanOrEqual(a, v) =>
+        num(v).foreach(d => narrow(a, d, Double.PositiveInfinity))
+      case sf.LessThan(a, v) =>
+        num(v).foreach(d => narrow(a, Double.NegativeInfinity, d))
+      case sf.LessThanOrEqual(a, v) =>
+        num(v).foreach(d => narrow(a, Double.NegativeInfinity, d))
+      case _ => ()
+    }
+    filters.foreach(visit)
+    bounds.toSeq.sortBy(_._1).map { case (c, (lo, hi)) => (c, lo, hi) }
+  }
+
+  /** Column form of a pushed filter, None when untranslatable (nested
+    * field names with dots are skipped rather than mis-parsed). */
+  def toColumn(f: Filter): Option[Column] = {
+    def c(name: String): Option[Column] =
+      if (name.contains(".")) None else Some(col(name))
+    f match {
+      case sf.EqualTo(a, v) => c(a).map(_ === lit(v))
+      case sf.EqualNullSafe(a, v) => c(a).map(_ <=> lit(v))
+      case sf.GreaterThan(a, v) => c(a).map(_ > lit(v))
+      case sf.GreaterThanOrEqual(a, v) => c(a).map(_ >= lit(v))
+      case sf.LessThan(a, v) => c(a).map(_ < lit(v))
+      case sf.LessThanOrEqual(a, v) => c(a).map(_ <= lit(v))
+      case sf.In(a, vs) => c(a).map(_.isin(vs.toSeq: _*))
+      case sf.IsNull(a) => c(a).map(_.isNull)
+      case sf.IsNotNull(a) => c(a).map(_.isNotNull)
+      case sf.StringStartsWith(a, v) => c(a).map(_.startsWith(v))
+      case sf.StringEndsWith(a, v) => c(a).map(_.endsWith(v))
+      case sf.StringContains(a, v) => c(a).map(_.contains(v))
+      case sf.And(l, r) =>
+        for { lc <- toColumn(l); rc <- toColumn(r) } yield lc && rc
+      case sf.Or(l, r) =>
+        for { lc <- toColumn(l); rc <- toColumn(r) } yield lc || rc
+      case sf.Not(x) => toColumn(x).map(!_)
+      case _ => None
+    }
+  }
 }
 
 /** [[InMemoryFileIndex]] over a snapshot's `_parent` chain directories,

@@ -156,6 +156,48 @@ class GvtSpec extends AnyFunSuite {
     assert(scannedFiles(w) == 1, "value-preserving casts should still prune")
   }
 
+  test("DV-bearing snapshots read through gvt/SQL: vectors applied, pruning preserved") {
+    val root = freshRoot()
+    VersionedTable.write(
+      (1 to 800).map(i => (i.toLong, i % 10)).toDF("id", "grp")
+        .repartitionByRange(8, col("id")),
+      root, statsCols = Seq("id"))
+    // DV DELETE + DV UPDATE land; NO compact — the exact sequence that
+    // used to throw on any gvt/SQL read
+    VersionedTable.deleteWhereVector(spark, root, col("id") <= 100)
+    VersionedTable.updateWhereVector(spark, root, col("id") === 500L,
+      Map("grp" -> lit(-1)))
+    val t = spark.read.format("gvt").load(root)
+    assert(t.count() == 700)
+    assert(t.filter(col("grp") === -1).select("id").as[Long].collect().toSeq
+      == Seq(500L))
+    // SQL over a view (the reference's consumption shape)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW gvt_dv USING gvt OPTIONS (path '$root')")
+    assert(spark.sql("SELECT count(*) AS n FROM gvt_dv").as[Long].head() == 700)
+    assert(spark.sql("SELECT sum(grp) AS s FROM gvt_dv WHERE id = 500")
+      .as[Long].head() == -1L)
+    // zone-map pruning still fires on the DV path: a tight range scans
+    // a strict subset of the 8 base files
+    graft.sources.gvt.GvtDvRelation.lastScanFiles = -1
+    val q = spark.sql("SELECT count(*) AS n FROM gvt_dv WHERE id >= 301 AND id <= 350")
+    assert(q.as[Long].head() == 50)
+    val scanned = graft.sources.gvt.GvtDvRelation.lastScanFiles
+    assert(scanned >= 1 && scanned < 8,
+      s"DV-path zone maps must prune the file list, scanned $scanned/8")
+    // column projection reaches the inner scan too (no crash, right values)
+    assert(spark.sql("SELECT grp FROM gvt_dv WHERE id = 500").as[Int].head() == -1)
+    // time travel to the pre-DV snapshot still serves the fast
+    // HadoopFsRelation path with all rows
+    assert(spark.read.format("gvt").option("versionAsOf", "1")
+      .load(root).count() == 800)
+    // compaction materializes the vectors; reads flip back to the
+    // planning-time-pruned relation with identical results
+    VersionedTable.compact(spark, root)
+    spark.catalog.refreshTable("gvt_dv")
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW gvt_dv USING gvt OPTIONS (path '$root')")
+    assert(spark.sql("SELECT count(*) AS n FROM gvt_dv").as[Long].head() == 700)
+  }
+
   test("write path: Overwrite = new snapshot, Append = O(batch) append commit") {
     val root = freshRoot()
     (1 to 100).toDF("id").write.format("gvt")

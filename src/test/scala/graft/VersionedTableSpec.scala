@@ -911,6 +911,36 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.readMetaLatest(root, "_batch").map(_.trim) == Some("1"))
   }
 
+  test("DV DML locate scans are zone-map pruned to the predicate's implied bounds") {
+    val root = Files.createTempDirectory("graft_vt_dmlprune").toString
+    VersionedTable.write(
+      (1 to 1000).map(i => (i.toLong, s"r$i")).toDF("id", "s")
+        .repartitionByRange(10, col("id")),
+      root, statsCols = Seq("id"))
+    val total = VersionedTable.readLatest(spark, root).inputFiles.length
+    assert(total == 10)
+    // predicateRanges extracts conjunctive attribute-vs-literal bounds…
+    assert(VersionedTable.predicateRanges(col("id") >= 301 && col("id") <= 350)
+      == Seq(("id", 301.0, 350.0)))
+    assert(VersionedTable.predicateRanges(col("id") === 500) == Seq(("id", 500.0, 500.0)))
+    // …and an OR (not implied) contributes nothing
+    assert(VersionedTable.predicateRanges(col("id") === 1 || col("id") === 999).isEmpty)
+    // the locate scan (prunedVersionRead keepMeta) reads only the
+    // surviving files — untouched files never reach it
+    val locate = VersionedTable.prunedVersionRead(spark, root, 1L,
+      VersionedTable.predicateRanges(col("id") >= 301 && col("id") <= 350),
+      keepMeta = true)
+    assert(locate.inputFiles.length < total,
+      s"locate scan must prune: ${locate.inputFiles.length}/$total")
+    // the pruned DML commits are still exactly right
+    VersionedTable.deleteWhereVector(spark, root, col("id") >= 301 && col("id") <= 350)
+    assert(VersionedTable.readLatest(spark, root).count() == 950)
+    VersionedTable.updateWhereVector(spark, root, col("id") === 500L,
+      Map("s" -> lit("X")))
+    val live = VersionedTable.readLatest(spark, root)
+    assert(live.filter(col("s") === "X").count() == 1 && live.count() == 950)
+  }
+
   test("compactChain carries EVERY folded dir's watermarks, not just the tip's") {
     val root = Files.createTempDirectory("graft_vt_carry").toString
     VersionedTable.write((1 to 100).toDF("id"), root)                    // v1 base
