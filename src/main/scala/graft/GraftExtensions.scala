@@ -18,7 +18,9 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * compile into the bounded-heap operator automatically), the
   * [[graft.plans.RangeJoinRewrite]] rule (bare `p BETWEEN lo AND hi` joins
   * compile into the bucketed equi-join when
-  * `spark.graft.rangeJoin.width` is set), and every native
+  * `spark.graft.rangeJoin.width` is set), the [[graft.plans.GvtDml]]
+  * rule (SQL `DELETE FROM` / `UPDATE` / `MERGE INTO` over gvt
+  * relations route to the versioned-commit APIs), and every native
   * function from [[graft.functions.NativeFunctions]] as a built-in
   * (available in SQL text and `call_function` from session start, no
   * register() call needed).
@@ -36,6 +38,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
     ext.injectHintResolutionRule(_ => graft.plans.RangeJoinHintResolution)
     ext.injectResolutionRule(_ => graft.plans.GvtInsertGuard)
+    ext.injectResolutionRule(_ => graft.plans.GvtDml)
     for ((name, builder) <- graft.functions.NativeFunctions.builders)
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name),

@@ -1,0 +1,238 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference, EqualTo, Expression, Literal, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.graft.NativeColumns
+import graft.sources.VersionedTable
+import graft.sources.gvt.{GvtDvRelation, GvtFileIndex}
+
+/** SQL DML over gvt relations — the surface the reference's
+  * authoritative notebook actually writes (pure SQL,
+  * 03_gold_metrics_serverless.py:78-371) and Delta's users expect:
+  *
+  *   DELETE FROM t WHERE p
+  *   UPDATE t SET c = e, … WHERE p
+  *   MERGE INTO t USING s ON t.k = s.k
+  *     WHEN MATCHED [AND c] THEN DELETE
+  *     WHEN MATCHED THEN UPDATE SET c = e, … | UPDATE SET *
+  *     WHEN NOT MATCHED THEN INSERT * | INSERT (cols…) VALUES (s.cols…)
+  *
+  * Spark parses these into `DeleteFromTable` / `UpdateTable` /
+  * `MergeIntoTable`, which only DataSourceV2 tables implement; this
+  * resolution rule (injected by [[graft.GraftExtensions]]) intercepts
+  * the RESOLVED plans whose target is a gvt relation and rewrites them
+  * into eager commands routing to the versioned-commit APIs:
+  * DELETE → [[VersionedTable.deleteWhereVector]] and
+  * UPDATE → [[VersionedTable.updateWhereVector]] (both O(changed)
+  * deletion-vector commits, zone-map-pruned locate scans);
+  * MERGE → [[VersionedTable.mergeInto]] (one key-partitioned join,
+  * conditional-commit retry).
+  *
+  * Boundaries (all fail LOUDLY, never silently mis-execute):
+  * time-travel-pinned relations are read-only; conditions must be
+  * subquery-free; MERGE's ON clause must be a conjunction of
+  * target-column = source-column equalities; a conditional
+  * `WHEN MATCHED AND c THEN UPDATE` and `WHEN NOT MATCHED BY SOURCE`
+  * are not supported (use the Scala API's clause surface).
+  *
+  * Snapshot note: a `CREATE TEMP VIEW … USING gvt` pins its snapshot
+  * at (re)creation — after DML, re-create or
+  * `spark.catalog.refreshTable` the view to see the new version, the
+  * same re-resolve contract the gvt read surface documents. */
+object GvtDml extends Rule[LogicalPlan] {
+
+  /** A gvt DML target: the table root + whether the relation was
+    * explicitly version-pinned (versionAsOf/timestampAsOf). */
+  private object GvtTarget {
+    def unapply(plan: LogicalPlan): Option[(String, Boolean)] = plan match {
+      case SubqueryAlias(_, child) => unapply(child)
+      case v: View => unapply(v.child)
+      case LogicalRelation(r: HadoopFsRelation, _, _, _, _)
+          if r.location.isInstanceOf[GvtFileIndex] =>
+        val idx = r.location.asInstanceOf[GvtFileIndex]
+        if (idx.tableRoot.isEmpty) None else Some((idx.tableRoot, idx.pinned))
+      case LogicalRelation(r: GvtDvRelation, _, _, _, _) =>
+        Some((r.root, r.pinned))
+      case _ => None
+    }
+  }
+
+  private def unsupported(what: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"gvt SQL DML: $what is not supported — use the VersionedTable API " +
+        "(deleteWhereVector/updateWhereVector/mergeInto) for the full surface")
+
+  private def requireLive(pinned: Boolean, op: String): Unit =
+    if (pinned) throw new UnsupportedOperationException(
+      s"$op over a time-travel-pinned gvt relation: historical snapshots " +
+        "are read-only — address the live table (no versionAsOf/timestampAsOf)")
+
+  /** Resolved condition → Column over a FRESH read of the table:
+    * attribute references drop their exprIds/qualifiers and re-resolve
+    * by name (the predicate reaches [[VersionedTable.predicateRanges]]
+    * and the residual filter identically to an API-built Column). */
+  private def toCol(e: Expression): Column = {
+    if (e.exists(_.isInstanceOf[SubqueryExpression]))
+      unsupported("a subquery in a DML condition")
+    NativeColumns.ofExpr(e.transform {
+      case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
+    })
+  }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+    case x => Seq(x)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case d @ DeleteFromTable(GvtTarget(root, pinned), condition) if d.resolved =>
+      requireLive(pinned, "DELETE FROM")
+      GvtDeleteCommand(root, toCol(condition))
+
+    case u @ UpdateTable(GvtTarget(root, pinned), assignments, condition)
+        if u.resolved =>
+      requireLive(pinned, "UPDATE")
+      val assigns = assignments.map { a =>
+        a.key match {
+          case k: AttributeReference => k.name -> toCol(a.value)
+          case other => unsupported(s"UPDATE of a nested field ($other)")
+        }
+      }.toMap
+      val cond = condition.map(toCol).getOrElse(
+        org.apache.spark.sql.functions.lit(true))
+      GvtUpdateCommand(root, cond, assigns)
+
+    case m: MergeIntoTable if m.resolved =>
+      m.targetTable match {
+        case GvtTarget(root, pinned) =>
+          requireLive(pinned, "MERGE INTO")
+          rewriteMerge(m, root)
+        case _ => plan
+      }
+
+    case _ => plan
+  }
+
+  private def rewriteMerge(m: MergeIntoTable, root: String): LogicalPlan = {
+    val tgtAttrs = m.targetTable.outputSet
+    val srcAttrs = m.sourceTable.outputSet
+    val tgtCols = m.targetTable.output.map(_.name)
+    val srcCols = m.sourceTable.output.map(_.name)
+    // ON clause → key pairs (targetName, sourceName)
+    val pairs = conjuncts(m.mergeCondition).map {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if tgtAttrs.contains(a) && srcAttrs.contains(b) => (a.name, b.name)
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if tgtAttrs.contains(b) && srcAttrs.contains(a) => (b.name, a.name)
+      case other =>
+        unsupported(s"a MERGE ON clause beyond target-col = source-col " +
+          s"equality conjunctions ($other)")
+    }
+    val keyOfSrc = pairs.map(_.swap).toMap
+    val keys = pairs.map(_._1)
+    // value expressions qualify into mergeClauses' packed-struct space:
+    // target attr → t.<c>, source non-key attr → s.<c'>, key attrs →
+    // the top-level (coalesced) key column
+    def qualify(e: Expression): Column = {
+      if (e.exists(_.isInstanceOf[SubqueryExpression]))
+        unsupported("a subquery in a MERGE clause")
+      NativeColumns.ofExpr(e.transform {
+        case a: AttributeReference if tgtAttrs.contains(a) =>
+          if (keys.contains(a.name)) UnresolvedAttribute(Seq(a.name))
+          else UnresolvedAttribute(Seq("t", a.name))
+        case a: AttributeReference if srcAttrs.contains(a) =>
+          keyOfSrc.get(a.name) match {
+            case Some(k) => UnresolvedAttribute(Seq(k))
+            case None => UnresolvedAttribute(Seq("s", a.name))
+          }
+      })
+    }
+    var matchedDelete: Option[Column] = None
+    var matchedUpdate = Map.empty[String, Column]
+    m.matchedActions.foreach {
+      case DeleteAction(cond) =>
+        matchedDelete = Some(cond.map(qualify).getOrElse(
+          org.apache.spark.sql.functions.lit(true)))
+      case UpdateAction(None, assigns, _) =>
+        matchedUpdate = assigns.map { a =>
+          a.key match {
+            case k: AttributeReference => k.name -> qualify(a.value)
+            case other => unsupported(s"UPDATE SET on a nested field ($other)")
+          }
+        }.toMap
+      case UpdateStarAction(None) =>
+        matchedUpdate = tgtCols.filter(srcCols.contains).filterNot(keys.contains)
+          .map(c => c -> org.apache.spark.sql.functions.col(s"s.$c")).toMap
+      case other => unsupported(s"MERGE matched action $other")
+    }
+    var insertNotMatched = false
+    m.notMatchedActions.foreach {
+      case InsertStarAction(None) => insertNotMatched = true
+      case InsertAction(None, assigns) =>
+        // accept only the identity mapping (t.c := s.c under the ON
+        // renames) — anything else needs the API's clause surface
+        val ok = assigns.forall { a =>
+          (a.key, a.value) match {
+            case (k: AttributeReference, v: AttributeReference) =>
+              keyOfSrc.getOrElse(v.name, v.name) == k.name
+            case (_, Literal(null, _)) => true
+            case _ => false
+          }
+        }
+        if (!ok) unsupported("a MERGE INSERT beyond INSERT * / " +
+          "column-aligned INSERT (cols…) VALUES (s.cols…)")
+        insertNotMatched = true
+      case other => unsupported(s"MERGE not-matched action $other")
+    }
+    if (m.notMatchedBySourceActions.nonEmpty)
+      unsupported("WHEN NOT MATCHED BY SOURCE")
+    // rename source columns to the target's key names so the USING-
+    // style key join in mergeClauses lines up
+    GvtMergeCommand(root, m.sourceTable, pairs, keys,
+      matchedDelete, matchedUpdate, insertNotMatched)
+  }
+}
+
+/** `DELETE FROM <gvt> WHERE p` → an O(changed) deletion-vector commit. */
+case class GvtDeleteCommand(root: String, cond: Column)
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    VersionedTable.deleteWhereVector(spark, root, cond)
+    Seq.empty
+  }
+}
+
+/** `UPDATE <gvt> SET … WHERE p` → an O(changed) DV UPDATE commit. */
+case class GvtUpdateCommand(root: String, cond: Column,
+                            assignments: Map[String, Column])
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    VersionedTable.updateWhereVector(spark, root, cond, assignments)
+    Seq.empty
+  }
+}
+
+/** `MERGE INTO <gvt> USING s ON …` → [[VersionedTable.mergeInto]]'s
+  * one-join clause merge with conditional-commit retry. The source
+  * plan executes lazily inside the merge's join. */
+case class GvtMergeCommand(root: String, source: LogicalPlan,
+                           keyPairs: Seq[(String, String)], keys: Seq[String],
+                           matchedDelete: Option[Column],
+                           matchedUpdate: Map[String, Column],
+                           insertNotMatched: Boolean)
+  extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override def run(spark: SparkSession): Seq[Row] = {
+    val srcDf = keyPairs.foldLeft(NativeColumns.ofPlan(spark, source)) {
+      case (d, (t, s)) => if (t == s) d else d.withColumnRenamed(s, t)
+    }
+    VersionedTable.mergeInto(spark, root, srcDf, keys,
+      matchedDelete, matchedUpdate, insertNotMatched)
+    Seq.empty
+  }
+}

@@ -326,6 +326,30 @@ object RelationalQueries {
         .orderBy(col("status"))
     }),
 
+    // SCHEMA-EVOLVED append chain (Delta mergeSchema analogue): the
+    // second batch ADDS a column — older chain members NULL-pad it at
+    // read, the third batch omits it (reads NULL). The aggregate over
+    // the evolved union must equal the oracle's conditional arithmetic.
+    "q_append_evolve" -> ((s, dir) => {
+      val out = tmpDir("graft_appevoq")
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      val root = s"$out/t"
+      graft.sources.VersionedTable.write(o.filter(col("k") % 3 === 0), root)
+      graft.sources.VersionedTable.append(
+        o.filter(col("k") % 3 === 1).withColumn("prio", (col("k") % 5).cast("long")),
+        root, allowEvolution = true)
+      graft.sources.VersionedTable.append(o.filter(col("k") % 3 === 2), root,
+        allowEvolution = true)
+      graft.sources.VersionedTable.readLatest(s, root)
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"),
+          sum(coalesce(col("prio"), lit(0L))).as("sum_prio"),
+          count(col("prio")).as("n_prio"))
+        .orderBy(col("status"))
+    }),
+
     // replaceWhere (Delta predicate-scoped overwrite): one commit swaps
     // exactly the 'F'-status rows for repriced copies — old positions
     // become a deletion vector, the replacements land as the version's
@@ -516,6 +540,55 @@ object RelationalQueries {
         s"OPTIONS (path '$root')")
       s.sql("""SELECT status, count(*) AS n_orders, sum(cents) AS sum_cents
         FROM gvt_dv_t WHERE k >= 300 GROUP BY status ORDER BY status""")
+    }),
+
+    // SQL DML surface (Delta parity: the reference's authoritative
+    // notebook is pure SQL — 03_gold_metrics_serverless.py:78-371):
+    // DELETE FROM and UPDATE over a registered gvt view, routed by the
+    // GvtDml resolution rule (GraftExtensions) into O(changed)
+    // deletion-vector commits. Same semantics as q_update_dv, driven
+    // entirely through SQL text in an extensions-bearing session.
+    "q_sql_delete_dv" -> ((s, dir) => graft.GraftSession.withExtensions(s) { sess =>
+      val out = tmpDir("graft_sqldel")
+      val o = t(sess, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      val root = s"$out/t"
+      graft.sources.VersionedTable.write(o.repartitionByRange(8, col("k")),
+        root, statsCols = Seq("k"))
+      def view(): Unit = sess.sql(s"CREATE OR REPLACE TEMPORARY VIEW " +
+        s"sql_dml_t USING gvt OPTIONS (path '$root')")
+      view()
+      sess.sql("DELETE FROM sql_dml_t WHERE k % 13 = 0")
+      view() // re-resolve: a gvt view pins its snapshot at creation
+      sess.sql("UPDATE sql_dml_t SET status = 'U', cents = cents + 100000 " +
+        "WHERE k % 7 = 0")
+      view()
+      sess.sql("""SELECT status, count(*) AS n_orders, sum(cents) AS sum_cents
+        FROM sql_dml_t GROUP BY status ORDER BY status""")
+    }),
+
+    // SQL MERGE INTO with the full clause surface (conditional DELETE,
+    // UPDATE SET over both sides, INSERT *) — the exact q_merge_clauses
+    // semantics driven through SQL text; GvtDml routes it to
+    // mergeInto's one-join clause merge with conditional-commit retry.
+    "q_sql_merge" -> ((s, dir) => graft.GraftSession.withExtensions(s) { sess =>
+      val out = tmpDir("graft_sqlmerge")
+      val o = t(sess, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      val root = s"$out/t"
+      graft.sources.VersionedTable.write(o.filter(col("k") % 10 =!= 0), root)
+      o.filter(col("k") % 5 === 0).createOrReplaceTempView("sql_merge_src")
+      sess.sql(s"CREATE OR REPLACE TEMPORARY VIEW sql_merge_t USING gvt " +
+        s"OPTIONS (path '$root')")
+      sess.sql("""MERGE INTO sql_merge_t t USING sql_merge_src s ON t.k = s.k
+        WHEN MATCHED AND t.status = 'F' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET cents = t.cents + s.cents
+        WHEN NOT MATCHED THEN INSERT *""")
+      sess.sql(s"CREATE OR REPLACE TEMPORARY VIEW sql_merge_t USING gvt " +
+        s"OPTIONS (path '$root')")
+      sess.sql("SELECT k, status, cents FROM sql_merge_t ORDER BY k")
     }),
 
     // CDF-FED incremental JOIN-view maintenance — the counting-algorithm
@@ -1261,6 +1334,15 @@ object RelationalQueries {
         |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin,
 
+    // Rows NULL-pad outside the evolved batch: prio exists only where
+    // k % 3 = 1, so its sum/count are conditional over that slice.
+    "q_append_evolve" ->
+      """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  CAST(sum(CASE WHEN o_orderkey % 3 = 1 THEN o_orderkey % 5 ELSE 0 END) AS BIGINT) AS sum_prio,
+        |  CAST(count(CASE WHEN o_orderkey % 3 = 1 THEN 1 END) AS BIGINT) AS n_prio
+        |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin,
+
     // The replaced scope is repriced; everything else untouched.
     "q_replace_where" ->
       """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS status,
@@ -1356,6 +1438,36 @@ object RelationalQueries {
         |SELECT status, CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM o GROUP BY status ORDER BY status""".stripMargin,
+
+    // SQL DELETE+UPDATE must equal the plain row-set arithmetic —
+    // identical semantics to q_update_dv, driven through SQL text.
+    "q_sql_delete_dv" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE o_orderstatus END AS status,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |      + CASE WHEN o_orderkey % 7 = 0 THEN 100000 ELSE 0 END AS cents
+        |  FROM orders WHERE o_orderkey % 13 <> 0)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM o GROUP BY status ORDER BY status""".stripMargin,
+
+    // SQL MERGE must equal the clause algebra (the q_merge_clauses
+    // oracle verbatim: anti ∪ conditional-update ∪ insert).
+    "q_sql_merge" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |tgt AS (SELECT * FROM o WHERE k % 10 <> 0),
+        |src AS (SELECT * FROM o WHERE k % 5 = 0)
+        |SELECT k, status, cents FROM (
+        |  SELECT t.k AS k, t.status AS status, t.cents AS cents
+        |  FROM tgt t LEFT JOIN src s ON t.k = s.k WHERE s.k IS NULL
+        |  UNION ALL
+        |  SELECT t.k, t.status, t.cents + s.cents
+        |  FROM tgt t JOIN src s ON t.k = s.k WHERE t.status <> 'F'
+        |  UNION ALL
+        |  SELECT s.k, s.status, s.cents
+        |  FROM src s LEFT JOIN tgt t ON s.k = t.k WHERE t.k IS NULL
+        |) ORDER BY k""".stripMargin,
 
     // The SQL-over-DV read must equal the plain row-set arithmetic of
     // the two DML ops plus the residual WHERE.

@@ -185,13 +185,24 @@ object VersionedTable {
     * its own basePath so `name=value` partition columns survive, then
     * unioned — predicate pushdown and partition pruning push through
     * union children, so the plan quality matches a single scan. An
-    * unpartitioned multi-dir chain stays one multi-path scan (a single
-    * FileSourceScan — the cheaper plan, kept for the dominant case). */
+    * unpartitioned multi-dir chain with ONE schema stays one multi-path
+    * scan (a single FileSourceScan — the cheaper plan, kept for the
+    * dominant case); an EVOLVED chain (`append(allowEvolution)` added a
+    * column) reads per-dir and NULL-pads missing columns via
+    * `unionByName(allowMissingColumns)` — a blind multi-path scan would
+    * silently drop the new column when schema inference sampled an old
+    * file. Schema probing is one footer read per dir, driver-side,
+    * chain-length-bounded by compaction. */
   private def readDirs(spark: SparkSession, dirs: Seq[String]): DataFrame =
     if (dirs.size == 1) spark.read.parquet(dirs.head)
-    else if (partColsOf(new HPath(dirs.head)).isEmpty) spark.read.parquet(dirs: _*)
+    else if (partColsOf(new HPath(dirs.head)).isEmpty) {
+      val schemas = dirs.map(d => spark.read.parquet(d).schema)
+      if (schemas.forall(_ == schemas.head)) spark.read.parquet(dirs: _*)
+      else dirs.map(spark.read.parquet(_))
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+    }
     else dirs.map(d => spark.read.option("basePath", d).parquet(d))
-      .reduce(_ unionByName _)
+      .reduce(_.unionByName(_, allowMissingColumns = true))
 
   /** The live version: the `_LATEST` hint healed FORWARD through commit
     * markers. A commit is durable the instant its `after=<base>` marker
@@ -762,7 +773,8 @@ object VersionedTable {
     }
     val reads = fileReads ++ passReads
     if (reads.isEmpty) return full().limit(0)
-    val unioned = reads.reduce(_ unionByName _)
+    // allowMissingColumns: an evolved chain's older members NULL-pad
+    val unioned = reads.reduce(_.unionByName(_, allowMissingColumns = true))
     if (!needMeta) unioned else finish(unioned)
   }
 
@@ -1139,9 +1151,12 @@ object VersionedTable {
   // racing appends, and readVersion/changes() see the logical union.
 
   /** Append `df` to the live snapshot as an O(batch) commit. The table
-    * must exist (the first write creates it) and the schema must match
-    * exactly — appends never evolve the schema (an evolved append would
-    * silently NULL-pad every parent row at read time).
+    * must exist (the first write creates it). By default the schema
+    * must match exactly; `allowEvolution` (Delta's `mergeSchema`
+    * analogue) admits a batch ADDING nullable columns — older chain
+    * members NULL-pad them at read (the readDirs evolved-chain union)
+    * — or omitting columns (the batch's rows read NULL there). Type
+    * changes are rejected in every mode.
     *
     * A hive-partitioned table's batches are written in the SAME
     * `name=value` layout (probed from the chain base, as compact()
@@ -1150,11 +1165,12 @@ object VersionedTable {
     * directory structure. */
   def append(df: DataFrame, root: String,
              metaFiles: Map[String, String] = Map.empty,
-             statsCols: Seq[String] = Seq.empty): Long = {
+             statsCols: Seq[String] = Seq.empty,
+             allowEvolution: Boolean = false): Long = {
     val base = latestVersion(root).getOrElse(throw new IllegalArgumentException(
       s"append requires an existing table at $root (first write creates it)"))
     val parts = partColsOf(new HPath(dataDirsOf(root, base).head))
-    write(df, root, partitionBy = parts,
+    write(df, root, partitionBy = parts, allowEvolution = allowEvolution,
       metaFiles = metaFiles + ("_parent" -> base.toString),
       statsCols = statsCols, baseVersion = Some(base), operation = "APPEND")
   }
@@ -1281,10 +1297,15 @@ object VersionedTable {
       col("_metadata.file_path").as("__gvt_file"),
       col("_metadata.row_index").as("__gvt_pos"))
     if (dirs.size == 1) tag(spark.read.parquet(dirs.head))
-    else if (partColsOf(new HPath(dirs.head)).isEmpty)
-      tag(spark.read.parquet(dirs: _*))
+    else if (partColsOf(new HPath(dirs.head)).isEmpty) {
+      // same evolved-chain handling as readDirs (NULL-pad per dir)
+      val schemas = dirs.map(d => spark.read.parquet(d).schema)
+      if (schemas.forall(_ == schemas.head)) tag(spark.read.parquet(dirs: _*))
+      else dirs.map(d => tag(spark.read.parquet(d)))
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+    }
     else dirs.map(d => tag(spark.read.option("basePath", d).parquet(d)))
-      .reduce(_ unionByName _)
+      .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Drop the rows named by the chain's deletion vectors: one anti-join

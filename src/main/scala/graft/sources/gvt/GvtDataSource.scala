@@ -48,7 +48,11 @@ import graft.sources.VersionedTable
   * Writes: `df.write.format("gvt").mode(…).save(root)` maps Overwrite
   * to a new full snapshot, Append to an O(batch) append commit (first
   * write creates the table), honoring options `partitionBy` and
-  * `statsCols` (comma-separated).
+  * `statsCols` (comma-separated), `mergeSchema` (schema evolution on
+  * append — Delta's option), `overwriteSchema` (evolution on
+  * overwrite), and `replaceWhere` (predicate-scoped overwrite in one
+  * O(replaced+new) commit — requires mode Overwrite; incoming rows
+  * must all satisfy the predicate).
   *
   * Streaming sink: `df.writeStream.format("gvt").option("path", …)` —
   * one atomic versioned commit per micro-batch, with the applied batch
@@ -86,6 +90,10 @@ class DefaultSource extends RelationProvider
                               parameters: Map[String, String]): BaseRelation = {
     val spark = sqlContext.sparkSession
     val root = pathOf(parameters)
+    // pinned = explicitly version-addressed (time travel): a READ-ONLY
+    // view of history — SQL DML refuses it (you can't DELETE the past)
+    val pinned = parameters.contains("versionAsOf") ||
+      parameters.contains("timestampAsOf")
     val version = parameters.get("versionAsOf").map(_.trim.toLong)
       .orElse(parameters.get("timestampAsOf").map(ts =>
         VersionedTable.versionAsOf(root, parseTs(ts))))
@@ -96,10 +104,10 @@ class DefaultSource extends RelationProvider
       // served as a plain file relation (the vectors must anti-join
       // out); it plans through the DV-applying relation instead —
       // zone-map pruning and filter/column pushdown preserved inside
-      return new GvtDvRelation(spark, sqlContext, root, version)
+      return new GvtDvRelation(spark, sqlContext, root, version, pinned)
     val dirs = VersionedTable.dataDirsOf(root, version)
     val index = new GvtFileIndex(spark, dirs.map(new Path(_)),
-      VersionedTable.fileStats(spark, root, version))
+      VersionedTable.fileStats(spark, root, version), root, pinned)
     val partitionSchema = index.partitionSchema
     val fullSchema = VersionedTable.readVersion(spark, root, version).schema
     val dataSchema = StructType(
@@ -116,13 +124,28 @@ class DefaultSource extends RelationProvider
       .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
     val partitionBy = parameters.get("partitionBy").toSeq
       .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    // Delta's writer-option surface: `mergeSchema` evolves on append,
+    // `overwriteSchema` on overwrite, `replaceWhere` scopes an
+    // overwrite to exactly the predicate's rows (one O(replaced+new)
+    // DV-shaped commit; incoming rows are validated against the
+    // predicate — out-of-scope rows fail the whole write)
+    def flag(name: String): Boolean =
+      parameters.get(name).exists(_.trim.equalsIgnoreCase("true"))
+    val replaceWhere = parameters.get("replaceWhere").map(_.trim).filter(_.nonEmpty)
+    if (replaceWhere.isDefined && mode != SaveMode.Overwrite)
+      throw new IllegalArgumentException(
+        s"gvt: replaceWhere requires mode Overwrite (got $mode)")
     val exists = VersionedTable.latestVersion(root).isDefined
     mode match {
+      case SaveMode.Overwrite if replaceWhere.isDefined && exists =>
+        VersionedTable.replaceWhere(sqlContext.sparkSession, root,
+          org.apache.spark.sql.functions.expr(replaceWhere.get), data)
       case SaveMode.Overwrite =>
         VersionedTable.write(data, root, partitionBy = partitionBy,
-          statsCols = statsCols)
+          statsCols = statsCols, allowEvolution = flag("overwriteSchema"))
       case SaveMode.Append =>
-        if (exists) VersionedTable.append(data, root, statsCols = statsCols)
+        if (exists) VersionedTable.append(data, root, statsCols = statsCols,
+          allowEvolution = flag("mergeSchema"))
         else VersionedTable.write(data, root, partitionBy = partitionBy,
           statsCols = statsCols)
       case SaveMode.ErrorIfExists =>
@@ -234,7 +257,7 @@ class DefaultSource extends RelationProvider
   * only while vectors are pending materialization. */
 class GvtDvRelation(
     spark: SparkSession, override val sqlContext: SQLContext,
-    val root: String, val version: Long)
+    val root: String, val version: Long, val pinned: Boolean = false)
   extends BaseRelation with PrunedFilteredScan {
 
   override val schema: StructType =
@@ -344,7 +367,8 @@ private[gvt] object GvtV1Filters {
   * the full residual filter on surviving files. */
 class GvtFileIndex(
     spark: SparkSession, roots: Seq[Path],
-    stats: Option[Map[String, Map[String, (Double, Double)]]])
+    stats: Option[Map[String, Map[String, (Double, Double)]]],
+    val tableRoot: String = "", val pinned: Boolean = false)
   extends FileIndex {
 
   // a partitioned multi-dir chain needs ONE index per version dir (each

@@ -88,4 +88,49 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(sess.sql("SELECT count(*) AS n FROM gvt_guard").as[Long].head() == 5)
     }
   }
+
+  test("SQL DML over gvt: DELETE FROM / UPDATE / MERGE INTO route to versioned commits") {
+    withExtensionsSession { sess =>
+      import sess.implicits._
+      import graft.sources.VersionedTable
+      val root = java.nio.file.Files.createTempDirectory("graft_sqldml").toString + "/t"
+      VersionedTable.write((1 to 100).map(i => (i, i * 10L)).toDF("id", "v"),
+        root)
+      def view(): Unit = sess.sql(
+        s"CREATE OR REPLACE TEMPORARY VIEW gvt_dml USING gvt OPTIONS (path '$root')")
+      view()
+      // DELETE FROM → O(changed) deletion-vector commit
+      sess.sql("DELETE FROM gvt_dml WHERE id <= 10")
+      view()
+      assert(sess.sql("SELECT count(*) AS n FROM gvt_dml").as[Long].head() == 90)
+      // UPDATE … SET → DV UPDATE commit (expression over the old value)
+      sess.sql("UPDATE gvt_dml SET v = v + 5 WHERE id = 50")
+      view()
+      assert(sess.sql("SELECT v FROM gvt_dml WHERE id = 50").as[Long].head() == 505L)
+      // MERGE INTO: delete / update / insert clauses in one statement
+      Seq((50, 1L), (60, 2L), (999, 3L)).toDF("id", "v")
+        .createOrReplaceTempView("dml_src")
+      sess.sql("""MERGE INTO gvt_dml t USING dml_src s ON t.id = s.id
+        WHEN MATCHED AND s.v = 1 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET v = s.v + 100
+        WHEN NOT MATCHED THEN INSERT *""")
+      view()
+      val got = sess.sql(
+        "SELECT id, v FROM gvt_dml WHERE id IN (50, 60, 999) ORDER BY id")
+        .as[(Int, Long)].collect().toSeq
+      assert(got == Seq((60, 102L), (999, 3L)), s"got $got")
+      assert(sess.sql("SELECT count(*) AS n FROM gvt_dml").as[Long].head() == 90)
+      // history reflects the routed operations
+      val ops = VersionedTable.history(sess, root)
+        .select("operation").as[String].collect().toSeq
+      assert(ops.containsSlice(Seq("MERGE", "UPDATE_DV", "DELETE_DV")), ops.toString)
+      // a time-travel-pinned view is read-only
+      sess.sql(s"""CREATE OR REPLACE TEMPORARY VIEW gvt_dml_v1 USING gvt
+        OPTIONS (path '$root', versionAsOf '1')""")
+      val e = intercept[Exception] { sess.sql("DELETE FROM gvt_dml_v1 WHERE id = 1") }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty else String.valueOf(t.getMessage) +: msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("read-only")), e.toString)
+    }
+  }
 }

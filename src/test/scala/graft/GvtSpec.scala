@@ -198,6 +198,43 @@ class GvtSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) AS n FROM gvt_dv").as[Long].head() == 700)
   }
 
+  test("writer options: mergeSchema evolves appends, replaceWhere scopes overwrites") {
+    val root = freshRoot()
+    (1 to 40).map(i => (i, i % 4)).toDF("id", "grp")
+      .write.format("gvt").mode("overwrite").save(root)
+    // un-evolved append with a new column fails; mergeSchema admits it
+    intercept[IllegalArgumentException] {
+      Seq((41, 1, "x")).toDF("id", "grp", "tag")
+        .write.format("gvt").mode("append").save(root)
+    }
+    Seq((41, 1, "x")).toDF("id", "grp", "tag")
+      .write.format("gvt").option("mergeSchema", "true").mode("append").save(root)
+    val live = spark.read.format("gvt").load(root)
+    assert(live.count() == 41 && live.filter(col("tag").isNotNull).count() == 1)
+    // replaceWhere: swap EXACTLY grp=1's rows in one commit
+    VersionedTable.compact(spark, root) // fold the evolved chain first
+    Seq((1001, 1, "new"), (1002, 1, "new")).toDF("id", "grp", "tag")
+      .write.format("gvt").option("replaceWhere", "grp = 1")
+      .mode("overwrite").save(root)
+    val after = spark.read.format("gvt").load(root)
+    assert(after.filter(col("grp") === 1).count() == 2)
+    assert(after.filter(col("grp") =!= 1).count() == 30) // untouched scope
+    assert(VersionedTable.history(spark, root).select("operation")
+      .as[String].head() == "REPLACE_WHERE")
+    // out-of-scope incoming rows fail the whole write
+    intercept[VersionedTable.CheckConstraintViolation] {
+      Seq((2000, 2, "bad")).toDF("id", "grp", "tag")
+        .write.format("gvt").option("replaceWhere", "grp = 1")
+        .mode("overwrite").save(root)
+    }
+    // replaceWhere demands mode Overwrite
+    intercept[IllegalArgumentException] {
+      Seq((3000, 1, "z")).toDF("id", "grp", "tag")
+        .write.format("gvt").option("replaceWhere", "grp = 1")
+        .mode("append").save(root)
+    }
+  }
+
   test("write path: Overwrite = new snapshot, Append = O(batch) append commit") {
     val root = freshRoot()
     (1 to 100).toDF("id").write.format("gvt")

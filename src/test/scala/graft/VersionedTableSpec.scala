@@ -941,6 +941,39 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(live.filter(col("s") === "X").count() == 1 && live.count() == 950)
   }
 
+  test("append(allowEvolution): added columns NULL-pad older chain members at read") {
+    val root = Files.createTempDirectory("graft_vt_appevo").toString
+    VersionedTable.write((1 to 20).map(i => (i, s"u$i")).toDF("id", "name"), root)
+    // evolution OFF (default): a new column is rejected loudly
+    intercept[IllegalArgumentException] {
+      VersionedTable.append(Seq((21, "u21", 0.5)).toDF("id", "name", "score"), root)
+    }
+    // evolution ON: the batch adds a nullable column…
+    VersionedTable.append(
+      (21 to 30).map(i => (i, s"u$i", i * 1.5)).toDF("id", "name", "score"),
+      root, allowEvolution = true)
+    val live = VersionedTable.readLatest(spark, root)
+    assert(live.columns.toSeq == Seq("id", "name", "score"))
+    assert(live.count() == 30)
+    // …and the base chain member's rows read NULL there
+    assert(live.filter(col("id") <= 20 && col("score").isNull).count() == 20)
+    assert(live.filter(col("score").isNotNull).count() == 10)
+    // a later batch may also OMIT columns (its rows read NULL)
+    VersionedTable.append(Seq((31, "u31")).toDF("id", "name"), root,
+      allowEvolution = true)
+    val live2 = VersionedTable.readLatest(spark, root)
+    assert(live2.count() == 31 &&
+      live2.filter(col("id") === 31 && col("score").isNull).count() == 1)
+    // the gvt DataSource serves the evolved union schema too
+    assert(spark.read.format("gvt").load(root).columns.contains("score"))
+    assert(spark.read.format("gvt").load(root)
+      .filter(col("score").isNotNull).count() == 10)
+    // chain folding preserves the evolved rows
+    VersionedTable.compactChain(spark, root)
+    val folded = VersionedTable.readLatest(spark, root)
+    assert(folded.count() == 31 && folded.filter(col("score").isNotNull).count() == 10)
+  }
+
   test("compactChain carries EVERY folded dir's watermarks, not just the tip's") {
     val root = Files.createTempDirectory("graft_vt_carry").toString
     VersionedTable.write((1 to 100).toDF("id"), root)                    // v1 base
