@@ -39,6 +39,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectHintResolutionRule(_ => graft.plans.RangeJoinHintResolution)
     ext.injectResolutionRule(_ => graft.plans.GvtInsertGuard)
     ext.injectResolutionRule(_ => graft.plans.GvtDml)
+    ext.injectParser((session, delegate) =>
+      new graft.plans.GvtSqlParser(session, delegate))
     for ((name, builder) <- graft.functions.NativeFunctions.builders)
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name),

@@ -62,6 +62,12 @@ object GvtDml extends Rule[LogicalPlan] {
     }
   }
 
+  /** Exposed for [[GvtSqlParser]]'s maintenance commands and
+    * [[GvtTimeTravel]]: the gvt root (+ pinned flag) of an analyzed
+    * plan, if it is a gvt relation. */
+  private[plans] def gvtRootOf(plan: LogicalPlan): Option[(String, Boolean)] =
+    GvtTarget.unapply(plan)
+
   private def unsupported(what: String): Nothing =
     throw new UnsupportedOperationException(
       s"gvt SQL DML: $what is not supported — use the VersionedTable API " +
@@ -235,4 +241,56 @@ case class GvtMergeCommand(root: String, source: LogicalPlan,
       matchedDelete, matchedUpdate, insertNotMatched)
     Seq.empty
   }
+}
+
+/** In-query time travel over gvt relations — Delta's
+  * `SELECT … FROM t VERSION AS OF n` / `TIMESTAMP AS OF ts` syntax
+  * (the options-only surface `OPTIONS (versionAsOf …)` remains).
+  * Spark parses the suffix into [[RelationTimeTravel]], which only v2
+  * catalogs resolve — its analyzer REJECTS time travel over temp views
+  * before any injected resolution rule can run, so the rewrite happens
+  * at PARSE time instead: [[GvtSqlParser]] post-processes every parsed
+  * plan, substituting a version-pinned gvt relation for each
+  * `RelationTimeTravel` whose target is a registered gvt view (or the
+  * `` gvt.`path` `` form). Non-gvt targets pass through untouched for
+  * Spark's own resolution (and its own error messages). */
+object GvtTimeTravel {
+  import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
+  import org.apache.spark.sql.types.{StringType, TimestampType}
+
+  private def tsParam(e: Expression): Option[(String, String)] = e match {
+    case Literal(s, StringType) => Some("timestampAsOf" -> s.toString)
+    case Literal(micros: Long, TimestampType) =>
+      Some("timestampAsOf" -> (micros / 1000L).toString)
+    case other if other.foldable =>
+      Option(other.eval(null)).flatMap(v => tsParam(Literal(v, other.dataType)))
+    case _ => None
+  }
+
+  /** The gvt root a time-travel target names: `` gvt.`path` `` directly,
+    * a single-part name via its registered view's analyzed plan. */
+  private def rootOf(spark: SparkSession,
+                     parts: Seq[String]): Option[String] = parts match {
+    case Seq("gvt", path) => Some(path)
+    case Seq(name) =>
+      (try Some(spark.table(name).queryExecution.analyzed)
+       catch { case scala.util.control.NonFatal(_) => None })
+        .flatMap(GvtDml.gvtRootOf).map(_._1)
+    case _ => None
+  }
+
+  def resolve(spark: SparkSession, plan: LogicalPlan): LogicalPlan =
+    plan.transformUp {
+      case tt @ RelationTimeTravel(u: UnresolvedRelation, ts, version) =>
+        rootOf(spark, u.multipartIdentifier) match {
+          case Some(root) =>
+            val params = Map("path" -> root) ++
+              version.map("versionAsOf" -> _) ++ ts.flatMap(tsParam)
+            val rel = new graft.sources.gvt.DefaultSource()
+              .createRelation(spark.sqlContext, params)
+            SubqueryAlias(u.multipartIdentifier.last,
+              spark.baseRelationToDataFrame(rel).queryExecution.logical)
+          case None => tt
+        }
+    }
 }

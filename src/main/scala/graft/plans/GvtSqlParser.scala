@@ -1,0 +1,152 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+import org.apache.spark.sql.catalyst.parser.{ParseException, ParserInterface}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
+import graft.sources.VersionedTable
+
+/** Maintenance SQL for gvt tables — the statements Delta adds beyond
+  * ANSI (Delta ships its own DeltaSqlParser for exactly these; this is
+  * the same delegating-parser shape, injected by
+  * [[graft.GraftExtensions]]):
+  *
+  *   OPTIMIZE <t> [ZORDER BY (c1, c2[, c3[, c4]])]
+  *   VACUUM <t> [RETAIN <n> HOURS]
+  *   DESCRIBE HISTORY <t>
+  *
+  * `<t>` is a registered gvt view/table name, or the path form
+  * `` gvt.`/table/root` `` (Delta's ``delta.`path` `` idiom). Anything
+  * else delegates verbatim to Spark's parser — the wrapper recognizes
+  * only statements Spark itself cannot parse, so no valid Spark SQL
+  * changes meaning.
+  *
+  * OPTIMIZE maps to the cheapest correct maintenance: a pure append
+  * chain folds via [[VersionedTable.compactChain]] (O(appended), base
+  * files untouched); deletion vectors, clone crossings, or ZORDER BY
+  * take the full [[VersionedTable.compact]] rewrite. VACUUM maps to
+  * [[VersionedTable.vacuum]] with the Delta retention contract
+  * (`RETAIN n HOURS` → the retention window; snapshots newer than it
+  * are never dropped). DESCRIBE HISTORY returns
+  * [[VersionedTable.history]] newest-first. */
+class GvtSqlParser(session: SparkSession, delegate: ParserInterface)
+  extends ParserInterface {
+
+  import GvtSqlParser._
+
+  override def parsePlan(sqlText: String): LogicalPlan = {
+    val t = sqlText.trim.stripSuffix(";").trim
+    t match {
+      case OptimizeRe(target, zorder) =>
+        val zCols = Option(zorder).toSeq
+          .flatMap(_.split(',')).map(_.trim.stripPrefix("`").stripSuffix("`"))
+          .filter(_.nonEmpty)
+        GvtOptimizeCommand(target.trim, zCols)
+      case VacuumRe(target, hours) =>
+        GvtVacuumCommand(target.trim,
+          Option(hours).map(h => h.trim.toLong * 3600L * 1000L))
+      case HistoryRe(target) =>
+        GvtHistoryCommand(target.trim)
+      // in-query VERSION AS OF / TIMESTAMP AS OF over gvt targets must
+      // substitute at parse time — Spark's analyzer rejects time travel
+      // on temp views before injected resolution rules run
+      case _ => GvtTimeTravel.resolve(session, delegate.parsePlan(sqlText))
+    }
+  }
+
+  override def parseExpression(sqlText: String) = delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+}
+
+object GvtSqlParser {
+  // target = gvt.`path` | [`]ident[`] ; statements Spark can't parse,
+  // so matching them first never shadows valid Spark SQL
+  private val Target = """(gvt\s*\.\s*`[^`]+`|`[^`]+`|[\w.]+)"""
+  private val OptimizeRe =
+    ("""(?is)^OPTIMIZE\s+""" + Target +
+      """(?:\s+ZORDER\s+BY\s*\(?\s*([`\w,\s]+?)\s*\)?)?\s*$""").r
+  private val VacuumRe =
+    ("""(?is)^VACUUM\s+""" + Target +
+      """(?:\s+RETAIN\s+(\d+)\s+HOURS?)?\s*$""").r
+  private val HistoryRe =
+    ("""(?is)^DESC(?:RIBE)?\s+HISTORY\s+""" + Target + """\s*$""").r
+
+  private val PathForm = """(?is)^gvt\s*\.\s*`([^`]+)`$""".r
+
+  /** Resolve a statement target to its gvt table root: the
+    * `` gvt.`path` `` form directly, otherwise the analyzed plan of the
+    * named view/table must be a gvt relation. */
+  private[plans] def rootOf(spark: SparkSession, target: String): String =
+    target.trim match {
+      case PathForm(p) => p
+      case ident =>
+        val name = ident.stripPrefix("`").stripSuffix("`")
+        val plan = spark.table(name).queryExecution.analyzed
+        GvtDml.gvtRootOf(plan).getOrElse(throw new IllegalArgumentException(
+          s"$name is not a gvt table/view — OPTIMIZE/VACUUM/DESCRIBE " +
+            "HISTORY apply to gvt relations only"))._1
+    }
+}
+
+/** `OPTIMIZE t [ZORDER BY (…)]` → chain fold when eligible, else the
+  * full compaction rewrite. Returns the resulting live version. */
+case class GvtOptimizeCommand(target: String, zorderBy: Seq[String])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("new_version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GvtSqlParser.rootOf(spark, target)
+    val v = VersionedTable.latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $root"))
+    val chainFoldable = zorderBy.isEmpty &&
+      VersionedTable.chainDvDirs(root, v).isEmpty &&
+      VersionedTable.dataDirsOf(root, v).size > 2 &&
+      VersionedTable.dataDirsOf(root, v).forall(_.startsWith(s"$root/"))
+    val nv =
+      if (chainFoldable) VersionedTable.compactChain(spark, root)
+      else VersionedTable.compact(spark, root, zorderBy = zorderBy)
+    Seq(Row(nv))
+  }
+}
+
+/** `VACUUM t [RETAIN n HOURS]` → retention with the Delta window
+  * contract; returns the dropped versions, ascending. */
+case class GvtVacuumCommand(target: String, retainMs: Option[Long])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("dropped_version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GvtSqlParser.rootOf(spark, target)
+    VersionedTable.vacuum(root, keep = 1,
+      retainMinMs = retainMs.getOrElse(24L * 3600 * 1000))
+      .map(Row(_))
+  }
+}
+
+/** `DESCRIBE HISTORY t` → the commit chain, newest first. */
+case class GvtHistoryCommand(target: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("commit_ts_millis", LongType, nullable = true)(),
+    AttributeReference("operation", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GvtSqlParser.rootOf(spark, target)
+    VersionedTable.history(spark, root).collect().toSeq
+  }
+}

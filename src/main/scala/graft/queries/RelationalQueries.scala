@@ -591,6 +591,33 @@ object RelationalQueries {
       sess.sql("SELECT k, status, cents FROM sql_merge_t ORDER BY k")
     }),
 
+    // Maintenance SQL (Delta's non-ANSI statements via the injected
+    // GvtSqlParser): OPTIMIZE folds the append chain, VACUUM RETAIN 0
+    // HOURS reclaims the folded-away tips (the base survives as the
+    // fold's ancestor), and in-query `VERSION AS OF` reads the v1
+    // snapshot next to the live one. Results must equal plain row-set
+    // arithmetic — maintenance is storage, never semantics.
+    "q_sql_optimize" -> ((s, dir) => graft.GraftSession.withExtensions(s) { sess =>
+      val out = tmpDir("graft_sqlopt")
+      val o = t(sess, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"))
+      val root = s"$out/t"
+      graft.sources.VersionedTable.write(o.filter(col("k") % 3 === 0), root)
+      graft.sources.VersionedTable.append(o.filter(col("k") % 3 === 1), root)
+      graft.sources.VersionedTable.append(o.filter(col("k") % 3 === 2), root)
+      def view(): Unit = sess.sql(s"CREATE OR REPLACE TEMPORARY VIEW " +
+        s"sql_opt_t USING gvt OPTIONS (path '$root')")
+      view()
+      sess.sql("OPTIMIZE sql_opt_t").collect()
+      sess.sql("VACUUM sql_opt_t RETAIN 0 HOURS").collect()
+      view()
+      sess.sql("""SELECT status, live.n AS n_live, v1.n AS n_v1
+        FROM (SELECT status, count(*) AS n FROM sql_opt_t GROUP BY status) live
+        JOIN (SELECT status, count(*) AS n FROM sql_opt_t VERSION AS OF 1
+              GROUP BY status) v1
+        USING (status) ORDER BY status""")
+    }),
+
     // CDF-FED incremental JOIN-view maintenance — the counting-algorithm
     // generalization of q_incremental_join (which is insert-only with
     // synthesized deltas): BOTH sides of V = A ⋈ B are versioned tables
@@ -1438,6 +1465,15 @@ object RelationalQueries {
         |SELECT status, CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM o GROUP BY status ORDER BY status""".stripMargin,
+
+    // OPTIMIZE/VACUUM are storage-only; VERSION AS OF 1 is the k%3=0
+    // base slice.
+    "q_sql_optimize" ->
+      """WITH o AS (SELECT o_orderstatus AS status, o_orderkey AS k FROM orders)
+        |SELECT status, CAST(live.n AS BIGINT) AS n_live, CAST(v1.n AS BIGINT) AS n_v1
+        |FROM (SELECT status, count(*) AS n FROM o GROUP BY status) live
+        |JOIN (SELECT status, count(*) AS n FROM o WHERE k % 3 = 0 GROUP BY status) v1
+        |USING (status) ORDER BY status""".stripMargin,
 
     // SQL DELETE+UPDATE must equal the plain row-set arithmetic —
     // identical semantics to q_update_dv, driven through SQL text.

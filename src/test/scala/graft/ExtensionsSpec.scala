@@ -133,4 +133,48 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(msgs(e).exists(_.contains("read-only")), e.toString)
     }
   }
+
+  test("maintenance SQL: OPTIMIZE / VACUUM / DESCRIBE HISTORY; VERSION AS OF in queries") {
+    withExtensionsSession { sess =>
+      import sess.implicits._
+      import graft.sources.VersionedTable
+      val root = java.nio.file.Files.createTempDirectory("graft_maintsql").toString + "/t"
+      VersionedTable.write((1 to 100).toDF("id"), root)               // v1
+      VersionedTable.append((101 to 200).toDF("id"), root)            // v2
+      VersionedTable.append((201 to 300).toDF("id"), root)            // v3
+      sess.sql(s"CREATE OR REPLACE TEMPORARY VIEW maint_t USING gvt OPTIONS (path '$root')")
+      // OPTIMIZE folds the append chain (base untouched)
+      val nv = sess.sql("OPTIMIZE maint_t").as[Long].head()
+      assert(VersionedTable.readMeta(root, nv, "_parent").map(_.trim) == Some("1"))
+      assert(VersionedTable.readLatest(sess, root).count() == 300)
+      // DESCRIBE HISTORY, newest first
+      val hist = sess.sql("DESCRIBE HISTORY maint_t")
+        .select("operation").as[String].collect().toSeq
+      assert(hist.head == "COMPACT_CHAIN" && hist.last == "WRITE", hist.toString)
+      // in-query time travel: VERSION AS OF over the registered view
+      assert(sess.sql("SELECT count(*) AS n FROM maint_t VERSION AS OF 1")
+        .as[Long].head() == 100)
+      assert(sess.sql("SELECT count(*) AS n FROM maint_t VERSION AS OF 2")
+        .as[Long].head() == 200)
+      // the path form works without any registered view
+      assert(sess.sql(s"SELECT max(id) AS m FROM gvt.`$root` VERSION AS OF 1")
+        .as[Int].head() == 100)
+      // VACUUM RETAIN 0 HOURS reclaims the folded-away tips
+      val dropped = sess.sql("VACUUM maint_t RETAIN 0 HOURS").as[Long].collect().toSet
+      assert(dropped.nonEmpty && !dropped.contains(1L) && !dropped.contains(nv))
+      assert(VersionedTable.readLatest(sess, root).count() == 300)
+      // OPTIMIZE ZORDER BY takes the full rewrite path
+      val root2 = java.nio.file.Files.createTempDirectory("graft_maintz").toString + "/t"
+      VersionedTable.write((1 to 500).map(i => (i.toLong, (i * 7 % 500).toLong))
+        .toDF("a", "b").repartition(4), root2)
+      sess.sql(s"CREATE OR REPLACE TEMPORARY VIEW maint_z USING gvt OPTIONS (path '$root2')")
+      sess.sql("OPTIMIZE maint_z ZORDER BY (a, b)").collect()
+      assert(VersionedTable.history(sess, root2).select("operation")
+        .as[String].head().startsWith("COMPACT(zorder"))
+      // a non-gvt target is refused loudly
+      sess.range(5).createOrReplaceTempView("plain_view")
+      val e = intercept[Exception] { sess.sql("OPTIMIZE plain_view") }
+      assert(e.getMessage.contains("not a gvt table"), e.toString)
+    }
+  }
 }
