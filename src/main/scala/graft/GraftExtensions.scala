@@ -45,5 +45,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name),
         builder))
+    // Delta's CDF SQL surface: SELECT * FROM table_changes(t, from, to, keys)
+    ext.injectTableFunction((FunctionIdentifier("table_changes"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "table_changes"),
+      graft.plans.GvtTableChanges.builder))
   }
 }

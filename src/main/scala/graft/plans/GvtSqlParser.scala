@@ -50,6 +50,8 @@ class GvtSqlParser(session: SparkSession, delegate: ParserInterface)
           Option(hours).map(h => h.trim.toLong * 3600L * 1000L))
       case HistoryRe(target) =>
         GvtHistoryCommand(target.trim)
+      case RestoreRe(target, version) =>
+        GvtRestoreCommand(target.trim, version.trim.toLong)
       // in-query VERSION AS OF / TIMESTAMP AS OF over gvt targets must
       // substitute at parse time — Spark's analyzer rejects time travel
       // on temp views before injected resolution rules run
@@ -86,6 +88,9 @@ object GvtSqlParser {
       """(?:\s+RETAIN\s+(\d+)\s+HOURS?)?\s*$""").r
   private val HistoryRe =
     ("""(?is)^DESC(?:RIBE)?\s+HISTORY\s+""" + Target + """\s*$""").r
+  private val RestoreRe =
+    ("""(?is)^RESTORE\s+(?:TABLE\s+)?""" + Target +
+      """\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*$""").r
 
   private val PathForm = """(?is)^gvt\s*\.\s*`([^`]+)`$""".r
 
@@ -139,6 +144,19 @@ case class GvtVacuumCommand(target: String, retainMs: Option[Long])
   }
 }
 
+/** `RESTORE [TABLE] t [TO] VERSION AS OF n` → re-commit snapshot n's
+  * content as a NEW version on top (history preserved, concurrent
+  * writers conflict instead of being rolled back — Delta RESTORE). */
+case class GvtRestoreCommand(target: String, version: Long)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("new_version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GvtSqlParser.rootOf(spark, target)
+    Seq(Row(VersionedTable.restore(spark, root, version)))
+  }
+}
+
 /** `DESCRIBE HISTORY t` → the commit chain, newest first. */
 case class GvtHistoryCommand(target: String) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
@@ -148,5 +166,44 @@ case class GvtHistoryCommand(target: String) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val root = GvtSqlParser.rootOf(spark, target)
     VersionedTable.history(spark, root).collect().toSeq
+  }
+}
+
+/** The `table_changes` table-valued function (Delta's CDF SQL surface):
+  *
+  *   SELECT * FROM table_changes('<view-or-path>', fromV, toV, '<keys>')
+  *
+  * → [[VersionedTable.changes]] between the two committed versions:
+  * every key classified insert / delete / update_preimage+postimage,
+  * with the O(batch) no-join fast path when the range is pure appends.
+  * The engine's CDF is storage-free (the retained snapshots ARE the
+  * log), so unlike Delta the key columns must be named — the 4th
+  * argument, comma-separated. Injected by [[graft.GraftExtensions]]
+  * via `injectTableFunction`. */
+object GvtTableChanges {
+  import org.apache.spark.sql.catalyst.expressions.Expression
+
+  def builder(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 4,
+      "table_changes(table_or_path, fromVersion, toVersion, keysCsv) " +
+        s"takes 4 arguments, got ${args.size}")
+    def eval(e: Expression, what: String): Any = {
+      require(e.foldable, s"table_changes: $what must be a literal")
+      val v = e.eval(null)
+      require(v != null, s"table_changes: $what must not be NULL")
+      v
+    }
+    val spark = SparkSession.active
+    val target = eval(args(0), "table").toString
+    val fromV = eval(args(1), "fromVersion").toString.toLong
+    val toV = eval(args(2), "toVersion").toString.toLong
+    val keys = eval(args(3), "keys").toString
+      .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    require(keys.nonEmpty, "table_changes: keys must name at least one column")
+    val root =
+      if (target.contains("/")) target
+      else GvtSqlParser.rootOf(spark, target)
+    VersionedTable.changes(spark, root, fromV, toV, keys)
+      .queryExecution.logical
   }
 }

@@ -456,6 +456,25 @@ object RelationalQueries {
         .orderBy(col("_change_type"))
     }),
 
+    // CDF through SQL (Delta's table_changes TVF, injected by
+    // GraftExtensions): the q_delete_update change feed queried as
+    // SELECT … FROM table_changes(path, 1, 3, 'k') — same classification
+    // algebra, SQL-first surface.
+    "q_sql_table_changes" -> ((s, dir) => graft.GraftSession.withExtensions(s) { sess =>
+      val out = tmpDir("graft_sqltc")
+      val o = t(sess, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      val root = s"$out/t"
+      graft.sources.VersionedTable.write(o, root)
+      graft.sources.VersionedTable.deleteWhere(sess, root, col("k") % 13 === 0)
+      graft.sources.VersionedTable.updateWhere(sess, root, col("k") % 7 === 0,
+        Map("cents" -> (col("cents") + 100000L)))
+      sess.sql(s"""SELECT _change_type, count(*) AS n
+        FROM table_changes('$root', 1, 3, 'k')
+        GROUP BY _change_type ORDER BY _change_type""")
+    }),
+
     // Clause-level MERGE (the full Delta MERGE INTO surface): matched
     // rows whose TARGET status is 'F' are deleted, other matched rows
     // get an UPDATE assignment mixing both sides (t.cents + s.cents),
@@ -1516,6 +1535,17 @@ object RelationalQueries {
         |SELECT status, CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM o WHERE k >= 300 GROUP BY status ORDER BY status""".stripMargin,
+
+    // The TVF surfaces the identical classification the API feed does.
+    "q_sql_table_changes" ->
+      """WITH o AS (SELECT o_orderkey AS k FROM orders)
+        |SELECT _change_type, CAST(n AS BIGINT) AS n FROM (
+        |  SELECT 'delete' AS _change_type, count(*) AS n FROM o WHERE k % 13 = 0
+        |  UNION ALL
+        |  SELECT 'update_preimage', count(*) FROM o WHERE k % 7 = 0 AND k % 13 <> 0
+        |  UNION ALL
+        |  SELECT 'update_postimage', count(*) FROM o WHERE k % 7 = 0 AND k % 13 <> 0)
+        |ORDER BY _change_type""".stripMargin,
 
     // Change-type counts follow directly from the DML predicates:
     // deletes = every 13th key; update pairs = every 7th surviving key.

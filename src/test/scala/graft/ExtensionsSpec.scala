@@ -177,4 +177,30 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(e.getMessage.contains("not a gvt table"), e.toString)
     }
   }
+
+  test("RESTORE SQL and the table_changes TVF") {
+    withExtensionsSession { sess =>
+      import sess.implicits._
+      import graft.sources.VersionedTable
+      val root = java.nio.file.Files.createTempDirectory("graft_restsql").toString + "/t"
+      VersionedTable.write((1 to 10).map(i => (i, s"v$i")).toDF("id", "s"), root) // v1
+      VersionedTable.deleteWhereVector(sess, root, col("id") <= 3)               // v2
+      sess.sql(s"CREATE OR REPLACE TEMPORARY VIEW rest_t USING gvt OPTIONS (path '$root')")
+      // CDF via SQL: the delete classified through the TVF
+      val changed = sess.sql(
+        "SELECT _change_type, count(*) AS n FROM table_changes('" + root +
+          "', 1, 2, 'id') GROUP BY _change_type")
+        .as[(String, Long)].collect().toMap
+      assert(changed == Map("delete" -> 3L), changed.toString)
+      // view-name targets resolve through the catalog too
+      assert(sess.sql("SELECT count(*) AS n FROM table_changes('rest_t', 1, 2, 'id')")
+        .as[Long].head() == 3)
+      // RESTORE re-commits v1's content on top
+      val nv = sess.sql("RESTORE TABLE rest_t TO VERSION AS OF 1").as[Long].head()
+      assert(VersionedTable.readLatest(sess, root).count() == 10)
+      assert(VersionedTable.history(sess, root).select("operation")
+        .as[String].head() == s"RESTORE(v=1)")
+      assert(nv == VersionedTable.latestVersion(root).get)
+    }
+  }
 }
