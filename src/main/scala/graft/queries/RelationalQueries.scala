@@ -456,6 +456,27 @@ object RelationalQueries {
         .orderBy(col("_change_type"))
     }),
 
+    // O(changed) CDF of deletion-vector DML: both hops are single
+    // `_dv_parent` links, so the feed reconstructs from each commit's
+    // own artifacts (touched files ⋉ _dv positions, diffed against the
+    // commit slice) — never a base rescan. Classification must equal
+    // q_delete_update's full-rewrite arithmetic.
+    "q_cdf_dv_feed" -> ((s, dir) => {
+      val out = tmpDir("graft_cdfdv")
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      val root = s"$out/t"
+      graft.sources.VersionedTable.write(o, root)
+      graft.sources.VersionedTable.deleteWhereVector(s, root, col("k") % 13 === 0)
+      graft.sources.VersionedTable.updateWhereVector(s, root, col("k") % 7 === 0,
+        Map("cents" -> (col("cents") + 100000L)))
+      graft.sources.VersionedTable.changes(s, root, 1L, 2L, Seq("k"))
+        .unionByName(graft.sources.VersionedTable.changes(s, root, 2L, 3L, Seq("k")))
+        .groupBy(col("_change_type")).agg(count(lit(1)).as("n"))
+        .orderBy(col("_change_type"))
+    }),
+
     // CDF through SQL (Delta's table_changes TVF, injected by
     // GraftExtensions): the q_delete_update change feed queried as
     // SELECT … FROM table_changes(path, 1, 3, 'k') — same classification
@@ -1535,6 +1556,17 @@ object RelationalQueries {
         |SELECT status, CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM o WHERE k >= 300 GROUP BY status ORDER BY status""".stripMargin,
+
+    // The per-hop DV feed nets to the same classification counts.
+    "q_cdf_dv_feed" ->
+      """WITH o AS (SELECT o_orderkey AS k FROM orders)
+        |SELECT _change_type, CAST(n AS BIGINT) AS n FROM (
+        |  SELECT 'delete' AS _change_type, count(*) AS n FROM o WHERE k % 13 = 0
+        |  UNION ALL
+        |  SELECT 'update_preimage', count(*) FROM o WHERE k % 7 = 0 AND k % 13 <> 0
+        |  UNION ALL
+        |  SELECT 'update_postimage', count(*) FROM o WHERE k % 7 = 0 AND k % 13 <> 0)
+        |ORDER BY _change_type""".stripMargin,
 
     // The TVF surfaces the identical classification the API feed does.
     "q_sql_table_changes" ->

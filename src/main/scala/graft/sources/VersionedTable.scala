@@ -1100,15 +1100,33 @@ object VersionedTable {
     * + `_change_type`. */
   def changes(spark: SparkSession, root: String, fromV: Long, toV: Long,
               keys: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.functions.{array, col, explode, lit, not, struct}
+    import org.apache.spark.sql.functions.{col, lit}
     appendDeltaDirs(root, fromV, toV).foreach { dirs =>
       val delta = readDirs(spark, dirs)
       val dataCols = delta.columns.filterNot(keys.contains).toSeq
       return delta.select(keys.map(col) ++ dataCols.map(col) :+
         lit("insert").as("_change_type"): _*)
     }
-    val from = readVersion(spark, root, fromV)
-    val to = readVersion(spark, root, toV)
+    // DV fast path: a single deletion-vector hop (DELETE_DV/UPDATE_DV/
+    // REPLACE_WHERE) is reconstructed from the commit's OWN artifacts —
+    // the removed positions' rows (read from the touched files only)
+    // diffed against the commit's data slice — at O(changed) cost,
+    // never a base rescan. Per-commit drains (ChangeFeed.commitFeeds,
+    // the gvt-cdf source) are always single hops, so the whole DML
+    // family now feeds consumers at O(changed), like the append path.
+    if (readMeta(root, toV, "_dv_parent").map(_.trim.toLong).contains(fromV))
+      return dvCommitChanges(spark, root, fromV, toV, keys)
+    keyDiff(readVersion(spark, root, fromV), readVersion(spark, root, toV), keys)
+  }
+
+  /** The key-classified diff of two row sets — the changes() core,
+    * shared by the full snapshot diff and the DV-hop fast path (whose
+    * inputs are just RESTRICTED to the touched rows: any key in
+    * neither side yields nothing, so the restricted diff equals the
+    * full diff under the feed's key-uniqueness contract). */
+  private def keyDiff(from: DataFrame, to: DataFrame,
+                      keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{array, col, explode, lit, not, struct}
     val keySet = keys.toSet
     val dataCols = (from.columns ++ to.columns.filterNot(from.columns.contains))
       .filterNot(keySet).toSeq
@@ -1131,6 +1149,54 @@ object VersionedTable {
       .select(keys.map(col) ++
         dataCols.map(c => col(s"c.img.$c").as(c)) :+
         col("c.t").as("_change_type"): _*)
+  }
+
+  /** O(changed) change feed of one deletion-vector hop: the commit's
+    * `_dv` names the removed positions — their ROWS are read from the
+    * TOUCHED FILES ONLY (the distinct `_dv_file` set is
+    * touched-file-count-sized driver metadata, the Delta-log shape)
+    * via a broadcast semi-join on (file, row-position); the commit's
+    * own data slice supplies the new rows. [[keyDiff]] over the two
+    * restricted sets classifies exactly as the full snapshot diff
+    * would (positions were live at `fromV` by construction, so no
+    * earlier vector can intersect). DELETE_DV → deletes; UPDATE_DV →
+    * preimage/postimage pairs; REPLACE_WHERE → the mix its key overlap
+    * implies. Cost: O(touched files + slice), at any table size. */
+  private def dvCommitChanges(spark: SparkSession, root: String,
+                              fromV: Long, toV: Long,
+                              keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val dv = spark.read.parquet(s"$root/v=$toV/_dv")
+    val files = dv.select("_dv_file").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val old =
+      if (files.isEmpty) readVersion(spark, root, fromV).limit(0)
+      else {
+        def tag(df: DataFrame) = df.select(col("*"),
+          col("_metadata.file_path").as("__gvt_file"),
+          col("_metadata.row_index").as("__gvt_pos"))
+        val partitioned =
+          partColsOf(new HPath(dataDirsOf(root, fromV).head)).nonEmpty
+        val reads =
+          if (!partitioned) Seq(tag(spark.read.parquet(files: _*)))
+          else {
+            // per-version-dir basePath so name=value partition columns
+            // survive the explicit file-list read
+            val vdir = "^(.*/v=\\d+)/".r
+            files.groupBy(f =>
+              vdir.findFirstMatchIn(f).map(_.group(1)).getOrElse(""))
+              .toSeq.sortBy(_._1).map { case (d, fs) =>
+                if (d.isEmpty) tag(spark.read.parquet(fs: _*))
+                else tag(spark.read.option("basePath", d).parquet(fs: _*))
+              }
+          }
+        val tagged = reads.reduce(_.unionByName(_, allowMissingColumns = true))
+        tagged.join(dv,
+          tagged("__gvt_file") === dv("_dv_file") &&
+            tagged("__gvt_pos") === dv("_dv_pos"), "left_semi")
+          .drop("__gvt_file", "__gvt_pos")
+      }
+    keyDiff(old, spark.read.parquet(s"$root/v=$toV"), keys)
   }
 
   // ── Append commits (Delta add-file-only transaction analogue) ────────

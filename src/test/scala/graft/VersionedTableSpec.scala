@@ -974,6 +974,43 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(folded.count() == 31 && folded.filter(col("score").isNotNull).count() == 10)
   }
 
+  test("DV-hop change feed is O(changed): touched files only, same classification") {
+    val root = Files.createTempDirectory("graft_vt_dvcdf").toString
+    VersionedTable.write(
+      (1 to 1000).map(i => (i.toLong, s"r$i")).toDF("id", "s")
+        .repartitionByRange(10, col("id")), root)                        // v1
+    VersionedTable.deleteWhereVector(spark, root,
+      col("id") >= 301 && col("id") <= 350)                              // v2
+    val feed = VersionedTable.changes(spark, root, 1L, 2L, Seq("id"))
+    // the feed reads ONLY the touched base file(s), never the full table
+    val baseScanned = feed.inputFiles.count(_.contains("/v=1/"))
+    assert(baseScanned >= 1 && baseScanned < 10,
+      s"DV feed must scan touched files only, got $baseScanned/10")
+    val del = feed.collect()
+    assert(del.forall(_.getAs[String]("_change_type") == "delete"))
+    assert(del.map(_.getAs[Long]("id")).sorted.toSeq == (301L to 350L))
+    // UPDATE_DV hop → preimage/postimage pair for exactly the hit key
+    VersionedTable.updateWhereVector(spark, root, col("id") === 500L,
+      Map("s" -> lit("X")))                                              // v3
+    val upd = VersionedTable.changes(spark, root, 2L, 3L, Seq("id"))
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("s"),
+        r.getAs[String]("_change_type"))).sortBy(_._3)
+    assert(upd.toSeq == Seq((500L, "X", "update_postimage"),
+      (500L, "r500", "update_preimage")), upd.toSeq.toString)
+    // REPLACE_WHERE hop → deletes of the old scope + inserts of the new
+    VersionedTable.replaceWhere(spark, root, col("id") >= 900,
+      (9001 to 9003).map(i => (i.toLong, s"n$i")).toDF("id", "s"))       // v4
+    val rw = VersionedTable.changes(spark, root, 3L, 4L, Seq("id"))
+      .groupBy("_change_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rw == Map("delete" -> 101L, "insert" -> 3L), rw.toString)
+    // streaming drain equivalence: commitFeeds walks the same hops
+    val total = graft.streaming.ChangeFeed
+      .commitFeeds(spark, root, Seq("id"), fromV = 1L)
+      .map(_._2.count()).sum
+    assert(total == 50L + 2L + 104L)
+  }
+
   test("compactChain carries EVERY folded dir's watermarks, not just the tip's") {
     val root = Files.createTempDirectory("graft_vt_carry").toString
     VersionedTable.write((1 to 100).toDF("id"), root)                    // v1 base
