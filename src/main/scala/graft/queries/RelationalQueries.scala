@@ -85,6 +85,24 @@ object RelationalQueries {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // STRING zone-map skipping through gvt: the reference's dominant
+    // scope-filter shape (`o_orderstatus = 'F'`, 03_gold_metrics) over
+    // a status-clustered layout prunes files at planning via the
+    // truncation-sound lexicographic stats — numeric zone maps alone
+    // cannot serve a string equality.
+    "q_data_skipping_str" -> ((s, dir) => {
+      val out = tmpDir("graft_skipstr")
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      val root = s"$out/t"
+      graft.sources.VersionedTable.write(
+        o.repartitionByRange(6, col("status"), col("k")), root,
+        statsCols = Seq("status", "k"))
+      s.read.format("gvt").load(root).filter(col("status") === "F")
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+    }),
+
     // Multi-column data skipping over a z-ordered layout, through gvt:
     // the 2-key range conjunction intersects BOTH columns' zone maps —
     // the read-side payoff of Morton clustering (a linear sort would
@@ -1451,6 +1469,12 @@ object RelationalQueries {
         |JOIN (SELECT status, CAST(count(*) AS BIGINT) AS n FROM o
         |      WHERE k % 13 <> 0 GROUP BY status) live
         |USING (status) ORDER BY status""".stripMargin,
+
+    // String skipping is result-invisible too.
+    "q_data_skipping_str" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
 
     // File pruning is result-invisible: the oracle reproduces the
     // data-derived bounds with the same integer arithmetic and filters

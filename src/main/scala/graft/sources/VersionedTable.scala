@@ -635,24 +635,42 @@ object VersionedTable {
     * version's OWN files only (an append commit stats just its batch,
     * keeping the commit O(batch); full snapshots are their own files).
     * [[readPruned]] unions the chain's stats at read time. */
+  /** Longest string stored in a string zone map. Truncation stays
+    * SOUND: the stored lower bound is a PREFIX of the true min (a
+    * prefix is lexicographically ≤ the original), and an upper bound
+    * that would need truncation is stored as NULL = "unbounded above"
+    * (a file is then never pruned by an upper comparison). */
+  private val strStatMaxLen = 64
+
   def collectStats(spark: SparkSession, root: String, version: Long,
                    cols: Seq[String]): Unit = {
-    import org.apache.spark.sql.functions.{col, min, max, count, lit}
+    import org.apache.spark.sql.functions.{col, count, length, lit, max, min, substring, when}
+    import org.apache.spark.sql.types.{NumericType, StringType}
     val snap = spark.read.parquet(s"$root/v=$version")
-    // zone maps are double-typed: a non-numeric statted column would
-    // cast to NULL min/max for files FULL of data, which readers
-    // interpret as "all-null file, skip on any range" — silently wrong
-    // results. Fail loudly at collection instead (ADVICE r9).
+    // zone maps exist for NUMERIC columns (double min/max; NULL = the
+    // file has no non-null values → skip on any range) and STRING
+    // columns (truncation-sound smin/smax + non-null count — a plain
+    // double-cast of a string col would yield NULL stats for files
+    // FULL of data and silently mis-prune, the r9 ADVICE class). Any
+    // other type fails loudly at collection.
     cols.foreach { c =>
       val dt = snap.schema(c).dataType // throws on a missing column
-      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
-        s"statsCols: $c is $dt — zone maps support numeric columns only " +
-          "(min/max are stored as double; a non-numeric column would " +
-          "yield NULL stats and mis-prune)")
+      require(dt.isInstanceOf[NumericType] || dt == StringType,
+        s"statsCols: $c is $dt — zone maps support numeric and string " +
+          "columns only")
     }
-    val aggs = cols.flatMap(c => Seq(
-      min(col(c)).cast("double").as(s"min_$c"),
-      max(col(c)).cast("double").as(s"max_$c"))) :+ count(lit(1)).as("n_rows")
+    val aggs = cols.flatMap { c =>
+      snap.schema(c).dataType match {
+        case _: NumericType => Seq(
+          min(col(c)).cast("double").as(s"min_$c"),
+          max(col(c)).cast("double").as(s"max_$c"))
+        case _ => Seq(
+          substring(min(col(c)), 1, strStatMaxLen).as(s"smin_$c"),
+          when(length(max(col(c))) <= strStatMaxLen, max(col(c)))
+            .as(s"smax_$c"),
+          count(col(c)).as(s"nn_$c"))
+      }
+    } :+ count(lit(1)).as("n_rows")
     snap.select(col("_metadata.file_path").as("file") +: cols.map(col): _*)
       .groupBy(col("file"))
       .agg(aggs.head, aggs.tail: _*)
@@ -715,8 +733,10 @@ object VersionedTable {
   private[graft] def prunedVersionRead(spark: SparkSession, root: String,
                                        version: Long,
                                        ranges: Seq[(String, Double, Double)],
-                                       keepMeta: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.functions.col
+                                       keepMeta: Boolean = false,
+                                       strRanges: Seq[(String, Option[String], Option[String])] = Seq.empty)
+      : DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
     val dirs = dataDirsOf(root, version)
     val dvDirs = chainDvDirs(root, version)
     val needMeta = dvDirs.nonEmpty || keepMeta
@@ -728,7 +748,7 @@ object VersionedTable {
     def full(): DataFrame =
       if (!needMeta) readDirs(spark, dirs)
       else finish(readDirsMeta(spark, dirs))
-    if (ranges.isEmpty) return full()
+    if (ranges.isEmpty && strRanges.isEmpty) return full()
     // per-dir stats coverage (a multi-dir stats read would silently
     // NULL-fill a member's missing column and mis-skip its files — so
     // coverage is judged per dir and stats are read per dir)
@@ -736,16 +756,27 @@ object VersionedTable {
       val p = new HPath(s"$d/_stats")
       fcOf(p).util.exists(p) && {
         val have = spark.read.parquet(s"$d/_stats").schema.fieldNames.toSet
-        ranges.forall { case (c, _, _) => have(s"min_$c") && have(s"max_$c") }
+        ranges.forall { case (c, _, _) => have(s"min_$c") && have(s"max_$c") } &&
+        strRanges.forall { case (c, _, _) =>
+          have(s"smin_$c") && have(s"smax_$c") && have(s"nn_$c") }
       }
     }
     if (statted.isEmpty) return full()
-    // NULL stats = a file with no non-null values for the column: no
-    // range predicate can match there, so the file is skipped (sound —
-    // a row must satisfy the range to matter, and NULL never does)
-    val pred = ranges.map { case (c, lo, hi) =>
+    // NULL numeric stats = a file with no non-null values for the
+    // column: no range predicate can match there, so the file is
+    // skipped (sound — a row must satisfy the range to matter, and
+    // NULL never does). String bounds are truncation-sound: smin is a
+    // PREFIX of the true min (≤ it), smax NULL means unbounded above,
+    // and nn=0 marks the genuinely all-null file.
+    val pred = (ranges.map { case (c, lo, hi) =>
       col(s"max_$c") >= lo && col(s"min_$c") <= hi
-    }.reduce(_ && _)
+    } ++ strRanges.map { case (c, lo, hi) =>
+      val base = col(s"nn_$c") > 0
+      val loOk = lo.map(l =>
+        col(s"smax_$c").isNull || col(s"smax_$c") >= lit(l))
+      val hiOk = hi.map(h => col(s"smin_$c") <= lit(h))
+      (Seq(base) ++ loOk ++ hiOk).reduce(_ && _)
+    }).reduce(_ && _)
     val files = spark.read.parquet(statted.map(d => s"$d/_stats"): _*)
       .filter(pred).select("file").collect().map(_.getString(0)).toSeq
     val partitioned = partColsOf(new HPath(dirs.head)).nonEmpty
@@ -787,15 +818,33 @@ object VersionedTable {
     * [[updateWhereVector]] / [[replaceWhere]]): an O(changed) commit
     * then also pays only O(pruned) read. */
   private[graft] def predicateRanges(pred: org.apache.spark.sql.Column)
-      : Seq[(String, Double, Double)] = {
+      : Seq[(String, Double, Double)] = predicateBounds(pred)._1
+
+  private[graft] def predicateStrRanges(pred: org.apache.spark.sql.Column)
+      : Seq[(String, Option[String], Option[String])] = predicateBounds(pred)._2
+
+  /** Both bound kinds implied by a predicate: numeric [lo,hi] per
+    * column, and lexicographic [lo,hi] per string column (None = that
+    * side unbounded). */
+  private def predicateBounds(pred: org.apache.spark.sql.Column)
+      : (Seq[(String, Double, Double)],
+         Seq[(String, Option[String], Option[String])]) = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions._
     val bounds =
       scala.collection.mutable.Map.empty[String, (Double, Double)]
+    val sBounds =
+      scala.collection.mutable.Map.empty[String, (Option[String], Option[String])]
     def narrow(c: String, lo: Double, hi: Double): Unit = {
       val (l0, h0) = bounds.getOrElse(c,
         (Double.NegativeInfinity, Double.PositiveInfinity))
       bounds(c) = (math.max(l0, lo), math.min(h0, hi))
+    }
+    def narrowS(c: String, lo: Option[String], hi: Option[String]): Unit = {
+      val (l0, h0) = sBounds.getOrElse(c, (None: Option[String], None: Option[String]))
+      val l = (l0 ++ lo).reduceOption((a, b) => if (a >= b) a else b)
+      val h = (h0 ++ hi).reduceOption((a, b) => if (a <= b) a else b)
+      sBounds(c) = (l, h)
     }
     object A {
       def unapply(e: Expression): Option[String] = e match {
@@ -812,6 +861,13 @@ object VersionedTable {
         case _ => None
       }
     }
+    object S {
+      def unapply(e: Expression): Option[String] = e match {
+        case Literal(s, org.apache.spark.sql.types.StringType) if s != null =>
+          Some(s.toString)
+        case _ => None
+      }
+    }
     // strict < / > widen to inclusive bounds — only ever KEEPS more files
     def cmp(op: String, l: Expression, r: Expression): Unit = (op, l, r) match {
       case ("=", A(c), L(v)) => narrow(c, v, v)
@@ -820,6 +876,12 @@ object VersionedTable {
       case (">" | ">=", L(v), A(c)) => narrow(c, Double.NegativeInfinity, v)
       case ("<" | "<=", A(c), L(v)) => narrow(c, Double.NegativeInfinity, v)
       case ("<" | "<=", L(v), A(c)) => narrow(c, v, Double.PositiveInfinity)
+      case ("=", A(c), S(v)) => narrowS(c, Some(v), Some(v))
+      case ("=", S(v), A(c)) => narrowS(c, Some(v), Some(v))
+      case (">" | ">=", A(c), S(v)) => narrowS(c, Some(v), None)
+      case (">" | ">=", S(v), A(c)) => narrowS(c, None, Some(v))
+      case ("<" | "<=", A(c), S(v)) => narrowS(c, None, Some(v))
+      case ("<" | "<=", S(v), A(c)) => narrowS(c, Some(v), None)
       case _ => ()
     }
     def visit(e: Expression): Unit = e match {
@@ -846,7 +908,8 @@ object VersionedTable {
       case _ => ()
     }
     visit(org.apache.spark.sql.graft.NativeColumns.toExpr(pred))
-    bounds.toSeq.sortBy(_._1).map { case (c, (lo, hi)) => (c, lo, hi) }
+    (bounds.toSeq.sortBy(_._1).map { case (c, (lo, hi)) => (c, lo, hi) },
+      sBounds.toSeq.sortBy(_._1).map { case (c, (lo, hi)) => (c, lo, hi) })
   }
 
   /** Per-file zone maps of logical snapshot `version`, for planner-side
@@ -859,27 +922,49 @@ object VersionedTable {
     * read per-dir so chain members statting different column sets can't
     * NULL-bleed into each other. Metadata-sized: one small parquet read
     * + one O(files) collect per dir. */
+  /** One file's STRING zone map: truncation-sound lexicographic bounds
+    * (`smin` is a prefix of the true min; `smax` None = unbounded
+    * above) plus the non-null count (0 = genuinely all-null file). */
+  private[graft] case class StrStats(smin: Option[String],
+                                     smax: Option[String], nonNull: Long)
+
+  /** Per-file zone maps of a snapshot: numeric columns + string
+    * columns, for planner-side pruning. */
+  private[graft] case class FileZoneMaps(
+      num: Map[String, Map[String, (Double, Double)]],
+      str: Map[String, Map[String, StrStats]])
+
   private[graft] def fileStats(spark: SparkSession, root: String, version: Long)
-      : Option[Map[String, Map[String, (Double, Double)]]] = {
+      : Option[FileZoneMaps] = {
     val dirs = dataDirsOf(root, version).filter { d =>
       val p = new HPath(s"$d/_stats")
       fcOf(p).util.exists(p)
     }
     if (dirs.isEmpty) return None
-    Some(dirs.flatMap { d =>
+    val num = scala.collection.mutable.Map.empty[String, Map[String, (Double, Double)]]
+    val str = scala.collection.mutable.Map.empty[String, Map[String, StrStats]]
+    dirs.foreach { d =>
       val df = spark.read.parquet(s"$d/_stats")
-      val cols = df.schema.fieldNames.filter(_.startsWith("min_"))
-        .map(_.stripPrefix("min_"))
-        .filter(c => df.schema.fieldNames.contains(s"max_$c")).toSeq
-      df.collect().map { r =>
+      val fields = df.schema.fieldNames.toSet
+      val nCols = df.schema.fieldNames.filter(_.startsWith("min_"))
+        .map(_.stripPrefix("min_")).filter(c => fields(s"max_$c")).toSeq
+      val sCols = df.schema.fieldNames.filter(_.startsWith("smin_"))
+        .map(_.stripPrefix("smin_"))
+        .filter(c => fields(s"smax_$c") && fields(s"nn_$c")).toSeq
+      df.collect().foreach { r =>
         val file = new HPath(r.getAs[String]("file")).toUri.getPath
-        file -> cols.map { c =>
+        num(file) = nCols.map { c =>
           val (mi, ma) = (r.getAs[Any](s"min_$c"), r.getAs[Any](s"max_$c"))
           if (mi == null || ma == null) c -> (Double.NaN, Double.NaN)
           else c -> (mi.asInstanceOf[Double], ma.asInstanceOf[Double])
         }.toMap
+        str(file) = sCols.map { c =>
+          c -> StrStats(Option(r.getAs[String](s"smin_$c")),
+            Option(r.getAs[String](s"smax_$c")), r.getAs[Long](s"nn_$c"))
+        }.toMap
       }
-    }.toMap)
+    }
+    Some(FileZoneMaps(num.toMap, str.toMap))
   }
 
   /** Incremental MERGE (Delta `MERGE` analogue): upsert `updates` into the
@@ -975,7 +1060,8 @@ object VersionedTable {
     // locate scan zone-map-pruned by the bounds the predicate implies:
     // an O(changed) commit pays only O(pruned) read, not O(table)
     val live = prunedVersionRead(spark, root, v,
-      predicateRanges(predicate), keepMeta = true)
+      predicateRanges(predicate), keepMeta = true,
+      strRanges = predicateStrRanges(predicate))
     val hit = live.filter(predicate)
     val dv = hit.select(col("__gvt_file").as("_dv_file"),
       col("__gvt_pos").as("_dv_pos"))
@@ -1020,7 +1106,8 @@ object VersionedTable {
             "predicate — they would silently escape the replaced scope")
       // locate scan zone-map-pruned by the predicate's implied bounds
       val live = prunedVersionRead(spark, root, v,
-        predicateRanges(predicate), keepMeta = true)
+        predicateRanges(predicate), keepMeta = true,
+      strRanges = predicateStrRanges(predicate))
       val dv = live.filter(predicate)
         .select(col("__gvt_file").as("_dv_file"), col("__gvt_pos").as("_dv_pos"))
       write(df, root,
@@ -1411,7 +1498,8 @@ object VersionedTable {
       throw new IllegalArgumentException(s"no versions at $root"))
     // locate scan zone-map-pruned by the predicate's implied bounds
     val live = prunedVersionRead(spark, root, v,
-      predicateRanges(predicate), keepMeta = true)
+      predicateRanges(predicate), keepMeta = true,
+      strRanges = predicateStrRanges(predicate))
     val dv = live.filter(predicate)
       .select(col("__gvt_file").as("_dv_file"), col("__gvt_pos").as("_dv_pos"))
     write(readVersion(spark, root, v).limit(0), root,

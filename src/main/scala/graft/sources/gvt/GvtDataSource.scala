@@ -269,7 +269,8 @@ class GvtDvRelation(
                          filters: Array[Filter]): RDD[Row] = {
     import org.apache.spark.sql.functions.col
     val ranges = GvtV1Filters.ranges(filters)
-    val base = VersionedTable.prunedVersionRead(spark, root, version, ranges)
+    val base = VersionedTable.prunedVersionRead(spark, root, version, ranges,
+      strRanges = GvtV1Filters.strRanges(filters))
     val filtered = filters.flatMap(GvtV1Filters.toColumn)
       .foldLeft(base)(_ filter _)
     val projected = filtered.select(requiredColumns.map(col).toSeq: _*)
@@ -328,6 +329,33 @@ private[gvt] object GvtV1Filters {
     bounds.toSeq.sortBy(_._1).map { case (c, (lo, hi)) => (c, lo, hi) }
   }
 
+  /** Lexicographic bounds from string comparisons in V1 filters. */
+  def strRanges(filters: Array[Filter])
+      : Seq[(String, Option[String], Option[String])] = {
+    val bounds = scala.collection.mutable
+      .Map.empty[String, (Option[String], Option[String])]
+    def narrow(c: String, lo: Option[String], hi: Option[String]): Unit = {
+      val (l0, h0) = bounds.getOrElse(c, (None: Option[String], None: Option[String]))
+      bounds(c) = ((l0 ++ lo).reduceOption((a, b) => if (a >= b) a else b),
+        (h0 ++ hi).reduceOption((a, b) => if (a <= b) a else b))
+    }
+    def s(v: Any): Option[String] = v match {
+      case x: String => Some(x)
+      case _ => None
+    }
+    def visit(f: Filter): Unit = f match {
+      case sf.And(l, r) => visit(l); visit(r)
+      case sf.EqualTo(a, v) => s(v).foreach(x => narrow(a, Some(x), Some(x)))
+      case sf.GreaterThan(a, v) => s(v).foreach(x => narrow(a, Some(x), None))
+      case sf.GreaterThanOrEqual(a, v) => s(v).foreach(x => narrow(a, Some(x), None))
+      case sf.LessThan(a, v) => s(v).foreach(x => narrow(a, None, Some(x)))
+      case sf.LessThanOrEqual(a, v) => s(v).foreach(x => narrow(a, None, Some(x)))
+      case _ => ()
+    }
+    filters.foreach(visit)
+    bounds.toSeq.sortBy(_._1).map { case (c, (lo, hi)) => (c, lo, hi) }
+  }
+
   /** Column form of a pushed filter, None when untranslatable (nested
     * field names with dots are skipped rather than mis-parsed). */
   def toColumn(f: Filter): Option[Column] = {
@@ -367,7 +395,7 @@ private[gvt] object GvtV1Filters {
   * the full residual filter on surviving files. */
 class GvtFileIndex(
     spark: SparkSession, roots: Seq[Path],
-    stats: Option[Map[String, Map[String, (Double, Double)]]],
+    stats: Option[VersionedTable.FileZoneMaps],
     val tableRoot: String = "", val pinned: Boolean = false)
   extends FileIndex {
 
@@ -398,18 +426,31 @@ class GvtFileIndex(
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val base = children.flatMap(_.listFiles(partitionFilters, dataFilters))
     val ranges = stats.map(_ => GvtFilters.ranges(dataFilters)).getOrElse(Map.empty)
-    if (ranges.isEmpty) base
+    val sRanges = stats.map(_ => GvtFilters.strRanges(dataFilters)).getOrElse(Map.empty)
+    if (ranges.isEmpty && sRanges.isEmpty) base
     else {
       val zm = stats.get
       base.map { pd =>
         pd.copy(files = pd.files.filter { f =>
-          val fileCols = zm.getOrElse(f.getPath.toUri.getPath, Map.empty)
+          val path = f.getPath.toUri.getPath
+          val numCols = zm.num.getOrElse(path, Map.empty)
+          val strCols = zm.str.getOrElse(path, Map.empty)
           ranges.forall { case (c, (lo, hi)) =>
-            fileCols.get(c) match {
+            numCols.get(c) match {
               case Some((mi, ma)) =>
                 // NaN marks an all-null file: no range can match there
                 if (mi.isNaN) false else ma >= lo && mi <= hi
               case None => true // unstatted column: cannot prune, keep
+            }
+          } && sRanges.forall { case (c, (lo, hi)) =>
+            strCols.get(c) match {
+              case Some(s) =>
+                // nonNull=0: genuinely all-null file, no value matches;
+                // smax None = unbounded above (truncated at collection)
+                s.nonNull > 0 &&
+                  lo.forall(l => s.smax.forall(_ >= l)) &&
+                  hi.forall(h => s.smin.forall(_ <= h))
+              case None => true
             }
           }
         })
@@ -466,6 +507,50 @@ private[gvt] object GvtFilters {
     * value-preserving — 5.3 satisfies it but lies outside [5,5] — so it
     * contributes no bound (same guard as
     * [[graft.plans.RangeJoinRewrite]]'s widening-only operand unwrap). */
+  /** Lexicographic per-column bounds from string comparisons: bare
+    * attribute vs string literal only (a cast on a string attribute is
+    * never value-preserving into string space, so it contributes
+    * nothing). None = that side unbounded. */
+  def strRanges(filters: Seq[Expression])
+      : Map[String, (Option[String], Option[String])] = {
+    import org.apache.spark.sql.types.StringType
+    val bounds = scala.collection.mutable
+      .Map.empty[String, (Option[String], Option[String])]
+    object SA {
+      def unapply(e: Expression): Option[String] = e match {
+        case a: Attribute if a.dataType == StringType => Some(a.name)
+        case _ => None
+      }
+    }
+    object SL {
+      def unapply(e: Expression): Option[String] = e match {
+        case Literal(v, StringType) if v != null => Some(v.toString)
+        case _ => None
+      }
+    }
+    def narrow(c: String, lo: Option[String], hi: Option[String]): Unit = {
+      val (l0, h0) = bounds.getOrElse(c, (None: Option[String], None: Option[String]))
+      bounds(c) = ((l0 ++ lo).reduceOption((a, b) => if (a >= b) a else b),
+        (h0 ++ hi).reduceOption((a, b) => if (a <= b) a else b))
+    }
+    def visit(e: Expression): Unit = e match {
+      case And(l, r) => visit(l); visit(r)
+      case EqualTo(SA(c), SL(v)) => narrow(c, Some(v), Some(v))
+      case EqualTo(SL(v), SA(c)) => narrow(c, Some(v), Some(v))
+      case GreaterThan(SA(c), SL(v)) => narrow(c, Some(v), None)
+      case GreaterThanOrEqual(SA(c), SL(v)) => narrow(c, Some(v), None)
+      case LessThan(SA(c), SL(v)) => narrow(c, None, Some(v))
+      case LessThanOrEqual(SA(c), SL(v)) => narrow(c, None, Some(v))
+      case GreaterThan(SL(v), SA(c)) => narrow(c, None, Some(v))
+      case GreaterThanOrEqual(SL(v), SA(c)) => narrow(c, None, Some(v))
+      case LessThan(SL(v), SA(c)) => narrow(c, Some(v), None)
+      case LessThanOrEqual(SL(v), SA(c)) => narrow(c, Some(v), None)
+      case _ => ()
+    }
+    filters.foreach(visit)
+    bounds.toMap
+  }
+
   private object AttrOf {
     import org.apache.spark.sql.types.{DataType, DoubleType, NumericType}
     private def valuePreserving(from: DataType, to: DataType): Boolean =

@@ -198,6 +198,47 @@ class GvtSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) AS n FROM gvt_dv").as[Long].head() == 700)
   }
 
+  test("string zone maps: equality/range pruning, truncation + all-null soundness") {
+    val root = freshRoot()
+    // 8 statuses clustered one-per-file; ids interleave
+    val df = (1 to 800).map(i => (i.toLong, ('A' + i % 8).toChar.toString))
+      .toDF("id", "status")
+    VersionedTable.write(df.repartitionByRange(8, col("status")), root,
+      statsCols = Seq("status", "id"))
+    val t = spark.read.format("gvt").load(root)
+    assert(scannedFiles(t) == 8)
+    // string EQUALITY prunes at planning (the reference's dominant
+    // scope-filter shape: o_orderstatus = 'F')
+    val q = t.filter(col("status") === "C")
+    assert(q.count() == 100)
+    assert(scannedFiles(q) < 8, "string equality must prune files")
+    // lexicographic RANGE prunes too (statuses G and H = 2 of 8 files)
+    val r = t.filter(col("status") >= "G")
+    assert(r.count() == 200 && scannedFiles(r) < 8)
+    // result-invisible: residual filter still applies inside kept files
+    assert(t.filter(col("status") === "C" && col("id") <= 400).count() == 50)
+
+    // truncation soundness: >64-char strings make smax UNBOUNDED, so
+    // upper-bound checks keep the file instead of mis-pruning
+    val root2 = freshRoot()
+    val long = (0 to 9).map(i => ("y" * 100) + i.toString).toDF("s")
+    VersionedTable.write(long.coalesce(1), root2, statsCols = Seq("s"))
+    val t2 = spark.read.format("gvt").load(root2)
+    assert(t2.filter(col("s") === (("y" * 100) + "5")).count() == 1,
+      "truncated smax must not prune the matching file")
+
+    // a genuinely all-NULL file is skipped on any string predicate
+    val root3 = freshRoot()
+    val mixed = (1 to 100).map(i =>
+      (i, if (i <= 50) null else s"v$i")).toDF("id", "s")
+    VersionedTable.write(mixed.repartitionByRange(2, col("id")), root3,
+      statsCols = Seq("s"))
+    val t3 = spark.read.format("gvt").load(root3)
+    val q3 = t3.filter(col("s") === "v77")
+    assert(q3.count() == 1)
+    assert(scannedFiles(q3) == 1, "the all-null file must skip")
+  }
+
   test("writer options: mergeSchema evolves appends, replaceWhere scopes overwrites") {
     val root = freshRoot()
     (1 to 40).map(i => (i, i % 4)).toDF("id", "grp")

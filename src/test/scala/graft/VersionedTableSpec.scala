@@ -941,6 +941,30 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(live.filter(col("s") === "X").count() == 1 && live.count() == 950)
   }
 
+  test("STRING-predicate DML locate scans prune via string zone maps") {
+    val root = Files.createTempDirectory("graft_vt_strprune").toString
+    VersionedTable.write(
+      (1 to 800).map(i => (i.toLong, ('A' + i % 8).toChar.toString))
+        .toDF("id", "grade").repartitionByRange(8, col("grade")),
+      root, statsCols = Seq("grade"))
+    // string bounds extracted from the predicate…
+    assert(VersionedTable.predicateStrRanges(col("grade") === "C")
+      == Seq(("grade", Some("C"), Some("C"))))
+    assert(VersionedTable.predicateStrRanges(col("grade") >= "G")
+      == Seq(("grade", Some("G"), None)))
+    // …and the locate scan reads only the matching file(s)
+    val locate = VersionedTable.prunedVersionRead(spark, root, 1L, Seq.empty,
+      keepMeta = true,
+      strRanges = VersionedTable.predicateStrRanges(col("grade") === "C"))
+    assert(locate.inputFiles.length < 8,
+      s"string locate scan must prune: ${locate.inputFiles.length}/8")
+    // the pruned DML is exactly right
+    VersionedTable.deleteWhereVector(spark, root, col("grade") === "C")
+    assert(VersionedTable.readLatest(spark, root).count() == 700)
+    assert(VersionedTable.readLatest(spark, root)
+      .filter(col("grade") === "C").count() == 0)
+  }
+
   test("append(allowEvolution): added columns NULL-pad older chain members at read") {
     val root = Files.createTempDirectory("graft_vt_appevo").toString
     VersionedTable.write((1 to 20).map(i => (i, s"u$i")).toDF("id", "name"), root)
@@ -1038,18 +1062,20 @@ class VersionedTableSpec extends AnyFunSuite {
       .map(_.trim) == Some("9"))
   }
 
-  test("statsCols reject non-numeric columns loudly (no NULL-stats mis-prune)") {
+  test("statsCols reject unsupported types loudly (no NULL-stats mis-prune)") {
     val root = Files.createTempDirectory("graft_vt_statstype").toString
+    // numeric and string columns are supported; anything else (here a
+    // boolean) would need stats semantics of its own — fail loudly
     val e = intercept[IllegalArgumentException] {
-      VersionedTable.write(Seq((1, "a"), (2, "b")).toDF("id", "s"), root,
-        statsCols = Seq("s"))
+      VersionedTable.write(Seq((1, "a", true), (2, "b", false))
+        .toDF("id", "s", "flag"), root, statsCols = Seq("flag"))
     }
-    assert(e.getMessage.contains("numeric"))
+    assert(e.getMessage.contains("numeric and string"))
     // the failed write never committed
     assert(VersionedTable.latestVersion(root).isEmpty)
-    // numeric stats still work
-    VersionedTable.write(Seq((1, "a"), (2, "b")).toDF("id", "s"), root,
-      statsCols = Seq("id"))
+    // numeric + string stats work side by side
+    VersionedTable.write(Seq((1, "a", true), (2, "b", false))
+      .toDF("id", "s", "flag"), root, statsCols = Seq("id", "s"))
     assert(VersionedTable.readPruned(spark, root, "id", 2, 2).count() == 1)
   }
 
