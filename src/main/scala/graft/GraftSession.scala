@@ -26,7 +26,10 @@ object GraftSession {
     * [[GraftExtensions]]; restores `base` as the active/default
     * session afterwards. DataFrames returned by `f` stay valid — they
     * carry the sibling session. */
-  def withExtensions[A](base: SparkSession)(f: SparkSession => A): A = {
+  def withExtensions[A](base: SparkSession)(f: SparkSession => A): A = synchronized {
+    // serialized: the active/default session slots are process-global,
+    // so two concurrent callers would otherwise share one sibling
+    // session (and its temp-view catalog) or clear each other's slots
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     try {

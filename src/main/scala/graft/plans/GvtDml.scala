@@ -158,12 +158,23 @@ object GvtDml extends Rule[LogicalPlan] {
           }
       })
     }
+    // SQL MERGE evaluates matched clauses FIRST-WINS per row; the
+    // one-join clause merge expresses "delete where D, else update".
+    // Faithful mappings: leading (possibly several) conditional DELETEs
+    // OR into one condition; an UNCONDITIONAL clause consumes every
+    // remaining matched row, so later matched clauses are DEAD and
+    // ignored (exactly SQL's semantics, never silently reordered).
     var matchedDelete: Option[Column] = None
     var matchedUpdate = Map.empty[String, Column]
+    var matchedConsumed = false
+    def orElseDelete(c: Column): Unit =
+      matchedDelete = Some(matchedDelete.map(_ || c).getOrElse(c))
     m.matchedActions.foreach {
+      case _ if matchedConsumed => () // dead clause: first-wins
       case DeleteAction(cond) =>
-        matchedDelete = Some(cond.map(qualify).getOrElse(
+        orElseDelete(cond.map(qualify).getOrElse(
           org.apache.spark.sql.functions.lit(true)))
+        if (cond.isEmpty) matchedConsumed = true
       case UpdateAction(None, assigns, _) =>
         matchedUpdate = assigns.map { a =>
           a.key match {
@@ -171,34 +182,55 @@ object GvtDml extends Rule[LogicalPlan] {
             case other => unsupported(s"UPDATE SET on a nested field ($other)")
           }
         }.toMap
+        matchedConsumed = true
       case UpdateStarAction(None) =>
         matchedUpdate = tgtCols.filter(srcCols.contains).filterNot(keys.contains)
           .map(c => c -> org.apache.spark.sql.functions.col(s"s.$c")).toMap
+        matchedConsumed = true
       case other => unsupported(s"MERGE matched action $other")
     }
+    // target columns the (renamed) source carries — what INSERT * fills
+    val srcCarried = srcCols.map(c => keyOfSrc.getOrElse(c, c))
+      .filter(tgtCols.contains).toSet
     var insertNotMatched = false
     m.notMatchedActions.foreach {
+      case _ if insertNotMatched => unsupported("multiple NOT MATCHED clauses")
       case InsertStarAction(None) => insertNotMatched = true
       case InsertAction(None, assigns) =>
-        // accept only the identity mapping (t.c := s.c under the ON
-        // renames) — anything else needs the API's clause surface
+        // accepted ONLY when equivalent to INSERT *: every
+        // source-carried target column assigned from its source
+        // counterpart (a column the source does NOT carry may be
+        // assigned NULL — that is what it inserts anyway). A partial
+        // column list or a NULL over a source-carried column would
+        // SILENTLY insert source values where SQL says NULL — reject.
+        val assigned = scala.collection.mutable.Set.empty[String]
         val ok = assigns.forall { a =>
           (a.key, a.value) match {
-            case (k: AttributeReference, v: AttributeReference) =>
-              keyOfSrc.getOrElse(v.name, v.name) == k.name
-            case (_, Literal(null, _)) => true
+            case (k: AttributeReference, v: AttributeReference)
+                if srcAttrs.contains(v) &&
+                  keyOfSrc.getOrElse(v.name, v.name) == k.name =>
+              assigned += k.name; true
+            case (k: AttributeReference, Literal(null, _)) =>
+              !srcCarried(k.name)
             case _ => false
           }
-        }
-        if (!ok) unsupported("a MERGE INSERT beyond INSERT * / " +
-          "column-aligned INSERT (cols…) VALUES (s.cols…)")
+        } && srcCarried.subsetOf(assigned.toSet)
+        if (!ok) unsupported("a MERGE INSERT whose column list is not " +
+          "equivalent to INSERT * (unlisted source-carried columns would " +
+          "insert NULL, which the one-join clause merge cannot express)")
         insertNotMatched = true
       case other => unsupported(s"MERGE not-matched action $other")
     }
     if (m.notMatchedBySourceActions.nonEmpty)
       unsupported("WHEN NOT MATCHED BY SOURCE")
     // rename source columns to the target's key names so the USING-
-    // style key join in mergeClauses lines up
+    // style key join in mergeClauses lines up; a source already
+    // carrying a column under the target key's name would collide
+    pairs.foreach { case (t, s) =>
+      if (t != s && srcCols.contains(t))
+        unsupported(s"a MERGE source carrying BOTH the join column $s " +
+          s"and an unrelated column named $t (renaming $s -> $t would collide)")
+    }
     GvtMergeCommand(root, m.sourceTable, pairs, keys,
       matchedDelete, matchedUpdate, insertNotMatched)
   }

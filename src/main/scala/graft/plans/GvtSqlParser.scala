@@ -48,7 +48,11 @@ class GvtSqlParser(session: SparkSession, delegate: ParserInterface)
       case VacuumRe(target, hours) =>
         GvtVacuumCommand(target.trim,
           Option(hours).map(h => h.trim.toLong * 3600L * 1000L))
-      case HistoryRe(target) =>
+      // `DESC history status` is VALID Spark SQL (describe column
+      // 'status' of a table named 'history') — only claim the statement
+      // when the target actually resolves to a gvt relation, else
+      // delegate so no valid Spark SQL changes meaning
+      case HistoryRe(target) if isGvtTarget(session, target.trim) =>
         GvtHistoryCommand(target.trim)
       case RestoreRe(target, version) =>
         GvtRestoreCommand(target.trim, version.trim.toLong)
@@ -93,6 +97,17 @@ object GvtSqlParser {
       """\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*$""").r
 
   private val PathForm = """(?is)^gvt\s*\.\s*`([^`]+)`$""".r
+
+  /** Does a statement target resolve to a gvt relation? Used to avoid
+    * claiming statements that are also valid Spark SQL. */
+  private[plans] def isGvtTarget(spark: SparkSession, target: String): Boolean =
+    target.trim match {
+      case PathForm(_) => true
+      case ident =>
+        val name = ident.stripPrefix("`").stripSuffix("`")
+        try GvtDml.gvtRootOf(spark.table(name).queryExecution.analyzed).isDefined
+        catch { case scala.util.control.NonFatal(_) => false }
+    }
 
   /** Resolve a statement target to its gvt table root: the
     * `` gvt.`path` `` form directly, otherwise the analyzed plan of the

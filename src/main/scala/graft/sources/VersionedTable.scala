@@ -762,6 +762,11 @@ object VersionedTable {
       }
     }
     if (statted.isEmpty) return full()
+    val partitioned = partColsOf(new HPath(dirs.head)).nonEmpty
+    def tag(df: DataFrame): DataFrame =
+      if (!needMeta) df
+      else df.select(col("*"), col("_metadata.file_path").as("__gvt_file"),
+        col("_metadata.row_index").as("__gvt_pos"))
     // NULL numeric stats = a file with no non-null values for the
     // column: no range predicate can match there, so the file is
     // skipped (sound — a row must satisfy the range to matter, and
@@ -779,25 +784,9 @@ object VersionedTable {
     }).reduce(_ && _)
     val files = spark.read.parquet(statted.map(d => s"$d/_stats"): _*)
       .filter(pred).select("file").collect().map(_.getString(0)).toSeq
-    val partitioned = partColsOf(new HPath(dirs.head)).nonEmpty
-    def tag(df: DataFrame): DataFrame =
-      if (!needMeta) df
-      else df.select(col("*"), col("_metadata.file_path").as("__gvt_file"),
-        col("_metadata.row_index").as("__gvt_pos"))
     val fileReads: Seq[DataFrame] =
       if (files.isEmpty) Seq.empty
-      else if (!partitioned) Seq(tag(spark.read.parquet(files: _*)))
-      else {
-        // partitioned layout: group surviving files by their version
-        // dir and read each group under ITS basePath so name=value
-        // partition columns survive the file-list read
-        val vdir = "^(.*/v=\\d+)/".r
-        files.groupBy(f =>
-          vdir.findFirstMatchIn(f).map(_.group(1)).getOrElse(dirs.head))
-          .toSeq.sortBy(_._1).map { case (d, fs) =>
-            tag(spark.read.option("basePath", d).parquet(fs: _*))
-          }
-      }
+      else readFileGroups(spark, files, partitioned, tag)
     val passReads = pass.map { d =>
       tag(if (partitioned) spark.read.option("basePath", d).parquet(d)
           else spark.read.parquet(d))
@@ -807,6 +796,38 @@ object VersionedTable {
     // allowMissingColumns: an evolved chain's older members NULL-pad
     val unioned = reads.reduce(_.unionByName(_, allowMissingColumns = true))
     if (!needMeta) unioned else finish(unioned)
+  }
+
+  /** Read an explicit data-file list, grouped by version dir. A
+    * partitioned group reads under ITS basePath (`name=value` columns
+    * survive); unpartitioned groups with DIFFERING schemas read
+    * per-group so the caller's `unionByName(allowMissingColumns)`
+    * NULL-pads an evolved chain's older files — one multi-path read
+    * would infer the schema from a single footer and silently drop the
+    * evolved column (the readDirs hazard, on the file-list path).
+    * Uniform unpartitioned groups collapse to the single multi-path
+    * scan (the cheap plan); the schema probe is one footer read per
+    * involved dir. */
+  private def readFileGroups(spark: SparkSession, files: Seq[String],
+                             partitioned: Boolean,
+                             tag: DataFrame => DataFrame): Seq[DataFrame] = {
+    val vdir = "^(.*/v=\\d+)/".r
+    val groups = files.groupBy(f =>
+      vdir.findFirstMatchIn(f).map(_.group(1)).getOrElse(""))
+      .toSeq.sortBy(_._1)
+    if (partitioned)
+      groups.map { case (d, fs) =>
+        if (d.isEmpty) tag(spark.read.parquet(fs: _*))
+        else tag(spark.read.option("basePath", d).parquet(fs: _*))
+      }
+    else if (groups.size <= 1) Seq(tag(spark.read.parquet(files: _*)))
+    else {
+      val schemas = groups.map { case (_, fs) =>
+        spark.read.parquet(fs.head).schema }
+      if (schemas.forall(_ == schemas.head))
+        Seq(tag(spark.read.parquet(files: _*)))
+      else groups.map { case (_, fs) => tag(spark.read.parquet(fs: _*)) }
+    }
   }
 
   /** Conservative per-column [lo,hi] bounds IMPLIED by a predicate
@@ -1065,10 +1086,14 @@ object VersionedTable {
     val hit = live.filter(predicate)
     val dv = hit.select(col("__gvt_file").as("_dv_file"),
       col("__gvt_pos").as("_dv_pos"))
-    val updated = assignments.foldLeft(
-      hit.drop("__gvt_file", "__gvt_pos")) { case (df, (c, e)) =>
-      df.withColumn(c, e)
-    }
+    // SIMULTANEOUS assignment (SQL UPDATE semantics): every RHS reads
+    // the OLD row — one select, never a sequential withColumn fold
+    // (which would let `SET a = b, b = a` read a's NEW value)
+    val base = hit.drop("__gvt_file", "__gvt_pos")
+    assignments.keys.foreach(c => require(base.columns.contains(c),
+      s"UPDATE assigns unknown column $c"))
+    val updated = base.select(base.columns.map(c =>
+      assignments.get(c).map(_.as(c)).getOrElse(col(c))).toSeq: _*)
     write(updated, root,
       metaFiles = Map("_dv_parent" -> v.toString),
       subdirWrites = Map("_dv" -> dv),
@@ -1151,13 +1176,17 @@ object VersionedTable {
   def updateWhere(spark: SparkSession, root: String,
                   predicate: org.apache.spark.sql.Column,
                   assignments: Map[String, org.apache.spark.sql.Column]): Long = {
-    import org.apache.spark.sql.functions.when
+    import org.apache.spark.sql.functions.{col, when}
     val v = latestVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no versions at $root"))
     val snap = readVersion(spark, root, v)
-    val updated = assignments.foldLeft(snap) { case (df, (c, e)) =>
-      df.withColumn(c, when(predicate, e).otherwise(df(c)))
-    }
+    // simultaneous assignment — see updateWhereVector
+    assignments.keys.foreach(c => require(snap.columns.contains(c),
+      s"UPDATE assigns unknown column $c"))
+    val updated = snap.select(snap.columns.map(c =>
+      assignments.get(c)
+        .map(e => when(predicate, e).otherwise(col(c)).as(c))
+        .getOrElse(col(c))).toSeq: _*)
     write(updated, root, baseVersion = Some(v), operation = "UPDATE")
   }
 
@@ -1264,19 +1293,7 @@ object VersionedTable {
           col("_metadata.row_index").as("__gvt_pos"))
         val partitioned =
           partColsOf(new HPath(dataDirsOf(root, fromV).head)).nonEmpty
-        val reads =
-          if (!partitioned) Seq(tag(spark.read.parquet(files: _*)))
-          else {
-            // per-version-dir basePath so name=value partition columns
-            // survive the explicit file-list read
-            val vdir = "^(.*/v=\\d+)/".r
-            files.groupBy(f =>
-              vdir.findFirstMatchIn(f).map(_.group(1)).getOrElse(""))
-              .toSeq.sortBy(_._1).map { case (d, fs) =>
-                if (d.isEmpty) tag(spark.read.parquet(fs: _*))
-                else tag(spark.read.option("basePath", d).parquet(fs: _*))
-              }
-          }
+        val reads = readFileGroups(spark, files, partitioned, tag)
         val tagged = reads.reduce(_.unionByName(_, allowMissingColumns = true))
         tagged.join(dv,
           tagged("__gvt_file") === dv("_dv_file") &&

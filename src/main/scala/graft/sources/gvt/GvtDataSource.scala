@@ -274,7 +274,8 @@ class GvtDvRelation(
     val filtered = filters.flatMap(GvtV1Filters.toColumn)
       .foldLeft(base)(_ filter _)
     val projected = filtered.select(requiredColumns.map(col).toSeq: _*)
-    GvtDvRelation.lastScanFiles = projected.inputFiles.length
+    if (GvtDvRelation.captureScanFiles) // test-only: inputFiles walks the plan
+      GvtDvRelation.lastScanFiles = projected.inputFiles.length
     projected.queryExecution.toRdd.asInstanceOf[RDD[Row]]
   }
 
@@ -284,7 +285,10 @@ class GvtDvRelation(
 private[graft] object GvtDvRelation {
   /** Test instrumentation: data-file count of the most recent DV-path
     * scan (post zone-map pruning) — the numFiles analogue the
-    * FileSourceScanExec metric provides on the vector-free path. */
+    * FileSourceScanExec metric provides on the vector-free path.
+    * Captured only when `captureScanFiles` is set (the inputFiles walk
+    * is pure overhead in production scans). */
+  @volatile private[graft] var captureScanFiles: Boolean = false
   @volatile private[graft] var lastScanFiles: Int = -1
 }
 
@@ -446,10 +450,13 @@ class GvtFileIndex(
             strCols.get(c) match {
               case Some(s) =>
                 // nonNull=0: genuinely all-null file, no value matches;
-                // smax None = unbounded above (truncated at collection)
+                // smax None = unbounded above (truncated at collection).
+                // Comparisons use UTF-8 BYTE order — the order Spark
+                // computed min/max in — not Java's UTF-16 code units,
+                // which diverge on supplementary characters.
                 s.nonNull > 0 &&
-                  lo.forall(l => s.smax.forall(_ >= l)) &&
-                  hi.forall(h => s.smin.forall(_ <= h))
+                  lo.forall(l => s.smax.forall(GvtFilters.utf8Cmp(_, l) >= 0)) &&
+                  hi.forall(h => s.smin.forall(GvtFilters.utf8Cmp(_, h) <= 0))
               case None => true
             }
           }
@@ -507,6 +514,25 @@ private[gvt] object GvtFilters {
     * value-preserving — 5.3 satisfies it but lies outside [5,5] — so it
     * contributes no bound (same guard as
     * [[graft.plans.RangeJoinRewrite]]'s widening-only operand unwrap). */
+  /** UTF-8 byte-order string comparison — the collation Spark's
+    * min/max aggregates use (UTF8String binary order). Java's String
+    * compareTo orders UTF-16 code units, which DISAGREES for
+    * supplementary characters (surrogates 0xD800+ sort below 0xE000+
+    * in UTF-16 but encode as 0xF0… > 0xEE… in UTF-8) — comparing
+    * stats with it could prune a file containing matches. */
+  def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
   /** Lexicographic per-column bounds from string comparisons: bare
     * attribute vs string literal only (a cast on a string attribute is
     * never value-preserving into string space, so it contributes

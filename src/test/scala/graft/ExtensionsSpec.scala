@@ -178,6 +178,46 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("DML semantics: simultaneous UPDATE, MERGE clause order, strict INSERT lists") {
+    withExtensionsSession { sess =>
+      import sess.implicits._
+      import graft.sources.VersionedTable
+      val root = java.nio.file.Files.createTempDirectory("graft_dmlsem").toString + "/t"
+      VersionedTable.write(Seq((1, 10L, 20L)).toDF("id", "a", "b"), root)
+      def view(): Unit = sess.sql(
+        s"CREATE OR REPLACE TEMPORARY VIEW sem_t USING gvt OPTIONS (path '$root')")
+      view()
+      // SQL UPDATE assigns SIMULTANEOUSLY: a=b, b=a swaps
+      sess.sql("UPDATE sem_t SET a = b, b = a WHERE id = 1")
+      view()
+      assert(sess.sql("SELECT a, b FROM sem_t").as[(Long, Long)].head() == ((20L, 10L)))
+      // two conditional DELETEs OR together, last unconditional UPDATE
+      // takes the rest (Spark's parser already forbids a non-last
+      // unconditional matched clause, so first-wins order reduces to
+      // exactly this shape)
+      VersionedTable.write((1 to 10).map(i => (i, i.toLong, 0L)).toDF("id", "a", "b"),
+        root, allowEvolution = true)
+      view()
+      (1 to 10).map(i => (i, 0L, 0L)).toDF("id", "a", "b")
+        .createOrReplaceTempView("sem_src2")
+      sess.sql("""MERGE INTO sem_t t USING sem_src2 s ON t.id = s.id
+        WHEN MATCHED AND t.a <= 2 THEN DELETE
+        WHEN MATCHED AND t.a >= 9 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET b = t.a""")
+      view()
+      val left = sess.sql("SELECT id, b FROM sem_t ORDER BY id")
+        .as[(Int, Long)].collect().toSeq
+      assert(left == (3 to 8).map(i => (i, i.toLong)), left.toString)
+      // an INSERT column list NOT equivalent to INSERT * is refused
+      // (unlisted source-carried columns would silently get s-values)
+      val e = intercept[Exception] {
+        sess.sql("""MERGE INTO sem_t t USING sem_src2 s ON t.id = s.id
+          WHEN NOT MATCHED THEN INSERT (id, a) VALUES (s.id, s.a)""")
+      }
+      assert(e.getMessage.contains("INSERT"), e.toString)
+    }
+  }
+
   test("RESTORE SQL and the table_changes TVF") {
     withExtensionsSession { sess =>
       import sess.implicits._

@@ -178,10 +178,12 @@ class GvtSpec extends AnyFunSuite {
       .as[Long].head() == -1L)
     // zone-map pruning still fires on the DV path: a tight range scans
     // a strict subset of the 8 base files
+    graft.sources.gvt.GvtDvRelation.captureScanFiles = true
     graft.sources.gvt.GvtDvRelation.lastScanFiles = -1
     val q = spark.sql("SELECT count(*) AS n FROM gvt_dv WHERE id >= 301 AND id <= 350")
     assert(q.as[Long].head() == 50)
     val scanned = graft.sources.gvt.GvtDvRelation.lastScanFiles
+    graft.sources.gvt.GvtDvRelation.captureScanFiles = false
     assert(scanned >= 1 && scanned < 8,
       s"DV-path zone maps must prune the file list, scanned $scanned/8")
     // column projection reaches the inner scan too (no crash, right values)

@@ -941,6 +941,24 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(live.filter(col("s") === "X").count() == 1 && live.count() == 950)
   }
 
+  test("evolved-chain DV feed keeps the evolved column's preimage values") {
+    val root = Files.createTempDirectory("graft_vt_dvevo").toString
+    VersionedTable.write((1 to 100).map(i => (i, s"v$i")).toDF("id", "s"), root) // v1
+    VersionedTable.append(
+      (101 to 200).map(i => (i, s"v$i", i * 1.5)).toDF("id", "s", "w"),
+      root, allowEvolution = true)                                               // v2
+    // the delete touches rows in BOTH the pre- and post-evolution files
+    VersionedTable.deleteWhereVector(spark, root,
+      col("id") === 50 || col("id") === 150)                                     // v3
+    val feed = VersionedTable.changes(spark, root, 2L, 3L, Seq("id"))
+      .collect().map(r => (r.getAs[Int]("id"), r.getAs[Any]("w"),
+        r.getAs[String]("_change_type")))
+    // a multi-path schema inference sampling the OLD footer would NULL
+    // the evolved column on row 150's preimage — it must carry 225.0
+    assert(feed.toSet == Set((50, null, "delete"), (150, 225.0, "delete")),
+      feed.toSeq.toString)
+  }
+
   test("STRING-predicate DML locate scans prune via string zone maps") {
     val root = Files.createTempDirectory("graft_vt_strprune").toString
     VersionedTable.write(
