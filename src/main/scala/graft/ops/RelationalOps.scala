@@ -168,6 +168,15 @@ object RelationalOps {
     *   WHEN MATCHED [AND matchedDelete] THEN DELETE
     *   WHEN MATCHED THEN UPDATE SET matchedUpdate   (unlisted cols keep target values)
     *   WHEN NOT MATCHED THEN INSERT *               (iff insertNotMatched)
+    *   WHEN NOT MATCHED BY SOURCE [AND nmsDelete] THEN DELETE
+    *   WHEN NOT MATCHED BY SOURCE THEN UPDATE SET nmsUpdate
+    *
+    * NOT MATCHED BY SOURCE clauses act on target rows WITHOUT a source
+    * match (Delta 2.3+): delete those satisfying `nmsDelete`, apply
+    * `nmsUpdate` assignments (referencing `t.x` only — there is no
+    * source row) to the remainder. A conditional NMS/matched UPDATE is
+    * expressed by the caller wrapping each assignment in
+    * `when(cond, e).otherwise(col("t.c"))`.
     *
     * Conditions and assignments are Column expressions over the packed
     * sides: `col("t.x")` = target value, `col("s.x")` = source value
@@ -184,7 +193,9 @@ object RelationalOps {
   def mergeClauses(target: DataFrame, source: DataFrame, keys: Seq[String],
                    matchedDelete: Option[Column] = None,
                    matchedUpdate: Map[String, Column] = Map.empty,
-                   insertNotMatched: Boolean = true): DataFrame = {
+                   insertNotMatched: Boolean = true,
+                   nmsDelete: Option[Column] = None,
+                   nmsUpdate: Map[String, Column] = Map.empty): DataFrame = {
     val tCols = target.columns.filterNot(keys.contains).toSeq
     val sCols = source.columns.filterNot(keys.contains).toSeq
     val tp = target.select(keys.map(col) :+ struct(tCols.map(col): _*).as("t"): _*)
@@ -196,7 +207,10 @@ object RelationalOps {
     val deleteHit = matchedDelete
       .map(c => matched && coalesce(c, lit(false)))
       .getOrElse(lit(false))
-    val kept = j.filter(tOnly ||
+    val nmsDeleteHit = nmsDelete
+      .map(c => tOnly && coalesce(c, lit(false)))
+      .getOrElse(lit(false))
+    val kept = j.filter((tOnly && !nmsDeleteHit) ||
       (sOnly && lit(insertNotMatched)) ||
       (matched && !deleteHit))
     val sHas = sCols.toSet
@@ -204,7 +218,7 @@ object RelationalOps {
       // a target column the partial source omits inserts as NULL
       // (and with insertNotMatched=false the branch is unreachable —
       // either way, never reference a non-existent s.<c>)
-      when(tOnly, col(s"t.$c"))
+      when(tOnly, nmsUpdate.getOrElse(c, col(s"t.$c")))
         .when(sOnly, if (sHas(c)) col(s"s.$c") else lit(null))
         .otherwise(matchedUpdate.getOrElse(c, col(s"t.$c")))
         .as(c)

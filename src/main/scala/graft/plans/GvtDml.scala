@@ -19,8 +19,9 @@ import graft.sources.gvt.{GvtDvRelation, GvtFileIndex}
   *   UPDATE t SET c = e, … WHERE p
   *   MERGE INTO t USING s ON t.k = s.k
   *     WHEN MATCHED [AND c] THEN DELETE
-  *     WHEN MATCHED THEN UPDATE SET c = e, … | UPDATE SET *
+  *     WHEN MATCHED [AND c] THEN UPDATE SET c = e, … | UPDATE SET *
   *     WHEN NOT MATCHED THEN INSERT * | INSERT (cols…) VALUES (s.cols…)
+  *     WHEN NOT MATCHED BY SOURCE [AND c] THEN DELETE | UPDATE SET …
   *
   * Spark parses these into `DeleteFromTable` / `UpdateTable` /
   * `MergeIntoTable`, which only DataSourceV2 tables implement; this
@@ -36,9 +37,10 @@ import graft.sources.gvt.{GvtDvRelation, GvtFileIndex}
   * Boundaries (all fail LOUDLY, never silently mis-execute):
   * time-travel-pinned relations are read-only; conditions must be
   * subquery-free; MERGE's ON clause must be a conjunction of
-  * target-column = source-column equalities; a conditional
-  * `WHEN MATCHED AND c THEN UPDATE` and `WHEN NOT MATCHED BY SOURCE`
-  * are not supported (use the Scala API's clause surface).
+  * target-column = source-column equalities; a conditional UPDATE must
+  * be the LAST clause of its group (per-row fall-through to a later
+  * clause is not expressible in the one-join merge); an INSERT column
+  * list must be equivalent to INSERT *.
   *
   * Snapshot note: a `CREATE TEMP VIEW … USING gvt` pins its snapshot
   * at (re)creation — after DML, re-create or
@@ -164,30 +166,65 @@ object GvtDml extends Rule[LogicalPlan] {
     // OR into one condition; an UNCONDITIONAL clause consumes every
     // remaining matched row, so later matched clauses are DEAD and
     // ignored (exactly SQL's semantics, never silently reordered).
+    import org.apache.spark.sql.functions.{col => fcol, lit => flit, when => fwhen}
     var matchedDelete: Option[Column] = None
     var matchedUpdate = Map.empty[String, Column]
     var matchedConsumed = false
+    var matchedTerminal = false
     def orElseDelete(c: Column): Unit =
       matchedDelete = Some(matchedDelete.map(_ || c).getOrElse(c))
+    def updateAssigns(assigns: Seq[Assignment],
+                      cond: Option[Expression]): Map[String, Column] =
+      assigns.map { a =>
+        a.key match {
+          case k: AttributeReference =>
+            val v = qualify(a.value)
+            // conditional UPDATE: rows failing the condition keep the
+            // target value (valid only as the LAST matched clause —
+            // fall-through to a later clause is not expressible)
+            k.name -> cond.map(c =>
+              fwhen(qualify(c), v).otherwise(fcol(s"t.${k.name}"))).getOrElse(v)
+          case other => unsupported(s"UPDATE SET on a nested field ($other)")
+        }
+      }.toMap
     m.matchedActions.foreach {
       case _ if matchedConsumed => () // dead clause: first-wins
+      case a if matchedTerminal =>
+        unsupported(s"a matched clause after a conditional UPDATE ($a) — " +
+          "per-row fall-through is not expressible in the one-join merge")
       case DeleteAction(cond) =>
-        orElseDelete(cond.map(qualify).getOrElse(
-          org.apache.spark.sql.functions.lit(true)))
+        orElseDelete(cond.map(qualify).getOrElse(flit(true)))
         if (cond.isEmpty) matchedConsumed = true
-      case UpdateAction(None, assigns, _) =>
-        matchedUpdate = assigns.map { a =>
-          a.key match {
-            case k: AttributeReference => k.name -> qualify(a.value)
-            case other => unsupported(s"UPDATE SET on a nested field ($other)")
-          }
-        }.toMap
-        matchedConsumed = true
-      case UpdateStarAction(None) =>
-        matchedUpdate = tgtCols.filter(srcCols.contains).filterNot(keys.contains)
-          .map(c => c -> org.apache.spark.sql.functions.col(s"s.$c")).toMap
-        matchedConsumed = true
+      case UpdateAction(cond, assigns, _) =>
+        matchedUpdate = updateAssigns(assigns, cond)
+        if (cond.isEmpty) matchedConsumed = true else matchedTerminal = true
+      case UpdateStarAction(cond) =>
+        val base = tgtCols.filter(srcCols.contains).filterNot(keys.contains)
+        matchedUpdate = base.map(c => c -> cond.map(cc =>
+          fwhen(qualify(cc), fcol(s"s.$c")).otherwise(fcol(s"t.$c")))
+          .getOrElse(fcol(s"s.$c"))).toMap
+        if (cond.isEmpty) matchedConsumed = true else matchedTerminal = true
       case other => unsupported(s"MERGE matched action $other")
+    }
+    // NOT MATCHED BY SOURCE clauses (Delta 2.3+): act on target rows
+    // without a source match — same first-wins mapping
+    var nmsDelete: Option[Column] = None
+    var nmsUpdate = Map.empty[String, Column]
+    var nmsConsumed = false
+    var nmsTerminal = false
+    m.notMatchedBySourceActions.foreach {
+      case _ if nmsConsumed => ()
+      case a if nmsTerminal =>
+        unsupported(s"a NOT MATCHED BY SOURCE clause after a conditional " +
+          s"UPDATE ($a)")
+      case DeleteAction(cond) =>
+        val c = cond.map(qualify).getOrElse(flit(true))
+        nmsDelete = Some(nmsDelete.map(_ || c).getOrElse(c))
+        if (cond.isEmpty) nmsConsumed = true
+      case UpdateAction(cond, assigns, _) =>
+        nmsUpdate = updateAssigns(assigns, cond)
+        if (cond.isEmpty) nmsConsumed = true else nmsTerminal = true
+      case other => unsupported(s"MERGE not-matched-by-source action $other")
     }
     // target columns the (renamed) source carries — what INSERT * fills
     val srcCarried = srcCols.map(c => keyOfSrc.getOrElse(c, c))
@@ -221,8 +258,6 @@ object GvtDml extends Rule[LogicalPlan] {
         insertNotMatched = true
       case other => unsupported(s"MERGE not-matched action $other")
     }
-    if (m.notMatchedBySourceActions.nonEmpty)
-      unsupported("WHEN NOT MATCHED BY SOURCE")
     // rename source columns to the target's key names so the USING-
     // style key join in mergeClauses lines up; a source already
     // carrying a column under the target key's name would collide
@@ -232,7 +267,7 @@ object GvtDml extends Rule[LogicalPlan] {
           s"and an unrelated column named $t (renaming $s -> $t would collide)")
     }
     GvtMergeCommand(root, m.sourceTable, pairs, keys,
-      matchedDelete, matchedUpdate, insertNotMatched)
+      matchedDelete, matchedUpdate, insertNotMatched, nmsDelete, nmsUpdate)
   }
 }
 
@@ -262,7 +297,9 @@ case class GvtMergeCommand(root: String, source: LogicalPlan,
                            keyPairs: Seq[(String, String)], keys: Seq[String],
                            matchedDelete: Option[Column],
                            matchedUpdate: Map[String, Column],
-                           insertNotMatched: Boolean)
+                           insertNotMatched: Boolean,
+                           nmsDelete: Option[Column] = None,
+                           nmsUpdate: Map[String, Column] = Map.empty)
   extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(spark: SparkSession): Seq[Row] = {
@@ -270,7 +307,8 @@ case class GvtMergeCommand(root: String, source: LogicalPlan,
       case (d, (t, s)) => if (t == s) d else d.withColumnRenamed(s, t)
     }
     VersionedTable.mergeInto(spark, root, srcDf, keys,
-      matchedDelete, matchedUpdate, insertNotMatched)
+      matchedDelete, matchedUpdate, insertNotMatched,
+      nmsDelete = nmsDelete, nmsUpdate = nmsUpdate)
     Seq.empty
   }
 }

@@ -534,6 +534,26 @@ object RelationalQueries {
         .orderBy(col("k"))
     }),
 
+    // MERGE with NOT MATCHED BY SOURCE clauses (Delta 2.3+): matched
+    // rows reprice from both sides; target rows WITHOUT a source match
+    // delete when status 'F', else stamp 'S' — one key-partitioned
+    // full-outer join, target scanned once. Oracle: the two disjoint
+    // surviving row classes unioned.
+    "q_merge_nms" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      mergeClauses(
+        o.filter(col("k") % 10 =!= 0),          // target
+        o.filter(col("k") % 5 === 0),           // source changeset
+        Seq("k"),
+        matchedUpdate = Map("cents" -> (col("t.cents") + col("s.cents"))),
+        insertNotMatched = false,
+        nmsDelete = Some(col("t.status") === "F"),
+        nmsUpdate = Map("status" -> lit("S")))
+        .orderBy(col("k"))
+    }),
+
     // DELETION-VECTOR deletes (Delta deletion-vector analogue): two
     // stacked O(delete) DELETE commits — each version dir holds only
     // the (file, row-position) vector of its deleted rows, never a
@@ -1506,6 +1526,21 @@ object RelationalQueries {
         |  UNION ALL
         |  SELECT s.k, s.status, s.cents
         |  FROM src s LEFT JOIN tgt t ON s.k = t.k WHERE t.k IS NULL
+        |) ORDER BY k""".stripMargin,
+
+    // NMS algebra: matched (k%5=0 targets) reprice; target-only rows
+    // delete when 'F', else restatus 'S'.
+    "q_merge_nms" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |tgt AS (SELECT * FROM o WHERE k % 10 <> 0),
+        |src AS (SELECT * FROM o WHERE k % 5 = 0)
+        |SELECT k, status, cents FROM (
+        |  SELECT k, 'S' AS status, cents FROM tgt
+        |  WHERE k % 5 <> 0 AND status <> 'F'
+        |  UNION ALL
+        |  SELECT t.k, t.status, t.cents + s.cents
+        |  FROM tgt t JOIN src s ON t.k = s.k
         |) ORDER BY k""".stripMargin,
 
     // Vectors are storage, not semantics: the DV-applied snapshot must

@@ -1045,14 +1045,17 @@ object VersionedTable {
                 matchedDelete: Option[org.apache.spark.sql.Column] = None,
                 matchedUpdate: Map[String, org.apache.spark.sql.Column] = Map.empty,
                 insertNotMatched: Boolean = true,
-                maxRetries: Int = 3): Long = {
+                maxRetries: Int = 3,
+                nmsDelete: Option[org.apache.spark.sql.Column] = None,
+                nmsUpdate: Map[String, org.apache.spark.sql.Column] = Map.empty): Long = {
     var attempt = 0
     while (true) {
       val base = latestVersion(root).getOrElse(
         throw new IllegalArgumentException(s"no versions at $root"))
       val merged = graft.ops.RelationalOps.mergeClauses(
         readVersion(spark, root, base), source, keys,
-        matchedDelete, matchedUpdate, insertNotMatched)
+        matchedDelete, matchedUpdate, insertNotMatched,
+        nmsDelete, nmsUpdate)
       try return write(merged, root, baseVersion = Some(base), operation = "MERGE")
       catch {
         case e: ConcurrentWriteException =>
@@ -1678,8 +1681,10 @@ object VersionedTable {
     * for BOTH, so [[readPruned]] (and parquet row-group stats) skip on
     * either key afterwards — the layout half of data skipping, applied
     * where Delta applies it: at compaction time, not on the write path.
-    * Not supported inside a hive-partitioned layout (z-order before
-    * partitioning, as Delta z-orders within partitions).
+    * A hive-partitioned snapshot z-orders WITHIN partitions (Delta's
+    * behavior): the rewrite clusters on (partition keys, zk), so each
+    * partition directory's files stay zk-tight; the z-order keys must
+    * not themselves be partition keys.
     *
     * Partitioned snapshots: the `name=value` directory layout is
     * auto-detected and preserved — a plain rewrite would silently flatten
@@ -1716,8 +1721,8 @@ object VersionedTable {
       else {
         require(zorderBy.size >= 2 && zorderBy.size <= 4,
           s"zorderBy takes 2-4 columns (Morton interleave), got $zorderBy")
-        require(parts.isEmpty,
-          "zorderBy inside a hive-partitioned snapshot is not supported")
+        require(!zorderBy.exists(parts.contains),
+          s"zorderBy columns must not be partition keys ($parts)")
         import org.apache.spark.sql.functions.{col, lit, min, max}
         // O(1)-row driver agg: per-column bounds for the range bucketing
         val aggs = zorderBy.flatMap(c =>
@@ -1738,9 +1743,13 @@ object VersionedTable {
           val zk =
             if (zorderBy.size == 2) graft.ops.ZOrder.zorder2(buckets(0), buckets(1))
             else graft.ops.ZOrder.zorderN(buckets, bits)
+          // hive-partitioned snapshots z-order WITHIN partitions (as
+          // Delta does): range-partition and sort on (partition keys,
+          // zk) so each partition directory's files stay zk-clustered
+          val order = parts.map(col) :+ col("_zk")
           (snap.withColumn("_zk", zk)
-            .repartitionByRange(nFiles, col("_zk"))
-            .sortWithinPartitions(col("_zk"))
+            .repartitionByRange(nFiles, order: _*)
+            .sortWithinPartitions(order: _*)
             .drop("_zk"),
             s"COMPACT(zorder=${zorderBy.mkString(",")})")
         }

@@ -215,6 +215,20 @@ class ExtensionsSpec extends AnyFunSuite {
           WHEN NOT MATCHED THEN INSERT (id, a) VALUES (s.id, s.a)""")
       }
       assert(e.getMessage.contains("INSERT"), e.toString)
+      // WHEN NOT MATCHED BY SOURCE: conditional delete + update of the
+      // remaining target-only rows (and a conditional matched UPDATE)
+      // state: ids 3..8 with (a=i, b=i)
+      (3 to 5).map(i => (i, 0L, 0L)).toDF("id", "a", "b")
+        .createOrReplaceTempView("sem_src3")
+      sess.sql("""MERGE INTO sem_t t USING sem_src3 s ON t.id = s.id
+        WHEN MATCHED AND t.a >= 5 THEN UPDATE SET b = -5
+        WHEN NOT MATCHED BY SOURCE AND t.b >= 8 THEN DELETE
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET a = -1""")
+      view()
+      val nms = sess.sql("SELECT id, a, b FROM sem_t ORDER BY id")
+        .as[(Int, Long, Long)].collect().toSeq
+      assert(nms == Seq((3, 3L, 3L), (4, 4L, 4L), (5, 5L, -5L),
+        (6, -1L, 6L), (7, -1L, 7L)), nms.toString) // id 8 deleted
     }
   }
 

@@ -941,6 +941,48 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(live.filter(col("s") === "X").count() == 1 && live.count() == 950)
   }
 
+  test("MERGE WHEN NOT MATCHED BY SOURCE: delete + update target-only rows") {
+    val root = Files.createTempDirectory("graft_vt_nms").toString
+    VersionedTable.write(
+      (1 to 10).map(i => (i, i * 10L, "old")).toDF("id", "v", "tag"), root)
+    // source matches 1..4; 5..10 are NOT MATCHED BY SOURCE:
+    // delete those with v > 80, stamp the rest "stale"
+    VersionedTable.mergeInto(spark, root,
+      (1 to 4).map(i => (i, i * 100L, "new")).toDF("id", "v", "tag"), Seq("id"),
+      matchedUpdate = Map("v" -> col("s.v"), "tag" -> col("s.tag")),
+      insertNotMatched = false,
+      nmsDelete = Some(col("t.v") > 80L),
+      nmsUpdate = Map("tag" -> lit("stale")))
+    val got = VersionedTable.readLatest(spark, root).orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == (1 to 4).map(i => (i, i * 100L, "new")) ++
+      (5 to 8).map(i => (i, i * 10L, "stale")),
+      got.toString) // 9, 10 deleted (v = 90, 100 > 80)
+  }
+
+  test("z-order within hive partitions: layout preserved, per-key pruning works") {
+    val root = Files.createTempDirectory("graft_vt_zpart").toString
+    val df = (1 to 2000).map { i =>
+      (i % 2, i.toLong, ((i * 37) % 2000).toLong)
+    }.toDF("part", "a", "b")
+    VersionedTable.write(df.repartition(8), root, partitionBy = Seq("part"))
+    intercept[IllegalArgumentException] { // partition keys can't z-order
+      VersionedTable.compact(spark, root, zorderBy = Seq("part", "a"))
+    }
+    VersionedTable.compact(spark, root,
+      targetFileBytes = 4096, zorderBy = Seq("a", "b"))
+    val live = VersionedTable.readLatest(spark, root)
+    assert(live.count() == 2000)
+    // hive layout preserved through the z-order rewrite
+    assert(VersionedTable.readLatest(spark, root).columns.contains("part"))
+    assert(live.filter(col("part") === 1).count() == 1000)
+    // zone maps on both keys exist and prune a tight a-range
+    val pruned = VersionedTable.readPruned(spark, root, "a", 100, 160)
+    assert(pruned.count() == 61)
+    assert(pruned.inputFiles.length < live.inputFiles.length,
+      s"${pruned.inputFiles.length} vs ${live.inputFiles.length}")
+  }
+
   test("evolved-chain DV feed keeps the evolved column's preimage values") {
     val root = Files.createTempDirectory("graft_vt_dvevo").toString
     VersionedTable.write((1 to 100).map(i => (i, s"v$i")).toDF("id", "s"), root) // v1
