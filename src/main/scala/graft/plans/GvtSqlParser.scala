@@ -54,6 +54,14 @@ class GvtSqlParser(session: SparkSession, delegate: ParserInterface)
       // delegate so no valid Spark SQL changes meaning
       case HistoryRe(target) if isGvtTarget(session, target.trim) =>
         GvtHistoryCommand(target.trim)
+      // ALTER TABLE may grow constraint syntax in Spark itself — claim
+      // only gvt targets (same guard as DESCRIBE HISTORY)
+      case AddConstraintRe(target, name, expr)
+          if isGvtTarget(session, target.trim) =>
+        GvtAddConstraintCommand(target.trim, name.trim, expr.trim)
+      case DropConstraintRe(target, name)
+          if isGvtTarget(session, target.trim) =>
+        GvtDropConstraintCommand(target.trim, name.trim)
       case RestoreRe(target, version) =>
         GvtRestoreCommand(target.trim, version.trim.toLong)
       // in-query VERSION AS OF / TIMESTAMP AS OF over gvt targets must
@@ -95,6 +103,12 @@ object GvtSqlParser {
   private val RestoreRe =
     ("""(?is)^RESTORE\s+(?:TABLE\s+)?""" + Target +
       """\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*$""").r
+  private val AddConstraintRe =
+    ("""(?is)^ALTER\s+TABLE\s+""" + Target +
+      """\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*$""").r
+  private val DropConstraintRe =
+    ("""(?is)^ALTER\s+TABLE\s+""" + Target +
+      """\s+DROP\s+CONSTRAINT\s+(\w+)\s*$""").r
 
   private val PathForm = """(?is)^gvt\s*\.\s*`([^`]+)`$""".r
 
@@ -169,6 +183,28 @@ case class GvtRestoreCommand(target: String, version: Long)
   override def run(spark: SparkSession): Seq[Row] = {
     val root = GvtSqlParser.rootOf(spark, target)
     Seq(Row(VersionedTable.restore(spark, root, version)))
+  }
+}
+
+/** `ALTER TABLE t ADD CONSTRAINT n CHECK (expr)` → register a table
+  * CHECK constraint: the LIVE snapshot must already satisfy it, and
+  * every future write path validates (Delta's surface + contract). */
+case class GvtAddConstraintCommand(target: String, name: String,
+                                   exprSql: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    VersionedTable.addCheckConstraint(spark,
+      GvtSqlParser.rootOf(spark, target), name, exprSql)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE t DROP CONSTRAINT n`. */
+case class GvtDropConstraintCommand(target: String, name: String)
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    VersionedTable.dropCheckConstraint(
+      GvtSqlParser.rootOf(spark, target), name)
+    Seq.empty
   }
 }
 

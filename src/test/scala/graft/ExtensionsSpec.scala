@@ -232,6 +232,31 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("ALTER TABLE ADD/DROP CONSTRAINT over gvt tables") {
+    withExtensionsSession { sess =>
+      import sess.implicits._
+      import graft.sources.VersionedTable
+      val root = java.nio.file.Files.createTempDirectory("graft_consql").toString + "/t"
+      VersionedTable.write((1 to 10).map(i => (i, i * 10)).toDF("id", "v"), root)
+      sess.sql(s"CREATE OR REPLACE TEMPORARY VIEW con_t USING gvt OPTIONS (path '$root')")
+      sess.sql("ALTER TABLE con_t ADD CONSTRAINT v_pos CHECK (v > 0)")
+      assert(VersionedTable.constraints(root) == Map("v_pos" -> "v > 0"))
+      // the constraint gates writes…
+      intercept[VersionedTable.CheckConstraintViolation] {
+        VersionedTable.append(Seq((11, -1)).toDF("id", "v"), root)
+      }
+      // …an unsatisfiable one is rejected against the live snapshot…
+      intercept[VersionedTable.CheckConstraintViolation] {
+        sess.sql("ALTER TABLE con_t ADD CONSTRAINT v_big CHECK (v > 1000)")
+      }
+      // …and DROP removes it
+      sess.sql("ALTER TABLE con_t DROP CONSTRAINT v_pos")
+      assert(VersionedTable.constraints(root).isEmpty)
+      VersionedTable.append(Seq((11, -1)).toDF("id", "v"), root)
+      assert(VersionedTable.readLatest(sess, root).count() == 11)
+    }
+  }
+
   test("RESTORE SQL and the table_changes TVF") {
     withExtensionsSession { sess =>
       import sess.implicits._
