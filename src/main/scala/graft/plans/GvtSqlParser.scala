@@ -64,6 +64,30 @@ class GvtSqlParser(session: SparkSession, delegate: ParserInterface)
         GvtDropConstraintCommand(target.trim, name.trim)
       case RestoreRe(target, version) =>
         GvtRestoreCommand(target.trim, version.trim.toLong)
+      // TBLPROPERTIES statements are valid Spark SQL on catalog tables —
+      // claim only gvt targets so catalog DDL keeps its meaning
+      case SetPropsRe(target, pairs) if isGvtTarget(session, target.trim) =>
+        GvtSetPropertiesCommand(target.trim, parsePropPairs(pairs))
+      case UnsetPropsRe(target, keys) if isGvtTarget(session, target.trim) =>
+        GvtUnsetPropertiesCommand(target.trim, parsePropKeys(keys))
+      case ShowPropsRe(target) if isGvtTarget(session, target.trim) =>
+        GvtShowPropertiesCommand(target.trim)
+      case AddColumnsRe(target, colList) if isGvtTarget(session, target.trim) =>
+        GvtAddColumnsCommand(target.trim,
+          parseColumnList(colList, delegate.parseDataType))
+      // `DESC DETAIL t` could be valid Spark SQL (describe column 't' of
+      // a table named 'detail') — same guard as DESCRIBE HISTORY
+      case DescDetailRe(target) if isGvtTarget(session, target.trim) =>
+        GvtDescribeDetailCommand(target.trim)
+      // CREATE TABLE … [SHALLOW|DEEP] CLONE is not valid Spark SQL —
+      // claiming it shadows nothing
+      case CloneRe(dst, kind, src, version) =>
+        GvtCloneCommand(dst.trim, src.trim,
+          shallow = Option(kind).exists(_.trim.equalsIgnoreCase("SHALLOW")),
+          version = Option(version).map(_.trim.toLong))
+      case CopyIntoRe(target, from, fmt, pat) =>
+        GvtCopyIntoCommand(target.trim, from, fmt.trim,
+          Option(pat).filter(_.nonEmpty))
       // in-query VERSION AS OF / TIMESTAMP AS OF over gvt targets must
       // substitute at parse time — Spark's analyzer rejects time travel
       // on temp views before injected resolution rules run
@@ -109,6 +133,75 @@ object GvtSqlParser {
   private val DropConstraintRe =
     ("""(?is)^ALTER\s+TABLE\s+""" + Target +
       """\s+DROP\s+CONSTRAINT\s+(\w+)\s*$""").r
+  private val SetPropsRe =
+    ("""(?is)^ALTER\s+TABLE\s+""" + Target +
+      """\s+SET\s+TBLPROPERTIES\s*\((.+)\)\s*$""").r
+  private val UnsetPropsRe =
+    ("""(?is)^ALTER\s+TABLE\s+""" + Target +
+      """\s+UNSET\s+TBLPROPERTIES\s*(?:IF\s+EXISTS\s+)?\((.+)\)\s*$""").r
+  private val ShowPropsRe =
+    ("""(?is)^SHOW\s+TBLPROPERTIES\s+""" + Target + """\s*$""").r
+  private val AddColumnsRe =
+    ("""(?is)^ALTER\s+TABLE\s+""" + Target +
+      """\s+ADD\s+COLUMNS?\s*\((.+)\)\s*$""").r
+  private val DescDetailRe =
+    ("""(?is)^DESC(?:RIBE)?\s+DETAIL\s+""" + Target + """\s*$""").r
+  private val CloneRe =
+    ("""(?is)^CREATE\s+TABLE\s+""" + Target +
+      """\s+(?:(SHALLOW|DEEP)\s+)?CLONE\s+""" + Target +
+      """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*$""").r
+  private val CopyIntoRe =
+    ("""(?is)^COPY\s+INTO\s+""" + Target +
+      """\s+FROM\s+'([^']+)'\s+FILEFORMAT\s*=\s*(\w+)""" +
+      """(?:\s+PATTERN\s*=\s*'([^']+)')?\s*$""").r
+
+  /** `'k' = 'v', k2 = 'v2', k3 = 3` → pairs. Values: single-quoted
+    * strings or bare number/word tokens; keys: single-quoted or
+    * dotted identifiers. Commas inside quoted values are not
+    * supported (fail loudly, never mis-split). */
+  private[plans] def parsePropPairs(s: String): Map[String, String] = {
+    val Pair =
+      """(?s)^\s*(?:'([^']*)'|([\w.\-]+))\s*=\s*(?:'([^']*)'|([^\s,']+))\s*$""".r
+    s.split(',').map {
+      case Pair(qk, bk, qv, bv) =>
+        Option(qk).getOrElse(bk) -> Option(qv).getOrElse(bv)
+      case other => throw new IllegalArgumentException(
+        s"cannot parse TBLPROPERTIES pair '$other' (quoted commas are " +
+          "not supported)")
+    }.toMap
+  }
+
+  private[plans] def parsePropKeys(s: String): Seq[String] =
+    s.split(',').map(_.trim.stripPrefix("'").stripSuffix("'"))
+      .filter(_.nonEmpty).toSeq
+
+  /** `c1 BIGINT, c2 DECIMAL(10,2), c3 ARRAY<STRING>` → (name, type)
+    * pairs: split on commas OUTSIDE (){}<> nesting, first token is the
+    * (possibly backquoted) name, the rest parses via the session's own
+    * type parser. */
+  private[plans] def parseColumnList(
+      s: String, parseType: String => DataType): Seq[(String, DataType)] = {
+    val items = scala.collection.mutable.ListBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case c @ ('(' | '<' | '{') => depth += 1; cur += c
+      case c @ (')' | '>' | '}') => depth -= 1; cur += c
+      case ',' if depth == 0 => items += cur.result(); cur.clear()
+      case c => cur += c
+    }
+    items += cur.result()
+    items.toSeq.map(_.trim).filter(_.nonEmpty).map { item =>
+      val (name, tpe) =
+        if (item.startsWith("`")) {
+          val end = item.indexOf('`', 1)
+          require(end > 0, s"unterminated backquote in column spec '$item'")
+          (item.substring(1, end), item.substring(end + 1))
+        } else item.span(c => !c.isWhitespace)
+      require(tpe.trim.nonEmpty, s"column spec '$item' is missing a type")
+      name -> parseType(tpe.trim)
+    }
+  }
 
   private val PathForm = """(?is)^gvt\s*\.\s*`([^`]+)`$""".r
 
@@ -205,6 +298,103 @@ case class GvtDropConstraintCommand(target: String, name: String)
     VersionedTable.dropCheckConstraint(
       GvtSqlParser.rootOf(spark, target), name)
     Seq.empty
+  }
+}
+
+/** `ALTER TABLE t SET TBLPROPERTIES ('k' = 'v', …)` → upsert into the
+  * table's property registry (existing keys overwrite — Delta). */
+case class GvtSetPropertiesCommand(target: String,
+                                   props: Map[String, String])
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    VersionedTable.setTblProperties(GvtSqlParser.rootOf(spark, target), props)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE t UNSET TBLPROPERTIES [IF EXISTS] (k, …)`. */
+case class GvtUnsetPropertiesCommand(target: String, keys: Seq[String])
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    VersionedTable.unsetTblProperties(GvtSqlParser.rootOf(spark, target), keys)
+    Seq.empty
+  }
+}
+
+/** `SHOW TBLPROPERTIES t` → (key, value) rows, key-ordered. */
+case class GvtShowPropertiesCommand(target: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("key", StringType, nullable = false)(),
+    AttributeReference("value", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    VersionedTable.tblProperties(GvtSqlParser.rootOf(spark, target))
+      .toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }
+}
+
+/** `ALTER TABLE t ADD COLUMNS (c1 T1, …)` →
+  * [[VersionedTable.addColumns]]: an O(1) schema-only evolution commit
+  * (older chain members NULL-pad at read). */
+case class GvtAddColumnsCommand(target: String,
+                                cols: Seq[(String, DataType)])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("new_version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(VersionedTable.addColumns(spark,
+      GvtSqlParser.rootOf(spark, target), cols)))
+}
+
+/** `DESCRIBE DETAIL t` → the one-row table summary. */
+case class GvtDescribeDetailCommand(target: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("format", StringType, nullable = false)(),
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("num_versions", LongType, nullable = false)(),
+    AttributeReference("num_files", LongType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)(),
+    AttributeReference("partition_columns", StringType, nullable = false)(),
+    AttributeReference("properties", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val d = VersionedTable.detail(GvtSqlParser.rootOf(spark, target))
+    Seq(Row(d.format, d.location, d.version, d.numVersions, d.numFiles,
+      d.sizeBytes, d.partitionColumns.mkString(","),
+      d.properties.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+        .mkString(",")))
+  }
+}
+
+/** `CREATE TABLE dst [SHALLOW|DEEP] CLONE src [VERSION AS OF n]` →
+  * [[VersionedTable.cloneTable]]. Default (no keyword) is a DEEP clone,
+  * Delta's default. The destination is typically the `` gvt.`path` ``
+  * form (a fresh root); a view-name destination must already resolve to
+  * an (empty) gvt root, which CREATE TABLE cannot conjure — so path
+  * form is the practical surface, like Delta's `delta.`path``. */
+case class GvtCloneCommand(dst: String, src: String, shallow: Boolean,
+                           version: Option[Long])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("new_version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(VersionedTable.cloneTable(spark,
+      GvtSqlParser.rootOf(spark, src), GvtSqlParser.rootOf(spark, dst),
+      version = version, shallow = shallow)))
+}
+
+/** `COPY INTO t FROM '<dir>' FILEFORMAT = PARQUET [PATTERN = '<glob>']`
+  * → [[VersionedTable.copyInto]]: file-level idempotent bulk load. */
+case class GvtCopyIntoCommand(target: String, from: String,
+                              fileFormat: String, pattern: Option[String])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("files_loaded", LongType, nullable = false)(),
+    AttributeReference("rows_loaded", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (files, rows) = VersionedTable.copyInto(spark,
+      GvtSqlParser.rootOf(spark, target), from, pattern, fileFormat)
+    Seq(Row(files, rows))
   }
 }
 

@@ -696,6 +696,96 @@ object RelationalQueries {
         USING (status) ORDER BY status""")
     }),
 
+    // TBLPROPERTIES (Delta's table-property surface through the injected
+    // parser): SET upserts (second SET overwrites), UNSET removes, SHOW
+    // lists key-ordered — free-form table metadata riding the root, not
+    // any snapshot.
+    "q_sql_tblproperties" -> ((s, dir) => graft.GraftSession.withExtensions(s) { sess =>
+      val out = tmpDir("graft_sqlprops")
+      val root = s"$out/t"
+      graft.sources.VersionedTable.write(
+        t(sess, dir, "region").select(col("r_regionkey"), col("r_name")), root)
+      sess.sql(s"ALTER TABLE gvt.`$root` SET TBLPROPERTIES " +
+        "('owner' = 'alpha', 'quality.tier' = 'gold', 'ttl_days' = '30')")
+      sess.sql(s"ALTER TABLE gvt.`$root` SET TBLPROPERTIES ('owner' = 'pipeline')")
+      sess.sql(s"ALTER TABLE gvt.`$root` UNSET TBLPROPERTIES IF EXISTS " +
+        "(ttl_days, never_set)")
+      sess.sql(s"SHOW TBLPROPERTIES gvt.`$root`")
+    }),
+
+    // ALTER TABLE ADD COLUMNS (Delta schema-evolution DDL): an O(1)
+    // schema-only commit — older chain members NULL-pad the new column
+    // at read, later appends may carry or omit it. Same aggregate
+    // algebra as q_append_evolve, driven through DDL instead of an
+    // evolved append.
+    "q_sql_add_columns" -> ((s, dir) => graft.GraftSession.withExtensions(s) { sess =>
+      val out = tmpDir("graft_sqladdc")
+      val o = t(sess, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      val root = s"$out/t"
+      graft.sources.VersionedTable.write(o.filter(col("k") % 3 === 0), root)
+      sess.sql(s"ALTER TABLE gvt.`$root` ADD COLUMNS (bonus BIGINT)")
+      graft.sources.VersionedTable.append(
+        o.filter(col("k") % 3 === 1).withColumn("bonus", (col("k") % 5).cast("long")),
+        root)
+      graft.sources.VersionedTable.append(o.filter(col("k") % 3 === 2), root,
+        allowEvolution = true)
+      graft.sources.VersionedTable.readLatest(sess, root)
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"),
+          sum(coalesce(col("bonus"), lit(0L))).as("sum_bonus"),
+          count(col("bonus")).as("n_bonus"))
+        .orderBy(col("status"))
+    }),
+
+    // COPY INTO (Delta's idempotent bulk-file load): two batches land as
+    // parquet files in a landing directory and COPY INTO loads each file
+    // exactly once — the second run over already-loaded files is a
+    // no-op, files appended later load incrementally. The final table
+    // must equal the full raw aggregate (a duplicate load would double
+    // counts; a missed file would drop rows).
+    "q_copy_into" -> ((s, dir) => graft.GraftSession.withExtensions(s) { sess =>
+      val out = tmpDir("graft_copyq")
+      val o = t(sess, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      val (land, root) = (s"$out/landing", s"$out/t")
+      o.filter(col("k") % 2 === 0).repartition(3)
+        .write.mode("overwrite").parquet(land)
+      sess.sql(s"COPY INTO gvt.`$root` FROM '$land' FILEFORMAT = PARQUET").collect()
+      sess.sql(s"COPY INTO gvt.`$root` FROM '$land' FILEFORMAT = PARQUET").collect()
+      o.filter(col("k") % 2 === 1).repartition(2)
+        .write.mode("append").parquet(land)
+      sess.sql(s"COPY INTO gvt.`$root` FROM '$land' FILEFORMAT = PARQUET").collect()
+      graft.sources.VersionedTable.readLatest(sess, root)
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+        .orderBy(col("status"))
+    }),
+
+    // CREATE TABLE … CLONE through SQL (Delta's CLONE DDL): a DEEP
+    // clone decouples from the source, then SQL DELETE runs on the
+    // clone — the aggregate must equal the raw rows minus the deleted
+    // keys (the untouched source is implicitly verified by every other
+    // orders query in this run).
+    "q_sql_clone" -> ((s, dir) => graft.GraftSession.withExtensions(s) { sess =>
+      val out = tmpDir("graft_sqlclone")
+      val o = t(sess, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      val (src, dst) = (s"$out/src", s"$out/clone")
+      graft.sources.VersionedTable.write(o, src)
+      sess.sql(s"CREATE TABLE gvt.`$dst` CLONE gvt.`$src`").collect()
+      sess.sql(s"CREATE OR REPLACE TEMPORARY VIEW sql_clone_t USING gvt " +
+        s"OPTIONS (path '$dst')")
+      sess.sql("DELETE FROM sql_clone_t WHERE k % 19 = 0")
+      sess.sql(s"CREATE OR REPLACE TEMPORARY VIEW sql_clone_t USING gvt " +
+        s"OPTIONS (path '$dst')")
+      sess.sql("""SELECT status, count(*) AS n_orders, sum(cents) AS sum_cents
+        FROM sql_clone_t GROUP BY status ORDER BY status""")
+    }),
+
     // CDF-FED incremental JOIN-view maintenance — the counting-algorithm
     // generalization of q_incremental_join (which is insert-only with
     // synthesized deltas): BOTH sides of V = A ⋈ B are versioned tables
@@ -1615,6 +1705,36 @@ object RelationalQueries {
         |SELECT status, CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM o WHERE k >= 300 GROUP BY status ORDER BY status""".stripMargin,
+
+    // Property state after upsert-overwrite-unset: two keys, key-ordered.
+    "q_sql_tblproperties" ->
+      """SELECT * FROM (VALUES ('owner', 'pipeline'),
+        |  ('quality.tier', 'gold')) AS t("key", "value")
+        |ORDER BY "key"""".stripMargin,
+
+    // bonus exists only on the k%3=1 slice (appended after ADD COLUMNS);
+    // everything older/omitting reads NULL — conditional arithmetic.
+    "q_sql_add_columns" ->
+      """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  CAST(sum(CASE WHEN o_orderkey % 3 = 1 THEN o_orderkey % 5 ELSE 0 END) AS BIGINT) AS sum_bonus,
+        |  CAST(count(CASE WHEN o_orderkey % 3 = 1 THEN 1 END) AS BIGINT) AS n_bonus
+        |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin,
+
+    // File-level idempotency: every row exactly once = the raw aggregate.
+    "q_copy_into" ->
+      """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin,
+
+    // The deep clone after its own DELETE: raw rows minus every 19th key.
+    "q_sql_clone" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM o WHERE k % 19 <> 0
+        |GROUP BY status ORDER BY status""".stripMargin,
 
     // The per-hop DV feed nets to the same classification counts.
     "q_cdf_dv_feed" ->

@@ -438,6 +438,53 @@ object VersionedTable {
   def dropCheckConstraint(root: String, name: String): Unit =
     writeConstraints(root, constraints(root) - name)
 
+  // ── Table properties (Delta TBLPROPERTIES analogue) ──────────────────
+  //
+  // Free-form key→value table metadata, root-level like `_constraints`
+  // (properties are table state, not snapshot state — Delta keeps them
+  // in the latest metaData action; here the root file is the single
+  // authority and survives compaction/vacuum by construction). Surface:
+  // ALTER TABLE … SET/UNSET TBLPROPERTIES and SHOW TBLPROPERTIES via
+  // [[graft.plans.GvtSqlParser]].
+
+  private def propertiesFile(root: String) = new HPath(root, "_properties")
+
+  /** Registered table properties: key → value, both free-form strings
+    * (no tabs/newlines). */
+  def tblProperties(root: String): Map[String, String] =
+    readString(propertiesFile(root)).toSeq.flatMap(_.linesIterator).flatMap { ln =>
+      ln.split('\t') match {
+        case Array(k, v) => Some(k -> v)
+        case Array(k) if ln.endsWith("\t") => Some(k -> "")
+        case _ => None
+      }
+    }.toMap
+
+  private def writeProperties(root: String, ps: Map[String, String]): Unit =
+    if (ps.isEmpty) delete(propertiesFile(root), recursive = false)
+    else {
+      val tmp = new HPath(root, "_properties.tmp")
+      writeString(tmp, ps.toSeq.sorted.map { case (k, v) => s"$k\t$v" }
+        .mkString("\n"), overwrite = true)
+      fcOf(tmp).rename(tmp, propertiesFile(root), Options.Rename.OVERWRITE)
+    }
+
+  /** Upsert table properties (existing keys overwrite — Delta's SET
+    * TBLPROPERTIES contract). */
+  def setTblProperties(root: String, props: Map[String, String]): Unit = {
+    props.foreach { case (k, v) =>
+      require(k.nonEmpty && !(k + v).exists(c => c == '\t' || c == '\n'),
+        s"property key/value must be non-empty and tab/newline-free: '$k'")
+    }
+    if (props.nonEmpty) writeProperties(root, tblProperties(root) ++ props)
+  }
+
+  /** Remove table properties; absent keys are ignored (UNSET … IF
+    * EXISTS semantics — Delta errors without IF EXISTS, but an absent
+    * key is the idempotent outcome either way). */
+  def unsetTblProperties(root: String, keys: Seq[String]): Unit =
+    writeProperties(root, tblProperties(root) -- keys)
+
   // ── Generated columns (Delta generated-column analogue) ─────────────
   //
   // A column DEFINED AS an expression over the other columns, registered
@@ -1339,13 +1386,14 @@ object VersionedTable {
   def append(df: DataFrame, root: String,
              metaFiles: Map[String, String] = Map.empty,
              statsCols: Seq[String] = Seq.empty,
-             allowEvolution: Boolean = false): Long = {
+             allowEvolution: Boolean = false,
+             operation: String = "APPEND"): Long = {
     val base = latestVersion(root).getOrElse(throw new IllegalArgumentException(
       s"append requires an existing table at $root (first write creates it)"))
     val parts = partColsOf(new HPath(dataDirsOf(root, base).head))
     write(df, root, partitionBy = parts, allowEvolution = allowEvolution,
       metaFiles = metaFiles + ("_parent" -> base.toString),
-      statsCols = statsCols, baseVersion = Some(base), operation = "APPEND")
+      statsCols = statsCols, baseVersion = Some(base), operation = operation)
   }
 
   /** The appended version directories in `(fromV, toV]` when `toV`'s
@@ -1444,6 +1492,123 @@ object VersionedTable {
     else
       write(readVersion(spark, srcRoot, v), dstRoot,
         operation = s"CLONE(deep,$srcRoot@v$v)")
+  }
+
+  /** ALTER TABLE … ADD COLUMNS (Delta schema-evolution DDL): commit a
+    * SCHEMA-ONLY evolution — a zero-row slice carrying the widened
+    * schema, linked as an O(1) `_parent` append. Chain reads NULL-pad
+    * the new columns for every older member (the same
+    * `unionByName(allowMissingColumns)` machinery evolved appends use),
+    * historical snapshots keep their original schema, and subsequent
+    * appends may carry or omit the new columns. Cost: one footer-only
+    * parquet file — metadata-sized at any table size. Columns must be
+    * new; nested-field adds are not supported (top-level only). */
+  def addColumns(spark: SparkSession, root: String,
+                 cols: Seq[(String, org.apache.spark.sql.types.DataType)]): Long = {
+    import org.apache.spark.sql.functions.lit
+    require(cols.nonEmpty, "addColumns: no columns given")
+    val base = latestVersion(root).getOrElse(throw new IllegalArgumentException(
+      s"addColumns requires an existing table at $root"))
+    val live = readVersion(spark, root, base)
+    val clash = cols.map(_._1).filter(n =>
+      live.columns.exists(_.equalsIgnoreCase(n)))
+    require(clash.isEmpty, s"addColumns: column(s) already exist: " +
+      clash.mkString(", "))
+    require(cols.map(_._1.toLowerCase).distinct.size == cols.size,
+      "addColumns: duplicate column names in the add list")
+    // the empty slice is written FLAT (no partitionBy) even on a
+    // hive-partitioned table: a zero-row dynamic-partition write would
+    // produce no files at all, losing the schema the commit exists to
+    // carry; the flat footer-only file contributes the partition
+    // columns as ordinary (empty) columns and the chain's unionByName
+    // lines everything up
+    val evolved = cols.foldLeft(live.limit(0)) { case (d, (n, t)) =>
+      d.withColumn(n, lit(null).cast(t)) }
+    write(evolved, root, allowEvolution = true,
+      metaFiles = Map("_parent" -> base.toString), baseVersion = Some(base),
+      operation = s"ADD COLUMNS(${cols.map(_._1).mkString(",")})")
+  }
+
+  /** COPY INTO (Delta's idempotent bulk-file load): append the files
+    * under `from` (non-recursive; `pattern` = a `*`/`?` glob on file
+    * names) that have NOT already been loaded into this table, as one
+    * O(batch) append commit. Idempotency is FILE-level, exactly Delta's
+    * contract: the cumulative loaded-file set rides in the commit's
+    * `_copied` meta (newest-wins via [[readMetaLatest]], carried across
+    * compaction folds), so re-running the same COPY INTO is a no-op and
+    * files added to the directory later load incrementally. Returns
+    * (filesLoaded, rowsLoaded). A concurrent commit retries against the
+    * refreshed loaded-set (bounded), like merge(). First COPY INTO on an
+    * empty root creates the table. */
+  def copyInto(spark: SparkSession, root: String, from: String,
+               pattern: Option[String] = None,
+               format: String = "parquet"): (Long, Long) = {
+    require(format.equalsIgnoreCase("parquet") || format.equalsIgnoreCase("orc"),
+      s"copyInto: unsupported FILEFORMAT $format (parquet|orc)")
+    val src = new HPath(from)
+    val fc = fcOf(src)
+    require(fc.util.exists(src), s"copyInto: source path $from does not exist")
+    val re = pattern.map(g => ("\\Q" + g.replace("*", "\\E.*\\Q")
+      .replace("?", "\\E.\\Q") + "\\E").r)
+    val files = fc.util.listStatus(src).toSeq.filter(_.isFile)
+      .map(_.getPath)
+      .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
+      .filter(p => re.forall(_.matches(p.getName)))
+      .map(_.toUri.getPath).sorted
+    var attempts = 0
+    while (true) {
+      val loaded = readMetaLatest(root, "_copied").toSeq
+        .flatMap(_.linesIterator).toSet
+      val fresh = files.filterNot(loaded)
+      if (fresh.isEmpty) return (0L, 0L)
+      val df =
+        if (format.equalsIgnoreCase("orc")) spark.read.orc(fresh: _*)
+        else spark.read.parquet(fresh: _*)
+      val rows = df.count()
+      val cumulative = (loaded ++ fresh).toSeq.sorted.mkString("\n")
+      try {
+        if (latestVersion(root).isDefined)
+          append(df, root, metaFiles = Map("_copied" -> cumulative),
+            operation = s"COPY INTO($from)")
+        else write(df, root, metaFiles = Map("_copied" -> cumulative),
+          operation = s"COPY INTO($from)")
+        return (fresh.size.toLong, rows)
+      } catch {
+        case _: ConcurrentWriteException if attempts < 5 => attempts += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** One-row table summary (Delta DESCRIBE DETAIL): live version, data
+    * file count/bytes across the snapshot's chain (auxiliary payloads —
+    * stats, deletion vectors, meta — excluded), partition layout,
+    * constraint/property registrations. Metadata-only: file listings of
+    * the chain dirs, no data read. */
+  case class TableDetail(format: String, location: String, version: Long,
+                         numVersions: Long, numFiles: Long, sizeBytes: Long,
+                         partitionColumns: Seq[String],
+                         constraints: Map[String, String],
+                         properties: Map[String, String])
+
+  def detail(root: String): TableDetail = {
+    val v = latestVersion(root).getOrElse(throw new IllegalArgumentException(
+      s"no versions at $root"))
+    def walk(p: HPath): Seq[(Long, Long)] = {
+      val fc = fcOf(p)
+      fc.util.listStatus(p).toSeq
+        .filterNot(st => st.getPath.getName.startsWith("_") ||
+          st.getPath.getName.startsWith("."))
+        .flatMap { st =>
+          if (st.isDirectory) walk(st.getPath)
+          else Seq((1L, st.getLen))
+        }
+    }
+    val counts = dataDirsOf(root, v).flatMap(d => walk(new HPath(d)))
+    TableDetail("gvt", root, v, committedVersions(root).size.toLong,
+      counts.map(_._1).sum, counts.map(_._2).sum,
+      partColsOf(new HPath(dataDirsOf(root, v).head)),
+      constraints(root), tblProperties(root))
   }
 
   def readLatest(spark: SparkSession, root: String): DataFrame =

@@ -1,0 +1,209 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.VersionedTable
+
+/** The round-10 DDL/utility SQL surface over gvt tables (Delta
+  * parity): TBLPROPERTIES (SET/UNSET/SHOW), ALTER TABLE ADD COLUMNS
+  * (schema-only evolution commits), DESCRIBE DETAIL, CREATE TABLE …
+  * [SHALLOW|DEEP] CLONE, and COPY INTO's file-level idempotent load. */
+class GvtDdlSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fresh(tag: String) =
+    Files.createTempDirectory(s"graft_$tag").toString + "/t"
+
+  test("TBLPROPERTIES: set upserts, unset removes, show lists sorted") {
+    val root = fresh("props")
+    VersionedTable.write((1 to 10).toDF("id"), root)
+    GraftSession.withExtensions(spark) { sess =>
+      sess.sql(s"ALTER TABLE gvt.`$root` SET TBLPROPERTIES " +
+        "('owner' = 'alpha', 'quality.tier' = 'silver', ttl_days = '30')")
+      sess.sql(s"ALTER TABLE gvt.`$root` SET TBLPROPERTIES " +
+        "('quality.tier' = 'gold')") // overwrite wins
+      sess.sql(s"ALTER TABLE gvt.`$root` UNSET TBLPROPERTIES IF EXISTS " +
+        "(ttl_days, never_set)")
+      val rows = sess.sql(s"SHOW TBLPROPERTIES gvt.`$root`")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      assert(rows == Seq("owner" -> "alpha", "quality.tier" -> "gold"))
+    }
+    // API surface agrees with the SQL surface
+    assert(VersionedTable.tblProperties(root) ==
+      Map("owner" -> "alpha", "quality.tier" -> "gold"))
+    // properties survive compaction (root-level, not snapshot state)
+    VersionedTable.append((11 to 20).toDF("id"), root)
+    VersionedTable.compact(spark, root)
+    assert(VersionedTable.tblProperties(root)("owner") == "alpha")
+  }
+
+  test("SHOW TBLPROPERTIES on a registered gvt view resolves the root") {
+    val root = fresh("propsv")
+    VersionedTable.write((1 to 5).toDF("id"), root)
+    VersionedTable.setTblProperties(root, Map("k" -> "v"))
+    GraftSession.withExtensions(spark) { sess =>
+      sess.sql(s"CREATE OR REPLACE TEMPORARY VIEW props_t USING gvt " +
+        s"OPTIONS (path '$root')")
+      assert(sess.sql("SHOW TBLPROPERTIES props_t").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq == Seq("k" -> "v"))
+    }
+  }
+
+  test("ADD COLUMNS: schema-only commit, older members NULL-pad, " +
+      "history keeps its schema") {
+    val root = fresh("addcol")
+    val o = (1 to 30).map(i => (i.toLong, s"s${i % 3}")).toDF("k", "status")
+    VersionedTable.write(o, root)
+    GraftSession.withExtensions(spark) { sess =>
+      val nv = sess.sql(s"ALTER TABLE gvt.`$root` ADD COLUMNS " +
+        "(bonus BIGINT, tag STRING)").as[Long].head()
+      assert(nv == 2L)
+    }
+    // live: new columns exist, all NULL; row count unchanged
+    val live = VersionedTable.readLatest(spark, root)
+    assert(live.columns.toSeq == Seq("k", "status", "bonus", "tag"))
+    assert(live.count() == 30)
+    assert(live.filter(col("bonus").isNotNull || col("tag").isNotNull).isEmpty)
+    // historical snapshot keeps the original schema
+    assert(VersionedTable.readVersion(spark, root, 1L).columns.toSeq ==
+      Seq("k", "status"))
+    // appends may now carry the new column (no evolution flag needed) …
+    VersionedTable.append(
+      (31 to 40).map(i => (i.toLong, "s9", i.toLong * 10, "x"))
+        .toDF("k", "status", "bonus", "tag"), root)
+    // … or omit it (reads NULL)
+    VersionedTable.append((41 to 45).map(i => (i.toLong, "s0"))
+      .toDF("k", "status"), root, allowEvolution = true)
+    val all = VersionedTable.readLatest(spark, root)
+    assert(all.count() == 45)
+    assert(all.agg(sum("bonus")).as[Long].head() ==
+      (31 to 40).map(_ * 10L).sum)
+    // duplicate add fails loudly
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.addColumns(spark, root,
+        Seq("bonus" -> org.apache.spark.sql.types.LongType))
+    }
+    assert(e.getMessage.contains("already exist"))
+  }
+
+  test("ADD COLUMNS on a hive-partitioned chain keeps the layout") {
+    val root = fresh("addcolp")
+    val o = (1 to 30).map(i => (i.toLong, s"p${i % 3}")).toDF("k", "part")
+    VersionedTable.write(o, root, partitionBy = Seq("part"))
+    VersionedTable.addColumns(spark, root,
+      Seq("extra" -> org.apache.spark.sql.types.LongType))
+    VersionedTable.append(
+      (31 to 36).map(i => (i.toLong, s"p${i % 3}", i.toLong)).toDF("k", "part", "extra"),
+      root)
+    val live = VersionedTable.readLatest(spark, root)
+    assert(live.count() == 36)
+    assert(live.filter(col("part") === "p0").count() == 12)
+    assert(live.agg(sum("extra")).as[Long].head() == (31L to 36L).sum)
+  }
+
+  test("DESCRIBE DETAIL reports the live snapshot's layout") {
+    val root = fresh("detail")
+    val o = (1 to 40).map(i => (i.toLong, s"p${i % 2}")).toDF("k", "part")
+    VersionedTable.write(o, root, partitionBy = Seq("part"))
+    VersionedTable.setTblProperties(root, Map("owner" -> "alpha"))
+    GraftSession.withExtensions(spark) { sess =>
+      val d = sess.sql(s"DESCRIBE DETAIL gvt.`$root`").head()
+      assert(d.getString(0) == "gvt")
+      assert(d.getString(1) == root)
+      assert(d.getLong(2) == 1L)    // version
+      assert(d.getLong(3) == 1L)    // num_versions
+      assert(d.getLong(4) > 0L)     // num_files
+      assert(d.getLong(5) > 0L)     // size_bytes
+      assert(d.getString(6) == "part")
+      assert(d.getString(7) == "owner=alpha")
+    }
+    // a DV commit adds a version but the counted files stay DATA files
+    VersionedTable.deleteWhereVector(spark, root, col("k") % 5 === 0)
+    val d2 = VersionedTable.detail(root)
+    assert(d2.version == 2L && d2.numVersions == 2L)
+  }
+
+  test("CREATE TABLE … CLONE: deep decouples, shallow stacks local DML, " +
+      "VERSION AS OF pins") {
+    val src = fresh("clonesrc")
+    val o = (1 to 50).map(i => (i.toLong, i.toLong * 100)).toDF("k", "cents")
+    VersionedTable.write(o, src)
+    VersionedTable.append((51 to 60).map(i => (i.toLong, i.toLong * 100))
+      .toDF("k", "cents"), src)
+    GraftSession.withExtensions(spark) { sess =>
+      val deep = fresh("clonedeep")
+      sess.sql(s"CREATE TABLE gvt.`$deep` CLONE gvt.`$src`").collect()
+      assert(VersionedTable.readLatest(sess, deep).count() == 60)
+      // deep clone decoupled: source DML does not touch it
+      VersionedTable.deleteWhereVector(sess, src, col("k") <= 10)
+      assert(VersionedTable.readLatest(sess, deep).count() == 60)
+      assert(VersionedTable.readLatest(sess, src).count() == 50)
+      // shallow clone of a PAST version (pre-append)
+      val shallow = fresh("cloneshal")
+      sess.sql(s"CREATE TABLE gvt.`$shallow` SHALLOW CLONE gvt.`$src` " +
+        "VERSION AS OF 1").collect()
+      assert(VersionedTable.readLatest(sess, shallow).count() == 50)
+      // local DML on the shallow clone never touches the source
+      VersionedTable.deleteWhereVector(sess, shallow, col("k") % 2 === 0)
+      assert(VersionedTable.readLatest(sess, shallow).count() == 25)
+      assert(VersionedTable.readLatest(sess, src).count() == 50)
+    }
+  }
+
+  test("COPY INTO: file-level idempotency, incremental files, pattern") {
+    val srcDir = Files.createTempDirectory("graft_copysrc").toString
+    val root = fresh("copy")
+    val a = (1 to 40).map(i => (i.toLong, s"s${i % 3}")).toDF("k", "status")
+    a.repartition(3).write.mode("overwrite").parquet(srcDir)
+    GraftSession.withExtensions(spark) { sess =>
+      // first copy creates the table and loads every data file
+      val r1 = sess.sql(s"COPY INTO gvt.`$root` FROM '$srcDir' " +
+        "FILEFORMAT = PARQUET").head()
+      assert(r1.getLong(0) == 3L && r1.getLong(1) == 40L)
+      // identical rerun: a no-op
+      val r2 = sess.sql(s"COPY INTO gvt.`$root` FROM '$srcDir' " +
+        "FILEFORMAT = PARQUET").head()
+      assert(r2.getLong(0) == 0L && r2.getLong(1) == 0L)
+      // files appended to the directory later load incrementally
+      (41 to 50).map(i => (i.toLong, "s9")).toDF("k", "status")
+        .repartition(2).write.mode("append").parquet(srcDir)
+      val r3 = sess.sql(s"COPY INTO gvt.`$root` FROM '$srcDir' " +
+        "FILEFORMAT = PARQUET").head()
+      assert(r3.getLong(0) == 2L && r3.getLong(1) == 10L)
+      assert(VersionedTable.readLatest(sess, root).count() == 50)
+      // PATTERN filters on file name
+      val root2 = fresh("copypat")
+      val rp = sess.sql(s"COPY INTO gvt.`$root2` FROM '$srcDir' " +
+        "FILEFORMAT = PARQUET PATTERN = '*.parquet'").head()
+      assert(rp.getLong(0) == 5L && rp.getLong(1) == 50L)
+      val rn = sess.sql(s"COPY INTO gvt.`$root2` FROM '$srcDir' " +
+        "FILEFORMAT = PARQUET PATTERN = 'nomatch-*'").head()
+      assert(rn.getLong(0) == 0L)
+    }
+    // the loaded-file registry survives chain folding (meta carried)
+    VersionedTable.compactChain(spark, root)
+    assert(VersionedTable.copyInto(spark, root, srcDir)._1 == 0L)
+  }
+
+  test("catalog CREATE TABLE … USING gvt works end to end") {
+    val root = fresh("cat")
+    VersionedTable.write((1 to 25).toDF("id"), root)
+    GraftSession.withExtensions(spark) { sess =>
+      sess.sql("DROP TABLE IF EXISTS gvt_cat_t")
+      sess.sql(s"CREATE TABLE gvt_cat_t USING gvt OPTIONS (path '$root')")
+      try {
+        assert(sess.sql("SELECT count(*) AS n FROM gvt_cat_t")
+          .as[Long].head() == 25L)
+        // DML through the catalog table name
+        sess.sql("DELETE FROM gvt_cat_t WHERE id % 5 = 0")
+        sess.catalog.refreshTable("gvt_cat_t")
+        assert(sess.sql("SELECT count(*) AS n FROM gvt_cat_t")
+          .as[Long].head() == 20L)
+        // maintenance SQL resolves the catalog name too
+        assert(sess.sql("DESCRIBE HISTORY gvt_cat_t").count() == 2L)
+      } finally sess.sql("DROP TABLE IF EXISTS gvt_cat_t")
+    }
+  }
+}
