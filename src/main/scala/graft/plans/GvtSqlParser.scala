@@ -45,9 +45,10 @@ class GvtSqlParser(session: SparkSession, delegate: ParserInterface)
           .flatMap(_.split(',')).map(_.trim.stripPrefix("`").stripSuffix("`"))
           .filter(_.nonEmpty)
         GvtOptimizeCommand(target.trim, zCols)
-      case VacuumRe(target, hours) =>
+      case VacuumRe(target, hours, dry) =>
         GvtVacuumCommand(target.trim,
-          Option(hours).map(h => h.trim.toLong * 3600L * 1000L))
+          Option(hours).map(h => h.trim.toLong * 3600L * 1000L),
+          dryRun = dry != null)
       // `DESC history status` is VALID Spark SQL (describe column
       // 'status' of a table named 'history') — only claim the statement
       // when the target actually resolves to a gvt relation, else
@@ -64,6 +65,12 @@ class GvtSqlParser(session: SparkSession, delegate: ParserInterface)
         GvtDropConstraintCommand(target.trim, name.trim)
       case RestoreRe(target, version) =>
         GvtRestoreCommand(target.trim, version.trim.toLong)
+      case RestoreTsRe(target, ts) =>
+        GvtRestoreTimestampCommand(target.trim, ts.trim)
+      // TRUNCATE TABLE is valid Spark SQL on catalog tables — claim
+      // only gvt targets
+      case TruncateRe(target) if isGvtTarget(session, target.trim) =>
+        GvtTruncateCommand(target.trim)
       // TBLPROPERTIES statements are valid Spark SQL on catalog tables —
       // claim only gvt targets so catalog DDL keeps its meaning
       case SetPropsRe(target, pairs) if isGvtTarget(session, target.trim) =>
@@ -75,6 +82,11 @@ class GvtSqlParser(session: SparkSession, delegate: ParserInterface)
       case AddColumnsRe(target, colList) if isGvtTarget(session, target.trim) =>
         GvtAddColumnsCommand(target.trim,
           parseColumnList(colList, delegate.parseDataType))
+      case DropColsRe(target, cols) if isGvtTarget(session, target.trim) =>
+        GvtDropColumnsCommand(target.trim, parsePropKeys(
+          cols.replace("`", "")))
+      case RenameColRe(target, from, to) if isGvtTarget(session, target.trim) =>
+        GvtRenameColumnCommand(target.trim, from.trim, to.trim)
       // `DESC DETAIL t` could be valid Spark SQL (describe column 't' of
       // a table named 'detail') — same guard as DESCRIBE HISTORY
       case DescDetailRe(target) if isGvtTarget(session, target.trim) =>
@@ -121,12 +133,17 @@ object GvtSqlParser {
       """(?:\s+ZORDER\s+BY\s*\(?\s*([`\w,\s]+?)\s*\)?)?\s*$""").r
   private val VacuumRe =
     ("""(?is)^VACUUM\s+""" + Target +
-      """(?:\s+RETAIN\s+(\d+)\s+HOURS?)?\s*$""").r
+      """(?:\s+RETAIN\s+(\d+)\s+HOURS?)?(?:\s+(DRY\s+RUN))?\s*$""").r
   private val HistoryRe =
     ("""(?is)^DESC(?:RIBE)?\s+HISTORY\s+""" + Target + """\s*$""").r
   private val RestoreRe =
     ("""(?is)^RESTORE\s+(?:TABLE\s+)?""" + Target +
       """\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*$""").r
+  private val RestoreTsRe =
+    ("""(?is)^RESTORE\s+(?:TABLE\s+)?""" + Target +
+      """\s+(?:TO\s+)?TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*$""").r
+  private val TruncateRe =
+    ("""(?is)^TRUNCATE\s+TABLE\s+""" + Target + """\s*$""").r
   private val AddConstraintRe =
     ("""(?is)^ALTER\s+TABLE\s+""" + Target +
       """\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*$""").r
@@ -146,6 +163,14 @@ object GvtSqlParser {
       """\s+ADD\s+COLUMNS?\s*\((.+)\)\s*$""").r
   private val DescDetailRe =
     ("""(?is)^DESC(?:RIBE)?\s+DETAIL\s+""" + Target + """\s*$""").r
+  // DROP COLUMN c / DROP COLUMNS (a, b) — never matches DROP CONSTRAINT
+  // (the COLUMN keyword is required)
+  private val DropColsRe =
+    ("""(?is)^ALTER\s+TABLE\s+""" + Target +
+      """\s+DROP\s+COLUMNS?\s*\(?\s*([`\w.\-]+(?:\s*,\s*[`\w.\-]+)*)\s*\)?\s*$""").r
+  private val RenameColRe =
+    ("""(?is)^ALTER\s+TABLE\s+""" + Target +
+      """\s+RENAME\s+COLUMN\s+`?([\w.\-]+)`?\s+TO\s+`?([\w.\-]+)`?\s*$""").r
   private val CloneRe =
     ("""(?is)^CREATE\s+TABLE\s+""" + Target +
       """\s+(?:(SHALLOW|DEEP)\s+)?CLONE\s+""" + Target +
@@ -175,12 +200,22 @@ object GvtSqlParser {
     s.split(',').map(_.trim.stripPrefix("'").stripSuffix("'"))
       .filter(_.nonEmpty).toSeq
 
-  /** `c1 BIGINT, c2 DECIMAL(10,2), c3 ARRAY<STRING>` → (name, type)
-    * pairs: split on commas OUTSIDE (){}<> nesting, first token is the
+  /** One parsed ADD COLUMNS entry: name, type, and an optional identity
+    * spec (start, step) from a `GENERATED … AS IDENTITY` suffix. */
+  private[plans] case class ColSpec(name: String, dataType: DataType,
+                                    identity: Option[(Long, Long)])
+
+  private val IdentityRe =
+    ("""(?is)^(.*?)\s+GENERATED\s+(?:ALWAYS|BY\s+DEFAULT)\s+AS\s+IDENTITY""" +
+      """(?:\s*\(\s*(?:START\s+WITH\s+(-?\d+)\s*)?(?:INCREMENT\s+BY\s+(-?\d+)\s*)?\))?\s*$""").r
+
+  /** `c1 BIGINT, c2 DECIMAL(10,2), c3 ARRAY<STRING>, id BIGINT
+    * GENERATED ALWAYS AS IDENTITY (START WITH 1 INCREMENT BY 1)` →
+    * specs: split on commas OUTSIDE (){}<> nesting, first token is the
     * (possibly backquoted) name, the rest parses via the session's own
-    * type parser. */
+    * type parser after peeling any identity suffix (Delta's syntax). */
   private[plans] def parseColumnList(
-      s: String, parseType: String => DataType): Seq[(String, DataType)] = {
+      s: String, parseType: String => DataType): Seq[ColSpec] = {
     val items = scala.collection.mutable.ListBuffer.empty[String]
     val cur = new StringBuilder
     var depth = 0
@@ -192,14 +227,20 @@ object GvtSqlParser {
     }
     items += cur.result()
     items.toSeq.map(_.trim).filter(_.nonEmpty).map { item =>
-      val (name, tpe) =
+      val (name, rest) =
         if (item.startsWith("`")) {
           val end = item.indexOf('`', 1)
           require(end > 0, s"unterminated backquote in column spec '$item'")
           (item.substring(1, end), item.substring(end + 1))
         } else item.span(c => !c.isWhitespace)
-      require(tpe.trim.nonEmpty, s"column spec '$item' is missing a type")
-      name -> parseType(tpe.trim)
+      require(rest.trim.nonEmpty, s"column spec '$item' is missing a type")
+      rest.trim match {
+        case IdentityRe(tpe, start, step) =>
+          ColSpec(name, parseType(tpe.trim),
+            Some((Option(start).map(_.toLong).getOrElse(1L),
+              Option(step).map(_.toLong).getOrElse(1L))))
+        case tpe => ColSpec(name, parseType(tpe), None)
+      }
     }
   }
 
@@ -252,17 +293,48 @@ case class GvtOptimizeCommand(target: String, zorderBy: Seq[String])
   }
 }
 
-/** `VACUUM t [RETAIN n HOURS]` → retention with the Delta window
-  * contract; returns the dropped versions, ascending. */
-case class GvtVacuumCommand(target: String, retainMs: Option[Long])
+/** `VACUUM t [RETAIN n HOURS] [DRY RUN]` → retention with the Delta
+  * window contract; returns the dropped (or, dry, would-drop)
+  * versions, ascending. */
+case class GvtVacuumCommand(target: String, retainMs: Option[Long],
+                            dryRun: Boolean = false)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("dropped_version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val root = GvtSqlParser.rootOf(spark, target)
     VersionedTable.vacuum(root, keep = 1,
-      retainMinMs = retainMs.getOrElse(24L * 3600 * 1000))
+      retainMinMs = retainMs.getOrElse(24L * 3600 * 1000), dryRun = dryRun)
       .map(Row(_))
+  }
+}
+
+/** `RESTORE [TABLE] t [TO] TIMESTAMP AS OF '<ts>'` → restore to the
+  * newest snapshot at or before the timestamp (epoch millis or
+  * `yyyy-MM-dd HH:mm:ss`). */
+case class GvtRestoreTimestampCommand(target: String, ts: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("new_version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GvtSqlParser.rootOf(spark, target)
+    val millis = scala.util.Try(ts.toLong).getOrElse(
+      java.sql.Timestamp.valueOf(ts).getTime)
+    Seq(Row(VersionedTable.restore(spark, root,
+      VersionedTable.versionAsOf(root, millis))))
+  }
+}
+
+/** `TRUNCATE TABLE t` → commit an empty snapshot (schema preserved,
+  * history time-travelable until vacuumed — Delta's TRUNCATE). */
+case class GvtTruncateCommand(target: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("new_version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GvtSqlParser.rootOf(spark, target)
+    Seq(Row(VersionedTable.write(
+      VersionedTable.readLatest(spark, root).limit(0), root,
+      operation = "TRUNCATE", assignIdentity = false)))
   }
 }
 
@@ -334,15 +406,53 @@ case class GvtShowPropertiesCommand(target: String)
 
 /** `ALTER TABLE t ADD COLUMNS (c1 T1, …)` →
   * [[VersionedTable.addColumns]]: an O(1) schema-only evolution commit
-  * (older chain members NULL-pad at read). */
+  * (older chain members NULL-pad at read). A `GENERATED … AS IDENTITY`
+  * suffix additionally registers the column as an identity
+  * ([[VersionedTable.addIdentityColumn]]) — future writes fill its
+  * missing/NULL values with fresh monotonic ids. */
 case class GvtAddColumnsCommand(target: String,
-                                cols: Seq[(String, DataType)])
+                                cols: Seq[GvtSqlParser.ColSpec])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("new_version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GvtSqlParser.rootOf(spark, target)
+    val nv = VersionedTable.addColumns(spark, root,
+      cols.map(c => c.name -> c.dataType))
+    cols.foreach(c => c.identity.foreach { case (start, step) =>
+      require(c.dataType == LongType,
+        s"identity column ${c.name} must be BIGINT (got ${c.dataType})")
+      VersionedTable.addIdentityColumn(spark, root, c.name, start, step)
+    })
+    Seq(Row(nv))
+  }
+}
+
+/** `ALTER TABLE t DROP COLUMN[S] …` → [[VersionedTable.dropColumns]]:
+  * an O(1) metadata commit under column mapping (requires the
+  * `gvt.columnMapping = name` table property, the Delta contract);
+  * history keeps the columns, the live schema loses them, and the
+  * retired physical storage can never resurface under a re-added
+  * name. */
+case class GvtDropColumnsCommand(target: String, cols: Seq[String])
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("new_version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
-    Seq(Row(VersionedTable.addColumns(spark,
+    Seq(Row(VersionedTable.dropColumns(spark,
       GvtSqlParser.rootOf(spark, target), cols)))
+}
+
+/** `ALTER TABLE t RENAME COLUMN a TO b` →
+  * [[VersionedTable.renameColumn]] (O(1) metadata commit under column
+  * mapping; data files untouched). */
+case class GvtRenameColumnCommand(target: String, from: String, to: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("new_version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(VersionedTable.renameColumn(spark,
+      GvtSqlParser.rootOf(spark, target), from, to)))
 }
 
 /** `DESCRIBE DETAIL t` → the one-row table summary. */

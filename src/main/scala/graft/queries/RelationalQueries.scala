@@ -786,6 +786,66 @@ object RelationalQueries {
         FROM sql_clone_t GROUP BY status ORDER BY status""")
     }),
 
+    // COLUMN MAPPING (Delta columnMapping=name): RENAME COLUMN and DROP
+    // COLUMN as O(1) metadata commits — no data file rewritten. The
+    // sequence: rename cents→amount_cents, drop the note column, re-ADD
+    // a fresh note, append a batch under the new names. The aggregate
+    // must show the full row set under the RENAMED name, and
+    // count(note) must be 0 — the re-added column maps to fresh
+    // physical storage, so the dropped values can never resurface (the
+    // exact hazard column mapping exists to prevent; a naive
+    // name-reuse implementation would read the old values back).
+    "q_column_mapping" -> ((s, dir) => graft.GraftSession.withExtensions(s) { sess =>
+      val out = tmpDir("graft_colmap")
+      val o = t(sess, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"),
+        (col("o_orderkey") % 7).as("note"))
+      val root = s"$out/t"
+      graft.sources.VersionedTable.write(o.filter(col("k") % 2 === 0), root)
+      sess.sql(s"ALTER TABLE gvt.`$root` SET TBLPROPERTIES " +
+        "('gvt.columnMapping' = 'name')")
+      sess.sql(s"ALTER TABLE gvt.`$root` RENAME COLUMN cents TO amount_cents")
+      sess.sql(s"ALTER TABLE gvt.`$root` DROP COLUMN note")
+      sess.sql(s"ALTER TABLE gvt.`$root` ADD COLUMNS (note BIGINT)")
+      graft.sources.VersionedTable.append(
+        o.filter(col("k") % 2 === 1)
+          .select(col("k"), col("status"), col("cents").as("amount_cents")),
+        root, allowEvolution = true)
+      graft.sources.VersionedTable.readLatest(sess, root)
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("amount_cents")).as("sum_cents"),
+          count(col("note")).as("n_note"))
+        .orderBy(col("status"))
+    }),
+
+    // IDENTITY columns (Delta GENERATED … AS IDENTITY): the registered
+    // column's missing values fill with fresh monotonic ids on every
+    // data-arrival commit — the high-water mark rides per-commit meta,
+    // so the second batch continues exactly where the first stopped and
+    // ids are never reused. Batches are single-partition sorted frames,
+    // so assignment order is the key order and the oracle reproduces it
+    // with row_number(). Pre-registration rows stay NULL (no silent
+    // backfill — maintenance never invents data).
+    "q_identity" -> ((s, dir) => graft.GraftSession.withExtensions(s) { sess =>
+      val out = tmpDir("graft_identq")
+      val o = t(sess, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"))
+      val root = s"$out/t"
+      graft.sources.VersionedTable.write(o.filter(col("k") % 2 === 0), root)
+      sess.sql(s"ALTER TABLE gvt.`$root` ADD COLUMNS " +
+        "(rid BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 1 INCREMENT BY 1))")
+      def batch(m: Int) = o.filter(col("k") % 4 === m)
+        .repartition(1).sortWithinPartitions(col("k"))
+      graft.sources.VersionedTable.append(batch(1), root, allowEvolution = true)
+      graft.sources.VersionedTable.append(batch(3), root, allowEvolution = true)
+      graft.sources.VersionedTable.readLatest(sess, root)
+        .filter(col("rid").isNotNull)
+        .select(col("k"), col("rid"))
+        .orderBy(col("k"))
+    }),
+
     // CDF-FED incremental JOIN-view maintenance — the counting-algorithm
     // generalization of q_incremental_join (which is insert-only with
     // synthesized deltas): BOTH sides of V = A ⋈ B are versioned tables
@@ -1705,6 +1765,27 @@ object RelationalQueries {
         |SELECT status, CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM o WHERE k >= 300 GROUP BY status ORDER BY status""".stripMargin,
+
+    // Full row set under the renamed column; the re-added note column is
+    // all-NULL (fresh physical storage — dropped values never resurface).
+    "q_column_mapping" ->
+      """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  CAST(0 AS BIGINT) AS n_note
+        |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin,
+
+    // Batch 1 (k%4=1, key-sorted) takes 1..n1; batch 2 (k%4=3) continues
+    // at n1+1 — row_number over each batch reproduces the assignment.
+    "q_identity" ->
+      """WITH b1 AS (SELECT o_orderkey AS k,
+        |    row_number() OVER (ORDER BY o_orderkey) AS rid
+        |  FROM orders WHERE o_orderkey % 4 = 1),
+        |b2 AS (SELECT o_orderkey AS k,
+        |    (SELECT count(*) FROM b1) + row_number() OVER (ORDER BY o_orderkey) AS rid
+        |  FROM orders WHERE o_orderkey % 4 = 3)
+        |SELECT k, CAST(rid AS BIGINT) AS rid
+        |FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+        |ORDER BY k""".stripMargin,
 
     // Property state after upsert-overwrite-unset: two keys, key-ordered.
     "q_sql_tblproperties" ->

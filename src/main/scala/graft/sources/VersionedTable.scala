@@ -438,6 +438,118 @@ object VersionedTable {
   def dropCheckConstraint(root: String, name: String): Unit =
     writeConstraints(root, constraints(root) - name)
 
+  // ── Identity columns (Delta GENERATED BY DEFAULT AS IDENTITY) ────────
+  //
+  // A BIGINT column whose missing/NULL values every write path fills
+  // with fresh, never-reused ids. Registration (column, start, step)
+  // lives in the root-level `_identity` file; the HIGH-WATER MARK is
+  // transactional state and rides per-commit meta (`_idhw_<col>`,
+  // newest-wins via readMetaLatest, carried across compaction folds) —
+  // a concurrent writer that read a stale watermark loses the commit
+  // marker and re-reads on retry, so committed ids never collide.
+  // Assignment is the BY DEFAULT semantics (explicit non-NULL values
+  // pass through and push the watermark past them); uniqueness is
+  // guaranteed, gaplessness is NOT promised across batches (Delta's
+  // exact contract). Distributed assignment costs one extra pass over
+  // the batch (zipWithIndex: a count job + the tagged pass) — O(batch),
+  // never O(table).
+
+  private def identityFile(root: String) = new HPath(root, "_identity")
+
+  /** Registered identity columns: name → (start, step). */
+  def identityColumns(root: String): Map[String, (Long, Long)] =
+    readString(identityFile(root)).toSeq.flatMap(_.linesIterator).flatMap { ln =>
+      ln.split('\t') match {
+        case Array(n, s, st) => Some(n -> (s.trim.toLong, st.trim.toLong))
+        case _ => None
+      }
+    }.toMap
+
+  /** Register an identity column. On an existing table the column may
+    * be new (rows before registration read NULL until backfilled — run
+    * one `updateWhere` if gapless history matters) or an existing
+    * BIGINT column (future writes fill its NULLs). `step` must be
+    * non-zero; negative steps count down. */
+  def addIdentityColumn(spark: SparkSession, root: String, name: String,
+                        start: Long = 1L, step: Long = 1L): Unit = {
+    require(step != 0L, "identity step must be non-zero")
+    require(!name.exists(c => c == '\t' || c == '\n'),
+      "identity column name must be tab/newline-free")
+    require(!identityColumns(root).contains(name),
+      s"identity column $name already registered")
+    require(!generatedColumns(root).contains(name),
+      s"$name is a generated column — it cannot also be an identity")
+    val cur = identityColumns(root) + (name -> (start, step))
+    val tmp = new HPath(root, "_identity.tmp")
+    writeString(tmp, cur.toSeq.sorted.map { case (n, (s, st)) =>
+      s"$n\t$s\t$st" }.mkString("\n"), overwrite = true)
+    fcOf(tmp).rename(tmp, identityFile(root), Options.Rename.OVERWRITE)
+  }
+
+  private def idhwKey(col: String): String = s"_idhw_$col"
+
+  /** Fill missing/NULL identity values with fresh ids above the chain's
+    * high-water mark. Returns the completed frame plus the new
+    * watermark meta entries (empty when nothing was assigned). The
+    * id order follows the frame's partition order (deterministic for a
+    * deterministic input plan). */
+  private def applyIdentity(df0: DataFrame, root: String,
+                            ids: Map[String, (Long, Long)])
+      : (DataFrame, Map[String, String]) = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, max}
+    if (ids.isEmpty) return (df0, Map.empty)
+    var df = df0
+    var meta = Map.empty[String, String]
+    ids.toSeq.sortBy(_._1).foreach { case (name, (start, step)) =>
+      val hw0 = readMetaLatest(root, idhwKey(name)).map(_.trim.toLong)
+      val present = df.columns.contains(name)
+      val needs = !present || !df.filter(col(name).isNull).isEmpty
+      // explicit values push the watermark past themselves so future
+      // assignments can never re-issue them (BY DEFAULT semantics)
+      val explicitMax: Option[Long] =
+        if (!present) None
+        else Option(df.agg(max(col(name))).head.get(0))
+          .map(_.asInstanceOf[Number].longValue())
+      if (!needs) {
+        explicitMax.foreach { m =>
+          val hw = hw0.getOrElse(start - step)
+          val pushed = if (step > 0) math.max(hw, m) else math.min(hw, m)
+          if (pushed != hw || hw0.isEmpty)
+            meta += (idhwKey(name) -> pushed.toString)
+        }
+      } else {
+        val hwBase0 = hw0.getOrElse(start - step)
+        val hwBase = explicitMax match {
+          case Some(m) if step > 0 => math.max(hwBase0, m)
+          case Some(m) if step < 0 => math.min(hwBase0, m)
+          case _ => hwBase0
+        }
+        // zipWithIndex: one count job + one tagged pass — O(batch). The
+        // frame is persisted so the pre-assignment plan computes once.
+        val precached = df.storageLevel.useMemory || df.storageLevel.useDisk
+        val src = if (precached) df
+          else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val spark = df.sparkSession
+        val withCol =
+          if (present) src
+          else src.withColumn(name, lit(null).cast("long"))
+        val idx = withCol.schema.fieldNames.indexOf(name)
+        val rdd = withCol.rdd.zipWithIndex().map { case (row, i) =>
+          if (!row.isNullAt(idx)) row
+          else {
+            val vals = row.toSeq.toArray
+            vals(idx) = hwBase + step * (i + 1)
+            org.apache.spark.sql.Row.fromSeq(vals.toSeq)
+          }
+        }
+        val n = src.count()
+        df = spark.createDataFrame(rdd, withCol.schema)
+        meta += (idhwKey(name) -> (hwBase + step * n).toString)
+      }
+    }
+    (df, meta)
+  }
+
   // ── Table properties (Delta TBLPROPERTIES analogue) ──────────────────
   //
   // Free-form key→value table metadata, root-level like `_constraints`
@@ -468,6 +580,171 @@ object VersionedTable {
         .mkString("\n"), overwrite = true)
       fcOf(tmp).rename(tmp, propertiesFile(root), Options.Rename.OVERWRITE)
     }
+
+  // ── Column mapping (Delta columnMapping=name analogue) ───────────────
+  //
+  // DROP COLUMN / RENAME COLUMN without rewriting data: logical (user-
+  // facing) column names map to PHYSICAL (parquet footer) names via a
+  // `_colmap` file committed in each version directory (cumulative per
+  // commit, resolved newest-first along the data chain — so time travel
+  // sees each snapshot under the schema it had). A rename changes the
+  // logical label and keeps the physical column; a drop retires the
+  // physical name; re-adding a dropped/renamed-away logical name
+  // allocates a FRESH physical name (`<name>_c<version>`) so old values
+  // can never resurface — exactly the hazard Delta's column mapping
+  // exists to prevent. Mirroring Delta's contract, drops/renames
+  // require the table property first:
+  //
+  //   ALTER TABLE t SET TBLPROPERTIES ('gvt.columnMapping' = 'name')
+  //
+  // Until a drop/rename commits the first `_colmap`, NO path pays any
+  // mapping cost (the chain walk finds nothing and every read/write
+  // stays byte-identical to an unmapped table). Once mapped: reads
+  // apply the mapping as a final projection; every write renames its
+  // logical frame to physical before the parquet write and re-commits
+  // the (possibly extended) mapping. Partition columns and columns
+  // referenced by CHECK constraints or generated columns refuse to
+  // drop/rename (their registered SQL would silently break — Delta
+  // refuses these too).
+
+  /** The logical→physical column mapping of one commit: `active` in
+    * logical schema order; `retired` = physical names that must never
+    * be re-allocated (dropped columns' storage). */
+  private[graft] case class Colmap(active: Seq[(String, String)],
+                                   retired: Set[String])
+
+  private def serializeColmap(cm: Colmap): String =
+    (cm.active.map { case (l, p) => s"$l\t$p" } ++
+      cm.retired.toSeq.sorted.map(p => s"\t$p")).mkString("\n")
+
+  private def parseColmap(s: String): Colmap = {
+    val lines = s.linesIterator.toSeq.filter(_.nonEmpty)
+    val (ret, act) = lines.partition(_.startsWith("\t"))
+    Colmap(act.map { ln =>
+      val i = ln.indexOf('\t')
+      require(i > 0, s"malformed _colmap line: '$ln'")
+      (ln.substring(0, i), ln.substring(i + 1))
+    }, ret.map(_.stripPrefix("\t")).toSet)
+  }
+
+  /** Is the column-mapping table property set? Gates NEW drops/renames
+    * only — an already-mapped chain keeps resolving through its
+    * committed `_colmap`s regardless. */
+  def columnMappingActive(root: String): Boolean =
+    tblProperties(root).get("gvt.columnMapping").contains("name")
+
+  /** The newest `_colmap` at or below logical snapshot `version` —
+    * cumulative, so the first one found on the newest-first chain walk
+    * is authoritative. None = unmapped (identity). Follows shallow-clone
+    * jumps like every chain walk. */
+  private[graft] def colmapAt(root: String, version: Long): Option[Colmap] = {
+    var cur: Option[(String, Long)] = Some((root, version))
+    while (cur.isDefined) {
+      val (r, v) = cur.get
+      readString(new HPath(s"$r/v=$v", "_colmap")) match {
+        case Some(s) => return Some(parseColmap(s))
+        case None => cur = dataLink(r, v)
+      }
+    }
+    None
+  }
+
+  private[graft] def hasColmap(root: String, version: Long): Boolean =
+    colmapAt(root, version).isDefined
+
+  /** Physical→logical projection: select each mapped physical column
+    * under its logical name, in mapping order (dropped physicals simply
+    * fall out of the projection). */
+  private def applyColmap(df: DataFrame, cm: Colmap,
+                          keepMeta: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val metaCols =
+      if (keepMeta) Seq(col("__gvt_file"), col("__gvt_pos")) else Seq.empty
+    df.select(cm.active.map { case (l, p) => col(p).as(l) } ++ metaCols: _*)
+  }
+
+  /** Crude-but-safe reference check for drop/rename guards: a word-
+    * boundary match of the column name in any registered constraint or
+    * generated-column expression refuses the operation (over-refusal is
+    * safe; silent breakage of registered SQL is not). */
+  private def referencedIn(colName: String, exprs: Iterable[String]): Boolean = {
+    val re = ("(?i)\\b" + java.util.regex.Pattern.quote(colName) + "\\b").r
+    exprs.exists(e => re.findFirstIn(e).isDefined)
+  }
+
+  private def mappingGuards(spark: SparkSession, root: String,
+                            base: Long, cols: Seq[String],
+                            op: String): (DataFrame, Colmap, Seq[String]) = {
+    require(columnMappingActive(root),
+      s"$root: $op requires column mapping — run ALTER TABLE … SET " +
+        "TBLPROPERTIES ('gvt.columnMapping' = 'name') first (the Delta " +
+        "columnMapping.mode contract)")
+    val live = readVersion(spark, root, base)
+    val cm0 = colmapAt(root, base).getOrElse(
+      Colmap(live.columns.toSeq.map(c => (c, c)), Set.empty))
+    val act = cm0.active.toMap
+    val parts = partColsOf(new HPath(dataDirsOf(root, base).head))
+    val refs = (constraints(root).values ++ generatedColumns(root).values ++
+      generatedColumns(root).keys ++ identityColumns(root).keys).toSeq
+    cols.foreach { c =>
+      require(act.contains(c), s"$op: unknown column $c")
+      require(!parts.contains(act(c)),
+        s"$op: $c is a partition column — repartition via compact() instead")
+      require(!referencedIn(c, refs),
+        s"$op: $c is referenced by a CHECK constraint, generated column, " +
+          "or identity registration — drop those first")
+    }
+    (live, cm0, parts)
+  }
+
+  /** DROP COLUMN(s) as an O(1) metadata commit: the columns vanish from
+    * the live logical schema (and every later snapshot) while historical
+    * snapshots keep them; no data file is rewritten — the physical
+    * columns are RETIRED so a future add of the same name maps to fresh
+    * storage and old values cannot resurface. Requires the
+    * `gvt.columnMapping = name` table property. */
+  def dropColumns(spark: SparkSession, root: String,
+                  cols: Seq[String]): Long = {
+    require(cols.nonEmpty, "dropColumns: no columns given")
+    require(cols.distinct.size == cols.size, "dropColumns: duplicate names")
+    val base = latestVersion(root).getOrElse(throw new IllegalArgumentException(
+      s"no versions at $root"))
+    val (live, cm0, _) = mappingGuards(spark, root, base, cols, "dropColumns")
+    require(cm0.active.size > cols.size,
+      "dropColumns: cannot drop every column")
+    val act = cm0.active.toMap
+    val remaining = cm0.active.filterNot { case (l, _) => cols.contains(l) }
+    val cm = Colmap(remaining, cm0.retired ++ cols.map(act))
+    val slice = live.limit(0).select(remaining.map { case (l, _) =>
+      org.apache.spark.sql.functions.col(l) }: _*)
+    write(slice, root, allowEvolution = true,
+      metaFiles = Map("_parent" -> base.toString,
+        "_colmap" -> serializeColmap(cm)),
+      baseVersion = Some(base),
+      operation = s"DROP COLUMNS(${cols.mkString(",")})")
+  }
+
+  /** RENAME COLUMN as an O(1) metadata commit: the logical label
+    * changes, the physical column (and every data file) stays; history
+    * keeps the old name. Requires `gvt.columnMapping = name`. */
+  def renameColumn(spark: SparkSession, root: String,
+                   from: String, to: String): Long = {
+    require(to.nonEmpty && !to.exists(c => c == '\t' || c == '\n'),
+      "renameColumn: target name must be non-empty and tab/newline-free")
+    val base = latestVersion(root).getOrElse(throw new IllegalArgumentException(
+      s"no versions at $root"))
+    val (live, cm0, _) = mappingGuards(spark, root, base, Seq(from),
+      "renameColumn")
+    require(!cm0.active.exists(_._1.equalsIgnoreCase(to)),
+      s"renameColumn: column $to already exists")
+    val cm = Colmap(cm0.active.map { case (l, p) =>
+      if (l == from) (to, p) else (l, p) }, cm0.retired)
+    val slice = live.limit(0).withColumnRenamed(from, to)
+    write(slice, root, allowEvolution = true,
+      metaFiles = Map("_parent" -> base.toString,
+        "_colmap" -> serializeColmap(cm)),
+      baseVersion = Some(base), operation = s"RENAME COLUMN($from -> $to)")
+  }
 
   /** Upsert table properties (existing keys overwrite — Delta's SET
     * TBLPROPERTIES contract). */
@@ -577,12 +854,28 @@ object VersionedTable {
             metaFiles: Map[String, String] = Map.empty,
             baseVersion: Option[Long] = None,
             operation: String = "WRITE",
-            subdirWrites: Map[String, DataFrame] = Map.empty): Long = {
+            subdirWrites: Map[String, DataFrame] = Map.empty,
+            physicalInput: Boolean = false,
+            assignIdentity: Boolean = true): Long = {
     val base = baseVersion.orElse(latestVersion(root))
-    // generated columns materialize/validate FIRST so the schema gate
-    // and constraint gate see the completed frame
-    val df = applyGenerated(df0, generatedColumns(root))
-    latestVersion(root).foreach { v =>
+    // `physicalInput` (compactChain's fold): the frame is the table's
+    // own committed files read back in PHYSICAL column space — schema /
+    // constraint / generated-column gates already passed when those rows
+    // first committed, and re-running them against logical-name
+    // registrations would mis-resolve on a column-mapped table
+    val (df, idMeta) =
+      if (physicalInput) (df0, Map.empty[String, String])
+      else {
+        val gen = applyGenerated(df0, generatedColumns(root))
+        // identity fills only on DATA-ARRIVAL paths (write/append/
+        // replaceWhere/COPY INTO/sinks): maintenance and row-rewrite
+        // paths pass rows through verbatim — compact/restore/UPDATE
+        // must never invent values for rows that predate registration
+        if (assignIdentity) applyIdentity(gen, root, identityColumns(root))
+        else (gen, Map.empty[String, String])
+      }
+    val metaFiles1 = metaFiles ++ idMeta
+    if (!physicalInput) latestVersion(root).foreach { v =>
       // logical-snapshot schema (NOT the raw tip directory: a
       // deletion-vector commit's dir holds only an empty slice + _dv)
       val existing = readVersion(df.sparkSession, root, v).schema
@@ -590,24 +883,53 @@ object VersionedTable {
     }
     // CHECK constraints gate every write path (merge/compact/restore
     // funnel through here) BEFORE a version is claimed
-    val cs = constraints(root)
+    val cs = if (physicalInput) Map.empty[String, String] else constraints(root)
     if (cs.nonEmpty) firstViolated(df, cs).foreach(c =>
       throw new CheckConstraintViolation(
         s"$root: incoming data violates constraint $c; nothing committed"))
+    // column mapping: an explicit `_colmap` in metaFiles (drop/rename/
+    // restore/clone commits) is authoritative; otherwise a mapped base
+    // chain carries its mapping forward, extended with fresh physical
+    // names for any NEW logical columns (never reusing an active or
+    // retired physical, so re-added names cannot resurface old values)
+    val cmPrior: Option[Colmap] =
+      if (physicalInput) None
+      else metaFiles.get("_colmap").map(parseColmap)
+        .orElse(base.flatMap(b => colmapAt(root, b)))
     val next = claimNextVersion(root)
     var committed = false
     try {
-      val w = df.write.mode("overwrite")
-      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      val (dfW, partsW, statsW, metaW) = cmPrior match {
+        case None => (df, partitionBy, statsCols, metaFiles1)
+        case Some(prior) =>
+          val cm =
+            if (metaFiles.contains("_colmap")) prior
+            else {
+              val known = prior.active.map(_._1).toSet
+              val used = prior.active.map(_._2).toSet ++ prior.retired
+              val adds = df.schema.fieldNames.toSeq.filterNot(known).map { n =>
+                n -> (if (used(n)) s"${n}_c$next" else n) }
+              Colmap(prior.active ++ adds, prior.retired)
+            }
+          val physOf = cm.active.toMap
+          import org.apache.spark.sql.functions.col
+          (df.select(df.columns.map(c =>
+              col(c).as(physOf.getOrElse(c, c))).toSeq: _*),
+            partitionBy.map(c => physOf.getOrElse(c, c)),
+            statsCols.map(c => physOf.getOrElse(c, c)),
+            metaFiles1 + ("_colmap" -> serializeColmap(cm)))
+      }
+      val w = dfW.write.mode("overwrite")
+      (if (partsW.nonEmpty) w.partitionBy(partsW: _*) else w)
         .parquet(s"$root/v=$next")
-      if (statsCols.nonEmpty) collectStats(df.sparkSession, root, next, statsCols)
+      if (statsW.nonEmpty) collectStats(df.sparkSession, root, next, statsW)
       // auxiliary parquet payloads (underscore-prefix the names so
       // snapshot readers ignore them — e.g. a DELETE commit's deletion
       // vector), committed atomically WITH the data like metaFiles
       subdirWrites.foreach { case (name, sdf) =>
         sdf.write.mode("overwrite").parquet(s"$root/v=$next/$name")
       }
-      metaFiles.foreach { case (name, content) =>
+      metaW.foreach { case (name, content) =>
         writeString(new HPath(s"$root/v=$next", name), content, overwrite = true)
       }
       // commit wall-clock (epoch millis, for timestamp time travel) and
@@ -787,13 +1109,24 @@ object VersionedTable {
     val dirs = dataDirsOf(root, version)
     val dvDirs = chainDvDirs(root, version)
     val needMeta = dvDirs.nonEmpty || keepMeta
+    // column-mapped chain: callers speak LOGICAL names — stats and
+    // footers are keyed physical, so the range columns translate on the
+    // way in and the result projects back to logical on the way out
+    val cm = colmapAt(root, version)
+    val phys = cm.map(_.active.toMap).getOrElse(Map.empty[String, String])
+    val rangesP = ranges.map { case (c, lo, hi) =>
+      (phys.getOrElse(c, c), lo, hi) }
+    val strRangesP = strRanges.map { case (c, lo, hi) =>
+      (phys.getOrElse(c, c), lo, hi) }
+    def logicalize(df: DataFrame): DataFrame =
+      cm.map(applyColmap(df, _, keepMeta = keepMeta)).getOrElse(df)
     def finish(tagged: DataFrame): DataFrame = {
       val dv = if (dvDirs.nonEmpty) applyDv(spark, tagged, dvDirs, keepMeta = true)
         else tagged
-      if (keepMeta) dv else dv.drop("__gvt_file", "__gvt_pos")
+      logicalize(if (keepMeta) dv else dv.drop("__gvt_file", "__gvt_pos"))
     }
     def full(): DataFrame =
-      if (!needMeta) readDirs(spark, dirs)
+      if (!needMeta) logicalize(readDirs(spark, dirs))
       else finish(readDirsMeta(spark, dirs))
     if (ranges.isEmpty && strRanges.isEmpty) return full()
     // per-dir stats coverage (a multi-dir stats read would silently
@@ -803,8 +1136,8 @@ object VersionedTable {
       val p = new HPath(s"$d/_stats")
       fcOf(p).util.exists(p) && {
         val have = spark.read.parquet(s"$d/_stats").schema.fieldNames.toSet
-        ranges.forall { case (c, _, _) => have(s"min_$c") && have(s"max_$c") } &&
-        strRanges.forall { case (c, _, _) =>
+        rangesP.forall { case (c, _, _) => have(s"min_$c") && have(s"max_$c") } &&
+        strRangesP.forall { case (c, _, _) =>
           have(s"smin_$c") && have(s"smax_$c") && have(s"nn_$c") }
       }
     }
@@ -820,9 +1153,9 @@ object VersionedTable {
     // NULL never does). String bounds are truncation-sound: smin is a
     // PREFIX of the true min (≤ it), smax NULL means unbounded above,
     // and nn=0 marks the genuinely all-null file.
-    val pred = (ranges.map { case (c, lo, hi) =>
+    val pred = (rangesP.map { case (c, lo, hi) =>
       col(s"max_$c") >= lo && col(s"min_$c") <= hi
-    } ++ strRanges.map { case (c, lo, hi) =>
+    } ++ strRangesP.map { case (c, lo, hi) =>
       val base = col(s"nn_$c") > 0
       val loOk = lo.map(l =>
         col(s"smax_$c").isNull || col(s"smax_$c") >= lit(l))
@@ -840,9 +1173,19 @@ object VersionedTable {
     }
     val reads = fileReads ++ passReads
     if (reads.isEmpty) return full().limit(0)
+    // a mapped chain needs every ACTIVE physical column present for the
+    // final logical projection — pruning may have dropped every file of
+    // the dir that carries a late-added column, so a zero-row full-
+    // schema anchor keeps the union's shape complete (planning-only
+    // cost, and only on mapped chains)
+    val anchor =
+      if (cm.isEmpty) Seq.empty
+      else Seq((if (needMeta) readDirsMeta(spark, dirs)
+        else readDirs(spark, dirs)).limit(0))
     // allowMissingColumns: an evolved chain's older members NULL-pad
-    val unioned = reads.reduce(_.unionByName(_, allowMissingColumns = true))
-    if (!needMeta) unioned else finish(unioned)
+    val unioned = (reads ++ anchor)
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+    if (!needMeta) logicalize(unioned) else finish(unioned)
   }
 
   /** Read an explicit data-file list, grouped by version dir. A
@@ -1070,7 +1413,8 @@ object VersionedTable {
       val merged = graft.ops.RelationalOps.mergeUpsert(
         target, updates2, keys, allowMissingColumns = allowEvolution)
       try return write(merged, root, allowEvolution = allowEvolution,
-        baseVersion = Some(base), operation = "MERGE", metaFiles = metaFiles)
+        baseVersion = Some(base), operation = "MERGE", metaFiles = metaFiles,
+        assignIdentity = false)
       catch {
         case e: ConcurrentWriteException =>
           if (attempt >= maxRetries) throw e
@@ -1103,7 +1447,8 @@ object VersionedTable {
         readVersion(spark, root, base), source, keys,
         matchedDelete, matchedUpdate, insertNotMatched,
         nmsDelete, nmsUpdate)
-      try return write(merged, root, baseVersion = Some(base), operation = "MERGE")
+      try return write(merged, root, baseVersion = Some(base),
+        operation = "MERGE", assignIdentity = false)
       catch {
         case e: ConcurrentWriteException =>
           if (attempt >= maxRetries) throw e
@@ -1147,7 +1492,8 @@ object VersionedTable {
     write(updated, root,
       metaFiles = Map("_dv_parent" -> v.toString),
       subdirWrites = Map("_dv" -> dv),
-      baseVersion = Some(v), operation = "UPDATE_DV")
+      baseVersion = Some(v), operation = "UPDATE_DV",
+      assignIdentity = false)
   }
 
   /** Predicate-scoped overwrite (Delta `replaceWhere` analogue):
@@ -1216,7 +1562,7 @@ object VersionedTable {
     val v = latestVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no versions at $root"))
     write(readVersion(spark, root, v).filter(!predicate), root,
-      baseVersion = Some(v), operation = "DELETE")
+      baseVersion = Some(v), operation = "DELETE", assignIdentity = false)
   }
 
   /** Row-level UPDATE (Delta `UPDATE t SET c = e WHERE p` analogue):
@@ -1237,7 +1583,8 @@ object VersionedTable {
       assignments.get(c)
         .map(e => when(predicate, e).otherwise(col(c)).as(c))
         .getOrElse(col(c))).toSeq: _*)
-    write(updated, root, baseVersion = Some(v), operation = "UPDATE")
+    write(updated, root, baseVersion = Some(v), operation = "UPDATE",
+      assignIdentity = false)
   }
 
   /** Row-level CHANGE DATA FEED between two snapshots (Delta CDF
@@ -1267,7 +1614,12 @@ object VersionedTable {
   def changes(spark: SparkSession, root: String, fromV: Long, toV: Long,
               keys: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    appendDeltaDirs(root, fromV, toV).foreach { dirs =>
+    // a column-mapped chain's raw files carry PHYSICAL names — the
+    // O(batch)/O(changed) fast paths below read files directly, so they
+    // apply only to unmapped chains; mapped chains take the snapshot
+    // diff (readVersion resolves the mapping on both sides)
+    val mapped = hasColmap(root, toV)
+    if (!mapped) appendDeltaDirs(root, fromV, toV).foreach { dirs =>
       val delta = readDirs(spark, dirs)
       val dataCols = delta.columns.filterNot(keys.contains).toSeq
       return delta.select(keys.map(col) ++ dataCols.map(col) :+
@@ -1280,7 +1632,8 @@ object VersionedTable {
     // never a base rescan. Per-commit drains (ChangeFeed.commitFeeds,
     // the gvt-cdf source) are always single hops, so the whole DML
     // family now feeds consumers at O(changed), like the append path.
-    if (readMeta(root, toV, "_dv_parent").map(_.trim.toLong).contains(fromV))
+    if (!mapped &&
+        readMeta(root, toV, "_dv_parent").map(_.trim.toLong).contains(fromV))
       return dvCommitChanges(spark, root, fromV, toV, keys)
     keyDiff(readVersion(spark, root, fromV), readVersion(spark, root, toV), keys)
   }
@@ -1486,12 +1839,18 @@ object VersionedTable {
       s"clone target $dstRoot already has versions")
     require(!srcRoot.contains("\t"), "source root must not contain tabs")
     if (shallow)
+      // a mapped source's mapping rides the clone commit, so clone-local
+      // reads and DML resolve it without crossing roots, and clone-local
+      // schema changes stack independently of the source
       write(readVersion(spark, srcRoot, v).limit(0), dstRoot,
-        metaFiles = Map("_clone_src" -> s"$srcRoot\t$v"),
+        metaFiles = Map("_clone_src" -> s"$srcRoot\t$v") ++
+          colmapAt(srcRoot, v).map("_colmap" -> serializeColmap(_)),
         operation = s"CLONE(shallow,$srcRoot@v$v)")
     else
+      // deep clone: an independent table — logical names become its
+      // physical names, no mapping carried (none needed)
       write(readVersion(spark, srcRoot, v), dstRoot,
-        operation = s"CLONE(deep,$srcRoot@v$v)")
+        operation = s"CLONE(deep,$srcRoot@v$v)", assignIdentity = false)
   }
 
   /** ALTER TABLE … ADD COLUMNS (Delta schema-evolution DDL): commit a
@@ -1622,8 +1981,12 @@ object VersionedTable {
     * positions). */
   def readVersion(spark: SparkSession, root: String, version: Long): DataFrame = {
     val dvs = chainDvDirs(root, version)
-    if (dvs.isEmpty) readDirs(spark, dataDirsOf(root, version))
-    else applyDv(spark, readDirsMeta(spark, dataDirsOf(root, version)), dvs)
+    val raw =
+      if (dvs.isEmpty) readDirs(spark, dataDirsOf(root, version))
+      else applyDv(spark, readDirsMeta(spark, dataDirsOf(root, version)), dvs)
+    // column-mapped chain: physical columns surface under the logical
+    // names this snapshot's `_colmap` assigns (dropped columns fall out)
+    colmapAt(root, version).map(applyColmap(raw, _)).getOrElse(raw)
   }
 
   /** [[readDirs]] with per-leaf `(__gvt_file, __gvt_pos)` provenance
@@ -1739,9 +2102,28 @@ object VersionedTable {
     * atomically, and a concurrent writer conflicts instead of being
     * silently rolled back. Evolution is implied: restoring to before a
     * column was added legitimately drops that column. */
-  def restore(spark: SparkSession, root: String, version: Long): Long =
+  def restore(spark: SparkSession, root: String, version: Long): Long = {
+    // a mapped table restores under the TARGET snapshot's mapping (its
+    // logical schema is what the restore resurrects); physical names the
+    // current tip used beyond the target are retired so no future add
+    // can collide with still-on-disk storage
+    val cur = latestVersion(root).flatMap(v => colmapAt(root, v))
+    val tgt = colmapAt(root, version)
+    val meta: Map[String, String] =
+      if (cur.isEmpty && tgt.isEmpty) Map.empty
+      else {
+        val t = tgt.getOrElse(Colmap(
+          readVersion(spark, root, version).columns.toSeq.map(c => (c, c)),
+          Set.empty))
+        val curPhys = cur.map(c => c.active.map(_._2).toSet ++ c.retired)
+          .getOrElse(Set.empty)
+        Map("_colmap" -> serializeColmap(Colmap(t.active,
+          (t.retired ++ curPhys) -- t.active.map(_._2).toSet)))
+      }
     write(readVersion(spark, root, version), root, allowEvolution = true,
-      operation = s"RESTORE(v=$version)")
+      metaFiles = meta, operation = s"RESTORE(v=$version)",
+      assignIdentity = false)
+  }
 
   /** One snapshot dir's carry-able meta files (watermarks, txn
     * versions) — everything but the chain links, which describe THIS
@@ -1825,10 +2207,15 @@ object VersionedTable {
           perDir.reduce(_ intersect _).toSeq.sorted
         else Seq.empty
       }
+    // physicalInput: the fold reads committed files back in PHYSICAL
+    // column space (no logical mapping applied) and re-writes them
+    // verbatim — the carried `_colmap` keeps a mapped chain's logical
+    // view, and re-running logical-name gates would mis-resolve
     write(readDirs(spark, batchDirs).coalesce(nFiles), root,
       partitionBy = parts, statsCols = stats,
       metaFiles = carriedMetaOfChain(root, v) + ("_parent" -> baseV.toString),
-      baseVersion = Some(v), operation = "COMPACT_CHAIN")
+      baseVersion = Some(v), operation = "COMPACT_CHAIN",
+      physicalInput = true)
   }
 
   /** Small-file compaction (OPTIMIZE analogue): rewrite the latest
@@ -1923,7 +2310,8 @@ object VersionedTable {
     // mid-compaction must win over the rewrite, not be clobbered by it
     write(rewritten, root, partitionBy = parts,
       statsCols = if (zorderBy.nonEmpty) zorderBy else Seq.empty,
-      metaFiles = carriedMeta, baseVersion = Some(v), operation = op)
+      metaFiles = carriedMeta, baseVersion = Some(v), operation = op,
+      assignIdentity = false)
   }
 
   /** Retention (VACUUM analogue): keep the newest `keep` COMMITTED
@@ -1951,7 +2339,8 @@ object VersionedTable {
     * pre-timestamp snapshots. */
   def vacuum(root: String, keep: Int,
              orphanGraceMs: Long = 24L * 3600 * 1000,
-             retainMinMs: Long = 24L * 3600 * 1000): Seq[Long] = {
+             retainMinMs: Long = 24L * 3600 * 1000,
+             dryRun: Boolean = false): Seq[Long] = {
     val chain = committedChain(root)
     val committed = chain.map(_.version)
     val nowMs = System.currentTimeMillis
@@ -1986,6 +2375,9 @@ object VersionedTable {
         st.getModificationTime <= now - orphanGraceMs
       }
     val drop = (dropCommitted ++ orphans).sorted
+    // DRY RUN (Delta's VACUUM … DRY RUN): report what WOULD be dropped,
+    // touch nothing — markers and checkpoint included
+    if (dryRun) return drop
     drop.foreach(v => delete(new HPath(s"$root/v=$v"), recursive = true))
     // GC commit markers that reference a dropped version on either side,
     // plus empty "husk" markers (a writer that crashed between the

@@ -99,11 +99,14 @@ class DefaultSource extends RelationProvider
         VersionedTable.versionAsOf(root, parseTs(ts))))
       .getOrElse(VersionedTable.latestVersion(root).getOrElse(
         throw new IllegalArgumentException(s"gvt: no versions at $root")))
-    if (VersionedTable.chainDvDirs(root, version).nonEmpty)
-      // a snapshot carrying un-materialized deletion vectors cannot be
-      // served as a plain file relation (the vectors must anti-join
-      // out); it plans through the DV-applying relation instead —
-      // zone-map pruning and filter/column pushdown preserved inside
+    if (VersionedTable.chainDvDirs(root, version).nonEmpty ||
+        VersionedTable.hasColmap(root, version))
+      // a snapshot carrying un-materialized deletion vectors (the
+      // vectors must anti-join out) or a column mapping (physical
+      // footer names must surface under their logical labels) cannot be
+      // served as a plain file relation; it plans through the
+      // resolving relation instead — zone-map pruning and
+      // filter/column pushdown preserved inside
       return new GvtDvRelation(spark, sqlContext, root, version, pinned)
     val dirs = VersionedTable.dataDirsOf(root, version)
     val index = new GvtFileIndex(spark, dirs.map(new Path(_)),

@@ -1,0 +1,212 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.VersionedTable
+
+/** Column mapping (Delta columnMapping=name analogue): DROP COLUMN /
+  * RENAME COLUMN as O(1) metadata commits — logical names resolve
+  * through the chain's `_colmap`, historical snapshots keep their
+  * schema, retired physical storage can never resurface under a
+  * re-added name, and every read/write/DML/maintenance path keeps
+  * working on a mapped chain. */
+class ColumnMappingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fresh(tag: String) =
+    Files.createTempDirectory(s"graft_$tag").toString + "/t"
+
+  private def mapped(root: String): Unit =
+    VersionedTable.setTblProperties(root, Map("gvt.columnMapping" -> "name"))
+
+  test("drop/rename refuse without the columnMapping property") {
+    val root = fresh("cmgate")
+    VersionedTable.write((1 to 5).map(i => (i, i * 2)).toDF("a", "b"), root)
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.renameColumn(spark, root, "b", "c")
+    }
+    assert(e.getMessage.contains("gvt.columnMapping"))
+    intercept[IllegalArgumentException] {
+      VersionedTable.dropColumns(spark, root, Seq("b"))
+    }
+  }
+
+  test("RENAME COLUMN: live logical view renames, data files untouched, " +
+      "history keeps the old name, appends and DML speak the new name") {
+    val root = fresh("cmren")
+    val o = (1 to 40).map(i => (i.toLong, s"s${i % 3}", i.toLong * 100))
+      .toDF("k", "status", "cents")
+    VersionedTable.write(o, root)
+    mapped(root)
+    val filesBefore = VersionedTable.readLatest(spark, root).inputFiles.toSet
+    VersionedTable.renameColumn(spark, root, "cents", "amount")
+    val live = VersionedTable.readLatest(spark, root)
+    assert(live.columns.toSeq == Seq("k", "status", "amount"))
+    assert(live.agg(sum("amount")).as[Long].head() == (1 to 40).map(_ * 100L).sum)
+    // O(1): the original data files are still the ones being read
+    assert(filesBefore.subsetOf(live.inputFiles.toSet))
+    // history: v1 still reads under the OLD name
+    assert(VersionedTable.readVersion(spark, root, 1L).columns.toSeq ==
+      Seq("k", "status", "cents"))
+    // appends speak the new logical name
+    VersionedTable.append((41 to 50).map(i => (i.toLong, "s9", i.toLong * 100))
+      .toDF("k", "status", "amount"), root)
+    assert(VersionedTable.readLatest(spark, root).count() == 50)
+    // DML predicates/assignments speak the new logical name
+    VersionedTable.deleteWhereVector(spark, root, col("amount") > 4500L)
+    assert(VersionedTable.readLatest(spark, root).count() == 45)
+    VersionedTable.updateWhereVector(spark, root, col("k") === 1L,
+      Map("amount" -> lit(9999L)))
+    assert(VersionedTable.readLatest(spark, root)
+      .filter(col("k") === 1L).select("amount").as[Long].head() == 9999L)
+    // compact materializes and the logical view survives
+    VersionedTable.compact(spark, root)
+    val post = VersionedTable.readLatest(spark, root)
+    assert(post.columns.toSeq == Seq("k", "status", "amount"))
+    assert(post.count() == 45)
+  }
+
+  test("DROP COLUMN + re-ADD: old values can never resurface") {
+    val root = fresh("cmdrop")
+    val o = (1 to 20).map(i => (i.toLong, s"secret$i", i.toLong))
+      .toDF("k", "note", "v")
+    VersionedTable.write(o, root)
+    mapped(root)
+    VersionedTable.dropColumns(spark, root, Seq("note"))
+    val live = VersionedTable.readLatest(spark, root)
+    assert(live.columns.toSeq == Seq("k", "v"))
+    // history keeps it
+    assert(VersionedTable.readVersion(spark, root, 1L)
+      .filter(col("note") === "secret7").count() == 1)
+    // re-add the SAME logical name: fresh physical storage — every row
+    // reads NULL, never the dropped values (THE column-mapping hazard)
+    VersionedTable.addColumns(spark, root,
+      Seq("note" -> org.apache.spark.sql.types.StringType))
+    val readd = VersionedTable.readLatest(spark, root)
+    assert(readd.columns.toSeq == Seq("k", "v", "note"))
+    assert(readd.filter(col("note").isNotNull).isEmpty,
+      "dropped values resurfaced under the re-added column")
+    // and the re-added column is writable going forward
+    VersionedTable.append(Seq((21L, 21L, "fresh")).toDF("k", "v", "note"), root)
+    assert(VersionedTable.readLatest(spark, root)
+      .filter(col("note") === "fresh").count() == 1)
+    // the ORIGINAL dropped values remain time-travelable before the drop
+    assert(VersionedTable.readVersion(spark, root, 1L)
+      .filter(col("note").startsWith("secret")).count() == 20)
+  }
+
+  test("mapped chain through the gvt DataSource, SQL DML, and CDF") {
+    val root = fresh("cmgvt")
+    val o = (1 to 40).map(i => (i.toLong, s"s${i % 3}", i.toLong * 100))
+      .toDF("k", "status", "cents")
+    VersionedTable.write(o.repartitionByRange(4, col("k")), root,
+      statsCols = Seq("k"))
+    mapped(root)
+    VersionedTable.renameColumn(spark, root, "cents", "amount")
+    GraftSession.withExtensions(spark) { sess =>
+      sess.sql(s"CREATE OR REPLACE TEMPORARY VIEW cm_t USING gvt " +
+        s"OPTIONS (path '$root')")
+      val sums = sess.sql(
+        "SELECT sum(amount) AS s FROM cm_t WHERE k >= 1").as[Long].head()
+      assert(sums == (1 to 40).map(_ * 100L).sum)
+      // SQL RENAME + DROP through the parser
+      sess.sql("ALTER TABLE cm_t RENAME COLUMN amount TO amt").collect()
+      sess.sql(s"CREATE OR REPLACE TEMPORARY VIEW cm_t USING gvt " +
+        s"OPTIONS (path '$root')")
+      sess.sql("DELETE FROM cm_t WHERE amt > 3500")
+      sess.sql(s"CREATE OR REPLACE TEMPORARY VIEW cm_t USING gvt " +
+        s"OPTIONS (path '$root')")
+      assert(sess.sql("SELECT count(*) AS n FROM cm_t").as[Long].head() == 35L)
+      // time travel through SQL sees the pre-rename schema
+      assert(sess.sql("SELECT sum(cents) AS s FROM cm_t VERSION AS OF 1")
+        .as[Long].head() == (1 to 40).map(_ * 100L).sum)
+    }
+    // CDF across the mapped chain classifies under logical names
+    val feed = VersionedTable.changes(spark, root, 3L, 4L, Seq("k"))
+    assert(feed.filter(col("_change_type") === "delete").count() == 5L)
+  }
+
+  test("zone-map pruning keeps working on a renamed column") {
+    val root = fresh("cmprune")
+    val o = (1 to 400).map(i => (i.toLong, i.toLong * 10))
+      .toDF("k", "cents")
+    VersionedTable.write(o.repartitionByRange(8, col("k")), root,
+      statsCols = Seq("k"))
+    mapped(root)
+    VersionedTable.renameColumn(spark, root, "k", "id")
+    // readPruned speaks the LOGICAL (renamed) name; stats on disk are
+    // keyed by the physical name — translation happens inside
+    val pruned = VersionedTable.readPruned(spark, root, "id", 1.0, 50.0)
+    assert(pruned.count() == 50)
+    assert(pruned.inputFiles.length < 8,
+      s"pruning dead: ${pruned.inputFiles.length} files reached the scan")
+  }
+
+  test("compactChain folds a mapped chain and keeps the logical view") {
+    val root = fresh("cmfold")
+    val o = (1 to 30).map(i => (i.toLong, i.toLong)).toDF("k", "v")
+    VersionedTable.write(o.filter(col("k") <= 10), root)
+    mapped(root)
+    VersionedTable.renameColumn(spark, root, "v", "val")
+    VersionedTable.append((11 to 20).map(i => (i.toLong, i.toLong))
+      .toDF("k", "val"), root)
+    VersionedTable.append((21 to 30).map(i => (i.toLong, i.toLong))
+      .toDF("k", "val"), root)
+    VersionedTable.compactChain(spark, root)
+    val live = VersionedTable.readLatest(spark, root)
+    assert(live.columns.toSeq == Seq("k", "val"))
+    assert(live.agg(sum("val")).as[Long].head() == (1L to 30L).sum)
+  }
+
+  test("RESTORE to before a rename resurrects the old logical schema") {
+    val root = fresh("cmrestore")
+    VersionedTable.write((1 to 10).map(i => (i.toLong, i.toLong))
+      .toDF("k", "v"), root)
+    mapped(root)
+    VersionedTable.renameColumn(spark, root, "v", "w")
+    VersionedTable.append(Seq((11L, 11L)).toDF("k", "w"), root)
+    VersionedTable.restore(spark, root, 1L)
+    val live = VersionedTable.readLatest(spark, root)
+    assert(live.columns.toSeq == Seq("k", "v"))
+    assert(live.count() == 10)
+  }
+
+  test("shallow clone of a mapped source resolves and stacks local schema") {
+    val src = fresh("cmclsrc")
+    val o = (1 to 20).map(i => (i.toLong, i.toLong)).toDF("k", "v")
+    VersionedTable.write(o, src)
+    mapped(src)
+    VersionedTable.renameColumn(spark, src, "v", "w")
+    val dst = fresh("cmcldst")
+    VersionedTable.cloneTable(spark, src, dst, shallow = true)
+    assert(VersionedTable.readLatest(spark, dst).columns.toSeq == Seq("k", "w"))
+    // clone-local rename does not touch the source
+    mapped(dst)
+    VersionedTable.renameColumn(spark, dst, "w", "z")
+    assert(VersionedTable.readLatest(spark, dst).columns.toSeq == Seq("k", "z"))
+    assert(VersionedTable.readLatest(spark, src).columns.toSeq == Seq("k", "w"))
+  }
+
+  test("guards: partition columns and constraint/generated references " +
+      "refuse to drop or rename") {
+    val root = fresh("cmguard")
+    val o = (1 to 20).map(i => (i.toLong, s"p${i % 2}", i.toLong))
+      .toDF("k", "part", "v")
+    VersionedTable.write(o, root, partitionBy = Seq("part"))
+    mapped(root)
+    assert(intercept[IllegalArgumentException] {
+      VersionedTable.renameColumn(spark, root, "part", "bucket")
+    }.getMessage.contains("partition"))
+    VersionedTable.addCheckConstraint(spark, root, "v_pos", "v >= 0")
+    assert(intercept[IllegalArgumentException] {
+      VersionedTable.dropColumns(spark, root, Seq("v"))
+    }.getMessage.contains("constraint"))
+    VersionedTable.dropCheckConstraint(root, "v_pos")
+    // now it drops fine
+    VersionedTable.dropColumns(spark, root, Seq("v"))
+    assert(VersionedTable.readLatest(spark, root).columns.toSeq ==
+      Seq("k", "part"))
+  }
+}

@@ -187,6 +187,79 @@ class GvtDdlSpec extends AnyFunSuite {
     assert(VersionedTable.copyInto(spark, root, srcDir)._1 == 0L)
   }
 
+  test("VACUUM DRY RUN reports without deleting; TRUNCATE empties; " +
+      "RESTORE TIMESTAMP AS OF resolves") {
+    val root = fresh("maint2")
+    VersionedTable.write((1 to 10).toDF("id"), root)
+    Thread.sleep(5L)
+    val tsAfterV1 = System.currentTimeMillis
+    Thread.sleep(5L)
+    VersionedTable.write((1 to 20).toDF("id"), root)
+    VersionedTable.write((1 to 30).toDF("id"), root)
+    GraftSession.withExtensions(spark) { sess =>
+      import sess.implicits._
+      // DRY RUN: v1/v2 would drop, nothing actually deleted
+      val would = sess.sql(s"VACUUM gvt.`$root` RETAIN 0 HOURS DRY RUN")
+        .as[Long].collect().toSeq
+      assert(would == Seq(1L, 2L))
+      assert(VersionedTable.versions(root).toSet == Set(1L, 2L, 3L))
+      // RESTORE TIMESTAMP AS OF: newest snapshot at/before the ts = v1
+      sess.sql(s"RESTORE TABLE gvt.`$root` TO TIMESTAMP AS OF '$tsAfterV1'")
+        .collect()
+      assert(VersionedTable.readLatest(sess, root).count() == 10)
+      // TRUNCATE: empty snapshot, schema kept, history intact
+      sess.sql(s"TRUNCATE TABLE gvt.`$root`").collect()
+      val live = VersionedTable.readLatest(sess, root)
+      assert(live.count() == 0 && live.columns.toSeq == Seq("id"))
+      assert(VersionedTable.readVersion(sess, root, 3L).count() == 30)
+    }
+  }
+
+  test("identity columns: monotonic unique ids across appends, " +
+      "explicit values push the watermark, merge fills new rows") {
+    val root = fresh("ident")
+    val o = (1 to 10).map(i => (i.toLong, s"s$i")).toDF("k", "s")
+    VersionedTable.write(o, root)
+    GraftSession.withExtensions(spark) { sess =>
+      sess.sql(s"ALTER TABLE gvt.`$root` ADD COLUMNS " +
+        "(rid BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 100 INCREMENT BY 2))")
+    }
+    assert(VersionedTable.identityColumns(root) == Map("rid" -> (100L, 2L)))
+    // pre-registration rows read NULL (no silent backfill)
+    assert(VersionedTable.readLatest(spark, root)
+      .filter(col("rid").isNotNull).isEmpty)
+    // first assigning append: ids from 100 by 2
+    VersionedTable.append((11 to 15).map(i => (i.toLong, s"s$i"))
+      .toDF("k", "s").coalesce(1).sortWithinPartitions("k"), root,
+      allowEvolution = true)
+    val ids1 = VersionedTable.readLatest(spark, root)
+      .filter(col("rid").isNotNull).select("rid").as[Long]
+      .collect().toSeq.sorted
+    assert(ids1 == Seq(100L, 102L, 104L, 106L, 108L))
+    // second append continues above the watermark — never reuses
+    VersionedTable.append(Seq((16L, "s16")).toDF("k", "s"), root,
+      allowEvolution = true)
+    val ids2 = VersionedTable.readLatest(spark, root)
+      .filter(col("rid").isNotNull).select("rid").as[Long].collect().toSeq
+    assert(ids2.distinct.size == 6 && ids2.max == 110L)
+    // explicit value passes through and pushes the watermark past it
+    VersionedTable.append(Seq((17L, "s17", 500L)).toDF("k", "s", "rid"),
+      root, allowEvolution = true)
+    VersionedTable.append(Seq((18L, "s18")).toDF("k", "s"), root,
+      allowEvolution = true)
+    val ids3 = VersionedTable.readLatest(spark, root)
+      .filter(col("rid").isNotNull).select("rid").as[Long].collect().toSeq
+    assert(ids3.contains(500L) && ids3.max == 502L)
+    assert(ids3.distinct.size == ids3.size)
+    // the watermark survives compaction (carried meta)
+    VersionedTable.compact(spark, root)
+    VersionedTable.append(Seq((19L, "s19")).toDF("k", "s"), root,
+      allowEvolution = true)
+    val ids4 = VersionedTable.readLatest(spark, root)
+      .filter(col("rid").isNotNull).select("rid").as[Long].collect().toSeq
+    assert(ids4.max == 504L && ids4.distinct.size == ids4.size)
+  }
+
   test("catalog CREATE TABLE … USING gvt works end to end") {
     val root = fresh("cat")
     VersionedTable.write((1 to 25).toDF("id"), root)
