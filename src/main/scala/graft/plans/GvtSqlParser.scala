@@ -87,6 +87,12 @@ class GvtSqlParser(session: SparkSession, delegate: ParserInterface)
           cols.replace("`", "")))
       case RenameColRe(target, from, to) if isGvtTarget(session, target.trim) =>
         GvtRenameColumnCommand(target.trim, from.trim, to.trim)
+      case SetDefaultRe(target, colName, expr)
+          if isGvtTarget(session, target.trim) =>
+        GvtSetDefaultCommand(target.trim, colName.trim, expr.trim)
+      case DropDefaultRe(target, colName)
+          if isGvtTarget(session, target.trim) =>
+        GvtDropDefaultCommand(target.trim, colName.trim)
       // `DESC DETAIL t` could be valid Spark SQL (describe column 't' of
       // a table named 'detail') — same guard as DESCRIBE HISTORY
       case DescDetailRe(target) if isGvtTarget(session, target.trim) =>
@@ -171,6 +177,12 @@ object GvtSqlParser {
   private val RenameColRe =
     ("""(?is)^ALTER\s+TABLE\s+""" + Target +
       """\s+RENAME\s+COLUMN\s+`?([\w.\-]+)`?\s+TO\s+`?([\w.\-]+)`?\s*$""").r
+  private val SetDefaultRe =
+    ("""(?is)^ALTER\s+TABLE\s+""" + Target +
+      """\s+ALTER\s+COLUMN\s+`?([\w.\-]+)`?\s+SET\s+DEFAULT\s+(.+?)\s*$""").r
+  private val DropDefaultRe =
+    ("""(?is)^ALTER\s+TABLE\s+""" + Target +
+      """\s+ALTER\s+COLUMN\s+`?([\w.\-]+)`?\s+DROP\s+DEFAULT\s*$""").r
   private val CloneRe =
     ("""(?is)^CREATE\s+TABLE\s+""" + Target +
       """\s+(?:(SHALLOW|DEEP)\s+)?CLONE\s+""" + Target +
@@ -453,6 +465,29 @@ case class GvtRenameColumnCommand(target: String, from: String, to: String)
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(VersionedTable.renameColumn(spark,
       GvtSqlParser.rootOf(spark, target), from, to)))
+}
+
+/** `ALTER TABLE t ALTER COLUMN c SET DEFAULT <expr>` →
+  * [[VersionedTable.setColumnDefault]]: future writes OMITTING the
+  * column fill it with the expression (explicit NULLs stay NULL — the
+  * SQL DEFAULT contract). */
+case class GvtSetDefaultCommand(target: String, colName: String,
+                                exprSql: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    VersionedTable.setColumnDefault(spark,
+      GvtSqlParser.rootOf(spark, target), colName, exprSql)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE t ALTER COLUMN c DROP DEFAULT`. */
+case class GvtDropDefaultCommand(target: String, colName: String)
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    VersionedTable.dropColumnDefault(
+      GvtSqlParser.rootOf(spark, target), colName)
+    Seq.empty
+  }
 }
 
 /** `DESCRIBE DETAIL t` → the one-row table summary. */

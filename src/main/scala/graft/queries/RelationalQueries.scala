@@ -820,6 +820,29 @@ object RelationalQueries {
         .orderBy(col("status"))
     }),
 
+    // Column DEFAULT values (the SQL DEFAULT contract): after ADD
+    // COLUMNS + SET DEFAULT, a batch OMITTING the column fills with the
+    // default at write, a batch carrying it keeps its values, and rows
+    // written before the column existed stay NULL (defaults are
+    // write-time, never read-time backfill).
+    "q_column_default" -> ((s, dir) => graft.GraftSession.withExtensions(s) { sess =>
+      val out = tmpDir("graft_coldflt")
+      val o = t(sess, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"))
+      val root = s"$out/t"
+      graft.sources.VersionedTable.write(o.filter(col("k") % 3 === 0), root)
+      sess.sql(s"ALTER TABLE gvt.`$root` ADD COLUMNS (src STRING)")
+      sess.sql(s"ALTER TABLE gvt.`$root` ALTER COLUMN src SET DEFAULT 'dflt'")
+      graft.sources.VersionedTable.append(
+        o.filter(col("k") % 3 === 1).withColumn("src", lit("b1")), root)
+      graft.sources.VersionedTable.append(o.filter(col("k") % 3 === 2), root,
+        allowEvolution = true)
+      graft.sources.VersionedTable.readLatest(sess, root)
+        .groupBy(coalesce(col("src"), lit("none")).as("src"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("src"))
+    }),
+
     // IDENTITY columns (Delta GENERATED … AS IDENTITY): the registered
     // column's missing values fill with fresh monotonic ids on every
     // data-arrival commit — the high-water mark rides per-commit meta,
@@ -1773,6 +1796,14 @@ object RelationalQueries {
         |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
         |  CAST(0 AS BIGINT) AS n_note
         |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin,
+
+    // Per-class counts: k%3=0 predates the column (NULL→none), k%3=1
+    // carried explicit b1, k%3=2 omitted the column → default.
+    "q_column_default" ->
+      """SELECT CASE WHEN o_orderkey % 3 = 0 THEN 'none'
+        |  WHEN o_orderkey % 3 = 1 THEN 'b1' ELSE 'dflt' END AS src,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY src""".stripMargin,
 
     // Batch 1 (k%4=1, key-sorted) takes 1..n1; batch 2 (k%4=3) continues
     // at n1+1 — row_number over each batch reproduces the assignment.

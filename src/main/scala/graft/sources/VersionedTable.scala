@@ -488,6 +488,75 @@ object VersionedTable {
 
   private def idhwKey(col: String): String = s"_idhw_$col"
 
+  // ── Column DEFAULT values (Delta/SQL DEFAULT analogue) ───────────────
+  //
+  // A registered default fills a column a write OMITS ENTIRELY (the
+  // SQL DEFAULT contract: an explicit NULL stays NULL — only an absent
+  // column takes the default). Registration lives in the root-level
+  // `_defaults` file (name → SQL expression, foldable recommended);
+  // the fill happens in the write() funnel so every data-arrival path
+  // (write/append/merge/replaceWhere/COPY INTO/sinks) honors it.
+  // Historical rows are untouched — rows written before the column
+  // existed still read NULL (defaults are write-time, not read-time,
+  // exactly Delta's semantics).
+
+  private def defaultsFile(root: String) = new HPath(root, "_defaults")
+
+  /** Registered column defaults: name → SQL expression. */
+  def columnDefaults(root: String): Map[String, String] =
+    readString(defaultsFile(root)).toSeq.flatMap(_.linesIterator).flatMap { ln =>
+      ln.split('\t') match {
+        case Array(n, e) => Some(n -> e)
+        case _ => None
+      }
+    }.toMap
+
+  private def writeDefaults(root: String, ds: Map[String, String]): Unit =
+    if (ds.isEmpty) delete(defaultsFile(root), recursive = false)
+    else {
+      val tmp = new HPath(root, "_defaults.tmp")
+      writeString(tmp, ds.toSeq.sorted.map { case (n, e) => s"$n\t$e" }
+        .mkString("\n"), overwrite = true)
+      fcOf(tmp).rename(tmp, defaultsFile(root), Options.Rename.OVERWRITE)
+    }
+
+  /** Register (or replace) a column DEFAULT. The column must exist in
+    * the live schema and must not be an identity or generated column
+    * (those own their fill rules). */
+  def setColumnDefault(spark: SparkSession, root: String,
+                       name: String, exprSql: String): Unit = {
+    require(!(name + exprSql).exists(c => c == '\t' || c == '\n'),
+      "default name/expression must be tab/newline-free")
+    require(!identityColumns(root).contains(name),
+      s"$name is an identity column — it cannot also carry a DEFAULT")
+    require(!generatedColumns(root).contains(name),
+      s"$name is a generated column — it cannot also carry a DEFAULT")
+    latestVersion(root).foreach { v =>
+      require(readVersion(spark, root, v).columns.contains(name),
+        s"setColumnDefault: no column $name in the live schema")
+    }
+    writeDefaults(root, columnDefaults(root) + (name -> exprSql))
+  }
+
+  def dropColumnDefault(root: String, name: String): Unit =
+    writeDefaults(root, columnDefaults(root) - name)
+
+  /** Fill columns the frame OMITS with their registered defaults, cast
+    * to the live schema's type for the column. */
+  private def applyDefaults(df: DataFrame, root: String,
+                            existing: Option[StructType]): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    val ds = columnDefaults(root)
+      .filterNot { case (n, _) => df.columns.contains(n) }
+    if (ds.isEmpty) df
+    else ds.toSeq.sorted.foldLeft(df) { case (d, (n, e)) =>
+      val col0 = expr(e)
+      val typed = existing.flatMap(_.find(_.name == n).map(_.dataType))
+        .map(t => col0.cast(t)).getOrElse(col0)
+      d.withColumn(n, typed)
+    }
+  }
+
   /** Fill missing/NULL identity values with fresh ids above the chain's
     * high-water mark. Returns the completed frame plus the new
     * watermark meta entries (empty when nothing was assigned). The
@@ -863,10 +932,21 @@ object VersionedTable {
     // constraint / generated-column gates already passed when those rows
     // first committed, and re-running them against logical-name
     // registrations would mis-resolve on a column-mapped table
+    // logical-snapshot schema (NOT the raw tip directory: a
+    // deletion-vector commit's dir holds only an empty slice + _dv)
+    val existingSchema: Option[StructType] =
+      if (physicalInput) None
+      else latestVersion(root).map(v =>
+        readVersion(df0.sparkSession, root, v).schema)
     val (df, idMeta) =
       if (physicalInput) (df0, Map.empty[String, String])
       else {
-        val gen = applyGenerated(df0, generatedColumns(root))
+        // defaults fill OMITTED columns on the same data-arrival paths
+        // as identity (a RESTORE to before a column existed must
+        // resurrect the old schema, not re-fill the column)
+        val gen0 = applyGenerated(df0, generatedColumns(root))
+        val gen = if (assignIdentity) applyDefaults(gen0, root, existingSchema)
+          else gen0
         // identity fills only on DATA-ARRIVAL paths (write/append/
         // replaceWhere/COPY INTO/sinks): maintenance and row-rewrite
         // paths pass rows through verbatim — compact/restore/UPDATE
@@ -875,12 +955,8 @@ object VersionedTable {
         else (gen, Map.empty[String, String])
       }
     val metaFiles1 = metaFiles ++ idMeta
-    if (!physicalInput) latestVersion(root).foreach { v =>
-      // logical-snapshot schema (NOT the raw tip directory: a
-      // deletion-vector commit's dir holds only an empty slice + _dv)
-      val existing = readVersion(df.sparkSession, root, v).schema
-      checkSchema(existing, df.schema, allowEvolution)
-    }
+    existingSchema.foreach(existing =>
+      checkSchema(existing, df.schema, allowEvolution))
     // CHECK constraints gate every write path (merge/compact/restore
     // funnel through here) BEFORE a version is claimed
     val cs = if (physicalInput) Map.empty[String, String] else constraints(root)

@@ -260,6 +260,46 @@ class GvtDdlSpec extends AnyFunSuite {
     assert(ids4.max == 504L && ids4.distinct.size == ids4.size)
   }
 
+  test("column DEFAULT: fills omitted columns at write, explicit NULL " +
+      "stays NULL, DROP DEFAULT stops the fill") {
+    val root = fresh("dflt")
+    VersionedTable.write((1 to 10).map(i => (i.toLong, s"s$i")).toDF("k", "s"),
+      root)
+    GraftSession.withExtensions(spark) { sess =>
+      sess.sql(s"ALTER TABLE gvt.`$root` ADD COLUMNS (tier STRING)")
+      sess.sql(s"ALTER TABLE gvt.`$root` ALTER COLUMN tier SET DEFAULT " +
+        "'bronze'")
+    }
+    // omitted → filled
+    VersionedTable.append(Seq((11L, "s11")).toDF("k", "s"), root,
+      allowEvolution = true)
+    assert(VersionedTable.readLatest(spark, root)
+      .filter(col("k") === 11L).select("tier").as[String].head() == "bronze")
+    // explicit NULL stays NULL (SQL DEFAULT contract)
+    VersionedTable.append(
+      Seq((12L, "s12", null.asInstanceOf[String])).toDF("k", "s", "tier"),
+      root)
+    assert(VersionedTable.readLatest(spark, root)
+      .filter(col("k") === 12L).select("tier").isEmpty === false)
+    assert(VersionedTable.readLatest(spark, root)
+      .filter(col("k") === 12L && col("tier").isNull).count() == 1)
+    // pre-registration rows stay NULL (write-time, never backfill)
+    assert(VersionedTable.readLatest(spark, root)
+      .filter(col("k") <= 10L && col("tier").isNull).count() == 10)
+    // DROP DEFAULT stops the fill
+    GraftSession.withExtensions(spark) { sess =>
+      sess.sql(s"ALTER TABLE gvt.`$root` ALTER COLUMN tier DROP DEFAULT")
+    }
+    VersionedTable.append(Seq((13L, "s13")).toDF("k", "s"), root,
+      allowEvolution = true)
+    assert(VersionedTable.readLatest(spark, root)
+      .filter(col("k") === 13L && col("tier").isNull).count() == 1)
+    // unknown-column registration refused
+    intercept[IllegalArgumentException] {
+      VersionedTable.setColumnDefault(spark, root, "nope", "'x'")
+    }
+  }
+
   test("catalog CREATE TABLE … USING gvt works end to end") {
     val root = fresh("cat")
     VersionedTable.write((1 to 25).toDF("id"), root)
