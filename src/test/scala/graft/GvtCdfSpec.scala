@@ -119,6 +119,37 @@ class GvtCdfSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains the backlog then terminates") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = freshDir()
+    val root = s"$dir/t"
+    VersionedTable.write((1 to 30).toDF("k"), root)
+    VersionedTable.append((31 to 40).toDF("k"), root)
+    VersionedTable.append((41 to 45).toDF("k"), root)
+    // rows mode: the table's rows stream; AvailableNow processes the
+    // whole backlog and stops on its own (the batch-job-over-a-stream
+    // pattern Delta users run for catch-up loads)
+    // file sink: the memory sink cannot recover a checkpoint (NOTES),
+    // and the restart half below is the point of the test
+    val q = spark.readStream.format("gvt").load(root)
+      .writeStream.format("parquet").option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt_av")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "AvailableNow query did not self-terminate")
+    assert(spark.read.parquet(s"$dir/out").count() == 45)
+    // a later commit is NOT picked up (the query ended at the backlog)
+    VersionedTable.append((46 to 50).toDF("k"), root)
+    assert(spark.read.parquet(s"$dir/out").count() == 45)
+    // restarting from the SAME checkpoint resumes past the drained
+    // offsets and picks up only the new commit
+    val q2 = spark.readStream.format("gvt").load(root)
+      .writeStream.format("parquet").option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt_av")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q2.awaitTermination(120000))
+    assert(spark.read.parquet(s"$dir/out").count() == 50)
+  }
+
   test("maxVersionsPerTrigger bounds the commits per micro-batch on a backlog") {
     val dir = freshDir()
     val root = s"$dir/t"
