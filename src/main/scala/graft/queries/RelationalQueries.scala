@@ -820,6 +820,32 @@ object RelationalQueries {
         .orderBy(col("status"))
     }),
 
+    // BLOOM-FILTER file skipping (Delta BLOOMFILTER INDEX): a point
+    // lookup on an UNCLUSTERED high-cardinality column (md5 of the key,
+    // hash-scattered across 8 files) — zone maps cannot prune it (every
+    // file spans the whole value space) but the per-file bloom keeps
+    // only the file(s) whose filter contains all 4 probe positions.
+    // Result must equal the plain filtered row (false positives cost a
+    // scan, never a row); GvtDdlSpec asserts the executed-scan file
+    // counts (<=2 of 8 on a hit, 0 on an absent value).
+    "q_bloom_skip" -> ((s, dir) => {
+      val out = tmpDir("graft_bloomq")
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+        .withColumn("id", md5(concat(lit("id-"), col("k").cast("string"))))
+      val root = s"$out/t"
+      graft.sources.VersionedTable.write(o.repartition(8, col("k")), root)
+      graft.sources.VersionedTable.collectBlooms(s, root, 1L, Seq("id"))
+      val kmin = o.agg(min(col("k"))).head.getLong(0)
+      val d = java.security.MessageDigest.getInstance("MD5")
+      val probe = d.digest(s"id-$kmin".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      s.read.format("gvt").load(root)
+        .filter(col("id") === probe)
+        .select(col("k"), col("status"), col("cents"))
+    }),
+
     // Column DEFAULT values (the SQL DEFAULT contract): after ADD
     // COLUMNS + SET DEFAULT, a batch OMITTING the column fills with the
     // default at write, a batch carrying it keeps its values, and rows
@@ -1796,6 +1822,14 @@ object RelationalQueries {
         |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
         |  CAST(0 AS BIGINT) AS n_note
         |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin,
+
+    // The pruned point lookup must equal the plain filtered row: the
+    // minimum key's record (the md5 probe addresses exactly it).
+    "q_bloom_skip" ->
+      """SELECT o_orderkey AS k, o_orderstatus AS status,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |FROM orders
+        |WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)""".stripMargin,
 
     // Per-class counts: k%3=0 predates the column (NULL→none), k%3=1
     // carried explicit b1, k%3=2 omitted the column → default.

@@ -1123,6 +1123,95 @@ object VersionedTable {
       .write.mode("overwrite").parquet(s"$root/v=$version/_stats")
   }
 
+  // ── Bloom-filter file skipping (Delta BLOOMFILTER INDEX analogue) ────
+  //
+  // Zone maps prune RANGE predicates on clustered columns; a point
+  // lookup on an UNCLUSTERED high-cardinality column (an id, a hash, a
+  // URL) gets nothing from min/max — every file spans the whole value
+  // space. A per-file Bloom filter answers "can value v be in file f?"
+  // probabilistically: `collectBlooms` stores, per (file, column), the
+  // DISTINCT bit positions of k=4 double-hashed probes (Kirsch-
+  // Mitzenmacher: h_i = h1 + i·h2 mod m) as plain parquet rows under
+  // `v=N/_bloom`. The gvt FileIndex consults them for pushed EQUALITY
+  // predicates at planning: a file missing any probe position cannot
+  // contain the value and is skipped — false positives only cost a
+  // wasted scan, never a wrong answer. A saturated filter (n ≫ m)
+  // degrades to "keep everything", still sound. Probe hashing uses
+  // Catalyst's own XxHash64 evaluated driver-side, so the planner's
+  // hashes are bit-identical to the collection scan's `xxhash64`.
+
+  private val bloomK = 4
+
+  /** Collect per-file Bloom position sets for `cols` into
+    * `v=N/_bloom` (schema: file, colname, pos). `mBits` is the filter
+    * width per file (default 2^16 ≈ 1% FP at ~8k distinct values/file
+    * with k=4). One scan of the version's files, metadata-sized
+    * output. */
+  def collectBlooms(spark: SparkSession, root: String, version: Long,
+                    cols: Seq[String], mBits: Int = 1 << 16): Unit = {
+    import org.apache.spark.sql.functions.{col, explode, lit, pmod, xxhash64, array}
+    require(cols.nonEmpty, "collectBlooms: no columns given")
+    val snap = spark.read.parquet(s"$root/v=$version")
+    cols.foreach(c => require(snap.columns.contains(c),
+      s"collectBlooms: no column $c in v=$version"))
+    val perCol = cols.map { c =>
+      // mod-first (overflow-free under ANSI): (h1 + i·h2) mod m ==
+      // ((h1 mod m) + i·(h2 mod m)) mod m
+      val h1 = pmod(xxhash64(col(c)), lit(mBits.toLong))
+      val h2 = pmod(xxhash64(col(c), lit(1L)), lit(mBits.toLong))
+      val positions = array((0 until bloomK).map(i =>
+        pmod(h1 + lit(i.toLong) * h2, lit(mBits.toLong))): _*)
+      snap.filter(col(c).isNotNull)
+        .select(col("_metadata.file_path").as("file"),
+          lit(c).as("colname"), explode(positions).as("pos"))
+    }
+    perCol.reduce(_ unionByName _).distinct()
+      .coalesce(1) // ≤ files · cols · min(k·n, m) rows — metadata-sized
+      .write.mode("overwrite").parquet(s"$root/v=$version/_bloom")
+    writeString(new HPath(s"$root/v=$version", "_bloom_m"),
+      mBits.toString, overwrite = true)
+  }
+
+  /** Driver-side probe hashes, bit-identical to `xxhash64(col)` /
+    * `xxhash64(col, 1L)` in the collection scan. */
+  private def bloomProbe(value: Any, mBits: Int): Seq[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val lit0 = Literal(value)
+    def pm(x: Long): Long = (x % mBits + mBits) % mBits
+    val h1 = pm(XxHash64(Seq(lit0), 42L).eval(null).asInstanceOf[Long])
+    val h2 = pm(XxHash64(Seq(lit0, Literal(1L)), 42L).eval(null).asInstanceOf[Long])
+    (0 until bloomK).map(i => pm(h1 + i * h2))
+  }
+
+  /** The files of `dir` that MIGHT contain `value` in `colname`,
+    * according to the dir's `_bloom` sidecar: None when the dir has no
+    * bloom for the column (caller keeps everything — sound). The probe
+    * runs as one tiny scan of the sidecar (positions pushed into the
+    * parquet filter), the Delta bloom-index read shape. */
+  private[graft] def bloomCandidates(spark: SparkSession, dir: String,
+                                     colname: String, value: Any): Option[Set[String]] = {
+    import org.apache.spark.sql.functions.col
+    val p = new HPath(s"$dir/_bloom")
+    if (!fcOf(p).util.exists(p)) return None
+    val bloom = spark.read.parquet(s"$dir/_bloom")
+    if (!bloom.schema.fieldNames.contains("colname")) return None
+    // m is not stored: derive it as the next power of two above the
+    // max position is WRONG (positions are data-dependent) — store m
+    // implicitly by convention instead: collectBlooms always uses one
+    // width per table, recorded in `_bloom_m`
+    val m = readString(new HPath(s"$dir/_bloom_m")).map(_.trim.toInt)
+      .getOrElse(1 << 16)
+    val probes = bloomProbe(value, m)
+    val hasCol = !bloom.filter(col("colname") === colname).isEmpty
+    if (!hasCol) return None
+    val hits = bloom.filter(col("colname") === colname &&
+        col("pos").isin(probes.distinct: _*))
+      .groupBy(col("file")).count()
+      .collect().filter(_.getLong(1) >= probes.distinct.size)
+      .map(_.getString(0)).toSet
+    Some(hits)
+  }
+
   /** Range-pruned read of the latest snapshot: only files whose
     * [min,max] zone intersects [lo,hi] reach the scan; the residual
     * filter is applied regardless, so results are identical to a full

@@ -431,7 +431,38 @@ class GvtFileIndex(
     * files under its values. */
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val base = children.flatMap(_.listFiles(partitionFilters, dataFilters))
+    val base0 = children.flatMap(_.listFiles(partitionFilters, dataFilters))
+    // Bloom-filter skipping for pushed EQUALITY predicates (point
+    // lookups on unclustered high-cardinality columns — where zone
+    // maps can't help): per chain dir with a `_bloom` sidecar for the
+    // column, only files whose filter contains ALL probe positions
+    // survive; dirs without a bloom keep everything (sound). A false
+    // positive costs a wasted scan, never a wrong answer — the scan
+    // still evaluates the full residual filter.
+    val eqs = if (tableRoot.isEmpty) Map.empty[String, Any]
+      else GvtFilters.equalities(dataFilters)
+    val base =
+      if (eqs.isEmpty) base0
+      else {
+        val keep: String => Boolean = {
+          val perDir = roots.map { r =>
+            val dir = r.toString
+            val cands: Seq[Option[Set[String]]] = eqs.toSeq.map {
+              case (c, v) =>
+                VersionedTable.bloomCandidates(spark, dir, c, v)
+                  .map(_.map(f => new Path(f).toUri.getPath))
+            }
+            dir -> cands.flatten.reduceOption(_ intersect _)
+          }.toMap
+          (path: String) => {
+            val dir = perDir.keys.find(d => path.startsWith(
+              new Path(d).toUri.getPath))
+            dir.flatMap(perDir(_)).forall(_.contains(path))
+          }
+        }
+        base0.map(pd => pd.copy(files = pd.files.filter(f =>
+          keep(f.getPath.toUri.getPath)))).filter(_.files.nonEmpty)
+      }
     val ranges = stats.map(_ => GvtFilters.ranges(dataFilters)).getOrElse(Map.empty)
     val sRanges = stats.map(_ => GvtFilters.strRanges(dataFilters)).getOrElse(Map.empty)
     if (ranges.isEmpty && sRanges.isEmpty) base
@@ -534,6 +565,30 @@ private[gvt] object GvtFilters {
       i += 1
     }
     x.length - y.length
+  }
+
+  /** Bare `attr = literal` equality conjuncts (both orders, NO casts —
+    * a cast would change the type the bloom collection hashed) with
+    * the external-typed probe value. Used for Bloom-filter file
+    * skipping; unsupported shapes simply contribute nothing. */
+  def equalities(filters: Seq[Expression]): Map[String, Any] = {
+    val out = scala.collection.mutable.Map.empty[String, Any]
+    def ext(v: Any): Option[Any] = v match {
+      case s: org.apache.spark.unsafe.types.UTF8String => Some(s.toString)
+      case n @ (_: Int | _: Long | _: Short | _: Byte | _: Float |
+                _: Double | _: Boolean) => Some(n)
+      case _ => None
+    }
+    def visit(e: Expression): Unit = e match {
+      case And(l, r) => visit(l); visit(r)
+      case EqualTo(a: Attribute, Literal(v, _)) if v != null =>
+        ext(v).foreach(out(a.name) = _)
+      case EqualTo(Literal(v, _), a: Attribute) if v != null =>
+        ext(v).foreach(out(a.name) = _)
+      case _ => ()
+    }
+    filters.foreach(visit)
+    out.toMap
   }
 
   /** Lexicographic per-column bounds from string comparisons: bare

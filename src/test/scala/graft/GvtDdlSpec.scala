@@ -300,6 +300,47 @@ class GvtDdlSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom skipping: point lookup on an UNCLUSTERED column prunes " +
+      "files; absent value touches zero files; un-bloomed dirs stay sound") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val root = fresh("bloom")
+    val o = (1 to 400).map(i => (i.toLong, i.toLong * 10)).toDF("k", "cents")
+      .withColumn("id", md5(concat(lit("id-"), col("k").cast("string"))))
+    // hash-repartition: ids scatter across files — zone maps CANNOT
+    // prune equality here (every file spans the whole value space)
+    VersionedTable.write(o.repartition(8, col("k")), root)
+    VersionedTable.collectBlooms(spark, root, 1L, Seq("id"))
+    def scanned(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collect { case s: FileSourceScanExec => s }
+        .map(_.metrics("numFiles").value).sum
+    }
+    def probe(k: Int): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s"id-$k".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    // present value: exactly its file survives (±bloom FPs, far under 8)
+    val hit = spark.read.format("gvt").load(root)
+      .filter(col("id") === probe(7))
+    assert(hit.count() == 1)
+    assert(scanned(spark.read.format("gvt").load(root)
+      .filter(col("id") === probe(7))) <= 2,
+      "bloom pruning dead: point lookup scanned most files")
+    // absent value: NO file can contain it — zero files planned
+    assert(scanned(spark.read.format("gvt").load(root)
+      .filter(col("id") === probe(99999))) == 0)
+    // an appended dir WITHOUT blooms is kept whole (sound), and its
+    // rows are findable
+    VersionedTable.append(
+      Seq((401L, 4010L)).toDF("k", "cents")
+        .withColumn("id", md5(concat(lit("id-"), col("k").cast("string")))),
+      root)
+    assert(spark.read.format("gvt").load(root)
+      .filter(col("id") === probe(401)).count() == 1)
+    assert(spark.read.format("gvt").load(root)
+      .filter(col("id") === probe(7)).count() == 1)
+  }
+
   test("catalog CREATE TABLE … USING gvt works end to end") {
     val root = fresh("cat")
     VersionedTable.write((1 to 25).toDF("id"), root)
