@@ -1327,8 +1327,29 @@ object VersionedTable {
       val hiOk = hi.map(h => col(s"smin_$c") <= lit(h))
       (Seq(base) ++ loOk ++ hiOk).reduce(_ && _)
     }).reduce(_ && _)
-    val files = spark.read.parquet(statted.map(d => s"$d/_stats"): _*)
+    val files0 = spark.read.parquet(statted.map(d => s"$d/_stats"): _*)
       .filter(pred).select("file").collect().map(_.getString(0)).toSeq
+    // Bloom refinement: a string EQUALITY predicate (lo == hi) also
+    // probes each dir's `_bloom` sidecar — the type-exact case (a
+    // numeric equality's range has lost the value's original type, so
+    // only strings probe). Files whose filter misses any probe
+    // position drop; dirs without a bloom for the column keep theirs.
+    // File strings compare RAW (`_metadata.file_path` form on both
+    // sides — the sidecars are collected identically).
+    val eqStrs = strRangesP.collect {
+      case (c, Some(l), Some(h)) if l == h => (c, l) }
+    val files = if (eqStrs.isEmpty) files0 else {
+      val vdir = "^(.*/v=\\d+)/".r
+      def dirOf(f: String): String =
+        vdir.findFirstMatchIn(f).map(_.group(1)).getOrElse("")
+      val cands: Map[(String, String), Option[Set[String]]] =
+        (for { d <- files0.map(dirOf).distinct; (c, v) <- eqStrs }
+          yield (d, c) -> bloomCandidates(spark, d, c, v)).toMap
+      files0.filter { f =>
+        eqStrs.forall { case (c, _) =>
+          cands.getOrElse((dirOf(f), c), None).forall(_.contains(f)) }
+      }
+    }
     val fileReads: Seq[DataFrame] =
       if (files.isEmpty) Seq.empty
       else readFileGroups(spark, files, partitioned, tag)

@@ -341,6 +341,38 @@ class GvtDdlSpec extends AnyFunSuite {
       .filter(col("id") === probe(7)).count() == 1)
   }
 
+  test("bloom pruning reaches the DV-relation path (string equality " +
+      "through prunedVersionRead)") {
+    import graft.sources.gvt.GvtDvRelation
+    val root = fresh("bloomdv")
+    val o = (1 to 400).map(i => (i.toLong, i.toLong * 10)).toDF("k", "cents")
+      .withColumn("id", md5(concat(lit("id-"), col("k").cast("string"))))
+    VersionedTable.write(o.repartition(8, col("k")), root,
+      statsCols = Seq("id"))
+    VersionedTable.collectBlooms(spark, root, 1L, Seq("id"))
+    // a pending deletion vector routes format("gvt") through the
+    // resolving relation — the prunedVersionRead path
+    VersionedTable.deleteWhereVector(spark, root, col("k") === 400L)
+    def probe(k: Int): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s"id-$k".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    GvtDvRelation.captureScanFiles = true
+    try {
+      val got = spark.read.format("gvt").load(root)
+        .filter(col("id") === probe(7)).collect()
+      assert(got.length == 1 && got.head.getAs[Long]("k") == 7L)
+      // budget: the probed data file (+ bloom FPs) + the DV commit's
+      // empty slice + the _dv payload — an unpruned scan reads all 8
+      // data files and lands at 10+
+      assert(GvtDvRelation.lastScanFiles <= 5,
+        s"DV-path bloom pruning dead: ${GvtDvRelation.lastScanFiles} files")
+      // deleted row stays deleted even when its file survives the probe
+      assert(spark.read.format("gvt").load(root)
+        .filter(col("id") === probe(400)).isEmpty)
+    } finally GvtDvRelation.captureScanFiles = false
+  }
+
   test("catalog CREATE TABLE … USING gvt works end to end") {
     val root = fresh("cat")
     VersionedTable.write((1 to 25).toDF("id"), root)
