@@ -138,28 +138,36 @@ class DefaultSource extends RelationProvider
     if (replaceWhere.isDefined && mode != SaveMode.Overwrite)
       throw new IllegalArgumentException(
         s"gvt: replaceWhere requires mode Overwrite (got $mode)")
+    // bloomFilterCols: per-file Bloom sidecars collected on the written
+    // version (Delta BLOOMFILTER INDEX's writer-side half) — point
+    // lookups on these columns prune files at planning
+    val bloomCols = parameters.get("bloomFilterCols").toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
     val exists = VersionedTable.latestVersion(root).isDefined
-    mode match {
+    val written: Option[Long] = mode match {
       case SaveMode.Overwrite if replaceWhere.isDefined && exists =>
-        VersionedTable.replaceWhere(sqlContext.sparkSession, root,
-          org.apache.spark.sql.functions.expr(replaceWhere.get), data)
+        Some(VersionedTable.replaceWhere(sqlContext.sparkSession, root,
+          org.apache.spark.sql.functions.expr(replaceWhere.get), data))
       case SaveMode.Overwrite =>
-        VersionedTable.write(data, root, partitionBy = partitionBy,
-          statsCols = statsCols, allowEvolution = flag("overwriteSchema"))
+        Some(VersionedTable.write(data, root, partitionBy = partitionBy,
+          statsCols = statsCols, allowEvolution = flag("overwriteSchema")))
       case SaveMode.Append =>
-        if (exists) VersionedTable.append(data, root, statsCols = statsCols,
-          allowEvolution = flag("mergeSchema"))
-        else VersionedTable.write(data, root, partitionBy = partitionBy,
-          statsCols = statsCols)
+        if (exists) Some(VersionedTable.append(data, root, statsCols = statsCols,
+          allowEvolution = flag("mergeSchema")))
+        else Some(VersionedTable.write(data, root, partitionBy = partitionBy,
+          statsCols = statsCols))
       case SaveMode.ErrorIfExists =>
         if (exists) throw new IllegalArgumentException(
           s"gvt: table already exists at $root (mode=ErrorIfExists)")
-        VersionedTable.write(data, root, partitionBy = partitionBy,
-          statsCols = statsCols)
+        Some(VersionedTable.write(data, root, partitionBy = partitionBy,
+          statsCols = statsCols))
       case SaveMode.Ignore =>
-        if (!exists) VersionedTable.write(data, root,
-          partitionBy = partitionBy, statsCols = statsCols)
+        if (!exists) Some(VersionedTable.write(data, root,
+          partitionBy = partitionBy, statsCols = statsCols))
+        else None
     }
+    if (bloomCols.nonEmpty) written.foreach(v =>
+      VersionedTable.collectBlooms(sqlContext.sparkSession, root, v, bloomCols))
     createRelation(sqlContext, parameters)
   }
 

@@ -335,6 +335,14 @@ class GvtDdlSpec extends AnyFunSuite {
       Seq((401L, 4010L)).toDF("k", "cents")
         .withColumn("id", md5(concat(lit("id-"), col("k").cast("string")))),
       root)
+    // the writer-option surface collects blooms per append commit
+    Seq((402L, 4020L)).toDF("k", "cents")
+      .withColumn("id", md5(concat(lit("id-"), col("k").cast("string"))))
+      .write.format("gvt").mode("append")
+      .option("bloomFilterCols", "id").save(root)
+    assert(new java.io.File(s"$root/v=3/_bloom").exists())
+    assert(spark.read.format("gvt").load(root)
+      .filter(col("id") === probe(402)).count() == 1)
     assert(spark.read.format("gvt").load(root)
       .filter(col("id") === probe(401)).count() == 1)
     assert(spark.read.format("gvt").load(root)
