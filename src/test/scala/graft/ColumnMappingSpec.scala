@@ -189,6 +189,106 @@ class ColumnMappingSpec extends AnyFunSuite {
     assert(VersionedTable.readLatest(spark, src).columns.toSeq == Seq("k", "w"))
   }
 
+  test("model-based: random rename/drop/add/append/delete sequences " +
+      "match an in-memory model, including time travel") {
+    // Column identity model: every column gets a permanent pid (the
+    // model's physical name); schema = ordered (logical, pid) pairs.
+    // rename relabels a pid, drop removes the pair (values retired),
+    // add allocates a fresh pid, append stores values BY PID — exactly
+    // the resurface-proof semantics column mapping must implement.
+    for (seed <- Seq(11, 23, 47)) {
+      val rnd = new scala.util.Random(seed)
+      val root = fresh(s"cmmodel$seed")
+      var schema = Vector("k" -> "pid_k", "c0" -> "pid_0")
+      var rows = Map[Long, Map[String, Long]](
+        (1L to 6L).map(k => k -> Map("pid_k" -> k, "pid_0" -> k * 10)): _*)
+      def df(keys: Seq[Long], cols: Seq[(String, String)],
+             vals: Map[Long, Map[String, Long]]) = {
+        val data = keys.map(k => org.apache.spark.sql.Row.fromSeq(
+          cols.map { case (_, p) => vals(k).get(p).map(Long.box).orNull }))
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(data, 1),
+          org.apache.spark.sql.types.StructType(cols.map { case (l, _) =>
+            org.apache.spark.sql.types.StructField(l,
+              org.apache.spark.sql.types.LongType) }))
+      }
+      VersionedTable.write(df(rows.keys.toSeq.sorted, schema, rows), root)
+      mapped(root)
+      var snapshots = Map(1L -> (schema, rows))
+      var nextCol = 1
+      var nextKey = 7L
+      for (_ <- 1 to 14) {
+        val dataCols = schema.filter(_._1 != "k")
+        val v: Long = rnd.nextInt(5) match {
+          case 0 => // ADD a fresh logical name (may equal a retired one!)
+            val name = if (rnd.nextBoolean() && nextCol > 1) {
+              // 50%: reuse a logical name seen before — the resurface trap
+              s"c${rnd.nextInt(nextCol)}"
+            } else s"c$nextCol"
+            if (schema.exists(_._1 == name)) -1L
+            else {
+              nextCol += 1
+              val pid = s"pid_${name}_${nextCol}"
+              schema = schema :+ (name -> pid)
+              VersionedTable.addColumns(spark, root,
+                Seq(name -> org.apache.spark.sql.types.LongType))
+            }
+          case 1 if dataCols.size > 1 => // DROP
+            val (l, _) = dataCols(rnd.nextInt(dataCols.size))
+            schema = schema.filterNot(_._1 == l)
+            VersionedTable.dropColumns(spark, root, Seq(l))
+          case 2 => // RENAME
+            val (l, p) = dataCols(rnd.nextInt(dataCols.size))
+            val to = s"c$nextCol"; nextCol += 1
+            schema = schema.map { case (ll, pp) =>
+              if (ll == l) (to, pp) else (ll, pp) }
+            VersionedTable.renameColumn(spark, root, l, to)
+          case 3 if rows.nonEmpty => // DELETE one key (DV commit)
+            val k = rows.keys.toSeq.sorted.apply(rnd.nextInt(rows.size))
+            rows -= k
+            VersionedTable.deleteWhereVector(spark, root, col("k") === k)
+          case _ => // APPEND, randomly omitting some columns
+            val keep = schema.filter { case (l, _) =>
+              l == "k" || rnd.nextInt(4) > 0 }
+            val newKeys = (0 until 2).map(_ => { nextKey += 1; nextKey })
+            newKeys.foreach { k =>
+              rows += k -> (keep.map { case (_, p) =>
+                p -> (if (p == "pid_k") k else k * 100 + rnd.nextInt(50))
+              }.toMap)
+            }
+            VersionedTable.append(df(newKeys, keep, rows), root,
+              allowEvolution = true)
+        }
+        if (v > 0) snapshots += v -> (schema, rows)
+      }
+      def check(got: Array[org.apache.spark.sql.Row],
+                sch: Vector[(String, String)],
+                want: Map[Long, Map[String, Long]], tag: String): Unit = {
+        assert(got.length == want.size, s"$tag: row count")
+        got.foreach { r =>
+          val k = r.getAs[Long]("k")
+          sch.foreach { case (l, p) =>
+            val w = want(k).get(p)
+            val g = Option(r.getAs[Any](l)).map(_.asInstanceOf[Long])
+            assert(g == w, s"$tag: key $k col $l (pid $p): got $g want $w")
+          }
+        }
+      }
+      val live = VersionedTable.readLatest(spark, root)
+      assert(live.columns.toSeq == schema.map(_._1),
+        s"seed $seed: live schema order")
+      check(live.collect(), schema, rows, s"seed $seed live")
+      // time travel: every recorded snapshot must read under ITS schema
+      val versions = snapshots.keys.toSeq.sorted
+      for (v <- rnd.shuffle(versions).take(4)) {
+        val (sch, want) = snapshots(v)
+        val df0 = VersionedTable.readVersion(spark, root, v)
+        assert(df0.columns.toSeq == sch.map(_._1), s"seed $seed v=$v schema")
+        check(df0.collect(), sch, want, s"seed $seed v=$v")
+      }
+    }
+  }
+
   test("guards: partition columns and constraint/generated references " +
       "refuse to drop or rename") {
     val root = fresh("cmguard")
