@@ -260,6 +260,41 @@ class GvtDdlSpec extends AnyFunSuite {
     assert(ids4.max == 504L && ids4.distinct.size == ids4.size)
   }
 
+  test("identity columns: racing writers never commit duplicate ids") {
+    val root = fresh("identrace")
+    VersionedTable.write((1 to 5).map(i => (i.toLong, s"s$i")).toDF("k", "s"),
+      root)
+    VersionedTable.addIdentityColumn(spark, root, "rid")
+    // two writers, each appending 4 batches with bounded retry on the
+    // commit-marker conflict: the loser re-reads the watermark, so
+    // committed ids can never collide
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    def writer(tag: Int): Future[Unit] = Future {
+      for (b <- 1 to 4) {
+        val batch = Seq((tag * 1000L + b, s"w$tag-$b")).toDF("k", "s")
+        var done = false
+        var spins = 0
+        while (!done) {
+          try { VersionedTable.append(batch, root, allowEvolution = true); done = true }
+          catch { case _: VersionedTable.ConcurrentWriteException =>
+            spins += 1; assert(spins < 50); Thread.sleep(5L)
+          }
+        }
+      }
+    }
+    try Await.result(Future.sequence(Seq(writer(1), writer(2))), 120.seconds)
+    finally pool.shutdown()
+    val ids = VersionedTable.readLatest(spark, root)
+      .filter(col("rid").isNotNull).select("rid").as[Long].collect().toSeq
+    assert(ids.size == 8, s"expected 8 assigned ids, got ${ids.size}")
+    assert(ids.distinct.size == 8, s"duplicate identity ids committed: $ids")
+    assert(ids.toSet == (1L to 8L).toSet, s"ids not the contiguous run: $ids")
+  }
+
   test("column DEFAULT: fills omitted columns at write, explicit NULL " +
       "stays NULL, DROP DEFAULT stops the fill") {
     val root = fresh("dflt")
