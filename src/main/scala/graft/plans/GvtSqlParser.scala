@@ -212,11 +212,16 @@ object GvtSqlParser {
     s.split(',').map(_.trim.stripPrefix("'").stripSuffix("'"))
       .filter(_.nonEmpty).toSeq
 
-  /** One parsed ADD COLUMNS entry: name, type, and an optional identity
-    * spec (start, step) from a `GENERATED … AS IDENTITY` suffix. */
+  /** One parsed ADD COLUMNS entry: name, type, and an optional
+    * identity spec (start, step) from a `GENERATED … AS IDENTITY`
+    * suffix or generated-column expression from `GENERATED ALWAYS AS
+    * (expr)`. */
   private[plans] case class ColSpec(name: String, dataType: DataType,
-                                    identity: Option[(Long, Long)])
+                                    identity: Option[(Long, Long)],
+                                    generated: Option[String] = None)
 
+  private val GeneratedRe =
+    ("""(?is)^(.*?)\s+GENERATED\s+ALWAYS\s+AS\s+\((.+)\)\s*$""").r
   private val IdentityRe =
     ("""(?is)^(.*?)\s+GENERATED\s+(?:ALWAYS|BY\s+DEFAULT)\s+AS\s+IDENTITY""" +
       """(?:\s*\(\s*(?:START\s+WITH\s+(-?\d+)\s*)?(?:INCREMENT\s+BY\s+(-?\d+)\s*)?\))?\s*$""").r
@@ -251,6 +256,8 @@ object GvtSqlParser {
           ColSpec(name, parseType(tpe.trim),
             Some((Option(start).map(_.toLong).getOrElse(1L),
               Option(step).map(_.toLong).getOrElse(1L))))
+        case GeneratedRe(tpe, expr) =>
+          ColSpec(name, parseType(tpe.trim), None, Some(expr.trim))
         case tpe => ColSpec(name, parseType(tpe), None)
       }
     }
@@ -429,6 +436,13 @@ case class GvtAddColumnsCommand(target: String,
     Seq(AttributeReference("new_version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val root = GvtSqlParser.rootOf(spark, target)
+    // generated columns register BEFORE the schema commit: validation
+    // skips absent columns, and the commit's own 0-row slice passes the
+    // write-path check trivially; rows predating the registration read
+    // NULL (backfill with one UPDATE if needed — same contract as
+    // identity/DEFAULT)
+    cols.foreach(c => c.generated.foreach(expr =>
+      VersionedTable.addGeneratedColumn(spark, root, c.name, expr)))
     val nv = VersionedTable.addColumns(spark, root,
       cols.map(c => c.name -> c.dataType))
     cols.foreach(c => c.identity.foreach { case (start, step) =>

@@ -295,6 +295,31 @@ class GvtDdlSpec extends AnyFunSuite {
     assert(ids.toSet == (1L to 8L).toSet, s"ids not the contiguous run: $ids")
   }
 
+  test("ADD COLUMNS … GENERATED ALWAYS AS (expr): omitted values " +
+      "compute, wrong explicit values refuse, old rows read NULL") {
+    val root = fresh("gencol")
+    VersionedTable.write((1 to 10).map(i => (i.toLong, i.toLong * 100))
+      .toDF("k", "cents"), root)
+    GraftSession.withExtensions(spark) { sess =>
+      sess.sql(s"ALTER TABLE gvt.`$root` ADD COLUMNS " +
+        "(cents2 BIGINT GENERATED ALWAYS AS (cents * 2))")
+    }
+    assert(VersionedTable.generatedColumns(root) == Map("cents2" -> "cents * 2"))
+    // rows predating the registration read NULL (write-time contract)
+    assert(VersionedTable.readLatest(spark, root)
+      .filter(col("cents2").isNotNull).isEmpty)
+    // appends omitting the column compute it
+    VersionedTable.append(Seq((11L, 1100L)).toDF("k", "cents"), root,
+      allowEvolution = true)
+    assert(VersionedTable.readLatest(spark, root)
+      .filter(col("k") === 11L).select("cents2").as[Long].head() == 2200L)
+    // a frame supplying a DISAGREEING value refuses to commit
+    intercept[VersionedTable.CheckConstraintViolation] {
+      VersionedTable.append(Seq((12L, 1200L, 9L)).toDF("k", "cents", "cents2"),
+        root)
+    }
+  }
+
   test("column DEFAULT: fills omitted columns at write, explicit NULL " +
       "stays NULL, DROP DEFAULT stops the fill") {
     val root = fresh("dflt")
