@@ -103,8 +103,31 @@ object VersionedTable {
 
   private def writeString(p: HPath, s: String,
                           overwrite: Boolean): Unit = {
+    val scheme = Option(p.toUri.getScheme)
+    if (!overwrite && scheme.forall(_ == "file")) {
+      // put-if-absent on LOCAL paths goes through NIO's O_CREAT|O_EXCL:
+      // RawLocalFileSystem implements create(no-overwrite) as an
+      // exists() check followed by the open — a TOCTOU window in which
+      // two racing claimants BOTH pass (the identity racing-writer
+      // spec reproduced it: two writers winning the same version claim
+      // and the same commit marker). The kernel's exclusive-create is
+      // the real atomic primitive here; non-local schemes (HDFS) get
+      // create-no-overwrite atomicity from the filesystem itself via
+      // the FileContext path below.
+      val path = java.nio.file.Paths.get(p.toUri.getPath)
+      Option(path.getParent)
+        .foreach(java.nio.file.Files.createDirectories(_))
+      try java.nio.file.Files.write(path, s.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.WRITE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new org.apache.hadoop.fs.FileAlreadyExistsException(p.toString)
+      }
+      return
+    }
     val flags = if (overwrite) EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE)
-      else EnumSet.of(CreateFlag.CREATE) // atomic put-if-absent
+      else EnumSet.of(CreateFlag.CREATE) // atomic put-if-absent (non-local)
     val out = fcOf(p).create(p, flags, Options.CreateOpts.createParent())
     try out.write(s.getBytes("UTF-8")) finally out.close()
   }
@@ -152,14 +175,32 @@ object VersionedTable {
     * `_claim_v=N` fails (FileAlreadyExistsException) if another writer —
     * any process — holds N, and the claimer moves on to N+1. A crashed
     * writer's stale claim just skips a number; `versions()` only lists
-    * committed-or-in-flight `v=` directories, so gaps are harmless. */
+    * committed-or-in-flight `v=` directories, so gaps are harmless.
+    *
+    * The post-claim RE-VERIFICATION closes a data-loss race the
+    * identity racing-writer spec exposed: claim files release AFTER
+    * commit, so a writer whose directory listing predates a concurrent
+    * commit could win the claim for that ALREADY-COMMITTED number
+    * (listing: no dir; claim attempt: file just released) and then
+    * overwrite — and on its own conflict, DELETE — committed data. A
+    * released claim implies its commit marker is already visible, so
+    * checking the marker-chain head after winning the claim catches
+    * every such interleaving; the claim is returned and the claimer
+    * moves up. */
   private def claimNextVersion(root: String): Long = {
-    var n = versions(root).lastOption.getOrElse(0L) + 1L
-    while ({
-      try { writeString(new HPath(root, s"_claim_v=$n"), "", overwrite = false); false }
-      catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => n += 1; true }
-    }) ()
-    n
+    var n = math.max(versions(root).lastOption.getOrElse(0L),
+      latestVersion(root).getOrElse(0L)) + 1L
+    while (true) {
+      val won =
+        try { writeString(new HPath(root, s"_claim_v=$n"), "", overwrite = false); true }
+        catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+      if (won) {
+        if (latestVersion(root).forall(_ < n)) return n
+        delete(new HPath(root, s"_claim_v=$n"), recursive = false)
+      }
+      n += 1
+    }
+    -1L // unreachable
   }
 
   def versions(root: String): Seq[Long] =
@@ -933,11 +974,24 @@ object VersionedTable {
     // first committed, and re-running them against logical-name
     // registrations would mis-resolve on a column-mapped table
     // logical-snapshot schema (NOT the raw tip directory: a
-    // deletion-vector commit's dir holds only an empty slice + _dv)
+    // deletion-vector commit's dir holds only an empty slice + _dv).
+    // This read is non-transactional: under concurrent writers it can
+    // observe a version whose directory a racing loser's cleanup (or a
+    // racing vacuum) removes before the file listing resolves — that is
+    // a CONFLICT, not a corrupt table, so it surfaces as the retryable
+    // signal instead of an opaque PATH_NOT_FOUND (the racing-writer
+    // spec exercises exactly this window)
     val existingSchema: Option[StructType] =
       if (physicalInput) None
-      else latestVersion(root).map(v =>
+      else try latestVersion(root).map(v =>
         readVersion(df0.sparkSession, root, v).schema)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new ConcurrentWriteException(
+            s"$root: schema-gate snapshot read raced a concurrent " +
+              s"commit/cleanup (${String.valueOf(e.getMessage).take(140)}); " +
+              "re-read the table and retry")
+      }
     val (df, idMeta) =
       if (physicalInput) (df0, Map.empty[String, String])
       else {
