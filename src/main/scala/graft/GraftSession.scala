@@ -22,28 +22,50 @@ import org.apache.spark.sql.SparkSession
   * makes every session carry the extensions from the start. */
 object GraftSession {
 
-  /** Run `f` in a sibling session of `base` carrying
-    * [[GraftExtensions]]; restores `base` as the active/default
-    * session afterwards. DataFrames returned by `f` stay valid — they
-    * carry the sibling session. */
-  def withExtensions[A](base: SparkSession)(f: SparkSession => A): A = synchronized {
-    // serialized: the active/default session slots are process-global,
-    // so two concurrent callers would otherwise share one sibling
-    // session (and its temp-view catalog) or clear each other's slots
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    try {
-      val sess = SparkSession.builder()
-        .withExtensions(new GraftExtensions())
-        .getOrCreate()
-      try f(sess)
-      finally {
+  // ONE sibling per base session, cached: building a session is not
+  // free (fresh analyzer/optimizer state, extension injection, conf
+  // copy), and Verify/Bench call withExtensions per registry query —
+  // a fresh sibling each time was pure per-query overhead. Keyed by
+  // base identity; invalidated when the shared SparkContext stops.
+  @volatile private var cached: Option[(SparkSession, SparkSession)] = None
+
+  private def sibling(base: SparkSession): SparkSession = synchronized {
+    cached match {
+      case Some((b, s)) if (b eq base) && !s.sparkContext.isStopped => s
+      case _ =>
+        // the builder returns the ACTIVE session when one is
+        // registered, so the active/default slots are cleared first
+        // and restored after — the base session is untouched
         SparkSession.clearActiveSession()
         SparkSession.clearDefaultSession()
-      }
-    } finally {
-      SparkSession.setDefaultSession(base)
-      SparkSession.setActiveSession(base)
+        try {
+          val s = SparkSession.builder()
+            .withExtensions(new GraftExtensions())
+            .getOrCreate()
+          cached = Some((base, s))
+          s
+        } finally {
+          SparkSession.setDefaultSession(base)
+          SparkSession.setActiveSession(base)
+        }
+    }
+  }
+
+  /** Run `f` in the cached sibling session of `base` carrying
+    * [[GraftExtensions]]; the calling THREAD's active-session slot is
+    * pointed at the sibling for the duration (thread-local, so
+    * concurrent callers on other threads are unaffected) and restored
+    * after. DataFrames returned by `f` stay valid — they carry the
+    * sibling session. The sibling's temp-view catalog persists across
+    * calls: callers use per-scenario view names. */
+  def withExtensions[A](base: SparkSession)(f: SparkSession => A): A = {
+    val sess = sibling(base)
+    val prev = SparkSession.getActiveSession
+    SparkSession.setActiveSession(sess)
+    try f(sess)
+    finally prev match {
+      case Some(p) => SparkSession.setActiveSession(p)
+      case None => SparkSession.clearActiveSession()
     }
   }
 }

@@ -1,15 +1,30 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.atomic.AtomicInteger
+
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Queries run on a small worker pool (default 4, env
+  * SPARK_GRAFT_VERIFY_WORKERS) — Spark schedules concurrent jobs fine
+  * and the registry's DDL-scenario queries are dominated by per-commit
+  * fixed costs that parallelize perfectly, so the wall-time stays
+  * bounded as the registry grows (r10: the driver's correctness
+  * artifact came back EMPTY, most plausibly a wall-time cap — this
+  * file is the hard gate and must never be the reason it's missing).
+  * Ends with ONE machine-readable summary line
+  * `{"dumped":N,"errors":M,"secs":S}` and a nonzero exit when any
+  * query errored, so a broken run is loud instead of silently thin. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    val t0 = System.nanoTime()
     val Array(sfDir, outDir) = args.take(2)
     // optional 3rd arg: comma-separated query-name filter (local iteration;
     // the driver always invokes with 2 args = full dump)
     val only: Option[Set[String]] = args.drop(2).headOption.map(_.split(",").toSet)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -18,12 +33,23 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val work = new ConcurrentLinkedQueue[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      .toSeq.sortBy(_._1)
+      .foreach(work.add)
+    val total = work.size
+    val dumped = new AtomicInteger(0)
+    val errors = new AtomicInteger(0)
+
+    def runOne(name: String,
+               fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        dumped.incrementAndGet()
+      } catch { case e: Throwable =>
+        errors.incrementAndGet()
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // Leave a loud sentinel: an output dir with an _error file and no
         // parquet, so the driver's compare records a red row for this query
@@ -44,6 +70,26 @@ object Verify {
       }
       finally spark.catalog.clearCache() // release per-query persist() caches
     }
+
+    val nWorkers = math.max(1, math.min(total,
+      sys.env.getOrElse("SPARK_GRAFT_VERIFY_WORKERS", "4").toInt))
+    val threads = (1 to nWorkers).map { i =>
+      val th = new Thread(() => {
+        // thread-local active-session slot: fallback resolution inside
+        // query code lands on the shared session, not a stale default
+        SparkSession.setActiveSession(spark)
+        var next = work.poll()
+        while (next != null) {
+          runOne(next._1, next._2)
+          next = work.poll()
+        }
+      }, s"verify-$i")
+      th.setDaemon(true)
+      th.start()
+      th
+    }
+    threads.foreach(_.join())
+
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -60,6 +106,10 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val secs = (System.nanoTime() - t0) / 1e9
+    // the one line a human (or the driver's log scrape) needs
+    println(f"""{"dumped":${dumped.get()},"errors":${errors.get()},"secs":$secs%.1f}""")
     spark.stop()
+    if (errors.get() > 0) sys.exit(1)
   }
 }

@@ -744,7 +744,24 @@ object CurationQueries {
         .orderBy(col("vec_a"), col("rnk"))
     }))
 
-  val oracle: Map[String, String] = Map(
+  /** DuckDB evaluates WITH-CTEs by INLINING them at each reference; the
+    * unrolled BFS/peel rounds in the graph oracles reference their
+    * predecessor CTE 2-3 times per round, so inlining re-evaluates the
+    * lineitem-scale flow base exponentially in the round count
+    * (q_stress: 375s at sf0.01, ~540s across the family — the bulk of
+    * the driver's correctness-gate wall time). `AS MATERIALIZED` pins
+    * each CTE to one evaluation; the relational statement — and thus
+    * the oracle's answer — is unchanged. */
+  private def materializeCtes(sql: String): String =
+    sql.replaceAll("(?m)^(WITH )?([a-z_][a-z_0-9]*) AS \\(",
+      "$1$2 AS MATERIALIZED (")
+
+  // lazy: oracle0 is declared below (initialization order)
+  lazy val oracle: Map[String, String] = oracle0.map {
+    case (k, v) => k -> materializeCtes(v)
+  }
+
+  private val oracle0: Map[String, String] = Map(
 
     "q_profile" -> {
       def c(name: String, nn: String, nd: String, mn: String, mx: String) =

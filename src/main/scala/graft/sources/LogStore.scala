@@ -1,0 +1,136 @@
+package graft.sources
+
+import java.util.EnumSet
+import org.apache.hadoop.fs.{CreateFlag, FileContext, Options, Path => HPath}
+
+/** The storage seam of the gvt commit protocol — the three primitives
+  * whose ATOMICITY the protocol's correctness rests on, extracted behind
+  * a trait so each filesystem class supplies (or refuses) them
+  * explicitly, the same boundary Delta draws with its pluggable
+  * `LogStore` (delta-io/delta: storage/.../LogStore.java).
+  *
+  *  - `putIfAbsent` — at most one concurrent caller across ALL processes
+  *    may succeed for a given path. This single primitive arbitrates
+  *    version claims and commit markers; without it two writers can
+  *    commit the same version and the conflict loser deletes the
+  *    winner's data (the round-10 TOCTOU class).
+  *  - `read` / `list` — must observe a completed `putIfAbsent`
+  *    (read-after-write, list-after-write consistency).
+  *  - `overwrite` / `delete` — pointer-cache flips and claim releases;
+  *    plain visibility suffices (the marker chain, not `_LATEST`, is
+  *    the source of truth).
+  *
+  * Implementations:
+  *  - [[LogStore.Nio]] for paths that RESOLVE to the local filesystem:
+  *    put-if-absent via the kernel's `O_CREAT|O_EXCL` (NIO
+  *    `CREATE_NEW`), the only genuinely atomic local primitive —
+  *    `RawLocalFileSystem.create(overwrite=false)` is exists()-then-open
+  *    and loses races.
+  *  - [[LogStore.Hdfs]] for HDFS-class schemes, where the FileContext
+  *    `CREATE`-without-`OVERWRITE` contract is namenode-atomic.
+  *  - Anything else — S3A and friends, whose create-no-overwrite is NOT
+  *    atomic without a conditional-put layer — is REFUSED loudly at
+  *    `putIfAbsent` rather than silently relying on non-atomic
+  *    semantics. Reads/lists still work on any Hadoop-supported scheme,
+  *    so consuming a gvt table from an object store is fine; only
+  *    commits require an atomic store.
+  *
+  * Scheme resolution uses the RESOLVED filesystem, not the raw URI: a
+  * scheme-less path resolves through `fs.defaultFS`, so on a cluster
+  * whose default FS is HDFS a bare `/warehouse/t` must take the HDFS
+  * path — routing it to local NIO would put claims and markers on the
+  * driver's own disk where no other writer (or reader) sees them,
+  * silently voiding mutual exclusion.
+  */
+private[graft] trait LogStore {
+  def read(p: HPath): Option[String]
+  /** Atomic create-no-overwrite; throws
+    * [[org.apache.hadoop.fs.FileAlreadyExistsException]] when the path
+    * exists (= another writer won). */
+  def putIfAbsent(p: HPath, s: String): Unit
+  def overwrite(p: HPath, s: String): Unit
+  def delete(p: HPath, recursive: Boolean): Boolean
+  def list(p: HPath): Seq[String]
+  def exists(p: HPath): Boolean
+}
+
+private[graft] object LogStore {
+
+  /** Schemes whose FileContext create-no-overwrite is atomic (single
+    * metadata authority). Everything else that is not local is refused
+    * at `putIfAbsent`. */
+  private val atomicHadoopSchemes = Set("hdfs", "viewfs", "webhdfs", "ofs")
+
+  /** Resolve the store for a path via the path's FileContext (which
+    * applies `fs.defaultFS` to scheme-less paths). `fc` is the cached
+    * context the caller already holds for this path's scheme+authority. */
+  def forPath(p: HPath, fc: FileContext): LogStore = {
+    val resolved = Option(fc.makeQualified(p).toUri.getScheme).getOrElse("file")
+    if (resolved == "file") new Nio(fc)
+    else new Hdfs(fc, atomic = atomicHadoopSchemes.contains(resolved), resolved)
+  }
+
+  /** Shared FileContext-backed read/list/delete/overwrite; subclasses
+    * decide the put-if-absent primitive. */
+  private[sources] sealed abstract class FcStore(fc: FileContext) extends LogStore {
+    override def read(p: HPath): Option[String] = {
+      if (!fc.util.exists(p)) None
+      else {
+        val in = fc.open(p)
+        try {
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](4096)
+          var n = in.read(buf)
+          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+          Some(new String(out.toByteArray, "UTF-8"))
+        } finally in.close()
+      }
+    }
+    override def overwrite(p: HPath, s: String): Unit = {
+      val out = fc.create(p,
+        EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE),
+        Options.CreateOpts.createParent())
+      try out.write(s.getBytes("UTF-8")) finally out.close()
+    }
+    override def delete(p: HPath, recursive: Boolean): Boolean =
+      fc.util.exists(p) && fc.delete(p, recursive)
+    override def list(p: HPath): Seq[String] =
+      if (!fc.util.exists(p)) Seq.empty
+      else fc.util.listStatus(p).toSeq.map(_.getPath.getName)
+    override def exists(p: HPath): Boolean = fc.util.exists(p)
+  }
+
+  /** Local filesystem: kernel-atomic exclusive create. */
+  private[sources] final class Nio(fc: FileContext) extends FcStore(fc) {
+    override def putIfAbsent(p: HPath, s: String): Unit = {
+      val path = java.nio.file.Paths.get(fc.makeQualified(p).toUri.getPath)
+      Option(path.getParent)
+        .foreach(java.nio.file.Files.createDirectories(_))
+      try java.nio.file.Files.write(path, s.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.WRITE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new org.apache.hadoop.fs.FileAlreadyExistsException(p.toString)
+      }
+    }
+  }
+
+  /** HDFS-class schemes: the FileContext CREATE (no OVERWRITE) contract.
+    * Non-atomic schemes carry `atomic = false` and refuse commits. */
+  private[sources] final class Hdfs(fc: FileContext, atomic: Boolean,
+                                    scheme: String) extends FcStore(fc) {
+    override def putIfAbsent(p: HPath, s: String): Unit = {
+      if (!atomic) throw new UnsupportedOperationException(
+        s"gvt: the commit protocol needs an atomic put-if-absent, which " +
+          s"'$scheme' does not provide (create-no-overwrite is not atomic " +
+          s"on this store). Writing gvt tables here would silently lose " +
+          s"concurrent commits; use file:/hdfs:, or plug a conditional-put " +
+          s"LogStore for this scheme. (Reads of gvt tables on '$scheme' " +
+          s"remain supported.)")
+      val out = fc.create(p, EnumSet.of(CreateFlag.CREATE),
+        Options.CreateOpts.createParent())
+      try out.write(s.getBytes("UTF-8")) finally out.close()
+    }
+  }
+}

@@ -1,7 +1,6 @@
 package graft.sources
 
-import java.util.EnumSet
-import org.apache.hadoop.fs.{CreateFlag, FileContext, Options, Path => HPath}
+import org.apache.hadoop.fs.{FileContext, Options, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.{StructField, StructType}
 
@@ -85,63 +84,28 @@ object VersionedTable {
     * issued. The checkpoint exists to BOUND this per table operation. */
   private[graft] val metaReads = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Storage seam ([[LogStore]]): put-if-absent / read / list routed by
+    * the RESOLVED filesystem of each path — a scheme-less path follows
+    * `fs.defaultFS`, so claims and markers land where every other
+    * writer and reader looks for them, never on the driver's local disk
+    * by accident. Schemes without an atomic put-if-absent (S3A-class)
+    * are refused at commit time, loudly. */
+  private def storeOf(p: HPath): LogStore = LogStore.forPath(p, fcOf(p))
+
   private def readString(p: HPath): Option[String] = {
-    val fc = fcOf(p)
     metaReads.incrementAndGet()
-    if (!fc.util.exists(p)) None
-    else {
-      val in = fc.open(p)
-      try {
-        val out = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](4096)
-        var n = in.read(buf)
-        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-        Some(new String(out.toByteArray, "UTF-8"))
-      } finally in.close()
-    }
+    storeOf(p).read(p)
   }
 
   private def writeString(p: HPath, s: String,
-                          overwrite: Boolean): Unit = {
-    val scheme = Option(p.toUri.getScheme)
-    if (!overwrite && scheme.forall(_ == "file")) {
-      // put-if-absent on LOCAL paths goes through NIO's O_CREAT|O_EXCL:
-      // RawLocalFileSystem implements create(no-overwrite) as an
-      // exists() check followed by the open — a TOCTOU window in which
-      // two racing claimants BOTH pass (the identity racing-writer
-      // spec reproduced it: two writers winning the same version claim
-      // and the same commit marker). The kernel's exclusive-create is
-      // the real atomic primitive here; non-local schemes (HDFS) get
-      // create-no-overwrite atomicity from the filesystem itself via
-      // the FileContext path below.
-      val path = java.nio.file.Paths.get(p.toUri.getPath)
-      Option(path.getParent)
-        .foreach(java.nio.file.Files.createDirectories(_))
-      try java.nio.file.Files.write(path, s.getBytes("UTF-8"),
-        java.nio.file.StandardOpenOption.CREATE_NEW,
-        java.nio.file.StandardOpenOption.WRITE)
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          throw new org.apache.hadoop.fs.FileAlreadyExistsException(p.toString)
-      }
-      return
-    }
-    val flags = if (overwrite) EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE)
-      else EnumSet.of(CreateFlag.CREATE) // atomic put-if-absent (non-local)
-    val out = fcOf(p).create(p, flags, Options.CreateOpts.createParent())
-    try out.write(s.getBytes("UTF-8")) finally out.close()
-  }
+                          overwrite: Boolean): Unit =
+    if (overwrite) storeOf(p).overwrite(p, s)
+    else storeOf(p).putIfAbsent(p, s)
 
-  private def delete(p: HPath, recursive: Boolean): Boolean = {
-    val fc = fcOf(p)
-    fc.util.exists(p) && fc.delete(p, recursive)
-  }
+  private def delete(p: HPath, recursive: Boolean): Boolean =
+    storeOf(p).delete(p, recursive)
 
-  private def listNames(p: HPath): Seq[String] = {
-    val fc = fcOf(p)
-    if (!fc.util.exists(p)) Seq.empty
-    else fc.util.listStatus(p).toSeq.map(_.getPath.getName)
-  }
+  private def listNames(p: HPath): Seq[String] = storeOf(p).list(p)
 
   private def latestFile(root: String) = new HPath(root, "_LATEST")
 
@@ -2025,6 +1989,12 @@ object VersionedTable {
   private def dataLink(root: String, v: Long): Option[(String, Long)] =
     chainLink(root, v).map(p => (root, p)).orElse(cloneSrcOf(root, v))
 
+  /** True for a footer-only slice (ADD COLUMNS' zero-row schema
+    * carrier): file-index readers skip such dirs — they hold no rows
+    * and, written flat on partitioned tables, no partition layout. */
+  private[graft] def isSchemaOnlySlice(dir: String): Boolean =
+    readString(new HPath(dir, "_schema_only")).isDefined
+
   /** The data directories composing logical snapshot `version`,
     * base-first: the `_parent`/`_dv_parent` chain down to the nearest
     * full snapshot, following a shallow clone's `_clone_src` into the
@@ -2123,8 +2093,14 @@ object VersionedTable {
     // lines everything up
     val evolved = cols.foldLeft(live.limit(0)) { case (d, (n, t)) =>
       d.withColumn(n, lit(null).cast(t)) }
+    // `_schema_only` marks the slice as footer-only so file-index reads
+    // of a PARTITIONED chain can skip it: the flat zero-row dir would
+    // otherwise make per-dir partition discovery infer an empty
+    // partition schema and fail the chain's layout-consistency check.
+    // Never carried by compaction (a folded dir holds real data).
     write(evolved, root, allowEvolution = true,
-      metaFiles = Map("_parent" -> base.toString), baseVersion = Some(base),
+      metaFiles = Map("_parent" -> base.toString, "_schema_only" -> "1"),
+      baseVersion = Some(base),
       operation = s"ADD COLUMNS(${cols.map(_._1).mkString(",")})")
   }
 
@@ -2374,7 +2350,8 @@ object VersionedTable {
       .filter(st => st.isFile && st.getPath.getName.startsWith("_") &&
         st.getPath.getName != "_SUCCESS" && st.getPath.getName != "_parent" &&
         st.getPath.getName != "_dv_parent" &&
-        st.getPath.getName != "_clone_src")
+        st.getPath.getName != "_clone_src" &&
+        st.getPath.getName != "_schema_only")
       .flatMap(st => readString(st.getPath).map(st.getPath.getName -> _))
       .toMap
   }

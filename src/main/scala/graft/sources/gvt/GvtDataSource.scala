@@ -414,14 +414,25 @@ class GvtFileIndex(
     val tableRoot: String = "", val pinned: Boolean = false)
   extends FileIndex {
 
+  // ADD COLUMNS' footer-only slices hold zero rows and (on partitioned
+  // tables) no partition layout — drop them before building children,
+  // or per-dir partition discovery infers an empty partition schema for
+  // the slice and the layout-consistency require below fails. The
+  // slice's schema contribution is irrelevant here: the relation's
+  // schema comes from VersionedTable.readVersion, not the index.
+  private val dataRoots: Seq[Path] = {
+    val kept = roots.filterNot(r => VersionedTable.isSchemaOnlySlice(r.toString))
+    if (kept.nonEmpty) kept else roots
+  }
+
   // a partitioned multi-dir chain needs ONE index per version dir (each
   // dir is its own partition-discovery base — a single index over all
   // roots raises CONFLICTING_DIRECTORY_STRUCTURES); everything else is
   // cheapest as one index over all roots
   private val children: Seq[InMemoryFileIndex] =
-    if (roots.size > 1 && VersionedTable.partColsOf(roots.head).nonEmpty)
-      roots.map(r => new InMemoryFileIndex(spark, Seq(r), Map.empty, None))
-    else Seq(new InMemoryFileIndex(spark, roots, Map.empty, None))
+    if (dataRoots.size > 1 && VersionedTable.partColsOf(dataRoots.head).nonEmpty)
+      dataRoots.map(r => new InMemoryFileIndex(spark, Seq(r), Map.empty, None))
+    else Seq(new InMemoryFileIndex(spark, dataRoots, Map.empty, None))
 
   override def rootPaths: Seq[Path] = roots
 
@@ -462,9 +473,17 @@ class GvtFileIndex(
             }
             dir -> cands.flatten.reduceOption(_ intersect _)
           }.toMap
+          // Anchor each dir prefix on a trailing '/' and take the
+          // LONGEST match: '/t/v=1' is a bare string prefix of
+          // '/t/v=12/part.parquet', so an unanchored find() could
+          // attribute a v=12 file to v=1's candidate set (which cannot
+          // contain it) and silently drop live rows.
+          val anchored = perDir.keys
+            .map(d => (new Path(d).toUri.getPath.stripSuffix("/") + "/", d))
+            .toSeq
           (path: String) => {
-            val dir = perDir.keys.find(d => path.startsWith(
-              new Path(d).toUri.getPath))
+            val dir = anchored.filter { case (p, _) => path.startsWith(p) }
+              .sortBy(-_._1.length).headOption.map(_._2)
             dir.flatMap(perDir(_)).forall(_.contains(path))
           }
         }

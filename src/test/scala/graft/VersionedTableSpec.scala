@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.sources.VersionedTable
@@ -703,6 +704,12 @@ class VersionedTableSpec extends AnyFunSuite {
     val root = Files.createTempDirectory("graft_vt_dvrace").toString
     VersionedTable.write((1 to 100).toDF("id"), root) // v1
     val errors = new java.util.concurrent.atomic.AtomicInteger(0)
+    // the protocol's contract is succeed-or-ConcurrentWriteException:
+    // anything else escaping a racer is a protocol bug — record it, or
+    // a silently-dead thread reads as "both landed" and the assertion
+    // below misdiagnoses the state (seen once in r11: errors=0 rows=110
+    // with no exception identity to debug)
+    val unexpected = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
     val start = new java.util.concurrent.CountDownLatch(1)
     val ts = Seq(
       () => VersionedTable.deleteWhereVector(spark, root, col("id") <= 10),
@@ -711,11 +718,18 @@ class VersionedTableSpec extends AnyFunSuite {
       new Thread(() => {
         start.await()
         try { op(); () }
-        catch { case _: VersionedTable.ConcurrentWriteException =>
-          errors.incrementAndGet(); () }
+        catch {
+          case _: VersionedTable.ConcurrentWriteException =>
+            errors.incrementAndGet(); ()
+          case t: Throwable => unexpected.add(t); ()
+        }
       })
     }
     ts.foreach(_.start()); start.countDown(); ts.foreach(_.join())
+    assert(unexpected.isEmpty, s"racer died with a non-retryable " +
+      s"exception: ${unexpected.asScala.map(t =>
+        s"${t.getClass.getName}: ${t.getMessage}\n  " +
+          t.getStackTrace.take(8).mkString("\n  ")).mkString("; ")}")
     val n = VersionedTable.readLatest(spark, root).count()
     if (errors.get == 1)
       // exactly one commit landed: either the delete (90) or the append (110)
