@@ -646,6 +646,44 @@ object RelationalQueries {
         FROM sql_dml_t GROUP BY status ORDER BY status""")
     }),
 
+    // SQL INSERT surface (the last DML verb — Delta parity): positional
+    // INSERT … SELECT appends through the commit protocol; a column
+    // list fills the unlisted column from its registered DEFAULT; a
+    // static PARTITION spec becomes the column value; INSERT OVERWRITE
+    // PARTITION is a partition-scoped replaceWhere (one O(replaced+new)
+    // DV commit — the other partitions' files untouched). The final
+    // aggregate must equal plain row-set arithmetic over the batches,
+    // with the px batch fully replaced by the partition overwrite.
+    "q_sql_insert" -> ((s, dir) => graft.GraftSession.withExtensions(s) { sess =>
+      val out = tmpDir("graft_sqlins")
+      val o = t(sess, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      val root = s"$out/t"
+      graft.sources.VersionedTable.write(
+        o.filter(col("k") % 2 === 0).withColumn("src", lit("seed")),
+        root, partitionBy = Seq("status"))
+      def view(): Unit = sess.sql(s"CREATE OR REPLACE TEMPORARY VIEW " +
+        s"sql_ins_t USING gvt OPTIONS (path '$root')")
+      view()
+      o.filter(col("k") % 2 === 1).createOrReplaceTempView("sql_ins_src")
+      // positional = the TABLE's schema order, where the hive partition
+      // column rides last: (k, cents, src, status)
+      sess.sql("INSERT INTO sql_ins_t SELECT k, cents, 'b1', status " +
+        "FROM sql_ins_src WHERE k % 3 = 0")
+      sess.sql(s"ALTER TABLE gvt.`$root` ALTER COLUMN src SET DEFAULT 'dflt'")
+      sess.sql("INSERT INTO sql_ins_t (k, status, cents) " +
+        "SELECT k, status, cents FROM sql_ins_src WHERE k % 3 = 1")
+      sess.sql("INSERT INTO sql_ins_t PARTITION (status='X') " +
+        "SELECT k, cents, 'px' FROM sql_ins_src WHERE k % 3 = 2")
+      sess.sql("INSERT OVERWRITE sql_ins_t PARTITION (status='X') " +
+        "SELECT k, cents, 'po' FROM sql_ins_src WHERE k % 21 = 2")
+      view()
+      sess.sql("""SELECT status, src, count(*) AS n_rows,
+        sum(cents) AS sum_cents
+        FROM sql_ins_t GROUP BY status, src ORDER BY status, src""")
+    }),
+
     // SQL MERGE INTO with the full clause surface (conditional DELETE,
     // UPDATE SET over both sides, INSERT *) — the exact q_merge_clauses
     // semantics driven through SQL text; GvtDml routes it to
@@ -1784,6 +1822,23 @@ object RelationalQueries {
         |SELECT status, CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM o GROUP BY status ORDER BY status""".stripMargin,
+
+    // SQL INSERT must equal the plain batch union, with the static-
+    // partition batch fully replaced by the partition overwrite.
+    "q_sql_insert" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |rows_ AS (
+        |  SELECT k, status, cents, 'seed' AS src FROM o WHERE k % 2 = 0
+        |  UNION ALL
+        |  SELECT k, status, cents, 'b1' FROM o WHERE k % 2 = 1 AND k % 3 = 0
+        |  UNION ALL
+        |  SELECT k, status, cents, 'dflt' FROM o WHERE k % 2 = 1 AND k % 3 = 1
+        |  UNION ALL
+        |  SELECT k, 'X', cents, 'po' FROM o WHERE k % 2 = 1 AND k % 21 = 2)
+        |SELECT status, src, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM rows_ GROUP BY status, src ORDER BY status, src""".stripMargin,
 
     // SQL MERGE must equal the clause algebra (the q_merge_clauses
     // oracle verbatim: anti ∪ conditional-update ∪ insert).

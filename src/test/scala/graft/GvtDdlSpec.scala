@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.sources.VersionedTable
@@ -101,6 +102,15 @@ class GvtDdlSpec extends AnyFunSuite {
     assert(live.count() == 36)
     assert(live.filter(col("part") === "p0").count() == 12)
     assert(live.agg(sum("extra")).as[Long].head() == (31L to 36L).sum)
+    // the FILE-INDEX read path (spark.read.format("gvt") / SQL views)
+    // must survive the flat zero-row schema slice too: per-dir partition
+    // discovery skips `_schema_only` dirs, so the layout-consistency
+    // check sees only real data dirs (r10 regression: it threw
+    // 'inconsistent partition layouts' here)
+    val viaIndex = spark.read.format("gvt").load(root)
+    assert(viaIndex.count() == 36)
+    assert(viaIndex.filter(col("part") === "p0").count() == 12)
+    assert(viaIndex.agg(sum("extra")).as[Long].head() == (31L to 36L).sum)
   }
 
   test("DESCRIBE DETAIL reports the live snapshot's layout") {
@@ -458,6 +468,82 @@ class GvtDdlSpec extends AnyFunSuite {
         // maintenance SQL resolves the catalog name too
         assert(sess.sql("DESCRIBE HISTORY gvt_cat_t").count() == 2L)
       } finally sess.sql("DROP TABLE IF EXISTS gvt_cat_t")
+    }
+  }
+
+  test("SQL INSERT INTO: positional, VALUES, column list with DEFAULT, " +
+    "static PARTITION, OVERWRITE, OVERWRITE PARTITION = replaceWhere") {
+    val root = fresh("insert")
+    VersionedTable.write(
+      Seq((1L, "a", "p0"), (2L, "b", "p1")).toDF("k", "s", "part"),
+      root, partitionBy = Seq("part"))
+    GraftSession.withExtensions(spark) { sess =>
+      def view(): Unit = sess.sql(s"CREATE OR REPLACE TEMPORARY VIEW ins_t " +
+        s"USING gvt OPTIONS (path '$root')")
+      view()
+      // positional VALUES append (store-assignment casts: int → long)
+      sess.sql("INSERT INTO ins_t VALUES (3, 'c', 'p0'), (4, 'd', 'p1')")
+      assert(VersionedTable.readLatest(sess, root).count() == 4)
+      // INSERT … SELECT
+      sess.sql("INSERT INTO ins_t SELECT 5L, 'e', 'p0'")
+      assert(VersionedTable.readLatest(sess, root)
+        .filter(col("part") === "p0").count() == 3)
+      // static PARTITION spec: the value becomes the column
+      sess.sql("INSERT INTO ins_t PARTITION (part='p2') VALUES (6, 'f')")
+      assert(VersionedTable.readLatest(sess, root)
+        .filter(col("part") === "p2").select("k").as[Long].head() == 6L)
+      // column list: unlisted column fills from its DEFAULT
+      sess.sql(s"ALTER TABLE gvt.`$root` ALTER COLUMN s SET DEFAULT 'dflt'")
+      sess.sql("INSERT INTO ins_t (k, part) VALUES (7, 'p0')")
+      assert(VersionedTable.readLatest(sess, root)
+        .filter(col("k") === 7).select("s").as[String].head() == "dflt")
+      // hive layout preserved by the appends
+      assert(VersionedTable.readLatest(sess, root)
+        .filter(col("part") === "p0").count() == 4)
+      // OVERWRITE PARTITION: one replaceWhere commit, p1 untouched
+      view()
+      sess.sql("INSERT OVERWRITE ins_t PARTITION (part='p0') VALUES (10, 'x')")
+      val live = VersionedTable.readLatest(sess, root)
+      assert(live.filter(col("part") === "p0").count() == 1)
+      assert(live.filter(col("part") === "p1").count() == 2)
+      // full OVERWRITE replaces everything, keeps the layout
+      view()
+      sess.sql("INSERT OVERWRITE ins_t VALUES (20, 'z', 'p9')")
+      assert(VersionedTable.readLatest(sess, root).count() == 1)
+      assert(VersionedTable.partColsOf(new org.apache.hadoop.fs.Path(
+        s"$root/v=${VersionedTable.latestVersion(root).get}")) == Seq("part"))
+      // inexpressible shapes fail loudly
+      view()
+      intercept[UnsupportedOperationException] {
+        sess.sql("INSERT OVERWRITE ins_t PARTITION (part) SELECT 1L, 'q', 'p3'")
+      }
+      intercept[Exception] {
+        sess.sql("INSERT INTO ins_t VALUES (1, 'too-few')")
+      }
+    }
+  }
+
+  test("SQL INSERT INTO: raced inserts both commit via retry (no corruption)") {
+    val root = fresh("insertrace")
+    VersionedTable.write(Seq((0L, "seed")).toDF("k", "s"), root)
+    GraftSession.withExtensions(spark) { sess =>
+      sess.sql(s"CREATE OR REPLACE TEMPORARY VIEW ins_race " +
+        s"USING gvt OPTIONS (path '$root')")
+      val unexpected = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val ts = (1 to 4).map { i =>
+        new Thread(() => {
+          start.await()
+          try sess.sql(s"INSERT INTO ins_race VALUES ($i, 'w$i')")
+          catch { case t: Throwable => unexpected.add(t); () }
+        })
+      }
+      ts.foreach(_.start()); start.countDown(); ts.foreach(_.join())
+      assert(unexpected.isEmpty, s"raced INSERT died: ${unexpected.asScala
+        .map(t => s"${t.getClass.getName}: ${t.getMessage}").mkString("; ")}")
+      val live = VersionedTable.readLatest(sess, root)
+      assert(live.count() == 5)
+      assert(live.select("k").as[Long].collect().toSet == (0L to 4L).toSet)
     }
   }
 }
