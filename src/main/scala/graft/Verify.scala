@@ -45,8 +45,23 @@ object Verify {
     def runOne(name: String,
                fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
       try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
+        val df = fn(spark, sfDir)
+        // The driver's compare hashes rows IN FILE ORDER, so a query's
+        // top-level orderBy must survive into the single dumped file.
+        // coalesce(1) preserves a global sort in the common plan, but
+        // not under every optimizer/AQE interleaving (observed once:
+        // a correct row SET dumped unsorted under the parallel dump) —
+        // re-asserting the query's own sort inside the one coalesced
+        // partition makes file order unconditional, at the cost of one
+        // single-partition sort of an already-small result.
+        val one = df.coalesce(1)
+        val out = df.queryExecution.analyzed match {
+          case s: org.apache.spark.sql.catalyst.plans.logical.Sort if s.global =>
+            one.sortWithinPartitions(s.order.map(
+              org.apache.spark.sql.graft.NativeColumns.ofExpr): _*)
+          case _ => one
+        }
+        out.write.mode("overwrite").parquet(s"$outDir/$name")
         dumped.incrementAndGet()
       } catch { case e: Throwable =>
         errors.incrementAndGet()

@@ -570,27 +570,61 @@ object VersionedTable {
   private def applyIdentity(df0: DataFrame, root: String,
                             ids: Map[String, (Long, Long)])
       : (DataFrame, Map[String, String]) = {
-    import org.apache.spark.sql.functions.{coalesce, col, lit, max}
+    import org.apache.spark.sql.functions.{coalesce, col, count, element_at,
+      lit, max, spark_partition_id, typedLit, when}
+    import org.apache.spark.sql.graft.NativeColumns
     if (ids.isEmpty) return (df0, Map.empty)
     var df = df0
+    var frozen = false
     var meta = Map.empty[String, String]
     ids.toSeq.sortBy(_._1).foreach { case (name, (start, step)) =>
       val hw0 = readMetaLatest(root, idhwKey(name)).map(_.trim.toLong)
       val present = df.columns.contains(name)
-      val needs = !present || !df.filter(col(name).isNull).isEmpty
+      // Columnar assignment, never leaving Tungsten (the previous
+      // rdd.zipWithIndex paid full InternalRow→Row deserialization):
+      //  1. freeze the frame's physical execution so the stats pass and
+      //     the write see identical partitioning (what persist() used
+      //     to guarantee — without caching a byte, ADVICE r10: the
+      //     persisted frames were never unpersisted);
+      //  2. ONE aggregate job collects per-partition null counts + the
+      //     batch's explicit max (metadata-sized: one row per
+      //     partition);
+      //  3. ONE projection fills the gaps: hw + step * (partition
+      //     offset + rank-among-null-rows + 1), the offsets a
+      //     broadcast-sized map literal, the rank a stateful codegen'd
+      //     expression ([[graft.functions.NullRankInPartition]]).
+      // Assignment order within a partition is row order — the
+      // single-partition-sorted-batch contract q_identity's oracle
+      // replays is unchanged.
+      val src0 = if (frozen) df else { frozen = true; NativeColumns.freeze(df) }
+      val withCol =
+        if (present) src0
+        else src0.withColumn(name, lit(null).cast("long"))
+      val pc = withCol
+        .select(spark_partition_id().as("__pid"), col(name).as("__v"))
+        .groupBy(col("__pid"))
+        .agg(count(when(col("__v").isNull, 1)).as("__nulls"),
+          max(col("__v")).as("__max"))
+        .collect()
+      val totalNulls = pc.map(_.getLong(1)).sum
       // explicit values push the watermark past themselves so future
       // assignments can never re-issue them (BY DEFAULT semantics)
       val explicitMax: Option[Long] =
         if (!present) None
-        else Option(df.agg(max(col(name))).head.get(0))
-          .map(_.asInstanceOf[Number].longValue())
-      if (!needs) {
+        else {
+          val ms = pc.flatMap(r => Option(r.get(2))
+            .map(_.asInstanceOf[Number].longValue()))
+          if (ms.isEmpty) None
+          else Some(if (step > 0) ms.max else ms.min)
+        }
+      if (totalNulls == 0L) {
         explicitMax.foreach { m =>
           val hw = hw0.getOrElse(start - step)
           val pushed = if (step > 0) math.max(hw, m) else math.min(hw, m)
           if (pushed != hw || hw0.isEmpty)
             meta += (idhwKey(name) -> pushed.toString)
         }
+        df = withCol
       } else {
         val hwBase0 = hw0.getOrElse(start - step)
         val hwBase = explicitMax match {
@@ -598,27 +632,18 @@ object VersionedTable {
           case Some(m) if step < 0 => math.min(hwBase0, m)
           case _ => hwBase0
         }
-        // zipWithIndex: one count job + one tagged pass — O(batch). The
-        // frame is persisted so the pre-assignment plan computes once.
-        val precached = df.storageLevel.useMemory || df.storageLevel.useDisk
-        val src = if (precached) df
-          else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val spark = df.sparkSession
-        val withCol =
-          if (present) src
-          else src.withColumn(name, lit(null).cast("long"))
-        val idx = withCol.schema.fieldNames.indexOf(name)
-        val rdd = withCol.rdd.zipWithIndex().map { case (row, i) =>
-          if (!row.isNullAt(idx)) row
-          else {
-            val vals = row.toSeq.toArray
-            vals(idx) = hwBase + step * (i + 1)
-            org.apache.spark.sql.Row.fromSeq(vals.toSeq)
-          }
+        // partition → count of ids assigned BEFORE it (partition order)
+        val offsets: Map[Int, Long] = {
+          var acc = 0L
+          pc.sortBy(_.getInt(0)).map { r =>
+            val o = r.getInt(0) -> acc; acc += r.getLong(1); o
+          }.toMap
         }
-        val n = src.count()
-        df = spark.createDataFrame(rdd, withCol.schema)
-        meta += (idhwKey(name) -> (hwBase + step * n).toString)
+        val fill = lit(hwBase) + lit(step) *
+          (element_at(typedLit(offsets), spark_partition_id()) +
+            NativeColumns.nullRank(col(name)) + lit(1L))
+        df = withCol.withColumn(name, coalesce(col(name), fill))
+        meta += (idhwKey(name) -> (hwBase + step * totalNulls).toString)
       }
     }
     (df, meta)

@@ -26,6 +26,23 @@ object NativeColumns {
   def rollingHash(arr: Column, w: Int): Column =
     ofExpr(graft.functions.RollingHashWindows(toExpr(arr), w))
 
+  /** 0-based rank among the partition's NULL rows of `c`
+    * ([[graft.functions.NullRankInPartition]]) — identity assignment's
+    * columnar kernel. */
+  def nullRank(c: Column): Column =
+    ofExpr(graft.functions.NullRankInPartition(toExpr(c)))
+
+  /** Pin `df`'s physical execution: re-plans the frame over its
+    * materialized `toRdd`, so every downstream job (a stats pass, the
+    * final write) sees the SAME partitioning and partition contents —
+    * the determinism persist() used to buy, without storing a byte
+    * (shuffle stages are reused through Spark's shuffle files; scans
+    * re-execute, which is the right trade at any scale). */
+  def freeze(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sp = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    sp.internalCreateDataFrame(df.queryExecution.toRdd, df.schema)
+  }
+
   /** DataFrame over an already-resolved logical plan (Dataset.ofRows is
     * private[sql]) — lets caller-side code bake a manually-applied
     * optimizer rewrite into the plan every downstream QueryExecution

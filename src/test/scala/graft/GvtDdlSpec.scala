@@ -270,6 +270,37 @@ class GvtDdlSpec extends AnyFunSuite {
     assert(ids4.max == 504L && ids4.distinct.size == ids4.size)
   }
 
+  test("identity columns: multi-partition batches assign the exact " +
+    "contiguous run (columnar per-partition offsets)") {
+    val root = fresh("identmp")
+    VersionedTable.write((1 to 10).map(i => (i.toLong, s"s$i")).toDF("k", "s"),
+      root)
+    VersionedTable.addIdentityColumn(spark, root, "rid")
+    // 8-partition batch, ids must be exactly the next contiguous run
+    VersionedTable.append(
+      (11 to 210).map(i => (i.toLong, s"s$i")).toDF("k", "s").repartition(8),
+      root, allowEvolution = true)
+    val ids1 = VersionedTable.readLatest(spark, root)
+      .filter(col("rid").isNotNull).select("rid").as[Long].collect().toSeq
+    assert(ids1.sorted == (1L to 200L))
+    // a second multi-partition batch MIXING explicit and missing values
+    // continues past the pushed watermark, still no dup or gap beyond it
+    VersionedTable.append(
+      (211 to 310).map(i => (i.toLong, s"s$i", if (i % 3 == 0) 1000L + i else -1L))
+        .toDF("k", "s", "rid")
+        .withColumn("rid", when(col("rid") === -1L, lit(null)).otherwise(col("rid")))
+        .repartition(5), root)
+    val all = VersionedTable.readLatest(spark, root)
+      .filter(col("rid").isNotNull).select("rid").as[Long].collect().toSeq
+    assert(all.distinct.size == all.size) // never a duplicate
+    val explicit = (211 to 310).filter(_ % 3 == 0).map(1000L + _)
+    val hw = explicit.max // the max explicit value pushes the watermark
+    val assigned2 = all.toSet -- ids1.toSet -- explicit.toSet
+    // the 67 missing values got the contiguous run AFTER the pushed max
+    assert(assigned2.size == 100 - explicit.size)
+    assert(assigned2 == ((hw + 1) to (hw + assigned2.size)).toSet)
+  }
+
   test("identity columns: racing writers never commit duplicate ids") {
     val root = fresh("identrace")
     VersionedTable.write((1 to 5).map(i => (i.toLong, s"s$i")).toDF("k", "s"),
