@@ -93,6 +93,10 @@ class GvtSqlParser(session: SparkSession, delegate: ParserInterface)
       case DropDefaultRe(target, colName)
           if isGvtTarget(session, target.trim) =>
         GvtDropDefaultCommand(target.trim, colName.trim)
+      case AlterTypeRe(target, colName, tpe)
+          if isGvtTarget(session, target.trim) =>
+        GvtAlterTypeCommand(target.trim, colName.trim,
+          delegate.parseDataType(tpe.trim))
       // `DESC DETAIL t` could be valid Spark SQL (describe column 't' of
       // a table named 'detail') — same guard as DESCRIBE HISTORY
       case DescDetailRe(target) if isGvtTarget(session, target.trim) =>
@@ -183,6 +187,9 @@ object GvtSqlParser {
   private val DropDefaultRe =
     ("""(?is)^ALTER\s+TABLE\s+""" + Target +
       """\s+ALTER\s+COLUMN\s+`?([\w.\-]+)`?\s+DROP\s+DEFAULT\s*$""").r
+  private val AlterTypeRe =
+    ("""(?is)^ALTER\s+TABLE\s+""" + Target +
+      """\s+ALTER\s+COLUMN\s+`?([\w.\-]+)`?\s+TYPE\s+([\w()\s,]+?)\s*$""").r
   private val CloneRe =
     ("""(?is)^CREATE\s+TABLE\s+""" + Target +
       """\s+(?:(SHALLOW|DEEP)\s+)?CLONE\s+""" + Target +
@@ -436,18 +443,45 @@ case class GvtAddColumnsCommand(target: String,
     Seq(AttributeReference("new_version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val root = GvtSqlParser.rootOf(spark, target)
-    // generated columns register BEFORE the schema commit: validation
-    // skips absent columns, and the commit's own 0-row slice passes the
-    // write-path check trivially; rows predating the registration read
-    // NULL (backfill with one UPDATE if needed — same contract as
-    // identity/DEFAULT)
-    cols.foreach(c => c.generated.foreach(expr =>
-      VersionedTable.addGeneratedColumn(spark, root, c.name, expr)))
-    val nv = VersionedTable.addColumns(spark, root,
-      cols.map(c => c.name -> c.dataType))
-    cols.foreach(c => c.identity.foreach { case (start, step) =>
+    // validate EVERYTHING up front, before any state changes: a
+    // mid-sequence failure previously left partial state (a generated
+    // column registered with no schema commit when the add-list
+    // clashed, or the column added without its identity registration
+    // when the BIGINT check ran last)
+    val base = VersionedTable.latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(
+        s"ADD COLUMNS requires an existing table at $root"))
+    val live = VersionedTable.readVersion(spark, root, base)
+    val clash = cols.map(_.name).filter(n =>
+      live.columns.exists(_.equalsIgnoreCase(n)))
+    require(clash.isEmpty,
+      s"ADD COLUMNS: column(s) already exist: ${clash.mkString(", ")}")
+    require(cols.map(_.name.toLowerCase).distinct.size == cols.size,
+      "ADD COLUMNS: duplicate column names in the add list")
+    cols.foreach(c => c.identity.foreach { _ =>
       require(c.dataType == LongType,
         s"identity column ${c.name} must be BIGINT (got ${c.dataType})")
+      require(c.generated.isEmpty,
+        s"${c.name}: a column cannot be both GENERATED AS (expr) and IDENTITY")
+    })
+    // generated columns register BEFORE the schema commit (the
+    // pre-commit snapshot lacks the column, so registration validation
+    // passes trivially; registered after, it would see the all-NULL
+    // column and refuse); a failed commit rolls the registrations back
+    val registered = cols.flatMap(c => c.generated.map(c.name -> _))
+    registered.foreach { case (n, e) =>
+      VersionedTable.addGeneratedColumn(spark, root, n, e) }
+    val nv =
+      try VersionedTable.addColumns(spark, root,
+        cols.map(c => c.name -> c.dataType))
+      catch { case t: Throwable =>
+        registered.foreach { case (n, _) =>
+          try VersionedTable.removeGeneratedColumn(root, n)
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
+        throw t
+      }
+    cols.foreach(c => c.identity.foreach { case (start, step) =>
       VersionedTable.addIdentityColumn(spark, root, c.name, start, step)
     })
     Seq(Row(nv))
@@ -485,6 +519,19 @@ case class GvtRenameColumnCommand(target: String, from: String, to: String)
   * [[VersionedTable.setColumnDefault]]: future writes OMITTING the
   * column fill it with the expression (explicit NULLs stay NULL — the
   * SQL DEFAULT contract). */
+/** `ALTER TABLE t ALTER COLUMN c TYPE <t>` → a lossless type-widening
+  * schema-only commit ([[VersionedTable.widenColumnType]]). */
+case class GvtAlterTypeCommand(target: String, colName: String,
+                               newType: org.apache.spark.sql.types.DataType)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("new_version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    Seq(Row(VersionedTable.widenColumnType(spark,
+      GvtSqlParser.rootOf(spark, target), colName, newType)))
+  }
+}
+
 case class GvtSetDefaultCommand(target: String, colName: String,
                                 exprSql: String) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {

@@ -858,6 +858,69 @@ object RelationalQueries {
         .orderBy(col("status"))
     }),
 
+    // ALTER COLUMN TYPE widening (Delta's type-widening surface): the
+    // INT cents column widens to BIGINT as a schema-only commit — no
+    // data file rewritten — and a post-widen append lands BIGINT
+    // batches next to the INT base files; the live aggregate must equal
+    // plain arithmetic over ALL rows, and the pre-widen snapshot (read
+    // through in-query VERSION AS OF) must still produce the base
+    // half's numbers under its original narrow type.
+    "q_column_widen" -> ((s, dir) => graft.GraftSession.withExtensions(s) { sess =>
+      val out = tmpDir("graft_widenq")
+      val o = t(sess, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      val root = s"$out/t"
+      graft.sources.VersionedTable.write(
+        o.filter(col("k") % 2 === 0).withColumn("cents", col("cents").cast("int")),
+        root)
+      sess.sql(s"ALTER TABLE gvt.`$root` ALTER COLUMN cents TYPE BIGINT")
+        .collect()
+      graft.sources.VersionedTable.append(o.filter(col("k") % 2 === 1), root)
+      sess.sql(s"CREATE OR REPLACE TEMPORARY VIEW widen_q_t USING gvt " +
+        s"OPTIONS (path '$root')")
+      sess.sql("""SELECT status, live.n AS n_live, live.sc AS sum_cents,
+          v1.n AS n_v1, v1.sc AS sum_cents_v1
+        FROM (SELECT status, count(*) AS n, sum(cents) AS sc
+              FROM widen_q_t GROUP BY status) live
+        JOIN (SELECT status, count(*) AS n, sum(cents) AS sc
+              FROM widen_q_t VERSION AS OF 1 GROUP BY status) v1
+        USING (status) ORDER BY status""")
+    }),
+
+    // CDF ACROSS A COLUMN-MAPPED CHAIN at O(changed): the incremental
+    // drain of a table that was renamed mid-stream — the rename commit
+    // is metadata-only and emits NO change rows (the Delta CDF
+    // contract), the append hop emits its batch as inserts, and the
+    // DV-delete hop emits the removed rows — all surfaced under the
+    // LOGICAL (renamed) column names, reading only the touched
+    // batch/files, never an O(table) snapshot diff (the pre-r11
+    // mapped-chain behavior this query pins down).
+    "q_cdf_colmap" -> ((s, dir) => graft.GraftSession.withExtensions(s) { sess =>
+      val out = tmpDir("graft_cdfcm")
+      val o = t(sess, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      val root = s"$out/t"
+      graft.sources.VersionedTable.write(o.filter(col("k") % 2 === 0), root)
+      sess.sql(s"ALTER TABLE gvt.`$root` SET TBLPROPERTIES " +
+        "('gvt.columnMapping' = 'name')")
+      sess.sql(s"ALTER TABLE gvt.`$root` RENAME COLUMN cents TO amount_cents")
+      graft.sources.VersionedTable.append(
+        o.filter(col("k") % 2 === 1)
+          .select(col("k"), col("status"), col("cents").as("amount_cents")),
+        root)
+      graft.sources.VersionedTable.deleteWhereVector(sess, root,
+        col("k") % 9 === 0)
+      val vt = graft.sources.VersionedTable
+      vt.changes(sess, root, 1L, 3L, Seq("k"))
+        .unionByName(vt.changes(sess, root, 3L, 4L, Seq("k")))
+        .groupBy(col("_change_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("amount_cents")).as("sum_cents"))
+        .orderBy(col("_change_type"))
+    }),
+
     // BLOOM-FILTER file skipping (Delta BLOOMFILTER INDEX): a point
     // lookup on an UNCLUSTERED high-cardinality column (md5 of the key,
     // hash-scattered across 8 files) — zone maps cannot prune it (every
@@ -1822,6 +1885,35 @@ object RelationalQueries {
         |SELECT status, CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM o GROUP BY status ORDER BY status""".stripMargin,
+
+    // Widening is storage, never semantics: live = all rows, v1 = the
+    // even half, both equal to plain row-set arithmetic.
+    "q_column_widen" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |live AS (SELECT status, count(*) AS n, sum(cents) AS sc
+        |  FROM o GROUP BY status),
+        |v1 AS (SELECT status, count(*) AS n, sum(cents) AS sc
+        |  FROM o WHERE k % 2 = 0 GROUP BY status)
+        |SELECT status, CAST(live.n AS BIGINT) AS n_live,
+        |  CAST(live.sc AS BIGINT) AS sum_cents,
+        |  CAST(v1.n AS BIGINT) AS n_v1, CAST(v1.sc AS BIGINT) AS sum_cents_v1
+        |FROM live JOIN v1 USING (status) ORDER BY status""".stripMargin,
+
+    // The mapped-chain feed must equal plain row-set arithmetic: the
+    // odd half inserted, the k%9 keys deleted, nothing else.
+    "q_cdf_colmap" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |evs AS (
+        |  SELECT 'insert' AS _change_type, cents FROM o WHERE k % 2 = 1
+        |  UNION ALL
+        |  SELECT 'delete', cents FROM o WHERE k % 9 = 0)
+        |SELECT _change_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM evs GROUP BY 1 ORDER BY _change_type""".stripMargin,
 
     // SQL INSERT must equal the plain batch union, with the static-
     // partition batch fully replaced by the partition overwrite.

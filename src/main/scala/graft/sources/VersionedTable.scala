@@ -329,6 +329,19 @@ object VersionedTable {
     * accepts a write whose schema matches, unless `allowEvolution` — the
     * `overwriteSchema=true` analogue (01:100) — permits adding nullable
     * columns. Field order is not significant; types are. */
+  /** The widenings the versioned schema admits: numeric→numeric
+    * upcasts only. `Cast.canUpCast` alone would also admit
+    * atomic→string — a representation change, not a widening — so the
+    * numeric gate is explicit. */
+  private[graft] def losslessWiden(
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = (from, to) match {
+    case (f: org.apache.spark.sql.types.NumericType,
+          t: org.apache.spark.sql.types.NumericType) =>
+      org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(f, t)
+    case _ => false
+  }
+
   private def checkSchema(existing: StructType, incoming: StructType,
                           allowEvolution: Boolean): Unit = {
     val old = existing.fields.map(f => f.name -> f.dataType).toMap
@@ -337,9 +350,24 @@ object VersionedTable {
       .filter(k => old(k) != nu(k))
     val dropped = old.keySet.diff(nu.keySet)
     val added = nu.keySet.diff(old.keySet)
-    if (typeChanged.nonEmpty)
+    // under evolution, a LOSSLESS NUMERIC widening (int→long,
+    // float→double, …) is legal — the widenColumnType commit and any
+    // wider evolved batch land without rewriting a file; chain reads
+    // coerce older narrow files through the union's common type.
+    // Anything else (narrowing, string↔numeric — note bare canUpCast
+    // admits atomic→string, which is a REPRESENTATION change, not a
+    // widening) stays rejected in every mode.
+    val illegal =
+      if (!allowEvolution) typeChanged
+      else typeChanged.filterNot(k => losslessWiden(old(k), nu(k)))
+    if (illegal.nonEmpty)
       throw new IllegalArgumentException(
-        s"schema enforcement: type change on ${typeChanged.mkString(",")} (old=$existing new=$incoming)")
+        s"schema enforcement: type change on ${illegal.mkString(",")} " +
+          s"(old=$existing new=$incoming)" +
+          (if (!allowEvolution && typeChanged.exists(k =>
+            losslessWiden(old(k), nu(k))))
+            "; a lossless widening needs allowEvolution=true " +
+              "(or ALTER COLUMN … TYPE)" else ""))
     if ((dropped.nonEmpty || added.nonEmpty) && !allowEvolution)
       throw new IllegalArgumentException(
         s"schema enforcement: evolution not allowed (added=${added.mkString(",")} dropped=${dropped.mkString(",")}); pass allowEvolution=true")
@@ -915,6 +943,20 @@ object VersionedTable {
       try validate(v)
       catch { case e: CheckConstraintViolation =>
         writeGens(generatedColumns(root) - name); throw e }
+    }
+  }
+
+  /** Remove a generated-column registration (future writes stop
+    * filling/validating it; data is untouched). Also the rollback hook
+    * for DDL that registers-then-commits. */
+  def removeGeneratedColumn(root: String, name: String): Unit = {
+    val rest = generatedColumns(root) - name
+    if (rest.isEmpty) delete(generatedFile(root), recursive = false)
+    else {
+      val tmp = new HPath(root, "_generated.tmp")
+      writeString(tmp, rest.toSeq.sorted
+        .map { case (n, e) => s"$n\t$e" }.mkString("\n"), overwrite = true)
+      fcOf(tmp).rename(tmp, generatedFile(root), Options.Rename.OVERWRITE)
     }
   }
 
@@ -1836,7 +1878,14 @@ object VersionedTable {
     * change-feed consumer drains streaming ingestion at O(batch) per
     * commit instead of O(table). Any non-append commit in the range
     * (full write, DELETE/UPDATE, compaction) breaks the chain and falls
-    * back to the snapshot diff.
+    * back to the snapshot diff. Column-mapped chains take the same fast
+    * paths, translated physical→logical through `toV`'s mapping — a
+    * mapping-only commit in the range (RENAME/DROP COLUMN, an `_parent`
+    * append of a zero-row slice) therefore emits NO change rows for
+    * pre-existing data, the Delta CDF contract for metadata-only
+    * operations (the old snapshot-diff fallback would have emitted an
+    * O(table) update pair per base row on a rename — wrong shape AND
+    * wrong cost).
     *
     * Output: key columns + the union of both versions' non-key columns
     * + `_change_type`. */
@@ -1844,12 +1893,16 @@ object VersionedTable {
               keys: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     // a column-mapped chain's raw files carry PHYSICAL names — the
-    // O(batch)/O(changed) fast paths below read files directly, so they
-    // apply only to unmapped chains; mapped chains take the snapshot
-    // diff (readVersion resolves the mapping on both sides)
-    val mapped = hasColmap(root, toV)
-    if (!mapped) appendDeltaDirs(root, fromV, toV).foreach { dirs =>
-      val delta = readDirs(spark, dirs)
+    // O(batch)/O(changed) fast paths below read files directly, so a
+    // mapped chain's frames are translated physical→logical through
+    // toV's mapping before classification. The translation is sound at
+    // any point in the range because a physical name's meaning never
+    // changes (fresh physicals for re-adds, retired names never
+    // reused): a physical outside toV's active set is a dropped column
+    // (excluded — the feed emits toV's schema), a physical an old batch
+    // lacks reads NULL (exactly its value at toV).
+    appendDeltaDirs(root, fromV, toV).foreach { dirs =>
+      val delta = mapToLogical(spark, readDirs(spark, dirs), root, toV)
       val dataCols = delta.columns.filterNot(keys.contains).toSeq
       return delta.select(keys.map(col) ++ dataCols.map(col) :+
         lit("insert").as("_change_type"): _*)
@@ -1861,11 +1914,30 @@ object VersionedTable {
     // never a base rescan. Per-commit drains (ChangeFeed.commitFeeds,
     // the gvt-cdf source) are always single hops, so the whole DML
     // family now feeds consumers at O(changed), like the append path.
-    if (!mapped &&
-        readMeta(root, toV, "_dv_parent").map(_.trim.toLong).contains(fromV))
+    if (readMeta(root, toV, "_dv_parent").map(_.trim.toLong).contains(fromV))
       return dvCommitChanges(spark, root, fromV, toV, keys)
     keyDiff(readVersion(spark, root, fromV), readVersion(spark, root, toV), keys)
   }
+
+  /** Translate a raw (physical-name) frame into `version`'s LOGICAL
+    * schema: each active (logical, physical) pair projects the physical
+    * column under its logical name, NULL-padding physicals the frame
+    * lacks (an old batch written before the column existed — its value
+    * at `version` IS null); physicals outside the active set (dropped
+    * columns) fall out. Identity on unmapped chains. */
+  private def mapToLogical(spark: SparkSession, raw: DataFrame,
+                           root: String, version: Long): DataFrame =
+    colmapAt(root, version) match {
+      case None => raw
+      case Some(cm) =>
+        import org.apache.spark.sql.functions.{col, lit}
+        val have = raw.columns.toSet
+        val logicalTypes = readVersion(spark, root, version).schema
+          .map(f => f.name -> f.dataType).toMap
+        raw.select(cm.active.map { case (l, p) =>
+          (if (have(p)) col(p) else lit(null).cast(logicalTypes(l))).as(l)
+        }: _*)
+    }
 
   /** The key-classified diff of two row sets — the changes() core,
     * shared by the full snapshot diff and the DV-hop fast path (whose
@@ -1932,7 +2004,10 @@ object VersionedTable {
             tagged("__gvt_pos") === dv("_dv_pos"), "left_semi")
           .drop("__gvt_file", "__gvt_pos")
       }
-    keyDiff(old, spark.read.parquet(s"$root/v=$toV"), keys)
+    // mapped chains: both restricted sets translate physical→logical
+    // (a DV commit never changes the mapping, so toV's applies to both)
+    keyDiff(mapToLogical(spark, old, root, toV),
+      mapToLogical(spark, spark.read.parquet(s"$root/v=$toV"), root, toV), keys)
   }
 
   // ── Append commits (Delta add-file-only transaction analogue) ────────
@@ -2127,6 +2202,46 @@ object VersionedTable {
       metaFiles = Map("_parent" -> base.toString, "_schema_only" -> "1"),
       baseVersion = Some(base),
       operation = s"ADD COLUMNS(${cols.map(_._1).mkString(",")})")
+  }
+
+  /** ALTER COLUMN … TYPE (Delta's type-widening surface): widen a
+    * column's declared type as a SCHEMA-ONLY commit — one zero-row
+    * footer slice carrying the widened schema, no data file rewritten.
+    * Chain reads coerce older narrow files through the union's common
+    * type (and the parquet reader's widening promotion on the
+    * file-relation path); historical snapshots keep their original
+    * type via time travel. Only LOSSLESS upcasts (`Cast.canUpCast`:
+    * int→long, float→double, int→decimal(10+,0), …) are accepted —
+    * narrowing would corrupt existing rows and fails loudly. Appends
+    * after the widen carry the widened type (a still-narrow batch
+    * needs `allowEvolution`, which admits upcasts only). */
+  def widenColumnType(spark: SparkSession, root: String, name: String,
+                      newType: org.apache.spark.sql.types.DataType): Long = {
+    import org.apache.spark.sql.functions.col
+    val base = latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(
+        s"widenColumnType requires an existing table at $root"))
+    val live = readVersion(spark, root, base)
+    require(live.columns.contains(name), s"widenColumnType: no column $name " +
+      s"in the live schema (${live.columns.mkString(", ")})")
+    val oldType = live.schema(name).dataType
+    if (oldType == newType) return base // no-op: already that type
+    require(losslessWiden(oldType, newType),
+      s"widenColumnType: $oldType → $newType is not a lossless numeric " +
+        "widening — only upcasts are supported (narrowing would corrupt " +
+        "existing rows); rewrite explicitly via overwrite if you really " +
+        "mean it")
+    val parts = partColsOf(new HPath(dataDirsOf(root, base).head))
+    require(!parts.contains(name),
+      s"widenColumnType: $name is a hive partition column (values live in " +
+        "directory names) — change the layout via compact() instead")
+    require(!identityColumns(root).contains(name),
+      s"widenColumnType: $name is an identity column (already BIGINT)")
+    val slice = live.limit(0).withColumn(name, col(name).cast(newType))
+    write(slice, root, allowEvolution = true,
+      metaFiles = Map("_parent" -> base.toString, "_schema_only" -> "1"),
+      baseVersion = Some(base),
+      operation = s"ALTER COLUMN TYPE($name $oldType->$newType)")
   }
 
   /** COPY INTO (Delta's idempotent bulk-file load): append the files

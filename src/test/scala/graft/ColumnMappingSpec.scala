@@ -128,6 +128,41 @@ class ColumnMappingSpec extends AnyFunSuite {
     assert(feed.filter(col("_change_type") === "delete").count() == 5L)
   }
 
+  test("CDF fast paths survive a mapped chain: O(batch) insert-only feed " +
+    "under logical names, no base rescan") {
+    val root = fresh("cmcdf")
+    VersionedTable.write((1 to 30).map(i => (i.toLong, i.toLong * 10))
+      .toDF("k", "w"), root)                                  // v1
+    mapped(root)
+    VersionedTable.renameColumn(spark, root, "w", "val2")     // v2
+    VersionedTable.append((31 to 40).map(i => (i.toLong, i.toLong * 10))
+      .toDF("k", "val2"), root)                               // v3
+    // single append hop: insert-only, logical names, batch files ONLY
+    val feed = VersionedTable.changes(spark, root, 2L, 3L, Seq("k"))
+    assert(feed.columns.contains("val2"))
+    val rows = feed.collect()
+    assert(rows.length == 10 && rows.forall(_.getAs[String]("_change_type") == "insert"))
+    assert(feed.select(sum("val2")).as[Long].head() == (31 to 40).map(_ * 10L).sum)
+    assert(feed.inputFiles.nonEmpty &&
+      feed.inputFiles.forall(_.contains("/v=3")),
+      s"append feed rescanned the base: ${feed.inputFiles.toSeq}")
+    // a range CROSSING the rename stays on the fast path: the mapping
+    // commit is metadata-only and emits NO rows for pre-existing data
+    // (the Delta CDF contract) — previously this fell back to an
+    // O(table) snapshot diff emitting an update pair per base row
+    val feed2 = VersionedTable.changes(spark, root, 1L, 3L, Seq("k"))
+    assert(feed2.count() == 10L)
+    assert(feed2.inputFiles.forall(f => f.contains("/v=2") || f.contains("/v=3")),
+      s"cross-rename feed rescanned the base: ${feed2.inputFiles.toSeq}")
+    // the DV hop translates too: delete under the renamed schema
+    VersionedTable.deleteWhereVector(spark, root, col("val2") >= 380L) // v4
+    val feed3 = VersionedTable.changes(spark, root, 3L, 4L, Seq("k"))
+    assert(feed3.filter(col("_change_type") === "delete")
+      .select(sum("val2")).as[Long].head() == Seq(380L, 390L, 400L).sum)
+    assert(feed3.inputFiles.forall(f => !f.contains("/v=1")),
+      s"DV feed read beyond the touched files: ${feed3.inputFiles.toSeq}")
+  }
+
   test("zone-map pruning keeps working on a renamed column") {
     val root = fresh("cmprune")
     val o = (1 to 400).map(i => (i.toLong, i.toLong * 10))

@@ -72,20 +72,23 @@ class ExtensionsSpec extends AnyFunSuite {
     intercept[Exception] { out.collect() }
   }
 
-  test("INSERT INTO a gvt relation is refused (would bypass the commit protocol)") {
+  test("INSERT INTO a gvt relation routes through the commit protocol " +
+    "(r11: the refusal became a rewrite)") {
     withExtensionsSession { sess =>
       import sess.implicits._
       val root = java.nio.file.Files.createTempDirectory("graft_gvtguard").toString + "/t"
       graft.sources.VersionedTable.write((1 to 5).toDF("id"), root)
       sess.sql(s"CREATE OR REPLACE TEMPORARY VIEW gvt_guard USING gvt OPTIONS (path '$root')")
-      val e = intercept[Exception] {
-        sess.sql("INSERT INTO gvt_guard VALUES (99)")
-      }
-      def msgs(t: Throwable): Seq[String] =
-        if (t == null) Seq.empty else String.valueOf(t.getMessage) +: msgs(t.getCause)
-      assert(msgs(e).exists(_.contains("versioned commit protocol")), e.toString)
-      // the table is untouched and still reads cleanly
-      assert(sess.sql("SELECT count(*) AS n FROM gvt_guard").as[Long].head() == 5)
+      sess.sql("INSERT INTO gvt_guard VALUES (99)")
+      // the insert is a versioned APPEND commit, not a raw file write
+      assert(graft.sources.VersionedTable.latestVersion(root).contains(2L))
+      assert(graft.sources.VersionedTable.history(sess, root)
+        .filter(org.apache.spark.sql.functions.col("operation") === "INSERT")
+        .count() == 1L)
+      // a re-resolved view reads the committed row; v1 is untouched
+      sess.sql(s"CREATE OR REPLACE TEMPORARY VIEW gvt_guard USING gvt OPTIONS (path '$root')")
+      assert(sess.sql("SELECT count(*) AS n FROM gvt_guard").as[Long].head() == 6)
+      assert(graft.sources.VersionedTable.readVersion(sess, root, 1L).count() == 5)
     }
   }
 

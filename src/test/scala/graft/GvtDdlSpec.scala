@@ -361,6 +361,33 @@ class GvtDdlSpec extends AnyFunSuite {
     }
   }
 
+  test("ADD COLUMNS is atomic: a failing add leaves no partial state") {
+    val root = fresh("addatomic")
+    VersionedTable.write((1 to 10).map(i => (i.toLong, s"s$i")).toDF("k", "s"),
+      root)
+    GraftSession.withExtensions(spark) { sess =>
+      // name clash detected up front: the generated column in the SAME
+      // list must NOT stay registered (r10: registration ran first)
+      val e1 = intercept[IllegalArgumentException] {
+        sess.sql(s"ALTER TABLE gvt.`$root` ADD COLUMNS " +
+          "(g BIGINT GENERATED ALWAYS AS (k * 2), s STRING)")
+      }
+      assert(e1.getMessage.contains("already exist"))
+      assert(VersionedTable.generatedColumns(root).isEmpty)
+      assert(VersionedTable.latestVersion(root).contains(1L))
+      // identity BIGINT check runs BEFORE the schema commit (r10: it ran
+      // after, leaving the column added without its registration)
+      val e2 = intercept[IllegalArgumentException] {
+        sess.sql(s"ALTER TABLE gvt.`$root` ADD COLUMNS " +
+          "(rid INT GENERATED ALWAYS AS IDENTITY)")
+      }
+      assert(e2.getMessage.contains("BIGINT"))
+      assert(VersionedTable.latestVersion(root).contains(1L))
+      assert(VersionedTable.identityColumns(root).isEmpty)
+      assert(!VersionedTable.readLatest(sess, root).columns.contains("rid"))
+    }
+  }
+
   test("column DEFAULT: fills omitted columns at write, explicit NULL " +
       "stays NULL, DROP DEFAULT stops the fill") {
     val root = fresh("dflt")
@@ -499,6 +526,48 @@ class GvtDdlSpec extends AnyFunSuite {
         // maintenance SQL resolves the catalog name too
         assert(sess.sql("DESCRIBE HISTORY gvt_cat_t").count() == 2L)
       } finally sess.sql("DROP TABLE IF EXISTS gvt_cat_t")
+    }
+  }
+
+  test("ALTER COLUMN TYPE: lossless widening without a rewrite; history " +
+    "keeps the narrow type; narrowing refused") {
+    val root = fresh("widen")
+    VersionedTable.write((1 to 30).map(i => (i, i.toFloat / 2, s"s$i"))
+      .toDF("k", "w", "s"), root)                               // v1: int, float
+    val filesBefore = VersionedTable.readLatest(spark, root).inputFiles.toSet
+    GraftSession.withExtensions(spark) { sess =>
+      sess.sql(s"ALTER TABLE gvt.`$root` ALTER COLUMN k TYPE BIGINT").collect()
+      sess.sql(s"ALTER TABLE gvt.`$root` ALTER COLUMN w TYPE DOUBLE").collect()
+      // live schema widened, values intact, no data file rewritten
+      val live = VersionedTable.readLatest(sess, root)
+      assert(live.schema("k").dataType == org.apache.spark.sql.types.LongType)
+      assert(live.schema("w").dataType == org.apache.spark.sql.types.DoubleType)
+      assert(live.count() == 30)
+      assert(live.agg(sum("k")).as[Long].head() == (1 to 30).sum.toLong)
+      assert(filesBefore.subsetOf(live.inputFiles.toSet))
+      // the FILE-RELATION read path widens too (parquet reader promotion)
+      sess.sql(s"CREATE OR REPLACE TEMPORARY VIEW widen_t USING gvt " +
+        s"OPTIONS (path '$root')")
+      assert(sess.sql("SELECT sum(k) AS s FROM widen_t").as[Long].head() ==
+        (1 to 30).sum.toLong)
+      // appends carry the widened type; the union coerces old files
+      VersionedTable.append(Seq((31L, 15.5d, "s31")).toDF("k", "w", "s"), root)
+      assert(VersionedTable.readLatest(sess, root).agg(sum("k"))
+        .as[Long].head() == (1 to 31).sum.toLong)
+      // history keeps the narrow type (time travel)
+      assert(VersionedTable.readVersion(sess, root, 1L).schema("k").dataType ==
+        org.apache.spark.sql.types.IntegerType)
+      // narrowing and lossy changes fail loudly, nothing committed
+      val vBefore = VersionedTable.latestVersion(root).get
+      val e = intercept[IllegalArgumentException] {
+        sess.sql(s"ALTER TABLE gvt.`$root` ALTER COLUMN k TYPE INT").collect()
+      }
+      assert(e.getMessage.contains("widening"))
+      intercept[IllegalArgumentException] {
+        VersionedTable.widenColumnType(sess, root, "s",
+          org.apache.spark.sql.types.LongType)
+      }
+      assert(VersionedTable.latestVersion(root).contains(vBefore))
     }
   }
 
