@@ -1,0 +1,96 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.VersionedTable
+
+/** Incremental corpus dedup against a PERSISTED fingerprint index — the
+  * shape a 100 TB ingestion pipeline actually runs: batches arrive over
+  * days, and each batch must dedup against the WHOLE accepted corpus so
+  * far at O(batch) cost, never by rescanning (or re-pairing) history.
+  *
+  * The index is a gvt table of `(band_id, band, doc_id)` rows — one row
+  * per fingerprint band of each ACCEPTED document. Exact dedup is the
+  * one-band case (`band` = a content hash); near-dup is banded MinHash
+  * or SimHash (any banded scheme whose collision predicate is band
+  * equality). Per ingested batch:
+  *
+  *  1. intra-batch: a document is dropped when any of its bands equals
+  *     a band of a SMALLER-id document in the same batch (the
+  *     bucket-min rule — deterministic and order-free, so the whole
+  *     batch resolves in one `groupBy(band)` + join, no sequential
+  *     greedy pass; on exact hashes it equals classic keep-first,
+  *     on banded near-dup it is RefinedWeb's "keep the bucket minimum",
+  *     slightly more aggressive than sequential-greedy on collision
+  *     CHAINS, documented contract);
+  *  2. cross-batch: dropped when any band equals an INDEX band — an
+  *     equi-join on `(band_id, band)` against the index table;
+  *  3. the survivors' bands APPEND to the index as one O(batch) commit
+  *     (first ingest creates the table, hive-partitioned by `band_id`),
+  *     and the survivors are returned for the caller's corpus append.
+  *
+  * Scale shape: everything is equi-joins and per-bucket aggregates on
+  * the band key — map-side combinable, no all-pairs product, no driver
+  * state; the index side arrives pre-partitioned by `band_id` and a
+  * cluster deployment would additionally bucket it by `band` so the
+  * candidate probe co-locates (the one shuffle left is batch-sized).
+  * Crash safety rides the gvt commit protocol: the index append is one
+  * atomic commit, so a re-run of a failed ingest re-dedups against the
+  * last committed index state instead of observing half a batch. */
+object IncrementalDedup {
+
+  /** Melt a signature frame `(doc_id, <bandCols…>)` into the index row
+    * shape `(band_id, band, doc_id)`. NULL bands are dropped — a NULL
+    * fingerprint (e.g. md5 of a NULL text) matches nothing. */
+  def meltBands(sigs: DataFrame, bandCols: Seq[String]): DataFrame = {
+    require(bandCols.nonEmpty, "meltBands: no band columns")
+    sigs.select(col("doc_id"),
+      explode(array(bandCols.zipWithIndex.map { case (c, i) =>
+        struct(lit(i).as("band_id"), col(c).cast("string").as("band"))
+      }: _*)).as("b"))
+      .select(col("b.band_id").as("band_id"), col("b.band").as("band"),
+        col("doc_id"))
+      .filter(col("band").isNotNull)
+  }
+
+  /** Ingest one batch: returns the ACCEPTED rows of `sigs` (all its
+    * columns) and appends their bands to the index at `indexRoot`.
+    * `sigs` must carry a unique `doc_id` plus the band columns. */
+  def ingest(spark: SparkSession, indexRoot: String,
+             sigs: DataFrame, bandCols: Seq[String]): DataFrame = {
+    // one narrow batch-sized table consumed three times (intra minima,
+    // cross probe, index append) — materialize once, the same
+    // signature-table break every production dedup pipeline has
+    val bb = meltBands(sigs, bandCols).localCheckpoint()
+    // rule 1: bucket-min within the batch
+    val intraHit = bb.as("x")
+      .join(bb.groupBy(col("band_id"), col("band"))
+          .agg(min(col("doc_id")).as("mn")),
+        Seq("band_id", "band"))
+      .filter(col("doc_id") > col("mn"))
+      .select(col("doc_id"))
+    // rule 2: any band already in the accepted-corpus index
+    val exists = VersionedTable.latestVersion(indexRoot).isDefined
+    val crossHit =
+      if (!exists) intraHit.limit(0)
+      else bb.join(VersionedTable.readLatest(spark, indexRoot),
+          Seq("band_id", "band"), "left_semi")
+        .select(col("doc_id"))
+    val dropped = intraHit.union(crossHit).distinct()
+    val accepted = sigs.join(dropped, Seq("doc_id"), "left_anti")
+      .localCheckpoint() // consumed twice: index append + caller
+    val newBands = bb.join(accepted.select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+      .select(col("band_id"), col("band"), col("doc_id"))
+      .localCheckpoint()
+    // a fully-deduped batch changes no state: committing its zero rows
+    // would be a fileless dynamic-partition write (no schema carrier)
+    if (!newBands.isEmpty) {
+      if (exists) VersionedTable.append(newBands, indexRoot,
+        operation = "DEDUP_INGEST")
+      else VersionedTable.write(newBands, indexRoot,
+        partitionBy = Seq("band_id"), operation = "DEDUP_INGEST")
+    }
+    accepted
+  }
+}

@@ -67,6 +67,32 @@ object LlmQueries {
     * DISTINCT-over-candidates shuffle — the same residual-predicate
     * pattern as simhash64Pairs/mtSrpPairs; at corpus scale the distinct
     * would re-shuffle every candidate pair. */
+  /** The 3-batch incremental-ingest corpus: per batch a fresh slice of
+    * `documents` plus deterministic duplicate injections — cross-batch
+    * exact copies (+10000/+30000/+40000 ids), intra-batch exact copies
+    * (+20000), and a MUTATED near-copy class (+40000: text with an
+    * appended tail — distinct exact hash, mostly-shared shingles).
+    * Shared by q_dedup_incremental (exact) and
+    * q_dedup_incremental_lsh; the oracles replay the identical
+    * construction. */
+  private def ingestBatches(s: SparkSession, dir: String): Seq[DataFrame] = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .filter(col("text").isNotNull)
+    val b1 = d.filter(col("doc_id") % 3 === 0)
+    val b2 = d.filter(col("doc_id") % 3 === 1)
+      .union(d.filter(col("doc_id") % 6 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      .union(d.filter(col("doc_id") % 3 === 1 && col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+    val b3 = d.filter(col("doc_id") % 3 === 2)
+      .union(d.filter(col("doc_id") % 3 === 1 && col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 30000).as("doc_id"), col("text")))
+      .union(d.filter(col("doc_id") % 12 === 0)
+        .select((col("doc_id") + 40000).as("doc_id"),
+          concat(col("text"), lit(" appended tail")).as("text")))
+    Seq(b1, b2, b3)
+  }
+
   private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     val sig = minhashSignatures(t(s, dir, "documents")).localCheckpoint()
     val a = sig.as("a"); val b = sig.as("b")
@@ -807,6 +833,49 @@ object LlmQueries {
       graft.llm.ClusterOps.assignClusters(t(s, dir, "documents"), minhashPairs(s, dir))
         .orderBy(col("doc_id"))),
 
+    // INCREMENTAL dedup against a PERSISTED fingerprint index — the
+    // 100 TB ingestion shape: three batches (fresh docs + deterministic
+    // duplicate injections, cross-batch and intra-batch) ingest
+    // sequentially through graft.llm.IncrementalDedup over a gvt index
+    // table; each batch dedups against the WHOLE accepted corpus so far
+    // at O(batch) equi-join cost — history is never rescanned or
+    // re-paired. Exact variant: one band = md5(text). The accepted set
+    // must equal the first-(batch, doc_id)-occurrence rule per content
+    // hash.
+    "q_dedup_incremental" -> ((s, dir) => {
+      val idx = java.nio.file.Files.createTempDirectory("graft_incdex")
+        .toString
+      cleanupAtExit(idx)
+      val out = ingestBatches(s, dir).zipWithIndex.map { case (b, i) =>
+        graft.llm.IncrementalDedup.ingest(s, s"$idx/t",
+          b.withColumn("fp", md5(col("text"))), Seq("fp"))
+          .select(lit(i + 1L).as("batch_no"), col("doc_id"))
+      }
+      out.reduce(_.union(_)).orderBy(col("batch_no"), col("doc_id"))
+    }),
+
+    // The near-dup variant: the same three batches fingerprinted with
+    // the banded MinHash signature table (2 bands × 4 sigs — the
+    // q_dedup_minhash geometry) plus mutated near-copies; a document
+    // drops when ANY band collides with the index or with a smaller-id
+    // same-batch document (bucket-min). Only documents long enough to
+    // carry a signature participate (the signature table's own
+    // contract); the oracle replays the identical md5 arithmetic, so
+    // whether a mutated copy lands in a shared band is deterministic
+    // and engine-independent.
+    "q_dedup_incremental_lsh" -> ((s, dir) => {
+      val idx = java.nio.file.Files.createTempDirectory("graft_incdexl")
+        .toString
+      cleanupAtExit(idx)
+      val out = ingestBatches(s, dir).zipWithIndex.map { case (b, i) =>
+        graft.llm.IncrementalDedup.ingest(s, s"$idx/t",
+          minhashSignatures(b).select(col("doc_id"), col("band0"), col("band1")),
+          Seq("band0", "band1"))
+          .select(lit(i + 1L).as("batch_no"), col("doc_id"))
+      }
+      out.reduce(_.union(_)).orderBy(col("batch_no"), col("doc_id"))
+    }),
+
     // Corpus MIXING to target source proportions — the domain-weighting
     // step of training-data assembly (Pile/DoReMi-style): given integer
     // weights per source (here a deterministic 1..3 derived from the
@@ -1522,6 +1591,21 @@ object LlmQueries {
       s"list_min(list_transform(hs, h -> (h * $a + $b) % ${graft.llm.TextOps.MinhashP})) AS sig$k"
   }.mkString(",\n         |    ")
 
+  /** The ingestBatches construction, replayed (see the Spark helper). */
+  private val CORPUS_SQL =
+    """d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+      |corpus AS (
+      |  SELECT 1 AS batch_no, doc_id, text FROM d WHERE doc_id % 3 = 0
+      |  UNION ALL SELECT 2, doc_id, text FROM d WHERE doc_id % 3 = 1
+      |  UNION ALL SELECT 2, doc_id + 10000, text FROM d WHERE doc_id % 6 = 0
+      |  UNION ALL SELECT 2, doc_id + 20000, text FROM d
+      |    WHERE doc_id % 3 = 1 AND doc_id % 5 = 0
+      |  UNION ALL SELECT 3, doc_id, text FROM d WHERE doc_id % 3 = 2
+      |  UNION ALL SELECT 3, doc_id + 30000, text FROM d
+      |    WHERE doc_id % 3 = 1 AND doc_id % 7 = 0
+      |  UNION ALL SELECT 3, doc_id + 40000, text || ' appended tail' FROM d
+      |    WHERE doc_id % 12 = 0)""".stripMargin
+
   // lazy: references SHINGLES/W declared later in the object
   private lazy val SIG_CTE: String =
     s"""WITH base AS (
@@ -1900,6 +1984,78 @@ object LlmQueries {
          |FROM bands a JOIN bands b
          |  ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Exact incremental ingest: the contract (bucket-min intra-batch +
+    // index anti-join cross-batch, index = accepted docs' hashes) is
+    // EXACTLY the first-(batch, doc_id)-occurrence rule per content
+    // hash — on a single exact band, the first batch's bucket minimum
+    // is always accepted, so every seen hash is indexed.
+    "q_dedup_incremental" ->
+      s"""WITH $CORPUS_SQL,
+         |r AS (SELECT batch_no, doc_id,
+         |    row_number() OVER (PARTITION BY md5(text)
+         |      ORDER BY batch_no, doc_id) AS rn
+         |  FROM corpus)
+         |SELECT CAST(batch_no AS BIGINT) AS batch_no, doc_id
+         |FROM r WHERE rn = 1 ORDER BY batch_no, doc_id""".stripMargin,
+
+    // Banded near-dup incremental ingest: the per-batch acceptance
+    // unrolls exactly the operator's two rules — NOT EXISTS a shared
+    // band with a previously-ACCEPTED doc, NOT EXISTS a shared band
+    // with a smaller-id SAME-batch doc (bucket-min; all batch docs, not
+    // just accepted ones). Only signature-bearing docs (≥ 3 words)
+    // participate, the signature table's own contract.
+    "q_dedup_incremental_lsh" ->
+      s"""WITH $CORPUS_SQL,
+         |base AS (
+         |  SELECT doc_id, $SHINGLES AS sh
+         |  FROM (SELECT doc_id, $W AS w FROM corpus)),
+         |hashed AS (
+         |  SELECT doc_id, list_transform(sh,
+         |    s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % ${graft.llm.TextOps.MinhashP}) AS hs
+         |  FROM base WHERE len(sh) >= 1),
+         |sig AS (
+         |  SELECT doc_id,
+         |    $SIG_LINES
+         |  FROM hashed),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_id, md5(concat_ws('|', sig0, sig1, sig2, sig3)) AS bkey FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS band_id, md5(concat_ws('|', sig4, sig5, sig6, sig7)) AS bkey FROM sig),
+         |m AS (SELECT c.batch_no, c.doc_id FROM corpus c
+         |  JOIN (SELECT DISTINCT doc_id FROM sig) s USING (doc_id)),
+         |acc1 AS (SELECT doc_id FROM m WHERE batch_no = 1 AND NOT EXISTS (
+         |    SELECT 1 FROM bands x JOIN bands y
+         |      ON x.band_id = y.band_id AND x.bkey = y.bkey
+         |    WHERE x.doc_id = m.doc_id AND y.doc_id < m.doc_id
+         |      AND y.doc_id IN (SELECT doc_id FROM m WHERE batch_no = 1))),
+         |acc2 AS (SELECT doc_id FROM m WHERE batch_no = 2
+         |  AND NOT EXISTS (
+         |    SELECT 1 FROM bands x JOIN bands y
+         |      ON x.band_id = y.band_id AND x.bkey = y.bkey
+         |    WHERE x.doc_id = m.doc_id
+         |      AND y.doc_id IN (SELECT doc_id FROM acc1))
+         |  AND NOT EXISTS (
+         |    SELECT 1 FROM bands x JOIN bands y
+         |      ON x.band_id = y.band_id AND x.bkey = y.bkey
+         |    WHERE x.doc_id = m.doc_id AND y.doc_id < m.doc_id
+         |      AND y.doc_id IN (SELECT doc_id FROM m WHERE batch_no = 2))),
+         |acc3 AS (SELECT doc_id FROM m WHERE batch_no = 3
+         |  AND NOT EXISTS (
+         |    SELECT 1 FROM bands x JOIN bands y
+         |      ON x.band_id = y.band_id AND x.bkey = y.bkey
+         |    WHERE x.doc_id = m.doc_id
+         |      AND y.doc_id IN (SELECT doc_id FROM acc1
+         |                       UNION ALL SELECT doc_id FROM acc2))
+         |  AND NOT EXISTS (
+         |    SELECT 1 FROM bands x JOIN bands y
+         |      ON x.band_id = y.band_id AND x.bkey = y.bkey
+         |    WHERE x.doc_id = m.doc_id AND y.doc_id < m.doc_id
+         |      AND y.doc_id IN (SELECT doc_id FROM m WHERE batch_no = 3)))
+         |SELECT CAST(m.batch_no AS BIGINT) AS batch_no, m.doc_id FROM m
+         |JOIN (SELECT doc_id FROM acc1 UNION ALL SELECT doc_id FROM acc2
+         |      UNION ALL SELECT doc_id FROM acc3) a USING (doc_id)
+         |ORDER BY batch_no, doc_id""".stripMargin,
 
     // Window-minima via list_slice over an index range; same base-hash
     // chain as the minhash CTE (md5 → 60-bit int → mod p).

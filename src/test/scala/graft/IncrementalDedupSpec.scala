@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.llm.IncrementalDedup
+import graft.sources.VersionedTable
+
+/** Incremental dedup against a persisted gvt fingerprint index: the
+  * batch-over-batch ingestion contract (bucket-min intra-batch, index
+  * anti-join cross-batch), index growth, and idempotent re-ingest. */
+class IncrementalDedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fresh(tag: String) =
+    Files.createTempDirectory(s"graft_$tag").toString + "/t"
+
+  private def fp(df: org.apache.spark.sql.DataFrame) =
+    df.withColumn("fp", md5(col("text")))
+
+  test("exact: cross-batch and intra-batch duplicates drop; the index " +
+    "grows by accepted docs only; re-ingest is a full drop") {
+    val idx = fresh("incdedup")
+    val b1 = Seq((1L, "a b c"), (2L, "d e f")).toDF("doc_id", "text")
+    val a1 = IncrementalDedup.ingest(spark, idx, fp(b1), Seq("fp"))
+    assert(a1.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    assert(VersionedTable.readLatest(spark, idx).count() == 2)
+    val b2 = Seq(
+      (3L, "a b c"),  // cross dup of doc 1
+      (4L, "g h i"),  // fresh
+      (5L, "g h i"),  // intra dup of doc 4 (smaller id wins)
+      (6L, "d e f")   // cross dup of doc 2
+    ).toDF("doc_id", "text")
+    val a2 = IncrementalDedup.ingest(spark, idx, fp(b2), Seq("fp"))
+    assert(a2.select("doc_id").as[Long].collect().toSet == Set(4L))
+    // index: one row per accepted doc's band
+    val ix = VersionedTable.readLatest(spark, idx)
+    assert(ix.count() == 3)
+    assert(ix.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 4L))
+    // idempotency: re-ingesting an already-accepted corpus drops all
+    val a3 = IncrementalDedup.ingest(spark, idx,
+      fp(Seq((7L, "a b c"), (8L, "g h i")).toDF("doc_id", "text")), Seq("fp"))
+    assert(a3.isEmpty)
+    assert(VersionedTable.readLatest(spark, idx).count() == 3)
+    // one atomic gvt commit per batch that accepted anything; the
+    // fully-deduped re-ingest committed nothing
+    assert(VersionedTable.committedVersions(idx).size == 2)
+  }
+
+  test("banded: ANY shared band drops; bucket-min resolves chains " +
+    "deterministically (documented: drops the whole chain tail)") {
+    val idx = fresh("incdedupb")
+    // bands as plain columns: A(x,p) B(x,y) C(q,y) — B collides with A
+    // on band0, C collides with B on band1: bucket-min drops BOTH B and
+    // C (C's band1 bucket min is B regardless of B's own fate)
+    val batch = Seq(
+      (10L, "x", "p"), (11L, "x", "y"), (12L, "q", "y"), (13L, "r", "s")
+    ).toDF("doc_id", "band0", "band1")
+    val a = IncrementalDedup.ingest(spark, idx, batch, Seq("band0", "band1"))
+    assert(a.select("doc_id").as[Long].collect().toSet == Set(10L, 13L))
+    // a later batch colliding on EITHER band of an accepted doc drops
+    val b2 = Seq((20L, "zz", "p"), (21L, "r", "zz2"), (22L, "f", "g"))
+      .toDF("doc_id", "band0", "band1")
+    val a2 = IncrementalDedup.ingest(spark, idx, b2, Seq("band0", "band1"))
+    assert(a2.select("doc_id").as[Long].collect().toSet == Set(22L))
+    // the index is hive-partitioned by band_id (the scale layout)
+    assert(VersionedTable.partColsOf(new org.apache.hadoop.fs.Path(
+      s"$idx/v=1")) == Seq("band_id"))
+  }
+
+  test("NULL fingerprints never match anything (and are not indexed)") {
+    val idx = fresh("incdedupn")
+    val batch = Seq((1L, Some("x")), (2L, None), (3L, None))
+      .toDF("doc_id", "band0")
+    val a = IncrementalDedup.ingest(spark, idx, batch, Seq("band0"))
+    assert(a.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    assert(VersionedTable.readLatest(spark, idx).count() == 1)
+  }
+}
