@@ -55,9 +55,13 @@ object IncrementalDedup {
 
   /** Ingest one batch: returns the ACCEPTED rows of `sigs` (all its
     * columns) and appends their bands to the index at `indexRoot`.
-    * `sigs` must carry a unique `doc_id` plus the band columns. */
+    * `sigs` must carry a unique `doc_id` plus the band columns.
+    * `txn` optionally stamps the index commit with a
+    * [[VersionedTable.txnKey]] watermark (the replay guard
+    * [[ingestReplaySafe]] builds on). */
   def ingest(spark: SparkSession, indexRoot: String,
-             sigs: DataFrame, bandCols: Seq[String]): DataFrame = {
+             sigs: DataFrame, bandCols: Seq[String],
+             txn: Option[(String, Long)] = None): DataFrame = {
     // one narrow batch-sized table consumed three times (intra minima,
     // cross probe, index append) — materialize once, the same
     // signature-table break every production dedup pipeline has
@@ -86,11 +90,57 @@ object IncrementalDedup {
     // a fully-deduped batch changes no state: committing its zero rows
     // would be a fileless dynamic-partition write (no schema carrier)
     if (!newBands.isEmpty) {
+      val meta = txn.map { case (app, v) =>
+        VersionedTable.txnKey(app) -> v.toString }.toMap
       if (exists) VersionedTable.append(newBands, indexRoot,
-        operation = "DEDUP_INGEST")
+        metaFiles = meta, operation = "DEDUP_INGEST")
       else VersionedTable.write(newBands, indexRoot,
-        partitionBy = Seq("band_id"), operation = "DEDUP_INGEST")
+        partitionBy = Seq("band_id"), metaFiles = meta,
+        operation = "DEDUP_INGEST")
     }
     accepted
+  }
+
+  /** Replay-safe streaming ingest (`foreachBatch` body): dedups the
+    * batch, appends the survivors' bands to the index AND the
+    * survivors' rows (minus the band columns) to the corpus table, with
+    * per-table `txnKey(appId) = batchId` watermarks so a RETRIED micro
+    * batch converges instead of corrupting either table. The two
+    * appends cannot be one atomic commit (two tables), so every
+    * crash point replays cleanly:
+    *   - before the index commit: recompute — the index is unchanged,
+    *     the same accepted set falls out;
+    *   - between index and corpus commits: the index watermark says the
+    *     batch's bands landed, and the accepted set is RECOVERED from
+    *     the index itself (its rows carry doc_id; batch ids are unique
+    *     corpus-wide) — recomputing instead would dedup the batch
+    *     against its own bands and drop everything;
+    *   - after the corpus commit: the corpus watermark skips the batch
+    *     entirely.
+    * A fully-deduped batch commits nothing anywhere and replays as the
+    * same no-op. */
+  def ingestReplaySafe(spark: SparkSession, indexRoot: String,
+                       corpusRoot: String, sigs: DataFrame,
+                       bandCols: Seq[String], appId: String,
+                       batchId: Long): Unit = {
+    if (VersionedTable.txnVersion(corpusRoot, appId).exists(_ >= batchId))
+      return // fully applied
+    val ixDone = VersionedTable.txnVersion(indexRoot, appId).exists(_ >= batchId)
+    val accepted =
+      if (ixDone)
+        sigs.join(VersionedTable.readLatest(spark, indexRoot)
+            .select(col("doc_id")).distinct(),
+          Seq("doc_id"), "left_semi")
+      else ingest(spark, indexRoot, sigs, bandCols,
+        txn = Some(appId -> batchId))
+    val rows = accepted.drop(bandCols: _*)
+    if (!rows.isEmpty) {
+      val meta = Map(VersionedTable.txnKey(appId) -> batchId.toString)
+      if (VersionedTable.latestVersion(corpusRoot).isDefined)
+        VersionedTable.append(rows, corpusRoot, metaFiles = meta,
+          operation = "DEDUP_CORPUS")
+      else VersionedTable.write(rows, corpusRoot, metaFiles = meta,
+        operation = "DEDUP_CORPUS")
+    }
   }
 }
