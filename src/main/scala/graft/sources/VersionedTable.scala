@@ -737,28 +737,71 @@ object VersionedTable {
   /** The logical→physical column mapping of one commit: `active` in
     * logical schema order; `retired` = physical names that must never
     * be re-allocated (dropped columns' storage). */
+  /** `ids`: physical name → STABLE field id (id mode only; empty = name
+    * mode). Ids ride with their physical name for life — a retired
+    * physical keeps its id so no future column can ever reuse it. */
   private[graft] case class Colmap(active: Seq[(String, String)],
-                                   retired: Set[String])
+                                   retired: Set[String],
+                                   ids: Map[String, Int] = Map.empty)
 
   private def serializeColmap(cm: Colmap): String =
-    (cm.active.map { case (l, p) => s"$l\t$p" } ++
-      cm.retired.toSeq.sorted.map(p => s"\t$p")).mkString("\n")
+    (cm.active.map { case (l, p) =>
+      cm.ids.get(p).map(id => s"$l\t$p\t$id").getOrElse(s"$l\t$p") } ++
+      cm.retired.toSeq.sorted.map(p =>
+        cm.ids.get(p).map(id => s"\t$p\t$id").getOrElse(s"\t$p")))
+      .mkString("\n")
 
   private def parseColmap(s: String): Colmap = {
     val lines = s.linesIterator.toSeq.filter(_.nonEmpty)
     val (ret, act) = lines.partition(_.startsWith("\t"))
-    Colmap(act.map { ln =>
-      val i = ln.indexOf('\t')
-      require(i > 0, s"malformed _colmap line: '$ln'")
-      (ln.substring(0, i), ln.substring(i + 1))
-    }, ret.map(_.stripPrefix("\t")).toSet)
+    var ids = Map.empty[String, Int]
+    val active = act.map { ln =>
+      val parts = ln.split('\t')
+      require(parts.length >= 2 && parts(0).nonEmpty,
+        s"malformed _colmap line: '$ln'")
+      if (parts.length >= 3) ids += (parts(1) -> parts(2).toInt)
+      (parts(0), parts(1))
+    }
+    val retired = ret.map { ln =>
+      val parts = ln.split('\t') // leading \t → parts(0) = ""
+      require(parts.length >= 2, s"malformed _colmap line: '$ln'")
+      if (parts.length >= 3) ids += (parts(1) -> parts(2).toInt)
+      parts(1)
+    }.toSet
+    Colmap(active, retired, ids)
   }
 
-  /** Is the column-mapping table property set? Gates NEW drops/renames
+  /** The column-mapping mode the table property requests: `name` or
+    * `id` (id = name-mode semantics PLUS stable field ids written into
+    * every data file's parquet schema — the Delta columnMapping=id
+    * analogue, for engines that resolve columns by field id and survive
+    * physical-name rewrites). None = unmapped. */
+  def columnMappingMode(root: String): Option[String] =
+    tblProperties(root).get("gvt.columnMapping")
+      .filter(m => m == "name" || m == "id")
+
+  /** Is a column-mapping table property set? Gates NEW drops/renames
     * only — an already-mapped chain keeps resolving through its
     * committed `_colmap`s regardless. */
   def columnMappingActive(root: String): Boolean =
-    tblProperties(root).get("gvt.columnMapping").contains("name")
+    columnMappingMode(root).isDefined
+
+  /** In id mode, make sure every physical the mapping knows carries a
+    * field id (assigns schema-order ids on first materialization, and
+    * upgrades a name-mode mapping in place — ids attach to physicals
+    * that never change, so the upgrade is monotone). */
+  private def ensureIds(cm: Colmap, root: String): Colmap =
+    if (!columnMappingMode(root).contains("id")) cm
+    else {
+      val missing = (cm.active.map(_._2) ++ cm.retired.toSeq)
+        .filterNot(cm.ids.contains)
+      if (missing.isEmpty) cm
+      else {
+        var next = (cm.ids.values ++ Seq(0)).max + 1
+        cm.copy(ids = cm.ids ++ missing.map { p =>
+          val v = next; next += 1; p -> v })
+      }
+    }
 
   /** The newest `_colmap` at or below logical snapshot `version` —
     * cumulative, so the first one found on the newest-first chain walk
@@ -804,11 +847,11 @@ object VersionedTable {
                             op: String): (DataFrame, Colmap, Seq[String]) = {
     require(columnMappingActive(root),
       s"$root: $op requires column mapping — run ALTER TABLE … SET " +
-        "TBLPROPERTIES ('gvt.columnMapping' = 'name') first (the Delta " +
-        "columnMapping.mode contract)")
+        "TBLPROPERTIES ('gvt.columnMapping' = 'name') (or 'id') first " +
+        "(the Delta columnMapping.mode contract)")
     val live = readVersion(spark, root, base)
-    val cm0 = colmapAt(root, base).getOrElse(
-      Colmap(live.columns.toSeq.map(c => (c, c)), Set.empty))
+    val cm0 = ensureIds(colmapAt(root, base).getOrElse(
+      Colmap(live.columns.toSeq.map(c => (c, c)), Set.empty)), root)
     val act = cm0.active.toMap
     val parts = partColsOf(new HPath(dataDirsOf(root, base).head))
     val refs = (constraints(root).values ++ generatedColumns(root).values ++
@@ -841,7 +884,7 @@ object VersionedTable {
       "dropColumns: cannot drop every column")
     val act = cm0.active.toMap
     val remaining = cm0.active.filterNot { case (l, _) => cols.contains(l) }
-    val cm = Colmap(remaining, cm0.retired ++ cols.map(act))
+    val cm = Colmap(remaining, cm0.retired ++ cols.map(act), cm0.ids)
     val slice = live.limit(0).select(remaining.map { case (l, _) =>
       org.apache.spark.sql.functions.col(l) }: _*)
     write(slice, root, allowEvolution = true,
@@ -865,7 +908,7 @@ object VersionedTable {
     require(!cm0.active.exists(_._1.equalsIgnoreCase(to)),
       s"renameColumn: column $to already exists")
     val cm = Colmap(cm0.active.map { case (l, p) =>
-      if (l == from) (to, p) else (l, p) }, cm0.retired)
+      if (l == from) (to, p) else (l, p) }, cm0.retired, cm0.ids)
     val slice = live.limit(0).withColumnRenamed(from, to)
     write(slice, root, allowEvolution = true,
       metaFiles = Map("_parent" -> base.toString,
@@ -1062,20 +1105,41 @@ object VersionedTable {
     try {
       val (dfW, partsW, statsW, metaW) = cmPrior match {
         case None => (df, partitionBy, statsCols, metaFiles1)
-        case Some(prior) =>
-          val cm =
+        case Some(prior0) =>
+          // id mode: every physical (incl. the adds below) carries a
+          // stable field id; ids attach to physicals, which never
+          // change, so a name-mode chain upgrades monotonically
+          val prior = ensureIds(prior0, root)
+          val cm = ensureIds(
             if (metaFiles.contains("_colmap")) prior
             else {
               val known = prior.active.map(_._1).toSet
               val used = prior.active.map(_._2).toSet ++ prior.retired
               val adds = df.schema.fieldNames.toSeq.filterNot(known).map { n =>
                 n -> (if (used(n)) s"${n}_c$next" else n) }
-              Colmap(prior.active ++ adds, prior.retired)
-            }
+              Colmap(prior.active ++ adds, prior.retired, prior.ids)
+            }, root)
           val physOf = cm.active.toMap
           import org.apache.spark.sql.functions.col
-          (df.select(df.columns.map(c =>
-              col(c).as(physOf.getOrElse(c, c))).toSeq: _*),
+          // physical rename + (id mode) parquet field-id metadata:
+          // Spark's parquet writer honors the `parquet.field.id`
+          // field metadata, so every data file carries the stable ids
+          // and an id-resolving engine survives physical-name drift
+          val renamed = df.select(df.columns.map(c =>
+            col(c).as(physOf.getOrElse(c, c))).toSeq: _*)
+          val withIds =
+            if (cm.ids.isEmpty) renamed
+            else renamed.select(renamed.schema.fields.map { f =>
+              cm.ids.get(f.name) match {
+                case Some(id) =>
+                  val md = new org.apache.spark.sql.types.MetadataBuilder()
+                    .withMetadata(f.metadata)
+                    .putLong("parquet.field.id", id.toLong).build()
+                  col(f.name).as(f.name, md)
+                case None => col(f.name)
+              }
+            }.toSeq: _*)
+          (withIds,
             partitionBy.map(c => physOf.getOrElse(c, c)),
             statsCols.map(c => physOf.getOrElse(c, c)),
             metaFiles1 + ("_colmap" -> serializeColmap(cm)))
@@ -2474,7 +2538,8 @@ object VersionedTable {
         val curPhys = cur.map(c => c.active.map(_._2).toSet ++ c.retired)
           .getOrElse(Set.empty)
         Map("_colmap" -> serializeColmap(Colmap(t.active,
-          (t.retired ++ curPhys) -- t.active.map(_._2).toSet)))
+          (t.retired ++ curPhys) -- t.active.map(_._2).toSet,
+          t.ids ++ cur.map(_.ids).getOrElse(Map.empty))))
       }
     write(readVersion(spark, root, version), root, allowEvolution = true,
       metaFiles = meta, operation = s"RESTORE(v=$version)",

@@ -324,6 +324,65 @@ class ColumnMappingSpec extends AnyFunSuite {
     }
   }
 
+  test("columnMapping=id: stable field ids ride every data file, never " +
+    "reused across drop/re-add; an id-resolving reader survives " +
+    "physical-name rewrites") {
+    val root = fresh("cmid")
+    VersionedTable.write((1 to 20).map(i => (i.toLong, i.toLong * 10, s"s$i"))
+      .toDF("k", "w", "s"), root)                                   // v1
+    VersionedTable.setTblProperties(root, Map("gvt.columnMapping" -> "id"))
+    VersionedTable.renameColumn(spark, root, "w", "val2")           // v2: ids materialize
+    VersionedTable.append((21 to 25).map(i => (i.toLong, i.toLong * 10, s"s$i"))
+      .toDF("k", "val2", "s"), root)                                // v3
+    // the id-mode batch's parquet files carry the field ids (Spark
+    // round-trips the field metadata through the footer)
+    val v3file = new java.io.File(s"$root/v=3").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.toString
+    val sc3 = spark.read.parquet(v3file).schema
+    val ids3 = sc3.fields.map(f =>
+      f.name -> f.metadata.getLong("parquet.field.id")).toMap
+    assert(ids3.keySet == Set("k", "w", "s")) // physical names
+    assert(ids3.values.toSeq.distinct.size == 3)
+    // semantics match name mode: rename is O(1), values intact
+    assert(VersionedTable.readLatest(spark, root).agg(sum("val2"))
+      .as[Long].head() == (1 to 25).map(_ * 10L).sum)
+    // drop + re-add: the fresh physical takes a FRESH id (never reuse)
+    VersionedTable.dropColumns(spark, root, Seq("s"))               // v4
+    VersionedTable.append(
+      (26 to 28).map(i => (i.toLong, i.toLong * 10, s"n$i"))
+        .toDF("k", "val2", "s"), root, allowEvolution = true)       // v5
+    val cm = {
+      val m = VersionedTable.colmapAt(root,
+        VersionedTable.latestVersion(root).get).get
+      assert(m.ids.contains("s")) // retired physical keeps its id
+      m
+    }
+    val freshPhys = cm.active.toMap.apply("s")
+    assert(freshPhys != "s")
+    assert(cm.ids(freshPhys) != cm.ids("s"))
+    assert(cm.ids(freshPhys) > cm.ids.values.filterNot(_ == cm.ids(freshPhys)).max)
+    // external-engine simulation: rewrite a data file with JUNK column
+    // names but the same field ids — an id-resolving read (the Delta
+    // columnMapping=id interop contract) still lands every value
+    val rew = Files.createTempDirectory("graft_cmid_rw").toString
+    val junk = spark.read.parquet(s"$root/v=3") // whole batch, all part files
+    junk.select(junk.schema.fields.zipWithIndex.map { case (f, i) =>
+      col(f.name).as(s"junk_$i", f.metadata) }.toSeq: _*)
+      .write.mode("overwrite").parquet(rew)
+    val idSchema = org.apache.spark.sql.types.StructType(sc3.fields)
+    val prev = spark.conf.getOption("spark.sql.parquet.fieldId.read.enabled")
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    try {
+      val back = spark.read.schema(idSchema).parquet(rew)
+      assert(back.agg(sum("w")).as[Long].head() == (21 to 25).map(_ * 10L).sum)
+      assert(back.select("s").as[String].collect().toSet ==
+        (21 to 25).map(i => s"s$i").toSet)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.parquet.fieldId.read.enabled", v)
+      case None => spark.conf.unset("spark.sql.parquet.fieldId.read.enabled")
+    }
+  }
+
   test("guards: partition columns and constraint/generated references " +
       "refuse to drop or rename") {
     val root = fresh("cmguard")
