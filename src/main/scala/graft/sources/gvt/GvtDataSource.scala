@@ -3,7 +3,7 @@ package graft.sources.gvt
 import org.apache.hadoop.fs.Path
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SQLContext, SaveMode, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, InMemoryFileIndex, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.streaming.{Sink, Source}
@@ -458,7 +458,7 @@ class GvtFileIndex(
     // survive; dirs without a bloom keep everything (sound). A false
     // positive costs a wasted scan, never a wrong answer — the scan
     // still evaluates the full residual filter.
-    val eqs = if (tableRoot.isEmpty) Map.empty[String, Any]
+    val eqs = if (tableRoot.isEmpty) Map.empty[String, Seq[Any]]
       else GvtFilters.equalities(dataFilters)
     val base =
       if (eqs.isEmpty) base0
@@ -466,10 +466,18 @@ class GvtFileIndex(
         val keep: String => Boolean = {
           val perDir = roots.map { r =>
             val dir = r.toString
+            // per column: a file survives if its bloom may contain ANY
+            // of the value set (IN-list = union of per-value probes);
+            // across columns the sets intersect. An EMPTY value set
+            // (conjuncts proved contradictory) keeps zero files.
             val cands: Seq[Option[Set[String]]] = eqs.toSeq.map {
-              case (c, v) =>
-                VersionedTable.bloomCandidates(spark, dir, c, v)
-                  .map(_.map(f => new Path(f).toUri.getPath))
+              case (_, vs) if vs.isEmpty => Some(Set.empty[String])
+              case (c, vs) =>
+                val per = vs.map(v =>
+                  VersionedTable.bloomCandidates(spark, dir, c, v))
+                if (per.exists(_.isEmpty)) None // no bloom for the column
+                else Some(per.flatten.reduce(_ union _)
+                  .map(f => new Path(f).toUri.getPath))
             }
             dir -> cands.flatten.reduceOption(_ intersect _)
           }.toMap
@@ -598,20 +606,41 @@ private[gvt] object GvtFilters {
     * a cast would change the type the bloom collection hashed) with
     * the external-typed probe value. Used for Bloom-filter file
     * skipping; unsupported shapes simply contribute nothing. */
-  def equalities(filters: Seq[Expression]): Map[String, Any] = {
-    val out = scala.collection.mutable.Map.empty[String, Any]
+  /** Per-column equality VALUE SETS from pushed conjuncts: `=` gives a
+    * singleton, `IN (…)` its literal list (capped — every value costs a
+    * bloom probe per file). A file survives bloom skipping if it may
+    * contain ANY of a column's values; multiple conjuncts on one column
+    * intersect (the tightest sound set — an empty intersection proves
+    * no file can match). */
+  def equalities(filters: Seq[Expression]): Map[String, Seq[Any]] = {
+    val maxInList = 64
+    val out = scala.collection.mutable.Map.empty[String, Seq[Any]]
     def ext(v: Any): Option[Any] = v match {
       case s: org.apache.spark.unsafe.types.UTF8String => Some(s.toString)
       case n @ (_: Int | _: Long | _: Short | _: Byte | _: Float |
                 _: Double | _: Boolean) => Some(n)
       case _ => None
     }
+    def add(name: String, vs: Seq[Any]): Unit = {
+      val cleaned = vs.flatMap(ext)
+      if (cleaned.size == vs.size) // every value extractable, else skip
+        out(name) = out.get(name)
+          .map(_.intersect(cleaned)).getOrElse(cleaned.distinct)
+    }
     def visit(e: Expression): Unit = e match {
       case And(l, r) => visit(l); visit(r)
       case EqualTo(a: Attribute, Literal(v, _)) if v != null =>
-        ext(v).foreach(out(a.name) = _)
+        add(a.name, Seq(v))
       case EqualTo(Literal(v, _), a: Attribute) if v != null =>
-        ext(v).foreach(out(a.name) = _)
+        add(a.name, Seq(v))
+      case In(a: Attribute, list)
+          if list.nonEmpty && list.size <= maxInList &&
+            list.forall { case Literal(v, _) => v != null; case _ => false } =>
+        add(a.name, list.map { case Literal(v, _) => v })
+      case InSet(a: Attribute, hset)
+          if hset.nonEmpty && hset.size <= maxInList &&
+            !hset.contains(null) =>
+        add(a.name, hset.toSeq)
       case _ => ()
     }
     filters.foreach(visit)

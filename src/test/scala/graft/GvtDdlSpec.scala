@@ -457,6 +457,18 @@ class GvtDdlSpec extends AnyFunSuite {
     // absent value: NO file can contain it — zero files planned
     assert(scanned(spark.read.format("gvt").load(root)
       .filter(col("id") === probe(99999))) == 0)
+    // IN-list probe (r11): the union of per-value candidate sets — a
+    // 3-value lookup plans at most 3 files' worth (+FPs), not all 8,
+    // and the rows all land
+    val in3 = spark.read.format("gvt").load(root)
+      .filter(col("id").isin(probe(7), probe(123), probe(333)))
+    assert(in3.count() == 3)
+    assert(scanned(spark.read.format("gvt").load(root)
+      .filter(col("id").isin(probe(7), probe(123), probe(333)))) <= 5,
+      "IN-list bloom pruning dead: scanned most files")
+    // an all-absent IN list plans zero files
+    assert(scanned(spark.read.format("gvt").load(root)
+      .filter(col("id").isin(probe(99998), probe(99997)))) == 0)
     // an appended dir WITHOUT blooms is kept whole (sound), and its
     // rows are findable
     VersionedTable.append(
