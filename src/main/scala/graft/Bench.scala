@@ -78,8 +78,11 @@ object Bench {
       // FIRST sf0.1 run pays the index build: with only 2 timed runs a
       // steal window on run 2 leaves med/min unbounded (r8:
       // q_ann_ivfpq_persisted med/min 3.85) — a third run pins the
-      // steady state
-      name -> timedRuns(name, fn, if (name.endsWith("_persisted")) 3 else 2)
+      // steady state. q_ann_ivf_kmpp re-trains kmeans‖ every run (the
+      // deliberate full-composition timing) — the same 2-run spread
+      // hazard (r11: med/min 1.98 from one swept run), same remedy.
+      name -> timedRuns(name, fn,
+        if (name.endsWith("_persisted") || name == "q_ann_ivf_kmpp") 3 else 2)
     }
     // retry pass: a steal window lasts tens of seconds and sweeps the
     // queries that happen to execute inside it (both min-of-2 runs). By

@@ -123,6 +123,39 @@ private[gvt] class GvtCdfSource(sqlContext: SQLContext,
     if (rowsOnly) GvtCdfSource.tableSchema(sqlContext, parameters)
     else GvtCdfSource.feedSchema(sqlContext, parameters)
 
+  // the column mapping the stream's FIXED schema was derived under —
+  // hop frames align to it (logical names drift along a mapped chain)
+  private val anchorCm =
+    VersionedTable.latestVersion(root)
+      .flatMap(v => VersionedTable.colmapAt(root, v))
+
+  /** A hop's frame arrives under the HOP's logical column names; on a
+    * column-mapped chain those drift (rename/drop) while the stream's
+    * schema is pinned at start. Physical identity is stable, so each
+    * schema column resolves hop-side via anchor-logical → physical →
+    * hop-logical; schema columns the hop cannot supply (added after the
+    * hop, or dropped before it) read NULL, and hop columns outside the
+    * pinned schema (added after stream start) are not representable and
+    * fall out — rows always flow, the stream never dies on a rename in
+    * its history (previously: UNRESOLVED_COLUMN on the first pre-rename
+    * hop). */
+  private def alignToAnchor(f: DataFrame, hopV: Long): DataFrame = {
+    val hopCm = VersionedTable.colmapAt(root, hopV)
+    if (hopCm == anchorCm) return f // same mapping (incl. both unmapped)
+    val ancL2P = anchorCm.map(_.active.toMap).getOrElse(Map.empty[String, String])
+    val hopP2L = hopCm.map(_.active.map(_.swap).toMap).getOrElse(Map.empty[String, String])
+    val audit = Set("_change_type", "_commit_version", "_commit_timestamp")
+    val cols = schema.fields.filterNot(fd => audit(fd.name)).map { fd =>
+      val p = ancL2P.getOrElse(fd.name, fd.name)
+      val h = hopP2L.getOrElse(p, p)
+      if (f.columns.contains(h)) col(h).as(fd.name)
+      else lit(null).cast(fd.dataType).as(fd.name)
+    }.toSeq ++
+      (if (f.columns.contains("_change_type")) Seq(col("_change_type"))
+       else Seq.empty)
+    f.select(cols: _*)
+  }
+
   private def spark = sqlContext.sparkSession
 
   /** High-water mark of offsets this source has served or seen
@@ -195,10 +228,12 @@ private[gvt] class GvtCdfSource(sqlContext: SQLContext,
             "was given — pass keys=<cols> for diff feeds or " +
             "skipChangeCommits=true to ignore rewrite commits")
       val ts = VersionedTable.readMeta(root, v, "_commit_ts").map(_.trim.toLong)
-      feedOpt.map(f =>
+      feedOpt.map { f0 =>
+        val f = alignToAnchor(f0, v)
         if (rowsOnly) f.select(outCols.map(col): _*)
         else f.select(outCols.map(col) :+ lit(v).as("_commit_version") :+
-          lit(ts.orNull).cast("long").as("_commit_timestamp"): _*))
+          lit(ts.orNull).cast("long").as("_commit_timestamp"): _*)
+      }
     }
     val batch =
       if (feeds.isEmpty)

@@ -210,6 +210,43 @@ class GvtCdfSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("a cdf stream crosses a column-mapped chain's renames: every hop " +
+    "aligns to the stream's pinned schema") {
+    val dir = freshDir()
+    val root = s"$dir/t"
+    VersionedTable.write((1 to 10).map(i => (i.toLong, i.toLong * 10))
+      .toDF("k", "w"), root)                                         // v1
+    VersionedTable.setTblProperties(root, Map("gvt.columnMapping" -> "name"))
+    VersionedTable.renameColumn(spark, root, "w", "val2")            // v2
+    VersionedTable.append((11 to 12).map(i => (i.toLong, i.toLong * 10))
+      .toDF("k", "val2"), root)                                      // v3
+    val q = spark.readStream.format("gvt-cdf").option("keys", "k").load(root)
+      .writeStream.format("memory").queryName("gvt_cdf_cm")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("gvt_cdf_cm")
+      // the pinned schema is the LIVE (renamed) one
+      assert(got.columns.contains("val2") && !got.columns.contains("w"))
+      // the pre-rename bootstrap hop emits its values UNDER the renamed
+      // name (physical identity), the rename hop emits nothing, the
+      // post-rename append flows as usual
+      assert(got.filter(col("_commit_version") === 1)
+        .agg(sum("val2")).as[Long].head() == (1 to 10).map(_ * 10L).sum)
+      assert(got.filter(col("_commit_version") === 2).count() == 0)
+      assert(got.filter(col("_commit_version") === 3).count() == 2)
+      // a rename landing WHILE the stream runs keeps rows flowing under
+      // the pinned name
+      VersionedTable.renameColumn(spark, root, "val2", "val3")       // v4
+      VersionedTable.append(Seq((13L, 130L)).toDF("k", "val3"), root) // v5
+      q.processAllAvailable()
+      val all = spark.table("gvt_cdf_cm")
+      assert(all.filter(col("_commit_version") === 5)
+        .select("val2").as[Long].head() == 130L)
+      assert(all.count() == 13)
+    } finally q.stop()
+  }
+
   test("vacuum past the stream checkpoint fails the source instead of re-emitting") {
     val dir = freshDir()
     val root = s"$dir/t"
