@@ -59,9 +59,15 @@ object IncrementalDedup {
     * `txn` optionally stamps the index commit with a
     * [[VersionedTable.txnKey]] watermark (the replay guard
     * [[ingestReplaySafe]] builds on). */
+  /** `autoCompactEvery`: once the index's append chain reaches that
+    * many version dirs, fold it via [[VersionedTable.compactChain]]
+    * (base untouched, O(appended) cost) — daily ingestion otherwise
+    * accretes one chain hop per batch and every probe pays the
+    * per-dir read fan-out. 0 = never (compact on your own schedule). */
   def ingest(spark: SparkSession, indexRoot: String,
              sigs: DataFrame, bandCols: Seq[String],
-             txn: Option[(String, Long)] = None): DataFrame = {
+             txn: Option[(String, Long)] = None,
+             autoCompactEvery: Int = 0): DataFrame = {
     // one narrow batch-sized table consumed three times (intra minima,
     // cross probe, index append) — materialize once, the same
     // signature-table break every production dedup pipeline has
@@ -97,6 +103,10 @@ object IncrementalDedup {
       else VersionedTable.write(newBands, indexRoot,
         partitionBy = Seq("band_id"), metaFiles = meta,
         operation = "DEDUP_INGEST")
+      if (autoCompactEvery > 0 && VersionedTable.latestVersion(indexRoot)
+            .exists(v => VersionedTable.dataDirsOf(indexRoot, v).size >=
+              autoCompactEvery))
+        VersionedTable.compactChain(spark, indexRoot)
     }
     accepted
   }

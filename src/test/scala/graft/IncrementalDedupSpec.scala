@@ -114,6 +114,43 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(VersionedTable.readLatest(spark, corpus).count() == 4)
   }
 
+  test("model-based: random batch sequences match the brute-force " +
+    "two-rule model; auto-compaction never changes the answer") {
+    val rnd = new scala.util.Random(11L)
+    for (trial <- 1 to 3) {
+      val idx = fresh(s"incmodel$trial")
+      // small alphabet forces real collisions; two bands per doc
+      def band() = s"b${rnd.nextInt(6)}"
+      var nextId = 0L
+      var model = Vector.empty[(Long, String, String)] // accepted (id, b0, b1)
+      for (batchNo <- 1 to 4) {
+        val docs = (1 to (3 + rnd.nextInt(5))).map { _ =>
+          nextId += 1; (nextId, band(), band())
+        }
+        val accepted = IncrementalDedup.ingest(spark, idx,
+          docs.toDF("doc_id", "band0", "band1"), Seq("band0", "band1"),
+          autoCompactEvery = if (trial == 2) 2 else 0)
+          .select("doc_id").as[Long].collect().toSet
+        // brute-force model — collisions are per band POSITION (band_id
+        // + value), matching the operator's (band_id, band) key: rule
+        // (a) any position shared with a previously ACCEPTED doc; rule
+        // (b) any position shared with a smaller-id same-batch doc
+        val expect = docs.filter { case (id, b0, b1) =>
+          !model.exists { case (_, a0, a1) => b0 == a0 || b1 == a1 } &&
+            !docs.exists { case (id2, c0, c1) =>
+              id2 < id && (b0 == c0 || b1 == c1) }
+        }
+        assert(accepted == expect.map(_._1).toSet,
+          s"trial $trial batch $batchNo: got $accepted, model ${expect.map(_._1)}")
+        model ++= expect
+      }
+      // the index equals the model's accepted bands exactly
+      val ix = VersionedTable.readLatest(spark, idx)
+        .select("doc_id").as[Long].collect().toSeq
+      assert(ix.sorted == model.flatMap(m => Seq(m._1, m._1)).sorted)
+    }
+  }
+
   test("NULL fingerprints never match anything (and are not indexed)") {
     val idx = fresh("incdedupn")
     val batch = Seq((1L, Some("x")), (2L, None), (3L, None))
