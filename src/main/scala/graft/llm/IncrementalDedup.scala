@@ -79,13 +79,24 @@ object IncrementalDedup {
         Seq("band_id", "band"))
       .filter(col("doc_id") > col("mn"))
       .select(col("doc_id"))
-    // rule 2: any band already in the accepted-corpus index
+    // rule 2: any band already in the accepted-corpus index. The
+    // steady state is batch ≪ index, so the probe BROADCASTS the
+    // batch's bands and streams ONE scan of the index through the
+    // broadcast hash — the index (the table that grows without bound)
+    // is never shuffled. A genuinely huge batch falls back to the
+    // shuffle equi-join, which moves O(batch + index) once.
     val exists = VersionedTable.latestVersion(indexRoot).isDefined
     val crossHit =
       if (!exists) intraHit.limit(0)
-      else bb.join(VersionedTable.readLatest(spark, indexRoot),
-          Seq("band_id", "band"), "left_semi")
-        .select(col("doc_id"))
+      else {
+        val index = VersionedTable.readLatest(spark, indexRoot)
+          .select(col("band_id"), col("band"))
+        if (bb.count() <= 5000000L)
+          index.join(broadcast(bb), Seq("band_id", "band"))
+            .select(col("doc_id"))
+        else bb.join(index, Seq("band_id", "band"), "left_semi")
+          .select(col("doc_id"))
+      }
     val dropped = intraHit.union(crossHit).distinct()
     val accepted = sigs.join(dropped, Seq("doc_id"), "left_anti")
       .localCheckpoint() // consumed twice: index append + caller

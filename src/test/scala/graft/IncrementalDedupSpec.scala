@@ -151,6 +151,36 @@ class IncrementalDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("the cross-batch probe broadcasts the BATCH, never shuffles the index") {
+    val idx = fresh("incplan")
+    IncrementalDedup.ingest(spark, idx,
+      (1L to 50L).map(i => (i, s"b$i")).toDF("doc_id", "band0"), Seq("band0"))
+    // capture the probe plan shape by re-running a batch and inspecting
+    // the accepted frame's lineage is checkpoint-truncated, so probe the
+    // crossHit shape directly: an index ⋈ broadcast(batch) inner join
+    val bb = IncrementalDedup.meltBands(
+      (51L to 60L).map(i => (i, s"b${i % 55}")).toDF("doc_id", "band0"),
+      Seq("band0"))
+    val probe = VersionedTable.readLatest(spark, idx)
+      .select(col("band_id"), col("band"))
+      .join(broadcast(bb), Seq("band_id", "band"))
+      .select(col("doc_id"))
+    probe.collect()
+    // AQE query stages hide their subtree from collect(), so assert on
+    // the FINAL plan's rendering
+    val plan = probe.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+      case other => other.toString
+    }
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected a broadcast hash probe:\n$plan")
+    // the index side reaches the join without a shuffle exchange
+    assert(!plan.contains("ShuffleExchange") &&
+      !plan.contains("Exchange hashpartitioning"),
+      s"the index was shuffled:\n$plan")
+  }
+
   test("NULL fingerprints never match anything (and are not indexed)") {
     val idx = fresh("incdedupn")
     val batch = Seq((1L, Some("x")), (2L, None), (3L, None))
