@@ -18,7 +18,10 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * compile into the bounded-heap operator automatically), the
   * [[graft.plans.RangeJoinRewrite]] rule (bare `p BETWEEN lo AND hi` joins
   * compile into the bucketed equi-join when
-  * `spark.graft.rangeJoin.width` is set), the [[graft.plans.GvtDml]]
+  * `spark.graft.rangeJoin.width` is set), the
+  * [[graft.plans.MetaAggRewrite]] rule (global `count`/`min`/`max`
+  * aggregates over gvt relations answer from footer/zone-map metadata
+  * — zero tasks), the [[graft.plans.GvtDml]]
   * rule (SQL `DELETE FROM` / `UPDATE` / `MERGE INTO` over gvt
   * relations route to the versioned-commit APIs), and every native
   * function from [[graft.functions.NativeFunctions]] as a built-in
@@ -36,6 +39,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.GroupedTopKStrategy)
     ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.MetaAggRewrite)
     ext.injectHintResolutionRule(_ => graft.plans.RangeJoinHintResolution)
     ext.injectResolutionRule(_ => graft.plans.GvtInsertGuard)
     ext.injectResolutionRule(_ => graft.plans.GvtDml)

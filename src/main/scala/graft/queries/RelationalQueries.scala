@@ -620,6 +620,38 @@ object RelationalQueries {
         FROM gvt_dv_t WHERE k >= 300 GROUP BY status ORDER BY status""")
     }),
 
+    // Metadata-only aggregates (Delta OptimizeMetadataOnlyDeltaQuery —
+    // MetaAggRewrite): the 'full' row folds count/min/max to a
+    // LocalRelation built from parquet footer row counts + zone-map
+    // bounds — ZERO tasks, zero data pages, the 100 TB `SELECT
+    // count(*)` monitoring shape. The 'after_delete' row aggregates a
+    // DV-bearing snapshot, where min/max could have been deleted — the
+    // rewrite must stand down and the real DV-resolving scan answers.
+    // Both rows must equal plain row-set arithmetic (MetaAggSpec pins
+    // the plan shapes; this registry entry pins the VALUES).
+    "q_meta_agg" -> ((s, dir) => graft.GraftSession.withExtensions(s) { sess =>
+      val out = tmpDir("graft_metaagg")
+      val o = t(sess, dir, "orders").select(col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      val root = s"$out/t"
+      graft.sources.VersionedTable.write(o.filter(col("k") % 2 === 0),
+        root, statsCols = Seq("k", "cents"))
+      graft.sources.VersionedTable.append(o.filter(col("k") % 2 === 1),
+        root, statsCols = Seq("k", "cents"))
+      def aggOf(df: org.apache.spark.sql.DataFrame, phase: String) =
+        df.agg(count(lit(1)).as("n_rows"), min(col("k")).as("min_k"),
+            max(col("k")).as("max_k"), max(col("cents")).as("max_cents"))
+          .withColumn("phase", lit(phase))
+      // snapshot pinned BEFORE the delete: folds entirely from metadata
+      val full = aggOf(sess.read.format("gvt").load(root), "full")
+      graft.sources.VersionedTable.deleteWhereVector(sess, root,
+        col("k") % 13 === 0)
+      val afterDel = aggOf(sess.read.format("gvt").load(root), "after_delete")
+      full.union(afterDel)
+        .select("phase", "n_rows", "min_k", "max_k", "max_cents")
+        .orderBy("phase")
+    }),
+
     // SQL DML surface (Delta parity: the reference's authoritative
     // notebook is pure SQL — 03_gold_metrics_serverless.py:78-371):
     // DELETE FROM and UPDATE over a registered gvt view, routed by the
@@ -1961,6 +1993,22 @@ object RelationalQueries {
         |SELECT status, CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM o WHERE k >= 300 GROUP BY status ORDER BY status""".stripMargin,
+
+    // Metadata-folded aggregates must equal plain row-set arithmetic:
+    // 'full' = every order, 'after_delete' = the k%13 keys removed.
+    "q_meta_agg" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT * FROM (
+        |  SELECT 'full' AS phase, CAST(count(*) AS BIGINT) AS n_rows,
+        |    min(k) AS min_k, max(k) AS max_k, max(cents) AS max_cents
+        |  FROM o
+        |  UNION ALL
+        |  SELECT 'after_delete', CAST(count(*) AS BIGINT),
+        |    min(k), max(k), max(cents)
+        |  FROM o WHERE k % 13 <> 0
+        |) ORDER BY phase""".stripMargin,
 
     // Full row set under the renamed column; the re-added note column is
     // all-NULL (fresh physical storage — dropped values never resurface).

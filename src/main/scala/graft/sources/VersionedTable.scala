@@ -1713,6 +1713,67 @@ object VersionedTable {
     Some(FileZoneMaps(num.toMap, str.toMap))
   }
 
+  // ── Metadata-only row counts (Delta OptimizeMetadataOnlyDeltaQuery) ──
+
+  /** Non-hidden files under `dir`, recursive — hive partition subdirs
+    * included; `_`/`.`-prefixed names (sidecars like `_stats`, `_bloom`,
+    * `_dv`, commit markers, success files) excluded at every level.
+    * Listing order is irrelevant to the callers (sums). */
+  private[graft] def listDataFiles(dir: String): Seq[String] = {
+    val p = new HPath(dir)
+    val fc = fcOf(p)
+    if (!fc.util.exists(p)) return Nil
+    def walk(d: HPath): List[String] =
+      fc.util.listStatus(d).toList.flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Nil
+        else if (st.isDirectory) walk(st.getPath)
+        else List(st.getPath.toString)
+      }
+    walk(p)
+  }
+
+  /** Sum of the parquet FOOTER row counts of `files` — exact row counts
+    * with zero data pages read (row counts are mandatory in every
+    * parquet footer). Driver-side IO over a bounded pool: this is the
+    * Delta-log access shape — O(#files) tiny metadata reads, the same
+    * cost class as the planner's own file listing, NOT a table scan. */
+  private[graft] def footerRowCount(files: Seq[String]): Long = {
+    if (files.isEmpty) return 0L
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(8, files.size))
+    try {
+      val futs = files.map { f =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          override def call(): Long = {
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(new HPath(f), conf)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try r.getRecordCount finally r.close()
+          }
+        })
+      }
+      futs.map(_.get()).sum
+    } finally pool.shutdown()
+  }
+
+  /** Row count of logical snapshot `version` (default: latest) computed
+    * ENTIRELY from metadata: footer row counts of the chain's data files
+    * (schema-only ADD COLUMNS slices skipped) minus the chain's
+    * deletion-vector cardinality (each `_dv` payload names positions of
+    * rows that were VISIBLE when the delete committed, so vectors never
+    * double-count a position). No Spark job, no data page read — the
+    * cost is one footer read per file, same class as planning. */
+  def metaRowCount(root: String, version: Option[Long] = None): Long = {
+    val v = version.orElse(latestVersion(root)).getOrElse(
+      throw new IllegalArgumentException(s"metaRowCount: no versions at $root"))
+    val dataFiles = dataDirsOf(root, v).filterNot(isSchemaOnlySlice)
+      .flatMap(listDataFiles)
+    val dvFiles = chainDvDirs(root, v).flatMap(listDataFiles)
+    footerRowCount(dataFiles) - footerRowCount(dvFiles)
+  }
+
   /** Incremental MERGE (Delta `MERGE` analogue): upsert `updates` into the
     * latest snapshot by `keys` and write the result as a new version —
     * update rows replace matching target rows, new keys insert. Readers

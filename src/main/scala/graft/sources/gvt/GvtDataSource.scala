@@ -410,7 +410,7 @@ private[gvt] object GvtV1Filters {
   * the full residual filter on surviving files. */
 class GvtFileIndex(
     spark: SparkSession, roots: Seq[Path],
-    stats: Option[VersionedTable.FileZoneMaps],
+    private[graft] val stats: Option[VersionedTable.FileZoneMaps],
     val tableRoot: String = "", val pinned: Boolean = false)
   extends FileIndex {
 
