@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Lit
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types._
@@ -14,12 +15,13 @@ import graft.sources.gvt.{GvtDvRelation, GvtFileIndex}
 
 /** Metadata-only aggregates over gvt tables — the Delta
   * `OptimizeMetadataOnlyDeltaQuery` analogue (delta-io/delta:
-  * spark/src/.../OptimizeMetadataOnlyDeltaQuery.scala): a global
-  * `Aggregate` whose every expression is answerable from table
-  * METADATA collapses to a one-row [[LocalRelation]] — zero tasks,
-  * zero data pages read. At 100 TB this turns `SELECT count(*)` from a
-  * full-table scan into O(#files) footer reads (the same cost class as
-  * planning itself), the single most common BI/monitoring query.
+  * spark/src/.../OptimizeMetadataOnlyDeltaQuery.scala): an `Aggregate`
+  * whose every expression is answerable from table METADATA collapses
+  * to a [[LocalRelation]] — zero tasks, zero data pages read. At
+  * 100 TB this turns `SELECT count(*)`, `SELECT max(event_date)`, and
+  * `SELECT dt, count(*) GROUP BY dt` from full-table scans into
+  * O(#files) footer reads (the same cost class as planning itself) —
+  * the three most common BI/monitoring shapes.
   *
   * What is answerable, and from where:
   *  - `count(*)` / `count(lit)` — parquet footer row counts of the
@@ -28,31 +30,42 @@ import graft.sources.gvt.{GvtDvRelation, GvtFileIndex}
   *    path ([[VersionedTable.metaRowCount]]). Row counts are MANDATORY
   *    in every parquet footer, so this never misses.
   *  - `count(col)` — equals `count(*)` for a non-nullable attribute;
-  *    for nullable STRING columns the zone-map sidecar records a
+  *    for PARTITION columns the null rows live under the hive default
+  *    partition, so the count sums the non-null dirs' footers; for
+  *    nullable STRING data columns the zone-map sidecar records a
   *    per-file non-null count (`nn_<col>`), summed when every file of
   *    the snapshot is covered. (Numeric zone maps carry min/max only —
   *    nullable numeric `count(col)` scans.)
-  *  - `min(col)` / `max(col)` on integral columns — folded from the
-  *    per-file zone maps when every file is covered, with an exactness
-  *    gate: stats are stored as doubles, so a bound only folds when it
-  *    round-trips the column type losslessly (|v| < 2^53 for longs).
-  *    All-null files (NaN-marked stats) contribute nothing, like the
-  *    aggregate itself. Float/double columns are NOT folded: an
-  *    all-null file and an all-NaN file are indistinguishable in the
-  *    sidecar, and NaN ordering makes the bounds unreliable. String
-  *    min/max is NOT folded: collection truncates long values
-  *    (truncation-sound for PRUNING, not for answering).
+  *  - `min(col)` / `max(col)` on PARTITION columns — folded from the
+  *    partition directory values (exact by construction), over dirs
+  *    that actually hold rows (a zero-row dir's value hosts nothing).
+  *  - `min(col)` / `max(col)` on integral data columns — folded from
+  *    the per-file zone maps when every file is covered, with an
+  *    exactness gate: stats are stored as doubles, so a bound only
+  *    folds when it round-trips the column type losslessly (|v| < 2^53
+  *    for longs). All-null files (NaN-marked stats) contribute
+  *    nothing, like the aggregate itself. Float/double columns are NOT
+  *    folded: an all-null file and an all-NaN file are
+  *    indistinguishable in the sidecar, and NaN ordering makes the
+  *    bounds unreliable. String data-column min/max is NOT folded:
+  *    collection truncates long values (truncation-sound for PRUNING,
+  *    not for answering).
+  *  - `GROUP BY <partition cols>` — the same answers per group: dirs
+  *    grouped by their partition values, footer counts and zone maps
+  *    restricted to each group's files. Zero-row groups emit no row,
+  *    exactly like the aggregate they replace.
   *
-  * Soundness boundary: the rewrite fires ONLY for a global aggregate
-  * (no grouping) sitting directly on the gvt relation (optionally
-  * through the optimizer's attribute-only pruning Project). Any
-  * `Filter` in between, a grouping key, DISTINCT, or an aggregate
+  * Soundness boundary: the rewrite fires ONLY for an aggregate whose
+  * grouping keys (if any) are bare partition-column attributes,
+  * sitting directly on the gvt relation (optionally through the
+  * optimizer's attribute-only pruning Project). Any `Filter` in
+  * between, a non-partition grouping key, DISTINCT, or an aggregate
   * filter clause leaves the plan untouched. On the deletion-vector
-  * relation path only `count(*)` folds — deleted rows could have
-  * carried the extremes. Column-mapped chains plan through
-  * [[GvtDvRelation]] (physical footer names), so stats-based min/max
-  * never sees a mapped chain. Escape hatch:
-  * `spark.graft.metaAgg.enabled=false`.
+  * relation path only global `count(*)` folds — deleted rows could
+  * have carried the extremes, and per-partition DV attribution is not
+  * tracked. Column-mapped chains plan through [[GvtDvRelation]]
+  * (physical footer names), so stats-based min/max never sees a mapped
+  * chain. Escape hatch: `spark.graft.metaAgg.enabled=false`.
   */
 object MetaAggRewrite extends Rule[LogicalPlan] {
 
@@ -62,8 +75,9 @@ object MetaAggRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     plan.transform {
-      case agg @ Aggregate(Nil, aggExprs, child, _) =>
-        unwrap(child).flatMap(rewrite(agg, aggExprs, _)).getOrElse(agg)
+      case agg @ Aggregate(groupExprs, aggExprs, child, _) =>
+        unwrap(child).flatMap(rewrite(agg, groupExprs, aggExprs, _))
+          .getOrElse(agg)
     }
   }
 
@@ -75,47 +89,6 @@ object MetaAggRewrite extends Rule[LogicalPlan] {
     case Project(pl, lr: LogicalRelation)
         if pl.forall(_.isInstanceOf[AttributeReference]) => Some(lr)
     case _ => None
-  }
-
-  /** Lazily-computed metadata answers for one relation; each accessor
-    * returns None when the question is not answerable from metadata
-    * (→ the whole rewrite bails and the scan stands). */
-  private final class Meta(count: () => Long,
-                           idx: Option[GvtFileIndex]) {
-    lazy val rowCount: Long = count()
-
-    private lazy val files: Seq[String] = idx.toSeq.flatMap(_.inputFiles)
-      .map(f => new org.apache.hadoop.fs.Path(f).toUri.getPath)
-
-    def minMax(col: String, dt: DataType, isMin: Boolean): Option[Any] = {
-      val zm = idx.flatMap(_.stats).getOrElse(return None)
-      if (files.isEmpty) return Some(null)
-      val bounds = files.map { f =>
-        zm.num.get(f).flatMap(_.get(col)).getOrElse(return None)
-      }
-      dt match {
-        case ByteType | ShortType | IntegerType | LongType =>
-          // NaN marks an all-null file (stats collection maps null
-          // min/max to NaN): it contributes nothing, like the aggregate
-          val live = bounds.filterNot { case (mi, ma) => mi.isNaN && ma.isNaN }
-          if (live.exists { case (mi, ma) => mi.isNaN || ma.isNaN }) None
-          else if (live.isEmpty) Some(null)
-          else {
-            val v = if (isMin) live.map(_._1).min else live.map(_._2).max
-            typedBound(v, dt)
-          }
-        case _ => None // float/double (NaN ambiguity), strings (truncation)
-      }
-    }
-
-    def nonNullCount(col: String): Option[Any] = {
-      val zm = idx.flatMap(_.stats).getOrElse(return None)
-      var sum = 0L
-      files.foreach { f =>
-        sum += zm.str.get(f).flatMap(_.get(col)).getOrElse(return None).nonNull
-      }
-      Some(sum)
-    }
   }
 
   /** Reconstruct a typed bound from its double-stored stat, only when
@@ -138,33 +111,35 @@ object MetaAggRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  private def rewrite(agg: Aggregate, aggExprs: Seq[NamedExpression],
-                      lr: LogicalRelation): Option[LogicalPlan] = {
-    val meta = lr.relation match {
+  private def rewrite(agg: Aggregate, groupExprs: Seq[_],
+                      aggExprs: Seq[NamedExpression],
+                      lr: LogicalRelation): Option[LogicalPlan] =
+    lr.relation match {
       case hfs: HadoopFsRelation => hfs.location match {
         case idx: GvtFileIndex =>
           // vector-free, mapping-free snapshot (the relation plans this
-          // path only then): footers count, zone maps answer min/max
-          new Meta(() => VersionedTable.footerRowCount(idx.inputFiles.toSeq),
-            Some(idx))
-        case _ => return None
+          // path only then): footers count, partition values and zone
+          // maps answer min/max
+          rewriteFiles(agg, groupExprs, aggExprs, idx)
+        case _ => None
       }
-      case dv: GvtDvRelation =>
-        // pending deletion vectors: count subtracts the DV cardinality;
-        // min/max could have been deleted — never folded from stats
-        new Meta(() => VersionedTable.metaRowCount(dv.root, Some(dv.version)),
-          None)
-      case _ => return None
+      case dv: GvtDvRelation if groupExprs.isEmpty =>
+        rewriteDvGlobal(agg, aggExprs, dv)
+      case _ => None
     }
+
+  /** Pending deletion vectors: only the global row count is
+    * metadata-answerable (footers minus DV cardinality); the deleted
+    * rows could have carried any extreme or non-null value. */
+  private def rewriteDvGlobal(agg: Aggregate, aggExprs: Seq[NamedExpression],
+                              dv: GvtDvRelation): Option[LogicalPlan] = {
+    lazy val n = VersionedTable.metaRowCount(dv.root, Some(dv.version))
     val vals = aggExprs.map {
       case Alias(ae: AggregateExpression, _)
           if ae.filter.isEmpty && !ae.isDistinct =>
         ae.aggregateFunction match {
-          case Count(Seq(l: Literal)) if l.value != null => Some(meta.rowCount)
-          case Count(Seq(a: AttributeReference)) =>
-            if (!a.nullable) Some(meta.rowCount) else meta.nonNullCount(a.name)
-          case Min(a: AttributeReference) => meta.minMax(a.name, a.dataType, isMin = true)
-          case Max(a: AttributeReference) => meta.minMax(a.name, a.dataType, isMin = false)
+          case Count(Seq(l: Literal)) if l.value != null => Some(n)
+          case Count(Seq(a: AttributeReference)) if !a.nullable => Some(n)
           case _ => None
         }
       case _ => None
@@ -172,5 +147,147 @@ object MetaAggRewrite extends Rule[LogicalPlan] {
     if (vals.exists(_.isEmpty)) None
     else Some(LocalRelation(agg.output,
       Seq(InternalRow.fromSeq(vals.map(_.get)))))
+  }
+
+  /** One partition directory of the snapshot: its (possibly empty)
+    * partition values, data files, and exact footer row count. */
+  private final case class DirInfo(values: InternalRow, files: Seq[String],
+                                   rows: Long)
+
+  private def rewriteFiles(agg: Aggregate, groupExprs: Seq[_],
+                           aggExprs: Seq[NamedExpression],
+                           idx: GvtFileIndex): Option[LogicalPlan] = {
+    val pSchema = idx.partitionSchema
+    // grouping keys (if any) must be bare partition-column attributes
+    val groupAttrs: Seq[AttributeReference] = groupExprs.map {
+      case a: AttributeReference if pSchema.fieldNames.contains(a.name) => a
+      case _ => return None
+    }
+    // cheap answerability pre-check before any footer IO: every agg
+    // expression must be a shape this rule can even attempt
+    val attemptable = aggExprs.forall {
+      case a: AttributeReference => groupAttrs.exists(_.exprId == a.exprId)
+      case Alias(a: AttributeReference, _) =>
+        groupAttrs.exists(_.exprId == a.exprId)
+      case Alias(ae: AggregateExpression, _)
+          if ae.filter.isEmpty && !ae.isDistinct =>
+        ae.aggregateFunction match {
+          case Count(_) | Min(_) | Max(_) => true
+          case _ => false
+        }
+      case _ => false
+    }
+    if (!attemptable) return None
+
+    val dirs: Seq[DirInfo] = idx.listFiles(Nil, Nil).map { pd =>
+      val fs = pd.files.map(_.getPath.toString)
+      DirInfo(pd.values, fs, VersionedTable.footerRowCount(fs))
+    }
+    val zm = idx.stats
+
+    def partIdx(a: AttributeReference): Option[Int] = {
+      val i = pSchema.fieldNames.indexOf(a.name)
+      if (i >= 0) Some(i) else None
+    }
+
+    /** Answer every aggregate expression over one dir subset (a group,
+      * or the whole snapshot); `keyOf` resolves grouping attributes. */
+    def evalRow(info: Seq[DirInfo],
+                keyOf: AttributeReference => Option[Any]): Option[InternalRow] = {
+      val rowCount = info.map(_.rows).sum
+      // dirs that actually hold rows: a zero-row dir's partition value
+      // hosts nothing and must not sway min/max or non-null counts
+      val live = info.filter(_.rows > 0)
+      lazy val files = live.flatMap(_.files)
+        .map(f => new org.apache.hadoop.fs.Path(f).toUri.getPath)
+
+      def partVal(i: Int, d: DirInfo): Any = d.values.get(i, pSchema(i).dataType)
+
+      def partMinMax(a: AttributeReference, isMin: Boolean): Option[Any] =
+        partIdx(a).flatMap { i =>
+          val vs = live.map(partVal(i, _)).filter(_ != null)
+          if (vs.isEmpty) Some(null)
+          else {
+            val ord = TypeUtils.getInterpretedOrdering(pSchema(i).dataType)
+            Some(if (isMin) vs.min(ord) else vs.max(ord))
+          }
+        }
+
+      def statMinMax(a: AttributeReference, isMin: Boolean): Option[Any] = {
+        val maps = zm.getOrElse(return None)
+        if (files.isEmpty) return Some(null)
+        val bounds = files.map { f =>
+          maps.num.get(f).flatMap(_.get(a.name)).getOrElse(return None)
+        }
+        a.dataType match {
+          case ByteType | ShortType | IntegerType | LongType =>
+            // NaN marks an all-null file (stats collection maps null
+            // min/max to NaN): it contributes nothing, like the agg
+            val liveB = bounds.filterNot { case (mi, ma) => mi.isNaN && ma.isNaN }
+            if (liveB.exists { case (mi, ma) => mi.isNaN || ma.isNaN }) None
+            else if (liveB.isEmpty) Some(null)
+            else typedBound(
+              if (isMin) liveB.map(_._1).min else liveB.map(_._2).max,
+              a.dataType)
+          case _ => None // float/double (NaN ambiguity), strings (truncation)
+        }
+      }
+
+      def nonNullCount(a: AttributeReference): Option[Any] =
+        partIdx(a) match {
+          case Some(i) => // null rows live under the hive default partition
+            Some(live.filter(d => partVal(i, d) != null).map(_.rows).sum)
+          case None =>
+            val maps = zm.getOrElse(return None)
+            var sum = 0L
+            files.foreach { f =>
+              sum += maps.str.get(f).flatMap(_.get(a.name))
+                .getOrElse(return None).nonNull
+            }
+            Some(sum)
+        }
+
+      val vals = aggExprs.map {
+        case a: AttributeReference => keyOf(a)
+        case Alias(a: AttributeReference, _) => keyOf(a)
+        case Alias(ae: AggregateExpression, _) =>
+          ae.aggregateFunction match {
+            case Count(Seq(l: Literal)) if l.value != null => Some(rowCount)
+            case Count(Seq(a: AttributeReference)) =>
+              if (!a.nullable) Some(rowCount) else nonNullCount(a)
+            case Min(a: AttributeReference) =>
+              keyOf(a).map(Some(_)).getOrElse(
+                if (partIdx(a).isDefined) partMinMax(a, isMin = true)
+                else statMinMax(a, isMin = true))
+            case Max(a: AttributeReference) =>
+              keyOf(a).map(Some(_)).getOrElse(
+                if (partIdx(a).isDefined) partMinMax(a, isMin = false)
+                else statMinMax(a, isMin = false))
+            case _ => None
+          }
+        case _ => None
+      }
+      if (vals.exists(_.isEmpty)) None
+      else Some(InternalRow.fromSeq(vals.map(_.get)))
+    }
+
+    if (groupAttrs.isEmpty) {
+      // global: exactly one output row, even over an empty snapshot
+      evalRow(dirs, _ => None).map(r => LocalRelation(agg.output, Seq(r)))
+    } else {
+      // grouped: one row per distinct live key — zero-row groups (and
+      // an empty table) emit nothing, exactly like the real aggregate
+      val keyIdx = groupAttrs.map(a => pSchema.fieldNames.indexOf(a.name))
+      val groups = dirs.filter(_.rows > 0)
+        .groupBy(d => keyIdx.map(i => d.values.get(i, pSchema(i).dataType)))
+      val rows = groups.toSeq.map { case (key, info) =>
+        val keyOf: AttributeReference => Option[Any] = a => {
+          val gi = groupAttrs.indexWhere(_.exprId == a.exprId)
+          if (gi >= 0) Some(key(gi)) else None
+        }
+        evalRow(info, keyOf).getOrElse(return None)
+      }
+      Some(LocalRelation(agg.output, rows))
+    }
   }
 }

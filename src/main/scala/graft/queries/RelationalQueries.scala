@@ -652,6 +652,30 @@ object RelationalQueries {
         .orderBy("phase")
     }),
 
+    // The grouped metadata fold: `GROUP BY <partition col>` + count/
+    // min/max over a partitioned append chain answers from partition
+    // directory values, footer row counts, and per-file zone maps —
+    // one LocalRelation row per partition, zero tasks. The per-
+    // partition row-count monitor is THE daily operational query on a
+    // 100 TB date-partitioned table; at that scale this is the
+    // difference between a metadata read and a full scan.
+    "q_meta_agg_part" -> ((s, dir) => graft.GraftSession.withExtensions(s) { sess =>
+      val out = tmpDir("graft_metaaggp")
+      val o = t(sess, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      val root = s"$out/t"
+      graft.sources.VersionedTable.write(o.filter(col("k") % 2 === 0),
+        root, partitionBy = Seq("status"), statsCols = Seq("k", "cents"))
+      graft.sources.VersionedTable.append(o.filter(col("k") % 2 === 1),
+        root, statsCols = Seq("k", "cents"))
+      sess.read.format("gvt").load(root)
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_orders"), min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"), max(col("cents")).as("max_cents"))
+        .orderBy("status")
+    }),
+
     // SQL DML surface (Delta parity: the reference's authoritative
     // notebook is pure SQL — 03_gold_metrics_serverless.py:78-371):
     // DELETE FROM and UPDATE over a registered gvt view, routed by the
@@ -2009,6 +2033,15 @@ object RelationalQueries {
         |    min(k), max(k), max(cents)
         |  FROM o WHERE k % 13 <> 0
         |) ORDER BY phase""".stripMargin,
+
+    // Per-partition metadata folds must equal the plain GROUP BY.
+    "q_meta_agg_part" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n_orders,
+        |  min(k) AS min_k, max(k) AS max_k, max(cents) AS max_cents
+        |FROM o GROUP BY status ORDER BY status""".stripMargin,
 
     // Full row set under the renamed column; the re-added note column is
     // all-NULL (fresh physical storage — dropped values never resurface).

@@ -177,4 +177,70 @@ class MetaAggSpec extends AnyFunSuite {
       assert((r.getLong(0), r.getLong(1)) == ((180L, 1L)))
     }
   }
+
+  test("GROUP BY partition column folds: per-partition footer counts + " +
+      "zone-map extremes, across an append chain") {
+    val root = fresh("metagrp")
+    val df = (1 to 150).map(i => (i.toLong, s"p${i % 3}")).toDF("id", "p")
+    VersionedTable.write(df, root, partitionBy = Seq("p"),
+      statsCols = Seq("id"))
+    // second chain member repeats partition values — groups must merge
+    VersionedTable.append((151 to 210).map(i => (i.toLong, s"p${i % 2}"))
+      .toDF("id", "p"), root, statsCols = Seq("id"))
+    GraftSession.withExtensions(spark) { sess =>
+      val t = sess.read.format("gvt").load(root)
+      val out = t.groupBy($"p").agg(count(lit(1)).as("n"),
+        min("id").as("lo"), max("id").as("hi"))
+      assertMetaOnly(out)
+      val got = out.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      val exp = ((1 to 150).map(i => (s"p${i % 3}", i.toLong)) ++
+          (151 to 210).map(i => (s"p${i % 2}", i.toLong)))
+        .groupBy(_._1).map { case (p, xs) =>
+          (p, xs.size.toLong, xs.map(_._2).min, xs.map(_._2).max)
+        }.toSeq.sortBy(_._1)
+      assert(got == exp)
+      // grouping by a NON-partition column: the scan stands
+      val byData = t.groupBy($"id").agg(count(lit(1)).as("n"))
+      assertScans(byData)
+      assert(byData.count() == 210L)
+    }
+  }
+
+  test("min/max on partition columns fold from directory values — " +
+      "string and integral, global shape") {
+    val root = fresh("metapmm")
+    val df = (1 to 120).map(i => (i.toLong, s"d${i % 4}", i % 5))
+      .toDF("id", "dt", "bucket")
+    VersionedTable.write(df, root, partitionBy = Seq("dt", "bucket"))
+    GraftSession.withExtensions(spark) { sess =>
+      val t = sess.read.format("gvt").load(root)
+      // no statsCols at all: partition values alone answer these
+      val out = t.agg(max($"dt").as("max_dt"), min($"dt").as("min_dt"),
+        max($"bucket").as("max_b"), count(lit(1)).as("n"))
+      assertMetaOnly(out)
+      val r = out.collect().head
+      assert((r.getString(0), r.getString(1), r.getInt(2), r.getLong(3)) ==
+        (("d3", "d0", 4, 120L)))
+    }
+  }
+
+  test("null partition values: count(part_col) excludes the default " +
+      "partition, min/max skip it") {
+    val root = fresh("metapnull")
+    val df = (1 to 90).map { i =>
+      (i.toLong, if (i % 9 == 0) null else s"s${i % 3}")
+    }.toDF("id", "seg")
+    VersionedTable.write(df, root, partitionBy = Seq("seg"))
+    GraftSession.withExtensions(spark) { sess =>
+      val t = sess.read.format("gvt").load(root)
+      val out = t.agg(count($"seg").as("nn"), count(lit(1)).as("n"),
+        max($"seg").as("hi"))
+      assertMetaOnly(out)
+      val r = out.collect().head
+      assert((r.getLong(0), r.getLong(1), r.getString(2)) ==
+        ((80L, 90L, "s2")))
+    }
+  }
 }
