@@ -17,7 +17,7 @@ import graft.sources.gvt.{GvtDvRelation, GvtFileIndex}
   *
   *   DELETE FROM t WHERE p
   *   UPDATE t SET c = e, … WHERE p
-  *   MERGE INTO t USING s ON t.k = s.k
+  *   MERGE [WITH SCHEMA EVOLUTION] INTO t USING s ON t.k = s.k
   *     WHEN MATCHED [AND c] THEN DELETE
   *     WHEN MATCHED [AND c] THEN UPDATE SET c = e, … | UPDATE SET *
   *     WHEN NOT MATCHED THEN INSERT * | INSERT (cols…) VALUES (s.cols…)
@@ -60,6 +60,16 @@ object GvtDml extends Rule[LogicalPlan] {
         if (idx.tableRoot.isEmpty) None else Some((idx.tableRoot, idx.pinned))
       case LogicalRelation(r: GvtDvRelation, _, _, _, _) =>
         Some((r.root, r.pinned))
+      // GvtMergeEvolution's parse-time widening: the table plus typed
+      // NULLs for the source's new columns — row-set-preserving by
+      // construction (attributes and null literals only), so the DML
+      // target is still the table
+      case Project(pl, child) if pl.forall {
+        case _: AttributeReference => true
+        case org.apache.spark.sql.catalyst.expressions.Alias(l: Literal, _) =>
+          l.value == null
+        case _ => false
+      } => unapply(child)
       case _ => None
     }
   }
@@ -131,6 +141,11 @@ object GvtDml extends Rule[LogicalPlan] {
     val srcAttrs = m.sourceTable.outputSet
     val tgtCols = m.targetTable.output.map(_.name)
     val srcCols = m.sourceTable.output.map(_.name)
+    // MERGE WITH SCHEMA EVOLUTION (Delta parity): source columns absent
+    // from the target join its schema — star actions below include
+    // them, and the command's mergeInto widens the target with typed
+    // NULLs before the clause join
+    val evolve = m.withSchemaEvolution
     // ON clause → key pairs (targetName, sourceName)
     val pairs = conjuncts(m.mergeCondition).map {
       case EqualTo(a: AttributeReference, b: AttributeReference)
@@ -199,7 +214,9 @@ object GvtDml extends Rule[LogicalPlan] {
         matchedUpdate = updateAssigns(assigns, cond)
         if (cond.isEmpty) matchedConsumed = true else matchedTerminal = true
       case UpdateStarAction(cond) =>
-        val base = tgtCols.filter(srcCols.contains).filterNot(keys.contains)
+        val carried = srcCols.map(c => keyOfSrc.getOrElse(c, c))
+        val base = (if (evolve) carried else tgtCols.filter(carried.contains))
+          .filterNot(keys.contains)
         matchedUpdate = base.map(c => c -> cond.map(cc =>
           fwhen(qualify(cc), fcol(s"s.$c")).otherwise(fcol(s"t.$c")))
           .getOrElse(fcol(s"s.$c"))).toMap
@@ -227,8 +244,9 @@ object GvtDml extends Rule[LogicalPlan] {
       case other => unsupported(s"MERGE not-matched-by-source action $other")
     }
     // target columns the (renamed) source carries — what INSERT * fills
+    // (with schema evolution every source column is target-joining)
     val srcCarried = srcCols.map(c => keyOfSrc.getOrElse(c, c))
-      .filter(tgtCols.contains).toSet
+      .filter(c => evolve || tgtCols.contains(c)).toSet
     var insertNotMatched = false
     m.notMatchedActions.foreach {
       case _ if insertNotMatched => unsupported("multiple NOT MATCHED clauses")
@@ -267,7 +285,8 @@ object GvtDml extends Rule[LogicalPlan] {
           s"and an unrelated column named $t (renaming $s -> $t would collide)")
     }
     GvtMergeCommand(root, m.sourceTable, pairs, keys,
-      matchedDelete, matchedUpdate, insertNotMatched, nmsDelete, nmsUpdate)
+      matchedDelete, matchedUpdate, insertNotMatched, nmsDelete, nmsUpdate,
+      allowEvolution = evolve)
   }
 }
 
@@ -299,7 +318,8 @@ case class GvtMergeCommand(root: String, source: LogicalPlan,
                            matchedUpdate: Map[String, Column],
                            insertNotMatched: Boolean,
                            nmsDelete: Option[Column] = None,
-                           nmsUpdate: Map[String, Column] = Map.empty)
+                           nmsUpdate: Map[String, Column] = Map.empty,
+                           allowEvolution: Boolean = false)
   extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(spark: SparkSession): Seq[Row] = {
@@ -308,8 +328,81 @@ case class GvtMergeCommand(root: String, source: LogicalPlan,
     }
     VersionedTable.mergeInto(spark, root, srcDf, keys,
       matchedDelete, matchedUpdate, insertNotMatched,
-      nmsDelete = nmsDelete, nmsUpdate = nmsUpdate)
+      nmsDelete = nmsDelete, nmsUpdate = nmsUpdate,
+      allowEvolution = allowEvolution)
     Seq.empty
+  }
+}
+
+/** `MERGE WITH SCHEMA EVOLUTION INTO <gvt>` — parse-time target
+  * widening. Spark's analyzer expands `UPDATE SET *` / `INSERT *`
+  * against the TARGET's schema before any injected resolution rule can
+  * run (and rejects explicit assignments to columns the target lacks),
+  * so by analysis time the evolution must already be visible: this
+  * post-parse pass projects a typed NULL for every source column the
+  * gvt target lacks onto the target plan. Star expansion then includes
+  * the new columns naturally, explicit `SET new = s.new` assignments
+  * resolve, [[GvtDml]] routes the merge with allowEvolution=true, and
+  * the commit carries the evolved schema through the write-side
+  * evolution gate. Non-gvt targets pass through untouched (Spark's own
+  * v2 handling and errors apply).
+  *
+  * Documented divergence from Delta: WITH SCHEMA EVOLUTION joins ALL
+  * new source columns (existing rows read NULL), whether or not a
+  * clause references them — Delta joins only star-carried/referenced
+  * ones. The explicit keyword makes the wider behavior safe. */
+object GvtMergeEvolution {
+  import org.apache.spark.sql.catalyst.analysis.{UnresolvedRelation, UnresolvedStar}
+  import org.apache.spark.sql.catalyst.expressions.Alias
+  import org.apache.spark.sql.types.StructType
+  import scala.util.control.NonFatal
+
+  def resolve(spark: SparkSession, plan: LogicalPlan): LogicalPlan =
+    plan.transformUp {
+      case m: MergeIntoTable if m.withSchemaEvolution =>
+        (for {
+          tgtSchema <- gvtSchema(spark, m.targetTable)
+          srcSchema <- analyzedSchema(spark, m.sourceTable)
+          newCols = srcSchema.filterNot(f =>
+            tgtSchema.fieldNames.contains(f.name))
+          if newCols.nonEmpty
+        } yield m.copy(targetTable = widen(m.targetTable, newCols.toSeq)))
+          .getOrElse(m)
+    }
+
+  private def analyzedSchema(spark: SparkSession,
+                             plan: LogicalPlan): Option[StructType] =
+    try Some(spark.sessionState.analyzer.execute(plan).schema)
+    catch { case NonFatal(_) => None } // let normal analysis report it
+
+  /** The LIVE schema of the merge target iff it is a gvt relation —
+    * `` gvt.`path` `` directly, or a registered view resolved through
+    * the catalog (the [[GvtTimeTravel.rootOf]] precedent). */
+  private def gvtSchema(spark: SparkSession,
+                        plan: LogicalPlan): Option[StructType] = plan match {
+    case SubqueryAlias(_, child) => gvtSchema(spark, child)
+    case u: UnresolvedRelation => u.multipartIdentifier match {
+      case Seq("gvt", path) =>
+        try Some(VersionedTable.readLatest(spark, path).schema)
+        catch { case NonFatal(_) => None }
+      case Seq(name) =>
+        try {
+          val t = spark.table(name)
+          GvtDml.gvtRootOf(t.queryExecution.analyzed).map(_ => t.schema)
+        } catch { case NonFatal(_) => None }
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private def widen(plan: LogicalPlan,
+                    newCols: Seq[org.apache.spark.sql.types.StructField])
+      : LogicalPlan = plan match {
+    case SubqueryAlias(id, child) => SubqueryAlias(id, widen(child, newCols))
+    case u: UnresolvedRelation =>
+      Project(UnresolvedStar(None) +: newCols.map(f =>
+        Alias(Literal.create(null, f.dataType), f.name)()), u)
+    case other => other
   }
 }
 

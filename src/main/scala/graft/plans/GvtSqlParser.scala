@@ -112,8 +112,11 @@ class GvtSqlParser(session: SparkSession, delegate: ParserInterface)
           Option(pat).filter(_.nonEmpty))
       // in-query VERSION AS OF / TIMESTAMP AS OF over gvt targets must
       // substitute at parse time — Spark's analyzer rejects time travel
-      // on temp views before injected resolution rules run
-      case _ => GvtTimeTravel.resolve(session, delegate.parsePlan(sqlText))
+      // on temp views before injected resolution rules run; MERGE WITH
+      // SCHEMA EVOLUTION likewise widens its gvt target at parse time,
+      // before the analyzer expands star actions against it
+      case _ => GvtMergeEvolution.resolve(session,
+        GvtTimeTravel.resolve(session, delegate.parsePlan(sqlText)))
     }
   }
 

@@ -763,6 +763,36 @@ object RelationalQueries {
       sess.sql("SELECT k, status, cents FROM sql_merge_t ORDER BY k")
     }),
 
+    // MERGE WITH SCHEMA EVOLUTION (Delta parity): the source carries a
+    // column the target lacks — the merge joins it to the target schema
+    // (typed NULLs for untouched rows), UPDATE SET * takes the source
+    // values on matched keys, INSERT * lands the new keys with it. The
+    // final aggregate must equal plain row-set arithmetic: target rows
+    // the source missed keep flag NULL; every k%3 source row carries
+    // its flag and bumped cents.
+    "q_merge_evolve" -> ((s, dir) => graft.GraftSession.withExtensions(s) { sess =>
+      val out = tmpDir("graft_mergevo")
+      val o = t(sess, dir, "orders").select(col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      val root = s"$out/t"
+      graft.sources.VersionedTable.write(o.filter(col("k") % 2 === 0), root)
+      o.filter(col("k") % 3 === 0)
+        .withColumn("cents", col("cents") + 5L)
+        .withColumn("flag", concat(lit("f"), (col("k") % 2).cast("string")))
+        .createOrReplaceTempView("merge_evo_src")
+      sess.sql(s"CREATE OR REPLACE TEMPORARY VIEW merge_evo_t USING gvt " +
+        s"OPTIONS (path '$root')")
+      sess.sql("""MERGE WITH SCHEMA EVOLUTION INTO merge_evo_t t
+        USING merge_evo_src s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+      sess.sql(s"CREATE OR REPLACE TEMPORARY VIEW merge_evo_t USING gvt " +
+        s"OPTIONS (path '$root')")
+      sess.sql("""SELECT coalesce(flag, 'none') AS flag,
+        count(*) AS n_rows, sum(cents) AS sum_cents
+        FROM merge_evo_t GROUP BY 1 ORDER BY flag""")
+    }),
+
     // Maintenance SQL (Delta's non-ANSI statements via the injected
     // GvtSqlParser): OPTIMIZE folds the append chain, VACUUM RETAIN 0
     // HOURS reclaims the folded-away tips (the base survives as the
@@ -2005,6 +2035,23 @@ object RelationalQueries {
         |  SELECT s.k, s.status, s.cents
         |  FROM src s LEFT JOIN tgt t ON s.k = t.k WHERE t.k IS NULL
         |) ORDER BY k""".stripMargin,
+
+    // Evolution merge must equal plain row-set arithmetic: unmatched
+    // target rows keep a NULL flag, every k%3 source row lands with its
+    // flag and bumped cents (even k = update, odd k = insert).
+    "q_merge_evolve" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |rows_ AS (
+        |  SELECT k, cents, NULL AS flag FROM o WHERE k % 2 = 0 AND k % 3 <> 0
+        |  UNION ALL
+        |  SELECT k, cents + 5, 'f' || CAST(k % 2 AS VARCHAR)
+        |  FROM o WHERE k % 3 = 0)
+        |SELECT coalesce(flag, 'none') AS flag,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM rows_ GROUP BY 1 ORDER BY flag""".stripMargin,
 
     // The SQL-over-DV read must equal the plain row-set arithmetic of
     // the two DML ops plus the residual WHERE.

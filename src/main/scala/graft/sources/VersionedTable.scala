@@ -1826,7 +1826,15 @@ object VersionedTable {
     * [[graft.ops.RelationalOps.mergeClauses]], with [[merge]]'s
     * conditional-commit retry: a concurrent writer re-reads the new
     * snapshot and re-applies the clauses. Conditions/assignments
-    * reference `col("t.x")` / `col("s.x")`. */
+    * reference `col("t.x")` / `col("s.x")`.
+    *
+    * Schema evolution (Delta `MERGE WITH SCHEMA EVOLUTION` /
+    * autoMerge): with `allowEvolution`, source columns absent from the
+    * target JOIN the target schema — the target side is widened with
+    * typed NULLs before the clause join, so `UPDATE SET`/INSERT
+    * assignments may reference `s.<new>` and untouched target rows
+    * read NULL, and the commit carries the evolved schema through the
+    * write-side evolution gate (same contract as [[merge]]). */
   def mergeInto(spark: SparkSession, root: String, source: DataFrame,
                 keys: Seq[String],
                 matchedDelete: Option[org.apache.spark.sql.Column] = None,
@@ -1834,17 +1842,26 @@ object VersionedTable {
                 insertNotMatched: Boolean = true,
                 maxRetries: Int = 3,
                 nmsDelete: Option[org.apache.spark.sql.Column] = None,
-                nmsUpdate: Map[String, org.apache.spark.sql.Column] = Map.empty): Long = {
+                nmsUpdate: Map[String, org.apache.spark.sql.Column] = Map.empty,
+                allowEvolution: Boolean = false): Long = {
+    import org.apache.spark.sql.functions.lit
     var attempt = 0
     while (true) {
       val base = latestVersion(root).getOrElse(
         throw new IllegalArgumentException(s"no versions at $root"))
+      val target0 = readVersion(spark, root, base)
+      val target =
+        if (!allowEvolution) target0
+        else source.schema.filterNot(f => target0.columns.contains(f.name))
+          .foldLeft(target0)((d, f) =>
+            d.withColumn(f.name, lit(null).cast(f.dataType)))
       val merged = graft.ops.RelationalOps.mergeClauses(
-        readVersion(spark, root, base), source, keys,
+        target, source, keys,
         matchedDelete, matchedUpdate, insertNotMatched,
         nmsDelete, nmsUpdate)
       try return write(merged, root, baseVersion = Some(base),
-        operation = "MERGE", assignIdentity = false)
+        operation = "MERGE", assignIdentity = false,
+        allowEvolution = allowEvolution)
       catch {
         case e: ConcurrentWriteException =>
           if (attempt >= maxRetries) throw e

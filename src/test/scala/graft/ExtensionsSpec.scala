@@ -285,4 +285,50 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(nv == VersionedTable.latestVersion(root).get)
     }
   }
+
+  test("MERGE WITH SCHEMA EVOLUTION: new source columns join the target " +
+      "schema; plain MERGE keeps it") {
+    withExtensionsSession { sess =>
+      import sess.implicits._
+      import graft.sources.VersionedTable
+      val root = java.nio.file.Files.createTempDirectory("graft_mergevo").toString + "/t"
+      VersionedTable.write((1 to 20).map(i => (i, i * 10L)).toDF("id", "v"), root)
+      sess.sql(s"CREATE OR REPLACE TEMPORARY VIEW evo_t USING gvt OPTIONS (path '$root')")
+      Seq((11, 111L, "a"), (25, 250L, "b")).toDF("id", "v", "note")
+        .createOrReplaceTempView("evo_src")
+      sess.sql("""MERGE WITH SCHEMA EVOLUTION INTO evo_t t USING evo_src s
+        ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+      val latest = VersionedTable.readLatest(sess, root)
+      assert(latest.columns.toSeq == Seq("id", "v", "note"))
+      val rows = latest.orderBy("id")
+        .as[(Int, Long, Option[String])].collect().toSeq
+      assert(rows.size == 21)
+      assert(rows.filter(r => Set(1, 11, 25)(r._1)) == Seq(
+        (1, 10L, None), (11, 111L, Some("a")), (25, 250L, Some("b"))))
+      // plain MERGE (no evolution): extra source columns are the
+      // documented partial-source tolerance — schema must NOT widen
+      Seq((12, 222L, 9L).asInstanceOf[(Int, Long, Long)])
+        .toDF("id", "v", "extra").createOrReplaceTempView("evo_src2")
+      sess.sql(s"CREATE OR REPLACE TEMPORARY VIEW evo_t USING gvt OPTIONS (path '$root')")
+      sess.sql("""MERGE INTO evo_t t USING evo_src2 s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET v = s.v""")
+      val after = VersionedTable.readLatest(sess, root)
+      assert(after.columns.toSeq == Seq("id", "v", "note"))
+      assert(after.filter($"id" === 12).select("v").as[Long].head() == 222L)
+      // API-level evolution (Delta autoMerge analogue): conditional
+      // clause over an evolving source through mergeInto
+      VersionedTable.mergeInto(sess, root,
+        Seq((13, 333L, 7L)).toDF("id", "v", "w"), Seq("id"),
+        matchedUpdate = Map("v" -> col("s.v"), "w" -> col("s.w")),
+        insertNotMatched = false, allowEvolution = true)
+      val evolved = VersionedTable.readLatest(sess, root)
+      assert(evolved.columns.toSeq == Seq("id", "v", "note", "w"))
+      val r13 = evolved.filter($"id" === 13)
+        .select("v", "w").as[(Long, Option[Long])].head()
+      assert(r13 == ((333L, Some(7L))))
+      assert(evolved.filter($"w".isNull).count() == 20)
+    }
+  }
 }
