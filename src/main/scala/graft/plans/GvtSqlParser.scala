@@ -49,6 +49,7 @@ class GvtSqlParser(session: SparkSession, delegate: ParserInterface)
         GvtVacuumCommand(target.trim,
           Option(hours).map(h => h.trim.toLong * 3600L * 1000L),
           dryRun = dry != null)
+      case ReorgRe(target) => GvtReorgCommand(target.trim)
       // `DESC history status` is VALID Spark SQL (describe column
       // 'status' of a table named 'history') — only claim the statement
       // when the target actually resolves to a gvt relation, else
@@ -147,6 +148,9 @@ object GvtSqlParser {
   private val VacuumRe =
     ("""(?is)^VACUUM\s+""" + Target +
       """(?:\s+RETAIN\s+(\d+)\s+HOURS?)?(?:\s+(DRY\s+RUN))?\s*$""").r
+  private val ReorgRe =
+    ("""(?is)^REORG\s+TABLE\s+""" + Target +
+      """\s+APPLY\s*\(\s*PURGE\s*\)\s*$""").r
   private val HistoryRe =
     ("""(?is)^DESC(?:RIBE)?\s+HISTORY\s+""" + Target + """\s*$""").r
   private val RestoreRe =
@@ -303,6 +307,18 @@ object GvtSqlParser {
 
 /** `OPTIMIZE t [ZORDER BY (…)]` → chain fold when eligible, else the
   * full compaction rewrite. Returns the resulting live version. */
+/** `REORG TABLE t APPLY (PURGE)` → [[VersionedTable.purge]]: one
+  * rewrite that materializes deletion vectors, drops retired physical
+  * columns' data, and resets the column mapping. */
+case class GvtReorgCommand(target: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("new_version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GvtSqlParser.rootOf(spark, target)
+    Seq(Row(VersionedTable.purge(spark, root)))
+  }
+}
+
 case class GvtOptimizeCommand(target: String, zorderBy: Seq[String])
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] =

@@ -763,6 +763,35 @@ object RelationalQueries {
       sess.sql("SELECT k, status, cents FROM sql_merge_t ORDER BY k")
     }),
 
+    // REORG TABLE … APPLY (PURGE) (Delta's physical-cleanup verb): a
+    // mapped chain accumulates dropped-column data, rename indirection,
+    // and deletion vectors; the purge rewrites the live snapshot so the
+    // physical layout equals the logical view and RESETS the mapping —
+    // reads return to the plain file-relation path. The post-purge
+    // aggregate must equal plain row-set arithmetic: purge is storage,
+    // never semantics.
+    "q_sql_reorg" -> ((s, dir) => graft.GraftSession.withExtensions(s) { sess =>
+      val out = tmpDir("graft_sqlreorg")
+      val o = t(sess, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"),
+        concat(lit("n"), col("o_orderkey").cast("string")).as("note"))
+      val root = s"$out/t"
+      graft.sources.VersionedTable.write(o, root)
+      graft.sources.VersionedTable.setTblProperties(root,
+        Map("gvt.columnMapping" -> "name"))
+      graft.sources.VersionedTable.dropColumns(sess, root, Seq("note"))
+      graft.sources.VersionedTable.renameColumn(sess, root, "cents", "amount")
+      graft.sources.VersionedTable.deleteWhereVector(sess, root,
+        col("k") % 7 === 0)
+      sess.sql(s"REORG TABLE gvt.`$root` APPLY (PURGE)").collect()
+      sess.sql(s"CREATE OR REPLACE TEMPORARY VIEW reorg_t USING gvt " +
+        s"OPTIONS (path '$root')")
+      sess.sql("""SELECT status, count(*) AS n_orders,
+        sum(amount) AS sum_amount
+        FROM reorg_t GROUP BY status ORDER BY status""")
+    }),
+
     // MERGE WITH SCHEMA EVOLUTION (Delta parity): the source carries a
     // column the target lacks — the merge joins it to the target schema
     // (typed NULLs for untouched rows), UPDATE SET * takes the source
@@ -2035,6 +2064,15 @@ object RelationalQueries {
         |  SELECT s.k, s.status, s.cents
         |  FROM src s LEFT JOIN tgt t ON s.k = t.k WHERE t.k IS NULL
         |) ORDER BY k""".stripMargin,
+
+    // Post-purge rows = every order the k%7 delete spared, amounts
+    // unchanged under the rename.
+    "q_sql_reorg" ->
+      """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_amount
+        |FROM orders WHERE o_orderkey % 7 <> 0
+        |GROUP BY o_orderstatus ORDER BY status""".stripMargin,
 
     // Evolution merge must equal plain row-set arithmetic: unmatched
     // target rows keep a NULL flag, every k%3 source row lands with its

@@ -1096,15 +1096,21 @@ object VersionedTable {
     // chain carries its mapping forward, extended with fresh physical
     // names for any NEW logical columns (never reusing an active or
     // retired physical, so re-added names cannot resurface old values)
+    // `_colmap` -> "" is the explicit UNMAP sentinel ([[purge]] / REORG
+    // PURGE): the commit neither inherits the base chain's mapping nor
+    // writes a `_colmap` — the new snapshot's physical layout IS its
+    // logical view, and reads return to the plain file-relation path
+    val unmap = metaFiles.get("_colmap").contains("")
     val cmPrior: Option[Colmap] =
-      if (physicalInput) None
+      if (physicalInput || unmap) None
       else metaFiles.get("_colmap").map(parseColmap)
         .orElse(base.flatMap(b => colmapAt(root, b)))
     val next = claimNextVersion(root)
     var committed = false
     try {
       val (dfW, partsW, statsW, metaW) = cmPrior match {
-        case None => (df, partitionBy, statsCols, metaFiles1)
+        case None => (df, partitionBy, statsCols,
+          if (unmap) metaFiles1 - "_colmap" else metaFiles1)
         case Some(prior0) =>
           // id mode: every physical (incl. the adds below) carries a
           // stable field id; ids attach to physicals, which never
@@ -2811,6 +2817,39 @@ object VersionedTable {
     write(rewritten, root, partitionBy = parts,
       statsCols = if (zorderBy.nonEmpty) zorderBy else Seq.empty,
       metaFiles = carriedMeta, baseVersion = Some(v), operation = op,
+      assignIdentity = false)
+  }
+
+  /** REORG TABLE … APPLY (PURGE) analogue (Delta's physical-cleanup
+    * verb): rewrite the live snapshot so its PHYSICAL layout matches
+    * its logical view — deletion vectors materialize (deleted rows
+    * leave the files), dropped/renamed columns' data is not copied
+    * (retired physicals fall out of existence), and the column mapping
+    * RESETS: the new snapshot carries no `_colmap`, so reads return to
+    * the plain file-relation path and drop the per-read mapping
+    * resolution a long-mapped chain pays. History below the purge keeps
+    * its own mapping and vectors (time travel unaffected) until VACUUM
+    * reclaims it. O(live data) — the same cost class as [[compact]],
+    * which handles the DV half on its own; purge is the verb when
+    * mapping debt must ALSO leave the storage. */
+  def purge(spark: SparkSession, root: String,
+            targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    val v = latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $root"))
+    val dirs = dataDirsOf(root, v)
+    // partition layout: drop/rename of partition columns is refused, so
+    // the physical dir layout's names ARE the logical ones
+    val parts = partColsOf(new HPath(dirs.head))
+    val fc = fcOf(new HPath(dirs.head))
+    def sizeOf(p: HPath): Long = fc.util.listStatus(p).map { st =>
+      if (st.isDirectory) sizeOf(st.getPath) else st.getLen
+    }.sum
+    val totalBytes = dirs.map(d => sizeOf(new HPath(d))).sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val snap = readVersion(spark, root, v) // logical space, DVs applied
+    write(snap.coalesce(nFiles), root, partitionBy = parts,
+      metaFiles = carriedMetaOfChain(root, v) + ("_colmap" -> ""),
+      baseVersion = Some(v), operation = "REORG(PURGE)",
       assignIdentity = false)
   }
 

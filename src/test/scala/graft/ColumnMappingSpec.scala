@@ -403,4 +403,45 @@ class ColumnMappingSpec extends AnyFunSuite {
     assert(VersionedTable.readLatest(spark, root).columns.toSeq ==
       Seq("k", "part"))
   }
+
+  test("REORG APPLY (PURGE): vectors materialize, retired physical data " +
+      "leaves the files, mapping resets, history keeps its view") {
+    val root = fresh("cmpurge")
+    val o = (1 to 60).map(i => (i.toLong, s"secret$i", i.toLong * 100))
+      .toDF("k", "note", "cents")
+    VersionedTable.write(o, root)                                      // v1
+    mapped(root)
+    VersionedTable.dropColumns(spark, root, Seq("note"))               // v2
+    VersionedTable.renameColumn(spark, root, "cents", "amount")        // v3
+    VersionedTable.deleteWhereVector(spark, root, col("k") % 5 === 0L) // v4
+    assert(VersionedTable.hasColmap(root, 4L))
+    val purged = GraftSession.withExtensions(spark) { sess =>
+      sess.sql(s"REORG TABLE gvt.`$root` APPLY (PURGE)")
+        .collect().head.getLong(0)
+    }
+    // logical view unchanged by the rewrite
+    val live = VersionedTable.readLatest(spark, root)
+    assert(live.columns.toSeq == Seq("k", "amount"))
+    assert(live.count() == 48)
+    assert(live.agg(sum("amount")).as[Long].head() ==
+      (1 to 60).filter(_ % 5 != 0).map(_ * 100L).sum)
+    // physically clean: no mapping, no pending vectors, and the new
+    // snapshot's files carry the LOGICAL names — the dropped column's
+    // data is gone from storage, not just hidden
+    assert(!VersionedTable.hasColmap(root, purged))
+    assert(VersionedTable.chainDvDirs(root, purged).isEmpty)
+    val raw = spark.read.parquet(s"$root/v=$purged")
+    assert(raw.schema.fieldNames.toSeq == Seq("k", "amount"))
+    assert(raw.count() == 48)
+    // history below the purge keeps its own mapped view
+    assert(VersionedTable.readVersion(spark, root, 1L).columns.toSeq ==
+      Seq("k", "note", "cents"))
+    assert(VersionedTable.readVersion(spark, root, 3L).columns.toSeq ==
+      Seq("k", "amount"))
+    // the property survives: a post-purge drop starts a FRESH mapping
+    VersionedTable.dropColumns(spark, root, Seq("amount"))
+    assert(VersionedTable.readLatest(spark, root).columns.toSeq == Seq("k"))
+    assert(VersionedTable.readVersion(spark, root, purged).columns.toSeq ==
+      Seq("k", "amount"))
+  }
 }
