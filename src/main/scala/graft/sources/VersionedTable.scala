@@ -1739,6 +1739,25 @@ object VersionedTable {
     walk(p)
   }
 
+  /** Total byte size of logical snapshot `version`'s data files
+    * (sidecars and schema-only slices excluded) — the planner-facing
+    * `sizeInBytes` of a chain snapshot. One filesystem listing per
+    * chain dir; no data read. */
+  private[graft] def chainDataBytes(root: String, version: Long): Long = {
+    def walk(d: HPath): Long = {
+      val fc = fcOf(d)
+      if (!fc.util.exists(d)) 0L
+      else fc.util.listStatus(d).map { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) 0L
+        else if (st.isDirectory) walk(st.getPath)
+        else st.getLen
+      }.sum
+    }
+    dataDirsOf(root, version).filterNot(isSchemaOnlySlice)
+      .map(d => walk(new HPath(d))).sum
+  }
+
   /** Sum of the parquet FOOTER row counts of `files` — exact row counts
     * with zero data pages read (row counts are mandatory in every
     * parquet footer). Driver-side IO over a bounded pool: this is the

@@ -274,6 +274,17 @@ class GvtDvRelation(
   override val schema: StructType =
     VersionedTable.readVersion(spark, root, version).schema
 
+  /** Real size, not the never-broadcast default: without this a 10 MB
+    * dimension table with ONE pending deletion vector (or a column
+    * mapping) would report `spark.sql.defaultSizeInBytes` and every
+    * star join against it would silently fall from broadcast to
+    * shuffle until compaction. The chain's file-size sum is a safe
+    * overestimate (vectors only shrink the row set) in the exact
+    * direction broadcast planning needs, and costs one metadata
+    * listing — the same class as building the relation's schema. */
+  override val sizeInBytes: Long =
+    VersionedTable.chainDataBytes(root, version)
+
   override def needConversion: Boolean = false
 
   override def buildScan(requiredColumns: Array[String],

@@ -293,4 +293,21 @@ class GvtSpec extends AnyFunSuite {
     assert(spark.read.format("gvt").load(root).count() == 50)
     assert(spark.read.format("gvt").option("versionAsOf", "2").load(root).count() == 120)
   }
+
+  test("a DV-bearing gvt dim still auto-broadcasts in joins " +
+      "(real sizeInBytes, not the never-broadcast default)") {
+    val root = freshRoot()
+    VersionedTable.write((1 to 100).map(i => (i.toLong, s"name$i"))
+      .toDF("k", "name"), root)
+    VersionedTable.deleteWhereVector(spark, root, col("k") % 10 === 0L)
+    val fact = spark.range(0, 20000)
+      .select(($"id" % 100 + 1).as("k"), $"id".as("x"))
+    val dim = spark.read.format("gvt").load(root) // DV path: GvtDvRelation
+    val j = fact.join(dim, "k")
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the tiny DV-bearing dim to broadcast:\n$plan")
+    // 90 live dim keys × 200 fact rows each
+    assert(j.count() == 90L * 200)
+  }
 }
