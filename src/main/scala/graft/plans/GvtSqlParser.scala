@@ -580,12 +580,13 @@ case class GvtDescribeDetailCommand(target: String)
     AttributeReference("num_versions", LongType, nullable = false)(),
     AttributeReference("num_files", LongType, nullable = false)(),
     AttributeReference("size_bytes", LongType, nullable = false)(),
+    AttributeReference("num_rows", LongType, nullable = false)(),
     AttributeReference("partition_columns", StringType, nullable = false)(),
     AttributeReference("properties", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val d = VersionedTable.detail(GvtSqlParser.rootOf(spark, target))
     Seq(Row(d.format, d.location, d.version, d.numVersions, d.numFiles,
-      d.sizeBytes, d.partitionColumns.mkString(","),
+      d.sizeBytes, d.numRows, d.partitionColumns.mkString(","),
       d.properties.toSeq.sorted.map { case (k, v) => s"$k=$v" }
         .mkString(",")))
   }

@@ -2469,6 +2469,7 @@ object VersionedTable {
     * the chain dirs, no data read. */
   case class TableDetail(format: String, location: String, version: Long,
                          numVersions: Long, numFiles: Long, sizeBytes: Long,
+                         numRows: Long,
                          partitionColumns: Seq[String],
                          constraints: Map[String, String],
                          properties: Map[String, String])
@@ -2489,6 +2490,7 @@ object VersionedTable {
     val counts = dataDirsOf(root, v).flatMap(d => walk(new HPath(d)))
     TableDetail("gvt", root, v, committedVersions(root).size.toLong,
       counts.map(_._1).sum, counts.map(_._2).sum,
+      metaRowCount(root, Some(v)), // footer counts − DV cardinality
       partColsOf(new HPath(dataDirsOf(root, v).head)),
       constraints(root), tblProperties(root))
   }

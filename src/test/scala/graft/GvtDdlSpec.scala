@@ -126,13 +126,16 @@ class GvtDdlSpec extends AnyFunSuite {
       assert(d.getLong(3) == 1L)    // num_versions
       assert(d.getLong(4) > 0L)     // num_files
       assert(d.getLong(5) > 0L)     // size_bytes
-      assert(d.getString(6) == "part")
-      assert(d.getString(7) == "owner=alpha")
+      assert(d.getLong(6) == 40L)   // num_rows (metadata-only)
+      assert(d.getString(7) == "part")
+      assert(d.getString(8) == "owner=alpha")
     }
-    // a DV commit adds a version but the counted files stay DATA files
+    // a DV commit adds a version but the counted files stay DATA files;
+    // num_rows subtracts the vector's cardinality without a scan
     VersionedTable.deleteWhereVector(spark, root, col("k") % 5 === 0)
     val d2 = VersionedTable.detail(root)
     assert(d2.version == 2L && d2.numVersions == 2L)
+    assert(d2.numRows == 32L)
   }
 
   test("CREATE TABLE … CLONE: deep decouples, shallow stacks local DML, " +
