@@ -385,12 +385,11 @@ object GvtMergeEvolution {
       case Seq("gvt", path) =>
         try Some(VersionedTable.readLatest(spark, path).schema)
         catch { case NonFatal(_) => None }
-      case Seq(name) =>
+      case parts => // temp view or catalog table, any part count
         try {
-          val t = spark.table(name)
+          val t = spark.table(parts.mkString("."))
           GvtDml.gvtRootOf(t.queryExecution.analyzed).map(_ => t.schema)
         } catch { case NonFatal(_) => None }
-      case _ => None
     }
     case _ => None
   }

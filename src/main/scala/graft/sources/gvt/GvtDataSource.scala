@@ -8,7 +8,7 @@ import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, 
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.streaming.{Sink, Source}
 import org.apache.spark.sql.graft.StreamingBridge
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, Filter, PrunedFilteredScan, RelationProvider, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, Filter, PrunedFilteredScan, RelationProvider, StreamSinkProvider, StreamSourceProvider, TableScan}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{Decimal, StructType}
 import graft.sources.VersionedTable
@@ -90,6 +90,25 @@ class DefaultSource extends RelationProvider
                               parameters: Map[String, String]): BaseRelation = {
     val spark = sqlContext.sparkSession
     val root = pathOf(parameters)
+    // Delta's batch CDF read surface:
+    //   spark.read.format("gvt").option("readChangeFeed", "true")
+    //     .option("startingVersion", n)[.option("endingVersion", m)]
+    // startingVersion/endingVersion are INCLUSIVE commit versions
+    // (Delta's contract); VersionedTable.changes takes an exclusive
+    // base, hence the -1. `keys` names the row identity for rewrite
+    // commits, exactly as the table_changes TVF requires.
+    if (parameters.get("readChangeFeed").exists(_.trim.equalsIgnoreCase("true"))) {
+      val from = parameters.get("startingVersion").map(_.trim.toLong).getOrElse(
+        throw new IllegalArgumentException(
+          "gvt readChangeFeed: option startingVersion is required"))
+      val to = parameters.get("endingVersion").map(_.trim.toLong)
+        .orElse(VersionedTable.latestVersion(root)).getOrElse(
+          throw new IllegalArgumentException(s"gvt: no versions at $root"))
+      val keys = parameters.get("keys").toSeq
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+      return new GvtChangeFeedRelation(spark, sqlContext, root,
+        from - 1, to, keys)
+    }
     // pinned = explicitly version-addressed (time travel): a READ-ONLY
     // view of history — SQL DML refuses it (you can't DELETE the past)
     val pinned = parameters.contains("versionAsOf") ||
@@ -302,6 +321,54 @@ class GvtDvRelation(
   }
 
   override def toString: String = s"GvtDvRelation($root, v=$version)"
+}
+
+/** Batch change-data-feed relation (Delta `readChangeFeed` analogue):
+  * the committed changes in versions `(fromV, toV]`, one
+  * [[VersionedTable.changes]] hop per committed pair, tagged with the
+  * feed's `_change_type` / `_commit_version` / `_commit_timestamp`
+  * columns. `fromV = 0` bootstraps from the earliest retained snapshot
+  * as an all-insert batch (the streaming source's contract); a
+  * non-zero `fromV` below the retention horizon fails loudly instead
+  * of silently re-emitting history. Pure-append hops ride the
+  * O(batch-dirs) fast path — never a snapshot join. */
+class GvtChangeFeedRelation(
+    spark: SparkSession, override val sqlContext: SQLContext,
+    val root: String, val fromV: Long, val toV: Long, keys: Seq[String])
+  extends BaseRelation with TableScan {
+
+  private val df: DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val chain = VersionedTable.committedVersions(root)
+    val pairs = chain.zip(None +: chain.init.map(Option(_)))
+      .filter { case (v, _) => v > fromV && v <= toV }
+    require(pairs.nonEmpty, s"gvt readChangeFeed: no committed versions " +
+      s"in (${fromV}, $toV] at $root (latest: ${chain.lastOption.orNull})")
+    val feeds = pairs.map { case (v, pred) =>
+      val base = pred match {
+        case None if fromV > 0 => throw new IllegalArgumentException(
+          s"gvt readChangeFeed: startingVersion ${fromV + 1} is below the " +
+            s"retention horizon (earliest retained: v=$v) — history was " +
+            "vacuumed; start at or above the horizon")
+        case None => VersionedTable.readVersion(spark, root, v)
+          .withColumn("_change_type", lit("insert"))
+        case Some(p) => VersionedTable.changes(spark, root, p, v, keys)
+      }
+      val ts = VersionedTable.readMeta(root, v, "_commit_ts").map(_.trim.toLong)
+      base.withColumn("_commit_version", lit(v))
+        .withColumn("_commit_timestamp", lit(ts.orNull).cast("long"))
+    }
+    feeds.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  override val schema: StructType = df.schema
+
+  override def needConversion: Boolean = false
+
+  override def buildScan(): RDD[Row] =
+    df.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+
+  override def toString: String = s"GvtChangeFeedRelation($root, ($fromV, $toV])"
 }
 
 private[graft] object GvtDvRelation {

@@ -267,4 +267,31 @@ class GvtCdfSpec extends AnyFunSuite {
       intercept[StreamingQueryException] { q2.processAllAvailable() }
     } finally q2.stop()
   }
+
+  test("batch CDF via the readChangeFeed read option (Delta surface): " +
+      "inclusive version range, DV deletes classified") {
+    val root = s"${freshDir()}/t"
+    VersionedTable.write((1 to 40).map(i => (i.toLong, i * 10L))
+      .toDF("k", "v"), root)                                          // v1
+    VersionedTable.append((41L to 50L).toDF("k")
+      .withColumn("v", col("k") * 10L), root)                         // v2
+    VersionedTable.deleteWhereVector(spark, root, col("k") <= 5L)     // v3
+    val feed = spark.read.format("gvt")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "2").option("endingVersion", "3")
+      .option("keys", "k").load(root)
+    val byType = feed.groupBy(col("_change_type"))
+      .count().as[(String, Long)].collect().toMap
+    assert(byType == Map("insert" -> 10L, "delete" -> 5L), byType.toString)
+    // startingVersion is INCLUSIVE (Delta contract): v1's bootstrap
+    // inserts appear when the range starts at 1
+    val all = spark.read.format("gvt").option("readChangeFeed", "true")
+      .option("startingVersion", "1").option("keys", "k").load(root)
+    assert(all.filter(col("_commit_version") === 1).count() == 40)
+    assert(all.count() == 55)
+    // startingVersion is required
+    intercept[IllegalArgumentException] {
+      spark.read.format("gvt").option("readChangeFeed", "true").load(root)
+    }
+  }
 }

@@ -540,6 +540,17 @@ class GvtDdlSpec extends AnyFunSuite {
           .as[Long].head() == 20L)
         // maintenance SQL resolves the catalog name too
         assert(sess.sql("DESCRIBE HISTORY gvt_cat_t").count() == 2L)
+        // MERGE WITH SCHEMA EVOLUTION widens a catalog-named target
+        // (the source view must live in the SIBLING session's catalog)
+        sess.createDataFrame(Seq((3, "x"), (99, "y"))).toDF("id", "tag")
+          .createOrReplaceTempView("cat_evo_src")
+        sess.sql("""MERGE WITH SCHEMA EVOLUTION INTO gvt_cat_t t
+          USING cat_evo_src s ON t.id = s.id
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *""")
+        val evolved = VersionedTable.readLatest(sess, root)
+        assert(evolved.columns.toSeq == Seq("id", "tag"))
+        assert(evolved.filter(col("tag").isNotNull).count() == 2L)
       } finally sess.sql("DROP TABLE IF EXISTS gvt_cat_t")
     }
   }

@@ -31,5 +31,23 @@ object PlanDump {
     val q = spark.sql("SELECT status, sum(amount) AS s FROM pd_t WHERE k <= 50 GROUP BY status")
     q.explain("formatted")
     q.collect()
+
+    // r11: the metadata-only aggregate fold (MetaAggRewrite)
+    val root2 = Files.createTempDirectory("graft_plandump_meta").toString + "/t"
+    VersionedTable.write((1 to 300).map(i => (i.toLong, s"p${i % 3}"))
+      .toDF("id", "p"), root2, partitionBy = Seq("p"), statsCols = Seq("id"))
+    GraftSession.withExtensions(spark) { sess =>
+      println("=== metadata fold: global count/min/max over gvt ===")
+      sess.read.format("gvt").load(root2)
+        .agg(count(lit(1)).as("n"), min("id").as("lo"), max("id").as("hi"))
+        .explain("formatted")
+      println("=== metadata fold: GROUP BY partition column ===")
+      sess.read.format("gvt").load(root2)
+        .groupBy(col("p")).agg(count(lit(1)).as("n"))
+        .explain("formatted")
+      println("=== NO fold (soundness): filter present -> real scan ===")
+      sess.read.format("gvt").load(root2).filter(col("id") > 100)
+        .agg(count(lit(1)).as("n")).explain("formatted")
+    }
   }
 }
