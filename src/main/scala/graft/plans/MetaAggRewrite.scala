@@ -1,9 +1,9 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, BoundReference, Expression, Literal, NamedExpression, SubqueryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -57,9 +57,12 @@ import graft.sources.gvt.{GvtDvRelation, GvtFileIndex}
   *
   * Soundness boundary: the rewrite fires ONLY for an aggregate whose
   * grouping keys (if any) are bare partition-column attributes,
-  * sitting directly on the gvt relation (optionally through the
-  * optimizer's attribute-only pruning Project). Any `Filter` in
-  * between, a non-partition grouping key, DISTINCT, or an aggregate
+  * sitting on the gvt relation through at most the optimizer's
+  * attribute-only pruning Projects and `Filter`s over PARTITION
+  * columns alone (every row of a directory shares its values, so
+  * dir-level predicate evaluation is exact — `count(*) WHERE
+  * date >= X` stays a metadata read). A filter touching any data
+  * column, a non-partition grouping key, DISTINCT, or an aggregate
   * filter clause leaves the plan untouched. On the deletion-vector
   * relation path only global `count(*)` folds — deleted rows could
   * have carried the extremes, and per-partition DV attribution is not
@@ -76,18 +79,27 @@ object MetaAggRewrite extends Rule[LogicalPlan] {
     if (!enabled) return plan
     plan.transform {
       case agg @ Aggregate(groupExprs, aggExprs, child, _) =>
-        unwrap(child).flatMap(rewrite(agg, groupExprs, aggExprs, _))
-          .getOrElse(agg)
+        unwrap(child).flatMap { case (lr, cond) =>
+          rewrite(agg, groupExprs, aggExprs, lr, cond)
+        }.getOrElse(agg)
     }
   }
 
-  /** The relation under the aggregate, looking through the optimizer's
-    * column-pruning Project iff it is attribute-only (no computation
-    * whose removal could change semantics). */
-  private def unwrap(plan: LogicalPlan): Option[LogicalRelation] = plan match {
-    case lr: LogicalRelation => Some(lr)
-    case Project(pl, lr: LogicalRelation)
-        if pl.forall(_.isInstanceOf[AttributeReference]) => Some(lr)
+  /** The relation under the aggregate plus an optional Filter whose
+    * predicate the rewrite may still be able to answer (partition
+    * columns only — checked at the use site against the index), looking
+    * through the optimizer's column-pruning Projects iff attribute-only
+    * (no computation whose removal could change semantics). Multiple
+    * Filters conjoin; anything else stops the unwrap. */
+  private def unwrap(plan: LogicalPlan)
+      : Option[(LogicalRelation, Option[Expression])] = plan match {
+    case lr: LogicalRelation => Some((lr, None))
+    case Project(pl, child)
+        if pl.forall(_.isInstanceOf[AttributeReference]) => unwrap(child)
+    case Filter(cond, child) => unwrap(child).map { case (lr, f) =>
+      (lr, Some(f.map(org.apache.spark.sql.catalyst.expressions.And(cond, _))
+        .getOrElse(cond)))
+    }
     case _ => None
   }
 
@@ -113,17 +125,18 @@ object MetaAggRewrite extends Rule[LogicalPlan] {
 
   private def rewrite(agg: Aggregate, groupExprs: Seq[_],
                       aggExprs: Seq[NamedExpression],
-                      lr: LogicalRelation): Option[LogicalPlan] =
+                      lr: LogicalRelation,
+                      cond: Option[Expression]): Option[LogicalPlan] =
     lr.relation match {
       case hfs: HadoopFsRelation => hfs.location match {
         case idx: GvtFileIndex =>
           // vector-free, mapping-free snapshot (the relation plans this
           // path only then): footers count, partition values and zone
           // maps answer min/max
-          rewriteFiles(agg, groupExprs, aggExprs, idx)
+          rewriteFiles(agg, groupExprs, aggExprs, idx, cond)
         case _ => None
       }
-      case dv: GvtDvRelation if groupExprs.isEmpty =>
+      case dv: GvtDvRelation if groupExprs.isEmpty && cond.isEmpty =>
         rewriteDvGlobal(agg, aggExprs, dv)
       case _ => None
     }
@@ -156,8 +169,26 @@ object MetaAggRewrite extends Rule[LogicalPlan] {
 
   private def rewriteFiles(agg: Aggregate, groupExprs: Seq[_],
                            aggExprs: Seq[NamedExpression],
-                           idx: GvtFileIndex): Option[LogicalPlan] = {
+                           idx: GvtFileIndex,
+                           cond: Option[Expression]): Option[LogicalPlan] = {
     val pSchema = idx.partitionSchema
+    // a Filter is answerable iff it references ONLY partition columns,
+    // deterministically and subquery-free: every row of a directory
+    // shares its partition values, so dir-level evaluation of the
+    // predicate is EXACT (not merely conservative) — `count(*) WHERE
+    // date >= X` stays a metadata read
+    val dirPred: Option[InternalRow => Boolean] = cond.map { c =>
+      if (!c.deterministic || c.exists(_.isInstanceOf[SubqueryExpression]))
+        return None
+      if (!c.references.forall(a => pSchema.fieldNames.contains(a.name)))
+        return None
+      val bound = c.transform {
+        case a: AttributeReference =>
+          val i = pSchema.fieldNames.indexOf(a.name)
+          BoundReference(i, pSchema(i).dataType, nullable = true)
+      }
+      (row: InternalRow) => bound.eval(row) == true // null = filtered out
+    }
     // grouping keys (if any) must be bare partition-column attributes
     val groupAttrs: Seq[AttributeReference] = groupExprs.map {
       case a: AttributeReference if pSchema.fieldNames.contains(a.name) => a
@@ -179,10 +210,12 @@ object MetaAggRewrite extends Rule[LogicalPlan] {
     }
     if (!attemptable) return None
 
-    val dirs: Seq[DirInfo] = idx.listFiles(Nil, Nil).map { pd =>
-      val fs = pd.files.map(_.getPath.toString)
-      DirInfo(pd.values, fs, VersionedTable.footerRowCount(fs))
-    }
+    val dirs: Seq[DirInfo] = idx.listFiles(Nil, Nil)
+      .filter(pd => dirPred.forall(_(pd.values)))
+      .map { pd =>
+        val fs = pd.files.map(_.getPath.toString)
+        DirInfo(pd.values, fs, VersionedTable.footerRowCount(fs))
+      }
     val zm = idx.stats
 
     def partIdx(a: AttributeReference): Option[Int] = {

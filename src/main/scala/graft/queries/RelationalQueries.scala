@@ -669,7 +669,10 @@ object RelationalQueries {
         root, partitionBy = Seq("status"), statsCols = Seq("k", "cents"))
       graft.sources.VersionedTable.append(o.filter(col("k") % 2 === 1),
         root, statsCols = Seq("k", "cents"))
+      // the WHERE is a partition predicate: dir-level evaluation is
+      // exact, so the filtered grouped fold is STILL metadata-only
       sess.read.format("gvt").load(root)
+        .filter(col("status") >= "O")
         .groupBy(col("status"))
         .agg(count(lit(1)).as("n_orders"), min(col("k")).as("min_k"),
           max(col("k")).as("max_k"), max(col("cents")).as("max_cents"))
@@ -2119,14 +2122,14 @@ object RelationalQueries {
         |  FROM o WHERE k % 13 <> 0
         |) ORDER BY phase""".stripMargin,
 
-    // Per-partition metadata folds must equal the plain GROUP BY.
+    // Per-partition metadata folds must equal the plain filtered GROUP BY.
     "q_meta_agg_part" ->
       """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS status,
         |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
         |  FROM orders)
         |SELECT status, CAST(count(*) AS BIGINT) AS n_orders,
         |  min(k) AS min_k, max(k) AS max_k, max(cents) AS max_cents
-        |FROM o GROUP BY status ORDER BY status""".stripMargin,
+        |FROM o WHERE status >= 'O' GROUP BY status ORDER BY status""".stripMargin,
 
     // Full row set under the renamed column; the re-added note column is
     // all-NULL (fresh physical storage — dropped values never resurface).

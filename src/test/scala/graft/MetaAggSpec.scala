@@ -226,6 +226,44 @@ class MetaAggSpec extends AnyFunSuite {
     }
   }
 
+  test("filters over PARTITION columns fold (exact dir-level eval); " +
+      "any data-column reference restores the scan") {
+    val root = fresh("metafilt")
+    val df = (1 to 200).map(i => (i.toLong, s"d${i % 4}", i % 3))
+      .toDF("id", "dt", "b")
+    VersionedTable.write(df, root, partitionBy = Seq("dt", "b"),
+      statsCols = Seq("id"))
+    GraftSession.withExtensions(spark) { sess =>
+      val t = sess.read.format("gvt").load(root)
+      // single partition predicate — the count(*) WHERE date shape
+      val one = t.filter($"dt" >= "d2").agg(count(lit(1)).as("n"),
+        min("id").as("lo"))
+      assertMetaOnly(one)
+      val exp = (1 to 200).filter(i => s"d${i % 4}" >= "d2")
+      assert(one.collect().map(r => (r.getLong(0), r.getLong(1))).head ==
+        ((exp.size.toLong, exp.min.toLong)))
+      // conjunction of partition predicates, plus grouping
+      val grouped = t.filter($"dt" =!= "d0" && $"b" === 1)
+        .groupBy($"dt").agg(count(lit(1)).as("n"))
+      assertMetaOnly(grouped)
+      val expG = (1 to 200).filter(i => s"d${i % 4}" != "d0" && i % 3 == 1)
+        .groupBy(i => s"d${i % 4}").view.mapValues(_.size.toLong).toMap
+      assert(grouped.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        == expG)
+      // an unsatisfied partition predicate: global agg still emits ONE row
+      val none = t.filter($"dt" === "zzz").agg(count(lit(1)).as("n"),
+        max("id").as("hi"))
+      assertMetaOnly(none)
+      val r0 = none.collect().head
+      assert(r0.getLong(0) == 0L && r0.isNullAt(1))
+      // a data-column conjunct anywhere restores the scan
+      val mixed = t.filter($"dt" === "d1" && $"id" > 0)
+        .agg(count(lit(1)).as("n"))
+      assertScans(mixed)
+      assert(mixed.collect().head.getLong(0) == 50L)
+    }
+  }
+
   test("null partition values: count(part_col) excludes the default " +
       "partition, min/max skip it") {
     val root = fresh("metapnull")
