@@ -50,6 +50,7 @@ class GvtSqlParser(session: SparkSession, delegate: ParserInterface)
           Option(hours).map(h => h.trim.toLong * 3600L * 1000L),
           dryRun = dry != null)
       case ReorgRe(target) => GvtReorgCommand(target.trim)
+      case ConvertRe(path) => GvtConvertCommand(path.trim)
       // `DESC history status` is VALID Spark SQL (describe column
       // 'status' of a table named 'history') — only claim the statement
       // when the target actually resolves to a gvt relation, else
@@ -151,6 +152,8 @@ object GvtSqlParser {
   private val ReorgRe =
     ("""(?is)^REORG\s+TABLE\s+""" + Target +
       """\s+APPLY\s*\(\s*PURGE\s*\)\s*$""").r
+  private val ConvertRe =
+    """(?is)^CONVERT\s+TO\s+GVT\s+parquet\s*\.\s*`([^`]+)`\s*$""".r
   private val HistoryRe =
     ("""(?is)^DESC(?:RIBE)?\s+HISTORY\s+""" + Target + """\s*$""").r
   private val RestoreRe =
@@ -307,6 +310,17 @@ object GvtSqlParser {
 
 /** `OPTIMIZE t [ZORDER BY (…)]` → chain fold when eligible, else the
   * full compaction rewrite. Returns the resulting live version. */
+/** `` CONVERT TO GVT parquet.`/path` `` → in-place conversion of a
+  * plain parquet directory into a gvt table
+  * ([[VersionedTable.convertFromParquet]] — file renames, zero bytes
+  * copied; Delta's CONVERT TO DELTA analogue). */
+case class GvtConvertCommand(path: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(VersionedTable.convertFromParquet(spark, path)))
+}
+
 /** `REORG TABLE t APPLY (PURGE)` → [[VersionedTable.purge]]: one
   * rewrite that materializes deletion vectors, drops retired physical
   * columns' data, and resets the column mapping. */

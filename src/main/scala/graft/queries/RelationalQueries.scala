@@ -766,6 +766,28 @@ object RelationalQueries {
       sess.sql("SELECT k, status, cents FROM sql_merge_t ORDER BY k")
     }),
 
+    // CONVERT TO GVT (Delta's CONVERT TO DELTA analogue): an existing
+    // plain-parquet directory becomes a live gvt table IN PLACE — file
+    // renames, zero bytes copied — and immediately supports the full
+    // surface (the append here commits through the normal protocol).
+    // The final aggregate must equal plain row-set arithmetic over
+    // both halves: conversion is registration, never transformation.
+    "q_convert" -> ((s, dir) => graft.GraftSession.withExtensions(s) { sess =>
+      val out = tmpDir("graft_convert")
+      val o = t(sess, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      val root = s"$out/t"
+      o.filter(col("k") % 2 === 0).write.partitionBy("status").parquet(root)
+      sess.sql(s"CONVERT TO GVT parquet.`$root`").collect()
+      graft.sources.VersionedTable.append(o.filter(col("k") % 2 === 1), root)
+      sess.sql(s"CREATE OR REPLACE TEMPORARY VIEW convert_t USING gvt " +
+        s"OPTIONS (path '$root')")
+      sess.sql("""SELECT status, count(*) AS n_orders,
+        sum(cents) AS sum_cents
+        FROM convert_t GROUP BY status ORDER BY status""")
+    }),
+
     // REORG TABLE … APPLY (PURGE) (Delta's physical-cleanup verb): a
     // mapped chain accumulates dropped-column data, rename indirection,
     // and deletion vectors; the purge rewrites the live snapshot so the
@@ -2067,6 +2089,14 @@ object RelationalQueries {
         |  SELECT s.k, s.status, s.cents
         |  FROM src s LEFT JOIN tgt t ON s.k = t.k WHERE t.k IS NULL
         |) ORDER BY k""".stripMargin,
+
+    // The converted table plus its post-conversion append must equal
+    // the plain union of both halves — every order exactly once.
+    "q_convert" ->
+      """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin,
 
     // Post-purge rows = every order the k%7 delete spared, amounts
     // unchanged under the rename.

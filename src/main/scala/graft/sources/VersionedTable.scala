@@ -2841,6 +2841,70 @@ object VersionedTable {
       assignIdentity = false)
   }
 
+  /** CONVERT TO DELTA analogue: turn a directory of plain parquet —
+    * flat files or a hive `name=value` partition layout — into a gvt
+    * table IN PLACE. The files are RENAMED into the first snapshot dir
+    * (one metadata op per top-level entry, zero bytes copied — at
+    * 100 TB this is the difference between a conversion and a
+    * migration), then the normal commit protocol publishes v1: the
+    * claim + put-if-absent marker arbitrate racing converters exactly
+    * like racing writers, and every downstream facility (time travel,
+    * appends, DML, CDF, maintenance) works from the converted commit.
+    * Refuses directories that are already gvt tables or that carry
+    * non-parquet data files. On a failed commit the renames are
+    * reverted best-effort and the error rethrown. */
+  def convertFromParquet(spark: SparkSession, root: String): Long = {
+    require(latestVersion(root).isEmpty,
+      s"convertFromParquet: $root is already a gvt table")
+    val rootP = new HPath(root)
+    val fc = fcOf(rootP)
+    require(fc.util.exists(rootP), s"convertFromParquet: no such dir $root")
+    val entries = fc.util.listStatus(rootP).toSeq.filterNot { st =>
+      val n = st.getPath.getName
+      n.startsWith("_") || n.startsWith(".")
+    }
+    require(entries.nonEmpty, s"convertFromParquet: $root holds no data")
+    entries.filterNot(_.isDirectory).foreach(st => require(
+      st.getPath.getName.endsWith(".parquet"),
+      s"convertFromParquet: non-parquet data file ${st.getPath.getName}"))
+    val next = claimNextVersion(root)
+    val vDir = new HPath(s"$root/v=$next")
+    val moved = scala.collection.mutable.ListBuffer.empty[(HPath, HPath)]
+    var committed = false
+    try {
+      fc.mkdir(vDir, org.apache.hadoop.fs.permission.FsPermission
+        .getDirDefault, true)
+      entries.foreach { st =>
+        val dst = new HPath(vDir, st.getPath.getName)
+        fc.rename(st.getPath, dst)
+        moved += ((st.getPath, dst))
+      }
+      // schema sanity: the moved files must read as one parquet relation
+      // (hive layout included) — fails the convert BEFORE it publishes
+      readVersion(spark, root, next).schema
+      writeString(new HPath(vDir, "_commit_ts"),
+        System.currentTimeMillis.toString, overwrite = true)
+      writeString(new HPath(vDir, "_operation"), "CONVERT", overwrite = true)
+      writeString(new HPath(vDir, "_prev"), "none", overwrite = true)
+      writeString(commitMarker(root, None), next.toString, overwrite = false)
+      committed = true
+      try {
+        val tmp = new HPath(root, s"_LATEST.tmp$next")
+        writeString(tmp, next.toString, overwrite = true)
+        fcOf(tmp).rename(tmp, latestFile(root), Options.Rename.OVERWRITE)
+      } catch { case scala.util.control.NonFatal(_) => () }
+      next
+    } catch {
+      case e: Throwable if !committed =>
+        moved.reverseIterator.foreach { case (src, dst) =>
+          try fc.rename(dst, src)
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
+        delete(vDir, recursive = true)
+        throw e
+    } finally delete(new HPath(root, s"_claim_v=$next"), recursive = false)
+  }
+
   /** REORG TABLE … APPLY (PURGE) analogue (Delta's physical-cleanup
     * verb): rewrite the live snapshot so its PHYSICAL layout matches
     * its logical view — deletion vectors materialize (deleted rows

@@ -555,6 +555,54 @@ class GvtDdlSpec extends AnyFunSuite {
     }
   }
 
+  test("CONVERT TO GVT: in-place conversion renames files, never copies; " +
+      "the converted table appends, time-travels, and prunes") {
+    val dir = Files.createTempDirectory("graft_convert").toString + "/t"
+    val o = (1 to 80).map(i => (i.toLong, s"p${i % 2}", i * 10L))
+      .toDF("k", "part", "v")
+    o.write.partitionBy("part").parquet(dir)
+    val before = spark.read.parquet(dir)
+    val beforeFiles = before.inputFiles.map(f =>
+      new org.apache.hadoop.fs.Path(f).getName).toSet
+    val v1 = GraftSession.withExtensions(spark) { sess =>
+      sess.sql(s"CONVERT TO GVT parquet.`$dir`").collect().head.getLong(0)
+    }
+    assert(v1 == 1L)
+    val t = VersionedTable.readLatest(spark, dir)
+    assert(t.count() == 80)
+    assert(t.agg(sum("v")).as[Long].head() == (1 to 80).map(_ * 10L).sum)
+    // zero-copy: the converted snapshot reads the SAME files (renamed)
+    val afterFiles = t.inputFiles.map(f =>
+      new org.apache.hadoop.fs.Path(f).getName).toSet
+    assert(afterFiles == beforeFiles)
+    assert(t.inputFiles.forall(_.contains("/v=1/")))
+    // hive layout survives: partition pruning works on the conversion
+    assert(t.filter(col("part") === "p1").count() == 40)
+    // the table is fully live: append + history + time travel
+    VersionedTable.append((81 to 90).map(i => (i.toLong, s"p${i % 2}", i * 10L))
+      .toDF("k", "part", "v"), dir)
+    assert(VersionedTable.readLatest(spark, dir).count() == 90)
+    assert(VersionedTable.readVersion(spark, dir, 1L).count() == 80)
+    assert(VersionedTable.history(spark, dir).select("operation")
+      .as[String].collect().toSeq.contains("CONVERT"))
+    // converting an existing gvt table refuses
+    assert(intercept[IllegalArgumentException] {
+      VersionedTable.convertFromParquet(spark, dir)
+    }.getMessage.contains("already"))
+    // a stray non-parquet data file refuses (and reverts the renames)
+    val dir2 = Files.createTempDirectory("graft_convert2").toString + "/t"
+    (1 to 5).toDF("id").write.parquet(dir2)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir2, "junk.txt"),
+      "x".getBytes)
+    assert(intercept[IllegalArgumentException] {
+      VersionedTable.convertFromParquet(spark, dir2)
+    }.getMessage.contains("non-parquet"))
+    // untouched: no v=1 appeared, the parquet files still sit at top level
+    val d2 = new java.io.File(dir2)
+    assert(!new java.io.File(d2, "v=1").exists())
+    assert(d2.listFiles().exists(_.getName.endsWith(".parquet")))
+  }
+
   test("ALTER COLUMN TYPE: lossless widening without a rewrite; history " +
     "keeps the narrow type; narrowing refused") {
     val root = fresh("widen")
