@@ -164,6 +164,59 @@ class MetaAggSpec extends AnyFunSuite {
     }
   }
 
+  test("model-based: random tables × aggregate shapes — the folded " +
+      "answer always equals the real scan's") {
+    val rnd = new scala.util.Random(20260815L)
+    for (iter <- 1 to 5) {
+      val root = fresh(s"metamodel$iter")
+      val usePart = rnd.nextBoolean()
+      def batch(lo: Int, hi: Int) = (lo to hi).map { i =>
+        (i.toLong,
+          if (rnd.nextInt(5) == 0) null else s"v${rnd.nextInt(40)}",
+          rnd.nextInt(90000).toLong,
+          s"p${rnd.nextInt(4)}", rnd.nextInt(3))
+      }.toDF("id", "s", "x", "p", "q")
+      val n1 = 40 + rnd.nextInt(120)
+      VersionedTable.write(batch(1, n1), root,
+        partitionBy = if (usePart) Seq("p", "q") else Seq.empty,
+        statsCols = Seq("id", "s"))
+      if (rnd.nextBoolean())
+        VersionedTable.append(batch(n1 + 1, n1 + 30 + rnd.nextInt(60)), root,
+          statsCols = if (rnd.nextBoolean()) Seq("id", "s") else Seq.empty)
+      if (rnd.nextInt(3) == 0) // a DV chain must stay correct too
+        VersionedTable.deleteWhereVector(spark, root,
+          col("id") % (3 + rnd.nextInt(5)) === 0L)
+      GraftSession.withExtensions(spark) { sess =>
+        val shapes: Seq[org.apache.spark.sql.DataFrame =>
+            org.apache.spark.sql.DataFrame] = Seq(
+          _.agg(count(lit(1)).as("n"), min("id").as("lo"),
+            max("id").as("hi"), count($"s").as("ns")),
+          _.agg(count(lit(1)).as("n"), max($"x").as("hx")),
+          _.groupBy($"p").agg(count(lit(1)).as("n"), min("id").as("lo")),
+          _.filter($"p" >= "p1").agg(count(lit(1)).as("n"),
+            max("id").as("hi")),
+          _.filter($"q" === 1).groupBy($"p")
+            .agg(count(lit(1)).as("n"), count($"s").as("ns")),
+          _.groupBy($"p", $"q").agg(count(lit(1)).as("n"),
+            max($"p").as("mp")),
+          _.filter($"p" === "nope").agg(count(lit(1)).as("n"),
+            min("id").as("lo")))
+        shapes.zipWithIndex.foreach { case (shape, si) =>
+          def run(): Seq[String] =
+            shape(sess.read.format("gvt").load(root))
+              .collect().map(_.toString).sorted.toSeq
+          val folded = run()
+          sess.conf.set("spark.graft.metaAgg.enabled", "false")
+          val scanned = try run()
+            finally sess.conf.unset("spark.graft.metaAgg.enabled")
+          assert(folded == scanned,
+            s"iter=$iter shape=$si usePart=$usePart:\n" +
+              s"folded=$folded\nscanned=$scanned")
+        }
+      }
+    }
+  }
+
   test("partitioned chains fold: footer counts walk hive subdirs") {
     val root = fresh("metapart")
     val df = (1 to 180).map(i => (i.toLong, s"p${i % 3}")).toDF("id", "p")
