@@ -1040,7 +1040,8 @@ object VersionedTable {
             operation: String = "WRITE",
             subdirWrites: Map[String, DataFrame] = Map.empty,
             physicalInput: Boolean = false,
-            assignIdentity: Boolean = true): Long = {
+            assignIdentity: Boolean = true,
+            optimizeWrite: Option[Boolean] = None): Long = {
     val base = baseVersion.orElse(latestVersion(root))
     // `physicalInput` (compactChain's fold): the frame is the table's
     // own committed files read back in PHYSICAL column space — schema /
@@ -1150,7 +1151,27 @@ object VersionedTable {
             statsCols.map(c => physOf.getOrElse(c, c)),
             metaFiles1 + ("_colmap" -> serializeColmap(cm)))
       }
-      val w = dfW.write.mode("overwrite")
+      // Optimized writes (Delta autoOptimize.optimizeWrite analogue):
+      // an AQE REBALANCE shuffle keyed on the partition columns right
+      // before the file write, so each hive partition's rows land in
+      // ~advisory-sized files instead of one sliver per upstream task —
+      // the small-files problem killed at the source. Explicit
+      // `optimizeWrite` wins; else the `gvt.optimizeWrite` table
+      // property applies to DATA-ARRIVAL paths only (assignIdentity
+      // marks them) — maintenance rewrites control their own layout
+      // (a rebalance on top of a z-order compaction would destroy the
+      // clustering it just built).
+      val ow = optimizeWrite.getOrElse(assignIdentity &&
+        (try tblProperties(root) catch {
+          case scala.util.control.NonFatal(_) => Map.empty[String, String]
+        }).get("gvt.optimizeWrite").exists(_.trim.equalsIgnoreCase("true")))
+      val dfOut =
+        if (!ow) dfW
+        else if (partsW.nonEmpty)
+          dfW.hint("rebalance",
+            partsW.map(org.apache.spark.sql.functions.col): _*)
+        else dfW.hint("rebalance")
+      val w = dfOut.write.mode("overwrite")
       (if (partsW.nonEmpty) w.partitionBy(partsW: _*) else w)
         .parquet(s"$root/v=$next")
       if (statsW.nonEmpty) collectStats(df.sparkSession, root, next, statsW)
@@ -2211,13 +2232,15 @@ object VersionedTable {
              metaFiles: Map[String, String] = Map.empty,
              statsCols: Seq[String] = Seq.empty,
              allowEvolution: Boolean = false,
-             operation: String = "APPEND"): Long = {
+             operation: String = "APPEND",
+             optimizeWrite: Option[Boolean] = None): Long = {
     val base = latestVersion(root).getOrElse(throw new IllegalArgumentException(
       s"append requires an existing table at $root (first write creates it)"))
     val parts = partColsOf(new HPath(dataDirsOf(root, base).head))
     write(df, root, partitionBy = parts, allowEvolution = allowEvolution,
       metaFiles = metaFiles + ("_parent" -> base.toString),
-      statsCols = statsCols, baseVersion = Some(base), operation = operation)
+      statsCols = statsCols, baseVersion = Some(base), operation = operation,
+      optimizeWrite = optimizeWrite)
   }
 
   /** The appended version directories in `(fromV, toV]` when `toV`'s

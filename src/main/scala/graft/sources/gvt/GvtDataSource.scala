@@ -162,6 +162,10 @@ class DefaultSource extends RelationProvider
     // lookups on these columns prune files at planning
     val bloomCols = parameters.get("bloomFilterCols").toSeq
       .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    // optimizeWrite: explicit true/false wins; absent = the
+    // `gvt.optimizeWrite` table property decides (Delta's
+    // autoOptimize.optimizeWrite surface)
+    val ow = parameters.get("optimizeWrite").map(_.trim.toBoolean)
     val exists = VersionedTable.latestVersion(root).isDefined
     val written: Option[Long] = mode match {
       case SaveMode.Overwrite if replaceWhere.isDefined && exists =>
@@ -169,20 +173,22 @@ class DefaultSource extends RelationProvider
           org.apache.spark.sql.functions.expr(replaceWhere.get), data))
       case SaveMode.Overwrite =>
         Some(VersionedTable.write(data, root, partitionBy = partitionBy,
-          statsCols = statsCols, allowEvolution = flag("overwriteSchema")))
+          statsCols = statsCols, allowEvolution = flag("overwriteSchema"),
+          optimizeWrite = ow))
       case SaveMode.Append =>
         if (exists) Some(VersionedTable.append(data, root, statsCols = statsCols,
-          allowEvolution = flag("mergeSchema")))
+          allowEvolution = flag("mergeSchema"), optimizeWrite = ow))
         else Some(VersionedTable.write(data, root, partitionBy = partitionBy,
-          statsCols = statsCols))
+          statsCols = statsCols, optimizeWrite = ow))
       case SaveMode.ErrorIfExists =>
         if (exists) throw new IllegalArgumentException(
           s"gvt: table already exists at $root (mode=ErrorIfExists)")
         Some(VersionedTable.write(data, root, partitionBy = partitionBy,
-          statsCols = statsCols))
+          statsCols = statsCols, optimizeWrite = ow))
       case SaveMode.Ignore =>
         if (!exists) Some(VersionedTable.write(data, root,
-          partitionBy = partitionBy, statsCols = statsCols))
+          partitionBy = partitionBy, statsCols = statsCols,
+          optimizeWrite = ow))
         else None
     }
     if (bloomCols.nonEmpty) written.foreach(v =>

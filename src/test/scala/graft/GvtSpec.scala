@@ -294,6 +294,35 @@ class GvtSpec extends AnyFunSuite {
     assert(spark.read.format("gvt").option("versionAsOf", "2").load(root).count() == 120)
   }
 
+  test("optimizeWrite: an AQE rebalance packs files at write time; " +
+      "the table property makes it the default for data arrivals") {
+    val sliver = (1 to 4000).map(i => (i.toLong, s"p${i % 2}"))
+      .toDF("id", "p").repartition(12) // 12 upstream tasks × 2 partitions
+    val plain = freshRoot()
+    VersionedTable.write(sliver, plain, partitionBy = Seq("p"))
+    val filesPlain = VersionedTable.readLatest(spark, plain).inputFiles.length
+    val packed = freshRoot()
+    VersionedTable.write(sliver, packed, partitionBy = Seq("p"),
+      optimizeWrite = Some(true))
+    val tPacked = VersionedTable.readLatest(spark, packed)
+    val filesPacked = tPacked.inputFiles.length
+    assert(filesPacked < filesPlain,
+      s"expected fewer files: $filesPacked vs $filesPlain")
+    assert(filesPacked <= 4, s"tiny partitions should coalesce: $filesPacked")
+    assert(tPacked.count() == 4000)
+    assert(tPacked.filter(col("p") === "p1").count() == 2000)
+    // the table property turns it on for appends (data-arrival paths)
+    VersionedTable.setTblProperties(packed,
+      Map("gvt.optimizeWrite" -> "true"))
+    VersionedTable.append((4001 to 8000).map(i => (i.toLong, s"p${i % 2}"))
+      .toDF("id", "p").repartition(12), packed)
+    val v2Files = spark.read.parquet(
+      s"$packed/v=${VersionedTable.latestVersion(packed).get}")
+      .inputFiles.length
+    assert(v2Files <= 4, s"property-driven append should pack: $v2Files")
+    assert(VersionedTable.readLatest(spark, packed).count() == 8000)
+  }
+
   test("a DV-bearing gvt dim still auto-broadcasts in joins " +
       "(real sizeInBytes, not the never-broadcast default)") {
     val root = freshRoot()
