@@ -98,16 +98,24 @@ class DefaultSource extends RelationProvider
     // base, hence the -1. `keys` names the row identity for rewrite
     // commits, exactly as the table_changes TVF requires.
     if (parameters.get("readChangeFeed").exists(_.trim.equalsIgnoreCase("true"))) {
-      val from = parameters.get("startingVersion").map(_.trim.toLong).getOrElse(
-        throw new IllegalArgumentException(
-          "gvt readChangeFeed: option startingVersion is required"))
+      // startingTimestamp = every commit AT OR AFTER the timestamp
+      // (strictly-before resolution); endingTimestamp = the newest
+      // commit at or before it — Delta's boundary semantics
+      val fromExcl = parameters.get("startingVersion").map(_.trim.toLong - 1)
+        .orElse(parameters.get("startingTimestamp").map(ts =>
+          VersionedTable.versionBefore(root, parseTs(ts))))
+        .getOrElse(throw new IllegalArgumentException(
+          "gvt readChangeFeed: option startingVersion or " +
+            "startingTimestamp is required"))
       val to = parameters.get("endingVersion").map(_.trim.toLong)
+        .orElse(parameters.get("endingTimestamp").map(ts =>
+          VersionedTable.versionAsOf(root, parseTs(ts))))
         .orElse(VersionedTable.latestVersion(root)).getOrElse(
           throw new IllegalArgumentException(s"gvt: no versions at $root"))
       val keys = parameters.get("keys").toSeq
         .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
       return new GvtChangeFeedRelation(spark, sqlContext, root,
-        from - 1, to, keys)
+        fromExcl, to, keys)
     }
     // pinned = explicitly version-addressed (time travel): a READ-ONLY
     // view of history — SQL DML refuses it (you can't DELETE the past)

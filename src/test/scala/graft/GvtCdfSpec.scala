@@ -293,5 +293,14 @@ class GvtCdfSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       spark.read.format("gvt").option("readChangeFeed", "true").load(root)
     }
+    // timestamp boundaries: starting at v2's commit time covers v2+v3
+    val ts2 = VersionedTable.history(spark, root)
+      .filter(col("version") === 2L).select("commit_ts_millis")
+      .as[Long].head()
+    val byTs = spark.read.format("gvt").option("readChangeFeed", "true")
+      .option("startingTimestamp", ts2.toString)
+      .option("keys", "k").load(root)
+    assert(byTs.select("_commit_version").distinct()
+      .as[Long].collect().sorted.toSeq == Seq(2L, 3L))
   }
 }
