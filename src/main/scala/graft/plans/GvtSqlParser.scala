@@ -51,6 +51,10 @@ class GvtSqlParser(session: SparkSession, delegate: ParserInterface)
           dryRun = dry != null)
       case ReorgRe(target) => GvtReorgCommand(target.trim)
       case ConvertRe(path) => GvtConvertCommand(path.trim)
+      // SHOW PARTITIONS is valid Spark SQL for catalog tables — claim
+      // only gvt targets (the DESCRIBE HISTORY guard)
+      case ShowPartsRe(target) if isGvtTarget(session, target.trim) =>
+        GvtShowPartitionsCommand(target.trim)
       // `DESC history status` is VALID Spark SQL (describe column
       // 'status' of a table named 'history') — only claim the statement
       // when the target actually resolves to a gvt relation, else
@@ -154,6 +158,8 @@ object GvtSqlParser {
       """\s+APPLY\s*\(\s*PURGE\s*\)\s*$""").r
   private val ConvertRe =
     """(?is)^CONVERT\s+TO\s+GVT\s+parquet\s*\.\s*`([^`]+)`\s*$""".r
+  private val ShowPartsRe =
+    ("""(?is)^SHOW\s+PARTITIONS\s+""" + Target + """\s*$""").r
   private val HistoryRe =
     ("""(?is)^DESC(?:RIBE)?\s+HISTORY\s+""" + Target + """\s*$""").r
   private val RestoreRe =
@@ -310,6 +316,18 @@ object GvtSqlParser {
 
 /** `OPTIMIZE t [ZORDER BY (…)]` → chain fold when eligible, else the
   * full compaction rewrite. Returns the resulting live version. */
+/** `SHOW PARTITIONS <gvt>` → the live snapshot's hive partition specs
+  * from directory names alone ([[VersionedTable.showPartitions]] —
+  * no job, no data read). */
+case class GvtShowPartitionsCommand(target: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("partition", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    VersionedTable.showPartitions(GvtSqlParser.rootOf(spark, target))
+      .map(Row(_))
+}
+
 /** `` CONVERT TO GVT parquet.`/path` `` → in-place conversion of a
   * plain parquet directory into a gvt table
   * ([[VersionedTable.convertFromParquet]] — file renames, zero bytes

@@ -2864,6 +2864,30 @@ object VersionedTable {
       assignIdentity = false)
   }
 
+  /** SHOW PARTITIONS: the live snapshot's hive partition specs, from
+    * DIRECTORY NAMES alone — no job, no data read (directory-granular:
+    * a partition whose every row a deletion vector removed still lists
+    * until compaction materializes the delete). Sorted `p=v[/q=w…]`
+    * strings, duplicates across chain members collapsed. */
+  def showPartitions(root: String): Seq[String] = {
+    val v = latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $root"))
+    val dirs = dataDirsOf(root, v).filterNot(isSchemaOnlySlice)
+    val parts = partColsOf(new HPath(dirs.head))
+    require(parts.nonEmpty,
+      s"SHOW PARTITIONS: table at $root is not partitioned")
+    def walk(d: HPath, depth: Int, prefix: List[String]): Seq[List[String]] = {
+      if (depth == 0) return Seq(prefix)
+      val fc = fcOf(d)
+      fc.util.listStatus(d).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+        .flatMap(st =>
+          walk(st.getPath, depth - 1, prefix :+ st.getPath.getName))
+    }
+    dirs.flatMap(d => walk(new HPath(d), parts.size, Nil))
+      .map(_.mkString("/")).distinct.sorted
+  }
+
   /** CONVERT TO DELTA analogue: turn a directory of plain parquet —
     * flat files or a hive `name=value` partition layout — into a gvt
     * table IN PLACE. The files are RENAMED into the first snapshot dir
@@ -2890,6 +2914,12 @@ object VersionedTable {
     entries.filterNot(_.isDirectory).foreach(st => require(
       st.getPath.getName.endsWith(".parquet"),
       s"convertFromParquet: non-parquet data file ${st.getPath.getName}"))
+    // a loose `v=N` entry would collide with the snapshot layout the
+    // conversion is about to create (and suggests a half-converted or
+    // foreign table) — refuse rather than nest it
+    entries.foreach(st => require(!st.getPath.getName.matches("v=\\d+"),
+      s"convertFromParquet: $root already contains a version-like entry " +
+        s"${st.getPath.getName}"))
     val next = claimNextVersion(root)
     val vDir = new HPath(s"$root/v=$next")
     val moved = scala.collection.mutable.ListBuffer.empty[(HPath, HPath)]

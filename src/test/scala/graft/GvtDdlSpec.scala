@@ -555,6 +555,28 @@ class GvtDdlSpec extends AnyFunSuite {
     }
   }
 
+  test("SHOW PARTITIONS: hive specs from directory names, across an " +
+      "append chain; catalog SHOW PARTITIONS untouched") {
+    val root = fresh("showparts")
+    VersionedTable.write((1 to 40).map(i => (i.toLong, s"p${i % 2}", i % 2))
+      .toDF("k", "part", "b"), root, partitionBy = Seq("part", "b"))
+    // the append contributes a NEW partition value
+    VersionedTable.append(Seq((41L, "p9", 9)).toDF("k", "part", "b"), root)
+    GraftSession.withExtensions(spark) { sess =>
+      sess.sql(s"CREATE OR REPLACE TEMPORARY VIEW parts_t USING gvt " +
+        s"OPTIONS (path '$root')")
+      val got = sess.sql("SHOW PARTITIONS parts_t")
+        .as[String].collect().toSeq
+      assert(got == Seq("part=p0/b=0", "part=p1/b=1", "part=p9/b=9"))
+      // an unpartitioned gvt table refuses, like Spark's own verb
+      val flat = fresh("showflat")
+      VersionedTable.write((1 to 5).toDF("id"), flat)
+      assert(intercept[IllegalArgumentException] {
+        sess.sql(s"SHOW PARTITIONS gvt.`$flat`").collect()
+      }.getMessage.contains("not partitioned"))
+    }
+  }
+
   test("CONVERT TO GVT: in-place conversion renames files, never copies; " +
       "the converted table appends, time-travels, and prunes") {
     val dir = Files.createTempDirectory("graft_convert").toString + "/t"
