@@ -551,6 +551,17 @@ class GvtDdlSpec extends AnyFunSuite {
         val evolved = VersionedTable.readLatest(sess, root)
         assert(evolved.columns.toSeq == Seq("id", "tag"))
         assert(evolved.filter(col("tag").isNotNull).count() == 2L)
+        // catalog CTAS routes through the commit protocol out of the box
+        val ctasRoot = fresh("ctas")
+        sess.sql("DROP TABLE IF EXISTS gvt_ctas_t")
+        sess.sql(s"CREATE TABLE gvt_ctas_t USING gvt OPTIONS (path " +
+          s"'$ctasRoot') AS SELECT id, id * 10 AS v FROM gvt_cat_t")
+        try {
+          assert(sess.sql("SELECT count(*) AS n FROM gvt_ctas_t")
+            .as[Long].head() ==
+            sess.sql("SELECT count(*) AS n FROM gvt_cat_t").as[Long].head())
+          assert(VersionedTable.latestVersion(ctasRoot).contains(1L))
+        } finally sess.sql("DROP TABLE IF EXISTS gvt_ctas_t")
       } finally sess.sql("DROP TABLE IF EXISTS gvt_cat_t")
     }
   }
