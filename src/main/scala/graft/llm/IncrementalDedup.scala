@@ -64,10 +64,17 @@ object IncrementalDedup {
     * (base untouched, O(appended) cost) — daily ingestion otherwise
     * accretes one chain hop per batch and every probe pays the
     * per-dir read fan-out. 0 = never (compact on your own schedule). */
+  /** `broadcastBytes`: the cross-batch probe broadcasts the batch's
+    * bands only while their MATERIALIZED size stays under this ceiling
+    * (default 64 MB — the sane executor-memory envelope for a broadcast
+    * hash relation); larger batches take the shuffle equi-join. The
+    * size is read from the block manager's entry for the checkpointed
+    * batch — exact, and no extra job. */
   def ingest(spark: SparkSession, indexRoot: String,
              sigs: DataFrame, bandCols: Seq[String],
              txn: Option[(String, Long)] = None,
-             autoCompactEvery: Int = 0): DataFrame = {
+             autoCompactEvery: Int = 0,
+             broadcastBytes: Long = 64L << 20): DataFrame = {
     // one narrow batch-sized table consumed three times (intra minima,
     // cross probe, index append) — materialize once, the same
     // signature-table break every production dedup pipeline has
@@ -84,20 +91,53 @@ object IncrementalDedup {
     // batch's bands and streams ONE scan of the index through the
     // broadcast hash — the index (the table that grows without bound)
     // is never shuffled. A genuinely huge batch falls back to the
-    // shuffle equi-join, which moves O(batch + index) once.
+    // shuffle equi-join, which moves O(batch + index) once. The
+    // decision is BYTE-sized against the checkpointed batch's block
+    // manager entry (an unknowable size falls back to the shuffle —
+    // never an oversized broadcast).
     val exists = VersionedTable.latestVersion(indexRoot).isDefined
     val crossHit =
       if (!exists) intraHit.limit(0)
       else {
         val index = VersionedTable.readLatest(spark, indexRoot)
           .select(col("band_id"), col("band"))
-        if (bb.count() <= 5000000L)
-          index.join(broadcast(bb), Seq("band_id", "band"))
-            .select(col("doc_id"))
-        else bb.join(index, Seq("band_id", "band"), "left_semi")
-          .select(col("doc_id"))
+        crossProbe(index, bb,
+          checkpointedBytes(spark, bb).getOrElse(Long.MaxValue),
+          broadcastBytes)
       }
     val dropped = intraHit.union(crossHit).distinct()
+    runDedup(spark, indexRoot, sigs, bb, dropped, txn, autoCompactEvery,
+      exists)
+  }
+
+  /** The materialized byte size of an eagerly-checkpointed frame, from
+    * its block-manager entry (memory + spilled disk) — exact, no job.
+    * None when the frame is not a checkpointed RDD or the entry is
+    * gone (evicted): callers must then assume it is too big to
+    * broadcast. */
+  private[graft] def checkpointedBytes(spark: SparkSession,
+                                     df: DataFrame): Option[Long] =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }.flatMap(id => spark.sparkContext.getRDDStorageInfo
+      .find(_.id == id).map(i => i.memSize + i.diskSize))
+
+  /** The cross-batch index probe: broadcast the batch under the byte
+    * ceiling (the unbounded index streams once, never shuffles), else
+    * the shuffle left-semi. Returns the batch doc_ids that hit the
+    * index. */
+  private[graft] def crossProbe(index: DataFrame, bb: DataFrame,
+                              bbBytes: Long, broadcastBytes: Long): DataFrame =
+    if (bbBytes <= broadcastBytes)
+      index.join(broadcast(bb), Seq("band_id", "band"))
+        .select(col("doc_id"))
+    else bb.join(index, Seq("band_id", "band"), "left_semi")
+      .select(col("doc_id"))
+
+  private def runDedup(spark: SparkSession, indexRoot: String,
+                       sigs: DataFrame, bb: DataFrame, dropped: DataFrame,
+                       txn: Option[(String, Long)], autoCompactEvery: Int,
+                       exists: Boolean): DataFrame = {
     val accepted = sigs.join(dropped, Seq("doc_id"), "left_anti")
       .localCheckpoint() // consumed twice: index append + caller
     val newBands = bb.join(accepted.select(col("doc_id")),

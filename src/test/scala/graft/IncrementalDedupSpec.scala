@@ -161,24 +161,58 @@ class IncrementalDedupSpec extends AnyFunSuite {
     val bb = IncrementalDedup.meltBands(
       (51L to 60L).map(i => (i, s"b${i % 55}")).toDF("doc_id", "band0"),
       Seq("band0"))
-    val probe = VersionedTable.readLatest(spark, idx)
+    val index = VersionedTable.readLatest(spark, idx)
       .select(col("band_id"), col("band"))
-      .join(broadcast(bb), Seq("band_id", "band"))
-      .select(col("doc_id"))
+    val probe = IncrementalDedup.crossProbe(index, bb,
+      bbBytes = 1024L, broadcastBytes = 64L << 20)
     probe.collect()
     // AQE query stages hide their subtree from collect(), so assert on
     // the FINAL plan's rendering
-    val plan = probe.queryExecution.executedPlan match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        a.executedPlan.toString
-      case other => other.toString
-    }
+    def render(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan.toString
+        case other => other.toString
+      }
+    val plan = render(probe)
     assert(plan.contains("BroadcastHashJoin"),
       s"expected a broadcast hash probe:\n$plan")
     // the index side reaches the join without a shuffle exchange
     assert(!plan.contains("ShuffleExchange") &&
       !plan.contains("Exchange hashpartitioning"),
       s"the index was shuffled:\n$plan")
+  }
+
+  test("a batch past the byte ceiling takes the shuffle join, never an " +
+    "oversized broadcast; the sizing itself reads the block manager") {
+    val idx = fresh("incplanbig")
+    IncrementalDedup.ingest(spark, idx,
+      (1L to 50L).map(i => (i, s"b$i")).toDF("doc_id", "band0"), Seq("band0"))
+    val bb = IncrementalDedup.meltBands(
+      (51L to 60L).map(i => (i, s"b${i % 55}")).toDF("doc_id", "band0"),
+      Seq("band0"))
+    val index = VersionedTable.readLatest(spark, idx)
+      .select(col("band_id"), col("band"))
+    // byte size over the ceiling → the batch must NOT be broadcast by
+    // our own hint (Spark's AQE may still pick a broadcast for a frame
+    // this tiny — assert the HINT is absent from the optimized plan)
+    val big = IncrementalDedup.crossProbe(index, bb,
+      bbBytes = (64L << 20) + 1, broadcastBytes = 64L << 20)
+    val hinted = big.queryExecution.analyzed.collectFirst {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      case h: org.apache.spark.sql.catalyst.plans.logical.UnresolvedHint => h
+    }
+    assert(hinted.isEmpty, "the over-ceiling batch was broadcast-hinted")
+    // correctness is path-independent: both paths return the same hits
+    val small = IncrementalDedup.crossProbe(index, bb, 0L, 64L << 20)
+    assert(big.as[Long].collect().sorted.toSeq ==
+      small.as[Long].collect().sorted.toSeq)
+    // the real sizing: a checkpointed batch's bytes are visible and
+    // positive; a non-checkpointed frame reports None (→ shuffle path)
+    val ck = bb.localCheckpoint()
+    val sz = IncrementalDedup.checkpointedBytes(spark, ck)
+    assert(sz.exists(_ > 0L), s"checkpointed batch size not found: $sz")
+    assert(IncrementalDedup.checkpointedBytes(spark, bb).isEmpty)
   }
 
   test("NULL fingerprints never match anything (and are not indexed)") {
