@@ -28,16 +28,30 @@ import graft.sources.VersionedTable
   *   INSERT INTO t PARTITION (p=v) …       → static values become
   *                                           columns; append commit
   *   INSERT OVERWRITE t SELECT …           → full overwrite commit in
-  *                                           the table's layout
+  *                                           the table's layout — or,
+  *                                           under `spark.sql.sources.
+  *                                           partitionOverwriteMode=
+  *                                           dynamic` on a partitioned
+  *                                           table, replace only the
+  *                                           partitions the batch
+  *                                           touches (Delta parity)
   *   INSERT OVERWRITE t PARTITION (p=v) …  → replaceWhere(p=v) — one
   *                                           O(replaced+new) DV commit,
   *                                           other partitions untouched
+  *   INSERT OVERWRITE t PARTITION (p) …    → dynamic: the batch's
+  *                                           DISTINCT p values become
+  *                                           one replaceWhere commit
+  *                                           over their disjunction —
+  *                                           O(replaced+new), untouched
+  *                                           partitions keep their
+  *                                           files byte-identical
   *
   * Inexpressible shapes fail LOUDLY (never silently mis-execute):
-  * dynamic-partition OVERWRITE (`PARTITION (p)` with no value) and
-  * `IF NOT EXISTS`. Time-travel-pinned relations are read-only.
-  * Assignment uses store-assignment casts per column (positional
-  * without a column list, by-name with one or with `BY NAME`). */
+  * `IF NOT EXISTS`, and a dynamic spec naming a non-layout column (the
+  * hive directory layout is the unit of replacement). Time-travel-
+  * pinned relations are read-only. Assignment uses store-assignment
+  * casts per column (positional without a column list, by-name with
+  * one or with `BY NAME`). */
 object GvtInsertGuard extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
     case i: InsertIntoStatement if i.query.resolved =>
@@ -48,15 +62,9 @@ object GvtInsertGuard extends Rule[LogicalPlan] {
               "snapshots are read-only — address the live table")
           if (i.ifPartitionNotExists) throw new UnsupportedOperationException(
             "gvt INSERT: IF NOT EXISTS is not supported")
-          val dynamic = i.partitionSpec.collect { case (k, None) => k }
-          if (dynamic.nonEmpty && i.overwrite)
-            throw new UnsupportedOperationException(
-              s"gvt INSERT OVERWRITE with dynamic partition spec " +
-                s"(${dynamic.mkString(", ")}): use a static PARTITION " +
-                "(col=value) spec (one replaceWhere commit) or a full " +
-                "overwrite")
+          val dynamic = i.partitionSpec.collect { case (k, None) => k }.toSeq
           val static = i.partitionSpec.collect { case (k, Some(v)) => k -> v }
-          GvtInsertCommand(root, i.query, i.overwrite, static,
+          GvtInsertCommand(root, i.query, i.overwrite, static, dynamic,
             i.userSpecifiedCols, i.byName)
         case None => i
       }
@@ -68,6 +76,7 @@ object GvtInsertGuard extends Rule[LogicalPlan] {
 case class GvtInsertCommand(root: String, query: LogicalPlan,
                             overwrite: Boolean,
                             staticParts: Map[String, String],
+                            dynamicParts: Seq[String],
                             userCols: Seq[String], byName: Boolean)
   extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(query)
@@ -78,8 +87,9 @@ case class GvtInsertCommand(root: String, query: LogicalPlan,
     val target = VersionedTable.readVersion(spark, root, base).schema
     val targetNames = target.fieldNames.toSeq
     def typeOf(n: String) = target(target.fieldIndex(n)).dataType
-    staticParts.keys.foreach(k => require(targetNames.contains(k),
-      s"gvt INSERT: PARTITION column $k is not a table column"))
+    (staticParts.keys ++ dynamicParts).foreach(k =>
+      require(targetNames.contains(k),
+        s"gvt INSERT: PARTITION column $k is not a table column"))
 
     val src0 = NativeColumns.ofPlan(spark, query)
     // the columns the QUERY supplies, as target-column names
@@ -129,30 +139,101 @@ case class GvtInsertCommand(root: String, query: LogicalPlan,
 
     if (!overwrite) {
       // an append composes with ANY concurrent winner — retry is safe
-      var attempt = 0
-      while (true) {
-        try { VersionedTable.append(aligned, root,
-          operation = "INSERT"); return Seq.empty }
-        catch {
-          case e: VersionedTable.ConcurrentWriteException =>
-            if (attempt >= 3) throw e
-            attempt += 1
-        }
-      }
-      Seq.empty
-    } else if (staticParts.nonEmpty) {
-      val pred = staticParts.map { case (k, v) =>
-        col(k) === lit(v).cast(typeOf(k)): Column }.reduce(_ && _)
-      VersionedTable.replaceWhere(spark, root, pred, aligned)
-      Seq.empty
-    } else {
-      // preserve the table's hive layout across the overwrite, the way
-      // append() follows the base's layout
-      val parts = VersionedTable.partColsOf(new org.apache.hadoop.fs.Path(
-        VersionedTable.dataDirsOf(root, base).head))
-      VersionedTable.write(aligned, root, partitionBy = parts,
-        operation = "INSERT OVERWRITE")
-      Seq.empty
+      retryConflict { VersionedTable.append(aligned, root,
+        operation = "INSERT") }
+      return Seq.empty
     }
+    val layout = VersionedTable.partColsOf(new org.apache.hadoop.fs.Path(
+      VersionedTable.dataDirsOf(root, base).head))
+    // dynamic partitions to resolve from the batch: an explicit
+    // `PARTITION (p)` key, or — under the SQL-standard conf
+    // spark.sql.sources.partitionOverwriteMode=dynamic — every layout
+    // column of a bare INSERT OVERWRITE (Delta/Hive dynamic semantics:
+    // replace exactly the partitions the batch touches)
+    val dynMode = spark.conf
+      .get("spark.sql.sources.partitionOverwriteMode", "static")
+      .equalsIgnoreCase("dynamic")
+    val dynCols: Seq[String] =
+      if (dynamicParts.nonEmpty) dynamicParts
+      else if (dynMode && staticParts.isEmpty) layout
+      else Seq.empty
+    if (dynCols.isEmpty && staticParts.isEmpty) {
+      // full overwrite, preserving the table's hive layout the way
+      // append() follows the base's
+      VersionedTable.write(aligned, root, partitionBy = layout,
+        operation = "INSERT OVERWRITE")
+      return Seq.empty
+    }
+    val staticPred = staticParts.map { case (k, v) =>
+      col(k) === lit(v).cast(typeOf(k)): Column }
+      .reduceOption(_ && _)
+    if (dynCols.isEmpty) {
+      // static-partition overwrite: one replaceWhere commit
+      retryConflict {
+        VersionedTable.replaceWhere(spark, root, staticPred.get, aligned) }
+      return Seq.empty
+    }
+    // dynamic: the replaced scope is the batch's DISTINCT partition
+    // tuples — the hive directory layout is the unit of replacement,
+    // so a dynamic key must be a layout column (anything else cannot
+    // name "a partition" to replace)
+    dynCols.foreach(k => require(layout.contains(k),
+      s"gvt INSERT OVERWRITE: dynamic PARTITION column $k is not a " +
+        s"hive layout column (${layout.mkString(", ")}) — only layout " +
+        "partitions can be replaced dynamically; use a WHERE-scoped " +
+        "replaceWhere write for arbitrary predicates"))
+    // the aligned batch is consumed up to three times (tuple distinct,
+    // replaceWhere's validation scan, the write) — persist for the span
+    val cached = aligned
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // one O(batch) pass; the result is metadata-sized (bounded by the
+      // number of partitions one batch touches)
+      val tuples = cached.select(dynCols.map(col): _*).distinct().collect()
+      val dynPred: Column =
+        if (tuples.isEmpty) lit(false) // empty batch replaces nothing
+        else if (dynCols.size == 1) {
+          // single-column spec: one IN (InSet past the conversion
+          // threshold — scales to thousands of partitions); NULL
+          // partition values (hive default partition) match via isNull
+          val vs = tuples.map(_.get(0))
+          val (nulls, vals) = vs.partition(_ == null)
+          val in = if (vals.isEmpty) lit(false)
+            else col(dynCols.head).isin(vals.toSeq: _*)
+          if (nulls.isEmpty) in else in || col(dynCols.head).isNull
+        } else {
+          // multi-column: a disjunction of per-tuple conjunctions
+          // (null-safe, so hive default partitions round-trip). The
+          // predicate is evaluated per candidate row — cap the tree
+          // rather than let a 100k-partition batch build one
+          require(tuples.length <= 10000,
+            s"gvt INSERT OVERWRITE: the batch touches ${tuples.length} " +
+              "distinct partition tuples — beyond the dynamic-overwrite " +
+              "predicate envelope; split the batch or overwrite fully")
+          tuples.map(t => dynCols.zipWithIndex.map { case (k, idx) =>
+            col(k) <=> lit(t.get(idx)): Column }.reduce(_ && _))
+            .reduce(_ || _)
+        }
+      val pred = staticPred.map(_ && dynPred).getOrElse(dynPred)
+      // a concurrent commit conflicts rather than interleaving;
+      // replaceWhere re-reads the fresh snapshot per attempt, so the
+      // retry converges on last-writer-wins for the touched partitions
+      retryConflict {
+        VersionedTable.replaceWhere(spark, root, pred, cached) }
+    } finally cached.unpersist()
+    Seq.empty
+  }
+
+  private def retryConflict[T](body: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return body
+      catch {
+        case e: VersionedTable.ConcurrentWriteException =>
+          if (attempt >= 3) throw e
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 }

@@ -743,6 +743,50 @@ object RelationalQueries {
         FROM sql_ins_t GROUP BY status, src ORDER BY status, src""")
     }),
 
+    // Dynamic-partition INSERT OVERWRITE (the standard warehouse
+    // partition-refresh idiom): `PARTITION (status)` with no value
+    // replaces EXACTLY the partitions the batch touches — one
+    // O(replaced+new) replaceWhere commit over the batch's distinct
+    // partition values; untouched partitions keep their files. The
+    // bare-OVERWRITE form under partitionOverwriteMode=dynamic is the
+    // same semantics conf-selected. The final aggregate must equal
+    // plain row-set arithmetic: O and F fully swapped for the dyn
+    // batch, P fully swapped for the dyn2 batch.
+    "q_sql_insert_dyn" -> ((s, dir) => graft.GraftSession.withExtensions(s) { sess =>
+      val out = tmpDir("graft_sqlinsdyn")
+      val o = t(sess, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      val root = s"$out/t"
+      graft.sources.VersionedTable.write(
+        o.filter(col("k") % 2 === 0).withColumn("src", lit("seed")),
+        root, partitionBy = Seq("status"))
+      def view(): Unit = sess.sql(s"CREATE OR REPLACE TEMPORARY VIEW " +
+        s"sql_dyn_t USING gvt OPTIONS (path '$root')")
+      view()
+      o.filter(col("k") % 2 === 1).createOrReplaceTempView("sql_dyn_src")
+      sess.sql("INSERT INTO sql_dyn_t SELECT k, cents, 'b1', status " +
+        "FROM sql_dyn_src WHERE k % 3 = 0")
+      // explicit dynamic spec: the batch touches O and F only — they
+      // are replaced whole, P keeps both prior batches
+      sess.sql("INSERT OVERWRITE sql_dyn_t PARTITION (status) " +
+        "SELECT k, cents, 'dyn', status FROM sql_dyn_src " +
+        "WHERE k % 3 = 1 AND status IN ('O', 'F')")
+      // bare OVERWRITE under the dynamic conf: touches P only
+      val prior = sess.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static")
+      sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try sess.sql("INSERT OVERWRITE sql_dyn_t " +
+        "SELECT k, cents, 'dyn2', status FROM sql_dyn_src " +
+        "WHERE k % 5 = 0 AND status = 'P'")
+      finally sess.conf.set(
+        "spark.sql.sources.partitionOverwriteMode", prior)
+      view()
+      sess.sql("""SELECT status, src, count(*) AS n_rows,
+        sum(cents) AS sum_cents
+        FROM sql_dyn_t GROUP BY status, src ORDER BY status, src""")
+    }),
+
     // SQL MERGE INTO with the full clause surface (conditional DELETE,
     // UPDATE SET over both sides, INSERT *) — the exact q_merge_clauses
     // semantics driven through SQL text; GvtDml routes it to
@@ -2068,6 +2112,24 @@ object RelationalQueries {
         |  SELECT k, status, cents, 'dflt' FROM o WHERE k % 2 = 1 AND k % 3 = 1
         |  UNION ALL
         |  SELECT k, 'X', cents, 'po' FROM o WHERE k % 2 = 1 AND k % 21 = 2)
+        |SELECT status, src, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM rows_ GROUP BY status, src ORDER BY status, src""".stripMargin,
+
+    // Dynamic-partition overwrite must equal the row-set algebra:
+    // O and F hold only the dyn batch, P only the dyn2 batch (the two
+    // dynamic overwrites each replaced exactly the partitions their
+    // batches touched — all three statuses exist in every batch's
+    // modular slice at sf0.01, so each partition is genuinely swapped).
+    "q_sql_insert_dyn" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |rows_ AS (
+        |  SELECT k, status, cents, 'dyn' AS src FROM o
+        |  WHERE k % 2 = 1 AND k % 3 = 1 AND status IN ('O', 'F')
+        |  UNION ALL
+        |  SELECT k, status, cents, 'dyn2' FROM o
+        |  WHERE k % 2 = 1 AND k % 5 = 0 AND status = 'P')
         |SELECT status, src, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM rows_ GROUP BY status, src ORDER BY status, src""".stripMargin,

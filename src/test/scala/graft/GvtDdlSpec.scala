@@ -721,12 +721,144 @@ class GvtDdlSpec extends AnyFunSuite {
         s"$root/v=${VersionedTable.latestVersion(root).get}")) == Seq("part"))
       // inexpressible shapes fail loudly
       view()
-      intercept[UnsupportedOperationException] {
-        sess.sql("INSERT OVERWRITE ins_t PARTITION (part) SELECT 1L, 'q', 'p3'")
-      }
       intercept[Exception] {
         sess.sql("INSERT INTO ins_t VALUES (1, 'too-few')")
       }
+    }
+  }
+
+  test("SQL INSERT OVERWRITE dynamic partitions: only the batch's " +
+    "partitions are replaced; untouched partition files stay on disk") {
+    val root = fresh("insdyn")
+    VersionedTable.write(
+      Seq((1L, "a", "p0"), (2L, "b", "p1"), (3L, "c", "p2"),
+        (4L, "d", "p3"), (5L, "e", "p1")).toDF("k", "s", "part"),
+      root, partitionBy = Seq("part"))
+    GraftSession.withExtensions(spark) { sess =>
+      def view(): Unit = sess.sql(s"CREATE OR REPLACE TEMPORARY VIEW dyn_t " +
+        s"USING gvt OPTIONS (path '$root')")
+      view()
+      // v1's data files are never rewritten by the replaceWhere commit
+      val v1Files = {
+        val d = new java.io.File(s"$root/v=1")
+        def walk(f: java.io.File): Seq[(String, Long)] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+          else Seq((f.getPath, f.length()))
+        walk(d).sorted
+      }
+      // explicit dynamic spec: p1 and p2 get replaced, p0/p3 untouched
+      sess.sql("INSERT OVERWRITE dyn_t PARTITION (part) " +
+        "VALUES (10, 'x', 'p1'), (11, 'y', 'p2'), (12, 'z', 'p2')")
+      val live = VersionedTable.readLatest(sess, root)
+      assert(live.filter(col("part") === "p0").select("k").as[Long]
+        .collect().toSet == Set(1L))
+      assert(live.filter(col("part") === "p1").select("k").as[Long]
+        .collect().toSet == Set(10L))
+      assert(live.filter(col("part") === "p2").select("k").as[Long]
+        .collect().toSet == Set(11L, 12L))
+      assert(live.filter(col("part") === "p3").select("k").as[Long]
+        .collect().toSet == Set(4L))
+      val v1After = {
+        val d = new java.io.File(s"$root/v=1")
+        def walk(f: java.io.File): Seq[(String, Long)] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+          else Seq((f.getPath, f.length()))
+        walk(d).sorted
+      }
+      assert(v1After == v1Files, "the dynamic overwrite rewrote v1 files")
+      // bare INSERT OVERWRITE under partitionOverwriteMode=dynamic:
+      // the table's layout columns resolve dynamically
+      view()
+      val prior = sess.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static")
+      sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try sess.sql("INSERT OVERWRITE dyn_t VALUES (20, 'w', 'p3')")
+      finally sess.conf.set(
+        "spark.sql.sources.partitionOverwriteMode", prior)
+      val live2 = VersionedTable.readLatest(sess, root)
+      assert(live2.filter(col("part") === "p3").select("k").as[Long]
+        .collect().toSet == Set(20L))
+      assert(live2.count() == 5) // p0(1) p1(1) p2(2) p3(1)
+      // NULL dynamic partition value: hive default partition round-trips
+      view()
+      sess.sql("INSERT OVERWRITE dyn_t PARTITION (part) " +
+        "VALUES (30, 'n', CAST(NULL AS STRING))")
+      val live3 = VersionedTable.readLatest(sess, root)
+      assert(live3.filter(col("part").isNull).select("k").as[Long]
+        .collect().toSet == Set(30L))
+      assert(live3.count() == 6)
+      // a second NULL-partition overwrite replaces the first
+      view()
+      sess.sql("INSERT OVERWRITE dyn_t PARTITION (part) " +
+        "VALUES (31, 'n', CAST(NULL AS STRING))")
+      val live4 = VersionedTable.readLatest(sess, root)
+      assert(live4.filter(col("part").isNull).select("k").as[Long]
+        .collect().toSet == Set(31L))
+      // a dynamic key that is not a hive layout column fails loudly
+      view()
+      val e = intercept[Exception] {
+        sess.sql("INSERT OVERWRITE dyn_t PARTITION (s) " +
+          "VALUES (40, 'p5', 'oops')")
+      }
+      assert(String.valueOf(e.getMessage).contains("layout"))
+    }
+  }
+
+  test("SQL INSERT OVERWRITE dynamic: multi-level layouts replace per " +
+    "tuple; static+dynamic mix pins the static level") {
+    val root = fresh("insdyn2")
+    VersionedTable.write(
+      Seq((1L, "a", "x", "p0"), (2L, "b", "x", "p1"),
+        (3L, "c", "y", "p0"), (4L, "d", "y", "p1"))
+        .toDF("k", "s", "a", "b"),
+      root, partitionBy = Seq("a", "b"))
+    GraftSession.withExtensions(spark) { sess =>
+      def view(): Unit = sess.sql(s"CREATE OR REPLACE TEMPORARY VIEW dyn2_t " +
+        s"USING gvt OPTIONS (path '$root')")
+      view()
+      // both levels dynamic: only (x,p1) and (y,p0) replaced
+      sess.sql("INSERT OVERWRITE dyn2_t PARTITION (a, b) " +
+        "VALUES (10, 'u', 'x', 'p1'), (11, 'v', 'y', 'p0')")
+      val live = VersionedTable.readLatest(sess, root)
+      assert(live.select("k").as[Long].collect().toSet ==
+        Set(1L, 4L, 10L, 11L))
+      // static a='x' + dynamic b: replaces (x,p0) only; y rows untouched
+      view()
+      sess.sql("INSERT OVERWRITE dyn2_t PARTITION (a='x', b) " +
+        "VALUES (20, 'w', 'p0')")
+      val live2 = VersionedTable.readLatest(sess, root)
+      assert(live2.select("k").as[Long].collect().toSet ==
+        Set(4L, 10L, 11L, 20L))
+    }
+  }
+
+  test("SQL INSERT OVERWRITE dynamic: raced writers on different " +
+    "partitions both land via retry") {
+    val root = fresh("insdynrace")
+    VersionedTable.write(
+      Seq((1L, "p0"), (2L, "p1"), (3L, "p2"), (4L, "p3"))
+        .toDF("k", "part"),
+      root, partitionBy = Seq("part"))
+    GraftSession.withExtensions(spark) { sess =>
+      sess.sql(s"CREATE OR REPLACE TEMPORARY VIEW dynrace_t " +
+        s"USING gvt OPTIONS (path '$root')")
+      val unexpected = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val ts = (0 to 3).map { i =>
+        new Thread(() => {
+          start.await()
+          try sess.sql(s"INSERT OVERWRITE dynrace_t PARTITION (part) " +
+            s"VALUES (${100 + i}, 'p$i')")
+          catch { case t: Throwable => unexpected.add(t); () }
+        })
+      }
+      ts.foreach(_.start()); start.countDown(); ts.foreach(_.join())
+      assert(unexpected.isEmpty, s"raced dynamic overwrite died: " +
+        unexpected.asScala.map(t =>
+          s"${t.getClass.getName}: ${t.getMessage}").mkString("; "))
+      val live = VersionedTable.readLatest(sess, root)
+      assert(live.select("k").as[Long].collect().toSet ==
+        Set(100L, 101L, 102L, 103L))
     }
   }
 
