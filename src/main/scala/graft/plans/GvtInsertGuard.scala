@@ -143,8 +143,7 @@ case class GvtInsertCommand(root: String, query: LogicalPlan,
         operation = "INSERT") }
       return Seq.empty
     }
-    val layout = VersionedTable.partColsOf(new org.apache.hadoop.fs.Path(
-      VersionedTable.dataDirsOf(root, base).head))
+    val layout = VersionedTable.layoutOf(root, base)
     // dynamic partitions to resolve from the batch: an explicit
     // `PARTITION (p)` key, or — under the SQL-standard conf
     // spark.sql.sources.partitionOverwriteMode=dynamic — every layout

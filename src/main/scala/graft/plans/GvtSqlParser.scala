@@ -113,6 +113,16 @@ class GvtSqlParser(session: SparkSession, delegate: ParserInterface)
         GvtCloneCommand(dst.trim, src.trim,
           shallow = Option(kind).exists(_.trim.equalsIgnoreCase("SHALLOW")),
           version = Option(version).map(_.trim.toLong))
+      // `CREATE TABLE t (cols) USING <v1 provider>` with an explicit
+      // schema is NOT valid Spark SQL for a plain RelationProvider
+      // (user-specified schemas are rejected at creation) — claiming
+      // the gvt form shadows nothing. CTAS and the schema-less
+      // register-existing-path form stay native (they already work).
+      case CreateTableRe(ine, target, colList, tail) =>
+        val (options, partitionBy, props) = parseCreateClauses(tail)
+        GvtCreateTableCommand(target.trim, ifNotExists = ine != null,
+          parseColumnList(colList, delegate.parseDataType),
+          options, partitionBy, props)
       case CopyIntoRe(target, from, fmt, pat) =>
         GvtCopyIntoCommand(target.trim, from, fmt.trim,
           Option(pat).filter(_.nonEmpty))
@@ -210,6 +220,54 @@ object GvtSqlParser {
     ("""(?is)^CREATE\s+TABLE\s+""" + Target +
       """\s+(?:(SHALLOW|DEEP)\s+)?CLONE\s+""" + Target +
       """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*$""").r
+  // explicit column list + USING gvt; the tail (OPTIONS / PARTITIONED
+  // BY / TBLPROPERTIES in any order) parses separately. `(.+)` is
+  // greedy, so the LAST `) USING gvt` closes the column list — types
+  // with parens (decimal(10,2)) stay inside it.
+  private val CreateTableRe =
+    ("""(?is)^CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?""" + Target +
+      """\s*\((.+)\)\s*USING\s+gvt\b(.*)$""").r
+
+  /** The CREATE TABLE tail: `OPTIONS (…)`, `PARTITIONED BY (…)`,
+    * `TBLPROPERTIES (…)` in any order; anything else fails loudly
+    * (an unrecognized clause must never be silently dropped). */
+  private[plans] def parseCreateClauses(tail0: String)
+      : (Map[String, String], Seq[String], Map[String, String]) = {
+    var options = Map.empty[String, String]
+    var partitionBy = Seq.empty[String]
+    var props = Map.empty[String, String]
+    var tail = tail0.trim
+    val Clause = """(?is)^(OPTIONS|PARTITIONED\s+BY|TBLPROPERTIES)\s*\(""".r
+    while (tail.nonEmpty) {
+      val m = Clause.findFirstMatchIn(tail).getOrElse(
+        throw new IllegalArgumentException(
+          s"CREATE TABLE … USING gvt: cannot parse clause at '${
+            tail.take(60)}' (supported: OPTIONS, PARTITIONED BY, " +
+            "TBLPROPERTIES)"))
+      // balanced-paren scan from the clause's opening '('
+      var depth = 1
+      var i = m.end
+      while (depth > 0 && i < tail.length) {
+        tail.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case _ => ()
+        }
+        i += 1
+      }
+      require(depth == 0, s"CREATE TABLE: unbalanced parens in '$tail'")
+      val body = tail.substring(m.end, i - 1)
+      m.group(1).toUpperCase.replaceAll("\\s+", " ") match {
+        case "OPTIONS" => options ++= parseOptionPairs(body)
+        case "PARTITIONED BY" => partitionBy ++= parsePropKeys(
+          body.replace("`", ""))
+        case "TBLPROPERTIES" => props ++= parsePropPairs(body)
+      }
+      tail = tail.substring(i).trim
+    }
+    (options, partitionBy, props)
+  }
+
   private val CopyIntoRe =
     ("""(?is)^COPY\s+INTO\s+""" + Target +
       """\s+FROM\s+'([^']+)'\s+FILEFORMAT\s*=\s*(\w+)""" +
@@ -228,6 +286,22 @@ object GvtSqlParser {
       case other => throw new IllegalArgumentException(
         s"cannot parse TBLPROPERTIES pair '$other' (quoted commas are " +
           "not supported)")
+    }.toMap
+  }
+
+  /** OPTIONS pairs: Spark's syntax admits `key 'value'` (space form,
+    * the documented idiom for USING … OPTIONS) as well as
+    * `key = 'value'` — accept both; [[parsePropPairs]] stays strict
+    * for TBLPROPERTIES. */
+  private[plans] def parseOptionPairs(s: String): Map[String, String] = {
+    val Pair =
+      """(?s)^\s*(?:'([^']*)'|([\w.\-]+))\s*=?\s*(?:'([^']*)'|([^\s,']+))\s*$""".r
+    s.split(',').map {
+      case Pair(qk, bk, qv, bv) =>
+        Option(qk).getOrElse(bk) -> Option(qv).getOrElse(bv)
+      case other => throw new IllegalArgumentException(
+        s"cannot parse OPTIONS pair '$other' (quoted commas are not " +
+          "supported)")
     }.toMap
   }
 
@@ -287,6 +361,24 @@ object GvtSqlParser {
   }
 
   private val PathForm = """(?is)^gvt\s*\.\s*`([^`]+)`$""".r
+
+  /** CREATE TABLE target resolution: the `` gvt.`path` `` form is the
+    * root itself (no catalog entry); a name form takes the `path`
+    * option, else the session catalog's default location for the name,
+    * and registers the name afterwards. */
+  private[plans] def createTarget(spark: SparkSession, target: String,
+                                  options: Map[String, String])
+      : (String, Option[String]) =
+    target.trim match {
+      case PathForm(p) => (p, None)
+      case ident =>
+        val name = ident.stripPrefix("`").stripSuffix("`")
+        val root = options.getOrElse("path",
+          spark.sessionState.catalog.defaultTablePath(
+            spark.sessionState.sqlParser.parseTableIdentifier(name))
+            .getPath)
+        (root, Some(name))
+    }
 
   /** Does a statement target resolve to a gvt relation? Used to avoid
     * claiming statements that are also valid Spark SQL. */
@@ -403,15 +495,24 @@ case class GvtRestoreTimestampCommand(target: String, ts: String)
 }
 
 /** `TRUNCATE TABLE t` → commit an empty snapshot (schema preserved,
-  * history time-travelable until vacuumed — Delta's TRUNCATE). */
+  * history time-travelable until vacuumed — Delta's TRUNCATE). A
+  * partitioned table's layout survives as declared layout (`_layout`
+  * meta on the schema-only empty commit — the zero-row write cannot
+  * carry hive directories), so post-truncate appends keep
+  * partitioning. */
 case class GvtTruncateCommand(target: String) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("new_version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val root = GvtSqlParser.rootOf(spark, target)
+    val parts = VersionedTable.layoutOf(root,
+      VersionedTable.latestVersion(root).getOrElse(
+        throw new IllegalArgumentException(s"no versions at $root")))
+    val meta = if (parts.isEmpty) Map.empty[String, String]
+      else Map("_schema_only" -> "1", "_layout" -> parts.mkString(","))
     Seq(Row(VersionedTable.write(
       VersionedTable.readLatest(spark, root).limit(0), root,
-      operation = "TRUNCATE", assignIdentity = false)))
+      metaFiles = meta, operation = "TRUNCATE", assignIdentity = false)))
   }
 }
 
@@ -614,13 +715,17 @@ case class GvtDescribeDetailCommand(target: String)
     AttributeReference("size_bytes", LongType, nullable = false)(),
     AttributeReference("num_rows", LongType, nullable = false)(),
     AttributeReference("partition_columns", StringType, nullable = false)(),
-    AttributeReference("properties", StringType, nullable = false)())
+    AttributeReference("properties", StringType, nullable = false)(),
+    AttributeReference("reader_features", StringType, nullable = false)(),
+    AttributeReference("writer_features", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val d = VersionedTable.detail(GvtSqlParser.rootOf(spark, target))
     Seq(Row(d.format, d.location, d.version, d.numVersions, d.numFiles,
       d.sizeBytes, d.numRows, d.partitionColumns.mkString(","),
       d.properties.toSeq.sorted.map { case (k, v) => s"$k=$v" }
-        .mkString(",")))
+        .mkString(","),
+      d.readerFeatures.toSeq.sorted.mkString(","),
+      d.writerFeatures.toSeq.sorted.mkString(",")))
   }
 }
 
@@ -639,6 +744,76 @@ case class GvtCloneCommand(dst: String, src: String, shallow: Boolean,
     Seq(Row(VersionedTable.cloneTable(spark,
       GvtSqlParser.rootOf(spark, src), GvtSqlParser.rootOf(spark, dst),
       version = version, shallow = shallow)))
+}
+
+/** `CREATE TABLE [IF NOT EXISTS] t (col type [GENERATED …], …) USING
+  * gvt [OPTIONS (path '…')] [PARTITIONED BY (…)] [TBLPROPERTIES (…)]`
+  * → [[VersionedTable.createTable]]: the standard schema-first SQL
+  * workflow (declare, then INSERT) — a schema-only v1 commit, O(1) at
+  * any scale. The `` gvt.`path` `` form creates at the path; a NAME
+  * form takes `OPTIONS (path …)` or the session catalog's default
+  * table location, and afterwards registers the name as a catalog
+  * table over the (now existing) root, so plain `SELECT … FROM name`
+  * and INSERT resolve it. Column suffixes register exactly as ADD
+  * COLUMNS does: `GENERATED … AS IDENTITY (START WITH s INCREMENT BY
+  * n)` and `GENERATED ALWAYS AS (expr)` (a generated column MAY be a
+  * partition column — the derived-partition-pruning pattern). */
+case class GvtCreateTableCommand(target: String, ifNotExists: Boolean,
+                                 cols: Seq[GvtSqlParser.ColSpec],
+                                 options: Map[String, String],
+                                 partitionBy: Seq[String],
+                                 props: Map[String, String])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("new_version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val names = cols.map(_.name)
+    require(names.map(_.toLowerCase).distinct.size == names.size,
+      "CREATE TABLE: duplicate column names")
+    partitionBy.foreach(p => require(names.contains(p),
+      s"CREATE TABLE: PARTITIONED BY column $p is not declared"))
+    cols.foreach { c =>
+      c.identity.foreach { _ =>
+        require(c.dataType == LongType,
+          s"identity column ${c.name} must be BIGINT (got ${c.dataType})")
+        require(!partitionBy.contains(c.name),
+          s"identity column ${c.name} cannot be a partition column")
+        require(c.generated.isEmpty,
+          s"${c.name}: a column cannot be both GENERATED AS (expr) and IDENTITY")
+      }
+    }
+    val (root, catalogName) = GvtSqlParser.createTarget(spark, target, options)
+    val existing = VersionedTable.latestVersion(root)
+    val v = existing match {
+      case Some(cur) =>
+        if (!ifNotExists) throw new IllegalArgumentException(
+          s"CREATE TABLE: a gvt table already exists at $root " +
+            "(use IF NOT EXISTS, or CREATE OR REPLACE via overwrite writes)")
+        cur // IF NOT EXISTS on an existing root: no-op (Delta semantics)
+      case None =>
+        val schema = org.apache.spark.sql.types.StructType(cols.map(c =>
+          org.apache.spark.sql.types.StructField(c.name, c.dataType,
+            nullable = true)))
+        val nv = VersionedTable.createTable(spark, root, schema, partitionBy)
+        // registrations validate against the (zero-row) live snapshot
+        cols.foreach(c => c.generated.foreach(e =>
+          VersionedTable.addGeneratedColumn(spark, root, c.name, e)))
+        cols.foreach(c => c.identity.foreach { case (start, step) =>
+          VersionedTable.addIdentityColumn(spark, root, c.name, start, step)
+        })
+        if (props.nonEmpty) VersionedTable.setTblProperties(root, props)
+        nv
+    }
+    // name form: register the catalog entry over the existing root —
+    // the native schema-less CREATE resolves the relation (and thus the
+    // stored schema) from the v1 commit just written
+    catalogName.foreach { name =>
+      spark.sql(s"CREATE TABLE IF NOT EXISTS $name USING gvt " +
+        s"OPTIONS (path '$root')")
+    }
+    Seq(Row(v))
+  }
 }
 
 /** `COPY INTO t FROM '<dir>' FILEFORMAT = PARQUET [PATTERN = '<glob>']`

@@ -743,6 +743,56 @@ object RelationalQueries {
         FROM sql_ins_t GROUP BY status, src ORDER BY status, src""")
     }),
 
+    // Generated-column partition pruning: the table is partitioned by
+    // a GENERATED day column (cast(ts AS date)); queries filter the
+    // BASE timestamp and the file index derives the partition bound —
+    // only the matching day directories scan (GeneratedPruningSpec pins
+    // the plan shape; this query pins the ANSWER against the raw rows).
+    "q_gen_partition" -> ((s, dir) => {
+      val out = tmpDir("graft_genpart")
+      val root = s"$out/t"
+      val ev = t(s, dir, "events").select(col("event_id"), col("ts"),
+        col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      graft.sources.VersionedTable.addGeneratedColumn(s, root, "day",
+        "cast(ts as date)")
+      graft.sources.VersionedTable.write(ev, root, partitionBy = Seq("day"))
+      s.read.format("gvt").load(root)
+        .filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-20 00:00:00").cast("timestamp"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Schema-first CREATE TABLE (the standard SQL workflow: declare,
+    // then INSERT): a schema-only v1 commit — O(1) at any table size —
+    // that subsequent INSERTs land on with the declared hive layout.
+    // The final aggregate must equal plain row-set arithmetic over the
+    // two inserted batches.
+    "q_sql_create" -> ((s, dir) => graft.GraftSession.withExtensions(s) { sess =>
+      val out = tmpDir("graft_sqlcreate")
+      val root = s"$out/t"
+      sess.sql(s"CREATE TABLE gvt.`$root` (k BIGINT, cents BIGINT, " +
+        "status STRING) USING gvt PARTITIONED BY (status)")
+      t(sess, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+        .createOrReplaceTempView("sql_create_src")
+      sess.sql(s"CREATE OR REPLACE TEMPORARY VIEW sql_create_t USING gvt " +
+        s"OPTIONS (path '$root')")
+      // positional order = declared non-partition columns then the
+      // trailing partition column: (k, cents, status)
+      sess.sql("INSERT INTO sql_create_t SELECT k, cents, status " +
+        "FROM sql_create_src WHERE k % 2 = 0")
+      sess.sql("INSERT INTO sql_create_t SELECT k, cents, status " +
+        "FROM sql_create_src WHERE k % 3 = 0 AND k % 2 = 1")
+      sess.sql(s"CREATE OR REPLACE TEMPORARY VIEW sql_create_t USING gvt " +
+        s"OPTIONS (path '$root')")
+      sess.sql("""SELECT status, count(*) AS n_rows, sum(cents) AS sum_cents
+        FROM sql_create_t GROUP BY status ORDER BY status""")
+    }),
+
     // Dynamic-partition INSERT OVERWRITE (the standard warehouse
     // partition-refresh idiom): `PARTITION (status)` with no value
     // replaces EXACTLY the partitions the batch touches — one
@@ -2115,6 +2165,30 @@ object RelationalQueries {
         |SELECT status, src, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM rows_ GROUP BY status, src ORDER BY status, src""".stripMargin,
+
+    // The generated-partition read must equal the raw-row filter (the
+    // derivation is result-invisible — pruning only skips directories
+    // no matching row can live in).
+    "q_gen_partition" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Create-then-insert must equal the plain batch union.
+    "q_sql_create" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |rows_ AS (
+        |  SELECT k, status, cents FROM o WHERE k % 2 = 0
+        |  UNION ALL
+        |  SELECT k, status, cents FROM o WHERE k % 3 = 0 AND k % 2 = 1)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM rows_ GROUP BY status ORDER BY status""".stripMargin,
 
     // Dynamic-partition overwrite must equal the row-set algebra:
     // O and F hold only the dyn batch, P only the dyn2 batch (the two

@@ -76,7 +76,14 @@ private[graft] object LogStore {
     override def read(p: HPath): Option[String] = {
       if (!fc.util.exists(p)) None
       else {
-        val in = fc.open(p)
+        // the exists() answer can go stale before open(): a concurrent
+        // pointer flip (FileContext's OVERWRITE rename deletes the
+        // destination first on local fs) removes the file for a moment —
+        // a vanished file reads as absent, same as losing the exists()
+        // race by a hair
+        val in =
+          try fc.open(p)
+          catch { case _: java.io.FileNotFoundException => return None }
         try {
           val out = new java.io.ByteArrayOutputStream()
           val buf = new Array[Byte](4096)
@@ -113,6 +120,62 @@ private[graft] object LogStore {
         case _: java.nio.file.FileAlreadyExistsException =>
           throw new org.apache.hadoop.fs.FileAlreadyExistsException(p.toString)
       }
+    }
+  }
+
+  /** Conditional-put contract double: the in-memory model of an object
+    * store that exposes an atomic conditional PUT — the shape S3 now
+    * provides natively (`PUT` with `If-None-Match: *` returns 412 when
+    * the key exists), and GCS/ABFS provide via generation/etag
+    * preconditions. The commit protocol needs NOTHING beyond the three
+    * primitives this trait names, so a real adapter is a transport
+    * mapping, validated offline against this double:
+    *
+    *   putIfAbsent → `PUT key If-None-Match: *` (412 ⇒
+    *                 FileAlreadyExistsException — another writer won)
+    *   overwrite   → unconditional `PUT key`
+    *   read        → `GET key`;  list → `LIST prefix/` (one level);
+    *   delete      → `DELETE key` (recursive = list + delete each)
+    *   exists      → `HEAD key` (or a 1-key LIST on the prefix)
+    *
+    * Consistency expectations match S3's current model: strong
+    * read-after-write and list-after-write. The double keeps one flat
+    * key space (an object store has no real directories); `list` and
+    * recursive `delete` are prefix operations exactly as they would be
+    * over the wire. */
+  private[sources] final class InMemory extends LogStore {
+    private val objects =
+      new java.util.concurrent.ConcurrentHashMap[String, String]()
+    private def key(p: HPath): String = p.toUri.getPath
+    private def childPrefix(p: HPath): String = key(p).stripSuffix("/") + "/"
+
+    override def read(p: HPath): Option[String] = Option(objects.get(key(p)))
+    override def putIfAbsent(p: HPath, s: String): Unit =
+      if (objects.putIfAbsent(key(p), s) != null)
+        throw new org.apache.hadoop.fs.FileAlreadyExistsException(p.toString)
+    override def overwrite(p: HPath, s: String): Unit =
+      { objects.put(key(p), s); () }
+    override def delete(p: HPath, recursive: Boolean): Boolean =
+      if (!recursive) objects.remove(key(p)) != null
+      else {
+        val pre = childPrefix(p)
+        val direct = objects.remove(key(p)) != null
+        val nested = objects.keySet().removeIf(_.startsWith(pre))
+        direct || nested
+      }
+    override def list(p: HPath): Seq[String] = {
+      val pre = childPrefix(p)
+      import scala.jdk.CollectionConverters._
+      objects.keySet().asScala.iterator
+        .filter(_.startsWith(pre))
+        .map(_.stripPrefix(pre).takeWhile(_ != '/'))
+        .toSeq.distinct.sorted
+    }
+    override def exists(p: HPath): Boolean = {
+      val pre = childPrefix(p)
+      import scala.jdk.CollectionConverters._
+      objects.containsKey(key(p)) ||
+        objects.keySet().asScala.exists(_.startsWith(pre))
     }
   }
 

@@ -200,7 +200,7 @@ object VersionedTable {
     * chain-length-bounded by compaction. */
   private def readDirs(spark: SparkSession, dirs: Seq[String]): DataFrame =
     if (dirs.size == 1) spark.read.parquet(dirs.head)
-    else if (partColsOf(new HPath(dirs.head)).isEmpty) {
+    else if (dirsLayout(dirs).isEmpty) {
       val schemas = dirs.map(d => spark.read.parquet(d).schema)
       if (schemas.forall(_ == schemas.head)) spark.read.parquet(dirs: _*)
       else dirs.map(spark.read.parquet(_))
@@ -446,6 +446,7 @@ object VersionedTable {
           s"$root: existing snapshot v=$v violates new constraint $c"))
     val before = latestVersion(root)
     before.foreach(validate)
+    requireFeature(root, "checkConstraints", reader = false)
     writeConstraints(root, constraints(root) + (name -> exprSql))
     revalidateMovedHead(root, before) { v =>
       try validate(v)
@@ -512,6 +513,7 @@ object VersionedTable {
       s"identity column $name already registered")
     require(!generatedColumns(root).contains(name),
       s"$name is a generated column — it cannot also be an identity")
+    requireFeature(root, "identityColumns", reader = false)
     val cur = identityColumns(root) + (name -> (start, step))
     val tmp = new HPath(root, "_identity.tmp")
     writeString(tmp, cur.toSeq.sorted.map { case (n, (s, st)) =>
@@ -568,6 +570,7 @@ object VersionedTable {
       require(readVersion(spark, root, v).columns.contains(name),
         s"setColumnDefault: no column $name in the live schema")
     }
+    requireFeature(root, "defaults", reader = false)
     writeDefaults(root, columnDefaults(root) + (name -> exprSql))
   }
 
@@ -853,7 +856,7 @@ object VersionedTable {
     val cm0 = ensureIds(colmapAt(root, base).getOrElse(
       Colmap(live.columns.toSeq.map(c => (c, c)), Set.empty)), root)
     val act = cm0.active.toMap
-    val parts = partColsOf(new HPath(dataDirsOf(root, base).head))
+    val parts = layoutOf(root, base)
     val refs = (constraints(root).values ++ generatedColumns(root).values ++
       generatedColumns(root).keys ++ identityColumns(root).keys).toSeq
     cols.foreach { c =>
@@ -980,6 +983,7 @@ object VersionedTable {
     }
     val before = latestVersion(root)
     before.foreach(validate)
+    requireFeature(root, "generatedColumns", reader = false)
     writeGens(generatedColumns(root) + (name -> exprSql))
     // same moved-head re-validation contract as addCheckConstraint
     revalidateMovedHead(root, before) { v =>
@@ -1043,6 +1047,14 @@ object VersionedTable {
             assignIdentity: Boolean = true,
             optimizeWrite: Option[Boolean] = None): Long = {
     val base = baseVersion.orElse(latestVersion(root))
+    // protocol: refuse when the table demands features this build lacks;
+    // then declare the features THIS commit materializes BEFORE anything
+    // publishes, so no reader can see their bytes ungated
+    checkWriteProtocol(root)
+    if (metaFiles.contains("_dv_parent") || subdirWrites.contains("_dv"))
+      requireFeature(root, "dv", reader = true)
+    if (metaFiles.contains("_schema_only"))
+      requireFeature(root, "schemaOnlySlices", reader = true)
     // `physicalInput` (compactChain's fold): the frame is the table's
     // own committed files read back in PHYSICAL column space — schema /
     // constraint / generated-column gates already passed when those rows
@@ -1106,6 +1118,7 @@ object VersionedTable {
       if (physicalInput || unmap) None
       else metaFiles.get("_colmap").map(parseColmap)
         .orElse(base.flatMap(b => colmapAt(root, b)))
+    if (cmPrior.isDefined) requireFeature(root, "columnMapping", reader = true)
     val next = claimNextVersion(root)
     var committed = false
     try {
@@ -1483,7 +1496,7 @@ object VersionedTable {
       }
     }
     if (statted.isEmpty) return full()
-    val partitioned = partColsOf(new HPath(dirs.head)).nonEmpty
+    val partitioned = dirsLayout(dirs).nonEmpty
     def tag(df: DataFrame): DataFrame =
       if (!needMeta) df
       else df.select(col("*"), col("_metadata.file_path").as("__gvt_file"),
@@ -1812,6 +1825,7 @@ object VersionedTable {
     * double-count a position). No Spark job, no data page read — the
     * cost is one footer read per file, same class as planning. */
   def metaRowCount(root: String, version: Option[Long] = None): Long = {
+    checkReadProtocol(root)
     val v = version.orElse(latestVersion(root)).getOrElse(
       throw new IllegalArgumentException(s"metaRowCount: no versions at $root"))
     val dataFiles = dataDirsOf(root, v).filterNot(isSchemaOnlySlice)
@@ -2183,8 +2197,7 @@ object VersionedTable {
         def tag(df: DataFrame) = df.select(col("*"),
           col("_metadata.file_path").as("__gvt_file"),
           col("_metadata.row_index").as("__gvt_pos"))
-        val partitioned =
-          partColsOf(new HPath(dataDirsOf(root, fromV).head)).nonEmpty
+        val partitioned = layoutOf(root, fromV).nonEmpty
         val reads = readFileGroups(spark, files, partitioned, tag)
         val tagged = reads.reduce(_.unionByName(_, allowMissingColumns = true))
         tagged.join(dv,
@@ -2236,7 +2249,7 @@ object VersionedTable {
              optimizeWrite: Option[Boolean] = None): Long = {
     val base = latestVersion(root).getOrElse(throw new IllegalArgumentException(
       s"append requires an existing table at $root (first write creates it)"))
-    val parts = partColsOf(new HPath(dataDirsOf(root, base).head))
+    val parts = layoutOf(root, base)
     write(df, root, partitionBy = parts, allowEvolution = allowEvolution,
       metaFiles = metaFiles + ("_parent" -> base.toString),
       statsCols = statsCols, baseVersion = Some(base), operation = operation,
@@ -2284,6 +2297,133 @@ object VersionedTable {
     * and, written flat on partitioned tables, no partition layout. */
   private[graft] def isSchemaOnlySlice(dir: String): Boolean =
     readString(new HPath(dir, "_schema_only")).isDefined
+
+  /** The table's hive partition layout at `version`: derived from the
+    * first DATA-bearing chain dir's directory names. A chain that is
+    * ALL schema-only slices (a freshly `CREATE TABLE`d table, possibly
+    * plus schema DDL, before its first row arrives) has no directories
+    * to derive from — the DECLARED layout rides the create/truncate
+    * commit's `_layout` meta instead. */
+  private[graft] def layoutOf(root: String, version: Long): Seq[String] = {
+    val dirs = dataDirsOf(root, version)
+    dirs.find(d => !isSchemaOnlySlice(d)) match {
+      case Some(d) => partColsOf(new HPath(d))
+      case None => readMetaLatest(root, "_layout")
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq.empty)
+    }
+  }
+
+  /** [[layoutOf]] over an already-resolved dir chain (read paths that
+    * hold the dirs, not the version). Declared-layout fallback is not
+    * needed here: with zero data dirs there is nothing to lay out. */
+  private[graft] def dirsLayout(dirs: Seq[String]): Seq[String] =
+    dirs.find(d => !isSchemaOnlySlice(d))
+      .map(d => partColsOf(new HPath(d))).getOrElse(Seq.empty)
+
+  // ── Protocol feature gates (Delta minReaderVersion/minWriterVersion
+  //    analogue) ──────────────────────────────────────────────────────
+  //
+  // The root-level `_protocol` file records which FEATURES a reader or
+  // writer must understand to use this table correctly. Without it, a
+  // build predating deletion vectors that reads a DV-bearing chain via
+  // the raw parquet path would silently INCLUDE deleted rows — a wrong
+  // ANSWER, not an error. The entry is written the first time a feature
+  // materializes (never speculatively — no gratuitous gating of plain
+  // tables), is monotone (features are only ever added), and is checked
+  // at every snapshot resolve: an unknown REQUIRED feature refuses
+  // loudly with the feature name, exactly Delta's protocol action
+  // contract (delta-io/delta PROTOCOL.md "Protocol Evolution").
+
+  /** Reader features THIS build understands. A `_protocol` demanding
+    * anything else refuses reads. */
+  private[graft] val supportedReaderFeatures: Set[String] =
+    Set("dv", "columnMapping", "schemaOnlySlices")
+
+  /** Writer features THIS build understands (superset of reader: a
+    * writer must also read). */
+  private[graft] val supportedWriterFeatures: Set[String] =
+    supportedReaderFeatures ++
+      Set("checkConstraints", "generatedColumns", "identityColumns",
+        "defaults")
+
+  private def protocolFile(root: String) = new HPath(root, "_protocol")
+
+  /** The table's required (readerFeatures, writerFeatures). Absent
+    * file = no requirements (a plain table any build can use). */
+  def protocolOf(root: String): (Set[String], Set[String]) = {
+    val m = readString(protocolFile(root)).map(_.split('\n').toSeq
+      .map(_.split('=')).collect {
+        case Array(k, v) => k.trim -> v.split(',').map(_.trim)
+          .filter(_.nonEmpty).toSet
+      }.toMap).getOrElse(Map.empty)
+    (m.getOrElse("reader", Set.empty), m.getOrElse("writer", Set.empty))
+  }
+
+  /** Record that `feature` is now REQUIRED (reader and/or writer) —
+    * called by the commit paths the moment the feature first
+    * materializes, BEFORE the commit publishes, so no reader can
+    * observe the feature's bytes without the protocol demanding it.
+    * Monotone union; a no-op when already recorded (the common case —
+    * one existence-check read per materializing commit). Concurrent
+    * first-registrations of DIFFERENT features can lose one union
+    * transiently; every materializing commit re-asserts, so the entry
+    * converges. */
+  private[graft] def requireFeature(root: String, feature: String,
+                                    reader: Boolean): Unit = {
+    var spins = 0
+    while (spins < 8) {
+      val (r, w) = protocolOf(root)
+      val (r2, w2) = (if (reader) r + feature else r, w + feature)
+      if (r2 == r && w2 == w) return // converged (the common case: a no-op)
+      // unique tmp per attempt: concurrent materializing commits (e.g.
+      // two raced DV overwrites) must not collide on the staging file;
+      // the rename is atomic-replace, losers re-read and re-union below
+      val tmp = new HPath(root,
+        s"_protocol.tmp${System.nanoTime()}_${Thread.currentThread().getId}")
+      try {
+        writeString(tmp, s"reader=${r2.toSeq.sorted.mkString(",")}\n" +
+          s"writer=${w2.toSeq.sorted.mkString(",")}", overwrite = true)
+        fcOf(tmp).rename(tmp, protocolFile(root), Options.Rename.OVERWRITE)
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          try delete(tmp, recursive = false)
+          catch { case scala.util.control.NonFatal(_) => () }
+      }
+      spins += 1
+    }
+    if (!(if (reader) protocolOf(root)._1 else protocolOf(root)._2)
+          .contains(feature))
+      throw new IllegalStateException(
+        s"$root: protocol registration of '$feature' kept losing races — " +
+          "refusing to publish the feature ungated")
+  }
+
+  /** Refuse a read when `_protocol` demands a reader feature this build
+    * does not understand — loud and actionable, never a silently wrong
+    * answer. */
+  private[graft] def checkReadProtocol(root: String): Unit = {
+    val unknown = protocolOf(root)._1 -- supportedReaderFeatures
+    if (unknown.nonEmpty) throw new UnsupportedOperationException(
+      s"$root: this table requires reader feature(s) " +
+        s"${unknown.toSeq.sorted.mkString(", ")} that this build does " +
+        "not support — reading would return wrong results (e.g. " +
+        "resurrect deleted rows); upgrade the library to a build that " +
+        "understands them")
+  }
+
+  /** Refuse a write when `_protocol` demands a writer feature this
+    * build does not understand (writing would corrupt invariants the
+    * feature maintains — e.g. skip a CHECK constraint). */
+  private[graft] def checkWriteProtocol(root: String): Unit = {
+    checkReadProtocol(root)
+    val unknown = protocolOf(root)._2 -- supportedWriterFeatures
+    if (unknown.nonEmpty) throw new UnsupportedOperationException(
+      s"$root: this table requires writer feature(s) " +
+        s"${unknown.toSeq.sorted.mkString(", ")} that this build does " +
+        "not support — writing could corrupt invariants those features " +
+        "maintain; upgrade the library or write to a copy")
+  }
 
   /** The data directories composing logical snapshot `version`,
     * base-first: the `_parent`/`_dv_parent` chain down to the nearest
@@ -2338,14 +2478,20 @@ object VersionedTable {
     require(latestVersion(dstRoot).isEmpty,
       s"clone target $dstRoot already has versions")
     require(!srcRoot.contains("\t"), "source root must not contain tabs")
-    if (shallow)
+    if (shallow) {
       // a mapped source's mapping rides the clone commit, so clone-local
       // reads and DML resolve it without crossing roots, and clone-local
       // schema changes stack independently of the source
-      write(readVersion(spark, srcRoot, v).limit(0), dstRoot,
+      val nv = write(readVersion(spark, srcRoot, v).limit(0), dstRoot,
         metaFiles = Map("_clone_src" -> s"$srcRoot\t$v") ++
           colmapAt(srcRoot, v).map("_colmap" -> serializeColmap(_)),
         operation = s"CLONE(shallow,$srcRoot@v$v)")
+      // the clone reads THROUGH the source chain, so every reader
+      // feature the source demands (e.g. dv) the clone demands too
+      protocolOf(srcRoot)._1.foreach(f =>
+        requireFeature(dstRoot, f, reader = true))
+      nv
+    }
     else
       // deep clone: an independent table — logical names become its
       // physical names, no mapping carried (none needed)
@@ -2394,6 +2540,39 @@ object VersionedTable {
       operation = s"ADD COLUMNS(${cols.map(_._1).mkString(",")})")
   }
 
+  /** Schema-first table creation (`CREATE TABLE t (cols…) USING gvt`,
+    * Delta's empty-table DDL): commit a SCHEMA-ONLY v1 — one zero-row
+    * footer-only parquet slice carrying the declared schema, O(1) at
+    * any scale — so INSERT / writer appends / streaming sinks land on
+    * an existing table instead of each racing to be "the creating
+    * write". A declared `partitionBy` cannot ride directory names yet
+    * (there are no data files), so it rides the commit's `_layout`
+    * meta; [[layoutOf]] serves it to every layout consumer until the
+    * first data commit materializes the hive directories. Refuses an
+    * already-versioned root (CREATE is never an overwrite). */
+  def createTable(spark: SparkSession, root: String,
+                  schema: org.apache.spark.sql.types.StructType,
+                  partitionBy: Seq[String] = Seq.empty): Long = {
+    require(latestVersion(root).isEmpty,
+      s"createTable: a table already exists at $root (versions present)")
+    require(schema.nonEmpty, "createTable: empty schema")
+    partitionBy.foreach(p => require(schema.fieldNames.contains(p),
+      s"createTable: PARTITIONED BY column $p is not in the schema"))
+    // partition columns last, Delta/hive's canonical order — the first
+    // real write partitions by them, and positional INSERT expects them
+    // trailing exactly as on any written gvt table
+    val ordered = org.apache.spark.sql.types.StructType(
+      schema.filterNot(f => partitionBy.contains(f.name)) ++
+        partitionBy.map(p => schema(schema.fieldIndex(p))))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ordered)
+    write(empty, root,
+      metaFiles = Map("_schema_only" -> "1") ++
+        (if (partitionBy.nonEmpty) Map("_layout" -> partitionBy.mkString(","))
+         else Map.empty),
+      operation = "CREATE TABLE", assignIdentity = false)
+  }
+
   /** ALTER COLUMN … TYPE (Delta's type-widening surface): widen a
     * column's declared type as a SCHEMA-ONLY commit — one zero-row
     * footer slice carrying the widened schema, no data file rewritten.
@@ -2421,7 +2600,7 @@ object VersionedTable {
         "widening — only upcasts are supported (narrowing would corrupt " +
         "existing rows); rewrite explicitly via overwrite if you really " +
         "mean it")
-    val parts = partColsOf(new HPath(dataDirsOf(root, base).head))
+    val parts = layoutOf(root, base)
     require(!parts.contains(name),
       s"widenColumnType: $name is a hive partition column (values live in " +
         "directory names) — change the layout via compact() instead")
@@ -2495,7 +2674,9 @@ object VersionedTable {
                          numRows: Long,
                          partitionColumns: Seq[String],
                          constraints: Map[String, String],
-                         properties: Map[String, String])
+                         properties: Map[String, String],
+                         readerFeatures: Set[String] = Set.empty,
+                         writerFeatures: Set[String] = Set.empty)
 
   def detail(root: String): TableDetail = {
     val v = latestVersion(root).getOrElse(throw new IllegalArgumentException(
@@ -2514,8 +2695,9 @@ object VersionedTable {
     TableDetail("gvt", root, v, committedVersions(root).size.toLong,
       counts.map(_._1).sum, counts.map(_._2).sum,
       metaRowCount(root, Some(v)), // footer counts − DV cardinality
-      partColsOf(new HPath(dataDirsOf(root, v).head)),
-      constraints(root), tblProperties(root))
+      layoutOf(root, v),
+      constraints(root), tblProperties(root),
+      protocolOf(root)._1, protocolOf(root)._2)
   }
 
   def readLatest(spark: SparkSession, root: String): DataFrame =
@@ -2528,6 +2710,7 @@ object VersionedTable {
     * deletion-vector commits anti-joins the vectors on parquet row
     * positions). */
   def readVersion(spark: SparkSession, root: String, version: Long): DataFrame = {
+    checkReadProtocol(root)
     val dvs = chainDvDirs(root, version)
     val raw =
       if (dvs.isEmpty) readDirs(spark, dataDirsOf(root, version))
@@ -2546,7 +2729,7 @@ object VersionedTable {
       col("_metadata.file_path").as("__gvt_file"),
       col("_metadata.row_index").as("__gvt_pos"))
     if (dirs.size == 1) tag(spark.read.parquet(dirs.head))
-    else if (partColsOf(new HPath(dirs.head)).isEmpty) {
+    else if (dirsLayout(dirs).isEmpty) {
       // same evolved-chain handling as readDirs (NULL-pad per dir)
       val schemas = dirs.map(d => spark.read.parquet(d).schema)
       if (schemas.forall(_ == schemas.head)) tag(spark.read.parquet(dirs: _*))
@@ -2742,7 +2925,7 @@ object VersionedTable {
     }.sum
     val bytes = batchDirs.map(d => sizeOf(new HPath(d))).sum
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    val parts = partColsOf(new HPath(baseDir))
+    val parts = layoutOf(root, v)
     // re-stat the folded batch if every folded dir was statted
     val stats =
       if (statsCols.nonEmpty) statsCols
@@ -2812,7 +2995,7 @@ object VersionedTable {
     }.sum
     // probe the CHAIN BASE: an append tip always follows the base's
     // partition layout, and the compacted full snapshot must keep it
-    val parts = partColsOf(new HPath(dataDirsOf(root, v).head))
+    val parts = layoutOf(root, v)
     // size the rewrite over the LOGICAL snapshot: an append chain's rows
     // live across every chain directory, not just the tip
     val totalBytes = dataDirsOf(root, v).map(d => sizeOf(new HPath(d))).sum
@@ -2873,9 +3056,10 @@ object VersionedTable {
     val v = latestVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no versions at $root"))
     val dirs = dataDirsOf(root, v).filterNot(isSchemaOnlySlice)
-    val parts = partColsOf(new HPath(dirs.head))
+    val parts = layoutOf(root, v)
     require(parts.nonEmpty,
       s"SHOW PARTITIONS: table at $root is not partitioned")
+    if (dirs.isEmpty) return Seq.empty // created empty: no partitions yet
     def walk(d: HPath, depth: Int, prefix: List[String]): Seq[List[String]] = {
       if (depth == 0) return Seq(prefix)
       val fc = fcOf(d)
@@ -2977,7 +3161,7 @@ object VersionedTable {
     val dirs = dataDirsOf(root, v)
     // partition layout: drop/rename of partition columns is refused, so
     // the physical dir layout's names ARE the logical ones
-    val parts = partColsOf(new HPath(dirs.head))
+    val parts = layoutOf(root, v)
     val fc = fcOf(new HPath(dirs.head))
     def sizeOf(p: HPath): Long = fc.util.listStatus(p).map { st =>
       if (st.isDirectory) sizeOf(st.getPath) else st.getLen

@@ -136,10 +136,11 @@ class DefaultSource extends RelationProvider
       // filter/column pushdown preserved inside
       return new GvtDvRelation(spark, sqlContext, root, version, pinned)
     val dirs = VersionedTable.dataDirsOf(root, version)
-    val index = new GvtFileIndex(spark, dirs.map(new Path(_)),
-      VersionedTable.fileStats(spark, root, version), root, pinned)
-    val partitionSchema = index.partitionSchema
     val fullSchema = VersionedTable.readVersion(spark, root, version).schema
+    val index = new GvtFileIndex(spark, dirs.map(new Path(_)),
+      VersionedTable.fileStats(spark, root, version), root, pinned,
+      fullSchema)
+    val partitionSchema = index.partitionSchema
     val dataSchema = StructType(
       fullSchema.filterNot(f => partitionSchema.fieldNames.contains(f.name)))
     HadoopFsRelation(index, partitionSchema, dataSchema, None,
@@ -503,7 +504,8 @@ private[gvt] object GvtV1Filters {
 class GvtFileIndex(
     spark: SparkSession, roots: Seq[Path],
     private[graft] val stats: Option[VersionedTable.FileZoneMaps],
-    val tableRoot: String = "", val pinned: Boolean = false)
+    val tableRoot: String = "", val pinned: Boolean = false,
+    fullSchema: StructType = new StructType())
   extends FileIndex {
 
   // ADD COLUMNS' footer-only slices hold zero rows and (on partitioned
@@ -542,7 +544,15 @@ class GvtFileIndex(
     * files under its values. */
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val base0 = children.flatMap(_.listFiles(partitionFilters, dataFilters))
+    // generated-column derivation: a filter on the BASE column of a
+    // monotone generated PARTITION column implies a partition bound —
+    // derived here so the child indexes prune directories at planning
+    val derivedPF =
+      if (tableRoot.isEmpty || fullSchema.isEmpty) Seq.empty
+      else GeneratedPruning.derive(spark, tableRoot, fullSchema,
+        partitionSchema, dataFilters)
+    val base0 = children.flatMap(
+      _.listFiles(partitionFilters ++ derivedPF, dataFilters))
     // Bloom-filter skipping for pushed EQUALITY predicates (point
     // lookups on unclustered high-cardinality columns — where zone
     // maps can't help): per chain dir with a `_bloom` sidecar for the

@@ -885,4 +885,93 @@ class GvtDdlSpec extends AnyFunSuite {
       assert(live.select("k").as[Long].collect().toSet == (0L to 4L).toSet)
     }
   }
+
+  test("CREATE TABLE (schema-first DDL): empty partitioned table, " +
+    "INSERTs land on it, duplicate create refuses, IF NOT EXISTS no-ops") {
+    val root = fresh("create")
+    GraftSession.withExtensions(spark) { sess =>
+      sess.sql(s"CREATE TABLE gvt.`$root` (k BIGINT, s STRING, " +
+        s"part STRING) USING gvt PARTITIONED BY (part) " +
+        s"TBLPROPERTIES ('owner' = 'dds')")
+      // a schema-only v1: zero rows, full declared schema, layout meta
+      assert(VersionedTable.latestVersion(root).contains(1L))
+      val empty = VersionedTable.readLatest(sess, root)
+      assert(empty.columns.toSeq == Seq("k", "s", "part"))
+      assert(empty.count() == 0)
+      assert(VersionedTable.tblProperties(root)("owner") == "dds")
+      // SELECT over the empty table through the relation works
+      sess.sql(s"CREATE OR REPLACE TEMPORARY VIEW create_t USING gvt " +
+        s"OPTIONS (path '$root')")
+      assert(sess.sql("SELECT count(*) AS n FROM create_t")
+        .as[Long].head() == 0L)
+      // SHOW PARTITIONS on the empty table: declared layout, no values
+      assert(sess.sql(s"SHOW PARTITIONS gvt.`$root`").collect().isEmpty)
+      // INSERTs land through the commit protocol WITH the declared layout
+      sess.sql("INSERT INTO create_t VALUES (1, 'a', 'p0'), (2, 'b', 'p1')")
+      sess.sql("INSERT INTO create_t PARTITION (part='p2') VALUES (3, 'c')")
+      val live = VersionedTable.readLatest(sess, root)
+      assert(live.count() == 3)
+      assert(live.filter(col("part") === "p2").select("k").as[Long]
+        .head() == 3L)
+      // the first data commit materialized the declared hive layout
+      val dataDir = new java.io.File(s"$root/v=2")
+      assert(dataDir.listFiles().exists(f =>
+        f.isDirectory && f.getName.startsWith("part=")),
+        "declared layout not materialized as hive directories")
+      assert(sess.sql(s"SHOW PARTITIONS gvt.`$root`").collect()
+        .map(_.getString(0)).sorted.toSeq ==
+        Seq("part=p0", "part=p1", "part=p2"))
+      // duplicate create refuses; IF NOT EXISTS is a no-op
+      intercept[Exception] {
+        sess.sql(s"CREATE TABLE gvt.`$root` (k BIGINT) USING gvt")
+      }
+      sess.sql(s"CREATE TABLE IF NOT EXISTS gvt.`$root` (other INT) USING gvt")
+      assert(VersionedTable.readLatest(sess, root).columns.toSeq ==
+        Seq("k", "s", "part"))
+    }
+  }
+
+  test("CREATE TABLE: catalog name registers; identity and generated " +
+    "column suffixes register at create") {
+    val root = fresh("createcat")
+    GraftSession.withExtensions(spark) { sess =>
+      sess.sql("DROP TABLE IF EXISTS gvt_created_t")
+      sess.sql(s"CREATE TABLE gvt_created_t (id BIGINT GENERATED ALWAYS " +
+        s"AS IDENTITY (START WITH 10 INCREMENT BY 2), v INT, " +
+        s"v2 INT GENERATED ALWAYS AS (v * 2)) USING gvt " +
+        s"OPTIONS (path '$root')")
+      try {
+        // the name resolves through the catalog
+        assert(sess.sql("SELECT count(*) AS n FROM gvt_created_t")
+          .as[Long].head() == 0L)
+        // identity fills on insert; generated column fills from v —
+        // through the catalog name (the registered relation routes the
+        // INSERT into the commit protocol)
+        sess.sql("INSERT INTO gvt_created_t (v) VALUES (1), (2)")
+        val live = VersionedTable.readLatest(sess, root)
+        assert(live.select("id").as[Long].collect().toSet == Set(10L, 12L))
+        assert(live.select("v2").as[Int].collect().toSet == Set(2, 4))
+      } finally sess.sql("DROP TABLE IF EXISTS gvt_created_t")
+    }
+  }
+
+  test("TRUNCATE on a partitioned table keeps the declared layout for " +
+    "later appends") {
+    val root = fresh("trunclayout")
+    VersionedTable.write(
+      Seq((1L, "p0"), (2L, "p1")).toDF("k", "part"),
+      root, partitionBy = Seq("part"))
+    GraftSession.withExtensions(spark) { sess =>
+      sess.sql(s"TRUNCATE TABLE gvt.`$root`")
+      assert(VersionedTable.readLatest(sess, root).count() == 0)
+      VersionedTable.append(Seq((3L, "p2")).toDF("k", "part"), root)
+      val v = VersionedTable.latestVersion(root).get
+      val dataDir = new java.io.File(s"$root/v=$v")
+      assert(dataDir.listFiles().exists(f =>
+        f.isDirectory && f.getName == "part=p2"),
+        "layout lost across TRUNCATE")
+      assert(VersionedTable.readLatest(sess, root)
+        .filter(col("part") === "p2").count() == 1)
+    }
+  }
 }

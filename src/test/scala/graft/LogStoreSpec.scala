@@ -18,44 +18,70 @@ class LogStoreSpec extends AnyFunSuite {
       .isInstanceOf[LogStore.Nio])
   }
 
-  test("putIfAbsent admits exactly one winner under contention") {
-    val dir = Files.createTempDirectory("graft_logstore").toString
-    val fc = localFc
-    val store = LogStore.forPath(new HPath(dir), fc)
-    val p = new HPath(dir, "_claim")
-    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
-    val start = new java.util.concurrent.CountDownLatch(1)
-    val ts = (1 to 16).map { i =>
-      new Thread(() => {
-        start.await()
-        try { store.putIfAbsent(p, i.toString); wins.incrementAndGet(); () }
-        catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => () }
-      })
-    }
-    ts.foreach(_.start()); start.countDown(); ts.foreach(_.join())
-    assert(wins.get == 1)
-    // the winner's content is what persisted
-    val content = store.read(p).get
-    assert((1 to 16).map(_.toString).contains(content))
-    // read/list/exists see the committed file
-    assert(store.exists(p))
-    assert(store.list(new HPath(dir)).contains("_claim"))
-    // delete then re-claim succeeds
-    assert(store.delete(p, recursive = false))
-    store.putIfAbsent(p, "again")
-    assert(store.read(p).contains("again"))
-  }
+  // The contract cases run against BOTH the local NIO store and the
+  // conditional-put contract double (the S3 If-None-Match model): the
+  // commit protocol needs nothing beyond these three primitives, so an
+  // implementation passing this block is a valid commit substrate.
+  private def stores: Seq[(String, () => LogStore)] = Seq(
+    "nio" -> (() => LogStore.forPath(
+      new HPath(Files.createTempDirectory("graft_logstore").toString),
+      localFc)),
+    "conditional-put double" -> (() => new LogStore.InMemory))
 
-  test("overwrite replaces; putIfAbsent after overwrite still refuses") {
-    val dir = Files.createTempDirectory("graft_logstore2").toString
-    val fc = localFc
-    val store = LogStore.forPath(new HPath(dir), fc)
-    val p = new HPath(dir, "_ptr")
-    store.overwrite(p, "1")
-    store.overwrite(p, "2")
-    assert(store.read(p).contains("2"))
-    intercept[org.apache.hadoop.fs.FileAlreadyExistsException] {
-      store.putIfAbsent(p, "3")
+  for ((label, mk) <- stores) {
+    test(s"[$label] putIfAbsent admits exactly one winner under contention") {
+      val store = mk()
+      val dir = Files.createTempDirectory("graft_logstore").toString
+      val p = new HPath(dir, "_claim")
+      val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val ts = (1 to 16).map { i =>
+        new Thread(() => {
+          start.await()
+          try { store.putIfAbsent(p, i.toString); wins.incrementAndGet(); () }
+          catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => () }
+        })
+      }
+      ts.foreach(_.start()); start.countDown(); ts.foreach(_.join())
+      assert(wins.get == 1)
+      // the winner's content is what persisted
+      val content = store.read(p).get
+      assert((1 to 16).map(_.toString).contains(content))
+      // read/list/exists see the committed file
+      assert(store.exists(p))
+      assert(store.list(new HPath(dir)).contains("_claim"))
+      // delete then re-claim succeeds
+      assert(store.delete(p, recursive = false))
+      store.putIfAbsent(p, "again")
+      assert(store.read(p).contains("again"))
+    }
+
+    test(s"[$label] overwrite replaces; putIfAbsent after overwrite " +
+      "still refuses") {
+      val store = mk()
+      val dir = Files.createTempDirectory("graft_logstore2").toString
+      val p = new HPath(dir, "_ptr")
+      store.overwrite(p, "1")
+      store.overwrite(p, "2")
+      assert(store.read(p).contains("2"))
+      intercept[org.apache.hadoop.fs.FileAlreadyExistsException] {
+        store.putIfAbsent(p, "3")
+      }
+    }
+
+    test(s"[$label] list is one-level; recursive delete clears the " +
+      "prefix; absent paths read None") {
+      val store = mk()
+      val dir = Files.createTempDirectory("graft_logstore3").toString
+      store.overwrite(new HPath(s"$dir/t/v=1/_marker"), "m1")
+      store.overwrite(new HPath(s"$dir/t/v=2/_marker"), "m2")
+      store.overwrite(new HPath(s"$dir/t/_LATEST"), "2")
+      assert(store.list(new HPath(s"$dir/t")).toSet ==
+        Set("v=1", "v=2", "_LATEST"))
+      assert(store.read(new HPath(s"$dir/t/absent")).isEmpty)
+      assert(store.delete(new HPath(s"$dir/t/v=2"), recursive = true))
+      assert(!store.exists(new HPath(s"$dir/t/v=2/_marker")))
+      assert(store.exists(new HPath(s"$dir/t/_LATEST")))
     }
   }
 
