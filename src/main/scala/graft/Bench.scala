@@ -69,7 +69,13 @@ object Bench {
     // windows (accumulated steal visible in /proc/stat) that inject
     // multi-second stalls onto whatever runs during them; the min of
     // full-execution runs is the steady-state number a cluster would see.
-    var results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q1,q2 — local iteration filter (targeted
+    // re-times in a clean window); the driver always runs the full board
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    var results = SparkEntry.queries
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .toSeq.sortBy(_._1).map { case (name, fn) =>
       for (_ <- 1 to 2) { // 2×: first compiles codegen, second crosses C2 JIT thresholds
         try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
         spark.catalog.clearCache()

@@ -173,52 +173,18 @@ case class GvtInsertCommand(root: String, query: LogicalPlan,
       return Seq.empty
     }
     // dynamic: the replaced scope is the batch's DISTINCT partition
-    // tuples — the hive directory layout is the unit of replacement,
-    // so a dynamic key must be a layout column (anything else cannot
-    // name "a partition" to replace)
-    dynCols.foreach(k => require(layout.contains(k),
-      s"gvt INSERT OVERWRITE: dynamic PARTITION column $k is not a " +
-        s"hive layout column (${layout.mkString(", ")}) — only layout " +
-        "partitions can be replaced dynamically; use a WHERE-scoped " +
-        "replaceWhere write for arbitrary predicates"))
-    // the aligned batch is consumed up to three times (tuple distinct,
-    // replaceWhere's validation scan, the write) — persist for the span
+    // tuples ([[VersionedTable.dynamicOverwrite]] — shared with the
+    // writer's Overwrite + dynamic mode). Persist across retries: each
+    // attempt re-reads the fresh snapshot but the batch is stable.
     val cached = aligned
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // one O(batch) pass; the result is metadata-sized (bounded by the
-      // number of partitions one batch touches)
-      val tuples = cached.select(dynCols.map(col): _*).distinct().collect()
-      val dynPred: Column =
-        if (tuples.isEmpty) lit(false) // empty batch replaces nothing
-        else if (dynCols.size == 1) {
-          // single-column spec: one IN (InSet past the conversion
-          // threshold — scales to thousands of partitions); NULL
-          // partition values (hive default partition) match via isNull
-          val vs = tuples.map(_.get(0))
-          val (nulls, vals) = vs.partition(_ == null)
-          val in = if (vals.isEmpty) lit(false)
-            else col(dynCols.head).isin(vals.toSeq: _*)
-          if (nulls.isEmpty) in else in || col(dynCols.head).isNull
-        } else {
-          // multi-column: a disjunction of per-tuple conjunctions
-          // (null-safe, so hive default partitions round-trip). The
-          // predicate is evaluated per candidate row — cap the tree
-          // rather than let a 100k-partition batch build one
-          require(tuples.length <= 10000,
-            s"gvt INSERT OVERWRITE: the batch touches ${tuples.length} " +
-              "distinct partition tuples — beyond the dynamic-overwrite " +
-              "predicate envelope; split the batch or overwrite fully")
-          tuples.map(t => dynCols.zipWithIndex.map { case (k, idx) =>
-            col(k) <=> lit(t.get(idx)): Column }.reduce(_ && _))
-            .reduce(_ || _)
-        }
-      val pred = staticPred.map(_ && dynPred).getOrElse(dynPred)
       // a concurrent commit conflicts rather than interleaving;
       // replaceWhere re-reads the fresh snapshot per attempt, so the
       // retry converges on last-writer-wins for the touched partitions
       retryConflict {
-        VersionedTable.replaceWhere(spark, root, pred, cached) }
+        VersionedTable.dynamicOverwrite(spark, root, cached, dynCols,
+          staticPred) }
     } finally cached.unpersist()
     Seq.empty
   }

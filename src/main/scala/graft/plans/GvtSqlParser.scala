@@ -315,10 +315,13 @@ object GvtSqlParser {
     * (expr)`. */
   private[plans] case class ColSpec(name: String, dataType: DataType,
                                     identity: Option[(Long, Long)],
-                                    generated: Option[String] = None)
+                                    generated: Option[String] = None,
+                                    default: Option[String] = None)
 
   private val GeneratedRe =
     ("""(?is)^(.*?)\s+GENERATED\s+ALWAYS\s+AS\s+\((.+)\)\s*$""").r
+  private val DefaultRe =
+    ("""(?is)^(.*?)\s+DEFAULT\s+(.+?)\s*$""").r
   private val IdentityRe =
     ("""(?is)^(.*?)\s+GENERATED\s+(?:ALWAYS|BY\s+DEFAULT)\s+AS\s+IDENTITY""" +
       """(?:\s*\(\s*(?:START\s+WITH\s+(-?\d+)\s*)?(?:INCREMENT\s+BY\s+(-?\d+)\s*)?\))?\s*$""").r
@@ -355,6 +358,8 @@ object GvtSqlParser {
               Option(step).map(_.toLong).getOrElse(1L))))
         case GeneratedRe(tpe, expr) =>
           ColSpec(name, parseType(tpe.trim), None, Some(expr.trim))
+        case DefaultRe(tpe, expr) =>
+          ColSpec(name, parseType(tpe.trim), None, None, Some(expr.trim))
         case tpe => ColSpec(name, parseType(tpe), None)
       }
     }
@@ -636,6 +641,9 @@ case class GvtAddColumnsCommand(target: String,
     cols.foreach(c => c.identity.foreach { case (start, step) =>
       VersionedTable.addIdentityColumn(spark, root, c.name, start, step)
     })
+    // `c T DEFAULT expr` registers exactly like ALTER COLUMN SET DEFAULT
+    cols.foreach(c => c.default.foreach(e =>
+      VersionedTable.setColumnDefault(spark, root, c.name, e)))
     Seq(Row(nv))
   }
 }
@@ -802,6 +810,8 @@ case class GvtCreateTableCommand(target: String, ifNotExists: Boolean,
         cols.foreach(c => c.identity.foreach { case (start, step) =>
           VersionedTable.addIdentityColumn(spark, root, c.name, start, step)
         })
+        cols.foreach(c => c.default.foreach(e =>
+          VersionedTable.setColumnDefault(spark, root, c.name, e)))
         if (props.nonEmpty) VersionedTable.setTblProperties(root, props)
         nv
     }

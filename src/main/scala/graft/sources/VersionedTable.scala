@@ -1187,6 +1187,25 @@ object VersionedTable {
       val w = dfOut.write.mode("overwrite")
       (if (partsW.nonEmpty) w.partitionBy(partsW: _*) else w)
         .parquet(s"$root/v=$next")
+      // a ZERO-ROW dynamic-partition write produces NO files — the
+      // snapshot would lose its schema (unreadable dir). Detect by the
+      // dir listing (metadata-cheap, no job) and fall back to the same
+      // shape TRUNCATE/CREATE use: a flat footer-only slice marked
+      // `_schema_only`, with the layout carried as declared `_layout`
+      // so later appends keep partitioning
+      var metaW2 = metaW
+      if (partsW.nonEmpty) {
+        val vDir = new HPath(s"$root/v=$next")
+        val hasFiles = fcOf(vDir).util.listStatus(vDir).exists(st =>
+          !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("."))
+        if (!hasFiles) {
+          dfW.limit(0).write.mode("overwrite").parquet(s"$root/v=$next")
+          metaW2 = metaW + ("_schema_only" -> "1",
+            "_layout" -> partsW.mkString(","))
+          requireFeature(root, "schemaOnlySlices", reader = true)
+        }
+      }
       if (statsW.nonEmpty) collectStats(df.sparkSession, root, next, statsW)
       // auxiliary parquet payloads (underscore-prefix the names so
       // snapshot readers ignore them — e.g. a DELETE commit's deletion
@@ -1194,7 +1213,7 @@ object VersionedTable {
       subdirWrites.foreach { case (name, sdf) =>
         sdf.write.mode("overwrite").parquet(s"$root/v=$next/$name")
       }
-      metaW.foreach { case (name, content) =>
+      metaW2.foreach { case (name, content) =>
         writeString(new HPath(s"$root/v=$next", name), content, overwrite = true)
       }
       // commit wall-clock (epoch millis, for timestamp time travel) and
@@ -1869,6 +1888,7 @@ object VersionedTable {
       val merged = graft.ops.RelationalOps.mergeUpsert(
         target, updates2, keys, allowMissingColumns = allowEvolution)
       try return write(merged, root, allowEvolution = allowEvolution,
+        partitionBy = layoutOf(root, base),
         baseVersion = Some(base), operation = "MERGE", metaFiles = metaFiles,
         assignIdentity = false)
       catch {
@@ -1920,6 +1940,7 @@ object VersionedTable {
         matchedDelete, matchedUpdate, insertNotMatched,
         nmsDelete, nmsUpdate)
       try return write(merged, root, baseVersion = Some(base),
+        partitionBy = layoutOf(root, base),
         operation = "MERGE", assignIdentity = false,
         allowEvolution = allowEvolution)
       catch {
@@ -2011,6 +2032,67 @@ object VersionedTable {
     } finally if (!precached) df.unpersist()
   }
 
+  /** Dynamic-partition overwrite (Delta/Hive `partitionOverwriteMode =
+    * dynamic`): replace EXACTLY the partitions `df` touches — the
+    * batch's distinct values of `dynCols` become one [[replaceWhere]]
+    * commit over their disjunction, O(replaced + new); untouched
+    * partitions keep their files. `staticPred` (a static `PARTITION
+    * (k=v)` prefix) conjoins. `dynCols` must be hive layout columns —
+    * the directory layout is the unit of replacement. NULL partition
+    * values round-trip through the hive default partition (null-safe
+    * predicates). Shared by SQL `INSERT OVERWRITE … PARTITION (p)` and
+    * the writer's Overwrite + dynamic mode. Returns the new version. */
+  def dynamicOverwrite(spark: SparkSession, root: String, df0: DataFrame,
+                       dynCols: Seq[String],
+                       staticPred: Option[org.apache.spark.sql.Column] = None)
+      : Long = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions.{col, lit}
+    require(dynCols.nonEmpty, "dynamicOverwrite: no dynamic partition columns")
+    val v = latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $root"))
+    val layout = layoutOf(root, v)
+    dynCols.foreach(k => require(layout.contains(k),
+      s"$root: dynamic PARTITION column $k is not a hive layout column " +
+        s"(${layout.mkString(", ")}) — only layout partitions can be " +
+        "replaced dynamically; use replaceWhere for arbitrary predicates"))
+    // the batch is consumed up to three times (tuple distinct,
+    // replaceWhere's validation scan, the write) — persist for the span
+    val precached = df0.storageLevel.useMemory || df0.storageLevel.useDisk
+    val df = if (precached) df0
+      else df0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // one O(batch) pass; the result is metadata-sized (bounded by the
+      // number of partitions one batch touches)
+      val tuples = df.select(dynCols.map(col): _*).distinct().collect()
+      val dynPred: Column =
+        if (tuples.isEmpty) lit(false) // empty batch replaces nothing
+        else if (dynCols.size == 1) {
+          // single-column spec: one IN (InSet past the conversion
+          // threshold — scales to thousands of partitions); NULL values
+          // (hive default partition) match via isNull
+          val vs = tuples.map(_.get(0))
+          val (nulls, vals) = vs.partition(_ == null)
+          val in = if (vals.isEmpty) lit(false)
+            else col(dynCols.head).isin(vals.toSeq: _*)
+          if (nulls.isEmpty) in else in || col(dynCols.head).isNull
+        } else {
+          // multi-column: a disjunction of per-tuple null-safe
+          // conjunctions, capped — the predicate is evaluated per
+          // candidate row, so a 100k-partition batch must not build one
+          require(tuples.length <= 10000,
+            s"$root: the batch touches ${tuples.length} distinct " +
+              "partition tuples — beyond the dynamic-overwrite predicate " +
+              "envelope; split the batch or overwrite fully")
+          tuples.map(t => dynCols.zipWithIndex.map { case (k, idx) =>
+            col(k) <=> lit(t.get(idx)): Column }.reduce(_ && _))
+            .reduce(_ || _)
+        }
+      replaceWhere(spark, root,
+        staticPred.map(_ && dynPred).getOrElse(dynPred), df)
+    } finally if (!precached) df.unpersist()
+  }
+
   /** Per-application transaction watermark (Delta `txnAppId`/`txnVersion`
     * analogue): multiple independent idempotent writers each commit
     * their own monotonically-increasing version inside the snapshots
@@ -2035,6 +2117,7 @@ object VersionedTable {
     val v = latestVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no versions at $root"))
     write(readVersion(spark, root, v).filter(!predicate), root,
+      partitionBy = layoutOf(root, v),
       baseVersion = Some(v), operation = "DELETE", assignIdentity = false)
   }
 
@@ -2056,7 +2139,8 @@ object VersionedTable {
       assignments.get(c)
         .map(e => when(predicate, e).otherwise(col(c)).as(c))
         .getOrElse(col(c))).toSeq: _*)
-    write(updated, root, baseVersion = Some(v), operation = "UPDATE",
+    write(updated, root, partitionBy = layoutOf(root, v),
+      baseVersion = Some(v), operation = "UPDATE",
       assignIdentity = false)
   }
 
@@ -2347,56 +2431,64 @@ object VersionedTable {
       Set("checkConstraints", "generatedColumns", "identityColumns",
         "defaults")
 
-  private def protocolFile(root: String) = new HPath(root, "_protocol")
+  // the entry is an append-only CAS chain of `_protocol.v<N>` files —
+  // the newest N is authoritative. putIfAbsent on v<N+1> is the update
+  // primitive: exactly one concurrent registrar wins each N (the same
+  // LogStore atom the commit protocol rests on), losers re-read and
+  // re-union — no overwrite, so no rename delete-window a concurrent
+  // reader could catch. N is bounded by the handful of features that
+  // exist plus transient race losses — metadata-sized forever.
+  private def protocolEntries(root: String): Seq[(Long, HPath)] =
+    listNames(new HPath(root)).filter(_.startsWith("_protocol.v"))
+      .flatMap(n => scala.util.Try(n.stripPrefix("_protocol.v").toLong)
+        .toOption.map(_ -> new HPath(root, n)))
+      .sortBy(_._1)
 
-  /** The table's required (readerFeatures, writerFeatures). Absent
-    * file = no requirements (a plain table any build can use). */
-  def protocolOf(root: String): (Set[String], Set[String]) = {
-    val m = readString(protocolFile(root)).map(_.split('\n').toSeq
-      .map(_.split('=')).collect {
-        case Array(k, v) => k.trim -> v.split(',').map(_.trim)
-          .filter(_.nonEmpty).toSet
-      }.toMap).getOrElse(Map.empty)
+  private def parseProtocol(s: String): (Set[String], Set[String]) = {
+    val m = s.split('\n').toSeq.map(_.split('=')).collect {
+      case Array(k, v) => k.trim -> v.split(',').map(_.trim)
+        .filter(_.nonEmpty).toSet
+    }.toMap
     (m.getOrElse("reader", Set.empty), m.getOrElse("writer", Set.empty))
   }
+
+  /** The table's required (readerFeatures, writerFeatures). No entry =
+    * no requirements (a plain table any build can use). */
+  def protocolOf(root: String): (Set[String], Set[String]) =
+    protocolEntries(root).lastOption
+      .flatMap { case (_, p) => readString(p) }
+      .map(parseProtocol)
+      .getOrElse((Set.empty, Set.empty))
 
   /** Record that `feature` is now REQUIRED (reader and/or writer) —
     * called by the commit paths the moment the feature first
     * materializes, BEFORE the commit publishes, so no reader can
     * observe the feature's bytes without the protocol demanding it.
-    * Monotone union; a no-op when already recorded (the common case —
-    * one existence-check read per materializing commit). Concurrent
-    * first-registrations of DIFFERENT features can lose one union
-    * transiently; every materializing commit re-asserts, so the entry
-    * converges. */
+    * Monotone union via the CAS chain; a no-op when already recorded
+    * (the common case — one listing per materializing commit). */
   private[graft] def requireFeature(root: String, feature: String,
                                     reader: Boolean): Unit = {
     var spins = 0
-    while (spins < 8) {
-      val (r, w) = protocolOf(root)
+    while (spins < 32) {
+      val cur = protocolEntries(root).lastOption
+      val (r, w) = cur.flatMap { case (_, p) => readString(p) }
+        .map(parseProtocol).getOrElse((Set.empty[String], Set.empty[String]))
       val (r2, w2) = (if (reader) r + feature else r, w + feature)
-      if (r2 == r && w2 == w) return // converged (the common case: a no-op)
-      // unique tmp per attempt: concurrent materializing commits (e.g.
-      // two raced DV overwrites) must not collide on the staging file;
-      // the rename is atomic-replace, losers re-read and re-union below
-      val tmp = new HPath(root,
-        s"_protocol.tmp${System.nanoTime()}_${Thread.currentThread().getId}")
+      if (r2 == r && w2 == w) return // converged (the common case)
+      val next = cur.map(_._1).getOrElse(0L) + 1L
       try {
-        writeString(tmp, s"reader=${r2.toSeq.sorted.mkString(",")}\n" +
-          s"writer=${w2.toSeq.sorted.mkString(",")}", overwrite = true)
-        fcOf(tmp).rename(tmp, protocolFile(root), Options.Rename.OVERWRITE)
+        writeString(new HPath(root, s"_protocol.v$next"),
+          s"reader=${r2.toSeq.sorted.mkString(",")}\n" +
+            s"writer=${w2.toSeq.sorted.mkString(",")}", overwrite = false)
+        return // we won the CAS: v<next> carries our union
       } catch {
-        case scala.util.control.NonFatal(_) =>
-          try delete(tmp, recursive = false)
-          catch { case scala.util.control.NonFatal(_) => () }
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          spins += 1 // another registrar advanced the chain — re-union
       }
-      spins += 1
     }
-    if (!(if (reader) protocolOf(root)._1 else protocolOf(root)._2)
-          .contains(feature))
-      throw new IllegalStateException(
-        s"$root: protocol registration of '$feature' kept losing races — " +
-          "refusing to publish the feature ungated")
+    throw new IllegalStateException(
+      s"$root: protocol registration of '$feature' kept losing races — " +
+        "refusing to publish the feature ungated")
   }
 
   /** Refuse a read when `_protocol` demands a reader feature this build
@@ -2852,7 +2944,11 @@ object VersionedTable {
           (t.retired ++ curPhys) -- t.active.map(_._2).toSet,
           t.ids ++ cur.map(_.ids).getOrElse(Map.empty))))
       }
+    // a full-snapshot re-commit must carry the resurrected snapshot's
+    // hive layout — written flat it would silently strip partition
+    // pruning from the whole table from this version on
     write(readVersion(spark, root, version), root, allowEvolution = true,
+      partitionBy = layoutOf(root, version),
       metaFiles = meta, operation = s"RESTORE(v=$version)",
       assignIdentity = false)
   }

@@ -181,7 +181,22 @@ class DefaultSource extends RelationProvider
         Some(VersionedTable.replaceWhere(sqlContext.sparkSession, root,
           org.apache.spark.sql.functions.expr(replaceWhere.get), data))
       case SaveMode.Overwrite =>
-        Some(VersionedTable.write(data, root, partitionBy = partitionBy,
+        // Delta's partitionOverwriteMode=dynamic writer surface: under
+        // the option (or the session conf) an Overwrite of an existing
+        // PARTITIONED table replaces only the partitions the batch
+        // touches — one O(replaced+new) commit via dynamicOverwrite
+        val dynMode = parameters.get("partitionOverwriteMode").map(_.trim)
+          .getOrElse(sqlContext.sparkSession.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"))
+          .equalsIgnoreCase("dynamic")
+        val layout =
+          if (!exists) Seq.empty
+          else VersionedTable.layoutOf(root,
+            VersionedTable.latestVersion(root).get)
+        if (dynMode && layout.nonEmpty)
+          Some(VersionedTable.dynamicOverwrite(sqlContext.sparkSession,
+            root, data, layout))
+        else Some(VersionedTable.write(data, root, partitionBy = partitionBy,
           statsCols = statsCols, allowEvolution = flag("overwriteSchema"),
           optimizeWrite = ow))
       case SaveMode.Append =>

@@ -117,4 +117,69 @@ class DmlModelSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("randomized PARTITIONED interleavings with dynamic overwrite " +
+    "match the model at every step") {
+    def liveP(root: String): Set[(Long, Long, String)] =
+      VersionedTable.readLatest(spark, root)
+        .select("k", "v", "p").as[(Long, Long, String)].collect().toSet
+    val parts = Seq("p0", "p1", "p2", "p3")
+    for (trial <- 1 to 2) {
+      val rnd = new scala.util.Random(500L + trial)
+      val root = Files.createTempDirectory(s"graft_dynmodel$trial")
+        .toString + "/t"
+      var nextK = 1L
+      def freshBatch(n: Int): Seq[(Long, Long, String)] = {
+        val b = (nextK until nextK + n).map(k =>
+          (k, k * 10, parts(rnd.nextInt(parts.size))))
+        nextK += n
+        b
+      }
+      var model: Set[(Long, Long, String)] = freshBatch(16).toSet
+      val v0 = VersionedTable.write(model.toSeq.toDF("k", "v", "p"), root,
+        partitionBy = Seq("p"))
+      var history = Map(v0 -> model)
+      for (step <- 1 to 12) {
+        val op = rnd.nextInt(5)
+        val v: Long = op match {
+          case 0 => // append
+            val b = freshBatch(2 + rnd.nextInt(5))
+            model ++= b
+            VersionedTable.append(b.toDF("k", "v", "p"), root)
+          case 1 => // dynamic overwrite of the batch's partitions
+            val chosen = rnd.shuffle(parts).take(1 + rnd.nextInt(2))
+            val repl = chosen.flatMap { pv =>
+              val n = 1 + rnd.nextInt(3)
+              val b = (nextK until nextK + n).map(k => (k, k * 10 + 5, pv))
+              nextK += n
+              b
+            }
+            model = model.filterNot { case (_, _, pv) =>
+              chosen.contains(pv) } ++ repl
+            VersionedTable.dynamicOverwrite(spark, root,
+              repl.toDF("k", "v", "p"), Seq("p"))
+          case 2 => // DV delete
+            val (m, r) = (2 + rnd.nextInt(4), rnd.nextInt(2))
+            model = model.filterNot { case (k, _, _) => k % m == r }
+            VersionedTable.deleteWhereVector(spark, root, col("k") % m === r)
+          case 3 => // maintenance
+            VersionedTable.compact(spark, root)
+          case 4 => // restore
+            val vs = history.keys.toSeq.sorted
+            val target = vs(rnd.nextInt(vs.size))
+            model = history(target)
+            VersionedTable.restore(spark, root, target)
+        }
+        assert(liveP(root) == model,
+          s"trial $trial step $step op $op diverged at v=$v")
+        history += (v -> model)
+      }
+      // time travel still serves every recorded state
+      rnd.shuffle(history.keys.toSeq).take(3).foreach { pv =>
+        val got = VersionedTable.readVersion(spark, root, pv)
+          .select("k", "v", "p").as[(Long, Long, String)].collect().toSet
+        assert(got == history(pv), s"trial $trial time travel v=$pv diverged")
+      }
+    }
+  }
 }

@@ -832,6 +832,25 @@ class GvtDdlSpec extends AnyFunSuite {
     }
   }
 
+  test("writer Overwrite under partitionOverwriteMode=dynamic replaces " +
+    "only the touched partitions; plain Overwrite still replaces all") {
+    val root = fresh("wdyn")
+    Seq((1L, "p0"), (2L, "p1"), (3L, "p2")).toDF("k", "part")
+      .write.format("gvt").option("partitionBy", "part").save(root)
+    // dynamic: only p1 is in the batch — p0/p2 survive
+    Seq((10L, "p1")).toDF("k", "part")
+      .write.format("gvt").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").save(root)
+    val live = VersionedTable.readLatest(spark, root)
+    assert(live.select("k").as[Long].collect().toSet == Set(1L, 10L, 3L))
+    // plain Overwrite (static default): the whole table is replaced
+    Seq((20L, "p9")).toDF("k", "part")
+      .write.format("gvt").mode("overwrite")
+      .option("partitionBy", "part").save(root)
+    assert(VersionedTable.readLatest(spark, root)
+      .select("k").as[Long].collect().toSet == Set(20L))
+  }
+
   test("SQL INSERT OVERWRITE dynamic: raced writers on different " +
     "partitions both land via retry") {
     val root = fresh("insdynrace")
@@ -952,6 +971,27 @@ class GvtDdlSpec extends AnyFunSuite {
         assert(live.select("id").as[Long].collect().toSet == Set(10L, 12L))
         assert(live.select("v2").as[Int].collect().toSet == Set(2, 4))
       } finally sess.sql("DROP TABLE IF EXISTS gvt_created_t")
+    }
+  }
+
+  test("DEFAULT column suffix registers at CREATE TABLE and ADD COLUMNS") {
+    val root = fresh("createdflt")
+    GraftSession.withExtensions(spark) { sess =>
+      sess.sql(s"CREATE TABLE gvt.`$root` (k BIGINT, src STRING " +
+        s"DEFAULT 'boot') USING gvt")
+      sess.sql(s"CREATE OR REPLACE TEMPORARY VIEW dflt_t USING gvt " +
+        s"OPTIONS (path '$root')")
+      sess.sql("INSERT INTO dflt_t (k) VALUES (1)")
+      sess.sql(s"ALTER TABLE gvt.`$root` ADD COLUMNS " +
+        "(score INT DEFAULT 7)")
+      sess.sql("INSERT INTO dflt_t (k) VALUES (2)")
+      val live = VersionedTable.readLatest(sess, root).orderBy("k")
+      assert(live.select("src").as[String].collect().toSeq ==
+        Seq("boot", "boot"))
+      // the pre-existing row reads NULL for the later-added column
+      // (defaults are write-time, Delta semantics); the new row fills
+      assert(live.select("score").collect().map(r =>
+        if (r.isNullAt(0)) -1 else r.getInt(0)).toSeq == Seq(-1, 7))
     }
   }
 

@@ -24,8 +24,9 @@ class ProtocolSpec extends AnyFunSuite {
     VersionedTable.write(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), root)
     VersionedTable.append(Seq((3L, "c")).toDF("k", "s"), root)
     assert(VersionedTable.protocolOf(root) == (Set.empty, Set.empty))
-    assert(!new java.io.File(s"$root/_protocol").exists(),
-      "a plain table must not carry a protocol file")
+    assert(!new java.io.File(root).listFiles().exists(
+      _.getName.startsWith("_protocol")),
+      "a plain table must not carry a protocol entry")
     // writer-only registration: constraints gate writers, not readers
     VersionedTable.addCheckConstraint(spark, root, "k_pos", "k > 0")
     assert(VersionedTable.protocolOf(root) ==
@@ -55,7 +56,7 @@ class ProtocolSpec extends AnyFunSuite {
     "loudly; removing the requirement restores access") {
     val root = fresh("protoreader")
     VersionedTable.write(Seq((1L, "a")).toDF("k", "s"), root)
-    Files.writeString(java.nio.file.Paths.get(root, "_protocol"),
+    Files.writeString(java.nio.file.Paths.get(root, "_protocol.v1"),
       "reader=dv,futureMagic\nwriter=dv,futureMagic")
     val er = intercept[UnsupportedOperationException] {
       VersionedTable.readLatest(spark, root)
@@ -70,7 +71,7 @@ class ProtocolSpec extends AnyFunSuite {
       VersionedTable.append(Seq((2L, "b")).toDF("k", "s"), root)
     }
     assert(ew.getMessage.contains("futureMagic"))
-    Files.delete(java.nio.file.Paths.get(root, "_protocol"))
+    Files.delete(java.nio.file.Paths.get(root, "_protocol.v1"))
     assert(VersionedTable.readLatest(spark, root).count() == 1)
   }
 
@@ -78,7 +79,7 @@ class ProtocolSpec extends AnyFunSuite {
     "refuses writes") {
     val root = fresh("protowriter")
     VersionedTable.write(Seq((1L, "a")).toDF("k", "s"), root)
-    Files.writeString(java.nio.file.Paths.get(root, "_protocol"),
+    Files.writeString(java.nio.file.Paths.get(root, "_protocol.v1"),
       "reader=\nwriter=futureWriterThing")
     assert(VersionedTable.readLatest(spark, root).count() == 1)
     val e = intercept[UnsupportedOperationException] {

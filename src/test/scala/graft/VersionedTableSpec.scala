@@ -1174,4 +1174,40 @@ class VersionedTableSpec extends AnyFunSuite {
     val r4 = VersionedTable.readLatest(spark, root).filter(col("id") === 4).head()
     assert(r4.isNullAt(1) && r4.getInt(2) == 40)
   }
+
+  test("full-rewrite commits (restore / deleteWhere / updateWhere / " +
+    "merge) preserve the hive layout; an all-rows delete degrades to a " +
+    "layout-carrying schema slice") {
+    def hiveDirs(root: String): Boolean = {
+      val v = VersionedTable.latestVersion(root).get
+      val d = new java.io.File(s"$root/v=$v")
+      d.listFiles().exists(f => f.isDirectory && f.getName.startsWith("p="))
+    }
+    val root = Files.createTempDirectory("graft_vtlayout").toString + "/t"
+    VersionedTable.write(
+      Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "a"))
+        .toDF("k", "v", "p"),
+      root, partitionBy = Seq("p"))
+    VersionedTable.deleteWhere(spark, root, col("k") === 2L)
+    assert(hiveDirs(root), "deleteWhere stripped the layout")
+    VersionedTable.updateWhere(spark, root, col("k") === 1L,
+      Map("v" -> lit(99L)))
+    assert(hiveDirs(root), "updateWhere stripped the layout")
+    VersionedTable.merge(spark, root,
+      Seq((4L, 40L, "b")).toDF("k", "v", "p"), Seq("k"))
+    assert(hiveDirs(root), "merge stripped the layout")
+    VersionedTable.restore(spark, root, 1L)
+    assert(hiveDirs(root), "restore stripped the layout")
+    assert(VersionedTable.readLatest(spark, root).count() == 3)
+    // all-rows full-rewrite delete: a zero-row dynamic-partition write
+    // has no files to carry the layout — the commit degrades to a
+    // schema-only slice with the DECLARED layout, so the next append
+    // still partitions
+    VersionedTable.deleteWhere(spark, root, lit(true))
+    assert(VersionedTable.readLatest(spark, root).count() == 0)
+    VersionedTable.append(Seq((9L, 90L, "c")).toDF("k", "v", "p"), root)
+    assert(hiveDirs(root), "layout lost across the empty rewrite")
+    assert(VersionedTable.readLatest(spark, root)
+      .filter(col("p") === "c").count() == 1)
+  }
 }
