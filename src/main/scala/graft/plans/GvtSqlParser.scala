@@ -118,11 +118,13 @@ class GvtSqlParser(session: SparkSession, delegate: ParserInterface)
       // (user-specified schemas are rejected at creation) — claiming
       // the gvt form shadows nothing. CTAS and the schema-less
       // register-existing-path form stay native (they already work).
-      case CreateTableRe(ine, target, colList, tail) =>
+      case CreateTableRe(orReplace, ine, target, colList, tail) =>
+        require(orReplace == null || ine == null,
+          "CREATE OR REPLACE TABLE and IF NOT EXISTS are mutually exclusive")
         val (options, partitionBy, props) = parseCreateClauses(tail)
         GvtCreateTableCommand(target.trim, ifNotExists = ine != null,
           parseColumnList(colList, delegate.parseDataType),
-          options, partitionBy, props)
+          options, partitionBy, props, orReplace = orReplace != null)
       case CopyIntoRe(target, from, fmt, pat) =>
         GvtCopyIntoCommand(target.trim, from, fmt.trim,
           Option(pat).filter(_.nonEmpty))
@@ -225,7 +227,8 @@ object GvtSqlParser {
   // greedy, so the LAST `) USING gvt` closes the column list — types
   // with parens (decimal(10,2)) stay inside it.
   private val CreateTableRe =
-    ("""(?is)^CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?""" + Target +
+    ("""(?is)^CREATE\s+(?:(OR\s+REPLACE)\s+)?TABLE\s+""" +
+      """(?:(IF\s+NOT\s+EXISTS)\s+)?""" + Target +
       """\s*\((.+)\)\s*USING\s+gvt\b(.*)$""").r
 
   /** The CREATE TABLE tail: `OPTIONS (…)`, `PARTITIONED BY (…)`,
@@ -770,7 +773,8 @@ case class GvtCreateTableCommand(target: String, ifNotExists: Boolean,
                                  cols: Seq[GvtSqlParser.ColSpec],
                                  options: Map[String, String],
                                  partitionBy: Seq[String],
-                                 props: Map[String, String])
+                                 props: Map[String, String],
+                                 orReplace: Boolean = false)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("new_version", LongType, nullable = false)())
@@ -793,26 +797,39 @@ case class GvtCreateTableCommand(target: String, ifNotExists: Boolean,
     }
     val (root, catalogName) = GvtSqlParser.createTarget(spark, target, options)
     val existing = VersionedTable.latestVersion(root)
+    val schema0 = org.apache.spark.sql.types.StructType(cols.map(c =>
+      org.apache.spark.sql.types.StructField(c.name, c.dataType,
+        nullable = true)))
+    def register(): Unit = {
+      cols.foreach(c => c.generated.foreach(e =>
+        VersionedTable.addGeneratedColumn(spark, root, c.name, e)))
+      cols.foreach(c => c.identity.foreach { case (start, step) =>
+        VersionedTable.addIdentityColumn(spark, root, c.name, start, step)
+      })
+      cols.foreach(c => c.default.foreach(e =>
+        VersionedTable.setColumnDefault(spark, root, c.name, e)))
+      if (props.nonEmpty) VersionedTable.setTblProperties(root, props)
+    }
     val v = existing match {
+      case Some(_) if orReplace =>
+        // ONE redefining commit: new schema + layout, registrations of
+        // the old definition cleared, history retained
+        val keys = VersionedTable.tblProperties(root).keys.toSeq
+        if (keys.nonEmpty) VersionedTable.unsetTblProperties(root, keys)
+        val nv = VersionedTable.replaceTable(spark, root, schema0,
+          partitionBy)
+        register()
+        nv
       case Some(cur) =>
         if (!ifNotExists) throw new IllegalArgumentException(
           s"CREATE TABLE: a gvt table already exists at $root " +
-            "(use IF NOT EXISTS, or CREATE OR REPLACE via overwrite writes)")
+            "(use IF NOT EXISTS, or CREATE OR REPLACE)")
         cur // IF NOT EXISTS on an existing root: no-op (Delta semantics)
       case None =>
-        val schema = org.apache.spark.sql.types.StructType(cols.map(c =>
-          org.apache.spark.sql.types.StructField(c.name, c.dataType,
-            nullable = true)))
-        val nv = VersionedTable.createTable(spark, root, schema, partitionBy)
+        val nv = VersionedTable.createTable(spark, root, schema0,
+          partitionBy)
         // registrations validate against the (zero-row) live snapshot
-        cols.foreach(c => c.generated.foreach(e =>
-          VersionedTable.addGeneratedColumn(spark, root, c.name, e)))
-        cols.foreach(c => c.identity.foreach { case (start, step) =>
-          VersionedTable.addIdentityColumn(spark, root, c.name, start, step)
-        })
-        cols.foreach(c => c.default.foreach(e =>
-          VersionedTable.setColumnDefault(spark, root, c.name, e)))
-        if (props.nonEmpty) VersionedTable.setTblProperties(root, props)
+        register()
         nv
     }
     // name form: register the catalog entry over the existing root —

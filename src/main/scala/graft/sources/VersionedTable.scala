@@ -1045,7 +1045,8 @@ object VersionedTable {
             subdirWrites: Map[String, DataFrame] = Map.empty,
             physicalInput: Boolean = false,
             assignIdentity: Boolean = true,
-            optimizeWrite: Option[Boolean] = None): Long = {
+            optimizeWrite: Option[Boolean] = None,
+            replaceSchema: Boolean = false): Long = {
     val base = baseVersion.orElse(latestVersion(root))
     // protocol: refuse when the table demands features this build lacks;
     // then declare the features THIS commit materializes BEFORE anything
@@ -1096,7 +1097,10 @@ object VersionedTable {
         else (gen, Map.empty[String, String])
       }
     val metaFiles1 = metaFiles ++ idMeta
-    existingSchema.foreach(existing =>
+    // `replaceSchema` (CREATE OR REPLACE TABLE): the caller explicitly
+    // declares the new schema REPLACES the old — the gate that protects
+    // accidental drift must not veto a deliberate redefinition
+    if (!replaceSchema) existingSchema.foreach(existing =>
       checkSchema(existing, df.schema, allowEvolution))
     // CHECK constraints gate every write path (merge/compact/restore
     // funnel through here) BEFORE a version is claimed
@@ -2663,6 +2667,41 @@ object VersionedTable {
         (if (partitionBy.nonEmpty) Map("_layout" -> partitionBy.mkString(","))
          else Map.empty),
       operation = "CREATE TABLE", assignIdentity = false)
+  }
+
+  /** CREATE OR REPLACE TABLE: redefine the table in ONE commit — an
+    * empty snapshot carrying the NEW schema and layout (schema-only
+    * slice, O(1)), with every registration of the old definition
+    * (constraints, defaults, generated, identity) cleared and any
+    * column mapping reset (the unmap sentinel — a replaced table's
+    * physical layout IS its logical view). History stays
+    * time-travelable until vacuumed; the protocol entry is monotone
+    * and survives (old snapshots still need their features). */
+  def replaceTable(spark: SparkSession, root: String,
+                   schema: org.apache.spark.sql.types.StructType,
+                   partitionBy: Seq[String] = Seq.empty): Long = {
+    require(latestVersion(root).isDefined,
+      s"replaceTable: no table at $root (use createTable)")
+    require(schema.nonEmpty, "replaceTable: empty schema")
+    partitionBy.foreach(p => require(schema.fieldNames.contains(p),
+      s"replaceTable: PARTITIONED BY column $p is not in the schema"))
+    // old-definition registrations must not validate/fill against the
+    // NEW schema
+    constraints(root).keys.foreach(dropCheckConstraint(root, _))
+    columnDefaults(root).keys.foreach(dropColumnDefault(root, _))
+    generatedColumns(root).keys.foreach(removeGeneratedColumn(root, _))
+    if (identityColumns(root).nonEmpty)
+      delete(identityFile(root), recursive = false)
+    val ordered = org.apache.spark.sql.types.StructType(
+      schema.filterNot(f => partitionBy.contains(f.name)) ++
+        partitionBy.map(p => schema(schema.fieldIndex(p))))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ordered)
+    write(empty, root, replaceSchema = true,
+      metaFiles = Map("_schema_only" -> "1", "_colmap" -> "") ++
+        (if (partitionBy.nonEmpty) Map("_layout" -> partitionBy.mkString(","))
+         else Map.empty),
+      operation = "REPLACE TABLE", assignIdentity = false)
   }
 
   /** ALTER COLUMN … TYPE (Delta's type-widening surface): widen a

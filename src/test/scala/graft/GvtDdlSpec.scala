@@ -974,6 +974,48 @@ class GvtDdlSpec extends AnyFunSuite {
     }
   }
 
+  test("CREATE OR REPLACE TABLE redefines schema, layout and " +
+    "registrations in one commit; history stays time-travelable") {
+    val root = fresh("replace")
+    GraftSession.withExtensions(spark) { sess =>
+      sess.sql(s"CREATE TABLE gvt.`$root` (k BIGINT, s STRING DEFAULT 'x') " +
+        s"USING gvt TBLPROPERTIES ('owner' = 'one')")
+      sess.sql(s"CREATE OR REPLACE TEMPORARY VIEW repl_t USING gvt " +
+        s"OPTIONS (path '$root')")
+      sess.sql("INSERT INTO repl_t (k) VALUES (1)")
+      val vOld = VersionedTable.latestVersion(root).get
+      // redefinition: k becomes STRING (a type change CREATE alone could
+      // never make), new partition layout, new properties, old DEFAULT
+      // gone
+      sess.sql(s"CREATE OR REPLACE TABLE gvt.`$root` (k STRING, " +
+        s"n INT, part STRING) USING gvt PARTITIONED BY (part) " +
+        s"TBLPROPERTIES ('owner' = 'two')")
+      val live = VersionedTable.readLatest(sess, root)
+      assert(live.columns.toSeq == Seq("k", "n", "part"))
+      assert(live.schema("k").dataType ==
+        org.apache.spark.sql.types.StringType)
+      assert(live.count() == 0)
+      assert(VersionedTable.tblProperties(root) == Map("owner" -> "two"))
+      assert(VersionedTable.columnDefaults(root).isEmpty)
+      // the new layout holds for appends
+      sess.sql(s"CREATE OR REPLACE TEMPORARY VIEW repl_t USING gvt " +
+        s"OPTIONS (path '$root')")
+      sess.sql("INSERT INTO repl_t VALUES ('a', 1, 'p0')")
+      val v = VersionedTable.latestVersion(root).get
+      assert(new java.io.File(s"$root/v=$v").listFiles().exists(f =>
+        f.isDirectory && f.getName == "part=p0"))
+      // history: the old definition's snapshot still serves
+      val old = VersionedTable.readVersion(sess, root, vOld)
+      assert(old.columns.toSeq == Seq("k", "s"))
+      assert(old.count() == 1)
+      // OR REPLACE + IF NOT EXISTS refuses
+      intercept[Exception] {
+        sess.sql(s"CREATE OR REPLACE TABLE IF NOT EXISTS gvt.`$root` " +
+          "(z INT) USING gvt")
+      }
+    }
+  }
+
   test("DEFAULT column suffix registers at CREATE TABLE and ADD COLUMNS") {
     val root = fresh("createdflt")
     GraftSession.withExtensions(spark) { sess =>
