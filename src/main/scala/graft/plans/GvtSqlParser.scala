@@ -125,6 +125,11 @@ class GvtSqlParser(session: SparkSession, delegate: ParserInterface)
         GvtCreateTableCommand(target.trim, ifNotExists = ine != null,
           parseColumnList(colList, delegate.parseDataType),
           options, partitionBy, props, orReplace = orReplace != null)
+      case CreateBloomRe(target, cols) =>
+        GvtCreateBloomIndexCommand(target.trim, parsePropKeys(
+          cols.replace("`", "")))
+      case DropBloomRe(target) =>
+        GvtDropBloomIndexCommand(target.trim)
       case CopyIntoRe(target, from, fmt, pat) =>
         GvtCopyIntoCommand(target.trim, from, fmt.trim,
           Option(pat).filter(_.nonEmpty))
@@ -271,6 +276,14 @@ object GvtSqlParser {
     (options, partitionBy, props)
   }
 
+  // not valid Spark SQL — claiming them shadows nothing
+  private val CreateBloomRe =
+    ("""(?is)^CREATE\s+BLOOMFILTER\s+INDEX\s+ON\s+(?:TABLE\s+)?""" + Target +
+      """\s+FOR\s+COLUMNS\s*\(([^)]+)\)\s*$""").r
+  private val DropBloomRe =
+    ("""(?is)^DROP\s+BLOOMFILTER\s+INDEX\s+ON\s+(?:TABLE\s+)?""" + Target +
+      """\s*$""").r
+
   private val CopyIntoRe =
     ("""(?is)^COPY\s+INTO\s+""" + Target +
       """\s+FROM\s+'([^']+)'\s+FILEFORMAT\s*=\s*(\w+)""" +
@@ -319,7 +332,8 @@ object GvtSqlParser {
   private[plans] case class ColSpec(name: String, dataType: DataType,
                                     identity: Option[(Long, Long)],
                                     generated: Option[String] = None,
-                                    default: Option[String] = None)
+                                    default: Option[String] = None,
+                                    notNull: Boolean = false)
 
   private val GeneratedRe =
     ("""(?is)^(.*?)\s+GENERATED\s+ALWAYS\s+AS\s+\((.+)\)\s*$""").r
@@ -354,16 +368,24 @@ object GvtSqlParser {
           (item.substring(1, end), item.substring(end + 1))
         } else item.span(c => !c.isWhitespace)
       require(rest.trim.nonEmpty, s"column spec '$item' is missing a type")
-      rest.trim match {
+      // `NOT NULL` may sit anywhere after the type (before or after a
+      // DEFAULT); no supported type name contains the phrase, so one
+      // removal is unambiguous
+      val nn = "(?is)\\s+NOT\\s+NULL\\b".r
+      val notNull = nn.findFirstIn(rest).isDefined
+      val rest2 = nn.replaceFirstIn(rest, "").trim
+      rest2 match {
         case IdentityRe(tpe, start, step) =>
           ColSpec(name, parseType(tpe.trim),
             Some((Option(start).map(_.toLong).getOrElse(1L),
-              Option(step).map(_.toLong).getOrElse(1L))))
+              Option(step).map(_.toLong).getOrElse(1L))), notNull = notNull)
         case GeneratedRe(tpe, expr) =>
-          ColSpec(name, parseType(tpe.trim), None, Some(expr.trim))
+          ColSpec(name, parseType(tpe.trim), None, Some(expr.trim),
+            notNull = notNull)
         case DefaultRe(tpe, expr) =>
-          ColSpec(name, parseType(tpe.trim), None, None, Some(expr.trim))
-        case tpe => ColSpec(name, parseType(tpe), None)
+          ColSpec(name, parseType(tpe.trim), None, None, Some(expr.trim),
+            notNull = notNull)
+        case tpe => ColSpec(name, parseType(tpe), None, notNull = notNull)
       }
     }
   }
@@ -624,6 +646,16 @@ case class GvtAddColumnsCommand(target: String,
       require(c.generated.isEmpty,
         s"${c.name}: a column cannot be both GENERATED AS (expr) and IDENTITY")
     })
+    // NOT NULL onto a table that already has rows can never hold (the
+    // added column reads NULL for every existing row) — refuse BEFORE
+    // any state changes, naming the would-be constraint
+    if (cols.exists(_.notNull) && VersionedTable.metaRowCount(root,
+        Some(base)) > 0)
+      throw new IllegalArgumentException(
+        s"ADD COLUMNS: ${cols.filter(_.notNull).map(c =>
+          s"${c.name}_not_null").mkString(", ")} cannot hold — existing " +
+          "rows read NULL for a new column; add it nullable, backfill, " +
+          "then ALTER TABLE ADD CONSTRAINT")
     // generated columns register BEFORE the schema commit (the
     // pre-commit snapshot lacks the column, so registration validation
     // passes trivially; registered after, it would see the all-NULL
@@ -647,6 +679,13 @@ case class GvtAddColumnsCommand(target: String,
     // `c T DEFAULT expr` registers exactly like ALTER COLUMN SET DEFAULT
     cols.foreach(c => c.default.foreach(e =>
       VersionedTable.setColumnDefault(spark, root, c.name, e)))
+    // NOT NULL on an added column validates the LIVE snapshot: with
+    // existing rows the new column is all-NULL, so this refuses loudly
+    // (add nullable + backfill + ADD CONSTRAINT instead) — on an empty
+    // table it registers cleanly
+    cols.filter(_.notNull).foreach(c =>
+      VersionedTable.addCheckConstraint(spark, root,
+        s"${c.name}_not_null", s"${c.name} IS NOT NULL"))
     Seq(Row(nv))
   }
 }
@@ -808,6 +847,11 @@ case class GvtCreateTableCommand(target: String, ifNotExists: Boolean,
       })
       cols.foreach(c => c.default.foreach(e =>
         VersionedTable.setColumnDefault(spark, root, c.name, e)))
+      // NOT NULL = a named CHECK constraint (write-path enforced; SQL
+      // CHECK semantics make `NULL IS NOT NULL` definitively FALSE)
+      cols.filter(_.notNull).foreach(c =>
+        VersionedTable.addCheckConstraint(spark, root,
+          s"${c.name}_not_null", s"${c.name} IS NOT NULL"))
       if (props.nonEmpty) VersionedTable.setTblProperties(root, props)
     }
     val v = existing match {
@@ -840,6 +884,56 @@ case class GvtCreateTableCommand(target: String, ifNotExists: Boolean,
         s"OPTIONS (path '$root')")
     }
     Seq(Row(v))
+  }
+}
+
+/** `CREATE BLOOMFILTER INDEX ON TABLE t FOR COLUMNS (c1, …)` (Delta's
+  * bloom-filter index surface): registers `gvt.bloomIndexCols` so
+  * EVERY future commit collects per-file bloom sidecars for the
+  * columns (point-lookup file skipping on unclustered high-cardinality
+  * keys, where zone maps can't help), and backfills the LIVE chain's
+  * data dirs so existing files are indexed immediately. Blooms are
+  * advisory — a dir without one keeps all files (sound) — so index
+  * creation is never a correctness event. */
+case class GvtCreateBloomIndexCommand(target: String, cols: Seq[String])
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(cols.nonEmpty, "CREATE BLOOMFILTER INDEX: no columns")
+    val root = GvtSqlParser.rootOf(spark, target)
+    val v = VersionedTable.latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $root"))
+    val live = VersionedTable.readVersion(spark, root, v)
+    cols.foreach(c => require(live.columns.contains(c),
+      s"CREATE BLOOMFILTER INDEX: no column $c in the live schema"))
+    VersionedTable.setTblProperties(root,
+      Map("gvt.bloomIndexCols" -> cols.mkString(",")))
+    // backfill: every data dir of the live chain inside this root
+    // (cross-root shallow-clone dirs index under their own table)
+    VersionedTable.dataDirsOf(root, v)
+      .filter(_.startsWith(s"$root/"))
+      .filterNot(VersionedTable.isSchemaOnlySlice)
+      .foreach { d =>
+        val dv = d.substring(d.lastIndexOf("v=") + 2).toLong
+        VersionedTable.collectBlooms(spark, root, dv, cols)
+      }
+    Seq.empty
+  }
+}
+
+/** `DROP BLOOMFILTER INDEX ON TABLE t`: unregister and remove the live
+  * chain's sidecars (readers degrade gracefully mid-drop — blooms are
+  * advisory). */
+case class GvtDropBloomIndexCommand(target: String)
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GvtSqlParser.rootOf(spark, target)
+    VersionedTable.unsetTblProperties(root, Seq("gvt.bloomIndexCols"))
+    val v = VersionedTable.latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $root"))
+    VersionedTable.dataDirsOf(root, v)
+      .filter(_.startsWith(s"$root/"))
+      .foreach(d => VersionedTable.deleteBloomSidecar(d))
+    Seq.empty
   }
 }
 

@@ -1211,6 +1211,18 @@ object VersionedTable {
         }
       }
       if (statsW.nonEmpty) collectStats(df.sparkSession, root, next, statsW)
+      // persistent bloom index (gvt.bloomIndexCols table property, the
+      // Delta BLOOMFILTER INDEX analogue): every commit collects its
+      // version's sidecars BEFORE the marker, so a committed snapshot is
+      // never observably index-less. O(version data) — O(batch) on
+      // appends, the rewrite's own cost class on full snapshots.
+      val bloomIdx = (try tblProperties(root) catch {
+        case scala.util.control.NonFatal(_) => Map.empty[String, String]
+      }).get("gvt.bloomIndexCols").toSeq
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+        .filter(dfW.columns.contains)
+      if (bloomIdx.nonEmpty && !metaW2.contains("_schema_only"))
+        collectBlooms(df.sparkSession, root, next, bloomIdx)
       // auxiliary parquet payloads (underscore-prefix the names so
       // snapshot readers ignore them — e.g. a DELETE commit's deletion
       // vector), committed atomically WITH the data like metaFiles
@@ -1400,6 +1412,13 @@ object VersionedTable {
     * bloom for the column (caller keeps everything — sound). The probe
     * runs as one tiny scan of the sidecar (positions pushed into the
     * parquet filter), the Delta bloom-index read shape. */
+  /** Remove a chain dir's bloom sidecar (DROP BLOOMFILTER INDEX —
+    * blooms are advisory, so mid-drop readers just stop skipping). */
+  private[graft] def deleteBloomSidecar(dir: String): Unit = {
+    delete(new HPath(dir, "_bloom"), recursive = true)
+    ()
+  }
+
   private[graft] def bloomCandidates(spark: SparkSession, dir: String,
                                      colname: String, value: Any): Option[Set[String]] = {
     import org.apache.spark.sql.functions.col

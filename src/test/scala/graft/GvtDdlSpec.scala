@@ -492,6 +492,57 @@ class GvtDdlSpec extends AnyFunSuite {
       .filter(col("id") === probe(7)).count() == 1)
   }
 
+  test("CREATE BLOOMFILTER INDEX: backfills the live chain, future " +
+    "commits auto-collect, DROP removes sidecars and readers degrade") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val root = fresh("bloomidx")
+    def mk(lo: Int, hi: Int) =
+      (lo to hi).map(i => (i.toLong, i.toLong * 10)).toDF("k", "cents")
+        .withColumn("id", md5(concat(lit("id-"), col("k").cast("string"))))
+    VersionedTable.write(mk(1, 200).repartition(4, col("k")), root)
+    VersionedTable.append(mk(201, 400).repartition(4, col("k")), root)
+    def probe(k: Int): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s"id-$k".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    def scanned(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collect { case s: FileSourceScanExec => s }
+        .map(_.metrics("numFiles").value).sum
+    }
+    GraftSession.withExtensions(spark) { sess =>
+      sess.sql(s"CREATE BLOOMFILTER INDEX ON TABLE gvt.`$root` " +
+        "FOR COLUMNS (id)")
+      // backfill covers BOTH chain dirs
+      assert(new java.io.File(s"$root/v=1/_bloom").exists())
+      assert(new java.io.File(s"$root/v=2/_bloom").exists())
+      assert(scanned(sess.read.format("gvt").load(root)
+        .filter(col("id") === probe(7))) <= 2)
+      assert(scanned(sess.read.format("gvt").load(root)
+        .filter(col("id") === probe(99999))) == 0)
+      // future commits collect automatically under the property
+      VersionedTable.append(mk(401, 420), root)
+      assert(new java.io.File(s"$root/v=3/_bloom").exists(),
+        "the index property did not auto-collect on append")
+      assert(sess.read.format("gvt").load(root)
+        .filter(col("id") === probe(405)).count() == 1)
+      // unknown column refuses
+      intercept[Exception] {
+        sess.sql(s"CREATE BLOOMFILTER INDEX ON TABLE gvt.`$root` " +
+          "FOR COLUMNS (nope)")
+      }
+      // DROP removes sidecars; lookups stay correct, just unskipped
+      sess.sql(s"DROP BLOOMFILTER INDEX ON TABLE gvt.`$root`")
+      assert(!new java.io.File(s"$root/v=1/_bloom").exists())
+      assert(!new java.io.File(s"$root/v=3/_bloom").exists())
+      assert(sess.read.format("gvt").load(root)
+        .filter(col("id") === probe(7)).count() == 1)
+      VersionedTable.append(mk(421, 425), root)
+      assert(!new java.io.File(s"$root/v=4/_bloom").exists(),
+        "collection kept running after DROP")
+    }
+  }
+
   test("bloom pruning reaches the DV-relation path (string equality " +
       "through prunedVersionRead)") {
     import graft.sources.gvt.GvtDvRelation
@@ -1034,6 +1085,28 @@ class GvtDdlSpec extends AnyFunSuite {
       // (defaults are write-time, Delta semantics); the new row fills
       assert(live.select("score").collect().map(r =>
         if (r.isNullAt(0)) -1 else r.getInt(0)).toSeq == Seq(-1, 7))
+    }
+  }
+
+  test("NOT NULL column constraints: CREATE enforces on every write; " +
+    "ADD COLUMNS refuses NOT NULL onto existing rows") {
+    val root = fresh("notnull")
+    GraftSession.withExtensions(spark) { sess =>
+      sess.sql(s"CREATE TABLE gvt.`$root` (k BIGINT NOT NULL, " +
+        s"s STRING NOT NULL DEFAULT 'x', v INT) USING gvt")
+      sess.sql(s"CREATE OR REPLACE TEMPORARY VIEW nn_t USING gvt " +
+        s"OPTIONS (path '$root')")
+      sess.sql("INSERT INTO nn_t (k) VALUES (1)") // s fills from DEFAULT
+      val e = intercept[Exception] {
+        sess.sql("INSERT INTO nn_t VALUES (CAST(NULL AS BIGINT), 'a', 2)")
+      }
+      assert(String.valueOf(e.getMessage).contains("k_not_null"))
+      assert(VersionedTable.readLatest(sess, root).count() == 1)
+      // adding NOT NULL onto a table with rows refuses (all-NULL column)
+      val e2 = intercept[Exception] {
+        sess.sql(s"ALTER TABLE gvt.`$root` ADD COLUMNS (w INT NOT NULL)")
+      }
+      assert(String.valueOf(e2.getMessage).contains("w_not_null"))
     }
   }
 
