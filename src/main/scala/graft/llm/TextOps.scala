@@ -176,6 +176,40 @@ object TextOps {
   /** Exact-dup key over the normalized form. */
   def normalizedKey(text: Column): Column = exactKey(normalize(text))
 
+  /** PII patterns for [[redactPii]] — the standard pre-training scrub
+    * (emails, North-American phone shapes, IPv4). Every pattern stays
+    * in the RE2-compatible subset (character classes, bounded
+    * quantifiers, `\b` word boundaries — no backreferences or
+    * lookaround), so Java regex and DuckDB/RE2 match byte-for-byte and
+    * the scrub is oracle-checkable. Order matters and is fixed by
+    * [[redactPii]]: emails first (an address contains dots and digits
+    * that the later patterns could bite mid-token), then IPv4, then
+    * phones. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email",
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b",
+      "<IP>"),
+    ("phone", "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b", "<PHONE>"))
+
+  /** PII redaction over a text column: every match replaced by its
+    * category tag, plus per-category match counts (counted BEFORE any
+    * replacement, on the original text — a later pattern must not
+    * count or miss inside an earlier tag). Pure per-row expressions —
+    * codegen'd, no shuffle, no UDF; at 100 TB this runs at scan speed
+    * inside whatever stage reads the text. */
+  def redactPii(df: org.apache.spark.sql.DataFrame,
+                textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val counted = piiPatterns.foldLeft(df) { case (d, (name, pat, _)) =>
+      d.withColumn(s"n_$name",
+        regexp_count(col(textCol), lit(pat)).cast("long"))
+    }
+    val redacted = piiPatterns.foldLeft(col(textCol)) {
+      case (c, (_, pat, tag)) => regexp_replace(c, pat, tag)
+    }
+    counted.withColumn("redacted", redacted)
+  }
+
   /** Order-insensitive bag fingerprint: md5 over the sorted distinct token
     * set — catches word-order permutations that exactKey misses. */
   def bagFingerprint(words: Column): Column =

@@ -698,6 +698,39 @@ object LlmQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // PII redaction (the standard pre-training scrub): emails / IPv4 /
+    // phone shapes replaced by category tags, counted per source. The
+    // synthetic corpus carries no PII, so deterministic PII is injected
+    // from doc_id arithmetic (both engines rebuild the identical text);
+    // patterns are RE2-compatible so Java regex and DuckDB agree
+    // byte-for-byte. Redaction is pure per-row expressions — codegen'd,
+    // scan-speed, no shuffle beyond the final aggregate.
+    "q_pii_redact" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .withColumn("text",
+          concat(col("text"),
+            when(col("doc_id") % 3 === 0,
+              concat(lit(" contact user"), col("doc_id").cast("string"),
+                lit("@example.com"))).otherwise(lit("")),
+            when(col("doc_id") % 5 === 0,
+              concat(lit(" call 555-01"),
+                (col("doc_id") % 10).cast("string"), lit("-"),
+                lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+              .otherwise(lit("")),
+            when(col("doc_id") % 7 === 0,
+              concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+                lit(".0.1"))).otherwise(lit(""))))
+      graft.llm.TextOps.redactPii(d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_email")).as("emails"),
+          sum(col("n_ip")).as("ips"),
+          sum(col("n_phone")).as("phones"),
+          sum(length(col("redacted"))).as("redacted_chars"))
+        .orderBy(col("source"))
+    }),
+
     // --- text analysis -----------------------------------------------------
     "q_text_tokens" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -1644,6 +1677,40 @@ object LlmQueries {
       |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+
+    // PII scrub: same injected text, same RE2 patterns, counts on the
+    // ORIGINAL text, tags applied email → ip → phone.
+    "q_pii_redact" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id ||
+        |      '@example.com' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' call 555-01' ||
+        |      CAST(doc_id % 10 AS VARCHAR) || '-' ||
+        |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' from 10.' ||
+        |      CAST(doc_id % 256 AS VARCHAR) || '.0.1' ELSE '' END AS text
+        |  FROM documents WHERE text IS NOT NULL),
+        |r AS (
+        |  SELECT source,
+        |    len(regexp_extract_all(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |    len(regexp_extract_all(text,
+        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ip,
+        |    len(regexp_extract_all(text,
+        |      '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS n_phone,
+        |    regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |      '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PHONE>', 'g') AS redacted
+        |  FROM d)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_email) AS BIGINT) AS emails,
+        |  CAST(sum(n_ip) AS BIGINT) AS ips,
+        |  CAST(sum(n_phone) AS BIGINT) AS phones,
+        |  CAST(sum(len(redacted)) AS BIGINT) AS redacted_chars
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
 
     "q_chunk" ->
       s"""WITH d AS (SELECT doc_id, $W AS tk FROM documents),

@@ -395,4 +395,33 @@ class LlmSpec extends AnyFunSuite {
       LlmQueries.simhash64Pairs(spark, dir, 32, 4) // 128 bits > 64
     }
   }
+
+  test("redactPii: tags every category, counts on the ORIGINAL text, " +
+    "email-embedded addresses redact whole") {
+    import graft.llm.TextOps
+    val df = Seq(
+      (1L, "mail a.b+c@sub.example.org or x@y.io now"),
+      (2L, "server 192.168.0.1 and 10.0.0.255 up"),
+      (3L, "call 555-123-4567 or 555.987.6543"),
+      (4L, "user@1.2.3.4 logged in"), // numeric host: not an email match
+      (5L, "no pii here 12.34 and 1234-5678")
+    ).toDF("doc_id", "text")
+    val r = TextOps.redactPii(df).orderBy("doc_id")
+      .select("redacted", "n_email", "n_ip", "n_phone")
+      .collect()
+    assert(r(0).getString(0) == "mail <EMAIL> or <EMAIL> now")
+    assert(r(0).getLong(1) == 2 && r(0).getLong(2) == 0)
+    assert(r(1).getString(0) == "server <IP> and <IP> up")
+    assert(r(1).getLong(2) == 2)
+    assert(r(2).getString(0) == "call <PHONE> or <PHONE>")
+    assert(r(2).getLong(3) == 2)
+    // an all-numeric host is NOT an email by the pattern (no
+    // alphabetic TLD) — the embedded IPv4 is what gets tagged, in both
+    // engines identically
+    assert(r(3).getString(0) == "user@<IP> logged in")
+    assert(r(3).getLong(1) == 0 && r(3).getLong(2) == 1)
+    assert(r(4).getString(0) == "no pii here 12.34 and 1234-5678")
+    assert(r(4).getLong(1) == 0 && r(4).getLong(2) == 0 &&
+      r(4).getLong(3) == 0)
+  }
 }
