@@ -125,6 +125,10 @@ class GvtSqlParser(session: SparkSession, delegate: ParserInterface)
         GvtCreateTableCommand(target.trim, ifNotExists = ine != null,
           parseColumnList(colList, delegate.parseDataType),
           options, partitionBy, props, orReplace = orReplace != null)
+      // SHOW CREATE TABLE is valid Spark SQL on catalog tables — claim
+      // only gvt targets (the DESCRIBE HISTORY guard)
+      case ShowCreateRe(target) if isGvtTarget(session, target.trim) =>
+        GvtShowCreateTableCommand(target.trim)
       case CreateBloomRe(target, cols) =>
         GvtCreateBloomIndexCommand(target.trim, parsePropKeys(
           cols.replace("`", "")))
@@ -275,6 +279,9 @@ object GvtSqlParser {
     }
     (options, partitionBy, props)
   }
+
+  private val ShowCreateRe =
+    ("""(?is)^SHOW\s+CREATE\s+TABLE\s+""" + Target + """\s*$""").r
 
   // not valid Spark SQL — claiming them shadows nothing
   private val CreateBloomRe =
@@ -884,6 +891,62 @@ case class GvtCreateTableCommand(target: String, ifNotExists: Boolean,
         s"OPTIONS (path '$root')")
     }
     Seq(Row(v))
+  }
+}
+
+/** `SHOW CREATE TABLE t` over a gvt relation: the full re-executable
+  * DDL — the CREATE statement (columns with their identity / generated
+  * / DEFAULT suffixes and NOT NULL markers, PARTITIONED BY, and
+  * TBLPROPERTIES), followed by one `ALTER TABLE … ADD CONSTRAINT`
+  * statement per non-NOT-NULL CHECK constraint. Running the emitted
+  * statements against a fresh path recreates an equivalent table
+  * (schema, layout, registrations) — the spec executes them to prove
+  * it. */
+case class GvtShowCreateTableCommand(target: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("createtab_stmt", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GvtSqlParser.rootOf(spark, target)
+    val v = VersionedTable.latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $root"))
+    val schema = VersionedTable.readVersion(spark, root, v).schema
+    val parts = VersionedTable.layoutOf(root, v)
+    val idents = VersionedTable.identityColumns(root)
+    val gens = VersionedTable.generatedColumns(root)
+    val dflts = VersionedTable.columnDefaults(root)
+    val cons = VersionedTable.constraints(root)
+    val notNull = cons.collect {
+      case (n, e) if schema.fieldNames.exists(c =>
+        n == s"${c}_not_null" && e.trim.equalsIgnoreCase(s"$c IS NOT NULL")) =>
+        n.stripSuffix("_not_null")
+    }.toSet
+    val colLines = schema.fields.map { f =>
+      val sb = new StringBuilder(s"  ${f.name} ${f.dataType.sql}")
+      if (notNull.contains(f.name)) sb.append(" NOT NULL")
+      idents.get(f.name).foreach { case (start, step) =>
+        sb.append(s" GENERATED ALWAYS AS IDENTITY (START WITH $start " +
+          s"INCREMENT BY $step)") }
+      gens.get(f.name).foreach(e => sb.append(s" GENERATED ALWAYS AS ($e)"))
+      dflts.get(f.name).foreach(e => sb.append(s" DEFAULT $e"))
+      sb.result()
+    }
+    val props = VersionedTable.tblProperties(root)
+    val create = new StringBuilder
+    create.append(s"CREATE TABLE gvt.`$root` (\n")
+    create.append(colLines.mkString(",\n"))
+    create.append("\n) USING gvt")
+    if (parts.nonEmpty)
+      create.append(s"\nPARTITIONED BY (${parts.mkString(", ")})")
+    if (props.nonEmpty)
+      create.append("\nTBLPROPERTIES (" + props.toSeq.sorted.map {
+        case (k, vv) => s"'$k' = '$vv'" }.mkString(", ") + ")")
+    val alters = cons.toSeq.sorted
+      .filterNot { case (n, _) => notNull.exists(c => n == s"${c}_not_null") }
+      .map { case (n, e) =>
+        s"ALTER TABLE gvt.`$root` ADD CONSTRAINT $n CHECK ($e)" }
+    (create.result() +: alters).map(Row(_))
   }
 }
 

@@ -543,6 +543,53 @@ class GvtDdlSpec extends AnyFunSuite {
     }
   }
 
+  test("SHOW CREATE TABLE emits re-executable DDL: running it on a " +
+    "fresh path recreates schema, layout, and registrations") {
+    val root = fresh("showcreate")
+    GraftSession.withExtensions(spark) { sess =>
+      sess.sql(s"CREATE TABLE gvt.`$root` (id BIGINT GENERATED ALWAYS " +
+        "AS IDENTITY (START WITH 5 INCREMENT BY 2), k BIGINT NOT NULL, " +
+        "src STRING DEFAULT 'boot', v2 BIGINT GENERATED ALWAYS AS (k * 2), " +
+        "part STRING) USING gvt PARTITIONED BY (part) " +
+        "TBLPROPERTIES ('owner' = 'dds')")
+      sess.sql(s"ALTER TABLE gvt.`$root` ADD CONSTRAINT k_small " +
+        "CHECK (k < 1000)")
+      val stmts = sess.sql(s"SHOW CREATE TABLE gvt.`$root`")
+        .collect().map(_.getString(0)).toSeq
+      assert(stmts.head.contains("NOT NULL"))
+      assert(stmts.head.contains("GENERATED ALWAYS AS IDENTITY " +
+        "(START WITH 5 INCREMENT BY 2)"))
+      assert(stmts.head.contains("GENERATED ALWAYS AS (k * 2)"))
+      assert(stmts.head.contains("DEFAULT 'boot'"))
+      assert(stmts.head.contains("PARTITIONED BY (part)"))
+      assert(stmts.head.contains("'owner' = 'dds'"))
+      assert(stmts.exists(_.contains("ADD CONSTRAINT k_small")))
+      // round trip: replay the DDL at a fresh root
+      val root2 = fresh("showcreate2")
+      stmts.map(_.replace(root, root2)).foreach(sess.sql(_))
+      assert(VersionedTable.readLatest(sess, root2).schema ==
+        VersionedTable.readLatest(sess, root).schema)
+      assert(VersionedTable.identityColumns(root2) ==
+        VersionedTable.identityColumns(root))
+      assert(VersionedTable.generatedColumns(root2) ==
+        VersionedTable.generatedColumns(root))
+      assert(VersionedTable.columnDefaults(root2) ==
+        VersionedTable.columnDefaults(root))
+      assert(VersionedTable.constraints(root2) ==
+        VersionedTable.constraints(root))
+      assert(VersionedTable.tblProperties(root2) ==
+        VersionedTable.tblProperties(root))
+      // and the recreated table behaves: identity + default + layout
+      sess.sql(s"CREATE OR REPLACE TEMPORARY VIEW sc2_t USING gvt " +
+        s"OPTIONS (path '$root2')")
+      sess.sql("INSERT INTO sc2_t (k, part) VALUES (1, 'p0')")
+      val row = VersionedTable.readLatest(sess, root2).head()
+      assert(row.getAs[Long]("id") == 5L)
+      assert(row.getAs[String]("src") == "boot")
+      assert(row.getAs[Long]("v2") == 2L)
+    }
+  }
+
   test("bloom pruning reaches the DV-relation path (string equality " +
       "through prunedVersionRead)") {
     import graft.sources.gvt.GvtDvRelation
