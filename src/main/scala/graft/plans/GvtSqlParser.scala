@@ -376,11 +376,11 @@ object GvtSqlParser {
         } else item.span(c => !c.isWhitespace)
       require(rest.trim.nonEmpty, s"column spec '$item' is missing a type")
       // `NOT NULL` may sit anywhere after the type (before or after a
-      // DEFAULT); no supported type name contains the phrase, so one
-      // removal is unambiguous
-      val nn = "(?is)\\s+NOT\\s+NULL\\b".r
-      val notNull = nn.findFirstIn(rest).isDefined
-      val rest2 = nn.replaceFirstIn(rest, "").trim
+      // DEFAULT), but only counts at NESTING DEPTH ZERO outside quotes:
+      // a `NOT NULL` inside a DEFAULT or generated expression (e.g.
+      // `b BOOLEAN DEFAULT (x IS NOT NULL)`) is expression text, not a
+      // constraint marker — a blind removal silently corrupted it
+      val (notNull, rest2) = stripTopLevelNotNull(rest)
       rest2 match {
         case IdentityRe(tpe, start, step) =>
           ColSpec(name, parseType(tpe.trim),
@@ -395,6 +395,38 @@ object GvtSqlParser {
         case tpe => ColSpec(name, parseType(tpe), None, notNull = notNull)
       }
     }
+  }
+
+  /** Remove the first `NOT NULL` appearing at paren/angle/brace depth 0
+    * outside quotes from a column-spec suffix → (found, remainder).
+    * Depth tracking follows [[parseColumnList]]'s splitter convention
+    * (`<` opens a generic type), so an UNPARENTHESIZED comparison in a
+    * DEFAULT expression should be written in parentheses — the
+    * documented style for compound defaults anyway. */
+  private[plans] def stripTopLevelNotNull(s: String): (Boolean, String) = {
+    val NotNullHere = "(?is)^NOT\\s+NULL\\b".r
+    var i = 0
+    var depth = 0
+    var quote: Char = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' | '`' => quote = c
+        case '(' | '<' | '{' => depth += 1
+        case ')' | '>' | '}' => depth -= 1
+        case 'n' | 'N' if depth == 0 &&
+            (i == 0 || (!s(i - 1).isLetterOrDigit && s(i - 1) != '_')) =>
+          NotNullHere.findFirstMatchIn(s.substring(i)) match {
+            case Some(m) =>
+              return (true, (s.substring(0, i) + s.substring(i + m.end)).trim)
+            case None =>
+          }
+        case _ =>
+      }
+      i += 1
+    }
+    (false, s.trim)
   }
 
   private val PathForm = """(?is)^gvt\s*\.\s*`([^`]+)`$""".r

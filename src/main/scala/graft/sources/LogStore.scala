@@ -41,8 +41,18 @@ import org.apache.hadoop.fs.{CreateFlag, FileContext, Options, Path => HPath}
   * path — routing it to local NIO would put claims and markers on the
   * driver's own disk where no other writer (or reader) sees them,
   * silently voiding mutual exclusion.
+  *
+  * PLUGGABLE stores: `spark.graft.logstore.<scheme> = <fqcn>` (session
+  * conf) routes that scheme's metadata operations to a user-supplied
+  * public no-arg class implementing this trait, overriding the built-in
+  * routing — the drop-in point for a real conditional-put object-store
+  * adapter (S3 `PUT If-None-Match`, GCS/ABFS generation/etag
+  * preconditions) without library changes. The trait is public for
+  * exactly this reason; [[LogStore.InMemory]] is the contract double an
+  * adapter should be validated against (LogStoreSpec's parameterized
+  * contract block).
   */
-private[graft] trait LogStore {
+trait LogStore {
   def read(p: HPath): Option[String]
   /** Atomic create-no-overwrite; throws
     * [[org.apache.hadoop.fs.FileAlreadyExistsException]] when the path
@@ -54,20 +64,53 @@ private[graft] trait LogStore {
   def exists(p: HPath): Boolean
 }
 
-private[graft] object LogStore {
+object LogStore {
 
   /** Schemes whose FileContext create-no-overwrite is atomic (single
     * metadata authority). Everything else that is not local is refused
     * at `putIfAbsent`. */
   private val atomicHadoopSchemes = Set("hdfs", "viewfs", "webhdfs", "ofs")
 
+  /** Registered custom stores, instantiated ONCE per (scheme, class) and
+    * reused — adapters may hold connection pools. Keyed by class name
+    * too, so re-pointing the conf at a different class takes effect. */
+  private val customStores =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), LogStore]()
+
+  /** Drop every instantiated custom store (tests; conf churn). The next
+    * metadata op re-reads `spark.graft.logstore.*` and re-instantiates. */
+  def invalidateCustomStores(): Unit = customStores.clear()
+
+  /** The custom store registered for `scheme` in the ACTIVE session's
+    * conf, if any. Conf lookup per call is a map probe — metadata ops
+    * are IO-bound, the probe is noise. */
+  private def custom(scheme: String): Option[LogStore] =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .flatMap(_.conf.getOption(s"spark.graft.logstore.$scheme"))
+      .map(cn => customStores.computeIfAbsent((scheme, cn), _ =>
+        Class.forName(cn).getDeclaredConstructor().newInstance()
+          .asInstanceOf[LogStore]))
+
+  /** The registered store for a path's RAW scheme, before any
+    * FileContext resolution — lets a custom scheme that Hadoop has no
+    * filesystem for carry gvt METADATA (a conditional-put commit service
+    * keyed by path, say) while data files stay on a Hadoop-readable
+    * store. Scheme-less paths return None here and resolve through
+    * [[forPath]]'s defaultFS routing. */
+  def forRawScheme(p: HPath): Option[LogStore] =
+    Option(p.toUri.getScheme).flatMap(custom)
+
   /** Resolve the store for a path via the path's FileContext (which
     * applies `fs.defaultFS` to scheme-less paths). `fc` is the cached
-    * context the caller already holds for this path's scheme+authority. */
+    * context the caller already holds for this path's scheme+authority.
+    * A `spark.graft.logstore.<resolved scheme>` registration wins over
+    * the built-in routing. */
   def forPath(p: HPath, fc: FileContext): LogStore = {
     val resolved = Option(fc.makeQualified(p).toUri.getScheme).getOrElse("file")
-    if (resolved == "file") new Nio(fc)
-    else new Hdfs(fc, atomic = atomicHadoopSchemes.contains(resolved), resolved)
+    custom(resolved).getOrElse(
+      if (resolved == "file") new Nio(fc)
+      else new Hdfs(fc, atomic = atomicHadoopSchemes.contains(resolved), resolved))
   }
 
   /** Shared FileContext-backed read/list/delete/overwrite; subclasses
@@ -188,9 +231,11 @@ private[graft] object LogStore {
         s"gvt: the commit protocol needs an atomic put-if-absent, which " +
           s"'$scheme' does not provide (create-no-overwrite is not atomic " +
           s"on this store). Writing gvt tables here would silently lose " +
-          s"concurrent commits; use file:/hdfs:, or plug a conditional-put " +
-          s"LogStore for this scheme. (Reads of gvt tables on '$scheme' " +
-          s"remain supported.)")
+          s"concurrent commits; use file:/hdfs:, or register a " +
+          s"conditional-put LogStore for this scheme " +
+          s"(spark.graft.logstore.$scheme=<class>; S3's PUT If-None-Match " +
+          s"maps 1:1 onto putIfAbsent — see LogStore.InMemory's contract " +
+          s"notes). (Reads of gvt tables on '$scheme' remain supported.)")
       val out = fc.create(p, EnumSet.of(CreateFlag.CREATE),
         Options.CreateOpts.createParent())
       try out.write(s.getBytes("UTF-8")) finally out.close()

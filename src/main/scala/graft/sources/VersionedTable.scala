@@ -89,8 +89,12 @@ object VersionedTable {
     * `fs.defaultFS`, so claims and markers land where every other
     * writer and reader looks for them, never on the driver's local disk
     * by accident. Schemes without an atomic put-if-absent (S3A-class)
-    * are refused at commit time, loudly. */
-  private def storeOf(p: HPath): LogStore = LogStore.forPath(p, fcOf(p))
+    * are refused at commit time, loudly — unless a conditional-put
+    * store is registered for the scheme (`spark.graft.logstore.<scheme>`,
+    * consulted on the RAW scheme first so a metadata-only scheme needs
+    * no Hadoop filesystem at all). */
+  private def storeOf(p: HPath): LogStore =
+    LogStore.forRawScheme(p).getOrElse(LogStore.forPath(p, fcOf(p)))
 
   private def readString(p: HPath): Option[String] = {
     metaReads.incrementAndGet()
@@ -948,14 +952,41 @@ object VersionedTable {
 
   private def generatedFile(root: String) = new HPath(root, "_generated")
 
-  /** Registered generated columns: name → SQL expression. */
-  def generatedColumns(root: String): Map[String, String] =
+  /** Registered generated columns with the session TIMEZONE recorded at
+    * registration (3rd field; legacy 2-field lines carry None). The tz
+    * matters because timestamp↔date chains map base→generated values
+    * PER SESSION TIMEZONE: partition-bound derivation
+    * ([[gvt.GeneratedPruning]]) is only sound when every stored value
+    * was computed under one known zone. */
+  private def generatedEntries(root: String)
+      : Map[String, (String, Option[String])] =
     readString(generatedFile(root)).toSeq.flatMap(_.linesIterator).flatMap { ln =>
       ln.split('\t') match {
-        case Array(n, e) => Some(n -> e)
+        case Array(n, e) => Some(n -> (e, None))
+        case Array(n, e, tz) => Some(n -> (e, Some(tz)))
         case _ => None
       }
     }.toMap
+
+  /** Registered generated columns: name → SQL expression. */
+  def generatedColumns(root: String): Map[String, String] =
+    generatedEntries(root).map { case (n, (e, _)) => n -> e }
+
+  /** name → registration-time session timezone (absent for legacy
+    * registrations, which disable tz-dependent derivation). */
+  private[graft] def generatedColumnTz(root: String): Map[String, String] =
+    generatedEntries(root).collect { case (n, (_, Some(tz))) => n -> tz }
+
+  private def writeGeneratedEntries(
+      root: String, gens: Map[String, (String, Option[String])]): Unit =
+    if (gens.isEmpty) delete(generatedFile(root), recursive = false)
+    else {
+      val tmp = new HPath(root, "_generated.tmp")
+      writeString(tmp, gens.toSeq.sortBy(_._1).map { case (n, (e, tz)) =>
+        (Seq(n, e) ++ tz.toSeq).mkString("\t") }.mkString("\n"),
+        overwrite = true)
+      fcOf(tmp).rename(tmp, generatedFile(root), Options.Rename.OVERWRITE)
+    }
 
   /** Register a generated column. If the live snapshot already has the
     * column, its values must agree with the expression
@@ -975,35 +1006,54 @@ object VersionedTable {
           s"$root: existing snapshot v=$v disagrees with generated column " +
             s"$name AS $exprSql")
     }
-    def writeGens(gens: Map[String, String]): Unit = {
-      val tmp = new HPath(root, "_generated.tmp")
-      writeString(tmp, gens.toSeq.sorted
-        .map { case (n, e) => s"$n\t$e" }.mkString("\n"), overwrite = true)
-      fcOf(tmp).rename(tmp, generatedFile(root), Options.Rename.OVERWRITE)
-    }
     val before = latestVersion(root)
     before.foreach(validate)
     requireFeature(root, "generatedColumns", reader = false)
-    writeGens(generatedColumns(root) + (name -> exprSql))
+    // record the registering session's timezone: tz-dependent chains
+    // (timestamp↔date) derive partition bounds only in sessions pinned
+    // to this zone, and writes under a DIFFERENT zone refuse loudly
+    val tz = spark.sessionState.conf.sessionLocalTimeZone
+    writeGeneratedEntries(root,
+      generatedEntries(root) + (name -> (exprSql, Some(tz))))
     // same moved-head re-validation contract as addCheckConstraint
     revalidateMovedHead(root, before) { v =>
       try validate(v)
       catch { case e: CheckConstraintViolation =>
-        writeGens(generatedColumns(root) - name); throw e }
+        writeGeneratedEntries(root, generatedEntries(root) - name); throw e }
     }
   }
 
   /** Remove a generated-column registration (future writes stop
     * filling/validating it; data is untouched). Also the rollback hook
     * for DDL that registers-then-commits. */
-  def removeGeneratedColumn(root: String, name: String): Unit = {
-    val rest = generatedColumns(root) - name
-    if (rest.isEmpty) delete(generatedFile(root), recursive = false)
-    else {
-      val tmp = new HPath(root, "_generated.tmp")
-      writeString(tmp, rest.toSeq.sorted
-        .map { case (n, e) => s"$n\t$e" }.mkString("\n"), overwrite = true)
-      fcOf(tmp).rename(tmp, generatedFile(root), Options.Rename.OVERWRITE)
+  def removeGeneratedColumn(root: String, name: String): Unit =
+    writeGeneratedEntries(root, generatedEntries(root) - name)
+
+  /** Refuse a write whose session timezone differs from the zone a
+    * TZ-DEPENDENT monotone generated chain was registered under: the
+    * stored base→generated mapping would no longer be one function, and
+    * [[gvt.GeneratedPruning]]'s derived partition bounds would prune
+    * files that hold matching rows — a silently wrong ANSWER later, so
+    * the write fails loudly now. Legacy registrations (no recorded tz)
+    * never derive tz-dependent bounds, so they pass. Non-monotone or
+    * tz-independent chains derive nothing tz-sensitive — they pass. */
+  private def checkGeneratedTz(spark: SparkSession, root: String,
+                               gens: Map[String, String],
+                               schema: StructType): Unit = {
+    if (gens.isEmpty) return
+    val sess = spark.sessionState.conf.sessionLocalTimeZone
+    val tzs = generatedColumnTz(root)
+    gens.foreach { case (n, e) =>
+      tzs.get(n).filter(_ != sess).foreach { recorded =>
+        if (gvt.GeneratedPruning.tzDependentChain(spark, schema, e))
+          throw new UnsupportedOperationException(
+            s"$root: generated column $n AS $e is timezone-dependent and " +
+              s"registered under session timezone $recorded, but this " +
+              s"writer session runs $sess — values computed here would " +
+              "break generated-column partition pruning (a silently " +
+              "wrong prune); set spark.sql.session.timeZone to " +
+              s"$recorded or re-register the column in this session")
+      }
     }
   }
 
@@ -1080,13 +1130,20 @@ object VersionedTable {
               s"commit/cleanup (${String.valueOf(e.getMessage).take(140)}); " +
               "re-read the table and retry")
       }
+    // `replaceSchema` skips the OLD definition's registrations the same
+    // way physicalInput does: a redefinition replaces its rules — the
+    // old generated columns must not be re-materialized onto the new
+    // schema, nor old constraints analyzed against it (replaceTable
+    // clears the registrations right after this commit publishes)
     val (df, idMeta) =
-      if (physicalInput) (df0, Map.empty[String, String])
+      if (physicalInput || replaceSchema) (df0, Map.empty[String, String])
       else {
         // defaults fill OMITTED columns on the same data-arrival paths
         // as identity (a RESTORE to before a column existed must
         // resurrect the old schema, not re-fill the column)
-        val gen0 = applyGenerated(df0, generatedColumns(root))
+        val gensAll = generatedColumns(root)
+        checkGeneratedTz(df0.sparkSession, root, gensAll, df0.schema)
+        val gen0 = applyGenerated(df0, gensAll)
         val gen = if (assignIdentity) applyDefaults(gen0, root, existingSchema)
           else gen0
         // identity fills only on DATA-ARRIVAL paths (write/append/
@@ -1104,7 +1161,8 @@ object VersionedTable {
       checkSchema(existing, df.schema, allowEvolution))
     // CHECK constraints gate every write path (merge/compact/restore
     // funnel through here) BEFORE a version is claimed
-    val cs = if (physicalInput) Map.empty[String, String] else constraints(root)
+    val cs = if (physicalInput || replaceSchema) Map.empty[String, String]
+      else constraints(root)
     if (cs.nonEmpty) firstViolated(df, cs).foreach(c =>
       throw new CheckConstraintViolation(
         s"$root: incoming data violates constraint $c; nothing committed"))
@@ -2461,11 +2519,50 @@ object VersionedTable {
   // re-union — no overwrite, so no rename delete-window a concurrent
   // reader could catch. N is bounded by the handful of features that
   // exist plus transient race losses — metadata-sized forever.
-  private def protocolEntries(root: String): Seq[(Long, HPath)] =
-    listNames(new HPath(root)).filter(_.startsWith("_protocol.v"))
-      .flatMap(n => scala.util.Try(n.stripPrefix("_protocol.v").toLong)
-        .toOption.map(_ -> new HPath(root, n)))
-      .sortBy(_._1)
+  //
+  // RESOLUTION COST: entries are immutable once written (putIfAbsent)
+  // and the chain is append-only, never vacuumed, and GAPLESS (a CAS
+  // loser retries at the refreshed tip+1), so the newest entry is
+  // discoverable by FORWARD PROBE from a cached tip — one existence
+  // read past the tip per check, ZERO root listings. Before this, every
+  // snapshot resolve paid a full root LIST per protocol check (2+ per
+  // write commit) — on an object store that is round-trips, and it was
+  // the measured regression on the write-then-read microbenchmarks. The
+  // common plain-table case is one cached miss probe of `_protocol.v1`.
+  // A cached tip can only be BEHIND the truth (entries are never
+  // removed), and the probe recovers forward, so the cache is sound
+  // across sessions and concurrent registrars.
+  private val protocolTips = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, (Set[String], Set[String]))]()
+
+  /** Drop cached protocol tips — only needed if a test deletes and
+    * re-creates a table at the SAME root path within one JVM. */
+  private[graft] def invalidateProtocolCache(): Unit = protocolTips.clear()
+
+  /** Advance the cached tip monotonically (a slow CAS winner must never
+    * regress a higher tip another registrar already cached). */
+  private def cacheTip(root: String, n: Long,
+                       sets: (Set[String], Set[String])): Unit = {
+    protocolTips.merge(root, (n, sets),
+      (old, nw) => if (old._1 >= nw._1) old else nw)
+    ()
+  }
+
+  /** The newest `_protocol` entry: (N, (reader, writer)), N=0 when the
+    * chain is empty. Forward probe from the cached tip. */
+  private def protocolTip(root: String): (Long, (Set[String], Set[String])) = {
+    val cached = Option(protocolTips.get(root))
+    var n = cached.map(_._1).getOrElse(0L)
+    var cur = cached.map(_._2).getOrElse((Set.empty[String], Set.empty[String]))
+    var next = readString(new HPath(root, s"_protocol.v${n + 1}"))
+    while (next.isDefined) {
+      n += 1
+      cur = parseProtocol(next.get)
+      next = readString(new HPath(root, s"_protocol.v${n + 1}"))
+    }
+    if (n > 0) cacheTip(root, n, cur)
+    (n, cur)
+  }
 
   private def parseProtocol(s: String): (Set[String], Set[String]) = {
     val m = s.split('\n').toSeq.map(_.split('=')).collect {
@@ -2478,10 +2575,7 @@ object VersionedTable {
   /** The table's required (readerFeatures, writerFeatures). No entry =
     * no requirements (a plain table any build can use). */
   def protocolOf(root: String): (Set[String], Set[String]) =
-    protocolEntries(root).lastOption
-      .flatMap { case (_, p) => readString(p) }
-      .map(parseProtocol)
-      .getOrElse((Set.empty, Set.empty))
+    protocolTip(root)._2
 
   /** Record that `feature` is now REQUIRED (reader and/or writer) —
     * called by the commit paths the moment the feature first
@@ -2493,16 +2587,15 @@ object VersionedTable {
                                     reader: Boolean): Unit = {
     var spins = 0
     while (spins < 32) {
-      val cur = protocolEntries(root).lastOption
-      val (r, w) = cur.flatMap { case (_, p) => readString(p) }
-        .map(parseProtocol).getOrElse((Set.empty[String], Set.empty[String]))
+      val (n, (r, w)) = protocolTip(root)
       val (r2, w2) = (if (reader) r + feature else r, w + feature)
       if (r2 == r && w2 == w) return // converged (the common case)
-      val next = cur.map(_._1).getOrElse(0L) + 1L
+      val next = n + 1L
       try {
         writeString(new HPath(root, s"_protocol.v$next"),
           s"reader=${r2.toSeq.sorted.mkString(",")}\n" +
             s"writer=${w2.toSeq.sorted.mkString(",")}", overwrite = false)
+        cacheTip(root, next, (r2, w2))
         return // we won the CAS: v<next> carries our union
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
@@ -2517,8 +2610,11 @@ object VersionedTable {
   /** Refuse a read when `_protocol` demands a reader feature this build
     * does not understand — loud and actionable, never a silently wrong
     * answer. */
-  private[graft] def checkReadProtocol(root: String): Unit = {
-    val unknown = protocolOf(root)._1 -- supportedReaderFeatures
+  private[graft] def checkReadProtocol(root: String): Unit =
+    refuseUnknownReader(root, protocolOf(root)._1)
+
+  private def refuseUnknownReader(root: String, required: Set[String]): Unit = {
+    val unknown = required -- supportedReaderFeatures
     if (unknown.nonEmpty) throw new UnsupportedOperationException(
       s"$root: this table requires reader feature(s) " +
         s"${unknown.toSeq.sorted.mkString(", ")} that this build does " +
@@ -2529,10 +2625,12 @@ object VersionedTable {
 
   /** Refuse a write when `_protocol` demands a writer feature this
     * build does not understand (writing would corrupt invariants the
-    * feature maintains — e.g. skip a CHECK constraint). */
+    * feature maintains — e.g. skip a CHECK constraint). One protocol
+    * fetch checks both sides (a writer must also read). */
   private[graft] def checkWriteProtocol(root: String): Unit = {
-    checkReadProtocol(root)
-    val unknown = protocolOf(root)._2 -- supportedWriterFeatures
+    val (r, w) = protocolOf(root)
+    refuseUnknownReader(root, r)
+    val unknown = w -- supportedWriterFeatures
     if (unknown.nonEmpty) throw new UnsupportedOperationException(
       s"$root: this table requires writer feature(s) " +
         s"${unknown.toSeq.sorted.mkString(", ")} that this build does " +
@@ -2594,18 +2692,22 @@ object VersionedTable {
       s"clone target $dstRoot already has versions")
     require(!srcRoot.contains("\t"), "source root must not contain tabs")
     if (shallow) {
+      // the clone reads THROUGH the source chain, so every reader
+      // feature the source demands (e.g. dv) the clone demands too —
+      // registered BEFORE the clone commit publishes, the same
+      // feature-before-bytes ordering every write path enforces: a
+      // reader hitting the fresh clone can never resolve a DV-bearing
+      // chain ungated (the root path needs no versions to carry a
+      // protocol entry)
+      protocolOf(srcRoot)._1.foreach(f =>
+        requireFeature(dstRoot, f, reader = true))
       // a mapped source's mapping rides the clone commit, so clone-local
       // reads and DML resolve it without crossing roots, and clone-local
       // schema changes stack independently of the source
-      val nv = write(readVersion(spark, srcRoot, v).limit(0), dstRoot,
+      write(readVersion(spark, srcRoot, v).limit(0), dstRoot,
         metaFiles = Map("_clone_src" -> s"$srcRoot\t$v") ++
           colmapAt(srcRoot, v).map("_colmap" -> serializeColmap(_)),
         operation = s"CLONE(shallow,$srcRoot@v$v)")
-      // the clone reads THROUGH the source chain, so every reader
-      // feature the source demands (e.g. dv) the clone demands too
-      protocolOf(srcRoot)._1.foreach(f =>
-        requireFeature(dstRoot, f, reader = true))
-      nv
     }
     else
       // deep clone: an independent table — logical names become its
@@ -2704,23 +2806,36 @@ object VersionedTable {
     require(schema.nonEmpty, "replaceTable: empty schema")
     partitionBy.foreach(p => require(schema.fieldNames.contains(p),
       s"replaceTable: PARTITIONED BY column $p is not in the schema"))
-    // old-definition registrations must not validate/fill against the
-    // NEW schema
-    constraints(root).keys.foreach(dropCheckConstraint(root, _))
-    columnDefaults(root).keys.foreach(dropColumnDefault(root, _))
-    generatedColumns(root).keys.foreach(removeGeneratedColumn(root, _))
-    if (identityColumns(root).nonEmpty)
-      delete(identityFile(root), recursive = false)
     val ordered = org.apache.spark.sql.types.StructType(
       schema.filterNot(f => partitionBy.contains(f.name)) ++
         partitionBy.map(p => schema(schema.fieldIndex(p))))
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ordered)
-    write(empty, root, replaceSchema = true,
-      metaFiles = Map("_schema_only" -> "1", "_colmap" -> "") ++
-        (if (partitionBy.nonEmpty) Map("_layout" -> partitionBy.mkString(","))
-         else Map.empty),
+    // `_layout` is written UNCONDITIONALLY — an empty value for an
+    // unpartitioned redefinition, so it SHADOWS any older create's
+    // declared layout in the newest-wins meta walk. Omitting it here
+    // resurrected the replaced definition's layout: the next INSERT on a
+    // partitioned→unpartitioned replace re-partitioned by (or failed on)
+    // a dropped column.
+    val nv = write(empty, root, replaceSchema = true,
+      metaFiles = Map("_schema_only" -> "1", "_colmap" -> "",
+        "_layout" -> partitionBy.mkString(",")),
       operation = "REPLACE TABLE", assignIdentity = false)
+    // The OLD definition's registrations (constraints, defaults,
+    // generated, identity) are root-level unversioned state; they are
+    // cleared AFTER the redefining commit publishes so the table is
+    // never live under the OLD schema with its integrity rules stripped
+    // (a concurrent writer in a drop-first window could commit
+    // old-schema data unvalidated). Residual window on the other side —
+    // a crash here leaves the NEW schema with STALE registrations —
+    // fails loudly instead (validation against a missing column is an
+    // AnalysisException; re-running the same replaceTable clears them).
+    constraints(root).keys.foreach(dropCheckConstraint(root, _))
+    columnDefaults(root).keys.foreach(dropColumnDefault(root, _))
+    generatedColumns(root).keys.foreach(removeGeneratedColumn(root, _))
+    if (identityColumns(root).nonEmpty)
+      delete(identityFile(root), recursive = false)
+    nv
   }
 
   /** ALTER COLUMN … TYPE (Delta's type-widening surface): widen a

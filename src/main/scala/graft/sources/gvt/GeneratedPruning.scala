@@ -28,8 +28,16 @@ import graft.sources.VersionedTable
   *    expression may map a non-NULL base to NULL (e.g. a cast that
   *    fails), and those rows live in the null partition — it is never
   *    pruned. The residual filter on the scan still evaluates exactly,
-  *    so pruning is result-invisible. */
-private[gvt] object GeneratedPruning {
+  *    so pruning is result-invisible;
+  *  - a TZ-DEPENDENT chain (timestamp↔date casts, date_trunc — their
+  *    mapping follows the session timezone) derives only in a session
+  *    whose timezone EQUALS the zone recorded at registration: values
+  *    were stored under that zone (the write path refuses any other),
+  *    so a reader in a different zone would compute a shifted bound
+  *    and prune a directory holding matching rows. Legacy
+  *    registrations without a recorded zone never derive tz-dependent
+  *    bounds. */
+private[graft] object GeneratedPruning {
 
   /** Derived partition-filter expressions for `dataFilters`, one per
     * (generated partition column × derivable conjunct). Attribute
@@ -43,15 +51,38 @@ private[gvt] object GeneratedPruning {
     val gens = VersionedTable.generatedColumns(root)
       .filter { case (n, _) => partitionSchema.fieldNames.contains(n) }
     if (gens.isEmpty) return Seq.empty
+    val recordedTz = VersionedTable.generatedColumnTz(root)
+    val sessionTz = spark.sessionState.conf.sessionLocalTimeZone
     gens.toSeq.sorted.flatMap { case (gName, exprSql) =>
       typedChain(spark, fullSchema, exprSql).toSeq.flatMap {
         case (chain, base) =>
-          val g = AttributeReference(gName,
-            partitionSchema(partitionSchema.fieldIndex(gName)).dataType)()
-          dataFilters.flatMap(f => deriveFilter(f, base, chain, g))
+          // tz-dependent chains derive only under the registered zone
+          if (tzDependent(chain) && !recordedTz.get(gName).contains(sessionTz))
+            Seq.empty
+          else {
+            val g = AttributeReference(gName,
+              partitionSchema(partitionSchema.fieldIndex(gName)).dataType)()
+            dataFilters.flatMap(f => deriveFilter(f, base, chain, g))
+          }
       }
     }
   }
+
+  /** Any node typed session-tz-sensitive TimestampType ⇒ the chain's
+    * base→generated mapping shifts with the session timezone. */
+  private def tzDependent(chain: Expression): Boolean =
+    chain.exists(_.dataType == TimestampType)
+
+  /** Is the registered chain timezone-dependent? Only chains
+    * [[typedChain]] accepts can derive bounds, so everything else is
+    * false (tz cannot make a prune wrong for them). Used by the WRITE
+    * path's session-tz guard. */
+  private[graft] def tzDependentChain(spark: SparkSession,
+                                      schema: StructType,
+                                      exprSql: String): Boolean =
+    typedChain(spark, schema, exprSql).exists { case (chain, _) =>
+      tzDependent(chain)
+    }
 
   /** Resolve the registered SQL expression against the table schema and
     * verify the whole chain is a monotone wrap of exactly one column.

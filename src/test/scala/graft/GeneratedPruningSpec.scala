@@ -133,4 +133,41 @@ class GeneratedPruningSpec extends AnyFunSuite {
     assert(t.filter(col("event_ts").isNull).select("k").as[Long]
       .collect().toSeq == Seq(3L))
   }
+
+  test("timezone soundness: a tz-dependent chain derives only under the " +
+    "REGISTERED session zone, and writes under another zone refuse") {
+    // registered + written under UTC (the suite's pinned session zone)
+    val (root, t) = mkTable("cast(event_ts as date)")
+    val all = scannedFiles(t.select("k"))
+    val bound = lit(ts("2024-01-03 00:00:00"))
+    assert(scannedFiles(t.filter(col("event_ts") >= bound)) < all,
+      "derivation should prune under the registered zone")
+    val key = "spark.sql.session.timeZone"
+    spark.conf.set(key, "Australia/Sydney")
+    try {
+      // reader in a different zone: the cast's day mapping SHIFTS, so a
+      // derived bound could prune a directory holding matching rows —
+      // derivation must disable (scan everything), results stay exact
+      // (the filter compares instants, tz-independent)
+      val t2 = spark.read.format("gvt").load(root)
+      assert(t2.filter(col("event_ts") >= bound)
+        .select("k").as[Long].collect().sorted.toSeq == Seq(4L, 5L, 6L))
+      assert(scannedFiles(spark.read.format("gvt").load(root)
+        .filter(col("event_ts") >= bound)) == all,
+        "tz-mismatched session must not use derived partition bounds")
+      // writer in a different zone: values it computes follow ITS zone
+      // and would corrupt the one-zone mapping pruning rests on — refuse
+      val e = intercept[UnsupportedOperationException] {
+        VersionedTable.append(
+          Seq((7L, ts("2024-01-05 10:00:00"))).toDF("k", "event_ts"), root)
+      }
+      assert(e.getMessage.contains("timezone"))
+    } finally spark.conf.set(key, "UTC")
+    // back under the registered zone: writes and derivation resume
+    VersionedTable.append(
+      Seq((7L, ts("2024-01-05 10:00:00"))).toDF("k", "event_ts"), root)
+    val t3 = spark.read.format("gvt").load(root)
+    assert(t3.filter(col("event_ts") >= bound)
+      .select("k").as[Long].collect().sorted.toSeq == Seq(4L, 5L, 6L, 7L))
+  }
 }

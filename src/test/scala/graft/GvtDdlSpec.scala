@@ -1157,6 +1157,64 @@ class GvtDdlSpec extends AnyFunSuite {
     }
   }
 
+  test("CREATE OR REPLACE from partitioned to UNPARTITIONED does not " +
+    "resurrect the old layout (the replace commit shadows _layout)") {
+    val root = fresh("replaceflat")
+    GraftSession.withExtensions(spark) { sess =>
+      sess.sql(s"CREATE TABLE gvt.`$root` (k BIGINT, part STRING) " +
+        s"USING gvt PARTITIONED BY (part)")
+      sess.sql(s"CREATE OR REPLACE TEMPORARY VIEW rf_t USING gvt " +
+        s"OPTIONS (path '$root')")
+      sess.sql("INSERT INTO rf_t VALUES (1, 'p0')")
+      // redefine UNPARTITIONED, dropping the old partition column
+      sess.sql(s"CREATE OR REPLACE TABLE gvt.`$root` (k BIGINT, v INT) " +
+        "USING gvt")
+      assert(VersionedTable.layoutOf(root,
+        VersionedTable.latestVersion(root).get).isEmpty,
+        "stale declared layout resurrected across REPLACE")
+      assert(!sess.sql(s"SHOW CREATE TABLE gvt.`$root`").first()
+        .getString(0).contains("PARTITIONED BY"))
+      // the next insert lands FLAT — before the fix it partitioned by
+      // (or failed on) the dropped column
+      sess.sql(s"CREATE OR REPLACE TEMPORARY VIEW rf_t USING gvt " +
+        s"OPTIONS (path '$root')")
+      sess.sql("INSERT INTO rf_t VALUES (2, 7)")
+      val v = VersionedTable.latestVersion(root).get
+      assert(!new java.io.File(s"$root/v=$v").listFiles().exists(f =>
+        f.isDirectory && f.getName.contains("=")),
+        "insert after unpartitioned REPLACE wrote hive directories")
+      assert(VersionedTable.readLatest(sess, root).count() == 1)
+    }
+  }
+
+  test("a DEFAULT expression containing NOT NULL is not corrupted by " +
+    "the NOT NULL constraint scanner (depth- and quote-aware strip)") {
+    val root = fresh("nnexpr")
+    GraftSession.withExtensions(spark) { sess =>
+      sess.sql(s"CREATE TABLE gvt.`$root` (k BIGINT, " +
+        "flag BOOLEAN DEFAULT (1 IS NOT NULL), " +
+        "tag STRING NOT NULL DEFAULT 'NOT NULL-ish') USING gvt")
+      // the parenthesized NOT NULL stayed expression text: flag carries
+      // no constraint and its default survived intact
+      assert(VersionedTable.columnDefaults(root)("flag")
+        .replaceAll("\\s+", " ").toLowerCase.contains("is not null"))
+      sess.sql(s"CREATE OR REPLACE TEMPORARY VIEW nne_t USING gvt " +
+        s"OPTIONS (path '$root')")
+      sess.sql("INSERT INTO nne_t (k) VALUES (1)")
+      val row = VersionedTable.readLatest(sess, root).first()
+      assert(row.getAs[Boolean]("flag"))
+      assert(row.getAs[String]("tag") == "NOT NULL-ish")
+      // flag is NULLABLE (no constraint was invented for it)...
+      sess.sql("INSERT INTO nne_t VALUES (2, CAST(NULL AS BOOLEAN), 'y')")
+      // ...while tag's real NOT NULL (outside parens) enforces
+      val e = intercept[Exception] {
+        sess.sql("INSERT INTO nne_t VALUES (3, true, CAST(NULL AS STRING))")
+      }
+      assert(String.valueOf(e.getMessage).contains("tag_not_null"))
+      assert(VersionedTable.readLatest(sess, root).count() == 2)
+    }
+  }
+
   test("TRUNCATE on a partitioned table keeps the declared layout for " +
     "later appends") {
     val root = fresh("trunclayout")

@@ -72,6 +72,11 @@ class ProtocolSpec extends AnyFunSuite {
     }
     assert(ew.getMessage.contains("futureMagic"))
     Files.delete(java.nio.file.Paths.get(root, "_protocol.v1"))
+    // deleting an entry out-of-band violates the chain's append-only
+    // invariant (requirements are monotone in normal operation), so the
+    // forward-probe tip cache must be dropped explicitly — the same
+    // contract as any filesystem metadata cache
+    VersionedTable.invalidateProtocolCache()
     assert(VersionedTable.readLatest(spark, root).count() == 1)
   }
 
