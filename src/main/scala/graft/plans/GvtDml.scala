@@ -97,20 +97,77 @@ object GvtDml extends Rule[LogicalPlan] {
   private def toCol(e: Expression): Column = {
     if (e.exists(_.isInstanceOf[SubqueryExpression]))
       unsupported("a subquery in a DML condition")
+    toColUnchecked(e)
+  }
+
+  private def toColUnchecked(e: Expression): Column =
     NativeColumns.ofExpr(e.transform {
       case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
     })
-  }
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
     case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
     case x => Seq(x)
   }
 
+  /** One subquery-shaped top-level conjunct of a DELETE/UPDATE
+    * condition, carried to run time (the subquery plan must execute at
+    * COMMAND time, inside the locate scan, never during resolution). */
+  private[plans] sealed trait SubCond
+  /** `(v…) IN (SELECT …)` / `v NOT IN (SELECT …)`. */
+  private[plans] case class InCond(values: Seq[Column], plan: LogicalPlan,
+                                   negated: Boolean) extends SubCond
+  /** Uncorrelated `[NOT] EXISTS (SELECT …)` — a run-time constant. */
+  private[plans] case class ExistsCond(plan: LogicalPlan,
+                                       negated: Boolean) extends SubCond
+
+  /** Split a resolved DELETE/UPDATE condition into (residual
+    * subquery-free predicate, subquery conjuncts). Supported shapes —
+    * exactly the ones a distributed semi/anti join (or a run-time
+    * constant) expresses faithfully:
+    *  - a TOP-LEVEL conjunct `expr [NOT] IN (uncorrelated subquery)`
+    *    (NOT IN: single value — multi-column NOT IN's NULL semantics
+    *    do not decompose into an equi-anti-join);
+    *  - a top-level conjunct `[NOT] EXISTS (uncorrelated subquery)`.
+    * Everything else containing a subquery (correlated, disjunctive,
+    * scalar) refuses LOUDLY — never a silent mis-execution. */
+  private def splitSubqueries(cond: Expression): (Option[Column], Seq[SubCond]) = {
+    import org.apache.spark.sql.catalyst.expressions.{Exists, InSubquery, Not}
+    def uncorrelated(s: SubqueryExpression): LogicalPlan = {
+      if (s.isCorrelated)
+        unsupported("a CORRELATED subquery in a DML condition (only " +
+          "uncorrelated IN/EXISTS decompose into a distributed locate join)")
+      s.plan
+    }
+    val (subs, plain) = conjuncts(cond).partitionMap {
+      case in: InSubquery =>
+        Left(InCond(in.values.map(toColUnchecked), uncorrelated(in.query),
+          negated = false))
+      case Not(in: InSubquery) =>
+        if (in.values.size != 1)
+          unsupported("a multi-column NOT IN subquery (its NULL semantics " +
+            "do not decompose into an equi-anti-join; rewrite as NOT EXISTS " +
+            "via the API or delete by single key)")
+        Left(InCond(in.values.map(toColUnchecked), uncorrelated(in.query),
+          negated = true))
+      case ex: Exists =>
+        Left(ExistsCond(uncorrelated(ex), negated = false))
+      case Not(ex: Exists) =>
+        Left(ExistsCond(uncorrelated(ex), negated = true))
+      case other => Right(toCol(other)) // rejects any nested subquery loudly
+    }
+    val residual = plain.reduceOption(_ && _)
+    (residual, subs)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     case d @ DeleteFromTable(GvtTarget(root, pinned), condition) if d.resolved =>
       requireLive(pinned, "DELETE FROM")
-      GvtDeleteCommand(root, toCol(condition))
+      val (residual, subs) = splitSubqueries(condition)
+      GvtDeleteCommand(root,
+        residual.getOrElse(org.apache.spark.sql.functions.lit(true)),
+        subs.collect { case i: InCond => i },
+        subs.collect { case e: ExistsCond => e })
 
     case u @ UpdateTable(GvtTarget(root, pinned), assignments, condition)
         if u.resolved =>
@@ -121,9 +178,12 @@ object GvtDml extends Rule[LogicalPlan] {
           case other => unsupported(s"UPDATE of a nested field ($other)")
         }
       }.toMap
-      val cond = condition.map(toCol).getOrElse(
-        org.apache.spark.sql.functions.lit(true))
-      GvtUpdateCommand(root, cond, assigns)
+      val (residual, subs) = condition.map(splitSubqueries)
+        .getOrElse((None, Seq.empty))
+      GvtUpdateCommand(root,
+        residual.getOrElse(org.apache.spark.sql.functions.lit(true)), assigns,
+        subs.collect { case i: InCond => i },
+        subs.collect { case e: ExistsCond => e })
 
     case m: MergeIntoTable if m.resolved =>
       m.targetTable match {
@@ -290,21 +350,56 @@ object GvtDml extends Rule[LogicalPlan] {
   }
 }
 
-/** `DELETE FROM <gvt> WHERE p` → an O(changed) deletion-vector commit. */
-case class GvtDeleteCommand(root: String, cond: Column)
+/** Shared run-time resolution of a DML command's subquery conjuncts:
+  * uncorrelated EXISTS checks fold to a constant (a FALSE one makes the
+  * whole condition false — the command no-ops, nothing committed); IN
+  * conjuncts become distributed [[VersionedTable.LocateSemiJoin]]s on
+  * the locate scan. Subquery plans execute HERE, at command time, under
+  * the session that runs the DML — never during resolution. */
+private[plans] object SubqueryConds {
+  def resolve(spark: SparkSession, inConds: Seq[GvtDml.InCond],
+              existsConds: Seq[GvtDml.ExistsCond])
+      : Option[Seq[VersionedTable.LocateSemiJoin]] = {
+    val allTrue = existsConds.forall { ec =>
+      val nonEmpty = !NativeColumns.ofPlan(spark, ec.plan).isEmpty
+      nonEmpty != ec.negated
+    }
+    if (!allTrue) None
+    else Some(inConds.map(ic => VersionedTable.LocateSemiJoin(
+      ic.values, NativeColumns.ofPlan(spark, ic.plan), ic.negated)))
+  }
+}
+
+/** `DELETE FROM <gvt> WHERE p` → an O(changed) deletion-vector commit.
+  * Uncorrelated `IN (SELECT …)` conjuncts ride as locate joins — the
+  * reference's orphan-reconciliation (utils/quality.py:110-116) becomes
+  * `DELETE FROM t WHERE fk NOT IN (SELECT pk FROM parent)` at scale. */
+case class GvtDeleteCommand(root: String, cond: Column,
+                            inConds: Seq[GvtDml.InCond] = Seq.empty,
+                            existsConds: Seq[GvtDml.ExistsCond] = Seq.empty)
   extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] =
+    inConds.map(_.plan) ++ existsConds.map(_.plan)
   override def run(spark: SparkSession): Seq[Row] = {
-    VersionedTable.deleteWhereVector(spark, root, cond)
+    SubqueryConds.resolve(spark, inConds, existsConds).foreach { joins =>
+      VersionedTable.deleteWhereVector(spark, root, cond, joins)
+    }
     Seq.empty
   }
 }
 
 /** `UPDATE <gvt> SET … WHERE p` → an O(changed) DV UPDATE commit. */
 case class GvtUpdateCommand(root: String, cond: Column,
-                            assignments: Map[String, Column])
+                            assignments: Map[String, Column],
+                            inConds: Seq[GvtDml.InCond] = Seq.empty,
+                            existsConds: Seq[GvtDml.ExistsCond] = Seq.empty)
   extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] =
+    inConds.map(_.plan) ++ existsConds.map(_.plan)
   override def run(spark: SparkSession): Seq[Row] = {
-    VersionedTable.updateWhereVector(spark, root, cond, assignments)
+    SubqueryConds.resolve(spark, inConds, existsConds).foreach { joins =>
+      VersionedTable.updateWhereVector(spark, root, cond, assignments, joins)
+    }
     Seq.empty
   }
 }

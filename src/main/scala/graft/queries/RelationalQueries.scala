@@ -837,6 +837,51 @@ object RelationalQueries {
         FROM sql_dyn_t GROUP BY status, src ORDER BY status, src""")
     }),
 
+    // Subqueries in DML predicates (Delta parity — the reference's
+    // orphan-reconciliation left_anti gate, utils/quality.py:110-116,
+    // becomes exactly `DELETE … WHERE fk NOT IN (SELECT pk)` at scale):
+    // uncorrelated IN / NOT IN / EXISTS conjuncts route into the DV
+    // locate scan as DISTRIBUTED semi/anti joins — never a collected
+    // value list. SQL NULL semantics pinned by the oracle: a
+    // NULL-bearing NOT IN subquery deletes NOTHING; a FALSE EXISTS
+    // no-ops the whole command (no commit).
+    "q_sql_delete_in" -> ((s, dir) => graft.GraftSession.withExtensions(s) { sess =>
+      val out = tmpDir("graft_sqldelin")
+      val o = t(sess, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      val root = s"$out/t"
+      graft.sources.VersionedTable.write(o.repartitionByRange(8, col("k")),
+        root, statsCols = Seq("k"))
+      def view(): Unit = sess.sql(s"CREATE OR REPLACE TEMPORARY VIEW " +
+        s"sqldin_t USING gvt OPTIONS (path '$root')")
+      view()
+      o.filter(col("k") % 11 === 0).select(col("k").as("dk"))
+        .createOrReplaceTempView("sqldin_stage")
+      // staging-keyed DELETE: a semi join on the locate scan
+      sess.sql("DELETE FROM sqldin_t WHERE k IN (SELECT dk FROM sqldin_stage)")
+      view()
+      // residual + IN + TRUE-EXISTS mix on UPDATE
+      sess.sql("UPDATE sqldin_t SET status = 'X' WHERE k % 5 = 0 " +
+        "AND k IN (SELECT dk + 1 FROM sqldin_stage) " +
+        "AND EXISTS (SELECT 1 FROM sqldin_stage WHERE dk % 2 = 0)")
+      view()
+      // NOT IN over a NULL-bearing subquery is never TRUE: deletes NOTHING
+      sess.sql("DELETE FROM sqldin_t WHERE k NOT IN " +
+        "(SELECT CASE WHEN dk % 2 = 0 THEN NULL ELSE dk END FROM sqldin_stage)")
+      view()
+      // bounded NOT IN without NULLs: an anti join under a residual bound
+      sess.sql("DELETE FROM sqldin_t WHERE k <= 512 AND k NOT IN " +
+        "(SELECT dk FROM sqldin_stage WHERE dk % 2 = 1)")
+      view()
+      // FALSE EXISTS: the command no-ops (nothing committed)
+      sess.sql("DELETE FROM sqldin_t WHERE EXISTS " +
+        "(SELECT 1 FROM sqldin_stage WHERE dk < 0)")
+      view()
+      sess.sql("""SELECT status, count(*) AS n_orders, sum(cents) AS sum_cents
+        FROM sqldin_t GROUP BY status ORDER BY status""")
+    }),
+
     // SQL MERGE INTO with the full clause surface (conditional DELETE,
     // UPDATE SET over both sides, INSERT *) — the exact q_merge_clauses
     // semantics driven through SQL text; GvtDml routes it to
@@ -2207,6 +2252,23 @@ object RelationalQueries {
         |SELECT status, src, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM rows_ GROUP BY status, src ORDER BY status, src""".stripMargin,
+
+    // Subquery DML must equal plain row-set arithmetic: the two no-op
+    // deletes (NULL-bearing NOT IN; FALSE EXISTS) change nothing and so
+    // do not appear; the rest mirrors 1:1 as SELECT-side subqueries.
+    "q_sql_delete_in" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |stage AS (SELECT o_orderkey AS dk FROM orders WHERE o_orderkey % 11 = 0),
+        |d1 AS (SELECT * FROM o WHERE k NOT IN (SELECT dk FROM stage)),
+        |u1 AS (SELECT k, CASE WHEN k % 5 = 0
+        |    AND k IN (SELECT dk + 1 FROM stage) THEN 'X' ELSE status END AS status,
+        |  cents FROM d1),
+        |d2 AS (SELECT * FROM u1 WHERE NOT (k <= 512
+        |  AND k NOT IN (SELECT dk FROM stage WHERE dk % 2 = 1)))
+        |SELECT status, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM d2 GROUP BY status ORDER BY status""".stripMargin,
 
     // SQL MERGE must equal the clause algebra (the q_merge_clauses
     // oracle verbatim: anti ∪ conditional-update ∪ insert).

@@ -2044,7 +2044,8 @@ object VersionedTable {
     * rewrite alternative). Returns the new version. */
   def updateWhereVector(spark: SparkSession, root: String,
                         predicate: org.apache.spark.sql.Column,
-                        assignments: Map[String, org.apache.spark.sql.Column]): Long = {
+                        assignments: Map[String, org.apache.spark.sql.Column],
+                        locateJoins: Seq[LocateSemiJoin] = Seq.empty): Long = {
     import org.apache.spark.sql.functions.col
     val v = latestVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no versions at $root"))
@@ -2053,7 +2054,7 @@ object VersionedTable {
     val live = prunedVersionRead(spark, root, v,
       predicateRanges(predicate), keepMeta = true,
       strRanges = predicateStrRanges(predicate))
-    val hit = live.filter(predicate)
+    val hit = applyLocateJoins(live.filter(predicate), locateJoins)
     val dv = hit.select(col("__gvt_file").as("_dv_file"),
       col("__gvt_pos").as("_dv_pos"))
     // SIMULTANEOUS assignment (SQL UPDATE semantics): every RHS reads
@@ -3036,7 +3037,8 @@ object VersionedTable {
     * keep working without waiting for compact(). Returns the new
     * version. */
   def deleteWhereVector(spark: SparkSession, root: String,
-                        predicate: org.apache.spark.sql.Column): Long = {
+                        predicate: org.apache.spark.sql.Column,
+                        locateJoins: Seq[LocateSemiJoin] = Seq.empty): Long = {
     import org.apache.spark.sql.functions.col
     val v = latestVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no versions at $root"))
@@ -3044,12 +3046,57 @@ object VersionedTable {
     val live = prunedVersionRead(spark, root, v,
       predicateRanges(predicate), keepMeta = true,
       strRanges = predicateStrRanges(predicate))
-    val dv = live.filter(predicate)
+    val dv = applyLocateJoins(live.filter(predicate), locateJoins)
       .select(col("__gvt_file").as("_dv_file"), col("__gvt_pos").as("_dv_pos"))
     write(readVersion(spark, root, v).limit(0), root,
       metaFiles = Map("_dv_parent" -> v.toString),
       subdirWrites = Map("_dv" -> dv),
       baseVersion = Some(v), operation = "DELETE_DV")
+  }
+
+  /** A subquery-shaped locate refinement for the DV DELETE/UPDATE paths:
+    * keep only locate-scan rows whose `values` tuple appears
+    * (`negated = false`, SQL `IN (SELECT …)`) — or does not appear
+    * (`negated = true`, SQL `NOT IN (SELECT …)`, single value only) —
+    * among `source`'s rows, matched POSITIONALLY against the source's
+    * columns. The refinement runs as a DISTRIBUTED semi/anti equi-join
+    * on the scan, so "delete the keys named by this staging table"
+    * costs one shuffle-or-broadcast join at any table size — never a
+    * collected value list. */
+  case class LocateSemiJoin(values: Seq[org.apache.spark.sql.Column],
+                            source: DataFrame, negated: Boolean)
+
+  /** Fold locate refinements onto the located row set with EXACT SQL
+    * three-valued semantics — the DV payload holds rows where the whole
+    * condition is TRUE:
+    *  - IN: a null-rejecting equi semi-join (a NULL value or NULL
+    *    source key is never TRUE — exactly `=`'s unknown);
+    *  - NOT IN: TRUE only when the subquery yields NO NULLs, the value
+    *    is non-NULL, and no row matches. One metadata-sized null probe
+    *    on the subquery (it executes once regardless), then an
+    *    anti-join over the non-null values — a NULL anywhere collapses
+    *    the match set to empty, never to "everything else". */
+  private def applyLocateJoins(hit0: DataFrame,
+                               joins: Seq[LocateSemiJoin]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    joins.foldLeft(hit0) { (hit, j) =>
+      val names = j.source.columns.indices.map(i => s"__gvt_sq_$i")
+      val renamed = j.source.toDF(names: _*)
+      require(j.values.size == names.size,
+        s"locate join: ${j.values.size} values vs ${names.size} subquery columns")
+      if (!j.negated) {
+        val cond = j.values.zip(names)
+          .map { case (v, n) => v === renamed(n) }.reduce(_ && _)
+        hit.join(renamed, cond, "left_semi")
+      } else {
+        require(j.values.size == 1,
+          "NOT IN locate join supports a single value expression")
+        val hasNull = !renamed.filter(col(names.head).isNull).limit(1).isEmpty
+        if (hasNull) hit.limit(0) // NOT IN over a NULL-bearing set: never TRUE
+        else hit.filter(j.values.head.isNotNull)
+          .join(renamed, j.values.head === renamed(names.head), "left_anti")
+      }
+    }
   }
 
   /** Timestamp time travel (Delta `timestampAsOf` analogue): the newest

@@ -137,6 +137,70 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("DML subqueries: uncorrelated IN/NOT IN/EXISTS route into the DV " +
+    "locate scan as semi/anti joins; unsupported shapes refuse loudly") {
+    withExtensionsSession { sess =>
+      import sess.implicits._
+      import graft.sources.VersionedTable
+      val root = java.nio.file.Files.createTempDirectory("graft_sqldmlsub")
+        .toString + "/t"
+      VersionedTable.write((1 to 100).map(i => (i, i * 10L)).toDF("id", "v"),
+        root)
+      def view(): Unit = sess.sql(s"CREATE OR REPLACE TEMPORARY VIEW " +
+        s"sub_dml USING gvt OPTIONS (path '$root')")
+      view()
+      Seq(3, 7, 11, 200).toDF("sk").createOrReplaceTempView("sub_keys")
+      // IN subquery: deletes only the existing staged keys
+      sess.sql("DELETE FROM sub_dml WHERE id IN (SELECT sk FROM sub_keys)")
+      view()
+      assert(sess.sql("SELECT count(*) AS n FROM sub_dml")
+        .as[Long].head() == 97)
+      // UPDATE with residual + IN: expression values work too
+      sess.sql("UPDATE sub_dml SET v = v + 1 WHERE id <= 10 " +
+        "AND id IN (SELECT sk + 1 FROM sub_keys)")
+      view()
+      assert(sess.sql("SELECT v FROM sub_dml WHERE id = 4")
+        .as[Long].head() == 41L)
+      assert(sess.sql("SELECT v FROM sub_dml WHERE id = 12")
+        .as[Long].head() == 120L, "residual bound ignored")
+      // NOT IN without NULLs: anti join under a residual bound
+      sess.sql("DELETE FROM sub_dml WHERE id <= 5 " +
+        "AND id NOT IN (SELECT sk FROM sub_keys)")
+      view()
+      assert(sess.sql("SELECT count(*) AS n FROM sub_dml")
+        .as[Long].head() == 93) // 1,2,4,5 gone (3 already deleted)
+      // NOT IN over a NULL-bearing subquery deletes NOTHING (SQL 3VL)
+      val vBefore = VersionedTable.latestVersion(root).get
+      sess.sql("DELETE FROM sub_dml WHERE id NOT IN " +
+        "(SELECT CASE WHEN sk = 7 THEN NULL ELSE sk END FROM sub_keys)")
+      view()
+      assert(sess.sql("SELECT count(*) AS n FROM sub_dml")
+        .as[Long].head() == 93)
+      // FALSE EXISTS: the whole command no-ops — not even a commit
+      sess.sql("DELETE FROM sub_dml WHERE EXISTS " +
+        "(SELECT 1 FROM sub_keys WHERE sk < 0)")
+      assert(VersionedTable.latestVersion(root).get == vBefore + 1,
+        "a FALSE-EXISTS DELETE must not commit")
+      // refusals: correlated subquery, multi-column NOT IN, MERGE-clause
+      // subquery — loud, never silently mis-executed
+      def refuses(sql: String, needle: String): Unit = {
+        val e = intercept[Exception] { sess.sql(sql) }
+        def msgs(t: Throwable): Seq[String] =
+          if (t == null) Seq.empty
+          else String.valueOf(t.getMessage) +: msgs(t.getCause)
+        assert(msgs(e).exists(_.toLowerCase.contains(needle.toLowerCase)),
+          s"expected '$needle' in: ${msgs(e).mkString(" | ")}")
+      }
+      refuses("DELETE FROM sub_dml WHERE EXISTS " +
+        "(SELECT 1 FROM sub_keys WHERE sk = id)", "correlated")
+      refuses("DELETE FROM sub_dml WHERE (id, v) NOT IN " +
+        "(SELECT sk, CAST(sk AS BIGINT) FROM sub_keys)", "multi-column")
+      refuses("""MERGE INTO sub_dml t USING sub_keys s ON t.id = s.sk
+        WHEN MATCHED AND t.id IN (SELECT sk FROM sub_keys) THEN DELETE""",
+        "subquery")
+    }
+  }
+
   test("maintenance SQL: OPTIMIZE / VACUUM / DESCRIBE HISTORY; VERSION AS OF in queries") {
     withExtensionsSession { sess =>
       import sess.implicits._
