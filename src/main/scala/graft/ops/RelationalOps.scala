@@ -190,12 +190,23 @@ object RelationalOps {
     * delete-only merges over partial sources): a target column absent
     * from the source inserts as NULL, exactly Delta's unlisted-column
     * INSERT semantics. Output columns = target columns. */
+  /** One `WHEN NOT MATCHED [AND cond] THEN INSERT …` clause for
+    * [[mergeClauses]]: `cond` is evaluated over the packed source
+    * (`s.x` / key columns); `values` maps target columns to insert
+    * expressions (an unlisted column inserts NULL — SQL's unlisted-
+    * column semantics), or None for `INSERT *` (source columns carry,
+    * absent ones insert NULL). Clauses evaluate FIRST-WINS per source
+    * row; a row matching no clause is not inserted. */
+  case class MergeInsert(cond: Option[Column],
+                         values: Option[Map[String, Column]])
+
   def mergeClauses(target: DataFrame, source: DataFrame, keys: Seq[String],
                    matchedDelete: Option[Column] = None,
                    matchedUpdate: Map[String, Column] = Map.empty,
                    insertNotMatched: Boolean = true,
                    nmsDelete: Option[Column] = None,
-                   nmsUpdate: Map[String, Column] = Map.empty): DataFrame = {
+                   nmsUpdate: Map[String, Column] = Map.empty,
+                   insertClauses: Seq[MergeInsert] = Seq.empty): DataFrame = {
     val tCols = target.columns.filterNot(keys.contains).toSeq
     val sCols = source.columns.filterNot(keys.contains).toSeq
     val tp = target.select(keys.map(col) :+ struct(tCols.map(col): _*).as("t"): _*)
@@ -210,16 +221,35 @@ object RelationalOps {
     val nmsDeleteHit = nmsDelete
       .map(c => tOnly && coalesce(c, lit(false)))
       .getOrElse(lit(false))
+    // normalized NOT MATCHED clause list: the legacy boolean is one
+    // unconditional INSERT *
+    val inserts: Seq[MergeInsert] =
+      if (insertClauses.nonEmpty) insertClauses
+      else if (insertNotMatched) Seq(MergeInsert(None, None))
+      else Seq.empty
+    val insertHit = inserts
+      .map(_.cond.map(c => coalesce(c, lit(false))).getOrElse(lit(true)))
+      .reduceOption(_ || _).getOrElse(lit(false))
     val kept = j.filter((tOnly && !nmsDeleteHit) ||
-      (sOnly && lit(insertNotMatched)) ||
+      (sOnly && insertHit) ||
       (matched && !deleteHit))
     val sHas = sCols.toSet
+    // per-column first-wins insert value: nested whens in clause order
+    // (a target column the partial source omits inserts as NULL — never
+    // reference a non-existent s.<c>)
+    def insertValue(c: String): Column = {
+      val starVal: Column = if (sHas(c)) col(s"s.$c") else lit(null)
+      inserts.foldRight(lit(null): Column) { (cl, els) =>
+        val v = cl.values.map(_.getOrElse(c, lit(null))).getOrElse(starVal)
+        cl.cond match {
+          case Some(cc) => when(coalesce(cc, lit(false)), v).otherwise(els)
+          case None => v // unconditional: consumes every remaining row
+        }
+      }
+    }
     kept.select(keys.map(col) ++ tCols.map { c =>
-      // a target column the partial source omits inserts as NULL
-      // (and with insertNotMatched=false the branch is unreachable —
-      // either way, never reference a non-existent s.<c>)
       when(tOnly, nmsUpdate.getOrElse(c, col(s"t.$c")))
-        .when(sOnly, if (sHas(c)) col(s"s.$c") else lit(null))
+        .when(sOnly, insertValue(c))
         .otherwise(matchedUpdate.getOrElse(c, col(s"t.$c")))
         .as(c)
     }: _*)

@@ -303,39 +303,55 @@ object GvtDml extends Rule[LogicalPlan] {
         if (cond.isEmpty) nmsConsumed = true else nmsTerminal = true
       case other => unsupported(s"MERGE not-matched-by-source action $other")
     }
-    // target columns the (renamed) source carries — what INSERT * fills
-    // (with schema evolution every source column is target-joining)
-    val srcCarried = srcCols.map(c => keyOfSrc.getOrElse(c, c))
-      .filter(c => evolve || tgtCols.contains(c)).toSet
-    var insertNotMatched = false
+    // NOT MATCHED clauses (Delta parity: multiple, each optionally
+    // conditioned — `WHEN NOT MATCHED AND c THEN INSERT …` chains).
+    // First-wins per source row, expressed as nested whens in the
+    // one-join merge; a row matching no clause is not inserted. An
+    // explicit column list is general (unlisted columns insert NULL) —
+    // EXCEPT the merge keys: the one-join merge emits the coalesced
+    // join key, so a key column must be assigned exactly its source
+    // join counterpart (anything else is inexpressible — refuse loudly,
+    // never silently substitute the join key).
+    def keyAssignOk(k: String, v: Expression): Boolean = v match {
+      case a: AttributeReference if srcAttrs.contains(a) =>
+        keyOfSrc.getOrElse(a.name, a.name) == k
+      case _ => false
+    }
+    var insertClauses = Vector.empty[graft.ops.RelationalOps.MergeInsert]
+    var insertConsumed = false
     m.notMatchedActions.foreach {
-      case _ if insertNotMatched => unsupported("multiple NOT MATCHED clauses")
-      case InsertStarAction(None) => insertNotMatched = true
-      case InsertAction(None, assigns) =>
-        // accepted ONLY when equivalent to INSERT *: every
-        // source-carried target column assigned from its source
-        // counterpart (a column the source does NOT carry may be
-        // assigned NULL — that is what it inserts anyway). A partial
-        // column list or a NULL over a source-carried column would
-        // SILENTLY insert source values where SQL says NULL — reject.
-        val assigned = scala.collection.mutable.Set.empty[String]
-        val ok = assigns.forall { a =>
-          (a.key, a.value) match {
-            case (k: AttributeReference, v: AttributeReference)
-                if srcAttrs.contains(v) &&
-                  keyOfSrc.getOrElse(v.name, v.name) == k.name =>
-              assigned += k.name; true
-            case (k: AttributeReference, Literal(null, _)) =>
-              !srcCarried(k.name)
-            case _ => false
+      case _ if insertConsumed => () // dead clause after an unconditional
+                                     // one: SQL first-wins
+      case InsertStarAction(cond) =>
+        insertClauses :+= graft.ops.RelationalOps.MergeInsert(
+          cond.map(qualify), None)
+        if (cond.isEmpty) insertConsumed = true
+      case InsertAction(cond, assigns) =>
+        val vals = assigns.map { a =>
+          a.key match {
+            case k: AttributeReference if keys.contains(k.name) =>
+              if (!keyAssignOk(k.name, a.value))
+                unsupported(s"a MERGE INSERT assigning merge key ${k.name} " +
+                  "anything other than its source join counterpart (the " +
+                  "one-join merge inserts the join key itself)")
+              k.name -> qualify(a.value)
+            case k: AttributeReference => k.name -> qualify(a.value)
+            case other => unsupported(s"MERGE INSERT on a nested field ($other)")
           }
-        } && srcCarried.subsetOf(assigned.toSet)
-        if (!ok) unsupported("a MERGE INSERT whose column list is not " +
-          "equivalent to INSERT * (unlisted source-carried columns would " +
-          "insert NULL, which the one-join clause merge cannot express)")
-        insertNotMatched = true
+        }.toMap
+        // every merge key must be assigned (an unlisted key would insert
+        // NULL in SQL, which the join-key output cannot express)
+        val missing = keys.filterNot(vals.contains)
+        if (missing.nonEmpty)
+          unsupported(s"a MERGE INSERT column list omitting merge key(s) " +
+            s"${missing.mkString(", ")} (SQL would insert NULL there; the " +
+            "one-join merge inserts the join key — include the key columns)")
+        insertClauses :+= graft.ops.RelationalOps.MergeInsert(
+          cond.map(qualify), Some(vals))
+        if (cond.isEmpty) insertConsumed = true
       case other => unsupported(s"MERGE not-matched action $other")
     }
+    val insertNotMatched = insertClauses.nonEmpty
     // rename source columns to the target's key names so the USING-
     // style key join in mergeClauses lines up; a source already
     // carrying a column under the target key's name would collide
@@ -346,7 +362,14 @@ object GvtDml extends Rule[LogicalPlan] {
     }
     GvtMergeCommand(root, m.sourceTable, pairs, keys,
       matchedDelete, matchedUpdate, insertNotMatched, nmsDelete, nmsUpdate,
-      allowEvolution = evolve)
+      allowEvolution = evolve,
+      // a single unconditional INSERT * is the plain boolean path (the
+      // dominant shape — keeps the established plan); anything richer
+      // rides the clause list
+      insertClauses = insertClauses match {
+        case Vector(graft.ops.RelationalOps.MergeInsert(None, None)) => Seq.empty
+        case cs => cs
+      })
   }
 }
 
@@ -414,7 +437,9 @@ case class GvtMergeCommand(root: String, source: LogicalPlan,
                            insertNotMatched: Boolean,
                            nmsDelete: Option[Column] = None,
                            nmsUpdate: Map[String, Column] = Map.empty,
-                           allowEvolution: Boolean = false)
+                           allowEvolution: Boolean = false,
+                           insertClauses: Seq[graft.ops.RelationalOps.MergeInsert] =
+                             Seq.empty)
   extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(spark: SparkSession): Seq[Row] = {
@@ -424,7 +449,7 @@ case class GvtMergeCommand(root: String, source: LogicalPlan,
     VersionedTable.mergeInto(spark, root, srcDf, keys,
       matchedDelete, matchedUpdate, insertNotMatched,
       nmsDelete = nmsDelete, nmsUpdate = nmsUpdate,
-      allowEvolution = allowEvolution)
+      allowEvolution = allowEvolution, insertClauses = insertClauses)
     Seq.empty
   }
 }

@@ -905,6 +905,34 @@ object RelationalQueries {
       sess.sql("SELECT k, status, cents FROM sql_merge_t ORDER BY k")
     }),
 
+    // MERGE with MULTIPLE, CONDITIONED NOT MATCHED INSERT clauses (Delta
+    // `WHEN NOT MATCHED AND cond THEN INSERT` chains): first-wins per
+    // source row as nested whens inside the same ONE-JOIN merge; an
+    // explicit column list is general — an unlisted column inserts NULL
+    // (n_cents pins that), and a row matching no clause is NOT inserted.
+    "q_merge_ins_clauses" -> ((s, dir) => graft.GraftSession.withExtensions(s) { sess =>
+      val out = tmpDir("graft_mergeins")
+      val o = t(sess, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      val root = s"$out/t"
+      graft.sources.VersionedTable.write(o.filter(col("k") % 10 =!= 0), root)
+      o.filter(col("k") % 5 === 0).createOrReplaceTempView("mic_src")
+      sess.sql(s"CREATE OR REPLACE TEMPORARY VIEW mic_t USING gvt " +
+        s"OPTIONS (path '$root')")
+      sess.sql("""MERGE INTO mic_t t USING mic_src s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET cents = t.cents + 1
+        WHEN NOT MATCHED AND s.status = 'O'
+          THEN INSERT (k, status, cents) VALUES (s.k, 'NEW_O', s.cents + 10)
+        WHEN NOT MATCHED AND s.cents % 3 = 0
+          THEN INSERT (k, status) VALUES (s.k, 'DIV3')""")
+      sess.sql(s"CREATE OR REPLACE TEMPORARY VIEW mic_t USING gvt " +
+        s"OPTIONS (path '$root')")
+      sess.sql("""SELECT status, count(*) AS n_rows, sum(cents) AS sum_cents,
+        count(cents) AS n_cents
+        FROM mic_t GROUP BY status ORDER BY status""")
+    }),
+
     // CONVERT TO GVT (Delta's CONVERT TO DELTA analogue): an existing
     // plain-parquet directory becomes a live gvt table IN PLACE — file
     // renames, zero bytes copied — and immediately supports the full
@@ -2287,6 +2315,31 @@ object RelationalQueries {
         |  SELECT s.k, s.status, s.cents
         |  FROM src s LEFT JOIN tgt t ON s.k = t.k WHERE t.k IS NULL
         |) ORDER BY k""".stripMargin,
+
+    // Conditional INSERT chains = first-wins row arithmetic: clause 1
+    // takes status='O' rows, clause 2 the remaining cents%3=0 rows (with
+    // NULL cents — n_cents pins it), everything else is NOT inserted.
+    "q_merge_ins_clauses" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |tgt AS (SELECT * FROM o WHERE k % 10 <> 0),
+        |src AS (SELECT * FROM o WHERE k % 5 = 0),
+        |notm AS (SELECT s.* FROM src s LEFT JOIN tgt t ON s.k = t.k
+        |  WHERE t.k IS NULL),
+        |merged AS (
+        |  SELECT t.k, t.status,
+        |    t.cents + CASE WHEN s.k IS NULL THEN 0 ELSE 1 END AS cents
+        |  FROM tgt t LEFT JOIN src s ON t.k = s.k
+        |  UNION ALL
+        |  SELECT k, 'NEW_O' AS status, cents + 10 AS cents
+        |  FROM notm WHERE status = 'O'
+        |  UNION ALL
+        |  SELECT k, 'DIV3' AS status, CAST(NULL AS BIGINT) AS cents
+        |  FROM notm WHERE status <> 'O' AND cents % 3 = 0)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(count(cents) AS BIGINT) AS n_cents
+        |FROM merged GROUP BY status ORDER BY status""".stripMargin,
 
     // The converted table plus its post-conversion append must equal
     // the plain union of both halves — every order exactly once.

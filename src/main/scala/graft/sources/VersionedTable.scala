@@ -2004,7 +2004,9 @@ object VersionedTable {
                 maxRetries: Int = 3,
                 nmsDelete: Option[org.apache.spark.sql.Column] = None,
                 nmsUpdate: Map[String, org.apache.spark.sql.Column] = Map.empty,
-                allowEvolution: Boolean = false): Long = {
+                allowEvolution: Boolean = false,
+                insertClauses: Seq[graft.ops.RelationalOps.MergeInsert] =
+                  Seq.empty): Long = {
     import org.apache.spark.sql.functions.lit
     var attempt = 0
     while (true) {
@@ -2019,7 +2021,7 @@ object VersionedTable {
       val merged = graft.ops.RelationalOps.mergeClauses(
         target, source, keys,
         matchedDelete, matchedUpdate, insertNotMatched,
-        nmsDelete, nmsUpdate)
+        nmsDelete, nmsUpdate, insertClauses)
       try return write(merged, root, baseVersion = Some(base),
         partitionBy = layoutOf(root, base),
         operation = "MERGE", assignIdentity = false,

@@ -201,6 +201,59 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("MERGE NOT MATCHED clause chains: first-wins conditions, general " +
+    "column lists, key-assignment refusals") {
+    withExtensionsSession { sess =>
+      import sess.implicits._
+      import graft.sources.VersionedTable
+      val root = java.nio.file.Files.createTempDirectory("graft_mergeclauses")
+        .toString + "/t"
+      VersionedTable.write(Seq((1, 10L, "t")).toDF("id", "v", "tag"), root)
+      Seq((1, 100L, "m"), (2, 20L, "a"), (3, 33L, "b"), (4, 40L, "c"))
+        .toDF("id", "v", "tag").createOrReplaceTempView("mc_src")
+      def view(): Unit = sess.sql(s"CREATE OR REPLACE TEMPORARY VIEW " +
+        s"mc_t USING gvt OPTIONS (path '$root')")
+      view()
+      sess.sql("""MERGE INTO mc_t t USING mc_src s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET v = s.v
+        WHEN NOT MATCHED AND s.v % 20 = 0 THEN INSERT (id, v) VALUES (s.id, s.v + 1)
+        WHEN NOT MATCHED AND s.tag = 'b' THEN INSERT *
+        WHEN NOT MATCHED THEN INSERT (id, tag) VALUES (s.id, 'rest')""")
+      view()
+      val got = sess.sql("SELECT id, v, tag FROM mc_t ORDER BY id")
+        .as[(Int, Option[Long], Option[String])].collect().toSeq
+      assert(got == Seq(
+        (1, Some(100L), Some("t")),   // matched update
+        (2, Some(21L), None),         // clause 1: tag unlisted -> NULL
+        (3, Some(33L), Some("b")),    // clause 2: INSERT *
+        (4, Some(41L), None)),        // v%20=0 first-wins over the rest clause
+        s"got $got")
+      // a source row matching NO clause is not inserted
+      Seq((9, 7L, "x")).toDF("id", "v", "tag")
+        .createOrReplaceTempView("mc_src2")
+      sess.sql("""MERGE INTO mc_t t USING mc_src2 s ON t.id = s.id
+        WHEN NOT MATCHED AND s.v % 2 = 0 THEN INSERT *""")
+      view()
+      assert(sess.sql("SELECT count(*) AS n FROM mc_t").as[Long].head() == 4)
+      // refusals: a key assigned anything but its source counterpart;
+      // a column list omitting the key
+      def refuses(sql: String, needle: String): Unit = {
+        val e = intercept[Exception] { sess.sql(sql) }
+        def msgs(t: Throwable): Seq[String] =
+          if (t == null) Seq.empty
+          else String.valueOf(t.getMessage) +: msgs(t.getCause)
+        assert(msgs(e).exists(_.contains(needle)),
+          s"expected '$needle' in: ${msgs(e).mkString(" | ")}")
+      }
+      refuses("""MERGE INTO mc_t t USING mc_src s ON t.id = s.id
+        WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id + 1000, s.v)""",
+        "source join counterpart")
+      refuses("""MERGE INTO mc_t t USING mc_src s ON t.id = s.id
+        WHEN NOT MATCHED THEN INSERT (v, tag) VALUES (s.v, s.tag)""",
+        "omitting merge key")
+    }
+  }
+
   test("maintenance SQL: OPTIMIZE / VACUUM / DESCRIBE HISTORY; VERSION AS OF in queries") {
     withExtensionsSession { sess =>
       import sess.implicits._
@@ -275,13 +328,10 @@ class ExtensionsSpec extends AnyFunSuite {
       val left = sess.sql("SELECT id, b FROM sem_t ORDER BY id")
         .as[(Int, Long)].collect().toSeq
       assert(left == (3 to 8).map(i => (i, i.toLong)), left.toString)
-      // an INSERT column list NOT equivalent to INSERT * is refused
-      // (unlisted source-carried columns would silently get s-values)
-      val e = intercept[Exception] {
-        sess.sql("""MERGE INTO sem_t t USING sem_src2 s ON t.id = s.id
-          WHEN NOT MATCHED THEN INSERT (id, a) VALUES (s.id, s.a)""")
-      }
-      assert(e.getMessage.contains("INSERT"), e.toString)
+      // (a partial INSERT column list is SUPPORTED since round 13 —
+      // unlisted columns insert NULL; covered with oracle + clause-chain
+      // assertions in the "MERGE NOT MATCHED clause chains" test and
+      // q_merge_ins_clauses)
       // WHEN NOT MATCHED BY SOURCE: conditional delete + update of the
       // remaining target-only rows (and a conditional matched UPDATE)
       // state: ids 3..8 with (a=i, b=i)
