@@ -107,6 +107,11 @@ class GvtSqlParser(session: SparkSession, delegate: ParserInterface)
       // a table named 'detail') — same guard as DESCRIBE HISTORY
       case DescDetailRe(target) if isGvtTarget(session, target.trim) =>
         GvtDescribeDetailCommand(target.trim)
+      // ANALYZE TABLE is valid Spark SQL on catalog tables — claim only
+      // gvt targets (both forms are metadata-only here, so NOSCAN is
+      // accepted and identical)
+      case AnalyzeRe(target, _) if isGvtTarget(session, target.trim) =>
+        GvtAnalyzeCommand(target.trim)
       // CREATE TABLE … [SHALLOW|DEEP] CLONE is not valid Spark SQL —
       // claiming it shadows nothing
       case CloneRe(dst, kind, src, version) =>
@@ -210,6 +215,9 @@ object GvtSqlParser {
       """\s+ADD\s+COLUMNS?\s*\((.+)\)\s*$""").r
   private val DescDetailRe =
     ("""(?is)^DESC(?:RIBE)?\s+DETAIL\s+""" + Target + """\s*$""").r
+  private val AnalyzeRe =
+    ("""(?is)^ANALYZE\s+TABLE\s+""" + Target +
+      """\s+COMPUTE\s+STATISTICS\s*(NOSCAN)?\s*$""").r
   // DROP COLUMN c / DROP COLUMNS (a, b) — never matches DROP CONSTRAINT
   // (the COLUMN keyword is required)
   private val DropColsRe =
@@ -792,6 +800,23 @@ case class GvtDropDefaultCommand(target: String, colName: String)
   }
 }
 
+/** `ANALYZE TABLE t COMPUTE STATISTICS [NOSCAN]` →
+  * [[VersionedTable.analyzeTable]]: a metadata-only (footer-count) stats
+  * record for the live version, served to the planner via the gvt
+  * relation's `sizeInBytes` — broadcast selection and join order over
+  * gvt tables follow it. Returns the computed record. */
+case class GvtAnalyzeCommand(target: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("num_rows", LongType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (v, rows, bytes) = VersionedTable.analyzeTable(
+      spark, GvtSqlParser.rootOf(spark, target))
+    Seq(Row(v, rows, bytes))
+  }
+}
+
 /** `DESCRIBE DETAIL t` → the one-row table summary. */
 case class GvtDescribeDetailCommand(target: String)
   extends LeafRunnableCommand {
@@ -806,15 +831,22 @@ case class GvtDescribeDetailCommand(target: String)
     AttributeReference("partition_columns", StringType, nullable = false)(),
     AttributeReference("properties", StringType, nullable = false)(),
     AttributeReference("reader_features", StringType, nullable = false)(),
-    AttributeReference("writer_features", StringType, nullable = false)())
+    AttributeReference("writer_features", StringType, nullable = false)(),
+    // ANALYZE TABLE record for the LIVE version (NULL if none/stale)
+    AttributeReference("analyzed_rows", LongType, nullable = true)(),
+    AttributeReference("analyzed_bytes", LongType, nullable = true)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val d = VersionedTable.detail(GvtSqlParser.rootOf(spark, target))
+    val root = GvtSqlParser.rootOf(spark, target)
+    val d = VersionedTable.detail(root)
+    val stats = VersionedTable.tableStats(root, d.version)
     Seq(Row(d.format, d.location, d.version, d.numVersions, d.numFiles,
       d.sizeBytes, d.numRows, d.partitionColumns.mkString(","),
       d.properties.toSeq.sorted.map { case (k, v) => s"$k=$v" }
         .mkString(","),
       d.readerFeatures.toSeq.sorted.mkString(","),
-      d.writerFeatures.toSeq.sorted.mkString(",")))
+      d.writerFeatures.toSeq.sorted.mkString(","),
+      stats.map(s => java.lang.Long.valueOf(s._1)).orNull,
+      stats.map(s => java.lang.Long.valueOf(s._2)).orNull))
   }
 }
 
@@ -1061,22 +1093,26 @@ case class GvtHistoryCommand(target: String) extends LeafRunnableCommand {
 
 /** The `table_changes` table-valued function (Delta's CDF SQL surface):
   *
-  *   SELECT * FROM table_changes('<view-or-path>', fromV, toV, '<keys>')
+  *   SELECT * FROM table_changes('<view-or-path>', fromV, toV[, '<keys>'])
   *
   * → [[VersionedTable.changes]] between the two committed versions:
-  * every key classified insert / delete / update_preimage+postimage,
+  * every row classified insert / delete / update_preimage+postimage,
   * with the O(batch) no-join fast path when the range is pure appends.
-  * The engine's CDF is storage-free (the retained snapshots ARE the
-  * log), so unlike Delta the key columns must be named — the 4th
-  * argument, comma-separated. Injected by [[graft.GraftExtensions]]
-  * via `injectTableFunction`. */
+  * With the optional 4th argument (comma-separated key columns),
+  * rewrite commits diff by key join — storage-free, the retained
+  * snapshots ARE the log. WITHOUT keys (Delta's exact signature),
+  * appends and sidecar-less DELETE_DV / REPLACE_WHERE hops serve
+  * keylessly, and any rewrite that committed under
+  * `gvt.enableChangeDataFeed` serves its `_cdf` sidecar; anything else
+  * refuses loudly with the property hint. Injected by
+  * [[graft.GraftExtensions]] via `injectTableFunction`. */
 object GvtTableChanges {
   import org.apache.spark.sql.catalyst.expressions.Expression
 
   def builder(args: Seq[Expression]): LogicalPlan = {
-    require(args.size == 4,
-      "table_changes(table_or_path, fromVersion, toVersion, keysCsv) " +
-        s"takes 4 arguments, got ${args.size}")
+    require(args.size == 3 || args.size == 4,
+      "table_changes(table_or_path, fromVersion, toVersion[, keysCsv]) " +
+        s"takes 3 or 4 arguments, got ${args.size}")
     def eval(e: Expression, what: String): Any = {
       require(e.foldable, s"table_changes: $what must be a literal")
       val v = e.eval(null)
@@ -1087,9 +1123,10 @@ object GvtTableChanges {
     val target = eval(args(0), "table").toString
     val fromV = eval(args(1), "fromVersion").toString.toLong
     val toV = eval(args(2), "toVersion").toString.toLong
-    val keys = eval(args(3), "keys").toString
-      .split(',').map(_.trim).filter(_.nonEmpty).toSeq
-    require(keys.nonEmpty, "table_changes: keys must name at least one column")
+    val keys =
+      if (args.size < 4) Seq.empty
+      else eval(args(3), "keys").toString
+        .split(',').map(_.trim).filter(_.nonEmpty).toSeq
     val root =
       if (target.contains("/")) target
       else GvtSqlParser.rootOf(spark, target)

@@ -495,6 +495,35 @@ object RelationalQueries {
         .orderBy(col("_change_type"))
     }),
 
+    // KEYLESS CDF (Delta's exact table_changes signature — no key
+    // argument): appends and sidecar-less DELETE_DV hops derive
+    // keylessly; UPDATE_DV and MERGE rewrites serve the `_cdf` sidecar
+    // their commits captured under gvt.enableChangeDataFeed (Delta's
+    // CDC-file contract — O(changed) storage and read, no diff join at
+    // feed time). Per-hop drain, hop-tagged so the oracle pins every
+    // class's count AND value sum per commit.
+    "q_cdf_keyless" -> ((s, dir) => {
+      val out = tmpDir("graft_cdfkeyless")
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      val root = s"$out/t"
+      val VT = graft.sources.VersionedTable
+      VT.write(o, root)
+      VT.setTblProperties(root, Map("gvt.enableChangeDataFeed" -> "true"))
+      VT.deleteWhereVector(s, root, col("k") % 13 === 0)
+      VT.updateWhereVector(s, root, col("k") % 7 === 0,
+        Map("cents" -> (col("cents") + 100000L)))
+      VT.merge(s, root, o.filter(col("k") % 9 === 0)
+        .withColumn("cents", col("cents") * 2 + 100001L), Seq("k"))
+      Seq((1L, 2L, 1), (2L, 3L, 2), (3L, 4L, 3)).map { case (f, tv, hop) =>
+        VT.changes(s, root, f, tv).withColumn("hop", lit(hop)) // NO keys
+      }.reduce(_.unionByName(_))
+        .groupBy(col("hop"), col("_change_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .orderBy(col("hop"), col("_change_type"))
+    }),
+
     // CDF through SQL (Delta's table_changes TVF, injected by
     // GraftExtensions): the q_delete_update change feed queried as
     // SELECT … FROM table_changes(path, 1, 3, 'k') — same classification
@@ -2489,6 +2518,39 @@ object RelationalQueries {
         |  UNION ALL
         |  SELECT 'update_postimage', count(*) FROM o WHERE k % 7 = 0 AND k % 13 <> 0)
         |ORDER BY _change_type""".stripMargin,
+
+    // Keyless feed = the same row arithmetic, value sums included: the
+    // sidecar (or keyless derivation) must reproduce exactly what the
+    // keyed diff computes per hop.
+    "q_cdf_keyless" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |u AS (SELECT cents FROM o WHERE k % 7 = 0 AND k % 13 <> 0),
+        |mm AS (SELECT cents,
+        |    CASE WHEN k % 7 = 0 THEN cents + 100000 ELSE cents END AS cur
+        |  FROM o WHERE k % 9 = 0 AND k % 13 <> 0),
+        |mi AS (SELECT cents FROM o WHERE k % 9 = 0 AND k % 13 = 0),
+        |rows_ AS (
+        |  SELECT 1 AS hop, 'delete' AS _change_type, count(*) AS n,
+        |    sum(cents) AS sc FROM o WHERE k % 13 = 0 HAVING count(*) > 0
+        |  UNION ALL
+        |  SELECT 2, 'update_preimage', count(*), sum(cents) FROM u
+        |  HAVING count(*) > 0
+        |  UNION ALL
+        |  SELECT 2, 'update_postimage', count(*), sum(cents + 100000) FROM u
+        |  HAVING count(*) > 0
+        |  UNION ALL
+        |  SELECT 3, 'update_preimage', count(*), sum(cur) FROM mm
+        |  HAVING count(*) > 0
+        |  UNION ALL
+        |  SELECT 3, 'update_postimage', count(*), sum(2 * cents + 100001)
+        |  FROM mm HAVING count(*) > 0
+        |  UNION ALL
+        |  SELECT 3, 'insert', count(*), sum(2 * cents + 100001) FROM mi
+        |  HAVING count(*) > 0)
+        |SELECT CAST(hop AS INT) AS hop, _change_type,
+        |  CAST(n AS BIGINT) AS n, CAST(sc AS BIGINT) AS sum_cents
+        |FROM rows_ ORDER BY hop, _change_type""".stripMargin,
 
     // The TVF surfaces the identical classification the API feed does.
     "q_sql_table_changes" ->

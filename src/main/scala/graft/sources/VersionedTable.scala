@@ -1934,6 +1934,50 @@ object VersionedTable {
     footerRowCount(dataFiles) - footerRowCount(dvFiles)
   }
 
+  // ── ANALYZE TABLE statistics (the CBO table-stats surface) ──────────
+
+  private def statsFile(root: String) = new HPath(root, "_stats")
+
+  /** `ANALYZE TABLE … COMPUTE STATISTICS` over a gvt table: persist
+    * (liveRows, liveBytes) for the CURRENT version — METADATA-ONLY.
+    * Rows are footer counts minus DV cardinality ([[metaRowCount]]'s
+    * arithmetic, no data scan, no Spark job); bytes are the chain's
+    * file sizes SCALED by the live-row fraction, because deleted rows
+    * still occupy file bytes until compaction but the PLANNER wants the
+    * live relation's size (a 95%-deleted dimension should broadcast).
+    * The record is stamped with the analyzed version and served to the
+    * planner only while the live version still matches — stale stats
+    * are ignored, never wrong. At 100 TB this is the hours-vs-minutes
+    * lever: join order and broadcast selection on multi-fact queries
+    * follow these sizes. Returns (version, rows, bytes). */
+  def analyzeTable(spark: SparkSession, root: String): (Long, Long, Long) = {
+    checkReadProtocol(root)
+    val v = latestVersion(root).getOrElse(throw new IllegalArgumentException(
+      s"no versions at $root"))
+    val dataFiles = dataDirsOf(root, v).filterNot(isSchemaOnlySlice)
+      .flatMap(listDataFiles)
+    val raw = footerRowCount(dataFiles)
+    val live = raw - footerRowCount(chainDvDirs(root, v).flatMap(listDataFiles))
+    val rawBytes = chainDataBytes(root, v)
+    val bytes = if (raw <= 0L) rawBytes
+      else math.max(1L, (rawBytes.toDouble * live / raw).toLong)
+    writeString(statsFile(root), s"$v\t$live\t$bytes", overwrite = true)
+    (v, live, bytes)
+  }
+
+  /** The persisted ANALYZE record (rows, bytes), iff it was computed at
+    * exactly `version`. */
+  private[graft] def tableStats(root: String,
+                                version: Long): Option[(Long, Long)] =
+    readString(statsFile(root)).flatMap { s =>
+      s.trim.split('\t') match {
+        case Array(v, r, b)
+            if scala.util.Try(v.toLong).toOption.contains(version) =>
+          scala.util.Try((r.toLong, b.toLong)).toOption
+        case _ => None
+      }
+    }
+
   /** Incremental MERGE (Delta `MERGE` analogue): upsert `updates` into the
     * latest snapshot by `keys` and write the result as a new version —
     * update rows replace matching target rows, new keys insert. Readers
@@ -1968,10 +2012,16 @@ object VersionedTable {
       checkSchema(target.schema, updates2.schema, allowEvolution)
       val merged = graft.ops.RelationalOps.mergeUpsert(
         target, updates2, keys, allowMissingColumns = allowEvolution)
+      // change-data sidecar (gvt.enableChangeDataFeed): captured at
+      // commit with the keys the merge already owns → keyless
+      // table_changes works across this rewrite (Delta's CDC-file shape)
+      val cdfRows =
+        if (!cdfEnabled(root)) Map.empty[String, DataFrame]
+        else Map("_cdf" -> keyDiff(target, merged, keys))
       try return write(merged, root, allowEvolution = allowEvolution,
         partitionBy = layoutOf(root, base),
         baseVersion = Some(base), operation = "MERGE", metaFiles = metaFiles,
-        assignIdentity = false)
+        assignIdentity = false, subdirWrites = cdfRows)
       catch {
         case e: ConcurrentWriteException =>
           if (attempt >= maxRetries) throw e
@@ -2022,10 +2072,18 @@ object VersionedTable {
         target, source, keys,
         matchedDelete, matchedUpdate, insertNotMatched,
         nmsDelete, nmsUpdate, insertClauses)
+      // change-data sidecar (gvt.enableChangeDataFeed): the merge KNOWS
+      // its keys, so the commit captures the classified diff — one extra
+      // key join at commit, and keyless table_changes works across the
+      // rewrite (exactly Delta's CDC-file shape for MERGE)
+      val cdfRows =
+        if (!cdfEnabled(root)) Map.empty[String, DataFrame]
+        else Map("_cdf" -> keyDiff(target, merged, keys))
       try return write(merged, root, baseVersion = Some(base),
         partitionBy = layoutOf(root, base),
         operation = "MERGE", assignIdentity = false,
-        allowEvolution = allowEvolution)
+        allowEvolution = allowEvolution,
+        subdirWrites = cdfRows)
       catch {
         case e: ConcurrentWriteException =>
           if (attempt >= maxRetries) throw e
@@ -2056,22 +2114,38 @@ object VersionedTable {
     val live = prunedVersionRead(spark, root, v,
       predicateRanges(predicate), keepMeta = true,
       strRanges = predicateStrRanges(predicate))
-    val hit = applyLocateJoins(live.filter(predicate), locateJoins)
-    val dv = hit.select(col("__gvt_file").as("_dv_file"),
-      col("__gvt_pos").as("_dv_pos"))
-    // SIMULTANEOUS assignment (SQL UPDATE semantics): every RHS reads
-    // the OLD row — one select, never a sequential withColumn fold
-    // (which would let `SET a = b, b = a` read a's NEW value)
-    val base = hit.drop("__gvt_file", "__gvt_pos")
-    assignments.keys.foreach(c => require(base.columns.contains(c),
-      s"UPDATE assigns unknown column $c"))
-    val updated = base.select(base.columns.map(c =>
-      assignments.get(c).map(_.as(c)).getOrElse(col(c))).toSeq: _*)
-    write(updated, root,
-      metaFiles = Map("_dv_parent" -> v.toString),
-      subdirWrites = Map("_dv" -> dv),
-      baseVersion = Some(v), operation = "UPDATE_DV",
-      assignIdentity = false)
+    val cdf = cdfEnabled(root)
+    val hit0 = applyLocateJoins(live.filter(predicate), locateJoins)
+    val hit = if (!cdf) hit0
+      else hit0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dv = hit.select(col("__gvt_file").as("_dv_file"),
+        col("__gvt_pos").as("_dv_pos"))
+      // SIMULTANEOUS assignment (SQL UPDATE semantics): every RHS reads
+      // the OLD row — one select, never a sequential withColumn fold
+      // (which would let `SET a = b, b = a` read a's NEW value)
+      val base = hit.drop("__gvt_file", "__gvt_pos")
+      assignments.keys.foreach(c => require(base.columns.contains(c),
+        s"UPDATE assigns unknown column $c"))
+      val updated = base.select(base.columns.map(c =>
+        assignments.get(c).map(_.as(c)).getOrElse(col(c))).toSeq: _*)
+      // change-data sidecar: pre/post image pairs captured AT COMMIT —
+      // the only point the pairing exists without row identity
+      val cdfRows =
+        if (!cdf) Map.empty[String, DataFrame]
+        else {
+          import org.apache.spark.sql.functions.lit
+          Map("_cdf" ->
+            base.withColumn("_change_type", lit("update_preimage"))
+              .unionByName(updated
+                .withColumn("_change_type", lit("update_postimage"))))
+        }
+      write(updated, root,
+        metaFiles = Map("_dv_parent" -> v.toString),
+        subdirWrites = Map("_dv" -> dv) ++ cdfRows,
+        baseVersion = Some(v), operation = "UPDATE_DV",
+        assignIdentity = false)
+    } finally if (cdf) { hit.unpersist(); () }
   }
 
   /** Predicate-scoped overwrite (Delta `replaceWhere` analogue):
@@ -2107,12 +2181,29 @@ object VersionedTable {
       val live = prunedVersionRead(spark, root, v,
         predicateRanges(predicate), keepMeta = true,
       strRanges = predicateStrRanges(predicate))
-      val dv = live.filter(predicate)
-        .select(col("__gvt_file").as("_dv_file"), col("__gvt_pos").as("_dv_pos"))
-      write(df, root,
-        metaFiles = Map("_dv_parent" -> v.toString),
-        subdirWrites = Map("_dv" -> dv),
-        baseVersion = Some(v), operation = "REPLACE_WHERE")
+      val cdf = cdfEnabled(root)
+      val hit0 = live.filter(predicate)
+      val hit = if (!cdf) hit0
+        else hit0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val dv = hit
+          .select(col("__gvt_file").as("_dv_file"), col("__gvt_pos").as("_dv_pos"))
+        // Delta's replaceWhere CDC shape: replaced rows as deletes, the
+        // incoming batch as inserts (no key concept, no update pairing)
+        val cdfRows =
+          if (!cdf) Map.empty[String, DataFrame]
+          else {
+            import org.apache.spark.sql.functions.lit
+            Map("_cdf" -> hit.drop("__gvt_file", "__gvt_pos")
+              .withColumn("_change_type", lit("delete"))
+              .unionByName(df.withColumn("_change_type", lit("insert")),
+                allowMissingColumns = true))
+          }
+        write(df, root,
+          metaFiles = Map("_dv_parent" -> v.toString),
+          subdirWrites = Map("_dv" -> dv) ++ cdfRows,
+          baseVersion = Some(v), operation = "REPLACE_WHERE")
+      } finally if (cdf) { hit.unpersist(); () }
     } finally if (!precached) df.unpersist()
   }
 
@@ -2260,8 +2351,9 @@ object VersionedTable {
     * Output: key columns + the union of both versions' non-key columns
     * + `_change_type`. */
   def changes(spark: SparkSession, root: String, fromV: Long, toV: Long,
-              keys: Seq[String]): DataFrame = {
+              keys: Seq[String] = Seq.empty): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
+    if (keys.isEmpty) return keylessChanges(spark, root, fromV, toV)
     // a column-mapped chain's raw files carry PHYSICAL names — the
     // O(batch)/O(changed) fast paths below read files directly, so a
     // mapped chain's frames are translated physical→logical through
@@ -2287,6 +2379,88 @@ object VersionedTable {
     if (readMeta(root, toV, "_dv_parent").map(_.trim.toLong).contains(fromV))
       return dvCommitChanges(spark, root, fromV, toV, keys)
     keyDiff(readVersion(spark, root, fromV), readVersion(spark, root, toV), keys)
+  }
+
+  /** KEYLESS change feed (Delta parity: Delta's `table_changes` takes no
+    * key argument) — per commit class:
+    *  - pure-append ranges: the batch dirs as inserts (no identity
+    *    needed — same O(batch) fast path as the keyed feed);
+    *  - a DV hop with a `_cdf` sidecar (gvt.enableChangeDataFeed was set
+    *    when the DML committed): read the sidecar — O(changed), no join
+    *    at all, the exact Delta CDC-file read;
+    *  - a sidecar-less DELETE_DV hop: the removed positions' rows emit
+    *    as deletes (no pairing needed);
+    *  - a sidecar-less REPLACE_WHERE hop: replaced rows as deletes, the
+    *    commit's slice as inserts (Delta's replaceWhere CDC shape);
+    *  - a sidecar-less UPDATE_DV or full-rewrite hop: REFUSED loudly —
+    *    pre/post pairing needs either user keys or the commit-time
+    *    sidecar; a silently mis-paired feed would corrupt downstream
+    *    incremental state. */
+  private def keylessChanges(spark: SparkSession, root: String,
+                             fromV: Long, toV: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    appendDeltaDirs(root, fromV, toV).foreach { dirs =>
+      val delta = mapToLogical(spark, readDirs(spark, dirs), root, toV)
+      return delta.select(delta.columns.map(col).toSeq :+
+        lit("insert").as("_change_type"): _*)
+    }
+    val op = readMeta(root, toV, "_operation").map(_.trim).getOrElse("")
+    def refuse(): Nothing = throw new UnsupportedOperationException(
+      s"$root: keyless table_changes across v=$fromV→v=$toV ($op) — this " +
+        "rewrite commit carries no change-data sidecar. Either pass key " +
+        "columns, or set TBLPROPERTIES ('gvt.enableChangeDataFeed'='true') " +
+        "before the DML commits so the feed is captured at write time " +
+        "(Delta's CDC-file contract)")
+    if (readMeta(root, toV, "_dv_parent").map(_.trim.toLong).contains(fromV)) {
+      val cdfDir = new HPath(s"$root/v=$toV/_cdf")
+      if (fcOf(cdfDir).util.exists(cdfDir))
+        return spark.read.parquet(cdfDir.toString)
+      if (op.startsWith("DELETE_DV"))
+        return dvRemovedRows(spark, root, fromV, toV)
+          .withColumn("_change_type", lit("delete"))
+      if (op.startsWith("REPLACE_WHERE"))
+        return dvRemovedRows(spark, root, fromV, toV)
+          .withColumn("_change_type", lit("delete"))
+          .unionByName(
+            mapToLogical(spark, spark.read.parquet(s"$root/v=$toV"), root, toV)
+              .withColumn("_change_type", lit("insert")),
+            allowMissingColumns = true)
+      refuse()
+    }
+    // a MERGE (or any rewrite) hop that captured its sidecar serves it —
+    // single-hop only (fromV must be the commit's predecessor; per-commit
+    // drains, the ChangeFeed shape, always are)
+    val cdfDir = new HPath(s"$root/v=$toV/_cdf")
+    if (readMeta(root, toV, "_prev").map(_.trim.toLong).contains(fromV) &&
+        fcOf(cdfDir).util.exists(cdfDir))
+      return spark.read.parquet(cdfDir.toString)
+    refuse()
+  }
+
+  /** The rows a DV hop removed, read from the TOUCHED FILES ONLY and
+    * translated to `toV`'s logical schema — the dvCommitChanges
+    * restriction, factored for the keyless paths. */
+  private def dvRemovedRows(spark: SparkSession, root: String,
+                            fromV: Long, toV: Long): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val dv = spark.read.parquet(s"$root/v=$toV/_dv")
+    val files = dv.select("_dv_file").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val old =
+      if (files.isEmpty) readVersion(spark, root, fromV).limit(0)
+      else {
+        def tag(df: DataFrame) = df.select(col("*"),
+          col("_metadata.file_path").as("__gvt_file"),
+          col("_metadata.row_index").as("__gvt_pos"))
+        val partitioned = layoutOf(root, fromV).nonEmpty
+        val reads = readFileGroups(spark, files, partitioned, tag)
+        val tagged = reads.reduce(_.unionByName(_, allowMissingColumns = true))
+        tagged.join(dv,
+          tagged("__gvt_file") === dv("_dv_file") &&
+            tagged("__gvt_pos") === dv("_dv_pos"), "left_semi")
+          .drop("__gvt_file", "__gvt_pos")
+      }
+    mapToLogical(spark, old, root, toV)
   }
 
   /** Translate a raw (physical-name) frame into `version`'s LOGICAL
@@ -2354,30 +2528,11 @@ object VersionedTable {
     * implies. Cost: O(touched files + slice), at any table size. */
   private def dvCommitChanges(spark: SparkSession, root: String,
                               fromV: Long, toV: Long,
-                              keys: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    val dv = spark.read.parquet(s"$root/v=$toV/_dv")
-    val files = dv.select("_dv_file").distinct()
-      .collect().map(_.getString(0)).toSeq
-    val old =
-      if (files.isEmpty) readVersion(spark, root, fromV).limit(0)
-      else {
-        def tag(df: DataFrame) = df.select(col("*"),
-          col("_metadata.file_path").as("__gvt_file"),
-          col("_metadata.row_index").as("__gvt_pos"))
-        val partitioned = layoutOf(root, fromV).nonEmpty
-        val reads = readFileGroups(spark, files, partitioned, tag)
-        val tagged = reads.reduce(_.unionByName(_, allowMissingColumns = true))
-        tagged.join(dv,
-          tagged("__gvt_file") === dv("_dv_file") &&
-            tagged("__gvt_pos") === dv("_dv_pos"), "left_semi")
-          .drop("__gvt_file", "__gvt_pos")
-      }
+                              keys: Seq[String]): DataFrame =
     // mapped chains: both restricted sets translate physical→logical
     // (a DV commit never changes the mapping, so toV's applies to both)
-    keyDiff(mapToLogical(spark, old, root, toV),
+    keyDiff(dvRemovedRows(spark, root, fromV, toV),
       mapToLogical(spark, spark.read.parquet(s"$root/v=$toV"), root, toV), keys)
-  }
 
   // ── Append commits (Delta add-file-only transaction analogue) ────────
   //
@@ -3041,20 +3196,40 @@ object VersionedTable {
   def deleteWhereVector(spark: SparkSession, root: String,
                         predicate: org.apache.spark.sql.Column,
                         locateJoins: Seq[LocateSemiJoin] = Seq.empty): Long = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, lit}
     val v = latestVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no versions at $root"))
     // locate scan zone-map-pruned by the predicate's implied bounds
     val live = prunedVersionRead(spark, root, v,
       predicateRanges(predicate), keepMeta = true,
       strRanges = predicateStrRanges(predicate))
-    val dv = applyLocateJoins(live.filter(predicate), locateJoins)
-      .select(col("__gvt_file").as("_dv_file"), col("__gvt_pos").as("_dv_pos"))
-    write(readVersion(spark, root, v).limit(0), root,
-      metaFiles = Map("_dv_parent" -> v.toString),
-      subdirWrites = Map("_dv" -> dv),
-      baseVersion = Some(v), operation = "DELETE_DV")
+    val cdf = cdfEnabled(root)
+    val hit0 = applyLocateJoins(live.filter(predicate), locateJoins)
+    val hit = if (!cdf) hit0
+      else hit0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dv = hit
+        .select(col("__gvt_file").as("_dv_file"), col("__gvt_pos").as("_dv_pos"))
+      val cdfRows =
+        if (!cdf) Map.empty[String, DataFrame]
+        else Map("_cdf" -> hit.drop("__gvt_file", "__gvt_pos")
+          .withColumn("_change_type", lit("delete")))
+      write(readVersion(spark, root, v).limit(0), root,
+        metaFiles = Map("_dv_parent" -> v.toString),
+        subdirWrites = Map("_dv" -> dv) ++ cdfRows,
+        baseVersion = Some(v), operation = "DELETE_DV")
+    } finally if (cdf) { hit.unpersist(); () }
   }
+
+  /** Delta `delta.enableChangeDataFeed` analogue: when set, DML commits
+    * also persist their CHANGE ROWS as an O(changed) `_cdf` sidecar in
+    * the commit's version dir (the Delta `_change_data` file shape), so
+    * [[changes]] / `table_changes` need NO user keys across rewrite
+    * commits — the feed reads the sidecar instead of diffing by join. */
+  private def cdfEnabled(root: String): Boolean =
+    (try tblProperties(root)
+     catch { case scala.util.control.NonFatal(_) => Map.empty[String, String] })
+      .get("gvt.enableChangeDataFeed").exists(_.trim.equalsIgnoreCase("true"))
 
   /** A subquery-shaped locate refinement for the DV DELETE/UPDATE paths:
     * keep only locate-scan rows whose `values` tuple appears

@@ -327,12 +327,16 @@ class GvtDvRelation(
     * dimension table with ONE pending deletion vector (or a column
     * mapping) would report `spark.sql.defaultSizeInBytes` and every
     * star join against it would silently fall from broadcast to
-    * shuffle until compaction. The chain's file-size sum is a safe
-    * overestimate (vectors only shrink the row set) in the exact
-    * direction broadcast planning needs, and costs one metadata
-    * listing — the same class as building the relation's schema. */
+    * shuffle until compaction. An ANALYZE TABLE record for THIS version
+    * is authoritative (it discounts DV'd rows — a 95%-deleted dimension
+    * broadcasts again without waiting for compaction); otherwise the
+    * chain's file-size sum is the safe overestimate (vectors only
+    * shrink the row set) in the exact direction broadcast planning
+    * needs, at one metadata listing — the same class as building the
+    * relation's schema. */
   override val sizeInBytes: Long =
-    VersionedTable.chainDataBytes(root, version)
+    VersionedTable.tableStats(root, version).map(_._2)
+      .getOrElse(VersionedTable.chainDataBytes(root, version))
 
   override def needConversion: Boolean = false
 

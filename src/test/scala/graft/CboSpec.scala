@@ -61,4 +61,65 @@ class CboSpec extends AnyFunSuite {
         spark.sql(s"DROP TABLE IF EXISTS cbo_$t")
     }
   }
+
+  test("ANALYZE TABLE over a gvt relation: a DV-heavy dimension reports " +
+    "its LIVE size and broadcasts again; DESCRIBE DETAIL shows the stats") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    GraftSession.withExtensions(spark) { sess =>
+      val dim = java.nio.file.Files.createTempDirectory("graft_cbogvt")
+        .toString + "/dim"
+      // ~wide rows so the raw chain bytes comfortably exceed a small
+      // broadcast threshold
+      VersionedTable.write((1 to 20000)
+        .map(i => (i.toLong, "x" * 64)).toDF("id", "pad"), dim)
+      // delete 99% — live rows: id % 100 == 0
+      VersionedTable.deleteWhereVector(sess, dim, col("id") % 100 =!= 0)
+      // STATIC planning (sparkPlan, before AQE's runtime re-optimization,
+      // which would broadcast from observed sizes regardless): exactly
+      // the decision logical-plan stats drive on a real cluster
+      def plannedJoin(): String = {
+        sess.sql(s"CREATE OR REPLACE TEMPORARY VIEW cbo_dim USING gvt " +
+          s"OPTIONS (path '$dim')")
+        // the fact frame must live in the EXTENSIONS session's catalog
+        sess.createDataFrame((1 to 20000).map(i => (i.toLong, i * 3L)))
+          .toDF("id", "m").createOrReplaceTempView("cbo_fact")
+        sess.sql("SELECT count(*) AS n FROM " +
+          "cbo_fact f JOIN cbo_dim d ON f.id = d.id")
+          .queryExecution.sparkPlan.toString
+      }
+      val saved = sess.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        // threshold between the scaled LIVE size (~1% of raw) and raw
+        val rawBytes = VersionedTable.chainDataBytes(dim,
+          VersionedTable.latestVersion(dim).get)
+        val threshold = math.max(rawBytes / 4L, 4096L)
+        sess.conf.set("spark.sql.autoBroadcastJoinThreshold",
+          threshold.toString)
+        val before = plannedJoin()
+        assert(!before.contains("BroadcastHashJoin"),
+          s"raw chain bytes should exceed the threshold:\n$before")
+        val rec = sess.sql(s"ANALYZE TABLE gvt.`$dim` COMPUTE STATISTICS")
+          .collect().head
+        assert(rec.getAs[Long]("num_rows") == 200)
+        val liveBytes = rec.getAs[Long]("size_bytes")
+        assert(liveBytes < threshold && liveBytes > 0,
+          s"scaled live bytes should sit under the threshold: $liveBytes")
+        val after = plannedJoin()
+        assert(after.contains("BroadcastHashJoin"),
+          s"ANALYZE stats should re-enable the broadcast:\n$after")
+        // DESCRIBE DETAIL surfaces the record; a new commit stales it
+        val det = sess.sql(s"DESCRIBE DETAIL gvt.`$dim`").collect().head
+        assert(det.getAs[Long]("analyzed_rows") == 200)
+        assert(det.getAs[Long]("analyzed_bytes") == liveBytes)
+        VersionedTable.append(Seq((999999L, "y")).toDF("id", "pad"), dim)
+        val det2 = sess.sql(s"DESCRIBE DETAIL gvt.`$dim`").collect().head
+        assert(det2.isNullAt(det2.fieldIndex("analyzed_rows")),
+          "stats for an older version must not be served")
+      } finally saved match {
+        case Some(v) => sess.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None => sess.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+  }
 }

@@ -303,4 +303,55 @@ class GvtCdfSpec extends AnyFunSuite {
     assert(byTs.select("_commit_version").distinct()
       .as[Long].collect().sorted.toSeq == Seq(2L, 3L))
   }
+
+  test("KEYLESS CDF: appends and DELETE_DV derive without keys; the " +
+    "gvt.enableChangeDataFeed sidecar serves UPDATE_DV and MERGE " +
+    "rewrites; sidecar-less rewrites refuse with the property hint") {
+    val root = s"${freshDir()}/t"
+    VersionedTable.write((1 to 40).map(i => (i.toLong, i * 10L))
+      .toDF("k", "v"), root)                                          // v1
+    VersionedTable.append((41L to 50L).toDF("k")
+      .withColumn("v", col("k") * 10L), root)                         // v2
+    VersionedTable.deleteWhereVector(spark, root, col("k") <= 5L)     // v3
+    // sidecar-less UPDATE_DV: keyless refuses loudly, keyed still works
+    VersionedTable.updateWhereVector(spark, root, col("k") === 10L,
+      Map("v" -> lit(777L)))                                          // v4
+    // append hop, keyless
+    assert(VersionedTable.changes(spark, root, 1L, 2L)
+      .filter(col("_change_type") === "insert").count() == 10)
+    // DELETE_DV hop, keyless, no sidecar needed (no pairing involved)
+    val del = VersionedTable.changes(spark, root, 2L, 3L)
+    assert(del.groupBy("_change_type").count()
+      .as[(String, Long)].collect().toMap == Map("delete" -> 5L))
+    val e = intercept[UnsupportedOperationException] {
+      VersionedTable.changes(spark, root, 3L, 4L).collect()
+    }
+    assert(e.getMessage.contains("gvt.enableChangeDataFeed"))
+    assert(VersionedTable.changes(spark, root, 3L, 4L, Seq("k")).count() == 2)
+    // property ON: UPDATE_DV and MERGE capture sidecars at commit
+    VersionedTable.setTblProperties(root,
+      Map("gvt.enableChangeDataFeed" -> "true"))
+    VersionedTable.updateWhereVector(spark, root, col("k") === 20L,
+      Map("v" -> lit(888L)))                                          // v5
+    val up = VersionedTable.changes(spark, root, 4L, 5L)
+      .as[(Long, Long, String)].collect().toSet
+    assert(up == Set((20L, 200L, "update_preimage"),
+      (20L, 888L, "update_postimage")), up.toString)
+    VersionedTable.merge(spark, root,
+      Seq((20L, 999L), (100L, 1000L)).toDF("k", "v"), Seq("k"))       // v6
+    val mg = VersionedTable.changes(spark, root, 5L, 6L)
+      .as[(Long, Long, String)].collect().toSet
+    assert(mg == Set((20L, 888L, "update_preimage"),
+      (20L, 999L, "update_postimage"), (100L, 1000L, "insert")), mg.toString)
+    // the keyless TVF (Delta's 3-argument signature) serves the same hop
+    GraftSession.withExtensions(spark) { sess =>
+      val tvf = sess.sql(
+        s"SELECT k, v, _change_type FROM table_changes('$root', 5, 6)")
+        .as[(Long, Long, String)].collect().toSet
+      assert(tvf == mg, tvf.toString)
+    }
+    // keyed and keyless agree on the sidecar-bearing hop
+    assert(VersionedTable.changes(spark, root, 5L, 6L, Seq("k"))
+      .as[(Long, Long, String)].collect().toSet == mg)
+  }
 }
