@@ -28,9 +28,13 @@ import graft.streaming.ChangeFeed
   * Per-commit cost follows [[VersionedTable.changes]]: an APPEND commit
   * is its batch directory read straight through (O(batch), no join —
   * the streaming-ingestion path); a rewrite commit diffs two snapshots
-  * with one co-partitioned join and needs the `keys` option. Without
-  * `keys`, rewrite commits either fail loudly (default) or are skipped
-  * with `skipChangeCommits=true` (Delta's option of the same name).
+  * with one co-partitioned join when the `keys` option is given.
+  * Without `keys`, the KEYLESS feed applies per hop: DELETE_DV /
+  * REPLACE_WHERE derive from the commit's own artifacts, and any DML
+  * that committed under `gvt.enableChangeDataFeed=true` serves its
+  * O(changed) `_cdf` sidecar; a sidecar-less UPDATE_DV or full rewrite
+  * fails loudly (default) or is skipped with `skipChangeCommits=true`
+  * (Delta's option of the same name).
   *
   * Options:
   *  - `path` (required): table root (must already have ≥1 commit —
@@ -223,10 +227,12 @@ private[gvt] class GvtCdfSource(sqlContext: SQLContext,
             "cannot represent updates/deletes; set skipChangeCommits=true " +
             "(or ignoreChanges=true) to stream appends only, or use " +
             "format(\"gvt-cdf\") for the row-level change feed")
-        else throw new IllegalStateException(
-          s"$root: commit v=$v rewrites the snapshot and no 'keys' option " +
-            "was given — pass keys=<cols> for diff feeds or " +
-            "skipChangeCommits=true to ignore rewrite commits")
+        else
+          // keyless feed: DELETE_DV / REPLACE_WHERE hops and any commit
+          // carrying a `_cdf` sidecar (gvt.enableChangeDataFeed) serve
+          // without keys; anything else refuses loudly inside changes()
+          // with the property hint — never a mis-paired emission
+          Some(VersionedTable.changes(spark, root, pred.get, v))
       val ts = VersionedTable.readMeta(root, v, "_commit_ts").map(_.trim.toLong)
       feedOpt.map { f0 =>
         val f = alignToAnchor(f0, v)

@@ -304,6 +304,34 @@ class GvtCdfSpec extends AnyFunSuite {
       .as[Long].collect().sorted.toSeq == Seq(2L, 3L))
   }
 
+  test("a KEYLESS cdf stream drains append + DELETE_DV + sidecar-bearing " +
+    "UPDATE_DV commits without a keys option") {
+    val dir = freshDir()
+    val root = s"$dir/t"
+    VersionedTable.write((1 to 30).map(i => (i.toLong, i * 10L))
+      .toDF("k", "v"), root)                                          // v1
+    VersionedTable.setTblProperties(root,
+      Map("gvt.enableChangeDataFeed" -> "true"))
+    VersionedTable.append((31L to 35L).toDF("k")
+      .withColumn("v", col("k") * 10L), root)                         // v2
+    VersionedTable.deleteWhereVector(spark, root, col("k") <= 3L)     // v3
+    VersionedTable.updateWhereVector(spark, root, col("k") === 10L,
+      Map("v" -> lit(42L)))                                           // v4
+    val q = spark.readStream.format("gvt-cdf").load(root) // NO keys
+      .writeStream.format("memory").queryName("gvt_cdf_keyless")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("gvt_cdf_keyless")
+      val byType = got.groupBy("_change_type").count()
+        .as[(String, Long)].collect().toMap
+      assert(byType == Map("insert" -> 35L, "delete" -> 3L,
+        "update_preimage" -> 1L, "update_postimage" -> 1L), byType.toString)
+      assert(got.filter(col("_change_type") === "update_postimage")
+        .select("v").as[Long].head() == 42L)
+    } finally q.stop()
+  }
+
   test("KEYLESS CDF: appends and DELETE_DV derive without keys; the " +
     "gvt.enableChangeDataFeed sidecar serves UPDATE_DV and MERGE " +
     "rewrites; sidecar-less rewrites refuse with the property hint") {
