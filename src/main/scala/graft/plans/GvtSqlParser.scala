@@ -40,11 +40,12 @@ class GvtSqlParser(session: SparkSession, delegate: ParserInterface)
   override def parsePlan(sqlText: String): LogicalPlan = {
     val t = sqlText.trim.stripSuffix(";").trim
     t match {
-      case OptimizeRe(target, zorder) =>
+      case OptimizeRe(target, where, zorder) =>
         val zCols = Option(zorder).toSeq
           .flatMap(_.split(',')).map(_.trim.stripPrefix("`").stripSuffix("`"))
           .filter(_.nonEmpty)
-        GvtOptimizeCommand(target.trim, zCols)
+        GvtOptimizeCommand(target.trim, zCols,
+          where = Option(where).map(_.trim).filter(_.nonEmpty))
       case VacuumRe(target, hours, dry) =>
         GvtVacuumCommand(target.trim,
           Option(hours).map(h => h.trim.toLong * 3600L * 1000L),
@@ -175,6 +176,7 @@ object GvtSqlParser {
   private val Target = """(gvt\s*\.\s*`[^`]+`|`[^`]+`|[\w.]+)"""
   private val OptimizeRe =
     ("""(?is)^OPTIMIZE\s+""" + Target +
+      """(?:\s+WHERE\s+(.+?))?""" +
       """(?:\s+ZORDER\s+BY\s*\(?\s*([`\w,\s]+?)\s*\)?)?\s*$""").r
   private val VacuumRe =
     ("""(?is)^VACUUM\s+""" + Target +
@@ -520,7 +522,8 @@ case class GvtReorgCommand(target: String) extends LeafRunnableCommand {
   }
 }
 
-case class GvtOptimizeCommand(target: String, zorderBy: Seq[String])
+case class GvtOptimizeCommand(target: String, zorderBy: Seq[String],
+                              where: Option[String] = None)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("new_version", LongType, nullable = false)())
@@ -528,6 +531,12 @@ case class GvtOptimizeCommand(target: String, zorderBy: Seq[String])
     val root = GvtSqlParser.rootOf(spark, target)
     val v = VersionedTable.latestVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no versions at $root"))
+    // `OPTIMIZE t WHERE <partition predicate>` — the O(selected)
+    // scoped rewrite; never the whole table
+    where.foreach { w =>
+      return Seq(Row(VersionedTable.compactWhere(spark, root,
+        org.apache.spark.sql.functions.expr(w), zorderBy = zorderBy)))
+    }
     val chainFoldable = zorderBy.isEmpty &&
       VersionedTable.chainDvDirs(root, v).isEmpty &&
       VersionedTable.dataDirsOf(root, v).size > 2 &&

@@ -1070,6 +1070,34 @@ object RelationalQueries {
         USING (status) ORDER BY status""")
     }),
 
+    // Partition-scoped OPTIMIZE (Delta `OPTIMIZE t WHERE …`): rewrite
+    // ONLY the selected hive partition — one DV commit over the
+    // selected rows, O(selected) at any table size; untouched
+    // partitions' files stay byte-identical and the replaced files are
+    // whole-file-elided from subsequent scans. Content must be
+    // bit-identical to the plain row-set arithmetic — maintenance is
+    // storage, never semantics (OptimizeWhereSpec pins the file-level
+    // claims; this query pins the semantics against the oracle).
+    "q_sql_optimize_part" -> ((s, dir) => graft.GraftSession.withExtensions(s) { sess =>
+      val out = tmpDir("graft_sqloptw")
+      val o = t(sess, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"), col("o_totalprice").as("price"))
+      val root = s"$out/t"
+      graft.sources.VersionedTable.write(o.filter(col("k") % 3 === 0), root,
+        partitionBy = Seq("status"))
+      graft.sources.VersionedTable.append(o.filter(col("k") % 3 === 1), root)
+      graft.sources.VersionedTable.append(o.filter(col("k") % 3 === 2), root)
+      sess.sql(s"CREATE OR REPLACE TEMPORARY VIEW sql_optw_t USING gvt " +
+        s"OPTIONS (path '$root')")
+      sess.sql("OPTIMIZE sql_optw_t WHERE status = 'O' ZORDER BY (k, price)")
+        .collect()
+      sess.sql(s"CREATE OR REPLACE TEMPORARY VIEW sql_optw_t USING gvt " +
+        s"OPTIONS (path '$root')")
+      sess.sql("""SELECT status, count(*) AS n,
+        sum(CAST(floor(price * 100 + 0.5) AS BIGINT)) AS cents
+        FROM sql_optw_t GROUP BY status ORDER BY status""")
+    }),
+
     // TBLPROPERTIES (Delta's table-property surface through the injected
     // parser): SET upserts (second SET overwrites), UNSET removes, SHOW
     // lists key-ordered — free-form table metadata riding the root, not
@@ -2209,6 +2237,11 @@ object RelationalQueries {
         |FROM (SELECT status, count(*) AS n FROM o GROUP BY status) live
         |JOIN (SELECT status, count(*) AS n FROM o WHERE k % 3 = 0 GROUP BY status) v1
         |USING (status) ORDER BY status""".stripMargin,
+
+    "q_sql_optimize_part" ->
+      """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders GROUP BY status ORDER BY status""".stripMargin,
 
     // SQL DELETE+UPDATE must equal the plain row-set arithmetic —
     // identical semantics to q_update_dv, driven through SQL text.

@@ -1286,6 +1286,18 @@ object VersionedTable {
       // vector), committed atomically WITH the data like metaFiles
       subdirWrites.foreach { case (name, sdf) =>
         sdf.write.mode("overwrite").parquet(s"$root/v=$next/$name")
+        // per-file mask counts (`_dvc`) ride every DV commit: readers
+        // compare them against parquet footer row counts to drop FULLY
+        // masked files from scans entirely (Delta removes fully-deleted
+        // files from its manifest; this sidecar is how gvt derives the
+        // same set without one). Derived by re-reading the just-written
+        // payload — deleted-rows-sized, never re-runs the locate scan.
+        if (name == "_dv") {
+          import org.apache.spark.sql.functions.{count, lit}
+          sdf.sparkSession.read.parquet(s"$root/v=$next/_dv")
+            .groupBy("_dv_file").agg(count(lit(1)).as("n")).coalesce(1)
+            .write.mode("overwrite").parquet(s"$root/v=$next/_dvc")
+        }
       }
       metaW2.foreach { case (name, content) =>
         writeString(new HPath(s"$root/v=$next", name), content, overwrite = true)
@@ -1579,9 +1591,10 @@ object VersionedTable {
         else tagged
       logicalize(if (keepMeta) dv else dv.drop("__gvt_file", "__gvt_pos"))
     }
+    lazy val elided = fullyMaskedFiles(spark, dvDirs)
     def full(): DataFrame =
       if (!needMeta) logicalize(readDirs(spark, dirs))
-      else finish(readDirsMeta(spark, dirs))
+      else finish(readDirsMetaEliding(spark, dirs, elided))
     if (ranges.isEmpty && strRanges.isEmpty) return full()
     // per-dir stats coverage (a multi-dir stats read would silently
     // NULL-fill a member's missing column and mis-skip its files — so
@@ -1639,9 +1652,15 @@ object VersionedTable {
           cands.getOrElse((dirOf(f), c), None).forall(_.contains(f)) }
       }
     }
+    // fully-DV-masked files drop here too (stats can't know a later
+    // commit emptied their file; the DV anti-join would drop the rows
+    // anyway — this drops the IO)
+    val filesLive =
+      if (elided.isEmpty) files
+      else files.filterNot(f => elided(normFileId(f)))
     val fileReads: Seq[DataFrame] =
-      if (files.isEmpty) Seq.empty
-      else readFileGroups(spark, files, partitioned, tag)
+      if (filesLive.isEmpty) Seq.empty
+      else readFileGroups(spark, filesLive, partitioned, tag)
     val passReads = pass.map { d =>
       tag(if (partitioned) spark.read.option("basePath", d).parquet(d)
           else spark.read.parquet(d))
@@ -2405,6 +2424,13 @@ object VersionedTable {
         lit("insert").as("_change_type"): _*)
     }
     val op = readMeta(root, toV, "_operation").map(_.trim).getOrElse("")
+    // compaction-family hops (COMPACT / OPTIMIZE … WHERE) rewrite
+    // content-identically — Delta's CDF contract: an OPTIMIZE commit
+    // emits NO changes (a keyed diff would pair everything away; the
+    // keyless feed short-circuits to the same answer without the scan)
+    if (op.startsWith("COMPACT") || op.startsWith("OPTIMIZE"))
+      return readVersion(spark, root, toV).limit(0)
+        .withColumn("_change_type", lit("insert"))
     def refuse(): Nothing = throw new UnsupportedOperationException(
       s"$root: keyless table_changes across v=$fromV→v=$toV ($op) — this " +
         "rewrite commit carries no change-data sidecar. Either pass key " +
@@ -3137,7 +3163,8 @@ object VersionedTable {
     val dvs = chainDvDirs(root, version)
     val raw =
       if (dvs.isEmpty) readDirs(spark, dataDirsOf(root, version))
-      else applyDv(spark, readDirsMeta(spark, dataDirsOf(root, version)), dvs)
+      else applyDv(spark, readDirsMetaEliding(spark,
+        dataDirsOf(root, version), fullyMaskedFiles(spark, dvs)), dvs)
     // column-mapped chain: physical columns surface under the logical
     // names this snapshot's `_colmap` assigns (dropped columns fall out)
     colmapAt(root, version).map(applyColmap(raw, _)).getOrElse(raw)
@@ -3176,6 +3203,111 @@ object VersionedTable {
       tagged("__gvt_file") === dv("_dv_file") &&
         tagged("__gvt_pos") === dv("_dv_pos"), "left_anti")
     if (keepMeta) joined else joined.drop("__gvt_file", "__gvt_pos")
+  }
+
+  // ── Whole-file deletion-vector elision ────────────────────────────
+  //
+  // Every DV commit persists a `_dvc` sidecar (file → masked-row
+  // count). Positions are disjoint ACROSS commits (a vector names rows
+  // that were LIVE when it committed), so summing the chain's counts
+  // per file and comparing against the file's parquet footer row count
+  // proves which files have NO surviving rows — those drop out of the
+  // scan entirely instead of being read and anti-joined away. This is
+  // the read-cost shape of Delta's remove-on-full-delete: a partition
+  // fully deleted (or rewritten by OPTIMIZE … WHERE / replaceWhere /
+  // dynamic overwrite) stops costing IO at the NEXT read, not at
+  // compaction. Chains whose DV commits predate the sidecar contribute
+  // no counts — elision degrades to off, never to wrong (a file is
+  // elided only when counted masks prove it empty). Driver cost per
+  // uncached chain: one deleted-files-sized `_dvc` read plus one footer
+  // read per candidate file — the Delta-log metadata class.
+
+  private val footerRowsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private val elisionCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
+
+  /** Test hook: version dirs are immutable in normal operation, so the
+    * memoized elision sets never go stale — a test that edits `_dv*`
+    * sidecars out-of-band must invalidate (the `_protocol` tip-cache
+    * contract, applied here). */
+  def invalidateElisionCache(): Unit = {
+    footerRowsCache.clear(); elisionCache.clear()
+  }
+
+  /** A data-file identity in scheme-free `toUri.getPath` form — the
+    * meeting point of `_metadata.file_path` URIs (url-encoded, the
+    * `_dv_file`/`_stats.file` form) and driver-side listing paths. */
+  private def normFileId(f: String): String =
+    (try new HPath(new java.net.URI(f))
+     catch { case _: Exception => new HPath(f) }).toUri.getPath
+
+  /** Files of the chain whose every row the chain's deletion vectors
+    * mask, as [[normFileId]] strings — excluded from scans by every
+    * version reader. */
+  private[graft] def fullyMaskedFiles(spark: SparkSession,
+                                      dvDirs: Seq[String]): Set[String] = {
+    if (dvDirs.isEmpty) return Set.empty
+    val key = dvDirs.sorted.mkString("\n")
+    val hit = elisionCache.get(key)
+    if (hit != null) return hit
+    val dvcDirs = dvDirs.map(d => d.stripSuffix("_dv") + "_dvc").filter { d =>
+      val p = new HPath(d); fcOf(p).util.exists(p)
+    }
+    val out: Set[String] =
+      if (dvcDirs.isEmpty) Set.empty
+      else {
+        val sums = spark.read.parquet(dvcDirs: _*)
+          .groupBy("_dv_file")
+          .agg(org.apache.spark.sql.functions.sum("n").as("n"))
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        val misses = sums.map(_._1).filterNot(footerRowsCache.containsKey)
+        if (misses.nonEmpty) {
+          val conf = new org.apache.hadoop.conf.Configuration()
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(
+            math.min(8, misses.size))
+          try misses.map { f =>
+            f -> pool.submit(new java.util.concurrent.Callable[Long] {
+              override def call(): Long = {
+                val in = org.apache.parquet.hadoop.util.HadoopInputFile
+                  .fromPath(new HPath(new java.net.URI(f)), conf)
+                val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+                try r.getRecordCount finally r.close()
+              }
+            })
+          }.foreach { case (f, fut) =>
+            footerRowsCache.put(f, fut.get())
+          } finally pool.shutdown()
+        }
+        sums.collect {
+          case (f, n) if n >= (footerRowsCache.get(f): Long) => normFileId(f)
+        }.toSet
+      }
+    if (elisionCache.size > 4096) elisionCache.clear()
+    if (footerRowsCache.size > 65536) footerRowsCache.clear()
+    elisionCache.put(key, out)
+    out
+  }
+
+  /** [[readDirsMeta]] minus the fully-masked files: per-dir listings
+    * filtered against `elided`, read as explicit file groups (hive
+    * layouts keep their partition columns under each dir's own
+    * basePath). A zero-row full-schema anchor keeps the union's shape
+    * complete even when the elided files were the sole carriers of an
+    * evolved column — planning-only cost, no data read. */
+  private def readDirsMetaEliding(spark: SparkSession, dirs: Seq[String],
+                                  elided: Set[String]): DataFrame = {
+    if (elided.isEmpty) return readDirsMeta(spark, dirs)
+    import org.apache.spark.sql.functions.col
+    def tag(df: DataFrame) = df.select(col("*"),
+      col("_metadata.file_path").as("__gvt_file"),
+      col("_metadata.row_index").as("__gvt_pos"))
+    val keep = dirs.flatMap(d =>
+      listDataFiles(d).filterNot(f => elided(normFileId(f))))
+    val anchor = readDirsMeta(spark, dirs).limit(0)
+    if (keep.isEmpty) anchor
+    else readFileGroups(spark, keep, dirsLayout(dirs).nonEmpty, tag)
+      .foldLeft(anchor)(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Row-level DELETE as a DELETION-VECTOR commit (Delta
@@ -3494,50 +3626,153 @@ object VersionedTable {
     val totalBytes = dataDirsOf(root, v).map(d => sizeOf(new HPath(d))).sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val snap = readVersion(spark, root, v)
-    val (rewritten, op) =
-      if (zorderBy.isEmpty) (snap.coalesce(nFiles), "COMPACT")
-      else {
-        require(zorderBy.size >= 2 && zorderBy.size <= 4,
-          s"zorderBy takes 2-4 columns (Morton interleave), got $zorderBy")
-        require(!zorderBy.exists(parts.contains),
-          s"zorderBy columns must not be partition keys ($parts)")
-        import org.apache.spark.sql.functions.{col, lit, min, max}
-        // O(1)-row driver agg: per-column bounds for the range bucketing
-        val aggs = zorderBy.flatMap(c =>
-          Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
-        val r = snap.agg(aggs.head, aggs.tail: _*).head
-        if ((0 until zorderBy.size).exists(j => r.isNullAt(2 * j)))
-          // empty snapshot / all-NULL z-order keys: nothing to cluster —
-          // plain coalesce rewrite instead of an NPE on the bounds
-          (snap.coalesce(nFiles), "COMPACT")
-        else {
-          // 2 columns: 16-bit buckets + the 5-step magic-mask spread;
-          // k>2: generic bit placement at 63/k-capped width
-          val bits = math.min(16, 63 / zorderBy.size)
-          val buckets = zorderBy.zipWithIndex.map { case (c, j) =>
-            graft.ops.ZOrder.rangeBucket(col(c),
-              lit(r.getDouble(2 * j)), lit(r.getDouble(2 * j + 1)), bits)
-          }
-          val zk =
-            if (zorderBy.size == 2) graft.ops.ZOrder.zorder2(buckets(0), buckets(1))
-            else graft.ops.ZOrder.zorderN(buckets, bits)
-          // hive-partitioned snapshots z-order WITHIN partitions (as
-          // Delta does): range-partition and sort on (partition keys,
-          // zk) so each partition directory's files stay zk-clustered
-          val order = parts.map(col) :+ col("_zk")
-          (snap.withColumn("_zk", zk)
-            .repartitionByRange(nFiles, order: _*)
-            .sortWithinPartitions(order: _*)
-            .drop("_zk"),
-            s"COMPACT(zorder=${zorderBy.mkString(",")})")
-        }
-      }
+    val (rewritten, op) = clusteredRewrite(snap, parts, zorderBy, nFiles, "COMPACT")
     // conditional on the snapshot being compacted: a merge that lands
     // mid-compaction must win over the rewrite, not be clobbered by it
     write(rewritten, root, partitionBy = parts,
       statsCols = if (zorderBy.nonEmpty) zorderBy else Seq.empty,
       metaFiles = carriedMeta, baseVersion = Some(v), operation = op,
       assignIdentity = false)
+  }
+
+  /** The compaction rewrite of `snap`: plain `coalesce` bin-pack, or a
+    * Morton z-order on 2-4 non-partition columns clustered WITHIN hive
+    * partitions (Delta's shape: range-partition + sort on (partition
+    * keys, zk) so each partition directory's files stay zk-clustered).
+    * Returns the rewrite plus the history operation tag. */
+  private def clusteredRewrite(snap: DataFrame, parts: Seq[String],
+                               zorderBy: Seq[String], nFiles: Int,
+                               opBase: String): (DataFrame, String) =
+    if (zorderBy.isEmpty) (snap.coalesce(nFiles), opBase)
+    else {
+      require(zorderBy.size >= 2 && zorderBy.size <= 4,
+        s"zorderBy takes 2-4 columns (Morton interleave), got $zorderBy")
+      require(!zorderBy.exists(parts.contains),
+        s"zorderBy columns must not be partition keys ($parts)")
+      import org.apache.spark.sql.functions.{col, lit, min, max}
+      // O(1)-row driver agg: per-column bounds for the range bucketing
+      val aggs = zorderBy.flatMap(c =>
+        Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+      val r = snap.agg(aggs.head, aggs.tail: _*).head
+      if ((0 until zorderBy.size).exists(j => r.isNullAt(2 * j)))
+        // empty snapshot / all-NULL z-order keys: nothing to cluster —
+        // plain coalesce rewrite instead of an NPE on the bounds
+        (snap.coalesce(nFiles), opBase)
+      else {
+        // 2 columns: 16-bit buckets + the 5-step magic-mask spread;
+        // k>2: generic bit placement at 63/k-capped width
+        val bits = math.min(16, 63 / zorderBy.size)
+        val buckets = zorderBy.zipWithIndex.map { case (c, j) =>
+          graft.ops.ZOrder.rangeBucket(col(c),
+            lit(r.getDouble(2 * j)), lit(r.getDouble(2 * j + 1)), bits)
+        }
+        val zk =
+          if (zorderBy.size == 2) graft.ops.ZOrder.zorder2(buckets(0), buckets(1))
+          else graft.ops.ZOrder.zorderN(buckets, bits)
+        val order = parts.map(col) :+ col("_zk")
+        (snap.withColumn("_zk", zk)
+          .repartitionByRange(nFiles, order: _*)
+          .sortWithinPartitions(order: _*)
+          .drop("_zk"),
+          s"$opBase(zorder=${zorderBy.mkString(",")})")
+      }
+    }
+
+  /** Partition-scoped OPTIMIZE (Delta `OPTIMIZE … WHERE` analogue):
+    * rewrite ONLY the hive partitions `predicate` selects — bin-packed
+    * to `targetFileBytes`, optionally z-ordered within partitions — as
+    * ONE deletion-vector commit over the selected rows. Cost is
+    * O(selected + rewrite) at ANY table size, never O(table): untouched
+    * partitions' files are neither read nor rewritten and stay
+    * byte-identical, while the replaced partitions' old files become
+    * fully DV-masked — which whole-file elision (`_dvc`) then drops
+    * from every subsequent scan, so the clustering benefit lands at the
+    * NEXT query, not at the next full compaction. At 100 TB this is the
+    * only affordable OPTIMIZE shape: cluster the hot/new partitions,
+    * never touch the cold ones.
+    *
+    * `predicate` may reference PARTITION COLUMNS ONLY — the directory
+    * layout is the unit of replacement; a data-column predicate would
+    * strand partial files (Delta enforces the same restriction). The
+    * rewrite is content-identical by construction, so the commit is
+    * CDF-neutral: keyed diffs pair away and the keyless feed emits
+    * nothing. Returns the new version (the CURRENT version, as a no-op,
+    * when no live partition matches). */
+  def compactWhere(spark: SparkSession, root: String,
+                   predicate: org.apache.spark.sql.Column,
+                   targetFileBytes: Long = 128L * 1024 * 1024,
+                   zorderBy: Seq[String] = Seq.empty): Long = {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val v = latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $root"))
+    val parts = layoutOf(root, v)
+    require(parts.nonEmpty,
+      s"OPTIMIZE … WHERE: table at $root is not hive-partitioned — the " +
+        "partition directory is the unit of a scoped rewrite (use plain " +
+        "OPTIMIZE for a full compaction)")
+    val refs = org.apache.spark.sql.graft.NativeColumns.toExpr(predicate)
+      .references.map(_.name).toSet
+    require(refs.nonEmpty && refs.subsetOf(parts.toSet),
+      s"OPTIMIZE … WHERE predicate may reference partition columns only " +
+        s"(${parts.mkString(", ")}); got ${refs.mkString(", ")}")
+    // evaluate the predicate against the partition SPECS (directory
+    // names, typed via the snapshot schema) — partition-count-sized
+    // driver work that sizes the rewrite and detects the no-op, with
+    // the same null semantics as the scan (hive default partition →
+    // NULL → predicate never true)
+    val live0 = prunedVersionRead(spark, root, v, Seq.empty, keepMeta = true)
+    val types = parts.map(p => p -> live0.schema(p).dataType).toMap
+    val specs = showPartitions(root)
+    if (specs.isEmpty) return v
+    import scala.jdk.CollectionConverters._
+    val strDf = spark.createDataFrame(
+      specs.map(s => org.apache.spark.sql.Row.fromSeq(
+        s +: s.split('/').toSeq.map(_.split("=", 2)(1)))).asJava,
+      org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("__gvt_spec",
+          org.apache.spark.sql.types.StringType) +:
+          parts.map(p => org.apache.spark.sql.types.StructField(p,
+            org.apache.spark.sql.types.StringType))))
+    val hiveNull = "__HIVE_DEFAULT_PARTITION__"
+    val typed = parts.foldLeft(strDf)((d, p) => d.withColumn(p,
+      when(col(p) === hiveNull, lit(null)).otherwise(col(p)).cast(types(p))))
+    val matchedSpecs = typed.filter(predicate)
+      .select("__gvt_spec").collect().map(_.getString(0)).toSeq
+    if (matchedSpecs.isEmpty) return v
+    // size the bin-pack from the matching directories' bytes — listing
+    // only, no data read
+    def sizeOf(p: HPath): Long = {
+      val fc = fcOf(p)
+      if (!fc.util.exists(p)) 0L
+      else fc.util.listStatus(p).map { st =>
+        if (st.isDirectory) sizeOf(st.getPath)
+        else if (st.getPath.getName.startsWith("_") ||
+          st.getPath.getName.startsWith(".")) 0L
+        else st.getLen
+      }.sum
+    }
+    val totalBytes = dataDirsOf(root, v).filterNot(isSchemaOnlySlice)
+      .flatMap(d => matchedSpecs.map(s => new HPath(s"$d/$s")))
+      .map(sizeOf).sum
+    val nFiles = math.max(1,
+      math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    // partition pruning does the selection: `predicate` references only
+    // directory-derived columns, so each union child's scan plans over
+    // the matching subdirectories alone
+    val hit = live0.filter(predicate)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dv = hit
+        .select(col("__gvt_file").as("_dv_file"), col("__gvt_pos").as("_dv_pos"))
+      val data = hit.drop("__gvt_file", "__gvt_pos")
+      val (rewritten, op) =
+        clusteredRewrite(data, parts, zorderBy, nFiles, "OPTIMIZE_WHERE")
+      write(rewritten, root, partitionBy = parts,
+        statsCols = if (zorderBy.nonEmpty) zorderBy else Seq.empty,
+        metaFiles = Map("_dv_parent" -> v.toString),
+        subdirWrites = Map("_dv" -> dv),
+        baseVersion = Some(v), operation = op, assignIdentity = false)
+    } finally { hit.unpersist(); () }
   }
 
   /** SHOW PARTITIONS: the live snapshot's hive partition specs, from
