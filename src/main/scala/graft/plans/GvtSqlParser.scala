@@ -1093,7 +1093,10 @@ case class GvtHistoryCommand(target: String) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)(),
     AttributeReference("commit_ts_millis", LongType, nullable = true)(),
-    AttributeReference("operation", StringType, nullable = false)())
+    AttributeReference("operation", StringType, nullable = false)(),
+    AttributeReference("num_files", LongType, nullable = true)(),
+    AttributeReference("size_bytes", LongType, nullable = true)(),
+    AttributeReference("num_masked_rows", LongType, nullable = true)())
   override def run(spark: SparkSession): Seq[Row] = {
     val root = GvtSqlParser.rootOf(spark, target)
     VersionedTable.history(spark, root).collect().toSeq

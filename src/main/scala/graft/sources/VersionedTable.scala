@@ -1284,6 +1284,7 @@ object VersionedTable {
       // auxiliary parquet payloads (underscore-prefix the names so
       // snapshot readers ignore them — e.g. a DELETE commit's deletion
       // vector), committed atomically WITH the data like metaFiles
+      var dvCounts: Option[Seq[(String, Long)]] = None
       subdirWrites.foreach { case (name, sdf) =>
         sdf.write.mode("overwrite").parquet(s"$root/v=$next/$name")
         // per-file mask counts (`_dvc`) ride every DV commit: readers
@@ -1291,16 +1292,43 @@ object VersionedTable {
         // masked files from scans entirely (Delta removes fully-deleted
         // files from its manifest; this sidecar is how gvt derives the
         // same set without one). Derived by re-reading the just-written
-        // payload — deleted-rows-sized, never re-runs the locate scan.
+        // payload — never re-runs the locate scan — and persisted as a
+        // TEXT meta file so RESOLVES read it driver-side with zero
+        // Spark jobs. Touched-file-count-sized: the Delta-log driver
+        // class (Delta drivers hold full file manifests).
         if (name == "_dv") {
-          import org.apache.spark.sql.functions.{count, lit}
-          sdf.sparkSession.read.parquet(s"$root/v=$next/_dv")
-            .groupBy("_dv_file").agg(count(lit(1)).as("n")).coalesce(1)
-            .write.mode("overwrite").parquet(s"$root/v=$next/_dvc")
+          val counts = sdf.sparkSession.read.parquet(s"$root/v=$next/_dv")
+            .groupBy("_dv_file").count().collect()
+            .map(r => (r.getString(0), r.getLong(1))).toSeq
+          dvCounts = Some(counts)
+          writeString(new HPath(s"$root/v=$next", "_dvc"),
+            counts.map { case (f, n) => s"$f\t$n" }.mkString("\n"),
+            overwrite = true)
         }
       }
       metaW2.foreach { case (name, content) =>
         writeString(new HPath(s"$root/v=$next", name), content, overwrite = true)
+      }
+      // operation metrics (Delta DESCRIBE HISTORY operationMetrics
+      // analogue): the commit's OWN data-file count + bytes, and — on a
+      // DV commit — the masked-row count from the vector's footers. One
+      // listing of the just-written dir plus O(dv files) footer reads —
+      // commit-sized driver metadata, never a scan.
+      locally {
+        def walk(d: HPath): (Long, Long) = {
+          val fc = fcOf(d)
+          if (!fc.util.exists(d)) (0L, 0L)
+          else fc.util.listStatus(d).map { st =>
+            val nm = st.getPath.getName
+            if (nm.startsWith("_") || nm.startsWith(".")) (0L, 0L)
+            else if (st.isDirectory) walk(st.getPath)
+            else (1L, st.getLen)
+          }.foldLeft((0L, 0L))((a, b) => (a._1 + b._1, a._2 + b._2))
+        }
+        val (nF, nB) = walk(new HPath(s"$root/v=$next"))
+        val dvRows = dvCounts.map(_.map(_._2).sum).getOrElse(-1L)
+        writeString(new HPath(s"$root/v=$next", "_metrics"),
+          s"$nF\t$nB\t$dvRows", overwrite = true)
       }
       // commit wall-clock (epoch millis, for timestamp time travel) and
       // operation name (for history()) — written AFTER user metaFiles so
@@ -3251,16 +3279,24 @@ object VersionedTable {
     val key = dvDirs.sorted.mkString("\n")
     val hit = elisionCache.get(key)
     if (hit != null) return hit
-    val dvcDirs = dvDirs.map(d => d.stripSuffix("_dv") + "_dvc").filter { d =>
-      val p = new HPath(d); fcOf(p).util.exists(p)
+    // `_dvc` is a text meta FILE next to each `_dv` dir — resolves read
+    // it driver-side, no Spark job
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    dvDirs.foreach { d =>
+      readString(new HPath(d.stripSuffix("_dv") + "_dvc")).foreach {
+        _.linesIterator.filter(_.nonEmpty).foreach { line =>
+          val i = line.lastIndexOf('\t')
+          if (i > 0) scala.util.Try(line.drop(i + 1).toLong).foreach { n =>
+            val f = line.take(i)
+            counts(f) = counts.getOrElse(f, 0L) + n
+          }
+        }
+      }
     }
     val out: Set[String] =
-      if (dvcDirs.isEmpty) Set.empty
+      if (counts.isEmpty) Set.empty
       else {
-        val sums = spark.read.parquet(dvcDirs: _*)
-          .groupBy("_dv_file")
-          .agg(org.apache.spark.sql.functions.sum("n").as("n"))
-          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        val sums = counts.toSeq
         val misses = sums.map(_._1).filterNot(footerRowsCache.containsKey)
         if (misses.nonEmpty) {
           val conf = new org.apache.hadoop.conf.Configuration()
@@ -3444,8 +3480,17 @@ object VersionedTable {
     * version). */
   def history(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
-    committedChain(root).reverse.map(c => (c.version, c.tsMillis, c.operation))
-      .toDF("version", "commit_ts_millis", "operation")
+    committedChain(root).reverse.map { c =>
+      // operation metrics (commit-stamped `_metrics`): data-file count,
+      // bytes, and — on DV commits — masked-row count; NULL on commits
+      // predating the stamp
+      val m = readMeta(root, c.version, "_metrics").map(_.trim.split('\t'))
+      def part(i: Int): Option[Long] =
+        m.filter(_.length > i).flatMap(a => scala.util.Try(a(i).toLong)
+          .toOption).filter(_ >= 0L)
+      (c.version, c.tsMillis, c.operation, part(0), part(1), part(2))
+    }.toDF("version", "commit_ts_millis", "operation",
+      "num_files", "size_bytes", "num_masked_rows")
   }
 
   /** RESTORE (Delta RESTORE analogue): re-commit snapshot `version`'s

@@ -217,6 +217,14 @@ private[gvt] class GvtCdfSource(sqlContext: SQLContext,
         else if (pred.isEmpty)
           Some(VersionedTable.readVersion(spark, root, v)
             .withColumn("_change_type", lit("insert")))
+        else if (VersionedTable.readMeta(root, v, "_operation").map(_.trim)
+                   .exists(o => o.startsWith("COMPACT") || o.startsWith("OPTIMIZE")))
+          // compaction-family commits (COMPACT / OPTIMIZE … WHERE) are
+          // content-identical — Delta's dataChange=false: transparent in
+          // EVERY stream mode. A rows stream must not fail on them, and
+          // a feed stream must not pay a snapshot diff to learn
+          // "nothing changed".
+          None
         else if (isAppend || (!rowsOnly && keys.nonEmpty))
           // changes() takes the append fast path on its own when the
           // _parent chain connects; keys are then only column order

@@ -210,6 +210,41 @@ class GvtCdfSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("compaction-family commits are stream-transparent in every mode " +
+    "(Delta dataChange=false)") {
+    val dir = freshDir()
+    val root = s"$dir/t"
+    VersionedTable.write((1 to 40).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("k", "part"), root, partitionBy = Seq("part"))
+    VersionedTable.append((41 to 60).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("k", "part"), root)
+    // rows mode WITHOUT skipChangeCommits: the scoped optimize must be
+    // skipped, not fail the stream, and must not re-emit its rows
+    val q = spark.readStream.format("gvt").load(root)
+      .writeStream.format("memory").queryName("gvt_rows_opt")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("gvt_rows_opt").count() == 60)
+      VersionedTable.compactWhere(spark, root, col("part") === "a")
+      VersionedTable.append(Seq((61, "b")).toDF("k", "part"), root)
+      q.processAllAvailable()
+      // the optimize emitted NOTHING; the append after it still flows
+      assert(spark.table("gvt_rows_opt").count() == 61)
+    } finally q.stop()
+    // cdf mode: the optimize hop contributes no changelog rows either
+    val q2 = spark.readStream.format("gvt-cdf").option("keys", "k").load(root)
+      .writeStream.format("memory").queryName("gvt_cdf_opt")
+      .option("checkpointLocation", s"$dir/ckpt2").start()
+    try {
+      q2.processAllAvailable()
+      val got = spark.table("gvt_cdf_opt")
+      assert(got.count() == 61) // bootstrap + post-optimize append only
+      assert(got.select("_change_type").distinct().as[String]
+        .collect().toSeq == Seq("insert"))
+    } finally q2.stop()
+  }
+
   test("a cdf stream crosses a column-mapped chain's renames: every hop " +
     "aligns to the stream's pinned schema") {
     val dir = freshDir()

@@ -1234,4 +1234,38 @@ class GvtDdlSpec extends AnyFunSuite {
         .filter(col("part") === "p2").count() == 1)
     }
   }
+
+  test("DESCRIBE HISTORY carries per-commit operation metrics " +
+    "(files, bytes, DV masked rows)") {
+    val root = fresh("histm")
+    VersionedTable.write((1 to 100).toDF("id"), root)
+    VersionedTable.append((101 to 120).toDF("id"), root)
+    VersionedTable.deleteWhereVector(spark, root, col("id") <= 10)
+    val h = VersionedTable.history(spark, root)
+      .orderBy("version").collect()
+    assert(h.length == 3)
+    // every commit stamped: data files + bytes present
+    h.foreach { r =>
+      assert(r.getAs[Long]("num_files") >= 0L)
+      assert(!r.isNullAt(r.fieldIndex("size_bytes")))
+    }
+    assert(h(0).getAs[Long]("num_files") >= 1L)
+    assert(h(0).getAs[Long]("size_bytes") > 0L)
+    // non-DV commits carry NO masked-row metric; the DELETE commit
+    // reports exactly its vector's cardinality
+    assert(h(0).isNullAt(h(0).fieldIndex("num_masked_rows")))
+    assert(h(2).getAs[Long]("num_masked_rows") == 10L)
+    // commits predating the stamp surface NULL metrics, never an error
+    new java.io.File(s"$root/v=1/_metrics").delete()
+    val h1 = VersionedTable.history(spark, root).orderBy("version").head
+    assert(h1.isNullAt(h1.fieldIndex("num_files")))
+    // SQL surface agrees
+    GraftSession.withExtensions(spark) { sess =>
+      val sq = sess.sql(s"DESCRIBE HISTORY gvt.`$root`")
+      assert(sq.columns.toSeq.takeRight(3) ==
+        Seq("num_files", "size_bytes", "num_masked_rows"))
+      assert(sq.filter(col("version") === 3)
+        .head.getAs[Long]("num_masked_rows") == 10L)
+    }
+  }
 }

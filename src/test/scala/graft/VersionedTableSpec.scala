@@ -168,6 +168,7 @@ class VersionedTableSpec extends AnyFunSuite {
     VersionedTable.compact(spark, root)
     VersionedTable.restore(spark, root, 1L)
     val h = VersionedTable.history(spark, root)
+      .select("version", "commit_ts_millis", "operation")
       .as[(Long, Option[Long], String)].collect().toSeq
     assert(h.map(_._1) == Seq(4L, 3L, 2L, 1L))
     assert(h.map(_._3) == Seq("RESTORE(v=1)", "COMPACT", "MERGE", "WRITE"))
