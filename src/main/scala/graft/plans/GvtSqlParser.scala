@@ -537,6 +537,19 @@ case class GvtOptimizeCommand(target: String, zorderBy: Seq[String],
       return Seq(Row(VersionedTable.compactWhere(spark, root,
         org.apache.spark.sql.functions.expr(w), zorderBy = zorderBy)))
     }
+    // Delta's optimize.minFileSize conf as a table property: when
+    // `gvt.optimize.minFileBytes` is set, plain OPTIMIZE bin-packs ONLY
+    // files below the threshold — O(small files), the 100 TB-safe
+    // default; unset keeps the legacy full-rewrite/fold semantics
+    if (zorderBy.isEmpty) {
+      val minB = (try VersionedTable.tblProperties(root) catch {
+        case scala.util.control.NonFatal(_) => Map.empty[String, String]
+      }).get("gvt.optimize.minFileBytes")
+        .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+      minB.foreach { b =>
+        return Seq(Row(VersionedTable.compactSmall(spark, root, b)))
+      }
+    }
     val chainFoldable = zorderBy.isEmpty &&
       VersionedTable.chainDvDirs(root, v).isEmpty &&
       VersionedTable.dataDirsOf(root, v).size > 2 &&

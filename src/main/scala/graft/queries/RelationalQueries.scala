@@ -1098,6 +1098,39 @@ object RelationalQueries {
         FROM sql_optw_t GROUP BY status ORDER BY status""")
     }),
 
+    // Small-file-only OPTIMIZE (Delta bin-packing): with the
+    // gvt.optimize.minFileBytes property set, plain OPTIMIZE re-packs
+    // ONLY the ragged tail of small append files as one DV commit —
+    // O(small files) at any table size — and whole-file elision drops
+    // the originals from scans. Content must equal the plain row-set
+    // arithmetic (OptimizeSmallSpec pins the file-level claims).
+    "q_sql_optimize_small" -> ((s, dir) => graft.GraftSession.withExtensions(s) { sess =>
+      val out = tmpDir("graft_sqloptsm")
+      val o = t(sess, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"), col("o_totalprice").as("price"))
+      val root = s"$out/t"
+      // one well-packed base + four small tail appends
+      graft.sources.VersionedTable.write(
+        o.filter(col("k") % 5 === 0).coalesce(1), root)
+      (1 to 4).foreach { r =>
+        graft.sources.VersionedTable.append(
+          o.filter(col("k") % 5 === r).coalesce(1), root)
+      }
+      val bigBytes = new java.io.File(s"$root/v=1").listFiles()
+        .filter(f => f.isFile && !f.getName.startsWith("_")
+          && !f.getName.startsWith(".")).map(_.length).max
+      graft.sources.VersionedTable.setTblProperties(root,
+        Map("gvt.optimize.minFileBytes" -> bigBytes.toString))
+      sess.sql(s"CREATE OR REPLACE TEMPORARY VIEW sql_optsm_t USING gvt " +
+        s"OPTIONS (path '$root')")
+      sess.sql("OPTIMIZE sql_optsm_t").collect()
+      sess.sql(s"CREATE OR REPLACE TEMPORARY VIEW sql_optsm_t USING gvt " +
+        s"OPTIONS (path '$root')")
+      sess.sql("""SELECT status, count(*) AS n,
+        sum(CAST(floor(price * 100 + 0.5) AS BIGINT)) AS cents
+        FROM sql_optsm_t GROUP BY status ORDER BY status""")
+    }),
+
     // TBLPROPERTIES (Delta's table-property surface through the injected
     // parser): SET upserts (second SET overwrites), UNSET removes, SHOW
     // lists key-ordered — free-form table metadata riding the root, not
@@ -2239,6 +2272,11 @@ object RelationalQueries {
         |USING (status) ORDER BY status""".stripMargin,
 
     "q_sql_optimize_part" ->
+      """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders GROUP BY status ORDER BY status""".stripMargin,
+
+    "q_sql_optimize_small" ->
       """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
         |FROM orders GROUP BY status ORDER BY status""".stripMargin,

@@ -3820,6 +3820,83 @@ object VersionedTable {
     } finally { hit.unpersist(); () }
   }
 
+  /** Non-hidden files under `dir` with their byte sizes — the
+    * [[listDataFiles]] walk, kept in one listing pass. */
+  private def listDataFilesWithSize(dir: String): Seq[(String, Long)] = {
+    val p = new HPath(dir)
+    val fc = fcOf(p)
+    if (!fc.util.exists(p)) return Nil
+    def walk(d: HPath): List[(String, Long)] =
+      fc.util.listStatus(d).toList.flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Nil
+        else if (st.isDirectory) walk(st.getPath)
+        else List((st.getPath.toString, st.getLen))
+      }
+    walk(p)
+  }
+
+  /** Small-file-only OPTIMIZE (Delta's actual bin-packing semantics:
+    * only files below `smallFileBytes` are rewritten; files already at
+    * target size are never touched). The selected files' LIVE rows are
+    * re-packed into ~`targetFileBytes` files and committed as ONE
+    * deletion-vector commit masking the originals — whole-file elision
+    * then drops the originals from every subsequent scan. Cost is
+    * O(small files) at ANY table size: on a 100 TB table that is 99%
+    * well-packed, this touches only the ragged tail the last day of
+    * streaming appends left behind, where the full [[compact]] rewrite
+    * would cost O(table). Content-identical → CDF-neutral (the
+    * OPTIMIZE-family contract). Returns the new version (the current
+    * version when fewer than two candidate files exist — packing one
+    * file is a no-op). */
+  def compactSmall(spark: SparkSession, root: String,
+                   smallFileBytes: Long = 32L * 1024 * 1024,
+                   targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    import org.apache.spark.sql.functions.col
+    val v = latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $root"))
+    val parts = layoutOf(root, v)
+    val dvDirs = chainDvDirs(root, v)
+    val elided = fullyMaskedFiles(spark, dvDirs)
+    val cands = dataDirsOf(root, v).filterNot(isSchemaOnlySlice)
+      .flatMap(listDataFilesWithSize)
+      .filter(_._2 < smallFileBytes)
+      .filterNot { case (f, _) => elided(normFileId(f)) }
+    if (cands.size < 2) return v
+    val nFiles = math.max(1,
+      math.ceil(cands.map(_._2).sum.toDouble / targetFileBytes).toInt)
+    def tag(df: DataFrame) = df.select(col("*"),
+      col("_metadata.file_path").as("__gvt_file"),
+      col("_metadata.row_index").as("__gvt_pos"))
+    val tagged = readFileGroups(spark, cands.map(_._1), parts.nonEmpty, tag)
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+    val masked =
+      if (dvDirs.isEmpty) tagged
+      else applyDv(spark, tagged, dvDirs, keepMeta = true)
+    // column-mapped chains: files carry physical names; rewrite flows
+    // logical (write() re-maps), provenance riding alongside
+    val logical = colmapAt(root, v)
+      .map(applyColmap(masked, _, keepMeta = true)).getOrElse(masked)
+    // zero-row full-schema anchor: selected files may predate an
+    // evolved column — the packed rewrite must still carry it (NULLs),
+    // not silently narrow the schema for its rows
+    val anchored = logical.unionByName(
+      readVersion(spark, root, v).limit(0), allowMissingColumns = true)
+    val hit = anchored
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dv = hit
+        .select(col("__gvt_file").as("_dv_file"), col("__gvt_pos").as("_dv_pos"))
+      val data = hit.drop("__gvt_file", "__gvt_pos")
+      write(data.coalesce(nFiles), root, partitionBy = parts,
+        metaFiles = Map("_dv_parent" -> v.toString),
+        subdirWrites = Map("_dv" -> dv),
+        baseVersion = Some(v),
+        operation = s"OPTIMIZE_SMALL(<${smallFileBytes}B,n=${cands.size})",
+        assignIdentity = false)
+    } finally { hit.unpersist(); () }
+  }
+
   /** SHOW PARTITIONS: the live snapshot's hive partition specs, from
     * DIRECTORY NAMES alone — no job, no data read (directory-granular:
     * a partition whose every row a deletion vector removed still lists
