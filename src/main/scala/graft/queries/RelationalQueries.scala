@@ -1098,6 +1098,29 @@ object RelationalQueries {
         FROM sql_optw_t GROUP BY status ORDER BY status""")
     }),
 
+    // VACUUM's file-granular pass: a whole partition deleted via a
+    // deletion vector, then VACUUM RETAIN 0 HOURS physically reclaims
+    // its files (no O(live) REORG rewrite) — reads, counts, and sums
+    // must equal the plain row-set arithmetic afterwards, from a cold
+    // elision cache (VacuumPurgeSpec pins the file-level claims).
+    "q_sql_vacuum_purge" -> ((s, dir) => graft.GraftSession.withExtensions(s) { sess =>
+      val out = tmpDir("graft_sqlvacp")
+      val o = t(sess, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"), col("o_totalprice").as("price"))
+      val root = s"$out/t"
+      graft.sources.VersionedTable.write(o, root, partitionBy = Seq("status"))
+      sess.sql(s"CREATE OR REPLACE TEMPORARY VIEW sql_vacp_t USING gvt " +
+        s"OPTIONS (path '$root')")
+      sess.sql("DELETE FROM sql_vacp_t WHERE status = 'F'").collect()
+      sess.sql("VACUUM sql_vacp_t RETAIN 0 HOURS").collect()
+      graft.sources.VersionedTable.invalidateElisionCache()
+      sess.sql(s"CREATE OR REPLACE TEMPORARY VIEW sql_vacp_t USING gvt " +
+        s"OPTIONS (path '$root')")
+      sess.sql("""SELECT status, count(*) AS n,
+        sum(CAST(floor(price * 100 + 0.5) AS BIGINT)) AS cents
+        FROM sql_vacp_t GROUP BY status ORDER BY status""")
+    }),
+
     // Small-file-only OPTIMIZE (Delta bin-packing): with the
     // gvt.optimize.minFileBytes property set, plain OPTIMIZE re-packs
     // ONLY the ragged tail of small append files as one DV commit —
@@ -2280,6 +2303,12 @@ object RelationalQueries {
       """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
         |FROM orders GROUP BY status ORDER BY status""".stripMargin,
+
+    "q_sql_vacuum_purge" ->
+      """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders WHERE o_orderstatus <> 'F'
+        |GROUP BY status ORDER BY status""".stripMargin,
 
     // SQL DELETE+UPDATE must equal the plain row-set arithmetic —
     // identical semantics to q_update_dv, driven through SQL text.

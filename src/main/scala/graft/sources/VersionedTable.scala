@@ -1978,7 +1978,23 @@ object VersionedTable {
     val dataFiles = dataDirsOf(root, v).filterNot(isSchemaOnlySlice)
       .flatMap(listDataFiles)
     val dvFiles = chainDvDirs(root, v).flatMap(listDataFiles)
-    footerRowCount(dataFiles) - footerRowCount(dvFiles)
+    footerRowCount(dataFiles) - footerRowCount(dvFiles) +
+      purgedMaskedRows(root, v)
+  }
+
+  /** Masked rows of files the vacuum's file-granular pass reclaimed
+    * whose masking vectors are still in `version`'s chain: their data
+    * footers are gone but the vector entries remain, so the metadata
+    * row-count arithmetic adds them back. Scoped to files under THIS
+    * chain's data dirs — a post-purge full rewrite (compact / REORG)
+    * drops the old dirs and the correction with them. */
+  private def purgedMaskedRows(root: String, version: Long): Long = {
+    val dvDirs = chainDvDirs(root, version)
+    if (dvDirs.isEmpty) return 0L
+    val dirs = dataDirsOf(root, version).map(d => normFileId(d) + "/")
+    rootsOfDvDirs(dvDirs).flatMap(purgedEntries).collect {
+      case (f, n) if dirs.exists(f.startsWith) => n
+    }.sum
   }
 
   // ── ANALYZE TABLE statistics (the CBO table-stats surface) ──────────
@@ -2004,7 +2020,9 @@ object VersionedTable {
     val dataFiles = dataDirsOf(root, v).filterNot(isSchemaOnlySlice)
       .flatMap(listDataFiles)
     val raw = footerRowCount(dataFiles)
-    val live = raw - footerRowCount(chainDvDirs(root, v).flatMap(listDataFiles))
+    val live = raw -
+      footerRowCount(chainDvDirs(root, v).flatMap(listDataFiles)) +
+      purgedMaskedRows(root, v)
     val rawBytes = chainDataBytes(root, v)
     val bytes = if (raw <= 0L) rawBytes
       else math.max(1L, (rawBytes.toDouble * live / raw).toLong)
@@ -2500,6 +2518,18 @@ object VersionedTable {
     val dv = spark.read.parquet(s"$root/v=$toV/_dv")
     val files = dv.select("_dv_file").distinct()
       .collect().map(_.getString(0)).toSeq
+    // a hop whose touched files the vacuum's file-granular pass already
+    // reclaimed is below the supported retention window — fail with the
+    // retention contract, not a file-not-found
+    locally {
+      val purged = purgedEntries(root)
+      if (purged.nonEmpty && files.exists(f => purged.contains(normFileId(f))))
+        throw new graft.streaming.ChangeFeed.CursorBehindRetention(
+          s"$root: change feed across v=$fromV→v=$toV needs data files " +
+            "VACUUM's DV-dead pass already reclaimed — the hop is below " +
+            "the retention window; restart the consumer with a fresh " +
+            "sink (full refresh)")
+    }
     val old =
       if (files.isEmpty) readVersion(spark, root, fromV).limit(0)
       else {
@@ -3270,6 +3300,27 @@ object VersionedTable {
     (try new HPath(new java.net.URI(f))
      catch { case _: Exception => new HPath(f) }).toUri.getPath
 
+  private def purgedFile(root: String) = new HPath(root, "_purged")
+
+  /** The DV-dead files [[vacuum]]'s file-granular pass physically
+    * reclaimed: [[normFileId]] → the masked-row count their vectors
+    * carried. Readers use it to (a) treat the files as elided without
+    * touching their (gone) footers and (b) keep the metadata row-count
+    * arithmetic exact while the masking vectors remain in the chain. */
+  private[graft] def purgedEntries(root: String): Map[String, Long] =
+    readString(purgedFile(root)).map {
+      _.linesIterator.filter(_.nonEmpty).flatMap { line =>
+        val i = line.lastIndexOf('\t')
+        if (i <= 0) None
+        else scala.util.Try((line.take(i), line.drop(i + 1).toLong)).toOption
+      }.toMap
+    }.getOrElse(Map.empty)
+
+  /** The distinct table roots a DV-dir set spans (a shallow-cloned
+    * chain crosses into its source root). */
+  private def rootsOfDvDirs(dvDirs: Seq[String]): Seq[String] =
+    dvDirs.map(d => d.substring(0, d.lastIndexOf("/v="))).distinct
+
   /** Files of the chain whose every row the chain's deletion vectors
     * mask, as [[normFileId]] strings — excluded from scans by every
     * version reader. */
@@ -3296,8 +3347,14 @@ object VersionedTable {
     val out: Set[String] =
       if (counts.isEmpty) Set.empty
       else {
+        // files the vacuum's file-granular pass already reclaimed are
+        // elided by RECORD — their footers are gone
+        val purged = rootsOfDvDirs(dvDirs)
+          .flatMap(r => purgedEntries(r).keys).toSet
         val sums = counts.toSeq
-        val misses = sums.map(_._1).filterNot(footerRowsCache.containsKey)
+        val misses = sums.map(_._1)
+          .filterNot(f => purged(normFileId(f)))
+          .filterNot(footerRowsCache.containsKey)
         if (misses.nonEmpty) {
           val conf = new org.apache.hadoop.conf.Configuration()
           val pool = java.util.concurrent.Executors.newFixedThreadPool(
@@ -3316,7 +3373,9 @@ object VersionedTable {
           } finally pool.shutdown()
         }
         sums.collect {
-          case (f, n) if n >= (footerRowsCache.get(f): Long) => normFileId(f)
+          case (f, _) if purged(normFileId(f)) => normFileId(f)
+          case (f, n) if footerRowsCache.containsKey(f) &&
+            n >= (footerRowsCache.get(f): Long) => normFileId(f)
         }.toSet
       }
     if (elisionCache.size > 4096) elisionCache.clear()
@@ -4111,6 +4170,71 @@ object VersionedTable {
     try checkpoint(root)
     catch { case scala.util.control.NonFatal(_) =>
       delete(checkpointFile(root), recursive = false) }
+    // ── file-granular pass: DV-dead data files are physically
+    // reclaimed. A file fully masked at the live tip whose LAST masking
+    // commit is at-or-below every retained read point carries no row
+    // any supported read can see — deleting it frees the storage of a
+    // masked-out partition WITHOUT the O(live) REORG PURGE rewrite.
+    // Time travel below that commit was already outside the supported
+    // window (the version-drop contract above); the `_purged` record
+    // keeps elision and the row-count arithmetic exact without the
+    // files' footers. Pure metadata: `_dvc` text reads + one footer
+    // read per candidate.
+    latestVersion(root).foreach { live =>
+      val dvDirs = chainDvDirs(root, live)
+      if (dvDirs.nonEmpty && dvDirs.forall(_.startsWith(s"$root/"))) {
+        val minRead = keepBase.min
+        val already = purgedEntries(root)
+        // per-file cumulative masks + LAST masking commit (masks never
+        // shrink: a fully-masked file is never touched by a later DV,
+        // so the last toucher IS the completion commit)
+        val cum = scala.collection.mutable.Map.empty[String, Long]
+        val raw = scala.collection.mutable.Map.empty[String, String]
+        val last = scala.collection.mutable.Map.empty[String, Long]
+        dvDirs.map { d =>
+          (d.stripSuffix("/_dv").substring(d.stripSuffix("/_dv")
+            .lastIndexOf("v=") + 2).toLong, d)
+        }.sortBy(_._1).foreach { case (v, d) =>
+          readString(new HPath(d.stripSuffix("_dv") + "_dvc")).foreach {
+            _.linesIterator.filter(_.nonEmpty).foreach { line =>
+              val i = line.lastIndexOf('\t')
+              if (i > 0) scala.util.Try(line.drop(i + 1).toLong).foreach { n =>
+                val f = normFileId(line.take(i))
+                cum(f) = cum.getOrElse(f, 0L) + n
+                raw(f) = line.take(i)
+                last(f) = v
+              }
+            }
+          }
+        }
+        val reclaimed = cum.toSeq.collect {
+          case (f, n) if !already.contains(f) && last(f) <= minRead &&
+            scala.util.Try {
+              val in = org.apache.parquet.hadoop.util.HadoopInputFile
+                .fromPath(new HPath(new java.net.URI(raw(f))),
+                  new org.apache.hadoop.conf.Configuration())
+              val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+              try r.getRecordCount finally r.close()
+            }.toOption.exists(n >= _) => (f, n)
+        }
+        if (reclaimed.nonEmpty) {
+          reclaimed.foreach { case (f, _) =>
+            delete(new HPath(new java.net.URI(raw(f))), recursive = false)
+          }
+          // merged record; entries whose version dir is gone GC away
+          val vdir = "^(.*/v=\\d+)/".r
+          val merged = (already ++ reclaimed).filter { case (f, _) =>
+            vdir.findFirstMatchIn(f).map(_.group(1)).exists { d =>
+              val p = new HPath(d); fcOf(p).util.exists(p)
+            }
+          }
+          writeString(purgedFile(root),
+            merged.toSeq.sorted.map { case (f, n) => s"$f\t$n" }
+              .mkString("\n"), overwrite = true)
+          invalidateElisionCache()
+        }
+      }
+    }
     drop
   }
 }
