@@ -1689,7 +1689,12 @@ object VersionedTable {
     val fileReads: Seq[DataFrame] =
       if (filesLive.isEmpty) Seq.empty
       else readFileGroups(spark, filesLive, partitioned, tag)
-    val passReads = pass.map { d =>
+    // a pass dir the vacuum's file-granular pass emptied has no footer
+    // to infer from — and no rows to contribute
+    val passLive =
+      if (elided.isEmpty) pass
+      else pass.filter(d => listDataFiles(d).nonEmpty)
+    val passReads = passLive.map { d =>
       tag(if (partitioned) spark.read.option("basePath", d).parquet(d)
           else spark.read.parquet(d))
     }
@@ -3399,7 +3404,13 @@ object VersionedTable {
       col("_metadata.row_index").as("__gvt_pos"))
     val keep = dirs.flatMap(d =>
       listDataFiles(d).filterNot(f => elided(normFileId(f))))
-    val anchor = readDirsMeta(spark, dirs).limit(0)
+    // the anchor skips dirs the vacuum's file-granular pass EMPTIED —
+    // a footer-less dir cannot serve schema (zero-row slices are never
+    // purgeable, so some chain member always keeps one)
+    val anchorDirs = dirs.filter(d => listDataFiles(d).nonEmpty)
+    require(anchorDirs.nonEmpty,
+      s"chain has no readable data file left (every member emptied?): $dirs")
+    val anchor = readDirsMeta(spark, anchorDirs).limit(0)
     if (keep.isEmpty) anchor
     else readFileGroups(spark, keep, dirsLayout(dirs).nonEmpty, tag)
       .foldLeft(anchor)(_.unionByName(_, allowMissingColumns = true))

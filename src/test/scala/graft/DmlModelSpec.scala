@@ -139,8 +139,8 @@ class DmlModelSpec extends AnyFunSuite {
       val v0 = VersionedTable.write(model.toSeq.toDF("k", "v", "p"), root,
         partitionBy = Seq("p"))
       var history = Map(v0 -> model)
-      for (step <- 1 to 12) {
-        val op = rnd.nextInt(5)
+      for (step <- 1 to 14) {
+        val op = rnd.nextInt(7)
         val v: Long = op match {
           case 0 => // append
             val b = freshBatch(2 + rnd.nextInt(5))
@@ -169,6 +169,13 @@ class DmlModelSpec extends AnyFunSuite {
             val target = vs(rnd.nextInt(vs.size))
             model = history(target)
             VersionedTable.restore(spark, root, target)
+          case 5 => // scoped maintenance: one partition, rows must not move
+            VersionedTable.compactWhere(spark, root,
+              col("p") === parts(rnd.nextInt(parts.size)))
+          case 6 => // small-file bin-pack: every file is a candidate at
+            // this scale — a DV-based full re-pack, rows must not move
+            VersionedTable.compactSmall(spark, root,
+              smallFileBytes = Long.MaxValue)
         }
         assert(liveP(root) == model,
           s"trial $trial step $step op $op diverged at v=$v")
@@ -180,6 +187,14 @@ class DmlModelSpec extends AnyFunSuite {
           .select("k", "v", "p").as[(Long, Long, String)].collect().toSet
         assert(got == history(pv), s"trial $trial time travel v=$pv diverged")
       }
+      // RETAIN-0 vacuum (version drop + the DV-dead file pass) must
+      // leave the LIVE state and its metadata row count exact, from a
+      // cold elision cache
+      VersionedTable.vacuum(root, keep = 1, retainMinMs = 0L)
+      VersionedTable.invalidateElisionCache()
+      assert(liveP(root) == model, s"trial $trial diverged after vacuum")
+      assert(VersionedTable.metaRowCount(root) == model.size.toLong,
+        s"trial $trial metaRowCount diverged after vacuum purge")
     }
   }
 }
