@@ -1929,7 +1929,8 @@ object VersionedTable {
     * (sidecars and schema-only slices excluded) — the planner-facing
     * `sizeInBytes` of a chain snapshot. One filesystem listing per
     * chain dir; no data read. */
-  private[graft] def chainDataBytes(root: String, version: Long): Long = {
+  private[graft] def chainDataBytes(root: String, version: Long,
+                                    excluding: Set[String] = Set.empty): Long = {
     def walk(d: HPath): Long = {
       val fc = fcOf(d)
       if (!fc.util.exists(d)) 0L
@@ -1937,6 +1938,8 @@ object VersionedTable {
         val n = st.getPath.getName
         if (n.startsWith("_") || n.startsWith(".")) 0L
         else if (st.isDirectory) walk(st.getPath)
+        else if (excluding.nonEmpty &&
+          excluding(st.getPath.toUri.getPath)) 0L
         else st.getLen
       }.sum
     }

@@ -335,8 +335,15 @@ class GvtDvRelation(
     * needs, at one metadata listing — the same class as building the
     * relation's schema. */
   override val sizeInBytes: Long =
-    VersionedTable.tableStats(root, version).map(_._2)
-      .getOrElse(VersionedTable.chainDataBytes(root, version))
+    VersionedTable.tableStats(root, version).map(_._2).getOrElse {
+      // whole-file elision refines the overestimate for free: fully
+      // masked files carry no servable row, so their bytes don't count
+      // against the broadcast threshold — a partition-wise-deleted
+      // dimension broadcasts again BEFORE compaction or ANALYZE
+      VersionedTable.chainDataBytes(root, version,
+        excluding = VersionedTable.fullyMaskedFiles(spark,
+          VersionedTable.chainDvDirs(root, version)))
+    }
 
   override def needConversion: Boolean = false
 

@@ -98,6 +98,26 @@ class DvElisionSpec extends AnyFunSuite {
       "without counts, elision must stay off (sound degradation)")
   }
 
+  test("the SQL relation's sizeInBytes discounts fully-masked files " +
+    "(mostly-deleted dims broadcast before compaction or ANALYZE)") {
+    val root = fresh("elide_size")
+    val df = (1 to 2000).map(i =>
+      (i.toLong, if (i <= 1900) "dead" else "live", s"pad_$i")).toDF("id", "part", "s")
+    VersionedTable.write(df, root, partitionBy = Seq("part"))
+    def relSize(): BigInt = GraftSession.withExtensions(spark) { sess =>
+      sess.sql(s"CREATE OR REPLACE TEMPORARY VIEW elide_size_t USING gvt " +
+        s"OPTIONS (path '$root')")
+      sess.table("elide_size_t").queryExecution.optimizedPlan.stats.sizeInBytes
+    }
+    val before = relSize()
+    VersionedTable.deleteWhereVector(spark, root, col("part") === "dead")
+    val after = relSize()
+    assert(after < before / 2,
+      s"fully-masked partition must not count against broadcast sizing " +
+        s"(before=$before after=$after)")
+    assert(after > 0)
+  }
+
   test("elision keeps an evolved column alive when its only files mask away") {
     val root = fresh("elide_evolve")
     VersionedTable.write((1 to 10).map(i => Tuple1(i.toLong)).toDF("id"), root) // v1
