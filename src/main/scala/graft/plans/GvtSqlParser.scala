@@ -531,24 +531,27 @@ case class GvtOptimizeCommand(target: String, zorderBy: Seq[String],
     val root = GvtSqlParser.rootOf(spark, target)
     val v = VersionedTable.latestVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no versions at $root"))
-    // `OPTIMIZE t WHERE <partition predicate>` — the O(selected)
-    // scoped rewrite; never the whole table
-    where.foreach { w =>
-      return Seq(Row(VersionedTable.compactWhere(spark, root,
-        org.apache.spark.sql.functions.expr(w), zorderBy = zorderBy)))
-    }
     // Delta's optimize.minFileSize conf as a table property: when
-    // `gvt.optimize.minFileBytes` is set, plain OPTIMIZE bin-packs ONLY
-    // files below the threshold — O(small files), the 100 TB-safe
-    // default; unset keeps the legacy full-rewrite/fold semantics
-    if (zorderBy.isEmpty) {
-      val minB = (try VersionedTable.tblProperties(root) catch {
+    // `gvt.optimize.minFileBytes` is set, OPTIMIZE bin-packs ONLY files
+    // below the threshold — O(small files), the 100 TB-safe default,
+    // and idempotent under scheduling; unset keeps the legacy
+    // full-rewrite/fold semantics. ZORDER keeps full-scope semantics.
+    val minB =
+      if (zorderBy.nonEmpty) None
+      else (try VersionedTable.tblProperties(root) catch {
         case scala.util.control.NonFatal(_) => Map.empty[String, String]
       }).get("gvt.optimize.minFileBytes")
         .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
-      minB.foreach { b =>
-        return Seq(Row(VersionedTable.compactSmall(spark, root, b)))
-      }
+    // `OPTIMIZE t WHERE <partition predicate>` — the O(selected)
+    // scoped rewrite; never the whole table. Honors the small-file
+    // threshold within the scope.
+    where.foreach { w =>
+      return Seq(Row(VersionedTable.compactWhere(spark, root,
+        org.apache.spark.sql.functions.expr(w), zorderBy = zorderBy,
+        minFileBytes = minB)))
+    }
+    minB.foreach { b =>
+      return Seq(Row(VersionedTable.compactSmall(spark, root, b)))
     }
     val chainFoldable = zorderBy.isEmpty &&
       VersionedTable.chainDvDirs(root, v).isEmpty &&

@@ -1301,8 +1301,18 @@ object VersionedTable {
             .groupBy("_dv_file").count().collect()
             .map(r => (r.getString(0), r.getLong(1))).toSeq
           dvCounts = Some(counts)
+          // each line also records the touched file's TOTAL footer row
+          // count (a per-file constant — data files are immutable), so
+          // read-side whole-file elision resolves from `_dvc` text
+          // alone: zero footer IO on ANY subsequent read of the chain.
+          // One pooled footer read per touched file, paid ONCE at
+          // commit time where the file is hot — the write-once/read-
+          // many amortization Delta gets from its manifest row counts.
+          val totals = footerRowsOf(counts.map(_._1))
           writeString(new HPath(s"$root/v=$next", "_dvc"),
-            counts.map { case (f, n) => s"$f\t$n" }.mkString("\n"),
+            counts.map { case (f, n) =>
+              totals.get(f).map(t => s"$f\t$n\t$t").getOrElse(s"$f\t$n")
+            }.mkString("\n"),
             overwrite = true)
         }
       }
@@ -1983,11 +1993,22 @@ object VersionedTable {
     checkReadProtocol(root)
     val v = version.orElse(latestVersion(root)).getOrElse(
       throw new IllegalArgumentException(s"metaRowCount: no versions at $root"))
+    // a `_purged`-recorded file that is STILL present (the crash window
+    // between the record landing and the delete) must not count: its
+    // masks are fully represented in the DV sum AND in the purged
+    // correction, so including its footer would double-add its rows
     val dataFiles = dataDirsOf(root, v).filterNot(isSchemaOnlySlice)
-      .flatMap(listDataFiles)
+      .flatMap(listDataFiles).filterNot(purgedIn(root)(_))
     val dvFiles = chainDvDirs(root, v).flatMap(listDataFiles)
     footerRowCount(dataFiles) - footerRowCount(dvFiles) +
       purgedMaskedRows(root, v)
+  }
+
+  /** Membership test against the root's `_purged` record, in
+    * [[normFileId]] space. */
+  private def purgedIn(root: String): String => Boolean = {
+    val rec = purgedEntries(root)
+    if (rec.isEmpty) _ => false else f => rec.contains(normFileId(f))
   }
 
   /** Masked rows of files the vacuum's file-granular pass reclaimed
@@ -2026,7 +2047,7 @@ object VersionedTable {
     val v = latestVersion(root).getOrElse(throw new IllegalArgumentException(
       s"no versions at $root"))
     val dataFiles = dataDirsOf(root, v).filterNot(isSchemaOnlySlice)
-      .flatMap(listDataFiles)
+      .flatMap(listDataFiles).filterNot(purgedIn(root)(_))
     val raw = footerRowCount(dataFiles)
     val live = raw -
       footerRowCount(chainDvDirs(root, v).flatMap(listDataFiles)) +
@@ -3219,6 +3240,31 @@ object VersionedTable {
     readVersion(spark, root, latestVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no versions at $root")))
 
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long), org.apache.spark.sql.types.StructType]()
+
+  /** Snapshot `version`'s schema, memoized. Building a relation needs
+    * the schema on EVERY resolution (SQL over a registered gvt view
+    * re-resolves per query), and computing it pays parquet footer
+    * inference over the chain each time; version contents are immutable
+    * so the schema is a per-(root, version) constant. The version dir's
+    * mtime keys the entry so a dropped-and-recreated table at the same
+    * root (tests; CREATE OR REPLACE flows) can never serve a stale
+    * schema. */
+  private[graft] def schemaOf(spark: SparkSession, root: String,
+                              version: Long): org.apache.spark.sql.types.StructType = {
+    val mtime = try fcOf(new HPath(root))
+      .getFileStatus(new HPath(s"$root/v=$version")).getModificationTime
+    catch { case scala.util.control.NonFatal(_) => -1L }
+    val key = (root, version, mtime)
+    val hit = schemaCache.get(key)
+    if (hit != null) return hit
+    val s = readVersion(spark, root, version).schema
+    if (schemaCache.size > 4096) schemaCache.clear()
+    schemaCache.put(key, s)
+    s
+  }
+
   /** Time travel: read any retained snapshot (for an append commit, the
     * union of its `_parent` chain; hive-partitioned chains are read
     * per-dir with basePath so partition columns survive; a chain with
@@ -3226,6 +3272,11 @@ object VersionedTable {
     * positions). */
   def readVersion(spark: SparkSession, root: String, version: Long): DataFrame = {
     checkReadProtocol(root)
+    purgeFloor(root).foreach(fl => if (version < fl)
+      throw new IllegalArgumentException(
+        s"$root: version $version is below the purge floor $fl — VACUUM's " +
+          "file-granular pass reclaimed data files this snapshot may need " +
+          "(the version-drop retention contract); read a version >= the floor"))
     val dvs = chainDvDirs(root, version)
     val raw =
       if (dvs.isEmpty) readDirs(spark, dataDirsOf(root, version))
@@ -3298,7 +3349,8 @@ object VersionedTable {
     * sidecars out-of-band must invalidate (the `_protocol` tip-cache
     * contract, applied here). */
   def invalidateElisionCache(): Unit = {
-    footerRowsCache.clear(); elisionCache.clear()
+    footerRowsCache.clear(); elisionCache.clear(); purgeFloorCache.clear()
+    schemaCache.clear()
   }
 
   /** A data-file identity in scheme-free `toUri.getPath` form — the
@@ -3309,6 +3361,26 @@ object VersionedTable {
      catch { case _: Exception => new HPath(f) }).toUri.getPath
 
   private def purgedFile(root: String) = new HPath(root, "_purged")
+  private def purgeFloorFile(root: String) = new HPath(root, "_purge_floor")
+
+  private val purgeFloorCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[Long]]()
+
+  /** The minimum version a read may address after the vacuum's
+    * file-granular pass reclaimed data files: versions below it could
+    * silently miss reclaimed files, so [[readVersion]] refuses them
+    * loudly. None until a purge has happened. Memoized per root (the
+    * floor only ever rises, and only via [[vacuum]], which
+    * invalidates). */
+  private[graft] def purgeFloor(root: String): Option[Long] = {
+    val hit = purgeFloorCache.get(root)
+    if (hit != null) return hit
+    val v = readString(purgeFloorFile(root))
+      .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+    if (purgeFloorCache.size > 4096) purgeFloorCache.clear()
+    purgeFloorCache.put(root, v)
+    v
+  }
 
   /** The DV-dead files [[vacuum]]'s file-granular pass physically
     * reclaimed: [[normFileId]] → the masked-row count their vectors
@@ -3329,6 +3401,68 @@ object VersionedTable {
   private def rootsOfDvDirs(dvDirs: Seq[String]): Seq[String] =
     dvDirs.map(d => d.substring(0, d.lastIndexOf("/v="))).distinct
 
+  /** One `_dvc` sidecar line → (file, masked-row count, total footer
+    * rows if the commit recorded it). Two-field lines predate the
+    * total; their files resolve through a footer probe instead. */
+  private def parseDvcLine(line: String): Option[(String, Long, Option[Long])] = {
+    val parts = line.split('\t')
+    if (parts.length >= 3)
+      (for {
+        n <- scala.util.Try(parts(parts.length - 2).toLong).toOption
+        t <- scala.util.Try(parts(parts.length - 1).toLong).toOption
+      } yield (parts.dropRight(2).mkString("\t"), n, Some(t)))
+        .orElse(parseTwoField(line))
+    else parseTwoField(line)
+  }
+
+  private def parseTwoField(line: String): Option[(String, Long, Option[Long])] = {
+    val i = line.lastIndexOf('\t')
+    if (i <= 0) None
+    else scala.util.Try(line.drop(i + 1).toLong).toOption
+      .map(n => (line.take(i), n, None))
+  }
+
+  /** Diagnostic counter: footer probes issued by the elision resolve.
+    * A DV-free read, or a read over commits whose `_dvc` carries
+    * totals, must leave this at zero — pinned by DvElisionSpec. */
+  private[graft] val elisionFooterProbes =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Pooled parquet-footer row counts for `files` (URI-form paths, the
+    * `_dv_file` / `_metadata.file_path` shape). Missing/unreadable
+    * files are absent from the result — callers decide the semantics.
+    * Successful reads memoize in [[footerRowsCache]]. */
+  private def footerRowsOf(files: Seq[String]): Map[String, Long] = {
+    if (files.isEmpty) return Map.empty
+    val (hits, misses) = files.distinct.partition(footerRowsCache.containsKey)
+    val fresh: Map[String, Long] =
+      if (misses.isEmpty) Map.empty
+      else {
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, misses.size))
+        try {
+          misses.map { f =>
+            f -> pool.submit(new java.util.concurrent.Callable[Option[Long]] {
+              override def call(): Option[Long] =
+                try {
+                  elisionFooterProbes.incrementAndGet()
+                  val in = org.apache.parquet.hadoop.util.HadoopInputFile
+                    .fromPath(new HPath(new java.net.URI(f)), conf)
+                  val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+                  try Some(r.getRecordCount) finally r.close()
+                } catch {
+                  case _: java.io.FileNotFoundException => None
+                }
+            })
+          }.flatMap { case (f, fut) =>
+            fut.get().map { n => footerRowsCache.put(f, n); (f, n) }
+          }.toMap
+        } finally pool.shutdown()
+      }
+    hits.map(f => f -> (footerRowsCache.get(f): Long)).toMap ++ fresh
+  }
+
   /** Files of the chain whose every row the chain's deletion vectors
     * mask, as [[normFileId]] strings — excluded from scans by every
     * version reader. */
@@ -3339,15 +3473,17 @@ object VersionedTable {
     val hit = elisionCache.get(key)
     if (hit != null) return hit
     // `_dvc` is a text meta FILE next to each `_dv` dir — resolves read
-    // it driver-side, no Spark job
+    // it driver-side, no Spark job. Lines carrying the commit-recorded
+    // TOTAL resolve with zero footer IO; two-field legacy lines fall
+    // back to one pooled footer probe per file.
     val counts = scala.collection.mutable.Map.empty[String, Long]
+    val totals = scala.collection.mutable.Map.empty[String, Long]
     dvDirs.foreach { d =>
       readString(new HPath(d.stripSuffix("_dv") + "_dvc")).foreach {
         _.linesIterator.filter(_.nonEmpty).foreach { line =>
-          val i = line.lastIndexOf('\t')
-          if (i > 0) scala.util.Try(line.drop(i + 1).toLong).foreach { n =>
-            val f = line.take(i)
+          parseDvcLine(line).foreach { case (f, n, t) =>
             counts(f) = counts.getOrElse(f, 0L) + n
+            t.foreach(totals(f) = _)
           }
         }
       }
@@ -3360,30 +3496,22 @@ object VersionedTable {
         val purged = rootsOfDvDirs(dvDirs)
           .flatMap(r => purgedEntries(r).keys).toSet
         val sums = counts.toSeq
-        val misses = sums.map(_._1)
+        val probed = footerRowsOf(sums.map(_._1)
           .filterNot(f => purged(normFileId(f)))
-          .filterNot(footerRowsCache.containsKey)
-        if (misses.nonEmpty) {
-          val conf = new org.apache.hadoop.conf.Configuration()
-          val pool = java.util.concurrent.Executors.newFixedThreadPool(
-            math.min(8, misses.size))
-          try misses.map { f =>
-            f -> pool.submit(new java.util.concurrent.Callable[Long] {
-              override def call(): Long = {
-                val in = org.apache.parquet.hadoop.util.HadoopInputFile
-                  .fromPath(new HPath(new java.net.URI(f)), conf)
-                val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-                try r.getRecordCount finally r.close()
-              }
-            })
-          }.foreach { case (f, fut) =>
-            footerRowsCache.put(f, fut.get())
-          } finally pool.shutdown()
-        }
+          .filterNot(totals.contains))
         sums.collect {
           case (f, _) if purged(normFileId(f)) => normFileId(f)
-          case (f, n) if footerRowsCache.containsKey(f) &&
-            n >= (footerRowsCache.get(f): Long) => normFileId(f)
+          case (f, n) if totals.get(f).exists(n >= _) => normFileId(f)
+          case (f, n) if !totals.contains(f) && probed.get(f).exists(n >= _) =>
+            normFileId(f)
+          // a mask-counted candidate whose footer is GONE and whose
+          // rows-total is unrecorded: nothing it could serve is
+          // reachable (its masks cover whatever a reader would want, or
+          // the file was reclaimed by a crashed vacuum before its
+          // `_purged` record landed) — elide rather than propagate a
+          // FileNotFound that would make the whole table unreadable
+          case (f, _) if !totals.contains(f) && !purged(normFileId(f)) &&
+            !probed.contains(f) => normFileId(f)
         }.toSet
       }
     if (elisionCache.size > 4096) elisionCache.clear()
@@ -3482,21 +3610,33 @@ object VersionedTable {
     * costs one shuffle-or-broadcast join at any table size — never a
     * collected value list. */
   case class LocateSemiJoin(values: Seq[org.apache.spark.sql.Column],
-                            source: DataFrame, negated: Boolean)
+                            source: DataFrame, negated: Boolean,
+                            notIn3VL: Boolean = true)
 
   /** Fold locate refinements onto the located row set with EXACT SQL
     * three-valued semantics — the DV payload holds rows where the whole
     * condition is TRUE:
-    *  - IN: a null-rejecting equi semi-join (a NULL value or NULL
-    *    source key is never TRUE — exactly `=`'s unknown);
-    *  - NOT IN: TRUE only when the subquery yields NO NULLs, the value
-    *    is non-NULL, and no row matches. One metadata-sized null probe
-    *    on the subquery (it executes once regardless), then an
-    *    anti-join over the non-null values — a NULL anywhere collapses
-    *    the match set to empty, never to "everything else". */
+    *  - IN / correlated EXISTS: a null-rejecting equi semi-join (a NULL
+    *    value or NULL source key is never TRUE — exactly `=`'s unknown);
+    *  - correlated NOT EXISTS (`notIn3VL = false`): a plain equi
+    *    anti-join — a NULL key never matches, so the row QUALIFIES
+    *    (EXISTS semantics, not NOT IN's null poison);
+    *  - single-column NOT IN: TRUE only when the subquery yields NO
+    *    NULLs, the value is non-NULL, and no row matches. One
+    *    metadata-sized null probe on the subquery (it executes once
+    *    regardless), then an equi anti-join over the non-null values —
+    *    hash-partitionable at any subquery size. An EMPTY subquery
+    *    keeps every row, NULL values included (`x NOT IN ()` is TRUE);
+    *  - multi-column NOT IN: the exact-3VL "compatibility" anti-join —
+    *    an inner row blocks a target tuple when every column pair is
+    *    equal OR either side NULL (the predicate is then TRUE/UNKNOWN).
+    *    The OR-shaped condition is not an equi-join, so the subquery
+    *    side BROADCASTS (Spark's own null-aware anti-join carries the
+    *    same broadcast-only restriction — SPARK-32290's
+    *    BroadcastNestedLoopJoin shape). */
   private def applyLocateJoins(hit0: DataFrame,
                                joins: Seq[LocateSemiJoin]): DataFrame = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{broadcast, col}
     joins.foldLeft(hit0) { (hit, j) =>
       val names = j.source.columns.indices.map(i => s"__gvt_sq_$i")
       val renamed = j.source.toDF(names: _*)
@@ -3506,13 +3646,23 @@ object VersionedTable {
         val cond = j.values.zip(names)
           .map { case (v, n) => v === renamed(n) }.reduce(_ && _)
         hit.join(renamed, cond, "left_semi")
+      } else if (!j.notIn3VL) {
+        val cond = j.values.zip(names)
+          .map { case (v, n) => v === renamed(n) }.reduce(_ && _)
+        hit.join(renamed, cond, "left_anti")
+      } else if (j.values.size == 1) {
+        if (renamed.isEmpty) hit // NOT IN (): TRUE for every row
+        else {
+          val hasNull = !renamed.filter(col(names.head).isNull).limit(1).isEmpty
+          if (hasNull) hit.limit(0) // NOT IN over a NULL-bearing set: never TRUE
+          else hit.filter(j.values.head.isNotNull)
+            .join(renamed, j.values.head === renamed(names.head), "left_anti")
+        }
       } else {
-        require(j.values.size == 1,
-          "NOT IN locate join supports a single value expression")
-        val hasNull = !renamed.filter(col(names.head).isNull).limit(1).isEmpty
-        if (hasNull) hit.limit(0) // NOT IN over a NULL-bearing set: never TRUE
-        else hit.filter(j.values.head.isNotNull)
-          .join(renamed, j.values.head === renamed(names.head), "left_anti")
+        val cond = j.values.zip(names).map { case (v, n) =>
+          (v === renamed(n)) || v.isNull || renamed(n).isNull
+        }.reduce(_ && _)
+        hit.join(broadcast(renamed), cond, "left_anti")
       }
     }
   }
@@ -3816,10 +3966,34 @@ object VersionedTable {
     * CDF-neutral: keyed diffs pair away and the keyless feed emits
     * nothing. Returns the new version (the CURRENT version, as a no-op,
     * when no live partition matches). */
+  /** Hive `%xx` directory-name unescaping (the encoding
+    * `ExternalCatalogUtils.escapePathName` applies to special
+    * characters in partition values) — spec values must be DECODED
+    * before they are cast and compared, or a genuinely matching
+    * partition is misjudged as absent. */
+  private def unescapePathName(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        val hex = scala.util.Try(
+          Integer.parseInt(s.substring(i + 1, i + 3), 16)).toOption
+        hex match {
+          case Some(code) => sb.append(code.toChar); i += 3
+          case None => sb.append(c); i += 1
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   def compactWhere(spark: SparkSession, root: String,
                    predicate: org.apache.spark.sql.Column,
                    targetFileBytes: Long = 128L * 1024 * 1024,
-                   zorderBy: Seq[String] = Seq.empty): Long = {
+                   zorderBy: Seq[String] = Seq.empty,
+                   minFileBytes: Option[Long] = None): Long = {
     import org.apache.spark.sql.functions.{col, lit, when}
     val v = latestVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no versions at $root"))
@@ -3843,9 +4017,21 @@ object VersionedTable {
     val specs = showPartitions(root)
     if (specs.isEmpty) return v
     import scala.jdk.CollectionConverters._
+    // each `k=v` segment maps to its column BY KEY NAME (never by
+    // position — a layout listed in a different order than `parts`
+    // must not shuffle values across columns), values hive-UNESCAPED
+    // before typing; the raw spec string stays alongside for the
+    // directory paths the rewrite lists
     val strDf = spark.createDataFrame(
-      specs.map(s => org.apache.spark.sql.Row.fromSeq(
-        s +: s.split('/').toSeq.map(_.split("=", 2)(1)))).asJava,
+      specs.map { s =>
+        val kv = s.split('/').toSeq.map { seg =>
+          val Array(k, v) = seg.split("=", 2)
+          unescapePathName(k) -> unescapePathName(v)
+        }.toMap
+        org.apache.spark.sql.Row.fromSeq(s +: parts.map(p =>
+          kv.getOrElse(p, throw new IllegalArgumentException(
+            s"partition spec $s lacks layout column $p"))))
+      }.asJava,
       org.apache.spark.sql.types.StructType(
         org.apache.spark.sql.types.StructField("__gvt_spec",
           org.apache.spark.sql.types.StringType) +:
@@ -3857,6 +4043,49 @@ object VersionedTable {
     val matchedSpecs = typed.filter(predicate)
       .select("__gvt_spec").collect().map(_.getString(0)).toSeq
     if (matchedSpecs.isEmpty) return v
+    // small-file-only scope (`gvt.optimize.minFileBytes`, Delta's
+    // minFileSize semantics applied WITHIN the WHERE scope): only files
+    // below the threshold rewrite, so a SCHEDULED scoped OPTIMIZE is
+    // idempotent — a partition already packed to >= threshold files
+    // re-churns nothing (no new version, no DV, untouched bytes).
+    // Z-ordered scoped rewrites keep full-scope semantics (clustering
+    // must cover every row, Delta's ZORDER contract).
+    minFileBytes.filter(_ => zorderBy.isEmpty).foreach { minB =>
+      val dvDirs = chainDvDirs(root, v)
+      val elided = fullyMaskedFiles(spark, dvDirs)
+      val cands = dataDirsOf(root, v).filterNot(isSchemaOnlySlice)
+        .flatMap(d => matchedSpecs.map(s => s"$d/$s"))
+        .flatMap(listDataFilesWithSize)
+        .filter(_._2 < minB)
+        .filterNot { case (f, _) => elided(normFileId(f)) }
+      if (cands.size < 2) return v
+      def tagM(df: DataFrame) = df.select(col("*"),
+        col("_metadata.file_path").as("__gvt_file"),
+        col("_metadata.row_index").as("__gvt_pos"))
+      val tagged = readFileGroups(spark, cands.map(_._1), partitioned = true,
+        tagM).reduce(_.unionByName(_, allowMissingColumns = true))
+      val masked = if (dvDirs.isEmpty) tagged
+        else applyDv(spark, tagged, dvDirs, keepMeta = true)
+      val logical = colmapAt(root, v)
+        .map(applyColmap(masked, _, keepMeta = true)).getOrElse(masked)
+      val anchored = logical.unionByName(
+        readVersion(spark, root, v).limit(0), allowMissingColumns = true)
+      val n = math.max(1,
+        math.ceil(cands.map(_._2).sum.toDouble / targetFileBytes).toInt)
+      val hitS = anchored
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val dv = hitS.select(col("__gvt_file").as("_dv_file"),
+          col("__gvt_pos").as("_dv_pos"))
+        val data = hitS.drop("__gvt_file", "__gvt_pos")
+        return write(data.coalesce(n), root, partitionBy = parts,
+          metaFiles = Map("_dv_parent" -> v.toString),
+          subdirWrites = Map("_dv" -> dv),
+          baseVersion = Some(v),
+          operation = s"OPTIMIZE_WHERE(small<${minB}B,n=${cands.size})",
+          assignIdentity = false)
+      } finally { hitS.unpersist(); () }
+    }
     // size the bin-pack from the matching directories' bytes — listing
     // only, no data read
     def sizeOf(p: HPath): Long = {
@@ -4201,50 +4430,77 @@ object VersionedTable {
         val already = purgedEntries(root)
         // per-file cumulative masks + LAST masking commit (masks never
         // shrink: a fully-masked file is never touched by a later DV,
-        // so the last toucher IS the completion commit)
+        // so the last toucher IS the completion commit) + the commit-
+        // recorded footer total where available (no footer read then)
         val cum = scala.collection.mutable.Map.empty[String, Long]
         val raw = scala.collection.mutable.Map.empty[String, String]
         val last = scala.collection.mutable.Map.empty[String, Long]
+        val tot = scala.collection.mutable.Map.empty[String, Long]
         dvDirs.map { d =>
           (d.stripSuffix("/_dv").substring(d.stripSuffix("/_dv")
             .lastIndexOf("v=") + 2).toLong, d)
         }.sortBy(_._1).foreach { case (v, d) =>
           readString(new HPath(d.stripSuffix("_dv") + "_dvc")).foreach {
             _.linesIterator.filter(_.nonEmpty).foreach { line =>
-              val i = line.lastIndexOf('\t')
-              if (i > 0) scala.util.Try(line.drop(i + 1).toLong).foreach { n =>
-                val f = normFileId(line.take(i))
+              parseDvcLine(line).foreach { case (fRaw, n, t) =>
+                val f = normFileId(fRaw)
                 cum(f) = cum.getOrElse(f, 0L) + n
-                raw(f) = line.take(i)
+                raw(f) = fRaw
                 last(f) = v
+                t.foreach(tot(f) = _)
               }
             }
           }
         }
+        // a prior pass that crashed between its `_purged` record and
+        // the deletes leaves recorded-but-present files: re-delete them
+        // (reads already elide them by record, so this is pure storage
+        // reclaim — the repair the record-first ordering makes possible)
+        cum.keys.filter(already.contains).foreach { f =>
+          try { delete(new HPath(new java.net.URI(raw(f))),
+            recursive = false); () }
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
+        val probed = footerRowsOf(cum.keys.toSeq
+          .filterNot(f => already.contains(f) || tot.contains(f))
+          .map(raw))
         val reclaimed = cum.toSeq.collect {
           case (f, n) if !already.contains(f) && last(f) <= minRead &&
-            scala.util.Try {
-              val in = org.apache.parquet.hadoop.util.HadoopInputFile
-                .fromPath(new HPath(new java.net.URI(raw(f))),
-                  new org.apache.hadoop.conf.Configuration())
-              val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-              try r.getRecordCount finally r.close()
-            }.toOption.exists(n >= _) => (f, n)
+            tot.get(f).orElse(probed.get(raw(f))).exists(n >= _) => (f, n)
         }
         if (reclaimed.nonEmpty) {
-          reclaimed.foreach { case (f, _) =>
-            delete(new HPath(new java.net.URI(raw(f))), recursive = false)
-          }
-          // merged record; entries whose version dir is gone GC away
+          // CRASH ORDER: the `_purged` record (with the purge floor)
+          // lands BEFORE any file is deleted — a crash between the two
+          // leaves a recorded-but-still-present file, which readers
+          // elide by record and [[metaRowCount]]/[[analyzeTable]]
+          // exclude from footer sums; a re-run re-deletes it. The old
+          // delete-then-record order left a missing-but-unrecorded file
+          // whose footer probe failed every subsequent read.
           val vdir = "^(.*/v=\\d+)/".r
+          // GC: entries whose version dir is gone (version-drop vacuum
+          // removed it) carry no reachable masks. The existence probe
+          // resolves against the TABLE ROOT's filesystem — record keys
+          // are scheme-free, and probing them on the default FS would
+          // silently drop live entries for tables on a non-default FS.
+          val rootFc = fcOf(new HPath(root))
           val merged = (already ++ reclaimed).filter { case (f, _) =>
             vdir.findFirstMatchIn(f).map(_.group(1)).exists { d =>
-              val p = new HPath(d); fcOf(p).util.exists(p)
+              rootFc.util.exists(rootFc.makeQualified(new HPath(d)))
             }
           }
           writeString(purgedFile(root),
             merged.toSeq.sorted.map { case (f, n) => s"$f\t$n" }
               .mkString("\n"), overwrite = true)
+          // minimum-readable-version floor: versions below it may be
+          // missing reclaimed files — readVersion refuses them LOUDLY
+          // (the version-drop contract), instead of a listing-based
+          // read silently returning fewer rows
+          val floor = math.max(minRead,
+            purgeFloor(root).getOrElse(Long.MinValue))
+          writeString(purgeFloorFile(root), floor.toString, overwrite = true)
+          reclaimed.foreach { case (f, _) =>
+            delete(new HPath(new java.net.URI(raw(f))), recursive = false)
+          }
           invalidateElisionCache()
         }
       }

@@ -136,7 +136,7 @@ class DefaultSource extends RelationProvider
       // filter/column pushdown preserved inside
       return new GvtDvRelation(spark, sqlContext, root, version, pinned)
     val dirs = VersionedTable.dataDirsOf(root, version)
-    val fullSchema = VersionedTable.readVersion(spark, root, version).schema
+    val fullSchema = VersionedTable.schemaOf(spark, root, version)
     val index = new GvtFileIndex(spark, dirs.map(new Path(_)),
       VersionedTable.fileStats(spark, root, version), root, pinned,
       fullSchema)
@@ -321,7 +321,7 @@ class GvtDvRelation(
   extends BaseRelation with PrunedFilteredScan {
 
   override val schema: StructType =
-    VersionedTable.readVersion(spark, root, version).schema
+    VersionedTable.schemaOf(spark, root, version)
 
   /** Real size, not the never-broadcast default: without this a 10 MB
     * dimension table with ONE pending deletion vector (or a column

@@ -118,6 +118,86 @@ class DvElisionSpec extends AnyFunSuite {
     assert(after > 0)
   }
 
+  test("a DV-free versioned read pays ZERO elision cost — no footer " +
+    "probes, no _dvc/_purged metadata reads") {
+    import graft.sources.{CountingFileStore, LogStore}
+    spark.conf.set("spark.graft.logstore.file",
+      classOf[CountingFileStore].getName)
+    LogStore.invalidateCustomStores()
+    try {
+      val root = fresh("elide_dvfree")
+      VersionedTable.write((1 to 500).map(i => (i.toLong, s"s$i"))
+        .toDF("id", "s"), root) // v1
+      VersionedTable.append((501 to 600).map(i => (i.toLong, s"s$i"))
+        .toDF("id", "s"), root) // v2 (chain read, still DV-free)
+      VersionedTable.invalidateElisionCache()
+      VersionedTable.elisionFooterProbes.set(0L)
+      CountingFileStore.clear()
+      assert(VersionedTable.readLatest(spark, root).count() == 600)
+      assert(VersionedTable.readVersion(spark, root, 1).count() == 500)
+      assert(VersionedTable.elisionFooterProbes.get() == 0L,
+        "a DV-free read must never probe a parquet footer for elision")
+      for (side <- Seq("_dvc", "_purged")) {
+        val n = CountingFileStore.totalUnder(CountingFileStore.reads, root,
+          contains = side)
+        assert(n == 0L, s"DV-free read issued $n $side metadata reads")
+      }
+    } finally {
+      spark.conf.unset("spark.graft.logstore.file")
+      LogStore.invalidateCustomStores()
+    }
+  }
+
+  test("DV commits record footer totals in _dvc — the cold elision " +
+    "resolve replays from text alone, zero footer probes") {
+    val root = fresh("elide_totals")
+    VersionedTable.write((1 to 1000).map(i =>
+      (i.toLong, if (i % 4 == 0) "a" else "b")).toDF("id", "part"),
+      root, partitionBy = Seq("part")) // v1
+    VersionedTable.deleteWhereVector(spark, root, col("part") === "a") // v2
+    // the sidecar carries file TAB masked TAB total
+    val dvc = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/v=2/_dvc")), "UTF-8")
+    assert(dvc.linesIterator.filter(_.nonEmpty)
+      .forall(_.split('\t').length == 3),
+      s"_dvc lines must carry the commit-recorded footer total:\n$dvc")
+    // cold resolve (all caches dropped): elision decides from the
+    // sidecar text — not one footer read
+    VersionedTable.invalidateElisionCache()
+    VersionedTable.elisionFooterProbes.set(0L)
+    val live = VersionedTable.readLatest(spark, root)
+    assert(live.count() == 750)
+    assert(!plannedDataFiles(root).exists(_.contains("part=a")))
+    assert(VersionedTable.elisionFooterProbes.get() == 0L,
+      "elision over a totals-bearing _dvc chain must not read footers")
+  }
+
+  test("a reclaimed file missing from a legacy (total-less) chain with " +
+    "no _purged record elides instead of failing every read") {
+    val root = fresh("elide_crash")
+    VersionedTable.write((1 to 400).map(i =>
+      (i.toLong, if (i % 4 == 0) "a" else "b")).toDF("id", "part"),
+      root, partitionBy = Seq("part")) // v1
+    VersionedTable.deleteWhereVector(spark, root, col("part") === "a") // v2
+    // simulate a legacy chain (no totals) hit by a crashed pre-record
+    // vacuum: strip the third _dvc field, delete the masked data files,
+    // leave NO _purged record
+    val dvcPath = java.nio.file.Paths.get(s"$root/v=2/_dvc")
+    val legacy = new String(java.nio.file.Files.readAllBytes(dvcPath), "UTF-8")
+      .linesIterator.filter(_.nonEmpty).map { l =>
+        val p = l.split('\t'); s"${p.dropRight(1).mkString("\t")}"
+      }.mkString("\n")
+    java.nio.file.Files.write(dvcPath, legacy.getBytes("UTF-8"))
+    val dead = new java.io.File(s"$root/v=1/part=a")
+    dead.listFiles().filter(_.isFile).foreach(_.delete())
+    VersionedTable.invalidateElisionCache()
+    // the read survives: the missing candidate is treated as elided
+    // (nothing it could serve is reachable), never a FileNotFound
+    val live = VersionedTable.readLatest(spark, root)
+    assert(live.count() == 300)
+    assert(live.filter(col("part") === "a").count() == 0)
+  }
+
   test("elision keeps an evolved column alive when its only files mask away") {
     val root = fresh("elide_evolve")
     VersionedTable.write((1 to 10).map(i => Tuple1(i.toLong)).toDF("id"), root) // v1

@@ -111,6 +111,56 @@ class OptimizeWhereSpec extends AnyFunSuite {
       feed.head.getAs[String]("_change_type") == "delete")
   }
 
+  test("gvt.optimize.minFileBytes makes scoped OPTIMIZE idempotent: a " +
+    "packed partition re-churns nothing on repeat runs") {
+    val root = fresh("optwi")
+    mk(root)
+    val v1 = VersionedTable.compactWhere(spark, root, col("part") === "a",
+      minFileBytes = Some(32L * 1024 * 1024))
+    assert(v1 == VersionedTable.latestVersion(root).get)
+    val before = VersionedTable.readLatest(spark, root)
+      .orderBy("id").collect().toSeq
+    // second scheduled run: every part=a file is now >= packed — the
+    // small-file filter finds < 2 candidates and the call is a NO-OP
+    // (same version back, no new commit, no DV churn)
+    val v2 = VersionedTable.compactWhere(spark, root, col("part") === "a",
+      minFileBytes = Some(32L * 1024 * 1024))
+    assert(v2 == v1, s"repeat scoped OPTIMIZE must no-op (v1=$v1, v2=$v2)")
+    assert(VersionedTable.readLatest(spark, root)
+      .orderBy("id").collect().toSeq == before)
+    // and the SQL surface honors the table property on the WHERE path
+    GraftSession.withExtensions(spark) { sess =>
+      sess.sql(s"ALTER TABLE gvt.`$root` SET TBLPROPERTIES " +
+        "('gvt.optimize.minFileBytes' = '33554432')")
+      val nv = sess.sql(s"OPTIMIZE gvt.`$root` WHERE part = 'a'")
+        .head.getLong(0)
+      assert(nv == v1, s"SQL scoped OPTIMIZE must honor minFileBytes ($nv)")
+    }
+  }
+
+  test("hive-escaped partition values match their WHERE predicate " +
+    "(%xx directory names decode before the compare)") {
+    val root = fresh("optwe")
+    // partition values with characters hive escapes in directory names
+    val df = (1 to 60).map(i =>
+      (i.toLong, if (i % 2 == 0) "a b" else "x:y")).toDF("id", "part")
+    VersionedTable.write(df.filter(col("id") <= 30), root,
+      partitionBy = Seq("part"))
+    VersionedTable.append(df.filter(col("id") > 30), root)
+    val dirNames = new java.io.File(s"$root/v=1").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    assert(dirNames.exists(_.contains("%")),
+      s"fixture expects escaped dir names, got $dirNames")
+    val v = VersionedTable.latestVersion(root).get
+    val nv = VersionedTable.compactWhere(spark, root, col("part") === "a b")
+    assert(nv == v + 1,
+      "an escaped-name partition matching the predicate must rewrite, " +
+        "not silently no-op")
+    val live = VersionedTable.readLatest(spark, root)
+    assert(live.count() == 60)
+    assert(live.filter(col("part") === "a b").count() == 30)
+  }
+
   test("SQL: OPTIMIZE t WHERE … [ZORDER BY] parses and runs") {
     val root = fresh("optws")
     mk(root)

@@ -47,9 +47,10 @@ object CountingFileStore {
   }
   def clear(): Unit = { reads.clear(); lists.clear() }
   def totalUnder(m: ConcurrentHashMap[String, AtomicLong],
-                 prefix: String): Long = {
+                 prefix: String, contains: String = ""): Long = {
     import scala.jdk.CollectionConverters._
-    m.asScala.collect { case (k, v) if k.startsWith(prefix) => v.get }.sum
+    m.asScala.collect { case (k, v)
+      if k.startsWith(prefix) && k.contains(contains) => v.get }.sum
   }
 }
 

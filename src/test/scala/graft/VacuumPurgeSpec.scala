@@ -85,6 +85,51 @@ class VacuumPurgeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("retention"))
   }
 
+  test("time travel below the purge floor refuses LOUDLY (never a " +
+    "silently smaller snapshot)") {
+    val root = fresh("vacpf")
+    mk(root)
+    // before the purge, v1 serves its full 400 rows
+    assert(VersionedTable.readVersion(spark, root, 1).count() == 400)
+    VersionedTable.vacuum(root, keep = 1, retainMinMs = 0L)
+    VersionedTable.invalidateElisionCache()
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.readVersion(spark, root, 1).count()
+    }
+    assert(e.getMessage.contains("purge floor"), e.getMessage)
+    // the floor gates only the reclaimed range — the live tip reads fine
+    assert(VersionedTable.readLatest(spark, root).count() == 300)
+  }
+
+  test("a crash between the _purged record and the deletes leaves the " +
+    "table exact, and the next VACUUM finishes the reclaim") {
+    val root = fresh("vacpx")
+    mk(root)
+    // snapshot the doomed files, run the pass, then restore them —
+    // exactly the recorded-but-still-present state a crash after the
+    // record (but before the deletes) leaves behind
+    val deadDir = new java.io.File(s"$root/v=1/part=a")
+    val saved = deadDir.listFiles().filter(f => f.isFile &&
+      !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(f => f.getName -> java.nio.file.Files.readAllBytes(f.toPath)).toSeq
+    assert(saved.nonEmpty)
+    VersionedTable.vacuum(root, keep = 1, retainMinMs = 0L)
+    saved.foreach { case (name, bytes) =>
+      java.nio.file.Files.write(new java.io.File(deadDir, name).toPath, bytes)
+    }
+    VersionedTable.invalidateElisionCache()
+    // recorded-but-present: reads elide by record, counts stay exact
+    assert(VersionedTable.readLatest(spark, root).count() == 300)
+    assert(VersionedTable.metaRowCount(root) == 300L)
+    assert(VersionedTable.analyzeTable(spark, root)._2 == 300L)
+    // the next pass self-heals: the leftover files go away again
+    VersionedTable.vacuum(root, keep = 1, retainMinMs = 0L)
+    assert(physFiles(root, "v=1/part=a").isEmpty,
+      "re-run VACUUM must re-delete recorded-but-present leftovers")
+    VersionedTable.invalidateElisionCache()
+    assert(VersionedTable.readLatest(spark, root).count() == 300)
+  }
+
   test("ANALYZE and DESCRIBE-DETAIL-class stats stay exact after the purge") {
     val root = fresh("vacpa")
     mk(root)
