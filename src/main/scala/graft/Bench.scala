@@ -102,17 +102,36 @@ object Bench {
       val s = xs.sorted; val n = s.length
       if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
     }
-    // re-time on absolute stall (min > 3s) OR on med/min spread > 1.5 at
-    // ≥0.5s: a steal window that inflates only SOME of a query's runs
-    // shows as spread, not a stalled min — extra observations let a later
-    // reader separate genuine train-cost variance from a swept window
-    // (r7: q_ann_ivfpq med 4.02 vs min 2.88 needed a manual round-8
-    // attribution precisely because only 2 early runs existed).
-    def needsRetime(obs: Seq[Double]): Boolean =
-      obs.min > 3.0 || (obs.min >= 0.5 && median(obs) > 1.5 * obs.min)
-    for (_ <- 1 to 2 if results.exists(r => needsRetime(r._2))) {
+    // prior round's committed per-query minima (bench_detail.json in the
+    // repo root, read BEFORE this run overwrites it): the RELATIVE
+    // re-time reference. Sub-3s queries swept by a steal window used to
+    // surface as unconfirmable "regressions" every round (r13:
+    // q_hll_est 0.19→2.40 min with runs=2, never re-timed because the
+    // old threshold was absolute min>3.0s) — any query whose fresh min
+    // exceeds 1.5× its prior committed min now re-times in the same
+    // sweep, so a genuine regression shows with runs ≥ 4 and a swept
+    // window self-corrects.
+    val priorMin: Map[String, Double] =
+      (try {
+        val p = java.nio.file.Paths.get("bench_detail.json")
+        if (!java.nio.file.Files.exists(p)) Map.empty[String, Double]
+        else {
+          val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+          """"([^"]+)":\{"min":([0-9.]+)""".r.findAllMatchIn(txt)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      } catch { case scala.util.control.NonFatal(_) => Map.empty[String, Double] })
+    // re-time on absolute stall (min > 3s), on med/min spread > 1.5 at
+    // ≥0.5s (a steal window that inflates only SOME runs shows as
+    // spread), or on min > 1.5× the prior round's committed min at
+    // ≥0.25s (the relative trigger above — the floor keeps ±50ms jitter
+    // on sub-quarter-second queries from burning retry passes).
+    def needsRetime(name: String, obs: Seq[Double]): Boolean =
+      obs.min > 3.0 || (obs.min >= 0.5 && median(obs) > 1.5 * obs.min) ||
+        (obs.min >= 0.25 && priorMin.get(name).exists(p => obs.min > 1.5 * p))
+    for (_ <- 1 to 2 if results.exists(r => needsRetime(r._1, r._2))) {
       results = results.map { case (name, obs) =>
-        if (needsRetime(obs)) name -> (obs ++ timedRuns(name, SparkEntry.queries(name), 2))
+        if (needsRetime(name, obs)) name -> (obs ++ timedRuns(name, SparkEntry.queries(name), 2))
         else name -> obs
       }
     }

@@ -100,10 +100,29 @@ object GvtDml extends Rule[LogicalPlan] {
     toColUnchecked(e)
   }
 
+  /** Inline `With` common-expression nodes (the analyzer's BETWEEN /
+    * case-dedup rewrite) by substituting each ref with its definition:
+    * `With.withNewChildrenInternal` calls dataType on its defs, which
+    * explodes once the attribute rewrite below makes them unresolved —
+    * and a DML condition is evaluated ONCE per row anyway, so the
+    * dedup buys nothing here. */
+  private def inlineWith(e: Expression): Expression = e.transformUp {
+    case w: org.apache.spark.sql.catalyst.expressions.With =>
+      val defs = w.defs.map(d => d.id -> d.child).toMap
+      w.child.transformUp {
+        case r: org.apache.spark.sql.catalyst.expressions.CommonExpressionRef
+            if defs.contains(r.id) => defs(r.id)
+      }
+  }
+
   private def toColUnchecked(e: Expression): Column =
-    NativeColumns.ofExpr(e.transform {
+    NativeColumns.ofExpr(inlineWith(e).transform {
       case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
     })
+
+  /** [[toColUnchecked]] for run-time callers ([[SubqueryConds]]'s
+    * scalar fold). */
+  private[plans] def exprToColumn(e: Expression): Column = toColUnchecked(e)
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
     case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
@@ -114,76 +133,194 @@ object GvtDml extends Rule[LogicalPlan] {
     * condition, carried to run time (the subquery plan must execute at
     * COMMAND time, inside the locate scan, never during resolution). */
   private[plans] sealed trait SubCond
-  /** `(v…) IN (SELECT …)` / `v NOT IN (SELECT …)`. */
+  /** `(v…) [NOT] IN (SELECT …)` — or a correlated `[NOT] EXISTS`
+    * decomposed to its equality keys. `notIn3VL` selects the negated
+    * join's semantics: SQL NOT IN's three-valued null poison (true) vs
+    * NOT EXISTS's plain anti-join (false). */
   private[plans] case class InCond(values: Seq[Column], plan: LogicalPlan,
-                                   negated: Boolean) extends SubCond
+                                   negated: Boolean,
+                                   notIn3VL: Boolean = true) extends SubCond
   /** Uncorrelated `[NOT] EXISTS (SELECT …)` — a run-time constant. */
   private[plans] case class ExistsCond(plan: LogicalPlan,
                                        negated: Boolean) extends SubCond
 
+  /** Decompose a CORRELATED subquery plan whose every outer reference
+    * is a top-level `outer-column = inner-expression` equality conjunct
+    * in the Filter pipeline directly under the subquery's projection —
+    * the staging-table idiom `EXISTS (SELECT … FROM s WHERE s.k = t.k)`
+    * — into (outer key Columns, a decorrelated plan whose TRAILING
+    * output columns are the matching inner expressions). `keepOutput`
+    * keeps the subquery's own projection in front (the correlated IN
+    * shape, whose values the caller pairs positionally); EXISTS drops
+    * it. Anything richer (correlation under an aggregate/join, non-
+    * equality correlation, outer refs in the projection) refuses
+    * LOUDLY — never a silent mis-execution. */
+  private def decorrelateEq(plan0: LogicalPlan,
+                            keepOutput: Boolean): (Seq[Column], LogicalPlan) = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, OuterReference}
+    def hasOuter(e: Expression): Boolean =
+      e.exists(_.isInstanceOf[OuterReference])
+    def planHasOuter(p: LogicalPlan): Boolean =
+      p.exists(_.expressions.exists(hasOuter))
+    val pairs = scala.collection.mutable.ArrayBuffer
+      .empty[(AttributeReference, Expression)]
+    def strip(p: LogicalPlan): LogicalPlan = p match {
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, child) =>
+        val (corr, local) = conjuncts(cond).partition(hasOuter)
+        corr.foreach {
+          case EqualTo(OuterReference(a: AttributeReference), inner)
+              if !hasOuter(inner) => pairs += ((a, inner))
+          case EqualTo(inner, OuterReference(a: AttributeReference))
+              if !hasOuter(inner) => pairs += ((a, inner))
+          case other => unsupported("a correlated DML subquery predicate " +
+            s"beyond outer-column = inner-expression equality ($other)")
+        }
+        val sc = strip(child)
+        local.reduceOption(CAnd(_, _))
+          .map(org.apache.spark.sql.catalyst.plans.logical.Filter(_, sc))
+          .getOrElse(sc)
+      case other => other
+    }
+    val (projList, body) = plan0 match {
+      case Project(pl, child) if !pl.exists(hasOuter) => (pl, child)
+      case other => (Seq.empty, other)
+    }
+    val stripped = strip(body)
+    if (pairs.isEmpty || planHasOuter(stripped))
+      unsupported("a correlated DML subquery whose correlation is not a " +
+        "top-level equality conjunct over the subquery's own filter " +
+        "pipeline (aggregating/disjunctive/nested correlation does not " +
+        "decompose into a distributed locate join)")
+    val aliases = pairs.toSeq.zipWithIndex.map { case ((_, in), i) =>
+      Alias(in, s"__gvt_corr_$i")() }
+    val keep: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression] =
+      if (keepOutput) projList else Seq.empty
+    (pairs.toSeq.map { case (a, _) => toColUnchecked(a) },
+      Project(keep ++ aliases, stripped))
+  }
+
   /** Split a resolved DELETE/UPDATE condition into (residual
-    * subquery-free predicate, subquery conjuncts). Supported shapes —
-    * exactly the ones a distributed semi/anti join (or a run-time
-    * constant) expresses faithfully:
-    *  - a TOP-LEVEL conjunct `expr [NOT] IN (uncorrelated subquery)`
-    *    (NOT IN: single value — multi-column NOT IN's NULL semantics
-    *    do not decompose into an equi-anti-join);
-    *  - a top-level conjunct `[NOT] EXISTS (uncorrelated subquery)`.
-    * Everything else containing a subquery (correlated, disjunctive,
-    * scalar) refuses LOUDLY — never a silent mis-execution. */
-  private def splitSubqueries(cond: Expression): (Option[Column], Seq[SubCond]) = {
-    import org.apache.spark.sql.catalyst.expressions.{Exists, InSubquery, Not}
+    * subquery-free predicate, locate-join conjuncts, deferred
+    * scalar-subquery conjuncts). Supported shapes — exactly the ones a
+    * distributed semi/anti join (or a run-time constant) expresses
+    * faithfully:
+    *  - a TOP-LEVEL conjunct `expr [NOT] IN (subquery)` — uncorrelated,
+    *    or (positive IN) correlated by top-level equality; multi-column
+    *    NOT IN rides the exact-3VL compatibility anti-join;
+    *  - a top-level conjunct `[NOT] EXISTS (subquery)` — uncorrelated
+    *    (a run-time constant) or correlated by top-level equality (a
+    *    semi/anti locate join, EXISTS null semantics);
+    *  - any conjunct whose only subqueries are UNCORRELATED SCALARS —
+    *    evaluated once at command time (at most one row) and folded as
+    *    literals.
+    * Everything else containing a subquery (correlated NOT IN,
+    * aggregating correlation, disjunctions across subqueries) refuses
+    * LOUDLY — never a silent mis-execution. */
+  private def splitSubqueries(cond: Expression)
+      : (Option[Column], Seq[SubCond], Seq[Expression]) = {
+    import org.apache.spark.sql.catalyst.expressions.{Exists, InSubquery, Not, ScalarSubquery}
     def uncorrelated(s: SubqueryExpression): LogicalPlan = {
       if (s.isCorrelated)
-        unsupported("a CORRELATED subquery in a DML condition (only " +
-          "uncorrelated IN/EXISTS decompose into a distributed locate join)")
+        unsupported("a CORRELATED subquery of this shape in a DML " +
+          "condition (only equality-correlated IN/EXISTS decompose into " +
+          "a distributed locate join)")
       s.plan
     }
-    val (subs, plain) = conjuncts(cond).partitionMap {
+    val subs = scala.collection.mutable.ArrayBuffer.empty[SubCond]
+    val scalars = scala.collection.mutable.ArrayBuffer.empty[Expression]
+    val plain = scala.collection.mutable.ArrayBuffer.empty[Column]
+    conjuncts(cond).foreach {
+      case in: InSubquery if in.query.isCorrelated =>
+        val (corrVals, plan) = decorrelateEq(in.query.plan, keepOutput = true)
+        subs += InCond(in.values.map(toColUnchecked) ++ corrVals, plan,
+          negated = false)
       case in: InSubquery =>
-        Left(InCond(in.values.map(toColUnchecked), uncorrelated(in.query),
-          negated = false))
+        subs += InCond(in.values.map(toColUnchecked), in.query.plan,
+          negated = false)
       case Not(in: InSubquery) =>
-        if (in.values.size != 1)
-          unsupported("a multi-column NOT IN subquery (its NULL semantics " +
-            "do not decompose into an equi-anti-join; rewrite as NOT EXISTS " +
-            "via the API or delete by single key)")
-        Left(InCond(in.values.map(toColUnchecked), uncorrelated(in.query),
-          negated = true))
+        subs += InCond(in.values.map(toColUnchecked), uncorrelated(in.query),
+          negated = true)
+      case ex: Exists if ex.isCorrelated =>
+        val (vals, plan) = decorrelateEq(ex.plan, keepOutput = false)
+        subs += InCond(vals, plan, negated = false)
+      case Not(ex: Exists) if ex.isCorrelated =>
+        val (vals, plan) = decorrelateEq(ex.plan, keepOutput = false)
+        subs += InCond(vals, plan, negated = true, notIn3VL = false)
       case ex: Exists =>
-        Left(ExistsCond(uncorrelated(ex), negated = false))
+        subs += ExistsCond(ex.plan, negated = false)
       case Not(ex: Exists) =>
-        Left(ExistsCond(uncorrelated(ex), negated = true))
-      case other => Right(toCol(other)) // rejects any nested subquery loudly
+        subs += ExistsCond(ex.plan, negated = true)
+      case other if other.exists(_.isInstanceOf[SubqueryExpression]) =>
+        // a conjunct whose ONLY subqueries are uncorrelated scalars is
+        // deferred whole: the scalars evaluate at command time (one
+        // ≤1-row job each) and fold as literals into the condition
+        other.foreach {
+          case s: ScalarSubquery =>
+            if (s.isCorrelated)
+              unsupported("a CORRELATED scalar subquery in a DML " +
+                "condition (evaluate it per key via MERGE instead)")
+          case s: SubqueryExpression if !s.isInstanceOf[ScalarSubquery] =>
+            unsupported(s"a subquery nested inside a DML condition " +
+              s"conjunct ($other) — only top-level [NOT] IN / [NOT] " +
+              "EXISTS conjuncts and uncorrelated scalar subqueries " +
+              "decompose")
+          case _ => ()
+        }
+        scalars += other
+      case other => plain += toCol(other)
     }
     val residual = plain.reduceOption(_ && _)
-    (residual, subs)
+    (residual, subs.toSeq, scalars.toSeq)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     case d @ DeleteFromTable(GvtTarget(root, pinned), condition) if d.resolved =>
       requireLive(pinned, "DELETE FROM")
-      val (residual, subs) = splitSubqueries(condition)
+      val (residual, subs, scalars) = splitSubqueries(condition)
       GvtDeleteCommand(root,
         residual.getOrElse(org.apache.spark.sql.functions.lit(true)),
         subs.collect { case i: InCond => i },
-        subs.collect { case e: ExistsCond => e })
+        subs.collect { case e: ExistsCond => e },
+        scalarConds = scalars)
 
     case u @ UpdateTable(GvtTarget(root, pinned), assignments, condition)
         if u.resolved =>
       requireLive(pinned, "UPDATE")
-      val assigns = assignments.map { a =>
+      // assignment values carrying UNCORRELATED SCALAR subqueries defer
+      // whole to command time (`SET x = (SELECT max(…) …)`); plain
+      // values resolve to Columns now
+      val (plainAssigns, scalarAssigns) = assignments.map { a =>
         a.key match {
-          case k: AttributeReference => k.name -> toCol(a.value)
+          case k: AttributeReference
+              if a.value.exists(_.isInstanceOf[SubqueryExpression]) =>
+            a.value.foreach {
+              case s: org.apache.spark.sql.catalyst.expressions.ScalarSubquery =>
+                if (s.isCorrelated)
+                  unsupported("a CORRELATED scalar subquery in an UPDATE " +
+                    "assignment (evaluate it per key via MERGE instead)")
+              case s: SubqueryExpression if !s.isInstanceOf[
+                org.apache.spark.sql.catalyst.expressions.ScalarSubquery] =>
+                unsupported(s"a non-scalar subquery in an UPDATE " +
+                  s"assignment (${a.value})")
+              case _ => ()
+            }
+            (k.name, Right(a.value): Either[Column, Expression])
+          case k: AttributeReference => (k.name, Left(toCol(a.value)))
           case other => unsupported(s"UPDATE of a nested field ($other)")
         }
-      }.toMap
-      val (residual, subs) = condition.map(splitSubqueries)
-        .getOrElse((None, Seq.empty))
+      }.toMap.partitionMap {
+        case (k, Left(c)) => Left(k -> c)
+        case (k, Right(e)) => Right(k -> e)
+      }
+      val (residual, subs, scalars) = condition.map(splitSubqueries)
+        .getOrElse((None, Seq.empty, Seq.empty))
       GvtUpdateCommand(root,
-        residual.getOrElse(org.apache.spark.sql.functions.lit(true)), assigns,
+        residual.getOrElse(org.apache.spark.sql.functions.lit(true)),
+        plainAssigns.toMap,
         subs.collect { case i: InCond => i },
-        subs.collect { case e: ExistsCond => e })
+        subs.collect { case e: ExistsCond => e },
+        scalarConds = scalars,
+        scalarAssigns = scalarAssigns.toMap)
 
     case m: MergeIntoTable if m.resolved =>
       m.targetTable match {
@@ -376,9 +513,11 @@ object GvtDml extends Rule[LogicalPlan] {
 /** Shared run-time resolution of a DML command's subquery conjuncts:
   * uncorrelated EXISTS checks fold to a constant (a FALSE one makes the
   * whole condition false — the command no-ops, nothing committed); IN
-  * conjuncts become distributed [[VersionedTable.LocateSemiJoin]]s on
-  * the locate scan. Subquery plans execute HERE, at command time, under
-  * the session that runs the DML — never during resolution. */
+  * conjuncts (and equality-decorrelated EXISTS) become distributed
+  * [[VersionedTable.LocateSemiJoin]]s on the locate scan; uncorrelated
+  * SCALAR subqueries evaluate to at-most-one-row literals. Subquery
+  * plans execute HERE, at command time, under the session that runs the
+  * DML — never during resolution. */
 private[plans] object SubqueryConds {
   def resolve(spark: SparkSession, inConds: Seq[GvtDml.InCond],
               existsConds: Seq[GvtDml.ExistsCond])
@@ -389,7 +528,25 @@ private[plans] object SubqueryConds {
     }
     if (!allTrue) None
     else Some(inConds.map(ic => VersionedTable.LocateSemiJoin(
-      ic.values, NativeColumns.ofPlan(spark, ic.plan), ic.negated)))
+      ic.values, NativeColumns.ofPlan(spark, ic.plan), ic.negated,
+      notIn3VL = ic.notIn3VL)))
+  }
+
+  /** Evaluate every uncorrelated ScalarSubquery in `e` (one ≤1-row job
+    * each — SQL semantics: zero rows read NULL, two throw) and fold the
+    * results as typed literals; the folded expression then resolves
+    * like any other DML condition/assignment. */
+  def evalScalars(spark: SparkSession, e: Expression): Column = {
+    import org.apache.spark.sql.catalyst.expressions.ScalarSubquery
+    val folded = e.transform {
+      case s: ScalarSubquery =>
+        val rows = NativeColumns.ofPlan(spark, s.plan).limit(2).collect()
+        if (rows.length > 1) throw new IllegalStateException(
+          "gvt SQL DML: a scalar subquery returned more than one row")
+        val v = if (rows.isEmpty || rows(0).isNullAt(0)) null else rows(0).get(0)
+        Literal.create(v, s.dataType)
+    }
+    GvtDml.exprToColumn(folded)
   }
 }
 
@@ -399,13 +556,18 @@ private[plans] object SubqueryConds {
   * `DELETE FROM t WHERE fk NOT IN (SELECT pk FROM parent)` at scale. */
 case class GvtDeleteCommand(root: String, cond: Column,
                             inConds: Seq[GvtDml.InCond] = Seq.empty,
-                            existsConds: Seq[GvtDml.ExistsCond] = Seq.empty)
+                            existsConds: Seq[GvtDml.ExistsCond] = Seq.empty,
+                            scalarConds: Seq[
+                              org.apache.spark.sql.catalyst.expressions.Expression] =
+                              Seq.empty)
   extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] =
     inConds.map(_.plan) ++ existsConds.map(_.plan)
   override def run(spark: SparkSession): Seq[Row] = {
+    val full = scalarConds.map(SubqueryConds.evalScalars(spark, _))
+      .foldLeft(cond)(_ && _)
     SubqueryConds.resolve(spark, inConds, existsConds).foreach { joins =>
-      VersionedTable.deleteWhereVector(spark, root, cond, joins)
+      VersionedTable.deleteWhereVector(spark, root, full, joins)
     }
     Seq.empty
   }
@@ -415,13 +577,23 @@ case class GvtDeleteCommand(root: String, cond: Column,
 case class GvtUpdateCommand(root: String, cond: Column,
                             assignments: Map[String, Column],
                             inConds: Seq[GvtDml.InCond] = Seq.empty,
-                            existsConds: Seq[GvtDml.ExistsCond] = Seq.empty)
+                            existsConds: Seq[GvtDml.ExistsCond] = Seq.empty,
+                            scalarConds: Seq[
+                              org.apache.spark.sql.catalyst.expressions.Expression] =
+                              Seq.empty,
+                            scalarAssigns: Map[String,
+                              org.apache.spark.sql.catalyst.expressions.Expression] =
+                              Map.empty)
   extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] =
     inConds.map(_.plan) ++ existsConds.map(_.plan)
   override def run(spark: SparkSession): Seq[Row] = {
+    val full = scalarConds.map(SubqueryConds.evalScalars(spark, _))
+      .foldLeft(cond)(_ && _)
+    val allAssigns = assignments ++ scalarAssigns.map { case (k, e) =>
+      k -> SubqueryConds.evalScalars(spark, e) }
     SubqueryConds.resolve(spark, inConds, existsConds).foreach { joins =>
-      VersionedTable.updateWhereVector(spark, root, cond, assignments, joins)
+      VersionedTable.updateWhereVector(spark, root, full, allAssigns, joins)
     }
     Seq.empty
   }

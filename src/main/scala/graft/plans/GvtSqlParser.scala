@@ -659,7 +659,15 @@ case class GvtSetPropertiesCommand(target: String,
                                    props: Map[String, String])
   extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    VersionedTable.setTblProperties(GvtSqlParser.rootOf(spark, target), props)
+    val root = GvtSqlParser.rootOf(spark, target)
+    VersionedTable.setTblProperties(root, props)
+    // enabling the change feed BACKFILLS history (O(changed) per
+    // sidecar-less UPDATE_DV commit), so keyless table_changes serves
+    // the full retained range from the moment of enablement — not just
+    // future commits (Delta's limitation)
+    if (props.get("gvt.enableChangeDataFeed")
+        .exists(_.trim.equalsIgnoreCase("true")))
+      VersionedTable.backfillChangeFeed(spark, root)
     Seq.empty
   }
 }

@@ -524,6 +524,35 @@ object RelationalQueries {
         .orderBy(col("hop"), col("_change_type"))
     }),
 
+    // CDF BACKFILL (beyond Delta, which serves only post-enablement
+    // commits): UPDATE_DV commits land BEFORE the change feed is
+    // enabled; `ALTER TABLE … SET TBLPROPERTIES` then materializes the
+    // historical `_cdf` sidecars from each commit's own artifacts
+    // (removed positions' rows = preimages, the commit's slice =
+    // postimages — O(changed) per hop), and the KEYLESS feed serves the
+    // full range.
+    "q_cdf_backfill" -> ((s, dir) => graft.GraftSession.withExtensions(s) { sess =>
+      val out = tmpDir("graft_cdfbackfill")
+      val o = t(sess, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      val root = s"$out/t"
+      val VT = graft.sources.VersionedTable
+      VT.write(o, root)                                          // v1
+      VT.updateWhereVector(sess, root, col("k") % 7 === 0,
+        Map("cents" -> (col("cents") + 100000L)))                // v2, no sidecar
+      VT.updateWhereVector(sess, root, col("k") % 11 === 0,
+        Map("status" -> lit("B")))                               // v3, no sidecar
+      sess.sql(s"ALTER TABLE gvt.`$root` SET TBLPROPERTIES " +
+        "('gvt.enableChangeDataFeed' = 'true')") // backfills v2 + v3
+      Seq((1L, 2L, 1), (2L, 3L, 2)).map { case (f, tv, hop) =>
+        VT.changes(sess, root, f, tv).withColumn("hop", lit(hop)) // NO keys
+      }.reduce(_.unionByName(_))
+        .groupBy(col("hop"), col("_change_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .orderBy(col("hop"), col("_change_type"))
+    }),
+
     // CDF through SQL (Delta's table_changes TVF, injected by
     // GraftExtensions): the q_delete_update change feed queried as
     // SELECT … FROM table_changes(path, 1, 3, 'k') — same classification
@@ -909,6 +938,55 @@ object RelationalQueries {
       view()
       sess.sql("""SELECT status, count(*) AS n_orders, sum(cents) AS sum_cents
         FROM sqldin_t GROUP BY status ORDER BY status""")
+    }),
+
+    // Correlated + scalar + multi-column subqueries in DML (round-14
+    // Delta-parity extension): a correlated EXISTS/NOT EXISTS conjunct
+    // whose correlation is a top-level equality decomposes into a
+    // distributed semi/anti locate join (EXISTS null semantics, not NOT
+    // IN's); uncorrelated SCALAR subqueries evaluate once at command
+    // time (condition and SET assignment); multi-column NOT IN rides
+    // the exact-3VL compatibility anti-join (broadcast subquery side —
+    // Spark's own null-aware-anti restriction). The oracle mirrors each
+    // step as plain SELECT algebra.
+    "q_sql_delete_corr" -> ((s, dir) => graft.GraftSession.withExtensions(s) { sess =>
+      val out = tmpDir("graft_sqldelcorr")
+      val o = t(sess, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      val root = s"$out/t"
+      graft.sources.VersionedTable.write(o.repartitionByRange(8, col("k")),
+        root, statsCols = Seq("k"))
+      def view(): Unit = sess.sql(s"CREATE OR REPLACE TEMPORARY VIEW " +
+        s"sqldc_t USING gvt OPTIONS (path '$root')")
+      view()
+      o.filter(col("k") % 7 === 0).select(col("k").as("dk"))
+        .createOrReplaceTempView("sqldc_stage")
+      // correlated EXISTS (the staging idiom): semi locate join on dk = k
+      sess.sql("DELETE FROM sqldc_t WHERE EXISTS " +
+        "(SELECT 1 FROM sqldc_stage WHERE dk = k AND dk % 2 = 0)")
+      view()
+      // correlated NOT EXISTS under a residual bound: anti locate join
+      sess.sql("DELETE FROM sqldc_t WHERE k <= 400 AND NOT EXISTS " +
+        "(SELECT 1 FROM sqldc_stage WHERE dk = k)")
+      view()
+      // uncorrelated scalar subqueries: once-evaluated literal in the
+      // condition AND in a SET assignment, mixed with a plain assign
+      sess.sql("UPDATE sqldc_t SET status = 'Z', " +
+        "cents = cents + (SELECT min(dk) FROM sqldc_stage) " +
+        "WHERE k > (SELECT max(dk) - 100 FROM sqldc_stage)")
+      view()
+      // multi-column NOT IN with a NULL-bearing pair column: exact 3VL
+      // (a pair with NULL status blocks its key as UNKNOWN; only rows
+      // FALSE against every pair delete)
+      sess.sql("CREATE OR REPLACE TEMPORARY VIEW sqldc_pairs AS " +
+        "SELECT dk AS pk, CASE WHEN dk % 3 = 0 THEN NULL ELSE 'O' END " +
+        "AS pstatus FROM sqldc_stage WHERE dk <= 2000")
+      sess.sql("DELETE FROM sqldc_t WHERE k BETWEEN 500 AND 2000 AND " +
+        "(k, status) NOT IN (SELECT pk, pstatus FROM sqldc_pairs)")
+      view()
+      sess.sql("""SELECT status, count(*) AS n_orders, sum(cents) AS sum_cents
+        FROM sqldc_t GROUP BY status ORDER BY status""")
     }),
 
     // SQL MERGE INTO with the full clause surface (conditional DELETE,
@@ -2427,6 +2505,35 @@ object RelationalQueries {
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM d2 GROUP BY status ORDER BY status""".stripMargin,
 
+    // Correlated/scalar/multi-column subquery DML must equal plain
+    // row-set algebra: EXISTS hops mirror as [NOT] EXISTS, the scalars
+    // as scalar subqueries, and the multi-column NOT IN as its exact
+    // 3VL expansion (no compatible pair: equal-or-NULL per column).
+    "q_sql_delete_corr" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |stage AS (SELECT o_orderkey AS dk FROM orders WHERE o_orderkey % 7 = 0),
+        |d1 AS (SELECT * FROM o WHERE NOT EXISTS
+        |  (SELECT 1 FROM stage WHERE dk = k AND dk % 2 = 0)),
+        |d2 AS (SELECT * FROM d1 WHERE NOT (k <= 400 AND NOT EXISTS
+        |  (SELECT 1 FROM stage WHERE dk = k))),
+        |u1 AS (SELECT k,
+        |  CASE WHEN k > (SELECT max(dk) - 100 FROM stage)
+        |    THEN 'Z' ELSE status END AS status,
+        |  CASE WHEN k > (SELECT max(dk) - 100 FROM stage)
+        |    THEN cents + (SELECT min(dk) FROM stage) ELSE cents END AS cents
+        |  FROM d2),
+        |pairs AS (SELECT dk AS pk,
+        |  CASE WHEN dk % 3 = 0 THEN NULL ELSE 'O' END AS pstatus
+        |  FROM stage WHERE dk <= 2000),
+        |d3 AS (SELECT * FROM u1 WHERE NOT (k BETWEEN 500 AND 2000
+        |  AND NOT EXISTS (SELECT 1 FROM pairs
+        |    WHERE (pk = k OR pk IS NULL OR k IS NULL)
+        |      AND (pstatus = status OR pstatus IS NULL OR status IS NULL))))
+        |SELECT status, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM d3 GROUP BY status ORDER BY status""".stripMargin,
+
     // SQL MERGE must equal the clause algebra (the q_merge_clauses
     // oracle verbatim: anti ∪ conditional-update ∪ insert).
     "q_sql_merge" ->
@@ -2647,6 +2754,32 @@ object RelationalQueries {
         |  FROM mm HAVING count(*) > 0
         |  UNION ALL
         |  SELECT 3, 'insert', count(*), sum(2 * cents + 100001) FROM mi
+        |  HAVING count(*) > 0)
+        |SELECT CAST(hop AS INT) AS hop, _change_type,
+        |  CAST(n AS BIGINT) AS n, CAST(sc AS BIGINT) AS sum_cents
+        |FROM rows_ ORDER BY hop, _change_type""".stripMargin,
+
+    // Backfilled history must equal commit-time capture: hop 1 pairs
+    // the k%7 rows around the cents bump; hop 2 pairs the k%11 rows
+    // (cents already bumped where k%77=0, unchanged by the status-only
+    // update — pre and post sum identically).
+    "q_cdf_backfill" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |h1 AS (SELECT cents FROM o WHERE k % 7 = 0),
+        |h2 AS (SELECT CASE WHEN k % 7 = 0 THEN cents + 100000 ELSE cents END
+        |  AS cur FROM o WHERE k % 11 = 0),
+        |rows_ AS (
+        |  SELECT 1 AS hop, 'update_preimage' AS _change_type, count(*) AS n,
+        |    sum(cents) AS sc FROM h1 HAVING count(*) > 0
+        |  UNION ALL
+        |  SELECT 1, 'update_postimage', count(*), sum(cents + 100000) FROM h1
+        |  HAVING count(*) > 0
+        |  UNION ALL
+        |  SELECT 2, 'update_preimage', count(*), sum(cur) FROM h2
+        |  HAVING count(*) > 0
+        |  UNION ALL
+        |  SELECT 2, 'update_postimage', count(*), sum(cur) FROM h2
         |  HAVING count(*) > 0)
         |SELECT CAST(hop AS INT) AS hop, _change_type,
         |  CAST(n AS BIGINT) AS n, CAST(sc AS BIGINT) AS sum_cents

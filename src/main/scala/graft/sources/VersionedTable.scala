@@ -2538,6 +2538,41 @@ object VersionedTable {
     refuse()
   }
 
+  /** Materialize `_cdf` change-data sidecars for HISTORICAL
+    * sidecar-less UPDATE_DV commits, so keyless `table_changes` serves
+    * the chain's full history after `gvt.enableChangeDataFeed` is
+    * enabled late. Delta has no backfill — enabling CDF there serves
+    * only future commits; gvt reconstructs each UPDATE_DV hop from the
+    * commit's OWN artifacts (the removed positions' rows as preimages —
+    * touched files only — and the commit's data slice as postimages,
+    * the exact union the commit-time capture persists), at O(changed)
+    * per backfilled commit, never a base rescan. Hops whose touched
+    * files the vacuum reclaimed fail loudly with the retention
+    * contract. Idempotent: sidecar-bearing commits skip. Returns the
+    * versions backfilled. */
+  def backfillChangeFeed(spark: SparkSession, root: String): Seq[Long] = {
+    import org.apache.spark.sql.functions.lit
+    val done = scala.collection.mutable.ArrayBuffer.empty[Long]
+    committedChain(root).foreach { c =>
+      val v = c.version
+      val op = readMeta(root, v, "_operation").map(_.trim).getOrElse("")
+      val fromV = readMeta(root, v, "_dv_parent").map(_.trim.toLong)
+      val cdfDir = new HPath(s"$root/v=$v/_cdf")
+      if (op.startsWith("UPDATE_DV") && fromV.isDefined &&
+          !fcOf(cdfDir).util.exists(cdfDir)) {
+        val pre = dvRemovedRows(spark, root, fromV.get, v)
+          .withColumn("_change_type", lit("update_preimage"))
+        val post = mapToLogical(spark,
+          spark.read.parquet(s"$root/v=$v"), root, v)
+          .withColumn("_change_type", lit("update_postimage"))
+        pre.unionByName(post, allowMissingColumns = true)
+          .write.mode("overwrite").parquet(cdfDir.toString)
+        done += v
+      }
+    }
+    done.toSeq
+  }
+
   /** The rows a DV hop removed, read from the TOUCHED FILES ONLY and
     * translated to `toV`'s logical schema — the dvCommitChanges
     * restriction, factored for the keyless paths. */

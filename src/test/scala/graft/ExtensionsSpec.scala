@@ -181,8 +181,41 @@ class ExtensionsSpec extends AnyFunSuite {
         "(SELECT 1 FROM sub_keys WHERE sk < 0)")
       assert(VersionedTable.latestVersion(root).get == vBefore + 1,
         "a FALSE-EXISTS DELETE must not commit")
-      // refusals: correlated subquery, multi-column NOT IN, MERGE-clause
-      // subquery — loud, never silently mis-executed
+      // correlated EXISTS (the staging idiom): equality-decorrelated
+      // into a semi locate join — deletes ids 6, 10, 14 (sk + 3)
+      sess.sql("DELETE FROM sub_dml WHERE EXISTS " +
+        "(SELECT 1 FROM sub_keys WHERE sk + 3 = id)")
+      view()
+      assert(sess.sql("SELECT count(*) AS n FROM sub_dml")
+        .as[Long].head() == 90)
+      // correlated NOT EXISTS: plain anti-join semantics (a no-match
+      // row QUALIFIES) — remaining ids <= 9 are 8 and 9, neither staged
+      sess.sql("DELETE FROM sub_dml WHERE id <= 9 AND NOT EXISTS " +
+        "(SELECT 1 FROM sub_keys WHERE sk = id)")
+      view()
+      assert(sess.sql("SELECT count(*) AS n FROM sub_dml")
+        .as[Long].head() == 88)
+      // uncorrelated SCALAR subqueries: condition and assignment both
+      // evaluate once at command time (min(sk)*4 = 12; max(sk) = 200)
+      sess.sql("UPDATE sub_dml SET v = (SELECT CAST(max(sk) AS BIGINT) " +
+        "FROM sub_keys) WHERE id = (SELECT min(sk) * 4 FROM sub_keys)")
+      view()
+      assert(sess.sql("SELECT v FROM sub_dml WHERE id = 12")
+        .as[Long].head() == 200L)
+      // multi-column NOT IN: exact 3VL via the compatibility anti-join.
+      // (15,150) matches -> kept; (16,160) vs (16,NULL) is UNKNOWN ->
+      // kept; (17,170) is FALSE against every pair -> deleted
+      sess.sql("SELECT * FROM VALUES (15, CAST(150 AS BIGINT)), " +
+        "(16, CAST(NULL AS BIGINT)) AS t(pk, pv)")
+        .createOrReplaceTempView("sub_pairs")
+      sess.sql("DELETE FROM sub_dml WHERE id BETWEEN 15 AND 17 " +
+        "AND (id, v) NOT IN (SELECT pk, pv FROM sub_pairs)")
+      view()
+      assert(sess.sql("SELECT id FROM sub_dml WHERE id BETWEEN 15 AND 17 " +
+        "ORDER BY id").as[Int].collect().toSeq == Seq(15, 16),
+        "multi-column NOT IN must honor SQL 3VL (only the FALSE row deletes)")
+      // refusals: aggregating correlation, correlated scalar,
+      // MERGE-clause subquery — loud, never silently mis-executed
       def refuses(sql: String, needle: String): Unit = {
         val e = intercept[Exception] { sess.sql(sql) }
         def msgs(t: Throwable): Seq[String] =
@@ -191,10 +224,12 @@ class ExtensionsSpec extends AnyFunSuite {
         assert(msgs(e).exists(_.toLowerCase.contains(needle.toLowerCase)),
           s"expected '$needle' in: ${msgs(e).mkString(" | ")}")
       }
-      refuses("DELETE FROM sub_dml WHERE EXISTS " +
-        "(SELECT 1 FROM sub_keys WHERE sk = id)", "correlated")
-      refuses("DELETE FROM sub_dml WHERE (id, v) NOT IN " +
-        "(SELECT sk, CAST(sk AS BIGINT) FROM sub_keys)", "multi-column")
+      refuses("DELETE FROM sub_dml WHERE EXISTS (SELECT count(*) " +
+        "FROM sub_keys WHERE sk = id GROUP BY sk HAVING count(*) > 1)",
+        "correlated")
+      refuses("UPDATE sub_dml SET v = " +
+        "(SELECT CAST(max(sk) AS BIGINT) FROM sub_keys WHERE sk = id)",
+        "correlated scalar")
       refuses("""MERGE INTO sub_dml t USING sub_keys s ON t.id = s.sk
         WHEN MATCHED AND t.id IN (SELECT sk FROM sub_keys) THEN DELETE""",
         "subquery")

@@ -417,4 +417,44 @@ class GvtCdfSpec extends AnyFunSuite {
     assert(VersionedTable.changes(spark, root, 5L, 6L, Seq("k"))
       .as[(Long, Long, String)].collect().toSet == mg)
   }
+
+  test("CDF backfill: enabling gvt.enableChangeDataFeed via ALTER TABLE " +
+    "materializes sidecars for PRE-EXISTING UPDATE_DV commits — keyless " +
+    "table_changes then serves the full history") {
+    val root = s"${freshDir()}/t"
+    VersionedTable.write((1 to 30).map(i => (i.toLong, i * 10L))
+      .toDF("k", "v"), root)                                          // v1
+    VersionedTable.updateWhereVector(spark, root, col("k") === 3L,
+      Map("v" -> lit(111L)))                                          // v2 (no sidecar)
+    VersionedTable.updateWhereVector(spark, root, col("k") === 7L,
+      Map("v" -> lit(222L)))                                          // v3 (no sidecar)
+    // before enablement: keyless refuses the sidecar-less hops
+    intercept[UnsupportedOperationException] {
+      VersionedTable.changes(spark, root, 1L, 2L).collect()
+    }
+    // ALTER … SET TBLPROPERTIES backfills history (Delta can't)
+    GraftSession.withExtensions(spark) { sess =>
+      sess.sql(s"ALTER TABLE gvt.`$root` SET TBLPROPERTIES " +
+        "('gvt.enableChangeDataFeed' = 'true')")
+    }
+    val h1 = VersionedTable.changes(spark, root, 1L, 2L)
+      .as[(Long, Long, String)].collect().toSet
+    assert(h1 == Set((3L, 30L, "update_preimage"),
+      (3L, 111L, "update_postimage")), h1.toString)
+    val h2 = VersionedTable.changes(spark, root, 2L, 3L)
+      .as[(Long, Long, String)].collect().toSet
+    assert(h2 == Set((7L, 70L, "update_preimage"),
+      (7L, 222L, "update_postimage")), h2.toString)
+    // backfilled history must equal a keyed diff of the same hops
+    assert(VersionedTable.changes(spark, root, 1L, 2L, Seq("k"))
+      .as[(Long, Long, String)].collect().toSet == h1)
+    // idempotent: a second backfill touches nothing
+    assert(VersionedTable.backfillChangeFeed(spark, root).isEmpty)
+    // and future DML captures its sidecar at commit as before
+    VersionedTable.updateWhereVector(spark, root, col("k") === 9L,
+      Map("v" -> lit(333L)))                                          // v4
+    assert(VersionedTable.changes(spark, root, 3L, 4L)
+      .as[(Long, Long, String)].collect().toSet ==
+      Set((9L, 90L, "update_preimage"), (9L, 333L, "update_postimage")))
+  }
 }
