@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.VersionedTable
+
+/** Scale-shape stress harness (the "would it survive 100×" evidence
+  * the per-operator plan audits argue by shape): drives the full
+  * versioned-table lifecycle — partitioned write, streaming-style
+  * appends, DV DELETE/UPDATE, snapshot + time-travel reads, small-file
+  * OPTIMIZE, file-granular VACUUM — plus an incremental-dedup batch,
+  * at two scales (sf0.1 inputs ×1 and ×N via key-offset replication,
+  * default N=10 ≈ sf1), and prints per-stage seconds as one JSON line
+  * per scale. A stage whose wall grows faster than the data (ratio ≫ N)
+  * is a scaling bug; ratios ≲ N confirm the O(batch)/O(changed)
+  * claims. Run:
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  *     sbt "runMain graft.StressRun [N]"
+  */
+object StressRun {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val mult = args.headOption.map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000L).selectExpr("sum(id % 7)").collect()
+    for (scale <- Seq(1, mult)) run(spark, sfDir, scale)
+    spark.stop()
+  }
+
+  /** `orders` at `scale`× the base SF: replicas shift every key by
+    * r * 10^9 so the scaled table keeps per-key uniqueness (the shape
+    * a larger SF would have), never duplicate-key inflation. */
+  private def scaled(spark: SparkSession, sfDir: String, table: String,
+                     key: String, scale: Int): DataFrame = {
+    val base = spark.read.parquet(s"$sfDir/$table.parquet")
+    (0 until scale).map(r =>
+      base.withColumn(key, col(key) + lit(r.toLong * 1000000000L)))
+      .reduce(_ union _)
+  }
+
+  private def run(spark: SparkSession, sfDir: String, scale: Int): Unit = {
+    val out = java.nio.file.Files.createTempDirectory(
+      s"graft_stress_x$scale").toString
+    val stages = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def stage[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      stages(name) = (System.nanoTime() - t0) / 1e9
+      r
+    }
+    val o = scaled(spark, sfDir, "orders", "o_orderkey", scale)
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      .localCheckpoint()
+    val nRows = o.count()
+    val root = s"$out/t"
+    // lifecycle: the medallion write/maintain/read cycle at scale
+    stage("write_partitioned") {
+      VersionedTable.write(o.filter(col("k") % 4 =!= 0), root,
+        partitionBy = Seq("status"), statsCols = Seq("k"))
+    }
+    stage("append_x3") {
+      for (m <- 1 to 3)
+        VersionedTable.append(o.filter(col("k") % 4 === 0 &&
+          col("k") % 3 === (m % 3)), root, statsCols = Seq("k"))
+    }
+    stage("delete_dv") {
+      VersionedTable.deleteWhereVector(spark, root, col("k") % 13 === 0)
+    }
+    stage("update_dv") {
+      VersionedTable.updateWhereVector(spark, root,
+        col("k") % 17 === 0, Map("cents" -> (col("cents") + 1L)))
+    }
+    val agg1 = stage("read_agg") {
+      VersionedTable.readLatest(spark, root)
+        .groupBy("status").agg(count(lit(1)), sum("cents")).collect().length
+    }
+    stage("time_travel_agg") {
+      VersionedTable.readVersion(spark, root, 1).count()
+    }
+    stage("optimize_small") {
+      VersionedTable.compactSmall(spark, root,
+        smallFileBytes = 8L * 1024 * 1024)
+    }
+    stage("vacuum_purge") {
+      VersionedTable.vacuum(root, keep = 1, retainMinMs = 0L)
+    }
+    val agg2 = stage("read_after_maintenance") {
+      VersionedTable.readLatest(spark, root)
+        .groupBy("status").agg(count(lit(1)), sum("cents")).collect().length
+    }
+    require(agg1 == agg2, s"status groups changed: $agg1 vs $agg2")
+    // incremental dedup: one batch against a fresh persisted index
+    val docs = (0 until scale).map { r =>
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .withColumn("doc_id", concat(lit(s"r$r/"), col("doc_id")))
+    }.reduce(_ union _)
+    stage("incremental_dedup") {
+      val sigs = docs.select(col("doc_id"),
+        md5(col("text")).as("b0"),
+        md5(reverse(col("text"))).as("b1"))
+      graft.llm.IncrementalDedup.ingest(spark, s"$out/idx", sigs,
+        Seq("b0", "b1")).count()
+    }
+    def f3(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val js = stages.map { case (k, v) => s""""$k":${f3(v)}""" }
+      .mkString("{", ",", "}")
+    println(s"""STRESS {"scale":$scale,"rows":$nRows,"total":${f3(
+      stages.values.sum)},"stages":$js}""")
+  }
+}

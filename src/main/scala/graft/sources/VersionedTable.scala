@@ -204,7 +204,12 @@ object VersionedTable {
     * chain-length-bounded by compaction. */
   private def readDirs(spark: SparkSession, dirs: Seq[String]): DataFrame =
     if (dirs.size == 1) spark.read.parquet(dirs.head)
-    else if (dirsLayout(dirs).isEmpty) {
+    // the single multi-dir read is legal only when EVERY member is
+    // layout-free: one hive member (or a mixed flat/hive chain — a
+    // layout-preserving rewrite stacked on a legacy flat DML commit)
+    // must read per-dir with its own basePath, or Spark's partition
+    // discovery throws CONFLICTING_DIRECTORY_STRUCTURES
+    else if (dirs.forall(d => partColsOf(new HPath(d)).isEmpty)) {
       val schemas = dirs.map(d => spark.read.parquet(d).schema)
       if (schemas.forall(_ == schemas.head)) spark.read.parquet(dirs: _*)
       else dirs.map(spark.read.parquet(_))
@@ -2234,7 +2239,12 @@ object VersionedTable {
               .unionByName(updated
                 .withColumn("_change_type", lit("update_postimage"))))
         }
-      write(updated, root,
+      // the updated slice keeps the table's hive layout (Delta rewrites
+      // files within their partitions): partition pruning keeps working
+      // on the rewritten rows, and the chain never mixes flat and hive
+      // members. Updating a PARTITION column itself moves the row to
+      // its new directory — also the Delta behavior.
+      write(updated, root, partitionBy = layoutOf(root, v),
         metaFiles = Map("_dv_parent" -> v.toString),
         subdirWrites = Map("_dv" -> dv) ++ cdfRows,
         baseVersion = Some(v), operation = "UPDATE_DV",
@@ -2293,7 +2303,10 @@ object VersionedTable {
               .unionByName(df.withColumn("_change_type", lit("insert")),
                 allowMissingColumns = true))
           }
-        write(df, root,
+        // keep the table's hive layout (see updateWhereVector): the
+        // replacing batch lands in its partitions, never a flat dir
+        // stacked on a hive chain
+        write(df, root, partitionBy = layoutOf(root, v),
           metaFiles = Map("_dv_parent" -> v.toString),
           subdirWrites = Map("_dv" -> dv) ++ cdfRows,
           baseVersion = Some(v), operation = "REPLACE_WHERE")
@@ -3331,8 +3344,9 @@ object VersionedTable {
       col("_metadata.file_path").as("__gvt_file"),
       col("_metadata.row_index").as("__gvt_pos"))
     if (dirs.size == 1) tag(spark.read.parquet(dirs.head))
-    else if (dirsLayout(dirs).isEmpty) {
-      // same evolved-chain handling as readDirs (NULL-pad per dir)
+    else if (dirs.forall(d => partColsOf(new HPath(d)).isEmpty)) {
+      // same evolved-chain handling as readDirs (NULL-pad per dir);
+      // same all-flat condition (a mixed chain reads per-dir)
       val schemas = dirs.map(d => spark.read.parquet(d).schema)
       if (schemas.forall(_ == schemas.head)) tag(spark.read.parquet(dirs: _*))
       else dirs.map(d => tag(spark.read.parquet(d)))
