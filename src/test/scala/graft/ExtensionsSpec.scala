@@ -224,6 +224,17 @@ class ExtensionsSpec extends AnyFunSuite {
         assert(msgs(e).exists(_.toLowerCase.contains(needle.toLowerCase)),
           s"expected '$needle' in: ${msgs(e).mkString(" | ")}")
       }
+      // multi-key correlated EXISTS: both equality conjuncts become
+      // semi-join keys (delete rows where (id, v) matches a pair)
+      sess.sql("SELECT * FROM VALUES (20, CAST(200 AS BIGINT)), " +
+        "(21, CAST(999 AS BIGINT)) AS t(mk, mv)")
+        .createOrReplaceTempView("sub_mkeys")
+      sess.sql("DELETE FROM sub_dml WHERE EXISTS " +
+        "(SELECT 1 FROM sub_mkeys WHERE mk = id AND mv = v)")
+      view()
+      assert(sess.sql("SELECT id FROM sub_dml WHERE id IN (20, 21) " +
+        "ORDER BY id").as[Int].collect().toSeq == Seq(21),
+        "only the (id, v)-matching row deletes; the half-match stays")
       refuses("DELETE FROM sub_dml WHERE EXISTS (SELECT count(*) " +
         "FROM sub_keys WHERE sk = id GROUP BY sk HAVING count(*) > 1)",
         "correlated")
