@@ -86,6 +86,11 @@ class GvtSqlParser(session: SparkSession, delegate: ParserInterface)
         GvtUnsetPropertiesCommand(target.trim, parsePropKeys(keys))
       case ShowPropsRe(target) if isGvtTarget(session, target.trim) =>
         GvtShowPropertiesCommand(target.trim)
+      case ClusterByNoneRe(target) if isGvtTarget(session, target.trim) =>
+        GvtUnsetPropertiesCommand(target.trim, Seq("gvt.clusterBy"))
+      case ClusterByRe(target, cols) if isGvtTarget(session, target.trim) =>
+        GvtSetPropertiesCommand(target.trim, Map("gvt.clusterBy" ->
+          parsePropKeys(cols.replace("`", "")).mkString(",")))
       case AddColumnsRe(target, colList) if isGvtTarget(session, target.trim) =>
         GvtAddColumnsCommand(target.trim,
           parseColumnList(colList, delegate.parseDataType))
@@ -212,6 +217,15 @@ object GvtSqlParser {
       """\s+UNSET\s+TBLPROPERTIES\s*(?:IF\s+EXISTS\s+)?\((.+)\)\s*$""").r
   private val ShowPropsRe =
     ("""(?is)^SHOW\s+TBLPROPERTIES\s+""" + Target + """\s*$""").r
+  // `ALTER TABLE t CLUSTER BY (c1, c2)` / `CLUSTER BY NONE` — Delta
+  // Liquid Clustering's key-registration surface; plain OPTIMIZE then
+  // clusters incrementally (VersionedTable.clusterIncremental)
+  private val ClusterByRe =
+    ("""(?is)^ALTER\s+TABLE\s+""" + Target +
+      """\s+CLUSTER\s+BY\s*\(\s*([`\w.\-]+(?:\s*,\s*[`\w.\-]+)*)\s*\)\s*$""").r
+  private val ClusterByNoneRe =
+    ("""(?is)^ALTER\s+TABLE\s+""" + Target +
+      """\s+CLUSTER\s+BY\s+NONE\s*$""").r
   private val AddColumnsRe =
     ("""(?is)^ALTER\s+TABLE\s+""" + Target +
       """\s+ADD\s+COLUMNS?\s*\((.+)\)\s*$""").r
@@ -550,6 +564,12 @@ case class GvtOptimizeCommand(target: String, zorderBy: Seq[String],
         org.apache.spark.sql.functions.expr(w), zorderBy = zorderBy,
         minFileBytes = minB)))
     }
+    // Liquid-clustering analogue: registered cluster keys turn plain
+    // OPTIMIZE into the incremental cluster rewrite — O(new data since
+    // the last OPTIMIZE), idempotent under scheduling. An explicit
+    // ZORDER BY keeps its full-recluster meaning.
+    if (zorderBy.isEmpty && VersionedTable.clusterByOf(root).nonEmpty)
+      return Seq(Row(VersionedTable.clusterIncremental(spark, root)))
     minB.foreach { b =>
       return Seq(Row(VersionedTable.compactSmall(spark, root, b)))
     }

@@ -940,6 +940,32 @@ object RelationalQueries {
         FROM sqldin_t GROUP BY status ORDER BY status""")
     }),
 
+    // Incremental clustering (Delta Liquid Clustering analogue):
+    // ALTER TABLE … CLUSTER BY registers keys; plain OPTIMIZE z-orders
+    // ONLY not-yet-clustered chain members (each clustering commit
+    // stamps `_clustered`) — O(new data since the last OPTIMIZE),
+    // idempotent under scheduling. Content-identical rewrites: the
+    // oracle is plain row algebra; the zone-map benefit shows in the
+    // pruned scan the final range query plans.
+    "q_sql_cluster_by" -> ((s, dir) => graft.GraftSession.withExtensions(s) { sess =>
+      val out = tmpDir("graft_clusterby")
+      val o = t(sess, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      val root = s"$out/t"
+      graft.sources.VersionedTable.write(
+        o.filter(col("k") % 3 =!= 0).repartition(6), root)
+      sess.sql(s"ALTER TABLE gvt.`$root` CLUSTER BY (k, cents)")
+      sess.sql(s"OPTIMIZE gvt.`$root`") // clusters the whole table
+      graft.sources.VersionedTable.append(o.filter(col("k") % 3 === 0), root)
+      sess.sql(s"OPTIMIZE gvt.`$root`") // incremental: the new batch only
+      sess.sql(s"CREATE OR REPLACE TEMPORARY VIEW clb_t USING gvt " +
+        s"OPTIONS (path '$root')")
+      sess.sql("""SELECT status, count(*) AS n_orders, sum(cents) AS sum_cents
+        FROM clb_t WHERE k BETWEEN 1000 AND 30000
+        GROUP BY status ORDER BY status""")
+    }),
+
     // Correlated + scalar + multi-column subqueries in DML (round-14
     // Delta-parity extension): a correlated EXISTS/NOT EXISTS conjunct
     // whose correlation is a top-level equality decomposes into a
@@ -2504,6 +2530,16 @@ object RelationalQueries {
         |SELECT status, CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM d2 GROUP BY status ORDER BY status""".stripMargin,
+
+    // Clustering rewrites are content-identical: the clustered +
+    // incrementally-clustered table must equal the plain table.
+    "q_sql_cluster_by" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM o WHERE k BETWEEN 1000 AND 30000
+        |GROUP BY status ORDER BY status""".stripMargin,
 
     // Correlated/scalar/multi-column subquery DML must equal plain
     // row-set algebra: EXISTS hops mirror as [NOT] EXISTS, the scalars

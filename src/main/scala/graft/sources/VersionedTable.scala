@@ -1186,11 +1186,30 @@ object VersionedTable {
       else metaFiles.get("_colmap").map(parseColmap)
         .orElse(base.flatMap(b => colmapAt(root, b)))
     if (cmPrior.isDefined) requireFeature(root, "columnMapping", reader = true)
+    // `gvt.dataSkippingCols` (Delta auto-data-skipping analogue): when
+    // the property names columns and the caller passed no statsCols,
+    // EVERY data commit collects their zone maps — DML slices and
+    // maintenance rewrites included — so a 100 TB table's rewritten
+    // rows stay prunable without each call site remembering statsCols.
+    // Columns the commit's schema lacks, or of un-zone-mappable types,
+    // are skipped rather than failing the write.
+    val props = try tblProperties(root) catch {
+      case scala.util.control.NonFatal(_) => Map.empty[String, String]
+    }
+    val statsCols1 =
+      if (statsCols.nonEmpty) statsCols
+      else props.get("gvt.dataSkippingCols").toSeq
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+        .filter { c =>
+          df.schema.find(_.name == c).map(_.dataType).exists(dt =>
+            dt.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+              dt == org.apache.spark.sql.types.StringType)
+        }
     val next = claimNextVersion(root)
     var committed = false
     try {
       val (dfW, partsW, statsW, metaW) = cmPrior match {
-        case None => (df, partitionBy, statsCols,
+        case None => (df, partitionBy, statsCols1,
           if (unmap) metaFiles1 - "_colmap" else metaFiles1)
         case Some(prior0) =>
           // id mode: every physical (incl. the adds below) carries a
@@ -1228,7 +1247,7 @@ object VersionedTable {
             }.toSeq: _*)
           (withIds,
             partitionBy.map(c => physOf.getOrElse(c, c)),
-            statsCols.map(c => physOf.getOrElse(c, c)),
+            statsCols1.map(c => physOf.getOrElse(c, c)),
             metaFiles1 + ("_colmap" -> serializeColmap(cm)))
       }
       // Optimized writes (Delta autoOptimize.optimizeWrite analogue):
@@ -1242,9 +1261,7 @@ object VersionedTable {
       // (a rebalance on top of a z-order compaction would destroy the
       // clustering it just built).
       val ow = optimizeWrite.getOrElse(assignIdentity &&
-        (try tblProperties(root) catch {
-          case scala.util.control.NonFatal(_) => Map.empty[String, String]
-        }).get("gvt.optimizeWrite").exists(_.trim.equalsIgnoreCase("true")))
+        props.get("gvt.optimizeWrite").exists(_.trim.equalsIgnoreCase("true")))
       val dfOut =
         if (!ow) dfW
         else if (partsW.nonEmpty)
@@ -1273,15 +1290,16 @@ object VersionedTable {
           requireFeature(root, "schemaOnlySlices", reader = true)
         }
       }
-      if (statsW.nonEmpty) collectStats(df.sparkSession, root, next, statsW)
+      // a schema-only slice (a DELETE_DV commit's empty anchor) carries
+      // no prunable file — skip the empty stats job
+      if (statsW.nonEmpty && !metaW2.contains("_schema_only"))
+        collectStats(df.sparkSession, root, next, statsW)
       // persistent bloom index (gvt.bloomIndexCols table property, the
       // Delta BLOOMFILTER INDEX analogue): every commit collects its
       // version's sidecars BEFORE the marker, so a committed snapshot is
       // never observably index-less. O(version data) — O(batch) on
       // appends, the rewrite's own cost class on full snapshots.
-      val bloomIdx = (try tblProperties(root) catch {
-        case scala.util.control.NonFatal(_) => Map.empty[String, String]
-      }).get("gvt.bloomIndexCols").toSeq
+      val bloomIdx = props.get("gvt.bloomIndexCols").toSeq
         .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
         .filter(dfW.columns.contains)
       if (bloomIdx.nonEmpty && !metaW2.contains("_schema_only"))
@@ -4245,6 +4263,87 @@ object VersionedTable {
         baseVersion = Some(v),
         operation = s"OPTIMIZE_SMALL(<${smallFileBytes}B,n=${cands.size})",
         assignIdentity = false)
+    } finally { hit.unpersist(); () }
+  }
+
+  /** The table's registered clustering keys (`gvt.clusterBy`). */
+  private[graft] def clusterByOf(root: String): Seq[String] =
+    (try tblProperties(root) catch {
+      case scala.util.control.NonFatal(_) => Map.empty[String, String]
+    }).get("gvt.clusterBy").toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+
+  /** Incremental clustering OPTIMIZE (Delta Liquid Clustering
+    * analogue): with `gvt.clusterBy = c1[,c2[,c3[,c4]]]` registered
+    * (TBLPROPERTIES or `ALTER TABLE … CLUSTER BY`), plain `OPTIMIZE t`
+    * rewrites ONLY the chain members not already clustered on the
+    * CURRENT keys — each clustering commit stamps `_clustered` with its
+    * key list, so the selection is metadata-only — as ONE
+    * deletion-vector commit: O(new data since the last OPTIMIZE) at any
+    * table size, and a SCHEDULED optimize is idempotent (no commit at
+    * all when everything is clustered; changing the keys naturally
+    * re-clusters everything, Delta's re-cluster-on-key-change). One key
+    * sorts linearly; 2-4 keys z-order (Morton). Clustering bounds come
+    * from the rewritten slice itself — per-increment clustering, the
+    * liquid trade: new data clusters among itself and zone maps stay
+    * file-accurate; a FULL re-cluster remains the explicit
+    * `OPTIMIZE t ZORDER BY (…)`. Content-identical ⇒ CDF-neutral.
+    * Returns the new version (the current one on no-op). */
+  def clusterIncremental(spark: SparkSession, root: String,
+                         targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    import org.apache.spark.sql.functions.col
+    val v = latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $root"))
+    val keys = clusterByOf(root)
+    require(keys.nonEmpty && keys.size <= 4,
+      s"incremental clustering: gvt.clusterBy must name 1-4 columns at $root")
+    val parts = layoutOf(root, v)
+    require(!keys.exists(parts.contains),
+      s"clusterBy columns must not be partition keys ($parts)")
+    val dvDirs = chainDvDirs(root, v)
+    val elided = fullyMaskedFiles(spark, dvDirs)
+    val vdirRe = "^(.*)/v=(\\d+)$".r
+    val cands = dataDirsOf(root, v).filterNot(isSchemaOnlySlice)
+      .filterNot {
+        case vdirRe(r, vv) => readMeta(r, vv.toLong, "_clustered")
+          .map(_.trim).contains(keys.mkString(","))
+        case _ => false
+      }
+      .flatMap(listDataFilesWithSize)
+      .filterNot { case (f, _) => elided(normFileId(f)) }
+    if (cands.isEmpty) return v
+    val nFiles = math.max(1,
+      math.ceil(cands.map(_._2).sum.toDouble / targetFileBytes).toInt)
+    def tag(df: DataFrame) = df.select(col("*"),
+      col("_metadata.file_path").as("__gvt_file"),
+      col("_metadata.row_index").as("__gvt_pos"))
+    val tagged = readFileGroups(spark, cands.map(_._1), parts.nonEmpty, tag)
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+    val masked =
+      if (dvDirs.isEmpty) tagged
+      else applyDv(spark, tagged, dvDirs, keepMeta = true)
+    val logical = colmapAt(root, v)
+      .map(applyColmap(masked, _, keepMeta = true)).getOrElse(masked)
+    val anchored = logical.unionByName(
+      readVersion(spark, root, v).limit(0), allowMissingColumns = true)
+    val hit = anchored
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dv = hit
+        .select(col("__gvt_file").as("_dv_file"), col("__gvt_pos").as("_dv_pos"))
+      val data = hit.drop("__gvt_file", "__gvt_pos")
+      val (rewritten, op) =
+        if (keys.size == 1) {
+          val order = parts.map(col) :+ col(keys.head)
+          (data.repartitionByRange(nFiles, order: _*)
+            .sortWithinPartitions(order: _*),
+            s"OPTIMIZE_CLUSTER(sort=${keys.head})")
+        } else clusteredRewrite(data, parts, keys, nFiles, "OPTIMIZE_CLUSTER")
+      write(rewritten, root, partitionBy = parts, statsCols = keys,
+        metaFiles = Map("_dv_parent" -> v.toString,
+          "_clustered" -> keys.mkString(",")),
+        subdirWrites = Map("_dv" -> dv),
+        baseVersion = Some(v), operation = op, assignIdentity = false)
     } finally { hit.unpersist(); () }
   }
 

@@ -154,4 +154,37 @@ class DataSkippingSpec extends AnyFunSuite {
     assert(zScan.inputFiles.length <= 12,
       s"z-order should skip >=4 of 16 files, read ${zScan.inputFiles.length}")
   }
+
+  test("gvt.dataSkippingCols: every commit auto-collects zone maps — " +
+    "appends AND the UPDATE_DV slice stay prunable, no per-call statsCols") {
+    import spark.implicits._
+    val root = freshRoot()
+    VersionedTable.write(
+      (1 to 400).map(i => (i.toLong, s"s$i")).toDF("k", "s")
+        .repartitionByRange(4, col("k")), root, statsCols = Seq("k"))
+    VersionedTable.setTblProperties(root,
+      Map("gvt.dataSkippingCols" -> "k, missing_col"))
+    // append WITHOUT statsCols: the property collects for it
+    VersionedTable.append(
+      (401 to 800).map(i => (i.toLong, s"s$i")).toDF("k", "s")
+        .repartitionByRange(4, col("k")), root)
+    assert(new java.io.File(s"$root/v=2/_stats").exists(),
+      "property-driven stats missing on the append commit")
+    // DML: the UPDATE_DV slice gets stats too (v3 data = updated rows)
+    VersionedTable.updateWhereVector(spark, root, col("k") <= 100,
+      Map("s" -> concat(lit("u"), col("s"))))
+    assert(new java.io.File(s"$root/v=3/_stats").exists(),
+      "property-driven stats missing on the UPDATE_DV slice")
+    // and the whole chain prunes: a range over the untouched top files
+    // must not read the low-range files of ANY commit
+    val pruned = VersionedTable.readPruned(spark, root, "k", 601, 700)
+    assert(pruned.count() == 100)
+    val perDir = pruned.inputFiles.toSeq.filterNot(_.contains("/_dv"))
+      .groupBy(f => "v=\\d+".r.findFirstIn(f).getOrElse("?"))
+      .view.mapValues(_.size).toMap
+    assert(perDir.getOrElse("v=2", 0) < 4,
+      s"append files must prune via the auto stats: $perDir")
+    assert(perDir.getOrElse("v=3", 0) == 0,
+      s"the low-range UPDATE slice must prune away entirely: $perDir")
+  }
 }
