@@ -40,12 +40,13 @@ class GvtSqlParser(session: SparkSession, delegate: ParserInterface)
   override def parsePlan(sqlText: String): LogicalPlan = {
     val t = sqlText.trim.stripSuffix(";").trim
     t match {
-      case OptimizeRe(target, where, zorder) =>
+      case OptimizeRe(target, full, where, zorder) =>
         val zCols = Option(zorder).toSeq
           .flatMap(_.split(',')).map(_.trim.stripPrefix("`").stripSuffix("`"))
           .filter(_.nonEmpty)
         GvtOptimizeCommand(target.trim, zCols,
-          where = Option(where).map(_.trim).filter(_.nonEmpty))
+          where = Option(where).map(_.trim).filter(_.nonEmpty),
+          full = full != null)
       case VacuumRe(target, hours, dry) =>
         GvtVacuumCommand(target.trim,
           Option(hours).map(h => h.trim.toLong * 3600L * 1000L),
@@ -181,6 +182,7 @@ object GvtSqlParser {
   private val Target = """(gvt\s*\.\s*`[^`]+`|`[^`]+`|[\w.]+)"""
   private val OptimizeRe =
     ("""(?is)^OPTIMIZE\s+""" + Target +
+      """(?:\s+(FULL))?""" +
       """(?:\s+WHERE\s+(.+?))?""" +
       """(?:\s+ZORDER\s+BY\s*\(?\s*([`\w,\s]+?)\s*\)?)?\s*$""").r
   private val VacuumRe =
@@ -537,7 +539,8 @@ case class GvtReorgCommand(target: String) extends LeafRunnableCommand {
 }
 
 case class GvtOptimizeCommand(target: String, zorderBy: Seq[String],
-                              where: Option[String] = None)
+                              where: Option[String] = None,
+                              full: Boolean = false)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("new_version", LongType, nullable = false)())
@@ -566,10 +569,17 @@ case class GvtOptimizeCommand(target: String, zorderBy: Seq[String],
     }
     // Liquid-clustering analogue: registered cluster keys turn plain
     // OPTIMIZE into the incremental cluster rewrite — O(new data since
-    // the last OPTIMIZE), idempotent under scheduling. An explicit
-    // ZORDER BY keeps its full-recluster meaning.
+    // the last OPTIMIZE), idempotent under scheduling. `OPTIMIZE t
+    // FULL` re-clusters EVERYTHING on the current keys (Delta's FULL
+    // keyword — the escape hatch after a key change or for a drifted
+    // layout); an explicit ZORDER BY keeps its full-recluster meaning.
     if (zorderBy.isEmpty && VersionedTable.clusterByOf(root).nonEmpty)
-      return Seq(Row(VersionedTable.clusterIncremental(spark, root)))
+      return Seq(Row(
+        VersionedTable.clusterIncremental(spark, root, force = full)))
+    if (full)
+      throw new UnsupportedOperationException(
+        s"OPTIMIZE FULL: $root has no gvt.clusterBy keys registered — " +
+          "FULL re-clusters a clustered table (ALTER TABLE … CLUSTER BY)")
     minB.foreach { b =>
       return Seq(Row(VersionedTable.compactSmall(spark, root, b)))
     }

@@ -4290,7 +4290,8 @@ object VersionedTable {
     * `OPTIMIZE t ZORDER BY (…)`. Content-identical ⇒ CDF-neutral.
     * Returns the new version (the current one on no-op). */
   def clusterIncremental(spark: SparkSession, root: String,
-                         targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+                         targetFileBytes: Long = 128L * 1024 * 1024,
+                         force: Boolean = false): Long = {
     import org.apache.spark.sql.functions.col
     val v = latestVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no versions at $root"))
@@ -4303,8 +4304,11 @@ object VersionedTable {
     val dvDirs = chainDvDirs(root, v)
     val elided = fullyMaskedFiles(spark, dvDirs)
     val vdirRe = "^(.*)/v=(\\d+)$".r
+    // `force` (OPTIMIZE … FULL): ignore the stamps, re-cluster every
+    // live file on the current keys — one global layout
     val cands = dataDirsOf(root, v).filterNot(isSchemaOnlySlice)
       .filterNot {
+        case _ if force => false
         case vdirRe(r, vv) => readMeta(r, vv.toLong, "_clustered")
           .map(_.trim).contains(keys.mkString(","))
         case _ => false

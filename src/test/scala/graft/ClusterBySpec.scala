@@ -60,9 +60,27 @@ class ClusterBySpec extends AnyFunSuite {
       // CDF-neutral (the OPTIMIZE-family contract, keyless)
       assert(VersionedTable.changes(spark, root, v2, 3L).count() == 200)
       assert(VersionedTable.changes(spark, root, 3L, v4).count() == 0)
-      // CLUSTER BY NONE unregisters; OPTIMIZE returns to its old meaning
+      // OPTIMIZE FULL re-clusters EVERYTHING on the current keys in
+      // one global layout (both prior slices' files masked)
+      val v5 = sess.sql(s"OPTIMIZE gvt.`$root` FULL").head.getLong(0)
+      assert(v5 == 5L)
+      val fullDv = spark.read.parquet(s"$root/v=$v5/_dv")
+        .select("_dv_file").distinct().collect().map(_.getString(0)).toSeq
+      assert(fullDv.exists(_.contains(s"/v=2/")) &&
+        fullDv.exists(_.contains(s"/v=4/")),
+        s"FULL must re-cluster every live slice: $fullDv")
+      assert(VersionedTable.readLatest(spark, root)
+        .orderBy("k").collect().toSeq == after)
+      // and a repeat plain OPTIMIZE after FULL is again a no-op
+      assert(sess.sql(s"OPTIMIZE gvt.`$root`").head.getLong(0) == v5)
+      // CLUSTER BY NONE unregisters; OPTIMIZE returns to its old
+      // meaning, and FULL without keys refuses
       sess.sql(s"ALTER TABLE gvt.`$root` CLUSTER BY NONE")
       assert(VersionedTable.clusterByOf(root).isEmpty)
+      val e = intercept[Exception] {
+        sess.sql(s"OPTIMIZE gvt.`$root` FULL")
+      }
+      assert(e.getMessage.contains("CLUSTER BY"), e.getMessage)
     }
   }
 
