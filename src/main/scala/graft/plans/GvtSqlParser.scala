@@ -892,6 +892,8 @@ case class GvtDescribeDetailCommand(target: String)
     AttributeReference("size_bytes", LongType, nullable = false)(),
     AttributeReference("num_rows", LongType, nullable = false)(),
     AttributeReference("partition_columns", StringType, nullable = false)(),
+    // Delta detail's clusteringColumns (gvt.clusterBy registration)
+    AttributeReference("clustering_columns", StringType, nullable = false)(),
     AttributeReference("properties", StringType, nullable = false)(),
     AttributeReference("reader_features", StringType, nullable = false)(),
     AttributeReference("writer_features", StringType, nullable = false)(),
@@ -904,6 +906,7 @@ case class GvtDescribeDetailCommand(target: String)
     val stats = VersionedTable.tableStats(root, d.version)
     Seq(Row(d.format, d.location, d.version, d.numVersions, d.numFiles,
       d.sizeBytes, d.numRows, d.partitionColumns.mkString(","),
+      VersionedTable.clusterByOf(root).mkString(","),
       d.properties.toSeq.sorted.map { case (k, v) => s"$k=$v" }
         .mkString(","),
       d.readerFeatures.toSeq.sorted.mkString(","),

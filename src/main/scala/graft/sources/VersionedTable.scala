@@ -2535,7 +2535,7 @@ object VersionedTable {
     // emits NO changes (a keyed diff would pair everything away; the
     // keyless feed short-circuits to the same answer without the scan)
     if (op.startsWith("COMPACT") || op.startsWith("OPTIMIZE"))
-      return readVersion(spark, root, toV).limit(0)
+      return emptySnapshot(spark, root, toV)
         .withColumn("_change_type", lit("insert"))
     def refuse(): Nothing = throw new UnsupportedOperationException(
       s"$root: keyless table_changes across v=$fromV→v=$toV ($op) — this " +
@@ -2626,7 +2626,7 @@ object VersionedTable {
             "sink (full refresh)")
     }
     val old =
-      if (files.isEmpty) readVersion(spark, root, fromV).limit(0)
+      if (files.isEmpty) emptySnapshot(spark, root, fromV)
       else {
         def tag(df: DataFrame) = df.select(col("*"),
           col("_metadata.file_path").as("__gvt_file"),
@@ -3041,7 +3041,7 @@ object VersionedTable {
       // a mapped source's mapping rides the clone commit, so clone-local
       // reads and DML resolve it without crossing roots, and clone-local
       // schema changes stack independently of the source
-      write(readVersion(spark, srcRoot, v).limit(0), dstRoot,
+      write(emptySnapshot(spark, srcRoot, v), dstRoot,
         metaFiles = Map("_clone_src" -> s"$srcRoot\t$v") ++
           colmapAt(srcRoot, v).map("_colmap" -> serializeColmap(_)),
         operation = s"CLONE(shallow,$srcRoot@v$v)")
@@ -3308,6 +3308,18 @@ object VersionedTable {
 
   private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
     (String, Long, Long), org.apache.spark.sql.types.StructType]()
+
+  /** A zero-row frame with snapshot `version`'s LOGICAL schema — the
+    * schema anchor the DML/maintenance commits and CDF empty returns
+    * need. Built from the memoized schema instead of
+    * `readVersion(…).limit(0)`, which constructs (and re-analyzes) the
+    * whole chain-read + DV-anti-join plan just to throw its rows away —
+    * pure driver latency on EVERY DML commit. */
+  private def emptySnapshot(spark: SparkSession, root: String,
+                            version: Long): DataFrame =
+    spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      schemaOf(spark, root, version))
 
   /** Snapshot `version`'s schema, memoized. Building a relation needs
     * the schema on EVERY resolution (SQL over a registered gvt view
@@ -3650,7 +3662,7 @@ object VersionedTable {
         if (!cdf) Map.empty[String, DataFrame]
         else Map("_cdf" -> hit.drop("__gvt_file", "__gvt_pos")
           .withColumn("_change_type", lit("delete")))
-      write(readVersion(spark, root, v).limit(0), root,
+      write(emptySnapshot(spark, root, v), root,
         metaFiles = Map("_dv_parent" -> v.toString),
         subdirWrites = Map("_dv" -> dv) ++ cdfRows,
         baseVersion = Some(v), operation = "DELETE_DV")
@@ -4136,7 +4148,7 @@ object VersionedTable {
       val logical = colmapAt(root, v)
         .map(applyColmap(masked, _, keepMeta = true)).getOrElse(masked)
       val anchored = logical.unionByName(
-        readVersion(spark, root, v).limit(0), allowMissingColumns = true)
+        emptySnapshot(spark, root, v), allowMissingColumns = true)
       val n = math.max(1,
         math.ceil(cands.map(_._2).sum.toDouble / targetFileBytes).toInt)
       val hitS = anchored
@@ -4250,7 +4262,7 @@ object VersionedTable {
     // evolved column — the packed rewrite must still carry it (NULLs),
     // not silently narrow the schema for its rows
     val anchored = logical.unionByName(
-      readVersion(spark, root, v).limit(0), allowMissingColumns = true)
+      emptySnapshot(spark, root, v), allowMissingColumns = true)
     val hit = anchored
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -4329,7 +4341,7 @@ object VersionedTable {
     val logical = colmapAt(root, v)
       .map(applyColmap(masked, _, keepMeta = true)).getOrElse(masked)
     val anchored = logical.unionByName(
-      readVersion(spark, root, v).limit(0), allowMissingColumns = true)
+      emptySnapshot(spark, root, v), allowMissingColumns = true)
     val hit = anchored
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {

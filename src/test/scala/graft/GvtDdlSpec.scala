@@ -128,7 +128,11 @@ class GvtDdlSpec extends AnyFunSuite {
       assert(d.getLong(5) > 0L)     // size_bytes
       assert(d.getLong(6) == 40L)   // num_rows (metadata-only)
       assert(d.getString(7) == "part")
-      assert(d.getString(8) == "owner=alpha")
+      assert(d.getString(8) == "")      // clustering_columns: none yet
+      assert(d.getString(9) == "owner=alpha")
+      sess.sql(s"ALTER TABLE gvt.`$root` CLUSTER BY (k)")
+      assert(sess.sql(s"DESCRIBE DETAIL gvt.`$root`").head().getString(8)
+        == "k")
     }
     // a DV commit adds a version but the counted files stay DATA files;
     // num_rows subtracts the vector's cardinality without a scan
