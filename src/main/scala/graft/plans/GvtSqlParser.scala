@@ -548,6 +548,10 @@ case class GvtOptimizeCommand(target: String, zorderBy: Seq[String],
     val root = GvtSqlParser.rootOf(spark, target)
     val v = VersionedTable.latestVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no versions at $root"))
+    if (full && (where.isDefined || zorderBy.nonEmpty))
+      throw new UnsupportedOperationException(
+        "OPTIMIZE FULL takes no WHERE or ZORDER BY — it re-clusters the " +
+          "whole table on the registered gvt.clusterBy keys")
     // Delta's optimize.minFileSize conf as a table property: when
     // `gvt.optimize.minFileBytes` is set, OPTIMIZE bin-packs ONLY files
     // below the threshold — O(small files), the 100 TB-safe default,

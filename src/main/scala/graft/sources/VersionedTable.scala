@@ -2020,8 +2020,9 @@ object VersionedTable {
     // between the record landing and the delete) must not count: its
     // masks are fully represented in the DV sum AND in the purged
     // correction, so including its footer would double-add its rows
+    val isPurged = purgedIn(root) // bind once: one _purged read, not O(files)
     val dataFiles = dataDirsOf(root, v).filterNot(isSchemaOnlySlice)
-      .flatMap(listDataFiles).filterNot(purgedIn(root)(_))
+      .flatMap(listDataFiles).filterNot(isPurged)
     val dvFiles = chainDvDirs(root, v).flatMap(listDataFiles)
     footerRowCount(dataFiles) - footerRowCount(dvFiles) +
       purgedMaskedRows(root, v)
@@ -2069,8 +2070,9 @@ object VersionedTable {
     checkReadProtocol(root)
     val v = latestVersion(root).getOrElse(throw new IllegalArgumentException(
       s"no versions at $root"))
+    val isPurged = purgedIn(root)
     val dataFiles = dataDirsOf(root, v).filterNot(isSchemaOnlySlice)
-      .flatMap(listDataFiles).filterNot(purgedIn(root)(_))
+      .flatMap(listDataFiles).filterNot(isPurged)
     val raw = footerRowCount(dataFiles)
     val live = raw -
       footerRowCount(chainDvDirs(root, v).flatMap(listDataFiles)) +
@@ -2591,14 +2593,28 @@ object VersionedTable {
       val cdfDir = new HPath(s"$root/v=$v/_cdf")
       if (op.startsWith("UPDATE_DV") && fromV.isDefined &&
           !fcOf(cdfDir).util.exists(cdfDir)) {
-        val pre = dvRemovedRows(spark, root, fromV.get, v)
-          .withColumn("_change_type", lit("update_preimage"))
-        val post = mapToLogical(spark,
-          spark.read.parquet(s"$root/v=$v"), root, v)
-          .withColumn("_change_type", lit("update_postimage"))
-        pre.unionByName(post, allowMissingColumns = true)
-          .write.mode("overwrite").parquet(cdfDir.toString)
-        done += v
+        // a hop whose touched files VACUUM already reclaimed (or whose
+        // base is below the purge floor) cannot be reconstructed —
+        // SKIP it rather than fail the whole enablement half-applied:
+        // that hop keeps its loud read-time refusal, every reachable
+        // hop still backfills, and future commits capture at write
+        // time (the Delta forward-only floor, as the worst case)
+        try {
+          val pre = dvRemovedRows(spark, root, fromV.get, v)
+            .withColumn("_change_type", lit("update_preimage"))
+          val post = mapToLogical(spark,
+            spark.read.parquet(s"$root/v=$v"), root, v)
+            .withColumn("_change_type", lit("update_postimage"))
+          pre.unionByName(post, allowMissingColumns = true)
+            .write.mode("overwrite").parquet(cdfDir.toString)
+          done += v
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            graft.util.Log("gvt").warn(
+              s"CDF backfill skipped v=$v at $root (history not " +
+                s"reconstructable: ${e.getMessage}) — keyless " +
+                "table_changes keeps refusing that hop")
+        }
       }
     }
     done.toSeq
@@ -3327,8 +3343,10 @@ object VersionedTable {
     * inference over the chain each time; version contents are immutable
     * so the schema is a per-(root, version) constant. The version dir's
     * mtime keys the entry so a dropped-and-recreated table at the same
-    * root (tests; CREATE OR REPLACE flows) can never serve a stale
-    * schema. */
+    * root (tests; CREATE OR REPLACE flows) does not serve a stale
+    * schema (a recreate landing within one mtime tick of the delete is
+    * the residual blind spot — [[invalidateElisionCache]] clears this
+    * cache too for out-of-band surgery). */
   private[graft] def schemaOf(spark: SparkSession, root: String,
                               version: Long): org.apache.spark.sql.types.StructType = {
     val mtime = try fcOf(new HPath(root))
@@ -3586,11 +3604,18 @@ object VersionedTable {
           // a mask-counted candidate whose footer is GONE and whose
           // rows-total is unrecorded: nothing it could serve is
           // reachable (its masks cover whatever a reader would want, or
-          // the file was reclaimed by a crashed vacuum before its
-          // `_purged` record landed) — elide rather than propagate a
-          // FileNotFound that would make the whole table unreadable
-          case (f, _) if !totals.contains(f) && !purged(normFileId(f)) &&
-            !probed.contains(f) => normFileId(f)
+          // the file was reclaimed by a crashed pre-record vacuum) —
+          // elide rather than propagate a FileNotFound that would make
+          // the whole table permanently unreadable (the r13 ADVICE
+          // class). LOUD: external loss of a partially-masked file
+          // lands here too, so the tolerance is announced every cold
+          // resolve, never silent.
+          case (f, n) if !totals.contains(f) && !purged(normFileId(f)) &&
+            !probed.contains(f) =>
+            graft.util.Log("gvt").warn(
+              s"data file missing but $n masked rows recorded — treating " +
+                s"as fully masked (crashed pre-record VACUUM?): $f")
+            normFileId(f)
         }.toSet
       }
     if (elisionCache.size > 4096) elisionCache.clear()
@@ -4355,7 +4380,21 @@ object VersionedTable {
             .sortWithinPartitions(order: _*),
             s"OPTIMIZE_CLUSTER(sort=${keys.head})")
         } else clusteredRewrite(data, parts, keys, nFiles, "OPTIMIZE_CLUSTER")
-      write(rewritten, root, partitionBy = parts, statsCols = keys,
+      // zone maps on the cluster keys PLUS any registered
+      // gvt.dataSkippingCols — passing only the keys would silently
+      // drop the table's standing skip columns on the rewritten rows
+      // (explicit statsCols bypass the property fallback in write())
+      val skipExtra = (try tblProperties(root) catch {
+        case scala.util.control.NonFatal(_) => Map.empty[String, String]
+      }).get("gvt.dataSkippingCols").toSeq
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+        .filter { c =>
+          data.schema.find(_.name == c).map(_.dataType).exists(dt =>
+            dt.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+              dt == org.apache.spark.sql.types.StringType)
+        }
+      write(rewritten, root, partitionBy = parts,
+        statsCols = (keys ++ skipExtra).distinct,
         metaFiles = Map("_dv_parent" -> v.toString,
           "_clustered" -> keys.mkString(",")),
         subdirWrites = Map("_dv" -> dv),
@@ -4619,27 +4658,48 @@ object VersionedTable {
         // a prior pass that crashed between its `_purged` record and
         // the deletes leaves recorded-but-present files: re-delete them
         // (reads already elide them by record, so this is pure storage
-        // reclaim — the repair the record-first ordering makes possible)
+        // reclaim — the repair the record-first ordering makes possible),
+        // and make sure the purge floor exists (a legacy record written
+        // before the floor was introduced — current minRead is a
+        // conservative, loud-side floor)
         cum.keys.filter(already.contains).foreach { f =>
           try { delete(new HPath(new java.net.URI(raw(f))),
             recursive = false); () }
           catch { case scala.util.control.NonFatal(_) => () }
         }
+        if (already.nonEmpty && purgeFloor(root).isEmpty) {
+          writeString(purgeFloorFile(root), minRead.toString, overwrite = true)
+          purgeFloorCache.clear()
+        }
+        // probe only files this pass could actually reclaim: unrecorded,
+        // total-less, AND mask-complete at-or-below every retained read
+        // point — a recently-masked file can never qualify, so its
+        // footer read would be pure waste
         val probed = footerRowsOf(cum.keys.toSeq
-          .filterNot(f => already.contains(f) || tot.contains(f))
+          .filter(f => !already.contains(f) && !tot.contains(f) &&
+            last(f) <= minRead)
           .map(raw))
         val reclaimed = cum.toSeq.collect {
           case (f, n) if !already.contains(f) && last(f) <= minRead &&
             tot.get(f).orElse(probed.get(raw(f))).exists(n >= _) => (f, n)
         }
         if (reclaimed.nonEmpty) {
-          // CRASH ORDER: the `_purged` record (with the purge floor)
-          // lands BEFORE any file is deleted — a crash between the two
-          // leaves a recorded-but-still-present file, which readers
-          // elide by record and [[metaRowCount]]/[[analyzeTable]]
-          // exclude from footer sums; a re-run re-deletes it. The old
+          // CRASH ORDER: floor, then record, then deletes. The
+          // minimum-readable-version floor lands FIRST (versions below
+          // it may be missing reclaimed files — readVersion refuses
+          // them LOUDLY, the version-drop contract, instead of a
+          // listing-based read silently returning fewer rows); a crash
+          // after the floor alone is benign (files still present and
+          // still fully masked by counts). The `_purged` record lands
+          // BEFORE any file is deleted — a crash between record and
+          // deletes leaves recorded-but-still-present files, which
+          // readers elide by record, [[metaRowCount]]/[[analyzeTable]]
+          // exclude from footer sums, and a re-run re-deletes. The old
           // delete-then-record order left a missing-but-unrecorded file
           // whose footer probe failed every subsequent read.
+          val floor = math.max(minRead,
+            purgeFloor(root).getOrElse(Long.MinValue))
+          writeString(purgeFloorFile(root), floor.toString, overwrite = true)
           val vdir = "^(.*/v=\\d+)/".r
           // GC: entries whose version dir is gone (version-drop vacuum
           // removed it) carry no reachable masks. The existence probe
@@ -4655,13 +4715,6 @@ object VersionedTable {
           writeString(purgedFile(root),
             merged.toSeq.sorted.map { case (f, n) => s"$f\t$n" }
               .mkString("\n"), overwrite = true)
-          // minimum-readable-version floor: versions below it may be
-          // missing reclaimed files — readVersion refuses them LOUDLY
-          // (the version-drop contract), instead of a listing-based
-          // read silently returning fewer rows
-          val floor = math.max(minRead,
-            purgeFloor(root).getOrElse(Long.MinValue))
-          writeString(purgeFloorFile(root), floor.toString, overwrite = true)
           reclaimed.foreach { case (f, _) =>
             delete(new HPath(new java.net.URI(raw(f))), recursive = false)
           }
