@@ -1180,6 +1180,43 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // BM25 ranking (Okapi, k1=1.2, b=0.75 — the Lucene-default scoring
+    // the TF-IDF/inverted-index family was missing): query = the 3
+    // globally most frequent tokens (deterministic: count desc, token
+    // asc), rank the corpus, top 20. Per-term scores are scaled to
+    // 1e-4 INTEGERS before the per-doc sum so the aggregation is
+    // order-free and exact cross-engine (a double sum's addition order
+    // is nondeterministic under partitioning).
+    "q_bm25" -> ((s, dir) => {
+      val docs = spreadSmallInput(t(s, dir, "documents"))
+      val toks = docs.select(col("doc_id"),
+        explode(tokens(col("text"))).as("token"))
+      val tf = toks.groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+        avg(col("dl")).as("avgdl"))
+      val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val qterms = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(3).select("token")
+      tf.join(broadcast(qterms), "token")
+        .join(dfreq, "token")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("s_scaled", floor(
+          log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+            + lit(1.0)) *
+            (col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) *
+              (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))) *
+            lit(1e4) + lit(0.5)).cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("s_scaled")).as("bm25_1e4"),
+          count(lit(1)).as("n_terms"))
+        .orderBy(col("bm25_1e4").desc, col("doc_id")).limit(20)
+        .select(col("doc_id"), col("bm25_1e4"), col("n_terms"))
+    }),
+
     // --- similarity search -------------------------------------------------
     "q_embed_pairs" -> ((s, dir) => {
       graft.functions.NativeFunctions.register(s)
@@ -2378,6 +2415,33 @@ object LlmQueries {
          |QUALIFY row_number() OVER (PARTITION BY doc_id
          |  ORDER BY score_raw DESC, token) = 1
          |ORDER BY doc_id""".stripMargin,
+
+    // BM25 = the same arithmetic in the same association order (the
+    // per-term integer scaling makes the per-doc sum exact either way).
+    "q_bm25" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($W) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         |  avg(dl) AS avgdl FROM dl),
+         |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         |qterms AS (SELECT token FROM (
+         |  SELECT token, count(*) AS n FROM toks GROUP BY 1
+         |  ORDER BY n DESC, token LIMIT 3)),
+         |scored AS (
+         |  SELECT tf.doc_id,
+         |    CAST(floor(
+         |      ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0) *
+         |      (tf.tf * 2.2) /
+         |      (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) *
+         |      1e4 + 0.5) AS BIGINT) AS s_scaled
+         |  FROM tf JOIN qterms USING (token) JOIN dfreq USING (token)
+         |    JOIN dl USING (doc_id) CROSS JOIN stats)
+         |SELECT doc_id, CAST(sum(s_scaled) AS BIGINT) AS bm25_1e4,
+         |  CAST(count(*) AS BIGINT) AS n_terms
+         |FROM scored GROUP BY doc_id
+         |ORDER BY bm25_1e4 DESC, doc_id LIMIT 20""".stripMargin,
 
     "q_split_assign" ->
       """WITH b AS (
