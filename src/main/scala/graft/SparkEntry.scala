@@ -30,7 +30,8 @@ object SparkEntry {
       graft.queries.LlmQueries.queries ++
       graft.queries.EventQueries.queries ++
       graft.queries.CurationQueries.queries ++
-      graft.queries.SketchQueries.queries
+      graft.queries.SketchQueries.queries ++
+      graft.queries.TpchQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -39,5 +40,6 @@ object SparkEntry {
       graft.queries.LlmQueries.oracle ++
       graft.queries.EventQueries.oracle ++
       graft.queries.CurationQueries.oracle ++
-      graft.queries.SketchQueries.oracle
+      graft.queries.SketchQueries.oracle ++
+      graft.queries.TpchQueries.oracle
 }

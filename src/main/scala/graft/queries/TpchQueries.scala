@@ -1,0 +1,669 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables.t
+
+/** TPC-H-derived decision-support suite, adapted to the testdata's
+  * reduced star schema (no partsupp; lineitem lacks shipmode /
+  * commitdate / receiptdate; customer lacks phone — the adaptations
+  * are noted per query). The reference workload
+  * (dheerajunni/instacart-medallion-lakehouse, 03_gold_metrics.py) is
+  * BI-style aggregation over a retail star schema; this suite pins the
+  * classic optimizer shapes that workload generates at warehouse
+  * scale: multi-way star joins with broadcastable dims, semi/anti
+  * decorrelation, agg-subquery joins, OR-arm predicate joins, and
+  * top-k pushdown.
+  *
+  * Determinism contract (same as RelationalQueries): money is summed
+  * as per-row half-up cents (BIGINT) — never a float sum; averages
+  * and shares divide exact integer sums as doubles with the shared
+  * floor(x*10^n+0.5)/10^n rounding; dates surface as strings; every
+  * result has a total ORDER BY (or is a scalar row).
+  *
+  * Scale notes: dims (region/nation/supplier/customer/part) broadcast
+  * — at 100 TB only lineitem/orders shuffle, on their join keys;
+  * semi/anti joins carry only (orderkey, suppkey)-width projections;
+  * top-k queries end in TakeOrderedAndProject, never a global sort.
+  */
+object TpchQueries {
+
+  /** Half-up cents of a non-negative money expression; the oracle uses
+    * the identical IEEE-754 expression (see RelationalOps.rnd note). */
+  private def cents(c: Column): Column =
+    floor(c * lit(100) + lit(0.5)).cast("long")
+
+  /** Per-row discounted revenue in cents — the suite's money unit. */
+  private def revCents: Column =
+    cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+
+  private def ts(s: String): Column = lit(s).cast("timestamp")
+
+  /** floor((num/den)*10^scale + 0.5)/10^scale on exact integer inputs —
+    * bit-identical to the oracle's CAST(x AS DOUBLE)/y formulation. */
+  private def divRnd(num: Column, den: Column, scale: Int): Column = {
+    val f = math.pow(10, scale)
+    floor((num.cast("double") / den) * lit(f) + lit(0.5)) / lit(f)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Q1 pricing summary: one scan, map-side partial agg on a
+    // 4-group key; all sums exact cents / long quantities.
+    "q_tpch_q1" -> ((s, dir) => {
+      val agg = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= ts("2001-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+          sum(revCents).as("sum_disc_cents"),
+          sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax")))).as("sum_charge_cents"),
+          sum(cents(col("l_discount"))).as("sum_disc_unit_cents"),
+          count(lit(1)).as("n_lines"))
+      agg.select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+        col("sum_base_cents"), col("sum_disc_cents"), col("sum_charge_cents"),
+        divRnd(col("sum_qty"), col("n_lines"), 4).as("avg_qty"),
+        divRnd(col("sum_disc_unit_cents"), col("n_lines"), 2).as("avg_disc_cents"),
+        col("n_lines"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // Q3 shipping-priority top-10: broadcast the segment-filtered
+    // customers into orders, shuffle-join lineitem on orderkey,
+    // TakeOrderedAndProject for the limit (o_shippriority absent —
+    // o_orderpriority carried instead).
+    "q_tpch_q3" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val ord = t(s, dir, "orders").filter(col("o_orderdate") < ts("1998-03-15"))
+      val li = t(s, dir, "lineitem").filter(col("l_shipdate") > ts("1998-03-15"))
+        .select(col("l_orderkey"), revCents.as("rc"))
+      ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(li, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(col("rc")).as("revenue_cents"))
+        .select(col("l_orderkey"), col("revenue_cents"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+          col("o_orderpriority"))
+        .orderBy(col("revenue_cents").desc, col("l_orderkey")).limit(10)
+    }),
+
+    // Q4 order-priority checking: EXISTS decorrelated to a left-semi
+    // join with the non-equi residual (shipped-after-order stands in
+    // for the absent commit<receipt predicate).
+    "q_tpch_q4" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= ts("1996-07-01") &&
+          col("o_orderdate") < ts("1996-10-01"))
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+      ord.join(li, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Q5 local-supplier volume: the 6-way star — lineitem/orders
+    // shuffle on orderkey; supplier, nation, region broadcast; the
+    // customer-nation = supplier-nation constraint rides the supplier
+    // join as an extra equi-key.
+    "q_tpch_q5" -> ((s, dir) => {
+      val asiaNations = t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= ts("1996-01-01") &&
+          col("o_orderdate") < ts("1997-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val supp = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), revCents.as("rc"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("rc")).as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("n_name"))
+    }),
+
+    // Q6 forecast-revenue scalar: pure scan + pushed conjunction +
+    // one partial-aggregated scalar — the data-skipping poster child.
+    "q_tpch_q6" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= ts("1996-01-01") &&
+          col("l_shipdate") < ts("1997-01-01") &&
+          col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(sum(cents(col("l_extendedprice") * col("l_discount")))
+          .as("revenue_cents"), count(lit(1)).as("n_lines"))),
+
+    // Q7 volume shipping between two nations, both directions; the
+    // two nation dims broadcast under distinct aliases.
+    "q_tpch_q7" -> ((s, dir) => {
+      val sn = t(s, dir, "nation")
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val cn = t(s, dir, "nation")
+        .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= ts("1996-01-01") &&
+          col("l_shipdate") < ts("1998-01-01"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).as("l_year"), revCents.as("rc"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(sn), col("s_nationkey") === col("sn_key"))
+        .join(broadcast(cn), col("c_nationkey") === col("cn_key"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(sum(col("rc")).as("revenue_cents"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    // Q8 national market share: numerator/denominator in one grouped
+    // pass via a conditional sum — no second scan, no self-join.
+    "q_tpch_q8" -> ((s, dir) => {
+      val amNations = t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region").filter(col("r_name") === "AMERICA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("cn_key"))
+      val sn = t(s, dir, "nation")
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val vol = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          revCents.as("rc"))
+        .join(broadcast(t(s, dir, "part").filter(col("p_type") === "PROMO")
+          .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= ts("1996-01-01") &&
+            col("o_orderdate") < ts("1998-01-01"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            year(col("o_orderdate")).as("o_year")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(amNations), col("c_nationkey") === col("cn_key"))
+        .join(broadcast(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(sn), col("s_nationkey") === col("sn_key"))
+      vol.groupBy(col("o_year"))
+        .agg(sum(when(col("supp_nation") === "NATION_1", col("rc"))
+          .otherwise(lit(0L))).as("num"),
+          sum(col("rc")).as("den"))
+        .select(col("o_year"), divRnd(col("num"), col("den"), 4).as("mkt_share"))
+        .orderBy(col("o_year"))
+    }),
+
+    // Q9 product-type profit (adapted: no partsupp, so cost is the
+    // 0.6 * retailprice * qty proxy); name-filtered parts broadcast.
+    "q_tpch_q9" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), revCents.as("rc"))
+        .join(broadcast(t(s, dir, "part").filter(col("p_name").like("%bolt%"))
+          .select(col("p_partkey"), col("p_retailprice"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "orders")
+          .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation_name"), col("o_year"))
+        .agg(sum(col("rc") -
+          cents(col("p_retailprice") * col("l_quantity") * lit(0.6)))
+          .as("profit_cents"))
+        .orderBy(col("nation_name"), col("o_year"))),
+
+    // Q10 returned-item top-20 customers: quarter-filtered orders
+    // shuffle-join R-lines; customer + nation broadcast.
+    "q_tpch_q10" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderdate") >= ts("1996-10-01") &&
+          col("o_orderdate") < ts("1997-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"), revCents.as("rc")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"),
+          cents(col("c_acctbal")).as("acctbal_cents"), col("n_name"))
+        .agg(sum(col("rc")).as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("c_custkey")).limit(20)),
+
+    // Q12 priority classes per linestatus (adapted: linestatus stands
+    // in for the absent shipmode; shipped-after-order for late
+    // delivery) — conditional counts in one grouped pass.
+    "q_tpch_q12" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= ts("1996-01-01") &&
+          col("l_shipdate") < ts("1997-01-01"))
+        .select(col("l_orderkey"), col("l_linestatus"), col("l_shipdate"))
+        .join(t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate"))
+        .groupBy(col("l_linestatus"))
+        .agg(sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("low_line_count"))
+        .orderBy(col("l_linestatus"))),
+
+    // Q13 customer order-count distribution: left outer with the
+    // filter INSIDE the join condition (not a post-filter — outer-join
+    // semantics require it), then the two-level count.
+    "q_tpch_q13" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey"))
+        .join(t(s, dir, "orders")
+          .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+          .select(col("o_custkey"), col("o_orderkey")),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)),
+
+    // Q14 promo-revenue share for one month: conditional-sum ratio,
+    // part broadcast into the month slice.
+    "q_tpch_q14" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= ts("1996-09-01") &&
+          col("l_shipdate") < ts("1996-10-01"))
+        .select(col("l_partkey"), revCents.as("rc"))
+        .join(broadcast(t(s, dir, "part").select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .agg(sum(when(col("p_type") === "PROMO", col("rc")).otherwise(lit(0L)))
+          .as("num"), sum(col("rc")).as("den"))
+        .select((floor((col("num").cast("double") * 100.0 / col("den")) *
+          lit(10000) + lit(0.5)) / lit(10000)).as("promo_revenue"))),
+
+    // Q15 top supplier: quarter revenue per supplier, max via a
+    // 1-row broadcast join (ties all surface; no window needed).
+    "q_tpch_q15" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= ts("1996-01-01") &&
+          col("l_shipdate") < ts("1996-04-01"))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(sum(revCents).as("total_revenue_cents"))
+      val mx = rev.agg(max(col("total_revenue_cents")).as("mx"))
+      rev.join(broadcast(mx), col("total_revenue_cents") === col("mx"))
+        .join(broadcast(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"))),
+          col("supplier_no") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue_cents"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // Q16 supplier count by part attributes (adapted: negative-balance
+    // suppliers are the complaint blacklist; NOT IN has no NULLs so a
+    // left-anti join is exact).
+    "q_tpch_q16" -> ((s, dir) =>
+      t(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+        .join(broadcast(t(s, dir, "supplier")
+          .filter(col("s_acctbal") < 0).select(col("s_suppkey"))),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(t(s, dir, "part")
+          .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "ECONOMY" &&
+            col("p_size").isin(1, 4, 9, 16, 25, 36, 49))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))),
+
+    // Q17 small-quantity revenue: the correlated avg-per-part subquery
+    // decorrelates to a grouped agg joined back on partkey — per-part
+    // averages are exact (integral quantities, long sums).
+    "q_tpch_q17" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      val perPart = li.groupBy(col("l_partkey").as("pq_key"))
+        .agg((sum(col("l_quantity").cast("long")).cast("double") /
+          count(lit(1))).as("avg_q"))
+      val total = li
+        .join(broadcast(t(s, dir, "part")
+          .filter(col("p_brand") === "Brand#3" && col("p_size") <= 5)
+          .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+        .join(perPart, col("l_partkey") === col("pq_key"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_q"))
+        .agg(sum(cents(col("l_extendedprice"))).as("total_cents"),
+          count(lit(1)).as("n_lines"))
+      total.select(col("total_cents"), col("n_lines"),
+        (floor((col("total_cents").cast("double") / lit(700.0)) * lit(100) +
+          lit(0.5)) / lit(100)).as("avg_yearly"))
+    }),
+
+    // Q18 large-volume customers: the HAVING subquery is the grouped
+    // qty sum itself — filter it, join orders once (no re-group: one
+    // row per order), customers broadcast.
+    "q_tpch_q18" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .filter(col("sum_qty") > 300)
+      t(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+          cents(col("o_totalprice")).as("totalprice_cents"), col("sum_qty"))
+        .orderBy(col("totalprice_cents").desc, col("o_orderkey")).limit(100)
+    }),
+
+    // Q19 discounted-revenue OR arms: ONE equi-join on partkey with
+    // the disjunction as a post-join filter — never a nested-loop of
+    // the three arms (adapted: brand/size ranges replace containers).
+    "q_tpch_q19" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"), revCents.as("rc"))
+        .join(broadcast(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+          col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30)))
+        .agg(sum(col("rc")).as("revenue_cents"), count(lit(1)).as("n_lines"))),
+
+    // Q21 waiting suppliers (adapted: returnflag R in finished orders
+    // stands in for the missing receipt>commit): EXISTS(other supplier
+    // in the order) as left-semi, NOT EXISTS(other supplier also R) as
+    // left-anti — both on narrow (orderkey, suppkey) projections.
+    "q_tpch_q21" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"),
+        col("l_returnflag"))
+      val l1 = li.filter(col("l_returnflag") === "R")
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val l2 = li.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+      val l3 = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
+      l1.join(l2, col("l_orderkey") === col("k2") &&
+          col("l_suppkey") =!= col("s2"), "left_semi")
+        .join(l3, col("l_orderkey") === col("k3") &&
+          col("l_suppkey") =!= col("s3"), "left_anti")
+        .join(broadcast(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name")).limit(10)
+    }),
+
+    // Q22 global sales opportunity (adapted: custkey%7 is the country
+    // code, the recent-orders anti join is the "no recent business"
+    // test): scalar avg broadcasts as a 1-row cross join.
+    "q_tpch_q22" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), (col("c_custkey") % 7).as("cntrycode"),
+          floor(col("c_acctbal") * lit(100) + lit(0.5)).cast("long")
+            .as("acct_cents"))
+        .filter(col("cntrycode").isin(1, 3, 5))
+      val avgbal = c.filter(col("acct_cents") > 0)
+        .agg(avg(col("acct_cents")).as("a"))
+      c.crossJoin(broadcast(avgbal))
+        .filter(col("acct_cents") > col("a"))
+        .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= ts("2000-01-01"))
+          .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("cntrycode"))
+        .agg(count(lit(1)).as("numcust"), sum(col("acct_cents"))
+          .as("totacctbal_cents"))
+        .orderBy(col("cntrycode"))
+    })
+  )
+
+  private val CENTS_EP = "CAST(floor((l_extendedprice)*100 + 0.5) AS BIGINT)"
+  private val REV =
+    "CAST(floor((l_extendedprice*(1-l_discount))*100 + 0.5) AS BIGINT)"
+
+  val oracle: Map[String, String] = Map(
+
+    "q_tpch_q1" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+         |  CAST(sum($CENTS_EP) AS BIGINT) AS sum_base_cents,
+         |  CAST(sum($REV) AS BIGINT) AS sum_disc_cents,
+         |  CAST(sum(CAST(floor((l_extendedprice*(1-l_discount)*(1+l_tax))*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
+         |  floor((CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000 AS avg_qty,
+         |  floor((CAST(sum(CAST(floor(l_discount*100 + 0.5) AS BIGINT)) AS DOUBLE) / count(*)) * 100 + 0.5) / 100 AS avg_disc_cents,
+         |  CAST(count(*) AS BIGINT) AS n_lines
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_tpch_q3" ->
+      s"""SELECT l_orderkey, CAST(sum($REV) AS BIGINT) AS revenue_cents,
+         |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority
+         |FROM customer JOIN orders ON c_custkey = o_custkey
+         |  JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-03-15'
+         |  AND l_shipdate > TIMESTAMP '1998-03-15'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_tpch_q5" ->
+      s"""SELECT n_name, CAST(sum($REV) AS BIGINT) AS revenue_cents
+         |FROM customer JOIN orders ON c_custkey = o_custkey
+         |  JOIN lineitem ON l_orderkey = o_orderkey
+         |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY n_name ORDER BY revenue_cents DESC, n_name""".stripMargin,
+
+    "q_tpch_q6" ->
+      """SELECT CAST(sum(CAST(floor((l_extendedprice*l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q_tpch_q7" ->
+      s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
+         |  CAST(sum($REV) AS BIGINT) AS revenue_cents
+         |FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+         |  JOIN orders ON o_orderkey = l_orderkey
+         |  JOIN customer ON c_custkey = o_custkey
+         |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+         |WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+         |    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+         |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01'
+         |GROUP BY supp_nation, cust_nation, l_year
+         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q_tpch_q8" ->
+      s"""WITH vol AS (
+         |  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         |    $REV AS v_cents, sn.n_name AS supp_nation
+         |  FROM part JOIN lineitem ON p_partkey = l_partkey
+         |    JOIN supplier ON s_suppkey = l_suppkey
+         |    JOIN orders ON l_orderkey = o_orderkey
+         |    JOIN customer ON o_custkey = c_custkey
+         |    JOIN nation cn ON c_nationkey = cn.n_nationkey
+         |    JOIN region ON cn.n_regionkey = r_regionkey
+         |    JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |  WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+         |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |    AND o_orderdate < TIMESTAMP '1998-01-01')
+         |SELECT o_year,
+         |  floor((CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN v_cents ELSE 0 END) AS DOUBLE)
+         |    / sum(v_cents)) * 10000 + 0.5) / 10000 AS mkt_share
+         |FROM vol GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    "q_tpch_q9" ->
+      s"""SELECT n_name AS nation_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         |  CAST(sum($REV
+         |     - CAST(floor((p_retailprice*l_quantity*0.6)*100 + 0.5) AS BIGINT)) AS BIGINT) AS profit_cents
+         |FROM part JOIN lineitem ON p_partkey = l_partkey
+         |  JOIN supplier ON s_suppkey = l_suppkey
+         |  JOIN orders ON o_orderkey = l_orderkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |WHERE p_name LIKE '%bolt%'
+         |GROUP BY nation_name, o_year ORDER BY nation_name, o_year""".stripMargin,
+
+    "q_tpch_q10" ->
+      s"""SELECT c_custkey, c_name, CAST(sum($REV) AS BIGINT) AS revenue_cents,
+         |  CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS acctbal_cents, n_name
+         |FROM customer JOIN orders ON c_custkey = o_custkey
+         |  JOIN lineitem ON l_orderkey = o_orderkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01' AND l_returnflag = 'R'
+         |GROUP BY c_custkey, c_name, acctbal_cents, n_name
+         |ORDER BY revenue_cents DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q_tpch_q12" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate > o_orderdate
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q_tpch_q13" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |      FROM customer LEFT OUTER JOIN orders
+        |        ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+        |      GROUP BY c_custkey) c_orders
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q_tpch_q14" ->
+      s"""SELECT floor((CAST(sum(CASE WHEN p_type = 'PROMO' THEN $REV ELSE 0 END) AS DOUBLE) * 100.0
+         |    / sum($REV)) * 10000 + 0.5) / 10000 AS promo_revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+         |  AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin,
+
+    "q_tpch_q15" ->
+      s"""WITH revenue AS (
+         |  SELECT l_suppkey AS supplier_no, CAST(sum($REV) AS BIGINT) AS total_revenue_cents
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |    AND l_shipdate < TIMESTAMP '1996-04-01'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, total_revenue_cents
+         |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+         |WHERE total_revenue_cents = (SELECT max(total_revenue_cents) FROM revenue)
+         |ORDER BY s_suppkey""".stripMargin,
+
+    "q_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'ECONOMY'
+        |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q_tpch_q17" ->
+      s"""WITH pq AS (
+         |  SELECT l_partkey AS pq_key,
+         |    CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*) AS avg_q
+         |  FROM lineitem GROUP BY l_partkey)
+         |SELECT CAST(sum($CENTS_EP) AS BIGINT) AS total_cents,
+         |  CAST(count(*) AS BIGINT) AS n_lines,
+         |  floor((CAST(sum($CENTS_EP) AS DOUBLE) / 700.0) * 100 + 0.5) / 100 AS avg_yearly
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |  JOIN pq ON pq_key = l_partkey
+         |WHERE p_brand = 'Brand#3' AND p_size <= 5
+         |  AND l_quantity < 0.2 * avg_q""".stripMargin,
+
+    "q_tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        |  CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS totalprice_cents,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(l_quantity) > 300)
+        |GROUP BY c_name, c_custkey, o_orderkey, orderdate, totalprice_cents
+        |ORDER BY totalprice_cents DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q_tpch_q19" ->
+      s"""SELECT CAST(sum($REV) AS BIGINT) AS revenue_cents,
+         |  CAST(count(*) AS BIGINT) AS n_lines
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q_tpch_q21" ->
+      """WITH l1 AS (
+        |  SELECT l_orderkey, l_suppkey FROM lineitem
+        |    JOIN orders ON o_orderkey = l_orderkey
+        |  WHERE l_returnflag = 'R' AND o_orderstatus = 'F')
+        |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin,
+
+    "q_tpch_q22" ->
+      """WITH c AS (SELECT c_custkey, CAST(c_custkey % 7 AS BIGINT) AS cntrycode,
+        |             CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS acct_cents
+        |           FROM customer WHERE c_custkey % 7 IN (1, 3, 5)),
+        |avgbal AS (SELECT avg(acct_cents) AS a FROM c WHERE acct_cents > 0)
+        |SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+        |  CAST(sum(acct_cents) AS BIGINT) AS totacctbal_cents
+        |FROM c, avgbal
+        |WHERE acct_cents > a
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin
+  )
+}
