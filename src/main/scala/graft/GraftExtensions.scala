@@ -40,6 +40,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
     ext.injectOptimizerRule(_ => graft.plans.MetaAggRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.MvRewrite)
     ext.injectHintResolutionRule(_ => graft.plans.RangeJoinHintResolution)
     ext.injectResolutionRule(_ => graft.plans.GvtInsertGuard)
     ext.injectResolutionRule(_ => graft.plans.GvtDml)

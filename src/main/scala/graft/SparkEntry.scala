@@ -31,7 +31,8 @@ object SparkEntry {
       graft.queries.EventQueries.queries ++
       graft.queries.CurationQueries.queries ++
       graft.queries.SketchQueries.queries ++
-      graft.queries.TpchQueries.queries
+      graft.queries.TpchQueries.queries ++
+      graft.queries.MvQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -41,5 +42,6 @@ object SparkEntry {
       graft.queries.EventQueries.oracle ++
       graft.queries.CurationQueries.oracle ++
       graft.queries.SketchQueries.oracle ++
-      graft.queries.TpchQueries.oracle
+      graft.queries.TpchQueries.oracle ++
+      graft.queries.MvQueries.oracle
 }

@@ -1,0 +1,195 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Coalesce, Divide, Expression, Literal, NamedExpression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.sources.MaterializedView
+import graft.sources.MaterializedView.MvSpec
+import graft.sources.gvt.{GvtDvRelation, GvtFileIndex}
+
+/** Automatic query rewrite over registered materialized views
+  * ([[graft.sources.MaterializedView]]) — the classic warehouse
+  * optimization (Oracle/Calcite "materialized view rewrite"; Databricks
+  * MVs do the same for Delta): an `Aggregate` over a gvt base table
+  * rewrites to a (usually orders-of-magnitude smaller) re-aggregation
+  * of the MV table when
+  *
+  *  - the query's grouping keys are a SUBSET of the MV's grouping
+  *    columns (bare attributes; rollup re-aggregates: sum of sums,
+  *    sum of counts, min of mins, max of maxes),
+  *  - every aggregate is answerable from the MV's algebra — `sum`,
+  *    `count(*)` / `count(non-null col)` (the MV's internal `_rows`),
+  *    `count(nullable col)` (a declared count or a sum's internal
+  *    non-null counter), `min`/`max` (declared), and `avg` (total sum
+  *    over total non-null count, exactly Spark's own sum/count
+  *    semantics) — no DISTINCT, no FILTER clauses,
+  *  - any `Filter` between aggregate and relation references ONLY MV
+  *    grouping columns (group rows partition the space, so the
+  *    predicate evaluates exactly on the MV), and
+  *  - the MV is FRESH: its recorded base version equals the version
+  *    the query's relation actually serves (vector-free chain or
+  *    pending-DV relation alike). A stale MV degrades to the base
+  *    scan — never to a stale answer. Version pinning makes the check
+  *    exact: the relation carries the version it resolved, so a
+  *    concurrent commit cannot slip between check and scan.
+  *
+  * At 100 TB this turns the reference's repeated gold-mart dashboard
+  * aggregations into MV-sized scans — the base is read once per
+  * refresh delta, not once per query. Escape hatch:
+  * `spark.graft.mvRewrite.enabled=false`.
+  */
+object MvRewrite extends Rule[LogicalPlan] {
+
+  private def enabled: Boolean = SQLConf.get
+    .getConfString("spark.graft.mvRewrite.enabled", "true").toBoolean
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!enabled) return plan
+    plan.transform {
+      case agg @ Aggregate(groupExprs, aggExprs, child, _) =>
+        unwrap(child).flatMap { case (lr, cond) =>
+          servedVersion(lr).flatMap { case (root, version) =>
+            MaterializedView.viewsOf(root).view
+              .filter(_.baseVersion == version)
+              .flatMap(spec => rewrite(agg, groupExprs, aggExprs, cond, spec))
+              .headOption
+          }
+        }.getOrElse(agg)
+    }
+  }
+
+  /** Relation + conjoined Filter condition under attribute-only
+    * Projects (same unwrap shape as [[MetaAggRewrite]]). */
+  private def unwrap(plan: LogicalPlan)
+      : Option[(LogicalRelation, Option[Expression])] = plan match {
+    case lr: LogicalRelation => Some((lr, None))
+    case Project(pl, child)
+        if pl.forall(_.isInstanceOf[AttributeReference]) => unwrap(child)
+    case Filter(cond, child) => unwrap(child).map { case (lr, f) =>
+      (lr, Some(f.map(org.apache.spark.sql.catalyst.expressions.And(cond, _))
+        .getOrElse(cond)))
+    }
+    case _ => None
+  }
+
+  /** The gvt (root, version) this relation serves: the DV relation
+    * carries both; the vector-free path's FileIndex roots are the
+    * chain's `v=N` dirs — the tip is the served version. */
+  private def servedVersion(lr: LogicalRelation): Option[(String, Long)] =
+    lr.relation match {
+      case hfs: HadoopFsRelation => hfs.location match {
+        case idx: GvtFileIndex if idx.tableRoot.nonEmpty =>
+          val vs = idx.rootPaths.flatMap { p =>
+            val n = p.getName
+            if (n.startsWith("v=")) scala.util.Try(n.drop(2).toLong).toOption
+            else None
+          }
+          if (vs.isEmpty) None else Some((idx.tableRoot, vs.max))
+        case _ => None
+      }
+      case dv: GvtDvRelation => Some((dv.root, dv.version))
+      case _ => None
+    }
+
+  private def rewrite(agg: Aggregate, groupExprs: Seq[Expression],
+                      aggExprs: Seq[NamedExpression],
+                      cond: Option[Expression],
+                      spec: MvSpec): Option[LogicalPlan] = {
+    // grouping keys: bare attributes within the MV's grouping columns
+    val groupAttrs: Seq[AttributeReference] = groupExprs.map {
+      case a: AttributeReference if spec.groups.contains(a.name) => a
+      case _ => return None
+    }
+    // filter: deterministic, subquery-free, MV-group-column-only
+    cond.foreach { c =>
+      if (!c.deterministic || c.exists(_.isInstanceOf[SubqueryExpression]))
+        return None
+      if (!c.references.forall(a => spec.groups.contains(a.name))) return None
+    }
+
+    val spark = SparkSession.active
+    val mvPlan = graft.sources.VersionedTable
+      .readLatest(spark, spec.mvRoot).queryExecution.analyzed
+    val mvAttr: Map[String, Attribute] =
+      mvPlan.output.map(a => a.name -> a).toMap
+    // registry/table drift guard: every referenced MV column must
+    // exist — a miss aborts the whole rewrite via the control throw
+    // (caught at the bottom), never a planning error
+    def mv(name: String): Attribute =
+      mvAttr.getOrElse(name, throw MvRewrite.MissingMvColumn)
+
+    def sumOf(a: Attribute): Expression =
+      Sum(a).toAggregateExpression()
+    def countish(a: Attribute): Expression =
+      Coalesce(Seq(sumOf(a), Literal(0L)))
+
+    /** Map one original aggregate function to its MV re-aggregation;
+      * None = shape not covered, bail out of the whole rewrite. */
+    def mapAgg(ae: AggregateExpression): Option[Expression] = {
+      if (ae.filter.nonEmpty || ae.isDistinct) return None
+      ae.aggregateFunction match {
+        case Count(Seq(l: Literal)) if l.value != null =>
+          Some(countish(mv("_rows")))
+        case Count(Seq(a: AttributeReference)) if !a.nullable =>
+          Some(countish(mv("_rows")))
+        case Count(Seq(a: AttributeReference)) =>
+          spec.aggs.find(s => s.fn == "count" && s.col == a.name)
+            .map(s => countish(mv(s.out)))
+            .orElse(spec.aggs.find(s => s.fn == "sum" && s.col == a.name)
+              .map(s => countish(mv(s"_nn_${s.out}"))))
+        case Sum(a: AttributeReference, _) =>
+          spec.aggs.find(s => s.fn == "sum" && s.col == a.name)
+            .map(s => sumOf(mv(s.out)))
+        case Min(a: AttributeReference) =>
+          spec.aggs.find(s => s.fn == "min" && s.col == a.name)
+            .map(s => Min(mv(s.out)).toAggregateExpression())
+        case Max(a: AttributeReference) =>
+          spec.aggs.find(s => s.fn == "max" && s.col == a.name)
+            .map(s => Max(mv(s.out)).toAggregateExpression())
+        case Average(a: AttributeReference, _) if ae.dataType == DoubleType =>
+          // exact: total sum / total non-null count, like Average itself
+          spec.aggs.find(s => s.fn == "sum" && s.col == a.name).map { s =>
+            Divide(Cast(sumOf(mv(s.out)), DoubleType),
+              Cast(sumOf(mv(s"_nn_${s.out}")), DoubleType))
+          }
+        case _ => None
+      }
+    }
+
+    try {
+    val rebuilt: Seq[NamedExpression] = aggExprs.map {
+      case a: AttributeReference if groupAttrs.exists(_.exprId == a.exprId) =>
+        Alias(mv(a.name), a.name)(exprId = a.exprId)
+      case al @ Alias(a: AttributeReference, name)
+          if groupAttrs.exists(_.exprId == a.exprId) =>
+        Alias(mv(a.name), name)(exprId = al.exprId)
+      case al @ Alias(ae: AggregateExpression, name) =>
+        val mapped = mapAgg(ae).getOrElse(return None)
+        if (mapped.dataType != ae.dataType) return None // type-safety net
+        Alias(mapped, name)(exprId = al.exprId)
+      case _ => return None
+    }
+
+    val newChild: LogicalPlan = cond match {
+      case Some(c) =>
+        Filter(c.transform {
+          case a: AttributeReference => mv(a.name)
+        }, mvPlan)
+      case None => mvPlan
+    }
+    val newGroups: Seq[Expression] = groupAttrs.map(a => mv(a.name))
+    Some(Aggregate(newGroups, rebuilt, newChild))
+    } catch { case MvRewrite.MissingMvColumn => None }
+  }
+
+  /** Control-flow signal: a spec references a column the MV table does
+    * not carry (registry/table drift) — abandon the rewrite. */
+  private case object MissingMvColumn
+    extends Throwable(null, null, false, false)
+}

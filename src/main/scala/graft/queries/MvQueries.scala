@@ -1,0 +1,129 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.{MaterializedView, VersionedTable}
+import graft.sources.MaterializedView.AggSpec
+
+/** Materialized-view registry queries: the automatic rewrite
+  * ([[graft.plans.MvRewrite]]) answering a rollup from the MV table,
+  * and change-feed-driven incremental maintenance across append+DML
+  * commits. Each query REQUIRES the MV path actually served the scan
+  * (inputFiles probe) — a silent fall-back to the base would still
+  * produce correct rows, and this row exists to pin the mechanism, not
+  * just the values. The DuckDB oracle reproduces the fixture
+  * arithmetic from the raw `orders` table.
+  */
+object MvQueries {
+
+  private def tmpDir(prefix: String): String = {
+    val d = Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(d.toFile)
+    }))
+    d.toString
+  }
+
+  private def baseRows(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.t(s, dir, "orders").select(
+      col("o_orderkey").as("k"),
+      col("o_orderstatus").as("status"),
+      col("o_orderpriority").as("prio"),
+      floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+
+  private def requireMv(df: DataFrame, mvRoot: String): DataFrame = {
+    require(df.inputFiles.exists(_.contains(
+      new java.io.File(mvRoot).getName)),
+      s"MV rewrite did not fire — query scanned the base instead of $mvRoot")
+    df
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // The warehouse flagship: a (status, prio) MV answers a
+    // prio-filtered status rollup — sum of sums, coalesced sum of
+    // counts, avg as total/​count — without touching the base. The
+    // require pins that the scan really is MV-sized.
+    "q_mv_rewrite" -> ((s, dir) => {
+      val out = tmpDir("graft_mv")
+      val base = s"$out/base"; val mv = s"$out/mv"
+      VersionedTable.write(baseRows(s, dir), base)
+      MaterializedView.create(s, base, mv, Seq("status", "prio"),
+        Seq(AggSpec("sum", "cents", "sum_cents"),
+          AggSpec("count", "*", "n_orders")))
+      graft.GraftSession.withExtensions(s) { sess =>
+        val q = sess.read.format("gvt").load(base)
+          .filter(col("prio") =!= "4-NOT SPECIFIED")
+          .groupBy(col("status"))
+          .agg(sum(col("cents")).as("sum_cents"),
+            count(lit(1)).as("n_orders"),
+            (sum(col("cents")).cast("double") / count(lit(1))).as("avg_cents"))
+          .orderBy(col("status"))
+        requireMv(q, mv)
+      }
+    }),
+
+    // Incremental maintenance: a DELETE_DV hop (reconstructed from the
+    // commit's own artifacts) plus an append hop fold into the MV at
+    // O(changed) — no base re-aggregation — and the refreshed MV serves
+    // the rollup. History must show MV_REFRESH, never MV_REBUILD.
+    "q_mv_incremental" -> ((s, dir) => {
+      val out = tmpDir("graft_mvi")
+      val base = s"$out/base"; val mv = s"$out/mv"
+      VersionedTable.write(baseRows(s, dir), base)
+      MaterializedView.create(s, base, mv, Seq("status"),
+        Seq(AggSpec("sum", "cents", "sum_cents"),
+          AggSpec("count", "*", "n_orders")))
+      VersionedTable.deleteWhereVector(s, base, col("k") % 97 === 0)
+      VersionedTable.append(
+        baseRows(s, dir).filter(col("k") % 10 === 0)
+          .select((col("k") + 1000000).as("k"), lit("X").as("status"),
+            col("prio"), (col("cents") + 7).as("cents")), base)
+      MaterializedView.refresh(s, mv)
+      val ops = VersionedTable.history(s, mv)
+        .select("operation").collect().map(_.getString(0)).toSet
+      require(ops.contains("MV_REFRESH") && !ops.contains("MV_REBUILD"),
+        s"refresh was not incremental: $ops")
+      graft.GraftSession.withExtensions(s) { sess =>
+        val q = sess.read.format("gvt").load(base)
+          .groupBy(col("status"))
+          .agg(sum(col("cents")).as("sum_cents"),
+            count(lit(1)).as("n_orders"))
+          .orderBy(col("status"))
+        requireMv(q, mv)
+      }
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+
+    "q_mv_rewrite" ->
+      """WITH b AS (SELECT o_orderstatus AS status, o_orderpriority AS prio,
+        |    CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT status, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(cents) AS DOUBLE) / count(*) AS avg_cents
+        |FROM b WHERE prio <> '4-NOT SPECIFIED'
+        |GROUP BY status ORDER BY status""".stripMargin,
+
+    "q_mv_incremental" ->
+      """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+        |    CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |fin AS (
+        |  SELECT status, cents FROM b WHERE k % 97 <> 0
+        |  UNION ALL
+        |  SELECT 'X' AS status, cents + 7 AS cents FROM b WHERE k % 10 = 0)
+        |SELECT status, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        |FROM fin GROUP BY status ORDER BY status""".stripMargin
+  )
+}
