@@ -32,7 +32,8 @@ object SparkEntry {
       graft.queries.CurationQueries.queries ++
       graft.queries.SketchQueries.queries ++
       graft.queries.TpchQueries.queries ++
-      graft.queries.MvQueries.queries
+      graft.queries.MvQueries.queries ++
+      graft.queries.RecursiveQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -43,5 +44,6 @@ object SparkEntry {
       graft.queries.CurationQueries.oracle ++
       graft.queries.SketchQueries.oracle ++
       graft.queries.TpchQueries.oracle ++
-      graft.queries.MvQueries.oracle
+      graft.queries.MvQueries.oracle ++
+      graft.queries.RecursiveQueries.oracle
 }
