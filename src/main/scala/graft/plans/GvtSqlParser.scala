@@ -141,6 +141,12 @@ class GvtSqlParser(session: SparkSession, delegate: ParserInterface)
       // only gvt targets (the DESCRIBE HISTORY guard)
       case ShowCreateRe(target) if isGvtTarget(session, target.trim) =>
         GvtShowCreateTableCommand(target.trim)
+      // CREATE/REFRESH MATERIALIZED VIEW is not valid Spark SQL —
+      // claiming it shadows nothing (Databricks ships it for Delta)
+      case CreateMvRe(target, query) =>
+        GvtCreateMvCommand(target.trim, query.trim)
+      case RefreshMvRe(target) =>
+        GvtRefreshMvCommand(target.trim)
       case CreateBloomRe(target, cols) =>
         GvtCreateBloomIndexCommand(target.trim, parsePropKeys(
           cols.replace("`", "")))
@@ -310,6 +316,11 @@ object GvtSqlParser {
     ("""(?is)^SHOW\s+CREATE\s+TABLE\s+""" + Target + """\s*$""").r
 
   // not valid Spark SQL — claiming them shadows nothing
+  private val CreateMvRe =
+    ("""(?is)^CREATE\s+MATERIALIZED\s+VIEW\s+""" + Target +
+      """\s+AS\s+(.+)$""").r
+  private val RefreshMvRe =
+    ("""(?is)^REFRESH\s+MATERIALIZED\s+VIEW\s+""" + Target + """\s*$""").r
   private val CreateBloomRe =
     ("""(?is)^CREATE\s+BLOOMFILTER\s+INDEX\s+ON\s+(?:TABLE\s+)?""" + Target +
       """\s+FOR\s+COLUMNS\s*\(([^)]+)\)\s*$""").r
@@ -485,6 +496,15 @@ object GvtSqlParser {
         try GvtDml.gvtRootOf(spark.table(name).queryExecution.analyzed).isDefined
         catch { case scala.util.control.NonFatal(_) => false }
     }
+
+  /** A materialized view's storage target: the `` gvt.`path` `` form
+    * only — the MV table does not exist yet at CREATE time, so a name
+    * cannot resolve through the catalog. */
+  private[plans] def mvPathOf(target: String): String = target.trim match {
+    case PathForm(p) => p
+    case other => throw new IllegalArgumentException(
+      s"materialized view target must be the gvt.`/path` form, got: $other")
+  }
 
   /** Resolve a statement target to its gvt table root: the
     * `` gvt.`path` `` form directly, otherwise the analyzed plan of the
@@ -1205,5 +1225,108 @@ object GvtTableChanges {
       else GvtSqlParser.rootOf(spark, target)
     VersionedTable.changes(spark, root, fromV, toV, keys)
       .queryExecution.logical
+  }
+}
+
+/** `CREATE MATERIALIZED VIEW gvt.`/path` AS SELECT <groups>, <aggs>
+  * FROM <gvt view> GROUP BY <groups>` — the SQL surface of
+  * [[graft.sources.MaterializedView]] (Databricks ships the same
+  * statement for Delta). The defining query is a SPEC, not an
+  * execution: its analyzed plan must be a plain aggregate of
+  * sum/count/min/max over bare columns of a single live gvt relation
+  * (GROUP BY bare columns, aggregate outputs aliased); the command
+  * extracts that shape and materializes via
+  * [[graft.sources.MaterializedView.create]]. Anything else — DISTINCT,
+  * FILTER clauses, expressions under aggregates, WHERE, joins,
+  * aliased group columns, a time-travel-pinned source — refuses
+  * loudly rather than materializing something the rewrite rule could
+  * not serve. Returns (mv_root, base_version). */
+case class GvtCreateMvCommand(target: String, query: String)
+  extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.Alias
+  import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
+  import org.apache.spark.sql.catalyst.expressions.Literal
+  import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+  import graft.sources.MaterializedView
+  import graft.sources.MaterializedView.AggSpec
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("mv_root", StringType, nullable = false)(),
+    AttributeReference("base_version", LongType, nullable = false)())
+
+  private def refuse(what: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"CREATE MATERIALIZED VIEW: $what — supported defining shape: " +
+        "SELECT <group cols>, <sum/count/min/max(col) AS name> " +
+        "FROM <single gvt view> GROUP BY <group cols>")
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val mvRoot = GvtSqlParser.mvPathOf(target)
+    val plan = spark.sql(query).queryExecution.analyzed
+    val (groupNames, aggSpecs, baseRoot) = plan match {
+      case Aggregate(ge, ae, child, _) =>
+        val (root, pinned) = GvtDml.gvtRootOf(child).getOrElse(
+          refuse("FROM must be a single gvt view or gvt.`path` relation " +
+            "(no WHERE, no joins)"))
+        if (pinned) refuse("a time-travel-pinned source cannot back a " +
+          "live materialized view")
+        val groups = ge.map {
+          case a: AttributeReference => a.name
+          case other => refuse(s"GROUP BY must list bare columns, got $other")
+        }
+        val aggs = ae.flatMap {
+          case a: AttributeReference if groups.contains(a.name) => None
+          case al @ Alias(a: AttributeReference, _)
+              if groups.contains(a.name) =>
+            if (al.name != a.name)
+              refuse(s"group column ${a.name} must not be aliased " +
+                s"(got AS ${al.name})")
+            None
+          case al @ Alias(ag: AggregateExpression, _) =>
+            if (ag.isDistinct) refuse("DISTINCT aggregates are not " +
+              "re-aggregable")
+            if (ag.filter.nonEmpty) refuse("FILTER clauses are not " +
+              "re-aggregable")
+            ag.aggregateFunction match {
+              case Sum(a: AttributeReference, _) =>
+                Some(AggSpec("sum", a.name, al.name))
+              case Count(Seq(l: Literal)) if l.value != null =>
+                Some(AggSpec("count", "*", al.name))
+              case Count(Seq(a: AttributeReference)) =>
+                Some(AggSpec("count", a.name, al.name))
+              case Min(a: AttributeReference) =>
+                Some(AggSpec("min", a.name, al.name))
+              case Max(a: AttributeReference) =>
+                Some(AggSpec("max", a.name, al.name))
+              case _: Average =>
+                refuse("avg is served by the REWRITE from a sum — " +
+                  "declare sum(col) in the view and query avg(col)")
+              case other =>
+                refuse(s"aggregate $other is not re-aggregable")
+            }
+          case other =>
+            refuse(s"output $other is neither a group column nor a " +
+              "supported aggregate alias")
+        }
+        if (aggs.isEmpty) refuse("at least one aggregate is required")
+        (groups, aggs, root)
+      case _ => refuse("the defining query must be a GROUP BY aggregate")
+    }
+    val v = MaterializedView.create(spark, baseRoot, mvRoot,
+      groupNames, aggSpecs)
+    Seq(Row(mvRoot, v))
+  }
+}
+
+/** `REFRESH MATERIALIZED VIEW <gvt.`path`>` →
+  * [[graft.sources.MaterializedView.refresh]]: change-feed incremental
+  * when the algebra allows, full re-aggregation otherwise; no-op when
+  * already fresh. Returns the MV's now-current base version. */
+case class GvtRefreshMvCommand(target: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("base_version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val mvRoot = GvtSqlParser.mvPathOf(target)
+    Seq(Row(graft.sources.MaterializedView.refresh(spark, mvRoot)))
   }
 }

@@ -99,10 +99,45 @@ object MvQueries {
           .orderBy(col("status"))
         requireMv(q, mv)
       }
+    }),
+
+    // The SQL lifecycle: CREATE MATERIALIZED VIEW extracts the spec
+    // from the defining query, a DML + append go stale, REFRESH
+    // restores service, and the rollup reads MV-sized.
+    "q_sql_mv" -> ((s, dir) => {
+      val out = tmpDir("graft_mvsql")
+      val base = s"$out/base"; val mv = s"$out/mv"
+      VersionedTable.write(baseRows(s, dir), base)
+      graft.GraftSession.withExtensions(s) { sess =>
+        sess.read.format("gvt").load(base)
+          .createOrReplaceTempView("mvsql_t")
+        sess.sql(s"CREATE MATERIALIZED VIEW gvt.`$mv` AS " +
+          "SELECT status, prio, sum(cents) AS sum_cents, count(*) AS n " +
+          "FROM mvsql_t GROUP BY status, prio").collect()
+        sess.sql("DELETE FROM mvsql_t WHERE k % 97 = 0").collect()
+        sess.sql(s"REFRESH MATERIALIZED VIEW gvt.`$mv`").collect()
+        val q = sess.read.format("gvt").load(base)
+          .filter(col("prio") =!= "4-NOT SPECIFIED")
+          .groupBy(col("status"))
+          .agg(sum(col("cents")).as("sum_cents"),
+            count(lit(1)).as("n_orders"))
+          .orderBy(col("status"))
+        requireMv(q, mv)
+      }
     })
   )
 
   val oracle: Map[String, String] = Map(
+
+    "q_sql_mv" ->
+      """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+        |    o_orderpriority AS prio,
+        |    CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT status, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        |FROM b WHERE k % 97 <> 0 AND prio <> '4-NOT SPECIFIED'
+        |GROUP BY status ORDER BY status""".stripMargin,
 
     "q_mv_rewrite" ->
       """WITH b AS (SELECT o_orderstatus AS status, o_orderpriority AS prio,

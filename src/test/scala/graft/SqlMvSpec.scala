@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{MaterializedView, VersionedTable}
+
+/** SQL surface of the materialized-view feature: CREATE MATERIALIZED
+  * VIEW extracts the spec from the defining query's analyzed plan,
+  * REFRESH drives maintenance, and unsupported defining shapes refuse
+  * loudly instead of materializing something the rewrite cannot serve.
+  */
+class SqlMvSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def tmp(p: String): String = Files.createTempDirectory(p).toString
+
+  private def mkBase(root: String, view: String): Unit = {
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        col("o_orderpriority").as("prio"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+    VersionedTable.write(o, root)
+  }
+
+  test("CREATE + REFRESH MATERIALIZED VIEW end-to-end, rewrite served") {
+    val base = tmp("sqlmv_base"); val mv = tmp("sqlmv_view")
+    mkBase(base, "sqlmv_t")
+    GraftSession.withExtensions(spark) { sess =>
+      sess.read.format("gvt").load(base).createOrReplaceTempView("sqlmv_t")
+      val created = sess.sql(
+        s"CREATE MATERIALIZED VIEW gvt.`$mv` AS " +
+          "SELECT status, prio, sum(cents) AS sum_cents, count(*) AS n " +
+          "FROM sqlmv_t GROUP BY status, prio").collect()
+      assert(created.head.getString(0) == mv)
+      val q = sess.read.format("gvt").load(base).groupBy("status")
+        .agg(sum("cents").as("s"), count(lit(1)).as("c"))
+      assert(q.inputFiles.exists(_.contains(new java.io.File(mv).getName)))
+      // stale after an append; REFRESH restores service
+      VersionedTable.append(sess.range(2).select(
+        (col("id") + 900000).as("k"), lit("Z").as("status"),
+        lit("1-URGENT").as("prio"), lit(50L).as("cents")), base)
+      val q2 = sess.read.format("gvt").load(base).groupBy("status")
+        .agg(sum("cents").as("s"))
+      assert(!q2.inputFiles.exists(_.contains(new java.io.File(mv).getName)))
+      sess.sql(s"REFRESH MATERIALIZED VIEW gvt.`$mv`").collect()
+      val q3 = sess.read.format("gvt").load(base).groupBy("status")
+        .agg(sum("cents").as("s"), count(lit(1)).as("c"))
+      assert(q3.inputFiles.exists(_.contains(new java.io.File(mv).getName)))
+      val z = q3.filter(col("status") === "Z").collect()
+      assert(z.length == 1 && z.head.getLong(1) == 100L && z.head.getLong(2) == 2L)
+    }
+  }
+
+  test("unsupported defining shapes refuse loudly") {
+    val base = tmp("sqlmv_base2")
+    mkBase(base, "sqlmv_t2")
+    GraftSession.withExtensions(spark) { sess =>
+      sess.read.format("gvt").load(base).createOrReplaceTempView("sqlmv_t2")
+      def refuses(sql: String, hint: String): Unit = {
+        val e = intercept[Exception](sess.sql(sql).collect())
+        assert(e.getMessage != null && e.getMessage.contains(hint),
+          s"for [$sql] got: ${e.getMessage}")
+      }
+      val t = tmp("sqlmv_bad")
+      refuses(s"CREATE MATERIALIZED VIEW gvt.`$t` AS " +
+        "SELECT status, count(DISTINCT prio) AS c FROM sqlmv_t2 GROUP BY status",
+        "DISTINCT")
+      refuses(s"CREATE MATERIALIZED VIEW gvt.`$t` AS " +
+        "SELECT status, sum(cents) AS s FROM sqlmv_t2 " +
+        "WHERE prio = '2-HIGH' GROUP BY status",
+        "single gvt view")
+      refuses(s"CREATE MATERIALIZED VIEW gvt.`$t` AS " +
+        "SELECT status, avg(cents) AS a FROM sqlmv_t2 GROUP BY status",
+        "avg is served by the REWRITE")
+      refuses(s"CREATE MATERIALIZED VIEW gvt.`$t` AS " +
+        "SELECT status AS st, sum(cents) AS s FROM sqlmv_t2 GROUP BY status",
+        "must not be aliased")
+      refuses(s"CREATE MATERIALIZED VIEW badname AS " +
+        "SELECT status, sum(cents) AS s FROM sqlmv_t2 GROUP BY status",
+        "gvt.`/path` form")
+    }
+  }
+}
