@@ -1228,19 +1228,24 @@ object GvtTableChanges {
   }
 }
 
-/** `CREATE MATERIALIZED VIEW gvt.`/path` AS SELECT <groups>, <aggs>
-  * FROM <gvt view> GROUP BY <groups>` — the SQL surface of
-  * [[graft.sources.MaterializedView]] (Databricks ships the same
-  * statement for Delta). The defining query is a SPEC, not an
-  * execution: its analyzed plan must be a plain aggregate of
-  * sum/count/min/max over bare columns of a single live gvt relation
-  * (GROUP BY bare columns, aggregate outputs aliased); the command
-  * extracts that shape and materializes via
-  * [[graft.sources.MaterializedView.create]]. Anything else — DISTINCT,
-  * FILTER clauses, expressions under aggregates, WHERE, joins,
-  * aliased group columns, a time-travel-pinned source — refuses
-  * loudly rather than materializing something the rewrite rule could
-  * not serve. Returns (mv_root, base_version). */
+/** `CREATE MATERIALIZED VIEW gvt.`/path` AS <query>` — the SQL surface
+  * of [[graft.sources.MaterializedView]] (Databricks ships the same
+  * statement for Delta). Two tiers, chosen automatically from the
+  * defining query's analyzed plan:
+  *
+  *  - ALGEBRAIC: a plain sum/count/min/max aggregate over bare columns
+  *    of a single live gvt relation registers with the re-aggregable
+  *    algebra — rollup/filter/avg rewrites at any grouping subset,
+  *    change-feed incremental refresh
+  *    ([[graft.sources.MaterializedView.create]]).
+  *  - EXACT: any other runnable shape (joins, WHERE, DISTINCT,
+  *    expressions) registers for whole-subtree `sameResult` matching
+  *    with structural freshness and re-run refresh
+  *    ([[graft.sources.MaterializedView.createExact]]) — it must read
+  *    at least one gvt relation (the freshness anchor).
+  *
+  * Returns (mv_root, base_version) — base_version is -1 for the exact
+  * tier (multiple bases are pinned structurally, not by one number). */
 case class GvtCreateMvCommand(target: String, query: String)
   extends LeafRunnableCommand {
   import org.apache.spark.sql.catalyst.expressions.Alias
@@ -1262,6 +1267,20 @@ case class GvtCreateMvCommand(target: String, query: String)
 
   override def run(spark: SparkSession): Seq[Row] = {
     val mvRoot = GvtSqlParser.mvPathOf(target)
+    // algebraic shape first (rollup rewrite + incremental refresh);
+    // anything the algebra refuses registers as an EXACT view instead
+    // (whole-subtree sameResult matching, rebuild refresh) — so every
+    // runnable defining query materializes, with the strongest
+    // available maintenance
+    try algebraic(spark, mvRoot)
+    catch {
+      case _: UnsupportedOperationException =>
+        MaterializedView.createExact(spark, mvRoot, query)
+        Seq(Row(mvRoot, -1L))
+    }
+  }
+
+  private def algebraic(spark: SparkSession, mvRoot: String): Seq[Row] = {
     val plan = spark.sql(query).queryExecution.analyzed
     val (groupNames, aggSpecs, baseRoot) = plan match {
       case Aggregate(ge, ae, child, _) =>

@@ -50,8 +50,9 @@ object MvRewrite extends Rule[LogicalPlan] {
     .getConfString("spark.graft.mvRewrite.enabled", "true").toBoolean
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (!enabled) return plan
-    plan.transform {
+    if (!enabled || MaterializedView.isBuilding) return plan
+    val p1 = applyExact(plan)
+    p1.transform {
       case agg @ Aggregate(groupExprs, aggExprs, child, _) =>
         unwrap(child).flatMap { case (lr, cond) =>
           servedVersion(lr).flatMap { case (root, version) =>
@@ -61,6 +62,37 @@ object MvRewrite extends Rule[LogicalPlan] {
               .headOption
           }
         }.getOrElse(agg)
+    }
+  }
+
+  /** Whole-subtree exact matching against registered exact views: any
+    * node whose canonicalized form `sameResult`s a cached defining plan
+    * is replaced by an MV scan aliased positionally onto the node's
+    * output. Freshness is structural — the defining plan embeds the
+    * chain dirs (versions) of every gvt relation it read, so a query
+    * over an advanced base stops matching. Cheap prefilters (node
+    * class, output types) keep the per-node cost negligible; an empty
+    * exact registry short-circuits entirely. Top-down, so the largest
+    * matching subtree wins. */
+  private def applyExact(plan: LogicalPlan): LogicalPlan = {
+    val exact = MaterializedView.exactViews
+    if (exact.isEmpty) return plan
+    plan.transformDown { case node =>
+      exact.view.flatMap { e =>
+        if (node.getClass != e.matchPlan.getClass ||
+            node.output.map(_.dataType) != e.outTypes ||
+            !node.sameResult(e.matchPlan)) None
+        else {
+          val mvPlan = graft.sources.VersionedTable
+            .readLatest(SparkSession.active, e.spec.mvRoot)
+            .queryExecution.analyzed
+          if (mvPlan.output.length != node.output.length) None
+          else Some(Project(
+            node.output.zip(mvPlan.output).map { case (o, m) =>
+              Alias(m, o.name)(exprId = o.exprId)
+            }, mvPlan))
+        }
+      }.headOption.getOrElse(node)
     }
   }
 

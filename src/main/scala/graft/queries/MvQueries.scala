@@ -124,10 +124,57 @@ object MvQueries {
           .orderBy(col("status"))
         requireMv(q, mv)
       }
+    }),
+
+    // EXACT-tier view over a JOIN — the shape the aggregate algebra
+    // cannot serve. Whole-subtree sameResult matching with structural
+    // freshness: the post-delete refresh re-pins the new base version,
+    // and the rollup query (same plan, different aliases) reads
+    // MV-sized.
+    "q_mv_exact_join" -> ((s, dir) => {
+      val out = tmpDir("graft_mvx")
+      val ord = s"$out/ord"; val cust = s"$out/cust"; val mv = s"$out/mv"
+      VersionedTable.write(
+        graft.sources.Tables.t(s, dir, "orders").select(
+          col("o_orderkey").as("k"), col("o_custkey").as("ck_o"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+            .as("cents")), ord)
+      VersionedTable.write(
+        graft.sources.Tables.t(s, dir, "customer").select(
+          col("c_custkey").as("ck"), col("c_mktsegment").as("segment")), cust)
+      graft.GraftSession.withExtensions(s) { sess =>
+        sess.read.format("gvt").load(cust)
+          .createOrReplaceTempView("mvx_cust")
+        sess.read.format("gvt").load(ord)
+          .createOrReplaceTempView("mvx_ord2")
+        sess.sql(s"CREATE MATERIALIZED VIEW gvt.`$mv` AS " +
+          "SELECT segment, sum(cents) AS sum_cents, count(*) AS n " +
+          "FROM mvx_ord2 JOIN mvx_cust ON ck_o = ck GROUP BY segment")
+          .collect()
+        sess.sql("DELETE FROM mvx_ord2 WHERE k % 97 = 0").collect()
+        sess.read.format("gvt").load(ord)
+          .createOrReplaceTempView("mvx_ord2")
+        sess.sql(s"REFRESH MATERIALIZED VIEW gvt.`$mv`").collect()
+        val q = sess.sql(
+          "SELECT segment, sum(cents) AS sum_cents, count(*) AS n_orders " +
+            "FROM mvx_ord2 JOIN mvx_cust ON ck_o = ck GROUP BY segment " +
+            "ORDER BY segment")
+        requireMv(q, mv)
+      }
     })
   )
 
   val oracle: Map[String, String] = Map(
+
+    "q_mv_exact_join" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_custkey AS ck_o,
+        |    CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 97 <> 0)
+        |SELECT c_mktsegment AS segment,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        |FROM o JOIN customer ON ck_o = c_custkey
+        |GROUP BY segment ORDER BY segment""".stripMargin,
 
     "q_sql_mv" ->
       """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS status,

@@ -1,9 +1,13 @@
 package graft.sources
 
+import java.nio.charset.StandardCharsets
+import java.util.Base64
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Sort}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
 
 /** Materialized aggregate views over gvt tables, with incremental
   * (change-feed-driven) maintenance and automatic query rewrite
@@ -89,7 +93,149 @@ object MaterializedView {
         (norm(spec.mvRoot) -> spec))
 
   /** Test/ops escape hatch: forget every registered view. */
-  def clearRegistry(): Unit = registry.clear()
+  def clearRegistry(): Unit = { registry.clear(); exactRegistry.clear() }
+
+  // ------------------------------------------------------------------
+  // Exact-match views: ANY defining query (joins, filters, distinct —
+  // whatever Spark can run), matched whole-subtree via
+  // `LogicalPlan.sameResult` (the CacheManager mechanism; gvt relations
+  // canonicalize semantically, so independent reads of one snapshot
+  // compare equal). Freshness is structural: the defining plan embeds
+  // the chain dirs (version) of every gvt relation it read, so a query
+  // over an advanced base simply stops matching — stale service is
+  // impossible by construction. Refresh re-runs the defining query
+  // (no incremental algebra is assumed for arbitrary shapes).
+  // ------------------------------------------------------------------
+
+  final case class ExactSpec(mvRoot: String, sql: String,
+                             baseVersions: Map[String, Long])
+
+  /** A registered exact view plus its cached match artifacts: the
+    * optimized defining plan (top-level Sort stripped — same multiset)
+    * and its output types, the rule's cheap prefilter. */
+  final case class ExactEntry(spec: ExactSpec, matchPlan: LogicalPlan,
+                              outTypes: Seq[DataType])
+
+  private val exactRegistry = new ConcurrentHashMap[String, ExactEntry]()
+
+  private[graft] def exactViews: Seq[ExactEntry] = {
+    import scala.jdk.CollectionConverters._
+    exactRegistry.values().asScala.toSeq
+  }
+
+  // Re-entrancy guard: while a defining plan is being parsed/optimized,
+  // the rewrite rule must not fire (a defining query matching an
+  // already-registered view would cache an MV-referencing plan and
+  // cascade matching into nonsense).
+  private val building = new ThreadLocal[Boolean] {
+    override def initialValue(): Boolean = false
+  }
+  private[graft] def isBuilding: Boolean = building.get()
+
+  private def buildDefPlan(spark: SparkSession, sql: String)
+      : (DataFrame, LogicalPlan) = {
+    building.set(true)
+    try {
+      val df = spark.sql(sql)
+      val matchPlan = df.queryExecution.optimizedPlan match {
+        case s: Sort if s.global => s.child // ordering is not a set property
+        case p => p
+      }
+      (df, matchPlan)
+    } finally building.set(false)
+  }
+
+  /** gvt (root → served version) of every gvt relation in a plan. */
+  private def gvtVersionsOf(plan: LogicalPlan): Map[String, Long] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import graft.sources.gvt.{GvtDvRelation, GvtFileIndex}
+    plan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case hfs: HadoopFsRelation => hfs.location match {
+          case idx: GvtFileIndex if idx.tableRoot.nonEmpty =>
+            val vs = idx.rootPaths.flatMap { p =>
+              val n = p.getName
+              if (n.startsWith("v=")) scala.util.Try(n.drop(2).toLong).toOption
+              else None
+            }
+            if (vs.isEmpty) Nil else Seq(idx.tableRoot -> vs.max)
+          case _ => Nil
+        }
+        case dv: GvtDvRelation => Seq(dv.root -> dv.version)
+        case _ => Nil
+      }
+    }.flatten.toMap
+  }
+
+  private def serializeExact(spec: ExactSpec): String = {
+    val b64 = Base64.getEncoder.encodeToString(
+      spec.sql.getBytes(StandardCharsets.UTF_8))
+    val vs = spec.baseVersions.toSeq.sortBy(_._1)
+      .map { case (r, v) => s"$r:$v" }.mkString(",")
+    s"sqlb64=$b64\nversions=$vs\n"
+  }
+
+  private def parseExact(mvRoot: String, s: String): ExactSpec = {
+    val kv = s.linesIterator.filter(_.contains("=")).map { l =>
+      val i = l.indexOf('='); (l.take(i), l.drop(i + 1))
+    }.toMap
+    val sql = new String(Base64.getDecoder.decode(kv("sqlb64")),
+      StandardCharsets.UTF_8)
+    val versions = kv.getOrElse("versions", "").split(",")
+      .filter(_.contains(":")).map { e =>
+        val i = e.lastIndexOf(':'); (e.take(i), e.drop(i + 1).toLong)
+      }.toMap
+    ExactSpec(mvRoot, sql, versions)
+  }
+
+  /** Materialize an arbitrary defining query and register it for
+    * whole-subtree rewrite. The query must read at least one gvt
+    * relation (else freshness has no anchor) and emit distinct output
+    * column names (the MV table's schema). */
+  def createExact(spark: SparkSession, mvRoot: String, sql: String): Unit = {
+    val (df, matchPlan) = buildDefPlan(spark, sql)
+    val names = df.schema.fieldNames
+    require(names.distinct.length == names.length,
+      s"defining query emits duplicate column names: ${names.mkString(",")}")
+    val versions = gvtVersionsOf(matchPlan)
+    require(versions.nonEmpty,
+      "defining query reads no gvt relation — freshness would be " +
+        "unanchored; materialize a plain table instead")
+    val spec = ExactSpec(mvRoot, sql, versions)
+    building.set(true)
+    try VersionedTable.write(df, mvRoot, operation = "MV_CREATE",
+      metaFiles = Map("_mv_exact" -> serializeExact(spec)))
+    finally building.set(false)
+    exactRegistry.put(norm(mvRoot),
+      ExactEntry(spec, matchPlan, df.schema.map(_.dataType)))
+  }
+
+  /** Re-register a persisted exact view (newest `_mv_exact` wins). */
+  def attachExact(spark: SparkSession, mvRoot: String): ExactSpec = {
+    val spec = VersionedTable.committedVersions(mvRoot).reverse.iterator
+      .flatMap(v => VersionedTable.readMeta(mvRoot, v, "_mv_exact"))
+      .toSeq.headOption.map(parseExact(mvRoot, _))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no _mv_exact metadata at $mvRoot — not an exact materialized view"))
+    val (df, matchPlan) = buildDefPlan(spark, spec.sql)
+    exactRegistry.put(norm(mvRoot),
+      ExactEntry(spec, matchPlan, df.schema.map(_.dataType)))
+    spec
+  }
+
+  private def refreshExact(spark: SparkSession, entry: ExactEntry): Unit = {
+    val live = entry.spec.baseVersions.keys.map(r =>
+      r -> VersionedTable.latestVersion(r).getOrElse(-1L)).toMap
+    if (live == entry.spec.baseVersions) return // fresh: no commit
+    val (df, matchPlan) = buildDefPlan(spark, entry.spec.sql)
+    val spec = entry.spec.copy(baseVersions = gvtVersionsOf(matchPlan))
+    building.set(true)
+    try VersionedTable.write(df, spec.mvRoot, operation = "MV_REBUILD",
+      metaFiles = Map("_mv_exact" -> serializeExact(spec)))
+    finally building.set(false)
+    exactRegistry.put(norm(spec.mvRoot),
+      ExactEntry(spec, matchPlan, df.schema.map(_.dataType)))
+  }
 
   /** The internal row-count column plus per-sum non-null counters. */
   private def internalAggs(aggs: Seq[AggSpec]): Seq[Column] =
@@ -152,12 +298,34 @@ object MaterializedView {
   private def insertOnly(op: String): Boolean =
     op == "APPEND" || rowNeutral(op)
 
-  /** Bring the MV up to the base's live version. Incremental
-    * (change-feed delta + MV-sized merge) whenever the algebra allows;
-    * full re-aggregation only for min/max over a row-removing range.
+  /** Bring the MV up to its bases' live versions. Aggregate views go
+    * incremental (change-feed delta + MV-sized merge) whenever the
+    * algebra allows, with full re-aggregation only for min/max over a
+    * row-removing range; exact-match views re-run their defining query.
     * No-op (and no commit) when already fresh. Returns the now-current
-    * base version. */
+    * base version (aggregate views) or the max base version (exact). */
   def refresh(spark: SparkSession, mvRoot: String): Long = {
+    val key = norm(mvRoot)
+    def isAggRegistered: Boolean = {
+      val it = registry.values().iterator()
+      while (it.hasNext) if (it.next().contains(key)) return true
+      false
+    }
+    Option(exactRegistry.get(key)).orElse {
+      // not in-memory: a persisted exact view attaches on demand
+      if (!isAggRegistered &&
+          VersionedTable.committedVersions(mvRoot).reverse
+            .exists(v => VersionedTable.readMeta(mvRoot, v, "_mv_exact")
+              .isDefined)) {
+        attachExact(spark, mvRoot); Option(exactRegistry.get(key))
+      } else None
+    } match {
+      case Some(entry) =>
+        refreshExact(spark, entry)
+        return exactRegistry.get(key).spec.baseVersions.values
+          .foldLeft(0L)(math.max)
+      case None =>
+    }
     val spec = specOf(mvRoot)
     val cur = VersionedTable.latestVersion(spec.baseRoot).getOrElse(
       throw new IllegalArgumentException(s"no versions at ${spec.baseRoot}"))

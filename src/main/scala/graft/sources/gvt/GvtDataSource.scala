@@ -362,6 +362,16 @@ class GvtDvRelation(
   }
 
   override def toString: String = s"GvtDvRelation($root, v=$version)"
+
+  /** Semantic equality on (root, version, pinned) — same rationale as
+    * [[GvtFileIndex.equals]]: independent reads of one snapshot must
+    * compare equal for `sameResult`/CacheManager/MV matching. */
+  override def equals(other: Any): Boolean = other match {
+    case o: GvtDvRelation =>
+      root == o.root && version == o.version && pinned == o.pinned
+    case _ => false
+  }
+  override def hashCode(): Int = (root, version, pinned).hashCode()
 }
 
 /** Batch change-data-feed relation (Delta `readChangeFeed` analogue):
@@ -665,6 +675,22 @@ class GvtFileIndex(
   override def inputFiles: Array[String] = children.flatMap(_.inputFiles).toArray
   override def refresh(): Unit = children.foreach(_.refresh())
   override def sizeInBytes: Long = children.map(_.sizeInBytes).sum
+
+  /** Semantic equality: two indexes over the same chain dirs serve the
+    * same snapshot, whatever instances built them. This is what lets
+    * `LogicalPlan.sameResult` (and through it Spark's CacheManager and
+    * the exact-match MV rewrite) recognize two independent reads of one
+    * gvt table version as the same relation — HadoopFsRelation equality
+    * recurses into its FileIndex, which would otherwise be by
+    * reference. */
+  override def equals(other: Any): Boolean = other match {
+    case o: GvtFileIndex =>
+      roots.map(_.toString) == o.rootPaths.map(_.toString) &&
+        tableRoot == o.tableRoot && pinned == o.pinned
+    case _ => false
+  }
+  override def hashCode(): Int =
+    (roots.map(_.toString), tableRoot, pinned).hashCode()
 }
 
 /** Conservative range extraction from pushed Catalyst data filters:

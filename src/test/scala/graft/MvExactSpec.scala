@@ -1,0 +1,183 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{MaterializedView, VersionedTable}
+
+/** Exact-match materialized views: arbitrary defining queries (joins,
+  * filters, DISTINCT) matched whole-subtree via sameResult, structural
+  * freshness, alias-independence, refresh-on-demand. */
+class MvExactSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def tmp(p: String): String = Files.createTempDirectory(p).toString
+
+  /** orders + customer slices as two gvt tables. */
+  private def mkBases(oRoot: String, cRoot: String): Unit = {
+    VersionedTable.write(spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey").as("k"), col("o_custkey").as("ck"),
+        col("o_orderstatus").as("status"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents")),
+      oRoot)
+    VersionedTable.write(spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey").as("ck2"), col("c_mktsegment").as("segment")),
+      cRoot)
+  }
+
+  private def usesMv(df: DataFrame, mvRoot: String): Boolean =
+    df.inputFiles.exists(_.contains(new java.io.File(mvRoot).getName))
+
+  private def withViews[A](sess: SparkSession, oRoot: String, cRoot: String,
+                           oV: String, cV: String)(f: => A): A = {
+    sess.read.format("gvt").load(oRoot).createOrReplaceTempView(oV)
+    sess.read.format("gvt").load(cRoot).createOrReplaceTempView(cV)
+    f
+  }
+
+  test("join-aggregate defining query serves the identical shape — any aliases") {
+    val oRoot = tmp("mx_o"); val cRoot = tmp("mx_c"); val mv = tmp("mx_mv")
+    mkBases(oRoot, cRoot)
+    GraftSession.withExtensions(spark) { sess =>
+      withViews(sess, oRoot, cRoot, "mx_orders", "mx_cust") {
+        val defSql =
+          """SELECT segment, status, sum(cents) AS sum_cents, count(*) AS n
+            |FROM mx_orders JOIN mx_cust ON ck = ck2
+            |GROUP BY segment, status""".stripMargin
+        MaterializedView.createExact(sess, mv, defSql)
+        // same shape, different output aliases
+        val q = sess.sql(
+          """SELECT segment, status, sum(cents) AS s, count(*) AS c
+            |FROM mx_orders JOIN mx_cust ON ck = ck2
+            |GROUP BY segment, status""".stripMargin)
+        assert(usesMv(q, mv), q.queryExecution.optimizedPlan.toString)
+        val exp = spark.sql("SELECT 1").sparkSession.read.format("gvt")
+          .load(oRoot)
+          .join(spark.read.format("gvt").load(cRoot), col("ck") === col("ck2"))
+          .groupBy("segment", "status")
+          .agg(sum("cents").as("s"), count(lit(1)).as("c"))
+          .collect().map(r => (r.getString(0), r.getString(1)) ->
+            (r.getLong(2), r.getLong(3))).toMap
+        val got = q.collect().map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+        assert(got == exp)
+      }
+    }
+  }
+
+  test("structural freshness: base advance stops the match; refresh restores it") {
+    val oRoot = tmp("mx_o2"); val cRoot = tmp("mx_c2"); val mv = tmp("mx_mv2")
+    mkBases(oRoot, cRoot)
+    GraftSession.withExtensions(spark) { sess =>
+      withViews(sess, oRoot, cRoot, "mx_orders2", "mx_cust2") {
+        val defSql =
+          """SELECT segment, sum(cents) AS sum_cents
+            |FROM mx_orders2 JOIN mx_cust2 ON ck = ck2
+            |GROUP BY segment""".stripMargin
+        MaterializedView.createExact(sess, mv, defSql)
+        def q = sess.sql(defSql)
+        assert(usesMv(q, mv))
+        VersionedTable.append(sess.range(1).select(lit(990000L).as("k"),
+          lit(0L).as("ck"), lit("F").as("status"), lit(77L).as("cents")), oRoot)
+        // the temp view pins the OLD snapshot — re-register to read live
+        sess.read.format("gvt").load(oRoot)
+          .createOrReplaceTempView("mx_orders2")
+        assert(!usesMv(q, mv), "advanced base must stop the exact match")
+        MaterializedView.refresh(sess, mv)
+        assert(usesMv(q, mv), "refresh must restore the exact match")
+        // and the refreshed MV carries the appended row
+        val bySeg = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val direct = sess.read.format("gvt").load(oRoot)
+          .join(sess.read.format("gvt").load(cRoot), col("ck") === col("ck2"))
+          .groupBy("segment").agg(sum("cents").as("s"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(bySeg == direct)
+      }
+    }
+  }
+
+  test("refresh is a no-op commit-wise when every base is fresh") {
+    val oRoot = tmp("mx_o3"); val cRoot = tmp("mx_c3"); val mv = tmp("mx_mv3")
+    mkBases(oRoot, cRoot)
+    GraftSession.withExtensions(spark) { sess =>
+      withViews(sess, oRoot, cRoot, "mx_orders3", "mx_cust3") {
+        MaterializedView.createExact(sess, mv,
+          "SELECT status, count(*) AS n FROM mx_orders3 GROUP BY status")
+        val before = VersionedTable.latestVersion(mv)
+        MaterializedView.refresh(sess, mv)
+        assert(VersionedTable.latestVersion(mv) == before,
+          "fresh exact view must not commit on refresh")
+      }
+    }
+  }
+
+  test("DISTINCT and filtered shapes — unservable by the aggregate algebra — serve exactly") {
+    val oRoot = tmp("mx_o4"); val cRoot = tmp("mx_c4"); val mv = tmp("mx_mv4")
+    mkBases(oRoot, cRoot)
+    GraftSession.withExtensions(spark) { sess =>
+      withViews(sess, oRoot, cRoot, "mx_orders4", "mx_cust4") {
+        val defSql =
+          """SELECT status, count(DISTINCT ck) AS n_custs
+            |FROM mx_orders4 WHERE cents > 1000 GROUP BY status""".stripMargin
+        MaterializedView.createExact(sess, mv, defSql)
+        val q = sess.sql(defSql)
+        assert(usesMv(q, mv), q.queryExecution.optimizedPlan.toString)
+        val exp = sess.read.format("gvt").load(oRoot)
+          .filter(col("cents") > 1000).groupBy("status")
+          .agg(countDistinct(col("ck")).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val got = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(got == exp)
+      }
+    }
+  }
+
+  test("a semantically different query does NOT match") {
+    val oRoot = tmp("mx_o5"); val cRoot = tmp("mx_c5"); val mv = tmp("mx_mv5")
+    mkBases(oRoot, cRoot)
+    GraftSession.withExtensions(spark) { sess =>
+      withViews(sess, oRoot, cRoot, "mx_orders5", "mx_cust5") {
+        MaterializedView.createExact(sess, mv,
+          "SELECT status, sum(cents) AS s FROM mx_orders5 " +
+            "WHERE cents > 1000 GROUP BY status")
+        val q = sess.sql("SELECT status, sum(cents) AS s FROM mx_orders5 " +
+          "WHERE cents > 2000 GROUP BY status")
+        assert(!usesMv(q, mv), "different filter constant must not match")
+      }
+    }
+  }
+
+  test("attachExact restores a persisted exact view after a registry wipe") {
+    val oRoot = tmp("mx_o6"); val cRoot = tmp("mx_c6"); val mv = tmp("mx_mv6")
+    mkBases(oRoot, cRoot)
+    GraftSession.withExtensions(spark) { sess =>
+      withViews(sess, oRoot, cRoot, "mx_orders6", "mx_cust6") {
+        val defSql = "SELECT status, sum(cents) AS s FROM mx_orders6 " +
+          "GROUP BY status"
+        MaterializedView.createExact(sess, mv, defSql)
+        MaterializedView.clearRegistry()
+        assert(!usesMv(sess.sql(defSql), mv))
+        val spec = MaterializedView.attachExact(sess, mv)
+        assert(spec.sql == defSql)
+        assert(usesMv(sess.sql(defSql), mv))
+      }
+    }
+  }
+
+  test("a defining query reading no gvt relation refuses (freshness unanchored)") {
+    GraftSession.withExtensions(spark) { sess =>
+      sess.read.parquet(s"$dir/orders.parquet")
+        .createOrReplaceTempView("mx_plain")
+      val e = intercept[IllegalArgumentException] {
+        MaterializedView.createExact(sess, tmp("mx_mv7"),
+          "SELECT o_orderstatus, count(*) AS n FROM mx_plain " +
+            "GROUP BY o_orderstatus")
+      }
+      assert(e.getMessage.contains("no gvt relation"))
+    }
+  }
+}

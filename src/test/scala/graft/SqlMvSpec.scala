@@ -55,33 +55,32 @@ class SqlMvSpec extends AnyFunSuite {
     }
   }
 
-  test("unsupported defining shapes refuse loudly") {
+  test("non-algebraic defining shapes register as EXACT views and serve their shape") {
     val base = tmp("sqlmv_base2")
     mkBase(base, "sqlmv_t2")
     GraftSession.withExtensions(spark) { sess =>
       sess.read.format("gvt").load(base).createOrReplaceTempView("sqlmv_t2")
-      def refuses(sql: String, hint: String): Unit = {
-        val e = intercept[Exception](sess.sql(sql).collect())
-        assert(e.getMessage != null && e.getMessage.contains(hint),
-          s"for [$sql] got: ${e.getMessage}")
+      def exactServes(defSql: String): Unit = {
+        val t = tmp("sqlmv_exact")
+        val row = sess.sql(
+          s"CREATE MATERIALIZED VIEW gvt.`$t` AS $defSql").collect().head
+        assert(row.getLong(1) == -1L, "non-algebraic shape → exact tier")
+        val q = sess.sql(defSql)
+        assert(q.inputFiles.exists(_.contains(new java.io.File(t).getName)),
+          s"exact view must serve [$defSql]:\n" +
+            q.queryExecution.optimizedPlan)
       }
-      val t = tmp("sqlmv_bad")
-      refuses(s"CREATE MATERIALIZED VIEW gvt.`$t` AS " +
-        "SELECT status, count(DISTINCT prio) AS c FROM sqlmv_t2 GROUP BY status",
-        "DISTINCT")
-      refuses(s"CREATE MATERIALIZED VIEW gvt.`$t` AS " +
-        "SELECT status, sum(cents) AS s FROM sqlmv_t2 " +
-        "WHERE prio = '2-HIGH' GROUP BY status",
-        "single gvt view")
-      refuses(s"CREATE MATERIALIZED VIEW gvt.`$t` AS " +
-        "SELECT status, avg(cents) AS a FROM sqlmv_t2 GROUP BY status",
-        "avg is served by the REWRITE")
-      refuses(s"CREATE MATERIALIZED VIEW gvt.`$t` AS " +
-        "SELECT status AS st, sum(cents) AS s FROM sqlmv_t2 GROUP BY status",
-        "must not be aliased")
-      refuses(s"CREATE MATERIALIZED VIEW badname AS " +
-        "SELECT status, sum(cents) AS s FROM sqlmv_t2 GROUP BY status",
-        "gvt.`/path` form")
+      exactServes("SELECT status, count(DISTINCT prio) AS c FROM sqlmv_t2 " +
+        "GROUP BY status")
+      exactServes("SELECT status, sum(cents) AS s FROM sqlmv_t2 " +
+        "WHERE prio = '2-HIGH' GROUP BY status")
+      exactServes("SELECT status AS st, sum(cents) AS s FROM sqlmv_t2 " +
+        "GROUP BY status")
+      // target form is still a hard error — the MV table needs a path
+      val e = intercept[Exception](sess.sql("CREATE MATERIALIZED VIEW " +
+        "badname AS SELECT status, sum(cents) AS s FROM sqlmv_t2 " +
+        "GROUP BY status").collect())
+      assert(e.getMessage.contains("gvt.`/path` form"))
     }
   }
 }
