@@ -147,6 +147,8 @@ class GvtSqlParser(session: SparkSession, delegate: ParserInterface)
         GvtCreateMvCommand(target.trim, query.trim)
       case RefreshMvRe(target) =>
         GvtRefreshMvCommand(target.trim)
+      case DropMvRe(target) =>
+        GvtDropMvCommand(target.trim)
       case CreateBloomRe(target, cols) =>
         GvtCreateBloomIndexCommand(target.trim, parsePropKeys(
           cols.replace("`", "")))
@@ -321,6 +323,8 @@ object GvtSqlParser {
       """\s+AS\s+(.+)$""").r
   private val RefreshMvRe =
     ("""(?is)^REFRESH\s+MATERIALIZED\s+VIEW\s+""" + Target + """\s*$""").r
+  private val DropMvRe =
+    ("""(?is)^DROP\s+MATERIALIZED\s+VIEW\s+""" + Target + """\s*$""").r
   private val CreateBloomRe =
     ("""(?is)^CREATE\s+BLOOMFILTER\s+INDEX\s+ON\s+(?:TABLE\s+)?""" + Target +
       """\s+FOR\s+COLUMNS\s*\(([^)]+)\)\s*$""").r
@@ -1347,5 +1351,16 @@ case class GvtRefreshMvCommand(target: String) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val mvRoot = GvtSqlParser.mvPathOf(target)
     Seq(Row(graft.sources.MaterializedView.refresh(spark, mvRoot)))
+  }
+}
+
+/** `DROP MATERIALIZED VIEW <gvt.`path`>` → deregister from the rewrite
+  * ([[graft.sources.MaterializedView.drop]]); the versioned MV table
+  * stays on disk for VACUUM / re-attach. */
+case class GvtDropMvCommand(target: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.sources.MaterializedView.drop(GvtSqlParser.mvPathOf(target))
+    Nil
   }
 }

@@ -95,6 +95,17 @@ object MaterializedView {
   /** Test/ops escape hatch: forget every registered view. */
   def clearRegistry(): Unit = { registry.clear(); exactRegistry.clear() }
 
+  /** Deregister a view from the rewrite (both tiers): queries fall back
+    * to their base scans; the MV table itself stays on disk (re-attach
+    * any time). Long-lived sessions creating throwaway views (bench
+    * fixtures, notebooks) call this so the exact-match candidate list
+    * — scanned per planned query — never accretes. */
+  def drop(mvRoot: String): Unit = {
+    val key = norm(mvRoot)
+    exactRegistry.remove(key)
+    registry.replaceAll((_, m) => m - key)
+  }
+
   // ------------------------------------------------------------------
   // Exact-match views: ANY defining query (joins, filters, distinct —
   // whatever Spark can run), matched whole-subtree via

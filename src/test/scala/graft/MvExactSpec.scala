@@ -168,6 +168,49 @@ class MvExactSpec extends AnyFunSuite {
     }
   }
 
+  test("DROP MATERIALIZED VIEW deregisters; the table survives for re-attach") {
+    val oRoot = tmp("mx_o8"); val cRoot = tmp("mx_c8"); val mv = tmp("mx_mv8")
+    mkBases(oRoot, cRoot)
+    GraftSession.withExtensions(spark) { sess =>
+      withViews(sess, oRoot, cRoot, "mx_orders8", "mx_cust8") {
+        val defSql = "SELECT status, sum(cents) AS s FROM mx_orders8 " +
+          "GROUP BY status"
+        MaterializedView.createExact(sess, mv, defSql)
+        assert(usesMv(sess.sql(defSql), mv))
+        sess.sql(s"DROP MATERIALIZED VIEW gvt.`$mv`").collect()
+        assert(!usesMv(sess.sql(defSql), mv), "dropped view must not serve")
+        MaterializedView.attachExact(sess, mv) // table intact on disk
+        assert(usesMv(sess.sql(defSql), mv))
+        MaterializedView.drop(mv)
+      }
+    }
+  }
+
+  test("semantic relation equality lets CacheManager serve a second independent gvt read") {
+    val oRoot = tmp("mx_o9"); val cRoot = tmp("mx_c9")
+    mkBases(oRoot, cRoot)
+    val a = spark.read.format("gvt").load(oRoot).groupBy("status")
+      .agg(sum("cents").as("s"))
+    a.cache()
+    try {
+      a.collect()
+      // a SEPARATELY-built identical read must plan onto the cache
+      val b = spark.read.format("gvt").load(oRoot).groupBy("status")
+        .agg(sum("cents").as("s"))
+      assert(b.queryExecution.withCachedData.toString
+        .contains("InMemoryRelation"),
+        b.queryExecution.withCachedData.toString)
+      // a new commit changes the chain → the cache must NOT serve
+      VersionedTable.append(spark.range(1).select(lit(880000L).as("k"),
+        lit(0L).as("ck"), lit("O").as("status"), lit(5L).as("cents")), oRoot)
+      val c = spark.read.format("gvt").load(oRoot).groupBy("status")
+        .agg(sum("cents").as("s"))
+      assert(!c.queryExecution.withCachedData.toString
+        .contains("InMemoryRelation"),
+        "advanced base must not read the stale cache")
+    } finally a.unpersist()
+  }
+
   test("a defining query reading no gvt relation refuses (freshness unanchored)") {
     GraftSession.withExtensions(spark) { sess =>
       sess.read.parquet(s"$dir/orders.parquet")
