@@ -234,6 +234,44 @@ object MaterializedView {
     spec
   }
 
+  /** Base roots a view is anchored on (either tier). */
+  private def baseRootsOf(mvRoot: String): Seq[String] = {
+    val key = norm(mvRoot)
+    Option(exactRegistry.get(key))
+      .map(_.spec.baseVersions.keys.toSeq)
+      .orElse {
+        val it = registry.values().iterator()
+        var found: Option[Seq[String]] = None
+        while (it.hasNext && found.isEmpty)
+          found = it.next().get(key).map(s => Seq(s.baseRoot))
+        found
+      }
+      .getOrElse(throw new IllegalArgumentException(
+        s"$mvRoot is not a registered materialized view — " +
+          "create/attach it first"))
+  }
+
+  /** Continuous maintenance (Databricks "continuous mode" MVs): a
+    * micro-batch stream over each base's change feed whose only job is
+    * to call [[refresh]] when commits land — the refresh itself stays
+    * the incremental/rebuild logic above, and a tick with nothing new
+    * is a listing-cost no-op. Exactly-once is irrelevant here (refresh
+    * is idempotent and self-versioning), so replays after checkpoint
+    * recovery are harmless. Returns the started queries — one per base
+    * root; `processAllAvailable()`/`stop()` them like any stream. */
+  def continuousRefresh(spark: SparkSession, mvRoot: String,
+                        checkpointDir: String)
+      : Seq[org.apache.spark.sql.streaming.StreamingQuery] =
+    baseRootsOf(mvRoot).zipWithIndex.map { case (root, i) =>
+      spark.readStream.format("gvt-cdf").load(root)
+        .writeStream
+        .option("checkpointLocation", s"$checkpointDir/$i")
+        .foreachBatch { (_: DataFrame, _: Long) =>
+          refresh(spark, mvRoot); ()
+        }
+        .start()
+    }
+
   private def refreshExact(spark: SparkSession, entry: ExactEntry): Unit = {
     val live = entry.spec.baseVersions.keys.map(r =>
       r -> VersionedTable.latestVersion(r).getOrElse(-1L)).toMap

@@ -306,6 +306,32 @@ class MvRewriteSpec extends AnyFunSuite {
     assert(got == exp)
   }
 
+  test("continuous refresh: commits on the base stream into MV maintenance") {
+    val base = tmp("mv_base14"); val mv = tmp("mv_view14")
+    mkBase(base)
+    MaterializedView.create(spark, base, mv, Seq("o_orderstatus"),
+      Seq(AggSpec("sum", "cents", "sum_cents"),
+        AggSpec("count", "*", "n_orders")))
+    val qs = MaterializedView.continuousRefresh(spark, mv, tmp("mv_ckpt14"))
+    try {
+      VersionedTable.append(spark.range(4).select(
+        (col("id") + 3000000).as("o_orderkey"), lit("Y").as("o_orderstatus"),
+        lit("5-LOW").as("o_orderpriority"), lit(250L).as("cents")), base)
+      qs.foreach(_.processAllAvailable())
+      val got = VersionedTable.readLatest(spark, mv)
+        .filter(col("o_orderstatus") === "Y")
+        .select("sum_cents", "n_orders").collect()
+      assert(got.length == 1 && got.head.getLong(0) == 1000L &&
+        got.head.getLong(1) == 4L, got.mkString(","))
+      // MV is fresh → rewrite serves without a manual refresh
+      GraftSession.withExtensions(spark) { sess =>
+        val q = gvt(sess, base).groupBy("o_orderstatus")
+          .agg(sum("cents").as("s"))
+        assert(usesMv(q, mv))
+      }
+    } finally qs.foreach(_.stop())
+  }
+
   test("distinct / filtered aggregates and non-group filters do NOT rewrite") {
     val base = tmp("mv_base12"); val mv = tmp("mv_view12")
     mkBase(base)
