@@ -182,6 +182,23 @@ object EventQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Spark 4's VARIANT type (the open semi-structured storage type):
+    // props parses ONCE into a shredded binary variant, the typed path
+    // extraction happens on the variant (no re-parse per field), and
+    // the variant column itself crosses the groupBy shuffle — the
+    // at-scale answer when the payload schema is open-ended (from_json
+    // needs the schema up front; variant defers it to extraction).
+    "q_variant" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("event_type"), parse_json(col("props")).as("v"))
+        .withColumn("k", variant_get(col("v"), "$.k", "long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          count(col("k")).as("n_with_k"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))),
+
     // The built-in session operator (Spark 3.2+): session_window merges
     // overlapping [ts, ts+gap) intervals per key inside one hash
     // aggregation — no window-function shuffle-sort pass like the
@@ -459,6 +476,14 @@ object EventQueries {
         |FROM u LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
         |  LEFT JOIN t3 USING (user_id)
         |ORDER BY user_id""".stripMargin,
+
+    "q_variant" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS n_with_k,
+        |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+        |  CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_events_json" ->
       """SELECT event_type, count(*) AS n_events,
