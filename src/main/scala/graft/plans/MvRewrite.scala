@@ -86,9 +86,15 @@ object MvRewrite extends Rule[LogicalPlan] {
           val mvPlan = graft.sources.VersionedTable
             .readLatest(SparkSession.active, e.spec.mvRoot)
             .queryExecution.analyzed
-          if (mvPlan.output.length != node.output.length) None
+          // differential join views carry fold-internal counter columns
+          // (`_rows`, `_nn_*`) — never part of the served output
+          val hidden = e.joinAgg
+            .map(i => MaterializedView.internalNames(i.aggs).toSet)
+            .getOrElse(Set.empty[String])
+          val served = mvPlan.output.filterNot(a => hidden.contains(a.name))
+          if (served.length != node.output.length) None
           else Some(Project(
-            node.output.zip(mvPlan.output).map { case (o, m) =>
+            node.output.zip(served).map { case (o, m) =>
               Alias(m, o.name)(exprId = o.exprId)
             }, mvPlan))
         }

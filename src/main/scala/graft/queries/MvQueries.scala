@@ -168,10 +168,85 @@ object MvQueries {
             "ORDER BY segment")
         requireMv(q, mv)
       }
+    }),
+
+    // DIFFERENTIAL join-view maintenance: append-only deltas on BOTH
+    // sides fold as agg(ΔA⋈B_new ∪ A_old⋈ΔB) — A_old⋈B_old, the
+    // 100 TB-dominant term, is never recomputed. History must show
+    // MV_REFRESH (the fold), never MV_REBUILD.
+    "q_mv_diff_join" -> ((s, dir) => {
+      val out = tmpDir("graft_mvd")
+      val ord = s"$out/ord"; val cust = s"$out/cust"; val mv = s"$out/mv"
+      VersionedTable.write(
+        graft.sources.Tables.t(s, dir, "orders").select(
+          col("o_orderkey").as("k"), col("o_custkey").as("ck_o"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+            .as("cents")), ord)
+      VersionedTable.write(
+        graft.sources.Tables.t(s, dir, "customer").select(
+          col("c_custkey").as("ck"), col("c_mktsegment").as("segment")), cust)
+      graft.GraftSession.withExtensions(s) { sess =>
+        sess.read.format("gvt").load(cust)
+          .createOrReplaceTempView("mvd_cust")
+        sess.read.format("gvt").load(ord)
+          .createOrReplaceTempView("mvd_ord")
+        sess.sql(s"CREATE MATERIALIZED VIEW gvt.`$mv` AS " +
+          "SELECT segment, sum(cents) AS sum_cents, count(*) AS n_orders " +
+          "FROM mvd_ord JOIN mvd_cust ON ck_o = ck GROUP BY segment")
+          .collect()
+        // append-only deltas on both sides (reproducible arithmetic):
+        // repriced echo orders for every k%10 customer order, plus a
+        // synthetic segment with its own orders
+        VersionedTable.append(
+          graft.sources.Tables.t(s, dir, "orders")
+            .filter(col("o_orderkey") % 10 === 0)
+            .select((col("o_orderkey") + 2000000).as("k"),
+              col("o_custkey").as("ck_o"),
+              (floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+                + 13).as("cents")), ord)
+        VersionedTable.append(sess.range(1).select(
+          lit(3000000L).as("ck"), lit("SEG_X").as("segment")), cust)
+        VersionedTable.append(sess.range(5).select(
+          (col("id") + 2100000).as("k"), lit(3000000L).as("ck_o"),
+          (col("id") * 10 + 1).as("cents")), ord)
+        sess.sql(s"REFRESH MATERIALIZED VIEW gvt.`$mv`").collect()
+        val ops = VersionedTable.history(sess, mv)
+          .select("operation").collect().map(_.getString(0)).toSet
+        require(ops.contains("MV_REFRESH") && !ops.contains("MV_REBUILD"),
+          s"join refresh was not differential: $ops")
+        sess.read.format("gvt").load(ord)
+          .createOrReplaceTempView("mvd_ord")
+        sess.read.format("gvt").load(cust)
+          .createOrReplaceTempView("mvd_cust")
+        val q = sess.sql(
+          "SELECT segment, sum(cents) AS sum_cents, count(*) AS n_orders " +
+            "FROM mvd_ord JOIN mvd_cust ON ck_o = ck GROUP BY segment " +
+            "ORDER BY segment")
+        requireMv(q, mv)
+      }
     })
   )
 
   val oracle: Map[String, String] = Map(
+
+    "q_mv_diff_join" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS ck_o,
+        |    CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_custkey,
+        |    CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) + 13
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |c AS (SELECT c_custkey AS ck, c_mktsegment AS segment FROM customer
+        |      UNION ALL SELECT 3000000, 'SEG_X'),
+        |x AS (SELECT 3000000 AS ck_o, CAST(i*10 + 1 AS BIGINT) AS cents
+        |      FROM unnest([0,1,2,3,4]) AS t(i)),
+        |allo AS (SELECT * FROM o UNION ALL SELECT * FROM x)
+        |SELECT segment, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        |FROM allo JOIN c ON ck_o = ck
+        |GROUP BY segment ORDER BY segment""".stripMargin,
 
     "q_mv_exact_join" ->
       """WITH o AS (SELECT o_orderkey AS k, o_custkey AS ck_o,

@@ -5,7 +5,11 @@ import java.util.Base64
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Sort}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project, Sort, SubqueryAlias, Union}
+import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DataType
 
@@ -123,9 +127,30 @@ object MaterializedView {
 
   /** A registered exact view plus its cached match artifacts: the
     * optimized defining plan (top-level Sort stripped — same multiset)
-    * and its output types, the rule's cheap prefilter. */
+    * and its output types, the rule's cheap prefilter; `joinAgg` is
+    * the recognized differential-maintenance shape, when any. */
   final case class ExactEntry(spec: ExactSpec, matchPlan: LogicalPlan,
-                              outTypes: Seq[DataType])
+                              outTypes: Seq[DataType],
+                              joinAgg: Option[JoinAggInfo] = None)
+
+  /** The shape the differential refresh serves: a re-aggregable
+    * aggregate over per-row operators (project/filter) around ONE inner
+    * equi-join of exactly two live gvt relations. For that shape
+    *
+    *   Δ(f(A) ⋈ g(B)) = f(ΔA) ⋈ g(B_new)  ∪  f(A_old) ⋈ g(ΔB)
+    *
+    * because per-row operators distribute over union — so the refresh
+    * joins only the DELTAS against one full side each, never
+    * A_old ⋈ B_old (the 100 TB-dominant term), and folds the delta
+    * aggregate into the MV additively. Insert-only ranges only (a
+    * retraction inside a join multiplies; Delta's MVs recompute on the
+    * same trigger). */
+  final case class JoinAggInfo(groups: Seq[String], aggs: Seq[AggSpec],
+                               ge: Seq[Expression],
+                               ae: Seq[NamedExpression],
+                               joinChild: LogicalPlan,
+                               leftRel: LogicalRelation, leftRoot: String,
+                               rightRel: LogicalRelation, rightRoot: String)
 
   private val exactRegistry = new ConcurrentHashMap[String, ExactEntry]()
 
@@ -199,10 +224,45 @@ object MaterializedView {
     ExactSpec(mvRoot, sql, versions)
   }
 
+  /** The names foldIntoMv owns inside a differential join MV table. */
+  private[graft] def internalNames(aggs: Seq[AggSpec]): Seq[String] =
+    "_rows" +: aggs.filter(_.fn == "sum").map(a => s"_nn_${a.out}")
+
+  /** Build the storable MV frame for an exact entry: the defining
+    * frame itself, or — when the differential shape is recognized —
+    * the defining aggregate EXTENDED with the fold's internal counters
+    * (`_rows`, per-sum `_nn_*`; the rewrite projects them away). */
+  private def exactMvFrame(spark: SparkSession, df: DataFrame,
+                           joinAgg: Option[JoinAggInfo]): DataFrame =
+    joinAgg match {
+      case None => df
+      case Some(info) =>
+        val extras: Seq[NamedExpression] =
+          Alias(Count(Literal(1)).toAggregateExpression(), "_rows")() +:
+            info.ae.collect {
+              case Alias(ag: AggregateExpression, n)
+                  if ag.aggregateFunction.isInstanceOf[Sum] =>
+                Alias(Count(ag.aggregateFunction.asInstanceOf[Sum].child)
+                  .toAggregateExpression(), s"_nn_$n")()
+            }
+        building.set(true)
+        try org.apache.spark.sql.graft.NativeColumns.ofPlan(spark,
+          Aggregate(info.ge, info.ae ++ extras, info.joinChild))
+        finally building.set(false)
+    }
+
+  private def recognizeSafe(matchPlan: LogicalPlan,
+                            outNames: Seq[String]): Option[JoinAggInfo] =
+    recognizeJoinAgg(matchPlan).filter(info =>
+      internalNames(info.aggs).forall(n => !outNames.contains(n)))
+
   /** Materialize an arbitrary defining query and register it for
     * whole-subtree rewrite. The query must read at least one gvt
     * relation (else freshness has no anchor) and emit distinct output
-    * column names (the MV table's schema). */
+    * column names (the MV table's schema). When the defining shape is
+    * a re-aggregable aggregate over one inner join of two gvt tables,
+    * the view self-upgrades to DIFFERENTIAL maintenance (see
+    * [[JoinAggInfo]]). */
   def createExact(spark: SparkSession, mvRoot: String, sql: String): Unit = {
     val (df, matchPlan) = buildDefPlan(spark, sql)
     val names = df.schema.fieldNames
@@ -212,26 +272,45 @@ object MaterializedView {
     require(versions.nonEmpty,
       "defining query reads no gvt relation — freshness would be " +
         "unanchored; materialize a plain table instead")
+    val joinAgg = recognizeSafe(matchPlan, names.toSeq)
     val spec = ExactSpec(mvRoot, sql, versions)
     building.set(true)
-    try VersionedTable.write(df, mvRoot, operation = "MV_CREATE",
+    try VersionedTable.write(exactMvFrame(spark, df, joinAgg), mvRoot,
+      operation = "MV_CREATE",
       metaFiles = Map("_mv_exact" -> serializeExact(spec)))
     finally building.set(false)
     exactRegistry.put(norm(mvRoot),
-      ExactEntry(spec, matchPlan, df.schema.map(_.dataType)))
+      ExactEntry(spec, matchPlan, df.schema.map(_.dataType), joinAgg))
   }
 
-  /** Re-register a persisted exact view (newest `_mv_exact` wins). */
+  /** Re-register a persisted exact view (newest `_mv_exact` wins). The
+    * defining plan is rebuilt against LIVE versions; if the recorded
+    * versions differ (the base moved while detached), the match plan is
+    * parked unmatchable until a refresh realigns data and plan. */
   def attachExact(spark: SparkSession, mvRoot: String): ExactSpec = {
     val spec = VersionedTable.committedVersions(mvRoot).reverse.iterator
       .flatMap(v => VersionedTable.readMeta(mvRoot, v, "_mv_exact"))
       .toSeq.headOption.map(parseExact(mvRoot, _))
       .getOrElse(throw new IllegalArgumentException(
         s"no _mv_exact metadata at $mvRoot — not an exact materialized view"))
-    val (df, matchPlan) = buildDefPlan(spark, spec.sql)
-    exactRegistry.put(norm(mvRoot),
-      ExactEntry(spec, matchPlan, df.schema.map(_.dataType)))
+    registerExact(spark, spec)
     spec
+  }
+
+  /** Register `spec` with a defining plan built against live versions;
+    * when the live plan no longer corresponds to the versions the MV
+    * DATA represents, the entry keeps an unmatchable placeholder plan —
+    * fail-closed: a stale view degrades to base scans, never serves. */
+  private def registerExact(spark: SparkSession, spec: ExactSpec): Unit = {
+    val (df, matchPlan) = buildDefPlan(spark, spec.sql)
+    val outNames = df.schema.fieldNames.toSeq
+    val aligned = gvtVersionsOf(matchPlan) == spec.baseVersions
+    val mp: LogicalPlan =
+      if (aligned) matchPlan
+      else org.apache.spark.sql.catalyst.plans.logical.LocalRelation(Nil)
+    exactRegistry.put(norm(spec.mvRoot),
+      ExactEntry(spec, mp, df.schema.map(_.dataType),
+        if (aligned) recognizeSafe(matchPlan, outNames) else None))
   }
 
   /** Base roots a view is anchored on (either tier). */
@@ -272,18 +351,231 @@ object MaterializedView {
         .start()
     }
 
+  /** Recognize the differential-maintenance shape in an optimized
+    * defining plan; None = refresh stays a full re-run. */
+  private def recognizeJoinAgg(matchPlan: LogicalPlan): Option[JoinAggInfo] =
+    matchPlan match {
+      case Aggregate(ge, ae, child, _) =>
+        // the subtree below the aggregate: per-row operators only,
+        // exactly one INNER join, exactly two live gvt relations
+        var join: Option[Join] = None
+        var rels: Seq[LogicalRelation] = Nil
+        var clean = true
+        child.foreach {
+          case j: Join =>
+            if (join.isDefined || j.joinType != Inner || j.condition.isEmpty)
+              clean = false
+            else join = Some(j)
+          case lr: LogicalRelation => rels :+= lr
+          case _: Project | _: Filter | _: SubqueryAlias => ()
+          case _ => clean = false
+        }
+        if (!clean || join.isEmpty || rels.size != 2) return None
+        val roots = rels.map(lr => gvtVersionsOf(lr).keys.toSeq match {
+          case Seq(r) => r
+          case _ => return None
+        })
+        // grouping keys must be bare attrs; every output either echoes
+        // a grouping key or is a re-aggregable aggregate alias
+        val geAttrs = ge.map {
+          case a: AttributeReference => a
+          case _ => return None
+        }
+        val groups = scala.collection.mutable.ArrayBuffer.empty[String]
+        val aggs = scala.collection.mutable.ArrayBuffer.empty[AggSpec]
+        // the fold (and the MV table it maintains) lays out groups
+        // first, then aggregates — require the defining output in that
+        // order so create/refresh write byte-compatible schemas
+        ae.foreach {
+          case a: AttributeReference if geAttrs.exists(_.exprId == a.exprId) =>
+            if (aggs.nonEmpty) return None
+            groups += a.name
+          case al @ Alias(a: AttributeReference, _)
+              if geAttrs.exists(_.exprId == a.exprId) =>
+            if (aggs.nonEmpty) return None
+            groups += al.name
+          case al @ Alias(ag: AggregateExpression, _)
+              if ag.filter.isEmpty && !ag.isDistinct =>
+            ag.aggregateFunction match {
+              case Sum(_: AttributeReference, _) =>
+                aggs += AggSpec("sum", "_join", al.name)
+              case Count(Seq(l: Literal)) if l.value != null =>
+                aggs += AggSpec("count", "*", al.name)
+              case Count(Seq(_: AttributeReference)) =>
+                aggs += AggSpec("count", "_join", al.name)
+              case Min(_: AttributeReference) =>
+                aggs += AggSpec("min", "_join", al.name)
+              case Max(_: AttributeReference) =>
+                aggs += AggSpec("max", "_join", al.name)
+              case _ => return None
+            }
+          case _ => return None
+        }
+        if (groups.isEmpty || aggs.isEmpty) return None
+        Some(JoinAggInfo(groups.toSeq, aggs.toSeq, ge, ae, child,
+          rels.head, roots.head, rels(1), roots(1)))
+      case _ => None
+    }
+
+  /** Append-only delta rows of `root` across `(fromV, cur]`, aligned
+    * onto `rel.output` (same names, SAME exprIds) so it substitutes for
+    * the relation inside a cached plan. None when the root is already
+    * at `fromV`. */
+  private def alignedDelta(spark: SparkSession, root: String, fromV: Long,
+                           cur: Long, rel: LogicalRelation)
+      : Option[LogicalPlan] = {
+    if (cur == fromV) return None
+    val chain = VersionedTable.committedVersions(root)
+    val delta = chain.zip(chain.drop(1))
+      .filter { case (_, b) => b > fromV && b <= cur }
+      .map { case (a, b) => VersionedTable.changes(spark, root, a, b)
+        .drop("_change_type") }
+      .reduce(_ unionByName _)
+    Some(alignTo(delta.queryExecution.analyzed, rel))
+  }
+
+  /** Alias `plan`'s output (matched by name) onto `rel.output`'s names
+    * AND exprIds, making it a drop-in substitute for the relation. */
+  private def alignTo(plan: LogicalPlan, rel: LogicalRelation): LogicalPlan = {
+    val byName = plan.output.map(a => a.name -> a).toMap
+    Project(rel.output.map(o =>
+      Alias(byName(o.name), o.name)(exprId = o.exprId)), plan)
+  }
+
+  /** The differential delta-aggregate plan: the defining aggregate's
+    * own expressions over ΔA⋈B_new ∪ A_old⋈ΔB, with aggregate outputs
+    * renamed to the fold's `_d_` protocol plus `_d_rows` / per-sum
+    * non-null counters. */
+  private def diffDeltaAgg(spark: SparkSession, info: JoinAggInfo,
+                           dLeft: Option[LogicalPlan], curR: Long,
+                           dRight: Option[LogicalPlan]): DataFrame = {
+    def substitute(l: Option[LogicalPlan], r: Option[LogicalPlan])
+        : LogicalPlan =
+      info.joinChild.transformUp {
+        case lr: LogicalRelation if lr eq info.leftRel =>
+          l.getOrElse(lr)
+        case lr: LogicalRelation if lr eq info.rightRel =>
+          r.getOrElse(lr)
+      }
+    val bNew = alignTo(VersionedTable
+      .readVersion(spark, info.rightRoot, curR).queryExecution.analyzed,
+      info.rightRel)
+    val variants =
+      dLeft.map(d => substitute(Some(d), Some(bNew))).toSeq ++
+        dRight.map(d => substitute(None, Some(d))).toSeq
+    val unioned =
+      if (variants.size == 1) variants.head else Union(variants)
+    val iter = info.aggs.iterator
+    val renamed: Seq[NamedExpression] = info.ae.map {
+      case al @ Alias(ag: AggregateExpression, _)
+          if iter.hasNext => // aggs were collected in ae order
+        Alias(ag, s"_d_${iter.next().out}")()
+      case other => other // group echo keeps its name
+    }
+    val extras: Seq[NamedExpression] =
+      Alias(Count(Literal(1)).toAggregateExpression(), "_d_rows")() +:
+        info.ae.collect {
+          case Alias(ag: AggregateExpression, n)
+              if ag.aggregateFunction.isInstanceOf[Sum] =>
+            val in = ag.aggregateFunction.asInstanceOf[Sum].child
+            Alias(Count(in).toAggregateExpression(), s"_d_nn_$n")()
+        }
+    org.apache.spark.sql.graft.NativeColumns.ofPlan(spark,
+      Aggregate(info.ge, renamed ++ extras, unioned))
+  }
+
+  /** The cached plan with every gvt relation re-pointed at its LIVE
+    * snapshot, output attrs (names, exprIds) preserved — refresh works
+    * from the plan itself, so a defining SQL bound to snapshot-pinning
+    * temp views cannot go stale, and plan/data/versions are consistent
+    * by construction (no re-parse race). A relation whose live schema
+    * diverged keeps its old node (the aligned-versions check downstream
+    * then parks the view fail-closed). */
+  private def reresolve(spark: SparkSession, plan: LogicalPlan): LogicalPlan =
+    plan.transformUp {
+      case lr: LogicalRelation =>
+        gvtVersionsOf(lr).keys.toSeq match {
+          case Seq(root) =>
+            // read through the gvt SOURCE (readLatest's internal reader
+            // plans a plain parquet relation — the fresh node must keep
+            // its GvtFileIndex/GvtDvRelation identity for matching)
+            spark.read.format("gvt").load(root)
+              .queryExecution.analyzed match {
+              case f: LogicalRelation if f.schema == lr.schema =>
+                lr.copy(relation = f.relation)
+              case _ => lr
+            }
+          case _ => lr
+        }
+    }
+
   private def refreshExact(spark: SparkSession, entry: ExactEntry): Unit = {
     val live = entry.spec.baseVersions.keys.map(r =>
       r -> VersionedTable.latestVersion(r).getOrElse(-1L)).toMap
     if (live == entry.spec.baseVersions) return // fresh: no commit
-    val (df, matchPlan) = buildDefPlan(spark, entry.spec.sql)
-    val spec = entry.spec.copy(baseVersions = gvtVersionsOf(matchPlan))
-    building.set(true)
-    try VersionedTable.write(df, spec.mvRoot, operation = "MV_REBUILD",
-      metaFiles = Map("_mv_exact" -> serializeExact(spec)))
-    finally building.set(false)
-    exactRegistry.put(norm(spec.mvRoot),
-      ExactEntry(spec, matchPlan, df.schema.map(_.dataType)))
+
+    val mpLive = reresolve(spark, entry.matchPlan)
+    val liveV = gvtVersionsOf(mpLive)
+    if (liveV.keySet != entry.spec.baseVersions.keySet) {
+      // a parked (unmatchable) entry carries no resolvable plan — fall
+      // back to re-parsing the defining SQL (needs its views in scope)
+      val (df, matchPlan) = buildDefPlan(spark, entry.spec.sql)
+      val names = df.schema.fieldNames.toSeq
+      val joinAgg = recognizeSafe(matchPlan, names)
+      val spec = entry.spec.copy(baseVersions = gvtVersionsOf(matchPlan))
+      building.set(true)
+      try VersionedTable.write(exactMvFrame(spark, df, joinAgg),
+        spec.mvRoot, operation = "MV_REBUILD",
+        metaFiles = Map("_mv_exact" -> serializeExact(spec)))
+      finally building.set(false)
+      exactRegistry.put(norm(spec.mvRoot),
+        ExactEntry(spec, matchPlan, df.schema.map(_.dataType), joinAgg))
+      return
+    }
+    val outNames = entry.matchPlan.output.map(_.name)
+    val next = entry.spec.copy(baseVersions = liveV)
+
+    def insertOnlyRange(root: String): Boolean = {
+      val from = entry.spec.baseVersions(root); val to = liveV(root)
+      VersionedTable.committedVersions(root)
+        .filter(v => v > from && v <= to)
+        .forall(v => insertOnly(VersionedTable
+          .readMeta(root, v, "_operation").map(_.trim).getOrElse("WRITE")))
+    }
+
+    entry.joinAgg match {
+      case Some(info) if liveV.keySet == entry.spec.baseVersions.keySet &&
+          insertOnlyRange(info.leftRoot) && insertOnlyRange(info.rightRoot) =>
+        // differential: fold agg(ΔA⋈B_new ∪ A_old⋈ΔB) into the MV —
+        // A_old⋈B_old (the dominant term) is never recomputed
+        val dL = alignedDelta(spark, info.leftRoot,
+          entry.spec.baseVersions(info.leftRoot), liveV(info.leftRoot),
+          info.leftRel)
+        val dR = alignedDelta(spark, info.rightRoot,
+          entry.spec.baseVersions(info.rightRoot), liveV(info.rightRoot),
+          info.rightRel)
+        building.set(true)
+        try {
+          val dAgg = diffDeltaAgg(spark, info, dL,
+            liveV(info.rightRoot), dR)
+          foldIntoMv(spark, entry.spec.mvRoot, info.groups, info.aggs,
+            dAgg, "_mv_exact" -> serializeExact(next))
+        } finally building.set(false)
+        exactRegistry.put(norm(next.mvRoot), ExactEntry(next, mpLive,
+          entry.outTypes, recognizeSafe(mpLive, outNames)))
+      case _ =>
+        // re-run the defining plan at live versions: plan, data, and
+        // recorded versions pin the SAME snapshots by construction
+        val joinAgg = recognizeSafe(mpLive, outNames)
+        val df = org.apache.spark.sql.graft.NativeColumns.ofPlan(spark, mpLive)
+        building.set(true)
+        try VersionedTable.write(exactMvFrame(spark, df, joinAgg),
+          next.mvRoot, operation = "MV_REBUILD",
+          metaFiles = Map("_mv_exact" -> serializeExact(next)))
+        finally building.set(false)
+        exactRegistry.put(norm(next.mvRoot),
+          ExactEntry(next, mpLive, entry.outTypes, joinAgg))
+    }
   }
 
   /** The internal row-count column plus per-sum non-null counters. */
@@ -458,15 +750,25 @@ object MaterializedView {
           .as(s"_d_nn_${a.out}")))
     val dAgg = delta.groupBy(spec.groups.map(col): _*)
       .agg(dCols.head, dCols.tail: _*)
+    foldIntoMv(spark, spec.mvRoot, spec.groups, spec.aggs, dAgg,
+      "_mv" -> next.serialize)
+  }
 
-    val old = VersionedTable.readLatest(spark, spec.mvRoot)
-    val joinCond = spec.groups.map(g => old(g) <=> dAgg(g)).reduce(_ && _)
+  /** Fold a `_d_`-prefixed per-group delta aggregate into the MV with
+    * one MV-sized null-safe full-outer merge; groups whose row count
+    * hits zero drop out. Shared by the single-table change-feed path
+    * and the differential join path. */
+  private def foldIntoMv(spark: SparkSession, mvRoot: String,
+                         groups: Seq[String], aggs: Seq[AggSpec],
+                         dAgg: DataFrame, meta: (String, String)): Unit = {
+    val old = VersionedTable.readLatest(spark, mvRoot)
+    val joinCond = groups.map(g => old(g) <=> dAgg(g)).reduce(_ && _)
     val joined = old.join(dAgg, joinCond, "full_outer")
 
     def both(o: Column, d: Column): Column = coalesce(o, lit(0L)) + coalesce(d, lit(0L))
-    val groupCols = spec.groups.map(g => coalesce(old(g), dAgg(g)).as(g))
+    val groupCols = groups.map(g => coalesce(old(g), dAgg(g)).as(g))
     val newRows = both(old("_rows"), dAgg("_d_rows")).as("_rows")
-    val aggCols: Seq[Column] = spec.aggs.map { a =>
+    val aggCols: Seq[Column] = aggs.map { a =>
       val o = old(a.out); val d = dAgg(s"_d_${a.out}")
       a.fn match {
         case "count" => both(o, d).as(a.out)
@@ -480,12 +782,12 @@ object MaterializedView {
         case "max" => greatest(o, d).as(a.out)
       }
     }
-    val nnCols = spec.aggs.filter(_.fn == "sum").map(a =>
+    val nnCols = aggs.filter(_.fn == "sum").map(a =>
       both(old(s"_nn_${a.out}"), dAgg(s"_d_nn_${a.out}")).as(s"_nn_${a.out}"))
     val folded = joined
       .select(groupCols ++ aggCols ++ (newRows +: nnCols): _*)
       .filter(col("_rows") > 0)
-    VersionedTable.write(folded, spec.mvRoot, operation = "MV_REFRESH",
-      metaFiles = Map("_mv" -> next.serialize))
+    VersionedTable.write(folded, mvRoot, operation = "MV_REFRESH",
+      metaFiles = Map(meta))
   }
 }

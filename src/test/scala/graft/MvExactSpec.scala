@@ -211,6 +211,83 @@ class MvExactSpec extends AnyFunSuite {
     } finally a.unpersist()
   }
 
+  test("differential join refresh: append-only deltas fold without recomputing A⋈B") {
+    val oRoot = tmp("mx_o10"); val cRoot = tmp("mx_c10"); val mv = tmp("mx_mv10")
+    mkBases(oRoot, cRoot)
+    GraftSession.withExtensions(spark) { sess =>
+      withViews(sess, oRoot, cRoot, "mx_orders10", "mx_cust10") {
+        val defSql =
+          """SELECT segment, status, sum(cents) AS sum_cents, count(*) AS n
+            |FROM mx_orders10 JOIN mx_cust10 ON ck = ck2
+            |GROUP BY segment, status""".stripMargin
+        MaterializedView.createExact(sess, mv, defSql)
+        // appends on BOTH sides: new orders for existing customers, a
+        // new customer segment, and orders landing on the new customer
+        VersionedTable.append(sess.range(10).select(
+          (col("id") + 700000).as("k"), (col("id") % 5).as("ck"),
+          lit("F").as("status"), lit(100L).as("cents")), oRoot)
+        VersionedTable.append(sess.range(1).select(
+          lit(777777L).as("ck2"), lit("NEWSEG").as("segment")), cRoot)
+        VersionedTable.append(sess.range(3).select(
+          (col("id") + 710000).as("k"), lit(777777L).as("ck"),
+          lit("O").as("status"), lit(9L).as("cents")), oRoot)
+        MaterializedView.refresh(sess, mv)
+        // maintenance was the differential fold, not a re-run
+        val ops = VersionedTable.history(sess, mv)
+          .select("operation").collect().map(_.getString(0)).toSet
+        assert(ops.contains("MV_REFRESH") && !ops.contains("MV_REBUILD"), ops)
+        // correctness: equals a from-scratch join-aggregate
+        val exp = sess.read.format("gvt").load(oRoot)
+          .join(sess.read.format("gvt").load(cRoot), col("ck") === col("ck2"))
+          .groupBy("segment", "status")
+          .agg(sum("cents").as("s"), count(lit(1)).as("c"))
+          .collect().map(r => (r.getString(0), r.getString(1)) ->
+            (r.getLong(2), r.getLong(3))).toMap
+        val got = VersionedTable.readLatest(sess, mv)
+          .select("segment", "status", "sum_cents", "n")
+          .collect().map(r => (r.getString(0), r.getString(1)) ->
+            (r.getLong(2), r.getLong(3))).toMap
+        assert(got == exp)
+        assert(got.contains(("NEWSEG", "O")), "cross-delta rows must appear")
+        // and the refreshed view serves the live query again
+        sess.read.format("gvt").load(oRoot)
+          .createOrReplaceTempView("mx_orders10")
+        sess.read.format("gvt").load(cRoot)
+          .createOrReplaceTempView("mx_cust10")
+        assert(usesMv(sess.sql(defSql), mv))
+        MaterializedView.drop(mv)
+      }
+    }
+  }
+
+  test("a DELETE on a join-view base forces the rebuild path — and is right") {
+    val oRoot = tmp("mx_o11"); val cRoot = tmp("mx_c11"); val mv = tmp("mx_mv11")
+    mkBases(oRoot, cRoot)
+    GraftSession.withExtensions(spark) { sess =>
+      withViews(sess, oRoot, cRoot, "mx_orders11", "mx_cust11") {
+        val defSql =
+          """SELECT segment, sum(cents) AS sum_cents
+            |FROM mx_orders11 JOIN mx_cust11 ON ck = ck2
+            |GROUP BY segment""".stripMargin
+        MaterializedView.createExact(sess, mv, defSql)
+        VersionedTable.deleteWhereVector(sess, oRoot, col("k") % 5 === 0)
+        MaterializedView.refresh(sess, mv)
+        val ops = VersionedTable.history(sess, mv)
+          .select("operation").collect().map(_.getString(0)).toSet
+        assert(ops.contains("MV_REBUILD"), ops)
+        val exp = sess.read.format("gvt").load(oRoot)
+          .join(sess.read.format("gvt").load(cRoot), col("ck") === col("ck2"))
+          .groupBy("segment").agg(sum("cents").as("s"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val got = VersionedTable.readLatest(sess, mv)
+          .select("segment", "sum_cents")
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(got == exp)
+        MaterializedView.drop(mv)
+      }
+    }
+  }
+
   test("a defining query reading no gvt relation refuses (freshness unanchored)") {
     GraftSession.withExtensions(spark) { sess =>
       sess.read.parquet(s"$dir/orders.parquet")
