@@ -49,15 +49,33 @@ object Verify {
         // The driver's compare hashes rows IN FILE ORDER, so a query's
         // top-level orderBy must survive into the single dumped file.
         // coalesce(1) preserves a global sort in the common plan, but
-        // not under every optimizer/AQE interleaving (observed once:
-        // a correct row SET dumped unsorted under the parallel dump) —
-        // re-asserting the query's own sort inside the one coalesced
-        // partition makes file order unconditional, at the cost of one
-        // single-partition sort of an already-small result.
+        // not under every optimizer/AQE interleaving (observed twice:
+        // a correct row SET dumped unsorted under the parallel dump,
+        // despite a re-asserted sortWithinPartitions — the optimizer
+        // can prove that sort redundant against the child's ordering
+        // claim and elide it, and the claim does not always hold). The
+        // identity mapPartitions is an ENCODER BARRIER: it erases the
+        // child's ordering knowledge, so the re-asserted sort can never
+        // be eliminated and always executes inside the one coalesced
+        // partition — unconditional file order at the cost of one
+        // row-encode round trip of an already-small result.
         val one = df.coalesce(1)
         val out = df.queryExecution.analyzed match {
           case s: org.apache.spark.sql.catalyst.plans.logical.Sort if s.global =>
-            one.sortWithinPartitions(s.order.map(
+            // the barrier renews exprIds, so the sort must re-resolve by
+            // NAME — possible only when it references output columns
+            // alone (every registry query today); otherwise keep the
+            // in-lineage sort (best effort, the pre-barrier behavior)
+            val names = df.schema.fieldNames.toSet
+            if (s.order.forall(_.references.forall(a => names.contains(a.name))))
+              one.mapPartitions(it => it)(
+                org.apache.spark.sql.Encoders.row(df.schema))
+                .sortWithinPartitions(s.order.map(_.transform {
+                  case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+                    org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+                      .quoted(a.name)
+                }).map(org.apache.spark.sql.graft.NativeColumns.ofExpr): _*)
+            else one.sortWithinPartitions(s.order.map(
               org.apache.spark.sql.graft.NativeColumns.ofExpr): _*)
           case _ => one
         }

@@ -332,6 +332,26 @@ class MvRewriteSpec extends AnyFunSuite {
     } finally qs.foreach(_.stop())
   }
 
+  test("the MV is itself a gvt table: its keyed change feed streams refresh deltas") {
+    val base = tmp("mv_base15"); val mv = tmp("mv_view15")
+    mkBase(base)
+    MaterializedView.create(spark, base, mv, Seq("o_orderstatus"),
+      Seq(AggSpec("sum", "cents", "sum_cents"),
+        AggSpec("count", "*", "n_orders")))
+    VersionedTable.append(spark.range(3).select(
+      (col("id") + 4000000).as("o_orderkey"), lit("W").as("o_orderstatus"),
+      lit("3-MEDIUM").as("o_orderpriority"), lit(200L).as("cents")), base)
+    MaterializedView.refresh(spark, mv)
+    // keyed diff across the refresh hop: only the touched group changes
+    val v = VersionedTable.latestVersion(mv).get
+    val feed = VersionedTable.changes(spark, mv, v - 1, v,
+      keys = Seq("o_orderstatus"))
+    val rows = feed.select("o_orderstatus", "_change_type")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSet == Set(("W", "insert")),
+      s"refresh delta should be exactly the new group: ${rows.mkString(",")}")
+  }
+
   test("distinct / filtered aggregates and non-group filters do NOT rewrite") {
     val base = tmp("mv_base12"); val mv = tmp("mv_view12")
     mkBase(base)
