@@ -134,23 +134,26 @@ object MaterializedView {
                               joinAgg: Option[JoinAggInfo] = None)
 
   /** The shape the differential refresh serves: a re-aggregable
-    * aggregate over per-row operators (project/filter) around ONE inner
-    * equi-join of exactly two live gvt relations. For that shape
+    * aggregate over per-row operators (project/filter) around INNER
+    * joins of N live gvt relation references. The telescoping product
+    * rule gives, positionally over the references R₁…Rₙ,
     *
-    *   Δ(f(A) ⋈ g(B)) = f(ΔA) ⋈ g(B_new)  ∪  f(A_old) ⋈ g(ΔB)
+    *   Δ(R₁⋈…⋈Rₙ) = ⋃ᵢ R₁_old ⋈ … ⋈ ΔRᵢ ⋈ Rᵢ₊₁_new ⋈ … ⋈ Rₙ_new
     *
-    * because per-row operators distribute over union — so the refresh
-    * joins only the DELTAS against one full side each, never
-    * A_old ⋈ B_old (the 100 TB-dominant term), and folds the delta
-    * aggregate into the MV additively. Insert-only ranges only (a
-    * retraction inside a join multiplies; Delta's MVs recompute on the
-    * same trigger). */
+    * (per-row operators distribute over union, so any project/filter
+    * dressing is preserved) — each term joins one DELTA against the
+    * other sides, never all-old⋈all-old (the 100 TB-dominant term),
+    * and the delta aggregate folds into the MV additively. Insert-only
+    * ranges only (a retraction inside a join multiplies; Delta's MVs
+    * recompute on the same trigger). Self-joins are sound: the rule is
+    * positional over REFERENCES, and the analyzer deduplicates
+    * relation instances per reference. */
   final case class JoinAggInfo(groups: Seq[String], aggs: Seq[AggSpec],
                                ge: Seq[Expression],
                                ae: Seq[NamedExpression],
                                joinChild: LogicalPlan,
-                               leftRel: LogicalRelation, leftRoot: String,
-                               rightRel: LogicalRelation, rightRoot: String)
+                               rels: Seq[LogicalRelation],
+                               roots: Seq[String])
 
   private val exactRegistry = new ConcurrentHashMap[String, ExactEntry]()
 
@@ -356,21 +359,22 @@ object MaterializedView {
   private def recognizeJoinAgg(matchPlan: LogicalPlan): Option[JoinAggInfo] =
     matchPlan match {
       case Aggregate(ge, ae, child, _) =>
-        // the subtree below the aggregate: per-row operators only,
-        // exactly one INNER join, exactly two live gvt relations
-        var join: Option[Join] = None
+        // the subtree below the aggregate: per-row operators and inner
+        // joins only, at least two gvt relation references (pre-order
+        // collection fixes the positional Δ-term order)
+        var joins = 0
         var rels: Seq[LogicalRelation] = Nil
         var clean = true
         child.foreach {
           case j: Join =>
-            if (join.isDefined || j.joinType != Inner || j.condition.isEmpty)
-              clean = false
-            else join = Some(j)
+            if (j.joinType != Inner || j.condition.isEmpty) clean = false
+            else joins += 1
           case lr: LogicalRelation => rels :+= lr
           case _: Project | _: Filter | _: SubqueryAlias => ()
           case _ => clean = false
         }
-        if (!clean || join.isEmpty || rels.size != 2) return None
+        if (!clean || joins == 0 || rels.size < 2 || joins != rels.size - 1)
+          return None
         val roots = rels.map(lr => gvtVersionsOf(lr).keys.toSeq match {
           case Seq(r) => r
           case _ => return None
@@ -413,7 +417,7 @@ object MaterializedView {
         }
         if (groups.isEmpty || aggs.isEmpty) return None
         Some(JoinAggInfo(groups.toSeq, aggs.toSeq, ge, ae, child,
-          rels.head, roots.head, rels(1), roots(1)))
+          rels, roots))
       case _ => None
     }
 
@@ -443,26 +447,36 @@ object MaterializedView {
   }
 
   /** The differential delta-aggregate plan: the defining aggregate's
-    * own expressions over ΔA⋈B_new ∪ A_old⋈ΔB, with aggregate outputs
+    * own expressions over the telescoping union
+    * ⋃ᵢ R₁_old⋈…⋈ΔRᵢ⋈Rᵢ₊₁_new⋈…⋈Rₙ_new, with aggregate outputs
     * renamed to the fold's `_d_` protocol plus `_d_rows` / per-sum
-    * non-null counters. */
+    * non-null counters. Substitution is positional over the relation
+    * REFERENCES (identity map), so repeated roots / self-joins stay
+    * sound. */
   private def diffDeltaAgg(spark: SparkSession, info: JoinAggInfo,
-                           dLeft: Option[LogicalPlan], curR: Long,
-                           dRight: Option[LogicalPlan]): DataFrame = {
-    def substitute(l: Option[LogicalPlan], r: Option[LogicalPlan])
-        : LogicalPlan =
-      info.joinChild.transformUp {
-        case lr: LogicalRelation if lr eq info.leftRel =>
-          l.getOrElse(lr)
-        case lr: LogicalRelation if lr eq info.rightRel =>
-          r.getOrElse(lr)
+                           oldV: Map[String, Long],
+                           newV: Map[String, Long]): DataFrame = {
+    val newPlanByRoot: Map[String, LogicalPlan] =
+      info.roots.distinct.filter(r => oldV(r) != newV(r)).map { r =>
+        r -> VersionedTable.readVersion(spark, r, newV(r))
+          .queryExecution.analyzed
+      }.toMap
+    val deltaByIdx: Map[Int, LogicalPlan] = info.rels.indices.flatMap { i =>
+      val r = info.roots(i)
+      alignedDelta(spark, r, oldV(r), newV(r), info.rels(i)).map(i -> _)
+    }.toMap
+    val variants: Seq[LogicalPlan] = deltaByIdx.keys.toSeq.sorted.map { i =>
+      val mapping = new java.util.IdentityHashMap[LogicalRelation, LogicalPlan]()
+      info.rels.zipWithIndex.foreach { case (rel, j) =>
+        if (j == i) mapping.put(rel, deltaByIdx(i))
+        else if (j > i && oldV(info.roots(j)) != newV(info.roots(j)))
+          mapping.put(rel, alignTo(newPlanByRoot(info.roots(j)), rel))
+        // j < i (and unadvanced j > i): keep the OLD reference as-is
       }
-    val bNew = alignTo(VersionedTable
-      .readVersion(spark, info.rightRoot, curR).queryExecution.analyzed,
-      info.rightRel)
-    val variants =
-      dLeft.map(d => substitute(Some(d), Some(bNew))).toSeq ++
-        dRight.map(d => substitute(None, Some(d))).toSeq
+      info.joinChild.transformUp {
+        case lr: LogicalRelation if mapping.containsKey(lr) => mapping.get(lr)
+      }
+    }
     val unioned =
       if (variants.size == 1) variants.head else Union(variants)
     val iter = info.aggs.iterator
@@ -545,19 +559,13 @@ object MaterializedView {
 
     entry.joinAgg match {
       case Some(info) if liveV.keySet == entry.spec.baseVersions.keySet &&
-          insertOnlyRange(info.leftRoot) && insertOnlyRange(info.rightRoot) =>
-        // differential: fold agg(ΔA⋈B_new ∪ A_old⋈ΔB) into the MV —
-        // A_old⋈B_old (the dominant term) is never recomputed
-        val dL = alignedDelta(spark, info.leftRoot,
-          entry.spec.baseVersions(info.leftRoot), liveV(info.leftRoot),
-          info.leftRel)
-        val dR = alignedDelta(spark, info.rightRoot,
-          entry.spec.baseVersions(info.rightRoot), liveV(info.rightRoot),
-          info.rightRel)
+          info.roots.distinct.forall(insertOnlyRange) =>
+        // differential: fold the telescoping delta-join union into the
+        // MV — all-old ⋈ all-old (the dominant term) never recomputes
         building.set(true)
         try {
-          val dAgg = diffDeltaAgg(spark, info, dL,
-            liveV(info.rightRoot), dR)
+          val dAgg = diffDeltaAgg(spark, info,
+            entry.spec.baseVersions, liveV)
           foldIntoMv(spark, entry.spec.mvRoot, info.groups, info.aggs,
             dAgg, "_mv_exact" -> serializeExact(next))
         } finally building.set(false)

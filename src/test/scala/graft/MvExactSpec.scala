@@ -260,6 +260,60 @@ class MvExactSpec extends AnyFunSuite {
     }
   }
 
+  test("3-way differential refresh: telescoping delta terms over fact and two dims") {
+    val oRoot = tmp("mx_o12"); val cRoot = tmp("mx_c12")
+    val nRoot = tmp("mx_n12"); val mv = tmp("mx_mv12")
+    mkBases(oRoot, cRoot)
+    // second dim: a "region" derived from the customer key space
+    VersionedTable.write(spark.range(8).select(col("id").as("rk"),
+      concat(lit("R"), col("id")).as("rname")), nRoot)
+    GraftSession.withExtensions(spark) { sess =>
+      withViews(sess, oRoot, cRoot, "mx_orders12", "mx_cust12") {
+        sess.read.format("gvt").load(nRoot)
+          .createOrReplaceTempView("mx_reg12")
+        val defSql =
+          """SELECT rname, segment, sum(cents) AS sum_cents, count(*) AS n
+            |FROM mx_orders12 JOIN mx_cust12 ON ck = ck2
+            |  JOIN mx_reg12 ON ck2 % 8 = rk
+            |GROUP BY rname, segment""".stripMargin
+        MaterializedView.createExact(sess, mv, defSql)
+        assert(MaterializedView.exactViews
+          .exists(e => e.spec.mvRoot == mv && e.joinAgg.exists(_.rels.size == 3)),
+          "3-way shape must recognize for differential maintenance")
+        // deltas on ALL THREE bases
+        VersionedTable.append(sess.range(6).select(
+          (col("id") + 800000).as("k"), (col("id") % 3).as("ck"),
+          lit("F").as("status"), lit(55L).as("cents")), oRoot)
+        VersionedTable.append(sess.range(1).select(lit(888888L).as("ck2"),
+          lit("SEG12").as("segment")), cRoot)
+        VersionedTable.append(sess.range(2).select((col("id") + 8).as("rk"),
+          concat(lit("R"), col("id") + 8).as("rname")), nRoot)
+        VersionedTable.append(sess.range(2).select(
+          (col("id") + 810000).as("k"), lit(888888L).as("ck"),
+          lit("O").as("status"), lit(7L).as("cents")), oRoot)
+        MaterializedView.refresh(sess, mv)
+        val ops = VersionedTable.history(sess, mv)
+          .select("operation").collect().map(_.getString(0)).toSet
+        assert(ops.contains("MV_REFRESH") && !ops.contains("MV_REBUILD"), ops)
+        val direct = sess.read.format("gvt").load(oRoot)
+          .join(sess.read.format("gvt").load(cRoot), col("ck") === col("ck2"))
+          .join(sess.read.format("gvt").load(nRoot), col("ck2") % 8 === col("rk"))
+          .groupBy("rname", "segment")
+          .agg(sum("cents").as("s"), count(lit(1)).as("c"))
+          .collect().map(r => (r.getString(0), r.getString(1)) ->
+            (r.getLong(2), r.getLong(3))).toMap
+        val got = VersionedTable.readLatest(sess, mv)
+          .select("rname", "segment", "sum_cents", "n")
+          .collect().map(r => (r.getString(0), r.getString(1)) ->
+            (r.getLong(2), r.getLong(3))).toMap
+        assert(got == direct)
+        // 888888 % 8 = 0 → the new customer's orders land in R0/SEG12
+        assert(got.contains(("R0", "SEG12")), got.keys.toSeq.sorted.mkString(","))
+        MaterializedView.drop(mv)
+      }
+    }
+  }
+
   test("a DELETE on a join-view base forces the rebuild path — and is right") {
     val oRoot = tmp("mx_o11"); val cRoot = tmp("mx_c11"); val mv = tmp("mx_mv11")
     mkBases(oRoot, cRoot)
