@@ -94,6 +94,45 @@ object StressRun {
         .groupBy("status").agg(count(lit(1)), sum("cents")).collect().length
     }
     require(agg1 == agg2, s"status groups changed: $agg1 vs $agg2")
+    // materialized-view maintenance at scale: creation pays the base
+    // aggregate ONCE; each refresh must then track the DELTA, not the
+    // base — the ratio between mv_refresh at ×1 and ×N is the claim
+    // under test (≈1 expected; ≈N would mean the fold re-reads the base)
+    import graft.sources.MaterializedView
+    import graft.sources.MaterializedView.AggSpec
+    val mvRoot = s"$out/mv"
+    stage("mv_create") {
+      MaterializedView.create(spark, root, mvRoot, Seq("status"),
+        Seq(AggSpec("sum", "cents", "sum_cents"), AggSpec("count", "*", "n")))
+    }
+    val delta1 = o.filter(col("k") % 991 === 0).limit(10000).localCheckpoint()
+    stage("mv_refresh_incremental") { // fixed ~10k-row delta at ANY scale
+      VersionedTable.append(delta1, root, statsCols = Seq("k"))
+      MaterializedView.refresh(spark, mvRoot)
+    }
+    // differential JOIN view: fact(root) ⋈ fixed dim, expression join
+    // key; refresh after a fixed-size fact delta must also stay flat
+    val cRoot = s"$out/dim"; val mvjRoot = s"$out/mvj"
+    VersionedTable.write(spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey").as("ck2"), col("c_mktsegment").as("segment")),
+      cRoot)
+    spark.read.format("gvt").load(root).createOrReplaceTempView("stress_o")
+    spark.read.format("gvt").load(cRoot).createOrReplaceTempView("stress_c")
+    stage("mv_join_create") {
+      MaterializedView.createExact(spark, mvjRoot,
+        "SELECT segment, sum(cents) AS s, count(*) AS n " +
+          "FROM stress_o JOIN stress_c ON k % 15000 = ck2 GROUP BY segment")
+    }
+    val delta2 = o.filter(col("k") % 993 === 0).limit(10000)
+      .withColumn("k", col("k") + lit(4000000000L)).localCheckpoint()
+    stage("mv_join_refresh_diff") {
+      VersionedTable.append(delta2, root, statsCols = Seq("k"))
+      MaterializedView.refresh(spark, mvjRoot)
+    }
+    require(MaterializedView.exactViews.exists(e =>
+      e.spec.mvRoot == mvjRoot && e.joinAgg.isDefined),
+      "join view must carry the differential shape")
+    MaterializedView.drop(mvRoot); MaterializedView.drop(mvjRoot)
     // incremental dedup: one batch against a fresh persisted index
     val docs = (0 until scale).map { r =>
       spark.read.parquet(s"$sfDir/documents.parquet")
