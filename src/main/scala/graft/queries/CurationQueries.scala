@@ -317,6 +317,61 @@ object CurationQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // In-engine classifier TRAINING: a decision stump (the weak learner
+    // real boosted quality classifiers stack) over per-mille
+    // character-statistic features (space rate, 'e' rate,
+    // function-word 'the' rate — the signals lang-id/quality
+    // heuristics use). The optimal (feature, threshold) is found by
+    // the classic prefix-sum sweep, HERE fully declarative: unpivot to
+    // (feature, value, y), count ±labels per distinct value, window
+    // prefix-sums ordered by value, error(t) = positives below t +
+    // negatives at/above t, argmin with a total deterministic
+    // tie-break. ONE shuffle to the per-(feature,value) grain and a
+    // window over the (tiny) distinct-value domain — at 100 TB the
+    // sweep cost is the distinct-value count, not the corpus. All
+    // integer arithmetic, so DuckDB replays the training bit-exactly.
+    // The planted separable signal (label = x3 ≥ 13) must come back as
+    // EXACTLY (x3, 13, 0 errors) — the trainer provably finds it.
+    "q_train_stump" -> ((s, dir) => {
+      val len = length(col("text")).cast("long")
+      def rate(stripped: Column) =
+        floor(lit(1000L) * (len - length(stripped).cast("long")) / len)
+          .cast("long")
+      val f = t(s, dir, "documents")
+        .filter(length(col("text")) > 0)
+        .select(
+          rate(regexp_replace(col("text"), " ", "")).as("x1"),
+          rate(regexp_replace(col("text"), "[eE]", "")).as("x2"),
+          rate(regexp_replace(col("text"), "the", "")).as("x3"))
+        .withColumn("y", when(col("x3") >= 13, 1L).otherwise(-1L))
+      val long = f.selectExpr("y",
+        "stack(3, 'x1', x1, 'x2', x2, 'x3', x3) AS (feature, value)")
+      val perValue = long.groupBy(col("feature"), col("value"))
+        .agg(sum(when(col("y") === 1, 1L).otherwise(0L)).as("pos"),
+          sum(when(col("y") === -1, 1L).otherwise(0L)).as("neg"))
+      val byFeature = Window.partitionBy(col("feature"))
+      val sweep = Window.partitionBy(col("feature")).orderBy(col("value"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // threshold candidate t = each distinct value: predict +1 iff
+      // value >= t; errors = positives strictly below + negatives at/above
+      val scored = perValue
+        .withColumn("cum_pos", sum(col("pos")).over(sweep))
+        .withColumn("cum_neg", sum(col("neg")).over(sweep))
+        .withColumn("tot_neg", sum(col("neg")).over(byFeature))
+        .withColumn("n_docs", sum(col("pos") + col("neg")).over(byFeature))
+        .select(col("feature"), col("value").as("threshold"),
+          (col("cum_pos") - col("pos") +
+            (col("tot_neg") - (col("cum_neg") - col("neg"))))
+            .as("errors"), col("n_docs"))
+      scored
+        .orderBy(col("errors"), col("feature"), col("threshold"))
+        .limit(1)
+        .select(col("feature"), col("threshold"), col("errors"),
+          col("n_docs"),
+          ((col("n_docs") - col("errors")) * 10000L / col("n_docs"))
+            .cast("long").as("acc_bp"))
+    }),
+
     // Dataset profiler — the pre-curation survey step (what null rates /
     // cardinalities / ranges am I working with?). ONE corpus pass: a
     // single aggregation computes count/nulls/exact-distinct/min/max for
@@ -762,6 +817,37 @@ object CurationQueries {
   }
 
   private val oracle0: Map[String, String] = Map(
+
+    // The same sweep in DuckDB window SQL; all-integer, so training is
+    // replayed bit-exactly (the optimal stump must match, not just its
+    // error count).
+    "q_train_stump" ->
+      """WITH f0 AS (SELECT
+        |    (1000*(length(text) - length(replace(text, ' ', '')))) // length(text) AS x1,
+        |    (1000*(length(text) - length(regexp_replace(text, '[eE]', '', 'g')))) // length(text) AS x2,
+        |    (1000*(length(text) - length(replace(text, 'the', '')))) // length(text) AS x3
+        |  FROM documents WHERE length(text) > 0),
+        |f AS (SELECT *, CASE WHEN x3 >= 13 THEN 1 ELSE -1 END AS y FROM f0),
+        |l AS (SELECT 'x1' AS feature, x1 AS value, y FROM f
+        |      UNION ALL SELECT 'x2', x2, y FROM f
+        |      UNION ALL SELECT 'x3', x3, y FROM f),
+        |pv AS (SELECT feature, value,
+        |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+        |    CAST(sum(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS neg
+        |  FROM l GROUP BY feature, value),
+        |sc AS (SELECT feature, value AS threshold,
+        |    (sum(pos) OVER w - pos)
+        |      + (sum(neg) OVER (PARTITION BY feature)
+        |         - (sum(neg) OVER w - neg)) AS errors,
+        |    sum(pos + neg) OVER (PARTITION BY feature) AS n_docs
+        |  FROM pv
+        |  WINDOW w AS (PARTITION BY feature ORDER BY value
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT feature, CAST(threshold AS BIGINT) AS threshold,
+        |  CAST(errors AS BIGINT) AS errors,
+        |  CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(((n_docs - errors) * 10000) // n_docs AS BIGINT) AS acc_bp
+        |FROM sc ORDER BY errors, feature, threshold LIMIT 1""".stripMargin,
 
     "q_profile" -> {
       def c(name: String, nn: String, nd: String, mn: String, mx: String) =
