@@ -1818,6 +1818,20 @@ object RelationalQueries {
     }),
 
     // lead / ntile / first_value / last_value with explicit frames.
+    // Rank-statistics windows: percent_rank / cume_dist (the two the
+    // battery above lacks) — both engines share the exact definitions
+    // ((rank-1)/(n-1), peers/n) so the doubles compare bit-identically.
+    "q_window_pct" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     "q_window_extras" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("o_custkey"))
@@ -3241,6 +3255,14 @@ object RelationalQueries {
         |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
         |    EXCEPT
         |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')) b""".stripMargin,
+
+    "q_window_pct" ->
+      """SELECT o_custkey, o_orderkey,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q_window_extras" ->
       """SELECT o_custkey, o_orderkey, o_totalprice AS price,
