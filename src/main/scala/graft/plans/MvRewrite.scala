@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Coalesce, Divide, Expression, Literal, NamedExpression, SubqueryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.internal.SQLConf
@@ -28,7 +28,10 @@ import graft.sources.gvt.{GvtDvRelation, GvtFileIndex}
   *    `count(nullable col)` (a declared count or a sum's internal
   *    non-null counter), `min`/`max` (declared), and `avg` (total sum
   *    over total non-null count, exactly Spark's own sum/count
-  *    semantics) — no DISTINCT, no FILTER clauses,
+  *    semantics) — no DISTINCT, no FILTER clauses; covered aggregates
+  *    may sit INSIDE deterministic output scaffolding (`sum(a) /
+  *    count(*)`, `coalesce(sum(x), 0)`, casts, arithmetic over several
+  *    aggregates — the common BI shapes),
   *  - any `Filter` between aggregate and relation references ONLY MV
   *    grouping columns (group rows partition the space, so the
   *    predicate evaluates exactly on the MV), and
@@ -109,6 +112,9 @@ object MvRewrite extends Rule[LogicalPlan] {
     case lr: LogicalRelation => Some((lr, None))
     case Project(pl, child)
         if pl.forall(_.isInstanceOf[AttributeReference]) => unwrap(child)
+    // a registered view name resolves through a SubqueryAlias; rules
+    // injected ahead of alias elimination must look through it
+    case SubqueryAlias(_, child) => unwrap(child)
     case Filter(cond, child) => unwrap(child).map { case (lr, f) =>
       (lr, Some(f.map(org.apache.spark.sql.catalyst.expressions.And(cond, _))
         .getOrElse(cond)))
@@ -200,16 +206,33 @@ object MvRewrite extends Rule[LogicalPlan] {
       }
     }
 
+    /** Remap an output expression onto the MV: aggregates through
+      * [[mapAgg]], grouping attributes onto their MV columns, any other
+      * deterministic scaffolding (casts, arithmetic, coalesce — the
+      * common BI dressings like `sum(a)/count(*)`) rebuilt verbatim
+      * around the mapped children. Manual recursion — a transform would
+      * descend into the mapped replacements and re-visit their internal
+      * aggregates. Bails (control throw) on anything else. */
+    def remap(e: Expression): Expression = e match {
+      case ae: AggregateExpression =>
+        val mapped = mapAgg(ae).getOrElse(throw MvRewrite.MissingMvColumn)
+        if (mapped.dataType != ae.dataType) throw MvRewrite.MissingMvColumn
+        mapped
+      case a: AttributeReference if groupAttrs.exists(_.exprId == a.exprId) =>
+        mv(a.name)
+      case _: AttributeReference | _: SubqueryExpression =>
+        throw MvRewrite.MissingMvColumn
+      case other if !other.deterministic => throw MvRewrite.MissingMvColumn
+      case other => other.withNewChildren(other.children.map(remap))
+    }
+
     try {
     val rebuilt: Seq[NamedExpression] = aggExprs.map {
       case a: AttributeReference if groupAttrs.exists(_.exprId == a.exprId) =>
         Alias(mv(a.name), a.name)(exprId = a.exprId)
-      case al @ Alias(a: AttributeReference, name)
-          if groupAttrs.exists(_.exprId == a.exprId) =>
-        Alias(mv(a.name), name)(exprId = al.exprId)
-      case al @ Alias(ae: AggregateExpression, name) =>
-        val mapped = mapAgg(ae).getOrElse(return None)
-        if (mapped.dataType != ae.dataType) return None // type-safety net
+      case al @ Alias(child, name) =>
+        val mapped = remap(child)
+        if (mapped.dataType != child.dataType) return None // type-safety net
         Alias(mapped, name)(exprId = al.exprId)
       case _ => return None
     }
@@ -226,8 +249,11 @@ object MvRewrite extends Rule[LogicalPlan] {
     } catch { case MvRewrite.MissingMvColumn => None }
   }
 
-  /** Control-flow signal: a spec references a column the MV table does
-    * not carry (registry/table drift) — abandon the rewrite. */
+  /** Control-flow signal: the rewrite cannot serve this query — a spec
+    * column the MV table does not carry (registry/table drift), an
+    * aggregate outside the re-aggregable algebra, or an output
+    * expression beyond deterministic scaffolding over mapped parts —
+    * abandon the rewrite (the base scan stays). */
   private case object MissingMvColumn
     extends Throwable(null, null, false, false)
 }

@@ -40,10 +40,15 @@ object MvQueries {
 
   private def requireMv(df: DataFrame, mvRoot: String): DataFrame = {
     // inputFiles plans the query — the rewrite either fired here or the
-    // row is a loud failure, never a silent base-scan pass
-    require(df.inputFiles.exists(_.contains(
-      new java.io.File(mvRoot).getName)),
-      s"MV rewrite did not fire — query scanned the base instead of $mvRoot")
+    // row is a loud failure, never a silent base-scan pass. Matched on
+    // a path BOUNDARY: a bare basename `contains` would also match the
+    // fixture tmp dir that prefixes the base path, passing vacuously on
+    // a base scan.
+    val root = new java.io.File(mvRoot).getCanonicalPath
+    require(df.inputFiles.exists { f =>
+      val p = try new java.net.URI(f).getPath catch { case _: Exception => f }
+      p != null && (p == root || p.startsWith(root + "/"))
+    }, s"MV rewrite did not fire — query scanned the base instead of $mvRoot")
     // deregister the throwaway fixture view: bench repeats each query
     // in one long-lived session, and the exact-match candidate list is
     // scanned per planned query — it must not accrete. (A later

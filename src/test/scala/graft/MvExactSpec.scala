@@ -30,7 +30,7 @@ class MvExactSpec extends AnyFunSuite {
   }
 
   private def usesMv(df: DataFrame, mvRoot: String): Boolean =
-    df.inputFiles.exists(_.contains(new java.io.File(mvRoot).getName))
+    TestSpark.scansUnder(df, mvRoot)
 
   private def withViews[A](sess: SparkSession, oRoot: String, cRoot: String,
                            oV: String, cV: String)(f: => A): A = {

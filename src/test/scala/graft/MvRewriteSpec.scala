@@ -38,7 +38,7 @@ class MvRewriteSpec extends AnyFunSuite {
     s.read.format("gvt").load(root)
 
   private def usesMv(df: DataFrame, mvRoot: String): Boolean =
-    df.inputFiles.exists(_.contains(new java.io.File(mvRoot).getName))
+    TestSpark.scansUnder(df, mvRoot)
 
   test("fresh MV answers the aggregate; result identical to the base scan") {
     val base = tmp("mv_base"); val mv = tmp("mv_view")
@@ -365,6 +365,57 @@ class MvRewriteSpec extends AnyFunSuite {
       val f = gvt(sess, base).filter(col("cents") > 100)
         .groupBy("o_orderstatus").agg(count(lit(1)).as("c"))
       assert(!usesMv(f, mv), "data-column filter must scan the base")
+    }
+  }
+
+  test("compound output expressions over covered aggregates rewrite " +
+    "(sum/count divide, coalesce, multi-aggregate arithmetic)") {
+    val base = tmp("mv_base13"); val mv = tmp("mv_view13")
+    mkBase(base)
+    MaterializedView.create(spark, base, mv, Seq("o_orderstatus"),
+      Seq(AggSpec("sum", "cents", "sum_cents"),
+        AggSpec("count", "*", "n")))
+    def shape(s: org.apache.spark.sql.SparkSession) =
+      s.read.format("gvt").load(base).groupBy("o_orderstatus")
+        .agg((sum(col("cents")).cast("double") / count(lit(1))).as("avg_c"),
+          coalesce(sum(col("cents")), lit(0L)).as("s0"),
+          (sum(col("cents")) + count(lit(1))).as("mix"))
+        .orderBy("o_orderstatus")
+    GraftSession.withExtensions(spark) { sess =>
+      val q = shape(sess)
+      assert(usesMv(q, mv), q.queryExecution.optimizedPlan.toString)
+      val exp = shape(spark).collect().map(r =>
+        r.getString(0) -> (r.getDouble(1), r.getLong(2), r.getLong(3))).toMap
+      val got = q.collect().map(r =>
+        r.getString(0) -> (r.getDouble(1), r.getLong(2), r.getLong(3))).toMap
+      assert(got == exp)
+    }
+  }
+
+  test("SQL over a registered view NAME rewrites through the MV") {
+    val base = tmp("mv_base14"); val mv = tmp("mv_view14")
+    mkBase(base)
+    MaterializedView.create(spark, base, mv,
+      Seq("o_orderstatus", "o_orderpriority"),
+      Seq(AggSpec("sum", "cents", "sum_cents"),
+        AggSpec("count", "*", "n")))
+    GraftSession.withExtensions(spark) { sess =>
+      sess.read.format("gvt").load(base)
+        .createOrReplaceTempView("mv_named_t")
+      val q = sess.sql(
+        """SELECT o_orderstatus, sum(cents) AS s, count(*) AS c
+          |FROM mv_named_t
+          |WHERE o_orderpriority = '1-URGENT'
+          |GROUP BY o_orderstatus""".stripMargin)
+      assert(usesMv(q, mv), q.queryExecution.optimizedPlan.toString)
+      val exp = spark.read.format("gvt").load(base)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy("o_orderstatus")
+        .agg(sum("cents").as("s"), count(lit(1)).as("c"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val got = q.collect().map(r =>
+        r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got == exp)
     }
   }
 }

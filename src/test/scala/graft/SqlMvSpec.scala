@@ -38,18 +38,18 @@ class SqlMvSpec extends AnyFunSuite {
       assert(created.head.getString(0) == mv)
       val q = sess.read.format("gvt").load(base).groupBy("status")
         .agg(sum("cents").as("s"), count(lit(1)).as("c"))
-      assert(q.inputFiles.exists(_.contains(new java.io.File(mv).getName)))
+      assert(TestSpark.scansUnder(q, mv))
       // stale after an append; REFRESH restores service
       VersionedTable.append(sess.range(2).select(
         (col("id") + 900000).as("k"), lit("Z").as("status"),
         lit("1-URGENT").as("prio"), lit(50L).as("cents")), base)
       val q2 = sess.read.format("gvt").load(base).groupBy("status")
         .agg(sum("cents").as("s"))
-      assert(!q2.inputFiles.exists(_.contains(new java.io.File(mv).getName)))
+      assert(!TestSpark.scansUnder(q2, mv))
       sess.sql(s"REFRESH MATERIALIZED VIEW gvt.`$mv`").collect()
       val q3 = sess.read.format("gvt").load(base).groupBy("status")
         .agg(sum("cents").as("s"), count(lit(1)).as("c"))
-      assert(q3.inputFiles.exists(_.contains(new java.io.File(mv).getName)))
+      assert(TestSpark.scansUnder(q3, mv))
       val z = q3.filter(col("status") === "Z").collect()
       assert(z.length == 1 && z.head.getLong(1) == 100L && z.head.getLong(2) == 2L)
     }
@@ -66,7 +66,7 @@ class SqlMvSpec extends AnyFunSuite {
           s"CREATE MATERIALIZED VIEW gvt.`$t` AS $defSql").collect().head
         assert(row.getLong(1) == -1L, "non-algebraic shape → exact tier")
         val q = sess.sql(defSql)
-        assert(q.inputFiles.exists(_.contains(new java.io.File(t).getName)),
+        assert(TestSpark.scansUnder(q, t),
           s"exact view must serve [$defSql]:\n" +
             q.queryExecution.optimizedPlan)
       }

@@ -24,6 +24,17 @@ object TestSpark {
     }.mkString("\n")
   }
 
+  /** True when any of `df`'s input files lives UNDER `root` (path
+    * boundary — a bare basename `contains` can match sibling dirs that
+    * share the name as a path fragment). */
+  def scansUnder(df: org.apache.spark.sql.DataFrame, root: String): Boolean = {
+    val canon = new java.io.File(root).getCanonicalPath
+    df.inputFiles.exists { f =>
+      val p = try new java.net.URI(f).getPath catch { case _: Exception => f }
+      p != null && (p == canon || p.startsWith(canon + "/"))
+    }
+  }
+
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")
