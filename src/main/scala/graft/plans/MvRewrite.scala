@@ -86,8 +86,8 @@ object MvRewrite extends Rule[LogicalPlan] {
             node.output.map(_.dataType) != e.outTypes ||
             !node.sameResult(e.matchPlan)) None
         else {
-          val mvPlan = graft.sources.VersionedTable
-            .readLatest(SparkSession.active, e.spec.mvRoot)
+          val mvPlan = MaterializedView
+            .readMv(SparkSession.active, e.spec.mvRoot, e.mvVersion)
             .queryExecution.analyzed
           // differential join views carry fold-internal counter columns
           // (`_rows`, `_nn_*`) — never part of the served output
@@ -158,8 +158,8 @@ object MvRewrite extends Rule[LogicalPlan] {
     }
 
     val spark = SparkSession.active
-    val mvPlan = graft.sources.VersionedTable
-      .readLatest(spark, spec.mvRoot).queryExecution.analyzed
+    val mvPlan = MaterializedView
+      .readMv(spark, spec.mvRoot, spec.mvVersion).queryExecution.analyzed
     val mvAttr: Map[String, Attribute] =
       mvPlan.output.map(a => a.name -> a).toMap
     // registry/table drift guard: every referenced MV column must

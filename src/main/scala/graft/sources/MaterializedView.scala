@@ -57,9 +57,16 @@ object MaterializedView {
     require(fn == "count" || col != "*", s"$fn(*) is not an aggregate")
   }
 
+  /** `mvVersion` is REGISTRATION state, not part of the persisted
+    * spec: the MV table version this registration's data lives at.
+    * The rewrite reads exactly this version, so a registry entry and
+    * the snapshot it serves can never be torn apart by a concurrent
+    * refresh (the fold commits first, then the registry swaps — a
+    * reader holding the OLD entry keeps reading the OLD snapshot). */
   final case class MvSpec(mvRoot: String, baseRoot: String,
                           baseVersion: Long, groups: Seq[String],
-                          aggs: Seq[AggSpec]) {
+                          aggs: Seq[AggSpec],
+                          mvVersion: Long = -1L) {
     private[sources] def serialize: String = {
       val a = aggs.map(x => s"${x.fn}:${x.col}:${x.out}").mkString(",")
       s"base=$baseRoot\nbaseVersion=$baseVersion\n" +
@@ -99,6 +106,17 @@ object MaterializedView {
   /** Test/ops escape hatch: forget every registered view. */
   def clearRegistry(): Unit = { registry.clear(); exactRegistry.clear() }
 
+  /** The MV snapshot a registration serves: the PINNED version recorded
+    * when the registration's data committed (readLatest only for the
+    * -1 sentinel of pre-pinning registrations). Pinning closes the
+    * refresh race: a query planned against the OLD registry entry
+    * reads the OLD MV snapshot even if a concurrent fold has already
+    * committed a newer one — entry and data swap together. */
+  private[graft] def readMv(spark: SparkSession, mvRoot: String,
+                            v: Long): DataFrame =
+    if (v >= 0) VersionedTable.readVersion(spark, mvRoot, v)
+    else VersionedTable.readLatest(spark, mvRoot)
+
   /** Deregister a view from the rewrite (both tiers): queries fall back
     * to their base scans; the MV table itself stays on disk (re-attach
     * any time). Long-lived sessions creating throwaway views (bench
@@ -131,7 +149,8 @@ object MaterializedView {
     * the recognized differential-maintenance shape, when any. */
   final case class ExactEntry(spec: ExactSpec, matchPlan: LogicalPlan,
                               outTypes: Seq[DataType],
-                              joinAgg: Option[JoinAggInfo] = None)
+                              joinAgg: Option[JoinAggInfo] = None,
+                              mvVersion: Long = -1L)
 
   /** The shape the differential refresh serves: a re-aggregable
     * aggregate over per-row operators (project/filter) around INNER
@@ -278,12 +297,13 @@ object MaterializedView {
     val joinAgg = recognizeSafe(matchPlan, names.toSeq)
     val spec = ExactSpec(mvRoot, sql, versions)
     building.set(true)
-    try VersionedTable.write(exactMvFrame(spark, df, joinAgg), mvRoot,
-      operation = "MV_CREATE",
-      metaFiles = Map("_mv_exact" -> serializeExact(spec)))
-    finally building.set(false)
+    val mvv =
+      try VersionedTable.write(exactMvFrame(spark, df, joinAgg), mvRoot,
+        operation = "MV_CREATE",
+        metaFiles = Map("_mv_exact" -> serializeExact(spec)))
+      finally building.set(false)
     exactRegistry.put(norm(mvRoot),
-      ExactEntry(spec, matchPlan, df.schema.map(_.dataType), joinAgg))
+      ExactEntry(spec, matchPlan, df.schema.map(_.dataType), joinAgg, mvv))
   }
 
   /** Re-register a persisted exact view (newest `_mv_exact` wins). The
@@ -313,7 +333,8 @@ object MaterializedView {
       else org.apache.spark.sql.catalyst.plans.logical.LocalRelation(Nil)
     exactRegistry.put(norm(spec.mvRoot),
       ExactEntry(spec, mp, df.schema.map(_.dataType),
-        if (aligned) recognizeSafe(matchPlan, outNames) else None))
+        if (aligned) recognizeSafe(matchPlan, outNames) else None,
+        VersionedTable.latestVersion(spec.mvRoot).getOrElse(-1L)))
   }
 
   /** Base roots a view is anchored on (either tier). */
@@ -339,7 +360,10 @@ object MaterializedView {
     * the incremental/rebuild logic above, and a tick with nothing new
     * is a listing-cost no-op. Exactly-once is irrelevant here (refresh
     * is idempotent and self-versioning), so replays after checkpoint
-    * recovery are harmless. Returns the started queries — one per base
+    * recovery are harmless. A multi-base view runs one stream per base
+    * root — their concurrent refresh() calls serialize on the per-MV
+    * lock inside [[refresh]], so interleaved folds cannot double-apply
+    * or drop a delta. Returns the started queries — one per base
     * root; `processAllAvailable()`/`stop()` them like any stream. */
   def continuousRefresh(spark: SparkSession, mvRoot: String,
                         checkpointDir: String)
@@ -538,12 +562,13 @@ object MaterializedView {
       val joinAgg = recognizeSafe(matchPlan, names)
       val spec = entry.spec.copy(baseVersions = gvtVersionsOf(matchPlan))
       building.set(true)
-      try VersionedTable.write(exactMvFrame(spark, df, joinAgg),
-        spec.mvRoot, operation = "MV_REBUILD",
-        metaFiles = Map("_mv_exact" -> serializeExact(spec)))
-      finally building.set(false)
+      val mvv =
+        try VersionedTable.write(exactMvFrame(spark, df, joinAgg),
+          spec.mvRoot, operation = "MV_REBUILD",
+          metaFiles = Map("_mv_exact" -> serializeExact(spec)))
+        finally building.set(false)
       exactRegistry.put(norm(spec.mvRoot),
-        ExactEntry(spec, matchPlan, df.schema.map(_.dataType), joinAgg))
+        ExactEntry(spec, matchPlan, df.schema.map(_.dataType), joinAgg, mvv))
       return
     }
     val outNames = entry.matchPlan.output.map(_.name)
@@ -563,26 +588,28 @@ object MaterializedView {
         // differential: fold the telescoping delta-join union into the
         // MV — all-old ⋈ all-old (the dominant term) never recomputes
         building.set(true)
-        try {
-          val dAgg = diffDeltaAgg(spark, info,
-            entry.spec.baseVersions, liveV)
-          foldIntoMv(spark, entry.spec.mvRoot, info.groups, info.aggs,
-            dAgg, "_mv_exact" -> serializeExact(next))
-        } finally building.set(false)
+        val mvv =
+          try {
+            val dAgg = diffDeltaAgg(spark, info,
+              entry.spec.baseVersions, liveV)
+            foldIntoMv(spark, entry.spec.mvRoot, info.groups, info.aggs,
+              dAgg, "_mv_exact" -> serializeExact(next))
+          } finally building.set(false)
         exactRegistry.put(norm(next.mvRoot), ExactEntry(next, mpLive,
-          entry.outTypes, recognizeSafe(mpLive, outNames)))
+          entry.outTypes, recognizeSafe(mpLive, outNames), mvv))
       case _ =>
         // re-run the defining plan at live versions: plan, data, and
         // recorded versions pin the SAME snapshots by construction
         val joinAgg = recognizeSafe(mpLive, outNames)
         val df = org.apache.spark.sql.graft.NativeColumns.ofPlan(spark, mpLive)
         building.set(true)
-        try VersionedTable.write(exactMvFrame(spark, df, joinAgg),
-          next.mvRoot, operation = "MV_REBUILD",
-          metaFiles = Map("_mv_exact" -> serializeExact(next)))
-        finally building.set(false)
+        val mvv =
+          try VersionedTable.write(exactMvFrame(spark, df, joinAgg),
+            next.mvRoot, operation = "MV_REBUILD",
+            metaFiles = Map("_mv_exact" -> serializeExact(next)))
+          finally building.set(false)
         exactRegistry.put(norm(next.mvRoot),
-          ExactEntry(next, mpLive, entry.outTypes, joinAgg))
+          ExactEntry(next, mpLive, entry.outTypes, joinAgg, mvv))
     }
   }
 
@@ -618,9 +645,9 @@ object MaterializedView {
     val spec = MvSpec(mvRoot, baseRoot, v, groups, aggs)
     val mv = aggregate(VersionedTable.readVersion(spark, baseRoot, v),
       groups, aggs)
-    VersionedTable.write(mv, mvRoot, operation = "MV_CREATE",
+    val mvv = VersionedTable.write(mv, mvRoot, operation = "MV_CREATE",
       metaFiles = Map("_mv" -> spec.serialize))
-    register(spec)
+    register(spec.copy(mvVersion = mvv))
     v
   }
 
@@ -633,6 +660,7 @@ object MaterializedView {
       .map(parseSpec(mvRoot, _))
       .getOrElse(throw new IllegalArgumentException(
         s"no _mv metadata at $mvRoot — not a materialized view"))
+      .copy(mvVersion = VersionedTable.latestVersion(mvRoot).getOrElse(-1L))
     register(spec)
     spec
   }
@@ -655,6 +683,19 @@ object MaterializedView {
     * base version (aggregate views) or the max base version (exact). */
   def refresh(spark: SparkSession, mvRoot: String): Long = {
     val key = norm(mvRoot)
+    // serialize refresh PER MV: continuousRefresh runs one stream per
+    // base root, so a multi-base view gets concurrent refresh() calls —
+    // unserialized, two interleaved folds could both read the same MV
+    // snapshot and double-apply or drop a delta
+    refreshLocks.computeIfAbsent(key, _ => new Object).synchronized {
+      refreshLocked(spark, mvRoot, key)
+    }
+  }
+
+  private val refreshLocks = new ConcurrentHashMap[String, Object]()
+
+  private def refreshLocked(spark: SparkSession, mvRoot: String,
+                            key: String): Long = {
     def isAggRegistered: Boolean = {
       val it = registry.values().iterator()
       while (it.hasNext) if (it.next().contains(key)) return true
@@ -686,7 +727,7 @@ object MaterializedView {
         .map(_.trim).getOrElse("WRITE"))
     val hasMinMax = spec.aggs.exists(a => a.fn == "min" || a.fn == "max")
     val next = spec.copy(baseVersion = cur)
-    def rebuild(): Unit = {
+    def rebuild(): Long = {
       // a removed row could have carried the extreme (or the change
       // feed refused): re-aggregate the live snapshot
       val mv = aggregate(
@@ -695,16 +736,17 @@ object MaterializedView {
       VersionedTable.write(mv, mvRoot, operation = "MV_REBUILD",
         metaFiles = Map("_mv" -> next.serialize))
     }
-    if (hasMinMax && !ops.forall(insertOnly)) rebuild()
-    else {
-      // the keyless feed refuses DML ranges captured without
-      // `gvt.enableChangeDataFeed` sidecars — the MV never mutates its
-      // base to compensate (no auto-backfill); it degrades to a full
-      // re-aggregation, and stays incremental once the property is on
-      try incrementalFold(spark, spec, cur, next)
-      catch { case _: UnsupportedOperationException => rebuild() }
-    }
-    register(next)
+    val mvv =
+      if (hasMinMax && !ops.forall(insertOnly)) rebuild()
+      else {
+        // the keyless feed refuses DML ranges captured without
+        // `gvt.enableChangeDataFeed` sidecars — the MV never mutates its
+        // base to compensate (no auto-backfill); it degrades to a full
+        // re-aggregation, and stays incremental once the property is on
+        try incrementalFold(spark, spec, cur, next)
+        catch { case _: UnsupportedOperationException => rebuild() }
+      }
+    register(next.copy(mvVersion = mvv))
     cur
   }
 
@@ -724,7 +766,7 @@ object MaterializedView {
     * with one MV-sized full-outer merge (null group keys match via
     * null-safe equality); groups whose row count hits zero drop out. */
   private def incrementalFold(spark: SparkSession, spec: MvSpec,
-                              cur: Long, next: MvSpec): Unit = {
+                              cur: Long, next: MvSpec): Long = {
     // the keyless feed is per-hop (a range across rewrite commits has
     // no single reconstruction) — walk consecutive committed pairs and
     // union, exactly the batch change-feed relation's shape; each hop
@@ -768,7 +810,7 @@ object MaterializedView {
     * and the differential join path. */
   private def foldIntoMv(spark: SparkSession, mvRoot: String,
                          groups: Seq[String], aggs: Seq[AggSpec],
-                         dAgg: DataFrame, meta: (String, String)): Unit = {
+                         dAgg: DataFrame, meta: (String, String)): Long = {
     val old = VersionedTable.readLatest(spark, mvRoot)
     val joinCond = groups.map(g => old(g) <=> dAgg(g)).reduce(_ && _)
     val joined = old.join(dAgg, joinCond, "full_outer")

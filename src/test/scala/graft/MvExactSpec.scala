@@ -342,6 +342,31 @@ class MvExactSpec extends AnyFunSuite {
     }
   }
 
+  test("exact tier serves the PINNED MV snapshot — a newer out-of-band " +
+    "MV commit is invisible until re-registration") {
+    val oRoot = tmp("mx_opin"); val cRoot = tmp("mx_cpin"); val mv = tmp("mx_mvpin")
+    mkBases(oRoot, cRoot)
+    GraftSession.withExtensions(spark) { sess =>
+      withViews(sess, oRoot, cRoot, "mx_opin_t", "mx_cpin_t") {
+        val defSql =
+          """SELECT segment, sum(cents) AS sum_cents
+            |FROM mx_opin_t JOIN mx_cpin_t ON ck = ck2
+            |GROUP BY segment""".stripMargin
+        MaterializedView.createExact(sess, mv, defSql)
+        val exp = sess.sql(defSql).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val junk = spark.read.format("gvt").load(mv)
+          .withColumn("sum_cents", col("sum_cents") * 2)
+        VersionedTable.write(junk, mv, operation = "MV_REFRESH")
+        val q = sess.sql(defSql)
+        assert(usesMv(q, mv), q.queryExecution.optimizedPlan.toString)
+        val got = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(got == exp, "exact rewrite must read the registration's " +
+          "pinned MV version, not whatever is latest on disk")
+      }
+    }
+  }
+
   test("a defining query reading no gvt relation refuses (freshness unanchored)") {
     GraftSession.withExtensions(spark) { sess =>
       sess.read.parquet(s"$dir/orders.parquet")

@@ -392,6 +392,60 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("the rewrite serves the PINNED MV snapshot — a newer MV commit " +
+    "(a fold landed ahead of its registry swap) is invisible") {
+    val base = tmp("mv_base15"); val mv = tmp("mv_view15")
+    mkBase(base)
+    MaterializedView.create(spark, base, mv, Seq("o_orderstatus"),
+      Seq(AggSpec("sum", "cents", "sum_cents"),
+        AggSpec("count", "*", "n")))
+    val exp = spark.read.format("gvt").load(base).groupBy("o_orderstatus")
+      .agg(sum("cents").as("s")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // out-of-band commit on the MV TABLE only (the torn state between a
+    // concurrent fold's commit and its registry swap): doubled sums
+    val junk = spark.read.format("gvt").load(mv)
+      .withColumn("sum_cents", col("sum_cents") * 2)
+    VersionedTable.write(junk, mv, operation = "MV_REFRESH")
+    GraftSession.withExtensions(spark) { sess =>
+      val q = gvt(sess, base).groupBy("o_orderstatus")
+        .agg(sum("cents").as("s"))
+      assert(usesMv(q, mv), q.queryExecution.optimizedPlan.toString)
+      val got = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == exp, "rewrite must read the registration's pinned " +
+        "MV version, not whatever is latest on disk")
+    }
+  }
+
+  test("concurrent refresh calls serialize: one fold commits, the " +
+    "second sees fresh and no-ops") {
+    val base = tmp("mv_base16"); val mv = tmp("mv_view16")
+    mkBase(base)
+    MaterializedView.create(spark, base, mv, Seq("o_orderstatus"),
+      Seq(AggSpec("sum", "cents", "sum_cents"),
+        AggSpec("count", "*", "n")))
+    VersionedTable.append(spark.range(4).select(
+      (col("id") + 500000).as("o_orderkey"), lit("Y").as("o_orderstatus"),
+      lit("2-HIGH").as("o_orderpriority"), lit(1000L).as("cents")), base)
+    val threads = (1 to 2).map(_ => new Thread(() => {
+      MaterializedView.refresh(spark, mv); ()
+    }))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val refreshes = VersionedTable.history(spark, mv)
+      .select("operation").collect().map(_.getString(0))
+      .count(_ == "MV_REFRESH")
+    assert(refreshes == 1,
+      s"two concurrent refreshes must fold the delta exactly once ($refreshes)")
+    GraftSession.withExtensions(spark) { sess =>
+      val q = gvt(sess, base).groupBy("o_orderstatus")
+        .agg(sum(col("cents")).as("s"), count(lit(1)).as("c"))
+      assert(usesMv(q, mv))
+      val y = q.filter(col("o_orderstatus") === "Y").collect()
+      assert(y.length == 1 && y.head.getLong(1) == 4000L &&
+        y.head.getLong(2) == 4L)
+    }
+  }
+
   test("SQL over a registered view NAME rewrites through the MV") {
     val base = tmp("mv_base14"); val mv = tmp("mv_view14")
     mkBase(base)
