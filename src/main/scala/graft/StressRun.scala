@@ -129,21 +129,47 @@ object StressRun {
       VersionedTable.append(delta2, root, statsCols = Seq("k"))
       MaterializedView.refresh(spark, mvjRoot)
     }
+    // counting-IVM retraction through the join view: delete exactly
+    // the 10k delta rows (zone maps prune the locate scan to their
+    // file) and refresh — the signed fold must stay flat across
+    // scales, like the insert fold above (a ratio ≈ N would mean the
+    // retraction re-read the fact)
+    stage("mv_join_refresh_retract") {
+      VersionedTable.deleteWhereVector(spark, root,
+        col("k") >= 4000000000L)
+      MaterializedView.refresh(spark, mvjRoot)
+    }
     require(MaterializedView.exactViews.exists(e =>
       e.spec.mvRoot == mvjRoot && e.joinAgg.isDefined),
       "join view must carry the differential shape")
+    require(!VersionedTable.history(spark, mvjRoot)
+      .select("operation").collect().map(_.getString(0))
+      .contains("MV_REBUILD"),
+      "join-view maintenance must stay differential (insert AND retract)")
     MaterializedView.drop(mvRoot); MaterializedView.drop(mvjRoot)
-    // incremental dedup: one batch against a fresh persisted index
+    // incremental dedup: build the persisted index over the FULL
+    // ×scale corpus (timed — expected to scale with the data), then
+    // ingest a FIXED ~10k-doc batch against it. The batch stage is the
+    // O(batch) claim under test: flat across scales (the old version
+    // fed the whole corpus as "the batch", so ×100 measured throughput,
+    // not the claim).
     val docs = (0 until scale).map { r =>
       spark.read.parquet(s"$sfDir/documents.parquet")
         .withColumn("doc_id", concat(lit(s"r$r/"), col("doc_id")))
     }.reduce(_ union _)
-    stage("incremental_dedup") {
-      val sigs = docs.select(col("doc_id"),
-        md5(col("text")).as("b0"),
-        md5(reverse(col("text"))).as("b1"))
-      graft.llm.IncrementalDedup.ingest(spark, s"$out/idx", sigs,
-        Seq("b0", "b1")).count()
+    def sigsOf(d: DataFrame): DataFrame = d.select(col("doc_id"),
+      md5(col("text")).as("b0"),
+      md5(reverse(col("text"))).as("b1"))
+    stage("dedup_index_build") {
+      graft.llm.IncrementalDedup.ingest(spark, s"$out/idx",
+        sigsOf(docs), Seq("b0", "b1")).count()
+    }
+    val batch = spark.read.parquet(s"$sfDir/documents.parquet")
+      .limit(10000).withColumn("doc_id", concat(lit("new/"), col("doc_id")))
+      .localCheckpoint()
+    stage("incremental_dedup") { // fixed ~10k-doc batch at ANY scale
+      graft.llm.IncrementalDedup.ingest(spark, s"$out/idx",
+        sigsOf(batch), Seq("b0", "b1")).count()
     }
     def f3(v: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

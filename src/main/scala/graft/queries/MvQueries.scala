@@ -229,10 +229,77 @@ object MvQueries {
             "ORDER BY segment")
         requireMv(q, mv)
       }
+    }),
+
+    // Counting-IVM RETRACTIONS through a join view: a DELETE plus an
+    // append on the fact fold as the SIGNED telescoping delta
+    // (P − N: Δ⁺⋈dim minus Δ⁻⋈dim) — A_old⋈B_old never recomputes and
+    // the fact is never rescanned. History must show MV_REFRESH (the
+    // fold), never MV_REBUILD.
+    "q_mv_diff_retract" -> ((s, dir) => {
+      val out = tmpDir("graft_mvr")
+      val ord = s"$out/ord"; val cust = s"$out/cust"; val mv = s"$out/mv"
+      VersionedTable.write(
+        graft.sources.Tables.t(s, dir, "orders").select(
+          col("o_orderkey").as("k"), col("o_custkey").as("ck_o"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+            .as("cents")), ord)
+      VersionedTable.setTblProperties(ord,
+        Map("gvt.enableChangeDataFeed" -> "true"))
+      VersionedTable.write(
+        graft.sources.Tables.t(s, dir, "customer").select(
+          col("c_custkey").as("ck"), col("c_mktsegment").as("segment")), cust)
+      graft.GraftSession.withExtensions(s) { sess =>
+        sess.read.format("gvt").load(cust)
+          .createOrReplaceTempView("mvr_cust")
+        sess.read.format("gvt").load(ord)
+          .createOrReplaceTempView("mvr_ord")
+        sess.sql(s"CREATE MATERIALIZED VIEW gvt.`$mv` AS " +
+          "SELECT segment, sum(cents) AS sum_cents, count(*) AS n_orders " +
+          "FROM mvr_ord JOIN mvr_cust ON ck_o = ck GROUP BY segment")
+          .collect()
+        // the retraction: every 7th order leaves; a repriced echo of
+        // every 13th arrives in the same range
+        VersionedTable.deleteWhereVector(sess, ord, col("k") % 7 === 0)
+        VersionedTable.append(
+          graft.sources.Tables.t(sess, dir, "orders")
+            .filter(col("o_orderkey") % 13 === 0)
+            .select((col("o_orderkey") + 4000000).as("k"),
+              col("o_custkey").as("ck_o"),
+              (floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+                + 5).as("cents")), ord)
+        sess.sql(s"REFRESH MATERIALIZED VIEW gvt.`$mv`").collect()
+        val ops = VersionedTable.history(sess, mv)
+          .select("operation").collect().map(_.getString(0)).toSet
+        require(ops.contains("MV_REFRESH") && !ops.contains("MV_REBUILD"),
+          s"retraction refresh was not differential: $ops")
+        sess.read.format("gvt").load(ord)
+          .createOrReplaceTempView("mvr_ord")
+        val q = sess.sql(
+          "SELECT segment, sum(cents) AS sum_cents, count(*) AS n_orders " +
+            "FROM mvr_ord JOIN mvr_cust ON ck_o = ck GROUP BY segment " +
+            "ORDER BY segment")
+        requireMv(q, mv)
+      }
     })
   )
 
   val oracle: Map[String, String] = Map(
+
+    "q_mv_diff_retract" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS ck_o,
+        |    CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT o_custkey,
+        |    CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) + 5
+        |  FROM orders WHERE o_orderkey % 13 = 0)
+        |SELECT c_mktsegment AS segment,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        |FROM o JOIN customer ON ck_o = c_custkey
+        |GROUP BY segment ORDER BY segment""".stripMargin,
 
     "q_mv_diff_join" ->
       """WITH o AS (

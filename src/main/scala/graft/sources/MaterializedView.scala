@@ -162,11 +162,14 @@ object MaterializedView {
     * (per-row operators distribute over union, so any project/filter
     * dressing is preserved) — each term joins one DELTA against the
     * other sides, never all-old⋈all-old (the 100 TB-dominant term),
-    * and the delta aggregate folds into the MV additively. Insert-only
-    * ranges only (a retraction inside a join multiplies; Delta's MVs
-    * recompute on the same trigger). Self-joins are sound: the rule is
-    * positional over REFERENCES, and the analyzer deduplicates
-    * relation instances per reference. */
+    * and the delta aggregate folds into the MV additively. The
+    * identity is exact over SIGNED multisets, so sum/count views also
+    * fold RETRACTIONS (deletes/updates) — see [[diffDeltaAgg]]'s
+    * counting-IVM split; min/max views fold insert-only ranges and
+    * rebuild on retraction (a removed row may carry the extreme;
+    * Delta's MVs recompute on the same trigger). Self-joins are
+    * sound: the rule is positional over REFERENCES, and the analyzer
+    * deduplicates relation instances per reference. */
   final case class JoinAggInfo(groups: Seq[String], aggs: Seq[AggSpec],
                                ge: Seq[Expression],
                                ae: Seq[NamedExpression],
@@ -445,20 +448,31 @@ object MaterializedView {
       case _ => None
     }
 
-  /** Append-only delta rows of `root` across `(fromV, cur]`, aligned
-    * onto `rel.output` (same names, SAME exprIds) so it substitutes for
-    * the relation inside a cached plan. None when the root is already
+  /** Delta rows of `root` across `(fromV, cur]`, aligned onto
+    * `rel.output` (same names, SAME exprIds) so it substitutes for the
+    * relation inside a cached plan. `sign` selects the change class:
+    * 0 = every change row (insert-only ranges), +1 = additions
+    * (insert/update_postimage), -1 = retractions
+    * (delete/update_preimage) — the two halves of the signed
+    * Z-relation delta Rᵢ_new − Rᵢ_old. None when the root is already
     * at `fromV`. */
   private def alignedDelta(spark: SparkSession, root: String, fromV: Long,
-                           cur: Long, rel: LogicalRelation)
+                           cur: Long, rel: LogicalRelation,
+                           sign: Int = 0)
       : Option[LogicalPlan] = {
     if (cur == fromV) return None
     val chain = VersionedTable.committedVersions(root)
-    val delta = chain.zip(chain.drop(1))
+    val raw = chain.zip(chain.drop(1))
       .filter { case (_, b) => b > fromV && b <= cur }
-      .map { case (a, b) => VersionedTable.changes(spark, root, a, b)
-        .drop("_change_type") }
+      .map { case (a, b) => VersionedTable.changes(spark, root, a, b) }
       .reduce(_ unionByName _)
+    val delta = (sign match {
+      case 0 => raw
+      case 1 => raw.filter(col("_change_type")
+        .isin("insert", "update_postimage"))
+      case _ => raw.filter(col("_change_type")
+        .isin("delete", "update_preimage"))
+    }).drop("_change_type")
     Some(alignTo(delta.queryExecution.analyzed, rel))
   }
 
@@ -470,56 +484,117 @@ object MaterializedView {
       Alias(byName(o.name), o.name)(exprId = o.exprId)), plan)
   }
 
+  /** The fold-protocol delta column names of a join view, in aggregate
+    * order: one `_d_<out>` per aggregate, then `_d_rows`, then the
+    * per-sum `_d_nn_*` non-null counters — all sums/counts (numeric)
+    * on the retraction path, so signed combination is plain
+    * subtraction. */
+  private def dNames(info: JoinAggInfo): Seq[String] =
+    info.aggs.map(a => s"_d_${a.out}") ++
+      ("_d_rows" +: info.aggs.filter(_.fn == "sum")
+        .map(a => s"_d_nn_${a.out}"))
+
   /** The differential delta-aggregate plan: the defining aggregate's
     * own expressions over the telescoping union
     * ⋃ᵢ R₁_old⋈…⋈ΔRᵢ⋈Rᵢ₊₁_new⋈…⋈Rₙ_new, with aggregate outputs
     * renamed to the fold's `_d_` protocol plus `_d_rows` / per-sum
     * non-null counters. Substitution is positional over the relation
     * REFERENCES (identity map), so repeated roots / self-joins stay
-    * sound. */
+    * sound.
+    *
+    * Retractions (counting IVM): the telescoping identity is exact
+    * over SIGNED multisets (Z-relations), and each term is linear in
+    * its ΔRᵢ, so a range with deletes/updates splits per position into
+    * an addition half Δ⁺ᵢ and a retraction half Δ⁻ᵢ (both from the
+    * change feed). Every joined row of a term carries its delta row's
+    * sign (the other sides are unsigned snapshots), so the signed
+    * delta aggregate is P − N: the plain delta aggregate over the
+    * Δ⁺-term union minus the one over the Δ⁻-term union — a DELETE
+    * through a join view folds at O(changed ⋈ other sides), never a
+    * base rescan. `retracting` lists the roots whose range carries
+    * retractions (metadata-decided); sum/count algebra only — min/max
+    * views rebuild on retraction (a removed row may carry the
+    * extreme), the same trigger Delta's own MVs recompute on. */
   private def diffDeltaAgg(spark: SparkSession, info: JoinAggInfo,
                            oldV: Map[String, Long],
-                           newV: Map[String, Long]): DataFrame = {
+                           newV: Map[String, Long],
+                           retracting: Set[String]): DataFrame = {
     val newPlanByRoot: Map[String, LogicalPlan] =
       info.roots.distinct.filter(r => oldV(r) != newV(r)).map { r =>
         r -> VersionedTable.readVersion(spark, r, newV(r))
           .queryExecution.analyzed
       }.toMap
-    val deltaByIdx: Map[Int, LogicalPlan] = info.rels.indices.flatMap { i =>
-      val r = info.roots(i)
-      alignedDelta(spark, r, oldV(r), newV(r), info.rels(i)).map(i -> _)
-    }.toMap
-    val variants: Seq[LogicalPlan] = deltaByIdx.keys.toSeq.sorted.map { i =>
-      val mapping = new java.util.IdentityHashMap[LogicalRelation, LogicalPlan]()
-      info.rels.zipWithIndex.foreach { case (rel, j) =>
-        if (j == i) mapping.put(rel, deltaByIdx(i))
-        else if (j > i && oldV(info.roots(j)) != newV(info.roots(j)))
-          mapping.put(rel, alignTo(newPlanByRoot(info.roots(j)), rel))
-        // j < i (and unadvanced j > i): keep the OLD reference as-is
-      }
-      info.joinChild.transformUp {
-        case lr: LogicalRelation if mapping.containsKey(lr) => mapping.get(lr)
-      }
-    }
-    val unioned =
-      if (variants.size == 1) variants.head else Union(variants)
-    val iter = info.aggs.iterator
-    val renamed: Seq[NamedExpression] = info.ae.map {
-      case al @ Alias(ag: AggregateExpression, _)
-          if iter.hasNext => // aggs were collected in ae order
-        Alias(ag, s"_d_${iter.next().out}")()
-      case other => other // group echo keeps its name
-    }
-    val extras: Seq[NamedExpression] =
-      Alias(Count(Literal(1)).toAggregateExpression(), "_d_rows")() +:
-        info.ae.collect {
-          case Alias(ag: AggregateExpression, n)
-              if ag.aggregateFunction.isInstanceOf[Sum] =>
-            val in = ag.aggregateFunction.asInstanceOf[Sum].child
-            Alias(Count(in).toAggregateExpression(), s"_d_nn_$n")()
+
+    def deltas(sign: Int, pos: Int => Boolean): Map[Int, LogicalPlan] =
+      info.rels.indices.filter(pos).flatMap { i =>
+        val r = info.roots(i)
+        alignedDelta(spark, r, oldV(r), newV(r), info.rels(i), sign)
+          .map(i -> _)
+      }.toMap
+
+    def unionOf(deltaByIdx: Map[Int, LogicalPlan]): Option[LogicalPlan] = {
+      if (deltaByIdx.isEmpty) return None
+      val variants: Seq[LogicalPlan] = deltaByIdx.keys.toSeq.sorted.map { i =>
+        val mapping = new java.util.IdentityHashMap[LogicalRelation, LogicalPlan]()
+        info.rels.zipWithIndex.foreach { case (rel, j) =>
+          if (j == i) mapping.put(rel, deltaByIdx(i))
+          else if (j > i && oldV(info.roots(j)) != newV(info.roots(j)))
+            mapping.put(rel, alignTo(newPlanByRoot(info.roots(j)), rel))
+          // j < i (and unadvanced j > i): keep the OLD reference as-is
         }
-    org.apache.spark.sql.graft.NativeColumns.ofPlan(spark,
-      Aggregate(info.ge, renamed ++ extras, unioned))
+        info.joinChild.transformUp {
+          case lr: LogicalRelation if mapping.containsKey(lr) => mapping.get(lr)
+        }
+      }
+      Some(if (variants.size == 1) variants.head else Union(variants))
+    }
+
+    def aggOf(unioned: LogicalPlan): DataFrame = {
+      val iter = info.aggs.iterator
+      val renamed: Seq[NamedExpression] = info.ae.map {
+        case al @ Alias(ag: AggregateExpression, _)
+            if iter.hasNext => // aggs were collected in ae order
+          Alias(ag, s"_d_${iter.next().out}")()
+        case other => other // group echo keeps its name
+      }
+      val extras: Seq[NamedExpression] =
+        Alias(Count(Literal(1)).toAggregateExpression(), "_d_rows")() +:
+          info.ae.collect {
+            case Alias(ag: AggregateExpression, n)
+                if ag.aggregateFunction.isInstanceOf[Sum] =>
+              val in = ag.aggregateFunction.asInstanceOf[Sum].child
+              Alias(Count(in).toAggregateExpression(), s"_d_nn_$n")()
+          }
+      org.apache.spark.sql.graft.NativeColumns.ofPlan(spark,
+        Aggregate(info.ge, renamed ++ extras, unioned))
+    }
+
+    if (retracting.isEmpty)
+      return aggOf(unionOf(deltas(0, _ => true)).getOrElse(
+        throw new IllegalStateException("refresh with no advanced base")))
+    val pos = unionOf(deltas(1, _ => true)).map(aggOf)
+    val neg = unionOf(deltas(-1, i => retracting.contains(info.roots(i))))
+      .map(aggOf)
+    (pos, neg) match {
+      case (Some(p), Some(n0)) =>
+        // signed combination: one delta-sized null-safe full-outer
+        // merge. Both sides reuse the defining plan's output exprIds —
+        // re-alias the retraction side (fresh names AND exprIds) so
+        // the join resolves unambiguously.
+        val n = n0.select(n0.columns.toSeq.map(c => col(c).as(s"__n_$c")): _*)
+        val joinCond = info.groups.map(g => p(g) <=> n(s"__n_$g"))
+          .reduce(_ && _)
+        val g = info.groups.map(x => coalesce(p(x), n(s"__n_$x")).as(x))
+        val d = dNames(info).map(c =>
+          (coalesce(p(c), lit(0L)) - coalesce(n(s"__n_$c"), lit(0L))).as(c))
+        p.join(n, joinCond, "full_outer").select(g ++ d: _*)
+      case (Some(p), None) => p
+      case (None, Some(n)) => // pure-retraction range: negate the fold
+        n.select(info.groups.map(col) ++
+          dNames(info).map(c => (lit(0L) - col(c)).as(c)): _*)
+      case (None, None) =>
+        throw new IllegalStateException("refresh with no advanced base")
+    }
   }
 
   /** The cached plan with every gvt relation re-pointed at its LIVE
@@ -582,34 +657,62 @@ object MaterializedView {
           .readMeta(root, v, "_operation").map(_.trim).getOrElse("WRITE")))
     }
 
-    entry.joinAgg match {
-      case Some(info) if liveV.keySet == entry.spec.baseVersions.keySet &&
-          info.roots.distinct.forall(insertOnlyRange) =>
+    def rerun(): Unit = {
+      // re-run the defining plan at live versions: plan, data, and
+      // recorded versions pin the SAME snapshots by construction
+      val joinAgg = recognizeSafe(mpLive, outNames)
+      val df = org.apache.spark.sql.graft.NativeColumns.ofPlan(spark, mpLive)
+      building.set(true)
+      val mvv =
+        try VersionedTable.write(exactMvFrame(spark, df, joinAgg),
+          next.mvRoot, operation = "MV_REBUILD",
+          metaFiles = Map("_mv_exact" -> serializeExact(next)))
+        finally building.set(false)
+      exactRegistry.put(norm(next.mvRoot),
+        ExactEntry(next, mpLive, entry.outTypes, joinAgg, mvv))
+    }
+
+    // differential eligibility: sum/count views fold ANY feed-served
+    // range (retractions ride the signed counting-IVM fold); min/max
+    // views fold insert-only ranges and rebuild otherwise (a removed
+    // row may have carried the extreme)
+    val diffable: Option[(JoinAggInfo, Set[String])] =
+      entry.joinAgg.flatMap { info =>
+        if (liveV.keySet != entry.spec.baseVersions.keySet) None
+        else {
+          val retracting =
+            info.roots.distinct.filterNot(insertOnlyRange).toSet
+          val hasMinMax =
+            info.aggs.exists(a => a.fn == "min" || a.fn == "max")
+          if (retracting.isEmpty || !hasMinMax) Some((info, retracting))
+          else None
+        }
+      }
+
+    diffable match {
+      case Some((info, retracting)) =>
         // differential: fold the telescoping delta-join union into the
         // MV — all-old ⋈ all-old (the dominant term) never recomputes
         building.set(true)
         val mvv =
-          try {
+          try Some {
             val dAgg = diffDeltaAgg(spark, info,
-              entry.spec.baseVersions, liveV)
+              entry.spec.baseVersions, liveV, retracting)
             foldIntoMv(spark, entry.spec.mvRoot, info.groups, info.aggs,
               dAgg, "_mv_exact" -> serializeExact(next))
+          } catch {
+            // a hop the keyless feed cannot reconstruct (sidecar-less
+            // UPDATE_DV): degrade to the defining-plan re-run — the MV
+            // never mutates its base to compensate
+            case _: UnsupportedOperationException => None
           } finally building.set(false)
-        exactRegistry.put(norm(next.mvRoot), ExactEntry(next, mpLive,
-          entry.outTypes, recognizeSafe(mpLive, outNames), mvv))
-      case _ =>
-        // re-run the defining plan at live versions: plan, data, and
-        // recorded versions pin the SAME snapshots by construction
-        val joinAgg = recognizeSafe(mpLive, outNames)
-        val df = org.apache.spark.sql.graft.NativeColumns.ofPlan(spark, mpLive)
-        building.set(true)
-        val mvv =
-          try VersionedTable.write(exactMvFrame(spark, df, joinAgg),
-            next.mvRoot, operation = "MV_REBUILD",
-            metaFiles = Map("_mv_exact" -> serializeExact(next)))
-          finally building.set(false)
-        exactRegistry.put(norm(next.mvRoot),
-          ExactEntry(next, mpLive, entry.outTypes, joinAgg, mvv))
+        mvv match {
+          case Some(v) =>
+            exactRegistry.put(norm(next.mvRoot), ExactEntry(next, mpLive,
+              entry.outTypes, recognizeSafe(mpLive, outNames), v))
+          case None => rerun()
+        }
+      case None => rerun()
     }
   }
 

@@ -52,4 +52,11 @@ object NativeColumns {
       : org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Block until every queued SparkListener event is delivered
+    * (`listenerBus` is private[spark]) — listener-based metric
+    * assertions (records/bytes read across an action) are complete
+    * only after the bus drains. */
+  def drainListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }

@@ -314,14 +314,114 @@ class MvExactSpec extends AnyFunSuite {
     }
   }
 
-  test("a DELETE on a join-view base forces the rebuild path — and is right") {
+  test("counting-IVM retractions: a DELETE through a sum/count join " +
+    "view folds differentially — the fact base is never rescanned") {
     val oRoot = tmp("mx_o11"); val cRoot = tmp("mx_c11"); val mv = tmp("mx_mv11")
     mkBases(oRoot, cRoot)
+    // CDF sidecars: the DML commit persists its change rows, so the
+    // refresh delta is O(changed) rows, not O(touched files)
+    VersionedTable.setTblProperties(oRoot,
+      Map("gvt.enableChangeDataFeed" -> "true"))
+    val oRows = spark.read.format("gvt").load(oRoot).count()
     GraftSession.withExtensions(spark) { sess =>
       withViews(sess, oRoot, cRoot, "mx_orders11", "mx_cust11") {
         val defSql =
-          """SELECT segment, sum(cents) AS sum_cents
+          """SELECT segment, sum(cents) AS sum_cents, count(*) AS n
             |FROM mx_orders11 JOIN mx_cust11 ON ck = ck2
+            |GROUP BY segment""".stripMargin
+        MaterializedView.createExact(sess, mv, defSql)
+        // mixed range on the FACT: a retraction hop plus an append hop
+        // (a dim-side delta would legitimately read the full fact in
+        // its o_old ⋈ Δc term — the records bound below pins the FACT
+        // delta path, the 100 TB side)
+        VersionedTable.deleteWhereVector(sess, oRoot, col("k") % 50 === 0)
+        VersionedTable.append(sess.range(10).select(
+          (col("id") + 990000).as("k"), (col("id") % 7).as("ck"),
+          lit("R").as("status"), lit(33L).as("cents")), oRoot)
+        // count every record any refresh job reads: a rebuild rescans
+        // the fact base; the signed fold reads only Δ⁻ ⋈ dims + MV
+        val recordsRead = new java.util.concurrent.atomic.AtomicLong(0L)
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            recordsRead.addAndGet(e.taskMetrics.inputMetrics.recordsRead); ()
+          }
+        }
+        sess.sparkContext.addSparkListener(listener)
+        try {
+          MaterializedView.refresh(sess, mv)
+          org.apache.spark.sql.graft.NativeColumns.drainListenerBus(sess)
+        } finally sess.sparkContext.removeSparkListener(listener)
+        val ops = VersionedTable.history(sess, mv)
+          .select("operation").collect().map(_.getString(0)).toSet
+        assert(ops.contains("MV_REFRESH") && !ops.contains("MV_REBUILD"),
+          s"a retraction must fold, not rebuild: $ops")
+        assert(recordsRead.get() < oRows / 2,
+          s"retraction refresh read ${recordsRead.get()} records — " +
+            s"O(base)=$oRows would mean the fact base was rescanned")
+        val exp = sess.read.format("gvt").load(oRoot)
+          .join(sess.read.format("gvt").load(cRoot), col("ck") === col("ck2"))
+          .groupBy("segment")
+          .agg(sum("cents").as("s"), count(lit(1)).as("c"))
+          .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+          .toMap
+        val got = VersionedTable.readLatest(sess, mv)
+          .select("segment", "sum_cents", "n")
+          .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+          .toMap
+        assert(got == exp)
+        // the refreshed view serves the live query again
+        sess.read.format("gvt").load(oRoot)
+          .createOrReplaceTempView("mx_orders11")
+        sess.read.format("gvt").load(cRoot)
+          .createOrReplaceTempView("mx_cust11")
+        assert(usesMv(sess.sql(defSql), mv))
+        MaterializedView.drop(mv)
+      }
+    }
+  }
+
+  test("retractions that empty a group drop its MV row; a pure-delete " +
+    "range folds (negated) without a positive term") {
+    val oRoot = tmp("mx_o13"); val cRoot = tmp("mx_c13"); val mv = tmp("mx_mv13")
+    // tiny controlled bases: two segments, one fully deleted
+    VersionedTable.write(spark.range(10).select(col("id").as("k"),
+      (col("id") % 2).as("ck"), (col("id") * 100 + 1).as("cents")), oRoot)
+    VersionedTable.write(spark.range(2).select(col("id").as("ck2"),
+      concat(lit("S"), col("id")).as("segment")), cRoot)
+    GraftSession.withExtensions(spark) { sess =>
+      sess.read.format("gvt").load(oRoot).createOrReplaceTempView("mx_o13")
+      sess.read.format("gvt").load(cRoot).createOrReplaceTempView("mx_c13")
+      val defSql =
+        """SELECT segment, sum(cents) AS sum_cents, count(*) AS n
+          |FROM mx_o13 JOIN mx_c13 ON ck = ck2
+          |GROUP BY segment""".stripMargin
+      MaterializedView.createExact(sess, mv, defSql)
+      // delete EVERY S1 order (ck=1 ⇔ odd k) — that group must vanish
+      VersionedTable.deleteWhereVector(sess, oRoot, col("k") % 2 === 1)
+      MaterializedView.refresh(sess, mv)
+      val ops = VersionedTable.history(sess, mv)
+        .select("operation").collect().map(_.getString(0)).toSet
+      assert(ops.contains("MV_REFRESH") && !ops.contains("MV_REBUILD"), ops)
+      val got = VersionedTable.readLatest(sess, mv)
+        .select("segment", "sum_cents", "n")
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      assert(got == Map("S0" -> ((0L + 200 + 400 + 600 + 800 + 5), 5L)),
+        got.toString)
+      MaterializedView.drop(mv)
+    }
+  }
+
+  test("a min/max join view still REBUILDS on retraction — a removed " +
+    "row may carry the extreme") {
+    val oRoot = tmp("mx_o14"); val cRoot = tmp("mx_c14"); val mv = tmp("mx_mv14")
+    mkBases(oRoot, cRoot)
+    GraftSession.withExtensions(spark) { sess =>
+      withViews(sess, oRoot, cRoot, "mx_orders14", "mx_cust14") {
+        val defSql =
+          """SELECT segment, max(cents) AS max_cents
+            |FROM mx_orders14 JOIN mx_cust14 ON ck = ck2
             |GROUP BY segment""".stripMargin
         MaterializedView.createExact(sess, mv, defSql)
         VersionedTable.deleteWhereVector(sess, oRoot, col("k") % 5 === 0)
@@ -331,10 +431,10 @@ class MvExactSpec extends AnyFunSuite {
         assert(ops.contains("MV_REBUILD"), ops)
         val exp = sess.read.format("gvt").load(oRoot)
           .join(sess.read.format("gvt").load(cRoot), col("ck") === col("ck2"))
-          .groupBy("segment").agg(sum("cents").as("s"))
+          .groupBy("segment").agg(max("cents").as("m"))
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         val got = VersionedTable.readLatest(sess, mv)
-          .select("segment", "sum_cents")
+          .select("segment", "max_cents")
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         assert(got == exp)
         MaterializedView.drop(mv)
