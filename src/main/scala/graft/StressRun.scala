@@ -124,7 +124,7 @@ object StressRun {
           "FROM stress_o JOIN stress_c ON k % 15000 = ck2 GROUP BY segment")
     }
     val delta2 = o.filter(col("k") % 993 === 0).limit(10000)
-      .withColumn("k", col("k") + lit(4000000000L)).localCheckpoint()
+      .withColumn("k", col("k") + lit(1000000000000L)).localCheckpoint()
     stage("mv_join_refresh_diff") {
       VersionedTable.append(delta2, root, statsCols = Seq("k"))
       MaterializedView.refresh(spark, mvjRoot)
@@ -136,7 +136,7 @@ object StressRun {
     // retraction re-read the fact)
     stage("mv_join_refresh_retract") {
       VersionedTable.deleteWhereVector(spark, root,
-        col("k") >= 4000000000L)
+        col("k") >= 1000000000000L)
       MaterializedView.refresh(spark, mvjRoot)
     }
     require(MaterializedView.exactViews.exists(e =>

@@ -54,6 +54,16 @@ object MvRewrite extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled || MaterializedView.isBuilding) return plan
+    // storage-backed registry: first planner contact with a gvt root
+    // probes its persisted registrations (one listing per root per
+    // driver), so views created by an EARLIER session rewrite here
+    // with no re-registration call
+    plan.foreach {
+      case lr: LogicalRelation => servedVersion(lr).foreach { case (root, _) =>
+        MaterializedView.discover(SparkSession.active, root)
+      }
+      case _ => ()
+    }
     val p1 = applyExact(plan)
     p1.transform {
       case agg @ Aggregate(groupExprs, aggExprs, child, _) =>

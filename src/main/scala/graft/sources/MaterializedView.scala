@@ -103,8 +103,11 @@ object MaterializedView {
       (if (old == null) Map.empty[String, MvSpec] else old) +
         (norm(spec.mvRoot) -> spec))
 
-  /** Test/ops escape hatch: forget every registered view. */
-  def clearRegistry(): Unit = { registry.clear(); exactRegistry.clear() }
+  /** Test/ops escape hatch: forget every registered view (and the
+    * probed-roots cache, so discovery re-fires like a fresh driver). */
+  def clearRegistry(): Unit = {
+    registry.clear(); exactRegistry.clear(); probedRoots.clear()
+  }
 
   /** The MV snapshot a registration serves: the PINNED version recorded
     * when the registration's data committed (readLatest only for the
@@ -121,11 +124,90 @@ object MaterializedView {
     * to their base scans; the MV table itself stays on disk (re-attach
     * any time). Long-lived sessions creating throwaway views (bench
     * fixtures, notebooks) call this so the exact-match candidate list
-    * — scanned per planned query — never accretes. */
+    * — scanned per planned query — never accretes. Also removes the
+    * storage-backed registration markers, so a FRESH driver stops
+    * discovering the view (DROP propagates across sessions). */
   def drop(mvRoot: String): Unit = {
     val key = norm(mvRoot)
+    val bases = scala.util.Try(baseRootsOf(mvRoot)).getOrElse(Nil)
     exactRegistry.remove(key)
     registry.replaceAll((_, m) => m - key)
+    bases.foreach { b =>
+      scala.util.Try(VersionedTable.delete(registryMarker(b, mvRoot),
+        recursive = false))
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Storage-backed registration: create() stamps a marker under each
+  // BASE root (`<base>/_mv_registry/<md5-of-mvRoot>` holding the
+  // mvRoot path), so a FRESH driver rediscovers persisted views
+  // LAZILY on first planner contact with the base — the rewrite
+  // survives restarts with no re-registration call. The markers ride
+  // the same LogStore seam as the commit protocol (list/read/
+  // overwrite/delete suffice; no atomicity needed — the spec of
+  // record is the MV table's own `_mv`/`_mv_exact` metadata, a stale
+  // or orphaned marker merely attaches fail-closed or no-ops). A
+  // cluster deployment would keep these rows in its metastore.
+  // ------------------------------------------------------------------
+
+  private def registryMarker(baseRoot: String, mvRoot: String)
+      : org.apache.hadoop.fs.Path = {
+    val id = java.security.MessageDigest.getInstance("MD5")
+      .digest(norm(mvRoot).getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(baseRoot, "_mv_registry"), id)
+  }
+
+  private def stampRegistration(baseRoots: Iterable[String],
+                                mvRoot: String): Unit =
+    baseRoots.foreach { b =>
+      VersionedTable.writeString(registryMarker(b, mvRoot),
+        norm(mvRoot) + "\n", overwrite = true)
+    }
+
+  /** Base roots already probed for persisted registrations — one
+    * listing per root per driver lifetime (cleared with the registry,
+    * so tests can simulate a fresh driver). */
+  private val probedRoots =
+    ConcurrentHashMap.newKeySet[String]()
+
+  /** Lazy cross-session discovery, called by the rewrite on first
+    * contact with a gvt root: attach every marker's MV (aggregate
+    * tier first, exact tier second). Failures skip silently —
+    * fail-closed means the query scans its base; an exact view whose
+    * defining SQL needs views not in this session's scope simply
+    * stays unattached. */
+  private[graft] def discover(spark: SparkSession, baseRoot: String): Unit = {
+    val key = norm(baseRoot)
+    if (!probedRoots.add(key)) return
+    val dir = new org.apache.hadoop.fs.Path(baseRoot, "_mv_registry")
+    val markers =
+      try VersionedTable.listNames(dir)
+      catch { case scala.util.control.NonFatal(_) => Seq.empty[String] }
+    markers.foreach { name =>
+      val mvRoot = (try VersionedTable.readString(
+        new org.apache.hadoop.fs.Path(dir, name))
+      catch { case scala.util.control.NonFatal(_) => None })
+        .map(_.trim).getOrElse("")
+      if (mvRoot.nonEmpty && !isRegistered(mvRoot)) {
+        try { attach(mvRoot); () }
+        catch {
+          case scala.util.control.NonFatal(_) =>
+            try { attachExact(spark, mvRoot); () }
+            catch { case scala.util.control.NonFatal(_) => () }
+        }
+      }
+    }
+  }
+
+  private def isRegistered(mvRoot: String): Boolean = {
+    val key = norm(mvRoot)
+    if (exactRegistry.containsKey(key)) return true
+    val it = registry.values().iterator()
+    while (it.hasNext) if (it.next().contains(key)) return true
+    false
   }
 
   // ------------------------------------------------------------------
@@ -307,6 +389,7 @@ object MaterializedView {
       finally building.set(false)
     exactRegistry.put(norm(mvRoot),
       ExactEntry(spec, matchPlan, df.schema.map(_.dataType), joinAgg, mvv))
+    stampRegistration(versions.keys, mvRoot)
   }
 
   /** Re-register a persisted exact view (newest `_mv_exact` wins). The
@@ -751,6 +834,7 @@ object MaterializedView {
     val mvv = VersionedTable.write(mv, mvRoot, operation = "MV_CREATE",
       metaFiles = Map("_mv" -> spec.serialize))
     register(spec.copy(mvVersion = mvv))
+    stampRegistration(Seq(baseRoot), mvRoot)
     v
   }
 

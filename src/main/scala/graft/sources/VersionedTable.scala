@@ -96,20 +96,20 @@ object VersionedTable {
   private def storeOf(p: HPath): LogStore =
     LogStore.forRawScheme(p).getOrElse(LogStore.forPath(p, fcOf(p)))
 
-  private def readString(p: HPath): Option[String] = {
+  private[sources] def readString(p: HPath): Option[String] = {
     metaReads.incrementAndGet()
     storeOf(p).read(p)
   }
 
-  private def writeString(p: HPath, s: String,
+  private[sources] def writeString(p: HPath, s: String,
                           overwrite: Boolean): Unit =
     if (overwrite) storeOf(p).overwrite(p, s)
     else storeOf(p).putIfAbsent(p, s)
 
-  private def delete(p: HPath, recursive: Boolean): Boolean =
+  private[sources] def delete(p: HPath, recursive: Boolean): Boolean =
     storeOf(p).delete(p, recursive)
 
-  private def listNames(p: HPath): Seq[String] = storeOf(p).list(p)
+  private[sources] def listNames(p: HPath): Seq[String] = storeOf(p).list(p)
 
   private def latestFile(root: String) = new HPath(root, "_LATEST")
 

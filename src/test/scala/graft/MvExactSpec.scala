@@ -159,7 +159,14 @@ class MvExactSpec extends AnyFunSuite {
         val defSql = "SELECT status, sum(cents) AS s FROM mx_orders6 " +
           "GROUP BY status"
         MaterializedView.createExact(sess, mv, defSql)
+        // wipe registry AND discovery markers (lost catalog): the
+        // explicit attachExact API is the restore path under test
         MaterializedView.clearRegistry()
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(new java.io.File(oRoot, "_mv_registry"))
         assert(!usesMv(sess.sql(defSql), mv))
         val spec = MaterializedView.attachExact(sess, mv)
         assert(spec.sql == defSql)

@@ -267,16 +267,27 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
-  test("attach restores a persisted MV after the registry is wiped") {
+  test("attach restores a persisted MV after the registry is wiped — " +
+    "even with the discovery marker gone") {
     val base = tmp("mv_base11"); val mv = tmp("mv_view11")
     mkBase(base)
     MaterializedView.create(spark, base, mv, Seq("o_orderstatus"),
       Seq(AggSpec("sum", "cents", "sum_cents")))
+    // wipe the in-memory registry AND the storage-backed markers (a
+    // lost catalog): discovery finds nothing, the cold query scans the
+    // base, and the explicit attach() API restores service from the
+    // MV's own _mv metadata
     MaterializedView.clearRegistry()
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    rm(new java.io.File(base, "_mv_registry"))
     GraftSession.withExtensions(spark) { sess =>
       val cold = gvt(sess, base).groupBy("o_orderstatus")
         .agg(sum("cents").as("s"))
-      assert(!usesMv(cold, mv), "wiped registry must not rewrite")
+      assert(!usesMv(cold, mv),
+        "no registration, no marker: must not rewrite")
       val spec = MaterializedView.attach(mv)
       assert(spec.baseRoot == base && spec.groups == Seq("o_orderstatus"))
       val q = gvt(sess, base).groupBy("o_orderstatus")
@@ -443,6 +454,61 @@ class MvRewriteSpec extends AnyFunSuite {
       val y = q.filter(col("o_orderstatus") === "Y").collect()
       assert(y.length == 1 && y.head.getLong(1) == 4000L &&
         y.head.getLong(2) == 4L)
+    }
+  }
+
+  test("storage-backed registry: a FRESH driver discovers a persisted " +
+    "MV on first planner contact and rewrites; DROP propagates") {
+    val base = tmp("mv_base17"); val mv = tmp("mv_view17")
+    mkBase(base)
+    MaterializedView.create(spark, base, mv, Seq("o_orderstatus"),
+      Seq(AggSpec("sum", "cents", "sum_cents"),
+        AggSpec("count", "*", "n")))
+    // simulate a fresh driver: in-memory registry AND probe cache wiped
+    MaterializedView.clearRegistry()
+    GraftSession.withExtensions(spark) { sess =>
+      val q = gvt(sess, base).groupBy("o_orderstatus")
+        .agg(sum("cents").as("s"), count(lit(1)).as("c"))
+      assert(usesMv(q, mv),
+        "first contact with the base must discover the persisted MV:\n" +
+          q.queryExecution.optimizedPlan)
+      val exp = spark.read.format("gvt").load(base).groupBy("o_orderstatus")
+        .agg(sum("cents").as("s"), count(lit(1)).as("c"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      val got = q.collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got == exp)
+    }
+    // DROP removes the storage-backed marker: the NEXT fresh driver
+    // must not rediscover the view
+    MaterializedView.drop(mv)
+    MaterializedView.clearRegistry()
+    GraftSession.withExtensions(spark) { sess =>
+      val q2 = gvt(sess, base).groupBy("o_orderstatus")
+        .agg(sum("cents").as("s"))
+      assert(!usesMv(q2, mv), "a dropped view must not be rediscovered")
+    }
+  }
+
+  test("storage-backed registry discovers EXACT views too (defining " +
+    "views re-created in the fresh session)") {
+    val base = tmp("mv_base18"); val mv = tmp("mv_view18")
+    mkBase(base)
+    GraftSession.withExtensions(spark) { sess =>
+      gvt(sess, base).createOrReplaceTempView("mv_disc_t")
+      MaterializedView.createExact(sess, mv,
+        "SELECT o_orderstatus, count(DISTINCT o_orderpriority) AS dp " +
+          "FROM mv_disc_t GROUP BY o_orderstatus")
+      MaterializedView.clearRegistry()
+      // fresh driver: the defining view is back in scope, so discovery
+      // can rebuild the match plan
+      gvt(sess, base).createOrReplaceTempView("mv_disc_t")
+      val q = sess.sql(
+        "SELECT o_orderstatus, count(DISTINCT o_orderpriority) AS dp " +
+          "FROM mv_disc_t GROUP BY o_orderstatus")
+      assert(usesMv(q, mv), q.queryExecution.optimizedPlan.toString)
+      MaterializedView.drop(mv)
     }
   }
 
