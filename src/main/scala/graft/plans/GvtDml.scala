@@ -133,13 +133,17 @@ object GvtDml extends Rule[LogicalPlan] {
     * condition, carried to run time (the subquery plan must execute at
     * COMMAND time, inside the locate scan, never during resolution). */
   private[plans] sealed trait SubCond
-  /** `(v…) [NOT] IN (SELECT …)` — or a correlated `[NOT] EXISTS`
-    * decomposed to its equality keys. `notIn3VL` selects the negated
-    * join's semantics: SQL NOT IN's three-valued null poison (true) vs
-    * NOT EXISTS's plain anti-join (false). */
+  /** `(v…) [NOT] IN (SELECT …)` — or a correlated `[NOT] EXISTS` /
+    * `NOT IN` decomposed to its equality keys. `notIn3VL` selects the
+    * negated join's semantics: SQL NOT IN's three-valued null poison
+    * (true) vs NOT EXISTS's plain anti-join (false). `corrKeys` =
+    * number of TRAILING columns of `values` that are decorrelated
+    * equality keys (plain `=` semantics — a NULL key means the row's
+    * subquery set is empty, not poisoned). */
   private[plans] case class InCond(values: Seq[Column], plan: LogicalPlan,
                                    negated: Boolean,
-                                   notIn3VL: Boolean = true) extends SubCond
+                                   notIn3VL: Boolean = true,
+                                   corrKeys: Int = 0) extends SubCond
   /** Uncorrelated `[NOT] EXISTS (SELECT …)` — a run-time constant. */
   private[plans] case class ExistsCond(plan: LogicalPlan,
                                        negated: Boolean) extends SubCond
@@ -204,16 +208,17 @@ object GvtDml extends Rule[LogicalPlan] {
     * scalar-subquery conjuncts). Supported shapes — exactly the ones a
     * distributed semi/anti join (or a run-time constant) expresses
     * faithfully:
-    *  - a TOP-LEVEL conjunct `expr [NOT] IN (subquery)` — uncorrelated,
-    *    or (positive IN) correlated by top-level equality; multi-column
-    *    NOT IN rides the exact-3VL compatibility anti-join;
+    *  - a TOP-LEVEL conjunct `expr [NOT] IN (subquery)` — uncorrelated
+    *    or correlated by top-level equality; uncorrelated multi-column
+    *    NOT IN rides the exact-3VL compatibility anti-join, correlated
+    *    NOT IN the null-probe anti-join on its equality keys;
     *  - a top-level conjunct `[NOT] EXISTS (subquery)` — uncorrelated
     *    (a run-time constant) or correlated by top-level equality (a
     *    semi/anti locate join, EXISTS null semantics);
     *  - any conjunct whose only subqueries are UNCORRELATED SCALARS —
     *    evaluated once at command time (at most one row) and folded as
     *    literals.
-    * Everything else containing a subquery (correlated NOT IN,
+    * Everything else containing a subquery (non-equality or
     * aggregating correlation, disjunctions across subqueries) refuses
     * LOUDLY — never a silent mis-execution. */
   private def splitSubqueries(cond: Expression)
@@ -237,6 +242,16 @@ object GvtDml extends Rule[LogicalPlan] {
       case in: InSubquery =>
         subs += InCond(in.values.map(toColUnchecked), in.query.plan,
           negated = false)
+      case Not(in: InSubquery) if in.query.isCorrelated =>
+        // correlated NOT IN via the null-probe decomposition: a row is
+        // TRUE iff NO subquery row matches its equality keys with a
+        // value that is NULL, equal, or paired against a NULL probe —
+        // one distributed anti-join on the correlation keys (exact
+        // 3VL; see VersionedTable.applyLocateJoins). Non-equality
+        // correlation still refuses loudly in decorrelateEq.
+        val (corrVals, plan) = decorrelateEq(in.query.plan, keepOutput = true)
+        subs += InCond(in.values.map(toColUnchecked) ++ corrVals, plan,
+          negated = true, corrKeys = corrVals.size)
       case Not(in: InSubquery) =>
         subs += InCond(in.values.map(toColUnchecked), uncorrelated(in.query),
           negated = true)
@@ -529,7 +544,7 @@ private[plans] object SubqueryConds {
     if (!allTrue) None
     else Some(inConds.map(ic => VersionedTable.LocateSemiJoin(
       ic.values, NativeColumns.ofPlan(spark, ic.plan), ic.negated,
-      notIn3VL = ic.notIn3VL)))
+      notIn3VL = ic.notIn3VL, corrKeys = ic.corrKeys)))
   }
 
   /** Evaluate every uncorrelated ScalarSubquery in `e` (one ≤1-row job

@@ -1015,6 +1015,39 @@ object RelationalQueries {
         FROM sqldc_t GROUP BY status ORDER BY status""")
     }),
 
+    // CORRELATED NOT IN in DML — the null-probe decomposition: one
+    // distributed anti-join on the correlation keys, exact 3VL. The
+    // fixture pins every branch: a NULL-bearing key group (g=3) never
+    // deletes, an ABSENT group (g=7..9) always deletes (NOT IN () is
+    // TRUE, NULL probes included), elsewhere only non-NULL probes that
+    // match nothing delete.
+    "q_sql_delete_notin_corr" -> ((s, dir) => graft.GraftSession.withExtensions(s) { sess =>
+      val out = tmpDir("graft_sqlnotin")
+      val o = t(sess, dir, "orders").select(col("o_orderkey").as("k"),
+        (col("o_custkey") % 10).as("g"),
+        when(col("o_orderkey") % 11 === 0, lit(null).cast("string"))
+          .otherwise(col("o_orderpriority")).as("p"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      val root = s"$out/t"
+      graft.sources.VersionedTable.write(o, root, statsCols = Seq("k"))
+      def view(): Unit = sess.sql(s"CREATE OR REPLACE TEMPORARY VIEW " +
+        s"sqlni_t USING gvt OPTIONS (path '$root')")
+      view()
+      sess.sql("""CREATE OR REPLACE TEMPORARY VIEW sqlni_s AS
+        SELECT CAST(sg AS BIGINT) AS sg, sv FROM VALUES
+          (0, '1-URGENT'), (1, '2-HIGH'), (2, '3-MEDIUM'),
+          (3, CAST(NULL AS STRING)), (3, '1-URGENT'),
+          (4, '5-LOW'), (5, '4-NOT SPECIFIED'),
+          (6, '1-URGENT'), (6, '2-HIGH') AS v(sg, sv)""")
+      sess.sql("DELETE FROM sqlni_t WHERE p NOT IN " +
+        "(SELECT sv FROM sqlni_s WHERE sg = g)")
+      view()
+      sess.sql("""SELECT g, coalesce(p, '(null)') AS pn,
+        count(*) AS n_orders, sum(cents) AS sum_cents
+        FROM sqlni_t GROUP BY g, coalesce(p, '(null)')
+        ORDER BY g, pn""")
+    }),
+
     // SQL MERGE INTO with the full clause surface (conditional DELETE,
     // UPDATE SET over both sides, INSERT *) — the exact q_merge_clauses
     // semantics driven through SQL text; GvtDml routes it to
@@ -2583,6 +2616,26 @@ object RelationalQueries {
         |SELECT status, CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM d3 GROUP BY status ORDER BY status""".stripMargin,
+
+    // Correlated NOT IN = per-key 3VL row algebra: a row survives iff
+    // the predicate is FALSE or UNKNOWN — i.e. its key group holds a
+    // NULL, a match, or (for a NULL probe) any row at all.
+    "q_sql_delete_notin_corr" ->
+      """WITH t AS (SELECT o_orderkey AS k, o_custkey % 10 AS g,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN NULL
+        |         ELSE o_orderpriority END AS p,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |s(sg, sv) AS (VALUES (0,'1-URGENT'),(1,'2-HIGH'),(2,'3-MEDIUM'),
+        |  (3,NULL),(3,'1-URGENT'),(4,'5-LOW'),(5,'4-NOT SPECIFIED'),
+        |  (6,'1-URGENT'),(6,'2-HIGH')),
+        |kept AS (SELECT * FROM t
+        |  WHERE (p NOT IN (SELECT sv FROM s WHERE sg = g)) IS NOT TRUE)
+        |SELECT g, coalesce(p, '(null)') AS pn,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM kept GROUP BY g, coalesce(p, '(null)')
+        |ORDER BY g, pn""".stripMargin,
 
     // SQL MERGE must equal the clause algebra (the q_merge_clauses
     // oracle verbatim: anti ∪ conditional-update ∪ insert).

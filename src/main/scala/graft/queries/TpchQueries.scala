@@ -46,6 +46,28 @@ object TpchQueries {
     floor((num.cast("double") / den) * lit(f) + lit(0.5)) / lit(f)
   }
 
+  /** The testdata ships no partsupp table; Q2/Q11/Q20 run over a
+    * DETERMINISTIC analogue derived from part × 4 supplier slots with
+    * integer key/qty/cost arithmetic — the DuckDB oracle reproduces
+    * the identical rows from the same parquet inputs (`PS_SQL`), so
+    * the three queries verify end to end like every other row. Key
+    * distinctness: the four suppkey offsets {0,13,26,39} stay distinct
+    * mod any supplier count the generator emits (10/100/1000). */
+  private def partsupp(s: SparkSession, dir: String): DataFrame = {
+    val nSupp = broadcast(t(s, dir, "supplier")
+      .agg(count(lit(1)).as("__n_s")))
+    t(s, dir, "part").select(col("p_partkey"))
+      .withColumn("i", explode(array((0 to 3).map(lit(_)): _*)))
+      .crossJoin(nSupp)
+      .select(col("p_partkey").as("ps_partkey"),
+        ((col("p_partkey") * 7 + col("i") * 13) % col("__n_s"))
+          .as("ps_suppkey"),
+        ((col("p_partkey") * 17 + col("i") * 31) % 9999 + 1)
+          .cast("int").as("ps_availqty"),
+        ((col("p_partkey") * 29 + col("i") * 37) % 90000 + 10000)
+          .as("ps_supplycost_cents"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Q1 pricing summary: one scan, map-side partial agg on a
@@ -68,6 +90,93 @@ object TpchQueries {
         divRnd(col("sum_disc_unit_cents"), col("n_lines"), 2).as("avg_disc_cents"),
         col("n_lines"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // Q2 minimum-cost supplier: partsupp ⋈ broadcast(part filter) ⋈
+    // broadcast(region-scoped suppliers); the correlated min-cost
+    // subquery decorrelates into ONE window min over ps_partkey (no
+    // second shuffle — groupBy+self-join would re-shuffle the same
+    // key), then TakeOrderedAndProject for the top-100. p_mfgr /
+    // s_address / comments absent from the reduced schema.
+    "q_tpch_q2" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val eurNations = t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region")
+          .filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val supp = t(s, dir, "supplier")
+        .join(broadcast(eurNations), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"),
+          cents(col("s_acctbal")).as("acctbal_cents"))
+      val prt = t(s, dir, "part")
+        .filter(col("p_size") <= 15 && col("p_type") === "ECONOMY")
+        .select(col("p_partkey"))
+      val w = Window.partitionBy(col("ps_partkey"))
+      partsupp(s, dir)
+        .join(broadcast(prt), col("ps_partkey") === col("p_partkey"))
+        .join(broadcast(supp), col("ps_suppkey") === col("s_suppkey"))
+        .withColumn("min_cost",
+          min(col("ps_supplycost_cents")).over(w))
+        .filter(col("ps_supplycost_cents") === col("min_cost"))
+        .select(col("acctbal_cents"), col("s_name"), col("n_name"),
+          col("ps_partkey").as("p_partkey"),
+          col("ps_supplycost_cents").as("cost_cents"))
+        .orderBy(col("acctbal_cents").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    }),
+
+    // Q11 important-stock share: nation-scoped partsupp value per
+    // part, kept when above 1/10000 of the nation total — the
+    // threshold comparison stays INTEGER (value*10000 > total), no
+    // float drift; the scalar total broadcasts into the filter.
+    "q_tpch_q11" -> ((s, dir) => {
+      val supp = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+          .filter(col("n_name") === "NATION_7")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val value = partsupp(s, dir)
+        .join(broadcast(supp), col("ps_suppkey") === col("s_suppkey"))
+        .groupBy(col("ps_partkey"))
+        .agg(sum(col("ps_supplycost_cents") * col("ps_availqty"))
+          .as("value_cents"))
+      val total = value.agg(sum(col("value_cents")).as("__total"))
+      value.crossJoin(broadcast(total))
+        .filter(col("value_cents") * 10000 > col("__total"))
+        .select(col("ps_partkey"), col("value_cents"))
+        .orderBy(col("value_cents").desc, col("ps_partkey"))
+    }),
+
+    // Q20 excess-stock suppliers: shipped quantity per (part, supplier)
+    // aggregates map-side on the fact ONCE; partsupp joins it on the
+    // same keys; availqty > half-of-shipped stays integer-exact
+    // (2*availqty > qty); the candidate keys semi-join into the
+    // broadcast nation-scoped suppliers (s_address absent — s_name is
+    // the output and the total order).
+    "q_tpch_q20" -> ((s, dir) => {
+      val prt = t(s, dir, "part").filter(col("p_name").like("small%"))
+        .select(col("p_partkey"))
+      val shipped = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= ts("1995-01-01") &&
+          col("l_shipdate") < ts("1996-01-01"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("qty"))
+      val cand = partsupp(s, dir)
+        .join(broadcast(prt), col("ps_partkey") === col("p_partkey"))
+        .join(shipped, col("ps_partkey") === col("l_partkey") &&
+          col("ps_suppkey") === col("l_suppkey"))
+        .filter(col("ps_availqty").cast("long") * 2 > col("qty"))
+        .select(col("ps_suppkey"))
+      t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+          .filter(col("n_name").isin("NATION_1", "NATION_3", "NATION_5",
+            "NATION_7", "NATION_9"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(cand, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+        .select(col("s_name"))
+        .orderBy(col("s_name"))
     }),
 
     // Q3 shipping-priority top-10: broadcast the segment-filtered
@@ -445,7 +554,73 @@ object TpchQueries {
   private val REV =
     "CAST(floor((l_extendedprice*(1-l_discount))*100 + 0.5) AS BIGINT)"
 
+  /** The deterministic partsupp analogue, DuckDB side — must stay the
+    * exact integer arithmetic of [[partsupp]]. */
+  private val PS_SQL =
+    """ps AS (
+      |  SELECT p_partkey AS ps_partkey,
+      |    (p_partkey*7 + i*13) % (SELECT count(*) FROM supplier)
+      |      AS ps_suppkey,
+      |    CAST((p_partkey*17 + i*31) % 9999 + 1 AS INTEGER)
+      |      AS ps_availqty,
+      |    (p_partkey*29 + i*37) % 90000 + 10000 AS ps_supplycost_cents
+      |  FROM part, (SELECT CAST(unnest([0,1,2,3]) AS BIGINT) AS i))""".stripMargin
+
   val oracle: Map[String, String] = Map(
+
+    "q_tpch_q2" ->
+      s"""WITH $PS_SQL,
+         |eu AS (SELECT n_nationkey, n_name FROM nation
+         |  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'),
+         |su AS (SELECT s_suppkey, s_name, n_name,
+         |    CAST(floor(s_acctbal*100 + 0.5) AS BIGINT) AS acctbal_cents
+         |  FROM supplier JOIN eu ON s_nationkey = n_nationkey),
+         |cand AS (SELECT acctbal_cents, s_name, n_name, ps_partkey AS p_partkey,
+         |    ps_supplycost_cents AS cost_cents,
+         |    min(ps_supplycost_cents) OVER (PARTITION BY ps_partkey)
+         |      AS min_cost
+         |  FROM ps
+         |  JOIN part ON ps_partkey = p_partkey
+         |    AND p_size <= 15 AND p_type = 'ECONOMY'
+         |  JOIN su ON ps_suppkey = s_suppkey)
+         |SELECT acctbal_cents, s_name, n_name, p_partkey, cost_cents
+         |FROM cand WHERE cost_cents = min_cost
+         |ORDER BY acctbal_cents DESC, n_name, s_name, p_partkey
+         |LIMIT 100""".stripMargin,
+
+    "q_tpch_q11" ->
+      s"""WITH $PS_SQL,
+         |su AS (SELECT s_suppkey FROM supplier
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  WHERE n_name = 'NATION_7'),
+         |v AS (SELECT ps_partkey,
+         |    CAST(sum(ps_supplycost_cents * ps_availqty) AS BIGINT)
+         |      AS value_cents
+         |  FROM ps JOIN su ON ps_suppkey = s_suppkey
+         |  GROUP BY ps_partkey)
+         |SELECT ps_partkey, value_cents FROM v
+         |WHERE value_cents * 10000 > (SELECT sum(value_cents) FROM v)
+         |ORDER BY value_cents DESC, ps_partkey""".stripMargin,
+
+    "q_tpch_q20" ->
+      s"""WITH $PS_SQL,
+         |fp AS (SELECT p_partkey FROM part WHERE p_name LIKE 'small%'),
+         |lq AS (SELECT l_partkey, l_suppkey,
+         |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+         |    AND l_shipdate < TIMESTAMP '1996-01-01'
+         |  GROUP BY l_partkey, l_suppkey),
+         |cand AS (SELECT DISTINCT ps_suppkey
+         |  FROM ps JOIN fp ON ps_partkey = p_partkey
+         |  JOIN lq ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+         |  WHERE CAST(ps_availqty AS BIGINT) * 2 > qty)
+         |SELECT s_name FROM supplier
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE n_name IN ('NATION_1','NATION_3','NATION_5',
+         |                 'NATION_7','NATION_9')
+         |  AND s_suppkey IN (SELECT ps_suppkey FROM cand)
+         |ORDER BY s_name""".stripMargin,
 
     "q_tpch_q1" ->
       s"""SELECT l_returnflag, l_linestatus,

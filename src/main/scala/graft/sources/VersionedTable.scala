@@ -3715,7 +3715,8 @@ object VersionedTable {
     * collected value list. */
   case class LocateSemiJoin(values: Seq[org.apache.spark.sql.Column],
                             source: DataFrame, negated: Boolean,
-                            notIn3VL: Boolean = true)
+                            notIn3VL: Boolean = true,
+                            corrKeys: Int = 0)
 
   /** Fold locate refinements onto the located row set with EXACT SQL
     * three-valued semantics — the DV payload holds rows where the whole
@@ -3731,6 +3732,12 @@ object VersionedTable {
     *    regardless), then an equi anti-join over the non-null values —
     *    hash-partitionable at any subquery size. An EMPTY subquery
     *    keeps every row, NULL values included (`x NOT IN ()` is TRUE);
+    *  - CORRELATED NOT IN (equality-decorrelated, `corrKeys` trailing
+    *    key columns): ONE anti-join, condition = corr keys `=` AND
+    *    every probe pair (equal OR either side NULL) — keeps exactly
+    *    the rows whose key group is empty or holds no NULL/match/
+    *    NULL-probe blocker (exact 3VL); the equi keys keep it
+    *    hash-partitionable at any subquery size;
     *  - multi-column NOT IN: the exact-3VL "compatibility" anti-join —
     *    an inner row blocks a target tuple when every column pair is
     *    equal OR either side NULL (the predicate is then TRUE/UNKNOWN).
@@ -3750,6 +3757,25 @@ object VersionedTable {
         val cond = j.values.zip(names)
           .map { case (v, n) => v === renamed(n) }.reduce(_ && _)
         hit.join(renamed, cond, "left_semi")
+      } else if (j.notIn3VL && j.corrKeys > 0) {
+        // correlated NOT IN, exact 3VL in ONE distributed anti-join on
+        // the equality keys: the predicate is TRUE iff the row's key
+        // group is empty, or the probe is non-NULL, the group carries
+        // no NULL, and nothing matches. Equivalently: no group row is
+        // a BLOCKER, where a row blocks when every probe pair is
+        // (equal OR either side NULL). NULL correlation keys never
+        // match (=-semantics: the group is then empty → TRUE), unlike
+        // the probe pairs' null poison. Equi keys keep the join
+        // hash-partitionable at any subquery size — no broadcast
+        // restriction (the pure-OR multi-column shape below).
+        val (valPairs, corrPairs) =
+          j.values.zip(names).splitAt(j.values.size - j.corrKeys)
+        val corrCond = corrPairs
+          .map { case (v, n) => v === renamed(n) }.reduce(_ && _)
+        val blockCond = valPairs
+          .map { case (v, n) => v.isNull || renamed(n).isNull || v === renamed(n) }
+          .reduce(_ && _)
+        hit.join(renamed, corrCond && blockCond, "left_anti")
       } else if (!j.notIn3VL) {
         val cond = j.values.zip(names)
           .map { case (v, n) => v === renamed(n) }.reduce(_ && _)

@@ -235,6 +235,25 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(sess.sql("SELECT id FROM sub_dml WHERE id IN (20, 21) " +
         "ORDER BY id").as[Int].collect().toSeq == Seq(21),
         "only the (id, v)-matching row deletes; the half-match stays")
+      // CORRELATED NOT IN: the null-probe decomposition — one
+      // distributed anti-join on the equality key, exact 3VL per key
+      // group. id 22's group carries a NULL (UNKNOWN → survives), 23
+      // matches (FALSE → survives), 24 mismatches (TRUE → deletes),
+      // 25 has NO group (NOT IN () is TRUE → deletes)
+      sess.sql("SELECT * FROM VALUES (22, CAST(NULL AS BIGINT)), " +
+        "(22, CAST(1 AS BIGINT)), (23, CAST(230 AS BIGINT)), " +
+        "(24, CAST(1 AS BIGINT)) AS t(ck, cv)")
+        .createOrReplaceTempView("sub_corr")
+      sess.sql("DELETE FROM sub_dml WHERE id BETWEEN 22 AND 25 " +
+        "AND v NOT IN (SELECT cv FROM sub_corr WHERE ck = id)")
+      view()
+      assert(sess.sql("SELECT id FROM sub_dml WHERE id BETWEEN 22 AND 25 " +
+        "ORDER BY id").as[Int].collect().toSeq == Seq(22, 23),
+        "correlated NOT IN 3VL: NULL-bearing group and match survive; " +
+          "mismatch and empty group delete")
+      // non-equality correlation in NOT IN keeps the loud refusal
+      refuses("DELETE FROM sub_dml WHERE v NOT IN " +
+        "(SELECT cv FROM sub_corr WHERE ck > id)", "equality")
       refuses("DELETE FROM sub_dml WHERE EXISTS (SELECT count(*) " +
         "FROM sub_keys WHERE sk = id GROUP BY sk HAVING count(*) > 1)",
         "correlated")

@@ -19,15 +19,31 @@ class TpchPlanSpec extends AnyFunSuite {
     df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
   }
 
-  test("no TPC-H query plans a cartesian product; BNLJ only for Q22's 1-row scalar") {
+  test("no TPC-H query plans a cartesian product; BNLJ only for 1-row scalars") {
+    // Q22 broadcasts its 1-row avg; Q2/Q11/Q20 broadcast the 1-row
+    // supplier count their partsupp analogue keys on (and Q11 its
+    // 1-row total) — each a single-row BroadcastNestedLoopJoin, the
+    // scale-right scalar plan
+    val scalarBnlj = Set("q_tpch_q22", "q_tpch_q2", "q_tpch_q11", "q_tpch_q20")
     for (name <- TpchQueries.queries.keys.toSeq.sorted) {
       val plan = finalPlan(name)
       assert(!plan.contains("CartesianProduct"),
         s"$name plans a cartesian product:\n$plan")
-      if (name != "q_tpch_q22")
+      if (!scalarBnlj.contains(name))
         assert(!plan.contains("BroadcastNestedLoopJoin"),
           s"$name plans a nested-loop join:\n$plan")
     }
+  }
+
+  test("Q2 decorrelates min-cost via ONE window over ps_partkey and " +
+    "ends in TakeOrderedAndProject; Q20 semi-joins its candidates") {
+    val q2 = finalPlan("q_tpch_q2")
+    assert(q2.contains("Window"), q2)
+    assert(q2.contains("TakeOrderedAndProject"), q2)
+    assert("SortMergeJoin".r.findAllIn(q2).isEmpty,
+      s"Q2's dims must broadcast:\n$q2")
+    val q20 = finalPlan("q_tpch_q20")
+    assert(q20.contains("LeftSemi"), q20)
   }
 
   test("top-k queries end in TakeOrderedAndProject, not a global sort+limit") {
