@@ -74,8 +74,147 @@ object MvRewrite extends Rule[LogicalPlan] {
               .flatMap(spec => rewrite(agg, groupExprs, aggExprs, cond, spec))
               .headOption
           }
-        }.getOrElse(agg)
+        }.orElse(rollupOverJoinView(agg, groupExprs, aggExprs, child))
+          .getOrElse(agg)
     }
+  }
+
+  /** Algebraic ROLLUP over a differential join view: a query aggregate
+    * whose child `sameResult`s a registered join view's own join
+    * subtree, with grouping keys a SUBSET of the view's groups and
+    * every aggregate semantically equal to one of the view's (or an
+    * `avg`/`count` its counters answer), re-aggregates the MV — the
+    * exact tier serves only the identical shape; this serves the BI
+    * rollups above it (`GROUP BY segment` over a (segment, status)
+    * join view) without touching the join. Freshness is structural:
+    * the cached join subtree embeds every relation's chain dirs, so a
+    * query over an advanced base stops matching. Aggregate matching is
+    * SEMANTIC (attributes aligned positionally across the sameResult
+    * pair, then `semanticEquals`), so aliases and exprIds don't
+    * matter. */
+  private def rollupOverJoinView(agg: Aggregate, groupExprs: Seq[Expression],
+                                 aggExprs: Seq[NamedExpression],
+                                 child: LogicalPlan): Option[LogicalPlan] = {
+    val entries = MaterializedView.exactViews.filter(_.joinAgg.isDefined)
+    if (entries.isEmpty) return None
+    // pruning tolerance: a ROLLUP needs fewer columns than the
+    // defining aggregate, so the optimizer prunes its join subtree
+    // differently — strip the attribute-only (pure-pruning) Projects
+    // from both sides before comparing; pure pruning preserves
+    // attribute identity, so the stripped outputs align positionally
+    def strip(p: LogicalPlan): LogicalPlan = p.transform {
+      case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) => c
+    }
+    val qStripped = strip(child)
+    entries.view.flatMap { e =>
+      val info = e.joinAgg.get
+      val dStripped = strip(info.joinChild)
+      if (qStripped.output.length != dStripped.output.length ||
+          !qStripped.sameResult(dStripped)) None
+      else {
+        // positional attribute alignment across the sameResult pair
+        val attrMap: Map[Long, Attribute] =
+          qStripped.output.map(_.exprId.id)
+            .zip(dStripped.output).toMap
+        def aligned(ex: Expression): Expression = ex.transform {
+          case a: AttributeReference =>
+            attrMap.getOrElse(a.exprId.id, a)
+        }
+        // defining group expressions, positionally named
+        val defGroups: Seq[(Expression, String)] = info.ge.zip(info.groups)
+        // defining aggregates by output name (ae order = aggs order)
+        val defAggs: Seq[(AggregateExpression, String)] = {
+          val it = info.aggs.iterator
+          info.ae.collect {
+            case Alias(ag: AggregateExpression, _) if it.hasNext =>
+              (ag, it.next().out)
+          }
+        }
+        val spark = SparkSession.active
+        val mvPlan = MaterializedView
+          .readMv(spark, e.spec.mvRoot, e.mvVersion).queryExecution.analyzed
+        val mvAttr: Map[String, Attribute] =
+          mvPlan.output.map(a => a.name -> a).toMap
+        def mv(name: String): Attribute =
+          mvAttr.getOrElse(name, throw MvRewrite.MissingMvColumn)
+        def sumOf(a: Attribute): Expression = Sum(a).toAggregateExpression()
+
+        def groupColOf(ex: Expression): Option[String] = {
+          val al = aligned(ex)
+          defGroups.collectFirst { case (g, n) if g.semanticEquals(al) => n }
+        }
+        /** Map one query aggregate onto the MV's re-aggregation. */
+        def mapAgg(ae: AggregateExpression): Option[Expression] = {
+          if (ae.filter.nonEmpty || ae.isDistinct) return None
+          val al = aligned(ae).asInstanceOf[AggregateExpression]
+          // exact semantic match against a declared aggregate
+          defAggs.collectFirst {
+            case (d, out) if d.semanticEquals(al) => (d, out)
+          } match {
+            case Some((d, out)) => d.aggregateFunction match {
+              case _: Sum => Some(sumOf(mv(out)))
+              case _: Count =>
+                Some(Coalesce(Seq(sumOf(mv(out)), Literal(0L))))
+              case _: Min => Some(Min(mv(out)).toAggregateExpression())
+              case _: Max => Some(Max(mv(out)).toAggregateExpression())
+              case _ => None
+            }
+            case None => al.aggregateFunction match {
+              // count(*) answers from the always-materialized _rows
+              case Count(Seq(l: Literal)) if l.value != null =>
+                Some(Coalesce(Seq(sumOf(mv("_rows")), Literal(0L))))
+              // avg(x) = total sum / total non-null count when the view
+              // declares sum(x) (its _nn_ counter rides along)
+              case Average(in, _) if al.dataType == DoubleType =>
+                defAggs.collectFirst {
+                  case (d, out) if d.aggregateFunction.isInstanceOf[Sum] &&
+                      d.aggregateFunction.asInstanceOf[Sum].child
+                        .semanticEquals(in) =>
+                    Divide(Cast(sumOf(mv(out)), DoubleType),
+                      Cast(sumOf(mv(s"_nn_$out")), DoubleType))
+                }
+              // count(x) answers from sum(x)'s non-null counter
+              case Count(Seq(in)) =>
+                defAggs.collectFirst {
+                  case (d, out) if d.aggregateFunction.isInstanceOf[Sum] &&
+                      d.aggregateFunction.asInstanceOf[Sum].child
+                        .semanticEquals(in) =>
+                    Coalesce(Seq(sumOf(mv(s"_nn_$out")), Literal(0L)))
+                }
+              case _ => None
+            }
+          }
+        }
+
+        try {
+          val groupNames: Seq[String] =
+            groupExprs.map(g => groupColOf(g).getOrElse(return None))
+          def remap(ex: Expression): Expression = ex match {
+            case ag: AggregateExpression =>
+              val m = mapAgg(ag).getOrElse(throw MvRewrite.MissingMvColumn)
+              if (m.dataType != ag.dataType) throw MvRewrite.MissingMvColumn
+              m
+            case a: AttributeReference =>
+              mv(groupColOf(a).getOrElse(throw MvRewrite.MissingMvColumn))
+            case _: SubqueryExpression => throw MvRewrite.MissingMvColumn
+            case other if !other.deterministic =>
+              throw MvRewrite.MissingMvColumn
+            case other => other.withNewChildren(other.children.map(remap))
+          }
+          val rebuilt: Seq[NamedExpression] = aggExprs.map {
+            case a: AttributeReference =>
+              Alias(mv(groupColOf(a).getOrElse(return None)), a.name)(
+                exprId = a.exprId)
+            case al @ Alias(c, name) =>
+              val mapped = remap(c)
+              if (mapped.dataType != c.dataType) return None
+              Alias(mapped, name)(exprId = al.exprId)
+            case _ => return None
+          }
+          Some(Aggregate(groupNames.map(mv), rebuilt, mvPlan))
+        } catch { case MvRewrite.MissingMvColumn => None }
+      }
+    }.headOption
   }
 
   /** Whole-subtree exact matching against registered exact views: any

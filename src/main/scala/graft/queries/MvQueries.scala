@@ -231,6 +231,41 @@ object MvQueries {
       }
     }),
 
+    // Algebraic ROLLUP over a differential join view: GROUP BY segment
+    // (a SUBSET of the view's (segment, status) groups) re-aggregates
+    // the MV — sum of sums, summed counts, avg from the sum + its
+    // non-null counter — without recomputing the join. The exact tier
+    // serves only the identical shape; this row pins the rollup tier.
+    "q_mv_join_rollup" -> ((s, dir) => {
+      val out = tmpDir("graft_mvru")
+      val ord = s"$out/ord"; val cust = s"$out/cust"; val mv = s"$out/mv"
+      VersionedTable.write(
+        graft.sources.Tables.t(s, dir, "orders").select(
+          col("o_orderkey").as("k"), col("o_custkey").as("ck_o"),
+          col("o_orderstatus").as("status"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+            .as("cents")), ord)
+      VersionedTable.write(
+        graft.sources.Tables.t(s, dir, "customer").select(
+          col("c_custkey").as("ck"), col("c_mktsegment").as("segment")), cust)
+      graft.GraftSession.withExtensions(s) { sess =>
+        sess.read.format("gvt").load(cust)
+          .createOrReplaceTempView("mvru_cust")
+        sess.read.format("gvt").load(ord)
+          .createOrReplaceTempView("mvru_ord")
+        sess.sql(s"CREATE MATERIALIZED VIEW gvt.`$mv` AS " +
+          "SELECT segment, status, sum(cents) AS sum_cents, count(*) AS n " +
+          "FROM mvru_ord JOIN mvru_cust ON ck_o = ck " +
+          "GROUP BY segment, status").collect()
+        val q = sess.sql(
+          "SELECT segment, sum(cents) AS sum_cents, count(*) AS n_orders, " +
+            "CAST(sum(cents) AS DOUBLE) / count(*) AS avg_cents " +
+            "FROM mvru_ord JOIN mvru_cust ON ck_o = ck " +
+            "GROUP BY segment ORDER BY segment")
+        requireMv(q, mv)
+      }
+    }),
+
     // Counting-IVM RETRACTIONS through a join view: a DELETE plus an
     // append on the fact fold as the SIGNED telescoping delta
     // (P − N: Δ⁺⋈dim minus Δ⁻⋈dim) — A_old⋈B_old never recomputes and
@@ -285,6 +320,17 @@ object MvQueries {
   )
 
   val oracle: Map[String, String] = Map(
+
+    "q_mv_join_rollup" ->
+      """WITH o AS (SELECT o_custkey AS ck_o,
+        |    CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT c_mktsegment AS segment,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(cents) AS DOUBLE) / count(*) AS avg_cents
+        |FROM o JOIN customer ON ck_o = c_custkey
+        |GROUP BY segment ORDER BY segment""".stripMargin,
 
     "q_mv_diff_retract" ->
       """WITH o AS (

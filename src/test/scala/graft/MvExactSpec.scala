@@ -449,6 +449,54 @@ class MvExactSpec extends AnyFunSuite {
     }
   }
 
+  test("algebraic ROLLUP over a differential join view re-aggregates " +
+    "the MV — subset grouping, avg/count from the counters, global agg") {
+    val oRoot = tmp("mx_o15"); val cRoot = tmp("mx_c15"); val mv = tmp("mx_mv15")
+    mkBases(oRoot, cRoot)
+    GraftSession.withExtensions(spark) { sess =>
+      withViews(sess, oRoot, cRoot, "mx_o15_t", "mx_c15_t") {
+        val defSql =
+          """SELECT segment, status, sum(cents) AS sum_cents, count(*) AS n
+            |FROM mx_o15_t JOIN mx_c15_t ON ck = ck2
+            |GROUP BY segment, status""".stripMargin
+        MaterializedView.createExact(sess, mv, defSql)
+        val q = sess.sql(
+          """SELECT segment, sum(cents) AS s, count(*) AS c,
+            |  avg(cents) AS a
+            |FROM mx_o15_t JOIN mx_c15_t ON ck = ck2
+            |GROUP BY segment""".stripMargin)
+        assert(usesMv(q, mv),
+          "subset-grouping rollup must ride the join MV:\n" +
+            q.queryExecution.optimizedPlan)
+        val exp = spark.read.format("gvt").load(oRoot)
+          .join(spark.read.format("gvt").load(cRoot), col("ck") === col("ck2"))
+          .groupBy("segment")
+          .agg(sum("cents").as("s"), count(lit(1)).as("c"),
+            avg("cents").as("a"))
+          .collect().map(r => r.getString(0) ->
+            (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+        val got = q.collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+        assert(got == exp)
+        // the GLOBAL aggregate over the same join rides too
+        val g = sess.sql(
+          """SELECT sum(cents) AS s, count(*) AS c
+            |FROM mx_o15_t JOIN mx_c15_t ON ck = ck2""".stripMargin)
+        assert(usesMv(g, mv), g.queryExecution.optimizedPlan.toString)
+        val gRow = g.collect().head
+        assert((gRow.getLong(0), gRow.getLong(1)) ==
+          (exp.values.map(_._1).sum, exp.values.map(_._2).sum))
+        // a DIFFERENT aggregate input (min, undeclared) must NOT match
+        val nm = sess.sql(
+          """SELECT segment, min(cents) AS m
+            |FROM mx_o15_t JOIN mx_c15_t ON ck = ck2
+            |GROUP BY segment""".stripMargin)
+        assert(!usesMv(nm, mv), "an undeclared aggregate must scan the join")
+        MaterializedView.drop(mv)
+      }
+    }
+  }
+
   test("exact tier serves the PINNED MV snapshot — a newer out-of-band " +
     "MV commit is invisible until re-registration") {
     val oRoot = tmp("mx_opin"); val cRoot = tmp("mx_cpin"); val mv = tmp("mx_mvpin")
