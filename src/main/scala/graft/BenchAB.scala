@@ -67,6 +67,24 @@ object BenchAB {
       .asInstanceOf[Map[String, (SparkSession, String) => DataFrame]]
   }
 
+  /** Run `f` with `cl` as the THREAD CONTEXT classloader: Spark
+    * resolves `format("gvt")` / `USING gvt` through a ServiceLoader
+    * scan of the context loader, so a side must plan under its OWN
+    * loader — otherwise its rules pattern-match against the other
+    * side's relation classes and every DML/MV/SQL-command query fails
+    * (driver-side planning only; the side's classes, once loaded, run
+    * fine in tasks). */
+  private def withLoader[A](cl: ClassLoader)(f: => A): A = {
+    val t = Thread.currentThread()
+    val old = t.getContextClassLoader
+    t.setContextClassLoader(cl)
+    try f finally t.setContextClassLoader(old)
+  }
+
+  /** Execute the query inside its side's loader scope (count = the
+    * bench action) and hand the frame back. */
+  private def forced(df: DataFrame): DataFrame = { df.count(); df }
+
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
       "usage: BenchAB <baseline-jar> [rounds, default 2]")
@@ -87,9 +105,22 @@ object BenchAB {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).selectExpr("sum(id % 7)").collect()
 
-    val sideA = queriesOf(new SideLoader(jarA.toURI.toURL,
-      getClass.getClassLoader))
-    val sideB = SparkEntry.queries
+    val loaderA: ClassLoader =
+      new SideLoader(jarA.toURI.toURL, getClass.getClassLoader)
+    val loaderB: ClassLoader = getClass.getClassLoader
+    val sideA0 = queriesOf(loaderA)
+    val sideB0 = SparkEntry.queries
+    // bind each side's context loader around the ENTIRE query run
+    // (construction AND execution — optimizer rules, codegen, and any
+    // lazy source lookup all resolve classes during the action too)
+    val sideA = sideA0.map { case (n, fn) =>
+      n -> ((s: SparkSession, d: String) =>
+        withLoader(loaderA)(forced(fn(s, d))))
+    }
+    val sideB = sideB0.map { case (n, fn) =>
+      n -> ((s: SparkSession, d: String) =>
+        withLoader(loaderB)(forced(fn(s, d))))
+    }
     val shared = (sideA.keySet & sideB.keySet).toSeq.sorted
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
@@ -101,8 +132,12 @@ object BenchAB {
     def time(fn: (SparkSession, String) => DataFrame, dir: String)
         : Option[Double] = {
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, dir).count(); true }
-        catch { case _: Throwable => false }
+      val ok = try { fn(spark, dir); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench-ab] FAILED: ${e.getClass.getSimpleName}: " +
+            String.valueOf(e.getMessage).take(160))
+          false
+        }
       val d = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
       if (ok) Some(d) else None

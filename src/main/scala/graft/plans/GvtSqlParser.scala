@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
 import org.apache.spark.sql.catalyst.parser.{ParseException, ParserInterface}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType, StringType, StructType}
 import graft.sources.VersionedTable
 
 /** Maintenance SQL for gvt tables — the statements Delta adds beyond
@@ -149,6 +149,8 @@ class GvtSqlParser(session: SparkSession, delegate: ParserInterface)
         GvtRefreshMvCommand(target.trim)
       case DropMvRe(target) =>
         GvtDropMvCommand(target.trim)
+      case ShowMvRe(target) =>
+        GvtShowMvCommand(Option(target).map(_.trim))
       case CreateBloomRe(target, cols) =>
         GvtCreateBloomIndexCommand(target.trim, parsePropKeys(
           cols.replace("`", "")))
@@ -325,6 +327,9 @@ object GvtSqlParser {
     ("""(?is)^REFRESH\s+MATERIALIZED\s+VIEW\s+""" + Target + """\s*$""").r
   private val DropMvRe =
     ("""(?is)^DROP\s+MATERIALIZED\s+VIEW\s+""" + Target + """\s*$""").r
+  private val ShowMvRe =
+    ("""(?is)^SHOW\s+MATERIALIZED\s+VIEWS(?:\s+ON\s+""" + Target +
+      """)?\s*$""").r
   private val CreateBloomRe =
     ("""(?is)^CREATE\s+BLOOMFILTER\s+INDEX\s+ON\s+(?:TABLE\s+)?""" + Target +
       """\s+FOR\s+COLUMNS\s*\(([^)]+)\)\s*$""").r
@@ -1362,5 +1367,39 @@ case class GvtDropMvCommand(target: String) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     graft.sources.MaterializedView.drop(GvtSqlParser.mvPathOf(target))
     Nil
+  }
+}
+
+/** `SHOW MATERIALIZED VIEWS [ON gvt.`/base/path`]` — one row per
+  * registered view (both tiers): its root, maintenance tier, base
+  * roots with the recorded versions, the pinned MV table version the
+  * rewrite serves, and whether every base is still at its recorded
+  * version (fresh = the rewrite fires). `ON <base>` first runs the
+  * lazy storage-backed discovery for that base, so views persisted by
+  * an earlier session list without a query having touched the base. */
+case class GvtShowMvCommand(base: Option[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("mv_root", StringType, nullable = false)(),
+    AttributeReference("tier", StringType, nullable = false)(),
+    AttributeReference("bases", StringType, nullable = false)(),
+    AttributeReference("base_versions", StringType, nullable = false)(),
+    AttributeReference("mv_version", LongType, nullable = false)(),
+    AttributeReference("fresh", BooleanType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    import graft.sources.MaterializedView
+    val baseKey = base.map { b =>
+      val p = GvtSqlParser.mvPathOf(b)
+      MaterializedView.discover(spark, p)
+      MaterializedView.norm(p)
+    }
+    MaterializedView.describeRegistered()
+      .filter { case (_, _, bases, _) => baseKey.forall(k =>
+        bases.exists(x => MaterializedView.norm(x._1) == k)) }
+      .map { case (mv, tier, bases, mvv) =>
+        val fresh = bases.forall { case (r, v) =>
+          VersionedTable.latestVersion(r).contains(v) }
+        Row(mv, tier, bases.map(_._1).mkString(","),
+          bases.map(_._2).mkString(","), mvv, fresh)
+      }
   }
 }

@@ -109,6 +109,22 @@ object MaterializedView {
     registry.clear(); exactRegistry.clear(); probedRoots.clear()
   }
 
+  /** Registry listing for `SHOW MATERIALIZED VIEWS`: one entry per
+    * registered view (both tiers) — (mvRoot, tier, bases with their
+    * recorded versions, served MV version). */
+  def describeRegistered(): Seq[(String, String, Seq[(String, Long)], Long)] = {
+    import scala.jdk.CollectionConverters._
+    val agg = registry.values().asScala.flatMap(_.values).toSeq.distinct
+      .map(s => (s.mvRoot, "algebraic",
+        Seq(s.baseRoot -> s.baseVersion), s.mvVersion))
+    val exact = exactRegistry.values().asScala.toSeq.map { e =>
+      val tier = if (e.joinAgg.isDefined) "differential-join" else "exact"
+      (e.spec.mvRoot, tier, e.spec.baseVersions.toSeq.sortBy(_._1),
+        e.mvVersion)
+    }
+    (agg ++ exact).sortBy(_._1)
+  }
+
   /** The MV snapshot a registration serves: the PINNED version recorded
     * when the registration's data committed (readLatest only for the
     * -1 sentinel of pre-pinning registrations). Pinning closes the

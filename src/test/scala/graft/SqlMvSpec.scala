@@ -83,4 +83,35 @@ class SqlMvSpec extends AnyFunSuite {
       assert(e.getMessage.contains("gvt.`/path` form"))
     }
   }
+
+  test("SHOW MATERIALIZED VIEWS lists both tiers with freshness; " +
+    "ON <base> discovers persisted registrations") {
+    val base = tmp("sqlmv_base3"); val mv = tmp("sqlmv_show")
+    mkBase(base, "sqlmv_t3")
+    GraftSession.withExtensions(spark) { sess =>
+      sess.read.format("gvt").load(base).createOrReplaceTempView("sqlmv_t3")
+      sess.sql(s"CREATE MATERIALIZED VIEW gvt.`$mv` AS " +
+        "SELECT status, sum(cents) AS s, count(*) AS n " +
+        "FROM sqlmv_t3 GROUP BY status").collect()
+      def rowOf(sql: String) = sess.sql(sql).collect()
+        .find(_.getString(0) == mv)
+      val fresh = rowOf("SHOW MATERIALIZED VIEWS")
+      assert(fresh.exists(r => r.getString(1) == "algebraic" &&
+        r.getString(2) == base && r.getBoolean(5)), fresh.toString)
+      // a base commit flips freshness off; REFRESH restores it
+      VersionedTable.append(sess.range(1).select(lit(12345678L).as("k"),
+        lit("Q").as("status"), lit("1-URGENT").as("prio"),
+        lit(9L).as("cents")), base)
+      assert(rowOf("SHOW MATERIALIZED VIEWS").exists(!_.getBoolean(5)))
+      sess.sql(s"REFRESH MATERIALIZED VIEW gvt.`$mv`").collect()
+      assert(rowOf("SHOW MATERIALIZED VIEWS").exists(_.getBoolean(5)))
+      // ON <base> runs the storage-backed discovery: after a registry
+      // wipe (fresh driver), the persisted view lists again
+      MaterializedView.clearRegistry()
+      assert(rowOf(s"SHOW MATERIALIZED VIEWS ON gvt.`$base`").isDefined,
+        "ON <base> must discover the persisted registration")
+      sess.sql(s"DROP MATERIALIZED VIEW gvt.`$mv`").collect()
+      assert(rowOf("SHOW MATERIALIZED VIEWS").isEmpty)
+    }
+  }
 }
