@@ -101,12 +101,25 @@ object MvRewrite extends Rule[LogicalPlan] {
     // defining aggregate, so the optimizer prunes its join subtree
     // differently — strip the attribute-only (pure-pruning) Projects
     // from both sides before comparing; pure pruning preserves
-    // attribute identity, so the stripped outputs align positionally
-    def strip(p: LogicalPlan): LogicalPlan = p.transform {
-      case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) => c
+    // attribute identity, so the stripped outputs align positionally.
+    // Recursion descends ONLY through the shapes the join-view domain
+    // admits (project/filter/join/alias) and stops at anything else:
+    // a blanket transform would also strip the alignment Projects
+    // under a chain-read Union, leaving children of mismatched widths
+    // whose output computation THROWS — and this runs inside the
+    // optimizer on every query while any join view is registered.
+    def strip(p: LogicalPlan): LogicalPlan = p match {
+      case Project(pl, c)
+          if pl.forall(_.isInstanceOf[AttributeReference]) => strip(c)
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        j.withNewChildren(j.children.map(strip))
+      case f: Filter => f.withNewChildren(f.children.map(strip))
+      case s: SubqueryAlias => strip(s.child)
+      case other => other
     }
     val qStripped = strip(child)
     entries.view.flatMap { e =>
+      try {
       val info = e.joinAgg.get
       val dStripped = strip(info.joinChild)
       if (qStripped.output.length != dStripped.output.length ||
@@ -213,6 +226,11 @@ object MvRewrite extends Rule[LogicalPlan] {
           }
           Some(Aggregate(groupNames.map(mv), rebuilt, mvPlan))
         } catch { case MvRewrite.MissingMvColumn => None }
+      }
+      } catch {
+        // an optional rewrite must NEVER fail the user's query: any
+        // comparison surprise on an exotic plan degrades to no-match
+        case scala.util.control.NonFatal(_) => None
       }
     }.headOption
   }

@@ -497,6 +497,44 @@ class MvExactSpec extends AnyFunSuite {
     }
   }
 
+  test("a registered join view never breaks unrelated aggregates over " +
+    "evolved chains (the rollup matcher's strip is width-safe)") {
+    val oRoot = tmp("mx_o16"); val cRoot = tmp("mx_c16"); val mv = tmp("mx_mv16")
+    val evo = tmp("mx_evo16")
+    mkBases(oRoot, cRoot)
+    GraftSession.withExtensions(spark) { sess =>
+      withViews(sess, oRoot, cRoot, "mx_o16_t", "mx_c16_t") {
+        MaterializedView.createExact(sess, mv,
+          """SELECT segment, sum(cents) AS sum_cents
+            |FROM mx_o16_t JOIN mx_c16_t ON ck = ck2
+            |GROUP BY segment""".stripMargin)
+        // an EVOLVED chain: its read is a unionByName whose children
+        // align through pruning/padding Projects — the rollup
+        // matcher's strip must not dismantle them (the r15 bug failed
+        // ANY such aggregate planned while a join view was registered)
+        VersionedTable.write(spark.range(10)
+          .select(col("id").as("a"), (col("id") * 2).as("b")), evo)
+        VersionedTable.addColumns(sess, evo,
+          Seq("c" -> org.apache.spark.sql.types.StringType))
+        VersionedTable.append(sess.range(5).select(
+          (col("id") + 100).as("a"), (col("id") * 3).as("b"),
+          concat(lit("x"), col("id")).as("c")), evo)
+        val agg = sess.read.format("gvt").load(evo)
+          .agg(sum(col("a")).as("s"), count(lit(1)).as("n")).collect().head
+        assert(agg.getLong(0) == (0 until 10).sum + (100 until 105).sum &&
+          agg.getLong(1) == 15L)
+        // a widened chain too (Cast-aligned union children)
+        VersionedTable.widenColumnType(sess, evo, "b",
+          org.apache.spark.sql.types.DoubleType)
+        VersionedTable.append(sess.range(2).select(
+          (col("id") + 200).as("a"), lit(0.5).as("b"),
+          lit("y").as("c")), evo)
+        assert(sess.read.format("gvt").load(evo).count() == 17)
+        MaterializedView.drop(mv)
+      }
+    }
+  }
+
   test("exact tier serves the PINNED MV snapshot — a newer out-of-band " +
     "MV commit is invisible until re-registration") {
     val oRoot = tmp("mx_opin"); val cRoot = tmp("mx_cpin"); val mv = tmp("mx_mvpin")
