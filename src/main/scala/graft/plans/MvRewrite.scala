@@ -97,38 +97,12 @@ object MvRewrite extends Rule[LogicalPlan] {
                                  child: LogicalPlan): Option[LogicalPlan] = {
     val entries = MaterializedView.exactViews.filter(_.joinAgg.isDefined)
     if (entries.isEmpty) return None
-    // pruning tolerance: a ROLLUP needs fewer columns than the
-    // defining aggregate, so the optimizer prunes its join subtree
-    // differently — strip the attribute-only (pure-pruning) Projects
-    // from both sides before comparing; pure pruning preserves
-    // attribute identity, so the stripped outputs align positionally.
-    // Recursion descends ONLY through the shapes the join-view domain
-    // admits (project/filter/join/alias) and stops at anything else:
-    // a blanket transform would also strip the alignment Projects
-    // under a chain-read Union, leaving children of mismatched widths
-    // whose output computation THROWS — and this runs inside the
-    // optimizer on every query while any join view is registered.
-    def strip(p: LogicalPlan): LogicalPlan = p match {
-      case Project(pl, c)
-          if pl.forall(_.isInstanceOf[AttributeReference]) => strip(c)
-      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
-        j.withNewChildren(j.children.map(strip))
-      case f: Filter => f.withNewChildren(f.children.map(strip))
-      case s: SubqueryAlias => strip(s.child)
-      case other => other
-    }
-    val qStripped = strip(child)
     entries.view.flatMap { e =>
       try {
       val info = e.joinAgg.get
-      val dStripped = strip(info.joinChild)
-      if (qStripped.output.length != dStripped.output.length ||
-          !qStripped.sameResult(dStripped)) None
-      else {
-        // positional attribute alignment across the sameResult pair
-        val attrMap: Map[Long, Attribute] =
-          qStripped.output.map(_.exprId.id)
-            .zip(dStripped.output).toMap
+      matchSubtree(child, info.joinChild) match {
+      case None => None
+      case Some((attrMap, extras)) =>
         def aligned(ex: Expression): Expression = ex.transform {
           case a: AttributeReference =>
             attrMap.getOrElse(a.exprId.id, a)
@@ -224,7 +198,23 @@ object MvRewrite extends Rule[LogicalPlan] {
               Alias(mapped, name)(exprId = al.exprId)
             case _ => return None
           }
-          Some(Aggregate(groupNames.map(mv), rebuilt, mvPlan))
+          // COMPENSATION predicates: the query's extra filter conjuncts
+          // (beyond the defining plan's own) apply on the MV when every
+          // one references ONLY grouping columns — group rows partition
+          // the space, so filtering MV rows equals filtering base rows
+          val comp: Seq[Expression] = extras.map { c =>
+            if (!c.deterministic ||
+                c.exists(_.isInstanceOf[SubqueryExpression]))
+              throw MvRewrite.MissingMvColumn
+            c.transform {
+              case a: AttributeReference =>
+                mv(groupColOf(a).getOrElse(throw MvRewrite.MissingMvColumn))
+            }
+          }
+          val mvChild: LogicalPlan = comp
+            .reduceOption(org.apache.spark.sql.catalyst.expressions.And(_, _))
+            .map(Filter(_, mvPlan)).getOrElse(mvPlan)
+          Some(Aggregate(groupNames.map(mv), rebuilt, mvChild))
         } catch { case MvRewrite.MissingMvColumn => None }
       }
       } catch {
@@ -233,6 +223,100 @@ object MvRewrite extends Rule[LogicalPlan] {
         case scala.util.control.NonFatal(_) => None
       }
     }.headOption
+  }
+
+  /** Lockstep structural matcher for the join-rollup tier: does the
+    * query aggregate's child compute the SAME join the view does —
+    * modulo column pruning (attribute-only Projects skipped on either
+    * side) and EXTRA query-side filter conjuncts (returned for
+    * compensation)? On success returns the query→defining attribute
+    * alignment (built from the pairwise `sameResult` leaf relations,
+    * extended through matched compute-Projects) and the extra
+    * conjuncts. Fail-closed on any shape surprise: a defining-side
+    * conjunct the query lacks (the MV would be missing rows), a
+    * mismatched join type/condition, or any node class outside
+    * project/filter/join/alias. */
+  private def matchSubtree(q: LogicalPlan, d: LogicalPlan)
+      : Option[(Map[Long, Attribute], Seq[Expression])] = {
+    import org.apache.spark.sql.catalyst.expressions.And
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val qLeaves = q.collectLeaves()
+    val dLeaves = d.collectLeaves()
+    if (qLeaves.length != dLeaves.length) return None
+    val leavesOk = qLeaves.zip(dLeaves).forall {
+      case (a: LogicalRelation, b: LogicalRelation) =>
+        a.output.length == b.output.length && a.sameResult(b)
+      case _ => false
+    }
+    if (!leavesOk) return None
+    var amap: Map[Long, Attribute] = qLeaves.zip(dLeaves).flatMap {
+      case (a, b) => a.output.map(_.exprId.id).zip(b.output)
+    }.toMap
+    def aligned(e: Expression): Expression = e.transform {
+      case a: AttributeReference => amap.getOrElse(a.exprId.id, a)
+    }
+    def conj(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conj(l) ++ conj(r)
+      case x => Seq(x)
+    }
+    val extras = Seq.newBuilder[Expression]
+    def walk(qp: LogicalPlan, dp: LogicalPlan): Boolean = (qp, dp) match {
+      case (SubqueryAlias(_, qc), _) => walk(qc, dp)
+      case (_, SubqueryAlias(_, dc)) => walk(qp, dc)
+      case (Project(pl, qc), _)
+          if pl.forall(_.isInstanceOf[AttributeReference]) => walk(qc, dp)
+      case (_, Project(pl, dc))
+          if pl.forall(_.isInstanceOf[AttributeReference]) => walk(qp, dc)
+      case (Filter(cq, qc), Filter(cd, dc)) =>
+        // the defining conjuncts must all be covered by the query's
+        // (else the MV holds rows the query excludes... or misses
+        // rows — either way unservable); query-side surplus becomes
+        // compensation
+        val dConj = conj(cd)
+        val qConj = conj(cq).map(c => (c, aligned(c)))
+        if (!dConj.forall(dc0 => qConj.exists(_._2.semanticEquals(dc0))))
+          return false
+        extras ++= qConj.collect {
+          case (c, al) if !dConj.exists(al.semanticEquals) => c
+        }
+        walk(qc, dc)
+      case (Filter(cq, qc), _) =>
+        extras ++= conj(cq); walk(qc, dp)
+      case (_, _: Filter) => false
+      case (jq: Join, jd: Join) =>
+        jq.joinType == jd.joinType &&
+          ((jq.condition, jd.condition) match {
+            case (Some(a), Some(b)) =>
+              val ca = conj(a).map(aligned); val cb = conj(b)
+              ca.length == cb.length &&
+                ca.forall(x => cb.exists(_.semanticEquals(x))) &&
+                cb.forall(x => ca.exists(_.semanticEquals(x)))
+            case (None, None) => true
+            case _ => false
+          }) && walk(jq.left, jd.left) && walk(jq.right, jd.right)
+      case (a: Project, b: Project) =>
+        // compute Projects: expression lists must agree pairwise (in
+        // the alignment built so far); their aliases extend the map
+        a.projectList.length == b.projectList.length && {
+          val ok = a.projectList.zip(b.projectList).forall {
+            case (x: Alias, y: Alias) =>
+              aligned(x.child).semanticEquals(y.child)
+            case (x: AttributeReference, y: AttributeReference) =>
+              amap.get(x.exprId.id).exists(_.exprId == y.exprId)
+            case _ => false
+          }
+          if (ok) a.projectList.zip(b.projectList).foreach {
+            case (x: Alias, y: Alias) =>
+              amap += (x.exprId.id -> y.toAttribute)
+            case _ => ()
+          }
+          ok
+        }
+      case (_: LogicalRelation, _: LogicalRelation) =>
+        true // pairwise-verified up front; lockstep keeps the pairing
+      case _ => false
+    }
+    if (walk(q, d)) Some((amap, extras.result())) else None
   }
 
   /** Whole-subtree exact matching against registered exact views: any

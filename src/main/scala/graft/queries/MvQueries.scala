@@ -234,8 +234,12 @@ object MvQueries {
     // Algebraic ROLLUP over a differential join view: GROUP BY segment
     // (a SUBSET of the view's (segment, status) groups) re-aggregates
     // the MV — sum of sums, summed counts, avg from the sum + its
-    // non-null counter — without recomputing the join. The exact tier
-    // serves only the identical shape; this row pins the rollup tier.
+    // non-null counter — without recomputing the join, and the WHERE
+    // on the other group column rides as a COMPENSATION predicate on
+    // the MV rows (the optimizer pushes it below the join, where
+    // whole-subtree matching alone could never serve it). The exact
+    // tier serves only the identical shape; this row pins the rollup
+    // tier.
     "q_mv_join_rollup" -> ((s, dir) => {
       val out = tmpDir("graft_mvru")
       val ord = s"$out/ord"; val cust = s"$out/cust"; val mv = s"$out/mv"
@@ -261,6 +265,7 @@ object MvQueries {
           "SELECT segment, sum(cents) AS sum_cents, count(*) AS n_orders, " +
             "CAST(sum(cents) AS DOUBLE) / count(*) AS avg_cents " +
             "FROM mvru_ord JOIN mvru_cust ON ck_o = ck " +
+            "WHERE status <> 'F' " +
             "GROUP BY segment ORDER BY segment")
         requireMv(q, mv)
       }
@@ -324,7 +329,7 @@ object MvQueries {
     "q_mv_join_rollup" ->
       """WITH o AS (SELECT o_custkey AS ck_o,
         |    CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents
-        |  FROM orders)
+        |  FROM orders WHERE o_orderstatus <> 'F')
         |SELECT c_mktsegment AS segment,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents,
         |  CAST(count(*) AS BIGINT) AS n_orders,

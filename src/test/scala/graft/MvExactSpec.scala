@@ -497,6 +497,80 @@ class MvExactSpec extends AnyFunSuite {
     }
   }
 
+  test("rollup COMPENSATION: a filter on a group column (pushed below " +
+    "the join by the optimizer) applies on the MV; non-group filters " +
+    "and defining-side-only filters fail closed") {
+    val oRoot = tmp("mx_o17"); val cRoot = tmp("mx_c17"); val mv = tmp("mx_mv17")
+    mkBases(oRoot, cRoot)
+    GraftSession.withExtensions(spark) { sess =>
+      withViews(sess, oRoot, cRoot, "mx_o17_t", "mx_c17_t") {
+        MaterializedView.createExact(sess, mv,
+          """SELECT segment, status, sum(cents) AS sum_cents, count(*) AS n
+            |FROM mx_o17_t JOIN mx_c17_t ON ck = ck2
+            |GROUP BY segment, status""".stripMargin)
+        // WHERE on a DIM group column + rollup to the other group —
+        // the classic dashboard shape; Catalyst pushes the predicate
+        // into the customer scan, so whole-subtree matching alone
+        // cannot serve it
+        val q = sess.sql(
+          """SELECT status, sum(cents) AS s, count(*) AS c
+            |FROM mx_o17_t JOIN mx_c17_t ON ck = ck2
+            |WHERE segment = 'BUILDING'
+            |GROUP BY status""".stripMargin)
+        assert(usesMv(q, mv),
+          "group-column filter must compensate on the MV:\n" +
+            q.queryExecution.optimizedPlan)
+        val exp = spark.read.format("gvt").load(oRoot)
+          .join(spark.read.format("gvt").load(cRoot), col("ck") === col("ck2"))
+          .filter(col("segment") === "BUILDING")
+          .groupBy("status")
+          .agg(sum("cents").as("s"), count(lit(1)).as("c"))
+          .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+          .toMap
+        val got = q.collect()
+          .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+        assert(got == exp)
+        // a FACT-side group-column filter compensates too
+        val qf = sess.sql(
+          """SELECT segment, sum(cents) AS s
+            |FROM mx_o17_t JOIN mx_c17_t ON ck = ck2
+            |WHERE status <> 'F'
+            |GROUP BY segment""".stripMargin)
+        assert(usesMv(qf, mv), qf.queryExecution.optimizedPlan.toString)
+        // a NON-group-column filter must scan the join
+        val qn = sess.sql(
+          """SELECT status, sum(cents) AS s
+            |FROM mx_o17_t JOIN mx_c17_t ON ck = ck2
+            |WHERE cents > 100
+            |GROUP BY status""".stripMargin)
+        assert(!usesMv(qn, mv), "a data-column filter cannot compensate")
+        MaterializedView.drop(mv)
+      }
+    }
+  }
+
+  test("rollup compensation fails closed when the VIEW filters and the " +
+    "query does not (the MV is missing rows)") {
+    val oRoot = tmp("mx_o18"); val cRoot = tmp("mx_c18"); val mv = tmp("mx_mv18")
+    mkBases(oRoot, cRoot)
+    GraftSession.withExtensions(spark) { sess =>
+      withViews(sess, oRoot, cRoot, "mx_o18_t", "mx_c18_t") {
+        MaterializedView.createExact(sess, mv,
+          """SELECT segment, status, sum(cents) AS sum_cents
+            |FROM mx_o18_t JOIN mx_c18_t ON ck = ck2
+            |WHERE status = 'O'
+            |GROUP BY segment, status""".stripMargin)
+        val q = sess.sql(
+          """SELECT segment, sum(cents) AS s
+            |FROM mx_o18_t JOIN mx_c18_t ON ck = ck2
+            |GROUP BY segment""".stripMargin)
+        assert(!usesMv(q, mv),
+          "an unfiltered rollup must not ride a filtered view")
+        MaterializedView.drop(mv)
+      }
+    }
+  }
+
   test("a registered join view never breaks unrelated aggregates over " +
     "evolved chains (the rollup matcher's strip is width-safe)") {
     val oRoot = tmp("mx_o16"); val cRoot = tmp("mx_c16"); val mv = tmp("mx_mv16")
