@@ -159,13 +159,21 @@ object GvtDml extends Rule[LogicalPlan] {
     * it. Anything richer (correlation under an aggregate/join, non-
     * equality correlation, outer refs in the projection) refuses
     * LOUDLY — never a silent mis-execution. */
-  private def decorrelateEq(plan0: LogicalPlan,
-                            keepOutput: Boolean): (Seq[Column], LogicalPlan) = {
-    import org.apache.spark.sql.catalyst.expressions.{Alias, OuterReference}
-    def hasOuter(e: Expression): Boolean =
-      e.exists(_.isInstanceOf[OuterReference])
-    def planHasOuter(p: LogicalPlan): Boolean =
-      p.exists(_.expressions.exists(hasOuter))
+  private def hasOuter(e: Expression): Boolean =
+    e.exists(_.isInstanceOf[
+      org.apache.spark.sql.catalyst.expressions.OuterReference])
+  private def planHasOuter(p: LogicalPlan): Boolean =
+    p.exists(_.expressions.exists(hasOuter))
+
+  /** Collect every top-level `outer-column = inner-expression`
+    * equality conjunct from `body`'s Filter pipeline, returning the
+    * (outer attr, inner expr) pairs and the pipeline with them
+    * removed. Refuses loudly on any other outer-referencing predicate
+    * or on residual outer references — the shared core of every
+    * correlated-subquery decomposition here. */
+  private def stripEqCorrelation(body: LogicalPlan)
+      : (Seq[(AttributeReference, Expression)], LogicalPlan) = {
+    import org.apache.spark.sql.catalyst.expressions.OuterReference
     val pairs = scala.collection.mutable.ArrayBuffer
       .empty[(AttributeReference, Expression)]
     def strip(p: LogicalPlan): LogicalPlan = p match {
@@ -185,22 +193,103 @@ object GvtDml extends Rule[LogicalPlan] {
           .getOrElse(sc)
       case other => other
     }
-    val (projList, body) = plan0 match {
-      case Project(pl, child) if !pl.exists(hasOuter) => (pl, child)
-      case other => (Seq.empty, other)
-    }
     val stripped = strip(body)
     if (pairs.isEmpty || planHasOuter(stripped))
       unsupported("a correlated DML subquery whose correlation is not a " +
         "top-level equality conjunct over the subquery's own filter " +
-        "pipeline (aggregating/disjunctive/nested correlation does not " +
-        "decompose into a distributed locate join)")
-    val aliases = pairs.toSeq.zipWithIndex.map { case ((_, in), i) =>
+        "pipeline (disjunctive/nested correlation does not decompose " +
+        "into a distributed locate join)")
+    (pairs.toSeq, stripped)
+  }
+
+  private def decorrelateEq(plan0: LogicalPlan,
+                            keepOutput: Boolean): (Seq[Column], LogicalPlan) = {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    val (projList, body) = plan0 match {
+      case Project(pl, child) if !pl.exists(hasOuter) => (pl, child)
+      case other => (Seq.empty, other)
+    }
+    val (pairs, stripped) = stripEqCorrelation(body)
+    val aliases = pairs.zipWithIndex.map { case ((_, in), i) =>
       Alias(in, s"__gvt_corr_$i")() }
     val keep: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression] =
       if (keepOutput) projList else Seq.empty
-    (pairs.toSeq.map { case (a, _) => toColUnchecked(a) },
+    (pairs.map { case (a, _) => toColUnchecked(a) },
       Project(keep ++ aliases, stripped))
+  }
+
+  /** A decorrelated AGGREGATED scalar subquery: join `plan`
+    * ([value, matched, keys…], ≤1 row per key group by construction)
+    * LEFT onto the locate scan on `keys`; references in the enclosing
+    * expression become `If(isnull(matched), onEmpty, value)` — exact
+    * SQL scalar semantics including COUNT's 0-on-empty-group. */
+  private[plans] case class CorrScalar(out: String, keys: Seq[Column],
+                                       plan: LogicalPlan)
+
+  /** Decompose `(SELECT <agg-expr> FROM s WHERE s.k = t.k AND …)` —
+    * a GLOBAL aggregate whose correlation is top-level equality in the
+    * pipeline BELOW it — into a per-key aggregate plan plus the
+    * substitute expression for the enclosing conjunct/assignment.
+    * `idx` names the joined columns. The aggregate expression may sit
+    * inside deterministic scaffolding (casts, arithmetic); the
+    * on-empty value is the scaffolding evaluated with COUNT→0 and
+    * every other aggregate→NULL (what the original scalar returns for
+    * an empty key group). A NON-aggregated correlated scalar can
+    * yield several rows per key and refuses loudly. */
+  private def decorrelateScalarAgg(plan0: LogicalPlan, idx: Int)
+      : (CorrScalar, Expression) = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, If, IsNull, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val agg = plan0 match {
+      case a: Aggregate => a
+      case Project(Seq(_: AttributeReference), a: Aggregate) => a
+      case other => unsupported("a CORRELATED scalar subquery that is " +
+        s"not an aggregate ($other) — a bare correlated scalar can " +
+        "return several rows per key; aggregate it, or evaluate per " +
+        "key via MERGE")
+    }
+    if (agg.groupingExpressions.nonEmpty)
+      unsupported("a correlated scalar subquery with its own GROUP BY " +
+        "(returns one row per ITS groups, not per outer key)")
+    val valueAlias = agg.aggregateExpressions match {
+      case Seq(al @ Alias(e, _)) if !hasOuter(e) &&
+          e.collect { case ae: AggregateExpression => ae }.forall {
+            ae => !ae.isDistinct && ae.filter.isEmpty &&
+              (ae.aggregateFunction match {
+                case _: Sum | _: Count | _: Min | _: Max | _: Average => true
+                case _ => false
+              })
+          } => al
+      case other => unsupported("a correlated scalar aggregate beyond " +
+        s"sum/count/min/max/avg under deterministic scaffolding ($other)")
+    }
+    if (!valueAlias.child.deterministic)
+      unsupported("a non-deterministic correlated scalar subquery")
+    val (pairs, stripped) = stripEqCorrelation(agg.child)
+    val keyAliases = pairs.zipWithIndex.map { case ((_, in), i) =>
+      Alias(in, s"__gvt_csk_$i")() }
+    val out = s"__gvt_cs_$idx"
+    val decorrelated = Aggregate(pairs.map(_._2),
+      Alias(valueAlias.child, out)() +:
+        Alias(Literal(true), s"${out}_m")() +: keyAliases,
+      stripped)
+    // the value of the original scalar over an EMPTY key group: the
+    // scaffolding with COUNT→0 and null-on-empty aggregates→NULL,
+    // folded to a literal
+    val onEmptyExpr = valueAlias.child.transform {
+      case ae: AggregateExpression => ae.aggregateFunction match {
+        case _: Count => Literal(0L)
+        case f => Literal.create(null, f.dataType)
+      }
+    }
+    val onEmpty = Literal.create(onEmptyExpr.eval(
+      org.apache.spark.sql.catalyst.InternalRow.empty), onEmptyExpr.dataType)
+    val substitute: Expression = If(
+      IsNull(UnresolvedAttribute(Seq(s"${out}_m"))),
+      onEmpty, UnresolvedAttribute(Seq(out)))
+    (CorrScalar(out, pairs.map { case (a, _) => toColUnchecked(a) },
+      decorrelated), substitute)
   }
 
   /** Split a resolved DELETE/UPDATE condition into (residual
@@ -221,7 +310,9 @@ object GvtDml extends Rule[LogicalPlan] {
     * Everything else containing a subquery (non-equality or
     * aggregating correlation, disjunctions across subqueries) refuses
     * LOUDLY — never a silent mis-execution. */
-  private def splitSubqueries(cond: Expression)
+  private def splitSubqueries(cond: Expression,
+                              corrScalars: scala.collection.mutable
+                                .ArrayBuffer[CorrScalar])
       : (Option[Column], Seq[SubCond], Seq[Expression]) = {
     import org.apache.spark.sql.catalyst.expressions.{Exists, InSubquery, Not, ScalarSubquery}
     def uncorrelated(s: SubqueryExpression): LogicalPlan = {
@@ -266,22 +357,26 @@ object GvtDml extends Rule[LogicalPlan] {
       case Not(ex: Exists) =>
         subs += ExistsCond(ex.plan, negated = true)
       case other if other.exists(_.isInstanceOf[SubqueryExpression]) =>
-        // a conjunct whose ONLY subqueries are uncorrelated scalars is
-        // deferred whole: the scalars evaluate at command time (one
-        // ≤1-row job each) and fold as literals into the condition
-        other.foreach {
-          case s: ScalarSubquery =>
-            if (s.isCorrelated)
-              unsupported("a CORRELATED scalar subquery in a DML " +
-                "condition (evaluate it per key via MERGE instead)")
+        // CORRELATED AGGREGATED scalars decompose into per-key locate
+        // joins; a conjunct whose remaining subqueries are
+        // uncorrelated scalars is deferred whole (each evaluates at
+        // command time as one ≤1-row job and folds as a literal)
+        val substituted = other.transform {
+          case s: ScalarSubquery if s.isCorrelated =>
+            val (cs, sub) = decorrelateScalarAgg(s.plan, corrScalars.size)
+            corrScalars += cs
+            sub
+        }
+        substituted.foreach {
           case s: SubqueryExpression if !s.isInstanceOf[ScalarSubquery] =>
             unsupported(s"a subquery nested inside a DML condition " +
               s"conjunct ($other) — only top-level [NOT] IN / [NOT] " +
-              "EXISTS conjuncts and uncorrelated scalar subqueries " +
-              "decompose")
+              "EXISTS conjuncts and scalar subqueries decompose")
           case _ => ()
         }
-        scalars += other
+        if (substituted.exists(_.isInstanceOf[SubqueryExpression]))
+          scalars += substituted
+        else plain += toColUnchecked(substituted)
       case other => plain += toCol(other)
     }
     val residual = plain.reduceOption(_ && _)
@@ -291,43 +386,51 @@ object GvtDml extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     case d @ DeleteFromTable(GvtTarget(root, pinned), condition) if d.resolved =>
       requireLive(pinned, "DELETE FROM")
-      val (residual, subs, scalars) = splitSubqueries(condition)
+      val corrScalars = scala.collection.mutable.ArrayBuffer.empty[CorrScalar]
+      val (residual, subs, scalars) = splitSubqueries(condition, corrScalars)
       GvtDeleteCommand(root,
         residual.getOrElse(org.apache.spark.sql.functions.lit(true)),
         subs.collect { case i: InCond => i },
         subs.collect { case e: ExistsCond => e },
-        scalarConds = scalars)
+        scalarConds = scalars,
+        corrScalars = corrScalars.toSeq)
 
     case u @ UpdateTable(GvtTarget(root, pinned), assignments, condition)
         if u.resolved =>
       requireLive(pinned, "UPDATE")
-      // assignment values carrying UNCORRELATED SCALAR subqueries defer
-      // whole to command time (`SET x = (SELECT max(…) …)`); plain
-      // values resolve to Columns now
+      val corrScalars = scala.collection.mutable.ArrayBuffer.empty[CorrScalar]
+      // assignment values: CORRELATED AGGREGATED scalars decompose
+      // into per-key locate joins (`SET x = (SELECT max(v) FROM s
+      // WHERE s.k = t.k)`); UNCORRELATED scalars defer whole to
+      // command time; plain values resolve to Columns now
       val (plainAssigns, scalarAssigns) = assignments.map { a =>
+        val value = a.value.transform {
+          case s: org.apache.spark.sql.catalyst.expressions.ScalarSubquery
+              if s.isCorrelated =>
+            val (cs, sub) = decorrelateScalarAgg(s.plan, corrScalars.size)
+            corrScalars += cs
+            sub
+        }
         a.key match {
           case k: AttributeReference
-              if a.value.exists(_.isInstanceOf[SubqueryExpression]) =>
-            a.value.foreach {
-              case s: org.apache.spark.sql.catalyst.expressions.ScalarSubquery =>
-                if (s.isCorrelated)
-                  unsupported("a CORRELATED scalar subquery in an UPDATE " +
-                    "assignment (evaluate it per key via MERGE instead)")
+              if value.exists(_.isInstanceOf[SubqueryExpression]) =>
+            value.foreach {
               case s: SubqueryExpression if !s.isInstanceOf[
                 org.apache.spark.sql.catalyst.expressions.ScalarSubquery] =>
                 unsupported(s"a non-scalar subquery in an UPDATE " +
                   s"assignment (${a.value})")
               case _ => ()
             }
-            (k.name, Right(a.value): Either[Column, Expression])
-          case k: AttributeReference => (k.name, Left(toCol(a.value)))
+            (k.name, Right(value): Either[Column, Expression])
+          case k: AttributeReference => (k.name, Left(toColUnchecked(value)))
           case other => unsupported(s"UPDATE of a nested field ($other)")
         }
       }.toMap.partitionMap {
         case (k, Left(c)) => Left(k -> c)
         case (k, Right(e)) => Right(k -> e)
       }
-      val (residual, subs, scalars) = condition.map(splitSubqueries)
+      val (residual, subs, scalars) = condition
+        .map(splitSubqueries(_, corrScalars))
         .getOrElse((None, Seq.empty, Seq.empty))
       GvtUpdateCommand(root,
         residual.getOrElse(org.apache.spark.sql.functions.lit(true)),
@@ -335,7 +438,8 @@ object GvtDml extends Rule[LogicalPlan] {
         subs.collect { case i: InCond => i },
         subs.collect { case e: ExistsCond => e },
         scalarConds = scalars,
-        scalarAssigns = scalarAssigns.toMap)
+        scalarAssigns = scalarAssigns.toMap,
+        corrScalars = corrScalars.toSeq)
 
     case m: MergeIntoTable if m.resolved =>
       m.targetTable match {
@@ -547,6 +651,14 @@ private[plans] object SubqueryConds {
       notIn3VL = ic.notIn3VL, corrKeys = ic.corrKeys)))
   }
 
+  /** Materialize each decorrelated scalar-aggregate plan into the
+    * LEFT-join refinements the locate scan applies before evaluating
+    * the condition/assignments. */
+  def scalarJoins(spark: SparkSession, corrScalars: Seq[GvtDml.CorrScalar])
+      : Seq[VersionedTable.LocateScalarJoin] =
+    corrScalars.map(cs => VersionedTable.LocateScalarJoin(
+      cs.keys, NativeColumns.ofPlan(spark, cs.plan), cs.out))
+
   /** Evaluate every uncorrelated ScalarSubquery in `e` (one ≤1-row job
     * each — SQL semantics: zero rows read NULL, two throw) and fold the
     * results as typed literals; the folded expression then resolves
@@ -574,15 +686,17 @@ case class GvtDeleteCommand(root: String, cond: Column,
                             existsConds: Seq[GvtDml.ExistsCond] = Seq.empty,
                             scalarConds: Seq[
                               org.apache.spark.sql.catalyst.expressions.Expression] =
-                              Seq.empty)
+                              Seq.empty,
+                            corrScalars: Seq[GvtDml.CorrScalar] = Seq.empty)
   extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] =
-    inConds.map(_.plan) ++ existsConds.map(_.plan)
+    inConds.map(_.plan) ++ existsConds.map(_.plan) ++ corrScalars.map(_.plan)
   override def run(spark: SparkSession): Seq[Row] = {
     val full = scalarConds.map(SubqueryConds.evalScalars(spark, _))
       .foldLeft(cond)(_ && _)
     SubqueryConds.resolve(spark, inConds, existsConds).foreach { joins =>
-      VersionedTable.deleteWhereVector(spark, root, full, joins)
+      VersionedTable.deleteWhereVector(spark, root, full, joins,
+        SubqueryConds.scalarJoins(spark, corrScalars))
     }
     Seq.empty
   }
@@ -598,17 +712,19 @@ case class GvtUpdateCommand(root: String, cond: Column,
                               Seq.empty,
                             scalarAssigns: Map[String,
                               org.apache.spark.sql.catalyst.expressions.Expression] =
-                              Map.empty)
+                              Map.empty,
+                            corrScalars: Seq[GvtDml.CorrScalar] = Seq.empty)
   extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] =
-    inConds.map(_.plan) ++ existsConds.map(_.plan)
+    inConds.map(_.plan) ++ existsConds.map(_.plan) ++ corrScalars.map(_.plan)
   override def run(spark: SparkSession): Seq[Row] = {
     val full = scalarConds.map(SubqueryConds.evalScalars(spark, _))
       .foldLeft(cond)(_ && _)
     val allAssigns = assignments ++ scalarAssigns.map { case (k, e) =>
       k -> SubqueryConds.evalScalars(spark, e) }
     SubqueryConds.resolve(spark, inConds, existsConds).foreach { joins =>
-      VersionedTable.updateWhereVector(spark, root, full, allAssigns, joins)
+      VersionedTable.updateWhereVector(spark, root, full, allAssigns, joins,
+        SubqueryConds.scalarJoins(spark, corrScalars))
     }
     Seq.empty
   }

@@ -1015,6 +1015,42 @@ object RelationalQueries {
         FROM sqldc_t GROUP BY status ORDER BY status""")
     }),
 
+    // CORRELATED AGGREGATED scalar subqueries in DML: each decomposes
+    // into a per-key aggregate LEFT-joined onto the locate scan (one
+    // row per key by construction — DV positions never duplicate) with
+    // a matched indicator, so COUNT over an empty key group folds to 0
+    // (the classic decorrelation bug) and every other aggregate to
+    // NULL. The UPDATE reads max() per key in SET, bounded by a
+    // correlated count() in the condition; the DELETE removes exactly
+    // the rows whose key group is EMPTY.
+    "q_sql_update_corr_scalar" -> ((s, dir) => graft.GraftSession.withExtensions(s) { sess =>
+      val out = tmpDir("graft_sqlcscal")
+      val o = t(sess, dir, "orders").select(col("o_orderkey").as("k"),
+        (col("o_custkey") % 100).as("g"),
+        col("o_orderstatus").as("status"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      val root = s"$out/t"
+      graft.sources.VersionedTable.write(o, root, statsCols = Seq("k"))
+      def view(): Unit = sess.sql(s"CREATE OR REPLACE TEMPORARY VIEW " +
+        s"sqlcs_t USING gvt OPTIONS (path '$root')")
+      view()
+      t(sess, dir, "orders").filter(col("o_orderkey") % 9 === 0)
+        .select((col("o_custkey") % 100).as("sk"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("amt"))
+        .createOrReplaceTempView("sqlcs_stage")
+      sess.sql("UPDATE sqlcs_t SET cents = cents + " +
+        "(SELECT max(amt) FROM sqlcs_stage WHERE sk = g) " +
+        "WHERE k % 2 = 0 AND " +
+        "(SELECT count(*) FROM sqlcs_stage WHERE sk = g) > 0")
+      view()
+      sess.sql("DELETE FROM sqlcs_t WHERE k % 5 = 0 AND " +
+        "(SELECT count(*) FROM sqlcs_stage WHERE sk = g) = 0")
+      view()
+      sess.sql("""SELECT status, count(*) AS n_orders,
+        sum(cents) AS sum_cents
+        FROM sqlcs_t GROUP BY status ORDER BY status""")
+    }),
+
     // CORRELATED NOT IN in DML — the null-probe decomposition: one
     // distributed anti-join on the correlation keys, exact 3VL. The
     // fixture pins every branch: a NULL-bearing key group (g=3) never
@@ -2616,6 +2652,29 @@ object RelationalQueries {
         |SELECT status, CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM d3 GROUP BY status ORDER BY status""".stripMargin,
+
+    // Correlated aggregated scalars = the per-key LEFT-join mirror:
+    // max() per key group in SET, count()-bounded condition, and the
+    // empty-group DELETE via coalesce(count, 0).
+    "q_sql_update_corr_scalar" ->
+      """WITH t AS (SELECT o_orderkey AS k, o_custkey % 100 AS g,
+        |    o_orderstatus AS status,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |stage AS (SELECT o_custkey % 100 AS sk,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS amt
+        |  FROM orders WHERE o_orderkey % 9 = 0),
+        |mx AS (SELECT sk, max(amt) AS m, count(*) AS c FROM stage
+        |  GROUP BY sk),
+        |u AS (SELECT k, g, status,
+        |    CASE WHEN k % 2 = 0 AND coalesce(c, 0) > 0
+        |         THEN cents + m ELSE cents END AS cents,
+        |    coalesce(c, 0) AS c
+        |  FROM t LEFT JOIN mx ON sk = g),
+        |kept AS (SELECT * FROM u WHERE NOT (k % 5 = 0 AND c = 0))
+        |SELECT status, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM kept GROUP BY status ORDER BY status""".stripMargin,
 
     // Correlated NOT IN = per-key 3VL row algebra: a row survives iff
     // the predicate is FALSE or UNKNOWN — i.e. its key group holds a

@@ -2224,7 +2224,8 @@ object VersionedTable {
   def updateWhereVector(spark: SparkSession, root: String,
                         predicate: org.apache.spark.sql.Column,
                         assignments: Map[String, org.apache.spark.sql.Column],
-                        locateJoins: Seq[LocateSemiJoin] = Seq.empty): Long = {
+                        locateJoins: Seq[LocateSemiJoin] = Seq.empty,
+                        scalarJoins: Seq[LocateScalarJoin] = Seq.empty): Long = {
     import org.apache.spark.sql.functions.col
     val v = latestVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no versions at $root"))
@@ -2234,7 +2235,9 @@ object VersionedTable {
       predicateRanges(predicate), keepMeta = true,
       strRanges = predicateStrRanges(predicate))
     val cdf = cdfEnabled(root)
-    val hit0 = applyLocateJoins(live.filter(predicate), locateJoins)
+    val scan = applyScalarJoins(live, scalarJoins)
+    val csCols = scalarJoinCols(scalarJoins)
+    val hit0 = applyLocateJoins(scan.filter(predicate), locateJoins)
     val hit = if (!cdf) hit0
       else hit0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -2242,11 +2245,14 @@ object VersionedTable {
         col("__gvt_pos").as("_dv_pos"))
       // SIMULTANEOUS assignment (SQL UPDATE semantics): every RHS reads
       // the OLD row — one select, never a sequential withColumn fold
-      // (which would let `SET a = b, b = a` read a's NEW value)
+      // (which would let `SET a = b, b = a` read a's NEW value). The
+      // scalar-join scratch columns are visible to the RHS and
+      // excluded from the output.
       val base = hit.drop("__gvt_file", "__gvt_pos")
-      assignments.keys.foreach(c => require(base.columns.contains(c),
+      val outCols = base.columns.filterNot(csCols.contains)
+      assignments.keys.foreach(c => require(outCols.contains(c),
         s"UPDATE assigns unknown column $c"))
-      val updated = base.select(base.columns.map(c =>
+      val updated = base.select(outCols.map(c =>
         assignments.get(c).map(_.as(c)).getOrElse(col(c))).toSeq: _*)
       // change-data sidecar: pre/post image pairs captured AT COMMIT —
       // the only point the pairing exists without row identity
@@ -2255,7 +2261,8 @@ object VersionedTable {
         else {
           import org.apache.spark.sql.functions.lit
           Map("_cdf" ->
-            base.withColumn("_change_type", lit("update_preimage"))
+            base.drop(csCols: _*)
+              .withColumn("_change_type", lit("update_preimage"))
               .unionByName(updated
                 .withColumn("_change_type", lit("update_postimage"))))
         }
@@ -3668,7 +3675,8 @@ object VersionedTable {
     * version. */
   def deleteWhereVector(spark: SparkSession, root: String,
                         predicate: org.apache.spark.sql.Column,
-                        locateJoins: Seq[LocateSemiJoin] = Seq.empty): Long = {
+                        locateJoins: Seq[LocateSemiJoin] = Seq.empty,
+                        scalarJoins: Seq[LocateScalarJoin] = Seq.empty): Long = {
     import org.apache.spark.sql.functions.{col, lit}
     val v = latestVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no versions at $root"))
@@ -3677,7 +3685,8 @@ object VersionedTable {
       predicateRanges(predicate), keepMeta = true,
       strRanges = predicateStrRanges(predicate))
     val cdf = cdfEnabled(root)
-    val hit0 = applyLocateJoins(live.filter(predicate), locateJoins)
+    val hit0 = applyLocateJoins(
+      applyScalarJoins(live, scalarJoins).filter(predicate), locateJoins)
     val hit = if (!cdf) hit0
       else hit0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -3685,7 +3694,8 @@ object VersionedTable {
         .select(col("__gvt_file").as("_dv_file"), col("__gvt_pos").as("_dv_pos"))
       val cdfRows =
         if (!cdf) Map.empty[String, DataFrame]
-        else Map("_cdf" -> hit.drop("__gvt_file", "__gvt_pos")
+        else Map("_cdf" -> hit.drop(
+            "__gvt_file" +: "__gvt_pos" +: scalarJoinCols(scalarJoins): _*)
           .withColumn("_change_type", lit("delete")))
       write(emptySnapshot(spark, root, v), root,
         metaFiles = Map("_dv_parent" -> v.toString),
@@ -3717,6 +3727,37 @@ object VersionedTable {
                             source: DataFrame, negated: Boolean,
                             notIn3VL: Boolean = true,
                             corrKeys: Int = 0)
+
+  /** A decorrelated AGGREGATED scalar subquery for the DV DML paths:
+    * `source` holds [value, matched, key…] with AT MOST ONE row per
+    * key group (it aggregates BY the correlation keys), LEFT-joined
+    * null-rejecting onto the locate scan so each row sees its group's
+    * aggregate as column `out` (plus `out_m`, the matched indicator
+    * the substituted expression uses for COUNT's 0-on-empty). ≤1 match
+    * per key means scan rows never duplicate — the DV positions stay
+    * exact. */
+  case class LocateScalarJoin(values: Seq[org.apache.spark.sql.Column],
+                              source: DataFrame, out: String)
+
+  /** LEFT-join each scalar refinement onto the scan; the appended
+    * `out`/`out_m` columns feed the rewritten condition/assignments
+    * and are dropped before anything persists. */
+  private def applyScalarJoins(scan: DataFrame,
+                               joins: Seq[LocateScalarJoin]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    joins.foldLeft(scan) { (df, j) =>
+      val keyNames = j.values.indices.map(i => s"${j.out}_k$i")
+      val renamed = j.source.toDF(
+        (Seq(j.out, s"${j.out}_m") ++ keyNames): _*)
+      val cond = j.values.zip(keyNames)
+        .map { case (v, k) => v === renamed(k) }.reduce(_ && _)
+      df.join(renamed, cond, "left").drop(keyNames: _*)
+    }
+  }
+
+  /** The scratch columns [[applyScalarJoins]] appended. */
+  private def scalarJoinCols(joins: Seq[LocateScalarJoin]): Seq[String] =
+    joins.flatMap(j => Seq(j.out, s"${j.out}_m"))
 
   /** Fold locate refinements onto the located row set with EXACT SQL
     * three-valued semantics — the DV payload holds rows where the whole

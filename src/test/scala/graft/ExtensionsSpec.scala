@@ -257,9 +257,41 @@ class ExtensionsSpec extends AnyFunSuite {
       refuses("DELETE FROM sub_dml WHERE EXISTS (SELECT count(*) " +
         "FROM sub_keys WHERE sk = id GROUP BY sk HAVING count(*) > 1)",
         "correlated")
+      // CORRELATED AGGREGATED scalar subqueries decompose into a
+      // per-key aggregate LEFT-joined onto the locate scan — in SET
+      // assignments and conditions alike. Live rows with sub_corr key
+      // groups: 22 (max cv = 1, NULLs ignored) and 23 (max cv = 230);
+      // the count(*) condition bounds the update to matched keys so
+      // the empty-group NULL scalar never poisons v
+      sess.sql("UPDATE sub_dml SET v = " +
+        "(SELECT max(cv) FROM sub_corr WHERE ck = id) * 10 " +
+        "WHERE id BETWEEN 22 AND 30 AND " +
+        "(SELECT count(*) FROM sub_corr WHERE ck = id) > 0")
+      view()
+      assert(sess.sql("SELECT v FROM sub_dml WHERE id = 22")
+        .as[Long].head() == 10L,
+        "correlated scalar assignment must read the per-key aggregate " +
+          "(max ignores the NULL pair)")
+      assert(sess.sql("SELECT v FROM sub_dml WHERE id = 23")
+        .as[Long].head() == 2300L)
+      assert(sess.sql("SELECT v FROM sub_dml WHERE id = 26")
+        .as[Long].head() == 260L,
+        "rows with an EMPTY key group (count=0) must not update")
+      // COUNT over an empty key group is 0, not NULL (the classic
+      // decorrelation bug): rows WITHOUT a staged key satisfy `= 0`
+      val vBeforeCnt = VersionedTable.latestVersion(root).get
+      sess.sql("DELETE FROM sub_dml WHERE id IN (31, 32) AND " +
+        "(SELECT count(*) FROM sub_corr WHERE ck = id) = 0")
+      view()
+      assert(sess.sql("SELECT count(*) AS n FROM sub_dml " +
+        "WHERE id IN (31, 32)").as[Long].head() == 0L,
+        "count-on-empty-group must fold to 0, not NULL")
+      assert(VersionedTable.latestVersion(root).get == vBeforeCnt + 1)
+      // a NON-aggregated correlated scalar can return several rows per
+      // key — still refused loudly
       refuses("UPDATE sub_dml SET v = " +
-        "(SELECT CAST(max(sk) AS BIGINT) FROM sub_keys WHERE sk = id)",
-        "correlated scalar")
+        "(SELECT cv FROM sub_corr WHERE ck = id)",
+        "not an aggregate")
       refuses("""MERGE INTO sub_dml t USING sub_keys s ON t.id = s.sk
         WHEN MATCHED AND t.id IN (SELECT sk FROM sub_keys) THEN DELETE""",
         "subquery")
