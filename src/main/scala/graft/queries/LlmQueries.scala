@@ -1239,6 +1239,54 @@ object LlmQueries {
         .limit(10)
     }),
 
+    // Hybrid retrieval — reciprocal-rank fusion (RRF, k=60), the
+    // standard fusion Elasticsearch/Vespa ship for combining retrieval
+    // tiers: each list ranks its top-20 with a deterministic
+    // (score, vec_id) tiebreak, and the fused score is Σ 1/(60+rank).
+    // Here the EXACT cosine list fuses with the int8-QUANTIZED
+    // approximate list (the compressed tier a production index serves
+    // first). Ranks are integers and each vector contributes ≤2 terms,
+    // so the fused double is cross-engine exact; output as 1e6
+    // fixed-point.
+    "q_hybrid_rrf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.NativeFunctions.register(s)
+      val e = graft.sources.Tables.embeddings(s, dir)
+      val w = Window.orderBy(col("score").desc, col("vec_id"))
+      val qv = e.filter(col("vec_id") === 0L)
+        .select(col("embedding").as("qvec"))
+      val exact = e.filter(col("vec_id") =!= 0L).crossJoin(broadcast(qv))
+        .select(col("vec_id"), graft.functions.NativeFunctions
+          .cosineSim(col("embedding"), col("qvec")).as("score"))
+        .orderBy(col("score").desc, col("vec_id")).limit(20)
+        .withColumn("r", row_number().over(w))
+      val maxabs = aggregate(col("embedding"), lit(0.0d),
+        (acc, x) => greatest(acc, abs(x.cast("double"))))
+      val sq = e.select(col("vec_id"), (maxabs / 127.0).as("scale"),
+          col("embedding"))
+        .select(col("vec_id"), col("scale"),
+          transform(col("embedding"), x =>
+            floor(x.cast("double") / col("scale") + 0.5).cast("double"))
+            .as("code"))
+        .localCheckpoint()
+      val q8 = sq.filter(col("vec_id") === 0L)
+        .select(col("scale").as("q_scale"), col("code").as("q_code"))
+      val approx = sq.filter(col("vec_id") =!= 0L).crossJoin(broadcast(q8))
+        .select(col("vec_id"),
+          (aggregate(zip_with(col("code"), col("q_code"), (a, b) => a * b),
+            lit(0.0d), (acc, x) => acc + x) * col("scale") * col("q_scale"))
+            .as("score"))
+        .orderBy(col("score").desc, col("vec_id")).limit(20)
+        .withColumn("r", row_number().over(w))
+      exact.select(col("vec_id"), col("r"))
+        .unionByName(approx.select(col("vec_id"), col("r")))
+        .groupBy(col("vec_id"))
+        .agg(floor(sum(lit(1.0) / (lit(60) + col("r"))) * 1e6 + lit(0.5))
+          .cast("long").as("rrf_1e6"),
+          count(lit(1)).as("n_lists"))
+        .orderBy(col("rrf_1e6").desc, col("vec_id")).limit(10)
+    }),
+
     "q_ann_lsh" -> ((s, dir) => {
       val e = graft.sources.Tables.embeddings(s, dir).withColumn("bucket", srpBucket(col("embedding"), 8))
       val q = e.filter(col("vec_id") === 0L)
@@ -2286,6 +2334,37 @@ object LlmQueries {
          |  FROM labeled)
          |SELECT doc_id, cluster_id, quality, rn = 1 AS keep
          |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q_hybrid_rrf" ->
+      """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+        |ex0 AS (SELECT vec_id,
+        |    list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) /
+        |      (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+        |       sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))) AS score
+        |  FROM embeddings e, q WHERE vec_id <> 0
+        |  ORDER BY score DESC, vec_id LIMIT 20),
+        |exr AS (SELECT vec_id,
+        |    row_number() OVER (ORDER BY score DESC, vec_id) AS r FROM ex0),
+        |sc AS (SELECT vec_id,
+        |    list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0
+        |      AS scale, embedding
+        |  FROM embeddings),
+        |codes AS (SELECT vec_id, scale,
+        |    list_transform(embedding::DOUBLE[], x -> floor(x / scale + 0.5))
+        |      AS code
+        |  FROM sc),
+        |ap0 AS (SELECT a.vec_id,
+        |    list_dot_product(a.code, qc.code) * a.scale * qc.scale AS score
+        |  FROM codes a, (SELECT scale, code FROM codes WHERE vec_id = 0) qc
+        |  WHERE a.vec_id <> 0 ORDER BY score DESC, a.vec_id LIMIT 20),
+        |apr AS (SELECT vec_id,
+        |    row_number() OVER (ORDER BY score DESC, vec_id) AS r FROM ap0),
+        |u AS (SELECT * FROM exr UNION ALL SELECT * FROM apr)
+        |SELECT vec_id,
+        |  CAST(floor(sum(1.0/(60 + r)) * 1e6 + 0.5) AS BIGINT) AS rrf_1e6,
+        |  CAST(count(*) AS BIGINT) AS n_lists
+        |FROM u GROUP BY vec_id
+        |ORDER BY rrf_1e6 DESC, vec_id LIMIT 10""".stripMargin,
 
     "q_ann_sq8" ->
       """WITH sc AS (
