@@ -143,7 +143,9 @@ object GvtDml extends Rule[LogicalPlan] {
   private[plans] case class InCond(values: Seq[Column], plan: LogicalPlan,
                                    negated: Boolean,
                                    notIn3VL: Boolean = true,
-                                   corrKeys: Int = 0) extends SubCond
+                                   corrKeys: Int = 0,
+                                   residuals: Seq[Column => Column] =
+                                     Seq.empty) extends SubCond
   /** Uncorrelated `[NOT] EXISTS (SELECT …)` — a run-time constant. */
   private[plans] case class ExistsCond(plan: LogicalPlan,
                                        negated: Boolean) extends SubCond
@@ -165,17 +167,42 @@ object GvtDml extends Rule[LogicalPlan] {
   private def planHasOuter(p: LogicalPlan): Boolean =
     p.exists(_.expressions.exists(hasOuter))
 
+  /** A non-equality correlated conjunct admitted by
+    * [[stripEqCorrelation]]: a binary comparison with one OUTER-only
+    * side and one INNER-only side (`s.ts > t.ts` — the staging
+    * freshness idiom). Rides the locate join's condition: `rebuild`
+    * reconstructs the comparison over (outer expression stripped of
+    * its OuterReferences, the inner expression's projected column). */
+  private[plans] case class ResidualCmp(outer: Expression, inner: Expression,
+                                        rebuild: (Expression, Expression)
+                                          => Expression)
+
   /** Collect every top-level `outer-column = inner-expression`
-    * equality conjunct from `body`'s Filter pipeline, returning the
-    * (outer attr, inner expr) pairs and the pipeline with them
-    * removed. Refuses loudly on any other outer-referencing predicate
-    * or on residual outer references — the shared core of every
-    * correlated-subquery decomposition here. */
-  private def stripEqCorrelation(body: LogicalPlan)
-      : (Seq[(AttributeReference, Expression)], LogicalPlan) = {
-    import org.apache.spark.sql.catalyst.expressions.OuterReference
+    * equality conjunct from `body`'s Filter pipeline — plus (when
+    * `allowResiduals`) one-side-outer/one-side-inner binary
+    * comparisons as residual join conditions — returning the pairs,
+    * residuals, and the pipeline with them removed. Refuses loudly on
+    * any other outer-referencing predicate or on residual outer
+    * references — the shared core of every correlated-subquery
+    * decomposition here. */
+  private def stripEqCorrelation(body: LogicalPlan,
+                                 allowResiduals: Boolean = false)
+      : (Seq[(AttributeReference, Expression)], Seq[ResidualCmp],
+         LogicalPlan) = {
+    import org.apache.spark.sql.catalyst.expressions.{BinaryComparison, OuterReference}
     val pairs = scala.collection.mutable.ArrayBuffer
       .empty[(AttributeReference, Expression)]
+    val residuals = scala.collection.mutable.ArrayBuffer.empty[ResidualCmp]
+    // no BARE (inner) attribute anywhere — attrs under an
+    // OuterReference wrapper don't count
+    def outerOnly(e: Expression): Boolean = {
+      def hasInnerAttr(x: Expression): Boolean = x match {
+        case _: OuterReference => false
+        case _: AttributeReference => true
+        case other => other.children.exists(hasInnerAttr)
+      }
+      !hasInnerAttr(e)
+    }
     def strip(p: LogicalPlan): LogicalPlan = p match {
       case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, child) =>
         val (corr, local) = conjuncts(cond).partition(hasOuter)
@@ -184,8 +211,19 @@ object GvtDml extends Rule[LogicalPlan] {
               if !hasOuter(inner) => pairs += ((a, inner))
           case EqualTo(inner, OuterReference(a: AttributeReference))
               if !hasOuter(inner) => pairs += ((a, inner))
+          case cmp: BinaryComparison if allowResiduals &&
+              hasOuter(cmp.left) && outerOnly(cmp.left) &&
+              !hasOuter(cmp.right) =>
+            residuals += ResidualCmp(stripOuterRefs(cmp.left), cmp.right,
+              (o, i) => cmp.withNewChildren(Seq(o, i)))
+          case cmp: BinaryComparison if allowResiduals &&
+              hasOuter(cmp.right) && outerOnly(cmp.right) &&
+              !hasOuter(cmp.left) =>
+            residuals += ResidualCmp(stripOuterRefs(cmp.right), cmp.left,
+              (o, i) => cmp.withNewChildren(Seq(i, o)))
           case other => unsupported("a correlated DML subquery predicate " +
-            s"beyond outer-column = inner-expression equality ($other)")
+            "beyond outer-column = inner-expression equality or a " +
+            s"one-side-outer comparison ($other)")
         }
         val sc = strip(child)
         local.reduceOption(CAnd(_, _))
@@ -198,24 +236,50 @@ object GvtDml extends Rule[LogicalPlan] {
       unsupported("a correlated DML subquery whose correlation is not a " +
         "top-level equality conjunct over the subquery's own filter " +
         "pipeline (disjunctive/nested correlation does not decompose " +
-        "into a distributed locate join)")
-    (pairs.toSeq, stripped)
+        "into a distributed locate join" +
+        (if (pairs.isEmpty && residuals.nonEmpty)
+           "; a residual comparison needs at least one EQUALITY key to " +
+             "join on" else "") + ")")
+    (pairs.toSeq, residuals.toSeq, stripped)
   }
 
-  private def decorrelateEq(plan0: LogicalPlan,
-                            keepOutput: Boolean): (Seq[Column], LogicalPlan) = {
+  /** An outer-only expression with its OuterReference wrappers peeled —
+    * the form that resolves by name against the LOCATE SCAN side of
+    * the join. */
+  private def stripOuterRefs(e: Expression): Expression = e.transform {
+    case org.apache.spark.sql.catalyst.expressions
+      .OuterReference(a: AttributeReference) => a
+  }
+
+  private def decorrelateEq(plan0: LogicalPlan, keepOutput: Boolean)
+      : (Seq[Column], LogicalPlan, Seq[Column => Column]) = {
     import org.apache.spark.sql.catalyst.expressions.Alias
     val (projList, body) = plan0 match {
       case Project(pl, child) if !pl.exists(hasOuter) => (pl, child)
       case other => (Seq.empty, other)
     }
-    val (pairs, stripped) = stripEqCorrelation(body)
+    val (pairs, residuals, stripped) =
+      stripEqCorrelation(body, allowResiduals = true)
     val aliases = pairs.zipWithIndex.map { case ((_, in), i) =>
       Alias(in, s"__gvt_corr_$i")() }
+    // residual inner expressions ride as TRAILING projected columns;
+    // each builder reconstructs its comparison over (the outer side
+    // resolved by name against the locate scan, the handed-in inner
+    // column) at join-condition time
+    val resAliases = residuals.zipWithIndex.map { case (r, i) =>
+      Alias(r.inner, s"__gvt_res_$i")() }
+    val builders: Seq[Column => Column] = residuals.map { r =>
+      val outerUnresolved = r.outer.transform {
+        case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
+      }
+      (inner: Column) => NativeColumns.ofExpr(
+        r.rebuild(outerUnresolved, NativeColumns.toExpr(inner)))
+    }
     val keep: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression] =
       if (keepOutput) projList else Seq.empty
     (pairs.map { case (a, _) => toColUnchecked(a) },
-      Project(keep ++ aliases, stripped))
+      Project(keep ++ aliases ++ resAliases, stripped),
+      builders)
   }
 
   /** A decorrelated AGGREGATED scalar subquery: join `plan`
@@ -266,7 +330,7 @@ object GvtDml extends Rule[LogicalPlan] {
     }
     if (!valueAlias.child.deterministic)
       unsupported("a non-deterministic correlated scalar subquery")
-    val (pairs, stripped) = stripEqCorrelation(agg.child)
+    val (pairs, _, stripped) = stripEqCorrelation(agg.child)
     val keyAliases = pairs.zipWithIndex.map { case ((_, in), i) =>
       Alias(in, s"__gvt_csk_$i")() }
     val out = s"__gvt_cs_$idx"
@@ -327,9 +391,10 @@ object GvtDml extends Rule[LogicalPlan] {
     val plain = scala.collection.mutable.ArrayBuffer.empty[Column]
     conjuncts(cond).foreach {
       case in: InSubquery if in.query.isCorrelated =>
-        val (corrVals, plan) = decorrelateEq(in.query.plan, keepOutput = true)
+        val (corrVals, plan, res) = decorrelateEq(in.query.plan,
+          keepOutput = true)
         subs += InCond(in.values.map(toColUnchecked) ++ corrVals, plan,
-          negated = false)
+          negated = false, residuals = res)
       case in: InSubquery =>
         subs += InCond(in.values.map(toColUnchecked), in.query.plan,
           negated = false)
@@ -340,18 +405,20 @@ object GvtDml extends Rule[LogicalPlan] {
         // one distributed anti-join on the correlation keys (exact
         // 3VL; see VersionedTable.applyLocateJoins). Non-equality
         // correlation still refuses loudly in decorrelateEq.
-        val (corrVals, plan) = decorrelateEq(in.query.plan, keepOutput = true)
+        val (corrVals, plan, res) = decorrelateEq(in.query.plan,
+          keepOutput = true)
         subs += InCond(in.values.map(toColUnchecked) ++ corrVals, plan,
-          negated = true, corrKeys = corrVals.size)
+          negated = true, corrKeys = corrVals.size, residuals = res)
       case Not(in: InSubquery) =>
         subs += InCond(in.values.map(toColUnchecked), uncorrelated(in.query),
           negated = true)
       case ex: Exists if ex.isCorrelated =>
-        val (vals, plan) = decorrelateEq(ex.plan, keepOutput = false)
-        subs += InCond(vals, plan, negated = false)
+        val (vals, plan, res) = decorrelateEq(ex.plan, keepOutput = false)
+        subs += InCond(vals, plan, negated = false, residuals = res)
       case Not(ex: Exists) if ex.isCorrelated =>
-        val (vals, plan) = decorrelateEq(ex.plan, keepOutput = false)
-        subs += InCond(vals, plan, negated = true, notIn3VL = false)
+        val (vals, plan, res) = decorrelateEq(ex.plan, keepOutput = false)
+        subs += InCond(vals, plan, negated = true, notIn3VL = false,
+          residuals = res)
       case ex: Exists =>
         subs += ExistsCond(ex.plan, negated = false)
       case Not(ex: Exists) =>
@@ -648,7 +715,8 @@ private[plans] object SubqueryConds {
     if (!allTrue) None
     else Some(inConds.map(ic => VersionedTable.LocateSemiJoin(
       ic.values, NativeColumns.ofPlan(spark, ic.plan), ic.negated,
-      notIn3VL = ic.notIn3VL, corrKeys = ic.corrKeys)))
+      notIn3VL = ic.notIn3VL, corrKeys = ic.corrKeys,
+      residuals = ic.residuals)))
   }
 
   /** Materialize each decorrelated scalar-aggregate plan into the

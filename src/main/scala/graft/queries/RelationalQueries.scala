@@ -1011,6 +1011,12 @@ object RelationalQueries {
       sess.sql("DELETE FROM sqldc_t WHERE k BETWEEN 500 AND 2000 AND " +
         "(k, status) NOT IN (SELECT pk, pstatus FROM sqldc_pairs)")
       view()
+      // correlated EXISTS with a RESIDUAL one-side-outer comparison
+      // beside the equality key (the staging freshness idiom): the
+      // bound rides the semi join's condition, never a collected list
+      sess.sql("DELETE FROM sqldc_t WHERE EXISTS " +
+        "(SELECT 1 FROM sqldc_stage WHERE dk = k AND dk > cents)")
+      view()
       sess.sql("""SELECT status, count(*) AS n_orders, sum(cents) AS sum_cents
         FROM sqldc_t GROUP BY status ORDER BY status""")
     }),
@@ -2648,10 +2654,12 @@ object RelationalQueries {
         |d3 AS (SELECT * FROM u1 WHERE NOT (k BETWEEN 500 AND 2000
         |  AND NOT EXISTS (SELECT 1 FROM pairs
         |    WHERE (pk = k OR pk IS NULL OR k IS NULL)
-        |      AND (pstatus = status OR pstatus IS NULL OR status IS NULL))))
+        |      AND (pstatus = status OR pstatus IS NULL OR status IS NULL)))),
+        |d4 AS (SELECT * FROM d3 WHERE NOT EXISTS
+        |  (SELECT 1 FROM stage WHERE dk = k AND dk > cents))
         |SELECT status, CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
-        |FROM d3 GROUP BY status ORDER BY status""".stripMargin,
+        |FROM d4 GROUP BY status ORDER BY status""".stripMargin,
 
     // Correlated aggregated scalars = the per-key LEFT-join mirror:
     // max() per key group in SET, count()-bounded condition, and the

@@ -3723,10 +3723,17 @@ object VersionedTable {
     * on the scan, so "delete the keys named by this staging table"
     * costs one shuffle-or-broadcast join at any table size — never a
     * collected value list. */
+  /** `residuals`: one-side-outer comparison conjuncts of a correlated
+    * subquery (`s.ts > t.ts`) — each builder takes its projected inner
+    * column (the TRAILING source columns, after `values`) and returns
+    * the comparison bound to the scan side by name; the condition
+    * AND-folds into every join branch. */
   case class LocateSemiJoin(values: Seq[org.apache.spark.sql.Column],
                             source: DataFrame, negated: Boolean,
                             notIn3VL: Boolean = true,
-                            corrKeys: Int = 0)
+                            corrKeys: Int = 0,
+                            residuals: Seq[org.apache.spark.sql.Column =>
+                              org.apache.spark.sql.Column] = Seq.empty)
 
   /** A decorrelated AGGREGATED scalar subquery for the DV DML paths:
     * `source` holds [value, matched, key…] with AT MOST ONE row per
@@ -3792,12 +3799,22 @@ object VersionedTable {
     joins.foldLeft(hit0) { (hit, j) =>
       val names = j.source.columns.indices.map(i => s"__gvt_sq_$i")
       val renamed = j.source.toDF(names: _*)
-      require(j.values.size == names.size,
-        s"locate join: ${j.values.size} values vs ${names.size} subquery columns")
+      require(j.values.size + j.residuals.size == names.size,
+        s"locate join: ${j.values.size} values + ${j.residuals.size} " +
+          s"residuals vs ${names.size} subquery columns")
+      // residual one-side-outer comparisons: each binds to its trailing
+      // projected inner column and AND-folds into the join condition —
+      // membership in a correlated set requires them TRUE, exactly like
+      // the equality keys (a NULL comparison is unknown → not a member)
+      val resNames = names.drop(j.values.size)
+      def withRes(cond: org.apache.spark.sql.Column) =
+        j.residuals.zip(resNames)
+          .map { case (b, n) => b(renamed(n)) }
+          .foldLeft(cond)(_ && _)
       if (!j.negated) {
         val cond = j.values.zip(names)
           .map { case (v, n) => v === renamed(n) }.reduce(_ && _)
-        hit.join(renamed, cond, "left_semi")
+        hit.join(renamed, withRes(cond), "left_semi")
       } else if (j.notIn3VL && j.corrKeys > 0) {
         // correlated NOT IN, exact 3VL in ONE distributed anti-join on
         // the equality keys: the predicate is TRUE iff the row's key
@@ -3816,11 +3833,11 @@ object VersionedTable {
         val blockCond = valPairs
           .map { case (v, n) => v.isNull || renamed(n).isNull || v === renamed(n) }
           .reduce(_ && _)
-        hit.join(renamed, corrCond && blockCond, "left_anti")
+        hit.join(renamed, withRes(corrCond && blockCond), "left_anti")
       } else if (!j.notIn3VL) {
         val cond = j.values.zip(names)
           .map { case (v, n) => v === renamed(n) }.reduce(_ && _)
-        hit.join(renamed, cond, "left_anti")
+        hit.join(renamed, withRes(cond), "left_anti")
       } else if (j.values.size == 1) {
         if (renamed.isEmpty) hit // NOT IN (): TRUE for every row
         else {

@@ -292,6 +292,28 @@ class ExtensionsSpec extends AnyFunSuite {
       refuses("UPDATE sub_dml SET v = " +
         "(SELECT cv FROM sub_corr WHERE ck = id)",
         "not an aggregate")
+      // RESIDUAL one-side-outer comparisons ride the semi/anti join
+      // beside the equality keys (the staging freshness idiom
+      // `EXISTS(… WHERE s.k = t.k AND s.bound < t.v)`). id 40 (v=400):
+      // bound 350 < 400 → EXISTS TRUE → deleted; id 41 (v=410):
+      // bound 500 < 410 is FALSE → kept
+      sess.sql("SELECT * FROM VALUES (40, CAST(350 AS BIGINT)), " +
+        "(41, CAST(500 AS BIGINT)) AS t(rk, bound)")
+        .createOrReplaceTempView("sub_res")
+      sess.sql("DELETE FROM sub_dml WHERE EXISTS " +
+        "(SELECT 1 FROM sub_res WHERE rk = id AND bound < v)")
+      view()
+      assert(sess.sql("SELECT id FROM sub_dml WHERE id IN (40, 41) " +
+        "ORDER BY id").as[Int].collect().toSeq == Seq(41),
+        "residual comparison must refine the semi join")
+      // NOT EXISTS with a residual: 41's only staged row fails the
+      // bound (TRUE), 42 has no staged row (TRUE) — both delete
+      sess.sql("DELETE FROM sub_dml WHERE id IN (41, 42) AND NOT EXISTS " +
+        "(SELECT 1 FROM sub_res WHERE rk = id AND bound < v)")
+      view()
+      assert(sess.sql("SELECT count(*) AS n FROM sub_dml " +
+        "WHERE id IN (41, 42)").as[Long].head() == 0L,
+        "residual comparison must refine the anti join")
       refuses("""MERGE INTO sub_dml t USING sub_keys s ON t.id = s.sk
         WHEN MATCHED AND t.id IN (SELECT sk FROM sub_keys) THEN DELETE""",
         "subquery")
