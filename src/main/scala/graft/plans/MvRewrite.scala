@@ -174,8 +174,14 @@ object MvRewrite extends Rule[LogicalPlan] {
         }
 
         try {
-          val groupNames: Seq[String] =
-            groupExprs.map(g => groupColOf(g).getOrElse(return None))
+          // NOTE: control flow inside this block is via the
+          // MissingMvColumn throw, NEVER a non-local `return` — a
+          // return from inside the enclosing flatMap closure would
+          // escape the per-entry NonFatal catch and abort the whole
+          // candidate scan, skipping other registered views that could
+          // serve the rollup
+          val groupNames: Seq[String] = groupExprs.map(g =>
+            groupColOf(g).getOrElse(throw MvRewrite.MissingMvColumn))
           def remap(ex: Expression): Expression = ex match {
             case ag: AggregateExpression =>
               val m = mapAgg(ag).getOrElse(throw MvRewrite.MissingMvColumn)
@@ -190,13 +196,15 @@ object MvRewrite extends Rule[LogicalPlan] {
           }
           val rebuilt: Seq[NamedExpression] = aggExprs.map {
             case a: AttributeReference =>
-              Alias(mv(groupColOf(a).getOrElse(return None)), a.name)(
+              Alias(mv(groupColOf(a)
+                .getOrElse(throw MvRewrite.MissingMvColumn)), a.name)(
                 exprId = a.exprId)
             case al @ Alias(c, name) =>
               val mapped = remap(c)
-              if (mapped.dataType != c.dataType) return None
+              if (mapped.dataType != c.dataType)
+                throw MvRewrite.MissingMvColumn
               Alias(mapped, name)(exprId = al.exprId)
-            case _ => return None
+            case _ => throw MvRewrite.MissingMvColumn
           }
           // COMPENSATION predicates: the query's extra filter conjuncts
           // (beyond the defining plan's own) apply on the MV when every

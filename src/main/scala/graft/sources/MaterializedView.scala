@@ -49,6 +49,8 @@ import org.apache.spark.sql.types.DataType
   */
 object MaterializedView {
 
+  private val log = graft.util.Log("mv")
+
   /** One aggregate column: fn ∈ sum|count|min|max, col ("*" allowed
     * for count), out = the MV column name (and rewrite match target). */
   final case class AggSpec(fn: String, col: String, out: String) {
@@ -145,7 +147,15 @@ object MaterializedView {
     * discovering the view (DROP propagates across sessions). */
   def drop(mvRoot: String): Unit = {
     val key = norm(mvRoot)
-    val bases = scala.util.Try(baseRootsOf(mvRoot)).getOrElse(Nil)
+    // resolve base roots from the in-memory registries, FALLING BACK to
+    // the MV table's own _mv/_mv_exact metadata (the spec of record):
+    // a fresh driver running DROP never triggered the lazy discovery
+    // that would have populated the registries, and without the
+    // fallback its marker deletion would silently no-op — later
+    // drivers would rediscover and re-attach the dropped view
+    val bases = scala.util.Try(baseRootsOf(mvRoot)).toOption
+      .orElse(persistedBaseRootsOf(mvRoot))
+      .getOrElse(Nil)
     exactRegistry.remove(key)
     registry.replaceAll((_, m) => m - key)
     bases.foreach { b =>
@@ -153,6 +163,19 @@ object MaterializedView {
         recursive = false))
     }
   }
+
+  /** Base roots recorded in the MV table's own metadata (newest commit
+    * carrying either tier's spec wins) — the cross-session source of
+    * truth when this driver's registries have no entry. */
+  private def persistedBaseRootsOf(mvRoot: String): Option[Seq[String]] =
+    scala.util.Try {
+      VersionedTable.committedVersions(mvRoot).reverse.iterator.flatMap { v =>
+        VersionedTable.readMeta(mvRoot, v, "_mv_exact")
+          .map(parseExact(mvRoot, _).baseVersions.keys.toSeq)
+          .orElse(VersionedTable.readMeta(mvRoot, v, "_mv")
+            .map(s => Seq(parseSpec(mvRoot, s).baseRoot)))
+      }.toSeq.headOption
+    }.toOption.flatten
 
   // ------------------------------------------------------------------
   // Storage-backed registration: create() stamps a marker under each
@@ -201,18 +224,39 @@ object MaterializedView {
     val dir = new org.apache.hadoop.fs.Path(baseRoot, "_mv_registry")
     val markers =
       try VersionedTable.listNames(dir)
-      catch { case scala.util.control.NonFatal(_) => Seq.empty[String] }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          // a missing dir lists EMPTY (the common no-views case), so an
+          // exception here is a genuine IO failure: un-cache the probe
+          // (the next planner contact retries — a transient error must
+          // not disable cross-session rewrites for the driver's
+          // lifetime) and say why rewrites are off meanwhile
+          probedRoots.remove(key)
+          log.warn(s"$baseRoot: _mv_registry listing failed " +
+            s"(${e.getMessage}) — MV discovery retries on next contact")
+          return
+      }
     markers.foreach { name =>
       val mvRoot = (try VersionedTable.readString(
         new org.apache.hadoop.fs.Path(dir, name))
-      catch { case scala.util.control.NonFatal(_) => None })
-        .map(_.trim).getOrElse("")
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          log.warn(s"$baseRoot: unreadable _mv_registry marker $name " +
+            s"(${e.getMessage}) — skipped")
+          None
+      }).map(_.trim).getOrElse("")
       if (mvRoot.nonEmpty && !isRegistered(mvRoot)) {
         try { attach(mvRoot); () }
         catch {
           case scala.util.control.NonFatal(_) =>
             try { attachExact(spark, mvRoot); () }
-            catch { case scala.util.control.NonFatal(_) => () }
+            catch {
+              case scala.util.control.NonFatal(e) =>
+                // fail-closed is correct (the query scans its base) but
+                // must be diagnosable: say which view stayed unattached
+                log.warn(s"$baseRoot: persisted MV $mvRoot failed to " +
+                  s"attach (${e.getMessage}) — queries scan the base")
+            }
         }
       }
     }
@@ -802,8 +846,14 @@ object MaterializedView {
           } catch {
             // a hop the keyless feed cannot reconstruct (sidecar-less
             // UPDATE_DV): degrade to the defining-plan re-run — the MV
-            // never mutates its base to compensate
-            case _: UnsupportedOperationException => None
+            // never mutates its base to compensate. ONLY the dedicated
+            // feed refusal degrades: a genuine bug surfacing as a bare
+            // UnsupportedOperationException propagates instead of
+            // silently forfeiting the O(delta) guarantee.
+            case e: VersionedTable.ChangeFeedUnavailable =>
+              log.warn(s"${entry.spec.mvRoot}: differential refresh " +
+                s"degraded to defining-plan re-run — ${e.getMessage}")
+              None
           } finally building.set(false)
         mvv match {
           case Some(v) =>
@@ -945,9 +995,16 @@ object MaterializedView {
         // the keyless feed refuses DML ranges captured without
         // `gvt.enableChangeDataFeed` sidecars — the MV never mutates its
         // base to compensate (no auto-backfill); it degrades to a full
-        // re-aggregation, and stays incremental once the property is on
+        // re-aggregation, and stays incremental once the property is on.
+        // Only the dedicated refusal degrades (and is logged); any other
+        // UnsupportedOperationException is a real bug and propagates.
         try incrementalFold(spark, spec, cur, next)
-        catch { case _: UnsupportedOperationException => rebuild() }
+        catch {
+          case e: VersionedTable.ChangeFeedUnavailable =>
+            log.warn(s"$mvRoot: incremental refresh degraded to full " +
+              s"re-aggregation — ${e.getMessage}")
+            rebuild()
+        }
       }
     register(next.copy(mvVersion = mvv))
     cur

@@ -50,6 +50,16 @@ object VersionedTable {
     * and its pointer flip; the write was NOT committed. */
   class ConcurrentWriteException(msg: String) extends RuntimeException(msg)
 
+  /** The keyless change feed cannot reconstruct a commit hop in the
+    * requested range (a sidecar-less rewrite needs user keys or the
+    * commit-time CDF sidecar to pair pre/post images). A dedicated
+    * subtype so feed consumers (MV refresh) can degrade on EXACTLY this
+    * refusal — a genuine bug surfacing as a bare
+    * UnsupportedOperationException must not be silently masked as "the
+    * feed refused". */
+  final class ChangeFeedUnavailable(msg: String)
+    extends UnsupportedOperationException(msg)
+
   // ── Hadoop-FS metadata IO ────────────────────────────────────────────
   // FileContext, not FileSystem: the local AbstractFileSystem is raw (no
   // .crc sidecar files to corrupt on overwrite-rename), create flags
@@ -2546,7 +2556,7 @@ object VersionedTable {
     if (op.startsWith("COMPACT") || op.startsWith("OPTIMIZE"))
       return emptySnapshot(spark, root, toV)
         .withColumn("_change_type", lit("insert"))
-    def refuse(): Nothing = throw new UnsupportedOperationException(
+    def refuse(): Nothing = throw new ChangeFeedUnavailable(
       s"$root: keyless table_changes across v=$fromV→v=$toV ($op) — this " +
         "rewrite commit carries no change-data sidecar. Either pass key " +
         "columns, or set TBLPROPERTIES ('gvt.enableChangeDataFeed'='true') " +

@@ -491,6 +491,29 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("DROP from a FRESH driver (empty registry, no prior planner " +
+    "contact) still deletes the storage-backed marker") {
+    val base = tmp("mv_base19"); val mv = tmp("mv_view19")
+    mkBase(base)
+    MaterializedView.create(spark, base, mv, Seq("o_orderstatus"),
+      Seq(AggSpec("sum", "cents", "sum_cents")))
+    // a fresh driver that runs DROP as its FIRST statement: the
+    // in-memory registries are empty and nothing triggered the lazy
+    // discovery, so the base roots must resolve from the MV table's
+    // own _mv metadata — without that fallback the marker survives
+    // and later drivers re-attach the dropped view
+    MaterializedView.clearRegistry()
+    MaterializedView.drop(mv)
+    MaterializedView.clearRegistry()
+    GraftSession.withExtensions(spark) { sess =>
+      val q = gvt(sess, base).groupBy("o_orderstatus")
+        .agg(sum("cents").as("s"))
+      assert(!usesMv(q, mv),
+        "a view dropped by a fresh driver must not be rediscovered:\n" +
+          q.queryExecution.optimizedPlan)
+    }
+  }
+
   test("storage-backed registry discovers EXACT views too (defining " +
     "views re-created in the fresh session)") {
     val base = tmp("mv_base18"); val mv = tmp("mv_view18")
