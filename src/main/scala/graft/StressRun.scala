@@ -147,6 +147,30 @@ object StressRun {
       .contains("MV_REBUILD"),
       "join-view maintenance must stay differential (insert AND retract)")
     MaterializedView.drop(mvRoot); MaterializedView.drop(mvjRoot)
+    // min/max retraction via AFFECTED-GROUP recompute: a base keyed
+    // into ~10k-key groups (g-clustered files, zone maps on g), a
+    // min/max view over g, and a delete confined to ONE group — the
+    // recompute must re-read only that group's file neighborhood, so
+    // the stage stays flat across scales (a ratio ≈ N would mean the
+    // retraction re-aggregated the whole base, the pre-r16 behavior)
+    val mvmBase = s"$out/mvmb"; val mvmRoot = s"$out/mvm"
+    VersionedTable.write(o.withColumn("g", (col("k") / 10000L)),
+      mvmBase, statsCols = Seq("g", "k"))
+    stage("mv_minmax_create") {
+      MaterializedView.create(spark, mvmBase, mvmRoot, Seq("g"),
+        Seq(AggSpec("min", "cents", "mn"), AggSpec("max", "cents", "mx"),
+          AggSpec("count", "*", "n")))
+    }
+    stage("mv_minmax_refresh_retract") { // fixed one-group delete at ANY scale
+      VersionedTable.deleteWhereVector(spark, mvmBase,
+        col("g") === 3L && col("cents") % 2 === 0)
+      MaterializedView.refresh(spark, mvmRoot)
+    }
+    require(!VersionedTable.history(spark, mvmRoot)
+      .select("operation").collect().map(_.getString(0))
+      .contains("MV_REBUILD"),
+      "min/max retraction must take the affected-group recompute")
+    MaterializedView.drop(mvmRoot)
     // incremental dedup: build the persisted index over the FULL
     // ×scale corpus (timed — expected to scale with the data), then
     // ingest a FIXED ~10k-doc batch against it. The batch stage is the

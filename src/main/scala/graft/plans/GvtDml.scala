@@ -308,10 +308,9 @@ object GvtDml extends Rule[LogicalPlan] {
     val agg = plan0 match {
       case a: Aggregate => a
       case Project(Seq(_: AttributeReference), a: Aggregate) => a
-      case other => unsupported("a CORRELATED scalar subquery that is " +
-        s"not an aggregate ($other) — a bare correlated scalar can " +
-        "return several rows per key; aggregate it, or evaluate per " +
-        "key via MERGE")
+      // a BARE correlated scalar decomposes too — with the standard
+      // more-than-one-row runtime guard riding the per-key aggregate
+      case _ => return decorrelateScalarBare(plan0, idx)
     }
     if (agg.groupingExpressions.nonEmpty)
       unsupported("a correlated scalar subquery with its own GROUP BY " +
@@ -352,6 +351,65 @@ object GvtDml extends Rule[LogicalPlan] {
     val substitute: Expression = If(
       IsNull(UnresolvedAttribute(Seq(s"${out}_m"))),
       onEmpty, UnresolvedAttribute(Seq(out)))
+    (CorrScalar(out, pairs.map { case (a, _) => toColUnchecked(a) },
+      decorrelated), substitute)
+  }
+
+  /** Decompose a NON-aggregated correlated scalar —
+    * `(SELECT s.v FROM s WHERE s.k = t.k [AND …])` — into a per-key
+    * aggregate that passes the single value through and RAISES the
+    * standard more-than-one-row error (naming the offending key) when
+    * a key group holds several rows: exact SQL scalar-subquery
+    * semantics (0 rows → NULL, 1 row → the value, >1 → runtime
+    * error), evaluated as one distributed locate join — the guard is
+    * a per-key COUNT riding the same aggregate, never a driver-side
+    * check. */
+  private def decorrelateScalarBare(plan0: LogicalPlan, idx: Int)
+      : (CorrScalar, Expression) = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Cast, Coalesce, Concat, GreaterThan, If, IsNull, Literal, NamedExpression, RaiseError}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Count, Max}
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.types.StringType
+    val (valueExpr, body) = plan0 match {
+      case Project(Seq(ne), child) if !hasOuter(ne) && ne.deterministic =>
+        (ne, child)
+      case other => unsupported("a correlated scalar subquery whose " +
+        "select list is not a single deterministic expression " +
+        s"($other)")
+    }
+    val (pairs, _, stripped) = stripEqCorrelation(body)
+    val out = s"__gvt_cs_$idx"
+    val valCol: Expression = valueExpr match {
+      case al: Alias => al.child
+      case e => e
+    }
+    val keyAliases = pairs.zipWithIndex.map { case ((_, in), i) =>
+      Alias(in, s"__gvt_csk_$i")() }
+    val proj = Project(Alias(valCol, s"${out}_v")() +: keyAliases, stripped)
+    val vAttr = proj.output.head
+    val keyAttrs: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+      proj.output.tail
+    val cnt = Count(Literal(1)).toAggregateExpression()
+    val keyStr: Expression =
+      if (keyAttrs.isEmpty) Literal("")
+      else Concat(keyAttrs.zipWithIndex.flatMap { case (k, i) =>
+        (if (i > 0) Seq(Literal(", ")) else Seq.empty[Expression]) :+
+          Coalesce(Seq(Cast(k, StringType), Literal("NULL")))
+      })
+    val msg = Concat(Seq(
+      Literal("gvt SQL DML: a correlated scalar subquery returned " +
+        "more than one row for outer key ("), keyStr, Literal(")")))
+    val guarded = If(GreaterThan(cnt, Literal(1L)),
+      Cast(RaiseError(msg), valCol.dataType),
+      Max(vAttr).toAggregateExpression())
+    val decorrelated = Aggregate(keyAttrs,
+      Alias(guarded, out)() +: Alias(Literal(true), s"${out}_m")() +:
+        keyAttrs.map(a => a: NamedExpression),
+      proj)
+    val substitute: Expression = If(
+      IsNull(UnresolvedAttribute(Seq(s"${out}_m"))),
+      Literal.create(null, valCol.dataType),
+      UnresolvedAttribute(Seq(out)))
     (CorrScalar(out, pairs.map { case (a, _) => toColUnchecked(a) },
       decorrelated), substitute)
   }

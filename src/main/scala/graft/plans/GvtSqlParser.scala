@@ -1311,11 +1311,17 @@ case class GvtCreateMvCommand(target: String, query: String)
                 s"(got AS ${al.name})")
             None
           case al @ Alias(ag: AggregateExpression, _) =>
-            if (ag.isDistinct) refuse("DISTINCT aggregates are not " +
-              "re-aggregable")
             if (ag.filter.nonEmpty) refuse("FILTER clauses are not " +
               "re-aggregable")
-            ag.aggregateFunction match {
+            (ag.aggregateFunction, ag.isDistinct) match {
+              // count(DISTINCT c): maintained via the per-(group,
+              // value) multiplicity side table — inserts AND deletes
+              // fold incrementally, subset rollups serve off the side
+              case (Count(Seq(a: AttributeReference)), true) =>
+                Some(AggSpec("count_distinct", a.name, al.name))
+              case (_, true) => refuse("only count(DISTINCT col) is " +
+                "maintainable among DISTINCT aggregates")
+              case (f, false) => f match {
               case Sum(a: AttributeReference, _) =>
                 Some(AggSpec("sum", a.name, al.name))
               case Count(Seq(l: Literal)) if l.value != null =>
@@ -1331,6 +1337,7 @@ case class GvtCreateMvCommand(target: String, query: String)
                   "declare sum(col) in the view and query avg(col)")
               case other =>
                 refuse(s"aggregate $other is not re-aggregable")
+              }
             }
           case other =>
             refuse(s"output $other is neither a group column nor a " +

@@ -417,6 +417,19 @@ object MvRewrite extends Rule[LogicalPlan] {
     }
 
     val spark = SparkSession.active
+    // DISTINCT aggregates: count(distinct x) answers from the MV
+    // column when the query groups EXACTLY by the MV's groups (one MV
+    // row per output group), and from the multiplicity SIDE table at
+    // any grouping subset (distinct values re-aggregate exactly where
+    // distinct counts cannot) — see [[sideRewrite]]
+    val exactGrouping =
+      groupAttrs.map(_.name).toSet == spec.groups.toSet
+    if (aggExprs.exists(_.exists {
+      case ae: AggregateExpression => ae.isDistinct
+      case _ => false
+    }) && !exactGrouping)
+      return sideRewrite(agg, groupAttrs, aggExprs, cond, spec)
+
     val mvPlan = MaterializedView
       .readMv(spark, spec.mvRoot, spec.mvVersion).queryExecution.analyzed
     val mvAttr: Map[String, Attribute] =
@@ -435,7 +448,16 @@ object MvRewrite extends Rule[LogicalPlan] {
     /** Map one original aggregate function to its MV re-aggregation;
       * None = shape not covered, bail out of the whole rewrite. */
     def mapAgg(ae: AggregateExpression): Option[Expression] = {
-      if (ae.filter.nonEmpty || ae.isDistinct) return None
+      if (ae.filter.nonEmpty) return None
+      if (ae.isDistinct) return ae.aggregateFunction match {
+        // exact grouping (checked above): one MV row per output group,
+        // so the declared count_distinct column IS the answer
+        case Count(Seq(a: AttributeReference)) =>
+          spec.aggs
+            .find(s => s.fn == "count_distinct" && s.col == a.name)
+            .map(s => Max(mv(s.out)).toAggregateExpression())
+        case _ => None
+      }
       ae.aggregateFunction match {
         case Count(Seq(l: Literal)) if l.value != null =>
           Some(countish(mv("_rows")))
@@ -505,6 +527,94 @@ object MvRewrite extends Rule[LogicalPlan] {
     }
     val newGroups: Seq[Expression] = groupAttrs.map(a => mv(a.name))
     Some(Aggregate(newGroups, rebuilt, newChild))
+    } catch { case MvRewrite.MissingMvColumn => None }
+  }
+
+  /** Rollup a DISTINCT-counting aggregate from the multiplicity SIDE
+    * table: per-(MV-group, value) multiplicities re-aggregate exactly
+    * at ANY grouping subset — `count(distinct x) GROUP BY G'` is the
+    * side table's distinct values per G', and `count(x)` its summed
+    * multiplicities — where per-group distinct COUNTS never could (two
+    * fine groups may share values). Serves queries whose aggregates
+    * are all count(distinct c) / count(c) over ONE declared
+    * count_distinct column (one side table — mixing columns or adding
+    * sums would need a join across side tables / the MV and fails
+    * closed to the base scan). The filter compensation rule is the
+    * same as the MV path: group-column-only predicates evaluate
+    * exactly on the side rows. */
+  private def sideRewrite(agg: Aggregate,
+                          groupAttrs: Seq[AttributeReference],
+                          aggExprs: Seq[NamedExpression],
+                          cond: Option[Expression],
+                          spec: MvSpec): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction
+    // every aggregate must be count([distinct] c) for one single
+    // declared count_distinct column
+    val cdCols = scala.collection.mutable.Set.empty[String]
+    aggExprs.foreach(_.foreach {
+      case ae: AggregateExpression => ae.aggregateFunction match {
+        case Count(Seq(a: AttributeReference)) => cdCols += a.name
+        case _ => return None
+      }
+      case _ => ()
+    })
+    val cd = cdCols.toSeq match {
+      case Seq(c) =>
+        spec.aggs.find(s => s.fn == "count_distinct" && s.col == c)
+          .getOrElse(return None)
+      case _ => return None
+    }
+    val spark = SparkSession.active
+    val sidePlan = MaterializedView.readMv(spark,
+      MaterializedView.sideRootOf(spec.mvRoot, cd.out),
+      spec.sideVersions.getOrElse(cd.out, -1L)).queryExecution.analyzed
+    val sideAttrMap: Map[String, Attribute] =
+      sidePlan.output.map(a => a.name -> a).toMap
+    def side(name: String): Attribute =
+      sideAttrMap.getOrElse(name, throw MvRewrite.MissingMvColumn)
+
+    def mapAgg(ae: AggregateExpression): Expression =
+      ae.aggregateFunction match {
+        case Count(Seq(_: AttributeReference)) if ae.isDistinct =>
+          Count(Seq(side(cd.col): Expression))
+            .toAggregateExpression(isDistinct = true)
+        case Count(Seq(_: AttributeReference)) =>
+          // count(c) over the base = total multiplicity of c's values
+          Coalesce(Seq(
+            Sum(side("_mult")).toAggregateExpression(), Literal(0L)))
+        case _: AggregateFunction => throw MvRewrite.MissingMvColumn
+      }
+    def remap(e: Expression): Expression = e match {
+      case ae: AggregateExpression =>
+        val mapped = mapAgg(ae)
+        if (mapped.dataType != ae.dataType) throw MvRewrite.MissingMvColumn
+        mapped
+      case a: AttributeReference if groupAttrs.exists(_.exprId == a.exprId) =>
+        side(a.name)
+      case _: AttributeReference | _: SubqueryExpression =>
+        throw MvRewrite.MissingMvColumn
+      case other if !other.deterministic => throw MvRewrite.MissingMvColumn
+      case other => other.withNewChildren(other.children.map(remap))
+    }
+    try {
+      val rebuilt: Seq[NamedExpression] = aggExprs.map {
+        case a: AttributeReference
+            if groupAttrs.exists(_.exprId == a.exprId) =>
+          Alias(side(a.name), a.name)(exprId = a.exprId)
+        case al @ Alias(child, name) =>
+          val mapped = remap(child)
+          if (mapped.dataType != child.dataType)
+            throw MvRewrite.MissingMvColumn
+          Alias(mapped, name)(exprId = al.exprId)
+        case _ => throw MvRewrite.MissingMvColumn
+      }
+      val newChild: LogicalPlan = cond match {
+        case Some(c) => Filter(c.transform {
+          case a: AttributeReference => side(a.name)
+        }, sidePlan)
+        case None => sidePlan
+      }
+      Some(Aggregate(groupAttrs.map(a => side(a.name)), rebuilt, newChild))
     } catch { case MvRewrite.MissingMvColumn => None }
   }
 

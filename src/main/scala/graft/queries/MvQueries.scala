@@ -265,7 +265,7 @@ object MvQueries {
           "SELECT segment, sum(cents) AS sum_cents, count(*) AS n_orders, " +
             "CAST(sum(cents) AS DOUBLE) / count(*) AS avg_cents " +
             "FROM mvru_ord JOIN mvru_cust ON ck_o = ck " +
-            "WHERE status <> 'F' " +
+            "WHERE status IN ('O', 'P') " +
             "GROUP BY segment ORDER BY segment")
         requireMv(q, mv)
       }
@@ -321,6 +321,120 @@ object MvQueries {
             "ORDER BY segment")
         requireMv(q, mv)
       }
+    }),
+
+    // Min/max retraction via AFFECTED-GROUP recompute: a DELETE
+    // confined to one status group plus an append into another fold
+    // into a min/max join view as MV_REFRESH — the extremes are
+    // re-aggregated ONLY for the retraction's key groups (the IN
+    // prefilter pushes to the fact scan; untouched groups fold the
+    // insert remainder), never the whole-view rebuild a retraction
+    // used to force.
+    "q_mv_diff_retract_minmax" -> ((s, dir) => {
+      val out = tmpDir("graft_mvrm")
+      val ord = s"$out/ord"; val cust = s"$out/cust"; val mv = s"$out/mv"
+      VersionedTable.write(
+        graft.sources.Tables.t(s, dir, "orders").select(
+          col("o_orderkey").as("k"), col("o_custkey").as("ck_o"),
+          col("o_orderstatus").as("status"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+            .as("cents")), ord)
+      VersionedTable.setTblProperties(ord,
+        Map("gvt.enableChangeDataFeed" -> "true"))
+      VersionedTable.write(
+        graft.sources.Tables.t(s, dir, "customer").select(
+          col("c_custkey").as("ck"), col("c_mktsegment").as("segment")), cust)
+      graft.GraftSession.withExtensions(s) { sess =>
+        sess.read.format("gvt").load(cust)
+          .createOrReplaceTempView("mvrm_cust")
+        sess.read.format("gvt").load(ord)
+          .createOrReplaceTempView("mvrm_ord")
+        sess.sql(s"CREATE MATERIALIZED VIEW gvt.`$mv` AS " +
+          "SELECT status, min(cents) AS min_cents, " +
+          "max(cents) AS max_cents, count(*) AS n_orders " +
+          "FROM mvrm_ord JOIN mvrm_cust ON ck_o = ck GROUP BY status")
+          .collect()
+        // retraction confined to status F; appended echoes land in O
+        VersionedTable.deleteWhereVector(sess, ord,
+          col("status") === "F" && col("k") % 7 === 0)
+        VersionedTable.append(
+          graft.sources.Tables.t(sess, dir, "orders")
+            .filter(col("o_orderkey") % 13 === 0)
+            .select((col("o_orderkey") + 4000000).as("k"),
+              col("o_custkey").as("ck_o"), lit("O").as("status"),
+              (floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+                + 11).as("cents")), ord)
+        sess.sql(s"REFRESH MATERIALIZED VIEW gvt.`$mv`").collect()
+        val ops = VersionedTable.history(sess, mv)
+          .select("operation").collect().map(_.getString(0)).toSet
+        require(ops.contains("MV_REFRESH") && !ops.contains("MV_REBUILD"),
+          s"min/max retraction refresh was not affected-group-bound: $ops")
+        sess.read.format("gvt").load(ord)
+          .createOrReplaceTempView("mvrm_ord")
+        val q = sess.sql(
+          "SELECT status, min(cents) AS min_cents, " +
+            "max(cents) AS max_cents, count(*) AS n_orders " +
+            "FROM mvrm_ord JOIN mvrm_cust ON ck_o = ck GROUP BY status " +
+            "ORDER BY status")
+        requireMv(q, mv)
+      }
+    }),
+
+    // COUNT(DISTINCT) through an MV: the per-(group, value)
+    // multiplicity side table folds inserts AND deletes (counting
+    // approach), the exact-grouping query answers from the MV column,
+    // and a SUBSET rollup — where distinct counts can never
+    // re-aggregate — answers from the side table alone (probed
+    // in-fixture). History must show MV_REFRESH, never MV_REBUILD.
+    "q_mv_distinct" -> ((s, dir) => {
+      val out = tmpDir("graft_mvd")
+      val base = s"$out/base"; val mv = s"$out/mv"
+      VersionedTable.write(
+        graft.sources.Tables.t(s, dir, "orders").select(
+          col("o_orderkey").as("k"), col("o_custkey").as("ck"),
+          col("o_orderstatus").as("status"),
+          col("o_orderpriority").as("prio"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+            .as("cents")), base)
+      MaterializedView.create(s, base, mv, Seq("status", "prio"),
+        Seq(AggSpec("count_distinct", "ck", "u_cust"),
+          AggSpec("sum", "cents", "sum_cents")))
+      // deletes remove every 11th order; appends bring NEW custkeys
+      // (shifted out of range) under one status — both classes must
+      // fold through the multiplicity side table
+      VersionedTable.deleteWhereVector(s, base, col("k") % 11 === 0)
+      VersionedTable.append(
+        graft.sources.Tables.t(s, dir, "orders")
+          .filter(col("o_orderkey") % 17 === 0)
+          .select((col("o_orderkey") + 5000000).as("k"),
+            (col("o_custkey") + 9000000).as("ck"),
+            lit("O").as("status"), lit("1-URGENT").as("prio"),
+            floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+              .as("cents")), base)
+      MaterializedView.refresh(s, mv)
+      val ops = VersionedTable.history(s, mv)
+        .select("operation").collect().map(_.getString(0)).toSet
+      require(ops.contains("MV_REFRESH") && !ops.contains("MV_REBUILD"),
+        s"count_distinct refresh was not incremental: $ops")
+      graft.GraftSession.withExtensions(s) { sess =>
+        // subset rollup must scan ONLY the side table
+        val side = MaterializedView.sideRootOf(mv, "u_cust")
+        val probe = sess.read.format("gvt").load(base).groupBy("status")
+          .agg(countDistinct(col("ck")).as("u"))
+        val sideCanon = new java.io.File(side).getCanonicalPath
+        require(probe.inputFiles.nonEmpty && probe.inputFiles.forall { f =>
+          val p = try new java.net.URI(f).getPath
+                  catch { case _: Exception => f }
+          p != null && p.startsWith(sideCanon + "/")
+        }, "subset distinct rollup must be served by the side table " +
+          s"alone: ${probe.inputFiles.take(3).mkString(",")}")
+        val q = sess.read.format("gvt").load(base)
+          .groupBy("status", "prio")
+          .agg(countDistinct(col("ck")).as("u_cust"),
+            sum(col("cents")).as("sum_cents"))
+          .orderBy(col("status"), col("prio"))
+        requireMv(q, mv)
+      }
     })
   )
 
@@ -329,7 +443,7 @@ object MvQueries {
     "q_mv_join_rollup" ->
       """WITH o AS (SELECT o_custkey AS ck_o,
         |    CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents
-        |  FROM orders WHERE o_orderstatus <> 'F')
+        |  FROM orders WHERE o_orderstatus IN ('O', 'P'))
         |SELECT c_mktsegment AS segment,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents,
         |  CAST(count(*) AS BIGINT) AS n_orders,
@@ -351,6 +465,37 @@ object MvQueries {
         |  CAST(count(*) AS BIGINT) AS n_orders
         |FROM o JOIN customer ON ck_o = c_custkey
         |GROUP BY segment ORDER BY segment""".stripMargin,
+
+    "q_mv_distinct" ->
+      """WITH b AS (
+        |  SELECT o_custkey AS ck, o_orderstatus AS status,
+        |    o_orderpriority AS prio,
+        |    CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 11 <> 0
+        |  UNION ALL
+        |  SELECT o_custkey + 9000000, 'O', '1-URGENT',
+        |    CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)
+        |  FROM orders WHERE o_orderkey % 17 = 0)
+        |SELECT status, prio,
+        |  CAST(count(DISTINCT ck) AS BIGINT) AS u_cust,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM b GROUP BY status, prio ORDER BY status, prio""".stripMargin,
+
+    "q_mv_diff_retract_minmax" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS ck_o, o_orderstatus AS status,
+        |    CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders
+        |  WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 0)
+        |  UNION ALL
+        |  SELECT o_custkey, 'O',
+        |    CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) + 11
+        |  FROM orders WHERE o_orderkey % 13 = 0)
+        |SELECT status, CAST(min(cents) AS BIGINT) AS min_cents,
+        |  CAST(max(cents) AS BIGINT) AS max_cents,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        |FROM o JOIN customer ON ck_o = c_custkey
+        |GROUP BY status ORDER BY status""".stripMargin,
 
     "q_mv_diff_join" ->
       """WITH o AS (

@@ -1057,6 +1057,40 @@ object RelationalQueries {
         FROM sqlcs_t GROUP BY status ORDER BY status""")
     }),
 
+    // BARE (non-aggregated) correlated scalars in DML: the per-key
+    // locate join passes the single staged value through (the stage
+    // has unique keys), an empty key group evaluates to NULL (UNKNOWN
+    // in the DELETE condition → row survives; the SET is EXISTS-
+    // bounded), and a multi-row group would raise the standard
+    // more-than-one-row error (pinned in ExtensionsSpec).
+    "q_sql_update_bare_scalar" -> ((s, dir) => graft.GraftSession.withExtensions(s) { sess =>
+      val out = tmpDir("graft_sqlbscal")
+      val o = t(sess, dir, "orders").select(col("o_orderkey").as("k"),
+        (col("o_custkey") % 100).as("g"),
+        col("o_orderstatus").as("status"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      val root = s"$out/t"
+      graft.sources.VersionedTable.write(o, root, statsCols = Seq("k"))
+      def view(): Unit = sess.sql(s"CREATE OR REPLACE TEMPORARY VIEW " +
+        s"sqlbs_t USING gvt OPTIONS (path '$root')")
+      view()
+      // UNIQUE-key staging: exactly one row per sk in 0..49
+      sess.sql("""CREATE OR REPLACE TEMPORARY VIEW sqlbs_stage AS
+        SELECT CAST(id AS BIGINT) AS sk, CAST(id * 7 + 3 AS BIGINT) AS amt
+        FROM range(50)""")
+      sess.sql("UPDATE sqlbs_t SET cents = cents + " +
+        "(SELECT amt FROM sqlbs_stage WHERE sk = g) " +
+        "WHERE k % 3 = 0 AND EXISTS " +
+        "(SELECT 1 FROM sqlbs_stage WHERE sk = g)")
+      view()
+      sess.sql("DELETE FROM sqlbs_t WHERE k % 4 = 0 AND " +
+        "(SELECT amt FROM sqlbs_stage WHERE sk = g) > 300")
+      view()
+      sess.sql("""SELECT status, count(*) AS n_orders,
+        sum(cents) AS sum_cents
+        FROM sqlbs_t GROUP BY status ORDER BY status""")
+    }),
+
     // CORRELATED NOT IN in DML — the null-probe decomposition: one
     // distributed anti-join on the correlation keys, exact 3VL. The
     // fixture pins every branch: a NULL-bearing key group (g=3) never
@@ -2680,6 +2714,26 @@ object RelationalQueries {
         |    coalesce(c, 0) AS c
         |  FROM t LEFT JOIN mx ON sk = g),
         |kept AS (SELECT * FROM u WHERE NOT (k % 5 = 0 AND c = 0))
+        |SELECT status, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM kept GROUP BY status ORDER BY status""".stripMargin,
+
+    // Bare correlated scalar = a unique-key LEFT join: the staged
+    // value (or NULL on no match) substitutes for the subquery; the
+    // UNKNOWN comparison keeps empty-group rows.
+    "q_sql_update_bare_scalar" ->
+      """WITH t AS (SELECT o_orderkey AS k, o_custkey % 100 AS g,
+        |    o_orderstatus AS status,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |stage AS (SELECT CAST(range AS BIGINT) AS sk,
+        |    CAST(range * 7 + 3 AS BIGINT) AS amt FROM range(50)),
+        |u AS (SELECT k, g, status,
+        |    CASE WHEN k % 3 = 0 AND sk IS NOT NULL
+        |         THEN cents + amt ELSE cents END AS cents, amt
+        |  FROM t LEFT JOIN stage ON sk = g),
+        |kept AS (SELECT * FROM u
+        |  WHERE NOT (k % 4 = 0 AND coalesce(amt > 300, FALSE)))
         |SELECT status, CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM kept GROUP BY status ORDER BY status""".stripMargin,

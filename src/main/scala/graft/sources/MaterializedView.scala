@@ -51,13 +51,25 @@ object MaterializedView {
 
   private val log = graft.util.Log("mv")
 
-  /** One aggregate column: fn ∈ sum|count|min|max, col ("*" allowed
-    * for count), out = the MV column name (and rewrite match target). */
+  /** One aggregate column: fn ∈ sum|count|min|max|count_distinct, col
+    * ("*" allowed for count), out = the MV column name (and rewrite
+    * match target). A count_distinct maintains a per-(group, value)
+    * multiplicity SIDE table beside the MV (the classic counting
+    * approach), so inserts AND deletes fold incrementally and subset
+    * rollups re-aggregate the side table exactly. */
   final case class AggSpec(fn: String, col: String, out: String) {
-    require(Set("sum", "count", "min", "max").contains(fn),
-      s"unsupported MV aggregate: $fn (supported: sum, count, min, max)")
+    require(Set("sum", "count", "min", "max", "count_distinct")
+      .contains(fn),
+      s"unsupported MV aggregate: $fn (supported: sum, count, min, " +
+        "max, count_distinct)")
     require(fn == "count" || col != "*", s"$fn(*) is not an aggregate")
   }
+
+  /** The multiplicity side table of one count_distinct aggregate: a
+    * gvt table sibling of the MV root holding (groups…, value,
+    * `_mult`), maintained by the same signed fold. */
+  private[graft] def sideRootOf(mvRoot: String, out: String): String =
+    s"${mvRoot.stripSuffix("/")}_mult_$out"
 
   /** `mvVersion` is REGISTRATION state, not part of the persisted
     * spec: the MV table version this registration's data lives at.
@@ -68,7 +80,8 @@ object MaterializedView {
   final case class MvSpec(mvRoot: String, baseRoot: String,
                           baseVersion: Long, groups: Seq[String],
                           aggs: Seq[AggSpec],
-                          mvVersion: Long = -1L) {
+                          mvVersion: Long = -1L,
+                          sideVersions: Map[String, Long] = Map.empty) {
     private[sources] def serialize: String = {
       val a = aggs.map(x => s"${x.fn}:${x.col}:${x.out}").mkString(",")
       s"base=$baseRoot\nbaseVersion=$baseVersion\n" +
@@ -399,22 +412,26 @@ object MaterializedView {
     * frame itself, or — when the differential shape is recognized —
     * the defining aggregate EXTENDED with the fold's internal counters
     * (`_rows`, per-sum `_nn_*`; the rewrite projects them away). */
+  /** The `_rows` / per-sum `_nn_*` bookkeeping aggregates a
+    * differential join MV materializes beside its user outputs. */
+  private def internalExtras(info: JoinAggInfo): Seq[NamedExpression] =
+    Alias(Count(Literal(1)).toAggregateExpression(), "_rows")() +:
+      info.ae.collect {
+        case Alias(ag: AggregateExpression, n)
+            if ag.aggregateFunction.isInstanceOf[Sum] =>
+          Alias(Count(ag.aggregateFunction.asInstanceOf[Sum].child)
+            .toAggregateExpression(), s"_nn_$n")()
+      }
+
   private def exactMvFrame(spark: SparkSession, df: DataFrame,
                            joinAgg: Option[JoinAggInfo]): DataFrame =
     joinAgg match {
       case None => df
       case Some(info) =>
-        val extras: Seq[NamedExpression] =
-          Alias(Count(Literal(1)).toAggregateExpression(), "_rows")() +:
-            info.ae.collect {
-              case Alias(ag: AggregateExpression, n)
-                  if ag.aggregateFunction.isInstanceOf[Sum] =>
-                Alias(Count(ag.aggregateFunction.asInstanceOf[Sum].child)
-                  .toAggregateExpression(), s"_nn_$n")()
-            }
         building.set(true)
         try org.apache.spark.sql.graft.NativeColumns.ofPlan(spark,
-          Aggregate(info.ge, info.ae ++ extras, info.joinChild))
+          Aggregate(info.ge, info.ae ++ internalExtras(info),
+            info.joinChild))
         finally building.set(false)
     }
 
@@ -658,66 +675,77 @@ object MaterializedView {
     * retractions (metadata-decided); sum/count algebra only — min/max
     * views rebuild on retraction (a removed row may carry the
     * extreme), the same trigger Delta's own MVs recompute on. */
-  private def diffDeltaAgg(spark: SparkSession, info: JoinAggInfo,
-                           oldV: Map[String, Long],
-                           newV: Map[String, Long],
-                           retracting: Set[String]): DataFrame = {
+  /** The telescoping delta-term union for one change class (`sign`)
+    * over the references `pos` admits; None = no admitted reference
+    * advanced (or its range carries no rows of that class). */
+  private def deltaTermUnion(spark: SparkSession, info: JoinAggInfo,
+                             oldV: Map[String, Long],
+                             newV: Map[String, Long],
+                             sign: Int, pos: Int => Boolean)
+      : Option[LogicalPlan] = {
     val newPlanByRoot: Map[String, LogicalPlan] =
       info.roots.distinct.filter(r => oldV(r) != newV(r)).map { r =>
         r -> VersionedTable.readVersion(spark, r, newV(r))
           .queryExecution.analyzed
       }.toMap
-
-    def deltas(sign: Int, pos: Int => Boolean): Map[Int, LogicalPlan] =
+    val deltaByIdx: Map[Int, LogicalPlan] =
       info.rels.indices.filter(pos).flatMap { i =>
         val r = info.roots(i)
         alignedDelta(spark, r, oldV(r), newV(r), info.rels(i), sign)
           .map(i -> _)
       }.toMap
-
-    def unionOf(deltaByIdx: Map[Int, LogicalPlan]): Option[LogicalPlan] = {
-      if (deltaByIdx.isEmpty) return None
-      val variants: Seq[LogicalPlan] = deltaByIdx.keys.toSeq.sorted.map { i =>
-        val mapping = new java.util.IdentityHashMap[LogicalRelation, LogicalPlan]()
-        info.rels.zipWithIndex.foreach { case (rel, j) =>
-          if (j == i) mapping.put(rel, deltaByIdx(i))
-          else if (j > i && oldV(info.roots(j)) != newV(info.roots(j)))
-            mapping.put(rel, alignTo(newPlanByRoot(info.roots(j)), rel))
-          // j < i (and unadvanced j > i): keep the OLD reference as-is
-        }
-        info.joinChild.transformUp {
-          case lr: LogicalRelation if mapping.containsKey(lr) => mapping.get(lr)
-        }
+    if (deltaByIdx.isEmpty) return None
+    val variants: Seq[LogicalPlan] = deltaByIdx.keys.toSeq.sorted.map { i =>
+      val mapping = new java.util.IdentityHashMap[LogicalRelation, LogicalPlan]()
+      info.rels.zipWithIndex.foreach { case (rel, j) =>
+        if (j == i) mapping.put(rel, deltaByIdx(i))
+        else if (j > i && oldV(info.roots(j)) != newV(info.roots(j)))
+          mapping.put(rel, alignTo(newPlanByRoot(info.roots(j)), rel))
+        // j < i (and unadvanced j > i): keep the OLD reference as-is
       }
-      Some(if (variants.size == 1) variants.head else Union(variants))
-    }
-
-    def aggOf(unioned: LogicalPlan): DataFrame = {
-      val iter = info.aggs.iterator
-      val renamed: Seq[NamedExpression] = info.ae.map {
-        case al @ Alias(ag: AggregateExpression, _)
-            if iter.hasNext => // aggs were collected in ae order
-          Alias(ag, s"_d_${iter.next().out}")()
-        case other => other // group echo keeps its name
+      info.joinChild.transformUp {
+        case lr: LogicalRelation if mapping.containsKey(lr) => mapping.get(lr)
       }
-      val extras: Seq[NamedExpression] =
-        Alias(Count(Literal(1)).toAggregateExpression(), "_d_rows")() +:
-          info.ae.collect {
-            case Alias(ag: AggregateExpression, n)
-                if ag.aggregateFunction.isInstanceOf[Sum] =>
-              val in = ag.aggregateFunction.asInstanceOf[Sum].child
-              Alias(Count(in).toAggregateExpression(), s"_d_nn_$n")()
-          }
-      org.apache.spark.sql.graft.NativeColumns.ofPlan(spark,
-        Aggregate(info.ge, renamed ++ extras, unioned))
     }
+    Some(if (variants.size == 1) variants.head else Union(variants))
+  }
+
+  /** The defining aggregate over a term union, outputs renamed to the
+    * fold's `_d_` protocol plus `_d_rows` / per-sum non-null counters. */
+  private def diffAggOf(spark: SparkSession, info: JoinAggInfo,
+                        unioned: LogicalPlan): DataFrame = {
+    val iter = info.aggs.iterator
+    val renamed: Seq[NamedExpression] = info.ae.map {
+      case al @ Alias(ag: AggregateExpression, _)
+          if iter.hasNext => // aggs were collected in ae order
+        Alias(ag, s"_d_${iter.next().out}")()
+      case other => other // group echo keeps its name
+    }
+    val extras: Seq[NamedExpression] =
+      Alias(Count(Literal(1)).toAggregateExpression(), "_d_rows")() +:
+        info.ae.collect {
+          case Alias(ag: AggregateExpression, n)
+              if ag.aggregateFunction.isInstanceOf[Sum] =>
+            val in = ag.aggregateFunction.asInstanceOf[Sum].child
+            Alias(Count(in).toAggregateExpression(), s"_d_nn_$n")()
+        }
+    org.apache.spark.sql.graft.NativeColumns.ofPlan(spark,
+      Aggregate(info.ge, renamed ++ extras, unioned))
+  }
+
+  private def diffDeltaAgg(spark: SparkSession, info: JoinAggInfo,
+                           oldV: Map[String, Long],
+                           newV: Map[String, Long],
+                           retracting: Set[String]): DataFrame = {
+    def aggOf(u: LogicalPlan): DataFrame = diffAggOf(spark, info, u)
 
     if (retracting.isEmpty)
-      return aggOf(unionOf(deltas(0, _ => true)).getOrElse(
-        throw new IllegalStateException("refresh with no advanced base")))
-    val pos = unionOf(deltas(1, _ => true)).map(aggOf)
-    val neg = unionOf(deltas(-1, i => retracting.contains(info.roots(i))))
-      .map(aggOf)
+      return aggOf(deltaTermUnion(spark, info, oldV, newV, 0, _ => true)
+        .getOrElse(
+          throw new IllegalStateException("refresh with no advanced base")))
+    val pos = deltaTermUnion(spark, info, oldV, newV, 1, _ => true).map(aggOf)
+    val neg = deltaTermUnion(spark, info, oldV, newV, -1,
+      i => retracting.contains(info.roots(i))).map(aggOf)
     (pos, neg) match {
       case (Some(p), Some(n0)) =>
         // signed combination: one delta-sized null-safe full-outer
@@ -738,6 +766,79 @@ object MaterializedView {
       case (None, None) =>
         throw new IllegalStateException("refresh with no advanced base")
     }
+  }
+
+  /** Join-view tier of the affected-group recompute: a min/max view
+    * over a retraction range re-aggregates ONLY the key groups present
+    * in the retraction delta — from the LIVE join restricted to them
+    * (per-column IN prefilters push through the join to the owning
+    * side's scan for data skipping; an exact null-safe semi join
+    * against the broadcast key set keeps the replaced set precise) —
+    * while every other group folds the insert-only remainder as usual.
+    * `info` is the REGISTERED shape (its joinChild reads the old
+    * snapshots the delta terms telescope from); `liveInfo` the shape
+    * re-recognized on the live plan (its joinChild reads the new
+    * snapshots the recompute aggregates). None = the retraction
+    * touched more than [[AffectedGroupCap]] groups — the caller
+    * re-runs the defining plan. */
+  private def minMaxRetractJoinFold(spark: SparkSession, mvRoot: String,
+                                    info: JoinAggInfo,
+                                    liveInfo: JoinAggInfo,
+                                    oldV: Map[String, Long],
+                                    newV: Map[String, Long],
+                                    retracting: Set[String],
+                                    meta: (String, String)): Option[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, EqualNullSafe, In, IsNull, Or}
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.JoinHint
+    import org.apache.spark.sql.graft.NativeColumns
+
+    val negU = deltaTermUnion(spark, info, oldV, newV, -1,
+      i => retracting.contains(info.roots(i))).getOrElse {
+      // the range carried retraction-class commits but no retraction
+      // ROWS — the plain insert-only fold is exact
+      return Some(foldIntoMv(spark, mvRoot, info.groups, info.aggs,
+        diffDeltaAgg(spark, info, oldV, newV, Set.empty), meta))
+    }
+    val negKeys = NativeColumns.ofPlan(spark,
+      Project(info.ge.zip(info.groups).map { case (g, n) =>
+        Alias(g, n)() }, negU))
+    val affected = collectAffected(negKeys).getOrElse(return None)
+    val aff = affectedFrame(spark, info.groups, negKeys.schema, affected)
+
+    // insert-only remainder for groups no retraction touched
+    val dAggOpt = deltaTermUnion(spark, info, oldV, newV, 1, _ => true)
+      .map(u => diffAggOf(spark, info, u))
+      .map(d => d.join(broadcast(aff), nullSafeOn(d, aff, info.groups),
+        "left_anti"))
+
+    // recompute the affected groups over the live join
+    val skipExpr: Expression = liveInfo.ge.zipWithIndex.map { case (g, i) =>
+      val vals = affected.map(_.get(i)).distinct
+      val nonNull = vals.filter(_ != null).toIndexedSeq
+      val dt = negKeys.schema(i).dataType
+      val f: Expression =
+        if (nonNull.isEmpty) Literal(false)
+        else In(g, nonNull.map(v => Literal.create(v, dt)))
+      if (vals.contains(null)) Or(f, IsNull(g)) else f
+    }.reduce(CAnd(_, _))
+    val affPlan = aff.queryExecution.analyzed
+    val semiCond = liveInfo.ge.zip(affPlan.output).map { case (g, a) =>
+      EqualNullSafe(g, a): Expression }.reduce(CAnd(_, _))
+    val recomputed = NativeColumns.ofPlan(spark,
+      Aggregate(liveInfo.ge, liveInfo.ae ++ internalExtras(liveInfo),
+        Join(Filter(skipExpr, liveInfo.joinChild), affPlan, LeftSemi,
+          Some(semiCond), JoinHint.NONE)))
+
+    val old = VersionedTable.readLatest(spark, mvRoot)
+    val oldKept = old.join(broadcast(aff),
+      nullSafeOn(old, aff, info.groups), "left_anti")
+    val merged = dAggOpt match {
+      case Some(d) => foldFrames(oldKept, d, info.groups, info.aggs)
+      case None    => oldKept
+    }
+    Some(VersionedTable.write(merged.unionByName(recomputed), mvRoot,
+      operation = "MV_REFRESH", metaFiles = Map(meta)))
   }
 
   /** The cached plan with every gvt relation re-pointed at its LIVE
@@ -817,32 +918,42 @@ object MaterializedView {
 
     // differential eligibility: sum/count views fold ANY feed-served
     // range (retractions ride the signed counting-IVM fold); min/max
-    // views fold insert-only ranges and rebuild otherwise (a removed
-    // row may have carried the extreme)
+    // views fold insert-only ranges and RECOMPUTE only the
+    // retraction-affected groups otherwise (a removed row may carry an
+    // extreme, but only of a group it belonged to)
     val diffable: Option[(JoinAggInfo, Set[String])] =
       entry.joinAgg.flatMap { info =>
         if (liveV.keySet != entry.spec.baseVersions.keySet) None
-        else {
-          val retracting =
-            info.roots.distinct.filterNot(insertOnlyRange).toSet
-          val hasMinMax =
-            info.aggs.exists(a => a.fn == "min" || a.fn == "max")
-          if (retracting.isEmpty || !hasMinMax) Some((info, retracting))
-          else None
-        }
+        else Some((info,
+          info.roots.distinct.filterNot(insertOnlyRange).toSet))
       }
 
     diffable match {
       case Some((info, retracting)) =>
         // differential: fold the telescoping delta-join union into the
         // MV — all-old ⋈ all-old (the dominant term) never recomputes
+        val hasMinMax =
+          info.aggs.exists(a => a.fn == "min" || a.fn == "max")
         building.set(true)
         val mvv =
-          try Some {
-            val dAgg = diffDeltaAgg(spark, info,
-              entry.spec.baseVersions, liveV, retracting)
-            foldIntoMv(spark, entry.spec.mvRoot, info.groups, info.aggs,
-              dAgg, "_mv_exact" -> serializeExact(next))
+          try {
+            if (retracting.nonEmpty && hasMinMax) {
+              val r = recognizeSafe(mpLive, outNames).flatMap { liveInfo =>
+                minMaxRetractJoinFold(spark, entry.spec.mvRoot, info,
+                  liveInfo, entry.spec.baseVersions, liveV, retracting,
+                  "_mv_exact" -> serializeExact(next))
+              }
+              if (r.isEmpty)
+                log.warn(s"${entry.spec.mvRoot}: min/max retraction " +
+                  s"touched more than $AffectedGroupCap groups — " +
+                  "defining-plan re-run")
+              r
+            } else Some {
+              val dAgg = diffDeltaAgg(spark, info,
+                entry.spec.baseVersions, liveV, retracting)
+              foldIntoMv(spark, entry.spec.mvRoot, info.groups, info.aggs,
+                dAgg, "_mv_exact" -> serializeExact(next))
+            }
           } catch {
             // a hop the keyless feed cannot reconstruct (sidecar-less
             // UPDATE_DV): degrade to the defining-plan re-run — the MV
@@ -875,10 +986,27 @@ object MaterializedView {
     case "sum"   => sum(col(a.col)).as(a.out)
     case "min"   => min(col(a.col)).as(a.out)
     case "max"   => max(col(a.col)).as(a.out)
+    case "count_distinct" =>
+      countDistinct(col(a.col)).cast("long").as(a.out)
     case "count" =>
       (if (a.col == "*") count(lit(1)) else count(col(a.col)))
         .cast("long").as(a.out)
   }
+
+  /** Build (or rebuild) the multiplicity side tables of a spec's
+    * count_distinct aggregates from a base snapshot. Returns out →
+    * committed side version. */
+  private def writeSideTables(spark: SparkSession, base: DataFrame,
+                              spec: MvSpec,
+                              operation: String): Map[String, Long] =
+    spec.aggs.filter(_.fn == "count_distinct").map { a =>
+      val keys = (spec.groups :+ a.col).distinct
+      val side = base.filter(col(a.col).isNotNull)
+        .groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).cast("long").as("_mult"))
+      a.out -> VersionedTable.write(side, sideRootOf(spec.mvRoot, a.out),
+        operation = operation)
+    }.toMap
 
   private def aggregate(base: DataFrame, groups: Seq[String],
                         aggs: Seq[AggSpec]): DataFrame = {
@@ -895,11 +1023,12 @@ object MaterializedView {
     val v = VersionedTable.latestVersion(baseRoot).getOrElse(
       throw new IllegalArgumentException(s"no versions at $baseRoot"))
     val spec = MvSpec(mvRoot, baseRoot, v, groups, aggs)
-    val mv = aggregate(VersionedTable.readVersion(spark, baseRoot, v),
-      groups, aggs)
+    val baseDf = VersionedTable.readVersion(spark, baseRoot, v)
+    val mv = aggregate(baseDf, groups, aggs)
     val mvv = VersionedTable.write(mv, mvRoot, operation = "MV_CREATE",
       metaFiles = Map("_mv" -> spec.serialize))
-    register(spec.copy(mvVersion = mvv))
+    val sideVs = writeSideTables(spark, baseDf, spec, "MV_CREATE")
+    register(spec.copy(mvVersion = mvv, sideVersions = sideVs))
     stampRegistration(Seq(baseRoot), mvRoot)
     v
   }
@@ -907,13 +1036,17 @@ object MaterializedView {
   /** Re-register an MV persisted by an earlier session: newest `_mv`
     * metadata wins (each refresh re-stamps it). */
   def attach(mvRoot: String): MvSpec = {
-    val spec = VersionedTable.committedVersions(mvRoot).reverse.iterator
+    val spec0 = VersionedTable.committedVersions(mvRoot).reverse.iterator
       .flatMap(v => VersionedTable.readMeta(mvRoot, v, "_mv"))
       .toSeq.headOption
       .map(parseSpec(mvRoot, _))
       .getOrElse(throw new IllegalArgumentException(
         s"no _mv metadata at $mvRoot — not a materialized view"))
-      .copy(mvVersion = VersionedTable.latestVersion(mvRoot).getOrElse(-1L))
+    val spec = spec0.copy(
+      mvVersion = VersionedTable.latestVersion(mvRoot).getOrElse(-1L),
+      sideVersions = spec0.aggs.filter(_.fn == "count_distinct").map(a =>
+        a.out -> VersionedTable.latestVersion(sideRootOf(mvRoot, a.out))
+          .getOrElse(-1L)).toMap)
     register(spec)
     spec
   }
@@ -979,18 +1112,41 @@ object MaterializedView {
       VersionedTable.readMeta(spec.baseRoot, v, "_operation")
         .map(_.trim).getOrElse("WRITE"))
     val hasMinMax = spec.aggs.exists(a => a.fn == "min" || a.fn == "max")
+    val hasCd = spec.aggs.exists(_.fn == "count_distinct")
     val next = spec.copy(baseVersion = cur)
-    def rebuild(): Long = {
+    def rebuild(): (Long, Map[String, Long]) = {
       // a removed row could have carried the extreme (or the change
       // feed refused): re-aggregate the live snapshot
-      val mv = aggregate(
-        VersionedTable.readVersion(spark, spec.baseRoot, cur),
-        spec.groups, spec.aggs)
-      VersionedTable.write(mv, mvRoot, operation = "MV_REBUILD",
-        metaFiles = Map("_mv" -> next.serialize))
+      val baseDf = VersionedTable.readVersion(spark, spec.baseRoot, cur)
+      val mv = aggregate(baseDf, spec.groups, spec.aggs)
+      (VersionedTable.write(mv, mvRoot, operation = "MV_REBUILD",
+        metaFiles = Map("_mv" -> next.serialize)),
+        writeSideTables(spark, baseDf, spec, "MV_REBUILD"))
     }
-    val mvv =
-      if (hasMinMax && !ops.forall(insertOnly)) rebuild()
+    val (mvv, sideVs) =
+      if (hasMinMax && !ops.forall(insertOnly)) {
+        // min/max over a retraction range: recompute ONLY the key
+        // groups present in the retraction delta (a removed row can
+        // carry the extreme of no other group); full re-aggregation
+        // only past the group cap, when the feed can't reconstruct
+        // the range, or when the spec mixes in count_distinct (the
+        // rare combo keeps the simple rebuild)
+        try {
+          (if (hasCd) None else minMaxRetractFold(spark, spec, cur, next))
+            .map((_, Map.empty[String, Long])).getOrElse {
+              if (!hasCd)
+                log.warn(s"$mvRoot: retraction touched more than " +
+                  s"$AffectedGroupCap groups — full re-aggregation")
+              rebuild()
+            }
+        }
+        catch {
+          case e: VersionedTable.ChangeFeedUnavailable =>
+            log.warn(s"$mvRoot: min/max retraction refresh degraded " +
+              s"to full re-aggregation — ${e.getMessage}")
+            rebuild()
+        }
+      }
       else {
         // the keyless feed refuses DML ranges captured without
         // `gvt.enableChangeDataFeed` sidecars — the MV never mutates its
@@ -1006,7 +1162,7 @@ object MaterializedView {
             rebuild()
         }
       }
-    register(next.copy(mvVersion = mvv))
+    register(next.copy(mvVersion = mvv, sideVersions = sideVs))
     cur
   }
 
@@ -1026,7 +1182,8 @@ object MaterializedView {
     * with one MV-sized full-outer merge (null group keys match via
     * null-safe equality); groups whose row count hits zero drop out. */
   private def incrementalFold(spark: SparkSession, spec: MvSpec,
-                              cur: Long, next: MvSpec): Long = {
+                              cur: Long, next: MvSpec)
+      : (Long, Map[String, Long]) = {
     // the keyless feed is per-hop (a range across rewrite commits has
     // no single reconstruction) — walk consecutive committed pairs and
     // union, exactly the batch change-feed relation's shape; each hop
@@ -1043,8 +1200,10 @@ object MaterializedView {
     val sign = when(col("_change_type").isin("insert", "update_postimage"),
       lit(1L)).otherwise(lit(-1L))
     // delta aggregate per group: signed sums/counts; min/max only see
-    // insert-only ranges here, so a plain min/max of the new rows folds
-    val dCols: Seq[Column] = spec.aggs.map { a =>
+    // insert-only ranges here, so a plain min/max of the new rows
+    // folds; count_distinct deltas come from the side fold below
+    val dCols: Seq[Column] = spec.aggs
+      .filter(_.fn != "count_distinct").map { a =>
       a.fn match {
         case "sum" => sum(col(a.col) * sign).as(s"_d_${a.out}")
         case "count" =>
@@ -1058,10 +1217,58 @@ object MaterializedView {
       spec.aggs.filter(_.fn == "sum").map(a =>
         sum(when(col(a.col).isNotNull, sign).otherwise(lit(0L)))
           .as(s"_d_nn_${a.out}")))
-    val dAgg = delta.groupBy(spec.groups.map(col): _*)
+    var dAgg = delta.groupBy(spec.groups.map(col): _*)
       .agg(dCols.head, dCols.tail: _*)
-    foldIntoMv(spark, spec.mvRoot, spec.groups, spec.aggs, dAgg,
-      "_mv" -> next.serialize)
+    // count_distinct: fold each multiplicity side table with the same
+    // signed delta, and derive the per-group distinct-count delta from
+    // the values that APPEARED (multiplicity 0 → >0) minus those that
+    // DISAPPEARED (>0 → 0) — the classic counting approach, exact for
+    // inserts AND deletes
+    val sideVs = spec.aggs.filter(_.fn == "count_distinct").map { a =>
+      val (sv, dAggD) = foldSide(spark, spec, a, delta, sign)
+      val j = dAgg.join(dAggD,
+        spec.groups.map(g => dAgg(g) <=> dAggD(g)).reduce(_ && _), "left")
+      dAgg = j.select(dAgg.columns.toSeq.map(c => dAgg(c)) :+
+        coalesce(dAggD(s"_d_${a.out}"), lit(0L)).as(s"_d_${a.out}"): _*)
+      a.out -> sv
+    }.toMap
+    (foldIntoMv(spark, spec.mvRoot, spec.groups, spec.aggs, dAgg,
+      "_mv" -> next.serialize), sideVs)
+  }
+
+  /** Fold one count_distinct side table with the signed delta: merge
+    * per-(group, value) multiplicities (side-sized, like the MV merge
+    * is MV-sized), drop rows whose multiplicity hits zero, commit, and
+    * return the new side version plus the per-group distinct-count
+    * delta frame (`groups…, _d_<out>`). */
+  private def foldSide(spark: SparkSession, spec: MvSpec, a: AggSpec,
+                       delta: DataFrame, sign: Column)
+      : (Long, DataFrame) = {
+    val sRoot = sideRootOf(spec.mvRoot, a.out)
+    val keys = (spec.groups :+ a.col).distinct
+    val dm = delta.filter(col(a.col).isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(sign).as("_dmult"))
+    val old = VersionedTable.readLatest(spark, sRoot)
+    val cond = keys.map(k => old(k) <=> dm(k)).reduce(_ && _)
+    val joined = old.join(dm, cond, "full_outer")
+    val newMult = coalesce(old("_mult"), lit(0L)) +
+      coalesce(dm("_dmult"), lit(0L))
+    val merged = joined
+      .select(keys.map(k => coalesce(old(k), dm(k)).as(k)) :+
+        newMult.as("_mult"): _*)
+      .filter(col("_mult") > 0)
+    val sv = VersionedTable.write(merged, sRoot, operation = "MV_REFRESH")
+    val chg = when(old("_mult").isNull && newMult > 0, lit(1L))
+      .when(old("_mult").isNotNull && newMult <= 0, lit(-1L))
+      .otherwise(lit(0L))
+    val dAggD = joined
+      .select(spec.groups.map(g =>
+        coalesce(old(g), dm(g)).as(g)) :+ chg.as("_chg"): _*)
+      .groupBy(spec.groups.map(col): _*)
+      .agg(sum("_chg").as(s"_d_${a.out}"))
+      .filter(col(s"_d_${a.out}") =!= 0)
+    (sv, dAggD)
   }
 
   /** Fold a `_d_`-prefixed per-group delta aggregate into the MV with
@@ -1070,8 +1277,20 @@ object MaterializedView {
     * and the differential join path. */
   private def foldIntoMv(spark: SparkSession, mvRoot: String,
                          groups: Seq[String], aggs: Seq[AggSpec],
-                         dAgg: DataFrame, meta: (String, String)): Long = {
-    val old = VersionedTable.readLatest(spark, mvRoot)
+                         dAgg: DataFrame, meta: (String, String)): Long =
+    VersionedTable.write(
+      foldFrames(VersionedTable.readLatest(spark, mvRoot), dAgg,
+        groups, aggs),
+      mvRoot, operation = "MV_REFRESH", metaFiles = Map(meta))
+
+  /** The merge itself: `old` (an MV-shaped frame) full-outer-joined
+    * null-safely with the `_d_` delta aggregate. Min/max fold via
+    * least/greatest, so the delta side must be INSERT-ONLY when the
+    * spec carries extremes (the retraction paths recompute those
+    * groups instead of handing them here). */
+  private def foldFrames(old: DataFrame, dAgg: DataFrame,
+                         groups: Seq[String],
+                         aggs: Seq[AggSpec]): DataFrame = {
     val joinCond = groups.map(g => old(g) <=> dAgg(g)).reduce(_ && _)
     val joined = old.join(dAgg, joinCond, "full_outer")
 
@@ -1081,7 +1300,9 @@ object MaterializedView {
     val aggCols: Seq[Column] = aggs.map { a =>
       val o = old(a.out); val d = dAgg(s"_d_${a.out}")
       a.fn match {
-        case "count" => both(o, d).as(a.out)
+        // the side fold hands the per-group DISTINCT-COUNT delta
+        // (values appeared minus values disappeared) — plain addition
+        case "count" | "count_distinct" => both(o, d).as(a.out)
         case "sum" =>
           // SQL null contract: the sum is NULL iff no non-null input
           // survives; exact via the materialized non-null counters
@@ -1094,10 +1315,124 @@ object MaterializedView {
     }
     val nnCols = aggs.filter(_.fn == "sum").map(a =>
       both(old(s"_nn_${a.out}"), dAgg(s"_d_nn_${a.out}")).as(s"_nn_${a.out}"))
-    val folded = joined
+    joined
       .select(groupCols ++ aggCols ++ (newRows +: nnCols): _*)
       .filter(col("_rows") > 0)
-    VersionedTable.write(folded, mvRoot, operation = "MV_REFRESH",
-      metaFiles = Map(meta))
+  }
+
+  // ------------------------------------------------------------------
+  // Affected-group recompute: min/max views over a RETRACTION range.
+  // A removed row may have carried a group's extreme, so min/max can't
+  // fold a retraction algebraically — but only the key groups PRESENT
+  // IN THE RETRACTION DELTA can lose an extreme. Those groups are
+  // re-aggregated from the live base restricted to them (per-column IN
+  // prefilters push to the scan for data skipping; an exact null-safe
+  // semi join keeps the replaced set precise), every other group folds
+  // the insert-only remainder as usual, and the merge replaces exactly
+  // the recomputed groups. Delta-bound in the common case — the full
+  // re-aggregation a retraction used to force unconditionally now
+  // happens only past the driver-side key cap or on a feed refusal.
+  // ------------------------------------------------------------------
+
+  /** Max distinct retraction-affected groups collected to the driver
+    * (group keys are metadata, like IVF routing ids — but unbounded in
+    * the worst case, so past the cap the refresh degrades to the full
+    * re-aggregation). */
+  private[sources] val AffectedGroupCap = 10000
+
+  /** The retraction delta's distinct group keys, collected; None =
+    * over the cap, caller degrades to a rebuild. */
+  private def collectAffected(groupsDf: DataFrame)
+      : Option[Array[org.apache.spark.sql.Row]] = {
+    val a = groupsDf.distinct().limit(AffectedGroupCap + 1).collect()
+    if (a.length > AffectedGroupCap) None else Some(a)
+  }
+
+  /** Per-column IN prefilter over the affected keys — a SUPERSET of
+    * the affected groups (cross product over columns), pushable to the
+    * scan for file/partition skipping; exactness comes from the semi
+    * join layered on top. */
+  private def skipFilter(groups: Seq[String],
+                         affected: Array[org.apache.spark.sql.Row])
+      : Column =
+    groups.zipWithIndex.map { case (g, i) =>
+      val vals = affected.map(_.get(i)).distinct
+      val nonNull = vals.filter(_ != null)
+      val f = if (nonNull.isEmpty) lit(false)
+              else col(g).isin(nonNull.toIndexedSeq: _*)
+      if (vals.contains(null)) f || col(g).isNull else f
+    }.reduce(_ && _)
+
+  /** The affected keys as a broadcastable frame with `__aff_`-prefixed
+    * names (never colliding with MV/base columns). */
+  private def affectedFrame(spark: SparkSession, groups: Seq[String],
+                            schema: org.apache.spark.sql.types.StructType,
+                            affected: Array[org.apache.spark.sql.Row])
+      : DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(affected.toSeq.asJava, schema)
+      .select(groups.map(g => col(g).as(s"__aff_$g")): _*)
+  }
+
+  private def nullSafeOn(left: DataFrame, aff: DataFrame,
+                         groups: Seq[String]): Column =
+    groups.map(g => left(g) <=> aff(s"__aff_$g")).reduce(_ && _)
+
+  /** Single-table tier: refresh a min/max view across a range with
+    * retractions at delta-bound cost. None = over the group cap, the
+    * caller rebuilds. Feed refusals propagate (caller catches). */
+  private def minMaxRetractFold(spark: SparkSession, spec: MvSpec,
+                                cur: Long, next: MvSpec): Option[Long] = {
+    val chain = VersionedTable.committedVersions(spec.baseRoot)
+    val cols = (spec.groups ++ spec.aggs.map(_.col).filter(_ != "*")).distinct
+    val delta = chain.zip(chain.drop(1))
+      .filter { case (_, b) => b > spec.baseVersion && b <= cur }
+      .map { case (a, b) =>
+        VersionedTable.changes(spark, spec.baseRoot, a, b)
+          .select(cols.map(col) :+ col("_change_type"): _*)
+      }
+      .reduce(_ unionByName _)
+    val rets = delta.filter(col("_change_type")
+      .isin("delete", "update_preimage"))
+    val retGroups = rets.select(spec.groups.map(col): _*)
+    val affected = collectAffected(retGroups).getOrElse(return None)
+    val aff = affectedFrame(spark, spec.groups, retGroups.schema, affected)
+
+    // insert-only remainder for groups NOT affected by a retraction
+    val adds = delta.filter(col("_change_type")
+      .isin("insert", "update_postimage"))
+    val dCols: Seq[Column] = spec.aggs.map { a =>
+      (a.fn match {
+        case "sum"   => sum(col(a.col))
+        case "count" => (if (a.col == "*") count(lit(1))
+                         else count(col(a.col))).cast("long")
+        case "min"   => min(col(a.col))
+        case "max"   => max(col(a.col))
+      }).as(s"_d_${a.out}")
+    } ++ (count(lit(1)).cast("long").as("_d_rows") +:
+      spec.aggs.filter(_.fn == "sum").map(a =>
+        count(col(a.col)).cast("long").as(s"_d_nn_${a.out}")))
+    val dAgg0 = adds.groupBy(spec.groups.map(col): _*)
+      .agg(dCols.head, dCols.tail: _*)
+    val dAgg = dAgg0.join(broadcast(aff), nullSafeOn(dAgg0, aff, spec.groups),
+      "left_anti")
+
+    // recompute the affected groups from the live snapshot: the IN
+    // prefilter reaches the scan (partition pruning / file skipping on
+    // clustered group columns), the semi join makes the set exact
+    val basePruned = VersionedTable.readVersion(spark, spec.baseRoot, cur)
+      .filter(skipFilter(spec.groups, affected))
+    val recomputed = aggregate(
+      basePruned.join(broadcast(aff), nullSafeOn(basePruned, aff, spec.groups),
+        "left_semi"),
+      spec.groups, spec.aggs)
+
+    val old = VersionedTable.readLatest(spark, spec.mvRoot)
+    val oldKept = old.join(broadcast(aff), nullSafeOn(old, aff, spec.groups),
+      "left_anti")
+    val merged = foldFrames(oldKept, dAgg, spec.groups, spec.aggs)
+      .unionByName(recomputed)
+    Some(VersionedTable.write(merged, spec.mvRoot, operation = "MV_REFRESH",
+      metaFiles = Map("_mv" -> next.serialize)))
   }
 }

@@ -287,11 +287,37 @@ class ExtensionsSpec extends AnyFunSuite {
         "WHERE id IN (31, 32)").as[Long].head() == 0L,
         "count-on-empty-group must fold to 0, not NULL")
       assert(VersionedTable.latestVersion(root).get == vBeforeCnt + 1)
-      // a NON-aggregated correlated scalar can return several rows per
-      // key — still refused loudly
-      refuses("UPDATE sub_dml SET v = " +
-        "(SELECT cv FROM sub_corr WHERE ck = id)",
-        "not an aggregate")
+      // a NON-aggregated (bare) correlated scalar decomposes into the
+      // same per-key locate join WITH the standard runtime guard: a
+      // single-row key group passes its value through, a multi-row
+      // group raises the more-than-one-row error NAMING the key
+      sess.sql("UPDATE sub_dml SET v = " +
+        "(SELECT cv FROM sub_corr WHERE ck = id) WHERE id = 23")
+      view()
+      assert(sess.sql("SELECT v FROM sub_dml WHERE id = 23")
+        .as[Long].head() == 230L,
+        "a single-row key group must pass the bare scalar through")
+      // an EMPTY key group evaluates to NULL (SQL: empty scalar =
+      // NULL) — `NULL = anything` is UNKNOWN, so the row survives
+      sess.sql("DELETE FROM sub_dml WHERE id = 26 AND " +
+        "(SELECT cv FROM sub_corr WHERE ck = id) = 260")
+      view()
+      assert(sess.sql("SELECT count(*) AS n FROM sub_dml WHERE id = 26")
+        .as[Long].head() == 1L,
+        "an empty key group's bare scalar must be NULL (UNKNOWN, " +
+          "no delete)")
+      // id 22's key group holds TWO rows → the exact SQL runtime error
+      val multi = intercept[Exception] {
+        sess.sql("UPDATE sub_dml SET v = " +
+          "(SELECT cv FROM sub_corr WHERE ck = id) WHERE id = 22")
+      }
+      def chainMsgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else String.valueOf(t.getMessage) +: chainMsgs(t.getCause)
+      assert(chainMsgs(multi).exists(m =>
+        m.contains("more than one row") && m.contains("(22)")),
+        "a multi-row key group must raise the more-than-one-row " +
+          s"error naming the key: ${chainMsgs(multi).mkString(" | ")}")
       // RESIDUAL one-side-outer comparisons ride the semi/anti join
       // beside the equality keys (the staging freshness idiom
       // `EXISTS(… WHERE s.k = t.k AND s.bound < t.v)`). id 40 (v=400):

@@ -420,8 +420,8 @@ class MvExactSpec extends AnyFunSuite {
     }
   }
 
-  test("a min/max join view still REBUILDS on retraction — a removed " +
-    "row may carry the extreme") {
+  test("a min/max join view REFRESHES on retraction via the " +
+    "affected-group recompute — never a whole-view rebuild") {
     val oRoot = tmp("mx_o14"); val cRoot = tmp("mx_c14"); val mv = tmp("mx_mv14")
     mkBases(oRoot, cRoot)
     GraftSession.withExtensions(spark) { sess =>
@@ -435,7 +435,9 @@ class MvExactSpec extends AnyFunSuite {
         MaterializedView.refresh(sess, mv)
         val ops = VersionedTable.history(sess, mv)
           .select("operation").collect().map(_.getString(0)).toSet
-        assert(ops.contains("MV_REBUILD"), ops)
+        assert(ops.contains("MV_REFRESH") && !ops.contains("MV_REBUILD"),
+          s"min/max retraction must recompute only the affected " +
+            s"groups, not rebuild the view: $ops")
         val exp = sess.read.format("gvt").load(oRoot)
           .join(sess.read.format("gvt").load(cRoot), col("ck") === col("ck2"))
           .groupBy("segment").agg(max("cents").as("m"))
@@ -443,6 +445,61 @@ class MvExactSpec extends AnyFunSuite {
         val got = VersionedTable.readLatest(sess, mv)
           .select("segment", "max_cents")
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(got == exp)
+        // the refreshed view must still serve the defining shape
+        sess.read.format("gvt").load(oRoot)
+          .createOrReplaceTempView("mx_orders14")
+        sess.read.format("gvt").load(cRoot)
+          .createOrReplaceTempView("mx_cust14")
+        assert(usesMv(sess.sql(defSql), mv))
+        MaterializedView.drop(mv)
+      }
+    }
+  }
+
+  test("min/max join-view retraction: a mixed range (delete + append) " +
+    "recomputes affected groups and folds the rest; fact-side group " +
+    "columns keep the recompute fact-pruned") {
+    val oRoot = tmp("mx_o16"); val cRoot = tmp("mx_c16"); val mv = tmp("mx_mv16")
+    // fact with a FACT-SIDE group column (status): the recompute's IN
+    // prefilter pushes to the fact scan itself
+    VersionedTable.write(spark.range(5000).select(col("id").as("k"),
+      (col("id") % 40).as("ck"),
+      concat(lit("s"), col("id") % 25).as("status"),
+      (col("id") * 13 % 9999).as("cents")), oRoot)
+    VersionedTable.write(spark.range(40).select(col("id").as("ck2"),
+      concat(lit("seg"), col("id") % 4).as("segment")), cRoot)
+    GraftSession.withExtensions(spark) { sess =>
+      withViews(sess, oRoot, cRoot, "mx_orders16", "mx_cust16") {
+        val defSql =
+          """SELECT status, min(cents) AS mn, max(cents) AS mx,
+            |       count(*) AS c
+            |FROM mx_orders16 JOIN mx_cust16 ON ck = ck2
+            |GROUP BY status""".stripMargin
+        MaterializedView.createExact(sess, mv, defSql)
+        // retraction confined to status s7; appends land in s3
+        VersionedTable.deleteWhereVector(sess, oRoot,
+          col("status") === "s7" && col("cents") % 2 === 0)
+        VersionedTable.append(sess.range(9).select(
+          (col("id") + 900000).as("k"), (col("id") % 40).as("ck"),
+          lit("s3").as("status"), (col("id") + 20000).as("cents")), oRoot)
+        MaterializedView.refresh(sess, mv)
+        val ops = VersionedTable.history(sess, mv)
+          .select("operation").collect().map(_.getString(0)).toSet
+        assert(ops.contains("MV_REFRESH") && !ops.contains("MV_REBUILD"),
+          ops)
+        val exp = sess.read.format("gvt").load(oRoot)
+          .join(sess.read.format("gvt").load(cRoot),
+            col("ck") === col("ck2"))
+          .groupBy("status")
+          .agg(min("cents").as("mn"), max("cents").as("mx"),
+            count(lit(1)).as("c"))
+          .collect().map(r => r.getString(0) ->
+            (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+        val got = VersionedTable.readLatest(sess, mv)
+          .select("status", "mn", "mx", "c")
+          .collect().map(r => r.getString(0) ->
+            (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
         assert(got == exp)
         MaterializedView.drop(mv)
       }
@@ -544,6 +601,43 @@ class MvExactSpec extends AnyFunSuite {
             |WHERE cents > 100
             |GROUP BY status""".stripMargin)
         assert(!usesMv(qn, mv), "a data-column filter cannot compensate")
+        // IN-lists and RANGES over group columns compensate too — the
+        // next most common dashboard shapes after equality
+        val qin = sess.sql(
+          """SELECT status, sum(cents) AS s, count(*) AS c
+            |FROM mx_o17_t JOIN mx_c17_t ON ck = ck2
+            |WHERE segment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
+            |GROUP BY status""".stripMargin)
+        assert(usesMv(qin, mv),
+          "IN-list on a group column must compensate on the MV:\n" +
+            qin.queryExecution.optimizedPlan)
+        val expIn = spark.read.format("gvt").load(oRoot)
+          .join(spark.read.format("gvt").load(cRoot),
+            col("ck") === col("ck2"))
+          .filter(col("segment")
+            .isin("BUILDING", "AUTOMOBILE", "MACHINERY"))
+          .groupBy("status")
+          .agg(sum("cents").as("s"), count(lit(1)).as("c"))
+          .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+          .toMap
+        assert(qin.collect().map(r =>
+          r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap == expIn)
+        val qrange = sess.sql(
+          """SELECT segment, sum(cents) AS s
+            |FROM mx_o17_t JOIN mx_c17_t ON ck = ck2
+            |WHERE status >= 'O' AND segment <> 'FURNITURE'
+            |GROUP BY segment""".stripMargin)
+        assert(usesMv(qrange, mv),
+          "range + inequality on group columns must compensate:\n" +
+            qrange.queryExecution.optimizedPlan)
+        val expR = spark.read.format("gvt").load(oRoot)
+          .join(spark.read.format("gvt").load(cRoot),
+            col("ck") === col("ck2"))
+          .filter(col("status") >= "O" && col("segment") =!= "FURNITURE")
+          .groupBy("segment").agg(sum("cents").as("s"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(qrange.collect().map(r =>
+          r.getString(0) -> r.getLong(1)).toMap == expR)
         MaterializedView.drop(mv)
       }
     }

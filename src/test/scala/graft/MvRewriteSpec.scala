@@ -159,7 +159,8 @@ class MvRewriteSpec extends AnyFunSuite {
     assert(!mvRows.contains("P"), "emptied group must drop from the MV")
   }
 
-  test("min/max over a row-removing range triggers a full rebuild — and is right") {
+  test("min/max over a row-removing range recomputes ONLY the " +
+    "retraction-affected groups — refresh, not rebuild, and right") {
     val base = tmp("mv_base6"); val mv = tmp("mv_view6")
     mkBase(base)
     MaterializedView.create(spark, base, mv, Seq("o_orderstatus"),
@@ -174,7 +175,9 @@ class MvRewriteSpec extends AnyFunSuite {
     MaterializedView.refresh(spark, mv)
     val ops = VersionedTable.history(spark, mv)
       .select("operation").collect().map(_.getString(0)).toSet
-    assert(ops.contains("MV_REBUILD"), ops)
+    assert(ops.contains("MV_REFRESH") && !ops.contains("MV_REBUILD"),
+      s"a retraction under min/max must take the affected-group " +
+        s"recompute, not a full rebuild: $ops")
     val exp = VersionedTable.readLatest(spark, base).groupBy("o_orderstatus")
       .agg(min("cents").as("mn"), max("cents").as("mx"))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
@@ -182,6 +185,78 @@ class MvRewriteSpec extends AnyFunSuite {
       .select("o_orderstatus", "min_cents", "max_cents")
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got == exp)
+  }
+
+  test("min/max retraction refresh reads the base proportionally to " +
+    "the AFFECTED groups (partition-pruned), not O(base)") {
+    val base = tmp("mv_base20"); val mv = tmp("mv_view20")
+    // 50 partitions of 1k rows: the affected-group recompute's IN
+    // prefilter must prune the 49 untouched partitions statically
+    val n = 50000L
+    VersionedTable.write(spark.range(n).select(col("id").as("k"),
+      concat(lit("g"), col("id") % 50).as("g"),
+      (col("id") * 7 % 100000).as("v")), base,
+      partitionBy = Seq("g"))
+    MaterializedView.create(spark, base, mv, Seq("g"),
+      Seq(AggSpec("min", "v", "mn"), AggSpec("max", "v", "mx"),
+        AggSpec("count", "*", "c")))
+    // delete SOME rows of one group and append rows to another: the
+    // recompute touches only partition g7; g3 folds incrementally
+    VersionedTable.deleteWhereVector(spark, base,
+      col("g") === "g7" && col("v") % 3 === 0)
+    VersionedTable.append(spark.range(7).select(
+      (col("id") + 3000000).as("k"), lit("g3").as("g"),
+      (col("id") + 5).as("v")), base)
+    val recordsRead = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        recordsRead.addAndGet(e.taskMetrics.inputMetrics.recordsRead); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      MaterializedView.refresh(spark, mv)
+      org.apache.spark.sql.graft.NativeColumns.drainListenerBus(spark)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    val ops = VersionedTable.history(spark, mv)
+      .select("operation").collect().map(_.getString(0)).toSet
+    assert(ops.contains("MV_REFRESH") && !ops.contains("MV_REBUILD"), ops)
+    // bound: delta rows (≤1k) + the g7 partition (1k) + MV rows (50)
+    // — a rebuild (or an unpruned recompute) reads all 50k
+    assert(recordsRead.get() < n / 10,
+      s"affected-group refresh read ${recordsRead.get()} records of a " +
+        s"$n-row base whose affected partition holds 1000 — the " +
+        "recompute was not pruned to the affected groups")
+    val exp = VersionedTable.readLatest(spark, base).groupBy("g")
+      .agg(min("v").as("mn"), max("v").as("mx"), count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val got = VersionedTable.readLatest(spark, mv)
+      .select("g", "mn", "mx", "c")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == exp)
+  }
+
+  test("a min/max group fully deleted drops from the MV via the " +
+    "affected-group recompute") {
+    val base = tmp("mv_base21"); val mv = tmp("mv_view21")
+    VersionedTable.write(spark.range(20).select(col("id").as("k"),
+      when(col("id") < 10, "A").otherwise("B").as("g"),
+      (col("id") * 3 + 1).as("v")), base)
+    MaterializedView.create(spark, base, mv, Seq("g"),
+      Seq(AggSpec("min", "v", "mn"), AggSpec("max", "v", "mx")))
+    VersionedTable.deleteWhereVector(spark, base, col("g") === "A")
+    MaterializedView.refresh(spark, mv)
+    val ops = VersionedTable.history(spark, mv)
+      .select("operation").collect().map(_.getString(0)).toSet
+    assert(ops.contains("MV_REFRESH") && !ops.contains("MV_REBUILD"), ops)
+    val rows = VersionedTable.readLatest(spark, mv)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(rows == Map("B" -> (31L, 58L)),
+      s"emptied group A must drop; B untouched: $rows")
   }
 
   test("min/max over pure appends refreshes incrementally") {
@@ -209,6 +284,111 @@ class MvRewriteSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(got == exp)
+  }
+
+  test("count_distinct MV: exact grouping serves from the MV column; " +
+    "a SUBSET rollup re-aggregates the multiplicity side table") {
+    val base = tmp("mv_base22"); val mv = tmp("mv_view22")
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey").as("k"), col("o_custkey").as("ck"),
+        col("o_orderstatus").as("status"), col("o_orderpriority").as("prio"),
+        cents("o_totalprice").as("cents"))
+    VersionedTable.write(o, base)
+    MaterializedView.create(spark, base, mv, Seq("status", "prio"),
+      Seq(AggSpec("count_distinct", "ck", "u_cust"),
+        AggSpec("sum", "cents", "sum_cents")))
+    val sideRoot = MaterializedView.sideRootOf(mv, "u_cust")
+    GraftSession.withExtensions(spark) { sess =>
+      // exact grouping: the declared column answers straight off the MV
+      val q1 = gvt(sess, base).groupBy("status", "prio")
+        .agg(countDistinct(col("ck")).as("u"), sum("cents").as("s"))
+      assert(usesMv(q1, mv), q1.queryExecution.optimizedPlan.toString)
+      val exp1 = spark.read.format("gvt").load(base)
+        .groupBy("status", "prio")
+        .agg(countDistinct(col("ck")).as("u"), sum("cents").as("s"))
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      val got1 = q1.collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+      assert(got1 == exp1)
+      // SUBSET rollup: distinct counts cannot re-aggregate, so the
+      // query must scan the SIDE table (and only it)
+      val q2 = gvt(sess, base).groupBy("status")
+        .agg(countDistinct(col("ck")).as("u"))
+      assert(usesMv(q2, sideRoot),
+        "subset distinct rollup must scan the side table:\n" +
+          q2.queryExecution.optimizedPlan)
+      assert(!TestSpark.scansUnder(q2, base),
+        "side-served rollup must not touch the base")
+      val exp2 = spark.read.format("gvt").load(base).groupBy("status")
+        .agg(countDistinct(col("ck")).as("u"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(q2.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        == exp2)
+      // global distinct + a filter on a group column compensates on
+      // side rows; count(ck) rides the summed multiplicities
+      val q3 = gvt(sess, base).filter(col("status") =!= "F")
+        .agg(countDistinct(col("ck")).as("u"), count(col("ck")).as("c"))
+      assert(usesMv(q3, sideRoot), q3.queryExecution.optimizedPlan.toString)
+      val exp3 = spark.read.format("gvt").load(base)
+        .filter(col("status") =!= "F")
+        .agg(countDistinct(col("ck")).as("u"), count(col("ck")).as("c"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).head
+      assert(q3.collect().map(r => (r.getLong(0), r.getLong(1))).head
+        == exp3)
+    }
+  }
+
+  test("count_distinct MV folds inserts AND deletes through the side " +
+    "table — values disappearing and appearing adjust the counts " +
+    "exactly, with no rebuild") {
+    val base = tmp("mv_base23"); val mv = tmp("mv_view23")
+    // controlled fixture: group g, value v with known multiplicities
+    VersionedTable.write(spark.range(30).select(col("id").as("k"),
+      when(col("id") < 15, "A").otherwise("B").as("g"),
+      (col("id") % 5).as("v")), base)
+    MaterializedView.create(spark, base, mv, Seq("g"),
+      Seq(AggSpec("count_distinct", "v", "uv"),
+        AggSpec("count", "*", "n")))
+    // delete ALL rows with v=2 in group A (value disappears from A
+    // only) and SOME rows with v=3 in A (multiplicity drops, count
+    // stays); append a brand-new value 9 into B
+    VersionedTable.deleteWhereVector(spark, base,
+      col("g") === "A" && (col("v") === 2 ||
+        (col("v") === 3 && col("k") < 10)))
+    VersionedTable.append(spark.range(2).select((col("id") + 100).as("k"),
+      lit("B").as("g"), lit(9L).as("v")), base)
+    MaterializedView.refresh(spark, mv)
+    val ops = VersionedTable.history(spark, mv)
+      .select("operation").collect().map(_.getString(0)).toSet
+    assert(ops.contains("MV_REFRESH") && !ops.contains("MV_REBUILD"), ops)
+    val exp = VersionedTable.readLatest(spark, base).groupBy("g")
+      .agg(countDistinct(col("v")).as("uv"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val got = VersionedTable.readLatest(spark, mv).select("g", "uv", "n")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got == exp, s"expected $exp")
+    // the side table agrees with a fresh base recount
+    val sideRoot = MaterializedView.sideRootOf(mv, "uv")
+    val sideExp = VersionedTable.readLatest(spark, base)
+      .filter(col("v").isNotNull).groupBy("g", "v")
+      .agg(count(lit(1)).as("m"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val sideGot = VersionedTable.readLatest(spark, sideRoot)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(sideGot == sideExp)
+    // and the refreshed MV serves the rollup again
+    GraftSession.withExtensions(spark) { sess =>
+      val q = gvt(sess, base).agg(countDistinct(col("v")).as("u"))
+      assert(usesMv(q, sideRoot), q.queryExecution.optimizedPlan.toString)
+      assert(q.collect().head.getLong(0) ==
+        VersionedTable.readLatest(spark, base)
+          .agg(countDistinct(col("v"))).collect().head.getLong(0))
+    }
   }
 
   test("count over a nullable column rides the sum's non-null counter") {

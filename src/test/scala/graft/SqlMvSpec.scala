@@ -70,7 +70,7 @@ class SqlMvSpec extends AnyFunSuite {
           s"exact view must serve [$defSql]:\n" +
             q.queryExecution.optimizedPlan)
       }
-      exactServes("SELECT status, count(DISTINCT prio) AS c FROM sqlmv_t2 " +
+      exactServes("SELECT status, avg(cents) AS a FROM sqlmv_t2 " +
         "GROUP BY status")
       exactServes("SELECT status, sum(cents) AS s FROM sqlmv_t2 " +
         "WHERE prio = '2-HIGH' GROUP BY status")
@@ -81,6 +81,50 @@ class SqlMvSpec extends AnyFunSuite {
         "badname AS SELECT status, sum(cents) AS s FROM sqlmv_t2 " +
         "GROUP BY status").collect())
       assert(e.getMessage.contains("gvt.`/path` form"))
+    }
+  }
+
+  test("CREATE MATERIALIZED VIEW with count(DISTINCT col) goes " +
+    "ALGEBRAIC: side-table maintenance through DML, subset rollup " +
+    "serves off the side table") {
+    val base = tmp("sqlmv_base5"); val mv = tmp("sqlmv_view5")
+    mkBase(base, "sqlmv_t5")
+    GraftSession.withExtensions(spark) { sess =>
+      sess.read.format("gvt").load(base).createOrReplaceTempView("sqlmv_t5")
+      val created = sess.sql(
+        s"CREATE MATERIALIZED VIEW gvt.`$mv` AS " +
+          "SELECT status, count(DISTINCT prio) AS up, count(*) AS n " +
+          "FROM sqlmv_t5 GROUP BY status").collect()
+      assert(created.head.getLong(1) >= 0L,
+        "count(DISTINCT) must register as an algebraic view")
+      // a delete + an append with a NEW prio value fold incrementally
+      VersionedTable.deleteWhereVector(sess, base, col("k") % 9 === 0)
+      VersionedTable.append(sess.range(3).select(
+        (col("id") + 800000).as("k"), lit("O").as("status"),
+        lit("9-NEW").as("prio"), lit(10L).as("cents")), base)
+      sess.sql(s"REFRESH MATERIALIZED VIEW gvt.`$mv`").collect()
+      val ops = VersionedTable.history(sess, mv)
+        .select("operation").collect().map(_.getString(0)).toSet
+      assert(ops.contains("MV_REFRESH") && !ops.contains("MV_REBUILD"), ops)
+      val q = sess.read.format("gvt").load(base).groupBy("status")
+        .agg(countDistinct(col("prio")).as("up"), count(lit(1)).as("n"))
+      assert(TestSpark.scansUnder(q, mv), q.queryExecution.optimizedPlan)
+      val exp = spark.read.format("gvt").load(base).groupBy("status")
+        .agg(countDistinct(col("prio")).as("up"), count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      assert(q.collect().map(r =>
+        r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap == exp)
+      // global rollup scans only the multiplicity side table
+      val side = MaterializedView.sideRootOf(mv, "up")
+      val q2 = sess.read.format("gvt").load(base)
+        .agg(countDistinct(col("prio")).as("u"))
+      assert(TestSpark.scansUnder(q2, side),
+        q2.queryExecution.optimizedPlan)
+      assert(q2.collect().head.getLong(0) ==
+        spark.read.format("gvt").load(base)
+          .agg(countDistinct(col("prio"))).collect().head.getLong(0))
+      MaterializedView.drop(mv)
     }
   }
 
