@@ -118,6 +118,24 @@ object MvRewrite extends Rule[LogicalPlan] {
           }
         }
         val spark = SparkSession.active
+
+        def groupColOf(ex: Expression): Option[String] = {
+          val al = aligned(ex)
+          defGroups.collectFirst { case (g, n) if g.semanticEquals(al) => n }
+        }
+
+        // rollups carrying DISTINCT counts serve from the join view's
+        // multiplicity SIDE table alone (distinct values re-aggregate
+        // at any grouping subset where distinct counts cannot); mixed
+        // distinct+plain rollups fail closed to the join
+        val hasDistinctQ = aggExprs.exists(_.exists {
+          case ae: AggregateExpression => ae.isDistinct
+          case _ => false
+        })
+        if (hasDistinctQ)
+          rollupFromSide(e, info, defAggs, groupExprs, aggExprs, extras,
+            aligned _, groupColOf _)
+        else {
         val mvPlan = MaterializedView
           .readMv(spark, e.spec.mvRoot, e.mvVersion).queryExecution.analyzed
         val mvAttr: Map[String, Attribute] =
@@ -125,11 +143,6 @@ object MvRewrite extends Rule[LogicalPlan] {
         def mv(name: String): Attribute =
           mvAttr.getOrElse(name, throw MvRewrite.MissingMvColumn)
         def sumOf(a: Attribute): Expression = Sum(a).toAggregateExpression()
-
-        def groupColOf(ex: Expression): Option[String] = {
-          val al = aligned(ex)
-          defGroups.collectFirst { case (g, n) if g.semanticEquals(al) => n }
-        }
         /** Map one query aggregate onto the MV's re-aggregation. */
         def mapAgg(ae: AggregateExpression): Option[Expression] = {
           if (ae.filter.nonEmpty || ae.isDistinct) return None
@@ -224,6 +237,7 @@ object MvRewrite extends Rule[LogicalPlan] {
             .map(Filter(_, mvPlan)).getOrElse(mvPlan)
           Some(Aggregate(groupNames.map(mv), rebuilt, mvChild))
         } catch { case MvRewrite.MissingMvColumn => None }
+        }
       }
       } catch {
         // an optional rewrite must NEVER fail the user's query: any
@@ -231,6 +245,109 @@ object MvRewrite extends Rule[LogicalPlan] {
         case scala.util.control.NonFatal(_) => None
       }
     }.headOption
+  }
+
+  /** Serve a DISTINCT-counting rollup over a matched join view from
+    * its multiplicity side table: every aggregate must be
+    * count(distinct v) (or count(v)) where v aligns to ONE declared
+    * count_distinct value of the view; grouping keys are the usual
+    * group-column subset, and extra query conjuncts compensate on the
+    * side rows (same partitioning argument — side rows carry the full
+    * group key). count(v) rides the summed multiplicities. */
+  private def rollupFromSide(e: MaterializedView.ExactEntry,
+                             info: MaterializedView.JoinAggInfo,
+                             defAggs: Seq[(AggregateExpression, String)],
+                             groupExprs: Seq[Expression],
+                             aggExprs: Seq[NamedExpression],
+                             extras: Seq[Expression],
+                             aligned: Expression => Expression,
+                             groupColOf: Expression => Option[String])
+      : Option[LogicalPlan] = {
+    // the view's count_distinct slots: out name → defining value attr
+    val cdDefs: Seq[(String, Expression)] = defAggs.collect {
+      case (d, out) if d.isDistinct => d.aggregateFunction match {
+        case Count(Seq(v)) => (out, v)
+        case _ => return None
+      }
+    }
+    if (cdDefs.isEmpty) return None
+    // every query aggregate must be count([distinct] x) with aligned x
+    // matching ONE cd slot's value (a single side table serves all)
+    var slot: Option[(String, Expression)] = None
+    def slotFor(in: Expression): Option[(String, Expression)] = {
+      val al = aligned(in)
+      val hit = cdDefs.find(_._2.semanticEquals(al))
+      (slot, hit) match {
+        case (None, Some(h)) => slot = Some(h); slot
+        case (Some(s), Some(h)) if s._1 == h._1 => slot
+        case _ => None
+      }
+    }
+    try {
+      val spark = SparkSession.active
+      // pre-validate all aggregates and pin the slot
+      aggExprs.foreach(_.foreach {
+        case ae: AggregateExpression =>
+          if (ae.filter.nonEmpty) throw MvRewrite.MissingMvColumn
+          ae.aggregateFunction match {
+            case Count(Seq(in)) if slotFor(in).isDefined => ()
+            case _ => throw MvRewrite.MissingMvColumn
+          }
+        case _ => ()
+      })
+      val (out, vDef) = slot.getOrElse(throw MvRewrite.MissingMvColumn)
+      val vName = vDef match {
+        case a: AttributeReference => a.name
+        case _ => throw MvRewrite.MissingMvColumn
+      }
+      val sidePlan = MaterializedView.readMv(spark,
+        MaterializedView.sideRootOf(e.spec.mvRoot, out),
+        e.sideVersions.getOrElse(out, -1L)).queryExecution.analyzed
+      val sideAttr: Map[String, Attribute] =
+        sidePlan.output.map(a => a.name -> a).toMap
+      def side(name: String): Attribute =
+        sideAttr.getOrElse(name, throw MvRewrite.MissingMvColumn)
+
+      def remap(ex: Expression): Expression = ex match {
+        case ae: AggregateExpression if ae.isDistinct =>
+          Count(Seq(side(vName): Expression))
+            .toAggregateExpression(isDistinct = true)
+        case ae: AggregateExpression =>
+          Coalesce(Seq(
+            Sum(side("_mult")).toAggregateExpression(), Literal(0L)))
+        case a: AttributeReference =>
+          side(groupColOf(a).getOrElse(throw MvRewrite.MissingMvColumn))
+        case _: SubqueryExpression => throw MvRewrite.MissingMvColumn
+        case other if !other.deterministic =>
+          throw MvRewrite.MissingMvColumn
+        case other => other.withNewChildren(other.children.map(remap))
+      }
+      val groupNames: Seq[String] = groupExprs.map(g =>
+        groupColOf(g).getOrElse(throw MvRewrite.MissingMvColumn))
+      val rebuilt: Seq[NamedExpression] = aggExprs.map {
+        case a: AttributeReference =>
+          Alias(side(groupColOf(a)
+            .getOrElse(throw MvRewrite.MissingMvColumn)), a.name)(
+            exprId = a.exprId)
+        case al @ Alias(c, name) =>
+          val mapped = remap(c)
+          if (mapped.dataType != c.dataType) throw MvRewrite.MissingMvColumn
+          Alias(mapped, name)(exprId = al.exprId)
+        case _ => throw MvRewrite.MissingMvColumn
+      }
+      val comp: Seq[Expression] = extras.map { c =>
+        if (!c.deterministic || c.exists(_.isInstanceOf[SubqueryExpression]))
+          throw MvRewrite.MissingMvColumn
+        c.transform {
+          case a: AttributeReference =>
+            side(groupColOf(a).getOrElse(throw MvRewrite.MissingMvColumn))
+        }
+      }
+      val sideChild: LogicalPlan = comp
+        .reduceOption(org.apache.spark.sql.catalyst.expressions.And(_, _))
+        .map(Filter(_, sidePlan)).getOrElse(sidePlan)
+      Some(Aggregate(groupNames.map(side), rebuilt, sideChild))
+    } catch { case MvRewrite.MissingMvColumn => None }
   }
 
   /** Lockstep structural matcher for the join-rollup tier: does the
@@ -419,16 +536,17 @@ object MvRewrite extends Rule[LogicalPlan] {
     val spark = SparkSession.active
     // DISTINCT aggregates: count(distinct x) answers from the MV
     // column when the query groups EXACTLY by the MV's groups (one MV
-    // row per output group), and from the multiplicity SIDE table at
+    // row per output group), from the multiplicity SIDE table alone at
     // any grouping subset (distinct values re-aggregate exactly where
-    // distinct counts cannot) — see [[sideRewrite]]
+    // distinct counts cannot) — [[sideRewrite]] — and from an
+    // MV ⋈ side join when the query MIXES distinct and re-aggregable
+    // aggregates (the mixedRewrite below)
     val exactGrouping =
       groupAttrs.map(_.name).toSet == spec.groups.toSet
-    if (aggExprs.exists(_.exists {
+    val hasDistinct = aggExprs.exists(_.exists {
       case ae: AggregateExpression => ae.isDistinct
       case _ => false
-    }) && !exactGrouping)
-      return sideRewrite(agg, groupAttrs, aggExprs, cond, spec)
+    })
 
     val mvPlan = MaterializedView
       .readMv(spark, spec.mvRoot, spec.mvVersion).queryExecution.analyzed
@@ -506,6 +624,113 @@ object MvRewrite extends Rule[LogicalPlan] {
       case other if !other.deterministic => throw MvRewrite.MissingMvColumn
       case other => other.withNewChildren(other.children.map(remap))
     }
+
+    /** MIXED distinct + re-aggregable aggregates at a grouping subset:
+      * re-aggregate the MV for the algebra-covered slots, the side
+      * table for the distinct slots, and LEFT-join the two per-group
+      * results (the MV holds every group; a group absent from the side
+      * had only NULL values, so its distinct count coalesces to 0).
+      * One slot column per distinct aggregate occurrence class; the
+      * output scaffolding rebuilds over the join's attributes. */
+    def mixedRewrite(): Option[LogicalPlan] = {
+      import org.apache.spark.sql.catalyst.expressions.EqualNullSafe
+      import org.apache.spark.sql.catalyst.plans.LeftOuter
+      import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint}
+      // one side table: every distinct agg must be count(distinct c)
+      // over the SAME declared count_distinct column
+      val distinctAggs = aggExprs.flatMap(_.collect {
+        case ae: AggregateExpression if ae.isDistinct => ae })
+      val cdCols = distinctAggs.map(_.aggregateFunction match {
+        case Count(Seq(a: AttributeReference)) => a.name
+        case _ => return None
+      }).distinct
+      val cd = cdCols match {
+        case Seq(c) =>
+          spec.aggs.find(s => s.fn == "count_distinct" && s.col == c)
+            .getOrElse(return None)
+        case _ => return None
+      }
+      val sidePlan = MaterializedView.readMv(spark,
+        MaterializedView.sideRootOf(spec.mvRoot, cd.out),
+        spec.sideVersions.getOrElse(cd.out, -1L)).queryExecution.analyzed
+      val sideAttrMap: Map[String, Attribute] =
+        sidePlan.output.map(a => a.name -> a).toMap
+      def side(name: String): Attribute =
+        sideAttrMap.getOrElse(name, throw MvRewrite.MissingMvColumn)
+
+      try {
+        // slot per non-distinct aggregate occurrence class (the MV
+        // re-aggregation computes it once; the top project reuses it)
+        val leftSlots = scala.collection.mutable
+          .ArrayBuffer.empty[(AggregateExpression, String)]
+        aggExprs.foreach(_.foreach {
+          case ae: AggregateExpression if !ae.isDistinct =>
+            if (!leftSlots.exists(_._1.semanticEquals(ae)))
+              leftSlots += ae -> s"__mvl_${leftSlots.size}"
+          case _ => ()
+        })
+        val leftChild = cond.map(c => Filter(c.transform {
+          case a: AttributeReference => mv(a.name)
+        }, mvPlan)).getOrElse(mvPlan)
+        val left = Aggregate(groupAttrs.map(a => mv(a.name)),
+          groupAttrs.map(a => mv(a.name): NamedExpression) ++
+            leftSlots.map { case (ae, n) =>
+              val m = mapAgg(ae).getOrElse(throw MvRewrite.MissingMvColumn)
+              if (m.dataType != ae.dataType) throw MvRewrite.MissingMvColumn
+              Alias(m, n)()
+            }, leftChild)
+        val rightChild = cond.map(c => Filter(c.transform {
+          case a: AttributeReference => side(a.name)
+        }, sidePlan)).getOrElse(sidePlan)
+        val right = Aggregate(groupAttrs.map(a => side(a.name)),
+          groupAttrs.map(a => side(a.name): NamedExpression) :+
+            Alias(Count(Seq(side(cd.col): Expression))
+              .toAggregateExpression(isDistinct = true), "__mvr_u")(),
+          rightChild)
+        val joinCond: Option[Expression] = groupAttrs.indices
+          .map(i => EqualNullSafe(left.output(i), right.output(i))
+            : Expression)
+          .reduceOption(org.apache.spark.sql.catalyst.expressions.And(_, _))
+        val joined = Join(left, right, LeftOuter,
+          joinCond.orElse(Some(Literal(true))), JoinHint.NONE)
+        val slotAttr: Map[String, Attribute] =
+          (left.output ++ right.output).map(a => a.name -> a).toMap
+        def remapTop(e: Expression): Expression = e match {
+          case ae: AggregateExpression if ae.isDistinct =>
+            // absent side group = all-NULL values = 0 distinct
+            Coalesce(Seq(slotAttr("__mvr_u"), Literal(0L)))
+          case ae: AggregateExpression =>
+            leftSlots.collectFirst {
+              case (s, n) if s.semanticEquals(ae) => slotAttr(n)
+            }.getOrElse(throw MvRewrite.MissingMvColumn)
+          case a: AttributeReference
+              if groupAttrs.exists(_.exprId == a.exprId) =>
+            left.output(groupAttrs.indexWhere(_.exprId == a.exprId))
+          case _: AttributeReference | _: SubqueryExpression =>
+            throw MvRewrite.MissingMvColumn
+          case other if !other.deterministic =>
+            throw MvRewrite.MissingMvColumn
+          case other => other.withNewChildren(other.children.map(remapTop))
+        }
+        val rebuilt: Seq[NamedExpression] = aggExprs.map {
+          case a: AttributeReference
+              if groupAttrs.exists(_.exprId == a.exprId) =>
+            Alias(left.output(groupAttrs.indexWhere(_.exprId == a.exprId)),
+              a.name)(exprId = a.exprId)
+          case al @ Alias(child, name) =>
+            val mapped = remapTop(child)
+            if (mapped.dataType != child.dataType)
+              throw MvRewrite.MissingMvColumn
+            Alias(mapped, name)(exprId = al.exprId)
+          case _ => throw MvRewrite.MissingMvColumn
+        }
+        Some(Project(rebuilt, joined))
+      } catch { case MvRewrite.MissingMvColumn => None }
+    }
+
+    if (hasDistinct && !exactGrouping)
+      return sideRewrite(agg, groupAttrs, aggExprs, cond, spec)
+        .orElse(mixedRewrite())
 
     try {
     val rebuilt: Seq[NamedExpression] = aggExprs.map {

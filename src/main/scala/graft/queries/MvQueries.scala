@@ -380,6 +380,60 @@ object MvQueries {
       }
     }),
 
+    // COUNT(DISTINCT) through a JOIN view: the differential tier now
+    // maintains the multiplicity side table with the signed
+    // telescoping delta — a DELETE that can remove values from groups
+    // and an append carrying a brand-new priority both fold as
+    // MV_REFRESH (never a rebuild), and the whole-shape rewrite serves
+    // the refreshed view.
+    "q_mv_distinct_join" -> ((s, dir) => {
+      val out = tmpDir("graft_mvdj")
+      val ord = s"$out/ord"; val cust = s"$out/cust"; val mv = s"$out/mv"
+      VersionedTable.write(
+        graft.sources.Tables.t(s, dir, "orders").select(
+          col("o_orderkey").as("k"), col("o_custkey").as("ck_o"),
+          col("o_orderpriority").as("prio"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+            .as("cents")), ord)
+      VersionedTable.setTblProperties(ord,
+        Map("gvt.enableChangeDataFeed" -> "true"))
+      VersionedTable.write(
+        graft.sources.Tables.t(s, dir, "customer").select(
+          col("c_custkey").as("ck"), col("c_mktsegment").as("segment")), cust)
+      graft.GraftSession.withExtensions(s) { sess =>
+        sess.read.format("gvt").load(cust)
+          .createOrReplaceTempView("mvdj_cust")
+        sess.read.format("gvt").load(ord)
+          .createOrReplaceTempView("mvdj_ord")
+        val defSql =
+          "SELECT segment, count(DISTINCT prio) AS u_prio, " +
+            "sum(cents) AS sum_cents, count(*) AS n_orders " +
+            "FROM mvdj_ord JOIN mvdj_cust ON ck_o = ck GROUP BY segment"
+        sess.sql(s"CREATE MATERIALIZED VIEW gvt.`$mv` AS $defSql")
+          .collect()
+        // delete every 1-URGENT order (the priority can vanish from
+        // segments) and append echoes carrying a NEW priority
+        VersionedTable.deleteWhereVector(sess, ord,
+          col("prio") === "1-URGENT")
+        VersionedTable.append(
+          graft.sources.Tables.t(sess, dir, "orders")
+            .filter(col("o_orderkey") % 19 === 0)
+            .select((col("o_orderkey") + 6000000).as("k"),
+              col("o_custkey").as("ck_o"), lit("9-NEW").as("prio"),
+              floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+                .as("cents")), ord)
+        sess.sql(s"REFRESH MATERIALIZED VIEW gvt.`$mv`").collect()
+        val ops = VersionedTable.history(sess, mv)
+          .select("operation").collect().map(_.getString(0)).toSet
+        require(ops.contains("MV_REFRESH") && !ops.contains("MV_REBUILD"),
+          s"distinct join-view refresh was not differential: $ops")
+        sess.read.format("gvt").load(ord)
+          .createOrReplaceTempView("mvdj_ord")
+        val q = sess.sql(defSql + " ORDER BY segment")
+        requireMv(q, mv)
+      }
+    }),
+
     // COUNT(DISTINCT) through an MV: the per-(group, value)
     // multiplicity side table folds inserts AND deletes (counting
     // approach), the exact-grouping query answers from the MV column,
@@ -428,11 +482,20 @@ object MvQueries {
           p != null && p.startsWith(sideCanon + "/")
         }, "subset distinct rollup must be served by the side table " +
           s"alone: ${probe.inputFiles.take(3).mkString(",")}")
+        // the served row: a MIXED subset rollup — distinct counts from
+        // the side table LEFT-joined with the MV re-aggregation, no
+        // base scan
         val q = sess.read.format("gvt").load(base)
-          .groupBy("status", "prio")
+          .groupBy("status")
           .agg(countDistinct(col("ck")).as("u_cust"),
-            sum(col("cents")).as("sum_cents"))
-          .orderBy(col("status"), col("prio"))
+            sum(col("cents")).as("sum_cents"),
+            count(lit(1)).as("n_orders"))
+          .orderBy(col("status"))
+        require(q.inputFiles.exists { f =>
+          val p = try new java.net.URI(f).getPath
+                  catch { case _: Exception => f }
+          p != null && p.startsWith(sideCanon + "/")
+        }, "the mixed rollup must read the side table")
         requireMv(q, mv)
       }
     })
@@ -466,6 +529,22 @@ object MvQueries {
         |FROM o JOIN customer ON ck_o = c_custkey
         |GROUP BY segment ORDER BY segment""".stripMargin,
 
+    "q_mv_distinct_join" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS ck_o, o_orderpriority AS prio,
+        |    CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderpriority <> '1-URGENT'
+        |  UNION ALL
+        |  SELECT o_custkey, '9-NEW',
+        |    CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)
+        |  FROM orders WHERE o_orderkey % 19 = 0)
+        |SELECT c_mktsegment AS segment,
+        |  CAST(count(DISTINCT prio) AS BIGINT) AS u_prio,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        |FROM o JOIN customer ON ck_o = c_custkey
+        |GROUP BY c_mktsegment ORDER BY segment""".stripMargin,
+
     "q_mv_distinct" ->
       """WITH b AS (
         |  SELECT o_custkey AS ck, o_orderstatus AS status,
@@ -476,10 +555,11 @@ object MvQueries {
         |  SELECT o_custkey + 9000000, 'O', '1-URGENT',
         |    CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)
         |  FROM orders WHERE o_orderkey % 17 = 0)
-        |SELECT status, prio,
+        |SELECT status,
         |  CAST(count(DISTINCT ck) AS BIGINT) AS u_cust,
-        |  CAST(sum(cents) AS BIGINT) AS sum_cents
-        |FROM b GROUP BY status, prio ORDER BY status, prio""".stripMargin,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        |FROM b GROUP BY status ORDER BY status""".stripMargin,
 
     "q_mv_diff_retract_minmax" ->
       """WITH o AS (

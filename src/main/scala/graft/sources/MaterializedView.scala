@@ -305,7 +305,8 @@ object MaterializedView {
   final case class ExactEntry(spec: ExactSpec, matchPlan: LogicalPlan,
                               outTypes: Seq[DataType],
                               joinAgg: Option[JoinAggInfo] = None,
-                              mvVersion: Long = -1L)
+                              mvVersion: Long = -1L,
+                              sideVersions: Map[String, Long] = Map.empty)
 
   /** The shape the differential refresh serves: a re-aggregable
     * aggregate over per-row operators (project/filter) around INNER
@@ -438,7 +439,59 @@ object MaterializedView {
   private def recognizeSafe(matchPlan: LogicalPlan,
                             outNames: Seq[String]): Option[JoinAggInfo] =
     recognizeJoinAgg(matchPlan).filter(info =>
-      internalNames(info.aggs).forall(n => !outNames.contains(n)))
+      internalNames(info.aggs).forall(n => !outNames.contains(n)) &&
+        // side-table layout: the distinct VALUE column must not shadow
+        // a group column or the multiplicity counter
+        cdValueAttrs(info).forall { case (_, a) =>
+          !info.groups.contains(a.name) && a.name != "_mult" })
+
+  /** count_distinct output → its VALUE attribute in the defining
+    * aggregate (recognizeJoinAgg admits only bare-attribute distinct
+    * counts, so the cast is total). */
+  private def cdValueAttrs(info: JoinAggInfo)
+      : Seq[(String, AttributeReference)] = {
+    val it = info.aggs.iterator
+    info.ae.flatMap {
+      case Alias(ag: AggregateExpression, _) if it.hasNext =>
+        val spec = it.next()
+        if (spec.fn != "count_distinct") Nil
+        else ag.aggregateFunction match {
+          case Count(Seq(a: AttributeReference)) => Seq(spec.out -> a)
+          case _ => Nil
+        }
+      case _ => Nil
+    }
+  }
+
+  /** The fold-range token a side commit is stamped with: the sorted
+    * (root → version) map the fold started FROM — fold idempotence
+    * across both tiers (single-table folds serialize one root). */
+  private def fromToken(vs: Map[String, Long]): String =
+    vs.toSeq.sortBy(_._1).map { case (r, v) => s"$r:$v" }.mkString(",")
+
+  /** Build (or rebuild) a JOIN view's multiplicity side tables over
+    * its (old or live) join subtree. Written BEFORE the MV commit —
+    * the MV metadata is the transaction point, so a crash leaves an
+    * orphan side write the next fold's idempotence stamp ignores
+    * (creates stamp the non-matching "-"). */
+  private def writeJoinSideTables(spark: SparkSession, info: JoinAggInfo,
+                                  mvRoot: String,
+                                  operation: String): Map[String, Long] =
+    cdValueAttrs(info).map { case (out, vAttr) =>
+      import org.apache.spark.sql.catalyst.expressions.IsNotNull
+      val g = info.ge.zip(info.groups).map { case (e, n) => Alias(e, n)() }
+      val plan = Aggregate(
+        info.ge :+ vAttr,
+        g ++ Seq(vAttr: NamedExpression,
+          Alias(Count(Literal(1)).toAggregateExpression(), "_mult")()),
+        Filter(IsNotNull(vAttr), info.joinChild))
+      building.set(true)
+      try out -> VersionedTable.write(
+        org.apache.spark.sql.graft.NativeColumns.ofPlan(spark, plan),
+        sideRootOf(mvRoot, out), operation = operation,
+        metaFiles = Map("_mv_side_from" -> "-"))
+      finally building.set(false)
+    }.toMap
 
   /** Materialize an arbitrary defining query and register it for
     * whole-subtree rewrite. The query must read at least one gvt
@@ -458,6 +511,10 @@ object MaterializedView {
         "unanchored; materialize a plain table instead")
     val joinAgg = recognizeSafe(matchPlan, names.toSeq)
     val spec = ExactSpec(mvRoot, sql, versions)
+    // sides first: the _mv_exact commit is the transaction point
+    val sideVs = joinAgg.map(info =>
+      writeJoinSideTables(spark, info, mvRoot, "MV_CREATE"))
+      .getOrElse(Map.empty[String, Long])
     building.set(true)
     val mvv =
       try VersionedTable.write(exactMvFrame(spark, df, joinAgg), mvRoot,
@@ -465,7 +522,8 @@ object MaterializedView {
         metaFiles = Map("_mv_exact" -> serializeExact(spec)))
       finally building.set(false)
     exactRegistry.put(norm(mvRoot),
-      ExactEntry(spec, matchPlan, df.schema.map(_.dataType), joinAgg, mvv))
+      ExactEntry(spec, matchPlan, df.schema.map(_.dataType), joinAgg, mvv,
+        sideVs))
     stampRegistration(versions.keys, mvRoot)
   }
 
@@ -494,10 +552,14 @@ object MaterializedView {
     val mp: LogicalPlan =
       if (aligned) matchPlan
       else org.apache.spark.sql.catalyst.plans.logical.LocalRelation(Nil)
+    val joinAgg = if (aligned) recognizeSafe(matchPlan, outNames) else None
     exactRegistry.put(norm(spec.mvRoot),
-      ExactEntry(spec, mp, df.schema.map(_.dataType),
-        if (aligned) recognizeSafe(matchPlan, outNames) else None,
-        VersionedTable.latestVersion(spec.mvRoot).getOrElse(-1L)))
+      ExactEntry(spec, mp, df.schema.map(_.dataType), joinAgg,
+        VersionedTable.latestVersion(spec.mvRoot).getOrElse(-1L),
+        joinAgg.map(cdValueAttrs).getOrElse(Nil).map { case (out, _) =>
+          out -> VersionedTable
+            .latestVersion(sideRootOf(spec.mvRoot, out)).getOrElse(-1L)
+        }.toMap))
   }
 
   /** Base roots a view is anchored on (either tier). */
@@ -598,6 +660,16 @@ object MaterializedView {
                 aggs += AggSpec("min", "_join", al.name)
               case Max(_: AttributeReference) =>
                 aggs += AggSpec("max", "_join", al.name)
+              case _ => return None
+            }
+          case al @ Alias(ag: AggregateExpression, _)
+              if ag.filter.isEmpty && ag.isDistinct =>
+            // count(DISTINCT attr): maintained via a per-(group, value)
+            // multiplicity side table folded by the same signed
+            // telescoping delta — inserts AND deletes stay O(delta)
+            ag.aggregateFunction match {
+              case Count(Seq(_: AttributeReference)) =>
+                aggs += AggSpec("count_distinct", "_join", al.name)
               case _ => return None
             }
           case _ => return None
@@ -718,7 +790,13 @@ object MaterializedView {
     val renamed: Seq[NamedExpression] = info.ae.map {
       case al @ Alias(ag: AggregateExpression, _)
           if iter.hasNext => // aggs were collected in ae order
-        Alias(ag, s"_d_${iter.next().out}")()
+        val spec = iter.next()
+        // count_distinct deltas come from the SIDE fold — emit a
+        // placeholder the caller overwrites (a distinct count over a
+        // delta term union would be meaningless)
+        if (spec.fn == "count_distinct")
+          Alias(Literal(0L), s"_d_${spec.out}")()
+        else Alias(ag, s"_d_${spec.out}")()
       case other => other // group echo keeps its name
     }
     val extras: Seq[NamedExpression] =
@@ -766,6 +844,38 @@ object MaterializedView {
       case (None, None) =>
         throw new IllegalStateException("refresh with no advanced base")
     }
+  }
+
+  /** The signed per-(group, value) multiplicity delta of one JOIN-view
+    * count_distinct aggregate across a refresh range: the telescoping
+    * term unions projected to (groups, value), each row carrying its
+    * class sign — exactly the side-fold's `_dmult` input. */
+  private def joinSideDelta(spark: SparkSession, info: JoinAggInfo,
+                            oldV: Map[String, Long],
+                            newV: Map[String, Long],
+                            retracting: Set[String],
+                            vAttr: AttributeReference): DataFrame = {
+    val gAliases = info.ge.zip(info.groups).map { case (e, n) =>
+      Alias(e, n)() }
+    def rowsOf(u: LogicalPlan, s: Long): DataFrame =
+      org.apache.spark.sql.graft.NativeColumns.ofPlan(spark,
+        Project(gAliases :+ (vAttr: NamedExpression), u))
+        .withColumn("__sign", lit(s))
+    val parts: Seq[DataFrame] =
+      if (retracting.isEmpty)
+        deltaTermUnion(spark, info, oldV, newV, 0, _ => true)
+          .map(rowsOf(_, 1L)).toSeq
+      else
+        deltaTermUnion(spark, info, oldV, newV, 1, _ => true)
+          .map(rowsOf(_, 1L)).toSeq ++
+          deltaTermUnion(spark, info, oldV, newV, -1,
+            i => retracting.contains(info.roots(i)))
+            .map(rowsOf(_, -1L)).toSeq
+    val delta = parts.reduceOption(_ unionByName _).getOrElse(
+      throw new IllegalStateException("refresh with no advanced base"))
+    delta.filter(col(vAttr.name).isNotNull)
+      .groupBy((info.groups :+ vAttr.name).map(col): _*)
+      .agg(sum(col("__sign")).as("_dmult"))
   }
 
   /** Join-view tier of the affected-group recompute: a min/max view
@@ -880,6 +990,9 @@ object MaterializedView {
       val names = df.schema.fieldNames.toSeq
       val joinAgg = recognizeSafe(matchPlan, names)
       val spec = entry.spec.copy(baseVersions = gvtVersionsOf(matchPlan))
+      val sideVs = joinAgg.map(info =>
+        writeJoinSideTables(spark, info, spec.mvRoot, "MV_REBUILD"))
+        .getOrElse(Map.empty[String, Long])
       building.set(true)
       val mvv =
         try VersionedTable.write(exactMvFrame(spark, df, joinAgg),
@@ -887,7 +1000,8 @@ object MaterializedView {
           metaFiles = Map("_mv_exact" -> serializeExact(spec)))
         finally building.set(false)
       exactRegistry.put(norm(spec.mvRoot),
-        ExactEntry(spec, matchPlan, df.schema.map(_.dataType), joinAgg, mvv))
+        ExactEntry(spec, matchPlan, df.schema.map(_.dataType), joinAgg, mvv,
+          sideVs))
       return
     }
     val outNames = entry.matchPlan.output.map(_.name)
@@ -906,6 +1020,10 @@ object MaterializedView {
       // recorded versions pin the SAME snapshots by construction
       val joinAgg = recognizeSafe(mpLive, outNames)
       val df = org.apache.spark.sql.graft.NativeColumns.ofPlan(spark, mpLive)
+      // sides first: the _mv_exact commit is the transaction point
+      val sideVs = joinAgg.map(info =>
+        writeJoinSideTables(spark, info, next.mvRoot, "MV_REBUILD"))
+        .getOrElse(Map.empty[String, Long])
       building.set(true)
       val mvv =
         try VersionedTable.write(exactMvFrame(spark, df, joinAgg),
@@ -913,7 +1031,7 @@ object MaterializedView {
           metaFiles = Map("_mv_exact" -> serializeExact(next)))
         finally building.set(false)
       exactRegistry.put(norm(next.mvRoot),
-        ExactEntry(next, mpLive, entry.outTypes, joinAgg, mvv))
+        ExactEntry(next, mpLive, entry.outTypes, joinAgg, mvv, sideVs))
     }
 
     // differential eligibility: sum/count views fold ANY feed-served
@@ -934,23 +1052,49 @@ object MaterializedView {
         // MV — all-old ⋈ all-old (the dominant term) never recomputes
         val hasMinMax =
           info.aggs.exists(a => a.fn == "min" || a.fn == "max")
+        val cds = cdValueAttrs(info)
+        val newSideVs = scala.collection.mutable.Map.empty[String, Long]
         building.set(true)
         val mvv =
           try {
             if (retracting.nonEmpty && hasMinMax) {
-              val r = recognizeSafe(mpLive, outNames).flatMap { liveInfo =>
-                minMaxRetractJoinFold(spark, entry.spec.mvRoot, info,
-                  liveInfo, entry.spec.baseVersions, liveV, retracting,
-                  "_mv_exact" -> serializeExact(next))
-              }
-              if (r.isEmpty)
+              // the min/max + count_distinct + retraction combo keeps
+              // the simple re-run (the recompute path would need side
+              // recomputation for the affected groups)
+              val r = if (cds.nonEmpty) None
+                else recognizeSafe(mpLive, outNames).flatMap { liveInfo =>
+                  minMaxRetractJoinFold(spark, entry.spec.mvRoot, info,
+                    liveInfo, entry.spec.baseVersions, liveV, retracting,
+                    "_mv_exact" -> serializeExact(next))
+                }
+              if (r.isEmpty && cds.isEmpty)
                 log.warn(s"${entry.spec.mvRoot}: min/max retraction " +
                   s"touched more than $AffectedGroupCap groups — " +
                   "defining-plan re-run")
               r
             } else Some {
-              val dAgg = diffDeltaAgg(spark, info,
+              var dAgg = diffDeltaAgg(spark, info,
                 entry.spec.baseVersions, liveV, retracting)
+              // count_distinct: fold each side table with the signed
+              // per-(group, value) delta and overwrite the placeholder
+              // _d_ column with the distinct-count delta
+              cds.foreach { case (out, vAttr) =>
+                val dm = joinSideDelta(spark, info,
+                  entry.spec.baseVersions, liveV, retracting, vAttr)
+                val (sv, dAggD) = foldSideFrame(spark,
+                  sideRootOf(entry.spec.mvRoot, out),
+                  (info.groups :+ vAttr.name).distinct, info.groups, out,
+                  dm, fromToken(entry.spec.baseVersions))
+                newSideVs(out) = sv
+                val jj = dAgg.join(dAggD,
+                  info.groups.map(g => dAgg(g) <=> dAggD(g))
+                    .reduce(_ && _), "left")
+                dAgg = jj.select(dAgg.columns.toSeq.map { c =>
+                  if (c == s"_d_$out")
+                    coalesce(dAggD(s"_d_$out"), lit(0L)).as(c)
+                  else dAgg(c)
+                }: _*)
+              }
               foldIntoMv(spark, entry.spec.mvRoot, info.groups, info.aggs,
                 dAgg, "_mv_exact" -> serializeExact(next))
             }
@@ -969,7 +1113,8 @@ object MaterializedView {
         mvv match {
           case Some(v) =>
             exactRegistry.put(norm(next.mvRoot), ExactEntry(next, mpLive,
-              entry.outTypes, recognizeSafe(mpLive, outNames), v))
+              entry.outTypes, recognizeSafe(mpLive, outNames), v,
+              entry.sideVersions ++ newSideVs))
           case None => rerun()
         }
       case None => rerun()
@@ -1005,7 +1150,8 @@ object MaterializedView {
         .groupBy(keys.map(col): _*)
         .agg(count(lit(1)).cast("long").as("_mult"))
       a.out -> VersionedTable.write(side, sideRootOf(spec.mvRoot, a.out),
-        operation = operation)
+        operation = operation,
+        metaFiles = Map("_mv_side_from" -> "-"))
     }.toMap
 
   private def aggregate(base: DataFrame, groups: Seq[String],
@@ -1025,9 +1171,11 @@ object MaterializedView {
     val spec = MvSpec(mvRoot, baseRoot, v, groups, aggs)
     val baseDf = VersionedTable.readVersion(spark, baseRoot, v)
     val mv = aggregate(baseDf, groups, aggs)
+    // sides FIRST: the _mv metadata commit is the transaction point —
+    // a crash before it leaves only harmless orphan side writes
+    val sideVs = writeSideTables(spark, baseDf, spec, "MV_CREATE")
     val mvv = VersionedTable.write(mv, mvRoot, operation = "MV_CREATE",
       metaFiles = Map("_mv" -> spec.serialize))
-    val sideVs = writeSideTables(spark, baseDf, spec, "MV_CREATE")
     register(spec.copy(mvVersion = mvv, sideVersions = sideVs))
     stampRegistration(Seq(baseRoot), mvRoot)
     v
@@ -1119,9 +1267,9 @@ object MaterializedView {
       // feed refused): re-aggregate the live snapshot
       val baseDf = VersionedTable.readVersion(spark, spec.baseRoot, cur)
       val mv = aggregate(baseDf, spec.groups, spec.aggs)
+      val sv = writeSideTables(spark, baseDf, spec, "MV_REBUILD")
       (VersionedTable.write(mv, mvRoot, operation = "MV_REBUILD",
-        metaFiles = Map("_mv" -> next.serialize)),
-        writeSideTables(spark, baseDf, spec, "MV_REBUILD"))
+        metaFiles = Map("_mv" -> next.serialize)), sv)
     }
     val (mvv, sideVs) =
       if (hasMinMax && !ops.forall(insertOnly)) {
@@ -1244,11 +1392,53 @@ object MaterializedView {
   private def foldSide(spark: SparkSession, spec: MvSpec, a: AggSpec,
                        delta: DataFrame, sign: Column)
       : (Long, DataFrame) = {
-    val sRoot = sideRootOf(spec.mvRoot, a.out)
     val keys = (spec.groups :+ a.col).distinct
     val dm = delta.filter(col(a.col).isNotNull)
       .groupBy(keys.map(col): _*)
       .agg(sum(sign).as("_dmult"))
+    foldSideFrame(spark, sideRootOf(spec.mvRoot, a.out), keys,
+      spec.groups, a.out, dm,
+      fromToken(Map(norm(spec.baseRoot) -> spec.baseVersion)))
+  }
+
+  /** The side-fold core, shared by the single-table and join tiers.
+    * `dm` = the signed per-(keys) multiplicity delta (`_dmult`);
+    * `from` = the [[fromToken]] of the base versions the range folds
+    * FROM, stamped on the side commit (`_mv_side_from`) — if the
+    * side's newest commit already carries this stamp, a previous
+    * refresh committed the side and crashed before the MV commit, so
+    * the fold is SKIPPED (idempotence) and the distinct delta
+    * re-derives from the side's own last hop instead of
+    * double-applying the delta. */
+  private def foldSideFrame(spark: SparkSession, sRoot: String,
+                            keys: Seq[String], groups: Seq[String],
+                            dOut: String, dm: DataFrame,
+                            from: String): (Long, DataFrame) = {
+    def distinctDelta(old: DataFrame, nu: DataFrame): DataFrame = {
+      val cond = keys.map(k => old(k) <=> nu(k)).reduce(_ && _)
+      val j = old.join(nu, cond, "full_outer")
+      val chg = when(old("_mult").isNull && nu("_mult").isNotNull, lit(1L))
+        .when(old("_mult").isNotNull && nu("_mult").isNull, lit(-1L))
+        .otherwise(lit(0L))
+      j.select(groups.map(g => coalesce(old(g), nu(g)).as(g)) :+
+          chg.as("_chg"): _*)
+        .groupBy(groups.map(col): _*)
+        .agg(sum("_chg").as(s"_d_$dOut"))
+        .filter(col(s"_d_$dOut") =!= 0)
+    }
+    val cur = VersionedTable.latestVersion(sRoot).getOrElse(-1L)
+    if (cur >= 0 && VersionedTable.readMeta(sRoot, cur, "_mv_side_from")
+        .map(_.trim).contains(from)) {
+      // crash-recovery replay: the side already folded this range
+      val prevV = VersionedTable.committedVersions(sRoot)
+        .filter(_ < cur).lastOption
+      log.warn(s"$sRoot: side table already folded from base [$from] " +
+        "— deriving the distinct delta from its last hop")
+      val prev = prevV.map(VersionedTable.readVersion(spark, sRoot, _))
+        .getOrElse(VersionedTable.readLatest(spark, sRoot).limit(0))
+      return (cur,
+        distinctDelta(prev, VersionedTable.readVersion(spark, sRoot, cur)))
+    }
     val old = VersionedTable.readLatest(spark, sRoot)
     val cond = keys.map(k => old(k) <=> dm(k)).reduce(_ && _)
     val joined = old.join(dm, cond, "full_outer")
@@ -1258,16 +1448,17 @@ object MaterializedView {
       .select(keys.map(k => coalesce(old(k), dm(k)).as(k)) :+
         newMult.as("_mult"): _*)
       .filter(col("_mult") > 0)
-    val sv = VersionedTable.write(merged, sRoot, operation = "MV_REFRESH")
+    val sv = VersionedTable.write(merged, sRoot, operation = "MV_REFRESH",
+      metaFiles = Map("_mv_side_from" -> from))
     val chg = when(old("_mult").isNull && newMult > 0, lit(1L))
       .when(old("_mult").isNotNull && newMult <= 0, lit(-1L))
       .otherwise(lit(0L))
     val dAggD = joined
-      .select(spec.groups.map(g =>
+      .select(groups.map(g =>
         coalesce(old(g), dm(g)).as(g)) :+ chg.as("_chg"): _*)
-      .groupBy(spec.groups.map(col): _*)
-      .agg(sum("_chg").as(s"_d_${a.out}"))
-      .filter(col(s"_d_${a.out}") =!= 0)
+      .groupBy(groups.map(col): _*)
+      .agg(sum("_chg").as(s"_d_$dOut"))
+      .filter(col(s"_d_$dOut") =!= 0)
     (sv, dAggD)
   }
 

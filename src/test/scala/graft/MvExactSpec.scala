@@ -457,6 +457,111 @@ class MvExactSpec extends AnyFunSuite {
     }
   }
 
+  test("count(DISTINCT) through a JOIN view maintains DIFFERENTIALLY " +
+    "via the multiplicity side table — inserts AND deletes, no " +
+    "rebuild, values exact") {
+    val oRoot = tmp("mx_o19"); val cRoot = tmp("mx_c19"); val mv = tmp("mx_mv19")
+    // controlled fixture: fact (k, ck, v), dim (ck2, segment)
+    VersionedTable.write(spark.range(60).select(col("id").as("k"),
+      (col("id") % 6).as("ck"), (col("id") % 9).as("v")), oRoot)
+    VersionedTable.write(spark.range(6).select(col("id").as("ck2"),
+      concat(lit("s"), col("id") % 2).as("segment")), cRoot)
+    GraftSession.withExtensions(spark) { sess =>
+      withViews(sess, oRoot, cRoot, "mx_o19_t", "mx_c19_t") {
+        val defSql =
+          """SELECT segment, count(DISTINCT v) AS uv,
+            |       sum(v) AS sv, count(*) AS n
+            |FROM mx_o19_t JOIN mx_c19_t ON ck = ck2
+            |GROUP BY segment""".stripMargin
+        MaterializedView.createExact(sess, mv, defSql)
+        assert(MaterializedView.exactViews.exists(e =>
+          e.spec.mvRoot == mv && e.joinAgg.isDefined),
+          "a distinct-counting join view must carry the differential " +
+            "shape now")
+        // delete every v=4 row (the value disappears from its
+        // segments) and append rows carrying a brand-new value 77
+        VersionedTable.deleteWhereVector(sess, oRoot, col("v") === 4)
+        VersionedTable.append(spark.range(3).select(
+          (col("id") + 900).as("k"), (col("id") % 6).as("ck"),
+          lit(77L).as("v")), oRoot)
+        MaterializedView.refresh(sess, mv)
+        val ops = VersionedTable.history(sess, mv)
+          .select("operation").collect().map(_.getString(0)).toSet
+        assert(ops.contains("MV_REFRESH") && !ops.contains("MV_REBUILD"),
+          s"distinct join-view maintenance must stay differential: $ops")
+        val exp = sess.read.format("gvt").load(oRoot)
+          .join(sess.read.format("gvt").load(cRoot),
+            col("ck") === col("ck2"))
+          .groupBy("segment")
+          .agg(countDistinct(col("v")).as("uv"), sum("v").as("sv"),
+            count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) ->
+            (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+        val got = VersionedTable.readLatest(sess, mv)
+          .select("segment", "uv", "sv", "n")
+          .collect().map(r => r.getString(0) ->
+            (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+        assert(got == exp, s"expected $exp")
+        // the side table equals a fresh per-(segment, v) recount
+        val side = MaterializedView.sideRootOf(mv, "uv")
+        val sideExp = sess.read.format("gvt").load(oRoot)
+          .join(sess.read.format("gvt").load(cRoot),
+            col("ck") === col("ck2"))
+          .groupBy("segment", "v").agg(count(lit(1)).as("m"))
+          .collect().map(r => (r.getString(0), r.getLong(1)) ->
+            r.getLong(2)).toMap
+        val sideGot = VersionedTable.readLatest(sess, side)
+          .collect().map(r => (r.getString(0), r.getLong(1)) ->
+            r.getLong(2)).toMap
+        assert(sideGot == sideExp)
+        // the refreshed view serves the defining shape again
+        sess.read.format("gvt").load(oRoot)
+          .createOrReplaceTempView("mx_o19_t")
+        sess.read.format("gvt").load(cRoot)
+          .createOrReplaceTempView("mx_c19_t")
+        assert(usesMv(sess.sql(defSql), mv))
+        // a DISTINCT rollup (grouping dropped entirely) serves from
+        // the SIDE table alone — distinct values re-aggregate at any
+        // subset where distinct counts cannot; the join is untouched
+        val qd = sess.sql(
+          """SELECT count(DISTINCT v) AS u, count(v) AS c
+            |FROM mx_o19_t JOIN mx_c19_t ON ck = ck2""".stripMargin)
+        assert(usesMv(qd, side),
+          "distinct rollup must re-aggregate the side table:\n" +
+            qd.queryExecution.optimizedPlan)
+        assert(!TestSpark.scansUnder(qd, oRoot) &&
+          !TestSpark.scansUnder(qd, cRoot),
+          "side-served rollup must not recompute the join")
+        val expD = sess.read.format("gvt").load(oRoot)
+          .join(sess.read.format("gvt").load(cRoot),
+            col("ck") === col("ck2"))
+          .agg(countDistinct(col("v")).as("u"), count(col("v")).as("c"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).head
+        assert(qd.collect().map(r => (r.getLong(0), r.getLong(1))).head
+          == expD)
+        // a filter on a group column compensates on the side rows
+        val qf = sess.sql(
+          """SELECT count(DISTINCT v) AS u
+            |FROM mx_o19_t JOIN mx_c19_t ON ck = ck2
+            |WHERE segment = 's1'""".stripMargin)
+        assert(usesMv(qf, side), qf.queryExecution.optimizedPlan.toString)
+        val expF = sess.read.format("gvt").load(oRoot)
+          .join(sess.read.format("gvt").load(cRoot),
+            col("ck") === col("ck2"))
+          .filter(col("segment") === "s1")
+          .agg(countDistinct(col("v"))).collect().head.getLong(0)
+        assert(qf.collect().head.getLong(0) == expF)
+        // MIXED distinct + sum rollups fail closed to the join
+        val qm = sess.sql(
+          """SELECT count(DISTINCT v) AS u, sum(v) AS s
+            |FROM mx_o19_t JOIN mx_c19_t ON ck = ck2""".stripMargin)
+        assert(!usesMv(qm, side) && !usesMv(qm, mv),
+          "mixed distinct rollups over a join view must fail closed")
+        MaterializedView.drop(mv)
+      }
+    }
+  }
+
   test("min/max join-view retraction: a mixed range (delete + append) " +
     "recomputes affected groups and folds the rest; fact-side group " +
     "columns keep the recompute fact-pruned") {

@@ -339,6 +339,52 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("MIXED distinct + re-aggregable aggregates at a subset " +
+    "grouping: the MV re-aggregation LEFT-joins the side table — no " +
+    "base scan, exact values incl. avg scaffolding") {
+    val base = tmp("mv_base24"); val mv = tmp("mv_view24")
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey").as("k"), col("o_custkey").as("ck"),
+        col("o_orderstatus").as("status"), col("o_orderpriority").as("prio"),
+        cents("o_totalprice").as("cents"))
+    VersionedTable.write(o, base)
+    MaterializedView.create(spark, base, mv, Seq("status", "prio"),
+      Seq(AggSpec("count_distinct", "ck", "u_cust"),
+        AggSpec("sum", "cents", "sum_cents")))
+    val sideRoot = MaterializedView.sideRootOf(mv, "u_cust")
+    GraftSession.withExtensions(spark) { sess =>
+      val q = gvt(sess, base)
+        .filter(col("prio") =!= "4-NOT SPECIFIED")
+        .groupBy("status")
+        .agg(sum("cents").as("s"), countDistinct(col("ck")).as("u"),
+          count(lit(1)).as("n"), avg(col("cents")).as("a"))
+      assert(usesMv(q, mv) && usesMv(q, sideRoot),
+        "mixed rollup must read MV AND side table:\n" +
+          q.queryExecution.optimizedPlan)
+      assert(!TestSpark.scansUnder(q, base),
+        "mixed rollup must not touch the base")
+      val exp = spark.read.format("gvt").load(base)
+        .filter(col("prio") =!= "4-NOT SPECIFIED")
+        .groupBy("status")
+        .agg(sum("cents").as("s"), countDistinct(col("ck")).as("u"),
+          count(lit(1)).as("n"), avg(col("cents")).as("a"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+      val got = q.collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+      assert(got == exp)
+      // GLOBAL mixed aggregate (no grouping): 1-row ⋈ 1-row join
+      val qg = gvt(sess, base)
+        .agg(countDistinct(col("ck")).as("u"), sum("cents").as("s"))
+      assert(usesMv(qg, mv) && usesMv(qg, sideRoot),
+        qg.queryExecution.optimizedPlan.toString)
+      val eg = spark.read.format("gvt").load(base)
+        .agg(countDistinct(col("ck")).as("u"), sum("cents").as("s"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).head
+      assert(qg.collect().map(r => (r.getLong(0), r.getLong(1))).head == eg)
+    }
+  }
+
   test("count_distinct MV folds inserts AND deletes through the side " +
     "table — values disappearing and appearing adjust the counts " +
     "exactly, with no rebuild") {
