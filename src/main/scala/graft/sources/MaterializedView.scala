@@ -1410,10 +1410,10 @@ object MaterializedView {
     * the fold is SKIPPED (idempotence) and the distinct delta
     * re-derives from the side's own last hop instead of
     * double-applying the delta. */
-  private def foldSideFrame(spark: SparkSession, sRoot: String,
-                            keys: Seq[String], groups: Seq[String],
-                            dOut: String, dm: DataFrame,
-                            from: String): (Long, DataFrame) = {
+  private[graft] def foldSideFrame(spark: SparkSession, sRoot: String,
+                                   keys: Seq[String], groups: Seq[String],
+                                   dOut: String, dm: DataFrame,
+                                   from: String): (Long, DataFrame) = {
     def distinctDelta(old: DataFrame, nu: DataFrame): DataFrame = {
       val cond = keys.map(k => old(k) <=> nu(k)).reduce(_ && _)
       val j = old.join(nu, cond, "full_outer")

@@ -437,6 +437,70 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("side-fold idempotence: a replayed fold with the same range " +
+    "stamp SKIPS (no double-apply) and re-derives the distinct delta " +
+    "from the side's own last hop") {
+    val side = tmp("mv_side_replay")
+    // initial side state: group A holds values 1,2; B holds 2
+    VersionedTable.write(spark.createDataFrame(Seq(
+      ("A", 1L, 2L), ("A", 2L, 1L), ("B", 2L, 3L)))
+      .toDF("g", "v", "_mult"), side)
+    // delta: A gains value 9 (+1 appeared), A loses value 2 entirely
+    // (−1 disappeared), B's value 2 drops one copy (no distinct change)
+    val dm = spark.createDataFrame(Seq(
+      ("A", 9L, 1L), ("A", 2L, -1L), ("B", 2L, -1L)))
+      .toDF("g", "v", "_dmult")
+    val token = "base:7"
+    val (v1, d1) = MaterializedView.foldSideFrame(spark, side,
+      Seq("g", "v"), Seq("g"), "uv", dm, token)
+    val rows1 = d1.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // appeared 9 (+1), disappeared 2 (−1) in A → net 0 (filtered);
+    // B unchanged → the delta frame is EMPTY
+    assert(rows1.isEmpty, s"A's +1/−1 must net to 0 and filter: $rows1")
+    val afterFirst = VersionedTable.readLatest(spark, side)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(afterFirst == Map(("A", 1L) -> 2L, ("A", 9L) -> 1L,
+      ("B", 2L) -> 2L))
+    // REPLAY with the same stamp (the crash-between-side-and-MV case):
+    // the fold must skip — same side version, multiplicities untouched
+    val (v2, d2) = MaterializedView.foldSideFrame(spark, side,
+      Seq("g", "v"), Seq("g"), "uv", dm, token)
+    assert(v2 == v1, "a replayed fold must not commit again")
+    val afterSecond = VersionedTable.readLatest(spark, side)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(afterSecond == afterFirst, "multiplicities must not " +
+      s"double-apply: $afterSecond")
+    // and the re-derived distinct delta equals the original's
+    assert(d2.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      == rows1)
+  }
+
+  test("a persisted count_distinct MV discovered by a FRESH driver " +
+    "serves the subset distinct rollup from its side table") {
+    val base = tmp("mv_base25"); val mv = tmp("mv_view25")
+    mkBase(base)
+    MaterializedView.create(spark, base, mv, Seq("o_orderstatus", "o_orderpriority"),
+      Seq(AggSpec("count_distinct", "o_orderkey", "uk"),
+        AggSpec("sum", "cents", "s")))
+    MaterializedView.clearRegistry() // fresh driver
+    GraftSession.withExtensions(spark) { sess =>
+      val q = gvt(sess, base).groupBy("o_orderstatus")
+        .agg(countDistinct(col("o_orderkey")).as("u"))
+      val side = MaterializedView.sideRootOf(mv, "uk")
+      assert(usesMv(q, side),
+        "discovery must restore the side-table rollup:\n" +
+          q.queryExecution.optimizedPlan)
+      val exp = spark.read.format("gvt").load(base).groupBy("o_orderstatus")
+        .agg(countDistinct(col("o_orderkey")).as("u"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        == exp)
+      MaterializedView.drop(mv)
+    }
+  }
+
   test("count over a nullable column rides the sum's non-null counter") {
     val base = tmp("mv_base8"); val mv = tmp("mv_view8")
     val o = spark.read.parquet(s"$dir/orders.parquet")
