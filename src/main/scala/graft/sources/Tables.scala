@@ -49,7 +49,13 @@ object Tables {
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // a NANOS column would otherwise fail the whole read ([PARQUET_TYPE_ILLEGAL])
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    var df = spark.read.parquet(s"$sfDir/$name.parquet")
+    // memoized (path, mtime) schema: a testdata drop is immutable within
+    // a run, and plain `spark.read.parquet` pays a footer-inference
+    // listing + Spark job per CONSTRUCTION — once per query across a
+    // 240-query bench (guide §1 profiling; same memo version dirs use)
+    var df = spark.read
+      .schema(VersionedTable.parquetDirSchema(spark, s"$sfDir/$name.parquet"))
+      .parquet(s"$sfDir/$name.parquet")
     for (c <- temporalCols.getOrElse(name, Nil) if df.columns.contains(c)) {
       df.schema(c).dataType match {
         case TimestampType => ()

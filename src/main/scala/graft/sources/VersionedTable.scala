@@ -188,7 +188,25 @@ object VersionedTable {
   /** Hive-style partition columns of a snapshot data directory: the
     * first chain of `name=value` subdirectories (empty = unpartitioned).
     * One listing per nesting level — metadata-sized. */
+  private val partColsCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), Seq[String]]()
+
   private[graft] def partColsOf(dir: HPath): Seq[String] = {
+    // memoized on (dir, mtime): version dirs are write-once, and this
+    // listing runs once per dir per chain-read CONSTRUCTION — dozens of
+    // times per multi-commit fixture
+    val mtime = try fcOf(dir).getFileStatus(dir).getModificationTime
+      catch { case scala.util.control.NonFatal(_) => -1L }
+    val key = (dir.toString, mtime)
+    val hit = partColsCache.get(key)
+    if (hit != null) return hit
+    val out = partColsUncached(dir)
+    if (partColsCache.size > 8192) partColsCache.clear()
+    partColsCache.put(key, out)
+    out
+  }
+
+  private def partColsUncached(dir: HPath): Seq[String] = {
     val fc = fcOf(dir)
     if (!fc.util.exists(dir)) Seq.empty
     else fc.util.listStatus(dir).filter(_.isDirectory).map(_.getPath.getName)
@@ -213,19 +231,20 @@ object VersionedTable {
     * file. Schema probing is one footer read per dir, driver-side,
     * chain-length-bounded by compaction. */
   private def readDirs(spark: SparkSession, dirs: Seq[String]): DataFrame =
-    if (dirs.size == 1) spark.read.parquet(dirs.head)
+    if (dirs.size == 1) readDirCached(spark, dirs.head)
     // the single multi-dir read is legal only when EVERY member is
     // layout-free: one hive member (or a mixed flat/hive chain — a
     // layout-preserving rewrite stacked on a legacy flat DML commit)
     // must read per-dir with its own basePath, or Spark's partition
     // discovery throws CONFLICTING_DIRECTORY_STRUCTURES
     else if (dirs.forall(d => partColsOf(new HPath(d)).isEmpty)) {
-      val schemas = dirs.map(d => spark.read.parquet(d).schema)
-      if (schemas.forall(_ == schemas.head)) spark.read.parquet(dirs: _*)
-      else dirs.map(spark.read.parquet(_))
+      val schemas = dirs.map(d => parquetDirSchema(spark, d))
+      if (schemas.forall(_ == schemas.head))
+        spark.read.schema(schemas.head).parquet(dirs: _*)
+      else dirs.map(readDirCached(spark, _))
         .reduce(_.unionByName(_, allowMissingColumns = true))
     }
-    else dirs.map(d => spark.read.option("basePath", d).parquet(d))
+    else dirs.map(d => readDirCached(spark, d, basePath = true))
       .reduce(_.unionByName(_, allowMissingColumns = true))
 
   /** The live version: the `_LATEST` hint healed FORWARD through commit
@@ -1137,7 +1156,10 @@ object VersionedTable {
     val existingSchema: Option[StructType] =
       if (physicalInput) None
       else try latestVersion(root).map(v =>
-        readVersion(df0.sparkSession, root, v).schema)
+        // memoized logical schema — building the full chain-read plan
+        // (per-dir inference + DV anti-join analysis) just to take its
+        // .schema was pure driver latency on EVERY commit
+        schemaOf(df0.sparkSession, root, v))
       catch {
         case e: org.apache.spark.sql.AnalysisException =>
           throw new ConcurrentWriteException(
@@ -1330,7 +1352,7 @@ object VersionedTable {
         // Spark jobs. Touched-file-count-sized: the Delta-log driver
         // class (Delta drivers hold full file manifests).
         if (name == "_dv") {
-          val counts = sdf.sparkSession.read.parquet(s"$root/v=$next/_dv")
+          val counts = readDirCached(sdf.sparkSession, s"$root/v=$next/_dv")
             .groupBy("_dv_file").count().collect()
             .map(r => (r.getString(0), r.getLong(1))).toSeq
           dvCounts = Some(counts)
@@ -1456,7 +1478,7 @@ object VersionedTable {
                    cols: Seq[String]): Unit = {
     import org.apache.spark.sql.functions.{col, count, length, lit, max, min, substring, when}
     import org.apache.spark.sql.types.{NumericType, StringType}
-    val snap = spark.read.parquet(s"$root/v=$version")
+    val snap = readDirCached(spark, s"$root/v=$version")
     // zone maps exist for NUMERIC columns (double min/max; NULL = the
     // file has no non-null values → skip on any range) and STRING
     // columns (truncation-sound smin/smax + non-null count — a plain
@@ -1516,7 +1538,7 @@ object VersionedTable {
                     cols: Seq[String], mBits: Int = 1 << 16): Unit = {
     import org.apache.spark.sql.functions.{col, explode, lit, pmod, xxhash64, array}
     require(cols.nonEmpty, "collectBlooms: no columns given")
-    val snap = spark.read.parquet(s"$root/v=$version")
+    val snap = readDirCached(spark, s"$root/v=$version")
     cols.foreach(c => require(snap.columns.contains(c),
       s"collectBlooms: no column $c in v=$version"))
     val perCol = cols.map { c =>
@@ -1565,7 +1587,7 @@ object VersionedTable {
     import org.apache.spark.sql.functions.col
     val p = new HPath(s"$dir/_bloom")
     if (!fcOf(p).util.exists(p)) return None
-    val bloom = spark.read.parquet(s"$dir/_bloom")
+    val bloom = readDirCached(spark, s"$dir/_bloom")
     if (!bloom.schema.fieldNames.contains("colname")) return None
     // m is not stored: derive it as the next power of two above the
     // max position is WRONG (positions are data-dependent) — store m
@@ -1673,7 +1695,7 @@ object VersionedTable {
     val (statted, pass) = dirs.partition { d =>
       val p = new HPath(s"$d/_stats")
       fcOf(p).util.exists(p) && {
-        val have = spark.read.parquet(s"$d/_stats").schema.fieldNames.toSet
+        val have = parquetDirSchema(spark, s"$d/_stats").fieldNames.toSet
         rangesP.forall { case (c, _, _) => have(s"min_$c") && have(s"max_$c") } &&
         strRangesP.forall { case (c, _, _) =>
           have(s"smin_$c") && have(s"smax_$c") && have(s"nn_$c") }
@@ -1700,7 +1722,13 @@ object VersionedTable {
       val hiOk = hi.map(h => col(s"smin_$c") <= lit(h))
       (Seq(base) ++ loOk ++ hiOk).reduce(_ && _)
     }).reduce(_ && _)
-    val files0 = spark.read.parquet(statted.map(d => s"$d/_stats"): _*)
+    val statSchemas = statted.map(d => parquetDirSchema(spark, s"$d/_stats"))
+    val statsDf =
+      if (statSchemas.forall(_ == statSchemas.head))
+        spark.read.schema(statSchemas.head)
+          .parquet(statted.map(d => s"$d/_stats"): _*)
+      else spark.read.parquet(statted.map(d => s"$d/_stats"): _*)
+    val files0 = statsDf
       .filter(pred).select("file").collect().map(_.getString(0)).toSeq
     // Bloom refinement: a string EQUALITY predicate (lo == hi) also
     // probes each dir's `_bloom` sidecar — the type-exact case (a
@@ -1738,8 +1766,7 @@ object VersionedTable {
       if (elided.isEmpty) pass
       else pass.filter(d => listDataFiles(d).nonEmpty)
     val passReads = passLive.map { d =>
-      tag(if (partitioned) spark.read.option("basePath", d).parquet(d)
-          else spark.read.parquet(d))
+      tag(readDirCached(spark, d, basePath = partitioned))
     }
     val reads = fileReads ++ passReads
     if (reads.isEmpty) return full().limit(0)
@@ -1775,18 +1802,32 @@ object VersionedTable {
     val groups = files.groupBy(f =>
       vdir.findFirstMatchIn(f).map(_.group(1)).getOrElse(""))
       .toSeq.sortBy(_._1)
-    if (partitioned)
-      groups.map { case (d, fs) =>
-        if (d.isEmpty) tag(spark.read.parquet(fs: _*))
-        else tag(spark.read.option("basePath", d).parquet(fs: _*))
+    // per-group schema from the version dir's memo (the file lives in
+    // it, so the dir schema IS the file's logical shape) — no footer
+    // inference per construction; a group without a resolvable version
+    // dir falls back to plain inference
+    def groupSchema(d: String) =
+      if (d.isEmpty) None
+      else scala.util.Try(parquetDirSchema(spark, d)).toOption
+    def readFs(d: String, fs: Seq[String], basePath: Boolean): DataFrame = {
+      val r0 = groupSchema(d) match {
+        case Some(s) => spark.read.schema(s)
+        case None => spark.read
       }
-    else if (groups.size <= 1) Seq(tag(spark.read.parquet(files: _*)))
+      val r = if (basePath && d.nonEmpty) r0.option("basePath", d) else r0
+      r.parquet(fs: _*)
+    }
+    if (partitioned)
+      groups.map { case (d, fs) => tag(readFs(d, fs, basePath = true)) }
+    else if (groups.size <= 1)
+      Seq(tag(readFs(groups.headOption.map(_._1).getOrElse(""), files,
+        basePath = false)))
     else {
-      val schemas = groups.map { case (_, fs) =>
-        spark.read.parquet(fs.head).schema }
+      val schemas = groups.map { case (d, fs) =>
+        groupSchema(d).getOrElse(spark.read.parquet(fs.head).schema) }
       if (schemas.forall(_ == schemas.head))
-        Seq(tag(spark.read.parquet(files: _*)))
-      else groups.map { case (_, fs) => tag(spark.read.parquet(fs: _*)) }
+        Seq(tag(spark.read.schema(schemas.head).parquet(files: _*)))
+      else groups.map { case (d, fs) => tag(readFs(d, fs, basePath = false)) }
     }
   }
 
@@ -1925,7 +1966,7 @@ object VersionedTable {
     val num = scala.collection.mutable.Map.empty[String, Map[String, (Double, Double)]]
     val str = scala.collection.mutable.Map.empty[String, Map[String, StrStats]]
     dirs.foreach { d =>
-      val df = spark.read.parquet(s"$d/_stats")
+      val df = readDirCached(spark, s"$d/_stats")
       val fields = df.schema.fieldNames.toSet
       val nCols = df.schema.fieldNames.filter(_.startsWith("min_"))
         .map(_.stripPrefix("min_")).filter(c => fields(s"max_$c")).toSeq
@@ -2565,7 +2606,7 @@ object VersionedTable {
     if (readMeta(root, toV, "_dv_parent").map(_.trim.toLong).contains(fromV)) {
       val cdfDir = new HPath(s"$root/v=$toV/_cdf")
       if (fcOf(cdfDir).util.exists(cdfDir))
-        return spark.read.parquet(cdfDir.toString)
+        return readDirCached(spark, cdfDir.toString)
       if (op.startsWith("DELETE_DV"))
         return dvRemovedRows(spark, root, fromV, toV)
           .withColumn("_change_type", lit("delete"))
@@ -2573,7 +2614,7 @@ object VersionedTable {
         return dvRemovedRows(spark, root, fromV, toV)
           .withColumn("_change_type", lit("delete"))
           .unionByName(
-            mapToLogical(spark, spark.read.parquet(s"$root/v=$toV"), root, toV)
+            mapToLogical(spark, readDirCached(spark, s"$root/v=$toV"), root, toV)
               .withColumn("_change_type", lit("insert")),
             allowMissingColumns = true)
       refuse()
@@ -2584,7 +2625,7 @@ object VersionedTable {
     val cdfDir = new HPath(s"$root/v=$toV/_cdf")
     if (readMeta(root, toV, "_prev").map(_.trim.toLong).contains(fromV) &&
         fcOf(cdfDir).util.exists(cdfDir))
-      return spark.read.parquet(cdfDir.toString)
+      return readDirCached(spark, cdfDir.toString)
     refuse()
   }
 
@@ -2620,7 +2661,7 @@ object VersionedTable {
           val pre = dvRemovedRows(spark, root, fromV.get, v)
             .withColumn("_change_type", lit("update_preimage"))
           val post = mapToLogical(spark,
-            spark.read.parquet(s"$root/v=$v"), root, v)
+            readDirCached(spark, s"$root/v=$v"), root, v)
             .withColumn("_change_type", lit("update_postimage"))
           pre.unionByName(post, allowMissingColumns = true)
             .write.mode("overwrite").parquet(cdfDir.toString)
@@ -2643,7 +2684,7 @@ object VersionedTable {
   private def dvRemovedRows(spark: SparkSession, root: String,
                             fromV: Long, toV: Long): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val dv = spark.read.parquet(s"$root/v=$toV/_dv")
+    val dv = readDirCached(spark, s"$root/v=$toV/_dv")
     val files = dv.select("_dv_file").distinct()
       .collect().map(_.getString(0)).toSeq
     // a hop whose touched files the vacuum's file-granular pass already
@@ -2744,7 +2785,7 @@ object VersionedTable {
     // mapped chains: both restricted sets translate physical→logical
     // (a DV commit never changes the mapping, so toV's applies to both)
     keyDiff(dvRemovedRows(spark, root, fromV, toV),
-      mapToLogical(spark, spark.read.parquet(s"$root/v=$toV"), root, toV), keys)
+      mapToLogical(spark, readDirCached(spark, s"$root/v=$toV"), root, toV), keys)
 
   // ── Append commits (Delta add-file-only transaction analogue) ────────
   //
@@ -3342,6 +3383,51 @@ object VersionedTable {
   private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
     (String, Long, Long), org.apache.spark.sql.types.StructType]()
 
+  // ── Per-directory parquet schema memo ───────────────────────────────
+  //
+  // EVERY `spark.read.parquet(dir)` construction pays schema inference:
+  // a driver-side listing plus a footer-reading Spark job (~25ms each,
+  // observed 50+ per multi-commit fixture query — guide §1 profiling).
+  // Version dirs are write-once (a commit publishes only after its dir
+  // is complete; vacuum's file-granular purge deletes whole files but
+  // never changes surviving footers, so the SCHEMA stays valid), and
+  // the testdata drops are immutable within a run — so the inferred
+  // schema is a per-(dir, mtime) constant, exactly the [[schemaOf]]
+  // contract one level down. Readers pass the memoized schema
+  // explicitly, which skips the inference job outright (guide §6:
+  // metadata cost is driver-side, single-threaded, and repeated).
+
+  private val dirSchemaCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), org.apache.spark.sql.types.StructType]()
+
+  private def dirMtime(d: String): Long =
+    try fcOf(new HPath(d)).getFileStatus(new HPath(d)).getModificationTime
+    catch { case scala.util.control.NonFatal(_) => -1L }
+
+  /** Inferred schema of one immutable parquet directory, memoized on
+    * (path, mtime) — the same recreate-at-same-root guard [[schemaOf]]
+    * uses. Hive-partitioned dirs include their partition columns, as
+    * plain inference would. */
+  private[graft] def parquetDirSchema(spark: SparkSession,
+                                      d: String): org.apache.spark.sql.types.StructType = {
+    val key = (d, dirMtime(d))
+    val hit = dirSchemaCache.get(key)
+    if (hit != null) return hit
+    val s = spark.read.parquet(d).schema
+    if (dirSchemaCache.size > 8192) dirSchemaCache.clear()
+    dirSchemaCache.put(key, s)
+    s
+  }
+
+  /** `spark.read.parquet(dir)` with the memoized schema — no inference
+    * job. `basePath` keeps `name=value` partition columns alive across
+    * a later union (the readDirs per-dir contract). */
+  private def readDirCached(spark: SparkSession, d: String,
+                            basePath: Boolean = false): DataFrame = {
+    val r = spark.read.schema(parquetDirSchema(spark, d))
+    (if (basePath) r.option("basePath", d) else r).parquet(d)
+  }
+
   /** A zero-row frame with snapshot `version`'s LOGICAL schema — the
     * schema anchor the DML/maintenance commits and CDF empty returns
     * need. Built from the memoized schema instead of
@@ -3408,16 +3494,17 @@ object VersionedTable {
     def tag(df: DataFrame) = df.select(col("*"),
       col("_metadata.file_path").as("__gvt_file"),
       col("_metadata.row_index").as("__gvt_pos"))
-    if (dirs.size == 1) tag(spark.read.parquet(dirs.head))
+    if (dirs.size == 1) tag(readDirCached(spark, dirs.head))
     else if (dirs.forall(d => partColsOf(new HPath(d)).isEmpty)) {
       // same evolved-chain handling as readDirs (NULL-pad per dir);
       // same all-flat condition (a mixed chain reads per-dir)
-      val schemas = dirs.map(d => spark.read.parquet(d).schema)
-      if (schemas.forall(_ == schemas.head)) tag(spark.read.parquet(dirs: _*))
-      else dirs.map(d => tag(spark.read.parquet(d)))
+      val schemas = dirs.map(d => parquetDirSchema(spark, d))
+      if (schemas.forall(_ == schemas.head))
+        tag(spark.read.schema(schemas.head).parquet(dirs: _*))
+      else dirs.map(d => tag(readDirCached(spark, d)))
         .reduce(_.unionByName(_, allowMissingColumns = true))
     }
-    else dirs.map(d => tag(spark.read.option("basePath", d).parquet(d)))
+    else dirs.map(d => tag(readDirCached(spark, d, basePath = true)))
       .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
@@ -3429,7 +3516,14 @@ object VersionedTable {
                       dvDirs: Seq[String],
                       keepMeta: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val dv = spark.read.parquet(dvDirs: _*)
+    // the vector payload schema is a per-dir constant — explicit schema
+    // skips the per-construction inference job (plain inference only if
+    // a legacy chain ever mixed shapes)
+    val dvSchemas = dvDirs.map(parquetDirSchema(spark, _))
+    val dv =
+      if (dvSchemas.forall(_ == dvSchemas.head))
+        spark.read.schema(dvSchemas.head).parquet(dvDirs: _*)
+      else spark.read.parquet(dvDirs: _*)
     val joined = tagged.join(dv,
       tagged("__gvt_file") === dv("_dv_file") &&
         tagged("__gvt_pos") === dv("_dv_pos"), "left_anti")
@@ -3464,7 +3558,7 @@ object VersionedTable {
     * contract, applied here). */
   def invalidateElisionCache(): Unit = {
     footerRowsCache.clear(); elisionCache.clear(); purgeFloorCache.clear()
-    schemaCache.clear()
+    schemaCache.clear(); dirSchemaCache.clear(); partColsCache.clear()
   }
 
   /** A data-file identity in scheme-free `toUri.getPath` form — the
@@ -4024,7 +4118,7 @@ object VersionedTable {
         val perDir = batchDirs.map { d =>
           val p = new HPath(s"$d/_stats")
           if (!fcOf(p).util.exists(p)) Set.empty[String]
-          else spark.read.parquet(s"$d/_stats").schema.fieldNames
+          else parquetDirSchema(spark, s"$d/_stats").fieldNames
             .filter(_.startsWith("min_")).map(_.stripPrefix("min_")).toSet
         }
         if (perDir.nonEmpty && perDir.forall(_.nonEmpty))
