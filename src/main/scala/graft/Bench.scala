@@ -29,6 +29,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    graft.sources.LocalFsInstall.install(spark)
     spark.sparkContext.setLogLevel("WARN")
     // warm the session machinery (codegen, shuffle service, parquet reader)
     spark.range(1000000L).selectExpr("sum(id % 7)").collect()

@@ -102,6 +102,7 @@ object BenchAB {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    graft.sources.LocalFsInstall.install(spark)
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).selectExpr("sum(id % 7)").collect()
 

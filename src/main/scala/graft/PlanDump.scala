@@ -5,6 +5,7 @@ object PlanDump {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions","4")
       .config("spark.ui.enabled","false").getOrCreate()
+    graft.sources.LocalFsInstall.install(spark)
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
     val names = if (args.nonEmpty) args.toSeq

@@ -23,6 +23,7 @@ object RunMedallion {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    graft.sources.LocalFsInstall.install(spark)
     spark.sparkContext.setLogLevel("WARN")
     val counts = Medallion.runAll(spark, cfg)
     counts.toSeq.sortBy(_._1).foreach { case (t, n) => println(s"TABLE $t rows=$n") }

@@ -26,6 +26,7 @@ object StressRun {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    graft.sources.LocalFsInstall.install(spark)
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).selectExpr("sum(id % 7)").collect()
     for (scale <- Seq(1, mult)) run(spark, sfDir, scale)

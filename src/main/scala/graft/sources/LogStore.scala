@@ -150,20 +150,89 @@ object LogStore {
     override def exists(p: HPath): Boolean = fc.util.exists(p)
   }
 
-  /** Local filesystem: kernel-atomic exclusive create. */
+  /** Local filesystem: kernel-atomic exclusive create — and EVERY other
+    * primitive through java.nio rather than the Hadoop local FS, whose
+    * create path (a) forks a `chmod` process per file when libhadoop is
+    * absent and (b) writes `.crc` sidecars, doubling the creates. The
+    * gvt commit protocol issues hundreds of metadata ops per
+    * multi-commit fixture; each was paying both taxes (driver stack
+    * samples, guide §7.3). */
   private[sources] final class Nio(fc: FileContext) extends FcStore(fc) {
+    import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption, Path => JPath}
+
+    private def jpath(p: HPath): JPath =
+      Paths.get(fc.makeQualified(p).toUri.getPath)
+
+    override def read(p: HPath): Option[String] =
+      try Some(new String(Files.readAllBytes(jpath(p)), "UTF-8"))
+      catch {
+        case _: java.nio.file.NoSuchFileException => None
+        // a concurrent OVERWRITE rename can vanish the file for a
+        // moment — reads as absent, same as the FcStore race note
+        case _: java.io.FileNotFoundException => None
+      }
+
     override def putIfAbsent(p: HPath, s: String): Unit = {
-      val path = java.nio.file.Paths.get(fc.makeQualified(p).toUri.getPath)
-      Option(path.getParent)
-        .foreach(java.nio.file.Files.createDirectories(_))
-      try java.nio.file.Files.write(path, s.getBytes("UTF-8"),
-        java.nio.file.StandardOpenOption.CREATE_NEW,
-        java.nio.file.StandardOpenOption.WRITE)
+      val path = jpath(p)
+      Option(path.getParent).foreach(Files.createDirectories(_))
+      try Files.write(path, s.getBytes("UTF-8"),
+        StandardOpenOption.CREATE_NEW,
+        StandardOpenOption.WRITE)
       catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           throw new org.apache.hadoop.fs.FileAlreadyExistsException(p.toString)
       }
     }
+
+    /** Temp-write + atomic rename: readers see either the old or the
+      * new content, never a truncated file — strictly stronger than the
+      * FileContext OVERWRITE create this replaces (which truncates in
+      * place), and fork-free. */
+    override def overwrite(p: HPath, s: String): Unit = {
+      val path = jpath(p)
+      Option(path.getParent).foreach(Files.createDirectories(_))
+      val tmp = path.resolveSibling(
+        "." + path.getFileName.toString + ".tmp." +
+          java.lang.Long.toHexString(Thread.currentThread().getId))
+      Files.write(tmp, s.getBytes("UTF-8"))
+      Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+
+    override def delete(p: HPath, recursive: Boolean): Boolean = {
+      val path = jpath(p)
+      if (!Files.exists(path)) false
+      else if (!recursive || !Files.isDirectory(path)) {
+        try Files.deleteIfExists(path)
+        catch {
+          case _: java.nio.file.DirectoryNotEmptyException =>
+            // non-recursive delete of a non-empty dir: match Hadoop's
+            // refusal semantics
+            throw new java.io.IOException(s"Directory $p is not empty")
+        }
+      } else {
+        import scala.jdk.CollectionConverters._
+        val all = Files.walk(path)
+        try all.sorted(java.util.Comparator.reverseOrder[JPath]())
+          .iterator().asScala.foreach(Files.deleteIfExists(_))
+        finally all.close()
+        true
+      }
+    }
+
+    override def list(p: HPath): Seq[String] = {
+      val path = jpath(p)
+      if (!Files.isDirectory(path)) Seq.empty
+      else {
+        val ds = Files.newDirectoryStream(path)
+        try {
+          import scala.jdk.CollectionConverters._
+          ds.iterator().asScala.map(_.getFileName.toString).toList
+        } finally ds.close()
+      }
+    }
+
+    override def exists(p: HPath): Boolean = Files.exists(jpath(p))
   }
 
   /** Conditional-put contract double: the in-memory model of an object

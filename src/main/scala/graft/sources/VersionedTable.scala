@@ -3413,10 +3413,64 @@ object VersionedTable {
     val key = (d, dirMtime(d))
     val hit = dirSchemaCache.get(key)
     if (hit != null) return hit
-    val s = spark.read.parquet(d).schema
+    val s = footerSparkSchema(d).getOrElse(spark.read.parquet(d).schema)
     if (dirSchemaCache.size > 8192) dirSchemaCache.clear()
     dirSchemaCache.put(key, s)
     s
+  }
+
+  /** First-touch fast path for [[parquetDirSchema]]: Spark serializes
+    * the EXACT logical schema it will re-infer into every footer it
+    * writes (`org.apache.spark.sql.parquet.row.metadata`), and
+    * file-source relations surface it `asNullable` — so for a FLAT
+    * Spark-written dir one driver-side footer read reproduces
+    * `spark.read.parquet(d).schema` without the inference Spark job.
+    * Hive-partitioned dirs (partition-column types come from directory
+    * names) and non-Spark files (no metadata key) return None and take
+    * the plain inference path. Equality with inference is pinned by
+    * DirSchemaSpec. */
+  private def footerSparkSchema(d: String): Option[StructType] =
+    try {
+      val dp = new HPath(d)
+      val fc = fcOf(dp)
+      if (!fc.util.exists(dp)) return None
+      val direct = fc.util.listStatus(dp).filter { st =>
+        val n = st.getPath.getName
+        !st.isDirectory && !n.startsWith("_") && !n.startsWith(".")
+      }
+      // a dir with subdirectories (hive layout) or no direct data file
+      // takes the inference path
+      if (direct.isEmpty ||
+          fc.util.listStatus(dp).exists(st => st.isDirectory &&
+            !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("."))) return None
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(direct.head.getPath, new org.apache.hadoop.conf.Configuration())
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val kv = try r.getFooter.getFileMetaData.getKeyValueMetaData
+        finally r.close()
+      Option(kv.get("org.apache.spark.sql.parquet.row.metadata"))
+        .flatMap(j => scala.util.Try(
+          allNullable(org.apache.spark.sql.types.DataType.fromJson(j))
+            .asInstanceOf[StructType]).toOption)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** File-source relations surface their data schema with every level
+    * forced nullable (Spark's private `DataType.asNullable`) — mirror
+    * it exactly so the fast path is byte-identical to inference
+    * (DirSchemaSpec pins the equality). */
+  private def allNullable(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = allNullable(f.dataType), nullable = true)))
+      case a: ArrayType =>
+        ArrayType(allNullable(a.elementType), containsNull = true)
+      case m: MapType => MapType(allNullable(m.keyType),
+        allNullable(m.valueType), valueContainsNull = true)
+      case other => other
+    }
   }
 
   /** `spark.read.parquet(dir)` with the memoized schema — no inference
