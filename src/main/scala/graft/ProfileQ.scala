@@ -31,9 +31,24 @@ object ProfileQ {
     spark.range(1000000L).selectExpr("sum(id % 7)").collect()
 
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, JobRec]()
+    // executionId -> the ACTION callsite, so AQE stage/broadcast jobs
+    // (whose own callsite is the generic materialization future)
+    // attribute to the query action that spawned them
+    val execSite = new java.util.concurrent.ConcurrentHashMap[Long, String]()
     val listener = new SparkListener {
+      override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        e match {
+          case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+            execSite.put(s.executionId, s.description.linesIterator.nextOption().getOrElse("?"))
+          case _ => ()
+        }
       override def onJobStart(js: SparkListenerJobStart): Unit = {
-        val site = js.stageInfos.lastOption.map(_.name).getOrElse("?")
+        val stageSite = js.stageInfos.lastOption.map(_.name).getOrElse("?")
+        val site = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.sql.execution.id")))
+          .flatMap(id => Option(execSite.get(id.toLong)))
+          .map(d => s"$d [stage: ${stageSite.takeWhile(_ != '(').trim}]")
+          .getOrElse(stageSite)
         jobs.put(js.jobId, JobRec(js.jobId, js.time, site = site))
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {

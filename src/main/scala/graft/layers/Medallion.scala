@@ -66,7 +66,7 @@ object Medallion {
       val df = Tables.withBronzeMeta(
         Tables.readCsv(spark, s"${cfg.rawDir}/$file", schema), file, "v1")
       Tables.overwrite(df, s"${cfg.bronzeDir}/$name")
-      val n = spark.read.parquet(s"${cfg.bronzeDir}/$name").count()
+      val n = graft.sources.VersionedTable.readParquetDir(spark, s"${cfg.bronzeDir}/$name").count()
       Gates.assertRowCountNonzero(n, name)
       Gates.logLayerStats("bronze", name, n)
       name -> n
@@ -78,7 +78,7 @@ object Medallion {
       InstacartSchemas.orderProducts)
     val op = Tables.withBronzeMeta(prior.union(train), "order_products_*.csv", "v1")
     Tables.overwrite(op, s"${cfg.bronzeDir}/order_products")
-    val n = spark.read.parquet(s"${cfg.bronzeDir}/order_products").count()
+    val n = graft.sources.VersionedTable.readParquetDir(spark, s"${cfg.bronzeDir}/order_products").count()
     Gates.assertRowCountNonzero(n, "order_products")
     Gates.logLayerStats("bronze", "order_products", n)
     counts + ("order_products" -> n)
@@ -119,7 +119,7 @@ object Medallion {
     log.info(s"silver transform: ${cfg.bronzeDir} -> ${cfg.silverDir}")
     // --- orders (02:44-98) ---
     val bronzeOrders = Tables.dropBronzeMeta(
-      spark.read.parquet(s"${cfg.bronzeDir}/orders"))
+      graft.sources.VersionedTable.readParquetDir(spark, s"${cfg.bronzeDir}/orders"))
     val sourceOrders = bronzeOrders.count()
     val ordersDedup = dedupFirst(bronzeOrders, Seq("order_id"),
       Seq(col("user_id"), col("order_number")))
@@ -131,14 +131,14 @@ object Medallion {
 
     // --- order_products (02:104-142) ---
     val bronzeOp = Tables.dropBronzeMeta(
-      spark.read.parquet(s"${cfg.bronzeDir}/order_products"))
+      graft.sources.VersionedTable.readParquetDir(spark, s"${cfg.bronzeDir}/order_products"))
     val sourceOp = bronzeOp.count()
     val opDedup = dedupFirst(bronzeOp, Seq("order_id", "product_id"),
       Seq(col("add_to_cart_order")))
     Gates.checkDuplicateRate(opDedup, Seq("order_id", "product_id"), cfg.duplicateRate)
     // referential integrity: child FKs must exist in silver orders (02:124)
     Gates.checkReferentialIntegrity(opDedup, "order_id",
-      spark.read.parquet(s"${cfg.silverDir}/orders"), "order_id")
+      graft.sources.VersionedTable.readParquetDir(spark, s"${cfg.silverDir}/orders"), "order_id")
     val opEnriched = opDedup
       .withColumn("is_reordered", col("reordered") === 1)        // 02:129
       .withColumn("_silver_processed_at", current_timestamp())
@@ -147,11 +147,11 @@ object Medallion {
 
     // --- lookups passed through with metadata (02:148-175) ---
     for (name <- Seq("products", "aisles", "departments")) {
-      val df = Tables.dropBronzeMeta(spark.read.parquet(s"${cfg.bronzeDir}/$name"))
+      val df = Tables.dropBronzeMeta(graft.sources.VersionedTable.readParquetDir(spark, s"${cfg.bronzeDir}/$name"))
         .withColumn("_silver_processed_at", current_timestamp())
       Tables.overwrite(df, s"${cfg.silverDir}/$name")
     }
-    val nOp = spark.read.parquet(s"${cfg.silverDir}/order_products").count()
+    val nOp = graft.sources.VersionedTable.readParquetDir(spark, s"${cfg.silverDir}/order_products").count()
     Gates.logLayerStats("silver", "order_products", nOp)
     Map("orders" -> nOrders, "order_products" -> nOp)
   }
@@ -166,13 +166,13 @@ object Medallion {
     // (reference 03_gold_metrics.py:42-44, 73 — S9); without this each
     // mart re-scans order_products from parquet: 5 full re-reads at 33M+
     // rows (and 100 TB at scale). Lookups stay uncached: they broadcast.
-    val orders = spark.read.parquet(s"${cfg.silverDir}/orders")
+    val orders = graft.sources.VersionedTable.readParquetDir(spark, s"${cfg.silverDir}/orders")
       .drop("_silver_processed_at").cache()
-    val op = spark.read.parquet(s"${cfg.silverDir}/order_products")
+    val op = graft.sources.VersionedTable.readParquetDir(spark, s"${cfg.silverDir}/order_products")
       .drop("_silver_processed_at").cache()
-    val products = spark.read.parquet(s"${cfg.silverDir}/products")
-    val aisles = spark.read.parquet(s"${cfg.silverDir}/aisles")
-    val departments = spark.read.parquet(s"${cfg.silverDir}/departments")
+    val products = graft.sources.VersionedTable.readParquetDir(spark, s"${cfg.silverDir}/products")
+    val aisles = graft.sources.VersionedTable.readParquetDir(spark, s"${cfg.silverDir}/aisles")
+    val departments = graft.sources.VersionedTable.readParquetDir(spark, s"${cfg.silverDir}/departments")
 
     // fct_orders (03_serverless:72-121): 4-way star join, broadcast dims
     val fct = op

@@ -42,17 +42,17 @@ object TextMedallion {
 
   def runBronze(spark: SparkSession, cfg: Config): Long = {
     log.info(s"text bronze: ${cfg.rawDir} -> ${cfg.bronzeDir}")
-    val docs = spark.read.parquet(s"${cfg.rawDir}/documents.parquet")
+    val docs = graft.sources.VersionedTable.readParquetDir(spark, s"${cfg.rawDir}/documents.parquet")
       .withColumn("_bronze_ingested_at", current_timestamp())
     docs.write.mode("overwrite").parquet(s"${cfg.bronzeDir}/documents")
-    val n = spark.read.parquet(s"${cfg.bronzeDir}/documents").count()
+    val n = graft.sources.VersionedTable.readParquetDir(spark, s"${cfg.bronzeDir}/documents").count()
     Gates.logLayerStats("bronze", "documents", n)
     n
   }
 
   def runSilver(spark: SparkSession, cfg: Config): Long = {
     log.info(s"text silver: ${cfg.bronzeDir} -> ${cfg.silverDir}")
-    val bronze = spark.read.parquet(s"${cfg.bronzeDir}/documents")
+    val bronze = graft.sources.VersionedTable.readParquetDir(spark, s"${cfg.bronzeDir}/documents")
     // cached: the decided frame feeds BOTH the drop-rate gate and the
     // silver write — without the cache the md5 dup-election groupBy+join
     // would run twice per build (the S9 cached-silver discipline)

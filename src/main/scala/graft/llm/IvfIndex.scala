@@ -66,7 +66,7 @@ object IvfIndex {
       .orderBy(col("cos_c").desc, col("cent_id"))
       .limit(nprobe)
       .collect().map(_.getLong(0))
-    spark.read.parquet(path)
+    graft.sources.VersionedTable.readParquetDir(spark, path)
       .filter(col("cent_id").isin(probeIds: _*))
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("cent_id").cast("long").as("cent_id"),

@@ -52,7 +52,7 @@ object IvfPqIndex {
       .orderBy(col("cos_c").desc, col("cent_id"))
       .limit(nprobe)
       .collect().map(_.getLong(0))
-    val codes = spark.read.parquet(path)
+    val codes = graft.sources.VersionedTable.readParquetDir(spark, path)
       .filter(col("cent_id").isin(probeIds: _*))
       .select(col("vec_id"), col("m"), col("code"),
         col("cent_id").cast("long").as("cent_id"))

@@ -56,7 +56,7 @@ object RelationalQueries {
     "q_sink_partitioned" -> ((s, dir) => {
       val out = tmpDir("graft_part")
       graft.sources.Tables.overwritePartitioned(t(s, dir, "orders"), out, "o_orderstatus")
-      s.read.parquet(out)
+      graft.sources.VersionedTable.readParquetDir(s, out)
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_orders"),
           rnd(sum(col("o_totalprice")), 2).as("total_price"))

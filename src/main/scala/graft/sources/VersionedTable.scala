@@ -3473,6 +3473,13 @@ object VersionedTable {
     }
   }
 
+  /** Public variant of the memoized single-dir read for the layer
+    * pipelines and persisted-index readers — identical result to
+    * `spark.read.parquet(dir)` minus the per-construction inference
+    * job. */
+  def readParquetDir(spark: SparkSession, d: String): DataFrame =
+    readDirCached(spark, d)
+
   /** `spark.read.parquet(dir)` with the memoized schema — no inference
     * job. `basePath` keeps `name=value` partition columns alive across
     * a later union (the readDirs per-dir contract). */
