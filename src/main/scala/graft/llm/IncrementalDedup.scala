@@ -75,17 +75,19 @@ object IncrementalDedup {
              txn: Option[(String, Long)] = None,
              autoCompactEvery: Int = 0,
              broadcastBytes: Long = 64L << 20): DataFrame = {
+    // the caller's signature frame is consumed TWICE (the band melt
+    // below and the accepted-rows anti-join) and its expressions are the
+    // expensive part of the batch (minhash folds / content hashes over
+    // the raw text) — materialize it once so both consumers scan stored
+    // rows instead of re-evaluating the signature computation (guide §5
+    // reuse; measured: the anti-join re-paid the full minhash fold)
+    val sigsM = sigs.localCheckpoint()
     // one narrow batch-sized table consumed three times (intra minima,
     // cross probe, index append) — materialize once, the same
     // signature-table break every production dedup pipeline has
-    val bb = meltBands(sigs, bandCols).localCheckpoint()
+    val bb = meltBands(sigsM, bandCols).localCheckpoint()
     // rule 1: bucket-min within the batch
-    val intraHit = bb.as("x")
-      .join(bb.groupBy(col("band_id"), col("band"))
-          .agg(min(col("doc_id")).as("mn")),
-        Seq("band_id", "band"))
-      .filter(col("doc_id") > col("mn"))
-      .select(col("doc_id"))
+    val intraHit = intraBucketHits(bb)
     // rule 2: any band already in the accepted-corpus index. The
     // steady state is batch ≪ index, so the probe BROADCASTS the
     // batch's bands and streams ONE scan of the index through the
@@ -105,8 +107,12 @@ object IncrementalDedup {
           checkpointedBytes(spark, bb).getOrElse(Long.MaxValue),
           broadcastBytes)
       }
-    val dropped = intraHit.union(crossHit).distinct()
-    runDedup(spark, indexRoot, sigs, bb, dropped, txn, autoCompactEvery,
+    // no distinct: the only consumer is a left-anti join, whose result
+    // is identical under duplicate right-side rows — a DISTINCT here
+    // would re-shuffle every candidate hit just to dedup what the
+    // anti-join's build deduplicates anyway (guide §2.4)
+    val dropped = intraHit.union(crossHit)
+    runDedup(spark, indexRoot, sigsM, bb, dropped, txn, autoCompactEvery,
       exists)
   }
 
@@ -121,6 +127,19 @@ object IncrementalDedup {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
     }.flatMap(id => spark.sparkContext.getRDDStorageInfo
       .find(_.id == id).map(i => i.memSize + i.diskSize))
+
+  /** Intra-batch bucket-min hits: the doc_ids of rows that share a
+    * band with a SMALLER-id document of the same batch. A window over
+    * the band key — ONE shuffle of the bands; the groupBy(min) +
+    * join-back shape this replaces shuffled the bands twice (agg input
+    * AND join probe side) for the identical per-bucket minimum
+    * (guide §2.4). */
+  private[graft] def intraBucketHits(bb: DataFrame): DataFrame =
+    bb.withColumn("mn", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band_id"), col("band"))))
+      .filter(col("doc_id") > col("mn"))
+      .select(col("doc_id"))
 
   /** The cross-batch index probe: broadcast the batch under the byte
     * ceiling (the unbounded index streams once, never shuffles), else

@@ -48,6 +48,22 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(VersionedTable.committedVersions(idx).size == 2)
   }
 
+  test("ingest evaluates the caller's signature expressions exactly " +
+    "once per row (materialized before the melt and the anti-join)") {
+    val idx = fresh("incdedup1x")
+    val acc = spark.sparkContext.longAccumulator("sig_evals")
+    val counting = udf { (s: String) => acc.add(1L); s }
+    val batch = Seq((1L, "k1"), (2L, "k2"), (3L, "k1")).toDF("doc_id", "raw")
+      .withColumn("fp", counting(col("raw")))
+    val a = IncrementalDedup.ingest(spark, idx, batch, Seq("fp"))
+    a.collect() // drain the returned frame like a caller would
+    // one evaluation per input row: the band melt, the accepted
+    // anti-join and the caller all read the materialized signature
+    // table instead of re-running the expression
+    assert(acc.value == 3L, s"signature expressions ran ${acc.value} " +
+      "times for 3 rows — the frame is being re-evaluated")
+  }
+
   test("banded: ANY shared band drops; bucket-min resolves chains " +
     "deterministically (documented: drops the whole chain tail)") {
     val idx = fresh("incdedupb")
