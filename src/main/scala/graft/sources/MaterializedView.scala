@@ -716,16 +716,6 @@ object MaterializedView {
       Alias(byName(o.name), o.name)(exprId = o.exprId)), plan)
   }
 
-  /** The fold-protocol delta column names of a join view, in aggregate
-    * order: one `_d_<out>` per aggregate, then `_d_rows`, then the
-    * per-sum `_d_nn_*` non-null counters — all sums/counts (numeric)
-    * on the retraction path, so signed combination is plain
-    * subtraction. */
-  private def dNames(info: JoinAggInfo): Seq[String] =
-    info.aggs.map(a => s"_d_${a.out}") ++
-      ("_d_rows" +: info.aggs.filter(_.fn == "sum")
-        .map(a => s"_d_nn_${a.out}"))
-
   /** The differential delta-aggregate plan: the defining aggregate's
     * own expressions over the telescoping union
     * ⋃ᵢ R₁_old⋈…⋈ΔRᵢ⋈Rᵢ₊₁_new⋈…⋈Rₙ_new, with aggregate outputs
@@ -821,29 +811,82 @@ object MaterializedView {
       return aggOf(deltaTermUnion(spark, info, oldV, newV, 0, _ => true)
         .getOrElse(
           throw new IllegalStateException("refresh with no advanced base")))
-    val pos = deltaTermUnion(spark, info, oldV, newV, 1, _ => true).map(aggOf)
+    // Signed combination, FUSED (guide §1.2 remove passes, §2.4): the
+    // retraction path used to aggregate the Δ⁺ and Δ⁻ term unions
+    // SEPARATELY and merge the two group-sized aggregates with a
+    // null-safe full-outer join — two aggregate shuffles plus a join
+    // shuffle pair for what is algebraically ONE signed aggregate.
+    // Each term-union row now carries its class sign and a single
+    // aggregate computes P − N directly: sums weight by the sign,
+    // counts sum the sign. Only sums/counts reach here (min/max over a
+    // retraction takes the affected-group recompute path), so the
+    // signed algebra is total.
+    val pos = deltaTermUnion(spark, info, oldV, newV, 1, _ => true)
     val neg = deltaTermUnion(spark, info, oldV, newV, -1,
-      i => retracting.contains(info.roots(i))).map(aggOf)
-    (pos, neg) match {
-      case (Some(p), Some(n0)) =>
-        // signed combination: one delta-sized null-safe full-outer
-        // merge. Both sides reuse the defining plan's output exprIds —
-        // re-alias the retraction side (fresh names AND exprIds) so
-        // the join resolves unambiguously.
-        val n = n0.select(n0.columns.toSeq.map(c => col(c).as(s"__n_$c")): _*)
-        val joinCond = info.groups.map(g => p(g) <=> n(s"__n_$g"))
-          .reduce(_ && _)
-        val g = info.groups.map(x => coalesce(p(x), n(s"__n_$x")).as(x))
-        val d = dNames(info).map(c =>
-          (coalesce(p(c), lit(0L)) - coalesce(n(s"__n_$c"), lit(0L))).as(c))
-        p.join(n, joinCond, "full_outer").select(g ++ d: _*)
-      case (Some(p), None) => p
-      case (None, Some(n)) => // pure-retraction range: negate the fold
-        n.select(info.groups.map(col) ++
-          dNames(info).map(c => (lit(0L) - col(c)).as(c)): _*)
-      case (None, None) =>
-        throw new IllegalStateException("refresh with no advanced base")
-    }
+      i => retracting.contains(info.roots(i)))
+    if (pos.isEmpty && neg.isEmpty)
+      throw new IllegalStateException("refresh with no advanced base")
+    signedDeltaAgg(spark, info, pos, neg)
+  }
+
+  /** The fused signed delta aggregate: project each admitted term
+    * union to (groups, per-aggregate input values, `__sign` = ±1),
+    * union, and aggregate once — `_d_<out>` for a sum is
+    * Σ value·sign (cast back to the defining sum's type), for a count
+    * the signed non-null count, `_d_rows` = Σ sign, per-sum `_d_nn_*`
+    * the signed non-null counters. count_distinct emits the same 0L
+    * placeholder [[diffAggOf]] does (the side fold overwrites it). */
+  private def signedDeltaAgg(spark: SparkSession, info: JoinAggInfo,
+                             posU: Option[LogicalPlan],
+                             negU: Option[LogicalPlan]): DataFrame = {
+    val gAliases = info.ge.zip(info.groups).map { case (e, n) =>
+      Alias(e, n)() }
+    // per-aggregate input expression + the defining sum's result type,
+    // paired in ae order exactly like diffAggOf/cdValueAttrs
+    val it = info.aggs.iterator
+    val valAliases: Seq[(AggSpec, Option[NamedExpression], Option[DataType])] =
+      info.ae.collect {
+        case Alias(ag: AggregateExpression, _) if it.hasNext =>
+          val spec = it.next()
+          ag.aggregateFunction match {
+            case s: Sum =>
+              (spec, Some(Alias(s.child, s"_v_${spec.out}")()),
+                Some(ag.dataType))
+            case c: Count if c.children.size == 1 &&
+                !c.children.head.foldable && spec.fn == "count" =>
+              (spec, Some(Alias(c.children.head, s"_v_${spec.out}")()),
+                None)
+            case _ => (spec, None, None) // count(*) / count_distinct
+          }
+      }
+    def side(u: LogicalPlan, s: Long): DataFrame =
+      org.apache.spark.sql.graft.NativeColumns.ofPlan(spark,
+        Project(gAliases ++ valAliases.flatMap(_._2) :+
+          (Alias(Literal(s), "__sign")(): NamedExpression), u))
+    val parts = posU.map(side(_, 1L)).toSeq ++ negU.map(side(_, -1L)).toSeq
+    val delta = parts.reduce(_ unionByName _)
+    val sgn = col("__sign")
+    def signedNn(out: String): Column =
+      sum(when(col(s"_v_$out").isNotNull, sgn).otherwise(lit(0L)))
+    val dCols: Seq[Column] = valAliases.map { case (a, _, sumType) =>
+      (a.fn match {
+        case "sum" =>
+          // cast back to the defining sum's type so the fold (and the
+          // committed MV schema) see the same type the insert-only
+          // path produces
+          sumType.foldLeft(sum(col(s"_v_${a.out}") * sgn))((c, t) =>
+            c.cast(t))
+        case "count" if a.col == "*" => sum(sgn)
+        case "count" => signedNn(a.out)
+        case "count_distinct" => max(lit(0L)) // placeholder, caller overwrites
+        case other => // min/max retractions take the recompute path
+          throw new IllegalStateException(
+            s"signed fold cannot serve '$other' (caller must recompute)")
+      }).as(s"_d_${a.out}")
+    } ++ (sum(sgn).as("_d_rows") +:
+      valAliases.collect { case (a, _, _) if a.fn == "sum" =>
+        signedNn(a.out).as(s"_d_nn_${a.out}") })
+    delta.groupBy(info.groups.map(col): _*).agg(dCols.head, dCols.tail: _*)
   }
 
   /** The signed per-(group, value) multiplicity delta of one JOIN-view

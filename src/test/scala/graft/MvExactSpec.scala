@@ -420,6 +420,57 @@ class MvExactSpec extends AnyFunSuite {
     }
   }
 
+  test("fused signed fold: a mixed retraction range folds in ONE " +
+    "aggregate pass and keeps the defining sum's TYPE (double)") {
+    val oRoot = tmp("mx_o17"); val cRoot = tmp("mx_c17"); val mv = tmp("mx_mv17")
+    // exactly-representable doubles (multiples of 0.25) keep the signed
+    // sum bit-exact against the recompute
+    VersionedTable.write(spark.range(12).select(col("id").as("k"),
+      (col("id") % 2).as("ck"),
+      (col("id").cast("double") * 0.25).as("amt")), oRoot)
+    VersionedTable.write(spark.range(2).select(col("id").as("ck2"),
+      concat(lit("S"), col("id")).as("segment")), cRoot)
+    VersionedTable.setTblProperties(oRoot,
+      Map("gvt.enableChangeDataFeed" -> "true"))
+    GraftSession.withExtensions(spark) { sess =>
+      sess.read.format("gvt").load(oRoot).createOrReplaceTempView("mx_o17")
+      sess.read.format("gvt").load(cRoot).createOrReplaceTempView("mx_c17")
+      val defSql =
+        """SELECT segment, sum(amt) AS sum_amt, count(amt) AS n_amt,
+          |count(*) AS n
+          |FROM mx_o17 JOIN mx_c17 ON ck = ck2
+          |GROUP BY segment""".stripMargin
+      MaterializedView.createExact(sess, mv, defSql)
+      val createdType = VersionedTable.readLatest(sess, mv)
+        .schema("sum_amt").dataType
+      // BOTH classes in one range: a delete hop plus an append hop —
+      // the fused path aggregates Δ⁺ and Δ⁻ together, signed
+      VersionedTable.deleteWhereVector(sess, oRoot, col("k") % 3 === 0)
+      VersionedTable.append(sess.range(2).select((col("id") + 100).as("k"),
+        (col("id") % 2).as("ck"),
+        (col("id").cast("double") * 0.25 + 0.5).as("amt")), oRoot)
+      MaterializedView.refresh(sess, mv)
+      val ops = VersionedTable.history(sess, mv)
+        .select("operation").collect().map(_.getString(0)).toSet
+      assert(ops.contains("MV_REFRESH") && !ops.contains("MV_REBUILD"), ops)
+      val live = VersionedTable.readLatest(sess, mv)
+      assert(live.schema("sum_amt").dataType == createdType,
+        s"signed fold changed the sum type: ${live.schema("sum_amt")}")
+      val exp = sess.read.format("gvt").load(oRoot)
+        .join(sess.read.format("gvt").load(cRoot), col("ck") === col("ck2"))
+        .groupBy("segment")
+        .agg(sum("amt").as("s"), count(col("amt")).as("na"),
+          count(lit(1)).as("c"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getDouble(1), r.getLong(2), r.getLong(3)))).toMap
+      val got = live.select("segment", "sum_amt", "n_amt", "n")
+        .collect().map(r => r.getString(0) ->
+          ((r.getDouble(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(got == exp, s"got=$got exp=$exp")
+      MaterializedView.drop(mv)
+    }
+  }
+
   test("a min/max join view REFRESHES on retraction via the " +
     "affected-group recompute — never a whole-view rebuild") {
     val oRoot = tmp("mx_o14"); val cRoot = tmp("mx_c14"); val mv = tmp("mx_mv14")
