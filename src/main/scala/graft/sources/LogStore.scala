@@ -66,6 +66,19 @@ trait LogStore {
 
 object LogStore {
 
+  private val tmpSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Overwrite temp-file name: pid + thread + a process-wide counter.
+    * Thread id alone collided across PROCESSES (the multi-writer
+    * scenario the store contract supports): two same-host writers
+    * flipping the same pointer could interleave on one `.tmp` path and
+    * the loser's ATOMIC_MOVE threw mid-commit (ADVICE r16). */
+  private[sources] def tmpName(name: String): String =
+    "." + name + ".tmp." +
+      java.lang.Long.toHexString(ProcessHandle.current().pid()) + "-" +
+      java.lang.Long.toHexString(Thread.currentThread().getId) + "-" +
+      java.lang.Long.toHexString(tmpSeq.incrementAndGet())
+
   /** Schemes whose FileContext create-no-overwrite is atomic (single
     * metadata authority). Everything else that is not local is refused
     * at `putIfAbsent`. */
@@ -137,10 +150,17 @@ object LogStore {
       }
     }
     override def overwrite(p: HPath, s: String): Unit = {
-      val out = fc.create(p,
+      // temp-write + OVERWRITE rename: readers see either the old or
+      // the new content, never a truncated file — the same visibility
+      // contract Nio.overwrite gives the local scheme, so pointer
+      // flips no longer need a hand-rolled tmp+rename at every call
+      // site
+      val tmp = new HPath(p.getParent, LogStore.tmpName(p.getName))
+      val out = fc.create(tmp,
         EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE),
         Options.CreateOpts.createParent())
       try out.write(s.getBytes("UTF-8")) finally out.close()
+      fc.rename(tmp, p, Options.Rename.OVERWRITE)
     }
     override def delete(p: HPath, recursive: Boolean): Boolean =
       fc.util.exists(p) && fc.delete(p, recursive)
@@ -191,9 +211,7 @@ object LogStore {
     override def overwrite(p: HPath, s: String): Unit = {
       val path = jpath(p)
       Option(path.getParent).foreach(Files.createDirectories(_))
-      val tmp = path.resolveSibling(
-        "." + path.getFileName.toString + ".tmp." +
-          java.lang.Long.toHexString(Thread.currentThread().getId))
+      val tmp = path.resolveSibling(LogStore.tmpName(path.getFileName.toString))
       Files.write(tmp, s.getBytes("UTF-8"))
       Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)

@@ -84,6 +84,17 @@ object VersionedTable {
     })
   }
 
+  /** The active session's Hadoop conf, shared: a fresh Configuration()
+    * re-parses the XML default resources per construction (driver
+    * samples caught the parse mid-commit) and ignores installed `fs.*`
+    * settings. Driver-side reads only — Configuration lookups are
+    * thread-safe. */
+  private[sources] def sessionHadoopConf: org.apache.hadoop.conf.Configuration =
+    SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
   /** Drop every cached FileContext: call after changing the active
     * session's Hadoop conf (credentials, fs settings) so the next
     * metadata op rebuilds contexts from the NEW conf — the cache is
@@ -322,9 +333,10 @@ object VersionedTable {
       c.prev.map(_.toString).getOrElse("none"),
       c.tsMillis.map(_.toString).getOrElse("none"),
       c.operation).mkString("\t")).mkString("\n")
-    val tmp = new HPath(root, "_checkpoint.tmp")
-    writeString(tmp, body, overwrite = true)
-    fcOf(tmp).rename(tmp, checkpointFile(root), Options.Rename.OVERWRITE)
+    // writeString(overwrite) is temp-write + atomic rename in every
+    // FcStore — the hand-rolled tmp+rename dance (and its forking
+    // FileContext link-status probes) is no longer needed at any flip
+    writeString(checkpointFile(root), body, overwrite = true)
   }
 
   /** The COMMITTED version chain, ascending, with per-commit metadata:
@@ -442,10 +454,9 @@ object VersionedTable {
   private def writeConstraints(root: String, cs: Map[String, String]): Unit =
     if (cs.isEmpty) delete(constraintsFile(root), recursive = false)
     else {
-      val tmp = new HPath(root, "_constraints.tmp")
-      writeString(tmp, cs.toSeq.sorted.map { case (n, e) => s"$n\t$e" }
-        .mkString("\n"), overwrite = true)
-      fcOf(tmp).rename(tmp, constraintsFile(root), Options.Rename.OVERWRITE)
+      writeString(constraintsFile(root),
+        cs.toSeq.sorted.map { case (n, e) => s"$n\t$e" }.mkString("\n"),
+        overwrite = true)
     }
 
   /** First constraint `df` violates, if any — one early-exit job per
@@ -553,10 +564,8 @@ object VersionedTable {
       s"$name is a generated column — it cannot also be an identity")
     requireFeature(root, "identityColumns", reader = false)
     val cur = identityColumns(root) + (name -> (start, step))
-    val tmp = new HPath(root, "_identity.tmp")
-    writeString(tmp, cur.toSeq.sorted.map { case (n, (s, st)) =>
+    writeString(identityFile(root), cur.toSeq.sorted.map { case (n, (s, st)) =>
       s"$n\t$s\t$st" }.mkString("\n"), overwrite = true)
-    fcOf(tmp).rename(tmp, identityFile(root), Options.Rename.OVERWRITE)
   }
 
   private def idhwKey(col: String): String = s"_idhw_$col"
@@ -587,10 +596,9 @@ object VersionedTable {
   private def writeDefaults(root: String, ds: Map[String, String]): Unit =
     if (ds.isEmpty) delete(defaultsFile(root), recursive = false)
     else {
-      val tmp = new HPath(root, "_defaults.tmp")
-      writeString(tmp, ds.toSeq.sorted.map { case (n, e) => s"$n\t$e" }
-        .mkString("\n"), overwrite = true)
-      fcOf(tmp).rename(tmp, defaultsFile(root), Options.Rename.OVERWRITE)
+      writeString(defaultsFile(root),
+        ds.toSeq.sorted.map { case (n, e) => s"$n\t$e" }.mkString("\n"),
+        overwrite = true)
     }
 
   /** Register (or replace) a column DEFAULT. The column must exist in
@@ -743,10 +751,9 @@ object VersionedTable {
   private def writeProperties(root: String, ps: Map[String, String]): Unit =
     if (ps.isEmpty) delete(propertiesFile(root), recursive = false)
     else {
-      val tmp = new HPath(root, "_properties.tmp")
-      writeString(tmp, ps.toSeq.sorted.map { case (k, v) => s"$k\t$v" }
-        .mkString("\n"), overwrite = true)
-      fcOf(tmp).rename(tmp, propertiesFile(root), Options.Rename.OVERWRITE)
+      writeString(propertiesFile(root),
+        ps.toSeq.sorted.map { case (k, v) => s"$k\t$v" }.mkString("\n"),
+        overwrite = true)
     }
 
   // ── Column mapping (Delta columnMapping=name analogue) ───────────────
@@ -1015,11 +1022,10 @@ object VersionedTable {
       root: String, gens: Map[String, (String, Option[String])]): Unit =
     if (gens.isEmpty) delete(generatedFile(root), recursive = false)
     else {
-      val tmp = new HPath(root, "_generated.tmp")
-      writeString(tmp, gens.toSeq.sortBy(_._1).map { case (n, (e, tz)) =>
-        (Seq(n, e) ++ tz.toSeq).mkString("\t") }.mkString("\n"),
+      writeString(generatedFile(root),
+        gens.toSeq.sortBy(_._1).map { case (n, (e, tz)) =>
+          (Seq(n, e) ++ tz.toSeq).mkString("\t") }.mkString("\n"),
         overwrite = true)
-      fcOf(tmp).rename(tmp, generatedFile(root), Options.Rename.OVERWRITE)
     }
 
   /** Register a generated column. If the live snapshot already has the
@@ -1432,9 +1438,7 @@ object VersionedTable {
       // refresh the hint + periodic checkpoint — both best-effort: the
       // commit is already durable, and readers heal a stale hint forward
       try {
-        val tmp = new HPath(root, s"_LATEST.tmp$next")
-        writeString(tmp, next.toString, overwrite = true)
-        fcOf(tmp).rename(tmp, latestFile(root), Options.Rename.OVERWRITE)
+        writeString(latestFile(root), next.toString, overwrite = true)
         if (next % checkpointInterval == 0) checkpoint(root)
       } catch { case scala.util.control.NonFatal(_) => () }
       next
@@ -2038,7 +2042,7 @@ object VersionedTable {
     * cost class as the planner's own file listing, NOT a table scan. */
   private[graft] def footerRowCount(files: Seq[String]): Long = {
     if (files.isEmpty) return 0L
-    val conf = new org.apache.hadoop.conf.Configuration()
+    val conf = sessionHadoopConf
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(8, files.size))
     try {
@@ -3444,8 +3448,12 @@ object VersionedTable {
           fc.util.listStatus(dp).exists(st => st.isDirectory &&
             !st.getPath.getName.startsWith("_") &&
             !st.getPath.getName.startsWith("."))) return None
+      // the SESSION's Hadoop conf, not a fresh Configuration(): a fresh
+      // one re-parses the XML defaults per call (driver samples caught
+      // the wstx parse mid-commit) and bypasses the installed local FS
+      // and any credentialed scheme settings (ADVICE r16)
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
-        .fromPath(direct.head.getPath, new org.apache.hadoop.conf.Configuration())
+        .fromPath(direct.head.getPath, sessionHadoopConf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       val kv = try r.getFooter.getFileMetaData.getKeyValueMetaData
         finally r.close()
@@ -3707,7 +3715,7 @@ object VersionedTable {
     val fresh: Map[String, Long] =
       if (misses.isEmpty) Map.empty
       else {
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = sessionHadoopConf
         val pool = java.util.concurrent.Executors.newFixedThreadPool(
           math.min(16, misses.size))
         try {
@@ -4730,9 +4738,7 @@ object VersionedTable {
       writeString(commitMarker(root, None), next.toString, overwrite = false)
       committed = true
       try {
-        val tmp = new HPath(root, s"_LATEST.tmp$next")
-        writeString(tmp, next.toString, overwrite = true)
-        fcOf(tmp).rename(tmp, latestFile(root), Options.Rename.OVERWRITE)
+        writeString(latestFile(root), next.toString, overwrite = true)
       } catch { case scala.util.control.NonFatal(_) => () }
       next
     } catch {
@@ -4857,9 +4863,14 @@ object VersionedTable {
         scala.util.Try(key.toLong).toOption.exists(droppedSet)
       val targetDropped = content.flatMap(c =>
         scala.util.Try(c.toLong).toOption).exists(droppedSet)
-      val agedHusk = content.exists(_.isEmpty) &&
+      // crashed overwrite() litter: a writer that died between its
+      // temp write and the atomic rename leaves a `.<name>.tmp.<id>`
+      // file no reader ever resolves — sweep it past the grace period
+      val agedTmpLitter = name.startsWith(".") && name.contains(".tmp.") &&
         fc.getFileStatus(mp).getModificationTime <= now - orphanGraceMs
-      if (keyDropped || targetDropped || agedHusk)
+      val agedHusk = !agedTmpLitter && content.exists(_.isEmpty) &&
+        fc.getFileStatus(mp).getModificationTime <= now - orphanGraceMs
+      if (keyDropped || targetDropped || agedHusk || agedTmpLitter)
         delete(mp, recursive = false)
     }
     try checkpoint(root)

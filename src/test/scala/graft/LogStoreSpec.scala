@@ -85,6 +85,15 @@ class LogStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("overwrite temp names carry pid + a process-wide counter — " +
+    "distinct per call, so same-host writers cannot collide") {
+    val a = LogStore.tmpName("_LATEST"); val b = LogStore.tmpName("_LATEST")
+    assert(a != b, s"two tmpName calls collided: $a")
+    val pidHex = java.lang.Long.toHexString(ProcessHandle.current().pid())
+    assert(a.contains(pidHex), s"$a lacks the pid component $pidHex")
+    assert(a.startsWith("._LATEST.tmp."), a)
+  }
+
   test("non-atomic schemes (S3A-class) refuse commits loudly, reads keep working") {
     val fc = localFc
     val store = new LogStore.Hdfs(fc, atomic = false, "s3a")
