@@ -67,6 +67,7 @@ object ProfileQ {
       // settle listener events from the warm runs, then reset
       Thread.sleep(400)
       jobs.clear()
+      graft.sources.VersionedTable.metaReadNames.clear()
       val mr0 = graft.sources.VersionedTable.metaReads.get()
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()
@@ -81,6 +82,13 @@ object ProfileQ {
       println(f"\nPROFILE $name wall=${wallMs / 1000}%.2fs jobs=${recs.size} " +
         f"jobTime=${jobMs / 1000.0}%.2fs driverGap=${(wallMs - jobMs) / 1000}%.2fs " +
         s"metaReads=${mr1 - mr0}")
+      if (sys.env.contains("SPARK_GRAFT_META_DEBUG")) {
+        val byName = graft.sources.VersionedTable.metaReadNames.asScala
+          .map { case (k, v) => k -> v.getAndSet(0L) }
+          .filter(_._2 > 0).toSeq.sortBy(-_._2)
+        println("  metaReads by name: " + byName.take(14)
+          .map { case (k, v) => s"$k=$v" }.mkString(" "))
+      }
       val bySite = recs.groupBy(_.site).map { case (s, rs) =>
         (s, rs.size, rs.map(r => r.end - r.start).sum)
       }.toSeq.sortBy(-_._3)

@@ -1052,10 +1052,10 @@ object MaterializedView {
 
     def insertOnlyRange(root: String): Boolean = {
       val from = entry.spec.baseVersions(root); val to = liveV(root)
-      VersionedTable.committedVersions(root)
-        .filter(v => v > from && v <= to)
-        .forall(v => insertOnly(VersionedTable
-          .readMeta(root, v, "_operation").map(_.trim).getOrElse("WRITE")))
+      // the chain memo carries per-commit operations — no per-hop reads
+      VersionedTable.committedChain(root)
+        .filter(c => c.version > from && c.version <= to)
+        .forall(c => insertOnly(c.operation.trim))
     }
 
     def rerun(): Unit = {
@@ -1297,11 +1297,9 @@ object MaterializedView {
     val cur = VersionedTable.latestVersion(spec.baseRoot).getOrElse(
       throw new IllegalArgumentException(s"no versions at ${spec.baseRoot}"))
     if (cur == spec.baseVersion) return cur
-    val hops = VersionedTable.committedVersions(spec.baseRoot)
-      .filter(v => v > spec.baseVersion && v <= cur)
-    val ops = hops.map(v =>
-      VersionedTable.readMeta(spec.baseRoot, v, "_operation")
-        .map(_.trim).getOrElse("WRITE"))
+    val ops = VersionedTable.committedChain(spec.baseRoot)
+      .filter(c => c.version > spec.baseVersion && c.version <= cur)
+      .map(_.operation.trim)
     val hasMinMax = spec.aggs.exists(a => a.fn == "min" || a.fn == "max")
     val hasCd = spec.aggs.exists(_.fn == "count_distinct")
     val next = spec.copy(baseVersion = cur)

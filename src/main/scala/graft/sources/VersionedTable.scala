@@ -117,8 +117,19 @@ object VersionedTable {
   private def storeOf(p: HPath): LogStore =
     LogStore.forRawScheme(p).getOrElse(LogStore.forPath(p, fcOf(p)))
 
+  /** Dev-only breakdown of [[metaReads]] by (digit-normalized) file
+    * name — populated only under SPARK_GRAFT_META_DEBUG (ProfileQ). */
+  private[graft] val metaReadNames = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.AtomicLong]()
+  private val metaDebug = sys.env.contains("SPARK_GRAFT_META_DEBUG")
+
   private[sources] def readString(p: HPath): Option[String] = {
     metaReads.incrementAndGet()
+    if (metaDebug) {
+      val k = p.getName.replaceAll("[0-9]+", "N")
+      metaReadNames.computeIfAbsent(k,
+        _ => new java.util.concurrent.atomic.AtomicLong()).incrementAndGet()
+    }
     storeOf(p).read(p)
   }
 
@@ -196,25 +207,64 @@ object VersionedTable {
     listNames(new HPath(root))
       .filter(_.startsWith("v=")).map(_.drop(2).toLong).sorted
 
+  /** Tiny thread-safe LRU (access-order LinkedHashMap under its own
+    * lock). The metadata memos used to dump WHOLESALE at a size cap —
+    * a long-lived driver crossing the threshold re-paid every inference
+    * at once (r16 verdict); bounded eviction keeps the hot set. */
+  private final class Lru[K, V](max: Int) {
+    private val m = new java.util.LinkedHashMap[K, V](64, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
+        size() > max
+    }
+    def get(k: K): Option[V] = m.synchronized(Option(m.get(k)))
+    def put(k: K, v: V): Unit = m.synchronized { m.put(k, v); () }
+    def clear(): Unit = m.synchronized(m.clear())
+  }
+
+  /** True when some path segment is a `v=<n>` version dir — write-once
+    * by the commit protocol, so its mtime alone keys a memo. */
+  private def isVersionPath(d: String): Boolean =
+    d.split('/').exists(seg => seg.length > 2 && seg.startsWith("v=") &&
+      seg.drop(2).forall(_.isDigit))
+
+  /** Memo fingerprint of a directory. Version dirs: the dir mtime (the
+    * write-once argument). Every other dir (testdata drops, layer
+    * overwrite targets) is REWRITABLE: a delete+rewrite inside one
+    * mtime tick (or on a coarse-mtime store) must not serve the stale
+    * entry (ADVICE r16), so the child listing — count, mtime sum, byte
+    * sum — folds into the fingerprint. One driver-side listing, no
+    * Spark job. */
+  private def dirFingerprint(dir: HPath): Long = {
+    val mtime = try fcOf(dir).getFileStatus(dir).getModificationTime
+      catch { case scala.util.control.NonFatal(_) => return -1L }
+    if (isVersionPath(dir.toString)) mtime
+    else {
+      val kids = try fcOf(dir).util.listStatus(dir)
+        catch { case scala.util.control.NonFatal(_) =>
+          Array.empty[org.apache.hadoop.fs.FileStatus] }
+      var h = mtime * 31 + kids.length
+      kids.foreach { st => // order-independent: listStatus order varies
+        h += st.getModificationTime * 31 + st.getLen
+      }
+      h
+    }
+  }
+
   /** Hive-style partition columns of a snapshot data directory: the
     * first chain of `name=value` subdirectories (empty = unpartitioned).
     * One listing per nesting level — metadata-sized. */
-  private val partColsCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long), Seq[String]]()
+  private val partColsCache = new Lru[(String, Long), Seq[String]](8192)
 
   private[graft] def partColsOf(dir: HPath): Seq[String] = {
-    // memoized on (dir, mtime): version dirs are write-once, and this
-    // listing runs once per dir per chain-read CONSTRUCTION — dozens of
-    // times per multi-commit fixture
-    val mtime = try fcOf(dir).getFileStatus(dir).getModificationTime
-      catch { case scala.util.control.NonFatal(_) => -1L }
-    val key = (dir.toString, mtime)
-    val hit = partColsCache.get(key)
-    if (hit != null) return hit
-    val out = partColsUncached(dir)
-    if (partColsCache.size > 8192) partColsCache.clear()
-    partColsCache.put(key, out)
-    out
+    // memoized on (dir, fingerprint): version dirs are write-once, and
+    // this listing runs once per dir per chain-read CONSTRUCTION —
+    // dozens of times per multi-commit fixture
+    val key = (dir.toString, dirFingerprint(dir))
+    partColsCache.get(key).getOrElse {
+      val out = partColsUncached(dir)
+      partColsCache.put(key, out)
+      out
+    }
   }
 
   private def partColsUncached(dir: HPath): Seq[String] = {
@@ -274,10 +324,50 @@ object VersionedTable {
     cur
   }
 
+  /** Commit-meta memo: a committed version dir's meta FILES (content
+    * and absence alike) are write-once — the commit stamps them before
+    * its marker publishes and nothing edits an old version dir — so
+    * each (root, version, name) read is a constant, guarded by the
+    * version dir's mtime (a recreated root, or a backfilled `_cdf`
+    * sidecar landing in an old dir, changes the mtime and misses).
+    * The chain/DV/clone resolution re-read `_parent`/`_dv_parent`/
+    * `_clone_src`/`_colmap` per CONSTRUCTION — 300-700 small reads per
+    * multi-commit fixture (r16 verdict item 3); a hit is now one stat. */
+  private val metaCache = new Lru[(String, Long, String, Long), Option[String]](16384)
+
+  /** Memoized read of a small write-once sidecar FILE next to (or
+    * inside) a commit dir (`_dvc`, `_schema_only`) keyed on
+    * (path, parent-dir mtime) — same write-once argument as
+    * [[readMeta]] for paths that don't arrive in (root, version)
+    * form. */
+  private val sideFileCache = new Lru[(String, Long), Option[String]](16384)
+
+  private def readSideFile(p: HPath): Option[String] = {
+    val parent = p.getParent
+    val mtime = try fcOf(parent).getFileStatus(parent).getModificationTime
+      catch { case scala.util.control.NonFatal(_) => return readString(p) }
+    val key = (p.toString, mtime)
+    sideFileCache.get(key).getOrElse {
+      val v = readString(p)
+      sideFileCache.put(key, v)
+      v
+    }
+  }
+
   /** Read a meta file committed into snapshot `v` via `write(metaFiles)`
     * (e.g. a streaming writer's applied-batch watermark). */
-  def readMeta(root: String, version: Long, name: String): Option[String] =
-    readString(new HPath(s"$root/v=$version", name))
+  def readMeta(root: String, version: Long, name: String): Option[String] = {
+    val vp = new HPath(s"$root/v=$version")
+    val mtime = try fcOf(vp).getFileStatus(vp).getModificationTime
+      catch { case scala.util.control.NonFatal(_) =>
+        return readString(new HPath(s"$root/v=$version", name)) }
+    val key = (root, version, name, mtime)
+    metaCache.get(key).getOrElse {
+      val v = readString(new HPath(s"$root/v=$version", name))
+      metaCache.put(key, v)
+      v
+    }
+  }
 
   /** The newest committed version's value for meta file `name`, walking
     * the chain TIP-BACKWARD — not just the tip: a non-sink commit
@@ -349,14 +439,62 @@ object VersionedTable {
     * `versions()`'s raw listing would. The walk stops at a vacuumed
     * (missing) predecessor; pre-`_prev` snapshots end the walk
     * conservatively by including themselves. */
+  /** Committed-chain memo, keyed (root, tip version, tip-dir mtime):
+    * the chain BELOW a fixed tip is immutable (history is append-only;
+    * commit meta files are stamped before the marker publishes), so a
+    * hit replaces the whole 3-reads-per-version walk with one stat —
+    * the same write-once argument as the schema memo, applied to the
+    * ~500-800 commit-meta reads a multi-commit fixture paid (r16
+    * verdict item 3). The tip mtime guards a dropped-and-recreated
+    * root; vacuum clears the cache when it removes versions (the one
+    * in-engine operation that edits history under an unchanged tip). */
+  private val chainCache = new Lru[(String, Long, Long), Seq[CommitInfo]](4096)
+
   private[graft] def committedChain(root: String,
                                     useCheckpoint: Boolean = true): Seq[CommitInfo] = {
+    if (!useCheckpoint)
+      return chainWalk(root, useCheckpoint = false, latestVersion(root))
+    latestVersion(root) match {
+      case None => Nil
+      case Some(tip) =>
+        val tp = new HPath(s"$root/v=$tip")
+        val mtime = try fcOf(tp).getFileStatus(tp).getModificationTime
+          catch { case scala.util.control.NonFatal(_) => -1L }
+        val key = (root, tip, mtime)
+        chainCache.get(key).getOrElse {
+          val c = chainWalk(root, useCheckpoint = true, Some(tip))
+          chainCache.put(key, c)
+          c
+        }
+    }
+  }
+
+  private def chainWalk(root: String, useCheckpoint: Boolean,
+                        tip: Option[Long]): Seq[CommitInfo] = {
     val cp = if (useCheckpoint) readCheckpoint(root) else Seq.empty
     val cpIdx = cp.iterator.zipWithIndex.map { case (c, i) => c.version -> i }.toMap
     var chain = List.empty[CommitInfo]
-    var cur = latestVersion(root)
+    var cur = tip
     while (cur.isDefined) {
       val v = cur.get
+      // a PREVIOUS tip's memoized chain is a valid prefix (history
+      // below a committed version is immutable; vacuum invalidates,
+      // and the mtime in the key guards a recreated root) — splice it
+      // like an in-memory checkpoint, so a table that just committed
+      // pays the walk only for its NEW hop, not the whole history
+      val memo: Option[Seq[CommitInfo]] =
+        if (!useCheckpoint || chain.exists(_.version == v)) None
+        else {
+          val vp = new HPath(s"$root/v=$v")
+          val mtime = try fcOf(vp).getFileStatus(vp).getModificationTime
+            catch { case scala.util.control.NonFatal(_) => -1L }
+          chainCache.get((root, v, mtime))
+        }
+      memo match {
+        case Some(prefix) =>
+          chain = prefix.toList ::: chain
+          cur = None
+        case None =>
       cpIdx.get(v) match {
         case Some(i) => // checkpointed prefix covers v and everything before
           chain = cp.take(i + 1).toList ::: chain
@@ -367,12 +505,29 @@ object VersionedTable {
           cur = info.prev.filter(p =>
             fcOf(new HPath(s"$root/v=$p")).util.exists(new HPath(s"$root/v=$p")))
       }
+      }
     }
     chain
   }
 
   def committedVersions(root: String): Seq[Long] =
     committedChain(root).map(_.version)
+
+  /** `_operation` of a committed version, served from the chain memo
+    * (no metadata read on a cache hit); falls back to the direct read
+    * for a version the chain does not reach (pre-`_prev` history). */
+  private[sources] def operationOf(root: String, v: Long): Option[String] =
+    committedChain(root).find(_.version == v).map(_.operation.trim)
+      .orElse(readMeta(root, v, "_operation").map(_.trim))
+
+  /** `_prev` of a committed version, from the chain memo; off-chain
+    * versions fall back to the direct read. */
+  private[sources] def prevOf(root: String, v: Long): Option[Long] =
+    committedChain(root).find(_.version == v) match {
+      case Some(c) => c.prev
+      case None =>
+        readMeta(root, v, "_prev").filter(_ != "none").map(_.trim.toLong)
+    }
 
   /** Schema gate (the reference's enforced-StructType contract,
     * 01_bronze_ingest.py:36-68 / README.md:69): an existing table only
@@ -859,7 +1014,7 @@ object VersionedTable {
     var cur: Option[(String, Long)] = Some((root, version))
     while (cur.isDefined) {
       val (r, v) = cur.get
-      readString(new HPath(s"$r/v=$v", "_colmap")) match {
+      readMeta(r, v, "_colmap") match { // memoized commit meta
         case Some(s) => return Some(parseColmap(s))
         case None => cur = dataLink(r, v)
       }
@@ -2593,7 +2748,7 @@ object VersionedTable {
       return delta.select(delta.columns.map(col).toSeq :+
         lit("insert").as("_change_type"): _*)
     }
-    val op = readMeta(root, toV, "_operation").map(_.trim).getOrElse("")
+    val op = operationOf(root, toV).getOrElse("")
     // compaction-family hops (COMPACT / OPTIMIZE … WHERE) rewrite
     // content-identically — Delta's CDF contract: an OPTIMIZE commit
     // emits NO changes (a keyed diff would pair everything away; the
@@ -2627,7 +2782,7 @@ object VersionedTable {
     // single-hop only (fromV must be the commit's predecessor; per-commit
     // drains, the ChangeFeed shape, always are)
     val cdfDir = new HPath(s"$root/v=$toV/_cdf")
-    if (readMeta(root, toV, "_prev").map(_.trim.toLong).contains(fromV) &&
+    if (prevOf(root, toV).contains(fromV) &&
         fcOf(cdfDir).util.exists(cdfDir))
       return readDirCached(spark, cdfDir.toString)
     refuse()
@@ -2650,7 +2805,7 @@ object VersionedTable {
     val done = scala.collection.mutable.ArrayBuffer.empty[Long]
     committedChain(root).foreach { c =>
       val v = c.version
-      val op = readMeta(root, v, "_operation").map(_.trim).getOrElse("")
+      val op = c.operation.trim
       val fromV = readMeta(root, v, "_dv_parent").map(_.trim.toLong)
       val cdfDir = new HPath(s"$root/v=$v/_cdf")
       if (op.startsWith("UPDATE_DV") && fromV.isDefined &&
@@ -2876,7 +3031,7 @@ object VersionedTable {
     * carrier): file-index readers skip such dirs — they hold no rows
     * and, written flat on partitioned tables, no partition layout. */
   private[graft] def isSchemaOnlySlice(dir: String): Boolean =
-    readString(new HPath(dir, "_schema_only")).isDefined
+    readSideFile(new HPath(dir, "_schema_only")).isDefined
 
   /** The table's hive partition layout at `version`: derived from the
     * first DATA-bearing chain dir's directory names. A chain that is
@@ -3384,8 +3539,8 @@ object VersionedTable {
     readVersion(spark, root, latestVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no versions at $root")))
 
-  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long, Long), org.apache.spark.sql.types.StructType]()
+  private val schemaCache =
+    new Lru[(String, Long, Long), org.apache.spark.sql.types.StructType](4096)
 
   // ── Per-directory parquet schema memo ───────────────────────────────
   //
@@ -3401,26 +3556,21 @@ object VersionedTable {
   // explicitly, which skips the inference job outright (guide §6:
   // metadata cost is driver-side, single-threaded, and repeated).
 
-  private val dirSchemaCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long), org.apache.spark.sql.types.StructType]()
+  private val dirSchemaCache =
+    new Lru[(String, Long), org.apache.spark.sql.types.StructType](8192)
 
-  private def dirMtime(d: String): Long =
-    try fcOf(new HPath(d)).getFileStatus(new HPath(d)).getModificationTime
-    catch { case scala.util.control.NonFatal(_) => -1L }
-
-  /** Inferred schema of one immutable parquet directory, memoized on
-    * (path, mtime) — the same recreate-at-same-root guard [[schemaOf]]
-    * uses. Hive-partitioned dirs include their partition columns, as
-    * plain inference would. */
+  /** Inferred schema of one parquet directory, memoized on
+    * (path, [[dirFingerprint]]) — version-dir mtime for write-once
+    * dirs, a child-listing fold for rewritable ones. Hive-partitioned
+    * dirs include their partition columns, as plain inference would. */
   private[graft] def parquetDirSchema(spark: SparkSession,
                                       d: String): org.apache.spark.sql.types.StructType = {
-    val key = (d, dirMtime(d))
-    val hit = dirSchemaCache.get(key)
-    if (hit != null) return hit
-    val s = footerSparkSchema(d).getOrElse(spark.read.parquet(d).schema)
-    if (dirSchemaCache.size > 8192) dirSchemaCache.clear()
-    dirSchemaCache.put(key, s)
-    s
+    val key = (d, dirFingerprint(new HPath(d)))
+    dirSchemaCache.get(key).getOrElse {
+      val s = footerSparkSchema(d).getOrElse(spark.read.parquet(d).schema)
+      dirSchemaCache.put(key, s)
+      s
+    }
   }
 
   /** First-touch fast path for [[parquetDirSchema]]: Spark serializes
@@ -3525,12 +3675,11 @@ object VersionedTable {
       .getFileStatus(new HPath(s"$root/v=$version")).getModificationTime
     catch { case scala.util.control.NonFatal(_) => -1L }
     val key = (root, version, mtime)
-    val hit = schemaCache.get(key)
-    if (hit != null) return hit
-    val s = readVersion(spark, root, version).schema
-    if (schemaCache.size > 4096) schemaCache.clear()
-    schemaCache.put(key, s)
-    s
+    schemaCache.get(key).getOrElse {
+      val s = readVersion(spark, root, version).schema
+      schemaCache.put(key, s)
+      s
+    }
   }
 
   /** Time travel: read any retained snapshot (for an append commit, the
@@ -3628,6 +3777,7 @@ object VersionedTable {
   def invalidateElisionCache(): Unit = {
     footerRowsCache.clear(); elisionCache.clear(); purgeFloorCache.clear()
     schemaCache.clear(); dirSchemaCache.clear(); partColsCache.clear()
+    chainCache.clear(); metaCache.clear(); sideFileCache.clear()
   }
 
   /** A data-file identity in scheme-free `toUri.getPath` form — the
@@ -3756,7 +3906,7 @@ object VersionedTable {
     val counts = scala.collection.mutable.Map.empty[String, Long]
     val totals = scala.collection.mutable.Map.empty[String, Long]
     dvDirs.foreach { d =>
-      readString(new HPath(d.stripSuffix("_dv") + "_dvc")).foreach {
+      readSideFile(new HPath(d.stripSuffix("_dv") + "_dvc")).foreach {
         _.linesIterator.filter(_.nonEmpty).foreach { line =>
           parseDvcLine(line).foreach { case (f, n, t) =>
             counts(f) = counts.getOrElse(f, 0L) + n
@@ -4850,6 +5000,9 @@ object VersionedTable {
     // touch nothing — markers and checkpoint included
     if (dryRun) return drop
     drop.foreach(v => delete(new HPath(s"$root/v=$v"), recursive = true))
+    // vacuum edits history under an UNCHANGED tip — cached chains (and
+    // anything keyed on dropped version dirs) must not outlive it
+    if (drop.nonEmpty) invalidateElisionCache()
     // GC commit markers that reference a dropped version on either side,
     // plus empty "husk" markers (a writer that crashed between the
     // marker create and its content write) past the grace period — they

@@ -347,15 +347,46 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.history(spark, root)
       .select(col("version")).as[Long].collect().toSeq == (1L to 25L).reverse)
     // bounded reads: checkpoint (1) + tail 21..25 (3 reads each) + hint
-    // resolution — far under the 77 reads of the full walk
+    // resolution — far under the 77 reads of the full walk. The r17
+    // commit-meta memo makes BOTH paths O(1) on a warm cache, so the
+    // checkpoint-vs-walk comparison runs cold (caches cleared)
+    VersionedTable.invalidateElisionCache()
     VersionedTable.metaReads.set(0L)
     VersionedTable.committedVersions(root)
     val bounded = VersionedTable.metaReads.get()
+    VersionedTable.invalidateElisionCache()
     VersionedTable.metaReads.set(0L)
     VersionedTable.committedChain(root, useCheckpoint = false)
     val full = VersionedTable.metaReads.get()
     assert(bounded <= 30, s"checkpointed chain read cost $bounded metadata reads")
     assert(bounded < full, s"checkpoint ($bounded reads) must beat the walk ($full)")
+    // and the memo beats both: a warm repeat pays only live-pointer
+    // resolution
+    VersionedTable.metaReads.set(0L)
+    VersionedTable.committedVersions(root)
+    assert(VersionedTable.metaReads.get() <= 4)
+  }
+
+  test("chain memo: a repeated chain read costs O(1) metadata reads, " +
+    "a new commit refreshes it, vacuum invalidates it") {
+    val root = Files.createTempDirectory("graft_vt_chmemo").toString
+    (1 to 6).foreach(i => VersionedTable.write(Seq(i).toDF("v"), root))
+    val chain1 = VersionedTable.committedChain(root)
+    VersionedTable.metaReads.set(0L)
+    val chain2 = VersionedTable.committedChain(root)
+    val hit = VersionedTable.metaReads.get()
+    assert(chain2 == chain1)
+    // hit cost: the live-pointer resolution (hint + marker miss) only —
+    // never the 3-reads-per-version walk
+    assert(hit <= 4, s"chain memo hit cost $hit metadata reads")
+    // a new commit moves the tip: the next read walks the new hop and
+    // serves the extended chain
+    VersionedTable.write(Seq(7).toDF("v"), root)
+    assert(VersionedTable.committedVersions(root) == (1L to 7L))
+    // vacuum (history surgery under an unchanged tip) invalidates: the
+    // served chain reflects the dropped versions immediately
+    VersionedTable.vacuum(root, keep = 2, orphanGraceMs = 0L, retainMinMs = 0L)
+    assert(VersionedTable.committedVersions(root) == Seq(6L, 7L))
   }
 
   test("vacuum retains committed snapshots only and GCs aged orphans") {
