@@ -1120,26 +1120,33 @@ object MaterializedView {
                 entry.spec.baseVersions, liveV, retracting)
               // count_distinct: fold each side table with the signed
               // per-(group, value) delta and overwrite the placeholder
-              // _d_ column with the distinct-count delta
-              cds.foreach { case (out, vAttr) =>
-                val dm = joinSideDelta(spark, info,
-                  entry.spec.baseVersions, liveV, retracting, vAttr)
-                val (sv, dAggD) = foldSideFrame(spark,
-                  sideRootOf(entry.spec.mvRoot, out),
-                  (info.groups :+ vAttr.name).distinct, info.groups, out,
-                  dm, fromToken(entry.spec.baseVersions))
-                newSideVs(out) = sv
-                val jj = dAgg.join(dAggD,
-                  info.groups.map(g => dAgg(g) <=> dAggD(g))
-                    .reduce(_ && _), "left")
-                dAgg = jj.select(dAgg.columns.toSeq.map { c =>
-                  if (c == s"_d_$out")
-                    coalesce(dAggD(s"_d_$out"), lit(0L)).as(c)
-                  else dAgg(c)
-                }: _*)
-              }
-              foldIntoMv(spark, entry.spec.mvRoot, info.groups, info.aggs,
-                dAgg, "_mv_exact" -> serializeExact(next))
+              // _d_ column with the distinct-count delta. Each side's
+              // persisted fold join is released AFTER the MV fold
+              // commits (the delta keeps recomputable lineage over it)
+              val releases = scala.collection.mutable.ListBuffer
+                .empty[() => Unit]
+              try {
+                cds.foreach { case (out, vAttr) =>
+                  val dm = joinSideDelta(spark, info,
+                    entry.spec.baseVersions, liveV, retracting, vAttr)
+                  val (sv, dAggD, release) = foldSideFrame(spark,
+                    sideRootOf(entry.spec.mvRoot, out),
+                    (info.groups :+ vAttr.name).distinct, info.groups, out,
+                    dm, fromToken(entry.spec.baseVersions))
+                  releases += release
+                  newSideVs(out) = sv
+                  val jj = dAgg.join(dAggD,
+                    info.groups.map(g => dAgg(g) <=> dAggD(g))
+                      .reduce(_ && _), "left")
+                  dAgg = jj.select(dAgg.columns.toSeq.map { c =>
+                    if (c == s"_d_$out")
+                      coalesce(dAggD(s"_d_$out"), lit(0L)).as(c)
+                    else dAgg(c)
+                  }: _*)
+                }
+                foldIntoMv(spark, entry.spec.mvRoot, info.groups, info.aggs,
+                  dAgg, "_mv_exact" -> serializeExact(next))
+              } finally releases.foreach(_())
             }
           } catch {
             // a hop the keyless feed cannot reconstruct (sidecar-less
@@ -1413,26 +1420,30 @@ object MaterializedView {
     // the values that APPEARED (multiplicity 0 → >0) minus those that
     // DISAPPEARED (>0 → 0) — the classic counting approach, exact for
     // inserts AND deletes
-    val sideVs = spec.aggs.filter(_.fn == "count_distinct").map { a =>
-      val (sv, dAggD) = foldSide(spark, spec, a, delta, sign)
-      val j = dAgg.join(dAggD,
-        spec.groups.map(g => dAgg(g) <=> dAggD(g)).reduce(_ && _), "left")
-      dAgg = j.select(dAgg.columns.toSeq.map(c => dAgg(c)) :+
-        coalesce(dAggD(s"_d_${a.out}"), lit(0L)).as(s"_d_${a.out}"): _*)
-      a.out -> sv
-    }.toMap
-    (foldIntoMv(spark, spec.mvRoot, spec.groups, spec.aggs, dAgg,
-      "_mv" -> next.serialize), sideVs)
+    val releases = scala.collection.mutable.ListBuffer.empty[() => Unit]
+    try {
+      val sideVs = spec.aggs.filter(_.fn == "count_distinct").map { a =>
+        val (sv, dAggD, release) = foldSide(spark, spec, a, delta, sign)
+        releases += release
+        val j = dAgg.join(dAggD,
+          spec.groups.map(g => dAgg(g) <=> dAggD(g)).reduce(_ && _), "left")
+        dAgg = j.select(dAgg.columns.toSeq.map(c => dAgg(c)) :+
+          coalesce(dAggD(s"_d_${a.out}"), lit(0L)).as(s"_d_${a.out}"): _*)
+        a.out -> sv
+      }.toMap
+      (foldIntoMv(spark, spec.mvRoot, spec.groups, spec.aggs, dAgg,
+        "_mv" -> next.serialize), sideVs)
+    } finally releases.foreach(_())
   }
 
   /** Fold one count_distinct side table with the signed delta: merge
     * per-(group, value) multiplicities (side-sized, like the MV merge
     * is MV-sized), drop rows whose multiplicity hits zero, commit, and
     * return the new side version plus the per-group distinct-count
-    * delta frame (`groups…, _d_<out>`). */
+    * delta frame (`groups…, _d_<out>`) and its release. */
   private def foldSide(spark: SparkSession, spec: MvSpec, a: AggSpec,
                        delta: DataFrame, sign: Column)
-      : (Long, DataFrame) = {
+      : (Long, DataFrame, () => Unit) = {
     val keys = (spec.groups :+ a.col).distinct
     val dm = delta.filter(col(a.col).isNotNull)
       .groupBy(keys.map(col): _*)
@@ -1450,11 +1461,22 @@ object MaterializedView {
     * refresh committed the side and crashed before the MV commit, so
     * the fold is SKIPPED (idempotence) and the distinct delta
     * re-derives from the side's own last hop instead of
-    * double-applying the delta. */
+    * double-applying the delta.
+    *
+    * Returns (side version, distinct-delta frame, release). The delta
+    * keeps its LINEAGE over the persisted join (no localCheckpoint:
+    * that storage is non-reliable — an executor loss mid-refresh on a
+    * real cluster would lose the delta with no recompute path, the r16
+    * verdict's durability item — and the checkpoint job itself was a
+    * full extra pass). The caller invokes `release()` once the delta
+    * is consumed (after the MV fold commits); a recompute after
+    * release is still CORRECT — the join rebuilds from the side's
+    * still-readable pre-fold version and the change feed. */
   private[graft] def foldSideFrame(spark: SparkSession, sRoot: String,
                                    keys: Seq[String], groups: Seq[String],
                                    dOut: String, dm: DataFrame,
-                                   from: String): (Long, DataFrame) = {
+                                   from: String)
+      : (Long, DataFrame, () => Unit) = {
     def distinctDelta(old: DataFrame, nu: DataFrame): DataFrame = {
       val cond = keys.map(k => old(k) <=> nu(k)).reduce(_ && _)
       val j = old.join(nu, cond, "full_outer")
@@ -1478,17 +1500,18 @@ object MaterializedView {
       val prev = prevV.map(VersionedTable.readVersion(spark, sRoot, _))
         .getOrElse(VersionedTable.readLatest(spark, sRoot).limit(0))
       return (cur,
-        distinctDelta(prev, VersionedTable.readVersion(spark, sRoot, cur)))
+        distinctDelta(prev, VersionedTable.readVersion(spark, sRoot, cur)),
+        () => ())
     }
     val old = VersionedTable.readLatest(spark, sRoot)
     val cond = keys.map(k => old(k) <=> dm(k)).reduce(_ && _)
     // TWO consumers derive from this join (the merged side table that
     // is written, and the distinct-count delta) — persist it so the
     // side-table-sized outer join is computed once, not re-scanned for
-    // the delta (guide §5: reuse is real and bounded; unpersisted as
-    // soon as the delta is eagerly checkpointed)
+    // the delta (guide §5: reuse is real and bounded)
     val joined = old.join(dm, cond, "full_outer")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var ok = false
     try {
       val newMult = coalesce(old("_mult"), lit(0L)) +
         coalesce(dm("_dmult"), lit(0L))
@@ -1501,17 +1524,15 @@ object MaterializedView {
       val chg = when(old("_mult").isNull && newMult > 0, lit(1L))
         .when(old("_mult").isNotNull && newMult <= 0, lit(-1L))
         .otherwise(lit(0L))
-      // group-delta-sized; eager localCheckpoint so the persisted join
-      // can be released before returning
       val dAggD = joined
         .select(groups.map(g =>
           coalesce(old(g), dm(g)).as(g)) :+ chg.as("_chg"): _*)
         .groupBy(groups.map(col): _*)
         .agg(sum("_chg").as(s"_d_$dOut"))
         .filter(col(s"_d_$dOut") =!= 0)
-        .localCheckpoint()
-      (sv, dAggD)
-    } finally { joined.unpersist(); () }
+      ok = true
+      (sv, dAggD, () => { joined.unpersist(); () })
+    } finally { if (!ok) { joined.unpersist(); () } }
   }
 
   /** Fold a `_d_`-prefixed per-group delta aggregate into the MV with

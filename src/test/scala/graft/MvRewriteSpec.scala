@@ -451,7 +451,7 @@ class MvRewriteSpec extends AnyFunSuite {
       ("A", 9L, 1L), ("A", 2L, -1L), ("B", 2L, -1L)))
       .toDF("g", "v", "_dmult")
     val token = "base:7"
-    val (v1, d1) = MaterializedView.foldSideFrame(spark, side,
+    val (v1, d1, rel1) = MaterializedView.foldSideFrame(spark, side,
       Seq("g", "v"), Seq("g"), "uv", dm, token)
     val rows1 = d1.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // appeared 9 (+1), disappeared 2 (−1) in A → net 0 (filtered);
@@ -464,7 +464,7 @@ class MvRewriteSpec extends AnyFunSuite {
       ("B", 2L) -> 2L))
     // REPLAY with the same stamp (the crash-between-side-and-MV case):
     // the fold must skip — same side version, multiplicities untouched
-    val (v2, d2) = MaterializedView.foldSideFrame(spark, side,
+    val (v2, d2, rel2) = MaterializedView.foldSideFrame(spark, side,
       Seq("g", "v"), Seq("g"), "uv", dm, token)
     assert(v2 == v1, "a replayed fold must not commit again")
     val afterSecond = VersionedTable.readLatest(spark, side)
@@ -475,6 +475,7 @@ class MvRewriteSpec extends AnyFunSuite {
     // and the re-derived distinct delta equals the original's
     assert(d2.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       == rows1)
+    rel1(); rel2()
   }
 
   test("a persisted count_distinct MV discovered by a FRESH driver " +
