@@ -46,9 +46,14 @@ object ClusterOps {
       .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .repartition(parts, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // LAZY local checkpoints throughout the loop: the convergence
+    // aggregate that follows each round is the materializing action, so
+    // every round costs ONE job instead of a checkpoint job + an
+    // aggregate job (truncation is identical — the checkpoint finalizes
+    // when that first action completes)
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     // convergence check: labels only ever DECREASE under min-propagation,
     // so the label sum strictly decreases until fixpoint — one cheap
     // aggregate per round instead of a join-and-count against the
@@ -66,7 +71,7 @@ object ClusterOps {
         .select(col("dst").as("id"), col("label"))
       val next = labels.union(msgs)
         .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint()
+        .localCheckpoint(false) // materialized by labelSum below
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
@@ -118,7 +123,7 @@ object ClusterOps {
       least(col("doc_a"), col("doc_b")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false) // materialized by the count below
     // star partition test: no vertex is both a spoke (u) and a center (v).
     // A star partition is a fixpoint of both phases, and only then do the
     // edges read directly as (member, component-min) labels.
@@ -128,8 +133,8 @@ object ClusterOps {
     var iter = 0
     var converged = prevCount == 0L
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
-      val nextCount = next.count()
+      val next = smallStar(largeStar(e)).localCheckpoint(false)
+      val nextCount = next.count() // materializes the round
       // fixpoint: equal counts + empty difference over distinct sets ⇒
       // set equality; the star check guards against declaring victory on
       // a non-star fixpoint of the composed round.

@@ -81,7 +81,7 @@ object IncrementalDedup {
     // the raw text) — materialize it once so both consumers scan stored
     // rows instead of re-evaluating the signature computation (guide §5
     // reuse; measured: the anti-join re-paid the full minhash fold)
-    val sigsM = sigs.localCheckpoint()
+    val sigsM = sigs.localCheckpoint(false) // materialized by bb's job
     // one narrow batch-sized table consumed three times (intra minima,
     // cross probe, index append) — materialize once, the same
     // signature-table break every production dedup pipeline has

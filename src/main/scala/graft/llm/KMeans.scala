@@ -65,7 +65,7 @@ object KMeans {
         .cast("double") / lit(4294967296.0)
     val first = embeddings.orderBy(col("vec_id")).limit(1)
     var cand = first.select(col("vec_id").as("cand_id"), col("embedding").as("cvec"))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: the next round's broadcast materializes
     for (r <- 1 to rounds) {
       val cost = embeddings.crossJoin(broadcast(cand))
         .groupBy(col("vec_id"))
@@ -76,7 +76,7 @@ object KMeans {
           .filter(coin(r) < least(lit(1.0), lit(l.toDouble) * col("cost") / lit(phi)))
           .join(embeddings, Seq("vec_id"))
           .select(col("vec_id").as("cand_id"), col("embedding").as("cvec"))
-        cand = cand.unionByName(sampled).localCheckpoint()
+        cand = cand.unionByName(sampled).localCheckpoint(false)
       }
     }
     // attraction weights: one more corpus scan, then everything is tiny
@@ -140,7 +140,7 @@ object KMeans {
     val spark = embeddings.sparkSession
     graft.functions.NativeFunctions.register(spark)
     val cos = graft.functions.NativeFunctions.cosineSim _
-    var cents = init.localCheckpoint()
+    var cents = init.localCheckpoint(false)
     for (_ <- 1 to iters) {
       val assigned = embeddings.crossJoin(broadcast(cents))
         .withColumn("cos_c", cos(col("embedding"), col("cvec")))
@@ -156,7 +156,10 @@ object KMeans {
         .agg(transform(
           array_sort(collect_list(struct(col("dim"), col("sv").cast("double").as("sval")))),
           x => x("sval")).as("cvec"))
-        .localCheckpoint() // k rows; truncates the per-round lineage
+        // k rows; truncates the per-round lineage. LAZY: the sole
+        // consumer (next round's broadcast / the caller's one action)
+        // materializes it — no dedicated checkpoint job per round
+        .localCheckpoint(false)
     }
     cents
   }

@@ -45,7 +45,11 @@ object LlmQueries {
       .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
       .filter(size(col("sh")) >= 1)
       .select(col("doc_id"), shingleHashes(col("sh")).as("hs"))
-      .localCheckpoint()
+      // LAZY: every consumer's first action is a single-branch scan
+      // (the signature-table checkpoint or the caller's aggregate), so
+      // the hash table materializes inside that job instead of paying
+      // a dedicated checkpoint job
+      .localCheckpoint(false)
     val sigs = (0 until 8).map(k => minhashSig(col("hs"), k).as(s"sig$k"))
     withHs.select(col("doc_id") +: sigs: _*)
       .withColumn("band0", bandKey((0 to 3).map(k => col(s"sig$k"))))

@@ -19,7 +19,8 @@ object TypedOps {
 
   def lineitems(spark: SparkSession, sfDir: String): Dataset[LineItem] = {
     import spark.implicits._
-    spark.read.parquet(s"$sfDir/lineitem.parquet").as[LineItem]
+    graft.sources.VersionedTable.readParquetDir(spark,
+      s"$sfDir/lineitem.parquet").as[LineItem]
   }
 
   /** Narrow projection of lineitem — only the 4 columns the aggregation
@@ -33,7 +34,8 @@ object TypedOps {
 
   def lineitemsSlim(spark: SparkSession, sfDir: String): Dataset[LineSlim] = {
     import spark.implicits._
-    spark.read.parquet(s"$sfDir/lineitem.parquet")
+    graft.sources.VersionedTable.readParquetDir(spark,
+        s"$sfDir/lineitem.parquet")
       .select("l_returnflag", "l_quantity", "l_extendedprice", "l_discount")
       .as[LineSlim]
   }
